@@ -1,0 +1,486 @@
+package graft.browser
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, StringType}
+import graft.model._
+import graft.cells._
+import graft.star.StarSchema
+import graft.functions.{AggFunctions, WindowCalcs}
+import graft.exprs.ExprLang
+
+/** Result of an aggregate browse (reference `AggregationResult`,
+  * `query/browser.py:676-862`). Everything stays lazy DataFrames; actions
+  * happen when the caller materializes. */
+final case class AggregationResult(
+    cells: DataFrame,
+    summary: Option[DataFrame],
+    levels: Map[String, Seq[String]]
+) {
+  /** Total drilldown cell count before pagination (the reference's third
+    * query, `sql/browser.py:436-439`). */
+  def totalCellCount: Long = cells.count()
+}
+
+/** The aggregation browser: compiles OLAP verbs (aggregate / facts / fact /
+  * members / cell) into Spark DataFrame plans over a pruned star join.
+  *
+  * Lifecycle per call (cf. reference `sql/browser.py:351-461`):
+  *  1. resolve aggregates + drilldown (driver-side metadata),
+  *  2. collect needed attribute refs, topo-sort derived expressions,
+  *  3. build pruned star (join elimination — only referenced tables),
+  *  4. project logical columns, filter by the cell predicate (Catalyst
+  *     pushes both into the Parquet scans),
+  *  5. groupBy + aggregate (partial aggregation map-side),
+  *  6. window calculators as Window expressions (reference computes these
+  *     in driver Python; here they are distributed, inside the plan),
+  *  7. order / paginate.
+  */
+final class Browser(
+    val cube: Cube,
+    val star: StarSchema,
+    val spark: SparkSession,
+    excludeNullAggregates: Boolean = false
+) {
+  /** The split pseudo-dimension column (reference `query/browser.py:35`). */
+  val SplitColumn = "__within_split__"
+  val FactKeyColumn = "__fact_key__"
+
+  // ---------------------------------------------------------------- public
+
+  def aggregate(
+      cell: Cell = Cell.empty,
+      drilldown: Seq[String] = Nil,
+      aggregates: Seq[String] = Nil,
+      split: Option[Cell] = None,
+      order: Seq[(String, Option[String])] = Nil,
+      page: Option[Int] = None,
+      pageSize: Option[Int] = None,
+      includeSummary: Boolean = true
+  ): AggregationResult = {
+    val aggs0 = if (aggregates.isEmpty) {
+      if (cube.aggregates.nonEmpty) cube.aggregates else Seq(Cube.FactCount)
+    } else aggregates.map(cube.aggregate)
+
+    // pull source-aggregate dependencies of window calculators
+    // (reference prepare_aggregates, query/browser.py:194-254)
+    val aggs = {
+      val byName = cube.aggregates.map(a => a.name -> a).toMap
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, MeasureAggregate]
+      def add(a: MeasureAggregate): Unit = {
+        a.function.filter(WindowCalcs.isWindowFunction).foreach { _ =>
+          a.measure.flatMap(byName.get).foreach(add)
+        }
+        if (!out.contains(a.name)) out(a.name) = a
+      }
+      aggs0.foreach(add)
+      out.values.toSeq
+    }
+    val (windowAggs, builtinAggs) =
+      aggs.partition(_.function.exists(WindowCalcs.isWindowFunction))
+
+    val dd = Drilldown.resolve(cube, cell, drilldown)
+    checkHighCardinality(dd, cell, page, pageSize)
+
+    // attribute refs needed anywhere in the query
+    val ddRefs = dd.flatMap(_.allRefs)
+    val measureRefs = builtinAggs.flatMap(aggMeasureRefs)
+    val cutRefs = cellRefs(cell) ++ split.map(cellRefs).getOrElse(Nil)
+    val orderRefs = order.map(_._1).filter(r => cube.allAttributes.contains(r))
+    val projected = projectedFrame(
+      (ddRefs ++ measureRefs ++ cutRefs ++ orderRefs).distinct)
+
+    val filtered = cellPredicate(projected, cell)
+      .map(projected.filter).getOrElse(projected)
+
+    val withSplit = split match {
+      case Some(sc) =>
+        val cond = cellPredicate(projected, sc).getOrElse(lit(true))
+        filtered.withColumn(SplitColumn, cond)
+      case None => filtered
+    }
+
+    val groupCols = (if (split.isDefined) Seq(SplitColumn) else Nil) ++ ddRefs
+    val aggCols = builtinAggs.map(builtinAggColumn(withSplit, _))
+
+    var result =
+      if (groupCols.isEmpty) withSplit.agg(aggCols.head, aggCols.tail: _*)
+      else withSplit.groupBy(groupCols.map(bcol): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    if (excludeNullAggregates && builtinAggs.nonEmpty)
+      result = result.filter(builtinAggs.map(a => bcol(a.name).isNotNull).reduce(_ && _))
+
+    // final sort order: split first, then explicit, then natural level order
+    // (reference sql/utils.py:106-162, query/browser.py:1010-1024)
+    val sortCols = orderColumns(dd, order, split.isDefined)
+
+    // window calculators slide along the innermost drilldown item in the
+    // final sort order, partitioned by split + the other drilldown keys
+    // (reference statutils.py:128-139)
+    if (windowAggs.nonEmpty) {
+      require(dd.nonEmpty, "window calculators require a drilldown")
+      // partition by split + every drilldown key except the innermost
+      // item's; slide along the innermost item in natural level order
+      val partKeys = (if (split.isDefined) Seq(SplitColumn) else Nil) ++
+        dd.dropRight(1).flatMap(_.keyRefs)
+      val orderCols = dd.last.levels.map(l => naturalOrderCol(l))
+      val w0 = if (partKeys.isEmpty) Window.partitionBy().orderBy(orderCols: _*)
+      else Window.partitionBy(partKeys.map(bcol): _*).orderBy(orderCols: _*)
+      windowAggs.foreach { a =>
+        val srcName = a.measure.getOrElse(throw new IllegalArgumentException(
+          s"window aggregate '${a.name}' needs a source aggregate in 'measure'"))
+        val n = a.windowSize.getOrElse(1)
+        result = result.withColumn(a.name,
+          WindowCalcs.build(a.function.get, bcol(srcName), n, w0))
+      }
+    }
+
+    if (sortCols.nonEmpty) result = result.orderBy(sortCols: _*)
+    result = paginate(result, page, pageSize)
+
+    val summary =
+      if (includeSummary && builtinAggs.nonEmpty)
+        Some(withSplit.agg(aggCols.head, aggCols.tail: _*))
+      else None
+
+    AggregationResult(result, summary,
+      dd.map(d => d.dim.name -> d.levelNames).toMap)
+  }
+
+  /** Raw fact rows of the cell (reference `sql/browser.py:234-265`). */
+  def facts(
+      cell: Cell = Cell.empty,
+      fields: Seq[String] = Nil,
+      order: Seq[(String, Option[String])] = Nil,
+      page: Option[Int] = None,
+      pageSize: Option[Int] = None
+  ): DataFrame = {
+    val wanted = if (fields.nonEmpty) fields else cube.allAttributes.keys.toSeq.sorted
+    val refs = (wanted ++ cellRefs(cell)).distinct
+    val projected = projectedFrame(refs, includeFactKey = true)
+    var out = cellPredicate(projected, cell).map(projected.filter).getOrElse(projected)
+    out = out.select((FactKeyColumn +: wanted).map(bcol): _*)
+    val sortCols = order.map { case (r, d) => dirCol(bcol(r), d) }
+    val sorted = if (sortCols.nonEmpty) out.orderBy(sortCols: _*)
+      else out.orderBy(bcol(FactKeyColumn))
+    paginate(sorted, page, pageSize)
+  }
+
+  /** Single fact by key (reference `sql/browser.py:211-232`). */
+  def fact(key: Any): DataFrame =
+    projectedFrame(cube.allAttributes.keys.toSeq.sorted, includeFactKey = true)
+      .filter(bcol(FactKeyColumn) === lit(key))
+
+  /** Distinct members of a dimension's levels within a cell
+    * (reference `provide_members`, `sql/browser.py:288-312`). */
+  def members(
+      cell: Cell,
+      dimName: String,
+      depth: Option[Int] = None,
+      hierarchy: Option[String] = None,
+      levelName: Option[String] = None,
+      page: Option[Int] = None,
+      pageSize: Option[Int] = None
+  ): DataFrame = {
+    val dim = cube.dimension(dimName)
+    val hier = dim.hierarchy(hierarchy)
+    val levels = levelName match {
+      case Some(l) => hier.levelsForDepth(hier.levelIndex(l) + 1)
+      case None    => hier.levelsForDepth(depth.getOrElse(hier.levelNames.size))
+    }
+    val attrs = levels.map(dim.level).flatMap(_.attributes.map(_.ref))
+    val projected = projectedFrame((attrs ++ cellRefs(cell)).distinct)
+    val filtered = cellPredicate(projected, cell).map(projected.filter).getOrElse(projected)
+    val distinct = filtered.select(attrs.map(bcol): _*).distinct()
+    val ordered = distinct.orderBy(levels.map(dim.level).map(naturalOrderCol): _*)
+    paginate(ordered, page, pageSize)
+  }
+
+  /** Cell details: for each cut, the full attribute record of each path
+    * member (reference `query/browser.py:525-639`, simplified). */
+  def cellDetails(cell: Cell): Map[String, DataFrame] =
+    cell.cuts.map { cut =>
+      val dim = cube.dimension(cut.dim)
+      val hier = dim.hierarchy(cut.hierarchy)
+      val levels = hier.levelsForDepth(cut.levelDepth)
+      val attrs = levels.map(dim.level).flatMap(_.attributes.map(_.ref))
+      val projected = projectedFrame(attrs.distinct)
+      val filtered = cutPredicate(projected, cut).map(projected.filter).getOrElse(projected)
+      cut.dim -> filtered.select(attrs.distinct.map(bcol): _*).distinct()
+    }.toMap
+
+  // ------------------------------------------------------------- internals
+
+  /** Backtick-safe column by logical ref (refs contain dots). */
+  def bcol(ref: String): Column = col(s"`$ref`")
+
+  private def dirCol(c: Column, dir: Option[String]): Column =
+    dir.map(_.toLowerCase) match {
+      case Some("desc") => c.desc
+      case _            => c.asc
+    }
+
+  private def naturalOrderCol(l: Level): Column =
+    dirCol(bcol(l.orderAttribute.ref), l.order)
+
+  private def paginate(df: DataFrame, page: Option[Int], pageSize: Option[Int]): DataFrame =
+    (page, pageSize) match {
+      case (Some(p), Some(n)) => df.offset(p * n).limit(n)
+      case (None, Some(n))    => df.limit(n)
+      case _                  => df
+    }
+
+  /** Refs whose physical columns a cell's predicate needs. */
+  private def cellRefs(cell: Cell): Seq[String] =
+    cell.cuts.flatMap { cut =>
+      val dim = cube.dimension(cut.dim)
+      val hier = dim.hierarchy(cut.hierarchy)
+      hier.levelsForDepth(cut.levelDepth).map(l => dim.level(l).key.ref)
+    }
+
+  private def aggMeasureRefs(agg: MeasureAggregate): Seq[String] = {
+    val deps: Set[String] = agg.expression match {
+      case Some(e) => ExprLang.identifiers(e)
+      case None    => agg.measure.toSet
+    }
+    deps.toSeq.flatMap { d =>
+      cube.measures.find(_.name == d) match {
+        case Some(m) =>
+          m.expression.map(e => ExprLang.identifiers(e).toSeq).getOrElse(Seq(d))
+        case None if cube.allAttributes.contains(d) => Seq(d)
+        case None => Nil
+      }
+    }
+  }
+
+  /** Project the star to logical columns named by ref. Derived attributes
+    * (attribute- or measure-level expressions) are added dependency-first
+    * (reference `sql/query.py:819-938` QueryContext + depsort). */
+  def projectedFrame(refs: Seq[String], includeFactKey: Boolean = false): DataFrame = {
+    // expand derived refs to their base dependencies
+    def expressionOf(ref: String): Option[String] =
+      cube.measures.find(_.name == ref).flatMap(_.expression)
+        .orElse(cube.allAttributes.get(ref).flatMap(_.expression))
+
+    val allNeeded = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(ref: String): Unit = {
+      if (allNeeded.contains(ref)) return
+      expressionOf(ref) match {
+        case Some(e) => ExprLang.identifiers(e).foreach(visit)
+        case None    =>
+      }
+      allNeeded += ref
+    }
+    refs.foreach(visit)
+
+    val (derived, base) = allNeeded.toSeq.partition(r => expressionOf(r).isDefined)
+    val phys = star.physicalOf(base)
+    val physList = phys.values.toSeq ++
+      (if (includeFactKey) Seq(factKeyPhysical) else Nil)
+    val starDf = star.star(physList)
+
+    val baseCols = base.map { r =>
+      physColumn(starDf, phys(r)).as(r)
+    }
+    val keyCols = if (includeFactKey)
+      Seq(physColumn(starDf, factKeyPhysical).as(FactKeyColumn)) else Nil
+    var out = starDf.select(baseCols ++ keyCols: _*)
+
+    // derived columns in dependency order
+    val order = ExprLang.depSort(derived,
+      r => expressionOf(r).map(ExprLang.identifiers).getOrElse(Set.empty))
+    order.foreach { r =>
+      expressionOf(r).foreach { e =>
+        val sql = ExprLang.toSparkSql(e, id => s"`$id`")
+        out = out.withColumn(r, expr(sql))
+      }
+    }
+    out
+  }
+
+  private def factKeyPhysical: PhysicalRef = {
+    // declared key, else "id", else first fact column
+    // (reference sql/query.py:380-396)
+    val colName = cube.keyColumn.getOrElse {
+      if (star.factDf.columns.contains("id")) "id" else star.factDf.columns.head
+    }
+    PhysicalRef(cube.factTable, colName)
+  }
+
+  private def physColumn(starDf: DataFrame, p: PhysicalRef): Column = {
+    var c = col(s"`${star.qual(p.table, p.column)}`")
+    p.extract.foreach { unit =>
+      c = (unit.toLowerCase match {
+        case "year"            => year(c)
+        case "quarter"         => quarter(c)
+        case "month"           => month(c)
+        case "day"             => dayofmonth(c)
+        case "hour"            => hour(c)
+        case "minute"          => minute(c)
+        case "second"          => second(c)
+        case "week"            => weekofyear(c)
+        case "dow" | "weekday" => dayofweek(c)
+        case other => throw new IllegalArgumentException(s"unknown extract unit '$other'")
+      }).cast("long")
+    }
+    p.function.foreach { f =>
+      c = callFunction(f, c)
+    }
+    c
+  }
+
+  private def callFunction(name: String, c: Column): Column = name.toLowerCase match {
+    case "lower" => lower(c)
+    case "upper" => upper(c)
+    case "trim"  => trim(c)
+    case "abs"   => abs(c)
+    case other   => throw new IllegalArgumentException(s"unknown mapping function '$other'")
+  }
+
+  private def builtinAggColumn(df: DataFrame, agg: MeasureAggregate): Column = {
+    val c: Column = agg.expression match {
+      case Some(e) =>
+        // aggregate defined by an expression, possibly containing aggregate
+        // functions itself (reference sql/expressions.py:123-150)
+        expr(ExprLang.toSparkSql(e, id => s"`$id`"))
+      case None =>
+        val fn = agg.function.getOrElse(
+          throw new IllegalArgumentException(s"aggregate '${agg.name}' has no function"))
+        val builder = AggFunctions.builders.getOrElse(fn,
+          throw new IllegalArgumentException(s"unknown aggregate function '$fn'"))
+        agg.measure match {
+          case Some(m) =>
+            val mc = bcol(m)
+            val dt = measureType(df, m)
+            builder(mc, dt)
+          case None => builder(lit(1), StringType)
+        }
+    }
+    c.as(agg.name)
+  }
+
+  private def measureType(df: DataFrame, ref: String): DataType =
+    df.schema.fields.find(_.name == ref).map(_.dataType).getOrElse(StringType)
+
+  /** Parse a cut path value to the key column's Scala type, so predicates
+    * carry properly-typed literals (pushable to Parquet row-group stats)
+    * instead of string comparisons. */
+  private def scalaValue(dt: DataType, v: String): Any = dt match {
+    case org.apache.spark.sql.types.IntegerType => v.toInt
+    case org.apache.spark.sql.types.LongType    => v.toLong
+    case org.apache.spark.sql.types.ShortType   => v.toShort
+    case org.apache.spark.sql.types.DoubleType  => v.toDouble
+    case org.apache.spark.sql.types.FloatType   => v.toFloat
+    case org.apache.spark.sql.types.BooleanType => v.toBoolean
+    case org.apache.spark.sql.types.DateType    => java.sql.Date.valueOf(v)
+    case _: org.apache.spark.sql.types.DecimalType => new java.math.BigDecimal(v)
+    case _ => v
+  }
+
+  // ------------------------------------------------------- cut predicates
+
+  /** AND over all cuts (reference `sql/query.py:940-949`). */
+  def cellPredicate(df: DataFrame, cell: Cell): Option[Column] = {
+    val conds = cell.cuts.flatMap(cutPredicate(df, _))
+    if (conds.isEmpty) None else Some(conds.reduce(_ && _))
+  }
+
+  def cutPredicate(df: DataFrame, cut: Cut): Option[Column] = {
+    val dim = cube.dimension(cut.dim)
+    val hier = dim.hierarchy(cut.hierarchy)
+    def keyCol(levelName: String): Column = {
+      val ref = dim.level(levelName).key.ref
+      bcol(ref)
+    }
+    def keyType(levelName: String): DataType = {
+      val ref = dim.level(levelName).key.ref
+      df.schema.fields.find(_.name == ref).map(_.dataType).getOrElse(StringType)
+    }
+    def valueLit(levelName: String, v: String): Column =
+      if (v == CutParser.NullValue) lit(null).cast(keyType(levelName))
+      else lit(scalaValue(keyType(levelName), v))
+
+    def pointCond(path: Seq[String]): Column =
+      path.zip(hier.levelNames).map { case (v, ln) =>
+        if (v == CutParser.NullValue) keyCol(ln).isNull
+        else keyCol(ln) === valueLit(ln, v)
+      }.reduce(_ && _)
+
+    /** Lexicographic hierarchical bound (reference `range_condition` /
+      * `_boundary_condition`, `sql/query.py:1018-1077`): for bound
+      * [a,b,c] lower: (k1=a ∧ k2=b ∧ k3≥c) ∨ (k1=a ∧ k2>b) ∨ (k1>a);
+      * `≥/≤` only on the full-depth term. */
+    def boundCond(path: Seq[String], lower: Boolean): Column = {
+      val lvls = hier.levelNames.take(path.size)
+      val terms = (path.indices.reverse).map { i =>
+        val eqs = (0 until i).map(j =>
+          keyCol(lvls(j)) === valueLit(lvls(j), path(j)))
+        val isDeepest = i == path.size - 1
+        val k = keyCol(lvls(i))
+        val v = valueLit(lvls(i), path(i))
+        val cmp =
+          if (isDeepest) { if (lower) k >= v else k <= v }
+          else { if (lower) k > v else k < v }
+        (eqs :+ cmp).reduce(_ && _)
+      }
+      terms.reduce(_ || _)
+    }
+
+    val cond: Option[Column] = cut match {
+      case PointCut(_, path, _, _) if path.isEmpty => None
+      case PointCut(_, path, _, _) => Some(pointCond(path))
+      case SetCut(_, paths, _, _) if paths.isEmpty => None
+      case SetCut(_, paths, _, _) =>
+        // depth-1 set → one typed IN-list, not an OR chain
+        if (paths.forall(_.size == 1) && !paths.exists(_.contains(CutParser.NullValue))) {
+          val ln = hier.levelNames.head
+          Some(keyCol(ln).isin(paths.map(p => scalaValue(keyType(ln), p.head)): _*))
+        } else Some(paths.map(pointCond).reduce(_ || _))
+      case RangeCut(_, from, to, _, _) =>
+        val lo = from.map(boundCond(_, lower = true))
+        val hi = to.map(boundCond(_, lower = false))
+        (lo, hi) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (Some(a), None)    => Some(a)
+          case (None, Some(b))    => Some(b)
+          case (None, None)       => None
+        }
+    }
+    cond.map(c => if (cut.invert) !c else c)
+  }
+
+  private def orderColumns(
+      dd: Seq[DrilldownItem],
+      explicit: Seq[(String, Option[String])],
+      hasSplit: Boolean
+  ): Seq[Column] = {
+    val splitCol = if (hasSplit) Seq(bcol(SplitColumn).asc) else Nil
+    val explicitCols = explicit.map { case (r, d) => dirCol(bcol(r), d) }
+    val explicitRefs = explicit.map(_._1).toSet
+    val naturalCols = dd.flatMap(_.levels)
+      .filterNot(l => explicitRefs.contains(l.orderAttribute.ref))
+      .map(naturalOrderCol)
+    splitCol ++ explicitCols ++ naturalCols
+  }
+
+  private def checkHighCardinality(
+      dd: Seq[DrilldownItem],
+      cell: Cell,
+      page: Option[Int],
+      pageSize: Option[Int]
+  ): Unit = {
+    // reference query/browser.py:297-309: refuse high-cardinality drilldown
+    // without pagination or a cut on that dimension
+    val paginated = pageSize.isDefined
+    dd.foreach { item =>
+      val high = item.levels.exists(_.cardinality.contains("high")) ||
+        (item.dim.cardinality.contains("high") &&
+          item.levelNames.lastOption.contains(item.dim.hierarchy(item.hierarchyName).levelNames.last))
+      if (high && !paginated && cell.cut(item.dim.name).isEmpty)
+        throw new IllegalArgumentException(
+          s"drilldown on high-cardinality dimension '${item.dim.name}' " +
+            "requires pagination or a cut")
+    }
+  }
+}

@@ -1,0 +1,168 @@
+package graft.exprs
+
+import scala.collection.mutable
+
+/** The cube expression language: arithmetic/boolean expressions over other
+  * attributes with a whitelisted function set (reference
+  * `cubes/sql/expressions.py:25-60,157-225`). The grammar is
+  * SQL-expression-compatible, so compilation targets a Spark SQL string fed
+  * to `functions.expr` — Catalyst parses, type-checks, and codegens it.
+  * We (1) tokenize to find identifiers (for dependency topo-sort and
+  * substitution with compiled columns), (2) enforce the function whitelist,
+  * (3) rewrite a few spellings that differ between the cubes grammar and
+  * Spark SQL.
+  */
+object ExprLang {
+
+  /** Whitelisted scalar functions (reference `sql/expressions.py:25-47`). */
+  val scalarFunctions: Set[String] = Set(
+    // string
+    "lower", "upper", "left", "right", "substr", "lpad", "rpad", "replace",
+    "concat", "repeat", "position",
+    // math
+    "round", "trunc", "floor", "ceil", "mod", "remainder", "sign", "min",
+    "max", "pow", "exp", "log", "log10", "sqrt", "cos", "sin", "tan",
+    // date
+    "extract",
+    // conditional
+    "coalesce", "nullif", "case", "if", "when", "then", "else", "end"
+  )
+
+  /** Aggregate functions allowed inside expressions
+    * (reference `sql/expressions.py:52-54`). */
+  val aggregateFunctions: Set[String] =
+    Set("sum", "min", "max", "avg", "stddev", "variance", "count")
+
+  /** Variables (reference `sql/expressions.py:58-60`). */
+  val variables: Set[String] =
+    Set("current_date", "current_time", "local_date", "local_time")
+
+  private val keywords: Set[String] =
+    Set("and", "or", "not", "is", "null", "true", "false", "in", "like",
+      "between", "from", "as", "year", "month", "day", "hour", "minute",
+      "second", "quarter", "week", "distinct")
+
+  sealed trait Token
+  final case class Ident(s: String) extends Token
+  final case class Lit(s: String) extends Token
+  final case class Op(s: String) extends Token
+
+  /** Tokenize just enough to distinguish identifiers from string literals,
+    * numbers, and operators. */
+  def tokenize(expr: String): Seq[Token] = {
+    val out = mutable.ArrayBuffer.empty[Token]
+    var i = 0
+    val n = expr.length
+    while (i < n) {
+      val c = expr.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') { // string literal, '' escape
+        val sb = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = expr.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < n && expr.charAt(i + 1) == '\'') { sb.append("''"); i += 2 }
+            else { sb.append('\''); i += 1; done = true }
+          } else { sb.append(ch); i += 1 }
+        }
+        out += Lit(sb.toString)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && expr.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (expr.charAt(i).isDigit || expr.charAt(i) == '.' ||
+          expr.charAt(i) == 'e' || expr.charAt(i) == 'E' ||
+          ((expr.charAt(i) == '+' || expr.charAt(i) == '-') && i > start &&
+            (expr.charAt(i - 1) == 'e' || expr.charAt(i - 1) == 'E')))) i += 1
+        out += Lit(expr.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (expr.charAt(i).isLetterOrDigit || expr.charAt(i) == '_' ||
+          expr.charAt(i) == '.')) i += 1
+        out += Ident(expr.substring(start, i))
+      } else {
+        // multi-char operators
+        val two = if (i + 1 < n) expr.substring(i, i + 2) else ""
+        if (Set("<=", ">=", "!=", "<>", "||", "&&").contains(two)) { out += Op(two); i += 2 }
+        else { out += Op(c.toString); i += 1 }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Identifiers referenced by an expression = its attribute dependencies
+    * (function names, keywords, and variables excluded). An identifier
+    * immediately followed by '(' is a function call. */
+  def identifiers(expr: String): Set[String] = {
+    val toks = tokenize(expr)
+    toks.zipWithIndex.collect {
+      case (Ident(s), idx)
+        if !keywords.contains(s.toLowerCase) &&
+          !variables.contains(s.toLowerCase) &&
+          !(idx + 1 < toks.size && toks(idx + 1) == Op("(")) =>
+        s
+    }.toSet
+  }
+
+  /** Validate that every function call is whitelisted. */
+  def validateFunctions(expr: String): Unit = {
+    val toks = tokenize(expr)
+    toks.zipWithIndex.foreach {
+      case (Ident(s), idx) if idx + 1 < toks.size && toks(idx + 1) == Op("(") =>
+        val f = s.toLowerCase
+        if (!scalarFunctions.contains(f) && !aggregateFunctions.contains(f) &&
+          !keywords.contains(f))
+          throw new IllegalArgumentException(
+            s"function '$s' is not in the expression-language whitelist")
+      case _ =>
+    }
+  }
+
+  /** Spellings that differ between the cubes expression grammar and
+    * Spark SQL. */
+  private val fnRewrite: Map[String, String] = Map(
+    "pow" -> "power",
+    "substr" -> "substring",
+    "remainder" -> "mod"
+  )
+
+  /** Rewrite an expression to Spark SQL, substituting identifier refs via
+    * `rename` (e.g. to backticked physical/compiled names). */
+  def toSparkSql(expr: String, rename: String => String): String = {
+    validateFunctions(expr)
+    val toks = tokenize(expr)
+    val sb = new StringBuilder
+    toks.zipWithIndex.foreach { case (t, idx) =>
+      val s = t match {
+        case Ident(s) =>
+          val isFn = idx + 1 < toks.size && toks(idx + 1) == Op("(")
+          if (isFn) fnRewrite.getOrElse(s.toLowerCase, s)
+          else if (keywords.contains(s.toLowerCase) || variables.contains(s.toLowerCase)) s
+          else rename(s)
+        case Lit(s) => s
+        case Op(s)  => s
+      }
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(s)
+    }
+    sb.toString
+  }
+
+  /** Topologically sort attribute refs by their expression dependencies
+    * (reference `attributes.py:551-608`). Cycle → IllegalArgumentException. */
+  def depSort(refs: Seq[String], deps: String => Set[String]): Seq[String] = {
+    val visited = mutable.LinkedHashSet.empty[String]
+    val visiting = mutable.Set.empty[String]
+    def visit(r: String): Unit = {
+      if (visited.contains(r)) return
+      if (visiting.contains(r))
+        throw new IllegalArgumentException(s"circular attribute dependency at '$r'")
+      visiting += r
+      deps(r).toSeq.sorted.foreach(visit)
+      visiting -= r
+      visited += r
+    }
+    refs.foreach(visit)
+    visited.toSeq
+  }
+}

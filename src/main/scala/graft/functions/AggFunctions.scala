@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Built-in aggregate function registry (reference `cubes/sql/functions.py`).
+  *
+  * Numerics policy — "canonical arithmetic": floating-point measures are
+  * summed through an exact `DECIMAL(27,6)` accumulator and only then cast
+  * back to double. A double sum depends on partition/merge order, so it is
+  * not reproducible across engines (or even across two Spark runs with a
+  * different partition count); the decimal sum is exact, hence
+  * deterministic and bit-identical to any other engine that sums the same
+  * decimal values — which is what the DuckDB differential oracle needs.
+  * avg / stddev / variance are then derived from exact component sums with
+  * a fixed double-arithmetic formula, keeping them deterministic too.
+  * The extra decimal cost stays inside whole-stage codegen and partial
+  * (map-side) aggregation still applies, so the 100 TB plan shape is
+  * unchanged.
+  */
+object AggFunctions {
+
+  /** Decimal accumulator type for exact floating sums. 21 integer digits
+    * is enough for 1e15 rows of 1e6-magnitude values. */
+  val SumDecimal: DecimalType = DecimalType(27, 6)
+
+  private def isFloating(dt: DataType): Boolean =
+    dt == DoubleType || dt == FloatType
+
+  /** Exact sum: decimal path for floats, native for integral/decimal. */
+  def exactSum(c: Column, dt: DataType): Column =
+    if (isFloating(dt)) sum(c.cast(SumDecimal)).cast(DoubleType)
+    else sum(c)
+
+  def exactAvg(c: Column, dt: DataType): Column =
+    if (isFloating(dt))
+      sum(c.cast(SumDecimal)).cast(DoubleType) / count(c)
+    else avg(c)
+
+  /** Sample variance from exact component sums:
+    * (Σx² − (Σx)²/n) / (n−1), components exact, combination in double. */
+  def exactVarSamp(c: Column, dt: DataType): Column = {
+    val (s, q, n) =
+      if (isFloating(dt))
+        (sum(c.cast(SumDecimal)).cast(DoubleType),
+          sum((c.cast(SumDecimal) * c.cast(SumDecimal)).cast(DecimalType(38, 6))).cast(DoubleType),
+          count(c))
+      else
+        (sum(c).cast(DoubleType), sum(c * c).cast(DoubleType), count(c))
+    when(n > 1, (q - s * s / n) / (n - lit(1))).otherwise(lit(null).cast(DoubleType))
+  }
+
+  def exactStddevSamp(c: Column, dt: DataType): Column =
+    sqrt(exactVarSamp(c, dt))
+
+  /** name -> (measureColumn, measureType) => aggregate Column.
+    * Functions beyond the reference's set (`approx_count_distinct`,
+    * `median`, …) are deliberate scale extensions. */
+  val builders: Map[String, (Column, DataType) => Column] = Map(
+    "sum" -> ((c, dt) => exactSum(c, dt)),
+    "count" -> ((_, _) => count(lit(1))),
+    "count_nonempty" -> ((c, _) => count(c)),
+    "count_distinct" -> ((c, _) => countDistinct(c)),
+    "approx_count_distinct" -> ((c, _) => approx_count_distinct(c)),
+    "min" -> ((c, _) => min(c)),
+    "max" -> ((c, _) => max(c)),
+    "avg" -> ((c, dt) => exactAvg(c, dt)),
+    "stddev" -> ((c, dt) => exactStddevSamp(c, dt)),
+    "variance" -> ((c, dt) => exactVarSamp(c, dt)),
+    // native double implementations (faster, non-reproducible last bits)
+    "sum_fast" -> ((c, _) => sum(c)),
+    "avg_fast" -> ((c, _) => avg(c)),
+    "stddev_fast" -> ((c, _) => stddev_samp(c)),
+    "variance_fast" -> ((c, _) => var_samp(c))
+  )
+
+  def isBuiltin(function: String): Boolean = builders.contains(function)
+}
+
+/** Post-aggregation moving-window calculators (reference
+  * `cubes/query/statutils.py`). The reference computes these in Python over
+  * the fetched result stream; here they are Spark `Window` expressions
+  * inside the same plan — one job, distributed, order made explicit.
+  *
+  * Window frame `rowsBetween(-(n-1), 0)` reproduces the reference's
+  * partial prefix windows (windows shorter than `window_size` still emit,
+  * `statutils.py:156-205`).
+  */
+object WindowCalcs {
+  import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+  val names: Set[String] = Set("wma", "sma", "sms", "smstd", "smrsd", "smvar")
+
+  def isWindowFunction(function: String): Boolean = names.contains(function)
+
+  /** Build the calculator column.
+    * @param src    the already-aggregated source column (another aggregate)
+    * @param size   window size n (rows: current + n-1 preceding)
+    */
+  def build(function: String, src: Column, size: Int, w0: WindowSpec): Column = {
+    val w = w0.rowsBetween(-(size - 1), 0)
+    function match {
+      case "sma" => round(avg(src).over(w), 2)
+      case "sms" => sum(src).over(w)
+      case "smstd" => round(stddev_samp(src).over(w), 2)
+      case "smvar" => round(var_samp(src).over(w), 2)
+      case "smrsd" => round(stddev_samp(src).over(w) / avg(src).over(w), 4)
+      case "wma" =>
+        // weighted moving average, weights 1..k for the k values in window
+        // (oldest weight 1): Σ(w_i·x_i)/Σ(w_i), reference statutils.py:54-62
+        val xs = collect_list(src).over(w)
+        val k = org.apache.spark.sql.functions.size(xs)
+        val dot = aggregate(
+          zip_with(xs, sequence(lit(1), greatest(k, lit(1))), (x, i) => x * i),
+          lit(0.0).cast("double"), (acc, v) => acc + v)
+        val wsum = (k.cast("double") * (k.cast("double") + 1)) / 2.0
+        round(dot / wsum, 4)
+      case other =>
+        throw new IllegalArgumentException(s"unknown window calculator '$other'")
+    }
+  }
+}

@@ -1,0 +1,166 @@
+package graft.tpch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model._
+import graft.star.StarSchema
+import graft.browser.Browser
+
+/** Cube model over the driver-provided TPC-H-ish star
+  * (`/root/testdata/sf*`): `lineitem` fact; snowflake dims
+  * customer→nation→region and supplier→nation→region (aliased), part,
+  * a calendar dimension extracted from `o_orderdate`, and flat degenerate
+  * dimensions on fact/order columns. See FIXTURES.md §7.
+  */
+object TpchModel {
+
+  private def lvl(dim: String, name: String, attrs: (String, Boolean)*): Level =
+    Level(name, attrs.map { case (a, flat) => Attribute(a, Some(dim), flatRef = flat) })
+
+  val dateDim: Dimension = Dimension(
+    "date",
+    role = Some("time"),
+    levels = Seq(
+      Level("year", Seq(Attribute("year", Some("date"))), role = Some("year")),
+      Level("quarter", Seq(Attribute("quarter", Some("date"))), role = Some("quarter")),
+      Level("month", Seq(Attribute("month", Some("date"))), role = Some("month")),
+      Level("day", Seq(Attribute("day", Some("date"))), role = Some("day"))
+    )
+  )
+
+  val customerDim: Dimension = Dimension(
+    "customer",
+    levels = Seq(
+      lvl("customer", "region", "region_name" -> false),
+      lvl("customer", "nation", "nation_name" -> false),
+      Level("customer",
+        Seq(Attribute("custkey", Some("customer")),
+          Attribute("name", Some("customer")),
+          Attribute("mktsegment", Some("customer"))),
+        keyName = Some("custkey"), labelAttributeName = Some("name"))
+    ),
+    hierarchies = Seq(
+      Hierarchy("geo", Seq("region", "nation", "customer")),
+      Hierarchy("nation", Seq("nation", "customer"))
+    )
+  )
+
+  val supplierDim: Dimension = Dimension(
+    "supplier",
+    levels = Seq(
+      lvl("supplier", "region", "region_name" -> false),
+      lvl("supplier", "nation", "nation_name" -> false),
+      Level("supplier",
+        Seq(Attribute("suppkey", Some("supplier")),
+          Attribute("name", Some("supplier"))),
+        keyName = Some("suppkey"), labelAttributeName = Some("name"))
+    ),
+    hierarchies = Seq(Hierarchy("geo", Seq("region", "nation", "supplier")))
+  )
+
+  val partDim: Dimension = Dimension(
+    "part",
+    levels = Seq(
+      lvl("part", "brand", "brand" -> false),
+      Level("part",
+        Seq(Attribute("partkey", Some("part")),
+          Attribute("name", Some("part")),
+          Attribute("type", Some("part")),
+          Attribute("size", Some("part"))),
+        keyName = Some("partkey"), labelAttributeName = Some("name"))
+    )
+  )
+
+  val cube: Cube = Cube(
+    name = "sales",
+    factTable = "lineitem",
+    dimensions = Seq(
+      dateDim, customerDim, supplierDim, partDim,
+      Dimension.flat("returnflag"),
+      Dimension.flat("linestatus"),
+      Dimension.flat("orderstatus"),
+      Dimension.flat("orderpriority")
+    ),
+    measures = Seq(
+      Measure("quantity"),
+      Measure("extendedprice"),
+      Measure("discount"),
+      Measure("tax"),
+      Measure("revenue", expression = Some("extendedprice * (1 - discount)"))
+    ),
+    aggregates = Seq(
+      MeasureAggregate("fact_count", function = Some("count")),
+      MeasureAggregate("quantity_sum", function = Some("sum"), measure = Some("quantity")),
+      MeasureAggregate("price_sum", function = Some("sum"), measure = Some("extendedprice")),
+      MeasureAggregate("revenue_sum", function = Some("sum"), measure = Some("revenue")),
+      MeasureAggregate("price_avg", function = Some("avg"), measure = Some("extendedprice")),
+      MeasureAggregate("price_min", function = Some("min"), measure = Some("extendedprice")),
+      MeasureAggregate("price_max", function = Some("max"), measure = Some("extendedprice")),
+      MeasureAggregate("price_stddev", function = Some("stddev"), measure = Some("extendedprice")),
+      MeasureAggregate("price_variance", function = Some("variance"), measure = Some("extendedprice")),
+      MeasureAggregate("discount_avg", function = Some("avg"), measure = Some("discount")),
+      MeasureAggregate("parts", function = Some("count_distinct"), measure = Some("part.partkey")),
+      MeasureAggregate("quantity_sma", function = Some("sma"), measure = Some("quantity_sum"), windowSize = Some(3)),
+      MeasureAggregate("quantity_sms", function = Some("sms"), measure = Some("quantity_sum"), windowSize = Some(3)),
+      MeasureAggregate("quantity_wma", function = Some("wma"), measure = Some("quantity_sum"), windowSize = Some(3))
+    ),
+    joins = Seq(
+      JoinSpec("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+      JoinSpec("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+      JoinSpec("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey"),
+        broadcastHint = Some(true)),
+      JoinSpec("nation", Seq("n_regionkey"), "region", Seq("r_regionkey"),
+        broadcastHint = Some(true)),
+      JoinSpec("lineitem", Seq("l_partkey"), "part", Seq("p_partkey")),
+      JoinSpec("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey")),
+      JoinSpec("supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey"),
+        alias = Some("supp_nation"), broadcastHint = Some(true)),
+      JoinSpec("supp_nation", Seq("n_regionkey"), "region", Seq("r_regionkey"),
+        alias = Some("supp_region"), broadcastHint = Some(true))
+    ),
+    mappings = Map(
+      // calendar from the order date (extract pushed into the projection)
+      "date.year" -> PhysicalRef("orders", "o_orderdate", extract = Some("year")),
+      "date.quarter" -> PhysicalRef("orders", "o_orderdate", extract = Some("quarter")),
+      "date.month" -> PhysicalRef("orders", "o_orderdate", extract = Some("month")),
+      "date.day" -> PhysicalRef("orders", "o_orderdate", extract = Some("day")),
+      // customer geo snowflake
+      "customer.region_name" -> PhysicalRef("region", "r_name"),
+      "customer.nation_name" -> PhysicalRef("nation", "n_name"),
+      "customer.custkey" -> PhysicalRef("customer", "c_custkey"),
+      "customer.name" -> PhysicalRef("customer", "c_name"),
+      "customer.mktsegment" -> PhysicalRef("customer", "c_mktsegment"),
+      // supplier geo snowflake (aliased nation/region)
+      "supplier.region_name" -> PhysicalRef("supp_region", "r_name"),
+      "supplier.nation_name" -> PhysicalRef("supp_nation", "n_name"),
+      "supplier.suppkey" -> PhysicalRef("supplier", "s_suppkey"),
+      "supplier.name" -> PhysicalRef("supplier", "s_name"),
+      // part
+      "part.brand" -> PhysicalRef("part", "p_brand"),
+      "part.partkey" -> PhysicalRef("part", "p_partkey"),
+      "part.name" -> PhysicalRef("part", "p_name"),
+      "part.type" -> PhysicalRef("part", "p_type"),
+      "part.size" -> PhysicalRef("part", "p_size"),
+      // flat degenerate dims
+      "returnflag" -> PhysicalRef("lineitem", "l_returnflag"),
+      "linestatus" -> PhysicalRef("lineitem", "l_linestatus"),
+      "orderstatus" -> PhysicalRef("orders", "o_orderstatus"),
+      "orderpriority" -> PhysicalRef("orders", "o_orderpriority"),
+      // measures
+      "quantity" -> PhysicalRef("lineitem", "l_quantity"),
+      "extendedprice" -> PhysicalRef("lineitem", "l_extendedprice"),
+      "discount" -> PhysicalRef("lineitem", "l_discount"),
+      "tax" -> PhysicalRef("lineitem", "l_tax")
+    )
+  )
+
+  val tableNames: Seq[String] =
+    Seq("lineitem", "orders", "customer", "nation", "region", "part", "supplier")
+
+  def tables(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    tableNames.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+
+  def browser(spark: SparkSession, sfDir: String): Browser = {
+    val t = tables(spark, sfDir)
+    new Browser(cube, new StarSchema(cube, t(cube.factTable), t), spark)
+  }
+}
