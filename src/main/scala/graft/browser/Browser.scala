@@ -148,6 +148,44 @@ final class Browser(
       dd.map(d => d.dim.name -> d.levelNames).toMap)
   }
 
+  /** Cuboid aggregation (reference enumerates dimension/level combinations
+    * driver-side for pre-aggregation, `computation.py:15-70`; Catalyst has
+    * this native): one pass producing subtotals via ROLLUP / CUBE /
+    * GROUPING SETS, plus a `__gid__` grouping indicator
+    * (Σ grouping(key)·2^i, outermost key most significant).
+    *
+    * @param kind "rollup" | "cube" | "sets"
+    * @param sets for kind="sets": the grouping sets, as lists of refs
+    */
+  def aggregateCuboids(
+      cell: Cell = Cell.empty,
+      drilldown: Seq[String] = Nil,
+      aggregates: Seq[String] = Nil,
+      kind: String = "rollup",
+      sets: Seq[Seq[String]] = Nil
+  ): DataFrame = {
+    val aggs = (if (aggregates.isEmpty) Seq(Cube.FactCount) else aggregates.map(cube.aggregate))
+      .filterNot(_.function.exists(WindowCalcs.isWindowFunction))
+    val dd = Drilldown.resolve(cube, cell, drilldown)
+    val ddRefs = dd.flatMap(_.keyRefs)
+    val projected = projectedFrame(
+      (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(cell)).distinct)
+    val filtered = cellPredicate(projected, cell).map(projected.filter).getOrElse(projected)
+
+    val gid = ddRefs.foldLeft(lit(0)) { (acc, r) => acc * 2 + grouping(bcol(r)) }
+      .cast("long").as("__gid__")
+    val aggCols = aggs.map(builtinAggColumn(filtered, _)) :+ gid
+    val grouped = kind match {
+      case "rollup" => filtered.rollup(ddRefs.map(bcol): _*)
+      case "cube"   => filtered.cube(ddRefs.map(bcol): _*)
+      case "sets" =>
+        filtered.groupingSets(sets.map(_.map(bcol)), ddRefs.map(bcol): _*)
+      case other => throw new IllegalArgumentException(s"unknown cuboid kind '$other'")
+    }
+    grouped.agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(col("__gid__").asc +: ddRefs.map(r => bcol(r).asc_nulls_first): _*)
+  }
+
   /** Raw fact rows of the cell (reference `sql/browser.py:234-265`). */
   def facts(
       cell: Cell = Cell.empty,
@@ -239,19 +277,15 @@ final class Browser(
       hier.levelsForDepth(cut.levelDepth).map(l => dim.level(l).key.ref)
     }
 
+  /** Direct dependencies of an aggregate — refs handed to projectedFrame,
+    * which recursively expands + materializes derived columns. */
   private def aggMeasureRefs(agg: MeasureAggregate): Seq[String] = {
     val deps: Set[String] = agg.expression match {
       case Some(e) => ExprLang.identifiers(e)
       case None    => agg.measure.toSet
     }
-    deps.toSeq.flatMap { d =>
-      cube.measures.find(_.name == d) match {
-        case Some(m) =>
-          m.expression.map(e => ExprLang.identifiers(e).toSeq).getOrElse(Seq(d))
-        case None if cube.allAttributes.contains(d) => Seq(d)
-        case None => Nil
-      }
-    }
+    deps.toSeq.filter(d =>
+      cube.measures.exists(_.name == d) || cube.allAttributes.contains(d))
   }
 
   /** Project the star to logical columns named by ref. Derived attributes

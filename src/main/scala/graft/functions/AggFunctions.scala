@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
   */
 object AggFunctions {
 
-  /** Decimal accumulator type for exact floating sums. 21 integer digits
-    * is enough for 1e15 rows of 1e6-magnitude values. */
-  val SumDecimal: DecimalType = DecimalType(27, 6)
+  /** Decimal accumulator type for exact floating sums. Scale 4 keeps the
+    * unscaled sum below 2^53 up to ~1e14-magnitude totals, so BOTH engines'
+    * decimal→double conversions are exact-integer-divide (correctly
+    * rounded) and therefore bit-identical; scale 6 would push grand totals
+    * past 2^53 already at sf0.1, where int128→double conversion rounding
+    * starts to differ between engines. */
+  val SumDecimal: DecimalType = DecimalType(22, 4)
 
   private def isFloating(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
@@ -38,15 +42,25 @@ object AggFunctions {
       sum(c.cast(SumDecimal)).cast(DoubleType) / count(c)
     else avg(c)
 
-  /** Sample variance from exact component sums:
-    * (Σx² − (Σx)²/n) / (n−1), components exact, combination in double. */
+  /** Quantized input for exact second moments: integer grid (scale 0), so
+    * Σx² stays an unscaled integer < 2^53 up to ~sf1 — both engines convert
+    * it to double exactly. Scale >0 squares the scale and pushes Σx²'s
+    * unscaled value past 2^53, where int128→double rounding diverges
+    * between engines. */
+  private val MomentDecimal: DecimalType = DecimalType(18, 0)
+
+  /** Sample variance from exact component sums of the input quantized to
+    * integers: (Σx² − (Σx)²/n) / (n−1). Components are exact decimals,
+    * the combination is fixed double arithmetic — deterministic across
+    * engines and partitionings. (Quantization changes the value by O(σ of
+    * the rounding noise) — the price of reproducibility; `variance_fast`
+    * is the native double implementation.) */
   def exactVarSamp(c: Column, dt: DataType): Column = {
     val (s, q, n) =
-      if (isFloating(dt))
-        (sum(c.cast(SumDecimal)).cast(DoubleType),
-          sum((c.cast(SumDecimal) * c.cast(SumDecimal)).cast(DecimalType(38, 6))).cast(DoubleType),
-          count(c))
-      else
+      if (isFloating(dt)) {
+        val x = c.cast(MomentDecimal)
+        (sum(x).cast(DoubleType), sum(x * x).cast(DoubleType), count(c))
+      } else
         (sum(c).cast(DoubleType), sum(c * c).cast(DoubleType), count(c))
     when(n > 1, (q - s * s / n) / (n - lit(1))).otherwise(lit(null).cast(DoubleType))
   }

@@ -1,28 +1,42 @@
 package graft.tpch
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.cells._
+import graft.model.JoinMethod
+import graft.formats.CrossTable
+import graft.functions.AggFunctions
 
 /** The correctness-gate query catalog: one entry per operator from
   * SURVEY.md §2, each paired (where SQL-expressible) with DuckDB oracle SQL
   * over the same parquet tables.
   *
   * Numeric discipline (see [[graft.functions.AggFunctions]]): float sums go
-  * through exact DECIMAL(27,6) accumulation on BOTH sides, so values are
-  * bit-identical regardless of partitioning/order. Every query also carries
-  * a total deterministic ORDER BY on both sides.
+  * through exact DECIMAL accumulation on BOTH sides, so values are
+  * bit-identical regardless of partitioning/order; avg and var/stddev are
+  * derived from exact component sums with the same fixed double formula on
+  * both sides. Every query carries a total deterministic ORDER BY.
   */
 object Queries {
 
   private def b(spark: SparkSession, dir: String) = TpchModel.browser(spark, dir)
 
-  /** DuckDB-side exact float sum. */
+  // ---- DuckDB-side canonical aggregate spellings (must mirror AggFunctions)
   private def dsum(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST($x AS DECIMAL(22,4))) AS DOUBLE)"
   private def davg(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE) / COUNT($x)"
+    s"CAST(SUM(CAST($x AS DECIMAL(22,4))) AS DOUBLE) / COUNT($x)"
+  private def dvar(x: String): String = {
+    val s = s"CAST(SUM(CAST($x AS DECIMAL(18,0))) AS DOUBLE)"
+    val q = s"CAST(SUM(CAST($x AS DECIMAL(18,0)) * CAST($x AS DECIMAL(18,0))) AS DOUBLE)"
+    s"CASE WHEN COUNT($x) > 1 THEN ($q - $s * $s / COUNT($x)) / (COUNT($x) - 1) END"
+  }
+  private def dstd(x: String): String = s"SQRT(${dvar(x)})"
+  private def dyear(x: String): String = s"CAST(EXTRACT(year FROM $x) AS BIGINT)"
+  private def dquarter(x: String): String = s"CAST(EXTRACT(quarter FROM $x) AS BIGINT)"
+  private def dmonth(x: String): String = s"CAST(EXTRACT(month FROM $x) AS BIGINT)"
 
-  private val starJoin =
+  private val custJoin =
     """FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -30,8 +44,8 @@ object Queries {
       |JOIN region ON n_regionkey = r_regionkey""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/J1/J2/F1: drilldown aggregation through the pruned snowflake,
-    // point cut on the geo hierarchy's top level
+    // ---------------------------------------------------------- OLAP core
+    // A1/J1/J2/F1: drilldown aggregation through the pruned snowflake
     "q01_agg_drilldown" -> ((s, dir) =>
       b(s, dir).aggregate(
         cell = Cell(PointCut("customer", Seq("ASIA"))),
@@ -44,27 +58,495 @@ object Queries {
       b(s, dir).aggregate(
         cell = Cell(PointCut("customer", Seq("ASIA"))),
         aggregates = Seq("quantity_sum", "price_sum", "fact_count")
-      ).cells)
+      ).cells),
+
+    // F1 invert: negated point cut; implicit drilldown level (first level)
+    "q03_point_cut_invert" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        cell = Cell(PointCut("customer", Seq("ASIA"), invert = true)),
+        drilldown = Seq("customer"),
+        aggregates = Seq("fact_count", "quantity_sum")
+      ).cells),
+
+    // F2: depth-1 set cut compiles to one typed IN-list
+    "q04_set_cut" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        cell = Cell(SetCut("customer", Seq(Seq("ASIA"), Seq("EUROPE")))),
+        drilldown = Seq("customer:nation"),
+        aggregates = Seq("fact_count")
+      ).cells),
+
+    // F3: hierarchical range cut (lexicographic recursion), join-free dim
+    "q05_range_cut" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        cell = Cell(RangeCut("shipdate", Some(Seq("1995", "2")), Some(Seq("1996", "3")))),
+        drilldown = Seq("shipdate:quarter"),
+        aggregates = Seq("quantity_sum", "fact_count")
+      ).cells),
+
+    // F3: open-ended range (upper bound only)
+    "q06_range_open" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        cell = Cell(RangeCut("shipdate", None, Some(Seq("1996")))),
+        drilldown = Seq("shipdate:year"),
+        aggregates = Seq("quantity_sum", "fact_count")
+      ).cells),
+
+    // F4: conjunction of point + flat + range cuts
+    "q07_multi_cut" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        cell = Cell(Seq(
+          PointCut("customer", Seq("ASIA")),
+          PointCut("returnflag", Seq("R")),
+          RangeCut("shipdate", Some(Seq("1997")), None))),
+        drilldown = Seq("customer:nation"),
+        aggregates = Seq("fact_count", "revenue_sum")
+      ).cells),
+
+    // F5: split pseudo-dimension
+    "q08_split" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        cell = Cell.empty,
+        drilldown = Seq("returnflag"),
+        aggregates = Seq("fact_count", "quantity_sum"),
+        split = Some(Cell(RangeCut("shipdate", Some(Seq("1999")), None)))
+      ).cells),
+
+    // A12: distinct members of a hierarchy prefix within a cell
+    "q09_members" -> ((s, dir) =>
+      b(s, dir).members(
+        cell = Cell(SetCut("customer", Seq(Seq("ASIA"), Seq("AFRICA")))),
+        dimName = "customer", depth = Some(2))),
+
+    // A3-A8: the full builtin aggregate set
+    "q10_agg_functions" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("returnflag"),
+        aggregates = Seq("fact_count", "price_avg", "price_min", "price_max",
+          "price_stddev", "price_variance", "discount_avg", "parts")
+      ).cells),
+
+    // P1/F6: denormalized fact stream with field selection
+    "q11_facts_fields" -> ((s, dir) =>
+      b(s, dir).facts(
+        cell = Cell(Seq(PointCut("customer", Seq("ASIA")),
+          PointCut("shipdate", Seq("1995")))),
+        fields = Seq("customer.nation_name", "returnflag", "quantity",
+          "extendedprice"),
+        order = Seq(("__fact_key__", None), ("customer.nation_name", None),
+          ("returnflag", None), ("quantity", None), ("extendedprice", None)))),
+
+    // F6 + full star: single fact by key, every join incl. aliased
+    // supplier-side nation/region
+    "q12_fact_by_key" -> ((s, dir) =>
+      b(s, dir).fact(7L)
+        .select(Seq("__fact_key__", "date.year", "shipdate.year",
+          "customer.nation_name", "customer.region_name",
+          "supplier.nation_name", "supplier.region_name", "part.brand",
+          "returnflag", "linestatus", "quantity", "extendedprice", "revenue")
+          .map(c => col(s"`$c`")): _*)
+        .orderBy(Seq("quantity", "extendedprice", "part.brand",
+          "supplier.nation_name").map(c => col(s"`$c`").asc): _*)),
+
+    // O1/O6: explicit descending order + top-k
+    "q13_topk" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("customer:nation"),
+        aggregates = Seq("revenue_sum"),
+        order = Seq(("revenue_sum", Some("desc")), ("customer.nation_name", None)),
+        pageSize = Some(5)
+      ).cells),
+
+    // O4: pagination (page 2 of 5)
+    "q14_paginate" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("customer:nation"),
+        aggregates = Seq("fact_count"),
+        order = Seq(("customer.nation_name", None), ("customer.region_name", None)),
+        page = Some(1), pageSize = Some(5)
+      ).cells),
+
+    // A9/P2: sum over a derived measure expression
+    "q15_derived_revenue" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("customer"),
+        aggregates = Seq("revenue_sum", "fact_count")
+      ).cells),
+
+    // A9: aggregate defined by an expression over aggregate functions
+    "q16_expr_aggregate" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("returnflag"),
+        aggregates = Seq("price_range", "fact_count")
+      ).cells),
+
+    // J3: master join method → LEFT OUTER
+    "q17_join_master" -> ((s, dir) =>
+      TpchModel.browserFor(TpchModel.cubeWithJoinMethod("part", JoinMethod.Master), s, dir)
+        .aggregate(
+          drilldown = Seq("part:brand"),
+          aggregates = Seq("fact_count", "quantity_sum")
+        ).cells),
+
+    // J3: detail join method → RIGHT OUTER
+    "q18_join_detail" -> ((s, dir) =>
+      TpchModel.browserFor(TpchModel.cubeWithJoinMethod("part", JoinMethod.Detail), s, dir)
+        .aggregate(
+          drilldown = Seq("part:brand"),
+          aggregates = Seq("fact_count", "quantity_sum")
+        ).cells),
+
+    // F7: exclude result rows whose aggregates are all NULL
+    "q19_null_agg_filter" -> ((s, dir) =>
+      TpchModel.browserFor(TpchModel.cube, s, dir, excludeNullAggregates = true)
+        .aggregate(
+          drilldown = Seq("part:brand", "returnflag"),
+          aggregates = Seq("price_hi_sum")
+        ).cells),
+
+    // A13: rollup cuboids with grouping indicator
+    "q20_rollup" -> ((s, dir) =>
+      b(s, dir).aggregateCuboids(
+        drilldown = Seq("returnflag", "linestatus"),
+        aggregates = Seq("quantity_sum", "fact_count"),
+        kind = "rollup")),
+
+    // A13: full cube
+    "q21_cube" -> ((s, dir) =>
+      b(s, dir).aggregateCuboids(
+        drilldown = Seq("returnflag", "linestatus"),
+        aggregates = Seq("fact_count"),
+        kind = "cube")),
+
+    // A13: explicit grouping sets
+    "q22_grouping_sets" -> ((s, dir) =>
+      b(s, dir).aggregateCuboids(
+        drilldown = Seq("returnflag", "linestatus"),
+        aggregates = Seq("fact_count"),
+        kind = "sets",
+        sets = Seq(Seq("returnflag"), Seq("linestatus")))),
+
+    // S8: cross-table pivot (conditional aggregates, single pass)
+    "q23_pivot" -> ((s, dir) => {
+      val br = b(s, dir)
+      val proj = br.projectedFrame(Seq("returnflag", "linestatus", "quantity"))
+      CrossTable.crossTable(proj, Seq("returnflag"), "linestatus", Seq("F", "O"),
+        AggFunctions.exactSum(col("quantity"), org.apache.spark.sql.types.DoubleType))
+    }),
+
+    // W2/W3: moving average + moving sum along a time drilldown
+    "q24_window_sma" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("shipdate:month"),
+        aggregates = Seq("quantity_sum", "quantity_sma", "quantity_sms")
+      ).cells),
+
+    // W1/W4/W6: weighted moving average + moving stddev/variance
+    "q25_window_wma" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("shipdate:year"),
+        aggregates = Seq("quantity_sum", "quantity_wma", "quantity_smstd",
+          "quantity_smvar")
+      ).cells),
+
+    // W2 partitioned: window slides along the innermost drilldown only
+    "q26_window_partitioned" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("customer", "shipdate:year"),
+        aggregates = Seq("quantity_sum", "quantity_sma")
+      ).cells),
+
+    // T1/T2: weekday extraction as a flat calendar dimension
+    "q27_dow" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("shipdow"),
+        aggregates = Seq("fact_count", "quantity_sum")
+      ).cells),
+
+    // Streaming-shaped batch: tumbling 1h windows over the events table
+    // (window().start surfaced as epoch seconds)
+    "q28_events_hourly" -> ((s, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as long
+      // (legacy conf), so rebuild a µs timestamp for the window() bucketing
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      ev.groupBy(
+          window(col("ts"), "1 hour").getField("start").cast("long").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          AggFunctions.exactSum(col("value"),
+            org.apache.spark.sql.types.DoubleType).as("value_sum"))
+        .orderBy(col("hour_start").asc, col("event_type").asc)
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "q01_agg_drilldown" ->
-      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS "date.year",
-         |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS "date.quarter",
-         |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS "date.month",
+      s"""SELECT ${dyear("o_orderdate")} AS "date.year",
+         |  ${dquarter("o_orderdate")} AS "date.quarter",
+         |  ${dmonth("o_orderdate")} AS "date.month",
          |  ${dsum("l_quantity")} AS quantity_sum,
          |  ${dsum("l_extendedprice")} AS price_sum,
          |  COUNT(1) AS fact_count
-         |$starJoin
+         |$custJoin
          |WHERE r_name = 'ASIA'
-         |GROUP BY 1, 2, 3
-         |ORDER BY 1, 2, 3""".stripMargin,
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q02_agg_summary" ->
       s"""SELECT ${dsum("l_quantity")} AS quantity_sum,
          |  ${dsum("l_extendedprice")} AS price_sum,
          |  COUNT(1) AS fact_count
-         |$starJoin
-         |WHERE r_name = 'ASIA'""".stripMargin
+         |$custJoin
+         |WHERE r_name = 'ASIA'""".stripMargin,
+
+    "q03_point_cut_invert" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
+         |$custJoin
+         |WHERE NOT (r_name = 'ASIA')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_set_cut" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name", COUNT(1) AS fact_count
+         |$custJoin
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q05_range_cut" ->
+      s"""SELECT ${dyear("l_shipdate")} AS "shipdate.year",
+         |  ${dquarter("l_shipdate")} AS "shipdate.quarter",
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |FROM lineitem
+         |WHERE ((${dyear("l_shipdate")} = 1995 AND ${dquarter("l_shipdate")} >= 2)
+         |       OR ${dyear("l_shipdate")} > 1995)
+         |  AND ((${dyear("l_shipdate")} = 1996 AND ${dquarter("l_shipdate")} <= 3)
+         |       OR ${dyear("l_shipdate")} < 1996)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q06_range_open" ->
+      s"""SELECT ${dyear("l_shipdate")} AS "shipdate.year",
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |FROM lineitem
+         |WHERE ${dyear("l_shipdate")} <= 1996
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_multi_cut" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name",
+         |  COUNT(1) AS fact_count,
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue_sum
+         |$custJoin
+         |WHERE r_name = 'ASIA' AND l_returnflag = 'R'
+         |  AND ${dyear("l_shipdate")} >= 1997
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q08_split" ->
+      s"""SELECT (${dyear("l_shipdate")} >= 1999) AS "__within_split__",
+         |  l_returnflag AS returnflag,
+         |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
+         |FROM lineitem
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q09_members" ->
+      s"""SELECT DISTINCT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name"
+         |$custJoin
+         |WHERE r_name IN ('ASIA', 'AFRICA')
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q10_agg_functions" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  COUNT(1) AS fact_count,
+         |  ${davg("l_extendedprice")} AS price_avg,
+         |  MIN(l_extendedprice) AS price_min,
+         |  MAX(l_extendedprice) AS price_max,
+         |  ${dstd("l_extendedprice")} AS price_stddev,
+         |  ${dvar("l_extendedprice")} AS price_variance,
+         |  ${davg("l_discount")} AS discount_avg,
+         |  COUNT(DISTINCT l_partkey) AS parts
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_facts_fields" ->
+      s"""SELECT l_orderkey AS "__fact_key__",
+         |  n_name AS "customer.nation_name",
+         |  l_returnflag AS returnflag,
+         |  l_quantity AS quantity,
+         |  l_extendedprice AS extendedprice
+         |$custJoin
+         |WHERE r_name = 'ASIA' AND ${dyear("l_shipdate")} = 1995
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q12_fact_by_key" ->
+      s"""SELECT l_orderkey AS "__fact_key__",
+         |  ${dyear("o_orderdate")} AS "date.year",
+         |  ${dyear("l_shipdate")} AS "shipdate.year",
+         |  cn.n_name AS "customer.nation_name",
+         |  cr.r_name AS "customer.region_name",
+         |  sn.n_name AS "supplier.nation_name",
+         |  sr.r_name AS "supplier.region_name",
+         |  p_brand AS "part.brand",
+         |  l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |  l_quantity AS quantity, l_extendedprice AS extendedprice,
+         |  l_extendedprice * (1 - l_discount) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+         |WHERE l_orderkey = 7
+         |ORDER BY l_quantity, l_extendedprice, p_brand, sn.n_name""".stripMargin,
+
+    "q13_topk" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name",
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue_sum
+         |$custJoin
+         |GROUP BY 1, 2
+         |ORDER BY revenue_sum DESC, "customer.nation_name"
+         |LIMIT 5""".stripMargin,
+
+    "q14_paginate" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name", COUNT(1) AS fact_count
+         |$custJoin
+         |GROUP BY 1, 2
+         |ORDER BY "customer.nation_name", "customer.region_name"
+         |LIMIT 5 OFFSET 5""".stripMargin,
+
+    "q15_derived_revenue" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue_sum,
+         |  COUNT(1) AS fact_count
+         |$custJoin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_expr_aggregate" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  MAX(l_extendedprice) - MIN(l_extendedprice) AS price_range,
+         |  COUNT(1) AS fact_count
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_join_master" ->
+      s"""SELECT p_brand AS "part.brand",
+         |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
+         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_join_detail" ->
+      s"""SELECT p_brand AS "part.brand",
+         |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
+         |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_null_agg_filter" ->
+      s"""SELECT p_brand AS "part.brand", l_returnflag AS returnflag,
+         |  ${dsum("CASE WHEN l_extendedprice > 104900 THEN l_extendedprice END")} AS price_hi_sum
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2
+         |HAVING ${dsum("CASE WHEN l_extendedprice > 104900 THEN l_extendedprice END")} IS NOT NULL
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q20_rollup" ->
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS "__gid__"
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY "__gid__", 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q21_cube" ->
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |  COUNT(1) AS fact_count,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS "__gid__"
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY "__gid__", 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q22_grouping_sets" ->
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |  COUNT(1) AS fact_count,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS "__gid__"
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY "__gid__", 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q23_pivot" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  ${dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
+         |  ${dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O"
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_window_sma" ->
+      s"""WITH dd AS (
+         |  SELECT ${dyear("l_shipdate")} AS "shipdate.year",
+         |    ${dquarter("l_shipdate")} AS "shipdate.quarter",
+         |    ${dmonth("l_shipdate")} AS "shipdate.month",
+         |    ${dsum("l_quantity")} AS quantity_sum
+         |  FROM lineitem GROUP BY 1, 2, 3)
+         |SELECT *,
+         |  ROUND(AVG(quantity_sum) OVER w, 2) AS quantity_sma,
+         |  SUM(quantity_sum) OVER w AS quantity_sms
+         |FROM dd
+         |WINDOW w AS (ORDER BY "shipdate.year", "shipdate.quarter",
+         |  "shipdate.month" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q25_window_wma" ->
+      s"""WITH dd AS (
+         |  SELECT ${dyear("l_shipdate")} AS "shipdate.year",
+         |    ${dsum("l_quantity")} AS quantity_sum
+         |  FROM lineitem GROUP BY 1),
+         |r AS (SELECT *,
+         |  LEAST(ROW_NUMBER() OVER (ORDER BY "shipdate.year"), 3) AS k,
+         |  LAG(quantity_sum, 1) OVER (ORDER BY "shipdate.year") AS v1,
+         |  LAG(quantity_sum, 2) OVER (ORDER BY "shipdate.year") AS v2
+         |  FROM dd)
+         |SELECT "shipdate.year", quantity_sum,
+         |  ROUND(CASE k
+         |    WHEN 3 THEN ((1 * v2 + 2 * v1) + 3 * quantity_sum) / 6.0
+         |    WHEN 2 THEN (1 * v1 + 2 * quantity_sum) / 3.0
+         |    ELSE quantity_sum END, 4) AS quantity_wma,
+         |  ROUND(STDDEV_SAMP(quantity_sum) OVER w, 2) AS quantity_smstd,
+         |  ROUND(VAR_SAMP(quantity_sum) OVER w, 2) AS quantity_smvar
+         |FROM r
+         |WINDOW w AS (ORDER BY "shipdate.year"
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY 1""".stripMargin,
+
+    "q26_window_partitioned" ->
+      s"""WITH dd AS (
+         |  SELECT r_name AS "customer.region_name",
+         |    ${dyear("l_shipdate")} AS "shipdate.year",
+         |    ${dsum("l_quantity")} AS quantity_sum
+         |  $custJoin
+         |  GROUP BY 1, 2)
+         |SELECT *, ROUND(AVG(quantity_sum) OVER w, 2) AS quantity_sma
+         |FROM dd
+         |WINDOW w AS (PARTITION BY "customer.region_name"
+         |  ORDER BY "shipdate.year" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q27_dow" ->
+      s"""SELECT CAST(dayofweek(l_shipdate) + 1 AS BIGINT) AS shipdow,
+         |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q28_events_hourly" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         |  event_type,
+         |  COUNT(1) AS n_events,
+         |  ${dsum("value")} AS value_sum
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

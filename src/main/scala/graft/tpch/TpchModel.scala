@@ -70,22 +70,38 @@ object TpchModel {
     )
   )
 
+  /** Calendar dimension on the fact's own ship date — slicing it needs no
+    * join at all (join pruning drops everything but the fact scan). */
+  val shipDateDim: Dimension = Dimension(
+    "shipdate",
+    role = Some("time"),
+    levels = Seq(
+      Level("year", Seq(Attribute("year", Some("shipdate"))), role = Some("year")),
+      Level("quarter", Seq(Attribute("quarter", Some("shipdate"))), role = Some("quarter")),
+      Level("month", Seq(Attribute("month", Some("shipdate"))), role = Some("month")),
+      Level("day", Seq(Attribute("day", Some("shipdate"))), role = Some("day"))
+    )
+  )
+
   val cube: Cube = Cube(
     name = "sales",
     factTable = "lineitem",
     dimensions = Seq(
-      dateDim, customerDim, supplierDim, partDim,
+      dateDim, shipDateDim, customerDim, supplierDim, partDim,
       Dimension.flat("returnflag"),
       Dimension.flat("linestatus"),
       Dimension.flat("orderstatus"),
-      Dimension.flat("orderpriority")
+      Dimension.flat("orderpriority"),
+      Dimension.flat("shipdow")
     ),
     measures = Seq(
       Measure("quantity"),
       Measure("extendedprice"),
       Measure("discount"),
       Measure("tax"),
-      Measure("revenue", expression = Some("extendedprice * (1 - discount)"))
+      Measure("revenue", expression = Some("extendedprice * (1 - discount)")),
+      // NULL for most rows — exercises null-aggregate semantics (F7)
+      Measure("price_hi", expression = Some("if(extendedprice > 104900, extendedprice, null)"))
     ),
     aggregates = Seq(
       MeasureAggregate("fact_count", function = Some("count")),
@@ -99,9 +115,15 @@ object TpchModel {
       MeasureAggregate("price_variance", function = Some("variance"), measure = Some("extendedprice")),
       MeasureAggregate("discount_avg", function = Some("avg"), measure = Some("discount")),
       MeasureAggregate("parts", function = Some("count_distinct"), measure = Some("part.partkey")),
+      MeasureAggregate("price_hi_sum", function = Some("sum"), measure = Some("price_hi")),
+      MeasureAggregate("price_range",
+        expression = Some("max(extendedprice) - min(extendedprice)")),
       MeasureAggregate("quantity_sma", function = Some("sma"), measure = Some("quantity_sum"), windowSize = Some(3)),
       MeasureAggregate("quantity_sms", function = Some("sms"), measure = Some("quantity_sum"), windowSize = Some(3)),
-      MeasureAggregate("quantity_wma", function = Some("wma"), measure = Some("quantity_sum"), windowSize = Some(3))
+      MeasureAggregate("quantity_wma", function = Some("wma"), measure = Some("quantity_sum"), windowSize = Some(3)),
+      MeasureAggregate("quantity_smstd", function = Some("smstd"), measure = Some("quantity_sum"), windowSize = Some(3)),
+      MeasureAggregate("quantity_smvar", function = Some("smvar"), measure = Some("quantity_sum"), windowSize = Some(3)),
+      MeasureAggregate("quantity_smrsd", function = Some("smrsd"), measure = Some("quantity_sum"), windowSize = Some(3))
     ),
     joins = Seq(
       JoinSpec("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
@@ -123,6 +145,11 @@ object TpchModel {
       "date.quarter" -> PhysicalRef("orders", "o_orderdate", extract = Some("quarter")),
       "date.month" -> PhysicalRef("orders", "o_orderdate", extract = Some("month")),
       "date.day" -> PhysicalRef("orders", "o_orderdate", extract = Some("day")),
+      "shipdate.year" -> PhysicalRef("lineitem", "l_shipdate", extract = Some("year")),
+      "shipdate.quarter" -> PhysicalRef("lineitem", "l_shipdate", extract = Some("quarter")),
+      "shipdate.month" -> PhysicalRef("lineitem", "l_shipdate", extract = Some("month")),
+      "shipdate.day" -> PhysicalRef("lineitem", "l_shipdate", extract = Some("day")),
+      "shipdow" -> PhysicalRef("lineitem", "l_shipdate", extract = Some("dow")),
       // customer geo snowflake
       "customer.region_name" -> PhysicalRef("region", "r_name"),
       "customer.nation_name" -> PhysicalRef("nation", "n_name"),
@@ -159,8 +186,22 @@ object TpchModel {
   def tables(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     tableNames.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
 
-  def browser(spark: SparkSession, sfDir: String): Browser = {
+  def browser(spark: SparkSession, sfDir: String): Browser =
+    browserFor(cube, spark, sfDir)
+
+  def browserFor(
+      c: Cube,
+      spark: SparkSession,
+      sfDir: String,
+      excludeNullAggregates: Boolean = false
+  ): Browser = {
     val t = tables(spark, sfDir)
-    new Browser(cube, new StarSchema(cube, t(cube.factTable), t), spark)
+    new Browser(c, new StarSchema(c, t(c.factTable), t), spark,
+      excludeNullAggregates = excludeNullAggregates)
   }
+
+  /** Variant cube with one table's join method swapped (J3 tests). */
+  def cubeWithJoinMethod(table: String, method: String): Cube =
+    cube.copy(joins = cube.joins.map(j =>
+      if (j.detailTable == table && j.alias.isEmpty) j.copy(method = method) else j))
 }
