@@ -18,11 +18,14 @@ object SparkEntry {
     ).cells
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup / similarity / text /
+    * multimodal / sessionization). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.tpch.Queries.all
+    graft.tpch.Queries.all ++ graft.tpch.PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = graft.tpch.Queries.oracle
+  def oracleSql: Map[String, String] =
+    graft.tpch.Queries.oracle ++ graft.tpch.PipelineQueries.oracle
 }

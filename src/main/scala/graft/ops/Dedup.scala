@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (100 TB): every op is expressed as hash → shuffle-on-key →
+  * per-key reduction; the only all-to-all step is the LSH band join, whose
+  * fan-out is bounded by band width, never O(n²). No driver-side loops, no
+  * UDFs (higher-order functions only, all codegen'd).
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest-id row per identical value of `textCol`.
+    * Grouping key is sha2-256 of the text (collision-safe), so the shuffle
+    * carries a 32-byte key instead of the document. One shuffle. */
+  def exactKeepers(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("__text_sha__"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__text_sha__")
+
+  /** Exact dedup returning full surviving rows (window row_number=1). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Engine-independent k-shingle hashes: each token is poly-hashed once,
+    * shingle hash = poly-fold over the k token hashes. O(chars + shingles)
+    * instead of O(k·chars). This SQL-lambda formulation is the executable
+    * spec; the hot path uses the identical-result codegen'd
+    * [[graft.functions.NativeHashes]] expressions (~1000× per-row). */
+  def shingleHashesLambda(text: Column, k: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    val ths = transform(toks, t => TextAnalysis.polyHash(t))
+    transform(sequence(lit(1), greatest(size(ths) - (k - 1), lit(1))),
+      i => aggregate(slice(ths, i, lit(k)), lit(0L),
+        (acc, h) => pmod(acc * 131L + h, lit(1000000007L))))
+  }
+
+  /** k-word shingles of the lowercased, whitespace-split text. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
+
+  /** Fixed permutation parameters (a·h + b mod P) for MinHash. Deterministic
+    * — any engine replaying the same parameters gets the same signature. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
+  def minhashParams(n: Int): Seq[(Long, Long)] =
+    (1 to n).map(i => (2L * i + 1L, 104729L * i % MinhashP))
+
+  /** Project `keep` + mh_0…mh_{n-1} MinHash signature columns. The shingle
+    * hash array is materialized in its own projection first — inlining it
+    * into all n permutation columns would evaluate the (expensive) hashing
+    * n times per row (CollapseProject keeps non-cheap multi-referenced
+    * aliases materialized). */
+  def withMinhashSignature(
+      df: DataFrame, textCol: String, n: Int, shingleK: Int, keep: Seq[Column]
+  ): DataFrame = {
+    val hashed = df.select(keep :+
+      graft.functions.NativeHashes.minhash_sig(col(textCol), n, shingleK).as("__sig__"): _*)
+    val sigCols = (0 until n).map(i => element_at(col("__sig__"), i + 1).as(s"mh_$i"))
+    val keptNames = hashed.columns.init.toSeq // keep columns, post-alias
+    hashed.select(keptNames.map(c => col(s"`$c`")) ++ sigCols: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rows` rows; docs sharing any band key are candidates. Returns
+    * (idA, idB) with idA < idB, distinct.
+    *
+    * Scale: explode to (doc, band, bandkey) — n·bands rows — then a
+    * self-equi-join on (band, bandkey). Catalyst shuffles on the band key;
+    * hot buckets (boilerplate docs) are the usual skew risk — cap bucket
+    * size upstream if needed. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int, shingleK: Int = 3
+  ): DataFrame = {
+    val withSig = withMinhashSignature(df, textCol, bands * rows, shingleK,
+      keep = Seq(col(idCol).as("__id__")))
+    // band key = joined signature slice — engine-independent (a murmur
+    // hash() of the slice would be faster to shuffle but not replayable
+    // by the differential oracle); swap freely at scale
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("key"))
+    }
+    // persist: both sides of the self-join read the computed signatures
+    // once instead of re-evaluating the (interpreted) hash lambdas — at
+    // corpus scale the signature table is materialized anyway
+    val exploded = withSig
+      .select(col("__id__"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id__"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = exploded.alias("a")
+    val bb = exploded.alias("b")
+    a.join(bb, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between the k-shingle sets of two texts. */
+  def jaccardShingles(textA: Column, textB: Column, k: Int): Column = {
+    val sa = array_distinct(wordShingles(textA, k))
+    val sb = array_distinct(wordShingles(textB, k))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb))
+  }
+
+  /** Character n-gram Jaccard (set semantics). */
+  def jaccardCharNgrams(textA: Column, textB: Column, n: Int = 3): Column = {
+    val sa = array_distinct(TextAnalysis.charNgrams(textA, n))
+    val sb = array_distinct(TextAnalysis.charNgrams(textB, n))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify
+    * → pairs over threshold. The verify join re-reads the two texts; at
+    * scale, textual payloads travel only for candidate pairs. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, shingleK: Int = 3, threshold: Double = 0.7
+  ): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, bands, rows, shingleK)
+    val docs = df.select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+    cands
+      .join(docs.withColumnRenamed("__id__", "id_a").withColumnRenamed("__text__", "text_a"), "id_a")
+      .join(docs.withColumnRenamed("__id__", "id_b").withColumnRenamed("__text__", "text_b"), "id_b")
+      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleK))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over poly-hashed whitespace tokens (codegen'd). */
+  def simhash32(text: Column): Column =
+    graft.functions.NativeHashes.simhash32(text)
+
+  /** SQL-lambda formulation of [[simhash32]] — executable spec, used by the
+    * cross-validation test; identical results. */
+  def simhash32Lambda(text: Column): Column = {
+    val hs = transform(split(lower(text), "\\s+"), t => TextAnalysis.polyHash(t))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (a, j) => a + when(
+          pmod(floor(h.cast("double") / pow(lit(2.0), j)).cast("long"), lit(2L)) === 1,
+          1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(31)),
+        (c, j) => when(c > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: band the 32 bits into 4 chunks of 8;
+    * docs sharing any chunk are candidates (catches hamming ≤ 3 by
+    * pigeonhole); verify by full hamming threshold. */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3
+  ): DataFrame = {
+    val withSig = df.select(col(idCol).as("__id__"),
+      simhash32(col(textCol)).as("__sh__"))
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("__sh__"), i * 8).bitwiseAND(0xFF).as("key")))
+    val exploded = withSig.select(col("__id__"), col("__sh__"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col("__id__"), col("__sh__"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
+        hamming(col("a.__sh__"), col("b.__sh__")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------- embedding near-duplicates
+
+  /** Cosine near-dup pairs among embeddings: all candidate pairs from a
+    * sign-bit LSH bucket join (random-hyperplane style, but deterministic
+    * dimensions-as-planes), verified by exact cosine. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double
+  ): DataFrame = {
+    val sig = Similarity.signBits(col(vecCol), 16)
+    val withSig = df.select(col(idCol).as("__id__"), col(vecCol).as("__v__"),
+      sig.as("__sig__"))
+    val a = withSig.alias("a")
+    val b = withSig.alias("b")
+    a.join(b, col("a.__sig__") === col("b.__sig__") &&
+        col("a.__id__") < col("b.__id__"))
+      .withColumn("cosine", Similarity.cosine(col("a.__v__"), col("b.__v__")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` / higher-order
+  * functions — no UDFs, so the whole pipeline stays inside whole-stage
+  * codegen and scales linearly with no shuffle (all ops are per-row until
+  * an aggregation is requested).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Token count on raw whitespace split. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish regex token count: words / numbers / single punctuation, the
+    * usual pre-tokenizer shape. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character n-grams (default 3) of the text. */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n)))
+
+  /** Deterministic polynomial rolling hash over the characters of a string:
+    * fold (acc·131 + codepoint) mod 1e9+7. Unlike xxhash64/murmur it is
+    * trivially reproducible in any engine (the DuckDB oracle replays it
+    * with list_reduce), which is what a cross-system fingerprint needs.
+    * This is the SQL-lambda executable spec; hot paths use the codegen'd
+    * [[graft.functions.NativeHashes.poly_hash]] (identical results). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 131L + ascii(c), lit(1000000007L)))
+
+  /** Document fingerprint: poly-hash of the whitespace-normalized,
+    * lowercased text (codegen'd). */
+  def fingerprint(text: Column): Column =
+    graft.functions.NativeHashes.poly_hash(
+      regexp_replace(lower(text), "\\s+", " "))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Real deployments swap in bigger lists; the mechanism
+    * (score per language in one pass, argmax) is the point. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不")
+  )
+
+  /** Per-language stopword-hit count over the token array. */
+  def langScore(toks: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(filter(toks, t => t.isin(words: _*)))
+  }
+
+  /** Language-ID: argmax of stopword hits, ties broken by list order,
+    * "und" (undetermined) when no stopword hits at all. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.map { case (lang, _) => (lang, langScore(toks, lang)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring feature columns (ratios as exact integer divisions —
+    * deterministic across engines). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val toks = split(text, " ")
+    val nToks = size(toks)
+    val nDigits = length(regexp_replace(text, "[^0-9]", ""))
+    val nPunct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val nStop = langScore(split(lower(text), " "), "en")
+    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nToks
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nToks.cast("long"),
+      "digit_ratio" -> (nDigits.cast("double") / nChars),
+      "punct_ratio" -> (nPunct.cast("double") / nChars),
+      "stopword_ratio" -> (nStop.cast("double") / nToks),
+      "mean_token_len" -> meanTokLen
+    )
+  }
+
+  /** One composite [0,1] quality score: weighted mix of the features, the
+    * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lengthOk = when(f("n_chars") >= 100 && f("n_chars") <= 20000, 1.0).otherwise(0.0)
+    val stopOk = when(f("stopword_ratio") >= 0.01, 1.0).otherwise(0.0)
+    val digitOk = when(f("digit_ratio") <= 0.3, 1.0).otherwise(0.0)
+    round((lengthOk + stopOk + digitOk) / 3.0, 4)
+  }
+}

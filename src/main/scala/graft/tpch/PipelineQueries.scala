@@ -1,0 +1,324 @@
+package graft.tpch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Gate queries for the training-data pipeline operators (dedup, similarity
+  * search, text analysis, multimodal) over the `documents` / `embeddings` /
+  * `events` tables.
+  *
+  * Oracle strategy: the ops are built on an engine-independent polynomial
+  * hash ([[TextAnalysis.polyHash]]) and fixed-association float folds, so
+  * even MinHash signatures, SimHash bits, and cosine scores are replayed
+  * exactly in DuckDB SQL (list lambdas) — far stronger than rows-only
+  * checks for ops conventionally considered "not SQL-expressible".
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // DuckDB-side building blocks ------------------------------------------
+
+  /** DuckDB replay of TextAnalysis.polyHash over a string expression. */
+  private def dpolyhash(sexpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($sexpr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, c) -> (a * 131 + c) % 1000000007)"
+
+  /** DuckDB 64-term left-associated dot product of two float lists. */
+  private def ddot(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def dcosine(a: String, b: String): String =
+    s"(${ddot(a, b)}) / (SQRT(${ddot(a, a)}) * SQRT(${ddot(b, b)}))"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: keeper id + copy count per distinct text
+    "q40_dedup_exact" -> ((s, dir) =>
+      Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // token counting: whitespace + BPE-ish regex pre-tokenizer
+    "q41_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_regex_tokens")
+      ).orderBy(col("doc_id"))),
+
+    // document fingerprint: engine-independent rolling hash
+    "q42_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")
+      ).orderBy(col("doc_id"))),
+
+    // SimHash (32-bit, poly-hashed tokens) — full signature per doc
+    "q43_simhash" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Dedup.simhash32(col("text")).as("simhash")
+      ).orderBy(col("doc_id"))),
+
+    // MinHash signature (8 permutations over 3-word shingles)
+    "q44_minhash_sig" -> ((s, dir) =>
+      Dedup.withMinhashSignature(docs(s, dir), "text", 8, 3,
+        keep = Seq(col("doc_id"))).orderBy(col("doc_id"))),
+
+    // brute-force cosine top-3 for the first 10 vectors
+    "q45_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding near-dup pairs via sign-bit LSH buckets + exact cosine
+    "q46_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // language-ID heuristic (stopword argmax)
+    "q47_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred")
+      ).orderBy(col("doc_id"))),
+
+    // quality scoring features + composite score
+    "q48_quality" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      docs(s, dir).select(
+        (col("doc_id") +: f.map { case (n, c) => c.as(n) }) :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*
+      ).orderBy(col("doc_id"))
+    }),
+
+    // char-3gram Jaccard between consecutive doc ids (set semantics)
+    "q49_jaccard_consecutive" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val a = d.alias("a")
+      val b = d.alias("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          round(Dedup.jaccardCharNgrams(col("a.text"), col("b.text"), 3), 6)
+            .as("jaccard3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal: binary column + batched (stub-decoded) feature extraction
+    "q50_multimodal" -> ((s, dir) =>
+      Multimodal.pipeline(s, docs(s, dir), "doc_id", "text")
+        .toDF().orderBy(col("media_id"))),
+
+    // sessionize events: 30-min inactivity gap, per-user session stats
+    "q51_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet") // ts = int64 nanos
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc)
+      val gapNs = 30L * 60 * 1000000000L
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // MinHash+LSH near-duplicate pairs, exact-Jaccard verified (the full
+    // pipeline; LSH banding makes it o(n²) at scale)
+    "q52_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  // ----------------------------------------------------------------------
+
+  private val langCase: String = {
+    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($inList)))"
+    }
+    val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (lang, sc) =>
+      s"WHEN $sc = best THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE WHEN best = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, text, $best AS best FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val th = s"list_transform(regexp_split_to_array(lower(text), '\\s+'), " +
+      s"t -> ${dpolyhash("t")})"
+    val bits = (0 until 32).map { j =>
+      val p = 1L << j
+      s"(CASE WHEN 2 * len(list_filter(th, h -> (h // $p) % 2 = 1)) - len(th) > 0 THEN $p ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $th AS th FROM documents)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.shingleHashes (k=3): token poly-hashes folded
+    * per shingle. */
+  private def dshingleHashes: String = {
+    val toks = "regexp_split_to_array(lower(text), '\\s+')"
+    val ths = s"list_transform($toks, t -> ${dpolyhash("t")})"
+    s"list_transform(generate_series(1, GREATEST(len($toks) - 2, 1)), " +
+      s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($ths, i, i + 2)), " +
+      s"(a, h) -> (a * 131 + h) % 1000000007))"
+  }
+
+  private val minhashSql: String = {
+    val sh = dshingleHashes
+    val cols = Dedup.minhashParams(8).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh_$i"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents)
+       |SELECT doc_id, $cols FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val annSql: String = {
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${dcosine("q.qv", "c.embedding")} AS cos_raw
+       |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val nearDupSql: String = {
+    val bucket = (0 until 16).map { i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ROUND(${dcosine("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dcosine("a.embedding", "b.embedding")} >= 0.2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  private val qualitySql: String = {
+    val toks = "string_split(text, ' ')"
+    val ltoks = "string_split(lower(text), ' ')"
+    val enList = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val nStop = s"len(list_filter($ltoks, t -> t IN ($enList)))"
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST($nStop AS DOUBLE) / len($toks) AS stopword_ratio,
+       |  CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks) AS mean_token_len,
+       |  ROUND((
+       |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN CAST($nStop AS DOUBLE) / len($toks) >= 0.01 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) <= 0.3 THEN 1.0 ELSE 0.0 END)
+       |  ) / 3.0, 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(1) AS n_copies
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+
+    "q41_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q42_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${dpolyhash("regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_simhash" -> simhashSql,
+    "q44_minhash_sig" -> minhashSql,
+    "q45_ann_topk" -> annSql,
+    "q46_embedding_neardup" -> nearDupSql,
+    "q47_langid" -> langCase,
+    "q48_quality" -> qualitySql,
+
+    "q49_jaccard_consecutive" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, GREATEST(length(text) - 2, 0)),
+        |    i -> substr(text, i, 3))) AS grams FROM documents)
+        |SELECT a.doc_id AS doc_id,
+        |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard3
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q50_multimodal" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+         |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+         |    / length(text) AS mean_byte,
+         |  ${dpolyhash("text")} AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q51_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        |s AS (SELECT user_id, tns,
+        |  CASE WHEN LAG(tns) OVER (PARTITION BY user_id ORDER BY tns) IS NULL
+        |         OR tns - LAG(tns) OVER (PARTITION BY user_id ORDER BY tns) > 1800000000000
+        |       THEN 1 ELSE 0 END AS new_session
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(1) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q52_minhash_neardup" -> minhashNearDupSql
+  )
+
+  /** Full MinHash+LSH near-dup replay: 32-perm signatures, 8 bands × 4
+    * rows (band match = 4 equalities), exact shingle-Jaccard ≥ 0.2. */
+  private lazy val minhashNearDupSql: String = {
+    val toks = "regexp_split_to_array(lower(text), '\\s+')"
+    val shingles = s"list_transform(generate_series(1, GREATEST(len($toks) - 2, 1)), " +
+      s"i -> array_to_string(list_slice($toks, i, i + 2), ' '))"
+    val sh = dshingleHashes
+    val mhCols = Dedup.minhashParams(32).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandMatch = (0 until 8).map { bnd =>
+      "(" + (bnd * 4 until bnd * 4 + 4).map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $sh AS sh, $shingles AS ss FROM documents),
+       |sig AS (SELECT doc_id, ss, sh, $mhCols FROM t),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    list_distinct(a.ss) AS sa, list_distinct(b.ss) AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandMatch)),
+       |j AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sa, sb))) AS jac
+       |  FROM cand)
+       |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+       |FROM j WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin
+  }
+}

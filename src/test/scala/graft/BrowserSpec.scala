@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.model._
+import graft.cells._
+import graft.star.StarSchema
+import graft.browser.Browser
+
+/** Golden-value browser tests on fixtures ported from the reference's own
+  * test data (FIXTURES.md §2: 16 rows, amounts cycling 1,2,4,8 over years
+  * 2010-2013 ⇒ amount_sum == 60, count == 16; plus a tiny star for join /
+  * range / split semantics). */
+class BrowserSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- flat fixture: reference tests/sql/test_aggregates.py ----
+  lazy val factsDf: DataFrame = {
+    val amounts = Seq(1, 2, 4, 8)
+    val rows = for {
+      (year, yi) <- (2010 to 2013).zipWithIndex
+      (amt, ai) <- amounts.zipWithIndex
+    } yield (yi * 4 + ai + 1, year, amt, amt * 10, amt % 3)
+    rows.toDF("id", "year", "amount", "price", "discount")
+  }
+
+  lazy val flatCube: Cube = Cube(
+    name = "facts", factTable = "facts",
+    dimensions = Seq(Dimension.flat("year")),
+    measures = Seq(Measure("amount"), Measure("price")),
+    aggregates = Seq(
+      MeasureAggregate("amount_sum", function = Some("sum"), measure = Some("amount")),
+      MeasureAggregate("count", function = Some("count")),
+      MeasureAggregate("amount_sma", function = Some("sma"),
+        measure = Some("amount_sum"), windowSize = Some(2))),
+    keyColumn = Some("id"))
+
+  lazy val flatBrowser =
+    new Browser(flatCube, new StarSchema(flatCube, factsDf, Map("facts" -> factsDf)), spark)
+
+  test("summary golden values: amount_sum == 60, count == 16") {
+    val r = flatBrowser.aggregate(aggregates = Seq("amount_sum", "count"))
+    val row = r.cells.collect()(0)
+    assert(row.getAs[Long]("amount_sum") == 60L)
+    assert(row.getAs[Long]("count") == 16L)
+  }
+
+  test("per-year drilldown sums 15 each; sma window of 2 follows") {
+    val r = flatBrowser.aggregate(
+      drilldown = Seq("year"),
+      aggregates = Seq("amount_sum", "amount_sma"))
+    val rows = r.cells.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("amount_sum") == 15L))
+    // prefix window: first row sma = 15, rest avg(15,15) = 15
+    assert(rows.forall(_.getAs[Double]("amount_sma") == 15.0))
+  }
+
+  test("point cut + invert on the flat dimension") {
+    val r = flatBrowser.aggregate(
+      cell = Cell(PointCut("year", Seq("2010"))),
+      aggregates = Seq("amount_sum"))
+    assert(r.cells.collect()(0).getAs[Long]("amount_sum") == 15L)
+    val inv = flatBrowser.aggregate(
+      cell = Cell(PointCut("year", Seq("2010"), invert = true)),
+      aggregates = Seq("amount_sum"))
+    assert(inv.cells.collect()(0).getAs[Long]("amount_sum") == 45L)
+  }
+
+  test("facts keyed by declared id; fact() fetches one row") {
+    val f = flatBrowser.fact(3L).collect()
+    assert(f.length == 1)
+    val all = flatBrowser.facts(pageSize = Some(5))
+    assert(all.collect().length == 5)
+  }
+
+  // ---- star fixture: date-hierarchy + category dim, outer joins ----
+  lazy val salesDf: DataFrame = Seq(
+    // id, date_key(y,m), cat_key, qty
+    (1, 2010, 1, 10, 5.0), (2, 2010, 2, 10, 7.0), (3, 2011, 1, 20, 1.0),
+    (4, 2011, 6, 20, 2.0), (5, 2012, 3, 99, 9.0) // 99 = no category row
+  ).toDF("id", "year", "month", "cat_key", "qty")
+
+  lazy val catDf: DataFrame = Seq(
+    (10, "food", "A"), (20, "tools", "B"), (30, "toys", "C") // 30 unsold
+  ).toDF("ckey", "cname", "dept")
+
+  def starCube(method: String): Cube = Cube(
+    name = "sales", factTable = "sales",
+    dimensions = Seq(
+      Dimension("date", levels = Seq(
+        Level("year", Seq(Attribute("year", Some("date")))),
+        Level("month", Seq(Attribute("month", Some("date")))))),
+      Dimension("cat", levels = Seq(
+        Level("cat", Seq(Attribute("key", Some("cat")), Attribute("name", Some("cat"))),
+          keyName = Some("key"), labelAttributeName = Some("name")))),
+      Dimension.flat("dept")),
+    measures = Seq(Measure("qty")),
+    aggregates = Seq(
+      MeasureAggregate("qty_sum", function = Some("sum"), measure = Some("qty")),
+      MeasureAggregate("n", function = Some("count"))),
+    joins = Seq(JoinSpec("sales", Seq("cat_key"), "category", Seq("ckey"),
+      method = method)),
+    mappings = Map(
+      "date.year" -> PhysicalRef("sales", "year"),
+      "date.month" -> PhysicalRef("sales", "month"),
+      "cat.key" -> PhysicalRef("category", "ckey"),
+      "cat.name" -> PhysicalRef("category", "cname"),
+      "dept" -> PhysicalRef("category", "dept"),
+      "qty" -> PhysicalRef("sales", "qty")),
+    keyColumn = Some("id"))
+
+  def starBrowser(method: String): Browser = {
+    val c = starCube(method)
+    new Browser(c, new StarSchema(c, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf)), spark)
+  }
+
+  test("match join drops unmatched facts only when the join is required (join pruning)") {
+    val b = starBrowser(JoinMethod.Match)
+    // summary over fact-only count: joins pruned, all 5 facts counted
+    val pruned = b.aggregate(aggregates = Seq("n")).cells.collect()(0)
+    assert(pruned.getAs[Long]("n") == 5L)
+    // drilldown on the dimension forces the inner join: id=5 dropped
+    val joined = b.aggregate(drilldown = Seq("cat"), aggregates = Seq("n"))
+      .cells.collect()
+    assert(joined.map(_.getAs[Long]("n")).sum == 4L)
+  }
+
+  test("master join keeps all facts (NULL dimension attrs)") {
+    val r = starBrowser(JoinMethod.Master)
+      .aggregate(drilldown = Seq("cat"), aggregates = Seq("n")).cells.collect()
+    assert(r.map(_.getAs[Long]("n")).sum == 5L)
+    assert(r.exists(row => row.isNullAt(row.fieldIndex("cat.key"))))
+  }
+
+  test("detail join keeps unsold dimension rows") {
+    val r = starBrowser(JoinMethod.Detail)
+      .aggregate(drilldown = Seq("cat"), aggregates = Seq("qty_sum")).cells.collect()
+    val toys = r.find(_.getAs[String]("cat.name") == "toys").get
+    assert(toys.isNullAt(toys.fieldIndex("qty_sum")))
+  }
+
+  test("excludeNullAggregates filters the all-NULL rows") {
+    val c = starCube(JoinMethod.Detail)
+    val b = new Browser(c, new StarSchema(c, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf)), spark,
+      excludeNullAggregates = true)
+    val r = b.aggregate(drilldown = Seq("cat"), aggregates = Seq("qty_sum")).cells.collect()
+    assert(!r.exists(_.getAs[String]("cat.name") == "toys"))
+  }
+
+  test("hierarchical range cut is lexicographic over (year, month)") {
+    val b = starBrowser(JoinMethod.Match)
+    val r = b.aggregate(
+      cell = Cell(RangeCut("date", Some(Seq("2010", "2")), Some(Seq("2011", "3")))),
+      aggregates = Seq("n")).cells.collect()(0)
+    assert(r.getAs[Long]("n") == 2L) // (2010,2) and (2011,1); (2011,6) out
+  }
+
+  test("split pseudo-dimension adds the boolean group") {
+    val b = starBrowser(JoinMethod.Match)
+    val r = b.aggregate(
+      split = Some(Cell(RangeCut("date", Some(Seq("2011")), None))),
+      aggregates = Seq("n")).cells.collect()
+    assert(r.length == 2)
+    // split references only the fact-hosted date dim → no join → 5 facts
+    val m = r.map(row => row.getAs[Boolean]("__within_split__") -> row.getAs[Long]("n")).toMap
+    assert(m(false) == 2L && m(true) == 3L)
+  }
+
+  test("high-cardinality drilldown is refused without pagination or cut") {
+    val c = flatCube.copy(dimensions =
+      Seq(Dimension.flat("year").copy(cardinality = Some("high"))))
+    val b = new Browser(c, new StarSchema(c, factsDf, Map("facts" -> factsDf)), spark)
+    assertThrows[IllegalArgumentException] {
+      b.aggregate(drilldown = Seq("year"))
+    }
+    // paginated is allowed
+    b.aggregate(drilldown = Seq("year"), pageSize = Some(10))
+  }
+
+  test("members lists distinct level members in natural order") {
+    val b = starBrowser(JoinMethod.Match)
+    val m = b.members(Cell.empty, "cat").collect()
+    assert(m.map(_.getAs[String]("cat.name")).toSeq == Seq("food", "tools"))
+  }
+
+  test("join pruning: summary over fact-only measures joins nothing") {
+    val b = starBrowser(JoinMethod.Match)
+    val df = b.projectedFrame(Seq("qty"))
+    // no join node in the plan — the category table is never read
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+  }
+}

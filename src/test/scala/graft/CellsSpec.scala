@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cells._
+import graft.model._
+
+class CellsSpec extends AnyFunSuite {
+
+  test("point cut round-trips through the string grammar") {
+    val s = "date:2010,6"
+    val cell = CutParser.parseCell(s)
+    assert(cell.cuts == Seq(PointCut("date", Seq("2010", "6"))))
+    assert(cell.toCutString == s)
+  }
+
+  test("invert, hierarchy, set and range cuts parse") {
+    val cell = CutParser.parseCell("!date@ym:2010|geo:ASIA;EUROPE|d:2010,1-2012,3")
+    assert(cell.cuts(0) == PointCut("date", Seq("2010"), Some("ym"), invert = true))
+    assert(cell.cuts(1) == SetCut("geo", Seq(Seq("ASIA"), Seq("EUROPE"))))
+    assert(cell.cuts(2) == RangeCut("d", Some(Seq("2010", "1")), Some(Seq("2012", "3"))))
+  }
+
+  test("open-ended ranges") {
+    assert(CutParser.parseCut("d:2010-") == RangeCut("d", Some(Seq("2010")), None))
+    assert(CutParser.parseCut("d:-2010") == RangeCut("d", None, Some(Seq("2010"))))
+  }
+
+  test("escaped separators survive a round trip") {
+    val cut = PointCut("dim", Seq("a-b", "c;d", "e,f"))
+    val printed = CutParser.print(cut)
+    assert(CutParser.parseCut(printed) == cut)
+  }
+
+  test("__null__ sentinel is preserved") {
+    assert(CutParser.parseCut("d:__null__") == PointCut("d", Seq("__null__")))
+  }
+
+  test("cell algebra: slice replaces, rollup drops deepest, drilldown extends") {
+    val c0 = Cell(PointCut("date", Seq("2010")))
+    val c1 = c0.drilldown("date", "6")
+    assert(c1.pointPath("date").contains(Seq("2010", "6")))
+    assert(c1.rollup("date").pointPath("date").contains(Seq("2010")))
+    val c2 = c1.slice(PointCut("date", Seq("2011")))
+    assert(c2.pointPath("date").contains(Seq("2011")))
+    assert((c0 & Cell(PointCut("geo", Seq("ASIA")))).cuts.size == 2)
+  }
+
+  private val dim = Dimension("date", levels = Seq(
+    Level("year", Seq(Attribute("year", Some("date")))),
+    Level("month", Seq(Attribute("month", Some("date")))),
+    Level("day", Seq(Attribute("day", Some("date"))))))
+  private val cube = Cube("c", "f", Seq(dim))
+
+  test("drilldown: explicit level includes the prefix") {
+    val items = Drilldown.resolve(cube, Cell.empty, Seq("date:month"))
+    assert(items.head.levelNames == Seq("year", "month"))
+  }
+
+  test("drilldown: implicit next level from the cell's point cut") {
+    val items = Drilldown.resolve(cube,
+      Cell(PointCut("date", Seq("2010"))), Seq("date"))
+    assert(items.head.levelNames == Seq("year", "month"))
+    val top = Drilldown.resolve(cube, Cell.empty, Seq("date"))
+    assert(top.head.levelNames == Seq("year"))
+  }
+
+  test("drilldown past the deepest level is refused") {
+    val cell = Cell(PointCut("date", Seq("2010", "6", "15")))
+    assertThrows[IllegalArgumentException] {
+      Drilldown.resolve(cube, cell, Seq("date"))
+    }
+  }
+}

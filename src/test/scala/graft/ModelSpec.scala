@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.exprs.ExprLang
+
+class ModelSpec extends AnyFunSuite {
+
+  test("level key/label/order defaulting follows the reference rules") {
+    val l = Level("x", Seq(Attribute("a"), Attribute("b")))
+    assert(l.key.name == "a")            // first attr
+    assert(l.labelAttribute.name == "b") // last attr
+    assert(l.orderAttribute.name == "a") // key
+    val l2 = Level("y", Seq(Attribute("a"), Attribute("b")),
+      keyName = Some("b"), labelAttributeName = Some("a"))
+    assert(l2.key.name == "b" && l2.labelAttribute.name == "a")
+  }
+
+  test("flat dimension ref is the bare dimension name") {
+    val d = Dimension.flat("flag")
+    assert(d.levels.head.key.ref == "flag")
+    assert(d.isFlat && !d.hasDetails)
+  }
+
+  test("hierarchy rollup and next level") {
+    val h = Hierarchy("h", Seq("y", "m", "d"))
+    assert(h.rollup(Seq("2010", "6", "1")) == Seq("2010", "6"))
+    assert(h.rollup(Seq("2010", "6", "1"), Some("y")) == Seq("2010"))
+    assert(h.nextLevel(None).contains("y"))
+    assert(h.nextLevel(Some("m")).contains("d"))
+    assert(h.nextLevel(Some("d")).isEmpty)
+  }
+
+  test("expression identifiers exclude functions, keywords, literals") {
+    val ids = ExprLang.identifiers("sum(amount) * 2 + price_x - if(a > 'lit', b, c)")
+    assert(ids == Set("amount", "price_x", "a", "b", "c"))
+  }
+
+  test("function whitelist is enforced") {
+    ExprLang.validateFunctions("round(sqrt(x), 2)")
+    assertThrows[IllegalArgumentException] {
+      ExprLang.validateFunctions("system('rm -rf /')")
+    }
+  }
+
+  test("dependency topo-sort and cycle detection") {
+    val deps = Map(
+      "c" -> Set("a", "b"), "b" -> Set("a"), "a" -> Set.empty[String])
+    val order = ExprLang.depSort(Seq("c"), deps.withDefaultValue(Set.empty))
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("c"))
+    assertThrows[IllegalArgumentException] {
+      ExprLang.depSort(Seq("x"),
+        Map("x" -> Set("y"), "y" -> Set("x")).withDefaultValue(Set.empty))
+    }
+  }
+
+  test("default aggregate when none declared is fact count") {
+    assert(Cube.FactCount.function.contains("count"))
+  }
+
+  test("cube accessors fail fast on unknown names") {
+    val c = Cube("c", "f", Seq(Dimension.flat("x")))
+    assertThrows[IllegalArgumentException](c.dimension("nope"))
+    assertThrows[IllegalArgumentException](c.aggregate("nope"))
+  }
+
+  test("window-calculator aggregates depend on their source aggregate") {
+    val a = MeasureAggregate("s_sma", function = Some("sma"), measure = Some("s_sum"))
+    assert(a.dependencies == Set("s_sum"))
+  }
+}

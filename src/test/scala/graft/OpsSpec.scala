@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.{NativeHashes, HashImpls}
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+
+  test("native poly_hash == SQL-lambda polyHash on real documents") {
+    val diff = docs.select(
+      NativeHashes.poly_hash(col("text")).as("a"),
+      TextAnalysis.polyHash(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native simhash == SQL-lambda simhash on real documents") {
+    val diff = docs.select(
+      NativeHashes.simhash32(col("text")).as("a"),
+      Dedup.simhash32Lambda(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native minhash signature == SQL-lambda shingle pipeline") {
+    val n = 8
+    val fromNative = Dedup.withMinhashSignature(docs, "text", n, 3, Seq(col("doc_id")))
+    val lambdaSh = Dedup.shingleHashesLambda(col("text"), 3)
+    val fromLambda = docs.select(col("doc_id") +: Dedup.minhashParams(n).zipWithIndex.map {
+      case ((a, b), i) =>
+        array_min(transform(lambdaSh, h => pmod(h * a + b, lit(Dedup.MinhashP)))).as(s"mh_$i")
+    }: _*)
+    assert(fromNative.exceptAll(fromLambda).count() == 0)
+    assert(fromLambda.exceptAll(fromNative).count() == 0)
+  }
+
+  test("exact dedup keeps the lowest id per duplicate group") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("id", "text")
+    val keep = Dedup.exactDedup(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(keep.toSeq == Seq(1L, 2L))
+    val keepers = Dedup.exactKeepers(df, "text", "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_copies")).toMap
+    assert(keepers == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("identical docs are minhash near-dups with jaccard 1.0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words here nothing shared at all truly unique")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", 4, 4, 3, 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash near-dups: identical docs at hamming 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k: self-similar vector ranks first") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vs.filter($"vec_id" === 0), vs, "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("LSH top-k routes near-identical vectors to the same bucket") {
+    // corpus vector 100+i ≈ query vector i (same signs ⇒ same bucket):
+    // the mechanism guarantees recall for true near-duplicates
+    val base = (0 until 3).map(i =>
+      Array.tabulate(16)(j => if ((i + j) % 3 == 0) 1.0f else -1.0f))
+    val corpus = (base.zipWithIndex.map { case (v, i) => (100L + i, v.map(_ * 0.9f)) } ++
+      Seq((500L, Array.fill(16)(0.5f)), (501L, Array.fill(16)(-0.5f)))).toDF("vec_id", "embedding")
+    val queries = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 1, bits = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 3).foreach(i => assert(lsh(i.toLong) == 100L + i))
+  }
+
+  test("language-ID picks the language with the most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "el perro y la casa de los gatos es una"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("multimodal stub pipeline computes frame/byte features") {
+    val df = Seq((1L, "a" * 300)).toDF("doc_id", "text")
+    val f = Multimodal.pipeline(spark, df, "doc_id", "text").collect().head
+    assert(f.n_bytes == 300 && f.n_frames == 2)
+    assert(f.mean_byte == 'a'.toInt.toDouble)
+    // checksum equals driver-side replay of the poly fold
+    var acc = 0L
+    (1 to 300).foreach(_ => acc = (acc * 131 + 'a'.toInt) % 1000000007L)
+    assert(f.checksum == acc)
+  }
+
+  test("HashImpls matches a hand-computed fold") {
+    // "ab" -> ((0*131+97)%P)*131 + 98 = 97*131+98
+    assert(HashImpls.polyHash("ab") == 97L * 131 + 98)
+    assert(HashImpls.polyHash("") == 0L)
+  }
+}
