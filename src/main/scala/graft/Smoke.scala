@@ -39,6 +39,50 @@ object Smoke {
           e.printStackTrace()
       }
     }
+
+    // library-surface sample: report fan-out, relative time cuts,
+    // materialized denormalized view, cuboid pre-aggregation, formats
+    try {
+      import graft.cells._
+      import graft.browser.ReportItem
+      val b = graft.tpch.TpchModel.browser(spark, sfDir)
+      val r = b.report(Cell(PointCut("customer", Seq("ASIA"))), Map(
+        "agg" -> ReportItem("aggregate", drilldown = Seq("returnflag"),
+          aggregates = Seq("quantity_sum")),
+        "members" -> ReportItem("members", dim = Some("customer"), depth = Some(1))))
+      println(s"[smoke] report: agg=${r("agg").count()} members=${r("members").count()}")
+      val tc = graft.browser.TimeCuts.parseCell(graft.tpch.TpchModel.cube,
+        "shipdate:yesterday", java.time.LocalDateTime.of(1996, 5, 5, 0, 0))
+      println(s"[smoke] timecut: ${tc.toCutString} rows=" +
+        b.aggregate(cell = tc, aggregates = Seq("fact_count"))
+          .cells.collect()(0).getAs[Long]("fact_count"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+      graft.materialize.Materialize.createView(b, "smoke_denorm")
+      println(s"[smoke] denorm view rows=" +
+        spark.table("smoke_denorm").where("`customer.region_name` = 'ASIA'").count())
+      graft.materialize.Materialize.preAggregate(b, Seq("returnflag"),
+        Seq("quantity_sum"), s"$tmp/agg")
+      graft.formats.Formats.writeCsv(spark.read.parquet(s"$tmp/agg"), s"$tmp/csv")
+      println(s"[smoke] preagg+csv rows=" +
+        spark.read.option("header", "true").csv(s"$tmp/csv").count())
+      // streaming: windowed agg over the events parquet via memory sink
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      ev.write.mode("overwrite").parquet(s"$tmp/events_in")
+      val stream = spark.readStream.schema(ev.schema).parquet(s"$tmp/events_in")
+      val q = graft.streaming.Streaming.hourlyCounts(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("smoke_hourly").start()
+      q.processAllAvailable()
+      println(s"[smoke] streaming hourly rows=${spark.table("smoke_hourly").count()}")
+      q.stop()
+    } catch {
+      case e: Throwable =>
+        println(s"[smoke] library sample FAILED: ${e.getMessage}")
+        e.printStackTrace()
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,20 @@ final case class AggregationResult(
   def totalCellCount: Long = cells.count()
 }
 
+/** One item of a report fan-out (reference request shape,
+  * `query/browser.py:459-523`). */
+final case class ReportItem(
+    kind: String,
+    cell: Option[Cell] = None,
+    rollup: Option[String] = None,
+    drilldown: Seq[String] = Nil,
+    aggregates: Seq[String] = Nil,
+    dim: Option[String] = None,
+    depth: Option[Int] = None,
+    key: Option[Any] = None,
+    fields: Seq[String] = Nil
+)
+
 /** The aggregation browser: compiles OLAP verbs (aggregate / facts / fact /
   * members / cell) into Spark DataFrame plans over a pruned star join.
   *
@@ -234,6 +248,33 @@ final class Browser(
     val ordered = distinct.orderBy(levels.map(dim.level).map(naturalOrderCol): _*)
     paginate(ordered, page, pageSize)
   }
+
+  /** Report: bundle of independent queries evaluated against one base cell
+    * (reference `query/browser.py:387-523`) — a dict fan-out, not a set
+    * op. Each item may roll the base cell up on a dimension first
+    * (`browser.py:428-457`). All results stay lazy DataFrames, so Spark
+    * can still share scan/join stages between them at execution. */
+  def report(cell: Cell, queries: Map[String, ReportItem]): Map[String, DataFrame] =
+    queries.map { case (name, item) =>
+      val itemCell0 = item.cell.getOrElse(cell)
+      val itemCell = item.rollup.map(itemCell0.rollup).getOrElse(itemCell0)
+      val df = item.kind match {
+        case "aggregate" =>
+          aggregate(itemCell, item.drilldown, item.aggregates,
+            includeSummary = false).cells
+        case "facts"   => facts(itemCell, item.fields)
+        case "fact"    => fact(item.key.getOrElse(
+          throw new IllegalArgumentException(s"report '$name': fact needs a key")))
+        case "members" => members(itemCell,
+          item.dim.getOrElse(throw new IllegalArgumentException(
+            s"report '$name': members needs a dimension")), item.depth)
+        case "cell"    => cellDetails(itemCell).values.reduceOption(_ unionByName _)
+          .getOrElse(spark.emptyDataFrame)
+        case other => throw new IllegalArgumentException(
+          s"report '$name': unknown query kind '$other'")
+      }
+      name -> df
+    }
 
   /** Cell details: for each cut, the full attribute record of each path
     * member (reference `query/browser.py:525-639`, simplified). */

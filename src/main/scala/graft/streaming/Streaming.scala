@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators. The reference has no streaming surface
+  * (SURVEY §2.10) — this is the scale extension the north star asks for:
+  * the same aggregation vocabulary over an unbounded events stream.
+  *
+  * Design: `readStream` → event-time windowed aggregation with watermarks
+  * (late data bounded), and stateful sessionization via
+  * `flatMapGroupsWithState` — the streaming twins of q28 (tumbling
+  * windows) and q51 (sessionize), so batch and stream share semantics.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      start_ts: Long, end_ts: Long)
+
+  private final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Tumbling event-time windows with a watermark: the streaming twin of
+    * the batch `q28_events_hourly`. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+
+  /** Stateful sessionization: 30-minute inactivity gap closes a session
+    * (processing-time timeout stands in for event-time session windows).
+    * Emits one summary row per closed session. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.n, s.start, s.last))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, last = t))
+                case Some(s) =>
+                  out += SessionSummary(userId, s.n, s.start, s.last)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            out.iterator
+          }
+      }
+  }
+}

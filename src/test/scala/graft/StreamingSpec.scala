@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.browser.ReportItem
+import graft.cells._
+import graft.materialize.Materialize
+import graft.formats.Formats
+
+/** Streaming + materialize + report coverage: drive a real streaming query
+  * from the events parquet through a memory sink, and exercise the
+  * materialization/report/format paths end-to-end. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def eventsDf = {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.withColumn("ts",
+      timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  test("streaming hourly windowed aggregation matches the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val schema = eventsDf.schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val q = Streaming.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT cast(hour_start AS LONG) h, event_type, n_events FROM hourly")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = eventsDf
+        .groupBy(window(col("ts"), "1 hour").getField("start").cast("long").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    val events = Seq(
+      Streaming.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Streaming.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1, "a", 1.0),
+      Streaming.Event(3, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1, "a", 1.0),
+      Streaming.Event(4, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2, "b", 1.0)
+    ).toDS()
+    // batch execution of the same stateful function
+    val out = Streaming.sessionize(events).collect()
+    // user 1: session of 2 events closed by the 2h gap (3rd stays open in
+    // state; batch mode flushes per-group iteration, emitting 1 closed)
+    val closed = out.filter(_.user_id == 1)
+    assert(closed.length == 1 && closed.head.n_events == 2)
+  }
+
+  test("materialized denormalized view answers join-free queries") {
+    val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
+    Materialize.createView(b, "denorm_sales")
+    val n = spark.sql(
+      """SELECT `customer.region_name`, count(1) n FROM denorm_sales
+        |WHERE `customer.region_name` = 'ASIA' GROUP BY 1""".stripMargin)
+      .collect()
+    assert(n.length == 1 && n.head.getLong(1) > 0)
+  }
+
+  test("pre-aggregated cuboids + csv/json writers") {
+    val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toFile.getAbsolutePath
+    Materialize.preAggregate(b, Seq("returnflag"), Seq("quantity_sum"), s"$dir/agg")
+    val back = spark.read.parquet(s"$dir/agg")
+    assert(back.count() == 3)
+    Formats.writeCsv(back, s"$dir/csv")
+    Formats.writeJsonLines(back, s"$dir/json")
+    assert(spark.read.option("header", "true").csv(s"$dir/csv").count() == 3)
+    assert(Formats.toJsonArray(back).startsWith("["))
+  }
+
+  test("report fan-out evaluates multiple verbs against one cell") {
+    val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
+    val cell = Cell(PointCut("customer", Seq("ASIA")))
+    val r = b.report(cell, Map(
+      "sums" -> ReportItem("aggregate", drilldown = Seq("returnflag"),
+        aggregates = Seq("quantity_sum")),
+      "rolled" -> ReportItem("aggregate", rollup = Some("customer"),
+        aggregates = Seq("fact_count")),
+      "nations" -> ReportItem("members", dim = Some("customer"), depth = Some(2))))
+    assert(r("sums").count() == 3)
+    // rolled-up cell drops the ASIA cut → grand total over all regions
+    assert(r("rolled").collect().head.getAs[Long]("fact_count") > 0)
+    assert(r("nations").count() > 0)
+  }
+}
