@@ -65,6 +65,16 @@ object Smoke {
       graft.formats.Formats.writeCsv(spark.read.parquet(s"$tmp/agg"), s"$tmp/csv")
       println(s"[smoke] preagg+csv rows=" +
         spark.read.option("header", "true").csv(s"$tmp/csv").count())
+      // authorization: restriction cell ANDed onto every browse
+      val restricted = new graft.browser.Browser(
+        graft.tpch.TpchModel.cube, b.star, spark,
+        restrictionCell = Cell(PointCut("customer", Seq("EUROPE"))))
+      println(s"[smoke] restricted count=" +
+        restricted.aggregate(aggregates = Seq("fact_count"))
+          .cells.collect()(0).getAs[Long]("fact_count") +
+        " vs open=" +
+        b.aggregate(aggregates = Seq("fact_count"))
+          .cells.collect()(0).getAs[Long]("fact_count"))
       // streaming: windowed agg over the events parquet via memory sink
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$sfDir/events.parquet")

@@ -55,11 +55,21 @@ final class Browser(
     val cube: Cube,
     val star: StarSchema,
     val spark: SparkSession,
-    excludeNullAggregates: Boolean = false
+    excludeNullAggregates: Boolean = false,
+    /** Authorization: a restriction cell ANDed onto every browsed cell
+      * (reference `cubes/auth.py:42-54`, applied `server/decorators.py:41-46`). */
+    restrictionCell: Cell = Cell.empty,
+    /** Locale: localized attributes read their `col_<locale>` physical
+      * column (reference `mapper.py:240-248`, `attributes.py:169-186`). */
+    locale: Option[String] = None
 ) {
   /** The split pseudo-dimension column (reference `query/browser.py:35`). */
   val SplitColumn = "__within_split__"
   val FactKeyColumn = "__fact_key__"
+
+  /** Restriction applied to a caller cell. */
+  private def restricted(cell: Cell): Cell =
+    if (restrictionCell.isEmpty) cell else cell & restrictionCell
 
   // ---------------------------------------------------------------- public
 
@@ -73,6 +83,7 @@ final class Browser(
       pageSize: Option[Int] = None,
       includeSummary: Boolean = true
   ): AggregationResult = {
+    val effCell = restricted(cell)
     val aggs0 = if (aggregates.isEmpty) {
       if (cube.aggregates.nonEmpty) cube.aggregates else Seq(Cube.FactCount)
     } else aggregates.map(cube.aggregate)
@@ -94,18 +105,18 @@ final class Browser(
     val (windowAggs, builtinAggs) =
       aggs.partition(_.function.exists(WindowCalcs.isWindowFunction))
 
-    val dd = Drilldown.resolve(cube, cell, drilldown)
-    checkHighCardinality(dd, cell, page, pageSize)
+    val dd = Drilldown.resolve(cube, effCell, drilldown)
+    checkHighCardinality(dd, effCell, page, pageSize)
 
     // attribute refs needed anywhere in the query
     val ddRefs = dd.flatMap(_.allRefs)
     val measureRefs = builtinAggs.flatMap(aggMeasureRefs)
-    val cutRefs = cellRefs(cell) ++ split.map(cellRefs).getOrElse(Nil)
+    val cutRefs = cellRefs(effCell) ++ split.map(cellRefs).getOrElse(Nil)
     val orderRefs = order.map(_._1).filter(r => cube.allAttributes.contains(r))
     val projected = projectedFrame(
       (ddRefs ++ measureRefs ++ cutRefs ++ orderRefs).distinct)
 
-    val filtered = cellPredicate(projected, cell)
+    val filtered = cellPredicate(projected, effCell)
       .map(projected.filter).getOrElse(projected)
 
     val withSplit = split match {
@@ -208,10 +219,11 @@ final class Browser(
       page: Option[Int] = None,
       pageSize: Option[Int] = None
   ): DataFrame = {
+    val effCell = restricted(cell)
     val wanted = if (fields.nonEmpty) fields else cube.allAttributes.keys.toSeq.sorted
-    val refs = (wanted ++ cellRefs(cell)).distinct
+    val refs = (wanted ++ cellRefs(effCell)).distinct
     val projected = projectedFrame(refs, includeFactKey = true)
-    var out = cellPredicate(projected, cell).map(projected.filter).getOrElse(projected)
+    var out = cellPredicate(projected, effCell).map(projected.filter).getOrElse(projected)
     out = out.select((FactKeyColumn +: wanted).map(bcol): _*)
     val sortCols = order.map { case (r, d) => dirCol(bcol(r), d) }
     val sorted = if (sortCols.nonEmpty) out.orderBy(sortCols: _*)
@@ -235,6 +247,7 @@ final class Browser(
       page: Option[Int] = None,
       pageSize: Option[Int] = None
   ): DataFrame = {
+    val effCell = restricted(cell)
     val dim = cube.dimension(dimName)
     val hier = dim.hierarchy(hierarchy)
     val levels = levelName match {
@@ -242,8 +255,8 @@ final class Browser(
       case None    => hier.levelsForDepth(depth.getOrElse(hier.levelNames.size))
     }
     val attrs = levels.map(dim.level).flatMap(_.attributes.map(_.ref))
-    val projected = projectedFrame((attrs ++ cellRefs(cell)).distinct)
-    val filtered = cellPredicate(projected, cell).map(projected.filter).getOrElse(projected)
+    val projected = projectedFrame((attrs ++ cellRefs(effCell)).distinct)
+    val filtered = cellPredicate(projected, effCell).map(projected.filter).getOrElse(projected)
     val distinct = filtered.select(attrs.map(bcol): _*).distinct()
     val ordered = distinct.orderBy(levels.map(dim.level).map(naturalOrderCol): _*)
     paginate(ordered, page, pageSize)
@@ -350,7 +363,15 @@ final class Browser(
     refs.foreach(visit)
 
     val (derived, base) = allNeeded.toSeq.partition(r => expressionOf(r).isDefined)
-    val phys = star.physicalOf(base)
+    // localization: a localized attribute reads its `col_<locale>` twin
+    // (denormalized localization, reference mapper.py:240-248)
+    val phys = star.physicalOf(base).map { case (r, p) =>
+      val localizedP = (for {
+        l <- locale
+        a <- cube.allAttributes.get(r) if a.locales.contains(l)
+      } yield p.copy(column = s"${p.column}_$l")).getOrElse(p)
+      r -> localizedP
+    }
     val physList = phys.values.toSeq ++
       (if (includeFactKey) Seq(factKeyPhysical) else Nil)
     val starDf = star.star(physList)

@@ -194,6 +194,40 @@ class BrowserSpec extends AnyFunSuite {
     assert(m.map(_.getAs[String]("cat.name")).toSeq == Seq("food", "tools"))
   }
 
+  test("authorization restriction cell is ANDed onto every browse") {
+    val c = starCube(JoinMethod.Match)
+    val b = new Browser(c, new StarSchema(c, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf)), spark,
+      restrictionCell = Cell(PointCut("date", Seq("2010"))))
+    val agg = b.aggregate(aggregates = Seq("n")).cells.collect()(0)
+    assert(agg.getAs[Long]("n") == 2L) // only 2010 facts visible
+    assert(b.facts().count() == 2L)
+    val m = b.members(Cell.empty, "date", depth = Some(1)).collect()
+    assert(m.map(_.getAs[Int]("date.year")).toSeq == Seq(2010))
+  }
+
+  test("locale reads the suffixed physical column") {
+    import spark.implicits._
+    val locCat = Seq((10, "food", "jedlo"), (20, "tools", "naradie"))
+      .toDF("ckey", "cname_en", "cname_sk")
+    val c0 = starCube(JoinMethod.Match)
+    val c = c0.copy(
+      dimensions = c0.dimensions.map {
+        case d if d.name == "cat" => d.copy(levels = d.levels.map(l =>
+          l.copy(attributes = l.attributes.map(a =>
+            if (a.name == "name") a.copy(locales = Seq("en", "sk")) else a))))
+        case d => d
+      },
+      mappings = c0.mappings + ("cat.name" -> PhysicalRef("category", "cname")))
+    def names(locale: Option[String]) = {
+      val b = new Browser(c, new StarSchema(c, salesDf,
+        Map("sales" -> salesDf, "category" -> locCat)), spark, locale = locale)
+      b.members(Cell.empty, "cat").collect().map(_.getAs[String]("cat.name")).toSeq
+    }
+    assert(names(Some("en")) == Seq("food", "tools"))
+    assert(names(Some("sk")) == Seq("jedlo", "naradie"))
+  }
+
   test("join pruning: summary over fact-only measures joins nothing") {
     val b = starBrowser(JoinMethod.Match)
     val df = b.projectedFrame(Seq("qty"))
