@@ -77,6 +77,9 @@ object AggFunctions {
     "count_nonempty" -> ((c, _) => count(c)),
     "count_distinct" -> ((c, _) => countDistinct(c)),
     "approx_count_distinct" -> ((c, _) => approx_count_distinct(c)),
+    // exact interpolated median; deterministic when inputs are integral
+    "median" -> ((c, _) => median(c)),
+    "approx_median" -> ((c, _) => percentile_approx(c, lit(0.5), lit(10000))),
     "min" -> ((c, _) => min(c)),
     "max" -> ((c, _) => max(c)),
     "avg" -> ((c, dt) => exactAvg(c, dt)),

@@ -263,6 +263,23 @@ object Queries {
         aggregates = Seq("fact_count", "quantity_sum")
       ).cells),
 
+    // exact interpolated median (scale note: full-sort per group — the
+    // approx variant below is the 100 TB path)
+    "q29_median" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("returnflag"),
+        aggregates = Seq("quantity_median", "fact_count")
+      ).cells),
+
+    // approximate sketch aggregates (HLL / KLL): engine-specific values,
+    // no oracle — rows-only check; the scale substitutes for q10's exact
+    // count_distinct and q29's exact median
+    "q30_approx_sketches" -> ((s, dir) =>
+      b(s, dir).aggregate(
+        drilldown = Seq("returnflag"),
+        aggregates = Seq("parts_approx", "fact_count")
+      ).cells),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table
     // (window().start surfaced as epoch seconds)
     "q28_events_hourly" -> ((s, dir) => {
@@ -538,6 +555,13 @@ object Queries {
     "q27_dow" ->
       s"""SELECT CAST(dayofweek(l_shipdate) + 1 AS BIGINT) AS shipdow,
          |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q29_median" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  quantile_cont(l_quantity, 0.5) AS quantity_median,
+         |  COUNT(1) AS fact_count
          |FROM lineitem
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -115,6 +115,8 @@ object TpchModel {
       MeasureAggregate("price_variance", function = Some("variance"), measure = Some("extendedprice")),
       MeasureAggregate("discount_avg", function = Some("avg"), measure = Some("discount")),
       MeasureAggregate("parts", function = Some("count_distinct"), measure = Some("part.partkey")),
+      MeasureAggregate("parts_approx", function = Some("approx_count_distinct"), measure = Some("part.partkey")),
+      MeasureAggregate("quantity_median", function = Some("median"), measure = Some("quantity")),
       MeasureAggregate("price_hi_sum", function = Some("sum"), measure = Some("price_hi")),
       MeasureAggregate("price_range",
         expression = Some("max(extendedprice) - min(extendedprice)")),

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.cells._
+import graft.tpch.TpchModel
+
+/** Plan-shape regression tests: the scale properties (pushdown, pruning,
+  * broadcast) asserted on the actual physical plans, so a refactor that
+  * silently breaks them fails CI — at 100 TB these ARE correctness. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def b = TpchModel.browser(spark, "/root/testdata/sf0.001")
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("cut predicate is pushed into the dimension parquet scan") {
+    val df = b.aggregate(
+      cell = Cell(PointCut("customer", Seq("ASIA"))),
+      drilldown = Seq("date:year"),
+      aggregates = Seq("quantity_sum")).cells
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
+      || plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to scan:\n$plan")
+  }
+
+  test("fact scan reads only the needed columns") {
+    val df = b.aggregate(
+      drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum")).cells
+    val plan = physicalPlan(df)
+    // lineitem scan must not read l_extendedprice/l_tax/etc.
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("lineitem.parquet") || (l.contains("ReadSchema") && l.contains("l_"))).getOrElse("")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"fact scan reads unneeded columns:\n$readSchema\n$scanLine")
+  }
+
+  test("join pruning: fact-only aggregation has no join in the plan") {
+    val df = b.aggregate(
+      drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum")).cells
+    assert(!physicalPlan(df).toLowerCase.contains("join"))
+  }
+
+  test("hinted dimension joins broadcast") {
+    val df = b.aggregate(
+      cell = Cell(PointCut("customer", Seq("ASIA"))),
+      drilldown = Seq("customer:nation"),
+      aggregates = Seq("fact_count")).cells
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ at dim scale:\n$plan")
+  }
+
+  test("aggregation is two-phase (map-side partial)") {
+    val df = b.aggregate(
+      drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum")).cells
+    val plan = physicalPlan(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan→aggregate pipeline") {
+    val df = b.projectedFrame(Seq("quantity", "returnflag"))
+      .groupBy("returnflag").count()
+    df.collect() // AQE shows codegen stages only in the executed final plan
+    // codegen'd operators print as "*(stageId) Op" in the final plan
+    assert(physicalPlan(df).contains("*(1)"), physicalPlan(df))
+  }
+}
