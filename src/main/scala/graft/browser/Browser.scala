@@ -173,6 +173,47 @@ final class Browser(
       dd.map(d => d.dim.name -> d.levelNames).toMap)
   }
 
+  /** One-pass summary + drilldown: GROUPING SETS ((dd...), ()) computes
+    * both in a single shuffle over the fact (the reference issues two SQL
+    * statements, `sql/browser.py:378-383`; SURVEY §7.4.3 calls for the
+    * fused plan). The grouped result is persisted — it is tiny relative to
+    * the input — so `cells` and `summary` are two cheap reads of one
+    * computation instead of two scans of the fact. Window calculators /
+    * pagination are not supported here; use [[aggregate]] for those. */
+  def aggregateFused(
+      cell: Cell = Cell.empty,
+      drilldown: Seq[String],
+      aggregates: Seq[String] = Nil,
+      order: Seq[(String, Option[String])] = Nil
+  ): AggregationResult = {
+    val effCell = restricted(cell)
+    val aggs = (if (aggregates.isEmpty) cube.aggregates else aggregates.map(cube.aggregate))
+      .filterNot(_.function.exists(WindowCalcs.isWindowFunction))
+    require(aggs.nonEmpty, "aggregateFused needs at least one builtin aggregate")
+    val dd = Drilldown.resolve(cube, effCell, drilldown)
+    val ddRefs = dd.flatMap(_.allRefs)
+    val projected = projectedFrame(
+      (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(effCell)).distinct)
+    val filtered = cellPredicate(projected, effCell).map(projected.filter).getOrElse(projected)
+
+    val gid = ddRefs.foldLeft(lit(0))((acc, r) => acc * 2 + grouping(bcol(r)))
+      .cast("long").as("__gid__")
+    val aggCols = aggs.map(builtinAggColumn(filtered, _)) :+ gid
+    val grouped = filtered
+      .groupingSets(Seq(ddRefs.map(bcol), Seq.empty), ddRefs.map(bcol): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val fullMask = (1L << ddRefs.size) - 1
+    val sortCols = orderColumns(dd, order, hasSplit = false)
+    val cells = grouped.filter(col("__gid__") === 0).drop("__gid__")
+    AggregationResult(
+      if (sortCols.nonEmpty) cells.orderBy(sortCols: _*) else cells,
+      Some(grouped.filter(col("__gid__") === fullMask)
+        .drop("__gid__").drop(ddRefs: _*)),
+      dd.map(d => d.dim.name -> d.levelNames).toMap)
+  }
+
   /** Cuboid aggregation (reference enumerates dimension/level combinations
     * driver-side for pre-aggregation, `computation.py:15-70`; Catalyst has
     * this native): one pass producing subtotals via ROLLUP / CUBE /

@@ -62,4 +62,18 @@ object Materialize {
   def extractDimension(browser: Browser, dimName: String, path: String): Unit =
     browser.members(Cell.empty, dimName)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed table for co-located joins: two tables bucketed (and
+    * sorted) on their join key by the same bucket count join with NO
+    * exchange — the shuffle is paid once at write time, amortized over
+    * every later browse. This is the 100 TB answer for repeated
+    * fact-to-fact joins (e.g. lineitem⋈orders); star dimension joins
+    * stay broadcast instead. */
+  def bucketize(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

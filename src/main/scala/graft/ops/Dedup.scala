@@ -84,7 +84,12 @@ object Dedup {
     * size upstream if needed. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rows: Int, shingleK: Int = 3
+      bands: Int, rows: Int, shingleK: Int = 3,
+      /** Skew guard: drop LSH buckets holding more than this many docs
+        * (boilerplate/empty-doc buckets explode quadratically; capping
+        * them is the standard web-scale dedup mitigation — they get
+        * handled by exact dedup upstream instead). */
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
     val withSig = withMinhashSignature(df, textCol, bands * rows, shingleK,
       keep = Seq(col(idCol).as("__id__")))
@@ -98,10 +103,19 @@ object Dedup {
     // persist: both sides of the self-join read the computed signatures
     // once instead of re-evaluating the (interpreted) hash lambdas — at
     // corpus scale the signature table is materialized anyway
-    val exploded = withSig
+    val exploded0 = withSig
       .select(col("__id__"), explode(array(bandCols: _*)).as("bk"))
       .select(col("__id__"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded =
+      if (maxBucketSize == Int.MaxValue) exploded0
+      else {
+        val ok = exploded0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") <= maxBucketSize)
+          .select(col("band"), col("key"))
+        exploded0.join(ok, Seq("band", "key"), "left_semi")
+      }
     val a = exploded.alias("a")
     val bb = exploded.alias("b")
     a.join(bb, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

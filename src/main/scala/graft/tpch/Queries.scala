@@ -280,6 +280,22 @@ object Queries {
         aggregates = Seq("parts_approx", "fact_count")
       ).cells),
 
+    // second cube: the events fact browsed through the same OLAP verbs
+    "q31_events_cube" -> ((s, dir) =>
+      EventsModel.browser(s, dir).aggregate(
+        cell = Cell(PointCut("event_type", Seq("purchase"))),
+        drilldown = Seq("time:day"),
+        aggregates = Seq("n_events", "value_sum", "users")
+      ).cells),
+
+    // fused one-pass summary+drilldown (GROUPING SETS) — cells slice
+    "q32_fused_agg" -> ((s, dir) =>
+      b(s, dir).aggregateFused(
+        cell = Cell(PointCut("returnflag", Seq("R"))),
+        drilldown = Seq("linestatus"),
+        aggregates = Seq("quantity_sum", "fact_count")
+      ).cells),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table
     // (window().start surfaced as epoch seconds)
     "q28_events_hourly" -> ((s, dir) => {
@@ -563,6 +579,25 @@ object Queries {
          |  quantile_cont(l_quantity, 0.5) AS quantity_median,
          |  COUNT(1) AS fact_count
          |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_events_cube" ->
+      s"""SELECT ${dyear("ts")} AS "time.year",
+         |  ${dmonth("ts")} AS "time.month",
+         |  CAST(EXTRACT(day FROM ts) AS BIGINT) AS "time.day",
+         |  COUNT(1) AS n_events,
+         |  ${dsum("value")} AS value_sum,
+         |  COUNT(DISTINCT user_id) AS users
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q32_fused_agg" ->
+      s"""SELECT l_linestatus AS linestatus,
+         |  ${dsum("l_quantity")} AS quantity_sum,
+         |  COUNT(1) AS fact_count
+         |FROM lineitem
+         |WHERE l_returnflag = 'R'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q28_events_hourly" ->

@@ -228,6 +228,15 @@ class BrowserSpec extends AnyFunSuite {
     assert(names(Some("sk")) == Seq("jedlo", "naradie"))
   }
 
+  test("fused summary+drilldown: one grouping-sets pass, both slices agree") {
+    val r = flatBrowser.aggregateFused(
+      drilldown = Seq("year"), aggregates = Seq("amount_sum", "count"))
+    val cells = r.cells.collect()
+    assert(cells.length == 4 && cells.forall(_.getAs[Long]("amount_sum") == 15L))
+    val s = r.summary.get.collect()(0)
+    assert(s.getAs[Long]("amount_sum") == 60L && s.getAs[Long]("count") == 16L)
+  }
+
   test("join pruning: summary over fact-only measures joins nothing") {
     val b = starBrowser(JoinMethod.Match)
     val df = b.projectedFrame(Seq("qty"))

@@ -104,6 +104,17 @@ class OpsSpec extends AnyFunSuite {
     (0 until 3).foreach(i => assert(lsh(i.toLong) == 100L + i))
   }
 
+  test("LSH hot-bucket cap drops oversized buckets") {
+    // 4 identical docs share every band bucket (size 4); cap 3 drops them
+    val df = (1L to 4L).map(i => (i, "same words repeated here for all docs"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text", 4, 4, 3,
+      maxBucketSize = 3)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashCandidates(df, "doc_id", "text", 4, 4, 3)
+    assert(uncapped.count() == 6) // all C(4,2) pairs
+  }
+
   test("language-ID picks the language with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),

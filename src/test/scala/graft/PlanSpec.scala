@@ -72,6 +72,37 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final HashAggregate:\n$plan")
   }
 
+  test("bucketed tables join with no exchange (co-located join)") {
+    import graft.materialize.Materialize
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // clean up leftovers from a previous forked run (fresh derby metastore
+    // doesn't know the old managed-table locations)
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Materialize.bucketize(li, "li_bkt", Seq("l_orderkey"), 4)
+    Materialize.bucketize(ord, "ord_bkt", Seq("o_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = physicalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan→aggregate pipeline") {
     val df = b.projectedFrame(Seq("quantity", "returnflag"))
       .groupBy("returnflag").count()
