@@ -1,0 +1,235 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.workspace.Workspace
+import graft.browser.{ReportItem, TimeCuts}
+import graft.cells.{Cell, CutParser}
+
+/** The "slicer" HTTP server (reference `cubes/server/blueprint.py`):
+  * the browser verbs over HTTP with the same request vocabulary —
+  * `cut` cell strings (with relative time members), `drilldown` lists
+  * split on `|`, `order`, `page`/`pagesize`, `split`, `format=json|csv`.
+  *
+  * Built on the JDK's HttpServer (zero extra dependencies). One Spark
+  * session serves all requests; queries stay lazy until serialization.
+  * Results are collected driver-side for the response — the server is a
+  * front-end for interactive slices, not a bulk-export path (use
+  * `graft.formats.Formats` sinks for those).
+  */
+final class SlicerServer(workspace: Workspace, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def start(): Int = {
+    server.createContext("/", new Handler)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------- handler
+
+  private final class Handler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+        val parts = path.split("/").toList
+        val q = parseQuery(ex)
+        val (code, body, ctype) = route(ex, parts, q)
+        respond(ex, code, body, ctype)
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error": ${jstr(e.getMessage)}}""", "application/json")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error": ${jstr(String.valueOf(e))}}""", "application/json")
+      } finally ex.close()
+
+    private def route(ex: HttpExchange, parts: List[String],
+        q: Map[String, String]): (Int, String, String) = parts match {
+      case List("version") =>
+        (200, """{"version": "0.1.0", "server_version": "0.1.0"}""", "application/json")
+      case List("info") =>
+        (200, s"""{"engine": "cubesspark", "spark": ${jstr(workspace.spark.version)}}""",
+          "application/json")
+      case List("cubes") =>
+        val cubes = workspace.cubeNames.map { n =>
+          val c = workspace.cube(n)
+          s"""{"name": ${jstr(n)}, "label": ${jstr(c.label.getOrElse(n))}}"""
+        }
+        (200, cubes.mkString("[", ",", "]"), "application/json")
+      case List("cube", name, "model") =>
+        (200, modelJson(name), "application/json")
+      case List("cube", name, "aggregate") =>
+        aggregate(name, q)
+      case List("cube", name, "facts") =>
+        val b = workspace.browser(name)
+        val df = b.facts(cell(name, q), fields(q), order(q), page(q), pageSize(q))
+        frameResponse(df, q)
+      case List("cube", name, "fact", id) =>
+        val b = workspace.browser(name)
+        frameResponse(b.fact(parseKey(id)), q)
+      case List("cube", name, "members", dim) =>
+        val b = workspace.browser(name)
+        frameResponse(b.members(cell(name, q), dim,
+          q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
+          page(q), pageSize(q)), q)
+      case List("cube", name, "cell") =>
+        val b = workspace.browser(name)
+        val details = b.cellDetails(cell(name, q)).map { case (dim, df) =>
+          s"${jstr(dim)}: ${graft.formats.Formats.toJsonArray(df)}"
+        }
+        (200, details.mkString("{", ",", "}"), "application/json")
+      case List("cube", name, "report") if ex.getRequestMethod == "POST" =>
+        report(name, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8), q)
+      case _ => (404, """{"error": "not found"}""", "application/json")
+    }
+
+    private def aggregate(name: String, q: Map[String, String]): (Int, String, String) = {
+      val b = workspace.browser(name)
+      val drilldown = listParam(q, "drilldown")
+      val aggregates = listParam(q, "aggregates")
+      val split = q.get("split").map(s => TimeCuts.parseCell(b.cube, s))
+      val result = b.aggregate(cell(name, q), drilldown, aggregates, split,
+        order(q), page(q), pageSize(q))
+      if (q.get("format").contains("csv")) {
+        val csv = toCsv(result.cells)
+        (200, csv, "text/csv")
+      } else {
+        val summary = result.summary
+          .map(df => graft.formats.Formats.toJsonArray(df, 1).stripPrefix("[").stripSuffix("]"))
+          .filter(_.nonEmpty).getOrElse("{}")
+        val cellsJson = graft.formats.Formats.toJsonArray(result.cells)
+        val levels = result.levels.map { case (d, ls) =>
+          s"${jstr(d)}: ${ls.map(jstr).mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")
+        (200, s"""{"summary": $summary, "cells": $cellsJson, "levels": $levels}""",
+          "application/json")
+      }
+    }
+
+    private def report(name: String, body: String, q: Map[String, String]): (Int, String, String) = {
+      val b = workspace.browser(name)
+      val root = JsonMethods.parse(body)
+      val items = (root \ "queries") match {
+        case JObject(fields) => fields.map { case (qname, v) =>
+          def s(k: String) = (v \ k) match { case JString(x) => Some(x); case _ => None }
+          def sl(k: String) = (v \ k) match {
+            case JArray(xs) => xs.collect { case JString(x) => x }
+            case JString(x) => x.split("\\|").toSeq.filter(_.nonEmpty)
+            case _          => Nil
+          }
+          qname -> ReportItem(
+            kind = s("query").getOrElse("aggregate"),
+            cell = s("cut").map(c => TimeCuts.parseCell(b.cube, c)),
+            rollup = s("rollup"),
+            drilldown = sl("drilldown"),
+            aggregates = sl("aggregates"),
+            dim = s("dimension"),
+            depth = (v \ "depth") match { case JInt(i) => Some(i.toInt); case _ => None },
+            key = s("key").map(parseKey))
+        }.toMap
+        case _ => throw new IllegalArgumentException("report body needs a 'queries' object")
+      }
+      val results = b.report(cell(name, q), items).map { case (qname, df) =>
+        s"${jstr(qname)}: ${graft.formats.Formats.toJsonArray(df)}"
+      }
+      (200, results.mkString("{", ",", "}"), "application/json")
+    }
+
+    // ---------------------------------------------------------- helpers
+
+    /** DataFrame → json array / csv response per `format`. */
+    private def frameResponse(df: DataFrame, q: Map[String, String]): (Int, String, String) =
+      if (q.get("format").contains("csv")) (200, toCsv(df), "text/csv")
+      else (200, graft.formats.Formats.toJsonArray(df), "application/json")
+
+    private def cell(cubeName: String, q: Map[String, String]): Cell =
+      q.get("cut").map(c => TimeCuts.parseCell(workspace.cube(cubeName), c))
+        .getOrElse(Cell.empty)
+
+    private def listParam(q: Map[String, String], k: String): Seq[String] =
+      q.get(k).toSeq.flatMap(_.split("\\|")).filter(_.nonEmpty)
+
+    private def fields(q: Map[String, String]): Seq[String] =
+      q.get("fields").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+    private def order(q: Map[String, String]): Seq[(String, Option[String])] =
+      q.get("order").toSeq.flatMap(_.split(",")).filter(_.nonEmpty).map { o =>
+        o.split(":", 2) match {
+          case Array(a)    => (a, None)
+          case Array(a, d) => (a, Some(d))
+        }
+      }
+
+    private def page(q: Map[String, String]): Option[Int] = q.get("page").map(_.toInt)
+    private def pageSize(q: Map[String, String]): Option[Int] =
+      q.get("pagesize").map(_.toInt)
+
+    private def parseKey(s: String): Any =
+      try java.lang.Long.valueOf(s) catch { case _: NumberFormatException => s }
+
+    private def modelJson(name: String): String = {
+      val c = workspace.cube(name)
+      val dims = c.dimensions.map { d =>
+        val levels = d.levels.map(l =>
+          s"""{"name": ${jstr(l.name)}, "attributes": ${
+            l.attributes.map(a => jstr(a.name)).mkString("[", ",", "]")}}""")
+          .mkString("[", ",", "]")
+        s"""{"name": ${jstr(d.name)}, "levels": $levels}"""
+      }.mkString("[", ",", "]")
+      val measures = c.measures.map(m => jstr(m.name)).mkString("[", ",", "]")
+      val aggs = c.aggregates.map(a => jstr(a.name)).mkString("[", ",", "]")
+      s"""{"name": ${jstr(name)}, "dimensions": $dims, "measures": $measures, "aggregates": $aggs}"""
+    }
+
+    private def toCsv(df: DataFrame, limit: Int = 10000): String = {
+      val rows = df.limit(limit).collect()
+      val header = df.columns.mkString(",")
+      val lines = rows.map(_.toSeq.map {
+        case null => ""
+        case s: String if s.contains(",") || s.contains("\"") =>
+          "\"" + s.replace("\"", "\"\"") + "\""
+        case v => String.valueOf(v)
+      }.mkString(","))
+      (header +: lines).mkString("\n")
+    }
+  }
+
+  private def parseQuery(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => urlDecode(k) -> urlDecode(v)
+        case Array(k)    => urlDecode(k) -> ""
+      }
+    }.toMap
+  }
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def jstr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String, ctype: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", s"$ctype; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+import graft.workspace.Workspace
+import graft.server.SlicerServer
+import graft.tpch.TpchModel
+
+/** Drives the slicer HTTP server over a real socket with a real Spark
+  * session — the reference's server test tier (`tests/test_server.py`). */
+class ServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val (server, port) = {
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val s = new SlicerServer(ws)
+    (s, s.start())
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("/cubes and /cube/<c>/model") {
+    val (c1, cubes) = get("/cubes")
+    assert(c1 == 200 && cubes.contains("\"sales\""))
+    val (c2, model) = get("/cube/sales/model")
+    assert(c2 == 200 && model.contains("\"customer\"") && model.contains("quantity_sum"))
+  }
+
+  test("/aggregate with cut + drilldown + pagination") {
+    val (code, body) = get(
+      "/cube/sales/aggregate?cut=customer:ASIA&drilldown=customer:nation" +
+        "&aggregates=quantity_sum%7Cfact_count&pagesize=3")
+    assert(code == 200)
+    assert(body.contains("\"summary\"") && body.contains("\"cells\""))
+    assert(body.contains("customer.nation_name"))
+    // pagesize respected
+    assert(body.split("customer\\.nation_name").length - 1 <= 4)
+  }
+
+  test("/aggregate csv format") {
+    val (code, body) = get(
+      "/cube/sales/aggregate?drilldown=returnflag&aggregates=fact_count&format=csv")
+    assert(code == 200)
+    assert(body.linesIterator.next().contains("returnflag"))
+    assert(body.linesIterator.size == 4) // header + 3 flags
+  }
+
+  test("/facts with fields and /fact/<id>") {
+    val (code, body) = get(
+      "/cube/sales/facts?cut=customer:ASIA&fields=returnflag,quantity&pagesize=2")
+    assert(code == 200 && body.contains("returnflag"))
+    val (c2, fact) = get("/cube/sales/fact/7")
+    assert(c2 == 200 && fact.contains("__fact_key__"))
+  }
+
+  test("/members/<dim> with depth") {
+    val (code, body) = get("/cube/sales/members/customer?depth=1")
+    assert(code == 200)
+    assert(body.contains("ASIA") && body.contains("EUROPE"))
+  }
+
+  test("/cell details") {
+    val (code, body) = get("/cube/sales/cell?cut=customer:ASIA")
+    assert(code == 200 && body.contains("ASIA"))
+  }
+
+  test("POST /report fan-out") {
+    val (code, body) = post("/cube/sales/report?cut=customer:ASIA",
+      """{"queries": {
+        |  "byflag": {"query": "aggregate", "drilldown": "returnflag",
+        |             "aggregates": "fact_count"},
+        |  "regions": {"query": "members", "dimension": "customer", "depth": 1}
+        |}}""".stripMargin)
+    assert(code == 200)
+    assert(body.contains("\"byflag\"") && body.contains("\"regions\""))
+  }
+
+  test("errors: unknown cube → 400, unknown path → 404") {
+    assert(get("/cube/nope/aggregate")._1 == 400)
+    assert(get("/nope")._1 == 404)
+  }
+}
