@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/session init out of the measurements
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("q02_agg_summary").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -136,6 +136,21 @@ case class MinHashSigExpr(child: Expression, numPerms: Int, shingleK: Int)
     copy(child = c)
 }
 
+/** shingle_hashes(str): the k-shingle hash array in one call. */
+case class ShingleHashesExpr(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashImpls.shingleHashes(v.asInstanceOf[UTF8String].toString, shingleK))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.shingleHashes($c.toString(), $shingleK))")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
 /** simhash32(str): 32-bit SimHash in one call. */
 case class SimHash32Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -152,5 +167,7 @@ object NativeHashes {
   def poly_hash(c: Column): Column = toCol(PolyHashExpr(toExpr(c)))
   def minhash_sig(c: Column, numPerms: Int, k: Int): Column =
     toCol(MinHashSigExpr(toExpr(c), numPerms, k))
+  def shingle_hashes(c: Column, k: Int): Column =
+    toCol(ShingleHashesExpr(toExpr(c), k))
   def simhash32(c: Column): Column = toCol(SimHash32Expr(toExpr(c)))
 }

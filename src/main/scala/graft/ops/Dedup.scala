@@ -141,18 +141,26 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify
-    * → pairs over threshold. The verify join re-reads the two texts; at
-    * scale, textual payloads travel only for candidate pairs. */
+    * → pairs over threshold. Verification compares *shingle-hash sets*
+    * (codegen'd extraction + native array_intersect/union), so only
+    * long-array payloads travel to the verify join — never the texts —
+    * and no interpreted lambdas run per candidate pair. Hash-set Jaccard
+    * equals string-set Jaccard up to 1e9+7-collisions (~1e-7/pair). */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, rows: Int = 4, shingleK: Int = 3, threshold: Double = 0.7
+      bands: Int = 8, rows: Int = 4, shingleK: Int = 3, threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, bands, rows, shingleK)
-    val docs = df.select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+    val cands = minhashCandidates(df, idCol, textCol, bands, rows, shingleK, maxBucketSize)
+    val docs = df.select(col(idCol).as("__id__"),
+      array_distinct(graft.functions.NativeHashes.shingle_hashes(col(textCol), shingleK))
+        .as("__sset__"))
     cands
-      .join(docs.withColumnRenamed("__id__", "id_a").withColumnRenamed("__text__", "text_a"), "id_a")
-      .join(docs.withColumnRenamed("__id__", "id_b").withColumnRenamed("__text__", "text_b"), "id_b")
-      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleK))
+      .join(docs.withColumnRenamed("__id__", "id_a").withColumnRenamed("__sset__", "sa"), "id_a")
+      .join(docs.withColumnRenamed("__id__", "id_b").withColumnRenamed("__sset__", "sb"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -308,11 +308,11 @@ object PipelineQueries {
     val bandMatch = (0 until 8).map { bnd =>
       "(" + (bnd * 4 until bnd * 4 + 4).map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
     }.mkString(" OR ")
-    s"""WITH t AS (SELECT doc_id, $sh AS sh, $shingles AS ss FROM documents),
-       |sig AS (SELECT doc_id, ss, sh, $mhCols FROM t),
+    s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sig AS (SELECT doc_id, sh, $mhCols FROM t),
        |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    list_distinct(a.ss) AS sa, list_distinct(b.ss) AS sb
+       |    list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandMatch)),
        |j AS (SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /

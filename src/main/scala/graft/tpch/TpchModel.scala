@@ -185,8 +185,14 @@ object TpchModel {
   val tableNames: Seq[String] =
     Seq("lineitem", "orders", "customer", "nation", "region", "part", "supplier")
 
+  // memoized per (session, dir): re-reading parquet footers/schema for
+  // every catalog query is pure fixed overhead
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, DataFrame]]
+
   def tables(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
-    tableNames.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap
+    tableCache.getOrElseUpdate((spark, sfDir),
+      tableNames.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap)
 
   def browser(spark: SparkSession, sfDir: String): Browser =
     browserFor(cube, spark, sfDir)
