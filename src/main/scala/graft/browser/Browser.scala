@@ -61,7 +61,11 @@ final class Browser(
     restrictionCell: Cell = Cell.empty,
     /** Locale: localized attributes read their `col_<locale>` physical
       * column (reference `mapper.py:240-248`, `attributes.py:169-186`). */
-    locale: Option[String] = None
+    locale: Option[String] = None,
+    /** Enforce `nonadditive` measure metadata: refuse summing a
+      * time-nonadditive measure across a time drilldown (the reference
+      * records the metadata but never enforces it — A14). */
+    enforceNonadditive: Boolean = false
 ) {
   /** The split pseudo-dimension column (reference `query/browser.py:35`). */
   val SplitColumn = "__within_split__"
@@ -107,6 +111,7 @@ final class Browser(
 
     val dd = Drilldown.resolve(cube, effCell, drilldown)
     checkHighCardinality(dd, effCell, page, pageSize)
+    checkNonadditive(dd, builtinAggs)
 
     // attribute refs needed anywhere in the query
     val ddRefs = dd.flatMap(_.allRefs)
@@ -599,6 +604,24 @@ final class Browser(
       .filterNot(l => explicitRefs.contains(l.orderAttribute.ref))
       .map(naturalOrderCol)
     splitCol ++ explicitCols ++ naturalCols
+  }
+
+  /** Refuse additive aggregation of a nonadditive measure along the
+    * dimension kind it is nonadditive over (opt-in; A14). */
+  private def checkNonadditive(
+      dd: Seq[DrilldownItem], aggs: Seq[MeasureAggregate]): Unit = {
+    if (!enforceNonadditive || dd.isEmpty) return
+    val overTime = dd.exists(_.dim.role.contains("time"))
+    aggs.filter(_.function.contains("sum")).foreach { a =>
+      a.measure.flatMap(m => cube.measures.find(_.name == m)).foreach { m =>
+        val bad = m.nonadditive.exists(n =>
+          n == "all" || (n == "time" && overTime))
+        if (bad)
+          throw new IllegalArgumentException(
+            s"measure '${m.name}' is nonadditive (${m.nonadditive.get}); " +
+              "refusing sum over this drilldown")
+      }
+    }
   }
 
   private def checkHighCardinality(

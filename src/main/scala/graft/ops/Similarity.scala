@@ -57,6 +57,51 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: the corpus is partitioned into inverted
+    * lists by nearest centroid; each query scans only its `nProbe` closest
+    * lists. Centroids here are a deterministic sample (the first
+    * `nCentroids` corpus vectors) — a k-means refinement would slot into
+    * the same assign→route→scan shape without touching the query path.
+    *
+    * Scale: centroids broadcast (small); corpus assignment is one scan +
+    * shuffle on list id; each query batch probes nProbe/nCentroids of the
+    * corpus. The standard ANN index layout, expressed as joins. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4
+  ): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(monotonically_increasing_id().as("cid"), col(vecCol).as("centroid")))
+
+    def nearestLists(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val scored = df.join(cents)
+        .withColumn("__cscore__", cosine(col(vec), col("centroid")))
+      val w = Window.partitionBy(col(id)).orderBy(col("__cscore__").desc, col("cid").asc)
+      scored.withColumn("__crank__", row_number().over(w))
+        .filter(col("__crank__") <= n)
+        .drop("centroid", "__cscore__", "__crank__")
+    }
+
+    val assigned = nearestLists(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", 1)
+    val probes = broadcast(nearestLists(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nProbe))
+
+    val scored = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus is bucketed by sign-bit
     * signature; each query probes only its own bucket (plus optional
     * 1-bit-flip neighbor buckets for recall). Same output shape as

@@ -79,6 +79,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-routed ANN (inverted lists by nearest centroid); probed at full
+    // depth here so the result is provably the exact top-k — the oracle
+    // checks the whole assign→route→scan plumbing
+    "q53_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding near-dup pairs via sign-bit LSH buckets + exact cosine
     "q46_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.2)
@@ -188,6 +198,22 @@ object PipelineQueries {
        |SELECT doc_id, $cols FROM t ORDER BY doc_id""".stripMargin
   }
 
+  private def annSqlFor(maxQid: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $maxQid),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${dcosine("q.qv", "c.embedding")} AS cos_raw
+       |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   private val annSql: String = {
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
        |scored AS (
@@ -255,6 +281,7 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q43_simhash" -> simhashSql,
+    "q53_ann_ivf" -> annSqlFor(5, 3),
     "q44_minhash_sig" -> minhashSql,
     "q45_ann_topk" -> annSql,
     "q46_embedding_neardup" -> nearDupSql,

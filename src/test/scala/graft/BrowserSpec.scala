@@ -228,6 +228,24 @@ class BrowserSpec extends AnyFunSuite {
     assert(names(Some("sk")) == Seq("jedlo", "naradie"))
   }
 
+  test("nonadditive enforcement refuses sum over a time drilldown (opt-in)") {
+    val c = starCube(JoinMethod.Match).copy(
+      dimensions = starCube(JoinMethod.Match).dimensions.map {
+        case d if d.name == "date" => d.copy(role = Some("time"))
+        case d => d
+      },
+      measures = Seq(Measure("qty", nonadditive = Some("time"))))
+    val b = new Browser(c, new StarSchema(c, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf)), spark,
+      enforceNonadditive = true)
+    assertThrows[IllegalArgumentException] {
+      b.aggregate(drilldown = Seq("date:year"), aggregates = Seq("qty_sum"))
+    }
+    // non-time drilldown is fine; count over time is fine
+    b.aggregate(drilldown = Seq("cat"), aggregates = Seq("qty_sum"))
+    b.aggregate(drilldown = Seq("date:year"), aggregates = Seq("n"))
+  }
+
   test("fused summary+drilldown: one grouping-sets pass, both slices agree") {
     val r = flatBrowser.aggregateFused(
       drilldown = Seq("year"), aggregates = Seq("amount_sum", "count"))

@@ -115,6 +115,23 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 6) // all C(4,2) pairs
   }
 
+  test("IVF top-k: querying a corpus vector finds it via its own list") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // query = corpus vectors themselves → nearest list contains the twin;
+    // top-1 ... the best *other* neighbor must match brute force whenever
+    // brute force's best lands in a probed list; self-recall is exact:
+    val q = emb.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 8) // nProbe = all lists ⇒ exact
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+    assert(ivf.exceptAll(bf).count() == 0 && bf.exceptAll(ivf).count() == 0)
+    // fewer probes: still returns k ranked rows per query
+    val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3,
+      nCentroids = 8, nProbe = 2)
+    val counts = approx.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 3))
+  }
+
   test("language-ID picks the language with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
