@@ -83,6 +83,7 @@ object AggFunctions {
     "min" -> ((c, _) => min(c)),
     "max" -> ((c, _) => max(c)),
     "avg" -> ((c, dt) => exactAvg(c, dt)),
+    "average" -> ((c, dt) => exactAvg(c, dt)), // reference spelling
     "stddev" -> ((c, dt) => exactStddevSamp(c, dt)),
     "variance" -> ((c, dt) => exactVarSamp(c, dt)),
     // native double implementations (faster, non-reproducible last bits)

@@ -245,7 +245,10 @@ final case class Cube(
     joins: Seq[JoinSpec] = Nil,
     mappings: Map[String, PhysicalRef] = Map.empty,
     keyColumn: Option[String] = None,
-    label: Option[String] = None
+    label: Option[String] = None,
+    /** Naming convention: implicit dimension-table name = prefix + dim
+      * name (reference `Naming`, `mapper.py:88-211`, e.g. `dim_`). */
+    dimensionPrefix: String = ""
 ) {
   def dimension(name: String): Dimension =
     dimensions.find(_.name == name).getOrElse(

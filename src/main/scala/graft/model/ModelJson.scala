@@ -104,8 +104,15 @@ object ModelJson {
     val levels = (o \ "levels") match {
       case JArray(ls) => ls.map(parseLevel(_, name))
       case _ =>
-        // bare dimension: one flat level named after the dimension
-        Seq(Level(name, Seq(Attribute(name, Some(name), flatRef = true))))
+        (o \ "attributes") match {
+          // dimension-level attribute list: one level holding them all
+          // (reference expand_dimension_metadata, dimension.py:1238-1342)
+          case JArray(attrs) =>
+            Seq(Level(name, attrs.map(parseAttribute(_, Some(name), flat = false))))
+          case _ =>
+            // bare dimension: one flat level named after the dimension
+            Seq(Level(name, Seq(Attribute(name, Some(name), flatRef = true))))
+        }
     }
     // single-level single-attribute dims keep the flat (bare-name) ref
     val levelsFlat =

@@ -17,7 +17,8 @@ final class Mapper(cube: Cube) {
     cube.mappings.getOrElse(ref, implicitMapping(ref))
 
   private def implicitMapping(ref: String): PhysicalRef = ref.split("\\.", 2) match {
-    case Array(dim, attr) if dimNames.contains(dim) => PhysicalRef(dim, attr)
+    case Array(dim, attr) if dimNames.contains(dim) =>
+      PhysicalRef(cube.dimensionPrefix + dim, attr)
     case _ => PhysicalRef(cube.factTable, ref)
   }
 }
