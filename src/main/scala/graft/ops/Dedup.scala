@@ -165,6 +165,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup clusters from a pair list: connected components by
+    * iterative min-label propagation (each round joins current labels
+    * across edges and takes the min; converges in O(diameter) rounds —
+    * near-dup clusters are shallow, so `maxIter` ~10 covers real data).
+    * Returns (id, cluster) where cluster = min id of the component.
+    *
+    * Scale: each round is one join + one groupBy on ids — no driver-side
+    * graph, no quadratic step. The loop is driver-controlled but the data
+    * never leaves the cluster; checkpointing every few rounds would bound
+    * lineage for very deep graphs. */
+  def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = df.select(col(idCol).as("__id__"), col(idCol).as("__label__"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("id_b") === labels("__id__"))
+        .groupBy(col("id_a")).agg(min(col("__label__")).as("__nmin__"))
+      val updated = labels
+        .join(neighborMin, labels("__id__") === neighborMin("id_a"), "left_outer")
+        .select(col("__id__"),
+          least(col("__label__"), coalesce(col("__nmin__"), col("__label__")))
+            .as("__label__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // converged when no label changed this round
+      val changed = updated.join(labels.withColumnRenamed("__label__", "__old__"), "__id__")
+        .filter(col("__label__") =!= col("__old__")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("__id__").as(idCol), col("__label__").as("cluster"))
+  }
+
+  /** Keep one representative (min id) per near-dup cluster: the full
+    * dedup pipeline — LSH pairs → components → keepers. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, pairs)
+    df.join(clusters, idCol)
+      .withColumn("__keep__", col(idCol) === col("cluster"))
+      .filter(col("__keep__")).drop("__keep__", "cluster")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over poly-hashed whitespace tokens (codegen'd). */

@@ -149,7 +149,16 @@ object PipelineQueries {
     "q52_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
         bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // near-dup clusters: LSH pairs → connected components (iterative
+    // min-label propagation) → one cluster id per doc
+    "q54_neardup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+      Dedup.nearDupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -319,15 +328,28 @@ object PipelineQueries {
         |  COUNT(1) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "q52_minhash_neardup" -> minhashNearDupSql
+    "q52_minhash_neardup" -> minhashNearDupSql,
+
+    // connected components replayed with a recursive CTE: enumerate all
+    // reachable labels per node over the (symmetrized) near-dup edges,
+    // take the min — identical to min-label propagation's fixpoint
+    "q54_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairsq
+         |  UNION ALL SELECT id_b, id_a FROM pairsq),
+         |cc(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d)
+         |SELECT id AS doc_id, MIN(label) AS cluster
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
   )
 
-  /** Full MinHash+LSH near-dup replay: 32-perm signatures, 8 bands × 4
-    * rows (band match = 4 equalities), exact shingle-Jaccard ≥ 0.2. */
-  private lazy val minhashNearDupSql: String = {
-    val toks = "regexp_split_to_array(lower(text), '\\s+')"
-    val shingles = s"list_transform(generate_series(1, GREATEST(len($toks) - 2, 1)), " +
-      s"i -> array_to_string(list_slice($toks, i, i + 2), ' '))"
+  /** CTE chain shared by q52/q54: 32-perm signatures, 8 bands × 4 rows
+    * (band match = 4 equalities), exact shingle-hash-set Jaccard ≥ 0.2;
+    * final CTE `pairsq(id_a, id_b, jac)` holds the verified pairs. */
+  private lazy val minhashPairsCtes: String = {
     val sh = dshingleHashes
     val mhCols = Dedup.minhashParams(32).zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(sh, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh_$i"
@@ -335,7 +357,7 @@ object PipelineQueries {
     val bandMatch = (0 until 8).map { bnd =>
       "(" + (bnd * 4 until bnd * 4 + 4).map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
     }.mkString(" OR ")
-    s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+    s"""t AS (SELECT doc_id, $sh AS sh FROM documents),
        |sig AS (SELECT doc_id, sh, $mhCols FROM t),
        |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -344,8 +366,12 @@ object PipelineQueries {
        |j AS (SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
        |    len(list_distinct(list_concat(sa, sb))) AS jac
-       |  FROM cand)
-       |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
-       |FROM j WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin
+       |  FROM cand),
+       |pairsq AS (SELECT id_a, id_b, jac FROM j WHERE jac >= 0.2)""".stripMargin
   }
+
+  private lazy val minhashNearDupSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+       |FROM pairsq ORDER BY 1, 2""".stripMargin
 }

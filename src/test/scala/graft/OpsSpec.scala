@@ -104,6 +104,20 @@ class OpsSpec extends AnyFunSuite {
     (0 until 3).foreach(i => assert(lsh(i.toLong) == 100L + i))
   }
 
+  test("near-dup clustering: chains collapse to one component, keepers kept") {
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3, pair 5-6; 4 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(5L) == 5L && clusters(6L) == 5L)
+    assert(clusters(4L) == 4L && clusters(7L) == 7L)
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L))
+  }
+
   test("LSH hot-bucket cap drops oversized buckets") {
     // 4 identical docs share every band bucket (size 4); cap 3 drops them
     val df = (1L to 4L).map(i => (i, "same words repeated here for all docs"))
