@@ -17,8 +17,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Exact dot product: Σ a_i·b_i as a left fold (fixed association). */
+  /** Exact dot product: Σ a_i·b_i as a left fold (fixed association).
+    * Codegen'd ([[graft.functions.NativeHashes.dot_product]]); the
+    * SQL-lambda twin below is the executable spec. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.NativeHashes.dot_product(a, b)
+
+  /** SQL-lambda formulation of [[dot]] — identical results (same fold
+    * association), used for cross-validation. */
+  def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -129,6 +129,16 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 6) // all C(4,2) pairs
   }
 
+  test("native dot product == SQL-lambda fold on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.limit(50).select($"vec_id", $"embedding".as("a"))
+    val b = emb.limit(50).select($"vec_id", $"embedding".as("b"))
+    val both = a.join(b, "vec_id")
+      .select(Similarity.dot(col("a"), col("b")).as("x"),
+        Similarity.dotLambda(col("a"), col("b")).as("y"))
+    assert(both.filter(col("x") =!= col("y")).count() == 0)
+  }
+
   test("IVF top-k: querying a corpus vector finds it via its own list") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // query = corpus vectors themselves → nearest list contains the twin;
