@@ -257,6 +257,34 @@ final class Browser(
       .orderBy(col("__gid__").asc +: ddRefs.map(r => bcol(r).asc_nulls_first): _*)
   }
 
+  /** Per-group top-k (beyond the reference's flat limit+offset, O6): the
+    * k best members of `rankDrilldown` within each `groupDrilldown`
+    * member, ranked by the `rankBy` aggregate descending. One aggregation
+    * pass + one rank window over the (small) aggregated result. */
+  def aggregateTopK(
+      cell: Cell = Cell.empty,
+      groupDrilldown: Seq[String] = Nil,
+      rankDrilldown: Seq[String] = Nil,
+      aggregates: Seq[String] = Nil,
+      rankBy: String = "",
+      k: Int = 10
+  ): DataFrame = {
+    require(rankDrilldown.nonEmpty, "aggregateTopK needs a rank drilldown")
+    val base = aggregate(cell, groupDrilldown ++ rankDrilldown, aggregates,
+      includeSummary = false).cells
+    val effCell = restricted(cell)
+    val groupKeys = Drilldown.resolve(cube, effCell, groupDrilldown).flatMap(_.keyRefs)
+    val rankKeys = Drilldown.resolve(cube, effCell, rankDrilldown).flatMap(_.keyRefs)
+    val rankCol = if (rankBy.nonEmpty) rankBy
+      else aggregates.headOption.getOrElse(cube.aggregates.head.name)
+    val w0 = if (groupKeys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupKeys.map(bcol): _*)
+    val w = w0.orderBy(bcol(rankCol).desc +: rankKeys.map(bcol(_).asc): _*)
+    base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(groupKeys.map(bcol(_).asc) :+ col("rank").asc: _*)
+  }
+
   /** Raw fact rows of the cell (reference `sql/browser.py:234-265`). */
   def facts(
       cell: Cell = Cell.empty,

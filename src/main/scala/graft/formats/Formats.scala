@@ -20,4 +20,82 @@ object Formats {
   /** Driver-side JSON array string for small results (server responses). */
   def toJsonArray(df: DataFrame, limit: Int = 10000): String =
     df.limit(limit).toJSON.collect().mkString("[", ",", "]")
+
+  /** Driver-side XLSX writer (reference `formatters.py:114-133` uses
+    * xlsxwriter; here a minimal OOXML workbook written directly — an
+    * .xlsx is just a zip of XML parts, and inline strings avoid the
+    * shared-strings table). Driver-side by design, like the reference:
+    * spreadsheets are for small result sets. */
+  def writeXlsx(df: DataFrame, path: String, limit: Int = 100000): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val rows = df.limit(limit).collect()
+    val cols = df.columns
+
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+    def cell(v: Any): String = v match {
+      case null => "<c/>"
+      case n: java.lang.Number => s"<c><v>${n.toString}</v></c>"
+      case b: java.lang.Boolean => s"""<c t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case other => s"""<c t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+    }
+
+    val sheetRows = new StringBuilder
+    sheetRows.append("<row>")
+    cols.foreach(c => sheetRows.append(cell(c)))
+    sheetRows.append("</row>")
+    rows.foreach { r =>
+      sheetRows.append("<row>")
+      (0 until r.length).foreach(i => sheetRows.append(cell(r.get(i))))
+      sheetRows.append("</row>")
+    }
+
+    val sheet =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>${sheetRows.toString}</sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="result" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val workbookRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1"
+        |  Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"
+        |  Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1"
+        |  Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument"
+        |  Target="xl/workbook.xml"/></Relationships>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml"
+        |  ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml"
+        |  ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin
+
+    val out = new ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      def put(name: String, content: String): Unit = {
+        out.putNextEntry(new ZipEntry(name))
+        out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.closeEntry()
+      }
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", workbookRels)
+      put("xl/worksheets/sheet1.xml", sheet)
+    } finally out.close()
+  }
 }

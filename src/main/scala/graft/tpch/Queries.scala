@@ -280,6 +280,14 @@ object Queries {
         aggregates = Seq("parts_approx", "fact_count")
       ).cells),
 
+    // O6 extension: per-group top-k — 2 best nations per region by revenue
+    "q33_topk_per_group" -> ((s, dir) =>
+      b(s, dir).aggregateTopK(
+        groupDrilldown = Seq("customer:region"),
+        rankDrilldown = Seq("customer@nation:nation"),
+        aggregates = Seq("revenue_sum"),
+        rankBy = "revenue_sum", k = 2)),
+
     // second cube: the events fact browsed through the same OLAP verbs
     "q31_events_cube" -> ((s, dir) =>
       EventsModel.browser(s, dir).aggregate(
@@ -580,6 +588,20 @@ object Queries {
          |  COUNT(1) AS fact_count
          |FROM lineitem
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_topk_per_group" ->
+      s"""WITH agg AS (
+         |  SELECT r_name AS "customer.region_name",
+         |    n_name AS "customer.nation_name",
+         |    ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue_sum
+         |  $custJoin
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY "customer.region_name"
+         |    ORDER BY revenue_sum DESC, "customer.nation_name") AS rk FROM agg)
+         |SELECT "customer.region_name", "customer.nation_name", revenue_sum,
+         |  CAST(rk AS INTEGER) AS rank
+         |FROM r WHERE rk <= 2
+         |ORDER BY "customer.region_name", rk""".stripMargin,
 
     "q31_events_cube" ->
       s"""SELECT ${dyear("ts")} AS "time.year",

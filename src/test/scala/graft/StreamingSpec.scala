@@ -90,6 +90,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(Formats.toJsonArray(back).startsWith("["))
   }
 
+  test("xlsx writer emits a readable OOXML workbook") {
+    val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
+    val df = b.aggregate(drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum")).cells
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx")
+      .resolve("out.xlsx").toString
+    Formats.writeXlsx(df, path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val names = zf.entries().asIterator()
+      val all = scala.collection.mutable.Set.empty[String]
+      while (names.hasNext) all += names.next().getName
+      assert(all.contains("xl/worksheets/sheet1.xml"))
+      assert(all.contains("[Content_Types].xml"))
+      val sheet = new String(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+      assert(sheet.contains("<t>returnflag</t>"))
+      assert(sheet.split("<row>").length == 5) // header + 3 data rows
+    } finally zf.close()
+  }
+
   test("report fan-out evaluates multiple verbs against one cell") {
     val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
     val cell = Cell(PointCut("customer", Seq("ASIA")))
