@@ -65,7 +65,11 @@ final class Browser(
     /** Enforce `nonadditive` measure metadata: refuse summing a
       * time-nonadditive measure across a time drilldown (the reference
       * records the metadata but never enforces it — A14). */
-    enforceNonadditive: Boolean = false
+    enforceNonadditive: Boolean = false,
+    /** Query parameters for derived-attribute expressions: identifiers in
+      * an expression that match a key here compile to the literal value
+      * (reference `parameters` dict, `sql/expressions.py:96-97`). */
+    parameters: Map[String, Any] = Map.empty
 ) {
   /** The split pseudo-dimension column (reference `query/browser.py:35`). */
   val SplitColumn = "__within_split__"
@@ -381,6 +385,15 @@ final class Browser(
   /** Backtick-safe column by logical ref (refs contain dots). */
   def bcol(ref: String): Column = col(s"`$ref`")
 
+  /** Identifier → backticked column ref, or the parameter literal when
+    * the identifier names a query parameter. */
+  private def renameOrParam(id: String): String =
+    parameters.get(id) match {
+      case Some(v: String) => "'" + v.replace("'", "''") + "'"
+      case Some(v)         => String.valueOf(v)
+      case None            => s"`$id`"
+    }
+
   private def dirCol(c: Column, dir: Option[String]): Column =
     dir.map(_.toLowerCase) match {
       case Some("desc") => c.desc
@@ -429,7 +442,8 @@ final class Browser(
     def visit(ref: String): Unit = {
       if (allNeeded.contains(ref)) return
       expressionOf(ref) match {
-        case Some(e) => ExprLang.identifiers(e).foreach(visit)
+        case Some(e) =>
+          ExprLang.identifiers(e).filterNot(parameters.contains).foreach(visit)
         case None    =>
       }
       allNeeded += ref
@@ -462,8 +476,7 @@ final class Browser(
       r => expressionOf(r).map(ExprLang.identifiers).getOrElse(Set.empty))
     order.foreach { r =>
       expressionOf(r).foreach { e =>
-        val sql = ExprLang.toSparkSql(e, id => s"`$id`")
-        out = out.withColumn(r, expr(sql))
+        out = out.withColumn(r, expr(ExprLang.toSparkSql(e, renameOrParam)))
       }
     }
     out
@@ -513,7 +526,7 @@ final class Browser(
       case Some(e) =>
         // aggregate defined by an expression, possibly containing aggregate
         // functions itself (reference sql/expressions.py:123-150)
-        expr(ExprLang.toSparkSql(e, id => s"`$id`"))
+        expr(ExprLang.toSparkSql(e, renameOrParam))
       case None =>
         val fn = agg.function.getOrElse(
           throw new IllegalArgumentException(s"aggregate '${agg.name}' has no function"))

@@ -228,6 +228,19 @@ class BrowserSpec extends AnyFunSuite {
     assert(names(Some("sk")) == Seq("jedlo", "naradie"))
   }
 
+  test("expression parameters compile to literals") {
+    val c = flatCube.copy(
+      measures = flatCube.measures :+
+        Measure("amount_scaled", expression = Some("amount * factor")),
+      aggregates = flatCube.aggregates :+
+        MeasureAggregate("scaled_sum", function = Some("sum"),
+          measure = Some("amount_scaled")))
+    val b = new Browser(c, new StarSchema(c, factsDf, Map("facts" -> factsDf)),
+      spark, parameters = Map("factor" -> 10))
+    val r = b.aggregate(aggregates = Seq("scaled_sum")).cells.collect()(0)
+    assert(r.getAs[Long]("scaled_sum") == 600L) // 60 * 10
+  }
+
   test("nonadditive enforcement refuses sum over a time drilldown (opt-in)") {
     val c = starCube(JoinMethod.Match).copy(
       dimensions = starCube(JoinMethod.Match).dimensions.map {
