@@ -12,6 +12,9 @@ object Smoke {
     val explain = args.sliding(2).collectFirst {
       case Array("--explain", q) => q
     }
+    val only = args.sliding(2).collectFirst {
+      case Array("--only", q) => q
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -21,11 +24,15 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val e = SparkEntry.entry(spark)
-    println(s"[smoke] entry rows=${e.count()}")
-    e.show(5, truncate = false)
+    if (only.isEmpty) {
+      val e = SparkEntry.entry(spark)
+      println(s"[smoke] entry rows=${e.count()}")
+      e.show(5, truncate = false)
+    }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         if (explain.contains(name)) df.explain("formatted")
@@ -37,8 +44,9 @@ object Smoke {
         case e: Throwable =>
           println(s"[smoke] $name FAILED: ${e.getMessage}")
           e.printStackTrace()
-      }
+      } finally graft.ops.Caches.releaseAll()
     }
+    if (only.nonEmpty) { spark.stop(); return }
 
     // library-surface sample: report fan-out, relative time cuts,
     // materialized denormalized view, cuboid pre-aggregation, formats

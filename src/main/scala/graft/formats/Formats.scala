@@ -19,7 +19,15 @@ object Formats {
 
   /** Driver-side JSON array string for small results (server responses). */
   def toJsonArray(df: DataFrame, limit: Int = 10000): String =
-    df.limit(limit).toJSON.collect().mkString("[", ",", "]")
+    toJsonArrayTruncated(df, limit)._1
+
+  /** Like [[toJsonArray]] but also reports whether the row limit cut the
+    * result short (fetches limit+1 to detect), so callers can signal
+    * truncation instead of silently dropping rows. */
+  def toJsonArrayTruncated(df: DataFrame, limit: Int = 10000): (String, Boolean) = {
+    val rows = df.limit(limit + 1).toJSON.collect()
+    (rows.take(limit).mkString("[", ",", "]"), rows.length > limit)
+  }
 
   /** Driver-side XLSX writer (reference `formatters.py:114-133` uses
     * xlsxwriter; here a minimal OOXML workbook written directly — an

@@ -36,36 +36,45 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
 
   // ------------------------------------------------------------- handler
 
+  /** Response triple + whether a row limit truncated the payload (signaled
+    * to the client as an `X-Graft-Truncated: true` header). */
+  private final case class Resp(code: Int, body: String, ctype: String,
+      truncated: Boolean = false)
+
   private final class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
         val parts = path.split("/").toList
         val q = parseQuery(ex)
-        val (code, body, ctype) = route(ex, parts, q)
-        respond(ex, code, body, ctype)
+        respond(ex, route(ex, parts, q))
       } catch {
         case e: IllegalArgumentException =>
-          respond(ex, 400, s"""{"error": ${jstr(e.getMessage)}}""", "application/json")
+          respond(ex, Resp(400, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
         case e: Throwable =>
-          respond(ex, 500, s"""{"error": ${jstr(String.valueOf(e))}}""", "application/json")
-      } finally ex.close()
+          respond(ex, Resp(500, s"""{"error": ${jstr(String.valueOf(e))}}""", "application/json"))
+      } finally {
+        // free operator-internal persists accumulated by this request —
+        // a long-lived server must not grow one cached table per call
+        graft.ops.Caches.releaseAll()
+        ex.close()
+      }
 
     private def route(ex: HttpExchange, parts: List[String],
-        q: Map[String, String]): (Int, String, String) = parts match {
+        q: Map[String, String]): Resp = parts match {
       case List("version") =>
-        (200, """{"version": "0.1.0", "server_version": "0.1.0"}""", "application/json")
+        Resp(200, """{"version": "0.1.0", "server_version": "0.1.0"}""", "application/json")
       case List("info") =>
-        (200, s"""{"engine": "cubesspark", "spark": ${jstr(workspace.spark.version)}}""",
+        Resp(200, s"""{"engine": "cubesspark", "spark": ${jstr(workspace.spark.version)}}""",
           "application/json")
       case List("cubes") =>
         val cubes = workspace.cubeNames.map { n =>
           val c = workspace.cube(n)
           s"""{"name": ${jstr(n)}, "label": ${jstr(c.label.getOrElse(n))}}"""
         }
-        (200, cubes.mkString("[", ",", "]"), "application/json")
+        Resp(200, cubes.mkString("[", ",", "]"), "application/json")
       case List("cube", name, "model") =>
-        (200, modelJson(name), "application/json")
+        Resp(200, modelJson(name), "application/json")
       case List("cube", name, "aggregate") =>
         aggregate(name, q)
       case List("cube", name, "facts") =>
@@ -85,13 +94,13 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
         val details = b.cellDetails(cell(name, q)).map { case (dim, df) =>
           s"${jstr(dim)}: ${graft.formats.Formats.toJsonArray(df)}"
         }
-        (200, details.mkString("{", ",", "}"), "application/json")
+        Resp(200, details.mkString("{", ",", "}"), "application/json")
       case List("cube", name, "report") if ex.getRequestMethod == "POST" =>
         report(name, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8), q)
-      case _ => (404, """{"error": "not found"}""", "application/json")
+      case _ => Resp(404, """{"error": "not found"}""", "application/json")
     }
 
-    private def aggregate(name: String, q: Map[String, String]): (Int, String, String) = {
+    private def aggregate(name: String, q: Map[String, String]): Resp = {
       val b = workspace.browser(name)
       val drilldown = listParam(q, "drilldown")
       val aggregates = listParam(q, "aggregates")
@@ -99,22 +108,23 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       val result = b.aggregate(cell(name, q), drilldown, aggregates, split,
         order(q), page(q), pageSize(q))
       if (q.get("format").contains("csv")) {
-        val csv = toCsv(result.cells)
-        (200, csv, "text/csv")
+        val (csv, truncated) = toCsv(result.cells)
+        Resp(200, csv, "text/csv", truncated)
       } else {
         val summary = result.summary
           .map(df => graft.formats.Formats.toJsonArray(df, 1).stripPrefix("[").stripSuffix("]"))
           .filter(_.nonEmpty).getOrElse("{}")
-        val cellsJson = graft.formats.Formats.toJsonArray(result.cells)
+        val (cellsJson, truncated) =
+          graft.formats.Formats.toJsonArrayTruncated(result.cells)
         val levels = result.levels.map { case (d, ls) =>
           s"${jstr(d)}: ${ls.map(jstr).mkString("[", ",", "]")}"
         }.mkString("{", ",", "}")
-        (200, s"""{"summary": $summary, "cells": $cellsJson, "levels": $levels}""",
-          "application/json")
+        Resp(200, s"""{"summary": $summary, "cells": $cellsJson, "levels": $levels}""",
+          "application/json", truncated)
       }
     }
 
-    private def report(name: String, body: String, q: Map[String, String]): (Int, String, String) = {
+    private def report(name: String, body: String, q: Map[String, String]): Resp = {
       val b = workspace.browser(name)
       val root = JsonMethods.parse(body)
       val items = (root \ "queries") match {
@@ -140,15 +150,20 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       val results = b.report(cell(name, q), items).map { case (qname, df) =>
         s"${jstr(qname)}: ${graft.formats.Formats.toJsonArray(df)}"
       }
-      (200, results.mkString("{", ",", "}"), "application/json")
+      Resp(200, results.mkString("{", ",", "}"), "application/json")
     }
 
     // ---------------------------------------------------------- helpers
 
     /** DataFrame → json array / csv response per `format`. */
-    private def frameResponse(df: DataFrame, q: Map[String, String]): (Int, String, String) =
-      if (q.get("format").contains("csv")) (200, toCsv(df), "text/csv")
-      else (200, graft.formats.Formats.toJsonArray(df), "application/json")
+    private def frameResponse(df: DataFrame, q: Map[String, String]): Resp =
+      if (q.get("format").contains("csv")) {
+        val (csv, truncated) = toCsv(df)
+        Resp(200, csv, "text/csv", truncated)
+      } else {
+        val (json, truncated) = graft.formats.Formats.toJsonArrayTruncated(df)
+        Resp(200, json, "application/json", truncated)
+      }
 
     private def cell(cubeName: String, q: Map[String, String]): Cell =
       q.get("cut").map(c => TimeCuts.parseCell(workspace.cube(cubeName), c))
@@ -189,16 +204,20 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       s"""{"name": ${jstr(name)}, "dimensions": $dims, "measures": $measures, "aggregates": $aggs}"""
     }
 
-    private def toCsv(df: DataFrame, limit: Int = 10000): String = {
-      val rows = df.limit(limit).collect()
+    /** RFC-4180 CSV: quote any value with a comma, quote, or line break
+      * (embedded newlines would otherwise corrupt the row structure).
+      * Returns the text plus whether the row limit truncated it. */
+    private def toCsv(df: DataFrame, limit: Int = 10000): (String, Boolean) = {
+      val fetched = df.limit(limit + 1).collect()
+      val rows = fetched.take(limit)
       val header = df.columns.mkString(",")
       val lines = rows.map(_.toSeq.map {
         case null => ""
-        case s: String if s.contains(",") || s.contains("\"") =>
+        case s: String if s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
           "\"" + s.replace("\"", "\"\"") + "\""
         case v => String.valueOf(v)
       }.mkString(","))
-      (header +: lines).mkString("\n")
+      ((header +: lines).mkString("\n"), fetched.length > limit)
     }
   }
 
@@ -226,10 +245,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       case c => c.toString
     } + "\""
 
-  private def respond(ex: HttpExchange, code: Int, body: String, ctype: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", s"$ctype; charset=utf-8")
-    ex.sendResponseHeaders(code, bytes.length)
+  private def respond(ex: HttpExchange, r: Resp): Unit = {
+    val bytes = r.body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", s"${r.ctype}; charset=utf-8")
+    if (r.truncated) ex.getResponseHeaders.set("X-Graft-Truncated", "true")
+    ex.sendResponseHeaders(r.code, bytes.length)
     ex.getResponseBody.write(bytes)
   }
 }
