@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -44,10 +43,11 @@ object Similarity {
   /** Brute-force cosine top-k: for each row of `queries`, the `k` highest
     * cosine rows of `corpus` (excluding self-matches by id).
     *
-    * Plan shape: broadcast(queries) × corpus → score → per-query top-k via
-    * rank window. The shuffle is on query id — |queries|·|corpus| scored
-    * rows reduce map-side only after ranking, so keep query batches
-    * bounded (hundreds), which is how batch ANN evaluation runs anyway. */
+    * Plan shape: broadcast(queries) × corpus → score → bounded top-k
+    * AGGREGATE ([[graft.functions.TopKAgg]]) — the partial (map-side) pass
+    * keeps only k candidates per query per partition, so the shuffle
+    * carries O(|queries|·k·partitions) structs, never the |queries|×|corpus|
+    * scored product a rank-window formulation would sort-shuffle. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int
@@ -56,57 +56,87 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    topKOf(scored, k)
   }
+
+  /** Shared tail: per-query bounded top-k + rank materialization. */
+  private[ops] def topKOf(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k_by_score(
+        col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** IVF-style approximate top-k: the corpus is partitioned into inverted
     * lists by nearest centroid; each query scans only its `nProbe` closest
-    * lists. Centroids here are a deterministic sample (the first
-    * `nCentroids` corpus vectors) — a k-means refinement would slot into
-    * the same assign→route→scan shape without touching the query path.
+    * lists.
     *
-    * Scale: centroids broadcast (small); corpus assignment is one scan +
-    * shuffle on list id; each query batch probes nProbe/nCentroids of the
-    * corpus. The standard ANN index layout, expressed as joins. */
+    * Index build (driver-side, like any ANN index build): deterministic
+    * seeds (the first `nCentroids` corpus vectors by id) refined by
+    * `kmeansIters` k-means passes. Per-dimension means are computed through
+    * an exact decimal sum (partition-order independent), so the refined
+    * centroids — and hence the routing — are deterministic run to run.
+    *
+    * Scale shape: centroids are LITERALS inside a codegen'd per-row argmax
+    * (`greatest` over `struct(score, -cid)`), so corpus-to-list assignment
+    * is ONE narrow scan — no corpus×centroid join, no window, no shuffle
+    * beyond the final route-on-cid. A k-means pass is one extra scan whose
+    * per-(cid,dim) partial sums collapse map-side before the collect.
+    * Query probe lists come from `sort_array` over the same literal scores.
+    * The standard IVF layout, expressed Spark-first. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1
   ): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col(idCol).asc).limit(nCentroids)
-        .select(monotonically_increasing_id().as("cid"), col(vecCol).as("centroid")))
+    require(nCentroids >= 2, "ivfTopK needs at least 2 centroids")
 
-    def nearestLists(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df.join(cents)
-        .withColumn("__cscore__", cosine(col(vec), col("centroid")))
-      val w = Window.partitionBy(col(id)).orderBy(col("__cscore__").desc, col("cid").asc)
-      scored.withColumn("__crank__", row_number().over(w))
-        .filter(col("__crank__") <= n)
-        .drop("centroid", "__cscore__", "__crank__")
+    var cents: Array[Array[Float]] = corpus.orderBy(col(idCol).asc)
+      .limit(nCentroids).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+
+    // score_i = dot(v, c_i)/||c_i|| — argmax over cosine without the
+    // per-row norm(v) factor (constant across centroids, so rank-invariant)
+    def scoreStructs(vec: Column): Seq[Column] =
+      cents.toSeq.zipWithIndex.map { case (c, i) =>
+        val cn = math.max(math.sqrt(c.map(x => x.toDouble * x.toDouble).sum), 1e-30)
+        struct((dot(vec, typedlit(c.toSeq)) / lit(cn)).as("s"),
+          lit(-i).as("nc"))
+      }
+    // struct(score, -cid) orders ties toward the smallest cid
+    def bestCid(vec: Column): Column =
+      greatest(scoreStructs(vec): _*).getField("nc") * -1
+    def topCids(vec: Column, n: Int): Column =
+      transform(slice(sort_array(array(scoreStructs(vec): _*), asc = false), 1, n),
+        s => s.getField("nc") * -1)
+
+    for (_ <- 0 until kmeansIters) {
+      val sums = corpus
+        .select(bestCid(col(vecCol)).as("cid"), posexplode(col(vecCol)))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("decimal(27,6)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cluster keeps its seed
+      sums.foreach { r =>
+        val cid = r.getInt(0); val pos = r.getInt(1)
+        next(cid)(pos) =
+          (BigDecimal(r.getDecimal(2)) / BigDecimal(r.getLong(3))).toFloat
+      }
+      cents = next
     }
 
-    val assigned = nearestLists(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv", 1)
-    val probes = broadcast(nearestLists(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", nProbe))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), bestCid(col(vecCol)).as("cid"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(topCids(col(vecCol), nProbe)).as("cid")))
 
     val scored = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    topKOf(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: corpus is bucketed by sign-bit
@@ -133,11 +163,6 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    topKOf(scored, k)
   }
 }

@@ -241,12 +241,12 @@ object Queries {
         aggregates = Seq("quantity_sum", "quantity_sma", "quantity_sms")
       ).cells),
 
-    // W1/W4/W6: weighted moving average + moving stddev/variance
+    // W1/W4/W5/W6: weighted moving average + moving stddev/variance/rsd
     "q25_window_wma" -> ((s, dir) =>
       b(s, dir).aggregate(
         drilldown = Seq("shipdate:year"),
         aggregates = Seq("quantity_sum", "quantity_wma", "quantity_smstd",
-          "quantity_smvar")
+          "quantity_smvar", "quantity_smrsd")
       ).cells),
 
     // W2 partitioned: window slides along the innermost drilldown only
@@ -271,14 +271,23 @@ object Queries {
         aggregates = Seq("quantity_median", "fact_count")
       ).cells),
 
-    // approximate sketch aggregates (HLL / KLL): engine-specific values,
-    // no oracle — rows-only check; the scale substitutes for q10's exact
-    // count_distinct and q29's exact median
+    // approximate sketch aggregates (HLL / quantile sketch) verified against
+    // their exact twins: the sketches' raw values are engine-specific, so the
+    // oracle-checkable surface is (exact value, within-tolerance boolean).
+    // Both sketches are deterministic for a fixed input set, so the booleans
+    // are stable run-to-run; DuckDB replays the exact side and literal TRUE.
     "q30_approx_sketches" -> ((s, dir) =>
       b(s, dir).aggregate(
         drilldown = Seq("returnflag"),
-        aggregates = Seq("parts_approx", "fact_count")
-      ).cells),
+        aggregates = Seq("parts", "parts_approx", "quantity_median",
+          "quantity_approx_median", "fact_count")
+      ).cells
+        .select(col("returnflag"), col("parts"), col("quantity_median"),
+          col("fact_count"),
+          (abs(col("parts_approx") - col("parts")) <=
+            greatest(col("parts") * 0.15, lit(1.0))).as("approx_cd_ok"),
+          (abs(col("quantity_approx_median") - col("quantity_median")) <=
+            greatest(col("quantity_median") * 0.05, lit(1.0))).as("approx_med_ok"))),
 
     // O6 extension: per-group top-k — 2 best nations per region by revenue
     "q33_topk_per_group" -> ((s, dir) =>
@@ -557,7 +566,9 @@ object Queries {
          |    WHEN 2 THEN (1 * v1 + 2 * quantity_sum) / 3.0
          |    ELSE quantity_sum END, 4) AS quantity_wma,
          |  ROUND(STDDEV_SAMP(quantity_sum) OVER w, 2) AS quantity_smstd,
-         |  ROUND(VAR_SAMP(quantity_sum) OVER w, 2) AS quantity_smvar
+         |  ROUND(VAR_SAMP(quantity_sum) OVER w, 2) AS quantity_smvar,
+         |  ROUND(STDDEV_SAMP(quantity_sum) OVER w
+         |    / AVG(quantity_sum) OVER w, 4) AS quantity_smrsd
          |FROM r
          |WINDOW w AS (ORDER BY "shipdate.year"
          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -586,6 +597,17 @@ object Queries {
       s"""SELECT l_returnflag AS returnflag,
          |  quantile_cont(l_quantity, 0.5) AS quantity_median,
          |  COUNT(1) AS fact_count
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sketch values are engine-specific; the oracle checks the exact twins
+    // and asserts the within-tolerance booleans Spark computed are TRUE
+    "q30_approx_sketches" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  COUNT(DISTINCT l_partkey) AS parts,
+         |  quantile_cont(l_quantity, 0.5) AS quantity_median,
+         |  COUNT(1) AS fact_count,
+         |  TRUE AS approx_cd_ok, TRUE AS approx_med_ok
          |FROM lineitem
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -117,6 +117,7 @@ object TpchModel {
       MeasureAggregate("parts", function = Some("count_distinct"), measure = Some("part.partkey")),
       MeasureAggregate("parts_approx", function = Some("approx_count_distinct"), measure = Some("part.partkey")),
       MeasureAggregate("quantity_median", function = Some("median"), measure = Some("quantity")),
+      MeasureAggregate("quantity_approx_median", function = Some("approx_median"), measure = Some("quantity")),
       MeasureAggregate("price_hi_sum", function = Some("sum"), measure = Some("price_hi")),
       MeasureAggregate("price_range",
         expression = Some("max(extendedprice) - min(extendedprice)")),

@@ -110,4 +110,23 @@ class PlanSpec extends AnyFunSuite {
     // codegen'd operators print as "*(stageId) Op" in the final plan
     assert(physicalPlan(df).contains("*(1)"), physicalPlan(df))
   }
+
+  test("IVF: no Window, no corpus×centroid join — assignment is a narrow scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.ops.Similarity.ivfTopK(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), emb,
+      "vec_id", "embedding", 3, nCentroids = 4, nProbe = 2)
+    val plan = physicalPlan(df)
+    val windows = plan.linesIterator.count(_.contains("Window "))
+    assert(windows == 0,
+      s"expected no Window (bounded top-k aggregate instead), got $windows:\n$plan")
+    // exactly one join: the probe→inverted-list route
+    val joinOps = plan.linesIterator.count(_.contains("HashJoin"))
+    assert(joinOps == 1,
+      s"expected exactly 1 join (probe routing), got $joinOps:\n$plan")
+    // the top-k is a real two-phase aggregate (map-side partial bound)
+    assert(plan.contains("topkbyscoreagg") || plan.contains("TopKByScore")
+      || plan.contains("ObjectHashAggregate"),
+      s"expected bounded top-k aggregate in plan:\n$plan")
+  }
 }
