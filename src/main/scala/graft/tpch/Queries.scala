@@ -297,6 +297,139 @@ object Queries {
         aggregates = Seq("revenue_sum"),
         rankBy = "revenue_sum", k = 2)),
 
+    // ---- materialization sinks (S4/S5/S6) and formats (S7): write the
+    // sink, read it back, and aggregate the read-back — the oracle checks
+    // the full write→read round-trip against the source tables.
+
+    // S4: denormalized star view → parquet → browse join-free
+    "q34_materialize_denorm" -> ((s, dir) => {
+      val br = b(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_denorm").toString
+      graft.materialize.Materialize.writeDenormalized(br, path)
+      s.read.parquet(path)
+        .groupBy(col("`customer.region_name`"))
+        .agg(AggFunctions.exactSum(col("quantity"),
+          org.apache.spark.sql.types.DoubleType).as("quantity_sum"),
+          count(lit(1)).as("fact_count"))
+        .orderBy(col("`customer.region_name`"))
+    }),
+
+    // S5: pre-aggregated cuboid → parquet → roll up further (exact decimal
+    // sums re-aggregate associatively, so the rollup of the materialized
+    // grain must equal the direct aggregate)
+    "q35_materialize_preagg" -> ((s, dir) => {
+      val br = b(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_preagg").toString
+      graft.materialize.Materialize.preAggregate(br,
+        Seq("returnflag", "linestatus"), Seq("quantity_sum", "fact_count"), path)
+      s.read.parquet(path)
+        .groupBy(col("returnflag"))
+        .agg(sum(col("quantity_sum").cast(AggFunctions.SumDecimal))
+          .cast("double").as("quantity_sum"),
+          sum(col("fact_count")).as("fact_count"))
+        .orderBy(col("returnflag"))
+    }),
+
+    // S6: conformed dimension extraction → parquet → read back
+    "q36_materialize_dim" -> ((s, dir) => {
+      val br = b(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_dim").toString
+      graft.materialize.Materialize.extractDimension(br, "customer", path)
+      val back = s.read.parquet(path)
+      back.orderBy(back.columns.map(c => col(s"`$c`")): _*)
+    }),
+
+    // S7: CSV + JSON-lines sinks round-trip the same aggregate; both
+    // read-backs joined on the drilldown keys must carry identical values
+    "q37_formats_roundtrip" -> ((s, dir) => {
+      val br = b(s, dir)
+      val agg = br.aggregate(
+        drilldown = Seq("returnflag", "linestatus"),
+        aggregates = Seq("quantity_sum", "fact_count")).cells
+      val csvPath = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val jsonPath = java.nio.file.Files.createTempDirectory("graft_json").toString
+      graft.formats.Formats.writeCsv(agg, csvPath)
+      graft.formats.Formats.writeJsonLines(agg, jsonPath)
+      val csv = s.read.option("header", "true").schema(agg.schema).csv(csvPath)
+      val json = s.read.schema(agg.schema).json(jsonPath)
+        .withColumnRenamed("quantity_sum", "quantity_sum_json")
+        .withColumnRenamed("fact_count", "fact_count_json")
+      csv.join(json, Seq("returnflag", "linestatus"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // T2/T3/T6: the Calendar module's datetime→path decomposition,
+    // truncation, and since-period-start, replayed by DuckDB's date
+    // functions over every distinct ship date. The calendar math is
+    // driver-side pure Scala (it computes cut *members*), so the query
+    // maps the distinct-date frame through it on the driver — bounded by
+    // the calendar's cardinality, not the fact table.
+    "q38_calendar_paths" -> ((s, dir) => {
+      import s.implicits._
+      val cal = graft.calendar.Calendar
+      val dates = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_shipdate")).distinct()
+        .collect().map { r => // timestamp[ms] NTZ reads back as LocalDateTime
+          r.get(0) match {
+            case ldt: java.time.LocalDateTime => ldt
+            case ts: java.sql.Timestamp       => ts.toLocalDateTime
+          }
+        }
+      dates.toSeq.map { dt =>
+        val Seq(y, q, m, w, d, dow) =
+          cal.path(dt, Seq("year", "quarter", "month", "week", "day", "weekday"))
+        (dt.toLocalDate.toString,
+          y.toLong, q.toLong, m.toLong, w.toLong, d.toLong, dow.toLong,
+          cal.path(dt, Seq("isoyear")).head.toLong,
+          cal.truncate(dt, "month").toLocalDate.toString,
+          cal.truncate(dt, "week").toLocalDate.toString,
+          cal.sincePeriodStart("quarter", "day", dt))
+      }.toDF("shipdate", "y", "q", "m", "w", "d", "dow", "isoy",
+        "month_start", "week_start", "days_into_quarter")
+        .orderBy(col("shipdate"))
+    }),
+
+    // T5: cut-string parsing (incl. the time-path grammar) feeding F3/F4
+    "q39_time_cut_strings" -> ((s, dir) => {
+      val cell = graft.browser.TimeCuts.parseCell(TpchModel.cube,
+        "shipdate:1994,3-1995,1|returnflag:R",
+        java.time.LocalDateTime.of(1998, 1, 1, 0, 0))
+      b(s, dir).aggregate(cell,
+        drilldown = Seq("shipdate:quarter"),
+        aggregates = Seq("quantity_sum", "fact_count")).cells
+    }),
+
+    // T4: relative range name (`last4quarters`) against a fixed anchor;
+    // the full-depth (y,q,m,d) lexicographic range is exactly a date
+    // BETWEEN, which is what the oracle replays
+    "q55_relative_range" -> ((s, dir) => {
+      val cell = graft.browser.TimeCuts.parseCell(TpchModel.cube,
+        "shipdate:last4quarters",
+        java.time.LocalDateTime.of(1996, 5, 10, 0, 0))
+      b(s, dir).aggregate(cell,
+        drilldown = Seq("shipdate:year"),
+        aggregates = Seq("quantity_sum", "fact_count")).cells
+    }),
+
+    // T4: relative point name (`3yearsago`) → full-depth calendar path
+    "q56_relative_point" -> ((s, dir) => {
+      val cell = graft.browser.TimeCuts.parseCell(TpchModel.cube,
+        "shipdate:3yearsago",
+        java.time.LocalDateTime.of(1998, 3, 5, 0, 0))
+      b(s, dir).aggregate(cell,
+        drilldown = Seq("returnflag"),
+        aggregates = Seq("quantity_sum", "fact_count")).cells
+    }),
+
+    // A11: total drilldown cell count before pagination (the reference's
+    // third query, `sql/browser.py:436-439`) surfaced as a one-row frame
+    "q57_cell_count" -> ((s, dir) => {
+      val r = b(s, dir).aggregate(
+        drilldown = Seq("customer:customer"), // full hierarchy depth
+        aggregates = Seq("fact_count"))
+      r.cells.agg(count(lit(1)).as("total_cells"))
+    }),
+
     // second cube: the events fact browsed through the same OLAP verbs
     "q31_events_cube" -> ((s, dir) =>
       EventsModel.browser(s, dir).aggregate(
@@ -599,6 +732,78 @@ object Queries {
          |  COUNT(1) AS fact_count
          |FROM lineitem
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_materialize_denorm" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |$custJoin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_materialize_preagg" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_materialize_dim" ->
+      s"""SELECT DISTINCT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name",
+         |  c_custkey AS "customer.custkey", c_name AS "customer.name",
+         |  c_mktsegment AS "customer.mktsegment"
+         |$custJoin
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q37_formats_roundtrip" ->
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count,
+         |  ${dsum("l_quantity")} AS quantity_sum_json,
+         |  COUNT(1) AS fact_count_json
+         |FROM lineitem
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q38_calendar_paths" ->
+      s"""SELECT strftime(d, '%Y-%m-%d') AS shipdate,
+         |  CAST(year(d) AS BIGINT) AS y, CAST(quarter(d) AS BIGINT) AS q,
+         |  CAST(month(d) AS BIGINT) AS m, CAST(weekofyear(d) AS BIGINT) AS w,
+         |  CAST(day(d) AS BIGINT) AS d, CAST(isodow(d) - 1 AS BIGINT) AS dow,
+         |  CAST(isoyear(d) AS BIGINT) AS isoy,
+         |  strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+         |  strftime(date_trunc('week', d), '%Y-%m-%d') AS week_start,
+         |  date_diff('day', date_trunc('quarter', d), d) AS days_into_quarter
+         |FROM (SELECT DISTINCT l_shipdate AS d FROM lineitem)
+         |ORDER BY 1""".stripMargin,
+
+    "q39_time_cut_strings" ->
+      s"""SELECT ${dyear("l_shipdate")} AS "shipdate.year",
+         |  ${dquarter("l_shipdate")} AS "shipdate.quarter",
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |FROM lineitem
+         |WHERE ((${dyear("l_shipdate")} = 1994 AND ${dquarter("l_shipdate")} >= 3)
+         |       OR ${dyear("l_shipdate")} > 1994)
+         |  AND ((${dyear("l_shipdate")} = 1995 AND ${dquarter("l_shipdate")} <= 1)
+         |       OR ${dyear("l_shipdate")} < 1995)
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q55_relative_range" ->
+      s"""SELECT ${dyear("l_shipdate")} AS "shipdate.year",
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1995-07-01 00:00:00'
+         |  AND TIMESTAMP '1996-05-10 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_relative_point" ->
+      s"""SELECT l_returnflag AS returnflag,
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) = DATE '1995-03-05'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q57_cell_count" ->
+      s"""SELECT COUNT(1) AS total_cells FROM (
+         |  SELECT DISTINCT r_name, n_name, c_custkey, c_name, c_mktsegment
+         |  $custJoin)""".stripMargin,
 
     // sketch values are engine-specific; the oracle checks the exact twins
     // and asserts the within-tolerance booleans Spark computed are TRUE
