@@ -23,6 +23,22 @@ final case class AggregationResult(
   def totalCellCount: Long = cells.count()
 }
 
+/** One level's detail record (reference `_path_details` item,
+  * `query/browser.py:589-627`): every level attribute's value plus the
+  * redundant `_key`/`_label`. */
+final case class LevelDetails(
+    level: String, attributes: Map[String, Any], key: Any, label: Any)
+
+/** Details for one cut of a cell (reference `cut_details`,
+  * `query/browser.py:557-586`). A missing path yields None. */
+sealed trait CutDetails { def cut: Cut }
+final case class PointDetails(cut: Cut,
+    levels: Option[Seq[LevelDetails]]) extends CutDetails
+final case class SetDetails(cut: Cut,
+    paths: Seq[Option[Seq[LevelDetails]]]) extends CutDetails
+final case class RangeDetails(cut: Cut,
+    from: Option[Seq[LevelDetails]], to: Option[Seq[LevelDetails]]) extends CutDetails
+
 /** One item of a report fan-out (reference request shape,
   * `query/browser.py:459-523`). */
 final case class ReportItem(
@@ -69,7 +85,14 @@ final class Browser(
     /** Query parameters for derived-attribute expressions: identifiers in
       * an expression that match a key here compile to the literal value
       * (reference `parameters` dict, `sql/expressions.py:96-97`). */
-    parameters: Map[String, Any] = Map.empty
+    parameters: Map[String, Any] = Map.empty,
+    /** Authorization hierarchy limits (reference `auth.py:380-386`,
+      * consumed `metadata/dimension.py:560-590`): per-(dim, hierarchy)
+      * maximum visible level. The reference trims only the served model;
+      * here drilldowns and member listings are also CLAMPED at browse
+      * time, so restricted grain cannot be queried directly either. A
+      * limit with `level = None` hides the hierarchy (browsing it throws). */
+    hierarchyLimits: Seq[graft.auth.HierarchyLimit] = Nil
 ) {
   /** The split pseudo-dimension column (reference `query/browser.py:35`). */
   val SplitColumn = "__within_split__"
@@ -78,6 +101,38 @@ final class Browser(
   /** Restriction applied to a caller cell. */
   private def restricted(cell: Cell): Cell =
     if (restrictionCell.isEmpty) cell else cell & restrictionCell
+
+  /** Max visible depth for (dim, hierarchy) under [[hierarchyLimits]]:
+    * None = unlimited, Some(0) = hierarchy hidden entirely. Most
+    * restrictive applicable limit wins. */
+  private def limitDepth(dim: Dimension, hierName: Option[String]): Option[Int] = {
+    if (hierarchyLimits.isEmpty) return None
+    val hier = dim.hierarchy(hierName)
+    val depths = hierarchyLimits.collect {
+      case l if l.dim == dim.name &&
+        dim.hierarchy(l.hierarchy).name == hier.name =>
+        l.level.map(lv => hier.levelIndex(lv) + 1).getOrElse(0)
+    }
+    if (depths.isEmpty) None else Some(depths.min)
+  }
+
+  /** Clamp resolved drilldown items to their authorized depth (drops deep
+    * levels silently, like the reference's model trim; a fully hidden
+    * hierarchy refuses the browse). */
+  private def clampToLimits(dd: Seq[DrilldownItem]): Seq[DrilldownItem] =
+    dd.map { item =>
+      limitDepth(item.dim, item.hierarchyName) match {
+        case None => item
+        case Some(0) => throw new graft.auth.NotAuthorized(
+          s"hierarchy '${item.dim.name}' is not authorized")
+        case Some(d) if item.levelNames.size > d =>
+          item.copy(levelNames = item.levelNames.take(d))
+        case _ => item
+      }
+    }
+
+  private def resolveDrilldown(cell: Cell, specs: Seq[String]): Seq[DrilldownItem] =
+    clampToLimits(Drilldown.resolve(cube, cell, specs))
 
   // ---------------------------------------------------------------- public
 
@@ -113,7 +168,7 @@ final class Browser(
     val (windowAggs, builtinAggs) =
       aggs.partition(_.function.exists(WindowCalcs.isWindowFunction))
 
-    val dd = Drilldown.resolve(cube, effCell, drilldown)
+    val dd = resolveDrilldown(effCell, drilldown)
     checkHighCardinality(dd, effCell, page, pageSize)
     checkNonadditive(dd, builtinAggs)
 
@@ -199,7 +254,7 @@ final class Browser(
     val aggs = (if (aggregates.isEmpty) cube.aggregates else aggregates.map(cube.aggregate))
       .filterNot(_.function.exists(WindowCalcs.isWindowFunction))
     require(aggs.nonEmpty, "aggregateFused needs at least one builtin aggregate")
-    val dd = Drilldown.resolve(cube, effCell, drilldown)
+    val dd = resolveDrilldown(effCell, drilldown)
     val ddRefs = dd.flatMap(_.allRefs)
     val projected = projectedFrame(
       (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(effCell)).distinct)
@@ -241,7 +296,7 @@ final class Browser(
   ): DataFrame = {
     val aggs = (if (aggregates.isEmpty) Seq(Cube.FactCount) else aggregates.map(cube.aggregate))
       .filterNot(_.function.exists(WindowCalcs.isWindowFunction))
-    val dd = Drilldown.resolve(cube, cell, drilldown)
+    val dd = clampToLimits(Drilldown.resolve(cube, cell, drilldown))
     val ddRefs = dd.flatMap(_.keyRefs)
     val projected = projectedFrame(
       (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(cell)).distinct)
@@ -277,8 +332,8 @@ final class Browser(
     val base = aggregate(cell, groupDrilldown ++ rankDrilldown, aggregates,
       includeSummary = false).cells
     val effCell = restricted(cell)
-    val groupKeys = Drilldown.resolve(cube, effCell, groupDrilldown).flatMap(_.keyRefs)
-    val rankKeys = Drilldown.resolve(cube, effCell, rankDrilldown).flatMap(_.keyRefs)
+    val groupKeys = resolveDrilldown(effCell, groupDrilldown).flatMap(_.keyRefs)
+    val rankKeys = resolveDrilldown(effCell, rankDrilldown).flatMap(_.keyRefs)
     val rankCol = if (rankBy.nonEmpty) rankBy
       else aggregates.headOption.getOrElse(cube.aggregates.head.name)
     val w0 = if (groupKeys.isEmpty) Window.partitionBy()
@@ -328,9 +383,16 @@ final class Browser(
     val effCell = restricted(cell)
     val dim = cube.dimension(dimName)
     val hier = dim.hierarchy(hierarchy)
-    val levels = levelName match {
+    val levels0 = levelName match {
       case Some(l) => hier.levelsForDepth(hier.levelIndex(l) + 1)
       case None    => hier.levelsForDepth(depth.getOrElse(hier.levelNames.size))
+    }
+    // authorization: member listings clamp to the hierarchy limit too
+    val levels = limitDepth(dim, hierarchy) match {
+      case None => levels0
+      case Some(0) => throw new graft.auth.NotAuthorized(
+        s"hierarchy '$dimName' is not authorized")
+      case Some(d) => levels0.take(d)
     }
     val attrs = levels.map(dim.level).flatMap(_.attributes.map(_.ref))
     val projected = projectedFrame((attrs ++ cellRefs(effCell)).distinct)
@@ -359,26 +421,83 @@ final class Browser(
         case "members" => members(itemCell,
           item.dim.getOrElse(throw new IllegalArgumentException(
             s"report '$name': members needs a dimension")), item.depth)
-        case "cell"    => cellDetails(itemCell).values.reduceOption(_ unionByName _)
-          .getOrElse(spark.emptyDataFrame)
+        case "cell"    => cellDetailsFrame(itemCell, item.dim)
         case other => throw new IllegalArgumentException(
           s"report '$name': unknown query kind '$other'")
       }
       name -> df
     }
 
-  /** Cell details: for each cut, the full attribute record of each path
-    * member (reference `query/browser.py:525-639`, simplified). */
-  def cellDetails(cell: Cell): Map[String, DataFrame] =
-    cell.cuts.map { cut =>
-      val dim = cube.dimension(cut.dim)
-      val hier = dim.hierarchy(cut.hierarchy)
-      val levels = hier.levelsForDepth(cut.levelDepth)
-      val attrs = levels.map(dim.level).flatMap(_.attributes.map(_.ref))
-      val projected = projectedFrame(attrs.distinct)
-      val filtered = cutPredicate(projected, cut).map(projected.filter).getOrElse(projected)
-      cut.dim -> filtered.select(attrs.distinct.map(bcol): _*).distinct()
-    }.toMap
+  /** Cell details, reference shape (`query/browser.py:525-639`): one
+    * entry per cut (optionally filtered by `dimension`); a PointCut yields
+    * per-level records down its path, a SetCut one record list per path,
+    * a RangeCut `from`/`to` record lists. Each level record carries every
+    * attribute of the level (values fetched from the star) plus the
+    * redundant `_key`/`_label` pair (`_path_details`,
+    * `query/browser.py:589-627`). */
+  def cellDetails(cell: Cell, dimension: Option[String] = None): Seq[CutDetails] = {
+    val cuts = dimension match {
+      case Some(d) => cell.cuts.filter(_.dim == d)
+      case None    => cell.cuts
+    }
+    cuts.map(cutDetails)
+  }
+
+  /** Reference `cut_details` (`query/browser.py:557-586`). */
+  def cutDetails(cut: Cut): CutDetails = {
+    val dim = cube.dimension(cut.dim)
+    cut match {
+      case PointCut(_, path, h, _) =>
+        PointDetails(cut, pathDetails(dim, path, h))
+      case SetCut(_, paths, h, _) =>
+        SetDetails(cut, paths.map(pathDetails(dim, _, h)))
+      case RangeCut(_, from, to, h, _) =>
+        RangeDetails(cut,
+          from.flatMap(pathDetails(dim, _, h)), to.flatMap(pathDetails(dim, _, h)))
+    }
+  }
+
+  /** Per-level records for a dimension path (reference `_path_details` +
+    * the SQL backend's data-backed `path_details`): one star lookup for
+    * the path's attribute values — bounded work, like the reference's
+    * per-path SELECT. None when no such path exists. */
+  def pathDetails(dim: Dimension, path: Seq[String],
+      hierName: Option[String]): Option[Seq[LevelDetails]] = {
+    if (path.isEmpty) return Some(Nil)
+    val hier = dim.hierarchy(hierName)
+    val levels = hier.levelsForDepth(path.size).map(dim.level)
+    val attrs = levels.flatMap(_.attributes.map(_.ref)).distinct
+    val projected = projectedFrame(attrs)
+    val probe = PointCut(dim.name, path, hierName)
+    val filtered = cutPredicate(projected, probe)
+      .map(projected.filter).getOrElse(projected)
+    filtered.select(attrs.map(bcol): _*).limit(1).collect().headOption.map { r =>
+      val byRef = attrs.zipWithIndex.map { case (a, i) => a -> r.get(i) }.toMap
+      levels.map { l =>
+        LevelDetails(l.name,
+          l.attributes.map(a => a.ref -> byRef(a.ref)).toMap,
+          byRef(l.key.ref), byRef(l.labelAttribute.ref))
+      }
+    }
+  }
+
+  /** [[cellDetails]] flattened to a frame — (dim, level, _key, _label)
+    * rows per cut path, for report fan-outs and oracle checks. */
+  def cellDetailsFrame(cell: Cell, dimension: Option[String] = None): DataFrame = {
+    val rows = cellDetails(cell, dimension).flatMap { cd =>
+      def levelRows(ls: Option[Seq[LevelDetails]], tag: String) =
+        ls.toSeq.flatten.map(l => (cd.cut.dim, tag, l.level,
+          String.valueOf(l.key), String.valueOf(l.label)))
+      cd match {
+        case PointDetails(_, ls)      => levelRows(ls, "point")
+        case SetDetails(_, paths)     => paths.flatMap(levelRows(_, "set"))
+        case RangeDetails(_, from, to) =>
+          levelRows(from, "from") ++ levelRows(to, "to")
+      }
+    }
+    import spark.implicits._
+    rows.toDF("dim", "part", "level", "_key", "_label")
+  }
 
   // ------------------------------------------------------------- internals
 

@@ -47,8 +47,10 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
         val parts = path.split("/").toList
         val q = parseQuery(ex)
-        respond(ex, route(ex, parts, q))
+        respond(ex, route(ex, parts, q, identityOf(ex, q)))
       } catch {
+        case e: graft.auth.NotAuthorized =>
+          respond(ex, Resp(403, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
         case e: IllegalArgumentException =>
           respond(ex, Resp(400, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
         case e: Throwable =>
@@ -60,48 +62,59 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
         ex.close()
       }
 
+    /** Identity: `?identity=` / `?api_key=` query param or
+      * `Authorization: Bearer <id>` header (reference http_get/parameter
+      * methods of `SimpleAuthenticator`, `server/auth.py`). */
+    private def identityOf(ex: HttpExchange, q: Map[String, String]): Option[String] =
+      q.get("identity").orElse(q.get("api_key")).orElse(
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .map(_.stripPrefix("Bearer").trim).filter(_.nonEmpty))
+
     private def route(ex: HttpExchange, parts: List[String],
-        q: Map[String, String]): Resp = parts match {
+        q: Map[String, String], id: Option[String]): Resp = parts match {
       case List("version") =>
         Resp(200, """{"version": "0.1.0", "server_version": "0.1.0"}""", "application/json")
       case List("info") =>
         Resp(200, s"""{"engine": "cubesspark", "spark": ${jstr(workspace.spark.version)}}""",
           "application/json")
       case List("cubes") =>
-        val cubes = workspace.cubeNames.map { n =>
+        val cubes = workspace.authorizedCubes(id).map { n =>
           val c = workspace.cube(n)
           s"""{"name": ${jstr(n)}, "label": ${jstr(c.label.getOrElse(n))}}"""
         }
         Resp(200, cubes.mkString("[", ",", "]"), "application/json")
       case List("cube", name, "model") =>
-        Resp(200, modelJson(name), "application/json")
+        Resp(200, modelJson(name, id), "application/json")
       case List("cube", name, "aggregate") =>
-        aggregate(name, q)
+        aggregate(name, q, id)
       case List("cube", name, "facts") =>
-        val b = workspace.browser(name)
+        val b = workspace.browserFor(id, name)
         val df = b.facts(cell(name, q), fields(q), order(q), page(q), pageSize(q))
         frameResponse(df, q)
-      case List("cube", name, "fact", id) =>
-        val b = workspace.browser(name)
-        frameResponse(b.fact(parseKey(id)), q)
+      case List("cube", name, "fact", key) =>
+        val b = workspace.browserFor(id, name)
+        frameResponse(b.fact(parseKey(key)), q)
       case List("cube", name, "members", dim) =>
-        val b = workspace.browser(name)
+        val b = workspace.browserFor(id, name)
         frameResponse(b.members(cell(name, q), dim,
           q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
           page(q), pageSize(q)), q)
       case List("cube", name, "cell") =>
-        val b = workspace.browser(name)
-        val details = b.cellDetails(cell(name, q)).map { case (dim, df) =>
-          s"${jstr(dim)}: ${graft.formats.Formats.toJsonArray(df)}"
-        }
-        Resp(200, details.mkString("{", ",", "}"), "application/json")
+        val b = workspace.browserFor(id, name)
+        // reference shape (`/cell`, blueprint.py + query/browser.py:525):
+        // a list, one element per cut; point → level records, set → list
+        // of record lists, range → {"from": …, "to": …}
+        val details = b.cellDetails(cell(name, q), q.get("dimension"))
+        Resp(200, details.map(cutDetailsJson).mkString("[", ",", "]"),
+          "application/json")
       case List("cube", name, "report") if ex.getRequestMethod == "POST" =>
-        report(name, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8), q)
+        report(name, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8), q, id)
       case _ => Resp(404, """{"error": "not found"}""", "application/json")
     }
 
-    private def aggregate(name: String, q: Map[String, String]): Resp = {
-      val b = workspace.browser(name)
+    private def aggregate(name: String, q: Map[String, String],
+        id: Option[String]): Resp = {
+      val b = workspace.browserFor(id, name)
       val drilldown = listParam(q, "drilldown")
       val aggregates = listParam(q, "aggregates")
       val split = q.get("split").map(s => TimeCuts.parseCell(b.cube, s))
@@ -124,8 +137,9 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       }
     }
 
-    private def report(name: String, body: String, q: Map[String, String]): Resp = {
-      val b = workspace.browser(name)
+    private def report(name: String, body: String, q: Map[String, String],
+        id: Option[String]): Resp = {
+      val b = workspace.browserFor(id, name)
       val root = JsonMethods.parse(body)
       val items = (root \ "queries") match {
         case JObject(fields) => fields.map { case (qname, v) =>
@@ -154,6 +168,31 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
     }
 
     // ---------------------------------------------------------- helpers
+
+    private def jval(v: Any): String = v match {
+      case null                  => "null"
+      case n: java.lang.Number   => n.toString
+      case b: java.lang.Boolean  => b.toString
+      case other                 => jstr(String.valueOf(other))
+    }
+
+    private def levelRecordsJson(ls: Option[Seq[graft.browser.LevelDetails]]): String =
+      ls match {
+        case None => "null"
+        case Some(recs) => recs.map { l =>
+          (l.attributes.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}: ${jval(v)}" } ++
+            Seq(s""""_key": ${jval(l.key)}""", s""""_label": ${jval(l.label)}"""))
+            .mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+      }
+
+    private def cutDetailsJson(cd: graft.browser.CutDetails): String = cd match {
+      case graft.browser.PointDetails(_, ls) => levelRecordsJson(ls)
+      case graft.browser.SetDetails(_, paths) =>
+        paths.map(levelRecordsJson).mkString("[", ",", "]")
+      case graft.browser.RangeDetails(_, from, to) =>
+        s"""{"from": ${levelRecordsJson(from)}, "to": ${levelRecordsJson(to)}}"""
+    }
 
     /** DataFrame → json array / csv response per `format`. */
     private def frameResponse(df: DataFrame, q: Map[String, String]): Resp =
@@ -190,14 +229,32 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
     private def parseKey(s: String): Any =
       try java.lang.Long.valueOf(s) catch { case _: NumberFormatException => s }
 
-    private def modelJson(name: String): String = {
+    /** Cube model with per-identity hierarchy trimming (reference
+      * `/cube/<name>/model`, `blueprint.py:290-302` →
+      * `dimension.to_dict(hierarchy_limits=...)`,
+      * `metadata/dimension.py:560-590`): a limited hierarchy lists only
+      * levels down to the limit; a `level=None` limit hides it. */
+    private def modelJson(name: String, id: Option[String]): String = {
       val c = workspace.cube(name)
+      val limits = workspace.authorizer
+        .map(_.hierarchyLimits(id.getOrElse(""), name)).getOrElse(Nil)
       val dims = c.dimensions.map { d =>
         val levels = d.levels.map(l =>
           s"""{"name": ${jstr(l.name)}, "attributes": ${
             l.attributes.map(a => jstr(a.name)).mkString("[", ",", "]")}}""")
           .mkString("[", ",", "]")
-        s"""{"name": ${jstr(d.name)}, "levels": $levels}"""
+        val hiers = d.hierarchies.flatMap { h =>
+          val applicable = limits.filter(l => l.dim == d.name &&
+            d.hierarchy(l.hierarchy).name == h.name)
+          val depth =
+            if (applicable.isEmpty) h.levelNames.size
+            else applicable.map(_.level
+              .map(lv => h.levelIndex(lv) + 1).getOrElse(0)).min
+          if (depth == 0) None // hierarchy hidden for this identity
+          else Some(s"""{"name": ${jstr(h.name)}, "levels": ${
+            h.levelNames.take(depth).map(jstr).mkString("[", ",", "]")}}""")
+        }.mkString("[", ",", "]")
+        s"""{"name": ${jstr(d.name)}, "levels": $levels, "hierarchies": $hiers}"""
       }.mkString("[", ",", "]")
       val measures = c.measures.map(m => jstr(m.name)).mkString("[", ",", "]")
       val aggs = c.aggregates.map(a => jstr(a.name)).mkString("[", ",", "]")

@@ -421,6 +421,42 @@ object Queries {
         aggregates = Seq("quantity_sum", "fact_count")).cells
     }),
 
+    // Authorization: restriction cell + hierarchy_limits — the identity
+    // may see only ASIA and only down to the nation level, so a
+    // full-depth customer drilldown is CLAMPED to (region, nation)
+    "q58_auth_hierarchy_limit" -> ((s, dir) => {
+      val t = TpchModel.tables(s, dir)
+      val br = new graft.browser.Browser(TpchModel.cube,
+        new graft.star.StarSchema(TpchModel.cube, t(TpchModel.cube.factTable), t), s,
+        restrictionCell = Cell(PointCut("customer", Seq("ASIA"))),
+        hierarchyLimits = Seq(graft.auth.HierarchyLimit("customer", None, Some("nation"))))
+      br.aggregate(
+        drilldown = Seq("customer:customer"), // requests full depth; clamped
+        aggregates = Seq("quantity_sum", "fact_count")).cells
+    }),
+
+    // Cell details, reference shape: per-level _key/_label records for a
+    // full-depth point cut plus a range cut's from/to paths. The customer
+    // key is data-determined (smallest INDIA customer with lineitems) so
+    // the query is stable across scale factors.
+    "q59_cell_details" -> ((s, dir) => {
+      val br = b(s, dir)
+      val t = TpchModel.tables(s, dir)
+      val r0 = t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"), col("n_name"))
+        .orderBy(col("c_custkey")).limit(1).collect()(0)
+      val ck = r0.getLong(0); val nat = r0.getString(1)
+      br.cellDetailsFrame(Cell(Seq(
+        PointCut("customer", Seq("ASIA", nat, ck.toString)),
+        RangeCut("shipdate", Some(Seq("1995", "2")), Some(Seq("1996", "1"))))))
+        .orderBy(col("dim"), col("part"), col("level"), col("_key"))
+    }),
+
     // A11: total drilldown cell count before pagination (the reference's
     // third query, `sql/browser.py:436-439`) surfaced as a one-row frame
     "q57_cell_count" -> ((s, dir) => {
@@ -804,6 +840,30 @@ object Queries {
       s"""SELECT COUNT(1) AS total_cells FROM (
          |  SELECT DISTINCT r_name, n_name, c_custkey, c_name, c_mktsegment
          |  $custJoin)""".stripMargin,
+
+    "q59_cell_details" ->
+      s"""WITH ck AS (SELECT c_custkey AS k, n_name AS nat $custJoin
+         |  WHERE r_name = 'ASIA' ORDER BY c_custkey LIMIT 1),
+         |cust AS (SELECT c_custkey, c_name, nat FROM customer, ck WHERE c_custkey = ck.k)
+         |SELECT * FROM (
+         |  SELECT 'customer' AS dim, 'point' AS part, 'region' AS "level",
+         |    'ASIA' AS "_key", 'ASIA' AS "_label"
+         |  UNION ALL SELECT 'customer', 'point', 'nation', nat, nat FROM cust
+         |  UNION ALL SELECT 'customer', 'point', 'customer',
+         |    CAST(c_custkey AS VARCHAR), c_name FROM cust
+         |  UNION ALL SELECT 'shipdate', 'from', 'year', '1995', '1995'
+         |  UNION ALL SELECT 'shipdate', 'from', 'quarter', '2', '2'
+         |  UNION ALL SELECT 'shipdate', 'to', 'year', '1996', '1996'
+         |  UNION ALL SELECT 'shipdate', 'to', 'quarter', '1', '1')
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q58_auth_hierarchy_limit" ->
+      s"""SELECT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name",
+         |  ${dsum("l_quantity")} AS quantity_sum, COUNT(1) AS fact_count
+         |$custJoin
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // sketch values are engine-specific; the oracle checks the exact twins
     // and asserts the within-tolerance booleans Spark computed are TRUE

@@ -44,15 +44,48 @@ final class Workspace(val spark: SparkSession) {
   def cube(name: String): Cube = cubes.getOrElse(name,
     throw new IllegalArgumentException(s"unknown cube '$name'"))
 
+  /** Authorizer consulted by [[browserFor]] / [[authorizedCubes]] and the
+    * slicer server (reference `workspace.py` wires `authorization=` from
+    * config; programmatic here). None = everything allowed. */
+  private var auth: Option[graft.auth.SimpleAuthorizer] = None
+  def setAuthorizer(a: graft.auth.SimpleAuthorizer): this.type = {
+    auth = Some(a); this
+  }
+  def authorizer: Option[graft.auth.SimpleAuthorizer] = auth
+
+  /** Cube names the identity may see (reference `authorized_cube` /
+    * `/cubes`, `server/blueprint.py:265-293`). */
+  def authorizedCubes(identity: Option[String]): Seq[String] = auth match {
+    case Some(a) => a.authorize(identity.getOrElse(""), cubeNames)
+    case None    => cubeNames
+  }
+
   /** Browser for a cube (cached; reference builds mapper+star once per
     * browser, `sql/browser.py:102-190`). */
   def browser(cubeName: String, restriction: Cell = Cell.empty,
-      locale: Option[String] = None): Browser =
-    browsers.getOrElseUpdate(s"$cubeName/${restriction.toCutString}/$locale", {
+      locale: Option[String] = None,
+      hierarchyLimits: Seq[graft.auth.HierarchyLimit] = Nil): Browser =
+    browsers.getOrElseUpdate(
+      s"$cubeName/${restriction.toCutString}/$locale/$hierarchyLimits", {
       val c = cube(cubeName)
       val fact = tables.getOrElse(c.factTable,
         throw new IllegalArgumentException(s"no table '${c.factTable}' registered"))
       new Browser(c, new StarSchema(c, fact, tables.toMap), spark,
-        restrictionCell = restriction, locale = locale)
+        restrictionCell = restriction, locale = locale,
+        hierarchyLimits = hierarchyLimits)
     })
+
+  /** Browser restricted for an identity: restriction cell AND hierarchy
+    * limits from the authorizer (reference `server/decorators.py:41-46` +
+    * `blueprint.py:293-302`). Unknown identity throws NotAuthorized. */
+  def browserFor(identity: Option[String], cubeName: String,
+      locale: Option[String] = None): Browser = auth match {
+    case Some(a) =>
+      val id = identity.getOrElse("")
+      if (!authorizedCubes(identity).contains(cubeName))
+        throw new graft.auth.NotAuthorized(s"cube '$cubeName' is not authorized")
+      browser(cubeName, a.restrictedCell(id, cube(cubeName)), locale,
+        a.hierarchyLimits(id, cubeName))
+    case None => browser(cubeName, locale = locale)
+  }
 }

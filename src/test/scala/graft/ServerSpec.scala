@@ -104,4 +104,70 @@ class ServerSpec extends AnyFunSuite {
     assert(get("/cube/nope/aggregate")._1 == 400)
     assert(get("/nope")._1 == 404)
   }
+
+  // ---- authorization (reference tests/test_auth.py + test_server.py):
+  // restriction cell + hierarchy_limits per identity
+
+  lazy val authPort: Int = {
+    import graft.auth._
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+      .setAuthorizer(new SimpleAuthorizer(
+        rights = Map(
+          "alice" -> AccessRight(
+            cellRestrictions = Map("sales" -> Seq("customer:ASIA")),
+            hierarchyLimits = Map("sales" ->
+              Seq(HierarchyLimit("customer", None, Some("nation"))))),
+          "bob" -> AccessRight(deniedCubes = Set("sales")),
+          "carol" -> AccessRight(
+            hierarchyLimits = Map("*" ->
+              Seq(HierarchyLimit("customer", None, None))))
+        )))
+    new SlicerServer(ws).start()
+  }
+
+  private def aget(path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$authPort$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("auth: restricted browse clamps hierarchy depth and applies the cell") {
+    val (code, body) = aget(
+      "/cube/sales/aggregate?drilldown=customer:customer&identity=alice")
+    assert(code == 200)
+    // full-depth drilldown clamped to nation grain — no customer-level keys
+    assert(body.contains("customer.nation_name") && !body.contains("customer.custkey"))
+    // restriction cell: only ASIA visible
+    assert(!body.contains("AMERICA") && !body.contains("EUROPE"))
+  }
+
+  test("auth: /cubes filters denied cubes; denied browse → 403") {
+    val (c1, cubes) = aget("/cubes?identity=bob")
+    assert(c1 == 200 && !cubes.contains("\"sales\""))
+    assert(aget("/cube/sales/aggregate?identity=bob")._1 == 403)
+    // unknown identity, no guest role → 403
+    assert(aget("/cube/sales/aggregate?identity=mallory")._1 == 403)
+  }
+
+  test("auth: hidden hierarchy refuses browse and vanishes from the model") {
+    assert(aget("/cube/sales/aggregate?drilldown=customer:nation&identity=carol")._1 == 403)
+    assert(aget("/cube/sales/members/customer?identity=carol")._1 == 403)
+    val (c, model) = aget("/cube/sales/model?identity=alice")
+    assert(c == 200)
+    // alice's customer hierarchies are trimmed to [region, nation]
+    val geo = """\{"name": "geo", "levels": \["region","nation"\]\}""".r
+    assert(geo.findFirstIn(model).isDefined, model)
+  }
+
+  test("auth: Authorization Bearer header carries the identity") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$authPort/cube/sales/aggregate?drilldown=customer"))
+        .header("Authorization", "Bearer alice").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && !r.body().contains("AMERICA"))
+  }
 }
