@@ -263,10 +263,13 @@ final class Browser(
     val gid = ddRefs.foldLeft(lit(0))((acc, r) => acc * 2 + grouping(bcol(r)))
       .cast("long").as("__gid__")
     val aggCols = aggs.map(builtinAggColumn(filtered, _)) :+ gid
-    val grouped = filtered
+    // persisted so cells + summary share the one grouping-sets pass;
+    // registered with Caches so the consumer's releaseAll frees it (a
+    // long-lived server must not pin one table per call)
+    val grouped = graft.ops.Caches.registerDf(filtered
       .groupingSets(Seq(ddRefs.map(bcol), Seq.empty), ddRefs.map(bcol): _*)
       .agg(aggCols.head, aggCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val fullMask = (1L << ddRefs.size) - 1
     val sortCols = orderColumns(dd, order, hasSplit = false)

@@ -177,8 +177,11 @@ object Dedup {
     *     round — no separate convergence pass over the label table.
     *   - **Frontier join.** Only labels that changed last round are joined
     *     against the edges (a new minimum can only arrive via a neighbor
-    *     whose label just dropped), so per-round work shrinks with the
-    *     frontier instead of staying O(V+E) every round.
+    *     whose label just dropped), so the edge-join side shrinks with the
+    *     frontier. The merge-back (`labels ⟕ neighborMin`) still shuffles
+    *     the full O(V) label table each round — the re-wrapped leaf
+    *     carries no outputPartitioning for Catalyst to reuse; accepted as
+    *     the price of flat lineage (labels rows are 3 narrow columns).
     *   - **Flat lineage.** Each round is materialized to an
     *     `RDD[InternalRow]` and re-wrapped as a DataFrame leaf
     *     ([[org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame]]),
@@ -193,9 +196,15 @@ object Dedup {
     *
     * Accumulator caveat: task retries can overcount `changed`, which at
     * worst runs one extra (no-op) round — labels are monotonically
-    * non-increasing, so correctness is unaffected. */
+    * non-increasing, so correctness is unaffected.
+    *
+    * Convergence: min-label propagation needs O(component diameter)
+    * rounds. If `maxIter` is exhausted first (a near-dup CHAIN longer
+    * than maxIter — real in web corpora), the labels are NOT a fixpoint:
+    * with `strict=true` the call throws, otherwise it logs a warning and
+    * returns the partial labels (detectable, never silent). */
   def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // symmetrized edges, hash-partitioned on the lookup side so the
@@ -239,7 +248,14 @@ object Dedup {
       converged = acc.value == 0L
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    // edges was registered with Caches at creation — the consumer's
+    // releaseAll frees it (no manual double-release)
+    if (!converged) {
+      val msg = s"nearDupClusters did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); labels are not a fixpoint"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     prevRdd.foreach(Caches.registerRdd(_))
     cur.select(col("__id__").as(idCol), col("__label__").as("cluster"))
   }

@@ -161,10 +161,13 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
         }.toMap
         case _ => throw new IllegalArgumentException("report body needs a 'queries' object")
       }
+      var truncated = false
       val results = b.report(cell(name, q), items).map { case (qname, df) =>
-        s"${jstr(qname)}: ${graft.formats.Formats.toJsonArray(df)}"
+        val (json, t) = graft.formats.Formats.toJsonArrayTruncated(df)
+        truncated ||= t
+        s"${jstr(qname)}: $json"
       }
-      Resp(200, results.mkString("{", ",", "}"), "application/json")
+      Resp(200, results.mkString("{", ",", "}"), "application/json", truncated)
     }
 
     // ---------------------------------------------------------- helpers
@@ -268,11 +271,14 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       val fetched = df.limit(limit + 1).collect()
       val rows = fetched.take(limit)
       val header = df.columns.mkString(",")
+      // quote on the STRINGIFIED value: arrays/structs render with commas
       val lines = rows.map(_.toSeq.map {
         case null => ""
-        case s: String if s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
-          "\"" + s.replace("\"", "\"\"") + "\""
-        case v => String.valueOf(v)
+        case v =>
+          val s = String.valueOf(v)
+          if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+            "\"" + s.replace("\"", "\"\"") + "\""
+          else s
       }.mkString(","))
       ((header +: lines).mkString("\n"), fetched.length > limit)
     }

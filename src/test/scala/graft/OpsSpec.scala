@@ -118,6 +118,43 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L, 7L))
   }
 
+  test("near-dup clustering: component diameter > maxIter is DETECTED") {
+    // path graph 1-2-…-10 has diameter 9 > maxIter=3: min-label cannot
+    // reach the far end — strict mode must throw, not silently return
+    val n = 10L
+    val docs = (1L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(docs, "doc_id", pairs, maxIter = 3, strict = true)
+        .count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // enough rounds: converges to a single component labeled 1
+    val ok = Dedup.nearDupClusters(docs, "doc_id", pairs, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(ok(_) == 1L))
+  }
+
+  test("persist hygiene: releaseAll leaves no persisted RDDs behind") {
+    graft.ops.Caches.releaseAll() // clean slate for this thread
+    // operators that persist internally: LSH candidates, CC rounds,
+    // fused aggregate (grouping-sets persist)
+    val d = (1L to 20L).map(i => (i, s"common text shared by doc $i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(d, "doc_id", "text", 8, 4, 3)
+    Dedup.nearDupClusters(d, "doc_id", pairs).count()
+    val br = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
+    val fused = br.aggregateFused(drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum", "fact_count"))
+    fused.cells.count()
+    fused.summary.foreach(_.count())
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected in-flight persists before release")
+    graft.ops.Caches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked persists: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("LSH hot-bucket cap drops oversized buckets") {
     // 4 identical docs share every band bucket (size 4); cap 3 drops them
     val df = (1L to 4L).map(i => (i, "same words repeated here for all docs"))
