@@ -62,7 +62,8 @@ final case class Level(
     order: Option[String] = None,
     cardinality: Option[String] = None,
     role: Option[String] = None,
-    nonadditive: Option[String] = None
+    nonadditive: Option[String] = None,
+    label: Option[String] = None
 ) {
   require(attributes.nonEmpty, s"level '$name' has no attributes")
 
@@ -148,8 +149,49 @@ final case class Dimension(
   /** All attributes of this dimension, with refs resolved. */
   def attributes: Seq[Attribute] = levels.flatMap(_.attributes)
 
-  /** A one-level one-attribute dimension from a bare name (reference
-    * `expand_dimension_metadata`, `dimension.py:1238-1342`). */
+  /** Clone for a cube's dimension link (reference `Dimension.clone`,
+    * `dimension.py:473-559`, applied by `Cube.link_dimension`,
+    * `cube.py:519-530`):
+    *  - `hierarchies` keeps only the named hierarchies (error when empty);
+    *  - `excludeHierarchies` keeps all but the named ones;
+    *  - levels are restricted to those the kept hierarchies use;
+    *  - `alias` renames the dimension — level attributes are re-owned so
+    *    their `dim.attr` refs follow the alias;
+    *  - the default hierarchy survives if kept, else the first kept one. */
+  def cloneWith(
+      hierarchies: Option[Seq[String]] = None,
+      excludeHierarchies: Seq[String] = Nil,
+      alias: Option[String] = None,
+      defaultHierarchyName: Option[String] = None,
+      cardinality: Option[String] = None,
+      nonadditive: Option[String] = None
+  ): Dimension = {
+    if (hierarchies.exists(_.isEmpty))
+      throw new IllegalArgumentException(
+        s"cannot remove all hierarchies from dimension '$name'")
+    val kept = hierarchies match {
+      case Some(hs) => hs.map(h => hierarchy(Some(h)))
+      case None if excludeHierarchies.nonEmpty =>
+        allHierarchies.filterNot(h => excludeHierarchies.contains(h.name))
+      case None => allHierarchies
+    }
+    require(kept.nonEmpty, s"no hierarchies to clone in dimension '$name'")
+    val newName = alias.getOrElse(name)
+    val keptLevelNames = kept.flatMap(_.levelNames).distinct
+    val keptLevels = keptLevelNames.map(level).map(l =>
+      l.copy(attributes = l.attributes.map(a =>
+        a.copy(dimName = a.dimName.map(_ => newName)))))
+    val newDefault = defaultHierarchyName.getOrElse {
+      val cur = hierarchy(None).name
+      if (kept.exists(_.name == cur)) cur else kept.head.name
+    }
+    Dimension(newName, keptLevels, kept,
+      defaultHierarchyName = Some(newDefault),
+      role = role,
+      cardinality = cardinality.orElse(this.cardinality),
+      nonadditive = nonadditive.orElse(this.nonadditive),
+      label = label)
+  }
 }
 
 object Dimension {

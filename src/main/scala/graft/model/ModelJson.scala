@@ -201,6 +201,22 @@ object ModelJson {
         case JString(s) =>
           // bare name links a shared dimension, or expands to a flat one
           dims.getOrElse(s, Dimension.flat(s))
+        case d: JObject if str(d, "name").exists(dims.contains) &&
+            (d \ "levels") == JNothing && (d \ "template") == JNothing =>
+          // dimension LINK with clone options (reference dimension_links,
+          // `cube.py:519-530` → `Dimension.clone`, `dimension.py:473-559`)
+          val base = dims(str(d, "name").get)
+          val hiers = (d \ "hierarchies") match {
+            case JArray(hs) => Some(hs.collect { case JString(h) => h })
+            case _          => None
+          }
+          base.cloneWith(
+            hierarchies = hiers,
+            excludeHierarchies = strList(d, "exclude_hierarchies"),
+            alias = str(d, "alias"),
+            defaultHierarchyName = str(d, "default_hierarchy_name"),
+            cardinality = str(d, "cardinality"),
+            nonadditive = str(d, "nonadditive"))
         case d: JObject => parseDimension(resolveTemplate(d, Map.empty))
         case other => throw new IllegalArgumentException(s"bad dimension: $other")
       }

@@ -84,7 +84,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
         }
         Resp(200, cubes.mkString("[", ",", "]"), "application/json")
       case List("cube", name, "model") =>
-        Resp(200, modelJson(name, id), "application/json")
+        Resp(200, modelJson(name, id, q.get("lang")), "application/json")
       case List("cube", name, "aggregate") =>
         aggregate(name, q, id)
       case List("cube", name, "facts") =>
@@ -237,13 +237,16 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
       * `dimension.to_dict(hierarchy_limits=...)`,
       * `metadata/dimension.py:560-590`): a limited hierarchy lists only
       * levels down to the limit; a `level=None` limit hides it. */
-    private def modelJson(name: String, id: Option[String]): String = {
-      val c = workspace.cube(name)
+    private def modelJson(name: String, id: Option[String],
+        lang: Option[String] = None): String = {
+      val c = workspace.cube(name, lang) // model labels localized per `lang`
       val limits = workspace.authorizer
         .map(_.hierarchyLimits(id.getOrElse(""), name)).getOrElse(Nil)
+      def lbl(l: Option[String]): String =
+        l.map(s => s""", "label": ${jstr(s)}""").getOrElse("")
       val dims = c.dimensions.map { d =>
         val levels = d.levels.map(l =>
-          s"""{"name": ${jstr(l.name)}, "attributes": ${
+          s"""{"name": ${jstr(l.name)}${lbl(l.label)}, "attributes": ${
             l.attributes.map(a => jstr(a.name)).mkString("[", ",", "]")}}""")
           .mkString("[", ",", "]")
         val hiers = d.hierarchies.flatMap { h =>
@@ -257,11 +260,13 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
           else Some(s"""{"name": ${jstr(h.name)}, "levels": ${
             h.levelNames.take(depth).map(jstr).mkString("[", ",", "]")}}""")
         }.mkString("[", ",", "]")
-        s"""{"name": ${jstr(d.name)}, "levels": $levels, "hierarchies": $hiers}"""
+        s"""{"name": ${jstr(d.name)}${lbl(d.label)}, "levels": $levels, "hierarchies": $hiers}"""
       }.mkString("[", ",", "]")
-      val measures = c.measures.map(m => jstr(m.name)).mkString("[", ",", "]")
-      val aggs = c.aggregates.map(a => jstr(a.name)).mkString("[", ",", "]")
-      s"""{"name": ${jstr(name)}, "dimensions": $dims, "measures": $measures, "aggregates": $aggs}"""
+      val measures = c.measures.map(m =>
+        s"""{"name": ${jstr(m.name)}${lbl(m.label)}}""").mkString("[", ",", "]")
+      val aggs = c.aggregates.map(a =>
+        s"""{"name": ${jstr(a.name)}${lbl(a.label)}}""").mkString("[", ",", "]")
+      s"""{"name": ${jstr(name)}${lbl(c.label)}, "dimensions": $dims, "measures": $measures, "aggregates": $aggs}"""
     }
 
     /** RFC-4180 CSV: quote any value with a comma, quote, or line break

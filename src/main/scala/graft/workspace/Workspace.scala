@@ -1,7 +1,7 @@
 package graft.workspace
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.model.{Cube, ModelJson}
+import graft.model.{Cube, Localization, ModelJson}
 import graft.star.StarSchema
 import graft.browser.Browser
 import graft.cells.Cell
@@ -43,6 +43,20 @@ final class Workspace(val spark: SparkSession) {
   def cubeNames: Seq[String] = cubes.keys.toSeq
   def cube(name: String): Cube = cubes.getOrElse(name,
     throw new IllegalArgumentException(s"unknown cube '$name'"))
+
+  /** Model-metadata translations (reference `translations=` workspace
+    * option + `cube(..., locale=)`, `workspace.py:383,540-546`). */
+  private var translations: Option[Localization.Translations] = None
+  def importTranslations(byLocaleJson: Map[String, String]): this.type = {
+    translations = Some(Localization.Translations.fromJson(byLocaleJson)); this
+  }
+
+  /** Cube with model labels localized for `locale` (falls back to the
+    * untranslated model when no translation is registered). */
+  def cube(name: String, locale: Option[String]): Cube = locale match {
+    case Some(l) => translations.map(_.localize(cube(name), l)).getOrElse(cube(name))
+    case None    => cube(name)
+  }
 
   /** Authorizer consulted by [[browserFor]] / [[authorizedCubes]] and the
     * slicer server (reference `workspace.py` wires `authorization=` from

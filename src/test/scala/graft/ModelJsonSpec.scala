@@ -83,4 +83,91 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(cube.mappings("date.day") ==
       PhysicalRef("dim_date", "d", extract = Some("day")))
   }
+
+  // ---- dimension links (reference test_model.py test_link_hierarchies)
+
+  private def linkJson(link: String) = json.replace(
+    "\"dimensions\": [\"date\", \"flag\", \"adhoc\"]",
+    s"""\"dimensions\": [$link, "flag", "adhoc"]""")
+
+  test("link: bare name keeps all hierarchies, default stays ymd") {
+    val c = ModelJson.loadString(linkJson("{\"name\": \"date\"}")).head
+    val d = c.dimension("date")
+    assert(d.allHierarchies.size == 2)
+    assert(d.hierarchy(None).name == "ymd")
+  }
+
+  test("link: hierarchies subset keeps only ym and its levels") {
+    val c = ModelJson.loadString(
+      linkJson("""{"name": "date", "hierarchies": ["ym"]}""")).head
+    val d = c.dimension("date")
+    assert(d.allHierarchies.map(_.name) == Seq("ym"))
+    assert(d.hierarchy(None).name == "ym")
+    assert(d.levels.map(_.name) == Seq("year", "month")) // day dropped
+  }
+
+  test("link: exclude_hierarchies drops ymd, default falls to first kept") {
+    val c = ModelJson.loadString(
+      linkJson("""{"name": "date", "exclude_hierarchies": ["ymd"]}""")).head
+    val d = c.dimension("date")
+    assert(d.allHierarchies.map(_.name) == Seq("ym"))
+    assert(d.hierarchy(None).name == "ym")
+  }
+
+  test("link: alias renames the dimension and re-owns attribute refs") {
+    val c = ModelJson.loadString(
+      linkJson("""{"name": "date", "alias": "closing_date"}""")).head
+    val d = c.dimension("closing_date")
+    assert(d.allHierarchies.size == 2)
+    assert(d.attributes.forall(_.ref.startsWith("closing_date.")))
+    // the original shared dimension is untouched
+    assert(ModelJson.loadString(linkJson("{\"name\": \"date\"}")).head
+      .dimension("date").attributes.forall(_.ref.startsWith("date.")))
+  }
+
+  // ---- model-label localization (reference metadata/localization.py,
+  // translation shape from tests/models/translation.json)
+
+  private val translation =
+    """{
+      |  "cubes": {
+      |    "sales": {
+      |      "label": "Verkäufe",
+      |      "measures": {"amount": "Betrag",
+      |                   "price": {"label": "Preis"}},
+      |      "dimensions": {"date": {"label": "Datum",
+      |                              "levels": {"year": "Jahr"}}}
+      |    }
+      |  },
+      |  "measures": {"amount": "Betrag_GLOBAL"},
+      |  "dimensions": {"flag": {"label": "Markierung"}}
+      |}""".stripMargin
+
+  test("localization: cube-local labels win, global sections are fallback") {
+    val c = Localization.localizeCube(cube,
+      org.json4s.jackson.JsonMethods.parse(translation))
+    assert(c.label.contains("Verkäufe"))
+    // cube-local measure label beats the global one
+    assert(c.measures.find(_.name == "amount").get.label.contains("Betrag"))
+    assert(c.measures.find(_.name == "price").get.label.contains("Preis"))
+    // dimension + level labels from the cube-local section
+    val d = c.dimension("date")
+    assert(d.label.contains("Datum"))
+    assert(d.levels.find(_.name == "year").get.label.contains("Jahr"))
+    // global dimensions section localizes dims the cube section omits
+    assert(c.dimension("flag").label.contains("Markierung"))
+    // untranslated objects keep their original (absent) label
+    assert(c.dimension("adhoc").label.isEmpty)
+  }
+
+  test("localization: Workspace.cube(name, locale) + unknown locale no-op") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val ws = new graft.workspace.Workspace(spark)
+      .registerCube(cube)
+      .importTranslations(Map("de" -> translation))
+    assert(ws.cube("sales", Some("de")).label.contains("Verkäufe"))
+    assert(ws.cube("sales", Some("fr")).label == cube.label)
+    assert(ws.cube("sales", None).label == cube.label)
+  }
 }
