@@ -1,0 +1,92 @@
+package graft.workspace
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** `slicer.ini`-style workspace configuration (reference
+  * `cubes/workspace.py:56-230` + `slicer/commands.py` `--config`,
+  * example format `examples/hello_world/slicer.ini`):
+  *
+  * {{{
+  * [workspace]
+  * log_level: info
+  *
+  * [server]
+  * host: 127.0.0.1
+  * port: 5000
+  *
+  * [store]
+  * type: parquet_dir          ; the Spark-native store: a directory of
+  * path: /data/tables         ;   <table>.parquet files
+  *
+  * [models]
+  * main: model.json           ; paths relative to the config file
+  *
+  * [translations]
+  * de: translations_de.json   ; model-label translations per locale
+  * }}}
+  */
+object WorkspaceConfig {
+
+  /** Minimal INI parser: `[section]` headers, `key: value` / `key = value`
+    * entries, `;`/`#` comment lines. Last duplicate key wins (reference
+    * uses Python ConfigParser semantics). */
+  def parseIni(text: String): Map[String, Map[String, String]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+    var section = ""
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith(";") && !line.startsWith("#")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.substring(1, line.length - 1).trim
+          out.getOrElseUpdate(section, scala.collection.mutable.LinkedHashMap.empty)
+        } else {
+          val idx = {
+            val c = line.indexOf(':'); val e = line.indexOf('=')
+            if (c < 0) e else if (e < 0) c else math.min(c, e)
+          }
+          require(idx > 0, s"bad config line: '$line'")
+          out.getOrElseUpdate(section,
+            scala.collection.mutable.LinkedHashMap.empty)
+            .put(line.take(idx).trim, line.drop(idx + 1).trim)
+        }
+      }
+    }
+    out.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  /** Build a [[Workspace]] from a config file: registers the store's
+    * parquet tables, imports every `[models]` entry, and registers
+    * `[translations]`. Relative paths resolve against the config file's
+    * directory (reference behavior). */
+  def load(spark: SparkSession, configPath: String): Workspace = {
+    val path = Paths.get(configPath)
+    val cfg = parseIni(Files.readString(path))
+    val baseDir = Option(path.getParent).getOrElse(Paths.get("."))
+    def resolve(p: String): String = {
+      val pp = Paths.get(p)
+      (if (pp.isAbsolute) pp else baseDir.resolve(pp)).toString
+    }
+
+    val ws = new Workspace(spark)
+    cfg.get("store").foreach { store =>
+      store.get("type").foreach { t =>
+        require(t == "parquet_dir",
+          s"unsupported store type '$t' (this engine's store is a parquet directory)")
+      }
+      store.get("path").foreach(p => ws.registerTableDir(resolve(p)))
+    }
+    cfg.getOrElse("models", Map.empty).values.foreach { m =>
+      ws.importModel(Files.readString(Paths.get(resolve(m))))
+    }
+    val translations = cfg.getOrElse("translations", Map.empty).map {
+      case (locale, p) => locale -> Files.readString(Paths.get(resolve(p)))
+    }
+    if (translations.nonEmpty) ws.importTranslations(translations)
+    ws
+  }
+
+  def serverPort(cfg: Map[String, Map[String, String]]): Int =
+    cfg.getOrElse("server", Map.empty).get("port").map(_.toInt).getOrElse(5000)
+}

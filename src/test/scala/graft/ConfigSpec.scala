@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import graft.workspace.WorkspaceConfig
+
+/** Workspace-from-config + server-from-config (reference `slicer serve
+  * --config slicer.ini`, `slicer/commands.py:52-67`, config format
+  * `examples/hello_world/slicer.ini`). */
+class ConfigSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val modelJson =
+    """{
+      |  "cubes": [{
+      |    "name": "mini",
+      |    "fact": "lineitem",
+      |    "dimensions": ["returnflag", "linestatus"],
+      |    "measures": [{"name": "quantity", "aggregates": ["sum"]}],
+      |    "mappings": {
+      |      "returnflag": "lineitem.l_returnflag",
+      |      "linestatus": "lineitem.l_linestatus",
+      |      "quantity": "lineitem.l_quantity"}
+      |  }]
+      |}""".stripMargin
+
+  private lazy val configDir = {
+    val dir = Files.createTempDirectory("graft_cfg")
+    Files.writeString(dir.resolve("model.json"), modelJson)
+    Files.writeString(dir.resolve("slicer.ini"),
+      """; graft slicer configuration
+        |[workspace]
+        |log_level: info
+        |
+        |[server]
+        |host: 127.0.0.1
+        |port: 0
+        |
+        |[store]
+        |type: parquet_dir
+        |path: /root/testdata/sf0.001
+        |
+        |[models]
+        |main: model.json
+        |""".stripMargin)
+    dir
+  }
+
+  test("INI parsing: sections, both separators, comments") {
+    val cfg = WorkspaceConfig.parseIni(
+      "[a]\nx: 1\ny = 2\n; comment\n# comment\n[b]\nz: c:/path")
+    assert(cfg("a") == Map("x" -> "1", "y" -> "2"))
+    assert(cfg("b")("z") == "c:/path") // first separator wins, value intact
+  }
+
+  test("workspace loads store + models from a config file") {
+    val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
+    assert(ws.cubeNames == Seq("mini"))
+    val cells = ws.browser("mini").aggregate(
+      drilldown = Seq("returnflag"), aggregates = Seq("quantity_sum")).cells
+    assert(cells.count() == 3)
+  }
+
+  test("server smoke from the config file") {
+    val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
+    val cfg = WorkspaceConfig.parseIni(
+      Files.readString(configDir.resolve("slicer.ini")))
+    assert(WorkspaceConfig.serverPort(cfg) == 0) // port 0 = ephemeral
+    val server = new graft.server.SlicerServer(ws, WorkspaceConfig.serverPort(cfg))
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val cubes = get("/cubes")
+      assert(cubes.statusCode() == 200 && cubes.body().contains("\"mini\""))
+      val agg = get("/cube/mini/aggregate?drilldown=returnflag&aggregates=quantity_sum")
+      assert(agg.statusCode() == 200 && agg.body().contains("quantity_sum"))
+    } finally server.stop()
+  }
+
+  test("materialization verbs run against the config-loaded workspace") {
+    val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
+    val target = Files.createTempDirectory("graft_cli_agg").toString
+    graft.materialize.Materialize.preAggregate(ws.browser("mini"),
+      Seq("returnflag", "linestatus"), Nil, target)
+    assert(spark.read.parquet(target).count() > 0)
+  }
+}
