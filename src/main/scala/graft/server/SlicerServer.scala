@@ -21,7 +21,12 @@ import graft.cells.{Cell, CutParser}
   * front-end for interactive slices, not a bulk-export path (use
   * `graft.formats.Formats` sinks for those).
   */
-final class SlicerServer(workspace: Workspace, port: Int = 0) {
+final class SlicerServer(workspace: Workspace, port: Int = 0,
+    /** Response cache TTL in seconds; 0 disables (reference
+      * `server/caching.py` — TTL'd response cache keyed by the request).
+      * Cache hits carry an `X-Graft-Cache: hit` header. */
+    cacheTtlSeconds: Int = 0,
+    cacheMaxEntries: Int = 1024) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -33,6 +38,34 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
   }
 
   def stop(): Unit = server.stop(0)
+
+  // --------------------------------------------------------- response cache
+
+  /** Bounded TTL'd LRU of rendered GET responses. Key includes the
+    * identity — authorization must never leak across identities through
+    * the cache. Driver-side memory only (responses are already bounded by
+    * the 10k-row formatter limits). */
+  private final case class CacheEntry(resp: Resp, expiresAtMs: Long)
+  private val responseCache =
+    new java.util.LinkedHashMap[String, CacheEntry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CacheEntry]): Boolean =
+        size() > cacheMaxEntries
+    }
+
+  private def cached(key: String)(compute: => Resp): (Resp, Boolean) = {
+    if (cacheTtlSeconds <= 0) return (compute, false)
+    val now = System.currentTimeMillis()
+    responseCache.synchronized {
+      val hit = responseCache.get(key)
+      if (hit != null && hit.expiresAtMs > now) return (hit.resp, true)
+    }
+    val fresh = compute
+    responseCache.synchronized {
+      responseCache.put(key, CacheEntry(fresh, now + cacheTtlSeconds * 1000L))
+    }
+    (fresh, false)
+  }
 
   // ------------------------------------------------------------- handler
 
@@ -47,7 +80,14 @@ final class SlicerServer(workspace: Workspace, port: Int = 0) {
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
         val parts = path.split("/").toList
         val q = parseQuery(ex)
-        respond(ex, route(ex, parts, q, identityOf(ex, q)))
+        val id = identityOf(ex, q)
+        if (ex.getRequestMethod == "GET") {
+          val key = s"$path?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}" +
+            s"@${id.getOrElse("")}"
+          val (resp, hit) = cached(key)(route(ex, parts, q, id))
+          if (hit) ex.getResponseHeaders.set("X-Graft-Cache", "hit")
+          respond(ex, resp)
+        } else respond(ex, route(ex, parts, q, id))
       } catch {
         case e: graft.auth.NotAuthorized =>
           respond(ex, Resp(403, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))

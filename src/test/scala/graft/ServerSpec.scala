@@ -162,6 +162,30 @@ class ServerSpec extends AnyFunSuite {
     assert(geo.findFirstIn(model).isDefined, model)
   }
 
+  test("response cache: TTL'd hit carries the header, keyed per identity") {
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val srv = new SlicerServer(ws, cacheTtlSeconds = 60)
+    val p = srv.start()
+    try {
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val u = "/cube/sales/aggregate?drilldown=returnflag&aggregates=fact_count"
+      val first = get(u)
+      assert(first.statusCode() == 200 &&
+        first.headers().firstValue("X-Graft-Cache").isEmpty)
+      val second = get(u)
+      assert(second.statusCode() == 200 &&
+        second.headers().firstValue("X-Graft-Cache").orElse("") == "hit")
+      assert(second.body() == first.body())
+      // a different identity must not share the cached entry
+      val other = get(s"$u&identity=alice")
+      assert(other.headers().firstValue("X-Graft-Cache").isEmpty)
+    } finally srv.stop()
+  }
+
   test("auth: Authorization Bearer header carries the identity") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(
