@@ -96,6 +96,46 @@ object TextAnalysis {
     )
   }
 
+  /** Repetition features, the Gopher-rules shape (duplicate-line fraction,
+    * longest line, most-frequent-word share): the standard signals for
+    * dropping boilerplate/templated documents from a training corpus.
+    * Per-row array expressions — no shuffle; the most-frequent-word count
+    * is a fold over the SORTED word array (longest equal run), so no
+    * per-row group-by is needed. Integer-ratio divisions are IEEE-exact,
+    * hence engine-reproducible. */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val nDistinct = size(array_distinct(lines)).cast("long")
+    val dupFrac = when(nLines > 0,
+      round(lit(1.0) - nDistinct.cast("double") / nLines.cast("double"), 6))
+      .otherwise(0.0)
+    val maxLineLen =
+      coalesce(array_max(transform(lines, l => length(l))), lit(0)).cast("long")
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val wc = size(words).cast("long")
+    // longest equal run in the sorted words = count of the modal word
+    val maxRun = aggregate(sort_array(words),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topFrac = when(wc > 0,
+      round(maxRun.cast("double") / wc.cast("double"), 6)).otherwise(0.0)
+    Seq(
+      "n_lines" -> nLines,
+      "distinct_lines" -> nDistinct,
+      "dup_line_frac" -> dupFrac,
+      "max_line_len" -> maxLineLen,
+      "word_count" -> wc,
+      "top_word_frac" -> topFrac
+    )
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

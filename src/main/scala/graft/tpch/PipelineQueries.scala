@@ -110,6 +110,16 @@ object PipelineQueries {
       ).orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition features (duplicate-line fraction, longest
+    // line, modal-word share) — the boilerplate-drop signals of a
+    // training-corpus filter
+    "q60_repetition" -> ((s, dir) => {
+      val f = TextAnalysis.repetitionFeatures(col("text"))
+      docs(s, dir).select(
+        col("doc_id") +: f.map { case (n, c) => c.as(n) }: _*
+      ).orderBy(col("doc_id"))
+    }),
+
     // char-3gram Jaccard between consecutive doc ids (set semantics)
     "q49_jaccard_consecutive" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -296,6 +306,30 @@ object PipelineQueries {
     "q46_embedding_neardup" -> nearDupSql,
     "q47_langid" -> langCase,
     "q48_quality" -> qualitySql,
+
+    "q60_repetition" ->
+      """WITH l AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS ls,
+        |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |wmax AS (SELECT doc_id, MAX(c) AS maxc FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM l) GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_distinct(ls)) AS BIGINT) AS distinct_lines,
+        |  CASE WHEN len(ls) > 0
+        |    THEN ROUND(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)/len(ls), 6)
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CAST(COALESCE(list_max(list_transform(ls, x -> length(x))), 0) AS BIGINT)
+        |    AS max_line_len,
+        |  CAST(len(ws) AS BIGINT) AS word_count,
+        |  CASE WHEN len(ws) > 0
+        |    THEN ROUND(CAST(COALESCE(wmax.maxc, 0) AS DOUBLE)/len(ws), 6)
+        |    ELSE 0.0 END AS top_word_frac
+        |FROM l LEFT JOIN wmax USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_jaccard_consecutive" ->
       """WITH g AS (SELECT doc_id,

@@ -53,6 +53,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, keeps state bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
+    // duplicate rows (same user/type/value) inside one watermark horizon
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "view", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "view", 1.0), // dup
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "buy", 2.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 8L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(rows.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val q = Streaming.dedupExact(stream, "ts",
+        Seq("user_id", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT user_id, event_type FROM sdedup")
+        .as[(Long, String)].collect().toSet
+      assert(kept == Set((7L, "view"), (7L, "buy"), (8L, "view")))
+      assert(spark.sql("SELECT count(*) FROM sdedup").as[Long].head() == 3L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val events = Seq(
       Streaming.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
