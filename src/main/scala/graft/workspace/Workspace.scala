@@ -19,6 +19,16 @@ final class Workspace(val spark: SparkSession) {
 
   def registerCube(cube: Cube): this.type = { cubes(cube.name) = cube; this }
 
+  /** Register under a namespace: the cube is addressed as `ns.cube`
+    * everywhere (reference `namespace.py` — hierarchical cube naming;
+    * `find_cube` resolves the dotted path and the served name is the
+    * fully-qualified reference, `workspace.py:536-541`). */
+  def registerCube(cube: Cube, namespace: String): this.type = {
+    val ref = s"$namespace.${cube.name}"
+    cubes(ref) = cube.copy(name = ref)
+    this
+  }
+
   def importModel(json: String): this.type = {
     ModelJson.loadString(json).foreach(registerCube)
     this

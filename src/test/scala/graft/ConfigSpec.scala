@@ -89,6 +89,17 @@ class ConfigSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("namespaced cubes are addressed by their dotted reference") {
+    val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
+    val mini = graft.model.ModelJson.loadString(modelJson).head
+    ws.registerCube(mini, "lab")
+    assert(ws.cubeNames.contains("lab.mini"))
+    assert(ws.cube("lab.mini").name == "lab.mini")
+    val cells = ws.browser("lab.mini").aggregate(
+      drilldown = Seq("returnflag"), aggregates = Seq("quantity_sum")).cells
+    assert(cells.count() == 3)
+  }
+
   test("materialization verbs run against the config-loaded workspace") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val target = Files.createTempDirectory("graft_cli_agg").toString
