@@ -202,7 +202,9 @@ object Dedup {
     * rounds. If `maxIter` is exhausted first (a near-dup CHAIN longer
     * than maxIter — real in web corpora), the labels are NOT a fixpoint:
     * with `strict=true` the call throws, otherwise it logs a warning and
-    * returns the partial labels (detectable, never silent). */
+    * returns the partial labels (detectable, never silent). For
+    * diameter-unbounded graphs use [[nearDupClustersAlternating]]
+    * (O(log²) rounds, diameter-independent). */
   def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20, strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
@@ -258,6 +260,97 @@ object Dedup {
     }
     prevRdd.foreach(Caches.registerRdd(_))
     cur.select(col("__id__").as(idCol), col("__label__").as("cluster"))
+  }
+
+  /** Connected components by ALTERNATING large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * converges in O(log²) rounds regardless of component DIAMETER — the
+    * scale answer for long near-dup chains where min-label propagation
+    * ([[nearDupClusters]]) needs O(diameter) rounds. Same contract:
+    * (id, cluster = min id of the component).
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: over big→small directed edges, each node and its
+    *    smaller neighbors re-attach to the smallest.
+    * Both are one groupBy-min + one join per phase — no per-node
+    * neighbor lists are ever collected, so hot nodes cannot blow memory.
+    * Each round materializes through the same flat-lineage re-wrap as
+    * the frontier loop (constant-depth plans), persists via [[Caches]]
+    * discipline, and takes ONE action (count + edge-hash fingerprint in
+    * a single agg) to test convergence: the edge set is stable exactly
+    * when (count, Σ xxhash64) repeats — the sum is exact decimal, so a
+    * false "converged" needs a 64-bit multiset hash collision. */
+  def nearDupClustersAlternating(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 30, strict: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.sql.GraftSqlBridge.{toInternalRdd, internalCreateDataFrame}
+
+    // lazy flat-lineage wrap; the caller's next action materializes it
+    def wrap(d: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val rdd = toInternalRdd(d).map(_.copy()).persist(lvl)
+      (internalCreateDataFrame(spark, rdd, d.schema), rdd)
+    }
+
+    // directed big→small canonical form, self-loops dropped
+    var (edges, curRdd) = wrap(
+      pairs.select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var fingerprint: (Long, java.math.BigDecimal) = null
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+      // emit (v, m(u)) for v ∈ Γ(u), v > u
+      val symm = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = symm.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn__"))
+        .select(col("u"), least(col("__mn__"), col("u")).as("m"))
+      val afterLarge = symm.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+      // SMALL-STAR over big→small edges: m(u) = min of smaller neighbors;
+      // emit (w, m) for w ∈ N(u) ∪ {u}, w ≠ m
+      val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+
+      val (nextEdges, nextRdd) = wrap(afterSmall)
+      // the round's single action: materializes the new edge set AND
+      // computes the convergence fingerprint
+      val fp = nextEdges.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      curRdd.unpersist(blocking = false)
+      edges = nextEdges
+      curRdd = nextRdd
+      val next = (fp.getLong(0), fp.getDecimal(1))
+      converged = fingerprint != null && fingerprint._1 == next._1 &&
+        (fingerprint._2 == next._2 ||
+          (fingerprint._2 != null && fingerprint._2.compareTo(next._2) == 0))
+      fingerprint = next
+      round += 1
+    }
+    if (!converged) {
+      val msg = s"nearDupClustersAlternating did not converge in $maxRounds rounds"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    Caches.registerRdd(curRdd) // final round released by the consumer
+    // converged edges form stars: every non-root points at its root
+    val labels = edges.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+    df.select(col(idCol).as("__id__"))
+      .join(labels, col("__id__") === col("u"), "left_outer")
+      .select(col("__id__").as(idCol),
+        coalesce(col("cluster"), col("__id__")).as("cluster"))
   }
 
   /** Keep one representative (min id) per near-dup cluster: the full

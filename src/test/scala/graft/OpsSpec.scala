@@ -135,6 +135,33 @@ class OpsSpec extends AnyFunSuite {
     assert((1L to n).forall(ok(_) == 1L))
   }
 
+  test("alternating CC: deep chains converge in O(log) rounds; equals frontier labels") {
+    // a 200-diameter path: frontier min-label would need 200 rounds;
+    // the alternating algorithm converges within the default 30
+    val n = 200L
+    val docs = (1L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = Dedup.nearDupClustersAlternating(docs, "doc_id", chain, strict = true)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(deep(_) == 1L))
+
+    // property check: random graphs, labels must match the frontier CC
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val ids = (1L to 60L)
+      val d2 = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val ps = (1 to 70).map { _ =>
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+      val alt = Dedup.nearDupClustersAlternating(d2, "doc_id", ps, strict = true)
+        .as[(Long, Long)].collect().toMap
+      val frontier = Dedup.nearDupClusters(d2, "doc_id", ps, maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      assert(alt == frontier)
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("persist hygiene: releaseAll leaves no persisted RDDs behind") {
     graft.ops.Caches.releaseAll() // clean slate for this thread
     // operators that persist internally: LSH candidates, CC rounds,
