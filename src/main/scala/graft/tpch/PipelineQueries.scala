@@ -168,6 +168,15 @@ object PipelineQueries {
       val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
         bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
       Dedup.nearDupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
+    }),
+
+    // same components via the diameter-independent alternating algorithm
+    "q61_neardup_clusters_alt" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+      Dedup.nearDupClustersAlternating(d, "doc_id", pairs, strict = true)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -367,18 +376,24 @@ object PipelineQueries {
     // connected components replayed with a recursive CTE: enumerate all
     // reachable labels per node over the (symmetrized) near-dup edges,
     // take the min — identical to min-label propagation's fixpoint
-    "q54_neardup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairsq
-         |  UNION ALL SELECT id_b, id_a FROM pairsq),
-         |cc(id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d)
-         |SELECT id AS doc_id, MIN(label) AS cluster
-         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+    "q54_neardup_clusters" -> ccOracleSql,
+    "q61_neardup_clusters_alt" -> ccOracleSql
   )
+
+  /** Recursive-CTE connected components over the verified minhash pairs —
+    * shared by q54 (frontier CC) and q61 (alternating CC): identical
+    * cluster contract, so one oracle checks both algorithms. */
+  private lazy val ccOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairsq
+       |  UNION ALL SELECT id_b, id_a FROM pairsq),
+       |cc(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d)
+       |SELECT id AS doc_id, MIN(label) AS cluster
+       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** CTE chain shared by q52/q54: 32-perm signatures, 8 bands × 4 rows
     * (band match = 4 equalities), exact shingle-hash-set Jaccard ≥ 0.2;
