@@ -16,11 +16,20 @@ import graft.exprs.ExprLang
 final case class AggregationResult(
     cells: DataFrame,
     summary: Option[DataFrame],
-    levels: Map[String, Seq[String]]
+    levels: Map[String, Seq[String]],
+    /** Resolved aggregate names (reference `to_dict()["aggregates"]`). */
+    aggregates: Seq[String] = Nil,
+    /** Drilldown attribute refs (reference `to_dict()["attributes"]`). */
+    attributes: Seq[String] = Nil,
+    /** The effective (restricted) cell browsed. */
+    cell: Cell = Cell.empty,
+    hasSplit: Boolean = false,
+    /** The drilldown frame BEFORE pagination (when pagination applied). */
+    unpagedCells: Option[DataFrame] = None
 ) {
   /** Total drilldown cell count before pagination (the reference's third
     * query, `sql/browser.py:436-439`). */
-  def totalCellCount: Long = cells.count()
+  def totalCellCount: Long = unpagedCells.getOrElse(cells).count()
 }
 
 /** One level's detail record (reference `_path_details` item,
@@ -226,6 +235,7 @@ final class Browser(
     }
 
     if (sortCols.nonEmpty) result = result.orderBy(sortCols: _*)
+    val unpaged = result
     result = paginate(result, page, pageSize)
 
     val summary =
@@ -234,7 +244,12 @@ final class Browser(
       else None
 
     AggregationResult(result, summary,
-      dd.map(d => d.dim.name -> d.levelNames).toMap)
+      dd.map(d => d.dim.name -> d.levelNames).toMap,
+      aggregates = aggs.map(_.name),
+      attributes = ddRefs,
+      cell = effCell,
+      hasSplit = split.isDefined,
+      unpagedCells = if (page.isDefined || pageSize.isDefined) Some(unpaged) else None)
   }
 
   /** One-pass summary + drilldown: GROUPING SETS ((dd...), ()) computes
@@ -278,7 +293,10 @@ final class Browser(
       if (sortCols.nonEmpty) cells.orderBy(sortCols: _*) else cells,
       Some(grouped.filter(col("__gid__") === fullMask)
         .drop("__gid__").drop(ddRefs: _*)),
-      dd.map(d => d.dim.name -> d.levelNames).toMap)
+      dd.map(d => d.dim.name -> d.levelNames).toMap,
+      aggregates = aggs.map(_.name),
+      attributes = ddRefs,
+      cell = effCell)
   }
 
   /** Cuboid aggregation (reference enumerates dimension/level combinations

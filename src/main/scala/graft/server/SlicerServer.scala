@@ -172,7 +172,20 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         val levels = result.levels.map { case (d, ls) =>
           s"${jstr(d)}: ${ls.map(jstr).mkString("[", ",", "]")}"
         }.mkString("{", ",", "}")
-        Resp(200, s"""{"summary": $summary, "cells": $cellsJson, "levels": $levels}""",
+        // reference response shape (`AggregationResult.to_dict`,
+        // query/browser.py:748-771): aggregates, attributes, cell (the
+        // REQUEST cuts — never the hidden restriction cell), has_split,
+        // total_cell_count (on by default, `include_cell_count`)
+        val aggsJson = result.aggregates.map(jstr).mkString("[", ",", "]")
+        val attrsJson = result.attributes.map(jstr).mkString("[", ",", "]")
+        val cellJson = cell(name, q).cuts.map(cutJson).mkString("[", ",", "]")
+        val countJson =
+          if (q.get("include_cell_count").contains("false")) ""
+          else s""", "total_cell_count": ${result.totalCellCount}"""
+        Resp(200,
+          s"""{"summary": $summary, "cells": $cellsJson, "levels": $levels, """ +
+            s""""aggregates": $aggsJson, "attributes": $attrsJson, """ +
+            s""""cell": $cellJson, "has_split": ${result.hasSplit}$countJson}""",
           "application/json", truncated)
       }
     }
@@ -211,6 +224,22 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     }
 
     // ---------------------------------------------------------- helpers
+
+    /** Reference `Cut.to_dict` (`cells.py`): type + dimension + path(s). */
+    private def cutJson(c: graft.cells.Cut): String = {
+      def p(path: Seq[String]) = path.map(jstr).mkString("[", ",", "]")
+      val hier = c.hierarchy.map(h => s""", "hierarchy": ${jstr(h)}""").getOrElse("")
+      val base = s""""dimension": ${jstr(c.dim)}, "invert": ${c.invert}$hier"""
+      c match {
+        case graft.cells.PointCut(_, path, _, _) =>
+          s"""{"type": "point", $base, "path": ${p(path)}}"""
+        case graft.cells.SetCut(_, paths, _, _) =>
+          s"""{"type": "set", $base, "paths": ${paths.map(p).mkString("[", ",", "]")}}"""
+        case graft.cells.RangeCut(_, from, to, _, _) =>
+          s"""{"type": "range", $base, "from": ${from.map(p).getOrElse("null")}, """ +
+            s""""to": ${to.map(p).getOrElse("null")}}"""
+      }
+    }
 
     private def jval(v: Any): String = v match {
       case null                  => "null"

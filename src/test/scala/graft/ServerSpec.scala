@@ -60,6 +60,16 @@ class ServerSpec extends AnyFunSuite {
     assert(body.contains("customer.nation_name"))
     // pagesize respected
     assert(body.split("customer\\.nation_name").length - 1 <= 4)
+    // reference response shape: aggregates/attributes/cell/has_split +
+    // total_cell_count BEFORE pagination (5 ASIA nations > pagesize 3)
+    assert(body.contains(""""aggregates": ["quantity_sum","fact_count"]"""))
+    assert(body.contains(""""attributes":""") && body.contains(""""has_split": false"""))
+    assert(body.contains(""""cell": [{"type": "point", "dimension": "customer""""))
+    assert(body.contains(""""total_cell_count": 5"""))
+    // opt-out honored
+    val (_, noCount) = get(
+      "/cube/sales/aggregate?drilldown=returnflag&include_cell_count=false")
+    assert(!noCount.contains("total_cell_count"))
   }
 
   test("/aggregate csv format") {
