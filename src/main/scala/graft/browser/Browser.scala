@@ -263,7 +263,9 @@ final class Browser(
       cell: Cell = Cell.empty,
       drilldown: Seq[String],
       aggregates: Seq[String] = Nil,
-      order: Seq[(String, Option[String])] = Nil
+      order: Seq[(String, Option[String])] = Nil,
+      page: Option[Int] = None,
+      pageSize: Option[Int] = None
   ): AggregationResult = {
     val effCell = restricted(cell)
     val aggs = (if (aggregates.isEmpty) cube.aggregates else aggregates.map(cube.aggregate))
@@ -288,15 +290,18 @@ final class Browser(
 
     val fullMask = (1L << ddRefs.size) - 1
     val sortCols = orderColumns(dd, order, hasSplit = false)
-    val cells = grouped.filter(col("__gid__") === 0).drop("__gid__")
+    val cells0 = grouped.filter(col("__gid__") === 0).drop("__gid__")
+    val sorted = if (sortCols.nonEmpty) cells0.orderBy(sortCols: _*) else cells0
     AggregationResult(
-      if (sortCols.nonEmpty) cells.orderBy(sortCols: _*) else cells,
+      paginate(sorted, page, pageSize),
       Some(grouped.filter(col("__gid__") === fullMask)
         .drop("__gid__").drop(ddRefs: _*)),
       dd.map(d => d.dim.name -> d.levelNames).toMap,
       aggregates = aggs.map(_.name),
       attributes = ddRefs,
-      cell = effCell)
+      cell = effCell,
+      unpagedCells =
+        if (page.isDefined || pageSize.isDefined) Some(sorted) else None)
   }
 
   /** Cuboid aggregation (reference enumerates dimension/level combinations

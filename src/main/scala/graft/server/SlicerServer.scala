@@ -158,8 +158,19 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       val drilldown = listParam(q, "drilldown")
       val aggregates = listParam(q, "aggregates")
       val split = q.get("split").map(s => TimeCuts.parseCell(b.cube, s))
-      val result = b.aggregate(cell(name, q), drilldown, aggregates, split,
-        order(q), page(q), pageSize(q))
+      // the fused (one grouping-sets pass) plan answers summary + cells +
+      // count from a single scan — eligible whenever there is a plain
+      // builtin-aggregate drilldown (no split, no window calculators)
+      val fusible = drilldown.nonEmpty && split.isEmpty && aggregates.nonEmpty &&
+        aggregates.forall(a => b.cube.aggregate(a).function
+          .forall(f => !graft.functions.WindowCalcs.isWindowFunction(f)))
+      val result =
+        if (fusible)
+          b.aggregateFused(cell(name, q), drilldown, aggregates, order(q),
+            page(q), pageSize(q))
+        else
+          b.aggregate(cell(name, q), drilldown, aggregates, split,
+            order(q), page(q), pageSize(q))
       if (q.get("format").contains("csv")) {
         val (csv, truncated) = toCsv(result.cells)
         Resp(200, csv, "text/csv", truncated)
