@@ -111,6 +111,24 @@ class PlanSpec extends AnyFunSuite {
     assert(physicalPlan(df).contains("*(1)"), physicalPlan(df))
   }
 
+  test("fused aggregate: summary + cells share ONE shuffle (grouping sets)") {
+    val r = b.aggregateFused(drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum", "fact_count"))
+    try {
+      val plan = physicalPlan(r.cells)
+      // one hash shuffle (the grouping-sets aggregation); the only other
+      // allowed exchange is the final sort's range partitioning over the
+      // already-aggregated (tiny) result
+      val hashExchanges = plan.linesIterator.count(_.contains("hashpartitioning"))
+      assert(hashExchanges == 1,
+        s"expected exactly 1 hash Exchange (the fused grouping-sets pass), got $hashExchanges:\n$plan")
+      // both frames read the same persisted pass after the first action
+      r.cells.count()
+      assert(physicalPlan(r.summary.get).contains("InMemoryTableScan"),
+        "summary should read the persisted grouping-sets result")
+    } finally graft.ops.Caches.releaseAll()
+  }
+
   test("IVF: no Window, no corpus×centroid join — assignment is a narrow scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = graft.ops.Similarity.ivfTopK(
