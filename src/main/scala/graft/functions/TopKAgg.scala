@@ -55,7 +55,10 @@ case class TopKByScoreAgg(
       buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // NaN scores (e.g. cosine of a zero-norm vector) are excluded: they
+    // have no place in a top-k AND would break the (score, id) total
+    // order the sort relies on
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
       if (buf.length >= 4 * k) compact(buf)
     }
