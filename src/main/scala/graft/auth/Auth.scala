@@ -58,15 +58,14 @@ final case class AccessRight(
         (p.endsWith("*") && name.startsWith(p.dropRight(1)))
     }
 
-  /** Reference `is_allowed` (`auth.py:146-163`): deny wins unless
-    * `allowAfterDenied` and an explicit allow matches too. */
+  /** Reference `is_allowed` (`auth.py:126-170`): deny_allow mode
+    * (`allowAfterDenied`, the default) permits anything not explicitly
+    * denied or explicitly allowed (`allow or not deny`); allow_deny mode
+    * requires an explicit allow and no deny (`allow and not deny`). */
   def isAllowed(cubeName: String, allowAfterDenied: Boolean): Boolean = {
-    val allowed = matches(allowedCubes, cubeName) ||
-      (allowedCubes.isEmpty && deniedCubes.nonEmpty && !matches(deniedCubes, cubeName))
-    val denied = matches(deniedCubes, cubeName)
-    if (allowedCubes.isEmpty && deniedCubes.isEmpty) true
-    else if (allowed && denied) allowAfterDenied && matches(allowedCubes, cubeName)
-    else allowed
+    val allow = allowedCubes.nonEmpty && matches(allowedCubes, cubeName)
+    val deny = deniedCubes.nonEmpty && matches(deniedCubes, cubeName)
+    if (allowAfterDenied) allow || !deny else allow && !deny
   }
 
   /** Role inheritance merge (reference `merge`, `auth.py:131-144`). */

@@ -320,13 +320,14 @@ final class Browser(
       kind: String = "rollup",
       sets: Seq[Seq[String]] = Nil
   ): DataFrame = {
+    val effCell = restricted(cell) // authorization applies to cuboids too
     val aggs = (if (aggregates.isEmpty) Seq(Cube.FactCount) else aggregates.map(cube.aggregate))
       .filterNot(_.function.exists(WindowCalcs.isWindowFunction))
-    val dd = clampToLimits(Drilldown.resolve(cube, cell, drilldown))
+    val dd = resolveDrilldown(effCell, drilldown)
     val ddRefs = dd.flatMap(_.keyRefs)
     val projected = projectedFrame(
-      (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(cell)).distinct)
-    val filtered = cellPredicate(projected, cell).map(projected.filter).getOrElse(projected)
+      (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(effCell)).distinct)
+    val filtered = cellPredicate(projected, effCell).map(projected.filter).getOrElse(projected)
 
     val gid = ddRefs.foldLeft(lit(0)) { (acc, r) => acc * 2 + grouping(bcol(r)) }
       .cast("long").as("__gid__")
