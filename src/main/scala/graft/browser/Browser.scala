@@ -392,9 +392,18 @@ final class Browser(
   }
 
   /** Single fact by key (reference `sql/browser.py:211-232`). */
-  def fact(key: Any): DataFrame =
-    projectedFrame(cube.allAttributes.keys.toSeq.sorted, includeFactKey = true)
-      .filter(bcol(FactKeyColumn) === lit(key))
+  def fact(key: Any): DataFrame = {
+    // the restriction cell applies here too (STRONGER than the reference,
+    // whose fact-by-key bypasses the authorization cell — a known hole:
+    // `sql/browser.py:211-232` never consults the restricted cell)
+    val effCell = restricted(Cell.empty)
+    val refs = (cube.allAttributes.keys.toSeq ++ cellRefs(effCell)).distinct.sorted
+    val projected = projectedFrame(refs, includeFactKey = true)
+    val restrictedDf = cellPredicate(projected, effCell)
+      .map(projected.filter).getOrElse(projected)
+    restrictedDf.filter(bcol(FactKeyColumn) === lit(key))
+      .select((FactKeyColumn +: cube.allAttributes.keys.toSeq.sorted).map(bcol): _*)
+  }
 
   /** Distinct members of a dimension's levels within a cell
     * (reference `provide_members`, `sql/browser.py:288-312`). */

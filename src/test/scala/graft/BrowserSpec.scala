@@ -204,6 +204,13 @@ class BrowserSpec extends AnyFunSuite {
     assert(b.facts().count() == 2L)
     val m = b.members(Cell.empty, "date", depth = Some(1)).collect()
     assert(m.map(_.getAs[Int]("date.year")).toSeq == Seq(2010))
+    // fact-by-key respects the restriction too (stronger than reference)
+    val unrestricted = new Browser(c, new StarSchema(c, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf)), spark)
+    val hiddenKey = unrestricted.facts(Cell(PointCut("date", Seq("2011"))))
+      .select(unrestricted.FactKeyColumn).collect()(0).get(0)
+    assert(unrestricted.fact(hiddenKey).count() == 1L)
+    assert(b.fact(hiddenKey).count() == 0L)
   }
 
   test("locale reads the suffixed physical column") {
