@@ -222,10 +222,14 @@ object ModelJson {
       }
       case _ => Nil
     }
-    val measures = (o \ "measures") match {
+    // cube-level `nonadditive` is the default for its measures (reference
+    // `Cube.from_metadata` / tests `test_inherit_nonadditive`)
+    val cubeNonadditive = str(o, "nonadditive")
+    val measures = ((o \ "measures") match {
       case JArray(ms) => ms.map(parseMeasure)
       case _          => Nil
-    }
+    }).map(m =>
+      if (m.nonadditive.isEmpty) m.copy(nonadditive = cubeNonadditive) else m)
     val aggregates = (o \ "aggregates") match {
       case JArray(as) => as.map(parseAggregate)
       case _ =>

@@ -84,6 +84,18 @@ class ModelJsonSpec extends AnyFunSuite {
       PhysicalRef("dim_date", "d", extract = Some("day")))
   }
 
+  test("cube-level nonadditive is inherited by measures (reference test_inherit_nonadditive)") {
+    val c = ModelJson.loadString(json.replace(
+      "\"name\": \"sales\",", "\"name\": \"sales\", \"nonadditive\": \"time\",")).head
+    assert(c.measures.forall(_.nonadditive.contains("time")))
+    // a measure's own value wins over the cube default
+    val c2 = ModelJson.loadString(json
+      .replace("\"name\": \"sales\",", "\"name\": \"sales\", \"nonadditive\": \"time\",")
+      .replace("""{"name": "price", "aggregates": ["sum", "avg"]}""",
+        """{"name": "price", "aggregates": ["sum", "avg"], "nonadditive": "none"}""")).head
+    assert(c2.measures.find(_.name == "price").get.nonadditive.contains("none"))
+  }
+
   // ---- dimension links (reference test_model.py test_link_hierarchies)
 
   private def linkJson(link: String) = json.replace(
