@@ -80,6 +80,26 @@ final case class Cell(cuts: Seq[Cut] = Nil) {
     case _ => this
   }
 
+  /** Roll up TO a named level of the dimension's hierarchy (reference
+    * `rollup_dim`, `query/cells.py:222-257`): the point-cut path is
+    * truncated at the level (inclusive); an empty result drops the cut.
+    * No cut on the dimension → the cell is unchanged. */
+  def rollupDim(dim: graft.model.Dimension, level: Option[String] = None,
+      hierarchy: Option[String] = None): Cell = cut(dim.name) match {
+    case Some(PointCut(d, path, h, inv)) =>
+      val hier = dim.hierarchy(hierarchy.orElse(h))
+      val rolled = hier.rollup(path, level)
+      if (rolled.isEmpty) Cell(cuts.filterNot(_.dim == d))
+      else slice(PointCut(d, rolled, h, inv))
+    case _ => this
+  }
+
+  /** Cut depth per dimension (reference `level_depths`,
+    * `query/cells.py:334-347`): the deepest path length of any cut on the
+    * dimension. */
+  def levelDepths: Map[String, Int] =
+    cuts.groupBy(_.dim).map { case (d, cs) => d -> cs.map(_.levelDepth).max }
+
   /** Conjunction of two cells. */
   def &(other: Cell): Cell = Cell(cuts ++ other.cuts)
 

@@ -70,4 +70,18 @@ class CellsSpec extends AnyFunSuite {
       Drilldown.resolve(cube, cell, Seq("date"))
     }
   }
+
+  test("rollupDim truncates to a named level; top level drops the cut; level_depths") {
+    val dateDim = cube.dimension("date")
+    val cell = Cell(Seq(PointCut("date", Seq("2010", "6", "15")),
+      RangeCut("geo", Some(Seq("A")), Some(Seq("E", "X")))))
+    val toYear = cell.rollupDim(dateDim, Some("year"))
+    assert(toYear.pointPath("date").contains(Seq("2010")))
+    // default (no level): one step up
+    assert(cell.rollupDim(dateDim).pointPath("date").contains(Seq("2010", "6")))
+    // rolling a depth-1 cut off the top removes it
+    val top = Cell(PointCut("date", Seq("2010"))).rollupDim(dateDim)
+    assert(top.cut("date").isEmpty)
+    assert(cell.levelDepths == Map("date" -> 3, "geo" -> 2))
+  }
 }
