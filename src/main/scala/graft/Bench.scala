@@ -21,11 +21,18 @@ object Bench {
     // times the query engine.
     val sinkWriters = Set("q34_materialize_denorm", "q35_materialize_preagg",
       "q36_materialize_dim", "q37_formats_roundtrip")
+    // min of N runs per query: one slow run from GC / compilation / page
+    // cache noise must not be recorded as a regression (the round-2 bench
+    // artifact was noise-contaminated exactly this way)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = (SparkEntry.queries -- sinkWriters).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally graft.ops.Caches.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally graft.ops.Caches.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
