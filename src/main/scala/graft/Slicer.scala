@@ -31,9 +31,7 @@ object Slicer {
   def main(args: Array[String]): Unit = args.toList match {
     case "serve" :: config :: rest =>
       val spark = sparkSession()
-      val ws = WorkspaceConfig.load(spark, config)
-      val cfg = WorkspaceConfig.parseIni(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(config)))
+      val (ws, cfg) = WorkspaceConfig.loadWithConfig(spark, config)
       val port = rest.headOption.map(_.toInt)
         .getOrElse(WorkspaceConfig.serverPort(cfg))
       val server = new graft.server.SlicerServer(ws, port)

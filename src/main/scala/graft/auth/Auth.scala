@@ -96,15 +96,19 @@ final class SimpleAuthorizer(
 ) {
   import SimpleAuthorizer.AllCubes
 
-  private def expand(r: AccessRight): AccessRight =
+  private def expand(r: AccessRight,
+      visited: Set[String] = Set.empty): AccessRight =
     r.roles.foldLeft(r) { (acc, roleName) =>
-      roles.get(roleName).map(role => acc.merge(expand(role))).getOrElse(acc)
+      if (visited.contains(roleName)) acc // cyclic role definitions terminate
+      else roles.get(roleName)
+        .map(role => acc.merge(expand(role, visited + roleName)))
+        .getOrElse(acc)
     }
 
   /** Right for an identity; guest fallback (reference `auth.py:302-313`). */
   def right(identity: String): AccessRight =
-    rights.get(identity).map(expand)
-      .orElse(guest.flatMap(roles.get).map(expand))
+    rights.get(identity).map(expand(_))
+      .orElse(guest.flatMap(roles.get).map(expand(_)))
       .getOrElse(throw new NotAuthorized(s"Unknown access right '$identity'"))
 
   /** Cubes the identity may see (reference `authorize`, `auth.py:315-329`). */

@@ -143,6 +143,29 @@ final class Browser(
   private def resolveDrilldown(cell: Cell, specs: Seq[String]): Seq[DrilldownItem] =
     clampToLimits(Drilldown.resolve(cube, cell, specs))
 
+  /** Attribute refs visible under [[hierarchyLimits]]: per dimension, the
+    * union over its hierarchies of the levels within each hierarchy's
+    * authorized depth (a level stays visible while ANY unlimited
+    * hierarchy contains it — limits are per-hierarchy, like the
+    * reference's). Measures and details are never limited. */
+  private lazy val visibleRefs: Option[Set[String]] =
+    if (hierarchyLimits.isEmpty) None
+    else Some {
+      val dimRefs = cube.dimensions.flatMap(_.attributes.map(_.ref)).toSet
+      val allowedDimRefs = cube.dimensions.flatMap { d =>
+        d.allHierarchies.flatMap { h =>
+          val depth = limitDepth(d, Some(h.name)).getOrElse(h.levelNames.size)
+          h.levelNames.take(depth).flatMap(ln => d.level(ln).attributes.map(_.ref))
+        }
+      }.toSet
+      (cube.allAttributes.keySet -- dimRefs) ++ allowedDimRefs
+    }
+
+  private def visible(refs: Seq[String]): Seq[String] = visibleRefs match {
+    case None     => refs
+    case Some(ok) => refs.filter(ok)
+  }
+
   // ---------------------------------------------------------------- public
 
   def aggregate(
@@ -380,7 +403,10 @@ final class Browser(
       pageSize: Option[Int] = None
   ): DataFrame = {
     val effCell = restricted(cell)
-    val wanted = if (fields.nonEmpty) fields else cube.allAttributes.keys.toSeq.sorted
+    // hierarchy limits apply to raw fact listings too: attributes below
+    // the authorized depth are dropped from the projection
+    val wanted = visible(
+      if (fields.nonEmpty) fields else cube.allAttributes.keys.toSeq.sorted)
     val refs = (wanted ++ cellRefs(effCell)).distinct
     val projected = projectedFrame(refs, includeFactKey = true)
     var out = cellPredicate(projected, effCell).map(projected.filter).getOrElse(projected)
@@ -397,12 +423,13 @@ final class Browser(
     // whose fact-by-key bypasses the authorization cell — a known hole:
     // `sql/browser.py:211-232` never consults the restricted cell)
     val effCell = restricted(Cell.empty)
-    val refs = (cube.allAttributes.keys.toSeq ++ cellRefs(effCell)).distinct.sorted
+    val wanted = visible(cube.allAttributes.keys.toSeq.sorted)
+    val refs = (wanted ++ cellRefs(effCell)).distinct.sorted
     val projected = projectedFrame(refs, includeFactKey = true)
     val restrictedDf = cellPredicate(projected, effCell)
       .map(projected.filter).getOrElse(projected)
     restrictedDf.filter(bcol(FactKeyColumn) === lit(key))
-      .select((FactKeyColumn +: cube.allAttributes.keys.toSeq.sorted).map(bcol): _*)
+      .select((FactKeyColumn +: wanted).map(bcol): _*)
   }
 
   /** Distinct members of a dimension's levels within a cell
@@ -497,8 +524,15 @@ final class Browser(
     * the SQL backend's data-backed `path_details`): one star lookup for
     * the path's attribute values — bounded work, like the reference's
     * per-path SELECT. None when no such path exists. */
-  def pathDetails(dim: Dimension, path: Seq[String],
+  def pathDetails(dim: Dimension, path0: Seq[String],
       hierName: Option[String]): Option[Seq[LevelDetails]] = {
+    // hierarchy limits clamp detail records too: a hidden hierarchy has
+    // no visible path, a limited one details only the authorized prefix
+    val path = limitDepth(dim, hierName) match {
+      case Some(0) => return None
+      case Some(d) => path0.take(d)
+      case None    => path0
+    }
     if (path.isEmpty) return Some(Nil)
     val hier = dim.hierarchy(hierName)
     val levels = hier.levelsForDepth(path.size).map(dim.level)

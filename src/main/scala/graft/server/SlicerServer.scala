@@ -164,13 +164,32 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       val fusible = drilldown.nonEmpty && split.isEmpty && aggregates.nonEmpty &&
         aggregates.forall(a => b.cube.aggregate(a).function
           .forall(f => !graft.functions.WindowCalcs.isWindowFunction(f)))
-      val result =
+      val result0 =
         if (fusible)
           b.aggregateFused(cell(name, q), drilldown, aggregates, order(q),
             page(q), pageSize(q))
         else
           b.aggregate(cell(name, q), drilldown, aggregates, split,
             order(q), page(q), pageSize(q))
+      // the default total_cell_count must not re-run the aggregation as a
+      // second job: on the non-fused path persist the (small, already
+      // aggregated) unpaged frame for the request — cells render and the
+      // count both read it; Caches.releaseAll frees it after the response
+      val wantCount = !q.get("include_cell_count").contains("false") &&
+        !q.get("format").contains("csv")
+      val result =
+        if (fusible || !wantCount) result0
+        else {
+          val persisted = graft.ops.Caches.registerDf(
+            result0.unpagedCells.getOrElse(result0.cells)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          val paged = (page(q), pageSize(q)) match {
+            case (Some(p), Some(n)) => persisted.offset(p * n).limit(n)
+            case (None, Some(n))    => persisted.limit(n)
+            case _                  => persisted
+          }
+          result0.copy(cells = paged, unpagedCells = Some(persisted))
+        }
       if (q.get("format").contains("csv")) {
         val (csv, truncated) = toCsv(result.cells)
         Resp(200, csv, "text/csv", truncated)
@@ -324,23 +343,34 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         .map(_.hierarchyLimits(id.getOrElse(""), name)).getOrElse(Nil)
       def lbl(l: Option[String]): String =
         l.map(s => s""", "label": ${jstr(s)}""").getOrElse("")
-      val dims = c.dimensions.map { d =>
-        val levels = d.levels.map(l =>
-          s"""{"name": ${jstr(l.name)}${lbl(l.label)}, "attributes": ${
-            l.attributes.map(a => jstr(a.name)).mkString("[", ",", "]")}}""")
-          .mkString("[", ",", "]")
-        val hiers = d.hierarchies.flatMap { h =>
+      val dims = c.dimensions.flatMap { d =>
+        // per-hierarchy authorized depth for this identity
+        def depthOf(h: graft.model.Hierarchy): Int = {
           val applicable = limits.filter(l => l.dim == d.name &&
             d.hierarchy(l.hierarchy).name == h.name)
-          val depth =
-            if (applicable.isEmpty) h.levelNames.size
-            else applicable.map(_.level
-              .map(lv => h.levelIndex(lv) + 1).getOrElse(0)).min
-          if (depth == 0) None // hierarchy hidden for this identity
-          else Some(s"""{"name": ${jstr(h.name)}, "levels": ${
-            h.levelNames.take(depth).map(jstr).mkString("[", ",", "]")}}""")
-        }.mkString("[", ",", "]")
-        s"""{"name": ${jstr(d.name)}${lbl(d.label)}, "levels": $levels, "hierarchies": $hiers}"""
+          if (applicable.isEmpty) h.levelNames.size
+          else applicable.map(_.level
+            .map(lv => h.levelIndex(lv) + 1).getOrElse(0)).min
+        }
+        // a level (and its attribute metadata) is served only if SOME
+        // hierarchy still exposes it at the authorized depth — the model
+        // must not leak grain the identity cannot browse
+        val visibleLevels = d.allHierarchies
+          .flatMap(h => h.levelNames.take(depthOf(h))).toSet
+        if (visibleLevels.isEmpty) None
+        else {
+          val levels = d.levels.filter(l => visibleLevels(l.name)).map(l =>
+            s"""{"name": ${jstr(l.name)}${lbl(l.label)}, "attributes": ${
+              l.attributes.map(a => jstr(a.name)).mkString("[", ",", "]")}}""")
+            .mkString("[", ",", "]")
+          val hiers = d.allHierarchies.flatMap { h =>
+            val depth = depthOf(h)
+            if (depth == 0) None // hierarchy hidden for this identity
+            else Some(s"""{"name": ${jstr(h.name)}, "levels": ${
+              h.levelNames.take(depth).map(jstr).mkString("[", ",", "]")}}""")
+          }.mkString("[", ",", "]")
+          Some(s"""{"name": ${jstr(d.name)}${lbl(d.label)}, "levels": $levels, "hierarchies": $hiers}""")
+        }
       }.mkString("[", ",", "]")
       val measures = c.measures.map(m =>
         s"""{"name": ${jstr(m.name)}${lbl(m.label)}}""").mkString("[", ",", "]")

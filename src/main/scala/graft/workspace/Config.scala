@@ -60,7 +60,13 @@ object WorkspaceConfig {
     * parquet tables, imports every `[models]` entry, and registers
     * `[translations]`. Relative paths resolve against the config file's
     * directory (reference behavior). */
-  def load(spark: SparkSession, configPath: String): Workspace = {
+  def load(spark: SparkSession, configPath: String): Workspace =
+    loadWithConfig(spark, configPath)._1
+
+  /** [[load]] plus the parsed config (so callers needing `[server]` etc.
+    * don't re-read and re-parse the file). */
+  def loadWithConfig(spark: SparkSession,
+      configPath: String): (Workspace, Map[String, Map[String, String]]) = {
     val path = Paths.get(configPath)
     val cfg = parseIni(Files.readString(path))
     val baseDir = Option(path.getParent).getOrElse(Paths.get("."))
@@ -84,7 +90,7 @@ object WorkspaceConfig {
       case (locale, p) => locale -> Files.readString(Paths.get(resolve(p)))
     }
     if (translations.nonEmpty) ws.importTranslations(translations)
-    ws
+    (ws, cfg)
   }
 
   def serverPort(cfg: Map[String, Map[String, String]]): Int =

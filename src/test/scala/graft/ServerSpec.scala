@@ -132,7 +132,13 @@ class ServerSpec extends AnyFunSuite {
           "bob" -> AccessRight(deniedCubes = Set("sales")),
           "carol" -> AccessRight(
             hierarchyLimits = Map("*" ->
-              Seq(HierarchyLimit("customer", None, None))))
+              Seq(HierarchyLimit("customer", None, None)))),
+          // dave: customer clamped to nation in BOTH hierarchies — the
+          // customer level must vanish from facts, /fact, and the model
+          "dave" -> AccessRight(
+            hierarchyLimits = Map("sales" -> Seq(
+              HierarchyLimit("customer", Some("geo"), Some("nation")),
+              HierarchyLimit("customer", Some("nation"), Some("nation")))))
         )))
     new SlicerServer(ws).start()
   }
@@ -194,6 +200,16 @@ class ServerSpec extends AnyFunSuite {
       val other = get(s"$u&identity=alice")
       assert(other.headers().firstValue("X-Graft-Cache").isEmpty)
     } finally srv.stop()
+  }
+
+  test("auth: limited attributes vanish from facts, fact-by-key, and the model") {
+    val (c1, facts) = aget("/cube/sales/facts?pagesize=2&identity=dave")
+    assert(c1 == 200)
+    assert(facts.contains("customer.nation_name") && !facts.contains("customer.custkey"))
+    val (c2, model) = aget("/cube/sales/model?identity=dave")
+    assert(c2 == 200)
+    // the customer LEVEL metadata (custkey/name/mktsegment) is not served
+    assert(model.contains("\"nation\"") && !model.contains("custkey"))
   }
 
   test("auth: Authorization Bearer header carries the identity") {
