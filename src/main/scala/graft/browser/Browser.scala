@@ -107,6 +107,14 @@ final class Browser(
   val SplitColumn = "__within_split__"
   val FactKeyColumn = "__fact_key__"
 
+  // the cubes-grammar `trunc(x)` is numeric truncation toward zero; Spark's
+  // `trunc` is date-only, so ExprLang rewrites to this session shim
+  // (idempotent re-registration; a rarely-used compatibility UDF, kept off
+  // every hot path)
+  spark.udf.register("graft_trunc",
+    (x: java.lang.Double) =>
+      if (x == null) null else java.lang.Double.valueOf(x.toDouble.toLong.toDouble))
+
   /** Restriction applied to a caller cell. */
   private def restricted(cell: Cell): Cell =
     if (restrictionCell.isEmpty) cell else cell & restrictionCell

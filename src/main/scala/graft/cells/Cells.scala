@@ -66,11 +66,19 @@ final case class Cell(cuts: Seq[Cut] = Nil) {
         (hierarchy.isEmpty || h == hierarchy || h.isEmpty) => path
     }
 
-  /** Drill one level deeper along a dimension: extend the point cut. */
-  def drilldown(dim: String, value: String, hierarchy: Option[String] = None): Cell = {
-    val path = pointPath(dim, hierarchy).getOrElse(Nil)
-    slice(PointCut(dim, path :+ value, hierarchy))
-  }
+  /** Drill one level deeper along a dimension: extend the point cut.
+    * The existing cut's hierarchy binding is preserved when the caller
+    * does not name one (a `(year,week)` cut must not silently rebind its
+    * extended path to the default `(year,month,day)` hierarchy). */
+  def drilldown(dim: String, value: String, hierarchy: Option[String] = None): Cell =
+    cuts.collectFirst {
+      case PointCut(d, path, h, false) if d == dim &&
+        (hierarchy.isEmpty || h == hierarchy || h.isEmpty) => (path, h)
+    } match {
+      case Some((path, h)) =>
+        slice(PointCut(dim, path :+ value, hierarchy.orElse(h)))
+      case None => slice(PointCut(dim, Seq(value), hierarchy))
+    }
 
   /** Roll up: drop the deepest level of the dimension's point cut. */
   def rollup(dim: String): Cell = cut(dim) match {
@@ -251,7 +259,14 @@ object Drilldown {
         case Some(lv) =>
           hier.levelsForDepth(hier.levelIndex(lv) + 1)
         case None =>
-          val depth = cell.pointPath(dimName, hierName).map(_.size).getOrElse(0)
+          // implicit depth considers EVERY cut on the dimension (point,
+          // range, set, inverted) like the reference's cell.level_depths()
+          // (`query/cells.py:334-347`, used by `levels_from_drilldown`)
+          val depth = cell.cuts.collect {
+            case c if c.dim == dimName &&
+              (hierName.isEmpty || c.hierarchy == hierName || c.hierarchy.isEmpty) =>
+              c.levelDepth
+          }.maxOption.getOrElse(0)
           if (depth >= hier.levelNames.size)
             throw new IllegalArgumentException(
               s"cannot drill deeper on '$dimName': cut already at depth $depth")

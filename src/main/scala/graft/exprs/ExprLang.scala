@@ -39,8 +39,21 @@ object ExprLang {
 
   private val keywords: Set[String] =
     Set("and", "or", "not", "is", "null", "true", "false", "in", "like",
-      "between", "from", "as", "year", "month", "day", "hour", "minute",
-      "second", "quarter", "week", "distinct")
+      "between", "from", "as", "distinct",
+      // CASE expression words — never attribute refs
+      "case", "when", "then", "else", "end")
+
+  /** Date-part words are keywords ONLY inside `extract(part from x)` —
+    * i.e. when the next token is `from`. Context-free keyword status
+    * would shadow attributes legitimately named `month`/`day`/… (common
+    * in OLAP models). */
+  private val dateParts: Set[String] =
+    Set("year", "month", "day", "hour", "minute", "second", "quarter", "week")
+
+  private def isKeywordAt(toks: Seq[Token], idx: Int, lower: String): Boolean =
+    keywords.contains(lower) ||
+      (dateParts.contains(lower) &&
+        idx + 1 < toks.size && toks(idx + 1) == Ident("from"))
 
   sealed trait Token
   final case class Ident(s: String) extends Token
@@ -97,7 +110,7 @@ object ExprLang {
     val toks = tokenize(expr)
     toks.zipWithIndex.collect {
       case (Ident(s), idx)
-        if !keywords.contains(s.toLowerCase) &&
+        if !isKeywordAt(toks, idx, s.toLowerCase) &&
           !variables.contains(s.toLowerCase) &&
           !(idx + 1 < toks.size && toks(idx + 1) == Op("(")) =>
         s
@@ -123,7 +136,11 @@ object ExprLang {
   private val fnRewrite: Map[String, String] = Map(
     "pow" -> "power",
     "substr" -> "substring",
-    "remainder" -> "mod"
+    "remainder" -> "mod",
+    // numeric truncation toward zero — Spark's `trunc` is date-only, so
+    // the cubes-grammar spelling compiles to the shim the Browser
+    // registers per session (see Browser's graft_trunc registration)
+    "trunc" -> "graft_trunc"
   )
 
   /** Rewrite an expression to Spark SQL, substituting identifier refs via
@@ -137,7 +154,8 @@ object ExprLang {
         case Ident(s) =>
           val isFn = idx + 1 < toks.size && toks(idx + 1) == Op("(")
           if (isFn) fnRewrite.getOrElse(s.toLowerCase, s)
-          else if (keywords.contains(s.toLowerCase) || variables.contains(s.toLowerCase)) s
+          else if (isKeywordAt(toks, idx, s.toLowerCase) ||
+            variables.contains(s.toLowerCase)) s
           else rename(s)
         case Lit(s) => s
         case Op(s)  => s

@@ -62,10 +62,16 @@ final class StarSchema(
     val need = scala.collection.mutable.Set[String](cube.factTable)
     def addWithMasters(alias: String): Unit = {
       if (need.contains(alias)) return
+      // an alias with no declared join has no path to the fact — fail HERE
+      // with the intended diagnostic, not later as an unresolved-column
+      // AnalysisException when star() silently omits its columns
+      require(joinByAlias.contains(alias),
+        s"table '$alias' is referenced by a mapping but has no join " +
+          s"path to fact '${cube.factTable}'")
       need += alias
-      joinByAlias.get(alias).foreach(j => addWithMasters(j.masterTable))
+      addWithMasters(joinByAlias(alias).masterTable)
     }
-    phys.foreach(p => addWithMasters(p.table))
+    phys.foreach(p => if (p.table != cube.factTable) addWithMasters(p.table))
     need.toSet
   }
 

@@ -519,12 +519,16 @@ object Queries {
          |$custJoin
          |WHERE r_name = 'ASIA'""".stripMargin,
 
+    // bare `customer` drilldown under a depth-1 cut drills to the NEXT
+    // level (nation) — implicit depth counts inverted cuts too, like the
+    // reference's cell.level_depths()
     "q03_point_cut_invert" ->
       s"""SELECT r_name AS "customer.region_name",
+         |  n_name AS "customer.nation_name",
          |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
          |$custJoin
          |WHERE NOT (r_name = 'ASIA')
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q04_set_cut" ->
       s"""SELECT r_name AS "customer.region_name",

@@ -194,6 +194,18 @@ class BrowserSpec extends AnyFunSuite {
     assert(m.map(_.getAs[String]("cat.name")).toSeq == Seq("food", "tools"))
   }
 
+  test("a mapping to a table without a join path fails fast with a diagnostic") {
+    val c0 = starCube(JoinMethod.Match)
+    val c = c0.copy(mappings =
+      c0.mappings + ("dept" -> PhysicalRef("orphan", "dept")))
+    val star = new StarSchema(c, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf))
+    val e = intercept[IllegalArgumentException] {
+      new Browser(c, star, spark).members(graft.cells.Cell.empty, "dept").collect()
+    }
+    assert(e.getMessage.contains("no join path"), e.getMessage)
+  }
+
   test("authorization restriction cell is ANDed onto every browse") {
     val c = starCube(JoinMethod.Match)
     val b = new Browser(c, new StarSchema(c, salesDf,

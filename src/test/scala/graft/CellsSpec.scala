@@ -71,6 +71,28 @@ class CellsSpec extends AnyFunSuite {
     }
   }
 
+  test("drilldown preserves the existing cut's hierarchy binding") {
+    val c = Cell(PointCut("date", Seq("2010"), Some("yw")))
+    assert(c.drilldown("date", "6").cut("date")
+      .contains(PointCut("date", Seq("2010", "6"), Some("yw"))))
+    // explicit hierarchy from the caller still wins
+    assert(c.drilldown("date", "6", Some("yw")).cut("date")
+      .contains(PointCut("date", Seq("2010", "6"), Some("yw"))))
+  }
+
+  test("implicit drilldown depth counts range/set/inverted cuts (reference level_depths)") {
+    // range cut at depth 1 → implicit drilldown goes to [year, month]
+    val r = Drilldown.resolve(cube,
+      Cell(RangeCut("date", Some(Seq("2010")), Some(Seq("2012")))), Seq("date"))
+    assert(r.head.levelNames == Seq("year", "month"))
+    val s = Drilldown.resolve(cube,
+      Cell(SetCut("date", Seq(Seq("2010"), Seq("2012")))), Seq("date"))
+    assert(s.head.levelNames == Seq("year", "month"))
+    val inv = Drilldown.resolve(cube,
+      Cell(PointCut("date", Seq("2010"), invert = true)), Seq("date"))
+    assert(inv.head.levelNames == Seq("year", "month"))
+  }
+
   test("rollupDim truncates to a named level; top level drops the cut; level_depths") {
     val dateDim = cube.dimension("date")
     val cell = Cell(Seq(PointCut("date", Seq("2010", "6", "15")),

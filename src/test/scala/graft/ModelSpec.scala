@@ -43,6 +43,24 @@ class ModelSpec extends AnyFunSuite {
     }
   }
 
+  test("CASE words are never attribute refs; date parts only inside extract") {
+    val expr = "case when x > 1 then 'a' else 'b' end"
+    assert(ExprLang.identifiers(expr) == Set("x"))
+    assert(ExprLang.toSparkSql(expr, r => s"`$r`") ==
+      "case when `x` > 1 then 'a' else 'b' end")
+    // a date-part word is a keyword ONLY when followed by `from`
+    assert(ExprLang.identifiers("extract(year from d)") == Set("d"))
+    assert(ExprLang.identifiers("month * 100") == Set("month"))
+    assert(ExprLang.toSparkSql("month * 100", r => s"`$r`") == "`month` * 100")
+    assert(ExprLang.toSparkSql("extract(year from d)", r => s"`$r`") ==
+      "extract ( year from `d` )")
+  }
+
+  test("numeric trunc rewrites to the session shim") {
+    assert(ExprLang.toSparkSql("trunc(amount)", r => s"`$r`") ==
+      "graft_trunc ( `amount` )")
+  }
+
   test("dependency topo-sort and cycle detection") {
     val deps = Map(
       "c" -> Set("a", "b"), "b" -> Set("a"), "a" -> Set.empty[String])
