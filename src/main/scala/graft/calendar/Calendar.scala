@@ -90,6 +90,7 @@ object Calendar {
       case "day"     => dt.plusDays(amount)
       case "hour"    => dt.plusHours(amount)
       case "minute"  => dt.plusMinutes(amount)
+      case "second"  => dt.plusSeconds(amount)
       case u => throw new IllegalArgumentException(s"unknown offset unit '$u'")
     }
 
@@ -109,7 +110,12 @@ object Calendar {
 
   /** Resolve a truncated-range name — `lastNunits` / `nextNunits`
     * (e.g. `last4quarters`) — to an inclusive (from, to) datetime range
-    * truncated to the unit (reference `calendar.py:271-295`). */
+    * covering the current period plus the k-1 before/after it (reference
+    * `calendar.py:271-295` resolves only the truncated endpoint; the
+    * range expansion is this engine's cut semantics). The `next` upper
+    * endpoint is the LAST second of the final period, so the inclusive
+    * lexicographic path bound covers the whole period — the start of the
+    * following period would cut the range short at its first instant. */
   def namedRange(name: String, now: LocalDateTime,
       cfg: Config = Config()): (LocalDateTime, LocalDateTime) =
     name.toLowerCase match {
@@ -119,7 +125,7 @@ object Calendar {
         if (dir == "last")
           (truncate(shift(now, unit, -(k - 1)), unit, cfg), now)
         else
-          (now, truncate(shift(now, unit, k - 1), unit, cfg))
+          (now, truncate(shift(now, unit, k), unit, cfg).minusSeconds(1))
       case other =>
         throw new IllegalArgumentException(s"unknown named range '$other'")
     }

@@ -40,14 +40,24 @@ object Formats {
     val cols = df.columns
 
     def esc(s: String): String = s
+      // XML 1.0 forbids most control chars entirely — drop them (keep
+      // tab/newline/CR, which are legal when escaped in text nodes)
+      .filter(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r')
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+    def isFiniteNumber(n: java.lang.Number): Boolean = n match {
+      case d: java.lang.Double => !d.isNaN && !d.isInfinite
+      case f: java.lang.Float  => !f.isNaN && !f.isInfinite
+      case _                   => true
+    }
+
     def cell(v: Any): String = v match {
       case null => "<c/>"
-      case n: java.lang.Number => s"<c><v>${n.toString}</v></c>"
+      // NaN/Infinity are not valid xlsx numbers — write them as text
+      case n: java.lang.Number if isFiniteNumber(n) => s"<c><v>${n.toString}</v></c>"
       case b: java.lang.Boolean => s"""<c t="b"><v>${if (b) 1 else 0}</v></c>"""
-      case other => s"""<c t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+      case other => s"""<c t="inlineStr"><is><t>${esc(String.valueOf(other))}</t></is></c>"""
     }
 
     val sheetRows = new StringBuilder
@@ -60,10 +70,13 @@ object Formats {
       sheetRows.append("</row>")
     }
 
+    // concatenated, NOT an interpolated stripMargin template: row data may
+    // contain newlines, and stripMargin after interpolation would mangle
+    // any cell text matching "\n<ws>|"
     val sheet =
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-         |<sheetData>${sheetRows.toString}</sheetData></worksheet>""".stripMargin
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+        "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">\n" +
+        "<sheetData>" + sheetRows.toString + "</sheetData></worksheet>"
     val workbook =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"

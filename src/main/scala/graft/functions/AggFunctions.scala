@@ -56,12 +56,12 @@ object AggFunctions {
     * the rounding noise) — the price of reproducibility; `variance_fast`
     * is the native double implementation.) */
   def exactVarSamp(c: Column, dt: DataType): Column = {
+    // the integral path must also square in decimal: a native Int/Long
+    // c*c overflows per-row (e.g. Int values ~1e5 → 1e10 wraps) before
+    // the sum ever sees it
+    val x = c.cast(MomentDecimal)
     val (s, q, n) =
-      if (isFloating(dt)) {
-        val x = c.cast(MomentDecimal)
-        (sum(x).cast(DoubleType), sum(x * x).cast(DoubleType), count(c))
-      } else
-        (sum(c).cast(DoubleType), sum(c * c).cast(DoubleType), count(c))
+      (sum(x).cast(DoubleType), sum(x * x).cast(DoubleType), count(c))
     when(n > 1, (q - s * s / n) / (n - lit(1))).otherwise(lit(null).cast(DoubleType))
   }
 

@@ -29,7 +29,7 @@ object ModelJson {
     }
 
     (root \ "cubes") match {
-      case JArray(cs) => cs.collect { case o: JObject => parseCube(o, dims) }
+      case JArray(cs) => cs.collect { case o: JObject => parseCube(o, dims, byName) }
       case _          => Nil
     }
   }
@@ -50,11 +50,18 @@ object ModelJson {
     case _       => None
   }
 
-  private def resolveTemplate(o: JObject, byName: Map[String, JObject]): JObject =
+  private def resolveTemplate(o: JObject, byName: Map[String, JObject],
+      visiting: Set[String] = Set.empty): JObject =
     str(o, "template") match {
       case Some(t) =>
-        val base = byName.getOrElse(t,
+        require(!visiting.contains(t),
+          s"circular dimension template chain at '$t'")
+        val base0 = byName.getOrElse(t,
           throw new IllegalArgumentException(s"unknown dimension template '$t'"))
+        // templates chain: the base may itself be templated — resolve it
+        // first so A→B→C inherits C's fields instead of silently losing
+        // them through B's unresolved template key
+        val base = resolveTemplate(base0, byName, visiting + t)
         val merged = base.obj.filterNot(_._1 == "name").toMap ++
           o.obj.filterNot(_._1 == "template").toMap
         JObject(merged.toList)
@@ -193,7 +200,8 @@ object ModelJson {
     case other => throw new IllegalArgumentException(s"bad mapping: $other")
   }
 
-  private def parseCube(o: JObject, dims: Map[String, Dimension]): Cube = {
+  private def parseCube(o: JObject, dims: Map[String, Dimension],
+      dimJsonByName: Map[String, JObject] = Map.empty): Cube = {
     val name = str(o, "name").getOrElse(
       throw new IllegalArgumentException("cube without a name"))
     val cubeDims = (o \ "dimensions") match {
@@ -217,7 +225,8 @@ object ModelJson {
             defaultHierarchyName = str(d, "default_hierarchy_name"),
             cardinality = str(d, "cardinality"),
             nonadditive = str(d, "nonadditive"))
-        case d: JObject => parseDimension(resolveTemplate(d, Map.empty))
+        // cube-inline dimension (possibly templating a shared one)
+        case d: JObject => parseDimension(resolveTemplate(d, dimJsonByName))
         case other => throw new IllegalArgumentException(s"bad dimension: $other")
       }
       case _ => Nil

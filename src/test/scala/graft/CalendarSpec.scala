@@ -34,8 +34,12 @@ class CalendarSpec extends AnyFunSuite {
     val (from, to) = Calendar.namedRange("last4quarters", now)
     assert(from == LocalDateTime.of(2014, 10, 1, 0, 0))
     assert(to == now)
+    // upper endpoint = LAST second of the final period (inclusive paths
+    // must cover the whole period, not stop at its first instant)
     val (f2, t2) = Calendar.namedRange("next2months", now)
-    assert(f2 == now && t2 == LocalDateTime.of(2015, 9, 1, 0, 0))
+    assert(f2 == now && t2 == LocalDateTime.of(2015, 9, 30, 23, 59, 59))
+    // second-granularity offsets resolve too
+    assert(Calendar.namedTime("30secondsago", now) == now.minusSeconds(30))
   }
 
   test("since period start") {

@@ -84,6 +84,30 @@ class ModelJsonSpec extends AnyFunSuite {
       PhysicalRef("dim_date", "d", extract = Some("day")))
   }
 
+  test("templates chain recursively and resolve for cube-inline dimensions") {
+    val chained =
+      """{
+        |  "dimensions": [
+        |    {"name": "base", "levels": [{"name": "year"}, {"name": "month"}]},
+        |    {"name": "mid", "template": "base", "label": "Mid"},
+        |    {"name": "leaf", "template": "mid"}
+        |  ],
+        |  "cubes": [{"name": "c1", "fact": "f",
+        |    "dimensions": ["leaf", {"name": "inline_d", "template": "base"}]}]
+        |}""".stripMargin
+    val c = ModelJson.loadString(chained).head
+    // leaf inherited base's levels THROUGH mid (and mid's label)
+    val leaf = c.dimension("leaf")
+    assert(leaf.levels.map(_.name) == Seq("year", "month"))
+    assert(leaf.label.contains("Mid"))
+    // a cube-inline dimension object may template a shared definition
+    assert(c.dimension("inline_d").levels.map(_.name) == Seq("year", "month"))
+    // circular templates are detected, not a stack overflow
+    val circular = chained.replace("""{"name": "base", "levels": [{"name": "year"}, {"name": "month"}]}""",
+      """{"name": "base", "template": "leaf"}""")
+    intercept[IllegalArgumentException](ModelJson.loadString(circular))
+  }
+
   test("cube-level nonadditive is inherited by measures (reference test_inherit_nonadditive)") {
     val c = ModelJson.loadString(json.replace(
       "\"name\": \"sales\",", "\"name\": \"sales\", \"nonadditive\": \"time\",")).head

@@ -134,6 +134,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(sheet.contains("<t>returnflag</t>"))
       assert(sheet.split("<row>").length == 5) // header + 3 data rows
     } finally zf.close()
+
+    // hostile cell values survive: newline+pipe text (stripMargin hazard),
+    // NaN (not a valid xlsx number — becomes text), control chars dropped
+    val tricky = Seq(("a\n  |b", Double.NaN, "ctlchar"))
+      .toDF("s", "d", "c")
+    val p2 = java.nio.file.Files.createTempDirectory("graft_xlsx2")
+      .resolve("t.xlsx").toString
+    Formats.writeXlsx(tricky, p2)
+    val zf2 = new java.util.zip.ZipFile(p2)
+    try {
+      val sheet2 = new String(
+        zf2.getInputStream(zf2.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+      assert(sheet2.contains("<t>a\n  |b</t>"), sheet2) // text intact
+      assert(sheet2.contains("""<c t="inlineStr"><is><t>NaN</t>"""), sheet2)
+      assert(sheet2.contains("<t>ctlchar</t>"), sheet2)
+    } finally zf2.close()
   }
 
   test("report fan-out evaluates multiple verbs against one cell") {
