@@ -393,7 +393,9 @@ final class Browser(
     val groupKeys = resolveDrilldown(effCell, groupDrilldown).flatMap(_.keyRefs)
     val rankKeys = resolveDrilldown(effCell, rankDrilldown).flatMap(_.keyRefs)
     val rankCol = if (rankBy.nonEmpty) rankBy
-      else aggregates.headOption.getOrElse(cube.aggregates.head.name)
+      else aggregates.headOption.getOrElse(
+        // mirror aggregate()'s no-declared-aggregates fallback (FactCount)
+        cube.aggregates.headOption.map(_.name).getOrElse(Cube.FactCount.name))
     val w0 = if (groupKeys.isEmpty) Window.partitionBy()
       else Window.partitionBy(groupKeys.map(bcol): _*)
     val w = w0.orderBy(bcol(rankCol).desc +: rankKeys.map(bcol(_).asc): _*)

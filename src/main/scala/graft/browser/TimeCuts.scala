@@ -30,8 +30,7 @@ object TimeCuts {
       case p => p
     }
     cut match {
-      case PointCut(d, Seq(name), h, inv)
-          if Calendar.isRelativeName(name) && name.toLowerCase.matches("(last|next)\\d+\\w+") =>
+      case PointCut(d, Seq(name), h, inv) if Calendar.isTruncatedRange(name) =>
         // truncated-range name → range cut over unit-truncated endpoints
         val (from, to) = Calendar.namedRange(name, now)
         RangeCut(d,

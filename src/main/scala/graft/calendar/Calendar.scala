@@ -137,13 +137,19 @@ object Calendar {
       OffsetRe.matches(l) || TruncRe.matches(l)
   }
 
+  /** Is the name a truncated-range member (`lastNunits`/`nextNunits`)?
+    * The single source of truth for the grammar — callers must not
+    * re-implement the regex (a drifted copy would silently stop
+    * converting such cuts). */
+  def isTruncatedRange(s: String): Boolean = TruncRe.matches(s.toLowerCase)
+
   /** Cut-member conversion (reference `calendar.py:298-313`, wired into the
     * cut parser at `query/browser.py:130-143`): a single-element time path
     * whose value is a relative name becomes the concrete hierarchy path;
     * relative ranges become (from, to) paths. */
   def convertPath(value: String, units: Seq[String], now: LocalDateTime,
       cfg: Config = Config()): Seq[String] =
-    if (isRelativeName(value) && !TruncRe.matches(value.toLowerCase))
+    if (isRelativeName(value) && !isTruncatedRange(value))
       path(namedTime(value, now, cfg), units, cfg).map(_.toString)
     else Seq(value)
 }

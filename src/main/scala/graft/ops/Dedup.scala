@@ -410,8 +410,11 @@ object Dedup {
         col("a.__id__") < col("b.__id__"))
       .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
         hamming(col("a.__sh__"), col("b.__sh__")).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is deterministic per pair, so
+      // the dedup shuffle carries only surviving pairs, not every band
+      // collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------- embedding near-duplicates
@@ -430,7 +433,9 @@ object Dedup {
     a.join(b, col("a.__sig__") === col("b.__sig__") &&
         col("a.__id__") < col("b.__id__"))
       .withColumn("cosine", Similarity.cosine(col("a.__v__"), col("b.__v__")))
-      .filter(col("cosine") >= threshold)
+      // Spark orders NaN above every number, so a zero-norm vector pair
+      // (cosine 0/0 = NaN) would pass ANY threshold — exclude explicitly
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
       .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
   }

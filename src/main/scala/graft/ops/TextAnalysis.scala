@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of the lowercased text. */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Whitespace tokens of the lowercased text (any whitespace run — a
+    * literal-space split broke language-ID on tab/newline-separated
+    * text). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** Token count on raw whitespace split. */
   def tokenCount(text: Column): Column = size(split(text, "\\s+"))
@@ -24,10 +26,15 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Character n-grams (default 3) of the text. */
+  /** Character n-grams (default 3) of the text; text shorter than `n`
+    * has NO n-grams. (An unguarded `sequence(1, 0)` is DESCENDING in
+    * Spark — [1, 0] — which minted spurious grams for short texts and
+    * scored two empty documents as Jaccard 1.0.) */
   def charNgrams(text: Column, n: Int = 3): Column =
-    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n)))
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
 
   /** Deterministic polynomial rolling hash over the characters of a string:
     * fold (acc·131 + codepoint) mod 1e9+7. Unlike xxhash64/murmur it is

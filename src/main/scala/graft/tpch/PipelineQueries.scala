@@ -185,7 +185,7 @@ object PipelineQueries {
   private val langCase: String = {
     val scores = TextAnalysis.stopwords.map { case (lang, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")
-      lang -> s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($inList)))"
+      lang -> s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($inList)))"
     }
     val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
     val whens = scores.map { case (lang, sc) =>
@@ -268,6 +268,7 @@ object PipelineQueries {
        |  ROUND(${dcosine("a.embedding", "b.embedding")}, 6) AS cosine
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${dcosine("a.embedding", "b.embedding")} >= 0.2
+       |  AND NOT isnan(${dcosine("a.embedding", "b.embedding")})
        |ORDER BY 1, 2""".stripMargin
   }
 
