@@ -143,6 +143,24 @@ object TextAnalysis {
     )
   }
 
+  /** Content-flag features: URL/email density and symbol-to-word ratio —
+    * the remaining Gopher-style boilerplate/spam signals. Patterns are
+    * kept to the regex subset Java and RE2 dialects share, so the DuckDB
+    * oracle replays them verbatim. Per-row, codegen'd, no shuffle. */
+  def contentFlags(text: Column): Seq[(String, Column)] = {
+    def count(pattern: String): Column =
+      size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+    val words = size(filter(split(text, "\\s+"), w => length(w) > 0))
+    val symbols = count("[#@&%$~^*+=<>{}\\[\\]|\\\\]")
+    Seq(
+      "n_urls" -> count("https?://[^\\s]+"),
+      "n_emails" -> count("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+      "n_symbols" -> symbols,
+      "symbol_word_ratio" -> when(words > 0,
+        round(symbols.cast("double") / words.cast("double"), 6)).otherwise(0.0)
+    )
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

@@ -120,6 +120,15 @@ object PipelineQueries {
       ).orderBy(col("doc_id"))
     }),
 
+    // content flags: URL/email density + symbol-to-word ratio (the
+    // remaining boilerplate/spam filter signals)
+    "q62_content_flags" -> ((s, dir) => {
+      val f = TextAnalysis.contentFlags(col("text"))
+      docs(s, dir).select(
+        col("doc_id") +: f.map { case (n, c) => c.as(n) }: _*
+      ).orderBy(col("doc_id"))
+    }),
+
     // char-3gram Jaccard between consecutive doc ids (set semantics)
     "q49_jaccard_consecutive" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -340,6 +349,18 @@ object PipelineQueries {
         |    ELSE 0.0 END AS top_word_frac
         |FROM l LEFT JOIN wmax USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q62_content_flags" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '[#@&%$~^*+=<>{}\[\]|\\]')) AS BIGINT) AS n_symbols,
+        |    len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS wc
+        |  FROM documents)
+        |SELECT doc_id, n_urls, n_emails, n_symbols,
+        |  CASE WHEN wc > 0 THEN ROUND(CAST(n_symbols AS DOUBLE)/wc, 6)
+        |    ELSE 0.0 END AS symbol_word_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q49_jaccard_consecutive" ->
       """WITH g AS (SELECT doc_id,
