@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Verify's session: without it a Bench launched outside
+      // sbt would time a DIFFERENT workload (host-TZ calendar bucketing)
+      // than the one whose correctness was verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,20 +29,29 @@ object Bench {
     // cache noise must not be recorded as a regression (the round-2 bench
     // artifact was noise-contaminated exactly this way)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = (SparkEntry.queries -- sinkWriters).map { case (name, fn) =>
+      var ok = true
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          // a failure must NOT be recorded as a fast run: log it and mark
+          // the query so the artifact shows -1, excluded from the total
+          ok = false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         finally graft.ops.Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (!ok) { failed += name; name -> -1.0 } else name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_sink_writers":$skipped}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_sink_writers":$skipped,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -34,9 +34,11 @@ object Slicer {
       val (ws, cfg) = WorkspaceConfig.loadWithConfig(spark, config)
       val port = rest.headOption.map(_.toInt)
         .getOrElse(WorkspaceConfig.serverPort(cfg))
-      val server = new graft.server.SlicerServer(ws, port)
+      val host = cfg.getOrElse("server", Map.empty)
+        .getOrElse("host", "127.0.0.1")
+      val server = new graft.server.SlicerServer(ws, port, host = host)
       val bound = server.start()
-      println(s"slicer server listening on 127.0.0.1:$bound")
+      println(s"slicer server listening on $host:$bound")
       Thread.currentThread().join() // serve until killed
 
     case "denormalize" :: config :: cube :: target :: rest =>

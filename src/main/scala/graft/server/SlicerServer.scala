@@ -26,9 +26,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       * `server/caching.py` — TTL'd response cache keyed by the request).
       * Cache hits carry an `X-Graft-Cache: hit` header. */
     cacheTtlSeconds: Int = 0,
-    cacheMaxEntries: Int = 1024) {
+    cacheMaxEntries: Int = 1024,
+    /** Bind address; loopback by default, `[server] host` in slicer.ini. */
+    host: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   def start(): Int = {
     server.createContext("/", new Handler)

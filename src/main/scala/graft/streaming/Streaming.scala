@@ -24,13 +24,18 @@ object Streaming {
   private final case class SessionState(n: Long, start: Long, last: Long)
 
   /** Tumbling event-time windows with a watermark: the streaming twin of
-    * the batch `q28_events_hourly`. */
+    * the batch `q28_events_hourly`. The grouping key must be the window
+    * struct itself — `window(...).getField("start")` strips the
+    * event-time metadata, so the watermark would never bound state and
+    * append mode would be rejected; `.start` is projected AFTER the
+    * aggregation instead. */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
-        col("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
 
   /** Streaming exact dedup: the streaming twin of `Dedup.exactDedup`.
     * Keys on a content hash (sha-256 of the dedup columns) and drops

@@ -220,6 +220,23 @@ class OpsSpec extends AnyFunSuite {
     assert(counts.values.forall(_ == 3))
   }
 
+  test("content flags count urls/emails/symbols; ratio guards empty text") {
+    val df = Seq(
+      (1L, "see https://example.com/x and http://a.b c@d.org me@you.co.uk #tag 50%"),
+      (2L, "plain words only here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.contentFlags(col("text"))
+    val out = df.select(col("doc_id") +: f.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_urls") == 2L)
+    assert(out(0).getAs[Long]("n_emails") == 2L)
+    assert(out(0).getAs[Long]("n_symbols") >= 2L) // # and %
+    assert(out(1).getAs[Long]("n_urls") == 0L &&
+      out(1).getAs[Double]("symbol_word_ratio") == 0.0)
+    assert(out(2).getAs[Double]("symbol_word_ratio") == 0.0) // no div-by-zero
+  }
+
   test("language-ID picks the language with the most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),

@@ -51,6 +51,13 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, String, Long)].collect().toSet
       assert(streamed == batch)
     } finally q.stop()
+
+    // the watermark must survive into the aggregation: append mode (which
+    // REQUIRES watermarked streaming aggregation) must start cleanly
+    val qa = Streaming.hourlyCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_append").start()
+    try qa.processAllAvailable() finally qa.stop()
   }
 
   test("streaming exact dedup drops in-horizon duplicates, keeps state bounded") {
