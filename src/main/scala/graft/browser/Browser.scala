@@ -107,14 +107,6 @@ final class Browser(
   val SplitColumn = "__within_split__"
   val FactKeyColumn = "__fact_key__"
 
-  // the cubes-grammar `trunc(x)` is numeric truncation toward zero; Spark's
-  // `trunc` is date-only, so ExprLang rewrites to this session shim
-  // (idempotent re-registration; a rarely-used compatibility UDF, kept off
-  // every hot path)
-  spark.udf.register("graft_trunc",
-    (x: java.lang.Double) =>
-      if (x == null) null else java.lang.Double.valueOf(x.toDouble.toLong.toDouble))
-
   /** Restriction applied to a caller cell. */
   private def restricted(cell: Cell): Cell =
     if (restrictionCell.isEmpty) cell else cell & restrictionCell
@@ -303,6 +295,11 @@ final class Browser(
       .filterNot(_.function.exists(WindowCalcs.isWindowFunction))
     require(aggs.nonEmpty, "aggregateFused needs at least one builtin aggregate")
     val dd = resolveDrilldown(effCell, drilldown)
+    // same refusal semantics as aggregate(): the server routes eligible
+    // requests here, so the fused path must not silently return wrong
+    // nonadditive sums or unpaginated high-cardinality drilldowns
+    checkHighCardinality(dd, effCell, page, pageSize)
+    checkNonadditive(dd, aggs)
     val ddRefs = dd.flatMap(_.allRefs)
     val projected = projectedFrame(
       (ddRefs ++ aggs.flatMap(aggMeasureRefs) ++ cellRefs(effCell)).distinct)

@@ -53,7 +53,12 @@ object ExprLang {
   private def isKeywordAt(toks: Seq[Token], idx: Int, lower: String): Boolean =
     keywords.contains(lower) ||
       (dateParts.contains(lower) &&
-        idx + 1 < toks.size && toks(idx + 1) == Ident("from"))
+        idx + 1 < toks.size && (toks(idx + 1) match {
+          // case-insensitive: `extract(year FROM x)` must behave like
+          // `extract(year from x)`
+          case Ident(s) => s.equalsIgnoreCase("from")
+          case _ => false
+        }))
 
   sealed trait Token
   final case class Ident(s: String) extends Token
@@ -136,11 +141,19 @@ object ExprLang {
   private val fnRewrite: Map[String, String] = Map(
     "pow" -> "power",
     "substr" -> "substring",
-    "remainder" -> "mod",
-    // numeric truncation toward zero — Spark's `trunc` is date-only, so
-    // the cubes-grammar spelling compiles to the shim the Browser
-    // registers per session (see Browser's graft_trunc registration)
-    "trunc" -> "graft_trunc"
+    "remainder" -> "mod"
+  )
+
+  /** Functions that rewrite to a wrapping expression: the name is replaced
+    * by `prefix`, and the argument list's CLOSING paren is replaced by
+    * `suffix`. Used where the cubes grammar has a scalar Spark lacks but a
+    * cast/expression composition expresses natively (no session UDF, stays
+    * inside whole-stage codegen). */
+  private val fnWrap: Map[String, (String, String)] = Map(
+    // numeric truncation toward zero — Spark's `trunc` is date-only.
+    // `double(try_cast(x as bigint))`: null-safe, and try_cast keeps
+    // ANSI mode exception-free (NaN / out-of-long-range → null).
+    "trunc" -> ("double ( try_cast", "as bigint ) )")
   )
 
   /** Rewrite an expression to Spark SQL, substituting identifier refs via
@@ -149,16 +162,30 @@ object ExprLang {
     validateFunctions(expr)
     val toks = tokenize(expr)
     val sb = new StringBuilder
+    // (paren depth, suffix) for in-flight fnWrap rewrites: when the depth
+    // returns to the recorded value, the closing paren is replaced
+    var depth = 0
+    val pending = mutable.Stack.empty[(Int, String)]
     toks.zipWithIndex.foreach { case (t, idx) =>
       val s = t match {
         case Ident(s) =>
           val isFn = idx + 1 < toks.size && toks(idx + 1) == Op("(")
-          if (isFn) fnRewrite.getOrElse(s.toLowerCase, s)
-          else if (isKeywordAt(toks, idx, s.toLowerCase) ||
-            variables.contains(s.toLowerCase)) s
+          val lower = s.toLowerCase
+          if (isFn && fnWrap.contains(lower)) {
+            val (prefix, suffix) = fnWrap(lower)
+            pending.push((depth, suffix))
+            prefix
+          } else if (isFn) fnRewrite.getOrElse(lower, s)
+          else if (isKeywordAt(toks, idx, lower) ||
+            variables.contains(lower)) s
           else rename(s)
         case Lit(s) => s
-        case Op(s)  => s
+        case Op("(") => depth += 1; "("
+        case Op(")") =>
+          depth -= 1
+          if (pending.nonEmpty && pending.top._1 == depth) pending.pop()._2
+          else ")"
+        case Op(s) => s
       }
       if (sb.nonEmpty) sb.append(' ')
       sb.append(s)

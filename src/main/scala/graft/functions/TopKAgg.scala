@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -27,9 +27,17 @@ import org.apache.spark.sql.types._
 case class TopKByScoreAgg(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "top-k needs k > 0")
+
+  // Declared input types: Catalyst inserts implicit casts (int id → long,
+  // float score → double) and rejects incompatible columns at ANALYSIS time
+  // instead of a ClassCastException inside update() at runtime.
+  // (Seq[DataType] covariantly overrides Seq[AbstractDataType], whose
+  // element type is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false

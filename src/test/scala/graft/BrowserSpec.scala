@@ -247,6 +247,22 @@ class BrowserSpec extends AnyFunSuite {
     assert(names(Some("sk")) == Seq("jedlo", "naradie"))
   }
 
+  test("trunc in a derived measure executes natively (no UDF registered)") {
+    val c = flatCube.copy(
+      measures = flatCube.measures :+
+        Measure("amount_t", expression = Some("trunc(amount / 7)")),
+      aggregates = flatCube.aggregates :+
+        MeasureAggregate("t_sum", function = Some("sum"),
+          measure = Some("amount_t")))
+    val b = new Browser(c, new StarSchema(c, factsDf, Map("facts" -> factsDf)), spark)
+    val r = b.aggregate(aggregates = Seq("t_sum")).cells.collect()(0)
+    // 16 facts: amounts sum 60; per-row trunc-toward-zero of amount/7
+    val expected = factsDf.select("amount").collect()
+      .map(_.getAs[Int]("amount").toDouble / 7).map(_.toLong.toDouble).sum
+    assert(r.getAs[Double]("t_sum") == expected)
+    assert(!spark.catalog.functionExists("graft_trunc"))
+  }
+
   test("expression parameters compile to literals") {
     val c = flatCube.copy(
       measures = flatCube.measures :+
@@ -276,6 +292,32 @@ class BrowserSpec extends AnyFunSuite {
     // non-time drilldown is fine; count over time is fine
     b.aggregate(drilldown = Seq("cat"), aggregates = Seq("qty_sum"))
     b.aggregate(drilldown = Seq("date:year"), aggregates = Seq("n"))
+  }
+
+  test("fused path enforces the same refusal semantics as aggregate()") {
+    // high-cardinality: refused unpaginated, allowed with pageSize
+    val hc = flatCube.copy(dimensions =
+      Seq(Dimension.flat("year").copy(cardinality = Some("high"))))
+    val hb = new Browser(hc, new StarSchema(hc, factsDf, Map("facts" -> factsDf)), spark)
+    assertThrows[IllegalArgumentException] {
+      hb.aggregateFused(drilldown = Seq("year"), aggregates = Seq("amount_sum"))
+    }
+    hb.aggregateFused(drilldown = Seq("year"), aggregates = Seq("amount_sum"),
+      pageSize = Some(10))
+    // nonadditive: sum over a time drilldown refused when enforcement is on
+    val base = starCube(JoinMethod.Match)
+    val nc = base.copy(
+      dimensions = base.dimensions.map {
+        case d if d.name == "date" => d.copy(role = Some("time"))
+        case d => d
+      },
+      measures = Seq(Measure("qty", nonadditive = Some("time"))))
+    val nb = new Browser(nc, new StarSchema(nc, salesDf,
+      Map("sales" -> salesDf, "category" -> catDf)), spark,
+      enforceNonadditive = true)
+    assertThrows[IllegalArgumentException] {
+      nb.aggregateFused(drilldown = Seq("date:year"), aggregates = Seq("qty_sum"))
+    }
   }
 
   test("fused summary+drilldown: one grouping-sets pass, both slices agree") {

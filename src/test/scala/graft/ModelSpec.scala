@@ -54,11 +54,17 @@ class ModelSpec extends AnyFunSuite {
     assert(ExprLang.toSparkSql("month * 100", r => s"`$r`") == "`month` * 100")
     assert(ExprLang.toSparkSql("extract(year from d)", r => s"`$r`") ==
       "extract ( year from `d` )")
+    // the `from` lookahead is case-insensitive (SQL keywords are)
+    assert(ExprLang.toSparkSql("extract(year FROM d)", r => s"`$r`") ==
+      "extract ( year FROM `d` )")
   }
 
-  test("numeric trunc rewrites to the session shim") {
+  test("numeric trunc rewrites to a native cast composition (no UDF)") {
     assert(ExprLang.toSparkSql("trunc(amount)", r => s"`$r`") ==
-      "graft_trunc ( `amount` )")
+      "double ( try_cast ( `amount` as bigint ) )")
+    // wrap nests inside other calls and keeps sibling args intact
+    assert(ExprLang.toSparkSql("pow(trunc(a), 2)", r => s"`$r`") ==
+      "power ( double ( try_cast ( `a` as bigint ) ) , 2 )")
   }
 
   test("dependency topo-sort and cycle detection") {

@@ -90,6 +90,19 @@ class OpsSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
   }
 
+  test("top-k aggregate implicitly casts int ids / float scores (no runtime CCE)") {
+    // pre-ImplicitCastInputTypes this threw ClassCastException inside
+    // update(); declared input types make Catalyst insert the casts
+    val vs = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (1, Array(0.9f, 0.1f)),
+      (2, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding") // int ids
+    val top = Similarity.bruteForceTopK(
+      vs.filter($"vec_id" === 0), vs, "vec_id", "embedding", 1).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L))
+  }
+
   test("LSH top-k routes near-identical vectors to the same bucket") {
     // corpus vector 100+i ≈ query vector i (same signs ⇒ same bucket):
     // the mechanism guarantees recall for true near-duplicates
