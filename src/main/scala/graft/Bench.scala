@@ -25,33 +25,38 @@ object Bench {
     // times the query engine.
     val sinkWriters = Set("q34_materialize_denorm", "q35_materialize_preagg",
       "q36_materialize_dim", "q37_formats_roundtrip")
-    // min of N runs per query: one slow run from GC / compilation / page
-    // cache noise must not be recorded as a regression (the round-2 bench
-    // artifact was noise-contaminated exactly this way)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = (SparkEntry.queries -- sinkWriters).map { case (name, fn) =>
-      var ok = true
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          // a failure must NOT be recorded as a fast run: log it and mark
-          // the query so the artifact shows -1, excluded from the total
-          ok = false
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        finally graft.ops.Caches.releaseAll()
-        (System.nanoTime() - t0) / 1e9
-      }
-      if (!ok) { failed += name; name -> -1.0 } else name -> times.min
+    // N COMPLETE passes over the catalog, per-query min taken ACROSS
+    // passes. Back-to-back min-of-N per query cannot escape deferred
+    // cleanup noise: a heavy query's async unpersists/GC land on whichever
+    // query runs next, poisoning BOTH of its consecutive iterations (the
+    // r2 and r3 artifacts mis-recorded heavy-tail queries 3-4× this way).
+    // Separating the iterations by a full catalog pass makes the two
+    // samples independent of any one neighbor.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val names = (SparkEntry.queries -- sinkWriters).keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (pass <- 1 to passes; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      } catch { case e: Throwable =>
+        // a failure must NOT be recorded as a fast run: log it and mark
+        // the query so the artifact shows -1, excluded from the total
+        failed += name
+        System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+      } finally graft.ops.Caches.releaseAll()
     }
+    val results = names.map(n =>
+      n -> (if (failed(n)) -1.0 else best(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_sink_writers":$skipped,"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"skipped_sink_writers":$skipped,"failed":$failedJson}""")
     spark.stop()
   }
 }
