@@ -2,10 +2,10 @@ package graft.formats
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
-/** Result output formats (reference `cubes/formatters.py:58-150`): CSV,
-  * JSON-lines, JSON. XLSX is driver-side in the reference and out of scope
-  * for a distributed engine (a driver-side collect-and-write would bolt on
-  * trivially). Distributed writers — each format scales with the result. */
+/** Result output formats (reference `cubes/formatters.py:58-150`): CSV and
+  * JSON-lines as distributed writers (each scales with the result), JSON
+  * and XLSX driver-side for bounded server responses (the reference's xlsx
+  * is driver-side too). */
 object Formats {
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
@@ -35,8 +35,17 @@ object Formats {
     * shared-strings table). Driver-side by design, like the reference:
     * spreadsheets are for small result sets. */
   def writeXlsx(df: DataFrame, path: String, limit: Int = 100000): Unit = {
+    val (bytes, _) = xlsxBytes(df, limit)
+    val out = new java.io.FileOutputStream(path)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** The workbook as in-memory bytes + whether the row limit truncated it
+    * (fetches limit+1 to detect) — the server's `format=xlsx` responses. */
+  def xlsxBytes(df: DataFrame, limit: Int = 100000): (Array[Byte], Boolean) = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
-    val rows = df.limit(limit).collect()
+    val fetched = df.limit(limit + 1).collect()
+    val rows = fetched.take(limit)
     val cols = df.columns
 
     def esc(s: String): String = s
@@ -105,7 +114,8 @@ object Formats {
         |  ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
         |</Types>""".stripMargin
 
-    val out = new ZipOutputStream(new java.io.FileOutputStream(path))
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new ZipOutputStream(buf)
     try {
       def put(name: String, content: String): Unit = {
         out.putNextEntry(new ZipEntry(name))
@@ -118,5 +128,6 @@ object Formats {
       put("xl/_rels/workbook.xml.rels", workbookRels)
       put("xl/worksheets/sheet1.xml", sheet)
     } finally out.close()
+    (buf.toByteArray, fetched.length > limit)
   }
 }

@@ -13,7 +13,8 @@ import graft.cells.{Cell, CutParser}
 /** The "slicer" HTTP server (reference `cubes/server/blueprint.py`):
   * the browser verbs over HTTP with the same request vocabulary —
   * `cut` cell strings (with relative time members), `drilldown` lists
-  * split on `|`, `order`, `page`/`pagesize`, `split`, `format=json|csv`.
+  * split on `|`, `order`, `page`/`pagesize`, `split`,
+  * `format=json|csv|xlsx` (csv/xlsx served as attachment downloads).
   *
   * Built on the JDK's HttpServer (zero extra dependencies). One Spark
   * session serves all requests; queries stay lazy until serialization.
@@ -72,9 +73,15 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
   // ------------------------------------------------------------- handler
 
   /** Response triple + whether a row limit truncated the payload (signaled
-    * to the client as an `X-Graft-Truncated: true` header). */
+    * to the client as an `X-Graft-Truncated: true` header). `raw` carries a
+    * binary payload (xlsx) instead of `body`; `attachment` adds a
+    * Content-Disposition filename like the reference's download responses. */
   private final case class Resp(code: Int, body: String, ctype: String,
-      truncated: Boolean = false)
+      truncated: Boolean = false, raw: Option[Array[Byte]] = None,
+      attachment: Option[String] = None)
+
+  private val XlsxMime =
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 
   private final class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
@@ -135,12 +142,12 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         frameResponse(df, q)
       case List("cube", name, "fact", key) =>
         val b = workspace.browserFor(id, name)
-        frameResponse(b.fact(parseKey(key)), q)
+        frameResponse(b.fact(parseKey(key)), q, stem = "fact")
       case List("cube", name, "members", dim) =>
         val b = workspace.browserFor(id, name)
         frameResponse(b.members(cell(name, q), dim,
           q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
-          page(q), pageSize(q)), q)
+          page(q), pageSize(q)), q, stem = "members")
       case List("cube", name, "cell") =>
         val b = workspace.browserFor(id, name)
         // reference shape (`/cell`, blueprint.py + query/browser.py:525):
@@ -178,7 +185,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       // aggregated) unpaged frame for the request — cells render and the
       // count both read it; Caches.releaseAll frees it after the response
       val wantCount = !q.get("include_cell_count").contains("false") &&
-        !q.get("format").contains("csv")
+        q.getOrElse("format", "json") == "json"
       val result =
         if (fusible || !wantCount) result0
         else {
@@ -194,7 +201,13 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         }
       if (q.get("format").contains("csv")) {
         val (csv, truncated) = toCsv(result.cells)
-        Resp(200, csv, "text/csv", truncated)
+        Resp(200, csv, "text/csv", truncated,
+          attachment = Some("aggregate.csv"))
+      } else if (q.get("format").contains("xlsx")) {
+        val (bytes, truncated) =
+          graft.formats.Formats.xlsxBytes(result.cells, limit = 10000)
+        Resp(200, "", XlsxMime, truncated, raw = Some(bytes),
+          attachment = Some("aggregate.xlsx"))
       } else {
         val summary = result.summary
           .map(df => graft.formats.Formats.toJsonArray(df, 1).stripPrefix("[").stripSuffix("]"))
@@ -298,11 +311,19 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         s"""{"from": ${levelRecordsJson(from)}, "to": ${levelRecordsJson(to)}}"""
     }
 
-    /** DataFrame → json array / csv response per `format`. */
-    private def frameResponse(df: DataFrame, q: Map[String, String]): Resp =
+    /** DataFrame → json array / csv / xlsx response per `format`
+      * (reference `blueprint.py:309-470` — json|csv|xlsx downloads with a
+      * Content-Disposition filename). */
+    private def frameResponse(df: DataFrame, q: Map[String, String],
+        stem: String = "facts"): Resp =
       if (q.get("format").contains("csv")) {
         val (csv, truncated) = toCsv(df)
-        Resp(200, csv, "text/csv", truncated)
+        Resp(200, csv, "text/csv", truncated, attachment = Some(s"$stem.csv"))
+      } else if (q.get("format").contains("xlsx")) {
+        val (bytes, truncated) =
+          graft.formats.Formats.xlsxBytes(df, limit = 10000)
+        Resp(200, "", XlsxMime, truncated, raw = Some(bytes),
+          attachment = Some(s"$stem.xlsx"))
       } else {
         val (json, truncated) = graft.formats.Formats.toJsonArrayTruncated(df)
         Resp(200, json, "application/json", truncated)
@@ -426,8 +447,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     } + "\""
 
   private def respond(ex: HttpExchange, r: Resp): Unit = {
-    val bytes = r.body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", s"${r.ctype}; charset=utf-8")
+    val bytes = r.raw.getOrElse(r.body.getBytes(StandardCharsets.UTF_8))
+    ex.getResponseHeaders.set("Content-Type",
+      if (r.raw.isDefined) r.ctype else s"${r.ctype}; charset=utf-8")
+    r.attachment.foreach(f => ex.getResponseHeaders.set(
+      "Content-Disposition", s"""attachment; filename="$f""""))
     if (r.truncated) ex.getResponseHeaders.set("X-Graft-Truncated", "true")
     ex.sendResponseHeaders(r.code, bytes.length)
     ex.getResponseBody.write(bytes)

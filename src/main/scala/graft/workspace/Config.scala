@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   * type: parquet_dir          ; the Spark-native store: a directory of
   * path: /data/tables         ;   <table>.parquet files
   *
+  * [store_lab]                ; named store: its cubes live in namespace
+  * type: parquet_dir          ;   "lab" (override with `namespace:`) and
+  * path: /data/lab_tables     ;   are addressed as `lab.<cube>`
+  * model: lab_model.json      ; optional store-bound model
+  *
   * [models]
   * main: model.json           ; paths relative to the config file
   *
@@ -76,13 +81,31 @@ object WorkspaceConfig {
     }
 
     val ws = new Workspace(spark)
-    cfg.get("store").foreach { store =>
+    def registerStore(ns: String, store: Map[String, String]): Unit = {
       store.get("type").foreach { t =>
         require(t == "parquet_dir",
           s"unsupported store type '$t' (this engine's store is a parquet directory)")
       }
-      store.get("path").foreach(p => ws.registerTableDir(resolve(p)))
+      store.get("path").foreach(p => ws.registerTableDir(resolve(p), ns))
+      // a store section may bring its own model, loaded into the store's
+      // namespace (reference workspace.py:342-364)
+      store.get("model").foreach { m =>
+        val json = Files.readString(Paths.get(resolve(m)))
+        if (ns.isEmpty) ws.importModel(json) else ws.importModel(json, ns)
+      }
     }
+    // [store] = default store; [store_<name>] / [store.<name>] /
+    // [store <name>] = named store whose cubes live in namespace <name>
+    // (overridable with a `namespace:` key) — reference workspace.py:205-223
+    cfg.get("store").foreach(registerStore("", _))
+    cfg.keys.filter(s => s != "store" && s.startsWith("store")).toSeq.sorted
+      .foreach { sec =>
+        val name = sec.drop("store".length)
+          .dropWhile(c => c == '_' || c == '.' || c == ' ').trim
+        require(name.nonEmpty, s"store section '[$sec]' has no name")
+        val ns = cfg(sec).getOrElse("namespace", name)
+        registerStore(ns, cfg(sec))
+      }
     cfg.getOrElse("models", Map.empty).values.foreach { m =>
       ws.importModel(Files.readString(Paths.get(resolve(m))))
     }

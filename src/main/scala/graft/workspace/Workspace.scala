@@ -14,7 +14,16 @@ import graft.cells.Cell
 final class Workspace(val spark: SparkSession) {
 
   private val cubes = scala.collection.mutable.LinkedHashMap.empty[String, Cube]
-  private val tables = scala.collection.mutable.Map.empty[String, DataFrame]
+  // per-store table registries: key "" is the default store, other keys are
+  // namespaces (reference `workspace.py:205-223` — [store] is the default
+  // store, [store_*] sections register named stores whose cubes live in a
+  // namespace; each cube browses ITS store's tables)
+  private val stores = scala.collection.mutable.LinkedHashMap(
+    "" -> scala.collection.mutable.Map.empty[String, DataFrame])
+  private def storeTables(ns: String) =
+    stores.getOrElseUpdate(ns, scala.collection.mutable.Map.empty)
+  // cube ref -> namespace whose store backs it ("" = default)
+  private val cubeStore = scala.collection.mutable.Map.empty[String, String]
   private val browsers = scala.collection.mutable.Map.empty[String, Browser]
 
   def registerCube(cube: Cube): this.type = { cubes(cube.name) = cube; this }
@@ -22,10 +31,13 @@ final class Workspace(val spark: SparkSession) {
   /** Register under a namespace: the cube is addressed as `ns.cube`
     * everywhere (reference `namespace.py` — hierarchical cube naming;
     * `find_cube` resolves the dotted path and the served name is the
-    * fully-qualified reference, `workspace.py:536-541`). */
+    * fully-qualified reference, `workspace.py:536-541`), and browses the
+    * namespace's store (falling back to default-store tables for shared
+    * dimensions). */
   def registerCube(cube: Cube, namespace: String): this.type = {
     val ref = s"$namespace.${cube.name}"
     cubes(ref) = cube.copy(name = ref)
+    cubeStore(ref) = namespace
     this
   }
 
@@ -34,20 +46,39 @@ final class Workspace(val spark: SparkSession) {
     this
   }
 
-  /** Register every `<name>.parquet` under the directory as a table. */
-  def registerTableDir(dir: String): this.type = {
+  /** Import a model's cubes into `namespace` (reference store-bound models:
+    * `workspace.py:357-364` — a store section's `model:` loads into the
+    * store's namespace). */
+  def importModel(json: String, namespace: String): this.type = {
+    ModelJson.loadString(json).foreach(registerCube(_, namespace))
+    this
+  }
+
+  /** Register every `<name>.parquet` under the directory as a table of the
+    * given store ("" = default store). */
+  def registerTableDir(dir: String, namespace: String = ""): this.type = {
     // tolerate TIMESTAMP(NANOS) columns (read as long nanos)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     files.filter(_.getName.endsWith(".parquet")).foreach { f =>
-      tables(f.getName.stripSuffix(".parquet")) =
+      storeTables(namespace)(f.getName.stripSuffix(".parquet")) =
         spark.read.parquet(f.getAbsolutePath)
     }
     this
   }
 
-  def registerTable(name: String, df: DataFrame): this.type = {
-    tables(name) = df; this
+  def registerTable(name: String, df: DataFrame,
+      namespace: String = ""): this.type = {
+    storeTables(namespace)(name) = df; this
+  }
+
+  /** Tables visible to a cube: its own store's tables shadow same-named
+    * default-store tables; default-store tables remain visible as shared
+    * dimensions. */
+  private def tablesFor(cubeName: String): Map[String, DataFrame] = {
+    val ns = cubeStore.getOrElse(cubeName, "")
+    if (ns.isEmpty) stores("").toMap
+    else stores("").toMap ++ storeTables(ns).toMap
   }
 
   def cubeNames: Seq[String] = cubes.keys.toSeq
@@ -92,9 +123,10 @@ final class Workspace(val spark: SparkSession) {
     browsers.getOrElseUpdate(
       s"$cubeName/${restriction.toCutString}/$locale/$hierarchyLimits", {
       val c = cube(cubeName)
-      val fact = tables.getOrElse(c.factTable,
+      val visible = tablesFor(cubeName)
+      val fact = visible.getOrElse(c.factTable,
         throw new IllegalArgumentException(s"no table '${c.factTable}' registered"))
-      new Browser(c, new StarSchema(c, fact, tables.toMap), spark,
+      new Browser(c, new StarSchema(c, fact, visible), spark,
         restrictionCell = restriction, locale = locale,
         hierarchyLimits = hierarchyLimits)
     })

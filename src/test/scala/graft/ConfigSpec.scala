@@ -100,6 +100,79 @@ class ConfigSpec extends AnyFunSuite {
     assert(cells.count() == 3)
   }
 
+  test("multi-store config: named stores bind cubes to their own tables") {
+    import spark.implicits._
+    // lab store: a DIFFERENT lineitem (2 flags, 1 row each) than sf0.001's
+    val labDir = Files.createTempDirectory("graft_lab_store")
+    Seq(("X", "O", 1.0), ("Y", "O", 2.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+      .write.mode("overwrite")
+      .parquet(labDir.resolve("lineitem.parquet").toString)
+    val dir = Files.createTempDirectory("graft_cfg_multi")
+    Files.writeString(dir.resolve("model.json"), modelJson)
+    Files.writeString(dir.resolve("slicer.ini"),
+      s"""[store]
+         |type: parquet_dir
+         |path: /root/testdata/sf0.001
+         |
+         |[store_lab]
+         |type: parquet_dir
+         |path: $labDir
+         |model: model.json
+         |
+         |[models]
+         |main: model.json
+         |""".stripMargin)
+    val ws = WorkspaceConfig.load(spark, dir.resolve("slicer.ini").toString)
+    assert(ws.cubeNames.toSet == Set("mini", "lab.mini"))
+    // default-store cube reads sf0.001 (3 returnflags)...
+    assert(ws.browser("mini").aggregate(
+      drilldown = Seq("returnflag"), aggregates = Seq("quantity_sum"))
+      .cells.count() == 3)
+    // ...the namespaced cube reads the LAB store's lineitem (2 flags)
+    val lab = ws.browser("lab.mini").aggregate(
+      drilldown = Seq("returnflag"), aggregates = Seq("quantity_sum"))
+      .cells.collect()
+    assert(lab.map(_.getAs[String]("returnflag")).sorted.toSeq == Seq("X", "Y"))
+  }
+
+  test("server /cubes lists both namespaces; namespaced aggregate served") {
+    import spark.implicits._
+    val labDir = Files.createTempDirectory("graft_lab_store2")
+    Seq(("X", "O", 1.0)).toDF("l_returnflag", "l_linestatus", "l_quantity")
+      .write.mode("overwrite")
+      .parquet(labDir.resolve("lineitem.parquet").toString)
+    val dir = Files.createTempDirectory("graft_cfg_srv")
+    Files.writeString(dir.resolve("model.json"), modelJson)
+    Files.writeString(dir.resolve("slicer.ini"),
+      s"""[store]
+         |type: parquet_dir
+         |path: /root/testdata/sf0.001
+         |
+         |[store_lab]
+         |type: parquet_dir
+         |path: $labDir
+         |model: model.json
+         |
+         |[models]
+         |main: model.json
+         |""".stripMargin)
+    val ws = WorkspaceConfig.load(spark, dir.resolve("slicer.ini").toString)
+    val server = new graft.server.SlicerServer(ws, 0)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val cubes = get("/cubes")
+      assert(cubes.statusCode() == 200)
+      assert(cubes.body().contains("\"mini\"") && cubes.body().contains("\"lab.mini\""))
+      val agg = get("/cube/lab.mini/aggregate?drilldown=returnflag&aggregates=quantity_sum")
+      assert(agg.statusCode() == 200 && agg.body().contains("\"X\""))
+    } finally server.stop()
+  }
+
   test("materialization verbs run against the config-loaded workspace") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val target = Files.createTempDirectory("graft_cli_agg").toString

@@ -80,6 +80,46 @@ class ServerSpec extends AnyFunSuite {
     assert(body.linesIterator.size == 4) // header + 3 flags
   }
 
+  test("/aggregate and /facts xlsx format: OOXML zip re-parses") {
+    import java.util.zip.ZipInputStream
+    def getBytes(path: String): (Int, java.net.http.HttpHeaders, Array[Byte]) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      (r.statusCode(), r.headers(), r.body())
+    }
+    def sheetXml(bytes: Array[Byte]): String = {
+      val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      var sheet: String = null
+      var entry = zin.getNextEntry
+      val names = scala.collection.mutable.Set.empty[String]
+      while (entry != null) {
+        names += entry.getName
+        if (entry.getName == "xl/worksheets/sheet1.xml")
+          sheet = new String(zin.readAllBytes(), "UTF-8")
+        entry = zin.getNextEntry
+      }
+      assert(names.contains("[Content_Types].xml") && names.contains("xl/workbook.xml"))
+      sheet
+    }
+    val (code, headers, bytes) = getBytes(
+      "/cube/sales/aggregate?drilldown=returnflag&aggregates=fact_count&format=xlsx")
+    assert(code == 200)
+    assert(headers.firstValue("Content-Type").orElse("")
+      .startsWith("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"))
+    assert(headers.firstValue("Content-Disposition").orElse("")
+      .contains("aggregate.xlsx"))
+    val sheet = sheetXml(bytes)
+    assert(sheet != null)
+    // header + 3 returnflag rows
+    assert("<row>".r.findAllIn(sheet).size == 4)
+    assert(sheet.contains("returnflag"))
+    val (c2, h2, b2) = getBytes("/cube/sales/facts?pagesize=2&format=xlsx")
+    assert(c2 == 200)
+    assert(h2.firstValue("Content-Disposition").orElse("").contains("facts.xlsx"))
+    assert("<row>".r.findAllIn(sheetXml(b2)).size == 3) // header + 2 facts
+  }
+
   test("/facts with fields and /fact/<id>") {
     val (code, body) = get(
       "/cube/sales/facts?cut=customer:ASIA&fields=returnflag,quantity&pagesize=2")
