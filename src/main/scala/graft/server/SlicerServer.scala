@@ -29,18 +29,25 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     cacheTtlSeconds: Int = 0,
     cacheMaxEntries: Int = 1024,
     /** Bind address; loopback by default, `[server] host` in slicer.ini. */
-    host: String = "127.0.0.1") {
+    host: String = "127.0.0.1",
+    /** Request-handler threads. Spark's scheduler is thread-safe and FAIR
+      * scheduling interleaves jobs, so concurrent slices genuinely overlap;
+      * the per-request persist registry ([[graft.ops.Caches]]) is
+      * thread-scoped, which a pool of handler threads matches exactly
+      * (one request per thread at a time, release in the finally). */
+    threads: Int = 8) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
 
   def start(): Int = {
     server.createContext("/", new Handler)
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // --------------------------------------------------------- response cache
 

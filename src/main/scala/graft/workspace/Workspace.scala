@@ -120,7 +120,10 @@ final class Workspace(val spark: SparkSession) {
   def browser(cubeName: String, restriction: Cell = Cell.empty,
       locale: Option[String] = None,
       hierarchyLimits: Seq[graft.auth.HierarchyLimit] = Nil): Browser =
-    browsers.getOrElseUpdate(
+    // synchronized: the multi-threaded server resolves a browser per
+    // request; getOrElseUpdate on a mutable map is not atomic. Browser
+    // construction is cheap (plans stay lazy), so the lock is uncontended
+    browsers.synchronized(browsers.getOrElseUpdate(
       s"$cubeName/${restriction.toCutString}/$locale/$hierarchyLimits", {
       val c = cube(cubeName)
       val visible = tablesFor(cubeName)
@@ -129,7 +132,7 @@ final class Workspace(val spark: SparkSession) {
       new Browser(c, new StarSchema(c, fact, visible), spark,
         restrictionCell = restriction, locale = locale,
         hierarchyLimits = hierarchyLimits)
-    })
+    }))
 
   /** Browser restricted for an identity: restriction cell AND hierarchy
     * limits from the authorizer (reference `server/decorators.py:41-46` +
