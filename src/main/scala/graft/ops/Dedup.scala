@@ -89,16 +89,24 @@ object Dedup {
         * (boilerplate/empty-doc buckets explode quadratically; capping
         * them is the standard web-scale dedup mitigation — they get
         * handled by exact dedup upstream instead). */
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      /** Band key encoding. Default (true): `xxhash64` of the signature
+        * slice — a fixed 8-byte shuffle key, the right choice at corpus
+        * scale. False: the joined "v1,v2,.." string, byte-identical
+        * buckets to what the DuckDB differential oracle replays — the
+        * gate queries pin this variant. Either way candidates are
+        * verified by exact Jaccard downstream, so a 2^-64 hash collision
+        * can only add a candidate that verification then rejects. */
+      hashedBandKeys: Boolean = true
   ): DataFrame = {
     val withSig = withMinhashSignature(df, textCol, bands * rows, shingleK,
       keep = Seq(col(idCol).as("__id__")))
-    // band key = joined signature slice — engine-independent (a murmur
-    // hash() of the slice would be faster to shuffle but not replayable
-    // by the differential oracle); swap freely at scale
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("key"))
+      val slice = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      val key =
+        if (hashedBandKeys) xxhash64(slice: _*) // long key, fixed width
+        else concat_ws(",", slice: _*)
+      struct(lit(b).as("band"), key.as("key"))
     }
     // persist: both sides of the self-join read the computed signatures
     // once instead of re-evaluating the (interpreted) hash lambdas — at
@@ -150,9 +158,11 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rows: Int = 4, shingleK: Int = 3, threshold: Double = 0.7,
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      hashedBandKeys: Boolean = true
   ): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, bands, rows, shingleK, maxBucketSize)
+    val cands = minhashCandidates(df, idCol, textCol, bands, rows, shingleK,
+      maxBucketSize, hashedBandKeys)
     val docs = df.select(col(idCol).as("__id__"),
       array_distinct(graft.functions.NativeHashes.shingle_hashes(col(textCol), shingleK))
         .as("__sset__"))

@@ -167,7 +167,8 @@ object PipelineQueries {
     // pipeline; LSH banding makes it o(n²) at scale)
     "q52_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
-        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
         .orderBy(col("id_a"), col("id_b"))),
 
     // near-dup clusters: LSH pairs → connected components (iterative
@@ -175,7 +176,8 @@ object PipelineQueries {
     "q54_neardup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
-        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
       Dedup.nearDupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
     }),
 
@@ -183,7 +185,8 @@ object PipelineQueries {
     "q61_neardup_clusters_alt" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
-        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
       Dedup.nearDupClustersAlternating(d, "doc_id", pairs, strict = true)
         .orderBy(col("doc_id"))
     })

@@ -195,6 +195,22 @@ class OpsSpec extends AnyFunSuite {
       s"leaked persists: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("hashed band keys find the same near-dup pairs as string keys") {
+    // xxhash64 band keys (the at-scale default: fixed 8-byte shuffle key)
+    // bucket identically to the oracle-replayable string keys — equal
+    // slices hash equal; collisions only ADD candidates, which the exact
+    // Jaccard verification then rejects
+    val df = (1L to 60L).map { i =>
+      (i, s"shared prefix about topic ${i % 6} with common tail ${i % 3}")
+    }.toDF("doc_id", "text")
+    def pairs(hashed: Boolean) =
+      Dedup.minhashNearDups(df, "doc_id", "text", bands = 8, rows = 4,
+        shingleK = 3, threshold = 0.5, hashedBandKeys = hashed)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs(hashed = true) == pairs(hashed = false))
+    assert(pairs(hashed = true).nonEmpty)
+  }
+
   test("LSH hot-bucket cap drops oversized buckets") {
     // 4 identical docs share every band bucket (size 4); cap 3 drops them
     val df = (1L to 4L).map(i => (i, "same words repeated here for all docs"))
