@@ -165,15 +165,51 @@ object CutParser {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length && escapable.contains(s.charAt(i + 1))) {
+      if (c == '\\' && i + 1 < s.length &&
+        (escapable.contains(s.charAt(i + 1)) || s.charAt(i + 1) == ' ')) {
         sb.append(s.charAt(i + 1)); i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
 
-  private def escape(s: String): String =
-    s.flatMap(c => if (escapable.contains(c)) s"\\$c" else c.toString)
+  /** Escapes the grammar's separators, plus a value's leading/trailing
+    * space — [[parseCell]] trims surrounding whitespace for query-param
+    * convenience (the reference does not trim at all), so boundary spaces
+    * must be marked to make print ∘ parse = id. Mid-value spaces stay
+    * plain, matching the reference's printed form. */
+  private def escape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val boundarySpace = c == ' ' && (i == 0 || i == s.length - 1)
+      if (escapable.contains(c) || boundarySpace) sb.append('\\')
+      sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Whether the char at `idx` is escaped (odd run of preceding '\'). */
+  private def escapedAt(s: String, idx: Int): Boolean = {
+    var n = 0
+    var i = idx - 1
+    while (i >= 0 && s.charAt(i) == '\\') { n += 1; i -= 1 }
+    n % 2 == 1
+  }
+
+  /** Trim surrounding whitespace without eating an escaped trailing
+    * space (an escaped LEADING space starts with '\' and is never
+    * whitespace-trimmed). */
+  private def trimUnescaped(s: String): String = {
+    var start = 0
+    while (start < s.length && s.charAt(start).isWhitespace) start += 1
+    var end = s.length
+    while (end > start && s.charAt(end - 1).isWhitespace &&
+      !escapedAt(s, end - 1)) end -= 1
+    s.substring(start, end)
+  }
 
   def parsePath(s: String): Seq[String] =
     if (s.isEmpty) Nil else splitUnescaped(s, ',').map(unescape)
@@ -206,7 +242,7 @@ object CutParser {
   /** Parse a full cut string `cut|cut|...` into a cell. */
   def parseCell(s: String): Cell =
     if (s == null || s.trim.isEmpty) Cell.empty
-    else Cell(splitUnescaped(s.trim, '|').filter(_.nonEmpty).map(parseCut))
+    else Cell(splitUnescaped(trimUnescaped(s), '|').filter(_.nonEmpty).map(parseCut))
 
   def printPath(path: Seq[String]): String = path.map(escape).mkString(PathSep)
 

@@ -35,6 +35,48 @@ class CellsSpec extends AnyFunSuite {
     assert(CutParser.parseCut("d:__null__") == PointCut("d", Seq("__null__")))
   }
 
+  test("fuzz: print ∘ parse = id over escaped separators (reference test_cut_string_conversions)") {
+    // property-style with a fixed seed: 300 random cells whose dims,
+    // hierarchies and path values draw from an alphabet loaded with every
+    // separator and escapable char of the grammar (`| : , - ; @ ! \`),
+    // plus the __null__ sentinel, spaces and unicode
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "ab9 _|:,-;@!\\√é".toCharArray
+    def value(): String = {
+      val s = String.valueOf(Array.fill(1 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))))
+      if (rnd.nextInt(12) == 0) CutParser.NullValue else s
+    }
+    def path(): Seq[String] = Seq.fill(1 + rnd.nextInt(3))(value())
+    def cut(): Cut = {
+      val dim = value()
+      val hier = if (rnd.nextBoolean()) Some(value()) else None
+      val inv = rnd.nextBoolean()
+      rnd.nextInt(3) match {
+        case 0 => PointCut(dim, path(), hier, inv)
+        case 1 => SetCut(dim, Seq.fill(2 + rnd.nextInt(2))(path()), hier, inv)
+        case _ =>
+          // at least one bound present ("dim:-" with both open is legal
+          // but a degenerate spelling; generated separately below)
+          val from = if (rnd.nextBoolean()) Some(path()) else None
+          val to = if (from.isEmpty || rnd.nextBoolean()) Some(path()) else None
+          RangeCut(dim, from, to, hier, inv)
+      }
+    }
+    (1 to 300).foreach { i =>
+      val cell = Cell(Seq.fill(1 + rnd.nextInt(3))(cut()))
+      val printed = cell.toCutString
+      val reparsed = CutParser.parseCell(printed)
+      assert(reparsed == cell,
+        s"case $i: '$printed' reparsed as ${reparsed.cuts} != ${cell.cuts}")
+    }
+    // degenerate but legal spellings round-trip too
+    assert(CutParser.parseCut(CutParser.print(RangeCut("d", None, None)))
+      == RangeCut("d", None, None))
+    assert(CutParser.parseCut(CutParser.print(PointCut("d", Nil)))
+      == PointCut("d", Nil))
+  }
+
   test("cell algebra: slice replaces, rollup drops deepest, drilldown extends") {
     val c0 = Cell(PointCut("date", Seq("2010")))
     val c1 = c0.drilldown("date", "6")

@@ -46,6 +46,48 @@ class PlanSpec extends AnyFunSuite {
       s"fact scan reads unneeded columns:\n$readSchema\n$scanLine")
   }
 
+  test("facts with fields: cut pushed through the 5-way join; scans minimal (q11 shape)") {
+    val df = b.facts(
+      cell = Cell(Seq(PointCut("customer", Seq("ASIA")),
+        PointCut("shipdate", Seq("1995")))),
+      fields = Seq("customer.nation_name", "returnflag", "quantity",
+        "extendedprice"))
+    val plan = physicalPlan(df)
+    // the region point cut reaches the region.parquet scan as a pushed
+    // filter (not a post-join Filter over the 5-way star)
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region cut not pushed to the parquet scan:\n$plan")
+    // every ReadSchema is minimal: the fact scan carries only the join
+    // key + cut + selected columns; un-projected wide columns never leave
+    // the parquet reader
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    Seq("l_comment", "l_shipinstruct", "l_discount", "l_tax").foreach { c =>
+      assert(!readSchemas.exists(_.contains(c)),
+        s"fact scan reads unneeded column $c:\n${readSchemas.mkString("\n")}")
+    }
+    Seq("c_comment", "c_address", "n_comment", "r_comment").foreach { c =>
+      assert(!readSchemas.exists(_.contains(c)),
+        s"dimension scan reads unneeded column $c:\n${readSchemas.mkString("\n")}")
+    }
+  }
+
+  test("drilldown aggregate: cut pushdown + minimal schemas survive the star join (q01 shape)") {
+    val df = b.aggregate(
+      cell = Cell(PointCut("customer", Seq("ASIA"))),
+      drilldown = Seq("customer:nation", "returnflag"),
+      aggregates = Seq("quantity_sum", "fact_count")).cells
+    val plan = physicalPlan(df)
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"point cut not pushed through the snowflake join:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    // aggregate needs only quantity + returnflag + custkey from the fact
+    Seq("l_extendedprice", "l_comment", "l_shipdate").foreach { c =>
+      assert(!readSchemas.exists(_.contains(c)),
+        s"fact scan reads unneeded column $c:\n${readSchemas.mkString("\n")}")
+    }
+  }
+
   test("join pruning: fact-only aggregation has no join in the plan") {
     val df = b.aggregate(
       drilldown = Seq("returnflag"),
