@@ -27,4 +27,77 @@ object CrossTable {
       .agg(aggExpr)
       .orderBy(rowRefs.map(r => b(r).asc): _*)
   }
+
+  /** Collected cross-table: row-header tuples, column headers, and the
+    * data matrix (reference `CrossTable` namedtuple, `formatters.py:236`).
+    * Driver-side presentation of an already-pivoted (small) frame — the
+    * heavy lifting happened in [[crossTable]]'s single aggregation pass. */
+  final case class Collected(
+      columns: Seq[String], rows: Seq[Seq[Any]], data: Seq[Seq[Any]])
+
+  def collect(pivoted: DataFrame, rowRefs: Seq[String],
+      limit: Int = 10000): Collected = {
+    val cols = pivoted.columns.toSeq
+    val valueCols = cols.filterNot(rowRefs.contains)
+    val rows = pivoted.limit(limit).collect()
+    Collected(
+      columns = valueCols,
+      rows = rows.map(r => rowRefs.map(f => r.getAs[Any](f))).toSeq,
+      data = rows.map(r => valueCols.map(f => r.getAs[Any](f))).toSeq)
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null                 => "null"
+    case n: java.lang.Number  => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => "\"" + String.valueOf(other)
+      .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  }
+
+  /** Reference `CrossTableFormatter.format` (`formatters.py:311-360`):
+    * `{"columns": …, "rows": …, "data": …}`. */
+  def toJson(t: Collected): String = {
+    val cols = t.columns.map(jsonVal).mkString("[", ",", "]")
+    val rows = t.rows.map(_.map(jsonVal).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val data = t.data.map(_.map(jsonVal).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"columns": $cols, "rows": $rows, "data": $data}"""
+  }
+
+  private def htmlEsc(v: Any): String = String.valueOf(v)
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Reference `HTMLCrossTableFormatter` (`formatters.py:361-391` +
+    * `templates/cross_table.html`): a plain table, row headers as `<th>`,
+    * optional CSS class. */
+  def toHtml(t: Collected, tableStyle: Option[String] = None): String = {
+    val sb = new StringBuilder
+    val cls = tableStyle.map(s => s""" class="${htmlEsc(s)}"""").getOrElse("")
+    sb.append(s"<table$cls>\n<thead>\n<tr>")
+    t.rows.headOption.foreach(_.foreach(_ => sb.append("<th></th>")))
+    t.columns.foreach(c => sb.append(s"<th>${htmlEsc(c)}</th>"))
+    sb.append("</tr>\n</thead>\n<tbody>\n")
+    t.rows.zip(t.data).foreach { case (hdr, cells) =>
+      sb.append("<tr>")
+      hdr.foreach(h => sb.append(s"<th>${htmlEsc(h)}</th>"))
+      cells.foreach(c => sb.append(s"<td>${htmlEsc(c)}</td>"))
+      sb.append("</tr>\n")
+    }
+    sb.append("</tbody>\n</table>")
+    sb.toString
+  }
+
+  /** Monospace text table (the `text` formatter of the reference CLI). */
+  def toText(t: Collected): String = {
+    val nHdr = t.rows.headOption.map(_.size).getOrElse(0)
+    val header = Seq.fill(nHdr)("") ++ t.columns.map(String.valueOf(_: Any))
+    val body = t.rows.zip(t.data).map { case (h, d) =>
+      (h ++ d).map(v => String.valueOf(v))
+    }
+    val all = header +: body
+    val widths = all.transpose.map(_.map(_.length).max)
+    all.map(_.zip(widths).map { case (s, w) => s.padTo(w, ' ') }
+      .mkString(" | ").stripTrailing()).mkString("\n")
+  }
 }

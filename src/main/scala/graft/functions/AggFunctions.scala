@@ -68,10 +68,23 @@ object AggFunctions {
   def exactStddevSamp(c: Column, dt: DataType): Column =
     sqrt(exactVarSamp(c, dt))
 
+  /** Aggregate builders contributed by [[AggFunctionProvider]]s on the
+    * classpath (reference `ext.py` entry-point discovery; here JVM
+    * ServiceLoader). Loaded once, lazily. */
+  private lazy val discovered: Map[String, (Column, DataType) => Column] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[AggFunctionProvider])
+      .iterator().asScala.flatMap(_.aggregates).toMap
+  }
+
   /** name -> (measureColumn, measureType) => aggregate Column.
     * Functions beyond the reference's set (`approx_count_distinct`,
-    * `median`, …) are deliberate scale extensions. */
-  val builders: Map[String, (Column, DataType) => Column] = Map(
+    * `median`, …) are deliberate scale extensions; ServiceLoader-discovered
+    * providers extend the map further (built-ins win on name clash). */
+  lazy val builders: Map[String, (Column, DataType) => Column] =
+    discovered ++ builtinBuilders
+
+  private val builtinBuilders: Map[String, (Column, DataType) => Column] = Map(
     "sum" -> ((c, dt) => exactSum(c, dt)),
     "count" -> ((_, _) => count(lit(1))),
     "count_nonempty" -> ((c, _) => count(c)),

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.browser.Browser
+import graft.functions.AggFunctions
+import graft.model._
+import graft.star.StarSchema
+
+/** ServiceLoader extension discovery (reference `ext.py:24-75` pkg_resources
+  * entry points): a provider on the classpath contributes aggregate
+  * functions that dispatch through the normal model/browser path. */
+class ExtensionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("provider-contributed aggregate is discovered and registered") {
+    assert(AggFunctions.builders.contains("geomean"))
+    assert(AggFunctions.isBuiltin("geomean"))
+  }
+
+  test("built-in names shadow provider clashes") {
+    // TestAggProvider also claims "sum" (constant -1); the exact-decimal
+    // built-in must win
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+    val got = df.agg(AggFunctions.builders("sum")(
+      org.apache.spark.sql.functions.col("x"),
+      org.apache.spark.sql.types.DoubleType)).collect()(0).getDouble(0)
+    assert(got == 6.0)
+  }
+
+  test("custom aggregate dispatches end-to-end through a cube browse") {
+    val facts = Seq((1, 2.0), (1, 8.0), (2, 4.0), (2, 16.0))
+      .toDF("grp", "x")
+    val cube = Cube(
+      name = "t", factTable = "t",
+      dimensions = Seq(Dimension.flat("grp")),
+      measures = Seq(Measure("x")),
+      aggregates = Seq(
+        MeasureAggregate("x_geomean", function = Some("geomean"),
+          measure = Some("x"))))
+    val b = new Browser(cube, new StarSchema(cube, facts, Map("t" -> facts)), spark)
+    val rows = b.aggregate(drilldown = Seq("grp"), aggregates = Seq("x_geomean"))
+      .cells.collect()
+    val byGrp = rows.map(r => r.getAs[Int]("grp") -> r.getAs[Double]("x_geomean")).toMap
+    assert(math.abs(byGrp(1) - 4.0) < 1e-9)  // √(2·8)
+    assert(math.abs(byGrp(2) - 8.0) < 1e-9)  // √(4·16)
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.functions.AggFunctionProvider
+
+/** Test-scoped extension provider, discovered via
+  * `META-INF/services/graft.functions.AggFunctionProvider` in test
+  * resources — proves third-party jars can contribute aggregates with no
+  * engine changes. Also claims the name "sum" to prove built-ins shadow
+  * provider clashes. */
+final class TestAggProvider extends AggFunctionProvider {
+  override def aggregates: Map[String, (Column, DataType) => Column] = Map(
+    // geometric mean through log-space (positive inputs)
+    "geomean" -> ((c, _) => exp(avg(log(c.cast("double"))))),
+    // must NOT take effect: built-in sum wins
+    "sum" -> ((c, _) => lit(-1).cast("double"))
+  )
+}
