@@ -1,0 +1,126 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Caches, Dedup}
+
+/** One-order-of-magnitude scale stress for the dedup/CC path (the 100 TB
+  * arguments are plan-shape arguments; this grounds them with a measured
+  * 1× vs 10× data point — see SCALE.md).
+  *
+  * The 10× corpus is 10 DISJOINT copies of the sf corpus: each copy's text
+  * is passed through a distinct letter rotation, so within-copy duplicate
+  * structure is preserved exactly while cross-copy shingle sets are
+  * unrelated — the ground truth at 10× is precisely 10× the pairs and 10×
+  * the components of 1×. A run prints one JSON line per (scale, op) with
+  * wall seconds, result count, and shuffle write bytes.
+  *
+  * Usage: `runMain graft.ScaleStress [sfDir]` (default sf0.1; writes the
+  * derived corpus under /tmp/graft_scale_corpus).
+  */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // shuffle accounting: stage-completion metrics, accumulated per run
+    val shuffleWrite = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val docs1x = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val stride = docs1x.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val corpusDir = "/tmp/graft_scale_corpus"
+    val copies = (0 until 10).map { i =>
+      val rot = alpha.drop(i) + alpha.take(i)
+      docs1x.select(
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"))
+    }
+    copies.reduce(_ unionAll _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs10x = spark.read.parquet(corpusDir)
+
+    def timed(scale: String, op: String)(f: => (Long, String)): String = {
+      Thread.sleep(500) // let listener events from the previous run drain
+      shuffleWrite.set(0)
+      val t0 = System.nanoTime()
+      val (n, planSig) = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll()
+      Thread.sleep(500)
+      val line = s"""{"scale":"$scale","op":"$op","sec":${f"$secs%.2f"},""" +
+        s""""rows":$n,"shuffle_write_mb":${shuffleWrite.get / 1024 / 1024},""" +
+        s""""plan":"$planSig"}"""
+      println(line)
+      line
+    }
+
+    /** Operator-name signature of the FINAL (post-AQE) plan — call after
+      * the action. Identical signatures at 1× and 10× demonstrate the plan
+      * is data-size-invariant (same joins, same aggregates, no strategy
+      * flip). Parsed from the plan string because the AQE wrapper hides its
+      * current plan from TreeNode traversal. */
+    def sig(df: DataFrame): String = {
+      val names = df.queryExecution.executedPlan.toString
+        .linesIterator
+        .map(_.replaceAll("^[-+*:() 0-9]*", ""))   // tree art + codegen ids
+        .map(_.takeWhile(c => c.isLetter))
+        .filter(_.nonEmpty)
+        .toSeq
+      names.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:${v.size}" }.mkString(",")
+    }
+
+    def run(scale: String, docs: DataFrame): Unit = {
+      // q52 shape, hashed band keys (the at-scale default)
+      timed(scale, "minhash_neardup") {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        val n = pairs.count()
+        (n, sig(pairs)) // sig AFTER the action: final adaptive plan
+      }
+      // q54 shape: frontier CC
+      timed(scale, "cc_frontier") {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        val cl = Dedup.nearDupClusters(docs, "doc_id", pairs)
+        (cl.count(), "iterative")
+      }
+      // q61 shape: alternating large-star/small-star CC
+      timed(scale, "cc_alternating") {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        val cl = Dedup.nearDupClustersAlternating(docs, "doc_id", pairs,
+          strict = true)
+        (cl.count(), "iterative")
+      }
+    }
+
+    // warmup (JIT/codegen) on the small corpus, untimed
+    Dedup.minhashNearDups(docs1x.limit(200), "doc_id", "text", 8, 4).count()
+    Caches.releaseAll()
+
+    run("1x", docs1x)
+    run("10x", docs10x)
+    spark.stop()
+  }
+}
