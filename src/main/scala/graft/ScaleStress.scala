@@ -80,13 +80,15 @@ object ScaleStress {
       * flip). Parsed from the plan string because the AQE wrapper hides its
       * current plan from TreeNode traversal. */
     def sig(df: DataFrame): String = {
-      val names = df.queryExecution.executedPlan.toString
+      val planStr = df.queryExecution.executedPlan.toString
+      val marker = if (planStr.contains("isFinalPlan=true")) "final;" else "INITIAL;"
+      val names = planStr
         .linesIterator
         .map(_.replaceAll("^[-+*:() 0-9]*", ""))   // tree art + codegen ids
         .map(_.takeWhile(c => c.isLetter))
         .filter(_.nonEmpty)
         .toSeq
-      names.groupBy(identity).toSeq.sortBy(_._1)
+      marker + names.groupBy(identity).toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:${v.size}" }.mkString(",")
     }
 
@@ -95,8 +97,11 @@ object ScaleStress {
       timed(scale, "minhash_neardup") {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
           bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
-        val n = pairs.count()
-        (n, sig(pairs)) // sig AFTER the action: final adaptive plan
+        // count() would spawn a SEPARATE QueryExecution and leave this
+        // frame's AQE plan un-finalized; executing the frame's own plan
+        // makes sig() read the real post-AQE (isFinalPlan=true) tree
+        val n = pairs.queryExecution.toRdd.count()
+        (n, sig(pairs))
       }
       // q54 shape: frontier CC
       timed(scale, "cc_frontier") {

@@ -166,7 +166,7 @@ object CutParser {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length &&
-        (escapable.contains(s.charAt(i + 1)) || s.charAt(i + 1) == ' ')) {
+        (escapable.contains(s.charAt(i + 1)) || s.charAt(i + 1).isWhitespace)) {
         sb.append(s.charAt(i + 1)); i += 2
       } else { sb.append(c); i += 1 }
     }
@@ -174,17 +174,18 @@ object CutParser {
   }
 
   /** Escapes the grammar's separators, plus a value's leading/trailing
-    * space — [[parseCell]] trims surrounding whitespace for query-param
-    * convenience (the reference does not trim at all), so boundary spaces
-    * must be marked to make print ∘ parse = id. Mid-value spaces stay
-    * plain, matching the reference's printed form. */
+    * WHITESPACE (any class — space, tab, newline, unicode) — [[parseCell]]
+    * trims surrounding whitespace for query-param convenience (the
+    * reference does not trim at all), so boundary whitespace must be
+    * marked to make print ∘ parse = id. Mid-value whitespace stays plain,
+    * matching the reference's printed form. */
   private def escape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      val boundarySpace = c == ' ' && (i == 0 || i == s.length - 1)
-      if (escapable.contains(c) || boundarySpace) sb.append('\\')
+      val boundaryWs = c.isWhitespace && (i == 0 || i == s.length - 1)
+      if (escapable.contains(c) || boundaryWs) sb.append('\\')
       sb.append(c)
       i += 1
     }

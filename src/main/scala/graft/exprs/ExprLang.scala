@@ -144,16 +144,22 @@ object ExprLang {
     "remainder" -> "mod"
   )
 
-  /** Functions that rewrite to a wrapping expression: the name is replaced
-    * by `prefix`, and the argument list's CLOSING paren is replaced by
-    * `suffix`. Used where the cubes grammar has a scalar Spark lacks but a
-    * cast/expression composition expresses natively (no session UDF, stays
-    * inside whole-stage codegen). */
-  private val fnWrap: Map[String, (String, String)] = Map(
+  /** Functions that rewrite to a TEMPLATE over the (already-rewritten)
+    * argument text — used where the cubes grammar has a scalar Spark
+    * lacks but an expression composition expresses natively (no session
+    * UDF, stays inside whole-stage codegen). The argument may appear
+    * multiple times in the template, so these are only safe for
+    * deterministic argument expressions (the grammar has no
+    * non-deterministic functions). */
+  private val fnTemplate: Map[String, String => String] = Map(
     // numeric truncation toward zero — Spark's `trunc` is date-only.
-    // `double(try_cast(x as bigint))`: null-safe, and try_cast keeps
-    // ANSI mode exception-free (NaN / out-of-long-range → null).
-    "trunc" -> ("double ( try_cast", "as bigint ) )")
+    // NaN / ±Infinity / |x| ≥ 2^63 pass through unchanged (a double that
+    // large is already integral), everything else truncates via
+    // try_cast; never NULLs a defined value the way a bare
+    // double(try_cast(..)) would on overflow.
+    "trunc" -> (a =>
+      s"( case when isnan( $a ) or abs( $a ) >= 9.223372036854776E18 " +
+        s"then double( $a ) else double ( try_cast ( $a as bigint ) ) end )")
   )
 
   /** Rewrite an expression to Spark SQL, substituting identifier refs via
@@ -161,36 +167,52 @@ object ExprLang {
   def toSparkSql(expr: String, rename: String => String): String = {
     validateFunctions(expr)
     val toks = tokenize(expr)
-    val sb = new StringBuilder
-    // (paren depth, suffix) for in-flight fnWrap rewrites: when the depth
-    // returns to the recorded value, the closing paren is replaced
+    // output buffers: the base buffer plus one capture buffer per
+    // in-flight fnTemplate call (entered at its '('); tokens emit into
+    // the innermost buffer, and the template splices the captured text
+    // when its matching ')' closes
+    final case class Capture(openDepth: Int, template: String => String,
+      buf: StringBuilder = new StringBuilder)
+    val base = new StringBuilder
+    val captures = mutable.Stack.empty[Capture]
     var depth = 0
-    val pending = mutable.Stack.empty[(Int, String)]
+    // a template name was just seen; its '(' opens a capture
+    var pendingTemplate: Option[String => String] = None
+    def emit(s: String): Unit = {
+      val buf = if (captures.nonEmpty) captures.top.buf else base
+      if (buf.nonEmpty) buf.append(' ')
+      buf.append(s)
+    }
     toks.zipWithIndex.foreach { case (t, idx) =>
-      val s = t match {
+      t match {
         case Ident(s) =>
           val isFn = idx + 1 < toks.size && toks(idx + 1) == Op("(")
           val lower = s.toLowerCase
-          if (isFn && fnWrap.contains(lower)) {
-            val (prefix, suffix) = fnWrap(lower)
-            pending.push((depth, suffix))
-            prefix
-          } else if (isFn) fnRewrite.getOrElse(lower, s)
+          if (isFn && fnTemplate.contains(lower))
+            pendingTemplate = Some(fnTemplate(lower))
+          else if (isFn) emit(fnRewrite.getOrElse(lower, s))
           else if (isKeywordAt(toks, idx, lower) ||
-            variables.contains(lower)) s
-          else rename(s)
-        case Lit(s) => s
-        case Op("(") => depth += 1; "("
+            variables.contains(lower)) emit(s)
+          else emit(rename(s))
+        case Lit(s) => emit(s)
+        case Op("(") =>
+          pendingTemplate match {
+            case Some(tpl) =>
+              captures.push(Capture(depth, tpl))
+              pendingTemplate = None
+            case None => emit("(")
+          }
+          depth += 1
         case Op(")") =>
           depth -= 1
-          if (pending.nonEmpty && pending.top._1 == depth) pending.pop()._2
-          else ")"
-        case Op(s) => s
+          if (captures.nonEmpty && captures.top.openDepth == depth) {
+            val c = captures.pop()
+            emit(c.template(c.buf.toString))
+          } else emit(")")
+        case Op(s) => emit(s)
       }
-      if (sb.nonEmpty) sb.append(' ')
-      sb.append(s)
     }
-    sb.toString
+    base.toString
   }
 
   /** Topologically sort attribute refs by their expression dependencies

@@ -47,11 +47,13 @@ object CrossTable {
   }
 
   private def jsonVal(v: Any): String = v match {
-    case null                 => "null"
+    case null => "null"
+    // strict JSON has no NaN/Infinity tokens — non-finite → null
+    case d: java.lang.Double if d.isNaN || d.isInfinite  => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite   => "null"
     case n: java.lang.Number  => n.toString
     case b: java.lang.Boolean => b.toString
-    case other => "\"" + String.valueOf(other)
-      .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other => Formats.jsonString(String.valueOf(other))
   }
 
   /** Reference `CrossTableFormatter.format` (`formatters.py:311-360`):
@@ -65,8 +67,11 @@ object CrossTable {
     s"""{"columns": $cols, "rows": $rows, "data": $data}"""
   }
 
+  // quote escaping matters: values also render inside double-quoted
+  // attribute positions (the table's class)
   private def htmlEsc(v: Any): String = String.valueOf(v)
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
 
   /** Reference `HTMLCrossTableFormatter` (`formatters.py:361-391` +
     * `templates/cross_table.html`): a plain table, row headers as `<th>`,

@@ -17,6 +17,19 @@ object Formats {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Quoted + escaped JSON string (shared by the server's renderer and the
+    * cross-table formatter — one escaping implementation). */
+  def jsonString(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Driver-side JSON array string for small results (server responses). */
   def toJsonArray(df: DataFrame, limit: Int = 10000): String =
     toJsonArrayTruncated(df, limit)._1

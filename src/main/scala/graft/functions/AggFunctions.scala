@@ -73,7 +73,12 @@ object AggFunctions {
     * ServiceLoader). Loaded once, lazily. */
   private lazy val discovered: Map[String, (Column, DataType) => Column] = {
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[AggFunctionProvider])
+    // pinned loader: the thread-context classloader of whatever thread
+    // touches the registry first (pooled server threads, REPL) may not see
+    // the application jars, and the lazy val would cache the empty result
+    // for the JVM's lifetime
+    java.util.ServiceLoader.load(classOf[AggFunctionProvider],
+        classOf[AggFunctionProvider].getClassLoader)
       .iterator().asScala.flatMap(_.aggregates).toMap
   }
 

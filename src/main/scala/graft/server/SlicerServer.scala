@@ -191,8 +191,9 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       // second job: on the non-fused path persist the (small, already
       // aggregated) unpaged frame for the request — cells render and the
       // count both read it; Caches.releaseAll frees it after the response
+      val fmt = validatedFormat(q)
       val wantCount = !q.get("include_cell_count").contains("false") &&
-        q.getOrElse("format", "json") == "json"
+        fmt == "json"
       val result =
         if (fusible || !wantCount) result0
         else {
@@ -206,11 +207,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           }
           result0.copy(cells = paged, unpagedCells = Some(persisted))
         }
-      if (q.get("format").contains("csv")) {
+      if (fmt == "csv") {
         val (csv, truncated) = toCsv(result.cells)
         Resp(200, csv, "text/csv", truncated,
           attachment = Some("aggregate.csv"))
-      } else if (q.get("format").contains("xlsx")) {
+      } else if (fmt == "xlsx") {
         val (bytes, truncated) =
           graft.formats.Formats.xlsxBytes(result.cells, limit = 10000)
         Resp(200, "", XlsxMime, truncated, raw = Some(bytes),
@@ -321,12 +322,24 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     /** DataFrame → json array / csv / xlsx response per `format`
       * (reference `blueprint.py:309-470` — json|csv|xlsx downloads with a
       * Content-Disposition filename). */
+    /** `format` param, validated against the served set (reference
+      * `validated_parameter`, blueprint.py:314-317 — unknown → 400, so a
+      * typo can never silently fall back to the json path and its
+      * cell-count work). */
+    private def validatedFormat(q: Map[String, String]): String = {
+      val fmt = q.getOrElse("format", "json")
+      require(Set("json", "csv", "xlsx").contains(fmt),
+        s"unknown response format '$fmt'")
+      fmt
+    }
+
     private def frameResponse(df: DataFrame, q: Map[String, String],
-        stem: String = "facts"): Resp =
-      if (q.get("format").contains("csv")) {
+        stem: String = "facts"): Resp = {
+      val fmt = validatedFormat(q)
+      if (fmt == "csv") {
         val (csv, truncated) = toCsv(df)
         Resp(200, csv, "text/csv", truncated, attachment = Some(s"$stem.csv"))
-      } else if (q.get("format").contains("xlsx")) {
+      } else if (fmt == "xlsx") {
         val (bytes, truncated) =
           graft.formats.Formats.xlsxBytes(df, limit = 10000)
         Resp(200, "", XlsxMime, truncated, raw = Some(bytes),
@@ -335,6 +348,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         val (json, truncated) = graft.formats.Formats.toJsonArrayTruncated(df)
         Resp(200, json, "application/json", truncated)
       }
+    }
 
     private def cell(cubeName: String, q: Map[String, String]): Cell =
       q.get("cut").map(c => TimeCuts.parseCell(workspace.cube(cubeName), c))
@@ -442,16 +456,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  private def jstr(s: String): String =
-    "\"" + Option(s).getOrElse("").flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.formats.Formats.jsonString(s)
 
   private def respond(ex: HttpExchange, r: Resp): Unit = {
     val bytes = r.raw.getOrElse(r.body.getBytes(StandardCharsets.UTF_8))

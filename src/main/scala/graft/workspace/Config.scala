@@ -96,16 +96,19 @@ object WorkspaceConfig {
     }
     // [store] = default store; [store_<name>] / [store.<name>] /
     // [store <name>] = named store whose cubes live in namespace <name>
-    // (overridable with a `namespace:` key) — reference workspace.py:205-223
+    // (overridable with a `namespace:` key) — reference workspace.py:205-223.
+    // The separator is REQUIRED: a section like [storage] or [stores] is
+    // not a store section and must not be misparsed as one.
+    val NamedStore = "store[._ ](.+)".r
     cfg.get("store").foreach(registerStore("", _))
-    cfg.keys.filter(s => s != "store" && s.startsWith("store")).toSeq.sorted
-      .foreach { sec =>
-        val name = sec.drop("store".length)
-          .dropWhile(c => c == '_' || c == '.' || c == ' ').trim
+    cfg.keys.toSeq.sorted.foreach {
+      case sec @ NamedStore(rawName) =>
+        val name = rawName.trim
         require(name.nonEmpty, s"store section '[$sec]' has no name")
         val ns = cfg(sec).getOrElse("namespace", name)
         registerStore(ns, cfg(sec))
-      }
+      case _ =>
+    }
     cfg.getOrElse("models", Map.empty).values.foreach { m =>
       ws.importModel(Files.readString(Paths.get(resolve(m))))
     }

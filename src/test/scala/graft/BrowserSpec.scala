@@ -261,6 +261,13 @@ class BrowserSpec extends AnyFunSuite {
       .map(_.getAs[Int]("amount").toDouble / 7).map(_.toLong.toDouble).sum
     assert(r.getAs[Double]("t_sum") == expected)
     assert(!spark.catalog.functionExists("graft_trunc"))
+    // edge values: trunc never NULLs a defined value — NaN/±Inf/huge pass
+    // through (a double ≥ 2^63 is already integral), normals truncate
+    val sql = graft.exprs.ExprLang.toSparkSql("trunc(v)", r => s"`$r`")
+    val got = Seq(3.7, -3.7, Double.NaN, Double.PositiveInfinity, 1e19)
+      .toDF("v").selectExpr(s"$sql as t").collect().map(_.getAs[Double]("t"))
+    assert(got(0) == 3.0 && got(1) == -3.0)
+    assert(got(2).isNaN && got(3).isPosInfinity && got(4) == 1e19)
   }
 
   test("expression parameters compile to literals") {

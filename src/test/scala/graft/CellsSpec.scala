@@ -41,7 +41,7 @@ class CellsSpec extends AnyFunSuite {
     // separator and escapable char of the grammar (`| : , - ; @ ! \`),
     // plus the __null__ sentinel, spaces and unicode
     val rnd = new scala.util.Random(20260812L)
-    val alphabet = "ab9 _|:,-;@!\\√é".toCharArray
+    val alphabet = "ab9 _|:,-;@!\\√é\t\n".toCharArray
     def value(): String = {
       val s = String.valueOf(Array.fill(1 + rnd.nextInt(8))(
         alphabet(rnd.nextInt(alphabet.length))))

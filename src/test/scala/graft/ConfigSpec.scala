@@ -173,6 +173,27 @@ class ConfigSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("sections merely starting with 'store' are not store sections") {
+    val dir = Files.createTempDirectory("graft_cfg_storage")
+    Files.writeString(dir.resolve("model.json"), modelJson)
+    Files.writeString(dir.resolve("slicer.ini"),
+      """[store]
+        |type: parquet_dir
+        |path: /root/testdata/sf0.001
+        |
+        |[storage]
+        |type: s3
+        |path: /nope
+        |
+        |[models]
+        |main: model.json
+        |""".stripMargin)
+    // [storage] must be ignored, not registered as store "age" (and its
+    // type: s3 must not abort the load)
+    val ws = WorkspaceConfig.load(spark, dir.resolve("slicer.ini").toString)
+    assert(ws.cubeNames == Seq("mini"))
+  }
+
   test("materialization verbs run against the config-loaded workspace") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val target = Files.createTempDirectory("graft_cli_agg").toString

@@ -46,9 +46,20 @@ class CrossTableFormatSpec extends AnyFunSuite {
     assert(html.startsWith("""<table class="cross">"""))
     assert(html.contains("<th></th><th>Assets</th><th>Equity</th>"))
     assert(html.contains("<tr><th>2009</th><td>275420</td><td>40037</td></tr>"))
-    // values are escaped
-    val esc = CrossTable.toHtml(t.copy(columns = Seq("<b>")))
+    // values are escaped, including quotes (attribute breakout)
+    val esc = CrossTable.toHtml(t.copy(columns = Seq("<b>")),
+      tableStyle = Some("""x" onmouseover="alert(1)"""))
     assert(esc.contains("&lt;b&gt;"))
+    assert(esc.startsWith("""<table class="x&quot; onmouseover=&quot;alert(1)">"""))
+  }
+
+  test("JSON formatter emits strict JSON for control chars and non-finite") {
+    val odd = t.copy(rows = Seq(Seq("line\nbreak")),
+      data = Seq(Seq(Double.NaN, Double.PositiveInfinity)))
+    val json = CrossTable.toJson(odd)
+    assert(json.contains("\"line\\nbreak\""))
+    assert(json.contains("[null,null]"))
+    assert(!json.contains("NaN") && !json.contains("Infinity"))
   }
 
   test("text formatter aligns columns") {

@@ -59,12 +59,20 @@ class ModelSpec extends AnyFunSuite {
       "extract ( year FROM `d` )")
   }
 
-  test("numeric trunc rewrites to a native cast composition (no UDF)") {
-    assert(ExprLang.toSparkSql("trunc(amount)", r => s"`$r`") ==
-      "double ( try_cast ( `amount` as bigint ) )")
-    // wrap nests inside other calls and keeps sibling args intact
-    assert(ExprLang.toSparkSql("pow(trunc(a), 2)", r => s"`$r`") ==
-      "power ( double ( try_cast ( `a` as bigint ) ) , 2 )")
+  test("numeric trunc rewrites to a native guarded cast (no UDF)") {
+    val t = ExprLang.toSparkSql("trunc(amount)", r => s"`$r`")
+    // NaN/overflow guard keeps huge values instead of NULLing them
+    assert(t.contains("try_cast ( `amount` as bigint )"), t)
+    assert(t.contains("isnan( `amount` )"), t)
+    assert(!t.contains("graft_trunc"))
+    // template nests inside other calls and keeps sibling args intact
+    val nested = ExprLang.toSparkSql("pow(trunc(a), 2)", r => s"`$r`")
+    assert(nested.startsWith("power ("), nested)
+    assert(nested.endsWith(", 2 )"), nested)
+    assert(nested.contains("try_cast ( `a` as bigint )"), nested)
+    // and other args pass through a template call unharmed
+    val inner = ExprLang.toSparkSql("trunc(pow(a, 2))", r => s"`$r`")
+    assert(inner.contains("try_cast ( power ( `a` , 2 ) as bigint )"), inner)
   }
 
   test("dependency topo-sort and cycle detection") {

@@ -155,6 +155,13 @@ class ServerSpec extends AnyFunSuite {
     assert(get("/nope")._1 == 404)
   }
 
+  test("unknown format is refused (400), never silently served as json") {
+    val (code, body) = get(
+      "/cube/sales/aggregate?drilldown=returnflag&aggregates=fact_count&format=JSON")
+    assert(code == 400 && body.contains("unknown response format"))
+    assert(get("/cube/sales/facts?format=jsonl")._1 == 400)
+  }
+
   // ---- authorization (reference tests/test_auth.py + test_server.py):
   // restriction cell + hierarchy_limits per identity
 
