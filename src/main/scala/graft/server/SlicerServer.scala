@@ -68,10 +68,19 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     val now = System.currentTimeMillis()
     responseCache.synchronized {
       val hit = responseCache.get(key)
-      if (hit != null && hit.expiresAtMs > now) return (hit.resp, true)
+      if (hit != null) {
+        if (hit.expiresAtMs > now) return (hit.resp, true)
+        // evict on discovery: a stale entry must neither linger until
+        // capacity pressure nor have its LRU position refreshed by the
+        // access-ordered get above
+        responseCache.remove(key)
+      }
     }
     val fresh = compute
-    responseCache.synchronized {
+    // cache only textual (json/csv-string) responses: raw attachment
+    // payloads (xlsx zips, up to the 10k-row limit each) would let 1024
+    // entries pin gigabytes of driver heap
+    if (fresh.raw.isEmpty) responseCache.synchronized {
       responseCache.put(key, CacheEntry(fresh, now + cacheTtlSeconds * 1000L))
     }
     (fresh, false)
@@ -174,6 +183,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       val drilldown = listParam(q, "drilldown")
       val aggregates = listParam(q, "aggregates")
       val split = q.get("split").map(s => TimeCuts.parseCell(b.cube, s))
+      val reqCell = cell(name, q) // parsed once: browse + response "cell"
       // the fused (one grouping-sets pass) plan answers summary + cells +
       // count from a single scan — eligible whenever there is a plain
       // builtin-aggregate drilldown (no split, no window calculators)
@@ -182,10 +192,10 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           .forall(f => !graft.functions.WindowCalcs.isWindowFunction(f)))
       val result0 =
         if (fusible)
-          b.aggregateFused(cell(name, q), drilldown, aggregates, order(q),
+          b.aggregateFused(reqCell, drilldown, aggregates, order(q),
             page(q), pageSize(q))
         else
-          b.aggregate(cell(name, q), drilldown, aggregates, split,
+          b.aggregate(reqCell, drilldown, aggregates, split,
             order(q), page(q), pageSize(q))
       // the default total_cell_count must not re-run the aggregation as a
       // second job: on the non-fused path persist the (small, already
@@ -231,7 +241,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         // total_cell_count (on by default, `include_cell_count`)
         val aggsJson = result.aggregates.map(jstr).mkString("[", ",", "]")
         val attrsJson = result.attributes.map(jstr).mkString("[", ",", "]")
-        val cellJson = cell(name, q).cuts.map(cutJson).mkString("[", ",", "]")
+        val cellJson = reqCell.cuts.map(cutJson).mkString("[", ",", "]")
         val countJson =
           if (q.get("include_cell_count").contains("false")) ""
           else s""", "total_cell_count": ${result.totalCellCount}"""
@@ -295,7 +305,10 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     }
 
     private def jval(v: Any): String = v match {
-      case null                  => "null"
+      case null => "null"
+      // strict JSON has no NaN/Infinity tokens
+      case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+      case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
       case n: java.lang.Number   => n.toString
       case b: java.lang.Boolean  => b.toString
       case other                 => jstr(String.valueOf(other))
@@ -382,6 +395,10 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       * levels down to the limit; a `level=None` limit hides it. */
     private def modelJson(name: String, id: Option[String],
         lang: Option[String] = None): String = {
+      // a denied cube's SCHEMA is as protected as its data — every other
+      // cube route authorizes via browserFor; the model route must too
+      if (!workspace.authorizedCubes(id).contains(name))
+        throw new graft.auth.NotAuthorized(s"cube '$name' is not authorized")
       val c = workspace.cube(name, lang) // model labels localized per `lang`
       val limits = workspace.authorizer
         .map(_.hierarchyLimits(id.getOrElse(""), name)).getOrElse(Nil)

@@ -21,7 +21,9 @@ object Streaming {
   final case class SessionSummary(user_id: Long, n_events: Long,
       start_ts: Long, end_ts: Long)
 
-  private final case class SessionState(n: Long, start: Long, last: Long)
+  // public: the streaming state encoder's generated code constructs and
+  // reads this class; `private` breaks codegen access at runtime
+  final case class SessionState(n: Long, start: Long, last: Long)
 
   /** Tumbling event-time windows with a watermark: the streaming twin of
     * the batch `q28_events_hourly`. The grouping key must be the window
@@ -56,6 +58,41 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__content_hash__")
       .drop("__content_hash__")
 
+  /** One micro-batch's worth of events for one user folded into the open
+    * session state; returns the new state + closed sessions. Separated
+    * from the streaming plumbing so the CROSS-batch semantics (late
+    * events) are directly testable.
+    *
+    * An event inside the open session's gap-extended interval
+    * [start-gap, last+gap] merges by WIDENING the interval (min/max) —
+    * a late event from an earlier micro-batch must never drag `last`
+    * backward (that both mis-reported the session bounds and caused a
+    * later on-time event to split the session). An event beyond
+    * last+gap closes the session and opens a new one; a straggler
+    * older than start-gap belongs to an already-emitted session, which
+    * Append mode cannot retract — it is emitted as its own singleton. */
+  private[graft] def foldEvents(
+      userId: Long, ts: Seq[Long], st: Option[SessionState], gapMs: Long
+  ): (Option[SessionState], Seq[SessionSummary]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+    var cur = st
+    ts.sorted.foreach { t =>
+      cur match {
+        case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+          cur = Some(s.copy(n = s.n + 1,
+            start = math.min(s.start, t), last = math.max(s.last, t)))
+        case Some(s) if t > s.last =>
+          out += SessionSummary(userId, s.n, s.start, s.last)
+          cur = Some(SessionState(1, t, t))
+        case Some(_) =>
+          out += SessionSummary(userId, 1, t, t)
+        case None =>
+          cur = Some(SessionState(1, t, t))
+      }
+    }
+    (cur, out.toSeq)
+  }
+
   /** Stateful sessionization: 30-minute inactivity gap closes a session
     * (processing-time timeout stands in for event-time session windows).
     * Emits one summary row per closed session. */
@@ -71,23 +108,12 @@ object Streaming {
             state.remove()
             Iterator(SessionSummary(userId, s.n, s.start, s.last))
           } else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-            var cur = state.getOption
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(n = s.n + 1, last = t))
-                case Some(s) =>
-                  out += SessionSummary(userId, s.n, s.start, s.last)
-                  cur = Some(SessionState(1, t, t))
-                case None =>
-                  cur = Some(SessionState(1, t, t))
-              }
-            }
+            val (cur, closed) =
+              foldEvents(userId, it.map(_.ts.getTime).toSeq,
+                state.getOption, gapMs)
             cur.foreach(state.update)
             state.setTimeoutDuration(gapMs)
-            out.iterator
+            closed.iterator
           }
       }
   }

@@ -213,6 +213,8 @@ class ServerSpec extends AnyFunSuite {
     assert(aget("/cube/sales/aggregate?identity=bob")._1 == 403)
     // unknown identity, no guest role → 403
     assert(aget("/cube/sales/aggregate?identity=mallory")._1 == 403)
+    // a denied cube's MODEL (schema metadata) is protected like its data
+    assert(aget("/cube/sales/model?identity=bob")._1 == 403)
   }
 
   test("auth: hidden hierarchy refuses browse and vanishes from the model") {

@@ -100,6 +100,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.length == 1 && closed.head.n_events == 2)
   }
 
+  test("sessionize: a late event across micro-batches widens the session, never splits it") {
+    // drive the per-batch fold directly (exactly what each micro-batch
+    // executes), threading state across "batches"
+    val gap = 30 * 60 * 1000L
+    def min(m: Long) = m * 60 * 1000L
+    // batch 1: event at minute 50
+    val (s1, c1) = Streaming.foldEvents(42, Seq(min(50)), None, gap)
+    assert(c1.isEmpty && s1.exists(s => s.start == min(50) && s.last == min(50)))
+    // batch 2: LATE event at minute 21 — within [start-gap, last+gap]:
+    // must merge by widening start, never drag `last` backward
+    val (s2, c2) = Streaming.foldEvents(42, Seq(min(21)), s1, gap)
+    assert(c2.isEmpty)
+    assert(s2.exists(s => s.n == 2 && s.start == min(21) && s.last == min(50)))
+    // batch 3: minute 70 — 20 min after the true last (50): same session.
+    // (Pre-fix state had last=21, so 70-21 > gap wrongly split here.)
+    val (s3, c3) = Streaming.foldEvents(42, Seq(min(70)), s2, gap)
+    assert(c3.isEmpty, c3.mkString(","))
+    assert(s3.exists(s => s.n == 3 && s.start == min(21) && s.last == min(70)))
+    // batch 4: far future closes the session via the forward gap
+    val (s4, c4) = Streaming.foldEvents(42, Seq(min(500)), s3, gap)
+    assert(c4 == Seq(Streaming.SessionSummary(42, 3, min(21), min(70))))
+    assert(s4.exists(_.n == 1))
+    // a straggler older than start-gap emits as its own singleton
+    val (s5, c5) = Streaming.foldEvents(42, Seq(min(400)), s4, gap)
+    assert(c5 == Seq(Streaming.SessionSummary(42, 1, min(400), min(400))))
+    assert(s5 == s4) // open session untouched
+  }
+
   test("materialized denormalized view answers join-free queries") {
     val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
     Materialize.createView(b, "denorm_sales")
