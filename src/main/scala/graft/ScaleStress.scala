@@ -12,12 +12,17 @@ import graft.ops.{Caches, Dedup}
   * arguments are plan-shape arguments; this grounds them with a measured
   * 1× vs 10× data point — see SCALE.md).
   *
-  * The 10× corpus is 10 DISJOINT copies of the sf corpus: each copy's text
-  * is passed through a distinct letter rotation, so within-copy duplicate
-  * structure is preserved exactly while cross-copy shingle sets are
-  * unrelated — the ground truth at 10× is precisely 10× the pairs and 10×
-  * the components of 1×. A run prints one JSON line per (scale, op) with
-  * wall seconds, result count, and shuffle write bytes.
+  * The 10× corpus is 10 near-disjoint copies of the sf corpus: each copy's
+  * text is passed through a distinct lowercase-letter rotation, so
+  * within-copy duplicate structure is preserved exactly while cross-copy
+  * shingle sets are almost unrelated — ground truth at 10× is ≈10× the
+  * pairs of 1×. "Almost": rotations are not disjoint codes (copy i's
+  * rotation of one token can coincide with copy j's rotation of another,
+  * and non-[a-z] characters survive rotation unchanged), so a small
+  * cross-copy surplus (<1% observed) is expected; the run PRINTS the
+  * 10×/1× pair ratio so drift in the fixture is visible rather than
+  * silent. A run prints one JSON line per (scale, op) with wall seconds,
+  * result count, and shuffle write bytes.
   *
   * Usage: `runMain graft.ScaleStress [sfDir]` (default sf0.1; writes the
   * derived corpus under /tmp/graft_scale_corpus).
@@ -59,14 +64,29 @@ object ScaleStress {
       .write.mode("overwrite").parquet(corpusDir)
     val docs10x = spark.read.parquet(corpusDir)
 
+    /** Wait until the async listener bus has visibly drained: poll the
+      * accumulated counter until it stops changing (a fixed sleep after a
+      * many-round CC run can undercount — late stage events would be
+      * zeroed by the next run's reset). */
+    def drainListeners(): Unit = {
+      var prev = -1L
+      var same = 0
+      var waited = 0
+      while (same < 3 && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        val cur = shuffleWrite.get
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    }
+
     def timed(scale: String, op: String)(f: => (Long, String)): String = {
-      Thread.sleep(500) // let listener events from the previous run drain
+      drainListeners()
       shuffleWrite.set(0)
       val t0 = System.nanoTime()
       val (n, planSig) = f
       val secs = (System.nanoTime() - t0) / 1e9
       Caches.releaseAll()
-      Thread.sleep(500)
+      drainListeners()
       val line = s"""{"scale":"$scale","op":"$op","sec":${f"$secs%.2f"},""" +
         s""""rows":$n,"shuffle_write_mb":${shuffleWrite.get / 1024 / 1024},""" +
         s""""plan":"$planSig"}"""
@@ -92,6 +112,7 @@ object ScaleStress {
         .map { case (k, v) => s"$k:${v.size}" }.mkString(",")
     }
 
+    var pairs1x = 0L
     def run(scale: String, docs: DataFrame): Unit = {
       // q52 shape, hashed band keys (the at-scale default)
       timed(scale, "minhash_neardup") {
@@ -101,6 +122,9 @@ object ScaleStress {
         // frame's AQE plan un-finalized; executing the frame's own plan
         // makes sig() read the real post-AQE (isFinalPlan=true) tree
         val n = pairs.queryExecution.toRdd.count()
+        if (scale == "1x") pairs1x = n
+        else println(s"""{"check":"pair_ratio","value":${
+          f"${n.toDouble / math.max(pairs1x, 1)}%.3f"}}""")
         (n, sig(pairs))
       }
       // q54 shape: frontier CC

@@ -30,9 +30,15 @@ object Slicer {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "serve" :: config :: rest =>
+      rest.headOption.foreach { p =>
+        if (p.toIntOption.isEmpty) {
+          System.err.println(s"bad port '$p' — usage: slicer serve <config.ini> [port]")
+          sys.exit(2)
+        }
+      }
       val spark = sparkSession()
       val (ws, cfg) = WorkspaceConfig.loadWithConfig(spark, config)
-      val port = rest.headOption.map(_.toInt)
+      val port = rest.headOption.flatMap(_.toIntOption)
         .getOrElse(WorkspaceConfig.serverPort(cfg))
       val host = cfg.getOrElse("server", Map.empty)
         .getOrElse("host", "127.0.0.1")
@@ -54,8 +60,15 @@ object Slicer {
       val ws = WorkspaceConfig.load(spark, config)
       val dd = if (drilldown.nonEmpty) drilldown
         else ws.cube(cube).dimensions.map(_.name)
-      println(s"aggregating cube '$cube' at (${dd.mkString(", ")}) into '$target'")
-      Materialize.preAggregate(ws.browser(cube), dd, Nil, target)
+      // materialize only RE-AGGREGABLE aggregates: window calculators are
+      // meaningless in a cuboid sink, and avg/stddev/median cannot be
+      // rolled up further from a pre-aggregate (the q35 gate pattern)
+      val additive = Set("sum", "count", "count_nonempty", "min", "max")
+      val aggs = ws.cube(cube).aggregates
+        .filter(_.function.exists(additive.contains)).map(_.name)
+      println(s"aggregating cube '$cube' at (${dd.mkString(", ")}) " +
+        s"[${aggs.mkString(", ")}] into '$target'")
+      Materialize.preAggregate(ws.browser(cube), dd, aggs, target)
       spark.stop()
 
     case "extract-dimension" :: config :: cube :: dim :: target :: Nil =>

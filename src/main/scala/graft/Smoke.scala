@@ -37,7 +37,9 @@ object Smoke {
         val df = fn(spark, sfDir)
         if (explain.contains(name)) df.explain("formatted")
         val t0 = System.nanoTime()
-        val n = df.count()
+        // full-plan execution (count() would prune computed columns and
+        // time an empty scan for projection-shaped queries — see Bench)
+        val n = df.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[smoke] $name%-28s rows=$n%-8d ${dt}%.2fs")
       } catch {

@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failing query must leave NO output: a stale parquet dir from
+        // a previous run into the same outDir would make the compare
+        // silently PASS on the old results
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       finally graft.ops.Caches.releaseAll()
     }

@@ -223,11 +223,8 @@ final class Browser(
     }
 
     val groupCols = (if (split.isDefined) Seq(SplitColumn) else Nil) ++ ddRefs
-    val aggCols = builtinAggs.map(builtinAggColumn(withSplit, _))
 
-    var result =
-      if (groupCols.isEmpty) withSplit.agg(aggCols.head, aggCols.tail: _*)
-      else withSplit.groupBy(groupCols.map(bcol): _*).agg(aggCols.head, aggCols.tail: _*)
+    var result = groupedAgg(withSplit, groupCols, builtinAggs)
 
     if (excludeNullAggregates && builtinAggs.nonEmpty)
       result = result.filter(builtinAggs.map(a => bcol(a.name).isNotNull).reduce(_ && _))
@@ -263,7 +260,7 @@ final class Browser(
 
     val summary =
       if (includeSummary && builtinAggs.nonEmpty)
-        Some(withSplit.agg(aggCols.head, aggCols.tail: _*))
+        Some(groupedAgg(withSplit, Nil, builtinAggs))
       else None
 
     AggregationResult(result, summary,
@@ -715,6 +712,48 @@ final class Browser(
     case "trim"  => trim(c)
     case "abs"   => abs(c)
     case other   => throw new IllegalArgumentException(s"unknown mapping function '$other'")
+  }
+
+  /** Functions whose partial aggregate carries a per-group OBJECT buffer
+    * (quantile summaries, HLL sketches) rather than a few codegen'd
+    * scalars. */
+  private val SketchFns = Set("median", "approx_median", "approx_count_distinct")
+  private val DistinctFns = Set("count_distinct")
+
+  /** Grouped aggregation with a scale guard: when the aggregate list mixes
+    * DISTINCT aggregates with sketch-class aggregates, Spark's one-distinct
+    * rewrite keys the first partial aggregate by (group, distinct-value) —
+    * which instantiates one percentile/HLL buffer PER DISTINCT VALUE
+    * instead of per group (measured 12s vs <1s for 3 groups over a 200k-
+    * cardinality distinct column at sf0.1; at corpus scale it is a straight
+    * OOM). Computing the two families in separate passes joined null-safely
+    * on the group keys keeps each plan in its fast shape: distinct as a
+    * two-phase hash expand over scalar states, sketches one object buffer
+    * per group. Both outputs are group-cardinality-sized, so the join is
+    * trivial (broadcast). */
+  private def groupedAgg(df: DataFrame, groupCols: Seq[String],
+      aggs: Seq[MeasureAggregate]): DataFrame = {
+    def agg1(as: Seq[MeasureAggregate]): DataFrame = {
+      val cols = as.map(builtinAggColumn(df, _))
+      if (groupCols.isEmpty) df.agg(cols.head, cols.tail: _*)
+      else df.groupBy(groupCols.map(bcol): _*).agg(cols.head, cols.tail: _*)
+    }
+    val (sketch, rest) = aggs.partition(_.function.exists(SketchFns))
+    val hasDistinct = aggs.exists(_.function.exists(DistinctFns))
+    if (!hasDistinct || sketch.isEmpty || rest.isEmpty) agg1(aggs)
+    else {
+      val a = agg1(rest).alias("__agg_a__")
+      val b = agg1(sketch).alias("__agg_b__")
+      val joined =
+        if (groupCols.isEmpty) a.crossJoin(b) // two single-row summaries
+        else a.join(b, groupCols
+          .map(k => col(s"__agg_a__.`$k`") <=> col(s"__agg_b__.`$k`"))
+          .reduce(_ && _))
+      // restore the caller's column order (group keys from the a-side,
+      // aggregates as requested)
+      joined.select(groupCols.map(k => col(s"__agg_a__.`$k`")) ++
+        aggs.map(ag => col(s"`${ag.name}`")): _*)
+    }
   }
 
   private def builtinAggColumn(df: DataFrame, agg: MeasureAggregate): Column = {

@@ -97,7 +97,9 @@ object AggFunctions {
     "approx_count_distinct" -> ((c, _) => approx_count_distinct(c)),
     // exact interpolated median; deterministic when inputs are integral
     "median" -> ((c, _) => median(c)),
-    "approx_median" -> ((c, _) => percentile_approx(c, lit(0.5), lit(10000))),
+    // accuracy 1000 ⇒ ~0.1% rank error — far inside the 5% tolerance the
+    // exact-twin check allows, at a fraction of the summary-merge cost
+    "approx_median" -> ((c, _) => percentile_approx(c, lit(0.5), lit(1000))),
     "min" -> ((c, _) => min(c)),
     "max" -> ((c, _) => max(c)),
     "avg" -> ((c, dt) => exactAvg(c, dt)),

@@ -100,6 +100,53 @@ object HashImpls {
     acc
   }
 
+  /** Sorted-distinct packed char n-grams of `s`: each gram's n code points
+    * packed into one long (21 bits per code point — lossless for any
+    * Unicode scalar, so the packing is a bijection onto the substring
+    * set; requires n ≤ 3). Code-point windows match Spark's and DuckDB's
+    * code-point-based `substr`. */
+  def packedCharNgrams(s: String, n: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) return Array.emptyLongArray
+    val m = cps.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc << 21) | cps(i + j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == m) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Char n-gram Jaccard via sorted-merge of packed grams — value-identical
+    * to size(intersect)/size(union) over substring arrays (the SQL-lambda
+    * spec), including the 0/0 → NaN case for two sub-n-length texts, at a
+    * fraction of the cost (no string arrays, no boxing, one pass). */
+  def charNgramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val la = packedCharNgrams(a.toString, n)
+    val lb = packedCharNgrams(b.toString, n)
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < la.length && j < lb.length) {
+      val c = java.lang.Long.compare(la(i), lb(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common.toDouble / (la.length + lb.length - common)
+  }
+
   /** 32-bit SimHash over token hashes (bit j set iff Σ±1 over bit j > 0). */
   def simhash32(s: String): Long = {
     val th = tokenHashes(s)
@@ -195,8 +242,28 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** char_ngram_jaccard(a, b): Jaccard of the two texts' char n-gram sets in
+  * one JIT-compiled call (n ≤ 3 — three 21-bit code points pack into one
+  * long). Same value as the SQL-lambda substring formulation. */
+case class CharNgramJaccardExpr(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(n >= 1 && n <= 3, "packed char n-grams support n in [1, 3]")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.charNgramJaccard(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpls.charNgramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CharNgramJaccardExpr =
+    copy(left = l, right = r)
+}
+
 object NativeHashes {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+  def char_ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    toCol(CharNgramJaccardExpr(toExpr(a), toExpr(b), n))
   def poly_hash(c: Column): Column = toCol(PolyHashExpr(toExpr(c)))
   def minhash_sig(c: Column, numPerms: Int, k: Int): Column =
     toCol(MinHashSigExpr(toExpr(c), numPerms, k))

@@ -141,8 +141,17 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
-  /** Character n-gram Jaccard (set semantics). */
-  def jaccardCharNgrams(textA: Column, textB: Column, n: Int = 3): Column = {
+  /** Character n-gram Jaccard (set semantics). n ≤ 3 runs as one
+    * codegen'd call over packed code-point grams (value-identical to the
+    * substring-set formulation below, ~10× cheaper — no string arrays);
+    * larger n falls back to the SQL-lambda executable spec. */
+  def jaccardCharNgrams(textA: Column, textB: Column, n: Int = 3): Column =
+    if (n <= 3) graft.functions.NativeHashes.char_ngram_jaccard(textA, textB, n)
+    else jaccardCharNgramsLambda(textA, textB, n)
+
+  /** The SQL-lambda executable spec of [[jaccardCharNgrams]] (what the
+    * DuckDB oracle replays; kept for cross-validation and n > 3). */
+  def jaccardCharNgramsLambda(textA: Column, textB: Column, n: Int): Column = {
     val sa = array_distinct(TextAnalysis.charNgrams(textA, n))
     val sb = array_distinct(TextAnalysis.charNgrams(textB, n))
     size(array_intersect(sa, sb)).cast("double") /

@@ -254,23 +254,6 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  private val annSql: String = {
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-       |scored AS (
-       |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    ${dcosine("q.qv", "c.embedding")} AS cos_raw
-       |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cos_raw,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos_raw DESC, neighbor_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
-       |  CAST(rank AS INTEGER) AS rank
-       |FROM ranked WHERE rank <= 3
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
   private val nearDupSql: String = {
     val bucket = (0 until 16).map { i =>
       s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
@@ -324,7 +307,7 @@ object PipelineQueries {
     "q43_simhash" -> simhashSql,
     "q53_ann_ivf" -> annSqlFor(5, 3),
     "q44_minhash_sig" -> minhashSql,
-    "q45_ann_topk" -> annSql,
+    "q45_ann_topk" -> annSqlFor(10, 3),
     "q46_embedding_neardup" -> nearDupSql,
     "q47_langid" -> langCase,
     "q48_quality" -> qualitySql,

@@ -191,9 +191,15 @@ object TpchModel {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, DataFrame]]
 
-  def tables(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+  def tables(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    // evict entries whose session has stopped — without this, a JVM that
+    // cycles sessions (sbt interactive runs, server restarts) pins every
+    // dead session's DataFrames forever
+    tableCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(tableCache.remove)
     tableCache.getOrElseUpdate((spark, sfDir),
       tableNames.map(n => n -> spark.read.parquet(s"$sfDir/$n.parquet")).toMap)
+  }
 
   def browser(spark: SparkSession, sfDir: String): Browser =
     browserFor(cube, spark, sfDir)

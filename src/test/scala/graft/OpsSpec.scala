@@ -222,6 +222,25 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 6) // all C(4,2) pairs
   }
 
+  test("native char-ngram jaccard == SQL-lambda substring jaccard on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120).select(col("doc_id"), col("text"))
+    val a = d.alias("a"); val bb = d.alias("b")
+    val pairs = a.join(bb, col("b.doc_id") === col("a.doc_id") + 1)
+    val rows = pairs.select(
+      Dedup.jaccardCharNgrams(col("a.text"), col("b.text"), 3).as("native"),
+      Dedup.jaccardCharNgramsLambda(col("a.text"), col("b.text"), 3).as("lambda"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // short-text edge: one empty set → 0.0; both empty → NaN (0/0), the
+    // same as the lambda spec
+    val edge = Seq(("abcd", "ab"), ("ab", "xy")).toDF("ta", "tb")
+      .select(Dedup.jaccardCharNgrams(col("ta"), col("tb"), 3).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(edge(0) == 0.0 && edge(1).isNaN)
+  }
+
   test("native dot product == SQL-lambda fold on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.limit(50).select($"vec_id", $"embedding".as("a"))

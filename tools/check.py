@@ -95,6 +95,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} (rows={len(g)})")
             n_pass += 1
+    # every oracle key must have produced output: a query that crashed in
+    # Verify (which deletes its dir on failure) or never ran is a FAIL,
+    # not a silent absence
+    have = {os.path.basename(d)
+            for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)}
+    for name in sorted(set(oracles) - have):
+        print(f"FAIL {name}: no output written (query failed in Verify?)")
+        n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
     return 1 if n_fail else 0
 
