@@ -66,6 +66,15 @@ object Slicer {
       val additive = Set("sum", "count", "count_nonempty", "min", "max")
       val aggs = ws.cube(cube).aggregates
         .filter(_.function.exists(additive.contains)).map(_.name)
+      // NEVER pass an empty list down: Browser.aggregate treats Nil as
+      // "all cube aggregates", which would materialize exactly the
+      // non-re-aggregable cuboid this filter exists to prevent
+      if (aggs.isEmpty) {
+        System.err.println(s"cube '$cube' has no additive " +
+          s"(${additive.mkString("/")}) aggregates to materialize; " +
+          "pre-aggregation would not be re-aggregable — aborting")
+        sys.exit(2)
+      }
       println(s"aggregating cube '$cube' at (${dd.mkString(", ")}) " +
         s"[${aggs.mkString(", ")}] into '$target'")
       Materialize.preAggregate(ws.browser(cube), dd, aggs, target)

@@ -714,11 +714,7 @@ final class Browser(
     case other   => throw new IllegalArgumentException(s"unknown mapping function '$other'")
   }
 
-  /** Functions whose partial aggregate carries a per-group OBJECT buffer
-    * (quantile summaries, HLL sketches) rather than a few codegen'd
-    * scalars. */
-  private val SketchFns = Set("median", "approx_median", "approx_count_distinct")
-  private val DistinctFns = Set("count_distinct")
+  import Browser.{isDistinctAgg, isSketchAgg}
 
   /** Grouped aggregation with a scale guard: when the aggregate list mixes
     * DISTINCT aggregates with sketch-class aggregates, Spark's one-distinct
@@ -738,8 +734,8 @@ final class Browser(
       if (groupCols.isEmpty) df.agg(cols.head, cols.tail: _*)
       else df.groupBy(groupCols.map(bcol): _*).agg(cols.head, cols.tail: _*)
     }
-    val (sketch, rest) = aggs.partition(_.function.exists(SketchFns))
-    val hasDistinct = aggs.exists(_.function.exists(DistinctFns))
+    val (sketch, rest) = aggs.partition(isSketchAgg)
+    val hasDistinct = aggs.exists(isDistinctAgg)
     if (!hasDistinct || sketch.isEmpty || rest.isEmpty) agg1(aggs)
     else {
       val a = agg1(rest).alias("__agg_a__")
@@ -919,4 +915,34 @@ final class Browser(
             "requires pagination or a cut")
     }
   }
+}
+
+object Browser {
+  /** Functions whose partial aggregate carries a per-group OBJECT buffer
+    * (quantile summaries, HLL sketches) rather than a few codegen'd
+    * scalars. */
+  private[graft] val SketchFns =
+    Set("median", "approx_median", "approx_count_distinct")
+  private[graft] val DistinctFns = Set("count_distinct")
+
+  /** Whether the aggregate is sketch-class — by function name, or by a
+    * sketch function appearing inside an expression-defined aggregate. */
+  private[graft] def isSketchAgg(a: graft.model.MeasureAggregate): Boolean =
+    a.function.exists(SketchFns) || a.expression.exists { e =>
+      val l = e.toLowerCase; SketchFns.exists(l.contains) || l.contains("percentile")
+    }
+
+  /** Whether the aggregate is distinct-class — by function name, or a
+    * DISTINCT inside an expression-defined aggregate. */
+  private[graft] def isDistinctAgg(a: graft.model.MeasureAggregate): Boolean =
+    a.function.exists(DistinctFns) ||
+      a.expression.exists(_.toLowerCase.contains("distinct"))
+
+  /** True when `aggs` mixes distinct-class with sketch-class aggregates —
+    * the combination whose single-pass plan builds one sketch buffer per
+    * DISTINCT VALUE (see `groupedAgg`); callers (the server's fused
+    * routing) must send such requests through the two-pass `aggregate()`
+    * path. */
+  def mixesDistinctAndSketch(aggs: Seq[graft.model.MeasureAggregate]): Boolean =
+    aggs.exists(isDistinctAgg) && aggs.exists(isSketchAgg)
 }

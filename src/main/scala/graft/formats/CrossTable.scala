@@ -33,17 +33,24 @@ object CrossTable {
     * Driver-side presentation of an already-pivoted (small) frame — the
     * heavy lifting happened in [[crossTable]]'s single aggregation pass. */
   final case class Collected(
-      columns: Seq[String], rows: Seq[Seq[Any]], data: Seq[Seq[Any]])
+      columns: Seq[String], rows: Seq[Seq[Any]], data: Seq[Seq[Any]],
+      /** Whether the row limit cut the table short (fetches limit+1 to
+        * detect) — callers surface it like the other formatters'
+        * truncation signals instead of rendering a silently-capped table
+        * as complete. */
+      truncated: Boolean = false)
 
   def collect(pivoted: DataFrame, rowRefs: Seq[String],
       limit: Int = 10000): Collected = {
     val cols = pivoted.columns.toSeq
     val valueCols = cols.filterNot(rowRefs.contains)
-    val rows = pivoted.limit(limit).collect()
+    val fetched = pivoted.limit(limit + 1).collect()
+    val rows = fetched.take(limit)
     Collected(
       columns = valueCols,
       rows = rows.map(r => rowRefs.map(f => r.getAs[Any](f))).toSeq,
-      data = rows.map(r => valueCols.map(f => r.getAs[Any](f))).toSeq)
+      data = rows.map(r => valueCols.map(f => r.getAs[Any](f))).toSeq,
+      truncated = fetched.length > limit)
   }
 
   private def jsonVal(v: Any): String = v match {

@@ -129,9 +129,10 @@ object HashImpls {
   }
 
   /** Char n-gram Jaccard via sorted-merge of packed grams — value-identical
-    * to size(intersect)/size(union) over substring arrays (the SQL-lambda
-    * spec), including the 0/0 → NaN case for two sub-n-length texts, at a
-    * fraction of the cost (no string arrays, no boxing, one pass). */
+    * to try_divide(size(intersect), size(union)) over substring arrays
+    * (the SQL-lambda spec) at a fraction of the cost (no string arrays, no
+    * boxing, one pass). Returns NaN for an empty union; the wrapping
+    * expression maps that to NULL like try_divide does. */
   def charNgramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
     val la = packedCharNgrams(a.toString, n)
     val lb = packedCharNgrams(b.toString, n)
@@ -249,12 +250,20 @@ case class CharNgramJaccardExpr(left: Expression, right: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   require(n >= 1 && n <= 3, "packed char n-grams support n in [1, 3]")
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashImpls.charNgramJaccard(
+  // NULL on empty gram union (like the spec's try_divide) — so two
+  // sub-n-length texts can never leak through a `>= threshold` filter
+  // the way a NaN would
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = HashImpls.charNgramJaccard(
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+    if (v.isNaN) null else v
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.HashImpls.charNgramJaccard($a, $b, $n)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.HashImpls.charNgramJaccard($a, $b, $n);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+         |""".stripMargin)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CharNgramJaccardExpr =
     copy(left = l, right = r)

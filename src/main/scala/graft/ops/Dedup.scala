@@ -150,12 +150,16 @@ object Dedup {
     else jaccardCharNgramsLambda(textA, textB, n)
 
   /** The SQL-lambda executable spec of [[jaccardCharNgrams]] (what the
-    * DuckDB oracle replays; kept for cross-validation and n > 3). */
+    * DuckDB oracle replays; kept for cross-validation and n > 3).
+    * try_divide: two sub-n-length texts have an empty gram union — the
+    * Jaccard is undefined and must be NULL, not an ANSI
+    * DIVIDE_BY_ZERO crash (and NULL, unlike NaN, cannot leak through a
+    * `>= threshold` filter). */
   def jaccardCharNgramsLambda(textA: Column, textB: Column, n: Int): Column = {
     val sa = array_distinct(TextAnalysis.charNgrams(textA, n))
     val sb = array_distinct(TextAnalysis.charNgrams(textB, n))
-    size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb))
+    try_divide(size(array_intersect(sa, sb)).cast("double"),
+      size(array_union(sa, sb)))
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify

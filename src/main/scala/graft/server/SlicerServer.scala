@@ -187,14 +187,14 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       // the fused (one grouping-sets pass) plan answers summary + cells +
       // count from a single scan — eligible whenever there is a plain
       // builtin-aggregate drilldown (no split, no window calculators)
-      val fns = aggregates.flatMap(a => b.cube.aggregate(a).function)
+      val resolvedAggs = aggregates.map(b.cube.aggregate)
       val fusible = drilldown.nonEmpty && split.isEmpty && aggregates.nonEmpty &&
-        fns.forall(f => !graft.functions.WindowCalcs.isWindowFunction(f)) &&
+        resolvedAggs.forall(_.function
+          .forall(f => !graft.functions.WindowCalcs.isWindowFunction(f))) &&
         // mixed distinct + sketch aggregates take the two-pass aggregate()
         // path (see Browser.groupedAgg) — fused grouping-sets would hit the
         // per-distinct-value sketch-buffer blowup
-        !(fns.contains("count_distinct") &&
-          fns.exists(Set("median", "approx_median", "approx_count_distinct")))
+        !graft.browser.Browser.mixesDistinctAndSketch(resolvedAggs)
       val result0 =
         if (fusible)
           b.aggregateFused(reqCell, drilldown, aggregates, order(q),

@@ -63,34 +63,34 @@ object Streaming {
     * from the streaming plumbing so the CROSS-batch semantics (late
     * events) are directly testable.
     *
-    * An event inside the open session's gap-extended interval
-    * [start-gap, last+gap] merges by WIDENING the interval (min/max) —
-    * a late event from an earlier micro-batch must never drag `last`
-    * backward (that both mis-reported the session bounds and caused a
-    * later on-time event to split the session). An event beyond
-    * last+gap closes the session and opens a new one; a straggler
-    * older than start-gap belongs to an already-emitted session, which
-    * Append mode cannot retract — it is emitted as its own singleton. */
+    * Implemented as a chronological INTERVAL MERGE: the open state is one
+    * interval, each event a point interval; adjacent intervals closer
+    * than the gap merge (so a late event widens the open session rather
+    * than dragging `last` backward, and stragglers within the gap of
+    * EACH OTHER form one session instead of singleton spam). Every
+    * merged session except the latest is already followed by a
+    * super-gap silence, so it closes; the latest stays open in state.
+    * Sessions older than what Append mode already emitted cannot be
+    * retracted — they emit as fresh (late) summaries. */
   private[graft] def foldEvents(
       userId: Long, ts: Seq[Long], st: Option[SessionState], gapMs: Long
   ): (Option[SessionState], Seq[SessionSummary]) = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-    var cur = st
-    ts.sorted.foreach { t =>
-      cur match {
-        case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
-          cur = Some(s.copy(n = s.n + 1,
-            start = math.min(s.start, t), last = math.max(s.last, t)))
-        case Some(s) if t > s.last =>
-          out += SessionSummary(userId, s.n, s.start, s.last)
-          cur = Some(SessionState(1, t, t))
-        case Some(_) =>
-          out += SessionSummary(userId, 1, t, t)
-        case None =>
-          cur = Some(SessionState(1, t, t))
+    val items = (st.map(s => (s.start, s.last, s.n)).toSeq ++
+      ts.map(t => (t, t, 1L))).sortBy(i => (i._1, i._2))
+    if (items.isEmpty) return (st, Nil)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    items.foreach { case (s, e, n) =>
+      merged.lastOption match {
+        case Some((ps, pe, pn)) if s - pe <= gapMs =>
+          merged(merged.length - 1) = (ps, math.max(pe, e), pn + n)
+        case _ => merged += ((s, e, n))
       }
     }
-    (cur, out.toSeq)
+    val closed = merged.init.map { case (s, e, n) =>
+      SessionSummary(userId, n, s, e)
+    }
+    val (os, oe, on) = merged.last
+    (Some(SessionState(on, os, oe)), closed.toSeq)
   }
 
   /** Stateful sessionization: 30-minute inactivity gap closes a session

@@ -99,7 +99,9 @@ object WorkspaceConfig {
     // (overridable with a `namespace:` key) — reference workspace.py:205-223.
     // The separator is REQUIRED: a section like [storage] or [stores] is
     // not a store section and must not be misparsed as one.
-    val NamedStore = "store[._ ](.+)".r
+    // (.*) not (.+): a typo'd `[store_]` must reach the require below and
+    // abort loudly, not be silently dropped as a non-store section
+    val NamedStore = "store[._ ](.*)".r
     cfg.get("store").foreach(registerStore("", _))
     cfg.keys.toSeq.sorted.foreach {
       case sec @ NamedStore(rawName) =>

@@ -32,6 +32,9 @@ class CrossTableFormatSpec extends AnyFunSuite {
     assert(t.columns == Seq("Assets", "Equity"))
     assert(t.rows == Seq(Seq(2009), Seq(2010)))
     assert(t.data == Seq(Seq(275420L, 40037L), Seq(283010L, 37555L)))
+    assert(!t.truncated)
+    // the row limit signals truncation instead of silently capping
+    assert(CrossTable.collect(pivoted, Seq("year"), limit = 1).truncated)
   }
 
   test("JSON formatter emits the reference dict shape") {

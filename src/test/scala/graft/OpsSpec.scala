@@ -233,12 +233,17 @@ class OpsSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
-    // short-text edge: one empty set → 0.0; both empty → NaN (0/0), the
-    // same as the lambda spec
+    // short-text edge: native must agree with the lambda spec, including
+    // nullness — one empty set and both-empty sets
     val edge = Seq(("abcd", "ab"), ("ab", "xy")).toDF("ta", "tb")
-      .select(Dedup.jaccardCharNgrams(col("ta"), col("tb"), 3).as("j"))
-      .collect().map(_.getDouble(0))
-    assert(edge(0) == 0.0 && edge(1).isNaN)
+      .select(Dedup.jaccardCharNgrams(col("ta"), col("tb"), 3).as("native"),
+        Dedup.jaccardCharNgramsLambda(col("ta"), col("tb"), 3).as("lambda"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1) ||
+        (r.getDouble(0).isNaN && r.getDouble(1).isNaN), r)
+    }
   }
 
   test("native dot product == SQL-lambda fold on real embeddings") {

@@ -126,6 +126,11 @@ class StreamingSpec extends AnyFunSuite {
     val (s5, c5) = Streaming.foldEvents(42, Seq(min(400)), s4, gap)
     assert(c5 == Seq(Streaming.SessionSummary(42, 1, min(400), min(400))))
     assert(s5 == s4) // open session untouched
+    // stragglers within the gap of EACH OTHER merge into one late session
+    // (not singleton spam)
+    val (s6, c6) = Streaming.foldEvents(42, Seq(min(400), min(410)), s4, gap)
+    assert(c6 == Seq(Streaming.SessionSummary(42, 2, min(400), min(410))))
+    assert(s6 == s4)
   }
 
   test("materialized denormalized view answers join-free queries") {
