@@ -262,11 +262,21 @@ final case class JoinSpec(
     detailColumns: Seq[String],
     alias: Option[String] = None,
     method: String = JoinMethod.Match,
-    broadcastHint: Option[Boolean] = None
+    broadcastHint: Option[Boolean] = None,
+    /** Referential-integrity declaration. `Some("verified")` asserts every
+      * master row's key is NON-NULL and present in the detail table — the
+      * classic RI hint (Oracle's RELY, DB2's NOT ENFORCED TRUSTED). With
+      * it, a `match` join referenced only for its key column(s) is
+      * ELIMINATED and the key served from the master side
+      * ([[graft.star.StarSchema.star]]) — e.g. COUNT(DISTINCT dim.key)
+      * without touching the dimension. Catalyst cannot do this on its
+      * own (it would change the row set if RI were violated). */
+    integrity: Option[String] = None
 ) {
   require(masterColumns.size == detailColumns.size,
     s"join $masterTable->$detailTable: key arity mismatch")
   def detailAlias: String = alias.getOrElse(detailTable)
+  def integrityVerified: Boolean = integrity.contains("verified")
 }
 
 object JoinMethod {

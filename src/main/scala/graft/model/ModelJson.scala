@@ -185,7 +185,8 @@ object ModelJson {
     val (dt, dc) = key("detail")
     JoinSpec(mt, mc, dt, dc,
       alias = str(o, "alias"),
-      method = str(o, "method").getOrElse(JoinMethod.Match))
+      method = str(o, "method").getOrElse(JoinMethod.Match),
+      integrity = str(o, "integrity"))
   }
 
   private def parseMapping(v: JValue): PhysicalRef = v match {

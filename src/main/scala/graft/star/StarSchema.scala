@@ -100,9 +100,54 @@ final class StarSchema(
     out.toSeq
   }
 
+  /** RI-based key-attribute join elimination: a detail alias that is
+    * referenced ONLY for its join-key column(s), reached by a `match` join
+    * whose [[JoinSpec.integrity]] is declared `verified`, and that is not
+    * the master of another required alias, contributes nothing the master
+    * side doesn't already have — key equality holds on every joined row
+    * and (by the declared integrity) no master row would be dropped. The
+    * join is elided and the key columns are served from the master,
+    * aliased under the eliminated alias's qualified name so consumers are
+    * oblivious. Iterates to fixpoint so snowflake chains referenced only
+    * through their keys peel off leaf-first.
+    *
+    * Returns (substituted refs, map of eliminated (alias, column) →
+    * providing (alias, column)). */
+  private def eliminateKeyOnlyJoins(
+      phys: Iterable[PhysicalRef]
+  ): (Seq[PhysicalRef], Map[(String, String), (String, String)]) = {
+    val elim = scala.collection.mutable.Map.empty[(String, String), (String, String)]
+    var active = phys.toSeq.distinct
+    var changed = true
+    while (changed) {
+      changed = false
+      val required = requiredAliases(active)
+      // aliases serving as the master of some OTHER required alias cannot
+      // be eliminated — their join must be built anyway
+      val masters = (required - cube.factTable)
+        .flatMap(joinByAlias.get).map(_.masterTable)
+      val byAlias = active.filter(_.table != cube.factTable).groupBy(_.table)
+      byAlias.foreach { case (t, refs) =>
+        joinByAlias.get(t).foreach { j =>
+          val keyOf = j.detailColumns.zip(j.masterColumns).toMap
+          if (j.integrityVerified && j.method == JoinMethod.Match &&
+            !masters.contains(t) && refs.forall(r => keyOf.contains(r.column))) {
+            refs.foreach(r => elim((t, r.column)) = (j.masterTable, keyOf(r.column)))
+            active = active.filterNot(_.table == t) ++
+              refs.map(r => PhysicalRef(j.masterTable, keyOf(r.column)))
+            active = active.distinct
+            changed = true
+          }
+        }
+      }
+    }
+    (active, elim.toMap)
+  }
+
   /** Build the pruned, qualified star for the given base physical refs.
     * Output columns are `alias__column` for exactly the needed columns. */
-  def star(phys: Iterable[PhysicalRef]): DataFrame = {
+  def star(phys0: Iterable[PhysicalRef]): DataFrame = {
+    val (phys, eliminated) = eliminateKeyOnlyJoins(phys0)
     val required = requiredAliases(phys)
     val joins = orderedJoins(required)
 
@@ -141,6 +186,15 @@ final class StarSchema(
         case other => throw new IllegalArgumentException(s"unknown join method '$other'")
       }
       starDf = starDf.join(detail, cond, how)
+    }
+    // expose eliminated keys under their original qualified names (resolve
+    // chains: an eliminated alias's provider may itself be eliminated)
+    eliminated.foreach { case ((t, c), first) =>
+      var (mt, mc) = first
+      while (eliminated.contains((mt, mc))) {
+        val next = eliminated((mt, mc)); mt = next._1; mc = next._2
+      }
+      starDf = starDf.withColumn(qual(t, c), col(qual(mt, mc)))
     }
     starDf
   }

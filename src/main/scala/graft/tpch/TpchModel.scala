@@ -129,18 +129,26 @@ object TpchModel {
       MeasureAggregate("quantity_smrsd", function = Some("smrsd"), measure = Some("quantity_sum"), windowSize = Some(3))
     ),
     joins = Seq(
-      JoinSpec("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
-      JoinSpec("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+      // integrity = "verified": TPC-H guarantees non-null FKs present in
+      // the dimension, enabling key-only join elimination (StarSchema)
+      JoinSpec("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey"),
+        integrity = Some("verified")),
+      JoinSpec("orders", Seq("o_custkey"), "customer", Seq("c_custkey"),
+        integrity = Some("verified")),
       JoinSpec("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey"),
-        broadcastHint = Some(true)),
+        broadcastHint = Some(true), integrity = Some("verified")),
       JoinSpec("nation", Seq("n_regionkey"), "region", Seq("r_regionkey"),
-        broadcastHint = Some(true)),
-      JoinSpec("lineitem", Seq("l_partkey"), "part", Seq("p_partkey")),
-      JoinSpec("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey")),
+        broadcastHint = Some(true), integrity = Some("verified")),
+      JoinSpec("lineitem", Seq("l_partkey"), "part", Seq("p_partkey"),
+        integrity = Some("verified")),
+      JoinSpec("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"),
+        integrity = Some("verified")),
       JoinSpec("supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey"),
-        alias = Some("supp_nation"), broadcastHint = Some(true)),
+        alias = Some("supp_nation"), broadcastHint = Some(true),
+        integrity = Some("verified")),
       JoinSpec("supp_nation", Seq("n_regionkey"), "region", Seq("r_regionkey"),
-        alias = Some("supp_region"), broadcastHint = Some(true))
+        alias = Some("supp_region"), broadcastHint = Some(true),
+        integrity = Some("verified"))
     ),
     mappings = Map(
       // calendar from the order date (extract pushed into the projection)

@@ -95,6 +95,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!physicalPlan(df).toLowerCase.contains("join"))
   }
 
+  test("RI-declared key-only join is eliminated; values match the joined plan") {
+    import graft.tpch.TpchModel
+    // q10/q30 shape: count_distinct over part.partkey — part is referenced
+    // ONLY through its join key, the join declares integrity=verified, so
+    // the star must not touch part.parquet at all
+    val df = b.aggregate(
+      drilldown = Seq("returnflag"),
+      aggregates = Seq("parts", "fact_count")).cells
+    val plan = physicalPlan(df)
+    assert(!plan.contains("part.parquet"),
+      s"key-only part join not eliminated:\n$plan")
+    // same values as the explicit-join plan (integrity stripped)
+    val noRi = TpchModel.cube.copy(joins =
+      TpchModel.cube.joins.map(_.copy(integrity = None)))
+    val joined = TpchModel.browserFor(noRi, spark, "/root/testdata/sf0.001")
+      .aggregate(drilldown = Seq("returnflag"),
+        aggregates = Seq("parts", "fact_count")).cells
+    assert(physicalPlan(joined).contains("part.parquet")) // control
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = joined.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // a non-key part attribute still forces the join
+    val withAttr = b.facts(fields = Seq("part.brand")).queryExecution
+      .executedPlan.toString
+    assert(withAttr.contains("part.parquet"))
+  }
+
   test("hinted dimension joins broadcast") {
     val df = b.aggregate(
       cell = Cell(PointCut("customer", Seq("ASIA"))),
