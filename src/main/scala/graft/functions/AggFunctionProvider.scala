@@ -23,3 +23,14 @@ trait AggFunctionProvider {
   /** name -> (measureColumn, measureType) => aggregate Column */
   def aggregates: Map[String, (Column, DataType) => Column]
 }
+
+/** SPI for contributing post-aggregation window CALCULATORS (the other
+  * half of the reference's extension registry, `statutils.py` calculators
+  * + `ext.py` discovery). The builder receives the source aggregate column
+  * and the frame-complete WindowSpec (already `rowsBetween`-bounded to the
+  * aggregate's `windowSize`). Registered like [[AggFunctionProvider]], via
+  * `META-INF/services/graft.functions.WindowCalcProvider`. */
+trait WindowCalcProvider {
+  def calculators: Map[String,
+    (Column, org.apache.spark.sql.expressions.WindowSpec) => Column]
+}

@@ -128,7 +128,22 @@ object AggFunctions {
 object WindowCalcs {
   import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
-  val names: Set[String] = Set("wma", "sma", "sms", "smstd", "smrsd", "smvar")
+  private val builtinNames: Set[String] =
+    Set("wma", "sma", "sms", "smstd", "smrsd", "smvar")
+
+  /** Calculators contributed by [[WindowCalcProvider]]s on the classpath
+    * (the calculators half of the reference's ext.py discovery; same
+    * ServiceLoader scheme as [[AggFunctionProvider]]). Built-in names win
+    * on clash. */
+  private lazy val discovered: Map[String, (Column, WindowSpec) => Column] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[WindowCalcProvider],
+        classOf[WindowCalcProvider].getClassLoader)
+      .iterator().asScala.flatMap(_.calculators)
+      .filterNot { case (k, _) => builtinNames.contains(k) }.toMap
+  }
+
+  lazy val names: Set[String] = builtinNames ++ discovered.keySet
 
   def isWindowFunction(function: String): Boolean = names.contains(function)
 
@@ -154,8 +169,11 @@ object WindowCalcs {
           lit(0.0).cast("double"), (acc, v) => acc + v)
         val wsum = (k.cast("double") * (k.cast("double") + 1)) / 2.0
         round(dot / wsum, 4)
-      case other =>
-        throw new IllegalArgumentException(s"unknown window calculator '$other'")
+      case other => discovered.get(other) match {
+        case Some(b) => b(src, w)
+        case None =>
+          throw new IllegalArgumentException(s"unknown window calculator '$other'")
+      }
     }
   }
 }

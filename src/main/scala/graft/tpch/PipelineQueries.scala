@@ -110,6 +110,16 @@ object PipelineQueries {
       ).orderBy(col("doc_id"))
     }),
 
+    // multimodal image metadata: synthesize a PNG header per doc (dims a
+    // deterministic function of doc_id), parse it back with the real
+    // header sniffer — the oracle recomputes the dims arithmetically, so
+    // the construct↔parse round-trip is hash-checked
+    "q63_image_meta" -> ((s, dir) =>
+      Multimodal.imageMetadata(
+        Multimodal.withSyntheticPng(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition features (duplicate-line fraction, longest
     // line, modal-word share) — the boilerplate-drop signals of a
     // training-corpus filter
@@ -347,6 +357,12 @@ object PipelineQueries {
         |  CASE WHEN wc > 0 THEN ROUND(CAST(n_symbols AS DOUBLE)/wc, 6)
         |    ELSE 0.0 END AS symbol_word_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q63_image_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
+        |  CAST((doc_id * 7) % 1000 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q49_jaccard_consecutive" ->
       """WITH g AS (SELECT doc_id,

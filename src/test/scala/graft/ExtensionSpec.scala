@@ -37,6 +37,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got == 6.0)
   }
 
+  test("provider-contributed window calculator dispatches through a drilldown") {
+    import graft.functions.WindowCalcs
+    assert(WindowCalcs.isWindowFunction("smmax"))
+    val facts = Seq((2020, 5.0), (2021, 9.0), (2022, 3.0), (2023, 7.0))
+      .toDF("year", "x")
+    val cube = Cube(
+      name = "w", factTable = "w",
+      dimensions = Seq(Dimension.flat("year")),
+      measures = Seq(Measure("x")),
+      aggregates = Seq(
+        MeasureAggregate("x_sum", function = Some("sum"), measure = Some("x")),
+        MeasureAggregate("x_smmax", function = Some("smmax"),
+          measure = Some("x_sum"), windowSize = Some(2))))
+    val b = new Browser(cube, new StarSchema(cube, facts, Map("w" -> facts)), spark)
+    val rows = b.aggregate(drilldown = Seq("year"),
+      aggregates = Seq("x_sum", "x_smmax")).cells.collect()
+      .map(r => r.getAs[Int]("year") -> r.getAs[Double]("x_smmax")).toMap
+    // moving max over the 2-row frame along years
+    assert(rows == Map(2020 -> 5.0, 2021 -> 9.0, 2022 -> 9.0, 2023 -> 7.0))
+  }
+
   test("custom aggregate dispatches end-to-end through a cube browse") {
     val facts = Seq((1, 2.0), (1, 8.0), (2, 4.0), (2, 16.0))
       .toDF("grp", "x")

@@ -314,6 +314,47 @@ class OpsSpec extends AnyFunSuite {
     assert(f.checksum == acc)
   }
 
+  test("image header sniffing: PNG/GIF/BMP/JPEG dimensions without a codec") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+      bb.position(18); bb.putInt(w).putInt(h)
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.put(Array(0xff, 0xd8).map(_.toByte))            // SOI
+      bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(4) // APP0, len 4
+      bb.putShort(0)                                      // APP0 payload
+      bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11) // SOF0
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.array()
+    }
+    assert(Multimodal.sniffImage(png(640, 480)) == ("png", 640, 480))
+    assert(Multimodal.sniffImage(gif(320, 200)) == ("gif", 320, 200))
+    assert(Multimodal.sniffImage(bmp(800, 600)) == ("bmp", 800, 600))
+    assert(Multimodal.sniffImage(jpeg(1024, 768)) == ("jpeg", 1024, 768))
+    assert(Multimodal.sniffImage("not an image".getBytes)._1 == "unknown")
+    // the batched Dataset path carries the same values
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png(12, 34), "png", 24L),
+      Multimodal.MediaRecord(2L, "nope".getBytes, "txt", 4L)
+    ).toDS()
+    val metas = Multimodal.imageMetadata(media).collect()
+      .map(m => m.media_id -> ((m.format, m.width, m.height))).toMap
+    assert(metas(1L) == ("png", 12, 34))
+    assert(metas(2L) == ("unknown", -1, -1))
+  }
+
   test("HashImpls matches a hand-computed fold") {
     // "ab" -> ((0*131+97)%P)*131 + 98 = 97*131+98
     assert(HashImpls.polyHash("ab") == 97L * 131 + 98)

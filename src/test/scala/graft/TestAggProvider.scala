@@ -19,3 +19,10 @@ final class TestAggProvider extends AggFunctionProvider {
     "sum" -> ((c, _) => lit(-1).cast("double"))
   )
 }
+
+/** Test-scoped window-calculator provider: a moving max. */
+final class TestWindowCalcProvider extends graft.functions.WindowCalcProvider {
+  override def calculators: Map[String,
+    (Column, org.apache.spark.sql.expressions.WindowSpec) => Column] = Map(
+    "smmax" -> ((src, w) => max(src).over(w)))
+}
