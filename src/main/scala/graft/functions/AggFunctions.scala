@@ -76,10 +76,14 @@ object AggFunctions {
     // pinned loader: the thread-context classloader of whatever thread
     // touches the registry first (pooled server threads, REPL) may not see
     // the application jars, and the lazy val would cache the empty result
-    // for the JVM's lifetime
+    // for the JVM's lifetime.
+    // Provider names may not claim WINDOW-calculator builtins either: a
+    // window-named aggregate would flip dispatch for every cube using it
     java.util.ServiceLoader.load(classOf[AggFunctionProvider],
         classOf[AggFunctionProvider].getClassLoader)
-      .iterator().asScala.flatMap(_.aggregates).toMap
+      .iterator().asScala.flatMap(_.aggregates)
+      .filterNot { case (k, _) => WindowCalcs.builtinNames.contains(k) }
+      .toMap
   }
 
   /** name -> (measureColumn, measureType) => aggregate Column.
@@ -88,6 +92,8 @@ object AggFunctions {
     * providers extend the map further (built-ins win on name clash). */
   lazy val builders: Map[String, (Column, DataType) => Column] =
     discovered ++ builtinBuilders
+
+  private[functions] lazy val builtinNames: Set[String] = builtinBuilders.keySet
 
   private val builtinBuilders: Map[String, (Column, DataType) => Column] = Map(
     "sum" -> ((c, dt) => exactSum(c, dt)),
@@ -128,19 +134,23 @@ object AggFunctions {
 object WindowCalcs {
   import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
-  private val builtinNames: Set[String] =
+  private[functions] val builtinNames: Set[String] =
     Set("wma", "sma", "sms", "smstd", "smrsd", "smvar")
 
   /** Calculators contributed by [[WindowCalcProvider]]s on the classpath
     * (the calculators half of the reference's ext.py discovery; same
     * ServiceLoader scheme as [[AggFunctionProvider]]). Built-in names win
-    * on clash. */
+    * on clash — including AGGREGATE-function builtins: a provider
+    * registering "sum" as a calculator would reroute every plain sum
+    * through the window path and break ordinary cubes. */
   private lazy val discovered: Map[String, (Column, WindowSpec) => Column] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader.load(classOf[WindowCalcProvider],
         classOf[WindowCalcProvider].getClassLoader)
       .iterator().asScala.flatMap(_.calculators)
-      .filterNot { case (k, _) => builtinNames.contains(k) }.toMap
+      .filterNot { case (k, _) =>
+        builtinNames.contains(k) || AggFunctions.builtinNames.contains(k) }
+      .toMap
   }
 
   lazy val names: Set[String] = builtinNames ++ discovered.keySet

@@ -263,18 +263,25 @@ final case class JoinSpec(
     alias: Option[String] = None,
     method: String = JoinMethod.Match,
     broadcastHint: Option[Boolean] = None,
-    /** Referential-integrity declaration. `Some("verified")` asserts every
-      * master row's key is NON-NULL and present in the detail table — the
-      * classic RI hint (Oracle's RELY, DB2's NOT ENFORCED TRUSTED). With
-      * it, a `match` join referenced only for its key column(s) is
-      * ELIMINATED and the key served from the master side
+    /** Referential-integrity declaration. `Some("verified")` asserts a
+      * true FK→PK relationship: every master row's key is NON-NULL,
+      * present in the detail table, and the detail key is UNIQUE (no
+      * fan-out) — the classic RI hint (Oracle's RELY, DB2's NOT ENFORCED
+      * TRUSTED). With it, a `match` join referenced only for its key
+      * column(s) is ELIMINATED and the key served from the master side
       * ([[graft.star.StarSchema.star]]) — e.g. COUNT(DISTINCT dim.key)
-      * without touching the dimension. Catalyst cannot do this on its
-      * own (it would change the row set if RI were violated). */
+      * without touching the dimension. All three legs of the contract
+      * matter: without uniqueness the inner join would multiply master
+      * rows, without presence/non-null it would drop them — either way
+      * elimination would change results. Catalyst cannot do this on its
+      * own; the declaration asserts the hazards away. */
     integrity: Option[String] = None
 ) {
   require(masterColumns.size == detailColumns.size,
     s"join $masterTable->$detailTable: key arity mismatch")
+  require(integrity.forall(_ == "verified"),
+    s"join $masterTable->$detailTable: unknown integrity " +
+      s"'${integrity.get}' (only \"verified\" is defined)")
   def detailAlias: String = alias.getOrElse(detailTable)
   def integrityVerified: Boolean = integrity.contains("verified")
 }

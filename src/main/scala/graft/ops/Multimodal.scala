@@ -110,19 +110,37 @@ object Multimodal {
       ("png", be32(16), be32(20))
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       ("gif", le16(6), le16(8))
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      ("bmp", le32(18), math.abs(le32(22))) // height may be negative (top-down)
-    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // JPEG: walk the marker stream to the first SOFn frame header
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      // DIB header size decides the field layout: BITMAPINFOHEADER and
+      // later (>= 40) carry 32-bit dims at 18/22; the OS/2
+      // BITMAPCOREHEADER (12) carries 16-bit dims at 18/20
+      val dib = le32(14)
+      if (dib >= 40) ("bmp", le32(18), math.abs(le32(22))) // height<0 = top-down
+      else if (dib == 12) ("bmp", le16(18), le16(20))
+      else ("bmp", -1, -1)
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk the marker stream to the first SOFn frame header.
+      // Markers may be preceded by any number of 0xFF fill bytes
+      // (spec B.1.1.2); TEM (0x01), RSTn and SOI are parameterless; EOI
+      // before a frame header means no dimensions.
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if (u8(i) != 0xff) return ("jpeg", -1, -1) // corrupt marker stream
-        val marker = u8(i + 1)
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        var j = i + 1
+        while (j < b.length && u8(j) == 0xff) j += 1 // skip fill bytes
+        if (j >= b.length) return ("jpeg", -1, -1)
+        val marker = u8(j)
+        if (marker == 0xd9) return ("jpeg", -1, -1) // EOI, no SOF seen
+        else if (marker == 0x01 || marker == 0xd8 ||
+          (marker >= 0xd0 && marker <= 0xd7)) i = j + 1
         else if (marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-          return ("jpeg", be16(i + 7), be16(i + 5)) // SOFn: height then width
-        else i += 2 + be16(i + 2) // segment length includes its own 2 bytes
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (j + 7 >= b.length) return ("jpeg", -1, -1)
+          return ("jpeg", be16(j + 6), be16(j + 4)) // SOFn: height then width
+        } else {
+          if (j + 2 >= b.length) return ("jpeg", -1, -1)
+          i = j + 1 + be16(j + 1) // segment length includes its own 2 bytes
+        }
       }
       ("jpeg", -1, -1)
     } else ("unknown", -1, -1)

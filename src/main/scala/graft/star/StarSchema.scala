@@ -104,8 +104,9 @@ final class StarSchema(
     * referenced ONLY for its join-key column(s), reached by a `match` join
     * whose [[JoinSpec.integrity]] is declared `verified`, and that is not
     * the master of another required alias, contributes nothing the master
-    * side doesn't already have — key equality holds on every joined row
-    * and (by the declared integrity) no master row would be dropped. The
+    * side doesn't already have — key equality holds on every joined row,
+    * and the declared integrity (non-null FK, present, detail key UNIQUE)
+    * means the join neither drops nor multiplies master rows. The
     * join is elided and the key columns are served from the master,
     * aliased under the eliminated alias's qualified name so consumers are
     * oblivious. Iterates to fixpoint so snowflake chains referenced only

@@ -75,6 +75,13 @@ class ModelSpec extends AnyFunSuite {
     assert(inner.contains("try_cast ( power ( `a` , 2 ) as bigint )"), inner)
   }
 
+  test("unknown join integrity value is rejected at model build") {
+    assertThrows[IllegalArgumentException] {
+      JoinSpec("f", Seq("k"), "d", Seq("k"), integrity = Some("rely"))
+    }
+    JoinSpec("f", Seq("k"), "d", Seq("k"), integrity = Some("verified"))
+  }
+
   test("dependency topo-sort and cycle detection") {
     val deps = Map(
       "c" -> Set("a", "b"), "b" -> Set("a"), "a" -> Set.empty[String])

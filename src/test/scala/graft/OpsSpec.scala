@@ -315,38 +315,45 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("image header sniffing: PNG/GIF/BMP/JPEG dimensions without a codec") {
-    def png(w: Int, h: Int): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(24)
-      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
-      bb.array()
-    }
     def gif(w: Int, h: Int): Array[Byte] =
       "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
         (h & 0xff).toByte, (h >> 8).toByte)
     def bmp(w: Int, h: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put('B'.toByte).put('M'.toByte)
-      bb.position(18); bb.putInt(w).putInt(h)
+      bb.position(14); bb.putInt(40) // BITMAPINFOHEADER
+      bb.putInt(w).putInt(h)
       bb.array()
     }
-    def jpeg(w: Int, h: Int): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(32)
-      bb.put(Array(0xff, 0xd8).map(_.toByte))            // SOI
+    def bmpCore(w: Int, h: Int): Array[Byte] = {
+      // OS/2 BITMAPCOREHEADER: dib size 12, 16-bit dims at 18/20
+      val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+      bb.position(14); bb.putInt(12)
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int, fill: Boolean = false): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(34)
+      bb.put(Array(0xff, 0xd8).map(_.toByte))             // SOI
       bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(4) // APP0, len 4
       bb.putShort(0)                                      // APP0 payload
+      if (fill) bb.put(0xff.toByte)                       // spec'd fill byte
       bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11) // SOF0
       bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
       bb.array()
     }
-    assert(Multimodal.sniffImage(png(640, 480)) == ("png", 640, 480))
+    assert(Multimodal.sniffImage(Multimodal.pngHeader(640, 480)) == ("png", 640, 480))
     assert(Multimodal.sniffImage(gif(320, 200)) == ("gif", 320, 200))
     assert(Multimodal.sniffImage(bmp(800, 600)) == ("bmp", 800, 600))
+    assert(Multimodal.sniffImage(bmpCore(100, 200)) == ("bmp", 100, 200))
     assert(Multimodal.sniffImage(jpeg(1024, 768)) == ("jpeg", 1024, 768))
+    // 0xFF fill bytes before a marker are legal (JPEG B.1.1.2)
+    assert(Multimodal.sniffImage(jpeg(1024, 768, fill = true)) == ("jpeg", 1024, 768))
     assert(Multimodal.sniffImage("not an image".getBytes)._1 == "unknown")
     // the batched Dataset path carries the same values
     val media = Seq(
-      Multimodal.MediaRecord(1L, png(12, 34), "png", 24L),
+      Multimodal.MediaRecord(1L, Multimodal.pngHeader(12, 34), "png", 24L),
       Multimodal.MediaRecord(2L, "nope".getBytes, "txt", 4L)
     ).toDS()
     val metas = Multimodal.imageMetadata(media).collect()
