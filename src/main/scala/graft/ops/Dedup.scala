@@ -24,6 +24,43 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__text_sha__")
 
+  /** Boilerplate-line removal (the C4/Gopher corpus-cleaning step): drop
+    * every line that occurs in more than `maxDocFreq` DISTINCT documents
+    * (navigation chrome, cookie banners, license footers), then reassemble
+    * each document from its surviving lines in order.
+    *
+    * Scale shape: explode to (doc, line_no, line_hash) — the shuffle for
+    * the document-frequency count carries 8-byte xxhash64 keys, never line
+    * text; the doc-frequency table (lines above the threshold are RARE by
+    * construction — frequent lines is a small set) comes back via a
+    * broadcast-friendly anti-join; reassembly is one groupBy over
+    * (doc, line_no, line) with an order-safe sort_array. Empty documents
+    * and documents whose every line is boilerplate survive with empty
+    * text (dropping them is the caller's policy decision). */
+  def dropBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int
+  ): DataFrame = {
+    val lines = df.select(col(idCol).as("__id__"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__line_no__", "__line__")))
+    // doc frequency per distinct line (hash key; text never shuffles)
+    val boiler = lines
+      .groupBy(xxhash64(col("__line__")).as("__lh__"))
+      .agg(countDistinct(col("__id__")).as("__df__"))
+      .filter(col("__df__") > maxDocFreq)
+      .select(col("__lh__"))
+    val kept = lines.join(boiler,
+      xxhash64(col("__line__")) === col("__lh__"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id__").as(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__line_no__"), col("__line__")))),
+        s => s.getField("__line__")), "\n").as(textCol))
+    // restore documents whose EVERY line was boilerplate (they fell out of
+    // the anti-join) as empty text — dropping them is the caller's call
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Exact dedup returning full surviving rows (window row_number=1). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)

@@ -155,15 +155,16 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       case List("cube", name, "facts") =>
         val b = workspace.browserFor(id, name)
         val df = b.facts(cell(name, q), fields(q), order(q), page(q), pageSize(q))
-        frameResponse(df, q)
+        frameResponse(df, q, cubeName = Some(name))
       case List("cube", name, "fact", key) =>
         val b = workspace.browserFor(id, name)
-        frameResponse(b.fact(parseKey(key)), q, stem = "fact")
+        frameResponse(b.fact(parseKey(key)), q, stem = "fact",
+          cubeName = Some(name))
       case List("cube", name, "members", dim) =>
         val b = workspace.browserFor(id, name)
         frameResponse(b.members(cell(name, q), dim,
           q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
-          page(q), pageSize(q)), q, stem = "members")
+          page(q), pageSize(q)), q, stem = "members", cubeName = Some(name))
       case List("cube", name, "cell") =>
         val b = workspace.browserFor(id, name)
         // reference shape (`/cell`, blueprint.py + query/browser.py:525):
@@ -223,7 +224,8 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           result0.copy(cells = paged, unpagedCells = Some(persisted))
         }
       if (fmt == "csv") {
-        val (csv, truncated) = toCsv(result.cells)
+        val (csv, truncated) = toCsv(result.cells,
+          header = Some(csvHeader(name, result.cells.columns.toSeq, q)))
         Resp(200, csv, "text/csv", truncated,
           attachment = Some("aggregate.csv"))
       } else if (fmt == "xlsx") {
@@ -352,10 +354,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     }
 
     private def frameResponse(df: DataFrame, q: Map[String, String],
-        stem: String = "facts"): Resp = {
+        stem: String = "facts", cubeName: Option[String] = None): Resp = {
       val fmt = validatedFormat(q)
       if (fmt == "csv") {
-        val (csv, truncated) = toCsv(df)
+        val (csv, truncated) = toCsv(df, header =
+          cubeName.map(n => csvHeader(n, df.columns.toSeq, q)))
         Resp(200, csv, "text/csv", truncated, attachment = Some(s"$stem.csv"))
       } else if (fmt == "xlsx") {
         val (bytes, truncated) =
@@ -448,20 +451,46 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     /** RFC-4180 CSV: quote any value with a comma, quote, or line break
       * (embedded newlines would otherwise corrupt the row structure).
       * Returns the text plus whether the row limit truncated it. */
-    private def toCsv(df: DataFrame, limit: Int = 10000): (String, Boolean) = {
+    /** CSV header cells per the `header` request param (reference
+      * `header_type` names|labels|none, blueprint.py:319-372): `names` =
+      * column refs, `labels` (the reference default) = model labels where
+      * defined, `none` = no header row. */
+    private def csvHeader(cubeName: String, cols: Seq[String],
+        q: Map[String, String]): Option[Seq[String]] =
+      q.getOrElse("header", "labels") match {
+        case "none"  => None
+        case "names" => Some(cols)
+        case "labels" =>
+          val c = workspace.cube(cubeName)
+          val aggLabels = c.aggregates.map(a => a.name -> a.label).toMap
+          Some(cols.map { name =>
+            aggLabels.getOrElse(name,
+              c.allAttributes.get(name).flatMap(_.label))
+              .getOrElse(name)
+          })
+        case other =>
+          throw new IllegalArgumentException(s"unknown header type '$other'")
+      }
+
+    private def toCsv(df: DataFrame, limit: Int = 10000,
+        header: Option[Option[Seq[String]]] = None): (String, Boolean) = {
       val fetched = df.limit(limit + 1).collect()
       val rows = fetched.take(limit)
-      val header = df.columns.mkString(",")
-      // quote on the STRINGIFIED value: arrays/structs render with commas
-      val lines = rows.map(_.toSeq.map {
+      def cell(v: Any): String = v match {
         case null => ""
-        case v =>
-          val s = String.valueOf(v)
+        // quote on the STRINGIFIED value: arrays/structs render with commas
+        case other =>
+          val s = String.valueOf(other)
           if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
             "\"" + s.replace("\"", "\"\"") + "\""
           else s
-      }.mkString(","))
-      ((header +: lines).mkString("\n"), fetched.length > limit)
+      }
+      val headerLines = header.getOrElse(Some(df.columns.toSeq)) match {
+        case Some(cells) => Seq(cells.map(cell).mkString(","))
+        case None        => Nil
+      }
+      val lines = rows.map(_.toSeq.map(cell).mkString(","))
+      ((headerLines ++ lines).mkString("\n"), fetched.length > limit)
     }
   }
 

@@ -120,6 +120,19 @@ object PipelineQueries {
         .toDF().withColumnRenamed("media_id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // C4/Gopher boilerplate-line removal: synthesize multi-line docs with
+    // known chrome (banner + footer on every doc, an extra line on half),
+    // drop lines occurring in >100 distinct docs, reassemble in order
+    "q64_boilerplate_lines" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("COOKIE BANNER"), col("text"), lit("(c) example footer"),
+          when(col("doc_id") % 2 === 0, lit("site navigation"))
+            .otherwise(col("text"))).as("text"))
+      Dedup.dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition features (duplicate-line fraction, longest
     // line, modal-word share) — the boilerplate-drop signals of a
     // training-corpus filter
@@ -363,6 +376,24 @@ object PipelineQueries {
         |  CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
         |  CAST((doc_id * 7) % 1000 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q64_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |    'COOKIE BANNER' || chr(10) || text || chr(10) ||
+        |    '(c) example footer' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'site navigation' ELSE text END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |e AS (SELECT doc_id, unnest(arr) AS line,
+        |    generate_subscripts(arr, 1) AS ord FROM ls),
+        |freq AS (SELECT line FROM e GROUP BY line
+        |  HAVING COUNT(DISTINCT doc_id) > 100),
+        |kept AS (SELECT e.* FROM e ANTI JOIN freq USING (line)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_jaccard_consecutive" ->
       """WITH g AS (SELECT doc_id,

@@ -195,6 +195,21 @@ class OpsSpec extends AnyFunSuite {
       s"leaked persists: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("boilerplate-line removal drops high-doc-frequency lines, keeps order") {
+    val d = Seq(
+      (1L, "banner\nunique one\nfooter"),
+      (2L, "banner\nunique two\nmiddle\nfooter"),
+      (3L, "banner\nfooter"),        // all boilerplate → survives empty
+      (4L, "banner\nunique one\nfooter") // "unique one" df=2, under threshold
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one")
+    assert(out(2L) == "unique two\nmiddle")
+    assert(out(3L) == "")
+    assert(out(4L) == "unique one")
+  }
+
   test("hashed band keys find the same near-dup pairs as string keys") {
     // xxhash64 band keys (the at-scale default: fixed 8-byte shuffle key)
     // bucket identically to the oracle-replayable string keys — equal

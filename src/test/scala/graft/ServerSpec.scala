@@ -80,6 +80,19 @@ class ServerSpec extends AnyFunSuite {
     assert(body.linesIterator.size == 4) // header + 3 flags
   }
 
+  test("csv header types: names, labels (default), none (reference header_type)") {
+    val base = "/cube/sales/aggregate?drilldown=returnflag&aggregates=fact_count&format=csv"
+    val (_, names) = get(s"$base&header=names")
+    assert(names.linesIterator.next() == "returnflag,fact_count")
+    // labels fall back to the name when the model defines none
+    val (_, labels) = get(base)
+    assert(labels.linesIterator.next() == "returnflag,fact_count")
+    val (_, none) = get(s"$base&header=none")
+    assert(none.linesIterator.size == 3 &&
+      !none.linesIterator.next().contains("returnflag"))
+    assert(get(s"$base&header=bogus")._1 == 400)
+  }
+
   test("/aggregate and /facts xlsx format: OOXML zip re-parses") {
     import java.util.zip.ZipInputStream
     def getBytes(path: String): (Int, java.net.http.HttpHeaders, Array[Byte]) = {
