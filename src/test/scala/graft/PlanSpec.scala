@@ -200,6 +200,18 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ops.Caches.releaseAll()
   }
 
+  test("boilerplate-line removal: frequent-line set returns via broadcast anti-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.Dedup.dropBoilerplateLines(docs, "doc_id", "text", 100)
+    val plan = physicalPlan(df)
+    // the frequent-line set is small by construction — it must build the
+    // broadcast side of the anti-join, never shuffle the exploded lines
+    // against it
+    assert("BroadcastHashJoin .*LeftAnti, BuildRight".r
+      .findFirstIn(plan).isDefined,
+      s"anti-join not broadcast:\n$plan")
+  }
+
   test("IVF: no Window, no corpus×centroid join — assignment is a narrow scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = graft.ops.Similarity.ivfTopK(
