@@ -327,7 +327,10 @@ final case class Cube(
   /** All dimension attributes + measures + details, by ref. */
   lazy val allAttributes: Map[String, Attribute] = {
     val dimAttrs = dimensions.flatMap(_.attributes).map(a => a.ref -> a)
-    val measAttrs = measures.map(m => m.ref -> Attribute(m.name, expression = m.expression))
+    // carry the measure's label: csv header=labels and other metadata
+    // consumers look attributes up here
+    val measAttrs = measures.map(m =>
+      m.ref -> Attribute(m.name, expression = m.expression, label = m.label))
     val detAttrs = details.map(a => a.ref -> a)
     (dimAttrs ++ measAttrs ++ detAttrs).toMap
   }

@@ -30,13 +30,19 @@ object Dedup {
     * each document from its surviving lines in order.
     *
     * Scale shape: explode to (doc, line_no, line_hash) — the shuffle for
-    * the document-frequency count carries 8-byte xxhash64 keys, never line
-    * text; the doc-frequency table (lines above the threshold are RARE by
+    * the document-frequency count carries 32-byte sha-256 keys
+    * (collision-safe EXACT keying, like [[exactKeepers]] — an anti-join
+    * on a 64-bit hash would silently delete rare lines colliding with
+    * frequent ones at billions-of-lines scale), never line text; the
+    * doc-frequency table (lines above the threshold are RARE by
     * construction — frequent lines is a small set) comes back via a
     * broadcast-friendly anti-join; reassembly is one groupBy over
-    * (doc, line_no, line) with an order-safe sort_array. Empty documents
-    * and documents whose every line is boilerplate survive with empty
-    * text (dropping them is the caller's policy decision). */
+    * (doc, line_no, line) with an order-safe sort_array.
+    *
+    * Returns exactly (idCol, textCol) — other input columns are dropped
+    * (join them back by id if needed). Empty documents, null-text
+    * documents, and documents whose every line is boilerplate survive
+    * with empty text (dropping them is the caller's policy decision). */
   def dropBoilerplateLines(
       df: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Int
@@ -45,12 +51,12 @@ object Dedup {
       posexplode(split(col(textCol), "\n")).as(Seq("__line_no__", "__line__")))
     // doc frequency per distinct line (hash key; text never shuffles)
     val boiler = lines
-      .groupBy(xxhash64(col("__line__")).as("__lh__"))
+      .groupBy(sha2(col("__line__"), 256).as("__lh__"))
       .agg(countDistinct(col("__id__")).as("__df__"))
       .filter(col("__df__") > maxDocFreq)
       .select(col("__lh__"))
     val kept = lines.join(boiler,
-      xxhash64(col("__line__")) === col("__lh__"), "left_anti")
+      sha2(col("__line__"), 256) === col("__lh__"), "left_anti")
     val rebuilt = kept.groupBy(col("__id__").as(idCol))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("__line_no__"), col("__line__")))),

@@ -155,16 +155,15 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       case List("cube", name, "facts") =>
         val b = workspace.browserFor(id, name)
         val df = b.facts(cell(name, q), fields(q), order(q), page(q), pageSize(q))
-        frameResponse(df, q, cubeName = Some(name))
+        frameResponse(df, q, cubeName = name)
       case List("cube", name, "fact", key) =>
         val b = workspace.browserFor(id, name)
-        frameResponse(b.fact(parseKey(key)), q, stem = "fact",
-          cubeName = Some(name))
+        frameResponse(b.fact(parseKey(key)), q, cubeName = name, stem = "fact")
       case List("cube", name, "members", dim) =>
         val b = workspace.browserFor(id, name)
         frameResponse(b.members(cell(name, q), dim,
           q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
-          page(q), pageSize(q)), q, stem = "members", cubeName = Some(name))
+          page(q), pageSize(q)), q, cubeName = name, stem = "members")
       case List("cube", name, "cell") =>
         val b = workspace.browserFor(id, name)
         // reference shape (`/cell`, blueprint.py + query/browser.py:525):
@@ -225,7 +224,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         }
       if (fmt == "csv") {
         val (csv, truncated) = toCsv(result.cells,
-          header = Some(csvHeader(name, result.cells.columns.toSeq, q)))
+          header = csvHeader(name, result.cells.columns.toSeq, q))
         Resp(200, csv, "text/csv", truncated,
           attachment = Some("aggregate.csv"))
       } else if (fmt == "xlsx") {
@@ -354,11 +353,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     }
 
     private def frameResponse(df: DataFrame, q: Map[String, String],
-        stem: String = "facts", cubeName: Option[String] = None): Resp = {
+        cubeName: String, stem: String = "facts"): Resp = {
       val fmt = validatedFormat(q)
       if (fmt == "csv") {
-        val (csv, truncated) = toCsv(df, header =
-          cubeName.map(n => csvHeader(n, df.columns.toSeq, q)))
+        val (csv, truncated) =
+          toCsv(df, header = csvHeader(cubeName, df.columns.toSeq, q))
         Resp(200, csv, "text/csv", truncated, attachment = Some(s"$stem.csv"))
       } else if (fmt == "xlsx") {
         val (bytes, truncated) =
@@ -454,14 +453,15 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     /** CSV header cells per the `header` request param (reference
       * `header_type` names|labels|none, blueprint.py:319-372): `names` =
       * column refs, `labels` (the reference default) = model labels where
-      * defined, `none` = no header row. */
+      * defined (localized per `lang`, like /model), `none` = no header
+      * row. */
     private def csvHeader(cubeName: String, cols: Seq[String],
         q: Map[String, String]): Option[Seq[String]] =
       q.getOrElse("header", "labels") match {
         case "none"  => None
         case "names" => Some(cols)
         case "labels" =>
-          val c = workspace.cube(cubeName)
+          val c = workspace.cube(cubeName, q.get("lang"))
           val aggLabels = c.aggregates.map(a => a.name -> a.label).toMap
           Some(cols.map { name =>
             aggLabels.getOrElse(name,
@@ -472,20 +472,23 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           throw new IllegalArgumentException(s"unknown header type '$other'")
       }
 
+    /** Quote-on-the-stringified-value CSV: any cell whose rendering
+      * contains a comma, quote, or line break (arrays/structs render with
+      * commas) is quoted and inner quotes doubled. `header` = Some(cells)
+      * renders a header row, None omits it. */
     private def toCsv(df: DataFrame, limit: Int = 10000,
-        header: Option[Option[Seq[String]]] = None): (String, Boolean) = {
+        header: Option[Seq[String]]): (String, Boolean) = {
       val fetched = df.limit(limit + 1).collect()
       val rows = fetched.take(limit)
       def cell(v: Any): String = v match {
         case null => ""
-        // quote on the STRINGIFIED value: arrays/structs render with commas
         case other =>
           val s = String.valueOf(other)
           if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
             "\"" + s.replace("\"", "\"\"") + "\""
           else s
       }
-      val headerLines = header.getOrElse(Some(df.columns.toSeq)) match {
+      val headerLines = header match {
         case Some(cells) => Seq(cells.map(cell).mkString(","))
         case None        => Nil
       }
