@@ -147,19 +147,21 @@ object ExprLang {
   /** Functions that rewrite to a TEMPLATE over the (already-rewritten)
     * argument text — used where the cubes grammar has a scalar Spark
     * lacks but an expression composition expresses natively (no session
-    * UDF, stays inside whole-stage codegen). The argument may appear
-    * multiple times in the template, so these are only safe for
-    * deterministic argument expressions (the grammar has no
-    * non-deterministic functions). */
+    * UDF, stays inside whole-stage codegen). Template functions are
+    * single-argument only (enforced at capture close — a top-level comma
+    * in the argument raises an arity error instead of splicing garbage
+    * into the template); the argument may still appear more than once in
+    * the template, which is safe because the grammar has no
+    * non-deterministic functions. */
   private val fnTemplate: Map[String, String => String] = Map(
     // numeric truncation toward zero — Spark's `trunc` is date-only.
-    // NaN / ±Infinity / |x| ≥ 2^63 pass through unchanged (a double that
-    // large is already integral), everything else truncates via
-    // try_cast; never NULLs a defined value the way a bare
-    // double(try_cast(..)) would on overflow.
+    // try_cast(x as bigint) truncates toward zero and is NULL for
+    // NaN / ±Infinity / |x| ≥ 2^63 — exactly the values that pass
+    // through unchanged (a double that large is already integral), so
+    // the coalesce fallback re-emits the input; a NULL input stays NULL
+    // through both branches.
     "trunc" -> (a =>
-      s"( case when isnan( $a ) or abs( $a ) >= 9.223372036854776E18 " +
-        s"then double( $a ) else double ( try_cast ( $a as bigint ) ) end )")
+      s"coalesce ( double ( try_cast ( $a as bigint ) ) , double ( $a ) )")
   )
 
   /** Rewrite an expression to Spark SQL, substituting identifier refs via
@@ -171,13 +173,15 @@ object ExprLang {
     // in-flight fnTemplate call (entered at its '('); tokens emit into
     // the innermost buffer, and the template splices the captured text
     // when its matching ')' closes
-    final case class Capture(openDepth: Int, template: String => String,
-      buf: StringBuilder = new StringBuilder)
+    final case class Capture(openDepth: Int, name: String,
+      template: String => String, buf: StringBuilder = new StringBuilder) {
+      var sawTopComma: Boolean = false
+    }
     val base = new StringBuilder
     val captures = mutable.Stack.empty[Capture]
     var depth = 0
     // a template name was just seen; its '(' opens a capture
-    var pendingTemplate: Option[String => String] = None
+    var pendingTemplate: Option[(String, String => String)] = None
     def emit(s: String): Unit = {
       val buf = if (captures.nonEmpty) captures.top.buf else base
       if (buf.nonEmpty) buf.append(' ')
@@ -189,7 +193,7 @@ object ExprLang {
           val isFn = idx + 1 < toks.size && toks(idx + 1) == Op("(")
           val lower = s.toLowerCase
           if (isFn && fnTemplate.contains(lower))
-            pendingTemplate = Some(fnTemplate(lower))
+            pendingTemplate = Some((lower, fnTemplate(lower)))
           else if (isFn) emit(fnRewrite.getOrElse(lower, s))
           else if (isKeywordAt(toks, idx, lower) ||
             variables.contains(lower)) emit(s)
@@ -197,8 +201,8 @@ object ExprLang {
         case Lit(s) => emit(s)
         case Op("(") =>
           pendingTemplate match {
-            case Some(tpl) =>
-              captures.push(Capture(depth, tpl))
+            case Some((name, tpl)) =>
+              captures.push(Capture(depth, name, tpl))
               pendingTemplate = None
             case None => emit("(")
           }
@@ -207,8 +211,17 @@ object ExprLang {
           depth -= 1
           if (captures.nonEmpty && captures.top.openDepth == depth) {
             val c = captures.pop()
+            if (c.sawTopComma)
+              throw new IllegalArgumentException(
+                s"${c.name} takes exactly one argument")
             emit(c.template(c.buf.toString))
           } else emit(")")
+        case Op(",") =>
+          // a comma at a capture's own paren level = a second argument to
+          // a single-argument template function
+          if (captures.nonEmpty && depth == captures.top.openDepth + 1)
+            captures.top.sawTopComma = true
+          emit(",")
         case Op(s) => emit(s)
       }
     }

@@ -119,7 +119,9 @@ object AggFunctions {
     "variance_fast" -> ((c, _) => var_samp(c))
   )
 
-  def isBuiltin(function: String): Boolean = builders.contains(function)
+  /** Known to the aggregate registry — built-in OR provider-contributed
+    * (the built-in-only check is `builtinNames`). */
+  def isRegistered(function: String): Boolean = builders.contains(function)
 }
 
 /** Post-aggregation moving-window calculators (reference
@@ -139,17 +141,19 @@ object WindowCalcs {
 
   /** Calculators contributed by [[WindowCalcProvider]]s on the classpath
     * (the calculators half of the reference's ext.py discovery; same
-    * ServiceLoader scheme as [[AggFunctionProvider]]). Built-in names win
-    * on clash — including AGGREGATE-function builtins: a provider
-    * registering "sum" as a calculator would reroute every plain sum
-    * through the window path and break ordinary cubes. */
+    * ServiceLoader scheme as [[AggFunctionProvider]]). Aggregate names win
+    * on clash — builtin AND provider-contributed aggregates
+    * ([[AggFunctions.builders]], which includes discovered providers):
+    * dispatch consults `isWindowFunction` first, so a calculator sharing
+    * an aggregate's name would silently reroute every plain use of that
+    * aggregate through the window path. */
   private lazy val discovered: Map[String, (Column, WindowSpec) => Column] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader.load(classOf[WindowCalcProvider],
         classOf[WindowCalcProvider].getClassLoader)
       .iterator().asScala.flatMap(_.calculators)
       .filterNot { case (k, _) =>
-        builtinNames.contains(k) || AggFunctions.builtinNames.contains(k) }
+        builtinNames.contains(k) || AggFunctions.builders.contains(k) }
       .toMap
   }
 

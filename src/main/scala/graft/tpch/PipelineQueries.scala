@@ -124,11 +124,15 @@ object PipelineQueries {
     // known chrome (banner + footer on every doc, an extra line on half),
     // drop lines occurring in >100 distinct docs, reassemble in order
     "q64_boilerplate_lines" -> ((s, dir) => {
+      // coalesce(text,'') SYMMETRICALLY with the oracle CTE: concat_ws
+      // skips NULLs while DuckDB '||' propagates them — without the
+      // shared coalesce a NULL text would diverge instead of failing
+      val txt = coalesce(col("text"), lit(""))
       val d = docs(s, dir).select(col("doc_id"),
         concat_ws("\n",
-          lit("COOKIE BANNER"), col("text"), lit("(c) example footer"),
+          lit("COOKIE BANNER"), txt, lit("(c) example footer"),
           when(col("doc_id") % 2 === 0, lit("site navigation"))
-            .otherwise(col("text"))).as("text"))
+            .otherwise(txt)).as("text"))
       Dedup.dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 100)
         .orderBy(col("doc_id"))
     }),
@@ -379,9 +383,10 @@ object PipelineQueries {
 
     "q64_boilerplate_lines" ->
       """WITH d AS (SELECT doc_id,
-        |    'COOKIE BANNER' || chr(10) || text || chr(10) ||
+        |    'COOKIE BANNER' || chr(10) || coalesce(text, '') || chr(10) ||
         |    '(c) example footer' || chr(10) ||
-        |    CASE WHEN doc_id % 2 = 0 THEN 'site navigation' ELSE text END AS text
+        |    CASE WHEN doc_id % 2 = 0 THEN 'site navigation'
+        |         ELSE coalesce(text, '') END AS text
         |  FROM documents),
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
         |e AS (SELECT doc_id, unnest(arr) AS line,

@@ -24,7 +24,17 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("provider-contributed aggregate is discovered and registered") {
     assert(AggFunctions.builders.contains("geomean"))
-    assert(AggFunctions.isBuiltin("geomean"))
+    assert(AggFunctions.isRegistered("geomean"))
+  }
+
+  test("cross-registry clash: provider aggregate wins over provider calculator") {
+    import graft.functions.WindowCalcs
+    // TestWindowCalcProvider also claims "geomean" (already a discovered
+    // AGGREGATE); the window registration must be dropped, or dispatch —
+    // which consults isWindowFunction first — would reroute every plain
+    // geomean through the window path
+    assert(AggFunctions.isRegistered("geomean"))
+    assert(!WindowCalcs.isWindowFunction("geomean"))
   }
 
   test("built-in names shadow provider clashes") {

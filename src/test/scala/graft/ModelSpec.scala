@@ -61,9 +61,9 @@ class ModelSpec extends AnyFunSuite {
 
   test("numeric trunc rewrites to a native guarded cast (no UDF)") {
     val t = ExprLang.toSparkSql("trunc(amount)", r => s"`$r`")
-    // NaN/overflow guard keeps huge values instead of NULLing them
+    // NaN/overflow fall back to the input instead of NULLing it
     assert(t.contains("try_cast ( `amount` as bigint )"), t)
-    assert(t.contains("isnan( `amount` )"), t)
+    assert(t.startsWith("coalesce ("), t)
     assert(!t.contains("graft_trunc"))
     // template nests inside other calls and keeps sibling args intact
     val nested = ExprLang.toSparkSql("pow(trunc(a), 2)", r => s"`$r`")
@@ -73,6 +73,14 @@ class ModelSpec extends AnyFunSuite {
     // and other args pass through a template call unharmed
     val inner = ExprLang.toSparkSql("trunc(pow(a, 2))", r => s"`$r`")
     assert(inner.contains("try_cast ( power ( `a` , 2 ) as bigint )"), inner)
+    // a second argument is an arity error, not spliced garbage
+    val e = intercept[IllegalArgumentException] {
+      ExprLang.toSparkSql("trunc(a, b)", r => s"`$r`")
+    }
+    assert(e.getMessage.contains("exactly one argument"), e.getMessage)
+    // ...but commas nested INSIDE the single argument are fine
+    val ok = ExprLang.toSparkSql("trunc(mod(a, 7))", r => s"`$r`")
+    assert(ok.contains("mod ( `a` , 7 )"), ok)
   }
 
   test("unknown join integrity value is rejected at model build") {

@@ -20,9 +20,13 @@ final class TestAggProvider extends AggFunctionProvider {
   )
 }
 
-/** Test-scoped window-calculator provider: a moving max. */
+/** Test-scoped window-calculator provider: a moving max. Also claims
+  * "geomean" — already a provider AGGREGATE — to prove cross-registry
+  * clashes resolve to the aggregate, not the calculator. */
 final class TestWindowCalcProvider extends graft.functions.WindowCalcProvider {
   override def calculators: Map[String,
     (Column, org.apache.spark.sql.expressions.WindowSpec) => Column] = Map(
-    "smmax" -> ((src, w) => max(src).over(w)))
+    "smmax" -> ((src, w) => max(src).over(w)),
+    // must NOT take effect: the discovered aggregate "geomean" wins
+    "geomean" -> ((src, w) => min(src).over(w)))
 }
