@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * train/val/test splits, context-window sequence packing, vocabulary
+  * extraction, and PII redaction. Like the rest of `graft.ops` these are
+  * built on engine-independent arithmetic (polynomial hashes, explicit
+  * window frames, a shared Java/RE2 regex subset) so the DuckDB oracle
+  * replays them exactly.
+  */
+object Corpus {
+
+  /** Deterministic, CONTENT-ADDRESSED split assignment: the bucket is a
+    * polynomial hash of the text (not the id, not a random number), so
+    * byte-identical duplicates always land in the same split — the only
+    * assignment that prevents train/test leakage through surviving
+    * near-duplicate copies. Stateless per-row (no shuffle, no seed to
+    * coordinate across 1000 executors), stable across runs and engines.
+    *
+    * @param weights (label, percent) in order; percents must sum to 100.
+    */
+  def withSplit(df: DataFrame, textCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      bucketCol: String = "bucket", splitCol: String = "split"): DataFrame = {
+    require(weights.map(_._2).sum == 100,
+      s"split weights must sum to 100, got ${weights.map(_._2).sum}")
+    val bucket = pmod(
+      graft.functions.NativeHashes.poly_hash(col(textCol)), lit(100L))
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val label = weights.zip(cum).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn(bucketCol, bucket).withColumn(splitCol, label)
+  }
+
+  /** Sequence packing: lay documents end-to-end and chop the token stream
+    * into fixed `ctxLen` context windows (the standard "concat then chunk"
+    * pretraining layout). Documents are packed per SHARD (`id % nShards`)
+    * in id order, so the cumulative-sum window is partitioned — each shard
+    * packs independently and in parallel; no global single-partition
+    * window, which is the difference between this and the textbook
+    * formulation at 100 TB. Shard count trades parallelism against
+    * cross-shard padding waste (one partial window per shard).
+    *
+    * Emits per document: its shard, token offset within the shard stream,
+    * the first/last window index it lands in, and a globally unique id of
+    * the first window (`shard * 2^40 + window`).
+    */
+  def sequencePack(df: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, nShards: Int): DataFrame = {
+    require(ctxLen > 0 && nShards > 0, "ctxLen and nShards must be positive")
+    val shard = pmod(col(idCol), lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integral `div`, not floor(double /): token offsets past 2^53 would
+    // lose precision through a double division at real corpus scale
+    df.withColumn("shard", shard)
+      .withColumn("_cum", sum(col(tokCol)).over(w))
+      .withColumn("tok_start", col("_cum") - col(tokCol))
+      .withColumn("pack_first", expr(s"tok_start div $ctxLen"))
+      // last token of the doc is at _cum-1; empty docs stay in pack_first
+      .withColumn("pack_last",
+        expr(s"greatest(_cum - 1, tok_start) div $ctxLen"))
+      .withColumn("n_windows", col("pack_last") - col("pack_first") + 1)
+      .withColumn("pack_uid",
+        col("shard") * lit(1L << 40) + col("pack_first"))
+      .drop("_cum")
+  }
+
+  /** Top-k vocabulary over whitespace tokens of the lowercased text, with
+    * a deterministic total order (count desc, then word asc). Explode →
+    * partial-aggregated count → `TakeOrdered` top-k: one shuffle on the
+    * word key, bounded driver result. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(filter(
+        split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("word").asc)
+      .limit(k)
+
+  /** PII categories as (name, regex, replacement), applied IN ORDER — the
+    * regexes are in the shared Java/RE2 subset (no backrefs, no lookaround)
+    * so DuckDB replays the same sequence. URL first: it can contain '@'
+    * and dotted hosts that the later patterns would half-match. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Redact PII in `textCol`: per category (in [[piiPatterns]] order) count
+    * the matches REMAINING at that step, then replace them — sequential
+    * counting means an email inside a URL is counted once, as a URL.
+    * Returns (redactedColumn, Seq(countName -> countColumn)). Pure per-row
+    * codegen'd expressions: no shuffle, no UDF. */
+  def redactPii(textCol: Column): (Column, Seq[(String, Column)]) =
+    piiPatterns.foldLeft((textCol, Seq.empty[(String, Column)])) {
+      case ((t, counts), (name, pattern, replacement)) =>
+        (regexp_replace(t, pattern, replacement),
+          counts :+ (s"n_$name" -> regexp_count(t, lit(pattern))))
+    }
+}

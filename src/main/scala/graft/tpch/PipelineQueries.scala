@@ -2,7 +2,7 @@ package graft.tpch
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis, Multimodal}
 
 /** Gate queries for the training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings` /
@@ -216,6 +216,45 @@ object PipelineQueries {
         hashedBandKeys = false) // string band keys: DuckDB-replayable
       Dedup.nearDupClustersAlternating(d, "doc_id", pairs, strict = true)
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic content-addressed train/val/test split (90/5/5):
+    // duplicates hash to the same split, killing train/test leakage
+    "q65_split" -> ((s, dir) =>
+      Corpus.withSplit(docs(s, dir), "text")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // sequence packing: per-shard token cumsum → 256-token context windows
+    "q66_sequence_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Corpus.sequencePack(d, "doc_id", "n_tokens", ctxLen = 256, nShards = 8)
+        .select("doc_id", "shard", "n_tokens", "tok_start", "pack_first",
+          "pack_last", "n_windows", "pack_uid")
+        .orderBy(col("doc_id"))
+    }),
+
+    // top-50 vocabulary with a deterministic total order
+    "q67_vocabulary" -> ((s, dir) =>
+      Corpus.vocabulary(docs(s, dir), "text", 50)),
+
+    // PII redaction: inject known PII per doc, count+mask it category by
+    // category (URL → EMAIL → IP → PHONE, sequentially, so nested matches
+    // count once)
+    "q68_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val synth = concat(col("text"), lit("\nContact user"), id,
+        lit("@example.com or https://example.org/p/"), id,
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val (redacted, counts) = Corpus.redactPii(synth)
+      docs(s, dir).select(
+        col("doc_id") +: counts.map { case (n, c) => c.cast("long").as(n) } :+
+          redacted.as("text"): _*
+      ).orderBy(col("doc_id"))
     })
   )
 
@@ -437,7 +476,61 @@ object PipelineQueries {
     // reachable labels per node over the (symmetrized) near-dup edges,
     // take the min — identical to min-label propagation's fixpoint
     "q54_neardup_clusters" -> ccOracleSql,
-    "q61_neardup_clusters_alt" -> ccOracleSql
+    "q61_neardup_clusters_alt" -> ccOracleSql,
+
+    "q65_split" ->
+      s"""WITH h AS (SELECT doc_id, ${dpolyhash("text")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q66_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens, cum - n_tokens AS tok_start,
+        |  (cum - n_tokens) // 256 AS pack_first,
+        |  GREATEST(cum - 1, cum - n_tokens) // 256 AS pack_last,
+        |  (GREATEST(cum - 1, cum - n_tokens) // 256)
+        |    - ((cum - n_tokens) // 256) + 1 AS n_windows,
+        |  shard * 1099511627776 + ((cum - n_tokens) // 256) AS pack_uid
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q67_vocabulary" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents)
+        |SELECT word, COUNT(1) AS n_occurrences FROM w GROUP BY word
+        |ORDER BY n_occurrences DESC, word ASC LIMIT 50""".stripMargin,
+
+    "q68_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || 'Contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or https://example.org/p/' || CAST(doc_id AS VARCHAR) ||
+        |    ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || ' call 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t0, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |    regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM d),
+        |s2 AS (SELECT doc_id, n_url,
+        |    CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, n_url, n_email,
+        |    CAST(len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |    regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT doc_id, n_url, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text FROM s3)
+        |SELECT doc_id, n_url, n_email, n_ip, n_phone, text
+        |FROM s4 ORDER BY doc_id""".stripMargin
   )
 
   /** Recursive-CTE connected components over the verified minhash pairs —

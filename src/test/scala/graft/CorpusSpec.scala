@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("withSplit is content-addressed: duplicate texts share a split") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, "the quick brown fox"), (4L, "lorem ipsum dolor"))
+      .toDF("doc_id", "text")
+    val s = Corpus.withSplit(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    assert(s(1L) == s(3L) && s(2L) == s(4L))
+    s.values.foreach { case (b, label) =>
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(label == expected)
+    }
+  }
+
+  test("withSplit rejects weights that do not sum to 100") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.withSplit(df, "text", Seq("train" -> 80, "test" -> 10))
+    }
+    assert(e.getMessage.contains("sum to 100"))
+  }
+
+  test("withSplit honors custom weight boundaries") {
+    // bucket thresholds: a<50 → a, a<80 → b, else c
+    val df = Seq.tabulate(200)(i => (i.toLong, s"document number $i"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.withSplit(df, "text",
+      Seq("a" -> 50, "b" -> 30, "c" -> 20)).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val expected = if (b < 50) "a" else if (b < 80) "b" else "c"
+      assert(r.getAs[String]("split") == expected)
+    }
+    // all three splits are populated on 200 hashed docs
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("a", "b", "c"))
+  }
+
+  test("sequencePack lays tokens end-to-end within each shard") {
+    // one shard (nShards=1); ctx=10; docs of 4/6/3/10 tokens
+    val df = Seq((0L, 4L), (1L, 6L), (2L, 3L), (3L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val got = Corpus.sequencePack(df, "doc_id", "n_tokens", 10, 1)
+      .orderBy("doc_id")
+      .select("tok_start", "pack_first", "pack_last", "n_windows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == (0L, 0L, 0L, 1L))   // tokens 0-3, window 0
+    assert(got(1) == (4L, 0L, 0L, 1L))   // tokens 4-9 fill window 0 exactly
+    assert(got(2) == (10L, 1L, 1L, 1L))  // tokens 10-12 start window 1
+    assert(got(3) == (13L, 1L, 2L, 2L))  // tokens 13-22 straddle windows 1-2
+  }
+
+  test("sequencePack shards pack independently with globally unique ids") {
+    val df = Seq.tabulate(20)(i => (i.toLong, 5L)).toDF("doc_id", "n_tokens")
+    val got = Corpus.sequencePack(df, "doc_id", "n_tokens", 10, 4)
+      .select("doc_id", "shard", "tok_start", "pack_uid").collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("shard") == r.getAs[Long]("doc_id") % 4)
+      // 5 docs of 5 tokens per shard: offsets 0,5,10,15,20 in shard order
+      assert(r.getAs[Long]("tok_start") == (r.getAs[Long]("doc_id") / 4) * 5)
+      assert(r.getAs[Long]("pack_uid") ==
+        r.getAs[Long]("shard") * (1L << 40) + r.getAs[Long]("tok_start") / 10)
+    }
+  }
+
+  test("vocabulary breaks count ties by word, ascending") {
+    val df = Seq((1L, "b a c a B"), (2L, "c d")).toDF("doc_id", "text")
+    // lowercased counts: a=2, b=2, c=2, d=1
+    val got = Corpus.vocabulary(df, "text", 3).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("n_occurrences")))
+    assert(got.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("redactPii counts nested matches once, in category order") {
+    val df = Seq(
+      // the email-looking substring lives INSIDE a URL → counted as URL only
+      (1L, "see https://x.io/a@b.com now"),
+      (2L, "mail bob@corp.example or call 555-123-4567"),
+      (3L, "host 192.168.0.1 up")).toDF("doc_id", "text")
+    val (red, counts) = Corpus.redactPii(col("text"))
+    val rows = df.select(
+      col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+ red.as("t"): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("n_url") == 1)
+    assert(rows(1L).getAs[Int]("n_email") == 0)
+    assert(rows(1L).getAs[String]("t") == "see <URL> now")
+    assert(rows(2L).getAs[Int]("n_email") == 1)
+    assert(rows(2L).getAs[Int]("n_phone") == 1)
+    assert(rows(2L).getAs[String]("t") == "mail <EMAIL> or call <PHONE>")
+    assert(rows(3L).getAs[Int]("n_ip") == 1)
+    assert(rows(3L).getAs[String]("t") == "host <IP> up")
+  }
+
+  test("sequencePack plan has no single-partition global window") {
+    // the window must be hash-partitioned on the shard column — a missing
+    // partitionBy would serialize the 100 TB cumsum through one task
+    val df = Seq.tabulate(8)(i => (i.toLong, 5L)).toDF("doc_id", "n_tokens")
+    val plan = Corpus.sequencePack(df, "doc_id", "n_tokens", 10, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
+}
