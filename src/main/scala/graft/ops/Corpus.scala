@@ -76,8 +76,10 @@ object Corpus {
     * partial-aggregated count → `TakeOrdered` top-k: one shuffle on the
     * word key, bounded driver result. */
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(filter(
-        split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("word"))
+    // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
+    // instead of an interpreted split+filter lambda pair
+    df.select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[^\\s]+"), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(k)

@@ -24,7 +24,7 @@ object TextAnalysis {
   /** BPE-ish regex token count: words / numbers / single punctuation, the
     * usual pre-tokenizer shape. */
   def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Character n-grams (default 3) of the text; text shorter than `n`
     * has NO n-grams. (An unguarded `sequence(1, 0)` is DESCENDING in
@@ -55,25 +55,30 @@ object TextAnalysis {
       regexp_replace(lower(text), "\\s+", " "))
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
-    * heuristic. Real deployments swap in bigger lists; the mechanism
-    * (score per language in one pass, argmax) is the point. */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
-    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不")
-  )
+    * heuristic (canonical definition lives next to the native expressions
+    * in [[graft.functions.TextImpls.stopwords]]). Real deployments swap in
+    * bigger lists; the mechanism (score per language in one pass, argmax)
+    * is the point. */
+  val stopwords: Seq[(String, Seq[String])] =
+    graft.functions.TextImpls.stopwords
 
-  /** Per-language stopword-hit count over the token array. */
+  /** Per-language stopword-hit count over the token array (the SQL-lambda
+    * executable spec; hot paths use the native twins below). */
   def langScore(toks: Column, lang: String): Column = {
     val words = stopwords.toMap.apply(lang)
     size(filter(toks, t => t.isin(words: _*)))
   }
 
   /** Language-ID: argmax of stopword hits, ties broken by list order,
-    * "und" (undetermined) when no stopword hits at all. */
-  def languageId(text: Column): Column = {
+    * "und" (undetermined) when no stopword hits at all. Codegen'd
+    * ([[graft.functions.LangIdExpr]]); [[languageIdLambda]] is the
+    * value-identical SQL-lambda spec the oracle mirrors. */
+  def languageId(text: Column): Column =
+    graft.functions.NativeText.lang_id(lower(text))
+
+  /** The interpreted-lambda formulation of [[languageId]] (executable
+    * spec, cross-validated against the native expression in OpsSpec). */
+  def languageIdLambda(text: Column): Column = {
     val toks = tokens(text)
     val scored = stopwords.map { case (lang, _) => (lang, langScore(toks, lang)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
@@ -83,16 +88,18 @@ object TextAnalysis {
   }
 
   /** Quality-scoring feature columns (ratios as exact integer divisions —
-    * deterministic across engines). */
+    * deterministic across engines). Token arithmetic is pure built-ins:
+    * over a single-space split, token COUNT is `#spaces + 1` and summed
+    * token LENGTH is `#non-space chars` — no per-element lambdas; the
+    * stopword count is the codegen'd [[graft.functions.StopwordHitsExpr]]. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
-    val toks = split(text, " ")
-    val nToks = size(toks)
+    val nonSpace = length(regexp_replace(text, " ", ""))
+    val nToks = (nChars - nonSpace + 1).cast("int")
     val nDigits = length(regexp_replace(text, "[^0-9]", ""))
     val nPunct = length(regexp_replace(text, "[^.,;:!?]", ""))
-    val nStop = langScore(split(lower(text), " "), "en")
-    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      .cast("double") / nToks
+    val nStop = graft.functions.NativeText.stopword_hits(lower(text), "en")
+    val meanTokLen = nonSpace.cast("double") / nToks
     Seq(
       "n_chars" -> nChars.cast("long"),
       "n_tokens" -> nToks.cast("long"),
@@ -111,6 +118,31 @@ object TextAnalysis {
     * per-row group-by is needed. Integer-ratio divisions are IEEE-exact,
     * hence engine-reproducible. */
   def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    // one codegen'd pass computes the five counts; ratios stay Column math
+    val st = graft.functions.NativeText.repetition_stats(text)
+    val nLines = st.getItem(0)
+    val nDistinct = st.getItem(1)
+    val wc = st.getItem(3)
+    val maxRun = st.getItem(4)
+    val dupFrac = when(nLines > 0,
+      round(lit(1.0) - nDistinct.cast("double") / nLines.cast("double"), 6))
+      .otherwise(0.0)
+    val topFrac = when(wc > 0,
+      round(maxRun.cast("double") / wc.cast("double"), 6)).otherwise(0.0)
+    Seq(
+      "n_lines" -> nLines,
+      "distinct_lines" -> nDistinct,
+      "dup_line_frac" -> dupFrac,
+      "max_line_len" -> st.getItem(2),
+      "word_count" -> wc,
+      "top_word_frac" -> topFrac
+    )
+  }
+
+  /** The interpreted-lambda formulation of [[repetitionFeatures]]
+    * (executable spec, cross-validated against the native pass in
+    * OpsSpec). */
+  def repetitionFeaturesLambda(text: Column): Seq[(String, Column)] = {
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
     val nLines = size(lines).cast("long")
     val nDistinct = size(array_distinct(lines)).cast("long")
@@ -148,9 +180,13 @@ object TextAnalysis {
     * kept to the regex subset Java and RE2 dialects share, so the DuckDB
     * oracle replays them verbatim. Per-row, codegen'd, no shuffle. */
   def contentFlags(text: Column): Seq[(String, Column)] = {
+    // regexp_count, not size(regexp_extract_all): same value without
+    // materializing an array of match strings per row
     def count(pattern: String): Column =
-      size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
-    val words = size(filter(split(text, "\\s+"), w => length(w) > 0))
+      regexp_count(text, lit(pattern)).cast("long")
+    // nonempty \s+ tokens == non-overlapping \S+ matches: counts them in
+    // codegen'd regexp_count instead of an interpreted filter lambda
+    val words = regexp_count(text, lit("[^\\s]+"))
     val symbols = count("[#@&%$~^*+=<>{}\\[\\]|\\\\]")
     Seq(
       "n_urls" -> count("https?://[^\\s]+"),

@@ -47,6 +47,59 @@ class OpsSpec extends AnyFunSuite {
     assert(fromLambda.exceptAll(fromNative).count() == 0)
   }
 
+  test("native lang_id == SQL-lambda languageId on real documents + edges") {
+    val diff = docs.select(
+      TextAnalysis.languageId(col("text")).as("a"),
+      TextAnalysis.languageIdLambda(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // whitespace/tie/unicode edges must agree too
+    val edges = Seq("", "   ", "the und der la", "le la les", "的 是 xyz",
+      "tab\tthe\nnewline the", "no stop words here at all")
+      .toDF("text")
+    val ediff = edges.select(
+      TextAnalysis.languageId(col("text")).as("a"),
+      TextAnalysis.languageIdLambda(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ediff == 0)
+  }
+
+  test("native quality features == lambda formulation on real documents") {
+    // the lambda formulation of n_tokens / mean_token_len / stopword_ratio,
+    // exactly as shipped before the native rewrite
+    val toks = split(col("text"), " ")
+    val nToks = size(toks)
+    val nStop = TextAnalysis.langScore(split(lower(col("text")), " "), "en")
+    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nToks
+    val edges = docs.select(col("text"))
+      .union(Seq("", " ", "a  b", " lead", "trail ", "the the the").toDF("text"))
+    val native = TextAnalysis.qualityFeatures(col("text")).toMap
+    val diff = edges.select(
+      native("n_tokens").as("native_n_tokens"),
+      graft.functions.NativeText.stopword_hits(lower(col("text")), "en")
+        .as("native_stop"),
+      native("mean_token_len").as("native_mean"),
+      nToks.cast("long").as("lambda_n_tokens"),
+      nStop.cast("long").as("lambda_stop"),
+      meanTokLen.as("lambda_mean"))
+      .filter(col("native_n_tokens") =!= col("lambda_n_tokens") ||
+        col("native_stop") =!= col("lambda_stop") ||
+        !(col("native_mean") <=> col("lambda_mean")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("native repetition stats == lambda formulation on real documents") {
+    val edges = docs.select(col("text"))
+      .union(Seq("", "\n\n", "  \n x \n x \n  ", "a a a\tb\nc c").toDF("text"))
+    val native = TextAnalysis.repetitionFeatures(col("text"))
+    val lambda = TextAnalysis.repetitionFeaturesLambda(col("text"))
+    val cmp = native.zip(lambda).map { case ((n, nc), (_, lc)) =>
+      !(nc <=> lc) }.reduce(_ || _)
+    assert(edges.filter(cmp).count() == 0)
+  }
+
   test("exact dedup keeps the lowest id per duplicate group") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
       .toDF("id", "text")
