@@ -34,7 +34,11 @@ object Bench {
     // samples independent of any one neighbor.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val names = (SparkEntry.queries -- sinkWriters).keys.toSeq.sorted
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // every pass recorded, not just the min: a min that moves between
+    // rounds is unclassifiable (noise vs drift) from a single number,
+    // which is exactly what made r5's q38 delta undiagnosable from the
+    // artifact alone
+    val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (pass <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
@@ -46,7 +50,7 @@ object Bench {
         // output columns materialized.
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        perPass(name) = perPass.getOrElse(name, Nil) :+ dt
       } catch { case e: Throwable =>
         // a failure must NOT be recorded as a fast run: log it and mark
         // the query so the artifact shows -1, excluded from the total
@@ -55,13 +59,16 @@ object Bench {
       } finally graft.ops.Caches.releaseAll()
     }
     val results = names.map(n =>
-      n -> (if (failed(n)) -1.0 else best(n)))
+      n -> (if (failed(n)) -1.0 else perPass(n).min))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passJson = names.map { n =>
+      s"\"" + n + "\":" + perPass.getOrElse(n, Nil).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"per_pass":$passJson,"sf":"$sfDir","passes":$passes,"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson}""")
     spark.stop()
   }
 }

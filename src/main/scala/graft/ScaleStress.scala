@@ -6,11 +6,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Caches, Dedup}
+import graft.ops.{Caches, Corpus, Dedup, TextAnalysis}
 
-/** One-order-of-magnitude scale stress for the dedup/CC path (the 100 TB
-  * arguments are plan-shape arguments; this grounds them with a measured
-  * 1× vs 10× data point — see SCALE.md).
+/** One-order-of-magnitude scale stress for the dedup/CC path and the
+  * corpus-preparation ops (the 100 TB arguments are plan-shape arguments;
+  * this grounds them with a measured 1× vs 10× data point — see SCALE.md).
   *
   * The 10× corpus is 10 near-disjoint copies of the sf corpus: each copy's
   * text is passed through a distinct lowercase-letter rotation, so
@@ -141,6 +141,31 @@ object ScaleStress {
         val cl = Dedup.nearDupClustersAlternating(docs, "doc_id", pairs,
           strict = true)
         (cl.count(), "iterative")
+      }
+      // q66 shape: per-shard cumsum sequence packing — the claim under
+      // test is that the window stays hash-partitioned by shard (no
+      // single-partition global window) as data grows
+      timed(scale, "sequence_pack") {
+        val d = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val packed = Corpus.sequencePack(d, "doc_id", "n_tokens",
+          ctxLen = 256, nShards = 8)
+        (packed.queryExecution.toRdd.count(), sig(packed))
+      }
+      // q67 shape: vocabulary — partial-aggregated word count, TakeOrdered
+      // top-k; the word-key shuffle is the irreducible cost
+      timed(scale, "vocabulary") {
+        val v = Corpus.vocabulary(docs, "text", 50)
+        (v.queryExecution.toRdd.count(), sig(v))
+      }
+      // q68 shape: PII redaction — pure per-row regex chain, no shuffle;
+      // must scale linearly with zero exchanges at any size
+      timed(scale, "redact_pii") {
+        val (red, counts) = Corpus.redactPii(col("text"))
+        val out = docs.select(
+          col("doc_id") +: counts.map { case (n, c) => c.cast("long").as(n) } :+
+            red.as("text"): _*)
+        (out.queryExecution.toRdd.count(), sig(out))
       }
     }
 

@@ -12,12 +12,18 @@ import graft.materialize.Materialize
   * slicer denormalize <config.ini> <cube> <target-dir> [partition-by-ref]
   * slicer aggregate <config.ini> <cube> <target-dir> [drilldown-ref ...]
   * slicer extract-dimension <config.ini> <cube> <dimension> <target-dir>
+  * slicer model validate [--no-warnings] [--defaults] <model.json|bundle-dir>
+  * slicer model convert [--format json|bundle] [--force] <model> [target]
+  * slicer ext-info [TYPE]
   * }}}
   *
   * `serve` maps to the reference's `slicer serve` (`commands.py:52-67`);
   * `denormalize`/`aggregate` to `slicer sql denormalize|aggregate`
   * (`commands.py:333-444`) with parquet directories as the targets —
-  * the Spark-native materialization sinks. */
+  * the Spark-native materialization sinks; `model validate`/`model
+  * convert` to the metadata tools (`commands.py:146-311`) — validate
+  * aggregates EVERY finding ([[graft.model.ModelValidator]]) instead of
+  * stopping at the first, and exits 1 iff errors were found. */
 object Slicer {
 
   private def sparkSession(): SparkSession = SparkSession.builder()
@@ -42,7 +48,10 @@ object Slicer {
         .getOrElse(WorkspaceConfig.serverPort(cfg))
       val host = cfg.getOrElse("server", Map.empty)
         .getOrElse("host", "127.0.0.1")
-      val server = new graft.server.SlicerServer(ws, port, host = host)
+      // `[info]` section → the /info and / "about" block (reference
+      // `[workspace] info`, workspace.py:139-146)
+      val server = new graft.server.SlicerServer(ws, port, host = host,
+        serverInfo = cfg.getOrElse("info", Map.empty))
       val bound = server.start()
       println(s"slicer server listening on $host:$bound")
       Thread.currentThread().join() // serve until killed
@@ -87,6 +96,43 @@ object Slicer {
       Materialize.extractDimension(ws.browser(cube), dim, target)
       spark.stop()
 
+    case "ext-info" :: rest =>
+      rest match {
+        case Nil | ("all" :: _)   => println(extInfo(None))
+        case t :: Nil             => println(extInfo(Some(t)))
+        case _ =>
+          System.err.println("usage: slicer ext-info [TYPE]")
+          sys.exit(2)
+      }
+
+    case "model" :: "validate" :: rest =>
+      val (flags, files) = rest.partition(_.startsWith("--"))
+      val showWarnings = !flags.contains("--no-warnings")
+      val showDefaults = flags.contains("--defaults")
+      files match {
+        case modelPath :: Nil =>
+          sys.exit(validateModel(modelPath, showWarnings, showDefaults))
+        case _ =>
+          System.err.println(
+            "usage: slicer model validate [--no-warnings] [--defaults] <model>")
+          sys.exit(2)
+      }
+
+    case "model" :: "convert" :: rest =>
+      val (flags, files) = rest.partition(_.startsWith("--"))
+      val format = flags.collectFirst {
+        case f if f.startsWith("--format=") => f.stripPrefix("--format=")
+      }.getOrElse("json")
+      val force = flags.contains("--force")
+      files match {
+        case modelPath :: maybeTarget if maybeTarget.size <= 1 =>
+          convertModel(modelPath, maybeTarget.headOption, format, force)
+        case _ =>
+          System.err.println(
+            "usage: slicer model convert [--format=json|bundle] [--force] <model> [target]")
+          sys.exit(2)
+      }
+
     case other =>
       System.err.println(
         s"""unknown slicer invocation: ${other.mkString(" ")}
@@ -94,7 +140,92 @@ object Slicer {
            |  slicer serve <config.ini> [port]
            |  slicer denormalize <config.ini> <cube> <target-dir> [partition-by-ref]
            |  slicer aggregate <config.ini> <cube> <target-dir> [drilldown-ref ...]
-           |  slicer extract-dimension <config.ini> <cube> <dimension> <target-dir>""".stripMargin)
+           |  slicer extract-dimension <config.ini> <cube> <dimension> <target-dir>
+           |  slicer model validate [--no-warnings] [--defaults] <model>
+           |  slicer model convert [--format=json|bundle] [--force] <model> [target]
+           |  slicer ext-info [TYPE]""".stripMargin)
       sys.exit(2)
+  }
+
+  /** `ext-info` body (reference `slicer ext-info`, `commands.py:70-116`):
+    * lists the extension surface per type — the live registries (built-in
+    * + ServiceLoader-discovered) for aggregate functions and window
+    * calculators, the served formats, store kinds and authenticator /
+    * authorizer schemes. */
+  def extInfo(extType: Option[String]): String = {
+    val types: Seq[(String, Seq[String])] = Seq(
+      "aggregate_function" ->
+        graft.functions.AggFunctions.builders.keys.toSeq.sorted,
+      "window_calculator" ->
+        graft.functions.WindowCalcs.names.toSeq.sorted,
+      "format" -> Seq("csv", "json", "xlsx"),
+      "store" -> Seq("parquet_dir"),
+      "authenticator" -> Seq("bearer", "parameter"),
+      "authorizer" -> Seq("simple"))
+    val chosen = extType match {
+      case None => types
+      case Some(t) =>
+        val hit = types.filter(_._1 == t)
+        require(hit.nonEmpty, s"unknown extension type '$t' " +
+          s"(known: ${types.map(_._1).mkString(", ")})")
+        hit
+    }
+    "Available cubesspark extensions:\n\n" + chosen.map { case (t, names) =>
+      s"$t:\n    ${names.mkString(", ")}\n"
+    }.mkString("\n")
+  }
+
+  /** `model validate` body, separated for testability: prints every
+    * finding (filtered per flags like the reference CLI), the severity
+    * counts and the verdict; returns the process exit code (1 iff any
+    * error-severity finding). */
+  def validateModel(modelPath: String, showWarnings: Boolean = true,
+      showDefaults: Boolean = false,
+      out: String => Unit = println): Int = {
+    import graft.model.{ModelBundle, ModelValidator}
+    out(s"Reading model $modelPath")
+    val metadata = ModelBundle.read(modelPath)
+    out("Validating model...")
+    val issues = ModelValidator.validate(metadata)
+    issues.foreach { i =>
+      val show = i.severity match {
+        case "warning" => showWarnings
+        case "default" => showDefaults
+        case _         => true
+      }
+      if (show) out(i.render)
+    }
+    val (defaults, warnings, errors) = ModelValidator.counts(issues)
+    out("")
+    out(s"Defaults used  $defaults")
+    out(s"Warning        $warnings")
+    out(s"Errors         $errors")
+    out(s"Summary        ${ModelValidator.verdict(issues)}")
+    if (errors > 0) 1 else 0
+  }
+
+  /** `model convert` body: file ↔ bundle, like the reference
+    * (`commands.py:290-311`) — json format prints to stdout when no
+    * target is given. */
+  def convertModel(modelPath: String, target: Option[String],
+      format: String, force: Boolean): Unit = {
+    import graft.model.ModelBundle
+    val metadata = ModelBundle.read(modelPath)
+    format match {
+      case "json" =>
+        val text = ModelBundle.renderJson(metadata)
+        target match {
+          case None => println(text)
+          case Some(t) => java.nio.file.Files.write(
+            java.nio.file.Paths.get(t),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case "bundle" =>
+        val t = target.getOrElse(
+          throw new IllegalArgumentException("bundle format needs a target directory"))
+        ModelBundle.writeBundle(t, metadata, replace = force)
+      case other =>
+        throw new IllegalArgumentException(s"unknown model format '$other'")
+    }
   }
 }

@@ -20,7 +20,13 @@ object TextImpls {
 
   /** Canonical per-language stopword lists (the single definition;
     * [[graft.ops.TextAnalysis.stopwords]] re-exports it). Order matters:
-    * argmax ties break by list position. */
+    * argmax ties break by list position.
+    *
+    * Deliberately TINY (8 words × 5 languages) and PINNED: the q47/q48
+    * oracle SQL is generated from these lists, so they are part of the
+    * verified contract. Production language-ID swaps in
+    * [[fullStopwords]] via [[langIdFull]] — same mechanism (single pass,
+    * argmax, codegen), realistic lists. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
@@ -29,15 +35,107 @@ object TextImpls {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不")
   )
 
-  private val langNames: Array[UTF8String] =
-    stopwords.map(l => UTF8String.fromString(l._1)).toArray
+  /** Realistic per-language function-word lists (~60 words × 11
+    * languages, standard public stopword inventories — the most frequent
+    * articles/prepositions/pronouns/conjunctions of each language).
+    * Backs [[langIdFull]]; the pinned [[stopwords]] stay the oracle
+    * contract. Order matters: argmax ties break by list position, and
+    * languages sharing forms (es/pt, de/nl) disambiguate through the
+    * words they do NOT share. */
+  val fullStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "that",
+      "it", "was", "for", "on", "are", "as", "with", "his", "they", "at",
+      "be", "this", "have", "from", "or", "had", "by", "not", "but",
+      "what", "all", "were", "we", "when", "your", "can", "there", "she",
+      "which", "their", "will", "other", "about", "out", "many", "then",
+      "them", "these", "so", "some", "her", "would", "him", "into", "has",
+      "more", "two", "than", "its", "who", "been"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+      "den", "von", "sie", "mit", "dem", "sich", "des", "auf", "für",
+      "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass",
+      "war", "eine", "sind", "noch", "wie", "einem", "über", "einen",
+      "so", "zum", "haben", "nur", "oder", "aber", "vor", "zur", "bis",
+      "mehr", "durch", "man", "sein", "wurde", "sei", "bei", "um", "am",
+      "nach", "wenn", "im", "einer", "ihre", "dieser", "wir", "kann"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una", "en",
+      "un", "ser", "se", "no", "haber", "por", "con", "su", "para",
+      "como", "estar", "tener", "le", "lo", "todo", "pero", "más",
+      "hacer", "o", "poder", "decir", "este", "ir", "otro", "ese", "si",
+      "me", "ya", "ver", "porque", "dar", "cuando", "él", "muy", "sin",
+      "vez", "mucho", "saber", "qué", "sobre", "mi", "alguno", "mismo",
+      "yo", "también", "hasta", "año", "dos", "querer", "entre", "así"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que", "une",
+      "en", "du", "dans", "il", "qui", "à", "pas", "pour", "sur", "se",
+      "plus", "pouvoir", "par", "je", "avec", "tout", "faire", "son",
+      "mettre", "autre", "on", "mais", "nous", "comme", "ou", "si",
+      "leur", "y", "dire", "elle", "avant", "deux", "même", "prendre",
+      "aussi", "celui", "donner", "bien", "où", "fois", "vous", "encore",
+      "nouveau", "aller", "cela", "entre", "premier", "vouloir", "déjà",
+      "grand", "ce"),
+    "it" -> Seq("il", "di", "che", "e", "la", "per", "un", "in", "una",
+      "mi", "sono", "ho", "ma", "lo", "ha", "le", "si", "con", "ti",
+      "se", "come", "io", "questo", "qui", "hai", "del", "tu", "della",
+      "era", "lei", "al", "mio", "da", "lui", "anche", "tutto", "più",
+      "ci", "suo", "mia", "c'è", "noi", "così", "molto", "quando",
+      "fatto", "essere", "fare", "dei", "alla", "ora", "dove", "loro",
+      "sta", "senza", "questa", "stato", "niente", "quella", "gli"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
+      "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+      "mais", "as", "dos", "como", "mas", "foi", "ao", "ele", "das",
+      "tem", "à", "seu", "sua", "ou", "ser", "quando", "muito", "há",
+      "nos", "já", "está", "eu", "também", "só", "pelo", "pela", "até",
+      "isso", "ela", "entre", "era", "depois", "sem", "mesmo", "aos",
+      "ter", "seus", "quem", "nas", "me", "esse"),
+    "nl" -> Seq("de", "en", "van", "ik", "te", "dat", "die", "in", "een",
+      "hij", "het", "niet", "zijn", "is", "was", "op", "aan", "met",
+      "als", "voor", "had", "er", "maar", "om", "hem", "dan", "zou",
+      "of", "wat", "mijn", "men", "dit", "zo", "door", "over", "ze",
+      "zich", "bij", "ook", "tot", "je", "mij", "uit", "der", "daar",
+      "haar", "naar", "heb", "hoe", "heeft", "hebben", "deze", "u",
+      "want", "nog", "zal", "me", "zij", "nu", "ge"),
+    "sv" -> Seq("och", "det", "att", "i", "en", "jag", "hon", "som",
+      "han", "på", "den", "med", "var", "sig", "för", "så", "till",
+      "är", "men", "ett", "om", "hade", "de", "av", "icke", "mig", "du",
+      "henne", "då", "sin", "nu", "har", "inte", "hans", "honom",
+      "skulle", "hennes", "där", "min", "man", "ej", "vid", "kunde",
+      "något", "från", "ut", "när", "efter", "upp", "vi", "dem", "vara",
+      "vad", "över", "än", "dig", "kan", "sina", "här", "ha"),
+    "pl" -> Seq("i", "w", "na", "z", "do", "to", "się", "nie", "że",
+      "jest", "po", "jak", "o", "ale", "co", "tak", "za", "od", "przez",
+      "być", "przy", "już", "tylko", "lub", "czy", "może", "przed",
+      "także", "dla", "go", "tego", "tym", "była", "był", "było", "są",
+      "będzie", "ich", "jego", "jej", "który", "która", "które", "mnie",
+      "bardzo", "kiedy", "gdzie", "jeszcze", "można", "nawet", "ten",
+      "też", "ma", "bez", "pod", "nad", "więc", "aby", "ani", "u"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "быть", "он", "с", "что",
+      "а", "по", "это", "она", "этот", "к", "но", "они", "мы", "как",
+      "из", "у", "который", "то", "за", "свой", "весь", "год", "от",
+      "так", "о", "для", "ты", "же", "все", "тот", "мочь", "вы",
+      "человек", "такой", "его", "сказать", "только", "или", "ещё",
+      "бы", "себя", "один", "если", "дело", "вот", "уже", "время",
+      "когда", "да", "нет", "очень", "при", "был", "было", "есть"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这",
+      "他", "也", "就", "人", "都", "说", "要", "去", "你", "会", "着",
+      "没有", "看", "好", "自己", "她", "们", "到", "那", "与", "以",
+      "很", "个", "中", "上", "为", "来", "我们", "对", "能", "而",
+      "还", "一个", "把", "被", "让", "给", "但", "从", "想", "做",
+      "地", "得", "里", "后", "又", "吗", "吧", "它", "因为", "所以")
+  )
 
-  private val wordSets: Array[java.util.HashSet[String]] =
-    stopwords.map { case (_, ws) =>
+  private def toNames(ls: Seq[(String, Seq[String])]): Array[UTF8String] =
+    ls.map(l => UTF8String.fromString(l._1)).toArray
+
+  private def toSets(ls: Seq[(String, Seq[String])]): Array[java.util.HashSet[String]] =
+    ls.map { case (_, ws) =>
       val s = new java.util.HashSet[String]()
       ws.foreach(s.add)
       s
     }.toArray
+
+  private val langNames: Array[UTF8String] = toNames(stopwords)
+  private val wordSets: Array[java.util.HashSet[String]] = toSets(stopwords)
+  private val fullLangNames: Array[UTF8String] = toNames(fullStopwords)
+  private val fullWordSets: Array[java.util.HashSet[String]] = toSets(fullStopwords)
 
   private val setsByLang: java.util.HashMap[String, java.util.HashSet[String]] = {
     val m = new java.util.HashMap[String, java.util.HashSet[String]]()
@@ -71,12 +169,14 @@ object TextImpls {
     * [[graft.ops.TextAnalysis.languageId]]'s lambda formulation (which
     * this caller must feed `lower(text)`, keeping Spark's own lowercasing
     * semantics). */
-  def langId(lowered: String): UTF8String = {
-    val counts = new Array[Int](wordSets.length)
+  private def argmaxLang(lowered: String,
+      sets: Array[java.util.HashSet[String]],
+      names: Array[UTF8String]): UTF8String = {
+    val counts = new Array[Int](sets.length)
     foreachToken(lowered) { t =>
       var l = 0
-      while (l < wordSets.length) {
-        if (wordSets(l).contains(t)) counts(l) += 1
+      while (l < sets.length) {
+        if (sets(l).contains(t)) counts(l) += 1
         l += 1
       }
     }
@@ -87,8 +187,16 @@ object TextImpls {
       if (counts(l) > best) { best = counts(l); bestIdx = l }
       l += 1
     }
-    if (bestIdx < 0) und else langNames(bestIdx)
+    if (bestIdx < 0) und else names(bestIdx)
   }
+
+  def langId(lowered: String): UTF8String =
+    argmaxLang(lowered, wordSets, langNames)
+
+  /** Language-ID over [[fullStopwords]] — the production-sized lists;
+    * same single-pass argmax mechanism as [[langId]]. */
+  def langIdFull(lowered: String): UTF8String =
+    argmaxLang(lowered, fullWordSets, fullLangNames)
 
   /** Stopword hits for one language over SINGLE-SPACE-split tokens of the
     * already-lowercased text — matches `size(filter(split(lowered, " "),
@@ -154,15 +262,23 @@ object TextImpls {
   }
 }
 
-/** lang_id(lowered): stopword-argmax language ID in one call. */
-case class LangIdExpr(child: Expression) extends UnaryExpression {
+/** lang_id(lowered): stopword-argmax language ID in one call. `full`
+  * selects the production-sized [[TextImpls.fullStopwords]] lists; false =
+  * the pinned oracle lists. */
+case class LangIdExpr(child: Expression, full: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any =
-    TextImpls.langId(v.asInstanceOf[UTF8String].toString)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (full) TextImpls.langIdFull(s) else TextImpls.langId(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (full) "langIdFull" else "langId"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextImpls.langId($c.toString())")
-  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
+      c => s"graft.functions.TextImpls.$fn($c.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdExpr =
+    copy(child = c)
 }
 
 /** stopword_hits(lowered): one language's hit count over space-split
@@ -197,6 +313,9 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
+  /** Production language-ID: ~60 words × 11 languages. */
+  def lang_id_full(lowered: Column): Column =
+    toCol(LangIdExpr(toExpr(lowered), full = true))
   def stopword_hits(lowered: Column, lang: String): Column =
     toCol(StopwordHitsExpr(toExpr(lowered), lang))
   def repetition_stats(text: Column): Column =

@@ -1,0 +1,135 @@
+package graft.model
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import scala.jdk.CollectionConverters._
+
+/** Model metadata as raw JSON, readable from a single file or a
+  * `model.cubesmodel/` directory bundle and writable back in either form
+  * (reference `read_model_metadata` / `read_model_metadata_bundle` /
+  * `write_model_metadata_bundle`, `cubes/metadata/base.py:142-266`).
+  * Bundle layout: `model.json` plus `dim_<name>.json` / `cube_<name>.json`
+  * whose contents are concatenated onto the model's `dimensions`/`cubes`
+  * lists. Works on the METADATA (raw JSON), not parsed model objects, so
+  * convert round-trips byte-level content the parser would normalize. */
+object ModelBundle {
+
+  private def parseFile(p: Path): JValue =
+    JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+
+  /** Read a model description from a file or a bundle directory. */
+  def read(path: String): JObject = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) readBundle(p)
+    else parseFile(p) match {
+      case o: JObject => o
+      case _ => throw new IllegalArgumentException(
+        s"model root in '$path' must be a JSON object")
+    }
+  }
+
+  private def readBundle(dir: Path): JObject = {
+    val infoPath = dir.resolve("model.json")
+    require(Files.exists(infoPath), s"main model info $infoPath does not exist")
+    val base = parseFile(infoPath) match {
+      case o: JObject => o
+      case _ => throw new IllegalArgumentException(
+        s"model root in '$infoPath' must be a JSON object")
+    }
+    var dims = (base \ "dimensions") match {
+      case JArray(ds) => ds
+      case _          => Nil
+    }
+    var cubes = (base \ "cubes") match {
+      case JArray(cs) => cs
+      case _          => Nil
+    }
+    def names(xs: Seq[JValue]): Set[String] =
+      xs.collect { case o: JObject => (o \ "name") match {
+        case JString(s) => Some(s)
+        case _          => None
+      }}.flatten.toSet
+    val files = Files.list(dir).iterator().asScala.toSeq
+      .filter(f => f.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    files.foreach { f =>
+      val fname = f.getFileName.toString
+      val prefix = fname.split("_", 2).head
+      def objIn(v: JValue): JObject = v match {
+        case o: JObject => o
+        case _ => throw new IllegalArgumentException(s"'$f' must hold a JSON object")
+      }
+      def nameIn(o: JObject): String = (o \ "name") match {
+        case JString(s) => s
+        case _ => throw new IllegalArgumentException(s"'$f' has no name key")
+      }
+      if (prefix == "dim" || prefix == "dimension") {
+        val o = objIn(parseFile(f))
+        val n = nameIn(o)
+        require(!names(dims).contains(n), s"Dimension '$n' defined multiple times (in '$f')")
+        dims = dims :+ o
+      } else if (prefix == "cube") {
+        val o = objIn(parseFile(f))
+        val n = nameIn(o)
+        require(!names(cubes).contains(n), s"Cube '$n' defined multiple times (in '$f')")
+        cubes = cubes :+ o
+      }
+    }
+    val rest = base.obj.filterNot(kv => kv._1 == "dimensions" || kv._1 == "cubes")
+    JObject(rest ++ List("dimensions" -> JArray(dims.toList), "cubes" -> JArray(cubes.toList)))
+  }
+
+  def renderJson(v: JValue): String =
+    JsonMethods.pretty(JsonMethods.render(v))
+
+  /** Write metadata as a bundle directory (reference
+    * `write_model_metadata_bundle`): refuses to clobber unless `replace`
+    * AND the target already looks like a model bundle. */
+  def writeBundle(path: String, metadata: JObject, replace: Boolean = false): Unit = {
+    val dir = Paths.get(path)
+    if (Files.exists(dir)) {
+      require(Files.isDirectory(dir), "Target exists and is a file, can not replace")
+      require(Files.exists(dir.resolve("model.json")),
+        "Target is not a model directory, can not replace.")
+      require(replace, "Target already exists. Remove it or force replacement.")
+      // delete the old bundle's json files only — not a recursive rm of an
+      // arbitrary directory the user mistyped
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .foreach(Files.delete)
+    } else Files.createDirectories(dir)
+
+    def write(p: Path, v: JValue): Unit =
+      Files.write(p, renderJson(v).getBytes(StandardCharsets.UTF_8))
+
+    def nameOf(o: JValue, kind: String): String = (o \ "name") match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(s"$kind without a name in bundle write")
+    }
+    (metadata \ "dimensions") match {
+      case JArray(ds) => ds.foreach {
+        case o: JObject => write(dir.resolve(s"dim_${nameOf(o, "dimension")}.json"), o)
+        case s: JString => // bare-string dim stays in model.json's list
+        case other => throw new IllegalArgumentException(s"bad dimension: $other")
+      }
+      case _ => ()
+    }
+    (metadata \ "cubes") match {
+      case JArray(cs) => cs.foreach {
+        case o: JObject => write(dir.resolve(s"cube_${nameOf(o, "cube")}.json"), o)
+        case other => throw new IllegalArgumentException(s"bad cube: $other")
+      }
+      case _ => ()
+    }
+    // model.json keeps everything except the split-out objects; bare-string
+    // dimensions (legal shorthand) remain listed
+    val bareDims = (metadata \ "dimensions") match {
+      case JArray(ds) => ds.collect { case s: JString => s }
+      case _          => Nil
+    }
+    val rest = metadata.obj.filterNot(kv => kv._1 == "dimensions" || kv._1 == "cubes") ++
+      (if (bareDims.nonEmpty) List("dimensions" -> JArray(bareDims.toList)) else Nil)
+    write(dir.resolve("model.json"), JObject(rest))
+  }
+}

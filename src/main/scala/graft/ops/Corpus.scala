@@ -49,10 +49,21 @@ object Corpus {
     * Emits per document: its shard, token offset within the shard stream,
     * the first/last window index it lands in, and a globally unique id of
     * the first window (`shard * 2^40 + window`).
-    */
+    *
+    * `pack_uid` packs the shard into the bits above 2^40, so it is unique
+    * only while every shard holds fewer than 2^40 (~10^12) windows AND
+    * `nShards * 2^40` fits a signed long — both enforced: `nShards` must
+    * stay below 2^23, and at the 100 TB design point (~25B docs, ~10^13
+    * tokens, ctxLen ≥ 256) a shard would need to carry the entire corpus
+    * thousands of times over before its window count neared 2^40. */
   def sequencePack(df: DataFrame, idCol: String, tokCol: String,
       ctxLen: Int, nShards: Int): DataFrame = {
     require(ctxLen > 0 && nShards > 0, "ctxLen and nShards must be positive")
+    // 2^23 shards * 2^40 windows = 2^63: one more shard would wrap
+    // pack_uid's sign bit and silently collide ids — fail loudly instead
+    require(nShards < (1 << 23),
+      s"nShards must be < 2^23 (${1 << 23}) so shard * 2^40 fits a signed " +
+        s"long in pack_uid, got $nShards")
     val shard = pmod(col(idCol), lit(nShards.toLong))
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

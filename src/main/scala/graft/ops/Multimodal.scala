@@ -4,13 +4,19 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, processed in partition-sized batches.
+  * with typed metadata, processed in partition-sized batches
+  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches — no
+  * per-row task overhead, no shuffle).
   *
-  * The container has no media codecs, so the decode step is a clearly
-  * marked deterministic STUB ([[FakeCodec]]); everything Spark-side —
-  * schema, batch iteration shape (`mapPartitions`, the Scala analogue of
-  * `mapInPandas` batches), partitioning, feature schema — is real and
-  * tested. Swapping in a real codec touches only `FakeCodec.decode`.
+  * Three tiers, cheapest first — the order a 100 TB pipeline applies them:
+  *  1. [[extractFeatures]] — codec-free payload byte stats (size, chunk
+  *     count, byte mean, rolling checksum) on EVERY blob;
+  *  2. [[imageMetadata]] — container-header sniffing (format + pixel
+  *     dimensions) without decoding a single pixel, the filter that culls
+  *     by size/aspect before any decoder runs;
+  *  3. [[decodeImageStats]] — REAL pixel decode via the JDK's
+  *     `javax.imageio` ([[ImageCodec]]; PNG/JPEG/GIF/BMP ship in every
+  *     JRE, zero external dependencies) for the rows that survive.
   */
 object Multimodal {
 
@@ -31,10 +37,12 @@ object Multimodal {
       checksum: Long
   )
 
-  /** STUB codec: stands in for image/audio decode. Deterministic: "frames"
-    * are 256-byte chunks; "pixels" are the raw bytes. A real build replaces
-    * this object with an actual decoder behind the same signature. */
-  object FakeCodec {
+  /** Codec-FREE payload chunker: iterates the raw bytes in fixed 256-byte
+    * chunks. Not a decoder and not a stand-in for one — it feeds the
+    * byte-level stats ([[extractFeatures]]) that run on every blob
+    * regardless of format, before any real decode ([[ImageCodec]]) is
+    * paid for. */
+  object ByteFrames {
     val FrameSize = 256
     def decode(media: Array[Byte]): Iterator[Array[Byte]] =
       media.grouped(FrameSize)
@@ -49,9 +57,11 @@ object Multimodal {
       lit("fake/utf8").as("format"),
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** Batch feature extraction over the binary column: per-partition
-    * iteration (no per-row task overhead), decode stubbed, features real.
-    * Runs fully parallel, no shuffle. */
+  /** Batch payload-level feature extraction over the binary column:
+    * per-partition iteration (no per-row task overhead), format-agnostic —
+    * chunked byte stats are the cheap universal signal (corruption triage,
+    * dedup pre-keys) computed before any decoder runs. Fully parallel, no
+    * shuffle. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -59,7 +69,7 @@ object Multimodal {
         var sum = 0L
         var checksum = 0L
         var frames = 0L
-        FakeCodec.decode(r.media).foreach { frame =>
+        ByteFrames.decode(r.media).foreach { frame =>
           frames += 1
           var i = 0
           while (i < frame.length) {
@@ -175,5 +185,115 @@ object Multimodal {
       val h = ((id * 7) % 1000 + 1).toInt
       MediaRecord(id, pngHeader(w, h), "png", 24L)
     }
+  }
+
+  // ------------------------------------------------------ real pixel decode
+
+  /** REAL image codec on the JDK's `javax.imageio` — PNG/JPEG/GIF/BMP
+    * readers ship in every standard JRE, so full pixel decode needs zero
+    * external dependencies. Headless-safe: the property is set before any
+    * AWT class loads, once per executor JVM (this object initializes
+    * lazily inside the task that first touches it). */
+  object ImageCodec {
+    System.setProperty("java.awt.headless", "true")
+
+    /** Decode to a BufferedImage; None when no installed reader recognizes
+      * the payload (or it is truncated/corrupt). */
+    def decode(media: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media)))
+      catch { case _: java.io.IOException => None }
+
+    /** Encode a BufferedImage as PNG bytes (lossless — the round-trip half
+      * of the construct↔decode oracle). */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Per-channel pixel statistics of a decoded image; `width` = -1 when
+    * the payload did not decode. Means are exact sums over all pixels
+    * divided by the pixel count; extrema per RGB channel. */
+  final case class ImageStats(
+      media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      min_r: Long, max_r: Long, min_g: Long, max_g: Long,
+      min_b: Long, max_b: Long)
+
+  /** REAL pixel decode + per-channel stats, batched like the other tiers:
+    * parallel `mapPartitions`, no shuffle — decode cost is per-row CPU,
+    * which is exactly what a 1000-executor cluster scales linearly. Rows
+    * whose payload doesn't decode yield the `width = -1` sentinel instead
+    * of killing the task. */
+  def decodeImageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.media) match {
+        case None =>
+          ImageStats(r.media_id, -1, -1, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr, sg, sb = 0L
+          var minR, minG, minB = 255L
+          var maxR, maxG, maxB = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val cr = ((rgb >> 16) & 0xff).toLong
+              val cg = ((rgb >> 8) & 0xff).toLong
+              val cb = (rgb & 0xff).toLong
+              sr += cr; sg += cg; sb += cb
+              if (cr < minR) minR = cr; if (cr > maxR) maxR = cr
+              if (cg < minG) minG = cg; if (cg > maxG) maxG = cg
+              if (cb < minB) minB = cb; if (cb > maxB) maxB = cb
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageStats(r.media_id, w, h,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+            minR, maxR, minG, maxG, minB, maxB)
+      }
+    })
+  }
+
+  /** Pixel value at (x, y) for the synthetic image of row `id` — linear in
+    * id/x/y mod 256, so the DuckDB oracle replays the whole image
+    * arithmetically. */
+  @inline def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id + 3L * x + 5L * y) % 256).toInt,
+    ((3L * id + 7L * x + y) % 256).toInt,
+    ((5L * id + x + 11L * y) % 256).toInt)
+
+  /** Fully-encoded synthetic PNG per row (REAL `ImageIO` encode, not just
+    * a header): dimensions and every pixel are deterministic functions of
+    * the id, so decode statistics are arithmetically checkable — the
+    * construct half of the construct↔decode round-trip. */
+  def withSyntheticImage(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id * 7 % 16 + 1).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = synthPixel(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = ImageCodec.encodePng(img)
+      MediaRecord(id, bytes, "png", bytes.length.toLong)
+    })
   }
 }

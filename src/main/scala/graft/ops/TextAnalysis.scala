@@ -76,6 +76,13 @@ object TextAnalysis {
   def languageId(text: Column): Column =
     graft.functions.NativeText.lang_id(lower(text))
 
+  /** Production language-ID: same single-pass argmax, but over the
+    * realistic [[graft.functions.TextImpls.fullStopwords]] lists (~60
+    * words × 11 languages). [[languageId]] keeps the pinned 8-word lists
+    * because the q47 oracle SQL is generated from them. */
+  def languageIdFull(text: Column): Column =
+    graft.functions.NativeText.lang_id_full(lower(text))
+
   /** The interpreted-lambda formulation of [[languageId]] (executable
     * spec, cross-validated against the native expression in OpsSpec). */
   def languageIdLambda(text: Column): Column = {

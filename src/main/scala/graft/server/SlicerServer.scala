@@ -35,7 +35,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       * the per-request persist registry ([[graft.ops.Caches]]) is
       * thread-scoped, which a pool of handler threads matches exactly
       * (one request per thread at a time, release in the finally). */
-    threads: Int = 8) {
+    threads: Int = 8,
+    /** Server "about" block served by `/` and `/info` (reference
+      * `[workspace] info` keys, `workspace.py:27-38` — name, label,
+      * description, license, maintainer, ...). */
+    serverInfo: Map[String, String] = Map.empty) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -135,12 +139,59 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         Option(ex.getRequestHeaders.getFirst("Authorization"))
           .map(_.stripPrefix("Bearer").trim).filter(_.nonEmpty))
 
+    /** The `/info` payload (reference `get_info`, `blueprint.py:250-279`):
+      * the configured about-block plus json_record_limit, cubes_version,
+      * timezone, first_weekday, api_version and an `authentication` object
+      * — the full key set clients feature-detect against. */
+    private def infoJson(id: Option[String]): String = {
+      val about = serverInfo.toSeq.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+      val tz = workspace.spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)
+      val authType = if (workspace.authorizer.isDefined) "identity" else "none"
+      val authIdentity = id.map(i => s""", "identity": ${jstr(i)}""").getOrElse("")
+      (about ++ Seq(
+        s""""json_record_limit": 10000""",
+        s""""cubes_version": "0.1.0"""",
+        s""""timezone": ${jstr(tz)}""",
+        s""""first_weekday": 0""",
+        s""""api_version": 2""",
+        s""""engine": "cubesspark"""",
+        s""""spark": ${jstr(workspace.spark.version)}""",
+        s""""authentication": {"type": ${jstr(authType)}$authIdentity}"""))
+        .mkString("{", ", ", "}")
+    }
+
     private def route(ex: HttpExchange, parts: List[String],
         q: Map[String, String], id: Option[String]): Resp = parts match {
+      case List("") =>
+        // index (reference show_index, blueprint.py:228-234 — an "about"
+        // page over get_info()): the info block plus has_about and the
+        // served API surface, as JSON rather than rendered HTML
+        val hasAbout = serverInfo.nonEmpty
+        Resp(200,
+          s"""{"slicer": "cubesspark", "has_about": $hasAbout, "info": ${infoJson(id)}, """ +
+            s""""api": ["/version", "/info", "/cubes", "/cube/<cube>/model", """ +
+            s""""/cube/<cube>/aggregate", "/cube/<cube>/facts", "/cube/<cube>/fact/<id>", """ +
+            s""""/cube/<cube>/members/<dim>", "/cube/<cube>/cell", "/cube/<cube>/report", """ +
+            s""""/logout"]}""",
+          "application/json")
       case List("version") =>
-        Resp(200, """{"version": "0.1.0", "server_version": "0.1.0"}""", "application/json")
+        Resp(200, """{"version": "0.1.0", "server_version": "0.1.0", "api_version": 2}""",
+          "application/json")
       case List("info") =>
-        Resp(200, s"""{"engine": "cubesspark", "spark": ${jstr(workspace.spark.version)}}""",
+        Resp(200, infoJson(id), "application/json")
+      case List("logout") =>
+        // reference /logout (blueprint.py:591-596): delegates to the
+        // authenticator when one exists; the built-in identity scheme is
+        // stateless (no session cookie), so logging out is a no-op ack
+        Resp(200, "logged out", "text/plain")
+      case List("cube", _, "search") =>
+        // explicit descope, not a bare 404: the reference's /search needs
+        // an EXTERNAL Sphinx engine even there (optional cubes_search
+        // package, blueprint.py:542-573) — surface that instead of
+        // pretending the route doesn't exist
+        Resp(501,
+          """{"error": "not implemented", "message": "member search requires an external search backend (the reference binds Sphinx via the optional cubes_search package); not bundled"}""",
           "application/json")
       case List("cubes") =>
         val cubes = workspace.authorizedCubes(id).map { n =>

@@ -168,10 +168,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal: binary column + batched (stub-decoded) feature extraction
+    // multimodal tier 1: binary column + batched codec-free byte stats
     "q50_multimodal" -> ((s, dir) =>
       Multimodal.pipeline(s, docs(s, dir), "doc_id", "text")
         .toDF().orderBy(col("media_id"))),
+
+    // multimodal tier 3: REAL ImageIO round-trip — encode a synthetic PNG
+    // per doc (dims + every pixel a linear function of doc_id), decode it
+    // back with javax.imageio, emit per-channel mean/extrema; the oracle
+    // recomputes the same statistics arithmetically, so the whole
+    // encode→decode→aggregate path is hash-checked
+    "q69_image_decode" -> ((s, dir) =>
+      Multimodal.decodeImageStats(
+        Multimodal.withSyntheticImage(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .withColumn("mean_r", round(col("mean_r"), 6))
+        .withColumn("mean_g", round(col("mean_g"), 6))
+        .withColumn("mean_b", round(col("mean_b"), 6))
+        .orderBy(col("doc_id"))),
 
     // sessionize events: 30-min inactivity gap, per-user session stats
     "q51_sessionize" -> ((s, dir) => {
@@ -413,6 +427,31 @@ object PipelineQueries {
         |  CASE WHEN wc > 0 THEN ROUND(CAST(n_symbols AS DOUBLE)/wc, 6)
         |    ELSE 0.0 END AS symbol_word_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q69_image_decode" ->
+      """WITH px AS (SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |    CAST((doc_id * 7) % 16 + 1 AS INTEGER) AS height
+        |  FROM documents),
+        |v AS (SELECT doc_id, width, height,
+        |    flatten(list_transform(generate_series(0, height - 1),
+        |      y -> list_transform(generate_series(0, width - 1),
+        |        x -> (doc_id + 3*x + 5*y) % 256))) AS r,
+        |    flatten(list_transform(generate_series(0, height - 1),
+        |      y -> list_transform(generate_series(0, width - 1),
+        |        x -> (3*doc_id + 7*x + y) % 256))) AS g,
+        |    flatten(list_transform(generate_series(0, height - 1),
+        |      y -> list_transform(generate_series(0, width - 1),
+        |        x -> (5*doc_id + x + 11*y) % 256))) AS b
+        |  FROM px)
+        |SELECT doc_id, width, height,
+        |  ROUND(CAST(list_sum(r) AS DOUBLE) / (width*height), 6) AS mean_r,
+        |  ROUND(CAST(list_sum(g) AS DOUBLE) / (width*height), 6) AS mean_g,
+        |  ROUND(CAST(list_sum(b) AS DOUBLE) / (width*height), 6) AS mean_b,
+        |  CAST(list_min(r) AS BIGINT) AS min_r, CAST(list_max(r) AS BIGINT) AS max_r,
+        |  CAST(list_min(g) AS BIGINT) AS min_g, CAST(list_max(g) AS BIGINT) AS max_g,
+        |  CAST(list_min(b) AS BIGINT) AS min_b, CAST(list_max(b) AS BIGINT) AS max_b
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q63_image_meta" ->
       """SELECT doc_id, 'png' AS format,

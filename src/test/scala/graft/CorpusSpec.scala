@@ -55,6 +55,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("split")).toSet == Set("a", "b", "c"))
   }
 
+  test("sequencePack rejects nShards that would overflow pack_uid's shard bits") {
+    val df = Seq((0L, 4L)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.sequencePack(df, "doc_id", "n_tokens", 256, 1 << 23)
+    }
+    assert(e.getMessage.contains("2^23"))
+    // the largest legal shard count is accepted
+    Corpus.sequencePack(df, "doc_id", "n_tokens", 256, (1 << 23) - 1)
+  }
+
   test("sequencePack lays tokens end-to-end within each shard") {
     // one shard (nShards=1); ctx=10; docs of 4/6/3/10 tokens
     val df = Seq((0L, 4L), (1L, 6L), (2L, 3L), (3L, 10L))

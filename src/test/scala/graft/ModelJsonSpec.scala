@@ -206,4 +206,114 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(ws.cube("sales", Some("fr")).label == cube.label)
     assert(ws.cube("sales", None).label == cube.label)
   }
+
+  // ------------------------------------------------------------- validator
+
+  test("validator aggregates ALL findings from a three-error model") {
+    // three independent errors: a cyclic expression pair, a dangling
+    // aggregate measure, and a circular dimension template — plus a
+    // defaulting note for the undescribed dimension. ModelJson.loadString
+    // would throw at the first; the validator reports every one.
+    val bad =
+      """{
+        |  "dimensions": [
+        |    {"name": "loop_a", "template": "loop_b"},
+        |    {"name": "loop_b", "template": "loop_a"}
+        |  ],
+        |  "cubes": [{
+        |    "name": "sales",
+        |    "dimensions": ["adhoc"],
+        |    "measures": [
+        |      {"name": "a", "expression": "b + 1"},
+        |      {"name": "b", "expression": "a * 2"}
+        |    ],
+        |    "aggregates": [
+        |      {"name": "ghost_sum", "function": "sum", "measure": "ghost"}
+        |    ]
+        |  }]
+        |}""".stripMargin
+    val issues = ModelValidator.validateString(bad)
+    val errors = issues.filter(_.severity == "error")
+    assert(errors.exists(_.message.contains("circular dimension template")))
+    assert(errors.exists(_.message.contains("unknown measure 'ghost'")))
+    assert(errors.exists(_.message.contains("cyclic expression")))
+    assert(errors.size >= 3)
+    assert(issues.exists(i => i.severity == "default" &&
+      i.message.contains("'adhoc' is not described")))
+    assert(ModelValidator.verdict(issues) == "model can not be used")
+  }
+
+  test("validator: clean model has no errors; unknown agg function warns") {
+    val issues = ModelValidator.validateString(json)
+    assert(!issues.exists(_.severity == "error"),
+      issues.filter(_.severity == "error").map(_.render).mkString("; "))
+
+    val warny =
+      """{"cubes": [{"name": "c",
+        |  "measures": [{"name": "m"}],
+        |  "aggregates": [{"name": "x", "function": "frobnicate", "measure": "m"}]}]}""".stripMargin
+    val ws = ModelValidator.validateString(warny)
+    assert(ws.exists(w => w.severity == "warning" &&
+      w.message.contains("unknown aggregate function 'frobnicate'")))
+    assert(ModelValidator.verdict(ws).startsWith("not recommended"))
+  }
+
+  test("validator: malformed JSON and non-object roots are single errors") {
+    assert(ModelValidator.validateString("{nope").head.severity == "error")
+    assert(ModelValidator.validateString("[1,2]").head.severity == "error")
+  }
+
+  test("slicer model validate exit codes: 1 on errors, 0 otherwise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-validate")
+    val badPath = dir.resolve("bad.json")
+    java.nio.file.Files.write(badPath,
+      """{"cubes": [{"name": "c", "aggregates": [{"name": "s", "function": "sum", "measure": "gone"}]}]}"""
+        .getBytes("UTF-8"))
+    val okPath = dir.resolve("ok.json")
+    java.nio.file.Files.write(okPath,
+      """{"cubes": [{"name": "c", "measures": ["amount"]}]}""".getBytes("UTF-8"))
+    val sink = new StringBuilder
+    assert(Slicer.validateModel(badPath.toString, out = s => sink.append(s).append('\n')) == 1)
+    assert(sink.toString.contains("ERROR in cube 'c'"))
+    assert(sink.toString.contains("model can not be used"))
+    assert(Slicer.validateModel(okPath.toString, out = _ => ()) == 0)
+  }
+
+  test("ext-info lists the live extension registries") {
+    val all = Slicer.extInfo(None)
+    assert(all.contains("aggregate_function"))
+    assert(all.contains("approx_count_distinct")) // live registry, not a static list
+    assert(all.contains("window_calculator") && all.contains("wma"))
+    val one = Slicer.extInfo(Some("format"))
+    assert(one.contains("xlsx") && !one.contains("aggregate_function"))
+    assertThrows[IllegalArgumentException](Slicer.extInfo(Some("nope")))
+  }
+
+  test("model convert: json → bundle → read-back concatenates dims and cubes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bundle")
+    val src = dir.resolve("model.json")
+    java.nio.file.Files.write(src, json.getBytes("UTF-8"))
+    val bundleDir = dir.resolve("model.cubesmodel").toString
+    Slicer.convertModel(src.toString, Some(bundleDir), "bundle", force = false)
+    // bundle layout: model.json + dim_*.json + cube_*.json
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(bundleDir))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names.contains("model.json"))
+    assert(names.contains("dim_date.json"))
+    assert(names.contains("cube_sales.json"))
+    // read-back reassembles the same model: parsed cubes match the direct load
+    val readBack = ModelBundle.read(bundleDir)
+    val direct = ModelJson.loadString(json)
+    val viaBundle = ModelJson.loadString(ModelBundle.renderJson(readBack))
+    assert(viaBundle == direct)
+    // validator accepts the bundle form too
+    assert(!ModelValidator.validate(readBack).exists(_.severity == "error"))
+    // refuses to clobber without --force; replaces with it
+    assertThrows[IllegalArgumentException] {
+      Slicer.convertModel(src.toString, Some(bundleDir), "bundle", force = false)
+    }
+    Slicer.convertModel(src.toString, Some(bundleDir), "bundle", force = true)
+  }
 }

@@ -371,7 +371,68 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
-  test("multimodal stub pipeline computes frame/byte features") {
+  test("full-list language-ID classifies languages the pinned lists cannot") {
+    import graft.functions.NativeText
+    // one short natural sentence per language, built from common function
+    // words — the signal real web text carries
+    val fixture = Seq(
+      ("en", "the house is at the end of the road and it was empty"),
+      ("de", "der Hund ist nicht mit der Katze zu dem Haus gelaufen und sie war da"),
+      ("es", "el perro no es como el gato pero la casa es muy grande para los dos"),
+      ("fr", "le chien est dans la maison avec les chats et il ne faut pas sortir"),
+      ("it", "il cane non è come il gatto ma la casa è molto grande per tutti loro"),
+      ("pt", "o cachorro não é como o gato mas a casa é muito grande para os dois"),
+      ("nl", "de hond is niet met de kat naar het huis gelopen en hij was er ook"),
+      ("sv", "hunden är inte som katten men huset är mycket stort för dem och oss"),
+      ("pl", "pies nie jest taki jak kot ale dom jest bardzo duży dla nich i dla nas"),
+      ("ru", "собака не такая как кот но дом очень большой для них и для нас"),
+      ("zh", "我 的 狗 不 是 猫 但 是 这 个 房 子 很 大 我们 都 在 里 面")
+    )
+    val df = fixture.toDF("lang", "text")
+    val out = df.select(col("lang"),
+        NativeText.lang_id_full(lower(col("text"))).as("pred"),
+        graft.functions.NativeText.lang_id(lower(col("text"))).as("pred_small"))
+      .collect()
+    // production lists: every language recognized
+    out.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"full lists misclassified ${r.getString(0)} as ${r.getString(1)}"))
+    // the pinned 8-word lists cannot know it/pt/nl/sv/pl/ru — the full
+    // lists are a strict accuracy improvement on this fixture
+    val smallCorrect = out.count(r => r.getString(2) == r.getString(0))
+    assert(smallCorrect < fixture.size)
+  }
+
+  test("real ImageIO decode: construct↔decode round-trip recovers exact pixel stats") {
+    val ids = Seq(0L, 1L, 17L, 255L, 256L)
+    val df = ids.toDF("doc_id")
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.withSyntheticImage(df, "doc_id"))
+      .collect().map(s => s.media_id -> s).toMap
+    ids.foreach { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id * 7 % 16 + 1).toInt
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.synthPixel(id, x, y)
+      val s = stats(id)
+      assert(s.width == w && s.height == h)
+      assert(s.mean_r == px.map(_._1.toLong).sum.toDouble / (w * h))
+      assert(s.mean_g == px.map(_._2.toLong).sum.toDouble / (w * h))
+      assert(s.mean_b == px.map(_._3.toLong).sum.toDouble / (w * h))
+      assert(s.min_r == px.map(_._1).min && s.max_r == px.map(_._1).max)
+      assert(s.min_g == px.map(_._2).min && s.max_g == px.map(_._2).max)
+      assert(s.min_b == px.map(_._3).min && s.max_b == px.map(_._3).max)
+    }
+  }
+
+  test("ImageIO decode: undecodable payload yields the -1 sentinel, not a crash") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "definitely not an image".getBytes, "txt", 23L)
+    ).toDS()
+    val s = Multimodal.decodeImageStats(media).collect().head
+    assert(s.width == -1 && s.height == -1)
+  }
+
+  test("multimodal payload-stats pipeline computes chunk/byte features") {
     val df = Seq((1L, "a" * 300)).toDF("doc_id", "text")
     val f = Multimodal.pipeline(spark, df, "doc_id", "text").collect().head
     assert(f.n_bytes == 300 && f.n_frames == 2)

@@ -44,6 +44,58 @@ class ServerSpec extends AnyFunSuite {
     (r.statusCode(), r.body())
   }
 
+  test("/ index: info block, has_about, API surface (reference show_index)") {
+    val (code, body) = get("/")
+    assert(code == 200)
+    assert(body.contains(""""slicer": "cubesspark""""))
+    assert(body.contains(""""has_about": false""")) // no serverInfo configured here
+    assert(body.contains(""""info": {"""))
+    assert(body.contains("/cube/<cube>/aggregate"))
+  }
+
+  test("/info serves the full reference key set (get_info, blueprint.py:250-279)") {
+    val (code, body) = get("/info")
+    assert(code == 200)
+    Seq("json_record_limit", "cubes_version", "timezone", "first_weekday",
+      "api_version", "authentication").foreach(k =>
+      assert(body.contains("\"" + k + "\""), s"missing info key $k"))
+    assert(body.contains(""""type": "none"""")) // no authorizer on this workspace
+    assert(body.contains(""""json_record_limit": 10000"""))
+    // identity echoes back when presented
+    val (_, withId) = get("/info?identity=alice")
+    assert(withId.contains(""""identity": "alice""""))
+  }
+
+  test("configured [info] about-block serves through / and /info") {
+    val ws2 = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val s2 = new SlicerServer(ws2,
+      serverInfo = Map("name" -> "demo", "license" -> "CC0"))
+    val p2 = s2.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.body().contains(""""has_about": true"""))
+      assert(r.body().contains(""""name": "demo""""))
+      assert(r.body().contains(""""license": "CC0""""))
+    } finally s2.stop()
+  }
+
+  test("/logout acknowledges; /cube/<c>/search is an explicit 501 descope") {
+    val (code, body) = get("/logout")
+    assert(code == 200 && body == "logged out")
+    val (sc, sbody) = get("/cube/sales/search?q=asia")
+    assert(sc == 501 && sbody.contains("external search backend"))
+  }
+
+  test("/version carries api_version (reference show_version)") {
+    val (code, body) = get("/version")
+    assert(code == 200 && body.contains(""""api_version": 2"""))
+  }
+
   test("/cubes and /cube/<c>/model") {
     val (c1, cubes) = get("/cubes")
     assert(c1 == 200 && cubes.contains("\"sales\""))
