@@ -15,6 +15,8 @@ import graft.materialize.Materialize
   * slicer model validate [--no-warnings] [--defaults] <model.json|bundle-dir>
   * slicer model convert [--format json|bundle] [--force] <model> [target]
   * slicer ext-info [TYPE]
+  * slicer list [--verbose] <config.ini>
+  * slicer test [--aggregate] <config.ini> [cube ...]
   * }}}
   *
   * `serve` maps to the reference's `slicer serve` (`commands.py:52-67`);
@@ -96,6 +98,34 @@ object Slicer {
       Materialize.extractDimension(ws.browser(cube), dim, target)
       spark.stop()
 
+    case "list" :: rest =>
+      val (flags, files) = rest.partition(_.startsWith("--"))
+      files match {
+        case config :: Nil =>
+          val spark = sparkSession()
+          val ws = WorkspaceConfig.load(spark, config)
+          listCubes(ws, verbose = flags.contains("--verbose"))
+          spark.stop()
+        case _ =>
+          System.err.println("usage: slicer list [--verbose] <config.ini>")
+          sys.exit(2)
+      }
+
+    case "test" :: rest =>
+      val (flags, files) = rest.partition(_.startsWith("--"))
+      files match {
+        case config :: cubeNames =>
+          val spark = sparkSession()
+          val ws = WorkspaceConfig.load(spark, config)
+          val errors = testCubes(ws, cubeNames,
+            aggregate = flags.contains("--aggregate"))
+          spark.stop()
+          if (errors > 0) sys.exit(1)
+        case _ =>
+          System.err.println("usage: slicer test [--aggregate] <config.ini> [cube ...]")
+          sys.exit(2)
+      }
+
     case "ext-info" :: rest =>
       rest match {
         case Nil | ("all" :: _)   => println(extInfo(None))
@@ -143,8 +173,58 @@ object Slicer {
            |  slicer extract-dimension <config.ini> <cube> <dimension> <target-dir>
            |  slicer model validate [--no-warnings] [--defaults] <model>
            |  slicer model convert [--format=json|bundle] [--force] <model> [target]
-           |  slicer ext-info [TYPE]""".stripMargin)
+           |  slicer ext-info [TYPE]
+           |  slicer list [--verbose] <config.ini>
+           |  slicer test [--aggregate] <config.ini> [cube ...]""".stripMargin)
       sys.exit(2)
+  }
+
+  /** `list` body (reference `slicer list`, `commands.py:122-143`):
+    * one `name - label` line per cube; `--verbose` keeps the same shape
+    * (the model has no per-cube description field to add). */
+  def listCubes(ws: Workspace, verbose: Boolean = false,
+      out: String => Unit = println): Unit =
+    ws.cubeNames.foreach { n =>
+      val c = ws.cube(n)
+      out(s"$n - ${c.label.getOrElse(n)}")
+    }
+
+  /** `test` body (reference `slicer test`, `commands.py:219-288`): build
+    * every cube's browser and run a one-row facts probe (`--aggregate`
+    * runs a summary over the cube's additive aggregates instead) —
+    * continues past failures and returns the error count so a broken
+    * cube cannot hide the state of the others. */
+  def testCubes(ws: Workspace, cubeNames: Seq[String] = Nil,
+      aggregate: Boolean = false, out: String => Unit = println): Int = {
+    val names = if (cubeNames.nonEmpty) cubeNames else ws.cubeNames
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
+    var tested = 0
+    names.foreach { name =>
+      tested += 1
+      try {
+        val b = ws.browser(name)
+        if (aggregate) {
+          val additive = Set("sum", "count", "count_nonempty", "min", "max")
+          val aggs = ws.cube(name).aggregates
+            .filter(_.function.exists(additive.contains)).map(_.name)
+          if (aggs.nonEmpty) b.aggregate(aggregates = aggs).cells.count()
+          else b.facts(pageSize = Some(1)).count()
+        } else b.facts(pageSize = Some(1)).count()
+        out(s"testing $name: ok")
+      } catch {
+        case e: Throwable =>
+          errors += name -> e
+          out(s"testing $name: ERROR")
+      }
+    }
+    out("")
+    out(s"tested $tested cubes")
+    if (errors.nonEmpty) {
+      out(s"${errors.size} ERRORS:")
+      errors.foreach { case (n, e) =>
+        out(s"$n: ${e.getClass.getSimpleName} - ${e.getMessage}") }
+    } else out("test passed")
+    errors.size
   }
 
   /** `ext-info` body (reference `slicer ext-info`, `commands.py:70-116`):

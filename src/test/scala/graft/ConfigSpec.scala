@@ -70,6 +70,34 @@ class ConfigSpec extends AnyFunSuite {
     assert(cells.count() == 3)
   }
 
+  test("slicer list and slicer test drive every cube from a config workspace") {
+    val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
+    val listed = new StringBuilder
+    Slicer.listCubes(ws, out = s => listed.append(s).append('\n'))
+    assert(listed.toString.trim == "mini - mini")
+
+    val tested = new StringBuilder
+    val errs = Slicer.testCubes(ws, out = s => tested.append(s).append('\n'))
+    assert(errs == 0)
+    assert(tested.toString.contains("testing mini: ok"))
+    assert(tested.toString.contains("tested 1 cubes"))
+    assert(tested.toString.contains("test passed"))
+    // the aggregate probe exercises the browse path too
+    assert(Slicer.testCubes(ws, aggregate = true, out = _ => ()) == 0)
+
+    // a cube whose fact table is missing reports the error and keeps going
+    val broken = graft.model.ModelJson.loadString(
+      """{"cubes": [{"name": "ghost", "fact": "missing_table",
+        |  "measures": ["quantity"]}]}""".stripMargin).head
+    ws.registerCube(broken)
+    val sink = new StringBuilder
+    val errs2 = Slicer.testCubes(ws, out = s => sink.append(s).append('\n'))
+    assert(errs2 == 1)
+    assert(sink.toString.contains("testing mini: ok"))
+    assert(sink.toString.contains("testing ghost: ERROR"))
+    assert(sink.toString.contains("1 ERRORS:"))
+  }
+
   test("server smoke from the config file") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val cfg = WorkspaceConfig.parseIni(

@@ -424,6 +424,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO decode handles JPEG payloads (dims exact, stats near-lossless)") {
+    // a flat mid-gray image survives JPEG's DCT almost exactly; dims are
+    // exact for any decodable payload
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos)) // writer available headless
+    val media = Seq(
+      Multimodal.MediaRecord(7L, bos.toByteArray, "jpeg", bos.size().toLong)
+    ).toDS()
+    val s = Multimodal.decodeImageStats(media).collect().head
+    assert(s.width == 32 && s.height == 24)
+    assert(math.abs(s.mean_r - 128.0) < 2.0)
+    assert(math.abs(s.mean_g - 128.0) < 2.0)
+    assert(math.abs(s.mean_b - 128.0) < 2.0)
+  }
+
   test("ImageIO decode: undecodable payload yields the -1 sentinel, not a crash") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "definitely not an image".getBytes, "txt", 23L)
