@@ -187,6 +187,91 @@ object Multimodal {
     }
   }
 
+  // --------------------------------------------------------- audio headers
+
+  /** Container-level audio metadata: `sample_rate = -1` when the payload
+    * is not a recognized audio container. `duration_ms` uses integer
+    * division (replayable arithmetic, no float drift). */
+  final case class AudioMeta(
+      media_id: Long, format: String, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+
+  /** REAL (codec-free) WAV header parse: RIFF/WAVE `fmt ` + `data` chunks
+    * are plain little-endian bytes — rate/channels/width/sample-count need
+    * no decoder, exactly like [[sniffImage]] for images. Walks the chunk
+    * list (fmt is not always first; LIST/fact chunks are common), so
+    * real-world files parse too. */
+  def sniffWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    if (b.length < 36 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        bits = le16(i + 22)
+      } else if (id == "data") dataBytes = size
+      // chunks are word-aligned: odd sizes carry a pad byte; a corrupt
+      // huge size must terminate the walk, not wrap the index
+      val next = i.toLong + 8 + size + (size & 1)
+      if (next <= i || next > Int.MaxValue) i = b.length
+      else i = next.toInt
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) None
+    else Some((rate, channels, bits, dataBytes / (channels * (bits / 8))))
+  }
+
+  /** Per-blob audio metadata, batched like [[imageMetadata]] — parallel,
+    * no shuffle, no codec. */
+  def audioMetadata(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      sniffWav(r.media) match {
+        case Some((rate, ch, bits, n)) =>
+          AudioMeta(r.media_id, "wav", rate, ch, bits, n, n * 1000L / rate)
+        case None => AudioMeta(r.media_id, "unknown", -1, -1, -1, -1L, -1L)
+      }
+    })
+  }
+
+  /** Minimal canonical WAV (PCM fmt + empty-payload data header sized for
+    * `nSamples`) — what [[sniffWav]] reads; the construct half of the
+    * audio construct↔parse oracle. */
+  def wavHeader(rate: Int, channels: Int, bits: Int, nSamples: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * (bits / 8)
+    val dataBytes = (nSamples * blockAlign).toInt
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes).putInt(dataBytes)
+    bb.array()
+  }
+
+  /** Synthetic WAV header per row, parameters deterministic functions of
+    * the id — mirrors [[withSyntheticPng]] for the audio tier. */
+  def withSyntheticWav(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val rate = 8000 * (1 + (id % 5)).toInt
+      val channels = 1 + (id % 2).toInt
+      val bits = if (id % 3 == 0) 8 else 16
+      val nSamples = (id * 31) % 10000
+      MediaRecord(id, wavHeader(rate, channels, bits, nSamples), "wav", 44L)
+    }
+  }
+
   // ------------------------------------------------------ real pixel decode
 
   /** REAL image codec on the JDK's `javax.imageio` — PNG/JPEG/GIF/BMP

@@ -143,6 +143,29 @@ object Similarity {
     * signature; each query probes only its own bucket (plus optional
     * 1-bit-flip neighbor buckets for recall). Same output shape as
     * [[bruteForceTopK]]; recall traded for a |corpus|/2^bits scan. */
+  /** Symmetric per-vector int8 quantization — the standard embedding
+    * compression before ANN index build or training-data shipping (4×
+    * smaller than float32, dot products survive within ~1%). Per vector:
+    * `scale = max|x| / 127`, `q_i = floor(x_i/scale + 0.5)` (explicit
+    * half-up in BOTH engines — `round()` tie semantics differ between
+    * them). Pure per-row column expressions: no shuffle, embarrassingly
+    * parallel, and the whole construct→quantize→reconstruct loop is
+    * replayed by the DuckDB oracle.
+    *
+    * Returns (scaleCol, quantizedCol(array&lt;long&gt;), maxAbsErrCol);
+    * zero vectors quantize to zeros with scale 0 and error 0. */
+  def quantizeInt8(vec: Column): (Column, Column, Column) = {
+    val x = transform(vec, v => v.cast("double"))
+    val absmax = aggregate(x, lit(0.0), (a, v) => greatest(a, abs(v)))
+    val scale = absmax / lit(127.0)
+    val q = when(scale === 0.0, transform(x, _ => lit(0L)))
+      .otherwise(transform(x, v => floor(v / scale + lit(0.5)).cast("long")))
+    val err = when(scale === 0.0, lit(0.0)).otherwise(
+      aggregate(zip_with(x, q, (v, qi) => abs(v - qi * scale)),
+        lit(0.0), (a, e) => greatest(a, e)))
+    (scale, q, err)
+  }
+
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

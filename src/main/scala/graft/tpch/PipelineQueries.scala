@@ -120,6 +120,33 @@ object PipelineQueries {
         .toDF().withColumnRenamed("media_id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // multimodal audio tier: synthesize a canonical WAV header per doc
+    // (rate/channels/width/samples deterministic in doc_id), parse it back
+    // with the codec-free RIFF chunk walker; the oracle recomputes every
+    // field arithmetically, so the construct↔parse round-trip hash-checks
+    "q70_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMetadata(
+        Multimodal.withSyntheticWav(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // int8 embedding quantization: per-vector scale + half-up rounding +
+    // reconstruction error, the float32→int8 compression pass before ANN
+    // index build / training shipping — fully replayed by the oracle
+    "q71_embed_quantize" -> ((s, dir) => {
+      val (scale, q, err) = Similarity.quantizeInt8(col("embedding"))
+      emb(s, dir).select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        aggregate(q, lit(0L), (a, v) => a + v).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"),
+        aggregate(q, lit(0L),
+          (a, v) => a + when(v =!= 0L, lit(1L)).otherwise(lit(0L))).as("q_nonzero"),
+        round(err, 6).as("max_abs_err")
+      ).orderBy(col("vec_id"))
+    }),
+
     // C4/Gopher boilerplate-line removal: synthesize multi-line docs with
     // known chrome (banner + footer on every doc, an extra line on half),
     // drop lines occurring in >100 distinct docs, reassemble in order
@@ -452,6 +479,36 @@ object PipelineQueries {
         |  CAST(list_min(g) AS BIGINT) AS min_g, CAST(list_max(g) AS BIGINT) AS max_g,
         |  CAST(list_min(b) AS BIGINT) AS min_b, CAST(list_max(b) AS BIGINT) AS max_b
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q70_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits_per_sample,
+        |  CAST((doc_id * 31) % 10000 AS BIGINT) AS n_samples,
+        |  CAST(((doc_id * 31) % 10000) * 1000 // (8000 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q71_embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, x,
+        |    list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, x, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS q_nonzero,
+        |  CASE WHEN scale = 0 THEN 0.0 ELSE
+        |    ROUND(list_max(list_transform(generate_series(1, len(x)),
+        |      i -> abs(x[i] - qv[i] * scale))), 6) END AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q63_image_meta" ->
       """SELECT doc_id, 'png' AS format,

@@ -510,6 +510,50 @@ class OpsSpec extends AnyFunSuite {
     assert(metas(2L) == ("unknown", -1, -1))
   }
 
+  test("WAV header sniffing: round-trip, chunk walking, garbage") {
+    // canonical header round-trips exactly
+    assert(Multimodal.sniffWav(Multimodal.wavHeader(44100, 2, 16, 1234L))
+      .contains((44100, 2, 16, 1234L)))
+    assert(Multimodal.sniffWav(Multimodal.wavHeader(8000, 1, 8, 0L))
+      .contains((8000, 1, 8, 0L)))
+    // fmt not first: a LIST chunk precedes it (the common real-file layout)
+    val canonical = Multimodal.wavHeader(22050, 1, 16, 99L)
+    val bb = java.nio.ByteBuffer.allocate(44 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(canonical, 0, 12)               // RIFF....WAVE
+    bb.put("LIST".getBytes).putInt(4).putInt(0) // 4-byte LIST chunk
+    bb.put(canonical, 12, 32)              // fmt + data chunks
+    assert(Multimodal.sniffWav(bb.array()).contains((22050, 1, 16, 99L)))
+    // not audio
+    assert(Multimodal.sniffWav("not audio at all, nope".getBytes).isEmpty)
+    assert(Multimodal.sniffWav(Multimodal.pngHeader(2, 2)).isEmpty)
+    // the batched Dataset path carries the sentinel row through
+    val media = Seq(
+      Multimodal.MediaRecord(1L, canonical, "wav", 44L),
+      Multimodal.MediaRecord(2L, "nope".getBytes, "txt", 4L)).toDS()
+    val metas = Multimodal.audioMetadata(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(metas(1L).sample_rate == 22050 && metas(1L).duration_ms == 99L * 1000 / 22050)
+    assert(metas(2L).format == "unknown" && metas(2L).sample_rate == -1)
+  }
+
+  test("int8 quantization: hand-computed values, zero-vector guard") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (scale, q, err) = Similarity.quantizeInt8(col("embedding"))
+    val rows = df.select(col("vec_id"), scale.as("s"), q.as("q"), err.as("e"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Long](2), r.getDouble(3)))).toMap
+    val (s1, q1, e1) = rows(1L)
+    assert(math.abs(s1 - 2.0 / 127) < 1e-12)
+    assert(q1 == Seq(64L, -127L, 32L, 0L))
+    assert(math.abs(e1 - 1.0 / 127) < 1e-9) // worst element: 1.0 -> 64*scale
+    val (s2, q2, e2) = rows(2L)
+    assert(s2 == 0.0 && q2 == Seq(0L, 0L, 0L, 0L) && e2 == 0.0)
+  }
+
   test("HashImpls matches a hand-computed fold") {
     // "ab" -> ((0*131+97)%P)*131 + 98 = 97*131+98
     assert(HashImpls.polyHash("ab") == 97L * 131 + 98)
