@@ -264,9 +264,11 @@ object Slicer {
       out: String => Unit = println): Int = {
     import graft.model.{ModelBundle, ModelValidator}
     out(s"Reading model $modelPath")
-    val metadata = ModelBundle.read(modelPath)
+    // lenient: unreadable member files become findings (the CLI must
+    // report every broken file, not stack-trace on the first)
+    val (metadata, readIssues) = ModelBundle.readLenient(modelPath)
     out("Validating model...")
-    val issues = ModelValidator.validate(metadata)
+    val issues = readIssues ++ ModelValidator.validate(metadata)
     issues.foreach { i =>
       val show = i.severity match {
         case "warning" => showWarnings

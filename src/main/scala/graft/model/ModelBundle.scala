@@ -19,7 +19,9 @@ object ModelBundle {
   private def parseFile(p: Path): JValue =
     JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
 
-  /** Read a model description from a file or a bundle directory. */
+  /** Read a model description from a file or a bundle directory.
+    * Fail-fast: any unparsable member throws (the programmatic contract —
+    * a silently-dropped cube file would be worse than an error). */
   def read(path: String): JObject = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) readBundle(p)
@@ -30,7 +32,47 @@ object ModelBundle {
     }
   }
 
-  private def readBundle(dir: Path): JObject = {
+  /** Lenient read for VALIDATION: unparsable member files (the reference's
+    * own webshop example ships two) become collected issues instead of a
+    * first-failure crash, so `model validate` reports EVERY broken file
+    * alongside the semantic findings on the parsable remainder. */
+  def readLenient(path: String): (JObject, Seq[ValidationIssue]) = {
+    val issues = scala.collection.mutable.ArrayBuffer.empty[ValidationIssue]
+    val p = Paths.get(path)
+    val metadata: JObject =
+      if (Files.isDirectory(p)) {
+        // validate each member independently first, so one bad file does
+        // not hide the rest
+        Files.list(p).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .sortBy(_.getFileName.toString)
+          .foreach { f =>
+            try parseFile(f)
+            catch { case e: Exception =>
+              issues += ValidationIssue("error", "model", Some(f.getFileName.toString),
+                None, s"member file is not valid JSON: ${e.getMessage}")
+            }
+          }
+        try readBundleSkippingBad(p)
+        catch { case e: Exception =>
+          issues += ValidationIssue("error", "model", None, None, e.getMessage)
+          JObject(Nil)
+        }
+      } else
+        try read(path)
+        catch { case e: Exception =>
+          issues += ValidationIssue("error", "model", None, None,
+            s"model is not readable: ${e.getMessage}")
+          JObject(Nil)
+        }
+    (metadata, issues.toSeq)
+  }
+
+  /** Bundle assembly that silently skips unparsable member files — only
+    * for [[readLenient]], which has already reported them. */
+  private def readBundleSkippingBad(dir: Path): JObject = readBundle(dir, skipBad = true)
+
+  private def readBundle(dir: Path, skipBad: Boolean = false): JObject = {
     val infoPath = dir.resolve("model.json")
     require(Files.exists(infoPath), s"main model info $infoPath does not exist")
     val base = parseFile(infoPath) match {
@@ -64,16 +106,21 @@ object ModelBundle {
         case JString(s) => s
         case _ => throw new IllegalArgumentException(s"'$f' has no name key")
       }
+      def parsed(): Option[JObject] =
+        if (!skipBad) Some(objIn(parseFile(f)))
+        else try Some(objIn(parseFile(f))) catch { case _: Exception => None }
       if (prefix == "dim" || prefix == "dimension") {
-        val o = objIn(parseFile(f))
-        val n = nameIn(o)
-        require(!names(dims).contains(n), s"Dimension '$n' defined multiple times (in '$f')")
-        dims = dims :+ o
+        parsed().foreach { o =>
+          val n = nameIn(o)
+          require(!names(dims).contains(n), s"Dimension '$n' defined multiple times (in '$f')")
+          dims = dims :+ o
+        }
       } else if (prefix == "cube") {
-        val o = objIn(parseFile(f))
-        val n = nameIn(o)
-        require(!names(cubes).contains(n), s"Cube '$n' defined multiple times (in '$f')")
-        cubes = cubes :+ o
+        parsed().foreach { o =>
+          val n = nameIn(o)
+          require(!names(cubes).contains(n), s"Cube '$n' defined multiple times (in '$f')")
+          cubes = cubes :+ o
+        }
       }
     }
     val rest = base.obj.filterNot(kv => kv._1 == "dimensions" || kv._1 == "cubes")

@@ -189,11 +189,17 @@ object ModelJson {
       integrity = str(o, "integrity"))
   }
 
-  private def parseMapping(v: JValue): PhysicalRef = v match {
-    case JString(s) => val (t, c) = tableCol(s); PhysicalRef(t, c)
+  /** A mapping without a table part names a column of the FACT table
+    * (reference `to_column` `default_table`, `sql/query.py:64-100` — the
+    * form the shipped example models use, e.g. `"item.line_item":
+    * "line_item"` in hello_world). */
+  private def parseMapping(v: JValue, defaultTable: String): PhysicalRef = v match {
+    case JString(s) => s.split("\\.", 2) match {
+      case Array(t, c) => PhysicalRef(t, c)
+      case Array(c)    => PhysicalRef(defaultTable, c)
+    }
     case o: JObject => PhysicalRef(
-      str(o, "table").getOrElse(throw new IllegalArgumentException(
-        "mapping without table")),
+      str(o, "table").getOrElse(defaultTable),
       str(o, "column").getOrElse(throw new IllegalArgumentException(
         "mapping without column")),
       extract = str(o, "extract"),
@@ -253,12 +259,14 @@ object ModelJson {
       case JArray(js) => js.collect { case j: JObject => parseJoin(j) }
       case _          => Nil
     }
+    val factTable = str(o, "fact").getOrElse(name)
     val mappings = (o \ "mappings") match {
-      case jo: JObject => jo.obj.map { case (k, v) => k -> parseMapping(v) }.toMap
+      case jo: JObject =>
+        jo.obj.map { case (k, v) => k -> parseMapping(v, factTable) }.toMap
       case _           => Map.empty[String, PhysicalRef]
     }
     Cube(name,
-      factTable = str(o, "fact").getOrElse(name),
+      factTable = factTable,
       dimensions = cubeDims,
       measures = measures,
       aggregates = aggregates,

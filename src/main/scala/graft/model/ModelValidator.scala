@@ -379,13 +379,15 @@ object ModelValidator {
       (c \ "mappings") match {
         case jo: JObject => jo.obj.foreach { case (k, v) =>
           v match {
-            case JString(s) if !s.contains(".") =>
+            // a bare column is legal: table defaults to the fact table
+            // (reference to_column default_table, sql/query.py:64-100)
+            case _: JString => ()
+            case o: JObject if str(o, "column").isEmpty =>
               err("cube", cubeName, Some(s"mappings.$k"),
-                s"expected table.column, got '$s'")
-            case o: JObject if str(o, "table").isEmpty || str(o, "column").isEmpty =>
-              err("cube", cubeName, Some(s"mappings.$k"),
-                "mapping object needs 'table' and 'column'")
-            case _ => ()
+                "mapping object needs a 'column' (table defaults to the fact)")
+            case _: JObject => ()
+            case other =>
+              err("cube", cubeName, Some(s"mappings.$k"), s"bad mapping: $other")
           }
         }
         case JNothing => ()

@@ -279,6 +279,62 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(Slicer.validateModel(okPath.toString, out = _ => ()) == 0)
   }
 
+  test("reference hello_world model loads and validates clean (authentic fixture)") {
+    // the reference's own shipped example (examples/hello_world/model.json):
+    // bare-column mappings (table defaults to the fact), an expression
+    // measure, an expression aggregate, a flat time dimension
+    val path = "/root/reference/examples/hello_world/model.json"
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val cubes = ModelJson.loadString(text)
+    assert(cubes.map(_.name) == Seq("irbd_balance"))
+    val c = cubes.head
+    // bare "line_item" mapping resolved against the fact table
+    assert(c.mappings("item.line_item") == PhysicalRef("irbd_balance", "line_item"))
+    assert(c.dimension("item").levels.map(_.name) ==
+      Seq("category", "subcategory", "line_item"))
+    assert(c.measures.map(_.name) == Seq("amount", "double_amount"))
+    assert(c.aggregates.map(_.name) ==
+      Seq("amount_sum", "double_amount_sum", "record_count"))
+    val issues = ModelValidator.validateString(text)
+    assert(!issues.exists(_.severity == "error"),
+      issues.filter(_.severity == "error").map(_.render).mkString("; "))
+  }
+
+  test("reference webshop bundle: broken member files are findings, valid parts still validate") {
+    // the reference ships this bundle with two genuinely malformed JSON
+    // members (cube_webvisits.json, dim_date_base.json) — validate must
+    // report BOTH and still reason about the nine parsable files
+    val sink = new StringBuilder
+    val code = Slicer.validateModel(
+      "/root/reference/examples/webshop.cubesmodel",
+      out = s => sink.append(s).append('\n'))
+    val out = sink.toString
+    assert(code == 1)
+    assert(out.contains("cube_webvisits.json"))
+    assert(out.contains("dim_date_base.json"))
+    assert(out.contains("model can not be used"))
+    // the parsable remainder was validated, not discarded — including the
+    // CASCADE: date_sale/date_visit template the (malformed, skipped)
+    // date_base, and the validator reports that dangling template rather
+    // than silently losing the dimensions
+    val (metadata, readIssues) = ModelBundle.readLenient(
+      "/root/reference/examples/webshop.cubesmodel")
+    assert(readIssues.size == 2)
+    val issues = ModelValidator.validate(metadata)
+    assert(issues.exists(i => i.severity == "error" &&
+      i.obj.contains("date_sale") &&
+      i.message.contains("unknown dimension template 'date_base'")))
+    // the nine parsable members are all present in the assembled metadata
+    import org.json4s._
+    val dimNames = (metadata \ "dimensions") match {
+      case JArray(ds) => ds.collect { case o: JObject =>
+        o.obj.collectFirst { case ("name", JString(s)) => s } }.flatten
+      case _ => Nil
+    }
+    assert(dimNames.contains("product") && !dimNames.contains("date_base"))
+  }
+
   test("ext-info lists the live extension registries") {
     val all = Slicer.extInfo(None)
     assert(all.contains("aggregate_function"))
