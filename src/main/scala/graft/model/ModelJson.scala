@@ -128,12 +128,22 @@ object ModelJson {
         Seq(levels.head.copy(attributes =
           levels.head.attributes.map(_.copy(flatRef = true))))
       else levels
-    val hiers = (o \ "hierarchies") match {
+    val plural = (o \ "hierarchies") match {
       case JArray(hs) => hs.collect { case h: JObject =>
         Hierarchy(str(h, "name").getOrElse("default"), strList(h, "levels"))
       }
       case _ => Nil
     }
+    // singular shorthand: `"hierarchy": [levels]` expands to one default
+    // hierarchy; combining both forms is an error (reference
+    // expand_dimension_metadata, dimension.py:1277-1285)
+    val singular = (o \ "hierarchy") match {
+      case JArray(ls) => Some(Hierarchy("default", ls.collect { case JString(s) => s }))
+      case _          => None
+    }
+    require(singular.isEmpty || plural.isEmpty,
+      s"dimension '$name': both 'hierarchy' and 'hierarchies' specified. Use only one")
+    val hiers = singular.map(Seq(_)).getOrElse(plural)
     Dimension(name, levelsFlat, hiers,
       defaultHierarchyName = str(o, "default_hierarchy_name"),
       role = str(o, "role"),

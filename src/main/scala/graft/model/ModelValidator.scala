@@ -127,6 +127,20 @@ object ModelValidator {
           Nil
       }
 
+      if ((o \ "hierarchy") != JNothing && (o \ "hierarchies") != JNothing)
+        err(scope, name, None,
+          "Both 'hierarchy' and 'hierarchies' specified. Use only one")
+      (o \ "hierarchy") match {
+        case JArray(ls) =>
+          val hLevels = ls.collect { case JString(s) => s }
+          if (levelNames.nonEmpty)
+            hLevels.filterNot(levelNames.contains).foreach(missing =>
+              err(scope, name, Some("hierarchy"),
+                s"references unknown level '$missing'"))
+        case JNothing => ()
+        case _ => err(scope, name, Some("hierarchy"),
+          "'hierarchy' must be an array of level names")
+      }
       val hierNames: Seq[String] = (o \ "hierarchies") match {
         case JArray(hs) => hs.flatMap {
           case h: JObject =>

@@ -279,6 +279,43 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(Slicer.validateModel(okPath.toString, out = _ => ()) == 0)
   }
 
+  test("singular 'hierarchy' shorthand expands to the default hierarchy; both forms refuse") {
+    val m =
+      """{"dimensions": [{"name": "d",
+        |  "levels": ["a", "b", "c"],
+        |  "hierarchy": ["a", "b"]}],
+        | "cubes": [{"name": "c1", "dimensions": ["d"]}]}""".stripMargin
+    val d = ModelJson.loadString(m).head.dimension("d")
+    assert(d.allHierarchies.map(_.name) == Seq("default"))
+    assert(d.hierarchy(None).levelNames == Seq("a", "b"))
+    val both =
+      """{"dimensions": [{"name": "d", "levels": ["a"],
+        |  "hierarchy": ["a"], "hierarchies": [{"name": "h", "levels": ["a"]}]}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](ModelJson.loadString(both))
+    assert(e.getMessage.contains("Use only one"))
+    // the validator reports the same conflict as a finding
+    assert(ModelValidator.validateString(both).exists(i =>
+      i.severity == "error" && i.message.contains("Use only one")))
+    // and flags unknown levels referenced by the singular form
+    val dangling =
+      """{"dimensions": [{"name": "d", "levels": ["a"], "hierarchy": ["a", "zz"]}]}"""
+    assert(ModelValidator.validateString(dangling).exists(i =>
+      i.severity == "error" && i.message.contains("unknown level 'zz'")))
+  }
+
+  test("reference doc models load and validate clean (tutorial + hierarchy recipe)") {
+    Seq("/root/reference/doc/files/tutorial_model.json",
+      "/root/reference/doc/files/hierarchy_recipe_model.json").foreach { path =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val cubes = ModelJson.loadString(text)
+      assert(cubes.nonEmpty, path)
+      val issues = ModelValidator.validateString(text)
+      assert(!issues.exists(_.severity == "error"),
+        s"$path: ${issues.filter(_.severity == "error").map(_.render).mkString("; ")}")
+    }
+  }
+
   test("reference hello_world model loads and validates clean (authentic fixture)") {
     // the reference's own shipped example (examples/hello_world/model.json):
     // bare-column mappings (table defaults to the fact), an expression
