@@ -58,6 +58,26 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__content_hash__")
       .drop("__content_hash__")
 
+  /** Streaming corpus filter: the per-row text-pipeline stages — language
+    * ID, quality scoring, PII redaction — applied to an unbounded document
+    * stream. Every op is a pure codegen'd column expression (no shuffle,
+    * no state, no watermark needed), so the BATCH operators compose with
+    * `readStream` unchanged; this wrapper pins that contract (and its
+    * batch≡stream equivalence) with a spec. At 100 TB/day ingest this is
+    * the shape that matters: per-row filters run at source parallelism
+    * with zero streaming state. */
+  def filterDocuments(docs: DataFrame, textCol: String = "text",
+      minQuality: Double = 0.5): DataFrame = {
+    val (redacted, counts) = graft.ops.Corpus.redactPii(col(textCol))
+    val flagged = docs
+      .withColumn("lang", graft.ops.TextAnalysis.languageId(col(textCol)))
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    counts.foldLeft(flagged) { case (df, (n, c)) =>
+      df.withColumn(n, c.cast("long"))
+    }.withColumn(textCol, redacted)
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

@@ -85,6 +85,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus filter (langid/quality/PII) equals its batch twin row-for-row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact me@example.com or https://x.example/z"))
+          .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_stream").toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val q = Streaming.filterDocuments(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_filtered").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, lang, quality, n_url, n_email, text FROM corpus_filtered")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.filterDocuments(docs)
+        .select("doc_id", "lang", "quality", "n_url", "n_email", "text")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // the injected PII was counted and masked in every surviving row
+      val one = batch.head
+      assert(one(3).asInstanceOf[Long] >= 1L && one(4).asInstanceOf[Long] >= 1L)
+      assert(one(5).asInstanceOf[String].contains("<EMAIL>"))
+      assert(one(5).asInstanceOf[String].contains("<URL>"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val events = Seq(
       Streaming.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
