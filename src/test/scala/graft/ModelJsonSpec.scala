@@ -303,7 +303,17 @@ class ModelJsonSpec extends AnyFunSuite {
       i.severity == "error" && i.message.contains("unknown level 'zz'")))
   }
 
-  test("reference doc models load and validate clean (tutorial + hierarchy recipe)") {
+  test("reference doc models load and validate clean (tutorial + hierarchy recipe + date dim)") {
+    // the shipped standalone date dimension parses as a dimension object
+    val dateText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/date/dim_date.json")), "UTF-8")
+    val dateDim = ModelJson.parseDimension(
+      org.json4s.jackson.JsonMethods.parse(dateText)
+        .asInstanceOf[org.json4s.JObject])
+    assert(dateDim.levels.map(_.name) ==
+      Seq("year", "quarter", "month", "day", "weekday"))
+    assert(dateDim.allHierarchies.map(_.name).contains("ymd"))
+
     Seq("/root/reference/doc/files/tutorial_model.json",
       "/root/reference/doc/files/hierarchy_recipe_model.json").foreach { path =>
       val text = new String(java.nio.file.Files.readAllBytes(

@@ -230,4 +230,30 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("ObjectHashAggregate"),
       s"expected bounded top-k aggregate in plan:\n$plan")
   }
+
+  test("per-row corpus ops are exchange-free: PII redaction and int8 quantization") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (redacted, counts) = graft.ops.Corpus.redactPii(col("text"))
+    val redactPlan = physicalPlan(docs.select(
+      col("doc_id") +: counts.map { case (n, c) => c.as(n) } :+ redacted.as("text"): _*))
+    assert(!redactPlan.contains("Exchange"),
+      s"redactPii must stay a scan→project chain, got:\n$redactPlan")
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (scale, q, err) = graft.ops.Similarity.quantizeInt8(col("embedding"))
+    val quantPlan = physicalPlan(emb.select(col("vec_id"),
+      scale.as("scale"), q.as("q"), err.as("err")))
+    assert(!quantPlan.contains("Exchange"),
+      s"quantizeInt8 must stay a scan→project chain, got:\n$quantPlan")
+    // vocabulary keeps its aggregation two-phase: partial before the
+    // word-key exchange, TakeOrdered bounding the driver result
+    val vocabPlan = physicalPlan(graft.ops.Corpus.vocabulary(docs, "text", 10))
+    assert(vocabPlan.contains("TakeOrderedAndProject"), vocabPlan)
+    val firstExchange = vocabPlan.linesIterator.indexWhere(_.contains("Exchange"))
+    val partialAgg = vocabPlan.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partialAgg > firstExchange && firstExchange >= 0,
+      s"expected map-side partial aggregation below the exchange:\n$vocabPlan")
+  }
 }
