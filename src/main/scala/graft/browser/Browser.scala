@@ -632,13 +632,22 @@ final class Browser(
         .orElse(cube.allAttributes.get(ref).flatMap(_.expression))
 
     val allNeeded = scala.collection.mutable.LinkedHashSet.empty[String]
+    // cycle guard mirroring ExprLang.depSort: without it a circular
+    // expression pair (a -> b -> a) recurses to stack overflow HERE,
+    // before depSort below ever sees it (reference raises
+    // ExpressionError "Circular", tests/test_expressions.py:49)
+    val visiting = scala.collection.mutable.Set.empty[String]
     def visit(ref: String): Unit = {
       if (allNeeded.contains(ref)) return
+      if (!visiting.add(ref))
+        throw new IllegalArgumentException(
+          s"circular attribute dependency at '$ref'")
       expressionOf(ref) match {
         case Some(e) =>
           ExprLang.identifiers(e).filterNot(parameters.contains).foreach(visit)
         case None    =>
       }
+      visiting -= ref
       allNeeded += ref
     }
     refs.foreach(visit)

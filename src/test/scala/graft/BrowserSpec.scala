@@ -342,4 +342,34 @@ class BrowserSpec extends AnyFunSuite {
     // no join node in the plan — the category table is never read
     assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
   }
+
+  test("circular expressions refuse cleanly, direct and indirect (reference test_sorted_circular)") {
+    def cubeWith(measures: Seq[Measure]): Browser = {
+      val c = Cube(name = "facts", factTable = "facts",
+        dimensions = Seq(Dimension.flat("year")),
+        measures = Measure("amount") +: measures,
+        aggregates = Seq(MeasureAggregate("count", function = Some("count"))),
+        keyColumn = Some("id"))
+      new Browser(c, new StarSchema(c, factsDf, Map("facts" -> factsDf)), spark)
+    }
+    // direct loop: loop1 -> loop2 -> loop1
+    val direct = cubeWith(Seq(
+      Measure("loop1", expression = Some("loop2 + 1")),
+      Measure("loop2", expression = Some("loop1 + 1"))))
+    val e1 = intercept[IllegalArgumentException] {
+      direct.projectedFrame(Seq("loop1"))
+    }
+    assert(e1.getMessage.toLowerCase.contains("circular"))
+    // indirect loop through an intermediate
+    val indirect = cubeWith(Seq(
+      Measure("indirect_loop1", expression = Some("intermediate")),
+      Measure("intermediate", expression = Some("indirect_loop1"))))
+    val e2 = intercept[IllegalArgumentException] {
+      indirect.projectedFrame(Seq("indirect_loop1"))
+    }
+    assert(e2.getMessage.toLowerCase.contains("circular"))
+    // an acyclic chain through the same machinery still works: b -> a
+    val ok = cubeWith(Seq(Measure("b", expression = Some("amount + 1"))))
+    assert(ok.projectedFrame(Seq("b")).columns.contains("b"))
+  }
 }
