@@ -310,6 +310,50 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       }
     }
 
+    /** One cut from its JSON-dict form (reference `cut_from_dict`,
+      * `query/cells.py:640` — the report body's cut vocabulary). */
+    private def cutFromDict(v: JValue): graft.cells.Cut = {
+      def s(k: String): Option[String] = (v \ k) match {
+        case JString(x) => Some(x); case _ => None
+      }
+      def pathOf(j: JValue): Seq[String] = j match {
+        case JArray(xs) => xs.map {
+          case JString(x) => x
+          case JInt(i)    => i.toString
+          case JLong(i)   => i.toString
+          case JDouble(d) => d.toString
+          case JNull      => CutParser.NullValue
+          case other => throw new IllegalArgumentException(s"bad path value: $other")
+        }
+        case _ => throw new IllegalArgumentException(s"bad path: $j")
+      }
+      def optPath(k: String): Option[Seq[String]] = (v \ k) match {
+        case JNothing | JNull => None
+        case j                => Some(pathOf(j))
+      }
+      val dim = s("dimension").getOrElse(
+        throw new IllegalArgumentException("cut dict without 'dimension'"))
+      val invert = (v \ "invert") match {
+        case JBool(b) => b
+        case _        => false
+      }
+      val hier = s("hierarchy")
+      s("type") match {
+        case Some("point") =>
+          graft.cells.PointCut(dim, pathOf(v \ "path"), hier, invert)
+        case Some("range") =>
+          graft.cells.RangeCut(dim, optPath("from"), optPath("to"), hier, invert)
+        case Some("set") =>
+          val paths = (v \ "paths") match {
+            case JArray(ps) => ps.map(pathOf)
+            case other => throw new IllegalArgumentException(s"bad paths: $other")
+          }
+          graft.cells.SetCut(dim, paths, hier, invert)
+        case other =>
+          throw new IllegalArgumentException(s"unknown cut type $other")
+      }
+    }
+
     private def report(name: String, body: String, q: Map[String, String],
         id: Option[String]): Resp = {
       val b = workspace.browserFor(id, name)
@@ -334,8 +378,17 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         }.toMap
         case _ => throw new IllegalArgumentException("report body needs a 'queries' object")
       }
+      // a "cell" key in the body — a list of cut DICTS — overrides the
+      // URL cut (reference blueprint.py:519-530; the authorizer's
+      // restriction still applies inside the browser)
+      val reqCell = (root \ "cell") match {
+        case JArray(cuts) => Cell(cuts.map(cutFromDict))
+        case JNothing     => cell(name, q)
+        case other => throw new IllegalArgumentException(
+          s"report 'cell' must be an array of cut dicts, got $other")
+      }
       var truncated = false
-      val results = b.report(cell(name, q), items).map { case (qname, df) =>
+      val results = b.report(reqCell, items).map { case (qname, df) =>
         val (json, t) = graft.formats.Formats.toJsonArrayTruncated(df)
         truncated ||= t
         s"${jstr(qname)}: $json"

@@ -215,6 +215,33 @@ class ServerSpec extends AnyFunSuite {
     assert(body.contains("\"byflag\"") && body.contains("\"regions\""))
   }
 
+  test("POST /report: body 'cell' cut-dicts override the URL cut (reference cut_from_dict)") {
+    // URL says EUROPE; the body cell (reference dict vocabulary, numbers
+    // allowed as path values) says ASIA — body must win
+    val (code, body) = post("/cube/sales/report?cut=customer:EUROPE",
+      """{"cell": [{"type": "point", "dimension": "customer",
+        |           "path": ["ASIA"], "invert": false}],
+        |"queries": {
+        |  "nations": {"query": "members", "dimension": "customer", "depth": 2}
+        |}}""".stripMargin)
+    assert(code == 200)
+    assert(body.contains(""""customer.region_name":"ASIA""""), body.take(400))
+    assert(!body.contains("EUROPE"))
+    // range + set dict forms parse too
+    val (c2, b2) = post("/cube/sales/report",
+      """{"cell": [{"type": "set", "dimension": "customer",
+        |           "paths": [["ASIA"], ["EUROPE"]]}],
+        |"queries": {"agg": {"query": "aggregate", "drilldown": "customer",
+        |                    "aggregates": "fact_count"}}}""".stripMargin)
+    assert(c2 == 200 && b2.contains("ASIA") && b2.contains("EUROPE") &&
+      !b2.contains("AMERICA"))
+    // unknown type is a 400, not a silent fallback
+    val (c3, _) = post("/cube/sales/report",
+      """{"cell": [{"type": "xxx", "dimension": "customer"}],
+        |"queries": {}}""".stripMargin)
+    assert(c3 == 400)
+  }
+
   test("errors: unknown cube → 400, unknown path → 404") {
     assert(get("/cube/nope/aggregate")._1 == 400)
     assert(get("/nope")._1 == 404)
