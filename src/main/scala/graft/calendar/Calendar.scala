@@ -76,8 +76,13 @@ object Calendar {
 
   // ---- relative member names (reference calendar.py:61-68,246-295) ----
 
-  private val OffsetRe: Regex = "(\\d+)(\\w+)(ago|forward)".r
-  private val TruncRe: Regex = "(last|next)(\\d+)(\\w+)".r
+  // the count is OPTIONAL in both reference grammars and defaults to 1 —
+  // `weekago`, `monthforward`, `lastweek`, `nextmonth` are all legal
+  // (RELATIVE_FINE_TIME_RX / RELATIVE_TRUNCATED_TIME_RX, calendar.py:61-68)
+  private val OffsetRe: Regex = "(\\d*)(\\w+?)(ago|forward)".r
+  private val TruncRe: Regex = "(last|next)(\\d*)(\\w+)".r
+
+  private def countOf(n: String): Long = if (n.isEmpty) 1L else n.toLong
 
   private def singular(u: String): String = u.stripSuffix("s")
 
@@ -102,10 +107,27 @@ object Calendar {
       case "yesterday"     => now.minusDays(1)
       case "tomorrow"      => now.plusDays(1)
       case OffsetRe(n, unit, dir) =>
-        val amt = n.toLong * (if (dir == "ago") -1 else 1)
+        val amt = countOf(n) * (if (dir == "ago") -1 else 1)
         shift(now, singular(unit), amt)
       case other =>
         throw new IllegalArgumentException(s"unknown named time '$other'")
+    }
+
+  /** Reference `named_relative_path` semantics for the TRUNCATED names
+    * (calendar.py:285-289): truncate to the unit FIRST, then shift by the
+    * (default-1) count — `lastmonth` at 2012-03-12 is 2012-02-01 00:00.
+    * This is the reference's point-path resolution; [[namedRange]] keeps
+    * this engine's whole-period RANGE semantics for cuts, which selects
+    * the same rows at the name's own granularity. */
+  def namedTruncatedTime(name: String, now: LocalDateTime,
+      cfg: Config = Config()): LocalDateTime =
+    name.toLowerCase match {
+      case TruncRe(dir, n, units) =>
+        val unit = singular(units)
+        val amt = countOf(n) * (if (dir == "last") -1 else 1)
+        shift(truncate(now, unit, cfg), unit, amt)
+      case other =>
+        throw new IllegalArgumentException(s"unknown truncated name '$other'")
     }
 
   /** Resolve a truncated-range name — `lastNunits` / `nextNunits`
@@ -121,11 +143,20 @@ object Calendar {
     name.toLowerCase match {
       case TruncRe(dir, n, units) =>
         val unit = singular(units)
-        val k = n.toLong
-        if (dir == "last")
-          (truncate(shift(now, unit, -(k - 1)), unit, cfg), now)
-        else
-          (now, truncate(shift(now, unit, k), unit, cfg).minusSeconds(1))
+        // digitless = the reference's singular form (`lastweek`,
+        // `nextmonth`): the ADJACENT period in its entirety — not
+        // "this period so far", which is what k=1 of the counted form
+        // (`last1week` = current week to date) means
+        if (n.isEmpty) {
+          val shifted = truncate(shift(now, unit, if (dir == "last") -1 else 1), unit, cfg)
+          (shifted, shift(shifted, unit, 1).minusSeconds(1))
+        } else {
+          val k = n.toLong
+          if (dir == "last")
+            (truncate(shift(now, unit, -(k - 1)), unit, cfg), now)
+          else
+            (now, truncate(shift(now, unit, k), unit, cfg).minusSeconds(1))
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown named range '$other'")
     }

@@ -47,6 +47,52 @@ class CalendarSpec extends AnyFunSuite {
     assert(Calendar.sincePeriodStart("day", "hour", now) == 13)
   }
 
+  test("digitless relative names default to count 1 (reference test_named_relative)") {
+    // reference golden values, tests/test_time.py:72-101
+    val d1 = LocalDateTime.of(2012, 3, 1, 0, 0)
+    val units = Seq("year", "month", "day")
+    assert(Calendar.path(Calendar.namedTime("weekago", d1), units) == Seq(2012, 2, 23))
+    assert(Calendar.path(Calendar.namedTime("3weeksago", d1), units) == Seq(2012, 2, 9))
+    val d2 = LocalDateTime.of(2012, 3, 12, 0, 0)
+    assert(Calendar.path(Calendar.namedTime("monthago", d2), units) == Seq(2012, 2, 12))
+    assert(Calendar.path(Calendar.namedTime("monthforward", d2), units) == Seq(2012, 4, 12))
+    assert(Calendar.path(Calendar.namedTime("12monthsforward", d2), units) == Seq(2013, 3, 12))
+  }
+
+  test("digitless truncated names: reference point semantics + whole-period ranges") {
+    // reference golden values, tests/test_time.py:102-131 (truncate FIRST,
+    // then shift; count defaults to 1)
+    val units = Seq("year", "month", "day", "hour")
+    val d1 = LocalDateTime.of(2012, 3, 1, 10, 30)
+    assert(Calendar.path(Calendar.namedTruncatedTime("lastweek", d1), units) ==
+      Seq(2012, 2, 20, 0))
+    assert(Calendar.path(Calendar.namedTruncatedTime("last3weeks", d1), units) ==
+      Seq(2012, 2, 6, 0))
+    val d2 = LocalDateTime.of(2012, 3, 12, 0, 0)
+    assert(Calendar.path(Calendar.namedTruncatedTime("lastmonth", d2), units) ==
+      Seq(2012, 2, 1, 0))
+    assert(Calendar.path(Calendar.namedTruncatedTime("last12months", d2), units) ==
+      Seq(2011, 3, 1, 0))
+    assert(Calendar.path(Calendar.namedTruncatedTime("nextmonth", d2), units) ==
+      Seq(2012, 4, 1, 0))
+    assert(Calendar.path(Calendar.namedTruncatedTime("next12months", d2), units) ==
+      Seq(2013, 3, 1, 0))
+    assert(Calendar.path(Calendar.namedTruncatedTime("lastquarter", d2), units) ==
+      Seq(2011, 10, 1, 0))
+    assert(Calendar.path(Calendar.namedTruncatedTime("lastyear", d2), units) ==
+      Seq(2011, 1, 1, 0))
+    // cut semantics: a digitless name is the ADJACENT period in full —
+    // distinct from last1month (= current month so far)
+    val (f, t) = Calendar.namedRange("lastmonth", d2)
+    assert(f == LocalDateTime.of(2012, 2, 1, 0, 0))
+    assert(t == LocalDateTime.of(2012, 2, 29, 23, 59, 59)) // leap February
+    val (f1, t1) = Calendar.namedRange("last1month", d2)
+    assert(f1 == LocalDateTime.of(2012, 3, 1, 0, 0) && t1 == d2)
+    val (fn, tn) = Calendar.namedRange("nextweek", d2) // 2012-03-12 is a Monday
+    assert(fn == LocalDateTime.of(2012, 3, 19, 0, 0))
+    assert(tn == LocalDateTime.of(2012, 3, 25, 23, 59, 59))
+  }
+
   test("cut-string time member conversion against the tpch cube") {
     val cell = TimeCuts.parseCell(TpchModel.cube, "shipdate:yesterday", now)
     assert(cell.cuts.head ==
