@@ -17,6 +17,12 @@ class AuthSpec extends AnyFunSuite {
     assert(r.isAllowed("a", allowAfterDenied = false))
     assert(!r.isAllowed("b", allowAfterDenied = false))
     assert(!r.isAllowed("d", allowAfterDenied = false))
+    // conflicting entries (same cube allowed AND denied): deny_allow
+    // admits, allow_deny refuses — the reference's test_order table for
+    // all four right shapes collapses to this case
+    val conflict = AccessRight(allowedCubes = Set("x"), deniedCubes = Set("x"))
+    assert(conflict.isAllowed("x", allowAfterDenied = true))
+    assert(!conflict.isAllowed("x", allowAfterDenied = false))
   }
 
   test("cube patterns: * wildcard, prefix, suffix") {
