@@ -115,6 +115,21 @@ object ModelValidator {
             val ln = str(l, "name")
             if (ln.isEmpty)
               err(scope, name, Some(s"levels[$i]"), "level without a name")
+            // attribute "order" must be asc/desc (reference natural-order
+            // vocabulary); anything else silently sorts wrong at browse
+            (l \ "attributes") match {
+              case JArray(as) => as.foreach {
+                case a: JObject =>
+                  str(a, "order").filterNot(o =>
+                    o == "asc" || o == "desc").foreach(o =>
+                    err(scope, name,
+                      str(a, "name").map(an => s"attribute '$an'")
+                        .orElse(Some(s"levels[$i]")),
+                      s"order must be 'asc' or 'desc', got '$o'"))
+                case _ => ()
+              }
+              case _ => ()
+            }
             ln
           case (_, i) =>
             err(scope, name, Some(s"levels[$i]"),
@@ -259,6 +274,18 @@ object ModelValidator {
             val mn = str(m, "name")
             if (mn.isEmpty)
               err("cube", cubeName, Some(s"measures[$i]"), "measure without a name")
+            // measure-level "aggregates" list spawns implicit
+            // <measure>_<fn> aggregates — an unknown fn there fails at
+            // browse time, so surface it here like the explicit form
+            (m \ "aggregates") match {
+              case JArray(fs) => fs.collect { case JString(f) => f }
+                .filterNot(f => graft.functions.AggFunctions.isRegistered(f) ||
+                  graft.functions.WindowCalcs.isWindowFunction(f))
+                .foreach(f => warn("cube", cubeName,
+                  mn.map(n => s"measure '$n'").orElse(Some(s"measures[$i]")),
+                  s"unknown aggregate function '$f'"))
+              case _ => ()
+            }
             mn
           case (_, i) =>
             err("cube", cubeName, Some(s"measures[$i]"),

@@ -258,6 +258,22 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(ModelValidator.verdict(ws).startsWith("not recommended"))
   }
 
+  test("validator: measure-level aggregate fns and attribute order values are checked") {
+    val m =
+      """{"dimensions": [{"name": "d", "levels": [
+        |    {"name": "l", "attributes": [{"name": "a", "order": "sideways"}]}]}],
+        | "cubes": [{"name": "c", "dimensions": ["d"],
+        |   "measures": [{"name": "m", "aggregates": ["sum", "frobnicate"]}]}]}""".stripMargin
+    val issues = ModelValidator.validateString(m)
+    assert(issues.exists(i => i.severity == "warning" &&
+      i.property.contains("measure 'm'") &&
+      i.message.contains("unknown aggregate function 'frobnicate'")))
+    assert(issues.exists(i => i.severity == "error" &&
+      i.message.contains("order must be 'asc' or 'desc'")))
+    // "sum" on the same measure raises nothing
+    assert(!issues.exists(_.message.contains("'sum'")))
+  }
+
   test("validator: malformed JSON and non-object roots are single errors") {
     assert(ModelValidator.validateString("{nope").head.severity == "error")
     assert(ModelValidator.validateString("[1,2]").head.severity == "error")
