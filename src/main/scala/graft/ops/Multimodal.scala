@@ -272,6 +272,124 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------- real PCM decode
+
+  /** REAL audio decode on the JDK's `javax.sound.sampled` — the audio twin
+    * of [[ImageCodec]]: `AudioSystem` parses the WAV container and hands
+    * back raw PCM frames with their format, zero external dependencies. */
+  object AudioCodec {
+    /** Decode to (sampleRate, channels, per-channel sample values).
+      * 16-bit PCM is little-endian signed; 8-bit is unsigned (the WAV
+      * conventions `AudioSystem` reports through `AudioFormat`). None
+      * when no installed reader recognizes the payload. */
+    def decodePcm(media: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(media))
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        in.close()
+        val channels = fmt.getChannels
+        val bytesPer = fmt.getSampleSizeInBits / 8
+        val n = data.length / (channels * bytesPer)
+        val out = Array.ofDim[Int](channels, n)
+        var j = 0
+        while (j < n) {
+          var c = 0
+          while (c < channels) {
+            val off = (j * channels + c) * bytesPer
+            out(c)(j) =
+              if (bytesPer == 1) data(off) & 0xff // 8-bit PCM is unsigned
+              else {
+                // sign extends from whichever byte is the HIGH one
+                val b0 = data(off); val b1 = data(off + 1)
+                if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                else (b1.toInt << 8) | (b0 & 0xff)
+              }
+            c += 1
+          }
+          j += 1
+        }
+        Some((fmt.getSampleRate.toInt, channels, out))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
+  }
+
+  /** Per-channel PCM statistics (up to 2 channels; mono reports zeros for
+    * channel 1). `sample_rate = -1` when the payload did not decode. */
+  final case class AudioStats(
+      media_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      mean_c0: Double, min_c0: Long, max_c0: Long,
+      mean_c1: Double, min_c1: Long, max_c1: Long)
+
+  /** REAL PCM decode + per-channel stats, batched like the other tiers:
+    * parallel `mapPartitions`, no shuffle. */
+  def decodeAudioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      AudioCodec.decodePcm(r.media) match {
+        case None =>
+          AudioStats(r.media_id, -1, -1, -1L, 0, 0, 0, 0, 0, 0)
+        case Some((rate, channels, chans)) =>
+          def stats(c: Int): (Double, Long, Long) =
+            if (c >= channels || chans(c).isEmpty) (0.0, 0L, 0L)
+            else {
+              var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+              chans(c).foreach { v =>
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              }
+              (sum.toDouble / chans(c).length, mn, mx)
+            }
+          val (m0, lo0, hi0) = stats(0)
+          val (m1, lo1, hi1) = stats(1)
+          AudioStats(r.media_id, rate, channels,
+            if (channels > 0) chans(0).length.toLong else 0L,
+            m0, lo0, hi0, m1, lo1, hi1)
+      }
+    })
+  }
+
+  /** Full PCM WAV bytes: header + interleaved 16-bit little-endian signed
+    * samples — the construct half of the audio construct↔decode oracle. */
+  def wavPcm16(rate: Int, samples: Array[Array[Short]]): Array[Byte] = {
+    val channels = samples.length
+    val n = if (channels == 0) 0 else samples(0).length
+    val header = wavHeader(rate, channels, 16, n.toLong)
+    val bb = java.nio.ByteBuffer.allocate(header.length + n * channels * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(header)
+    var j = 0
+    while (j < n) {
+      var c = 0
+      while (c < channels) { bb.putShort(samples(c)(j)); c += 1 }
+      j += 1
+    }
+    bb.array()
+  }
+
+  /** Synthetic PCM sample: linear in id/index/channel over a signed 16-bit
+    * subrange, replayable arithmetically by the oracle. */
+  @inline def synthSample(id: Long, i: Int, c: Int): Int =
+    (((id * 31 + i.toLong * 7 + c.toLong * 13) % 4001) - 2000).toInt
+
+  /** Fully-encoded synthetic WAV per row (REAL PCM payload): rate fixed,
+    * channel count and every sample deterministic functions of the id. */
+  def withSyntheticWavPcm(docs: DataFrame, idCol: String,
+      nSamples: Int = 64): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val channels = 1 + (id % 2).toInt
+      val samples = Array.tabulate(channels, nSamples)(
+        (c, i) => synthSample(id, i, c).toShort)
+      val bytes = wavPcm16(8000, samples)
+      MediaRecord(id, bytes, "wav", bytes.length.toLong)
+    })
+  }
+
   // ------------------------------------------------------ real pixel decode
 
   /** REAL image codec on the JDK's `javax.imageio` — PNG/JPEG/GIF/BMP

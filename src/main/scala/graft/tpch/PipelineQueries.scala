@@ -130,6 +130,19 @@ object PipelineQueries {
         .toDF().withColumnRenamed("media_id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // multimodal audio tier, REAL decode: synthesize a full PCM WAV per
+    // doc (every 16-bit sample a linear function of doc_id/index/channel),
+    // decode it back through javax.sound.sampled, emit per-channel
+    // mean/extrema; the oracle recomputes the statistics arithmetically —
+    // the audio twin of q69's image round-trip
+    "q72_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudioStats(
+        Multimodal.withSyntheticWavPcm(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .withColumn("mean_c0", round(col("mean_c0"), 6))
+        .withColumn("mean_c1", round(col("mean_c1"), 6))
+        .orderBy(col("doc_id"))),
+
     // int8 embedding quantization: per-vector scale + half-up rounding +
     // reconstruction error, the float32→int8 compression pass before ANN
     // index build / training shipping — fully replayed by the oracle
@@ -488,6 +501,28 @@ object PipelineQueries {
         |  CAST((doc_id * 31) % 10000 AS BIGINT) AS n_samples,
         |  CAST(((doc_id * 31) % 10000) * 1000 // (8000 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q72_audio_decode" ->
+      """WITH s AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS channels
+        |  FROM documents),
+        |v AS (SELECT doc_id, channels,
+        |    list_transform(generate_series(0, 63),
+        |      i -> (doc_id*31 + i*7) % 4001 - 2000) AS c0,
+        |    list_transform(generate_series(0, 63),
+        |      i -> (doc_id*31 + i*7 + 13) % 4001 - 2000) AS c1
+        |  FROM s)
+        |SELECT doc_id, 8000 AS sample_rate, channels,
+        |  CAST(64 AS BIGINT) AS n_samples,
+        |  ROUND(CAST(list_sum(c0) AS DOUBLE) / 64, 6) AS mean_c0,
+        |  CAST(list_min(c0) AS BIGINT) AS min_c0,
+        |  CAST(list_max(c0) AS BIGINT) AS max_c0,
+        |  CASE WHEN channels = 2
+        |    THEN ROUND(CAST(list_sum(c1) AS DOUBLE) / 64, 6) ELSE 0.0 END AS mean_c1,
+        |  CASE WHEN channels = 2
+        |    THEN CAST(list_min(c1) AS BIGINT) ELSE 0 END AS min_c1,
+        |  CASE WHEN channels = 2
+        |    THEN CAST(list_max(c1) AS BIGINT) ELSE 0 END AS max_c1
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q71_embed_quantize" ->
       """WITH e AS (SELECT vec_id,

@@ -537,6 +537,33 @@ class OpsSpec extends AnyFunSuite {
     assert(metas(2L).format == "unknown" && metas(2L).sample_rate == -1)
   }
 
+  test("real PCM decode: WAV construct↔decode round-trip recovers exact samples") {
+    val ids = Seq(0L, 1L, 2L, 255L)
+    val stats = Multimodal.decodeAudioStats(
+      Multimodal.withSyntheticWavPcm(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(s => s.media_id -> s).toMap
+    ids.foreach { id =>
+      val channels = 1 + (id % 2).toInt
+      val s = stats(id)
+      assert(s.sample_rate == 8000 && s.channels == channels && s.n_samples == 64)
+      val c0 = (0 until 64).map(i => Multimodal.synthSample(id, i, 0))
+      assert(s.mean_c0 == c0.map(_.toLong).sum.toDouble / 64)
+      assert(s.min_c0 == c0.min && s.max_c0 == c0.max)
+      if (channels == 2) {
+        val c1 = (0 until 64).map(i => Multimodal.synthSample(id, i, 1))
+        assert(s.mean_c1 == c1.map(_.toLong).sum.toDouble / 64)
+        assert(s.min_c1 == c1.min && s.max_c1 == c1.max)
+      } else assert(s.mean_c1 == 0.0 && s.min_c1 == 0 && s.max_c1 == 0)
+    }
+    // negative samples survive the signed little-endian round trip
+    assert(stats.values.exists(_.min_c0 < 0))
+    // non-audio payloads yield the sentinel row
+    val bad = Multimodal.decodeAudioStats(Seq(
+      Multimodal.MediaRecord(9L, "not audio".getBytes, "txt", 9L)).toDS())
+      .collect().head
+    assert(bad.sample_rate == -1)
+  }
+
   test("int8 quantization: hand-computed values, zero-vector guard") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f, 0.0f)),
