@@ -390,6 +390,136 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------- video frame sampling
+
+  /** Video container metadata + sampled-frame digests: `width = -1` when
+    * the payload is not a recognized AVI. */
+  final case class VideoFrames(
+      media_id: Long, width: Int, height: Int, n_frames: Long,
+      n_sampled: Long, sampled_bytes: Long, frames_checksum: Long)
+
+  /** REAL (codec-free) AVI container walk: RIFF `LIST hdrl → avih` carries
+    * frame count and dimensions; `LIST movi` holds the frame chunks
+    * (`##dc`/`##db`). Frame-SAMPLING — every k-th frame's bytes, offsets
+    * and digests — needs no codec at all, which is exactly the point: a
+    * 100 TB video pipeline samples and ships frame payloads to a decode
+    * service; the Spark side owns structure, not pixels. Returns (width,
+    * height, declared frame count, frame chunk list as (offset, size)). */
+  def walkAvi(b: Array[Byte]): Option[(Int, Int, Long, Seq[(Int, Int)])] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = -1; var height = -1; var nFrames = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourcc(i)
+        val size = le32(i + 4)
+        val next = i.toLong + 8 + size + (size & 1)
+        if (next <= i || next > to) return // corrupt size: stop the walk
+        if (id == "LIST" && i + 12 <= to) {
+          walk(i + 12, next.toInt) // descend into hdrl/movi/strl
+        } else if (id == "avih" && i + 8 + 40 <= to) {
+          nFrames = le32(i + 8 + 16) // dwTotalFrames
+          width = le32(i + 8 + 32).toInt // dwWidth
+          height = le32(i + 8 + 36).toInt // dwHeight
+        } else if ((id.endsWith("dc") || id.endsWith("db")) &&
+          id.take(2).forall(_.isDigit)) {
+          frames += ((i + 8, size.toInt)) // a video frame chunk (##dc/##db)
+        }
+        i = next.toInt
+      }
+    }
+    walk(12, b.length)
+    if (width < 0 || nFrames < 0) None
+    else Some((width, height, nFrames, frames.toSeq))
+  }
+
+  /** Sample every `stride`-th frame of each AVI payload: emits count,
+    * total sampled bytes and an order-sensitive polynomial digest of the
+    * sampled frames — the structure a downstream decode service consumes.
+    * Batched `mapPartitions`, no shuffle. */
+  def sampleVideoFrames(media: Dataset[MediaRecord],
+      stride: Int = 2): Dataset[VideoFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      walkAvi(r.media) match {
+        case None =>
+          VideoFrames(r.media_id, -1, -1, -1L, 0L, 0L, 0L)
+        case Some((w, h, n, frames)) =>
+          var checksum = 0L
+          var bytes = 0L
+          var sampled = 0L
+          var f = 0
+          while (f < frames.length) {
+            if (f % stride == 0) {
+              sampled += 1
+              val (off, size) = frames(f)
+              bytes += size
+              var j = 0
+              while (j < size) {
+                checksum = (checksum * 131 + (r.media(off + j) & 0xff)) % 1000000007L
+                j += 1
+              }
+            }
+            f += 1
+          }
+          VideoFrames(r.media_id, w, h, n, sampled, bytes, checksum)
+      }
+    })
+  }
+
+  /** Minimal structurally-valid AVI: `hdrl/avih` with the given dims and
+    * frame count, `movi` with `00dc` frame chunks of the provided
+    * payloads — what [[walkAvi]] reads; the construct half of the video
+    * oracle. */
+  def aviBytes(w: Int, h: Int, framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+    val avihData = new Array[Byte](56)
+    val ab = java.nio.ByteBuffer.wrap(avihData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ab.putInt(0, 33333) // usec/frame (~30fps)
+    ab.putInt(16, framePayloads.length) // dwTotalFrames
+    ab.putInt(24, 1) // dwStreams
+    ab.putInt(32, w).putInt(36, h)
+    val moviSize = 4 + framePayloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val hdrlSize = 4 + 8 + avihData.length
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffSize).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(hdrlSize).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(avihData.length).put(avihData)
+    bb.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    framePayloads.foreach { p =>
+      bb.put("00dc".getBytes).putInt(p.length).put(p)
+      if ((p.length & 1) == 1) bb.put(0.toByte) // word-align
+    }
+    bb.array()
+  }
+
+  /** Synthetic frame byte: linear in id/frame/offset mod 256 — the oracle
+    * replays the sampled-frame digest arithmetically. */
+  @inline def synthFrameByte(id: Long, frame: Int, j: Int): Int =
+    ((id + frame.toLong * 31 + j.toLong * 7) % 256).toInt
+
+  /** Synthetic AVI per row: dims, frame count and every frame byte are
+    * deterministic functions of the id. */
+  def withSyntheticAvi(docs: DataFrame, idCol: String,
+      frameBytes: Int = 32): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 100 + 1).toInt
+      val h = (id * 3 % 100 + 1).toInt
+      val n = (id % 7 + 1).toInt
+      val frames = Seq.tabulate(n)(f =>
+        Array.tabulate(frameBytes)(j => synthFrameByte(id, f, j).toByte))
+      val bytes = aviBytes(w, h, frames)
+      MediaRecord(id, bytes, "avi", bytes.length.toLong)
+    })
+  }
+
   // ------------------------------------------------------ real pixel decode
 
   /** REAL image codec on the JDK's `javax.imageio` — PNG/JPEG/GIF/BMP

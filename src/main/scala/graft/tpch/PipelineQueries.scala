@@ -143,6 +143,17 @@ object PipelineQueries {
         .withColumn("mean_c1", round(col("mean_c1"), 6))
         .orderBy(col("doc_id"))),
 
+    // multimodal video tier: synthesize a structurally-real AVI per doc
+    // (dims, frame count, every frame byte linear in doc_id), walk the
+    // container codec-free and sample every 2nd frame with an
+    // order-sensitive digest — the oracle replays count/bytes/digest
+    // arithmetically, so the construct↔walk↔sample loop is hash-checked
+    "q73_video_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.withSyntheticAvi(docs(s, dir), "doc_id"), stride = 2)
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // int8 embedding quantization: per-vector scale + half-up rounding +
     // reconstruction error, the float32→int8 compression pass before ANN
     // index build / training shipping — fully replayed by the oracle
@@ -501,6 +512,28 @@ object PipelineQueries {
         |  CAST((doc_id * 31) % 10000 AS BIGINT) AS n_samples,
         |  CAST(((doc_id * 31) % 10000) * 1000 // (8000 * (1 + doc_id % 5)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q73_video_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 100 + 1 AS INTEGER) AS width,
+        |    CAST((doc_id * 3) % 100 + 1 AS INTEGER) AS height,
+        |    CAST(doc_id % 7 + 1 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |b AS (SELECT doc_id, width, height, n_frames,
+        |    flatten(list_transform(
+        |      list_filter(generate_series(0, CAST(n_frames AS INTEGER) - 1),
+        |        f -> f % 2 = 0),
+        |      f -> list_transform(generate_series(0, 31),
+        |        j -> (doc_id + f*31 + j*7) % 256))) AS bytes,
+        |    len(list_filter(generate_series(0, CAST(n_frames AS INTEGER) - 1),
+        |      f -> f % 2 = 0)) AS ns
+        |  FROM p)
+        |SELECT doc_id, width, height, n_frames,
+        |  CAST(ns AS BIGINT) AS n_sampled,
+        |  CAST(ns * 32 AS BIGINT) AS sampled_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+        |    (a, x) -> (a * 131 + x) % 1000000007) AS frames_checksum
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q72_audio_decode" ->
       """WITH s AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS channels

@@ -564,6 +564,31 @@ class OpsSpec extends AnyFunSuite {
     assert(bad.sample_rate == -1)
   }
 
+  test("AVI walk + frame sampling: construct↔walk round-trip, stride, garbage") {
+    val frames = Seq.tabulate(5)(f => Array.tabulate(7)(j => (f * 10 + j).toByte))
+    val avi = Multimodal.aviBytes(320, 240, frames)
+    val Some((w, h, n, chunks)) = Multimodal.walkAvi(avi)
+    assert(w == 320 && h == 240 && n == 5 && chunks.length == 5)
+    // offsets point at the exact payloads (odd frame size exercises the pad)
+    chunks.zipWithIndex.foreach { case ((off, size), f) =>
+      assert(size == 7)
+      assert(avi.slice(off, off + size).toSeq == frames(f).toSeq)
+    }
+    assert(Multimodal.walkAvi("definitely not a RIFF".getBytes).isEmpty)
+    assert(Multimodal.walkAvi(Multimodal.wavHeader(8000, 1, 16, 4)).isEmpty) // RIFF but WAVE
+
+    // the Dataset path: stride-2 sampling digests frames 0 and 2 of 4
+    val stats = Multimodal.sampleVideoFrames(
+      Multimodal.withSyntheticAvi(Seq(3L).toDF("doc_id"), "doc_id"), stride = 2)
+      .collect().head // id=3: n_frames = 3%7+1 = 4
+    assert(stats.width == 4 && stats.height == 10 && stats.n_frames == 4)
+    assert(stats.n_sampled == 2 && stats.sampled_bytes == 64)
+    var acc = 0L
+    for (f <- Seq(0, 2); j <- 0 until 32)
+      acc = (acc * 131 + Multimodal.synthFrameByte(3L, f, j)) % 1000000007L
+    assert(stats.frames_checksum == acc)
+  }
+
   test("int8 quantization: hand-computed values, zero-vector guard") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f, 0.5f, 0.0f)),
