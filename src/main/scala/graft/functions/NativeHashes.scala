@@ -100,6 +100,47 @@ object HashImpls {
     acc
   }
 
+  /** One-pass int8-quantization statistics of a float vector, value-
+    * identical to the lambda formulation in
+    * [[graft.ops.Similarity.quantizeInt8]]: scale = max|x|/127, q_i =
+    * floor(x_i/scale + 0.5), and (q_sum, q_min, q_max, q_nonzero,
+    * max|x - q·scale|). Returned as [scale, q_sum, q_min, q_max,
+    * q_nonzero, max_abs_err] struct fields. */
+  def quantizeStats(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var absmax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > absmax) absmax = v
+      i += 1
+    }
+    val scale = absmax / 127.0
+    var qsum = 0L
+    var qmin = 0L
+    var qmax = 0L
+    var nonzero = 0L
+    var err = 0.0
+    if (scale != 0.0 && n > 0) {
+      qmin = Long.MaxValue; qmax = Long.MinValue
+      i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val q = math.floor(x / scale + 0.5).toLong
+        qsum += q
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        if (q != 0L) nonzero += 1
+        val e = math.abs(x - q * scale)
+        if (e > err) err = e
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, qsum, qmin, qmax, nonzero, err))
+  }
+
   /** Sorted-distinct packed char n-grams of `s`: each gram's n code points
     * packed into one long (21 bits per code point — lossless for any
     * Unicode scalar, so the packing is a bijection onto the substring
@@ -269,6 +310,28 @@ case class CharNgramJaccardExpr(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** quantize_stats(vec): one-pass int8-quantization statistics as a struct
+  * (scale, q_sum, q_min, q_max, q_nonzero, max_abs_err) — the codegen'd
+  * twin of the lambda formulation (which stays the cross-validated
+  * spec). Interpreted higher-order lambdas cost ~5 passes with
+  * per-ELEMENT interpreter overhead; this is one JIT loop. */
+case class QuantizeStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_min", LongType, nullable = false),
+    StructField("q_max", LongType, nullable = false),
+    StructField("q_nonzero", LongType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.quantizeStats(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.quantizeStats($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeStatsExpr =
+    copy(child = c)
+}
+
 object NativeHashes {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def char_ngram_jaccard(a: Column, b: Column, n: Int): Column =
@@ -280,5 +343,6 @@ object NativeHashes {
     toCol(ShingleHashesExpr(toExpr(c), k))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductExpr(toExpr(a), toExpr(b)))
+  def quantize_stats(a: Column): Column = toCol(QuantizeStatsExpr(toExpr(a)))
   def simhash32(c: Column): Column = toCol(SimHash32Expr(toExpr(c)))
 }

@@ -166,6 +166,14 @@ object Similarity {
     (scale, q, err)
   }
 
+  /** One-pass codegen'd statistics of [[quantizeInt8]] as a struct
+    * (scale, q_sum, q_min, q_max, q_nonzero, max_abs_err) — the hot path
+    * for quantization SWEEPS (coverage/error audits over a whole corpus);
+    * [[quantizeInt8]]'s lambda form stays the cross-validated spec and
+    * the path that materializes the quantized array itself. */
+  def quantizeInt8Stats(vec: Column): Column =
+    graft.functions.NativeHashes.quantize_stats(vec)
+
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -156,18 +156,19 @@ object PipelineQueries {
 
     // int8 embedding quantization: per-vector scale + half-up rounding +
     // reconstruction error, the float32→int8 compression pass before ANN
-    // index build / training shipping — fully replayed by the oracle
+    // index build / training shipping — fully replayed by the oracle.
+    // Runs the one-pass codegen'd stats expression; the interpreted-lambda
+    // formulation (quantizeInt8) is its cross-validated spec in OpsSpec
     "q71_embed_quantize" -> ((s, dir) => {
-      val (scale, q, err) = Similarity.quantizeInt8(col("embedding"))
+      val st = Similarity.quantizeInt8Stats(col("embedding"))
       emb(s, dir).select(
         col("vec_id"),
-        round(scale, 6).as("scale"),
-        aggregate(q, lit(0L), (a, v) => a + v).as("q_sum"),
-        array_min(q).as("q_min"),
-        array_max(q).as("q_max"),
-        aggregate(q, lit(0L),
-          (a, v) => a + when(v =!= 0L, lit(1L)).otherwise(lit(0L))).as("q_nonzero"),
-        round(err, 6).as("max_abs_err")
+        round(st.getField("scale"), 6).as("scale"),
+        st.getField("q_sum").as("q_sum"),
+        st.getField("q_min").as("q_min"),
+        st.getField("q_max").as("q_max"),
+        st.getField("q_nonzero").as("q_nonzero"),
+        round(st.getField("max_abs_err"), 6).as("max_abs_err")
       ).orderBy(col("vec_id"))
     }),
 

@@ -606,6 +606,27 @@ class OpsSpec extends AnyFunSuite {
     assert(s2 == 0.0 && q2 == Seq(0L, 0L, 0L, 0L) && e2 == 0.0)
   }
 
+  test("native quantize_stats == lambda quantizeInt8 on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val st = Similarity.quantizeInt8Stats(col("embedding"))
+    val native = emb.select(col("vec_id"),
+        st.getField("scale").as("s"), st.getField("q_sum").as("qs"),
+        st.getField("q_min").as("qn"), st.getField("q_max").as("qx"),
+        st.getField("q_nonzero").as("nz"), st.getField("max_abs_err").as("e"))
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val (scale, q, err) = Similarity.quantizeInt8(col("embedding"))
+    val lambda = emb.select(col("vec_id"),
+        scale.as("s"),
+        aggregate(q, lit(0L), (a, v) => a + v).as("qs"),
+        array_min(q).as("qn"), array_max(q).as("qx"),
+        aggregate(q, lit(0L),
+          (a, v) => a + when(v =!= 0L, lit(1L)).otherwise(lit(0L))).as("nz"),
+        err.as("e"))
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(native.length == lambda.length && native.nonEmpty)
+    native.zip(lambda).foreach { case (n, l) => assert(n == l) }
+  }
+
   test("HashImpls matches a hand-computed fold") {
     // "ab" -> ((0*131+97)%P)*131 + 98 = 97*131+98
     assert(HashImpls.polyHash("ab") == 97L * 131 + 98)
