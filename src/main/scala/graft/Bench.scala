@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark over the query catalog.
+  *
+  * Contention-aware since round 7: the round-6 driver artifact showed
+  * per-pass spreads up to 107x on the same query in the same JVM —
+  * machine contention, not plan changes. A bench artifact must carry
+  * enough evidence to DIAGNOSE that from the artifact alone, so each
+  * pass now records
+  *   - a fixed CPU-bound calibration time (same work every pass; any
+  *     spread is the host, not the queries), and
+  *   - /proc/loadavg at pass start.
+  * Passes whose calibration exceeds 2x the best pass are flagged in
+  * `contaminated_passes` — flagged, not silently absorbed, so a noisy
+  * run is visibly noisy rather than quietly wrong.
+  */
 object Bench {
+  /** Fixed CPU-bound probe: ~100M multiply-adds through the same
+    * whole-stage-codegen path the real queries use. Identical work every
+    * time, no IO, so its per-pass time is a pure host-contention meter. */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // mod keeps every intermediate well inside Long under ANSI mode:
+    // id*2654435761 < 2.7e17 and the 1e8-term sum of <1e9 values < 1e17
+    spark.range(0, 100000000L, 1, 8)
+      .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+").take(3).mkString(",")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +51,7 @@ object Bench {
     // untimed warmup: JIT/codegen/session init out of the measurements
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
+      calibrate(spark)
       SparkEntry.queries.get("q02_agg_summary").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     // The materialization/format ROUND-TRIP gate queries (q34-q37) write
@@ -32,7 +67,7 @@ object Bench {
     // r2 and r3 artifacts mis-recorded heavy-tail queries 3-4× this way).
     // Separating the iterations by a full catalog pass makes the two
     // samples independent of any one neighbor.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val names = (SparkEntry.queries -- sinkWriters).keys.toSeq.sorted
     // every pass recorded, not just the min: a min that moves between
     // rounds is unclassifiable (noise vs drift) from a single number,
@@ -40,23 +75,36 @@ object Bench {
     // artifact alone
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (pass <- 1 to passes; name <- names) {
-      val t0 = System.nanoTime()
-      try {
-        // execute the FULL plan: a bare count() lets Catalyst prune every
-        // computed column, so projection-shaped queries (token stats,
-        // hashing, signatures) would time an empty-schema scan instead of
-        // the workload. toRdd runs the query's own physical plan with all
-        // output columns materialized.
-        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        perPass(name) = perPass.getOrElse(name, Nil) :+ dt
-      } catch { case e: Throwable =>
-        // a failure must NOT be recorded as a fast run: log it and mark
-        // the query so the artifact shows -1, excluded from the total
-        failed += name
-        System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
-      } finally graft.ops.Caches.releaseAll()
+    val calib = scala.collection.mutable.ListBuffer.empty[Double]
+    val loads = scala.collection.mutable.ListBuffer.empty[String]
+    for (pass <- 1 to passes) {
+      loads += loadavg()
+      calib += calibrate(spark)
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        try {
+          // execute the FULL plan: a bare count() lets Catalyst prune every
+          // computed column, so projection-shaped queries (token stats,
+          // hashing, signatures) would time an empty-schema scan instead of
+          // the workload. toRdd runs the query's own physical plan with all
+          // output columns materialized.
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          perPass(name) = perPass.getOrElse(name, Nil) :+ dt
+        } catch { case e: Throwable =>
+          // a failure must NOT be recorded as a fast run: log it and mark
+          // the query so the artifact shows -1, excluded from the total
+          failed += name
+          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+        } finally graft.ops.Caches.releaseAll()
+      }
+    }
+    val bestCal = if (calib.nonEmpty) calib.min else 0.0
+    // 1-based pass indices whose calibration ran >2x the best pass: the
+    // same fixed workload taking twice as long means the host was busy
+    // during that pass, so its query times are suspect
+    val contaminated = calib.zipWithIndex.collect {
+      case (c, i) if bestCal > 0 && c > 2 * bestCal => i + 1
     }
     val results = names.map(n =>
       n -> (if (failed(n)) -1.0 else perPass(n).min))
@@ -68,7 +116,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"per_pass":$passJson,"sf":"$sfDir","passes":$passes,"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson}""")
+    val calJson = calib.mkString("[", ",", "]")
+    val loadJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contamJson = contaminated.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"per_pass":$passJson,"sf":"$sfDir","passes":$passes,"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson,"calibration_sec":$calJson,"loadavg":$loadJson,"contaminated_passes":$contamJson}""")
     spark.stop()
   }
 }

@@ -144,10 +144,13 @@ object Calendar {
       case TruncRe(dir, n, units) =>
         val unit = singular(units)
         // digitless = the reference's singular form (`lastweek`,
-        // `nextmonth`): the ADJACENT period in its entirety — not
-        // "this period so far", which is what k=1 of the counted form
-        // (`last1week` = current week to date) means
-        if (n.isEmpty) {
+        // `nextmonth`): the ADJACENT period in its entirety. The counted
+        // form with k=1 is the SAME name in the reference (the count
+        // defaults to 1, calendar.py:266-274), so `last1month` ==
+        // `lastmonth` — users porting cuts must get identical rows for the
+        // two spellings. Counted forms with k>1 are this engine's range
+        // extension: current period to date plus the k-1 before it.
+        if (n.isEmpty || n.toLong == 1L) {
           val shifted = truncate(shift(now, unit, if (dir == "last") -1 else 1), unit, cfg)
           (shifted, shift(shifted, unit, 1).minusSeconds(1))
         } else {

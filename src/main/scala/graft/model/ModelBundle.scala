@@ -19,6 +19,16 @@ object ModelBundle {
   private def parseFile(p: Path): JValue =
     JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
 
+  /** `Files.list` holds a directory handle until closed — materialize and
+    * close eagerly so repeated validate/convert runs don't leak handles. */
+  private def listJsonFiles(dir: Path): Seq[Path] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+    finally stream.close()
+  }
+
   /** Read a model description from a file or a bundle directory.
     * Fail-fast: any unparsable member throws (the programmatic contract —
     * a silently-dropped cube file would be worse than an error). */
@@ -43,13 +53,27 @@ object ModelBundle {
       if (Files.isDirectory(p)) {
         // validate each member independently first, so one bad file does
         // not hide the rest
-        Files.list(p).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.endsWith(".json"))
-          .sortBy(_.getFileName.toString)
+        listJsonFiles(p)
           .foreach { f =>
-            try parseFile(f)
-            catch { case e: Exception =>
-              issues += ValidationIssue("error", "model", Some(f.getFileName.toString),
+            val fname = f.getFileName.toString
+            try {
+              val v = parseFile(f)
+              // a dim_/cube_ member that parses but has no usable name is
+              // skipped by the lenient assembly below — report it here so
+              // the skip is visible in the findings, not silent
+              val prefix = fname.split("_", 2).head
+              if (prefix == "dim" || prefix == "dimension" || prefix == "cube")
+                v match {
+                  case o: JObject => (o \ "name") match {
+                    case JString(_) => ()
+                    case _ => issues += ValidationIssue("error", "model",
+                      Some(fname), None, "member file has no 'name' key; skipped")
+                  }
+                  case _ => issues += ValidationIssue("error", "model",
+                    Some(fname), None, "member file must hold a JSON object; skipped")
+                }
+            } catch { case e: Exception =>
+              issues += ValidationIssue("error", "model", Some(fname),
                 None, s"member file is not valid JSON: ${e.getMessage}")
             }
           }
@@ -93,8 +117,7 @@ object ModelBundle {
         case JString(s) => Some(s)
         case _          => None
       }}.flatten.toSet
-    val files = Files.list(dir).iterator().asScala.toSeq
-      .filter(f => f.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    val files = listJsonFiles(dir)
     files.foreach { f =>
       val fname = f.getFileName.toString
       val prefix = fname.split("_", 2).head
@@ -109,18 +132,25 @@ object ModelBundle {
       def parsed(): Option[JObject] =
         if (!skipBad) Some(objIn(parseFile(f)))
         else try Some(objIn(parseFile(f))) catch { case _: Exception => None }
+      // in skipBad mode a member that PARSES but lacks/duplicates a name
+      // must also become a skip: readLenient has one shot at assembling
+      // the metadata, and a throw here would discard the whole assembly
+      // and silence semantic validation of every healthy member
+      def checked(body: => Unit): Unit =
+        if (!skipBad) body
+        else try body catch { case _: Exception => () }
       if (prefix == "dim" || prefix == "dimension") {
-        parsed().foreach { o =>
+        parsed().foreach { o => checked {
           val n = nameIn(o)
           require(!names(dims).contains(n), s"Dimension '$n' defined multiple times (in '$f')")
           dims = dims :+ o
-        }
+        }}
       } else if (prefix == "cube") {
-        parsed().foreach { o =>
+        parsed().foreach { o => checked {
           val n = nameIn(o)
           require(!names(cubes).contains(n), s"Cube '$n' defined multiple times (in '$f')")
           cubes = cubes :+ o
-        }
+        }}
       }
     }
     val rest = base.obj.filterNot(kv => kv._1 == "dimensions" || kv._1 == "cubes")
@@ -142,9 +172,7 @@ object ModelBundle {
       require(replace, "Target already exists. Remove it or force replacement.")
       // delete the old bundle's json files only — not a recursive rm of an
       // arbitrary directory the user mistyped
-      Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
-        .foreach(Files.delete)
+      listJsonFiles(dir).foreach(Files.delete)
     } else Files.createDirectories(dir)
 
     def write(p: Path, v: JValue): Unit =

@@ -225,7 +225,11 @@ object Multimodal {
       if (next <= i || next > Int.MaxValue) i = b.length
       else i = next.toInt
     }
-    if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) None
+    // sub-byte widths (4-bit IMA ADPCM is a real-world format) would make
+    // the block divisor 0 — that's a "can't count samples" sentinel, not
+    // an ArithmeticException killing the task
+    if (rate <= 0 || channels <= 0 || bits < 8 || bits % 8 != 0 ||
+      dataBytes < 0) None
     else Some((rate, channels, bits, dataBytes / (channels * (bits / 8))))
   }
 
@@ -287,6 +291,16 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(media))
         val fmt = in.getFormat
+        // the sample loop below reads exactly 1 or 2 bytes per sample:
+        // 24/32-bit or float frames would be mis-read as 16-bit and u-law/
+        // a-law bytes treated as linear PCM — silently wrong stats. Only
+        // linear PCM at 8/16 bits is in scope; everything else is the
+        // documented "did not decode" sentinel.
+        val enc = fmt.getEncoding
+        val pcmOk = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16)
+        if (!pcmOk) { in.close(); return None }
         val data = in.readAllBytes()
         in.close()
         val channels = fmt.getChannels
@@ -413,7 +427,12 @@ object Multimodal {
     if (b.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
     var width = -1; var height = -1; var nFrames = -1L
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(from: Int, to: Int): Unit = {
+    // real AVI nesting is ~3 LIST levels (hdrl→strl, movi→rec); a crafted
+    // file with thousands of nested 12-byte LISTs must hit this bound and
+    // stop, not StackOverflowError the executor task
+    val maxDepth = 16
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > maxDepth) return
       var i = from
       while (i + 8 <= to) {
         val id = fourcc(i)
@@ -421,7 +440,7 @@ object Multimodal {
         val next = i.toLong + 8 + size + (size & 1)
         if (next <= i || next > to) return // corrupt size: stop the walk
         if (id == "LIST" && i + 12 <= to) {
-          walk(i + 12, next.toInt) // descend into hdrl/movi/strl
+          walk(i + 12, next.toInt, depth + 1) // descend into hdrl/movi/strl
         } else if (id == "avih" && i + 8 + 40 <= to) {
           nFrames = le32(i + 8 + 16) // dwTotalFrames
           width = le32(i + 8 + 32).toInt // dwWidth
@@ -433,7 +452,7 @@ object Multimodal {
         i = next.toInt
       }
     }
-    walk(12, b.length)
+    walk(12, b.length, 0)
     if (width < 0 || nFrames < 0) None
     else Some((width, height, nFrames, frames.toSeq))
   }

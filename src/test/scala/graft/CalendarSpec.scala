@@ -81,13 +81,17 @@ class CalendarSpec extends AnyFunSuite {
       Seq(2011, 10, 1, 0))
     assert(Calendar.path(Calendar.namedTruncatedTime("lastyear", d2), units) ==
       Seq(2011, 1, 1, 0))
-    // cut semantics: a digitless name is the ADJACENT period in full —
-    // distinct from last1month (= current month so far)
+    // cut semantics: a digitless name is the ADJACENT period in full, and
+    // `last1month` is the SAME name (the reference's count defaults to 1,
+    // calendar.py:266-274) — identical rows for the two spellings
     val (f, t) = Calendar.namedRange("lastmonth", d2)
     assert(f == LocalDateTime.of(2012, 2, 1, 0, 0))
     assert(t == LocalDateTime.of(2012, 2, 29, 23, 59, 59)) // leap February
     val (f1, t1) = Calendar.namedRange("last1month", d2)
-    assert(f1 == LocalDateTime.of(2012, 3, 1, 0, 0) && t1 == d2)
+    assert((f1, t1) == ((f, t)))
+    // counted k>1 stays the range extension: current month so far + k-1
+    val (f2w, t2w) = Calendar.namedRange("last2months", d2)
+    assert(f2w == LocalDateTime.of(2012, 2, 1, 0, 0) && t2w == d2)
     val (fn, tn) = Calendar.namedRange("nextweek", d2) // 2012-03-12 is a Monday
     assert(fn == LocalDateTime.of(2012, 3, 19, 0, 0))
     assert(tn == LocalDateTime.of(2012, 3, 25, 23, 59, 59))

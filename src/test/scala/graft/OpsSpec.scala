@@ -527,6 +527,14 @@ class OpsSpec extends AnyFunSuite {
     // not audio
     assert(Multimodal.sniffWav("not audio at all, nope".getBytes).isEmpty)
     assert(Multimodal.sniffWav(Multimodal.pngHeader(2, 2)).isEmpty)
+    // sub-byte sample width (4-bit IMA ADPCM exists in the wild): the
+    // sample-count divisor would be 0 — sentinel, not ArithmeticException
+    val adpcm = Multimodal.wavHeader(8000, 1, 16, 10L)
+    val ab = java.nio.ByteBuffer.wrap(adpcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ab.putShort(34, 4.toShort) // bits_per_sample = 4
+    assert(Multimodal.sniffWav(adpcm).isEmpty)
+    ab.putShort(34, 12.toShort) // non-whole-byte width
+    assert(Multimodal.sniffWav(adpcm).isEmpty)
     // the batched Dataset path carries the sentinel row through
     val media = Seq(
       Multimodal.MediaRecord(1L, canonical, "wav", 44L),
@@ -562,6 +570,23 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.MediaRecord(9L, "not audio".getBytes, "txt", 9L)).toDS())
       .collect().head
     assert(bad.sample_rate == -1)
+    // 24/32-bit and float WAVs are out of the 8/16-bit linear-PCM scope:
+    // sentinel (None), never silently-wrong stats read 2 bytes at a time
+    def wavWith(bits: Int, fmtCode: Short): Array[Byte] = {
+      val blockAlign = bits / 8
+      val dataBytes = 4 * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmtCode).putShort(1)
+        .putInt(8000).putInt(8000 * blockAlign).putShort(blockAlign.toShort)
+        .putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(dataBytes)
+      bb.array()
+    }
+    assert(Multimodal.AudioCodec.decodePcm(wavWith(24, 1)).isEmpty)
+    assert(Multimodal.AudioCodec.decodePcm(wavWith(32, 1)).isEmpty)
+    assert(Multimodal.AudioCodec.decodePcm(wavWith(32, 3)).isEmpty) // IEEE float
   }
 
   test("AVI walk + frame sampling: construct↔walk round-trip, stride, garbage") {
@@ -576,6 +601,16 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(Multimodal.walkAvi("definitely not a RIFF".getBytes).isEmpty)
     assert(Multimodal.walkAvi(Multimodal.wavHeader(8000, 1, 16, 4)).isEmpty) // RIFF but WAVE
+    // a crafted file of deeply nested LIST chunks hits the depth bound and
+    // returns the sentinel instead of StackOverflowError-ing the task
+    val depth = 100000 // would overflow an unbounded recursive walk
+    val nested = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nested.put("RIFF".getBytes).putInt(4 + depth * 12).put("AVI ".getBytes)
+    for (d <- depth to 1 by -1) {
+      nested.put("LIST".getBytes).putInt(4 + (d - 1) * 12).put("nest".getBytes)
+    }
+    assert(Multimodal.walkAvi(nested.array()).isEmpty)
 
     // the Dataset path: stride-2 sampling digests frames 0 and 2 of 4
     val stats = Multimodal.sampleVideoFrames(
