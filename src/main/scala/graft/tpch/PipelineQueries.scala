@@ -94,11 +94,41 @@ object PipelineQueries {
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LSH-bucketed ANN: the full pipeline — sign-bit bucketing, hamming-1
+    // multiprobe, bucket join, rank — is replayed by the oracle (the
+    // hyperplanes are deterministic axis planes, so the bucket assignment
+    // is engine-independent), and each row also carries recall@k against
+    // the q45 brute-force twin as oracle-replayable evidence of the
+    // approximation's quality
+    "q74_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", 3, bits = 8)
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      val hits = lsh.select(col("query_id"), col("neighbor_id"))
+        .join(bf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      lsh.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(3.0), 6).as("recall_at_k"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // language-ID heuristic (stopword argmax)
     "q47_langid" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_pred")
+      ).orderBy(col("doc_id"))),
+
+    // production language-ID: the full ~60×11 word lists through the same
+    // codegen'd argmax — oracle-inlined verbatim, so the production lists
+    // themselves are now part of the verified contract
+    "q76_langid_full" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.languageIdFull(col("text")).as("lang_pred_full")
       ).orderBy(col("doc_id"))),
 
     // quality scoring features + composite score
@@ -326,19 +356,30 @@ object PipelineQueries {
 
   // ----------------------------------------------------------------------
 
-  private val langCase: String = {
-    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
-      val inList = words.map(w => s"'$w'").mkString(", ")
+  /** DuckDB replay of the stopword-argmax language ID for any word-list
+    * set: per-language hit counts, GREATEST, first-in-list-order tie
+    * break — the same semantics as `LangIdExpr`/`LangIdFullExpr`. */
+  private def langCaseFor(lists: Seq[(String, Seq[String])], outCol: String): String = {
+    val scores = lists.map { case (lang, words) =>
+      val inList = words.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
       lang -> s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ($inList)))"
     }
     val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
     val whens = scores.map { case (lang, sc) =>
       s"WHEN $sc = best THEN '$lang'"
     }.mkString(" ")
-    s"""SELECT doc_id, CASE WHEN best = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
+    s"""SELECT doc_id, CASE WHEN best = 0 THEN 'und' $whens ELSE 'und' END AS $outCol
        |FROM (SELECT doc_id, text, $best AS best FROM documents) t
        |ORDER BY doc_id""".stripMargin
   }
+
+  private val langCase: String = langCaseFor(TextAnalysis.stopwords, "lang_pred")
+
+  /** q76: the PRODUCTION ~60-word × 11-language lists replayed verbatim —
+    * the full lists are string literals, so the oracle inlines them into
+    * the same argmax mechanism q47 pins for the 8-word lists. */
+  private val langCaseFull: String =
+    langCaseFor(graft.functions.TextImpls.fullStopwords, "lang_pred_full")
 
   private val simhashSql: String = {
     val th = s"list_transform(regexp_split_to_array(lower(text), '\\s+'), " +
@@ -368,6 +409,47 @@ object PipelineQueries {
     }.mkString(",\n  ")
     s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents)
        |SELECT doc_id, $cols FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of the whole lshTopK pipeline (bits=8, hamming-1
+    * multiprobe, k=3, queries vec_id&lt;10) + recall@3 vs brute force. */
+  private val lshAnnSql: String = {
+    val bucket = (0 until 8).map { i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = (0L +: (0 until 8).map(1L << _)).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+       |    FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS sig
+       |    FROM e WHERE vec_id < 10),
+       |probes AS (SELECT query_id, qv, xor(sig, CAST(m AS BIGINT)) AS bucket
+       |    FROM q CROSS JOIN (SELECT unnest([$masks]) AS m)),
+       |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    ${dcosine("p.qv", "c.embedding")} AS cos_raw
+       |  FROM probes p JOIN e c ON p.bucket = c.bucket
+       |  WHERE p.query_id <> c.vec_id),
+       |lshk AS (SELECT * FROM (
+       |    SELECT query_id, neighbor_id, cos_raw,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 3),
+       |bscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${dcosine("q.qv", "c.embedding")} AS cos_raw
+       |  FROM q, e c WHERE q.query_id <> c.vec_id),
+       |bk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |    FROM bscored) WHERE rank <= 3),
+       |hits AS (SELECT l.query_id, COUNT(*) AS n_hit
+       |  FROM lshk l JOIN bk b
+       |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+       |  GROUP BY l.query_id)
+       |SELECT l.query_id, l.neighbor_id, ROUND(l.cos_raw, 6) AS cosine,
+       |  CAST(l.rank AS INTEGER) AS rank,
+       |  ROUND(COALESCE(h.n_hit, 0) / 3.0, 6) AS recall_at_k
+       |FROM lshk l LEFT JOIN hits h ON l.query_id = h.query_id
+       |ORDER BY l.query_id, l.rank""".stripMargin
   }
 
   private def annSqlFor(maxQid: Int, k: Int): String =
@@ -440,8 +522,10 @@ object PipelineQueries {
     "q53_ann_ivf" -> annSqlFor(5, 3),
     "q44_minhash_sig" -> minhashSql,
     "q45_ann_topk" -> annSqlFor(10, 3),
+    "q74_ann_lsh" -> lshAnnSql,
     "q46_embedding_neardup" -> nearDupSql,
     "q47_langid" -> langCase,
+    "q76_langid_full" -> langCaseFull,
     "q48_quality" -> qualitySql,
 
     "q60_repetition" ->

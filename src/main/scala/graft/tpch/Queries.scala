@@ -466,6 +466,15 @@ object Queries {
       r.cells.agg(count(lit(1)).as("total_cells"))
     }),
 
+    // J5: compound join key — the partsupp dimension joins the fact on
+    // (l_partkey, l_suppkey); neither column alone is unique, so a join
+    // that lost one key column would fan out and break the hash
+    "q75_compound_join_key" -> ((s, dir) =>
+      TpchModel.compoundBrowser(s, dir).aggregate(
+        drilldown = Seq("partsupp:brand"),
+        aggregates = Seq("fact_count", "quantity_sum", "ps_suppliers")
+      ).cells),
+
     // second cube: the events fact browsed through the same OLAP verbs
     "q31_events_cube" -> ((s, dir) =>
       EventsModel.browser(s, dir).aggregate(
@@ -667,6 +676,21 @@ object Queries {
       s"""SELECT p_brand AS "part.brand",
          |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum
          |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q75_compound_join_key" ->
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS ps_partkey,
+         |    l_suppkey AS ps_suppkey FROM lineitem),
+         |psd AS (SELECT ps_partkey, ps_suppkey, p_brand AS ps_brand
+         |  FROM pairs
+         |  JOIN part ON ps_partkey = p_partkey
+         |  JOIN supplier ON ps_suppkey = s_suppkey)
+         |SELECT psd.ps_brand AS "partsupp.brand",
+         |  COUNT(1) AS fact_count, ${dsum("l_quantity")} AS quantity_sum,
+         |  COUNT(DISTINCT psd.ps_suppkey) AS ps_suppliers
+         |FROM lineitem l
+         |JOIN psd ON l.l_partkey = psd.ps_partkey
+         |  AND l.l_suppkey = psd.ps_suppkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_null_agg_filter" ->

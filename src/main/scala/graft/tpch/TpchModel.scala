@@ -227,4 +227,62 @@ object TpchModel {
   def cubeWithJoinMethod(table: String, method: String): Cube =
     cube.copy(joins = cube.joins.map(j =>
       if (j.detailTable == table && j.alias.isEmpty) j.copy(method = method) else j))
+
+  // --------------------------------------------------- compound join key (J5)
+
+  /** J5: a dimension keyed on a TWO-column key (partkey, suppkey) — the
+    * TPC-H partsupp relationship, built as a table EXPRESSION (S2) since
+    * the testdata ships no partsupp.parquet: distinct (l_partkey,
+    * l_suppkey) pairs enriched with part brand + supplier name. Neither
+    * column alone is unique (each part has ~4 suppliers and vice versa),
+    * so a join that dropped one key column would fan out and the q75 hash
+    * gate would catch it (reference compound keys:
+    * `cubes/sql/query.py:266-274,749-776`). */
+  val partsuppDim: Dimension = Dimension(
+    "partsupp",
+    levels = Seq(
+      lvl("partsupp", "brand", "brand" -> false),
+      Level("partsupp",
+        Seq(Attribute("partkey", Some("partsupp")),
+          Attribute("suppkey", Some("partsupp")),
+          Attribute("suppname", Some("partsupp"))))
+    )
+  )
+
+  val compoundCube: Cube = cube.copy(
+    name = "sales_partsupp",
+    dimensions = cube.dimensions :+ partsuppDim,
+    aggregates = cube.aggregates :+ MeasureAggregate("ps_suppliers",
+      function = Some("count_distinct"), measure = Some("partsupp.suppkey")),
+    joins = cube.joins :+ JoinSpec(
+      "lineitem", Seq("l_partkey", "l_suppkey"),
+      "partsupp", Seq("ps_partkey", "ps_suppkey"),
+      // verified: the pairs are EXACTLY lineitem's distinct pairs, so the
+      // compound FK is non-null, present, and the detail key unique
+      integrity = Some("verified")),
+    mappings = cube.mappings ++ Map(
+      "partsupp.brand" -> PhysicalRef("partsupp", "ps_brand"),
+      "partsupp.partkey" -> PhysicalRef("partsupp", "ps_partkey"),
+      "partsupp.suppkey" -> PhysicalRef("partsupp", "ps_suppkey"),
+      "partsupp.suppname" -> PhysicalRef("partsupp", "ps_suppname"))
+  )
+
+  /** The partsupp table expression backing [[compoundCube]]. */
+  def partsuppTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = tables(spark, sfDir)
+    t("lineitem")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .join(t("part"), col("ps_partkey") === col("p_partkey"))
+      .join(t("supplier"), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        col("p_brand").as("ps_brand"), col("s_name").as("ps_suppname"))
+  }
+
+  def compoundBrowser(spark: SparkSession, sfDir: String): Browser = {
+    val t = tables(spark, sfDir) + ("partsupp" -> partsuppTable(spark, sfDir))
+    new Browser(compoundCube,
+      new StarSchema(compoundCube, t("lineitem"), t), spark)
+  }
 }
