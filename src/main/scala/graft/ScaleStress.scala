@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Caches, Corpus, Dedup, TextAnalysis}
+import graft.ops.{Caches, Corpus, Dedup, Multimodal, TextAnalysis}
 
 /** One-order-of-magnitude scale stress for the dedup/CC path and the
   * corpus-preparation ops (the 100 TB arguments are plan-shape arguments;
@@ -99,7 +99,7 @@ object ScaleStress {
       * is data-size-invariant (same joins, same aggregates, no strategy
       * flip). Parsed from the plan string because the AQE wrapper hides its
       * current plan from TreeNode traversal. */
-    def sig(df: DataFrame): String = {
+    def sig(df: org.apache.spark.sql.Dataset[_]): String = {
       val planStr = df.queryExecution.executedPlan.toString
       val marker = if (planStr.contains("isFinalPlan=true")) "final;" else "INITIAL;"
       val names = planStr
@@ -166,6 +166,21 @@ object ScaleStress {
           col("doc_id") +: counts.map { case (n, c) => c.cast("long").as(n) } :+
             red.as("text"): _*)
         (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q69 shape: real PNG encode→ImageIO decode→stats — the media-tier
+      // claim under test is "linear CPU, no shuffle": the plan must stay
+      // exchange-free and wall must grow ~linearly with the corpus
+      timed(scale, "image_decode") {
+        val st = Multimodal.decodeImageStats(
+          Multimodal.withSyntheticImage(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
+      // q72 shape: WAV PCM construct→javax.sound decode→stats — same
+      // linear-CPU/no-shuffle claim for the audio tier
+      timed(scale, "audio_decode") {
+        val st = Multimodal.decodeAudioStats(
+          Multimodal.withSyntheticWavPcm(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
       }
     }
 

@@ -338,6 +338,23 @@ final case class Cube(
   def attribute(ref: String): Attribute =
     allAttributes.getOrElse(ref,
       throw new IllegalArgumentException(s"no attribute '$ref' in cube '${this.name}'"))
+
+  /** Clone pointed at a materialized denormalized table: joins dropped,
+    * every attribute/measure/detail ref mapped to the bare column named by
+    * the ref itself — the layout
+    * [[graft.materialize.Materialize.denormalized]] writes (reference
+    * `is_denormalized`/`use_denormalization` browser option →
+    * `DenormalizedMapper`, `sql/browser.py:156-159`,
+    * `sql/mapper.py:269-276`). Base columns referenced only through
+    * derived expressions need no explicit mapping: a dot-free ref falls
+    * through to an implicit fact-table mapping, and the denormalized sink
+    * materializes those dependency columns too. */
+  def denormalizedClone(table: String,
+      keyCol: String = "__fact_key__"): Cube = copy(
+    factTable = table,
+    joins = Nil,
+    mappings = allAttributes.keys.map(r => r -> PhysicalRef(table, r)).toMap,
+    keyColumn = Some(keyCol))
 }
 
 object Cube {

@@ -32,6 +32,37 @@ final case class ValidationIssue(
   * cyclic expressions. */
 object ModelValidator {
 
+  /** Property allowlists mirroring the reference JSON Schemas'
+    * `additionalProperties: false` (`cubes/schemas/model.json`,
+    * `cube.json`, `dimension.json`) plus graft's documented extensions
+    * (attribute `expression`/`extract`/`function` mapping hooks,
+    * measure/aggregate `window_size`, cube-level `nonadditive` default,
+    * the `hierarchy` shortcut). Measure/aggregate/detail ITEM properties
+    * are deliberately not restricted: the reference cube schema's item
+    * constraints are spelled `anyof`/`allof`/`additionalproperties`
+    * (not valid JSON-Schema keywords), so the reference validator never
+    * enforces them either — parity means not inventing stricter rules. */
+  private val ModelProps = Set("name", "label", "description", "info",
+    "provider", "browser_options", "cubes", "dimensions", "schema", "store",
+    "mappings", "joins")
+  private val CubeProps = Set("name", "label", "description", "category",
+    "info", "fact", "key", "store", "browser_options", "measures",
+    "aggregates", "details", "implicit_aggregates", "dimensions",
+    "hierarchies", "mappings", "joins", "nonadditive")
+  private val DimensionProps = Set("name", "label", "template",
+    "description", "info", "role", "nonadditive", "cardinality", "levels",
+    "attributes", "hierarchies", "hierarchy", "default_hierarchy_name",
+    "key", "label_attribute", "order_attribute")
+  private val LevelProps = Set("name", "label", "description", "info",
+    "role", "cardinality", "key", "label_attribute", "order_attribute",
+    "attributes", "order")
+  private val HierarchyProps = Set("name", "label", "description", "info",
+    "levels")
+  private val AttributeProps = Set("name", "label", "description", "info",
+    "format", "order", "missing_value", "locales", "expression", "extract",
+    "function")
+  private val Cardinalities = Set("tiny", "low", "medium", "high")
+
   def validateString(json: String): Seq[ValidationIssue] = {
     val root =
       try JsonMethods.parse(json)
@@ -62,6 +93,53 @@ object ModelValidator {
       case _          => None
     }
 
+    /** `additionalProperties: false` of the reference schemas, as
+      * collected findings instead of jsonschema exceptions. */
+    def unknownProps(scope: String, obj: Option[String], o: JObject,
+        allowed: Set[String], where: Option[String] = None): Unit =
+      o.obj.map(_._1).filterNot(allowed).foreach(k =>
+        err(scope, obj, where.orElse(Some(k)), s"unknown property '$k'"))
+
+    def checkCardinality(scope: String, obj: Option[String], o: JObject,
+        where: String): Unit = (o \ "cardinality") match {
+      case JNothing                       => ()
+      case JString(c) if Cardinalities(c) => ()
+      case JString(c) => err(scope, obj, Some(where),
+        s"cardinality must be one of tiny/low/medium/high, got '$c'")
+      case _ => err(scope, obj, Some(where), "'cardinality' must be a string")
+    }
+
+    def checkOrder(scope: String, obj: Option[String], o: JObject,
+        where: String): Unit =
+      str(o, "order").filterNot(v => v == "asc" || v == "desc").foreach(v =>
+        err(scope, obj, Some(where), s"order must be 'asc' or 'desc', got '$v'"))
+
+    /** Attribute-object checks of the reference attribute schema: `name`
+      * required, property allowlist, `order` enum, `locales` array of
+      * strings, `missing_value` scalar. */
+    def checkAttribute(a: JObject, scope: String, obj: Option[String],
+        where: String): Unit = {
+      val label = str(a, "name").map(n => s"attribute '$n'").getOrElse(where)
+      if (str(a, "name").isEmpty)
+        err(scope, obj, Some(where), "attribute without a name")
+      unknownProps(scope, obj, a, AttributeProps, Some(label))
+      checkOrder(scope, obj, a, label)
+      (a \ "locales") match {
+        case JNothing   => ()
+        case JArray(ls) =>
+          if (!ls.forall(_.isInstanceOf[JString]))
+            err(scope, obj, Some(label), "'locales' must be an array of strings")
+        case _ => err(scope, obj, Some(label),
+          "'locales' must be an array of strings")
+      }
+      (a \ "missing_value") match {
+        case JNothing | JNull | _: JString | _: JInt | _: JLong |
+             _: JDouble | _: JDecimal | _: JBool => ()
+        case _ => err(scope, obj, Some(label),
+          "'missing_value' must be a string, number, boolean or null")
+      }
+    }
+
     // ----------------------------------------------------------- model scope
     val dimsRaw: Seq[JValue] = (root \ "dimensions") match {
       case JArray(ds) => ds
@@ -76,6 +154,22 @@ object ModelValidator {
       case _ =>
         err("model", None, Some("cubes"), "'cubes' must be an array")
         Nil
+    }
+
+    unknownProps("model", None, root, ModelProps)
+    Seq("name", "label", "description", "provider", "schema", "store")
+      .foreach(k => (root \ k) match {
+        case JNothing | _: JString => ()
+        case _ => err("model", None, Some(k), s"'$k' must be a string")
+      })
+    Seq("info", "browser_options", "mappings").foreach(k =>
+      (root \ k) match {
+        case JNothing | _: JObject => ()
+        case _ => err("model", None, Some(k), s"'$k' must be an object")
+      })
+    (root \ "joins") match {
+      case JNothing | _: JArray => ()
+      case _ => err("model", None, Some("joins"), "'joins' must be an array")
     }
 
     dimsRaw.foreach {
@@ -107,6 +201,18 @@ object ModelValidator {
       if (str(o, "default_hierarchy_name").isEmpty && scope == "dimension")
         dflt(scope, name, None,
           "No default hierarchy name specified, using first one")
+      checkCardinality(scope, name, o, "cardinality")
+      attrs match {
+        case JArray(as) => as.foreach {
+          case a: JObject => checkAttribute(a, scope, name, "attributes")
+          case _: JString => ()
+          case _ => err(scope, name, Some("attributes"),
+            "attribute must be a string or an object")
+        }
+        case JNothing => ()
+        case _ =>
+          err(scope, name, Some("attributes"), "'attributes' must be an array")
+      }
 
       val levelNames: Seq[String] = levels match {
         case JArray(ls) => ls.zipWithIndex.flatMap {
@@ -115,20 +221,24 @@ object ModelValidator {
             val ln = str(l, "name")
             if (ln.isEmpty)
               err(scope, name, Some(s"levels[$i]"), "level without a name")
-            // attribute "order" must be asc/desc (reference natural-order
-            // vocabulary); anything else silently sorts wrong at browse
+            val lWhere = ln.map(n => s"level '$n'").getOrElse(s"levels[$i]")
+            unknownProps(scope, name, l, LevelProps, Some(lWhere))
+            checkCardinality(scope, name, l, lWhere)
+            // level/attribute "order" must be asc/desc (reference
+            // natural-order vocabulary); anything else silently sorts
+            // wrong at browse
+            checkOrder(scope, name, l, lWhere)
             (l \ "attributes") match {
               case JArray(as) => as.foreach {
                 case a: JObject =>
-                  str(a, "order").filterNot(o =>
-                    o == "asc" || o == "desc").foreach(o =>
-                    err(scope, name,
-                      str(a, "name").map(an => s"attribute '$an'")
-                        .orElse(Some(s"levels[$i]")),
-                      s"order must be 'asc' or 'desc', got '$o'"))
-                case _ => ()
+                  checkAttribute(a, scope, name, s"$lWhere.attributes")
+                case _: JString => ()
+                case _ => err(scope, name, Some(s"$lWhere.attributes"),
+                  "attribute must be a string or an object")
               }
-              case _ => ()
+              case JNothing => ()
+              case _ => err(scope, name, Some(lWhere),
+                "'attributes' must be an array")
             }
             ln
           case (_, i) =>
@@ -160,9 +270,21 @@ object ModelValidator {
         case JArray(hs) => hs.flatMap {
           case h: JObject =>
             val hn = str(h, "name").getOrElse("default")
+            if (str(h, "name").isEmpty)
+              err(scope, name, Some("hierarchies"), "hierarchy without a name")
+            unknownProps(scope, name, h, HierarchyProps,
+              Some(s"hierarchy '$hn'"))
             val hLevels = (h \ "levels") match {
-              case JArray(xs) => xs.collect { case JString(s) => s }
-              case _          => Nil
+              case JArray(xs) =>
+                if (!xs.forall(_.isInstanceOf[JString]))
+                  err(scope, name, Some(s"hierarchy '$hn'"),
+                    "'levels' must be an array of level names")
+                xs.collect { case JString(s) => s }
+              case JNothing => Nil
+              case _ =>
+                err(scope, name, Some(s"hierarchy '$hn'"),
+                  "'levels' must be an array of level names")
+                Nil
             }
             // a templated dimension may inherit its level set; only check
             // hierarchy/level consistency when levels are declared here
@@ -218,6 +340,7 @@ object ModelValidator {
       val name = str(o, "name")
       if (name.isEmpty)
         err("dimension", None, Some("name"), "dimension without a name")
+      unknownProps("dimension", name, o, DimensionProps)
       name.foreach(n => checkTemplateChain(n, o))
       checkDimensionBody(o, name, "dimension")
     }
@@ -237,6 +360,12 @@ object ModelValidator {
       val cubeName = str(c, "name")
       if (cubeName.isEmpty)
         err("cube", None, Some("name"), "cube without a name")
+      unknownProps("cube", cubeName, c, CubeProps)
+      (c \ "implicit_aggregates") match {
+        case JNothing | _: JBool => ()
+        case _ => err("cube", cubeName, Some("implicit_aggregates"),
+          "'implicit_aggregates' must be a boolean")
+      }
 
       // dimension references / inline dimensions
       (c \ "dimensions") match {

@@ -165,7 +165,10 @@ final class StarSchema(
 
     def prefixed(df: DataFrame, alias: String): DataFrame = {
       val cols = needed.getOrElse(alias, scala.collection.mutable.Set.empty).toSeq.sorted
-      df.select(cols.map(c => col(c).as(qual(alias, c))): _*)
+      // backticked: a denormalized table's columns are named by attribute
+      // REF ("cat.key"), and a bare col("cat.key") would parse as a
+      // struct-field access
+      df.select(cols.map(c => col(s"`$c`").as(qual(alias, c))): _*)
     }
 
     var starDf = prefixed(factDf, cube.factTable)

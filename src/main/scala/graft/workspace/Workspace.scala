@@ -115,6 +115,21 @@ final class Workspace(val spark: SparkSession) {
     case None    => cubeNames
   }
 
+  // cube name -> registered table holding its materialized denormalized
+  // star (reference browser option `is_denormalized`/`use_denormalization`,
+  // `sql/browser.py:156-159`)
+  private val denormTables = scala.collection.mutable.Map.empty[String, String]
+
+  /** Point a cube's browser at a materialized denormalized table (written
+    * by [[graft.materialize.Materialize.writeDenormalized]] and registered
+    * with [[registerTable]]): browsing skips the fold-joins entirely —
+    * every attribute is the bare column named by its ref. The Spark
+    * analogue of the reference's `DenormalizedMapper` switch
+    * (`sql/mapper.py:269-276`). */
+  def useDenormalized(cubeName: String, table: String): this.type = {
+    denormTables(cubeName) = table; this
+  }
+
   /** Browser for a cube (cached; reference builds mapper+star once per
     * browser, `sql/browser.py:102-190`). */
   def browser(cubeName: String, restriction: Cell = Cell.empty,
@@ -124,9 +139,17 @@ final class Workspace(val spark: SparkSession) {
     // request; getOrElseUpdate on a mutable map is not atomic. Browser
     // construction is cheap (plans stay lazy), so the lock is uncontended
     browsers.synchronized(browsers.getOrElseUpdate(
-      s"$cubeName/${restriction.toCutString}/$locale/$hierarchyLimits", {
-      val c = cube(cubeName)
+      s"$cubeName/${restriction.toCutString}/$locale/$hierarchyLimits/" +
+        denormTables.get(cubeName), {
+      val c0 = cube(cubeName)
       val visible = tablesFor(cubeName)
+      val c = denormTables.get(cubeName) match {
+        case Some(t) =>
+          require(visible.contains(t),
+            s"denormalized table '$t' for cube '$cubeName' is not registered")
+          c0.denormalizedClone(t)
+        case None => c0
+      }
       val fact = visible.getOrElse(c.factTable,
         throw new IllegalArgumentException(s"no table '${c.factTable}' registered"))
       new Browser(c, new StarSchema(c, fact, visible), spark,

@@ -372,4 +372,42 @@ class BrowserSpec extends AnyFunSuite {
     val ok = cubeWith(Seq(Measure("b", expression = Some("amount + 1"))))
     assert(ok.projectedFrame(Seq("b")).columns.contains("b"))
   }
+
+  test("denormalized browsing: join-free plan, identical results to the star path") {
+    // reference is_denormalized/use_denormalization browser option
+    // (sql/browser.py:156-159 → DenormalizedMapper, mapper.py:269-276):
+    // the browser reads a materialized denormalized table with bare-column
+    // mappings and never joins
+    import graft.workspace.Workspace
+    import graft.materialize.Materialize
+
+    val ws = new Workspace(spark)
+      .registerCube(starCube(JoinMethod.Match))
+      .registerTable("sales", salesDf)
+      .registerTable("category", catDf)
+    val star = ws.browser("sales")
+    val q01 = (b: Browser) => b.aggregate(
+      cell = Cell(PointCut("date", Seq("2010"), invert = true)),
+      drilldown = Seq("cat"), aggregates = Seq("qty_sum", "n"),
+      order = Seq("cat.key" -> None))
+    val starRows = q01(star).cells.collect().toSeq
+
+    // materialize the denormalized star and flip the cube over to it
+    val dir = java.nio.file.Files.createTempDirectory("graft-denorm").toString
+    Materialize.writeDenormalized(star, dir)
+    ws.registerTable("sales_denorm", spark.read.parquet(dir))
+      .useDenormalized("sales", "sales_denorm")
+    val denorm = ws.browser("sales")
+
+    // identical result rows (same schema, same values, same order)
+    val denormResult = q01(denorm).cells
+    assert(denormResult.collect().toSeq == starRows)
+    // and a genuinely join-free physical plan — the whole point
+    val plan = denormResult.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // facts() and fact-by-key run join-free against the same table too
+    assert(denorm.fact(3L).collect().length == 1)
+    val factsPlan = denorm.facts(Cell.empty).queryExecution.executedPlan.toString
+    assert(!factsPlan.contains("Join"), factsPlan)
+  }
 }

@@ -279,6 +279,134 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(ModelValidator.validateString("[1,2]").head.severity == "error")
   }
 
+  test("validator parity: every reference finding type fires on a fixture") {
+    // item-by-item sweep of the reference checklist: the four hand-written
+    // checks of validate_model (cubes/metadata/defaults.py:28-124) plus
+    // every constraint its three JSON Schemas enforce
+    // (cubes/schemas/{model,cube,dimension}.json — additionalProperties,
+    // required names, enums, item types). One fixture per finding type.
+    val cases: Seq[(String, String, String, String)] = Seq(
+      // -- defaults.py hand-written checks
+      ("string dimension defaults to flat",
+        """{"dimensions": ["undescribed"]}""",
+        "default", "is not described"),
+      ("no default hierarchy name",
+        """{"dimensions": [{"name": "d", "levels": ["a"]}]}""",
+        "default", "No default hierarchy name"),
+      ("neither levels nor attributes",
+        """{"dimensions": [{"name": "d"}]}""",
+        "default", "Neither levels nor attributes"),
+      ("both levels and attributes",
+        """{"dimensions": [{"name": "d", "levels": ["a"], "attributes": ["x"]}]}""",
+        "error", "Both levels and attributes"),
+      // -- model.json: additionalProperties + property types
+      ("unknown model property",
+        """{"frobnicate": 1}""",
+        "error", "unknown property 'frobnicate'"),
+      ("model label must be a string",
+        """{"label": 42}""",
+        "error", "'label' must be a string"),
+      ("model info must be an object",
+        """{"info": [1]}""",
+        "error", "'info' must be an object"),
+      ("model joins must be an array",
+        """{"joins": {}}""",
+        "error", "'joins' must be an array"),
+      ("model cubes must be an array",
+        """{"cubes": {}}""",
+        "error", "'cubes' must be an array"),
+      ("model dimensions must be an array",
+        """{"dimensions": "d"}""",
+        "error", "'dimensions' must be an array"),
+      // -- dimension.json: required name, additionalProperties, enums
+      ("dimension without a name",
+        """{"dimensions": [{"levels": ["a"]}]}""",
+        "error", "dimension without a name"),
+      ("unknown dimension property",
+        """{"dimensions": [{"name": "d", "levels": ["a"], "color": "red"}]}""",
+        "error", "unknown property 'color'"),
+      ("bad dimension cardinality",
+        """{"dimensions": [{"name": "d", "levels": ["a"], "cardinality": "huge"}]}""",
+        "error", "cardinality must be one of tiny/low/medium/high"),
+      ("level without a name",
+        """{"dimensions": [{"name": "d", "levels": [{"key": "k"}]}]}""",
+        "error", "level without a name"),
+      ("unknown level property",
+        """{"dimensions": [{"name": "d", "levels": [{"name": "l", "size": 9}]}]}""",
+        "error", "unknown property 'size'"),
+      ("bad level cardinality",
+        """{"dimensions": [{"name": "d", "levels": [{"name": "l", "cardinality": "big"}]}]}""",
+        "error", "cardinality must be one of tiny/low/medium/high"),
+      ("bad level order",
+        """{"dimensions": [{"name": "d", "levels": [{"name": "l", "order": "up"}]}]}""",
+        "error", "order must be 'asc' or 'desc'"),
+      ("hierarchy without a name",
+        """{"dimensions": [{"name": "d", "levels": ["a"],
+          |  "hierarchies": [{"levels": ["a"]}]}]}""".stripMargin,
+        "error", "hierarchy without a name"),
+      ("unknown hierarchy property",
+        """{"dimensions": [{"name": "d", "levels": ["a"],
+          |  "hierarchies": [{"name": "h", "levels": ["a"], "depth": 1}]}]}""".stripMargin,
+        "error", "unknown property 'depth'"),
+      ("hierarchy levels must be level names",
+        """{"dimensions": [{"name": "d", "levels": ["a"],
+          |  "hierarchies": [{"name": "h", "levels": [1]}]}]}""".stripMargin,
+        "error", "'levels' must be an array of level names"),
+      // -- attribute schema (shared by dimension/level attributes)
+      ("attribute without a name",
+        """{"dimensions": [{"name": "d", "attributes": [{"label": "x"}]}]}""",
+        "error", "attribute without a name"),
+      ("unknown attribute property",
+        """{"dimensions": [{"name": "d", "attributes": [{"name": "a", "width": 3}]}]}""",
+        "error", "unknown property 'width'"),
+      ("bad attribute order",
+        """{"dimensions": [{"name": "d", "levels": [{"name": "l",
+          |  "attributes": [{"name": "a", "order": "sideways"}]}]}]}""".stripMargin,
+        "error", "order must be 'asc' or 'desc'"),
+      ("attribute locales must be strings",
+        """{"dimensions": [{"name": "d", "attributes": [{"name": "a", "locales": [1]}]}]}""",
+        "error", "'locales' must be an array of strings"),
+      ("attribute missing_value must be scalar",
+        """{"dimensions": [{"name": "d", "attributes": [{"name": "a", "missing_value": {"v": 1}}]}]}""",
+        "error", "'missing_value' must be a string, number, boolean or null"),
+      // -- cube.json: required name, additionalProperties, types
+      ("cube without a name",
+        """{"cubes": [{"fact": "f"}]}""",
+        "error", "cube without a name"),
+      ("unknown cube property",
+        """{"cubes": [{"name": "c", "turbo": true}]}""",
+        "error", "unknown property 'turbo'"),
+      ("implicit_aggregates must be boolean",
+        """{"cubes": [{"name": "c", "implicit_aggregates": "yes"}]}""",
+        "error", "'implicit_aggregates' must be a boolean"),
+      ("cube measures must be an array",
+        """{"cubes": [{"name": "c", "measures": {}}]}""",
+        "error", "'measures' must be an array"),
+      ("cube joins must be an array",
+        """{"cubes": [{"name": "c", "joins": {}}]}""",
+        "error", "'joins' must be an array"),
+      ("cube mappings must be an object",
+        """{"cubes": [{"name": "c", "mappings": []}]}""",
+        "error", "'mappings' must be an object"))
+
+    cases.foreach { case (label, json, severity, needle) =>
+      val issues = ModelValidator.validateString(json)
+      assert(issues.exists(i =>
+        i.severity == severity && i.message.contains(needle)),
+        s"$label: expected $severity '$needle' in " +
+          issues.map(_.render).mkString("; "))
+    }
+
+    // and the reference's shipped models stay clean under the stricter
+    // sweep (the allowlists must match the schemas, not under-approximate)
+    Seq("/root/reference/doc/files/tutorial_model.json",
+      "/root/reference/examples/hello_world/model.json").foreach { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      assert(!ModelValidator.validateString(text).exists(_.severity == "error"), p)
+    }
+  }
+
   test("slicer model validate exit codes: 1 on errors, 0 otherwise") {
     val dir = java.nio.file.Files.createTempDirectory("graft-validate")
     val badPath = dir.resolve("bad.json")
