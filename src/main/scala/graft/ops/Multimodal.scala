@@ -545,7 +545,10 @@ object Multimodal {
     * readers ship in every standard JRE, so full pixel decode needs zero
     * external dependencies. Headless-safe: the property is set before any
     * AWT class loads, once per executor JVM (this object initializes
-    * lazily inside the task that first touches it). */
+    * lazily inside the task that first touches it). Caveat: if driver-side
+    * user code touched AWT *earlier* in the same JVM, the toolkit is
+    * already locked in — launch with `-Djava.awt.headless=true` on a
+    * display-less machine in that case. */
   object ImageCodec {
     System.setProperty("java.awt.headless", "true")
 

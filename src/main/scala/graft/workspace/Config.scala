@@ -81,6 +81,13 @@ object WorkspaceConfig {
     }
 
     val ws = new Workspace(spark)
+    // stores that asked for denormalized browsing: namespace → (prefix,
+    // suffix) for the materialized view name (reference store options
+    // `use_denormalization` + `denormalized_prefix`/`denormalized_suffix`,
+    // `sql/store.py:138-144`, naming `sql/mapper.py:163-168`)
+    val denormStores = scala.collection.mutable.Map.empty[String, (String, String)]
+    def truthy(v: String): Boolean =
+      Set("true", "yes", "on", "1").contains(v.trim.toLowerCase)
     def registerStore(ns: String, store: Map[String, String]): Unit = {
       store.get("type").foreach { t =>
         require(t == "parquet_dir",
@@ -93,6 +100,10 @@ object WorkspaceConfig {
         val json = Files.readString(Paths.get(resolve(m)))
         if (ns.isEmpty) ws.importModel(json) else ws.importModel(json, ns)
       }
+      if (store.get("use_denormalization").exists(truthy) ||
+        store.get("is_denormalized").exists(truthy))
+        denormStores(ns) = (store.getOrElse("denormalized_prefix", ""),
+          store.getOrElse("denormalized_suffix", ""))
     }
     // [store] = default store; [store_<name>] / [store.<name>] /
     // [store <name>] = named store whose cubes live in namespace <name>
@@ -118,6 +129,16 @@ object WorkspaceConfig {
       case (locale, p) => locale -> Files.readString(Paths.get(resolve(p)))
     }
     if (translations.nonEmpty) ws.importTranslations(translations)
+    // flip denormalized-store cubes over to their materialized views,
+    // named prefix+cube+suffix within the store's table registry
+    denormStores.foreach { case (ns, (pre, suf)) =>
+      ws.cubeNames
+        .filter(n => if (ns.isEmpty) !n.contains('.') else n.startsWith(ns + "."))
+        .foreach { ref =>
+          val bare = ref.split('.').last
+          ws.useDenormalized(ref, s"$pre$bare$suf")
+        }
+    }
     (ws, cfg)
   }
 

@@ -62,6 +62,41 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg("b")("z") == "c:/path") // first separator wins, value intact
   }
 
+  test("store use_denormalization flips cubes to their materialized views") {
+    // reference store options use_denormalization + denormalized_prefix
+    // (sql/store.py:138-144, naming mapper.py:163-168): the browser reads
+    // the view named prefix+cube instead of fold-joining the star
+    val dir = Files.createTempDirectory("graft_cfg_denorm")
+    val storeDir = dir.resolve("store")
+    Files.createDirectories(storeDir)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .write.parquet(storeDir.resolve("lineitem.parquet").toString)
+    Files.writeString(dir.resolve("model.json"), modelJson)
+    val ws0 = new graft.workspace.Workspace(spark)
+      .importModel(modelJson).registerTableDir(storeDir.toString)
+    graft.materialize.Materialize.writeDenormalized(ws0.browser("mini"),
+      storeDir.resolve("denorm_mini.parquet").toString)
+    Files.writeString(dir.resolve("slicer.ini"),
+      s"""[store]
+         |type: parquet_dir
+         |path: $storeDir
+         |use_denormalization: true
+         |denormalized_prefix: denorm_
+         |
+         |[models]
+         |main: model.json
+         |""".stripMargin)
+    val ws = WorkspaceConfig.load(spark, dir.resolve("slicer.ini").toString)
+    val denorm = ws.browser("mini").aggregate(
+      drilldown = Seq("returnflag"), aggregates = Seq("quantity_sum"))
+    // the browse reads the materialized view, not the fact table
+    val scans = denorm.cells.queryExecution.executedPlan.toString
+    assert(scans.contains("denorm_mini"), scans)
+    val star = ws0.browser("mini").aggregate(
+      drilldown = Seq("returnflag"), aggregates = Seq("quantity_sum"))
+    assert(denorm.cells.collect().toSeq == star.cells.collect().toSeq)
+  }
+
   test("workspace loads store + models from a config file") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     assert(ws.cubeNames == Seq("mini"))
