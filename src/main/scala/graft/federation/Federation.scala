@@ -1,0 +1,256 @@
+package graft.federation
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.browser.AggregationResult
+import graft.cells.Cell
+import graft.model._
+
+/** HTTP federation: browse a cube SERVED BY ANOTHER SLICER as if it were
+  * local (reference `SlicerStore`, `cubes/server/store.py:19-130`, and
+  * `SlicerBrowser`, `cubes/server/browser.py:8-160` — S9 in SURVEY §2).
+  *
+  * Design for scale: aggregation runs on the REMOTE engine (which owns
+  * the data and its cluster); this side only relays the already-small
+  * result sets — summaries, drilldown cells, members — and re-materializes
+  * them as local DataFrames so downstream formatting/joins compose. Fact
+  * streams page through the remote's `json_record_limit` window instead
+  * of buffering an unbounded array (the Spark analogue of the reference's
+  * `json_lines` iterator). Nothing here ever pulls raw fact data at scale:
+  * that is the remote cluster's job, exactly as in the reference.
+  */
+final class SlicerStore(
+    val url: String,
+    authentication: Option[String] = None,
+    authIdentity: Option[String] = None,
+    authParameter: String = "api_key",
+    client: HttpClient = HttpClient.newHttpClient()) {
+
+  require(authentication.forall(a => a == "pass_parameter" || a == "none"),
+    s"Unsupported authentication method '${authentication.get}'")
+
+  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  /** GET `url/action?params` (reference `SlicerStore.request`,
+    * `server/store.py:91-123`): 404 → missing object, non-200 → error. */
+  def request(action: String, params: Seq[(String, String)] = Nil): String = {
+    val p =
+      if (authentication.contains("pass_parameter"))
+        params :+ (authParameter -> authIdentity.getOrElse(""))
+      else params
+    val qs = p.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val uri = URI.create(s"$url/$action" + (if (qs.nonEmpty) s"?$qs" else ""))
+    val resp = client.send(HttpRequest.newBuilder(uri).GET.build(),
+      HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 404 => throw new NoSuchElementException(
+        s"remote slicer has no object at '$action'")
+      case code => throw new IllegalStateException(
+        s"slicer request error ($code): ${resp.body()}")
+    }
+  }
+
+  def cubeRequest(action: String, cube: String,
+      params: Seq[(String, String)] = Nil): String =
+    request(s"cube/${enc(cube)}/$action", params)
+
+  /** Remote cube names (reference `SlicerModelProvider.list_cubes`). */
+  def listCubes(): Seq[String] =
+    JsonMethods.parse(request("cubes")) match {
+      case JArray(cs) => cs.collect {
+        case o: JObject => (o \ "name") match {
+          case JString(n) => n
+          case _ => throw new IllegalStateException(s"cube entry without name: $o")
+        }
+      }
+      case other => throw new IllegalStateException(s"bad /cubes response: $other")
+    }
+
+  /** Remote cube metadata re-linked into a local [[Cube]] (reference
+    * `SlicerModelProvider.cube`, `server/store.py:148-180`: the served
+    * model has dimensions fully expanded; aggregates carry no local
+    * function because computation stays remote). */
+  def cube(name: String, locale: Option[String] = None): Cube = {
+    val params = locale.map(l => Seq("lang" -> l)).getOrElse(Nil)
+    val m = JsonMethods.parse(cubeRequest("model", name, params))
+    def s(v: JValue, k: String): Option[String] = (v \ k) match {
+      case JString(x) => Some(x); case _ => None
+    }
+    def arr(v: JValue, k: String): Seq[JValue] = (v \ k) match {
+      case JArray(xs) => xs; case _ => Nil
+    }
+    val dims = arr(m, "dimensions").collect { case d: JObject =>
+      val dName = s(d, "name").getOrElse(
+        throw new IllegalStateException("served dimension without name"))
+      val levels = arr(d, "levels").collect { case l: JObject =>
+        Level(
+          s(l, "name").getOrElse("default"),
+          arr(l, "attributes").collect { case JString(a) =>
+            Attribute(a, Some(dName), flatRef = a == dName && dName == s(l, "name").getOrElse(""))
+          },
+          label = s(l, "label"))
+      }
+      val hiers = arr(d, "hierarchies").collect { case h: JObject =>
+        Hierarchy(s(h, "name").getOrElse("default"),
+          arr(h, "levels").collect { case JString(x) => x })
+      }
+      Dimension(dName, levels = levels, hierarchies = hiers,
+        label = s(d, "label"))
+    }
+    Cube(
+      name = name,
+      factTable = name, // physical mapping is the remote's concern
+      dimensions = dims,
+      measures = arr(m, "measures").collect { case o: JObject =>
+        Measure(s(o, "name").getOrElse(""), label = s(o, "label"))
+      }.filter(_.name.nonEmpty),
+      aggregates = arr(m, "aggregates").collect { case o: JObject =>
+        MeasureAggregate(s(o, "name").getOrElse(""), label = s(o, "label"))
+      }.filter(_.name.nonEmpty),
+      label = s(m, "label"))
+  }
+}
+
+/** Browser over a [[SlicerStore]]: the same verb surface as the local
+  * [[graft.browser.Browser]], answered by HTTP relay (reference
+  * `SlicerBrowser`, `server/browser.py`). Aggregation results come back
+  * as [[AggregationResult]] with DataFrame cells/summary so every
+  * downstream consumer (formats, cross-table, report fan-out) composes
+  * unchanged. */
+final class FederatedBrowser(
+    val store: SlicerStore,
+    val cubeName: String,
+    val spark: SparkSession) {
+
+  lazy val cube: Cube = store.cube(cubeName)
+
+  private def df(objs: Seq[JValue]): DataFrame =
+    if (objs.isEmpty) spark.emptyDataFrame
+    else {
+      import spark.implicits._
+      spark.read.json(
+        spark.createDataset(objs.map(o => JsonMethods.compact(o))))
+    }
+
+  private def parseArray(json: String): Seq[JValue] =
+    JsonMethods.parse(json) match {
+      case JArray(xs) => xs
+      case other => throw new IllegalStateException(s"expected JSON array, got $other")
+    }
+
+  private def commonParams(cell: Cell, order: Seq[(String, Option[String])],
+      page: Option[Int], pageSize: Option[Int]): Seq[(String, String)] =
+    (if (cell.isEmpty) Nil else Seq("cut" -> cell.toCutString)) ++
+      (if (order.isEmpty) Nil
+       else Seq("order" -> order.map {
+         case (a, Some(d)) => s"$a:$d"
+         case (a, None)    => a
+       }.mkString(","))) ++
+      page.map(p => "page" -> p.toString) ++
+      pageSize.map(n => "pagesize" -> n.toString)
+
+  /** Relayed aggregate (reference `provide_aggregate`,
+    * `server/browser.py:33-76`). */
+  def aggregate(
+      cell: Cell = Cell.empty,
+      drilldown: Seq[String] = Nil,
+      aggregates: Seq[String] = Nil,
+      split: Option[Cell] = None,
+      order: Seq[(String, Option[String])] = Nil,
+      page: Option[Int] = None,
+      pageSize: Option[Int] = None): AggregationResult = {
+    val params = commonParams(cell, order, page, pageSize) ++
+      (if (drilldown.isEmpty) Nil else Seq("drilldown" -> drilldown.mkString("|"))) ++
+      (if (aggregates.isEmpty) Nil else Seq("aggregates" -> aggregates.mkString("|"))) ++
+      split.map(s => "split" -> s.toCutString)
+    val r = JsonMethods.parse(store.cubeRequest("aggregate", cubeName, params))
+    val cells = (r \ "cells") match {
+      case JArray(xs) => xs; case _ => Nil
+    }
+    val summary = (r \ "summary") match {
+      case o: JObject if o.obj.nonEmpty => Some(df(Seq(o)))
+      case _                            => None
+    }
+    val levels = (r \ "levels") match {
+      case o: JObject => o.obj.map { case (k, v) =>
+        k -> (v match { case JArray(xs) => xs.collect { case JString(x) => x }
+                        case _          => Nil })
+      }.toMap
+      case _ => Map.empty[String, Seq[String]]
+    }
+    def strings(k: String): Seq[String] = (r \ k) match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case _          => Nil
+    }
+    AggregationResult(
+      cells = df(cells),
+      summary = summary,
+      levels = levels,
+      aggregates = strings("aggregates"),
+      attributes = strings("attributes"),
+      cell = cell,
+      hasSplit = (r \ "has_split") match {
+        case JBool(b) => b; case _ => false
+      })
+  }
+
+  /** Relayed fact listing. Pages through the remote's record-limit window
+    * when no explicit page is requested, so an over-limit fact stream
+    * arrives whole instead of silently truncated (the reference streams
+    * `json_lines` for the same reason, `server/browser.py:78-112`). */
+  def facts(cell: Cell = Cell.empty, fields: Seq[String] = Nil,
+      order: Seq[(String, Option[String])] = Nil,
+      page: Option[Int] = None, pageSize: Option[Int] = None,
+      fetchPageSize: Int = 10000): DataFrame = {
+    val fieldParams =
+      if (fields.isEmpty) Nil else Seq("fields" -> fields.mkString(","))
+    if (page.isDefined || pageSize.isDefined) {
+      df(parseArray(store.cubeRequest("facts", cubeName,
+        commonParams(cell, order, page, pageSize) ++ fieldParams)))
+    } else {
+      // deterministic paging needs a total order; the remote orders by
+      // its fact key when asked. Loop until a short page.
+      val out = Seq.newBuilder[JValue]
+      var p = 0
+      var last = fetchPageSize
+      while (last == fetchPageSize) {
+        val batch = parseArray(store.cubeRequest("facts", cubeName,
+          commonParams(cell, order, Some(p), Some(fetchPageSize)) ++ fieldParams))
+        out ++= batch
+        last = batch.size
+        p += 1
+      }
+      df(out.result())
+    }
+  }
+
+  /** Relayed single-fact fetch. */
+  def fact(key: Any): DataFrame =
+    df(parseArray(store.cubeRequest(s"fact/$key", cubeName)))
+
+  /** Relayed member listing (reference `provide_members`,
+    * `server/browser.py:114-160`). */
+  def members(cell: Cell = Cell.empty, dim: String,
+      depth: Option[Int] = None, hierarchy: Option[String] = None,
+      level: Option[String] = None, page: Option[Int] = None,
+      pageSize: Option[Int] = None): DataFrame = {
+    val params = commonParams(cell, Nil, page, pageSize) ++
+      depth.map(d => "depth" -> d.toString) ++
+      hierarchy.map(h => "hierarchy" -> h) ++
+      level.map(l => "level" -> l)
+    df(parseArray(store.cubeRequest(s"members/$dim", cubeName, params)))
+  }
+
+  /** Relayed cell details, raw (reference `/cell` passthrough). */
+  def cellDetails(cell: Cell = Cell.empty): JValue =
+    JsonMethods.parse(store.cubeRequest("cell", cubeName,
+      if (cell.isEmpty) Nil else Seq("cut" -> cell.toCutString)))
+}

@@ -89,6 +89,16 @@ object WorkspaceConfig {
     def truthy(v: String): Boolean =
       Set("true", "yes", "on", "1").contains(v.trim.toLowerCase)
     def registerStore(ns: String, store: Map[String, String]): Unit = {
+      // type: slicer = HTTP federation — another slicer server's cubes
+      // browsed by relay (reference SlicerStore, cubes/server/store.py)
+      if (store.get("type").contains("slicer")) {
+        ws.registerSlicerStore(new graft.federation.SlicerStore(
+          store.getOrElse("url", "http://localhost:5000"),
+          authentication = store.get("authentication"),
+          authIdentity = store.get("auth_identity"),
+          authParameter = store.getOrElse("auth_parameter", "api_key")), ns)
+        return
+      }
       store.get("type").foreach { t =>
         require(t == "parquet_dir",
           s"unsupported store type '$t' (this engine's store is a parquet directory)")

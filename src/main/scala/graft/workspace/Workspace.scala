@@ -81,9 +81,43 @@ final class Workspace(val spark: SparkSession) {
     else stores("").toMap ++ storeTables(ns).toMap
   }
 
-  def cubeNames: Seq[String] = cubes.keys.toSeq
-  def cube(name: String): Cube = cubes.getOrElse(name,
-    throw new IllegalArgumentException(s"unknown cube '$name'"))
+  // HTTP-federated cubes (S9): cube ref -> (remote store, remote cube name)
+  // (reference SlicerStore + SlicerModelProvider, cubes/server/store.py)
+  private val federated = scala.collection.mutable.LinkedHashMap
+    .empty[String, (graft.federation.SlicerStore, String)]
+
+  /** Register every cube served by a remote slicer under `namespace`; the
+    * remote executes all browsing, this workspace relays (reference
+    * `[store] type: slicer`, `server/store.py:19-130`). */
+  def registerSlicerStore(store: graft.federation.SlicerStore,
+      namespace: String = ""): this.type = {
+    store.listCubes().foreach { n =>
+      val ref = if (namespace.isEmpty) n else s"$namespace.$n"
+      federated(ref) = (store, n)
+    }
+    this
+  }
+
+  def isFederated(name: String): Boolean = federated.contains(name)
+
+  /** Relay browser for a federated cube (the remote's model decides what
+    * the verbs mean; see [[graft.federation.FederatedBrowser]]). */
+  def federatedBrowser(name: String): graft.federation.FederatedBrowser = {
+    val (store, remote) = federated.getOrElse(name,
+      throw new IllegalArgumentException(s"cube '$name' is not federated"))
+    new graft.federation.FederatedBrowser(store, remote, spark)
+  }
+
+  def cubeNames: Seq[String] = (cubes.keys ++ federated.keys).toSeq.distinct
+  def cube(name: String): Cube = cubes.getOrElse(name, federated.get(name) match {
+    case Some((store, remote)) =>
+      // fetch the remote model once and cache it like a local registration
+      val c = store.cube(remote).copy(name = name)
+      cubes(name) = c
+      c
+    case None =>
+      throw new IllegalArgumentException(s"unknown cube '$name'")
+  })
 
   /** Model-metadata translations (reference `translations=` workspace
     * option + `cube(..., locale=)`, `workspace.py:383,540-546`). */
@@ -141,6 +175,8 @@ final class Workspace(val spark: SparkSession) {
     browsers.synchronized(browsers.getOrElseUpdate(
       s"$cubeName/${restriction.toCutString}/$locale/$hierarchyLimits/" +
         denormTables.get(cubeName), {
+      require(!federated.contains(cubeName),
+        s"cube '$cubeName' is browsed remotely — use federatedBrowser")
       val c0 = cube(cubeName)
       val visible = tablesFor(cubeName)
       val c = denormTables.get(cubeName) match {

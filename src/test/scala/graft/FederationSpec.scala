@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cells.{Cell, PointCut}
+import graft.federation.SlicerStore
+import graft.server.SlicerServer
+import graft.workspace.Workspace
+
+/** HTTP federation (S9): a second workspace browses cubes SERVED by a
+  * live in-process slicer server and must see exactly what a local browse
+  * sees (reference `SlicerStore`/`SlicerBrowser`,
+  * `cubes/server/store.py`, `cubes/server/browser.py`). */
+class FederationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val modelJson =
+    """{
+      |  "cubes": [{
+      |    "name": "mini",
+      |    "fact": "lineitem",
+      |    "dimensions": ["returnflag", "linestatus"],
+      |    "measures": [{"name": "quantity", "aggregates": ["sum"]}],
+      |    "mappings": {
+      |      "returnflag": "lineitem.l_returnflag",
+      |      "linestatus": "lineitem.l_linestatus",
+      |      "quantity": "lineitem.l_quantity"}
+      |  }]
+      |}""".stripMargin
+
+  // the REMOTE side: a live server over the sf0.001 store
+  lazy val (localWs, port) = {
+    val ws = new Workspace(spark)
+      .importModel(modelJson)
+      .registerTableDir("/root/testdata/sf0.001")
+    (ws, new SlicerServer(ws).start())
+  }
+
+  // the FEDERATING side: a fresh workspace that only knows the remote URL
+  lazy val fedWs = new Workspace(spark).registerSlicerStore(
+    new SlicerStore(s"http://127.0.0.1:$port"))
+
+  test("remote cubes are listed, their models relink, local browse refuses") {
+    assert(fedWs.cubeNames.contains("mini"))
+    assert(fedWs.isFederated("mini"))
+    val c = fedWs.cube("mini")
+    assert(c.dimensions.map(_.name).toSet == Set("returnflag", "linestatus"))
+    assert(c.aggregates.map(_.name).contains("quantity_sum"))
+    // the star-schema browser cannot serve a remote cube — explicit refusal
+    val e = intercept[IllegalArgumentException](fedWs.browser("mini"))
+    assert(e.getMessage.contains("federatedBrowser"))
+  }
+
+  private def groupMap(df: DataFrame, key: String, agg: String): Map[String, Double] =
+    df.collect().map(r =>
+      r.getAs[Any](key).toString ->
+        r.getAs[Any](agg).toString.toDouble).toMap
+
+  test("federated aggregate — drilldown, summary, and cuts match the local browse") {
+    val fb = fedWs.federatedBrowser("mini")
+    val remote = fb.aggregate(drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum"))
+    val local = localWs.browser("mini").aggregate(drilldown = Seq("returnflag"),
+      aggregates = Seq("quantity_sum"))
+    assert(groupMap(remote.cells, "returnflag", "quantity_sum") ==
+      groupMap(local.cells, "returnflag", "quantity_sum"))
+    assert(remote.aggregates == Seq("quantity_sum"))
+    assert(remote.levels.keySet == Set("returnflag"))
+
+    // summary relays (numeric compare — JSON round-trip widens decimals)
+    val rSum = remote.summary.get.collect()(0).getAs[Any]("quantity_sum").toString.toDouble
+    val lSum = local.summary.get.collect()(0).getAs[Any]("quantity_sum").toString.toDouble
+    assert(math.abs(rSum - lSum) < 1e-6)
+
+    // a cut serializes through the cut grammar and filters identically
+    val cut = Cell(PointCut("returnflag", Seq("A")))
+    val remoteCut = fb.aggregate(cell = cut, aggregates = Seq("quantity_sum"))
+    val localCut = localWs.browser("mini").aggregate(cell = cut,
+      aggregates = Seq("quantity_sum"))
+    val rc = remoteCut.summary.get.collect()(0).getAs[Any]("quantity_sum").toString.toDouble
+    val lc = localCut.summary.get.collect()(0).getAs[Any]("quantity_sum").toString.toDouble
+    assert(math.abs(rc - lc) < 1e-6)
+  }
+
+  test("federated facts page through the remote record window; members relay") {
+    val fb = fedWs.federatedBrowser("mini")
+    val cell = Cell(PointCut("returnflag", Seq("R")))
+    val localCount = localWs.browser("mini").facts(cell).count()
+    assert(localCount > 500) // meaningful corpus for the paging loop
+    // small fetch pages force the multi-batch loop — the whole stream must
+    // arrive, not one truncated window
+    val fed = fb.facts(cell, fetchPageSize = 500)
+    assert(fed.count() == localCount)
+    // fact-by-key round-trips (the mini cube declares no key, so the
+    // remote falls back to its first fact column — whatever the remote
+    // decides, the relay must agree with a local browse)
+    assert(fb.fact(1L).count() == localWs.browser("mini").fact(1L).count())
+    // member listing relays with identical member sets
+    val remoteMembers = fb.members(dim = "returnflag").collect()
+      .map(_.getAs[Any]("returnflag").toString).toSet
+    val localMembers = localWs.browser("mini").members(Cell.empty, "returnflag")
+      .collect().map(_.getAs[Any]("returnflag").toString).toSet
+    assert(remoteMembers == localMembers)
+  }
+
+  test("federation from config: [store] type slicer registers remote cubes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fed_cfg")
+    java.nio.file.Files.writeString(dir.resolve("slicer.ini"),
+      s"""[store_remote]
+         |type: slicer
+         |url: http://127.0.0.1:$port
+         |""".stripMargin)
+    val ws = graft.workspace.WorkspaceConfig.load(spark,
+      dir.resolve("slicer.ini").toString)
+    assert(ws.cubeNames.contains("remote.mini"))
+    assert(ws.isFederated("remote.mini"))
+    val r = ws.federatedBrowser("remote.mini")
+      .aggregate(aggregates = Seq("quantity_sum"))
+    val l = localWs.browser("mini").aggregate(aggregates = Seq("quantity_sum"))
+    val rv = r.summary.get.collect()(0).getAs[Any]("quantity_sum").toString.toDouble
+    val lv = l.summary.get.collect()(0).getAs[Any]("quantity_sum").toString.toDouble
+    assert(math.abs(rv - lv) < 1e-6)
+  }
+}
