@@ -38,29 +38,67 @@ final class SlicerStore(
 
   private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
 
-  /** GET `url/action?params` (reference `SlicerStore.request`,
-    * `server/store.py:91-123`): 404 → missing object, non-200 → error. */
-  def request(action: String, params: Seq[(String, String)] = Nil): String = {
-    val p =
-      if (authentication.contains("pass_parameter"))
-        params :+ (authParameter -> authIdentity.getOrElse(""))
-      else params
-    val qs = p.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
-    val uri = URI.create(s"$url/$action" + (if (qs.nonEmpty) s"?$qs" else ""))
-    val resp = client.send(HttpRequest.newBuilder(uri).GET.build(),
+  private def withAuth(params: Seq[(String, String)]): Seq[(String, String)] =
+    if (authentication.contains("pass_parameter"))
+      params :+ (authParameter -> authIdentity.getOrElse(""))
+    else params
+
+  private def uriOf(action: String, params: Seq[(String, String)]): URI = {
+    val qs = withAuth(params)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    URI.create(s"$url/$action" + (if (qs.nonEmpty) s"?$qs" else ""))
+  }
+
+  /** GET returning (status, body) verbatim — for proxy relays that must
+    * propagate the remote's own status codes. */
+  def rawRequest(action: String,
+      params: Seq[(String, String)] = Nil): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(uriOf(action, params)).GET.build(),
       HttpResponse.BodyHandlers.ofString())
-    resp.statusCode() match {
-      case 200 => resp.body()
+    (resp.statusCode(), resp.body())
+  }
+
+  def rawCubeRequest(action: String, cube: String,
+      params: Seq[(String, String)] = Nil): (Int, String) =
+    rawRequest(s"cube/${enc(cube)}/$action", params)
+
+  private def checked(action: String, status: Int, body: String): String =
+    status match {
+      case 200 => body
       case 404 => throw new NoSuchElementException(
         s"remote slicer has no object at '$action'")
       case code => throw new IllegalStateException(
-        s"slicer request error ($code): ${resp.body()}")
+        s"slicer request error ($code): $body")
     }
+
+  /** GET `url/action?params` (reference `SlicerStore.request`,
+    * `server/store.py:91-123`): 404 → missing object, non-200 → error. */
+  def request(action: String, params: Seq[(String, String)] = Nil): String = {
+    val (status, body) = rawRequest(action, params)
+    checked(action, status, body)
   }
 
   def cubeRequest(action: String, cube: String,
       params: Seq[(String, String)] = Nil): String =
     request(s"cube/${enc(cube)}/$action", params)
+
+  /** POST returning (status, body) verbatim (the `/report` verb relay). */
+  def rawPostCubeRequest(action: String, cube: String, body: String,
+      params: Seq[(String, String)] = Nil): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(uriOf(s"cube/${enc(cube)}/$action", params))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** POST relay (the `/report` verb); otherwise like [[request]]. */
+  def postCubeRequest(action: String, cube: String, body: String,
+      params: Seq[(String, String)] = Nil): String = {
+    val (status, respBody) = rawPostCubeRequest(action, cube, body, params)
+    checked(action, status, respBody)
+  }
 
   /** Remote cube names (reference `SlicerModelProvider.list_cubes`). */
   def listCubes(): Seq[String] =

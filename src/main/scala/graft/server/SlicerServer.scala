@@ -122,6 +122,9 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           respond(ex, Resp(403, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
         case e: IllegalArgumentException =>
           respond(ex, Resp(400, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
+        case e: NoSuchElementException =>
+          // a federated relay's remote 404 propagates as a 404, not a 500
+          respond(ex, Resp(404, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
         case e: Throwable =>
           respond(ex, Resp(500, s"""{"error": ${jstr(String.valueOf(e))}}""", "application/json"))
       } finally {
@@ -199,6 +202,27 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           s"""{"name": ${jstr(n)}, "label": ${jstr(c.label.getOrElse(n))}}"""
         }
         Resp(200, cubes.mkString("[", ",", "]"), "application/json")
+      // slicer CHAINING: a federated cube is served by relaying the
+      // request — query string and all — to its remote and returning the
+      // remote's response verbatim (reference: a SlicerStore-backed cube
+      // re-served by another slicer). Local authorization applies first;
+      // binary formats are not relayed (the store speaks text).
+      case "cube" :: name :: action if action.nonEmpty && workspace.isFederated(name) =>
+        if (!workspace.authorizedCubes(id).contains(name))
+          throw new graft.auth.NotAuthorized(s"cube '$name' is not authorized")
+        require(!q.get("format").contains("xlsx"),
+          "binary formats are not relayed for federated cubes")
+        val fb = workspace.federatedBrowser(name)
+        val path = action.mkString("/")
+        val (status, body) =
+          if (ex.getRequestMethod == "POST")
+            fb.store.rawPostCubeRequest(path, fb.cubeName,
+              new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
+              q.toSeq)
+          else fb.store.rawCubeRequest(path, fb.cubeName, q.toSeq)
+        val ct = if (q.get("format").contains("csv")) "text/csv"
+          else "application/json"
+        Resp(status, body, ct)
       case List("cube", name, "model") =>
         Resp(200, modelJson(name, id, q.get("lang")), "application/json")
       case List("cube", name, "aggregate") =>

@@ -109,6 +109,31 @@ class FederationSpec extends AnyFunSuite {
     assert(remoteMembers == localMembers)
   }
 
+  test("slicer chaining: a second server re-serves the federated cube by relay") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val chainPort = new SlicerServer(fedWs).start()
+    val client = HttpClient.newHttpClient()
+    def get(p: Int, path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p$path")).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+    // the chained server's /cubes lists the federated cube
+    assert(get(chainPort, "/cubes").body().contains("\"mini\""))
+    // an aggregate through the CHAIN equals the origin's own response
+    val viaChain = get(chainPort,
+      "/cube/mini/aggregate?drilldown=returnflag&aggregates=quantity_sum")
+    val direct = get(port,
+      "/cube/mini/aggregate?drilldown=returnflag&aggregates=quantity_sum")
+    assert(viaChain.statusCode() == 200)
+    assert(viaChain.body() == direct.body())
+    // the remote's own error status propagates verbatim through the chain
+    // (unknown dimension → the origin's 400), never masked as a 500
+    val bad = get(chainPort, "/cube/mini/members/nope")
+    assert(bad.statusCode() == get(port, "/cube/mini/members/nope").statusCode())
+    assert(bad.statusCode() == 400)
+  }
+
   test("federation from config: [store] type slicer registers remote cubes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fed_cfg")
     java.nio.file.Files.writeString(dir.resolve("slicer.ini"),
