@@ -77,7 +77,7 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val calib = scala.collection.mutable.ListBuffer.empty[Double]
     val loads = scala.collection.mutable.ListBuffer.empty[String]
-    for (pass <- 1 to passes) {
+    def runPass(pass: Int): Unit = {
       loads += loadavg()
       calib += calibrate(spark)
       for (name <- names) {
@@ -99,6 +99,22 @@ object Bench {
         } finally graft.ops.Caches.releaseAll()
       }
     }
+    for (pass <- 1 to passes) runPass(pass)
+    // retry-on-contamination: a transiently busy host should not leave the
+    // artifact uncertifiable when patience can buy clean passes — run up to
+    // `maxExtra` additional full passes until `passes` of them calibrated
+    // within 2x of the best. Contaminated passes stay recorded (flagged
+    // below); per-query min across ALL passes naturally prefers clean ones.
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
+    var extra = 0
+    while (extra < maxExtra &&
+      calib.count(_ <= 2 * calib.min) < passes) {
+      extra += 1
+      System.err.println(
+        s"[bench] calibration spread >2x on ${calib.size - calib.count(_ <= 2 * calib.min)} " +
+          s"pass(es) — running extra pass $extra/$maxExtra")
+      runPass(passes + extra)
+    }
     val bestCal = if (calib.nonEmpty) calib.min else 0.0
     // 1-based pass indices whose calibration ran >2x the best pass: the
     // same fixed workload taking twice as long means the host was busy
@@ -119,7 +135,7 @@ object Bench {
     val calJson = calib.mkString("[", ",", "]")
     val loadJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contamJson = contaminated.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"per_pass":$passJson,"sf":"$sfDir","passes":$passes,"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson,"calibration_sec":$calJson,"loadavg":$loadJson,"contaminated_passes":$contamJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"per_pass":$passJson,"sf":"$sfDir","passes":${calib.size},"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson,"calibration_sec":$calJson,"loadavg":$loadJson,"contaminated_passes":$contamJson}""")
     spark.stop()
   }
 }
