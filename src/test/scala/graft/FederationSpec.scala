@@ -134,6 +134,29 @@ class FederationSpec extends AnyFunSuite {
     assert(bad.statusCode() == 400)
   }
 
+  test("pass_parameter authentication relays the identity to the remote") {
+    // reference SlicerStore auth options (server/store.py:34-58): the
+    // store appends ?api_key=<identity> to every request
+    val ws = new Workspace(spark)
+      .importModel(modelJson)
+      .registerTableDir("/root/testdata/sf0.001")
+      .setAuthorizer(new graft.auth.SimpleAuthorizer(
+        rights = Map("key1" -> graft.auth.AccessRight(allowedCubes = Set("mini")))))
+    val p = new SlicerServer(ws).start()
+    val authed = new SlicerStore(s"http://127.0.0.1:$p",
+      authentication = Some("pass_parameter"), authIdentity = Some("key1"))
+    assert(authed.listCubes() == Seq("mini"))
+    val fb = new graft.federation.FederatedBrowser(authed, "mini", spark)
+    assert(fb.aggregate(aggregates = Seq("quantity_sum")).summary.isDefined)
+    // without credentials the remote hides its cubes and refuses browsing
+    val anon = new SlicerStore(s"http://127.0.0.1:$p")
+    assert(anon.listCubes().isEmpty)
+    intercept[IllegalStateException](anon.cubeRequest("aggregate", "mini"))
+    // unsupported method is refused at construction, like the reference
+    intercept[IllegalArgumentException](
+      new SlicerStore("http://x", authentication = Some("oauth")))
+  }
+
   test("federation from config: [store] type slicer registers remote cubes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fed_cfg")
     java.nio.file.Files.writeString(dir.resolve("slicer.ini"),
