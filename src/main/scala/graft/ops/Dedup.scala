@@ -67,6 +67,55 @@ object Dedup {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Benchmark decontamination: per-document count of distinct word
+    * `n`-grams shared with a benchmark corpus, plus a `contaminated` flag
+    * (the test-set-overlap filter of the published GPT-3 appendix-C /
+    * PaLM data pipelines — training documents that leak evaluation text
+    * must be found and dropped).
+    *
+    * Scale shape: a benchmark set is orders of magnitude smaller than a
+    * training corpus, so its DISTINCT n-gram set is the broadcast build
+    * side of a semi-join against the corpus's exploded n-grams — corpus
+    * text itself never shuffles, only (id, matched-gram) survivors reach
+    * the count aggregation (the [[dropBoilerplateLines]] tier shape). For
+    * a benchmark too large to broadcast, drop the hint and AQE picks a
+    * shuffle join — the same designed degradation as the minhash verify
+    * join.
+    *
+    * Tokens are single-space-split words; gram `i` is words `i..i+n-1`
+    * joined by single spaces. Documents shorter than `n` words have no
+    * grams and report `overlap_ngrams = 0`. */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13
+  ): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val words = filter(split(coalesce(c, lit("")), " "),
+        w => length(w) > 0)
+      // guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which
+      // would emit bogus indexes for docs shorter than n words
+      when(size(words) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docGrams = docs.select(col(idCol), grams(col(textCol)).as("__grams__"))
+    val benchGrams = bench
+      .select(explode(grams(col(benchTextCol))).as("__gram__"))
+      .distinct()
+    val overlaps = docGrams
+      .select(col(idCol), explode(col("__grams__")).as("__gram__"))
+      .join(broadcast(benchGrams), Seq("__gram__"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+    docGrams.select(col(idCol)).join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+        (coalesce(col("overlap_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Exact dedup returning full surviving rows (window row_number=1). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)

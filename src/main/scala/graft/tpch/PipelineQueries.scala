@@ -219,6 +219,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // benchmark decontamination: every 10th doc plays the benchmark set;
+    // training docs sharing any word 8-gram with it are contaminated
+    // (ground truth: the benchmark docs themselves plus exact/near copies)
+    "q77_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 0).select(col("text"))
+      graft.ops.Dedup.decontaminate(d, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition features (duplicate-line fraction, longest
     // line, modal-word share) — the boilerplate-drop signals of a
     // training-corpus filter
@@ -686,6 +696,29 @@ object PipelineQueries {
         |  FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q77_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(ws) >= 8 THEN
+        |      list_distinct(list_transform(
+        |        generate_series(1, len(ws) - 7),
+        |        i -> array_to_string(ws[i:i+7], ' ')))
+        |    ELSE [] END AS grams
+        |  FROM w),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 10 = 0),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |o AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+        |  FROM e SEMI JOIN bg USING (gram) GROUP BY e.doc_id)
+        |SELECT g.doc_id,
+        |  coalesce(o.overlap_ngrams, 0) AS overlap_ngrams,
+        |  coalesce(o.overlap_ngrams, 0) > 0 AS contaminated
+        |FROM g LEFT JOIN o USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q49_jaccard_consecutive" ->

@@ -667,4 +667,29 @@ class OpsSpec extends AnyFunSuite {
     assert(HashImpls.polyHash("ab") == 97L * 131 + 98)
     assert(HashImpls.polyHash("") == 0L)
   }
+
+  test("decontaminate: overlap counts, short-doc guard, broadcast semi-join plan") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f"),      // identical to the benchmark doc
+      (2L, "x y a b c d z w"),  // one shared 4-gram ("a b c d")
+      (3L, "p q r"),            // shorter than n — no grams at all
+      (4L, null.asInstanceOf[String]), // null text survives as clean
+      (5L, "u v w x y z q2")    // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d e f").toDF("text")
+    val out = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 4)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1 holds all three benchmark 4-grams; doc 2 exactly one
+    assert(byId(1L) == (3L, true))
+    assert(byId(2L) == (1L, true))
+    assert(byId(3L) == (0L, false))
+    assert(byId(4L) == (0L, false))
+    assert(byId(5L) == (0L, false))
+    // the benchmark side broadcasts; the corpus is never the build side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
 }
