@@ -31,7 +31,12 @@ final class SlicerStore(
     authentication: Option[String] = None,
     authIdentity: Option[String] = None,
     authParameter: String = "api_key",
-    client: HttpClient = HttpClient.newHttpClient()) {
+    /** Per-request timeout. A hung remote must fail the one request, not
+      * pin a relay thread forever (the chaining server serves federated
+      * cubes from a FIXED thread pool). */
+    requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(60),
+    client: HttpClient = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()) {
 
   require(authentication.forall(a => a == "pass_parameter" || a == "none"),
     s"Unsupported authentication method '${authentication.get}'")
@@ -54,7 +59,8 @@ final class SlicerStore(
   def rawRequest(action: String,
       params: Seq[(String, String)] = Nil): (Int, String) = {
     val resp = client.send(
-      HttpRequest.newBuilder(uriOf(action, params)).GET.build(),
+      HttpRequest.newBuilder(uriOf(action, params))
+        .timeout(requestTimeout).GET.build(),
       HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
@@ -88,6 +94,7 @@ final class SlicerStore(
       params: Seq[(String, String)] = Nil): (Int, String) = {
     val resp = client.send(
       HttpRequest.newBuilder(uriOf(s"cube/${enc(cube)}/$action", params))
+        .timeout(requestTimeout)
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
@@ -247,7 +254,13 @@ final class FederatedBrowser(
   def facts(cell: Cell = Cell.empty, fields: Seq[String] = Nil,
       order: Seq[(String, Option[String])] = Nil,
       page: Option[Int] = None, pageSize: Option[Int] = None,
-      fetchPageSize: Int = 10000): DataFrame = {
+      fetchPageSize: Int = 10000,
+      /** Hard cap on the driver-side accumulation of an unpaged fact
+        * stream. Relayed facts buffer on THIS driver before becoming a
+        * DataFrame; a remote with billions of facts must be exported by
+        * the remote's own sinks, not siphoned through a relay — so
+        * exceeding the cap is an explicit refusal, not an OOM. */
+      maxRows: Int = 1000000): DataFrame = {
     val fieldParams =
       if (fields.isEmpty) Nil else Seq("fields" -> fields.mkString(","))
     if (page.isDefined || pageSize.isDefined) {
@@ -257,12 +270,17 @@ final class FederatedBrowser(
       // deterministic paging needs a total order; the remote orders by
       // its fact key when asked. Loop until a short page.
       val out = Seq.newBuilder[JValue]
+      var fetched = 0
       var p = 0
       var last = fetchPageSize
       while (last == fetchPageSize) {
+        require(fetched <= maxRows,
+          s"federated fact stream exceeds maxRows=$maxRows — page " +
+            "explicitly, cut the cell down, or export from the remote")
         val batch = parseArray(store.cubeRequest("facts", cubeName,
           commonParams(cell, order, Some(p), Some(fetchPageSize)) ++ fieldParams))
         out ++= batch
+        fetched += batch.size
         last = batch.size
         p += 1
       }
