@@ -182,6 +182,17 @@ object ScaleStress {
           Multimodal.withSyntheticWavPcm(docs, "doc_id"))
         (st.queryExecution.toRdd.count(), sig(st))
       }
+      // q77 shape: benchmark decontamination — the claim under test is
+      // that with a FIXED benchmark set (real eval suites don't grow with
+      // the corpus) its gram set broadcasts, corpus text is never the
+      // shuffled side, and corpus cost stays linear. The benchmark is
+      // drawn from the 1× corpus at BOTH scales so only the corpus grows.
+      timed(scale, "decontaminate") {
+        val bench = docs1x.filter(col("doc_id") % 10 === 0).select("text")
+        val out = Dedup.decontaminate(docs, "doc_id", "text",
+          bench, "text", n = 8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed

@@ -86,6 +86,22 @@ object Corpus {
     * a deterministic total order (count desc, then word asc). Explode →
     * partial-aggregated count → `TakeOrdered` top-k: one shuffle on the
     * word key, bounded driver result. */
+  /** Per-key quota cap: keep at most `maxPerKey` rows per key, chosen
+    * deterministically by `orderCol` (the CommonCrawl-style per-domain
+    * cap — one hot domain must not dominate a corpus). The row_number
+    * window is hash-partitioned BY KEY (the [[sequencePack]] per-shard
+    * shape): no global sort or single-partition window appears at any
+    * corpus size, and skew concentrates only on keys that are themselves
+    * over quota — exactly the rows being discarded. */
+  def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int,
+      orderCol: String): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= maxPerKey)
+      .drop("__rn__")
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

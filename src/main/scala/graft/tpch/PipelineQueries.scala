@@ -219,6 +219,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source quota cap: at most 10 docs per source, deterministic by
+    // doc_id (fixture sources hold 25 docs each, so the cap BINDS)
+    "q78_cap_per_source" -> ((s, dir) =>
+      graft.ops.Corpus.capPerKey(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "source", 10, "doc_id")
+        .orderBy(col("doc_id"))),
+
     // benchmark decontamination: every 10th doc plays the benchmark set;
     // training docs sharing any word 8-gram with it are contaminated
     // (ground truth: the benchmark docs themselves plus exact/near copies)
@@ -696,6 +704,11 @@ object PipelineQueries {
         |  FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q78_cap_per_source" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
 
     "q77_decontaminate" ->

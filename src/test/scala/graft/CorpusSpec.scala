@@ -120,6 +120,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(3L).getAs[String]("t") == "host <IP> up")
   }
 
+  test("capPerKey keeps the first maxPerKey rows per key by the order column") {
+    val df = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"),
+      (20L, "b"), (21L, "b"),
+      (30L, "c")).toDF("doc_id", "source")
+    val got = Corpus.capPerKey(df, "source", 2, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(got.toSeq == Seq((10L, "a"), (11L, "a"), (20L, "b"), (21L, "b"),
+      (30L, "c")))
+    // helper column does not leak into the output schema
+    assert(Corpus.capPerKey(df, "source", 2, "doc_id").columns.toSeq ==
+      Seq("doc_id", "source"))
+  }
+
+  test("capPerKey rejects a non-positive quota") {
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.capPerKey(df, "source", 0, "doc_id")
+    }
+    assert(e.getMessage.contains(">= 1"))
+  }
+
+  test("capPerKey window is hash-partitioned by key, never single-partition") {
+    val df = Seq.tabulate(8)(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val plan = Corpus.capPerKey(df, "source", 2, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("sequencePack plan has no single-partition global window") {
     // the window must be hash-partitioned on the shard column — a missing
     // partitionBy would serialize the 100 TB cumsum through one task
