@@ -260,6 +260,60 @@ object TextImpls {
     }
     Array(nLines, seen.size.toLong, maxLineLen, wc, maxRun)
   }
+
+  /** Distinct word n-grams of `s` in one pass. Tokens are maximal runs
+    * of non-SPACE characters (U+0020 ONLY — the
+    * [[graft.ops.Dedup.decontaminate]] contract and its DuckDB replay
+    * split on the single space character, unlike the \s+ tokenization
+    * used by [[foreachToken]]); gram i = tokens i..i+n-1 joined by
+    * single spaces; duplicates dropped keeping first-occurrence order —
+    * value-identical to the SQL-lambda spec
+    * ([[graft.ops.Dedup.wordNgramsLambda]]). Fewer than n tokens → empty
+    * array (never a descending bogus-index sequence). */
+  def wordNgrams(s: String, n: Int): GenericArrayData = {
+    val len = s.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var tok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val st = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > st) {
+        if (tok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, tok * 2)
+          ends = java.util.Arrays.copyOf(ends, tok * 2)
+        }
+        starts(tok) = st
+        ends(tok) = i
+        tok += 1
+      }
+    }
+    if (tok < n) return new GenericArrayData(Array.empty[Any])
+    val grams = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var g = 0
+    while (g <= tok - n) {
+      sb.setLength(0)
+      var j = g
+      while (j < g + n) {
+        if (j > g) sb.append(' ')
+        sb.append(s, starts(j), ends(j))
+        j += 1
+      }
+      grams.add(sb.toString)
+      g += 1
+    }
+    val out = new Array[Any](grams.size)
+    val it = grams.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** lang_id(lowered): stopword-argmax language ID in one call. `full`
@@ -310,6 +364,22 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** word_ngrams(text, n): distinct space-joined word n-grams in one pass
+  * (first-occurrence order). The hot path of the decontamination join's
+  * gram construction; the interpreted lambda spec costs O(n) interpreter
+  * dispatches per GRAM. */
+case class WordNGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.wordNgrams(v.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextImpls.wordNgrams($c.toString(), $n)")
+  override protected def withNewChildInternal(c: Expression): WordNGramsExpr =
+    copy(child = c)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -320,4 +390,6 @@ object NativeText {
     toCol(StopwordHitsExpr(toExpr(lowered), lang))
   def repetition_stats(text: Column): Column =
     toCol(RepetitionStatsExpr(toExpr(text)))
+  def word_ngrams(text: Column, n: Int): Column =
+    toCol(WordNGramsExpr(toExpr(text), n))
 }

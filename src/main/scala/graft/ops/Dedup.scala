@@ -84,23 +84,19 @@ object Dedup {
     *
     * Tokens are single-space-split words; gram `i` is words `i..i+n-1`
     * joined by single spaces. Documents shorter than `n` words have no
-    * grams and report `overlap_ngrams = 0`. */
+    * grams and report `overlap_ngrams = 0`.
+    *
+    * Gram construction runs through the codegen'd
+    * [[graft.functions.NativeText.word_ngrams]] (one JIT pass per doc);
+    * [[wordNgramsLambda]] is the value-identical SQL-lambda spec the
+    * DuckDB oracle replays and OpsSpec cross-validates. */
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13
   ): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    def grams(c: Column): Column = {
-      val words = filter(split(coalesce(c, lit("")), " "),
-        w => length(w) > 0)
-      // guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which
-      // would emit bogus indexes for docs shorter than n words
-      when(size(words) >= n,
-        array_distinct(transform(
-          sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n))))))
-        .otherwise(array().cast("array<string>"))
-    }
+    def grams(c: Column): Column =
+      graft.functions.NativeText.word_ngrams(coalesce(c, lit("")), n)
     val docGrams = docs.select(col(idCol), grams(col(textCol)).as("__grams__"))
     val benchGrams = bench
       .select(explode(grams(col(benchTextCol))).as("__gram__"))
@@ -114,6 +110,22 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
         (coalesce(col("overlap_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** SQL-lambda formulation of distinct word n-grams — the executable
+    * spec for [[graft.functions.NativeText.word_ngrams]] (interpreted
+    * per element, so [[decontaminate]] runs the codegen'd twin; OpsSpec
+    * asserts value identity). */
+  def wordNgramsLambda(c: Column, n: Int): Column = {
+    val words = filter(split(coalesce(c, lit("")), " "),
+      w => length(w) > 0)
+    // guard: Spark's sequence(1, stop) DESCENDS when stop < 1, which
+    // would emit bogus indexes for docs shorter than n words
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact dedup returning full surviving rows (window row_number=1). */

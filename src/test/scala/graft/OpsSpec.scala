@@ -692,4 +692,26 @@ class OpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
+
+  test("native word_ngrams == SQL-lambda formulation on real documents + edges") {
+    import graft.functions.NativeText
+    val diff = docs.select(
+      NativeText.word_ngrams(coalesce(col("text"), lit("")), 8).as("a"),
+      Dedup.wordNgramsLambda(col("text"), 8).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+    // tokenization is on U+0020 ONLY (tabs/newlines are token chars),
+    // duplicate grams collapse keeping first occurrence, short/empty
+    // docs yield empty arrays
+    val edges = Seq("", "   ", "a b", "a  b  c", "a\tb c d", "x y x y x y",
+      "one two three four", " lead trail ", "的 是 了 在")
+      .toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val ediff = edges.select(
+        NativeText.word_ngrams(coalesce(col("text"), lit("")), n).as("a"),
+        Dedup.wordNgramsLambda(col("text"), n).as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      assert(ediff == 0, s"n=$n")
+    }
+  }
 }
