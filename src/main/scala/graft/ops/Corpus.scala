@@ -102,6 +102,41 @@ object Corpus {
       .drop("__rn__")
   }
 
+  /** Deterministic mixture sampling: each source is sampled at weight
+    * `w` — a doc is kept `floor(w)` whole times, plus once more iff its
+    * content bucket falls below the fractional part (content-addressed:
+    * the bucket is the [[withSplit]] polynomial hash of the text, so
+    * byte-identical duplicates sample identically and there is no seed
+    * to coordinate across 1000 executors). Weights > 1 upsample by
+    * emitting epoch copies `0..n-1` in `epochCol` (the mixture-weighted
+    * repeat counts of published pretraining recipes); weight 0 drops
+    * the source. Arithmetic is exact in integer MICRO-units (weights
+    * round to 1e-6), so the DuckDB oracle replays it bit-for-bit. Pure
+    * per-row codegen + generate: no shuffle at any corpus size. */
+  def sampleMixture(df: DataFrame, sourceCol: String, textCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      epochCol: String = "epoch"): DataFrame = {
+    val D = 1000000L
+    def micros(w: Double): Long = {
+      require(w >= 0, s"mixture weight must be >= 0, got $w")
+      math.round(w * D)
+    }
+    // chained whens over literal per-source values, one per derived piece
+    def chain(f: Long => Long): Column =
+      weights.toSeq.sortBy(_._1).foldLeft(lit(f(micros(defaultWeight)))) {
+        case (rest, (k, v)) =>
+          when(col(sourceCol) === k, lit(f(micros(v)))).otherwise(rest)
+      }
+    val base = chain(_ / D) // whole epochs
+    val rem = chain(_ % D)  // fractional micro-remainder
+    val bucket = pmod(graft.functions.NativeHashes.poly_hash(
+      coalesce(col(textCol), lit(""))), lit(D))
+    val n = base + when(bucket < rem, lit(1L)).otherwise(lit(0L))
+    df.withColumn(epochCol,
+      explode(when(n > 0, sequence(lit(0L), n - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

@@ -112,6 +112,38 @@ object Dedup {
         (coalesce(col("overlap_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Corpus-wide paragraph dedup (the C4/RefinedWeb "remove repeated
+    * paragraphs across the corpus" cleaning step): every paragraph keeps
+    * only its FIRST occurrence — document order, then position within the
+    * document — and each document is reassembled from its surviving
+    * paragraphs. `sep` is a LITERAL separator (default blank line).
+    *
+    * Scale shape: the keep-decision is a row_number window partitioned by
+    * sha2-256 of the paragraph (collision-safe EXACT keying, the
+    * [[dropBoilerplateLines]] argument: a 64-bit key would silently merge
+    * distinct rare paragraphs at billions-of-paragraphs scale) — one
+    * shuffle keyed on a 32-byte digest, where a hot key holds exactly the
+    * copies being discarded; reassembly is the [[dropBoilerplateLines]]
+    * order-safe groupBy. Documents whose every paragraph was seen earlier
+    * survive with empty text (dropping them is the caller's policy). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id__"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__para_no__", "__para__")))
+    val w = Window.partitionBy(sha2(col("__para__"), 256))
+      .orderBy(col("__id__").asc, col("__para_no__").asc)
+    val kept = paras.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+    val rebuilt = kept.groupBy(col("__id__").as(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__para_no__"), col("__para__")))),
+        s => s.getField("__para__")), sep).as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** SQL-lambda formulation of distinct word n-grams — the executable
     * spec for [[graft.functions.NativeText.word_ngrams]] (interpreted
     * per element, so [[decontaminate]] runs the codegen'd twin; OpsSpec

@@ -219,6 +219,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-wide paragraph dedup: every doc carries a shared intro
+    // paragraph, its own text, and (odd docs) a repeat of its own text —
+    // only first occurrences survive corpus-wide
+    "q79_dedup_paragraphs" -> ((s, dir) => {
+      val txt = coalesce(col("text"), lit(""))
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n\n",
+          lit("SHARED INTRO PARAGRAPH"), txt,
+          when(col("doc_id") % 2 === 1, txt)
+            .otherwise(lit("CALL TO ACTION"))).as("text"))
+      graft.ops.Dedup.dedupParagraphs(d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic mixture sampling: drop src0, halve src1, upsample
+    // src2 2.25x and src3 3x, everything else at weight 1
+    "q80_sample_mixture" -> ((s, dir) =>
+      graft.ops.Corpus.sampleMixture(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "source", "text",
+        Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.25, "src3" -> 3.0))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // per-source quota cap: at most 10 docs per source, deterministic by
     // doc_id (fixture sources hold 25 docs each, so the cap BINDS)
     "q78_cap_per_source" -> ((s, dir) =>
@@ -710,6 +734,42 @@ object PipelineQueries {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q79_dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id,
+        |    'SHARED INTRO PARAGRAPH' || chr(10) || chr(10) ||
+        |    coalesce(text, '') || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 1 THEN coalesce(text, '')
+        |         ELSE 'CALL TO ACTION' END AS text
+        |  FROM documents),
+        |ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(arr) AS para,
+        |    generate_subscripts(arr, 1) AS ord FROM ps),
+        |k AS (SELECT doc_id, para, ord,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, ord) AS rn
+        |  FROM e),
+        |r AS (SELECT doc_id,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY ord) AS text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q80_sample_mixture" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 500000
+         |      WHEN 'src2' THEN 2250000 WHEN 'src3' THEN 3000000
+         |      ELSE 1000000 END AS micros,
+         |    ${dpolyhash("coalesce(text, '')")} % 1000000 AS bucket
+         |  FROM documents),
+         |n AS (SELECT doc_id, source,
+         |    micros // 1000000 +
+         |      CASE WHEN bucket < micros % 1000000 THEN 1 ELSE 0 END AS n
+         |  FROM m)
+         |SELECT doc_id, source,
+         |  unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS epoch
+         |FROM n WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
 
     "q77_decontaminate" ->
       """WITH w AS (SELECT doc_id,

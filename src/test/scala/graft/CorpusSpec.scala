@@ -160,4 +160,43 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
+
+  test("sampleMixture: whole epochs, fractional bucket, drop, determinism") {
+    val df = Seq(
+      (1L, "drop", "alpha"), (2L, "half", "beta"), (3L, "half", "gamma"),
+      (4L, "triple", "delta"), (5L, "other", "epsilon"),
+      (6L, "half", "beta") // duplicate text of doc 2: must sample identically
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sampleMixture(df, "source", "text",
+      Map("drop" -> 0.0, "half" -> 0.5, "triple" -> 3.0))
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byId = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // weight 0 drops; weight 3.0 emits epochs 0,1,2; default weight 1
+    assert(!byId.contains(1L))
+    assert(byId(4L) == Seq(0L, 1L, 2L))
+    assert(byId(5L) == Seq(0L))
+    // fractional weight keeps a doc iff its CONTENT bucket clears the
+    // remainder — docs 2 and 6 share a text, so they sample identically
+    assert(byId.get(2L) == byId.get(6L))
+    // deterministic across runs
+    val again = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("sampleMixture is a shuffle-free per-row plan") {
+    val df = Seq((1L, "a", "x")).toDF("doc_id", "source", "text")
+    val plan = Corpus.sampleMixture(df, "source", "text", Map("a" -> 2.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleMixture rejects negative weights") {
+    val df = Seq((1L, "a", "x")).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.sampleMixture(df, "source", "text", Map("a" -> -0.1))
+    }
+    assert(e.getMessage.contains(">= 0"))
+  }
 }

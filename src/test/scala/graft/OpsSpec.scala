@@ -693,6 +693,35 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("dedupParagraphs keeps first occurrences corpus-wide and rebuilds docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "INTRO\n\nunique one\n\nshared para"),
+      (2L, "INTRO\n\nshared para\n\nunique two"),
+      (3L, "shared para\n\nshared para"), // within-doc repeat too
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is first for INTRO, "unique one", "shared para"
+    assert(got(1L) == "INTRO\n\nunique one\n\nshared para")
+    // doc 2 loses INTRO and "shared para" (doc 1 owns them)
+    assert(got(2L) == "unique two")
+    // doc 3 loses both copies; survives as empty text
+    assert(got(3L) == "")
+    // null text becomes one empty paragraph — doc 4 is its first owner
+    assert(got(4L) == "")
+    // the keep-decision window is keyed on the 32-byte digest (projected
+    // into a _w0 column first), never single-partition
+    val plan = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sha2(cast(__para__"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // rank-limit pushdown: a partial WindowGroupLimit prunes losers
+    // map-side BEFORE the shuffle (the combiner shape of this dedup)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("native word_ngrams == SQL-lambda formulation on real documents + edges") {
     import graft.functions.NativeText
     val diff = docs.select(
