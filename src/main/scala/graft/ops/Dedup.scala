@@ -112,6 +112,38 @@ object Dedup {
         (coalesce(col("overlap_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Duplicated-span profile (the exact-substring-dedup signal of the
+    * published "deduplicating training data" pipelines, at word-shingle
+    * granularity): for each document, how many of its word k-shingles
+    * occur at least `minOcc` times corpus-wide (within-doc repeats
+    * included) and what fraction of its shingles that is — the
+    * drop/trim signal of a span-level deduper.
+    *
+    * Scale shape: explode to (id, shingle-hash) — 8-byte hashes only,
+    * text never shuffles; the corpus-wide occurrence count is a count
+    * window over the hash key (one shuffle, hot keys hold exactly the
+    * duplicated spans being flagged), per-doc re-aggregation is the
+    * second. The hash domain is the minhash shingle space
+    * ([[shingleHashesLambda]]'s poly-fold — the stack's deliberate,
+    * documented approximation); the DuckDB oracle replays the same
+    * hashes bit-for-bit. */
+  def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOcc: Int = 2): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val grams = df.select(col(idCol).as("__id__"),
+      explode(graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), k)).as("__h__"))
+    val occ = Window.partitionBy(col("__h__"))
+    val marked = grams.withColumn("__occ__", count(lit(1)).over(occ))
+    val isDup = when(col("__occ__") >= minOcc, 1L).otherwise(0L)
+    marked.groupBy(col("__id__").as(idCol)).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(isDup).as("n_dup_shingles"),
+      round(sum(isDup).cast("double") / count(lit(1)), 6)
+        .as("dup_fraction"))
+  }
+
   /** Corpus-wide paragraph dedup (the C4/RefinedWeb "remove repeated
     * paragraphs across the corpus" cleaning step): every paragraph keeps
     * only its FIRST occurrence — document order, then position within the

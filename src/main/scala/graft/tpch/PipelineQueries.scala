@@ -243,6 +243,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // duplicated-span profile: per-doc count/fraction of word 8-shingles
+    // occurring >= 2 times corpus-wide (the span-level dedup signal)
+    "q81_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.dupSpanProfile(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
+
     // per-source quota cap: at most 10 docs per source, deterministic by
     // doc_id (fixture sources hold 25 docs each, so the cap BINDS)
     "q78_cap_per_source" -> ((s, dir) =>
@@ -434,15 +440,17 @@ object PipelineQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB replay of Dedup.shingleHashes (k=3): token poly-hashes folded
-    * per shingle. */
-  private def dshingleHashes: String = {
-    val toks = "regexp_split_to_array(lower(text), '\\s+')"
+  /** DuckDB replay of Dedup.shingleHashes: token poly-hashes folded per
+    * k-shingle, over the given text expression. */
+  private def dshingleHashesK(textExpr: String, k: Int): String = {
+    val toks = s"regexp_split_to_array(lower($textExpr), '\\s+')"
     val ths = s"list_transform($toks, t -> ${dpolyhash("t")})"
-    s"list_transform(generate_series(1, GREATEST(len($toks) - 2, 1)), " +
-      s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($ths, i, i + 2)), " +
+    s"list_transform(generate_series(1, GREATEST(len($toks) - ${k - 1}, 1)), " +
+      s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice($ths, i, i + ${k - 1})), " +
       s"(a, h) -> (a * 131 + h) % 1000000007))"
   }
+
+  private def dshingleHashes: String = dshingleHashesK("text", 3)
 
   private val minhashSql: String = {
     val sh = dshingleHashes
@@ -755,6 +763,20 @@ object PipelineQueries {
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q81_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ${dshingleHashesK("coalesce(text, '')", 8)} AS sh
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(sh) AS h FROM t),
+         |o AS (SELECT doc_id,
+         |    COUNT(*) OVER (PARTITION BY h) AS occ FROM e)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_shingles,
+         |  ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_fraction
+         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q80_sample_mixture" ->
       s"""WITH m AS (SELECT doc_id, source,

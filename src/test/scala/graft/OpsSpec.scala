@@ -693,6 +693,31 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("dupSpanProfile counts corpus-wide repeated shingles per doc") {
+    import spark.implicits._
+    // k=2 word shingles; "a b" appears in docs 1 and 2, "b c" only in 1,
+    // doc 3 repeats "x y" internally (within-doc repeats count too)
+    val df = Seq(
+      (1L, "a b c"),     // shingles: (a b), (b c)
+      (2L, "a b"),       // shingles: (a b)
+      (3L, "x y x y"),   // shingles: (x y), (y x), (x y)
+      (4L, "q r")        // shingles: (q r) — unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanProfile(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 1L, 0.5))
+    assert(got(2L) == (1L, 1L, 1.0))
+    assert(got(3L) == (3L, 2L, 0.666667))
+    assert(got(4L) == (1L, 0L, 0.0))
+    // decision shuffle is keyed on the 8-byte shingle hash; text never
+    // reaches an exchange
+    val plan = Dedup.dupSpanProfile(df, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__h__"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("dedupParagraphs keeps first occurrences corpus-wide and rebuilds docs") {
     import spark.implicits._
     val df = Seq(
