@@ -78,6 +78,33 @@ object Streaming {
     }.withColumn(textCol, redacted)
   }
 
+  /** Streaming mixture sampling: [[graft.ops.Corpus.sampleMixture]]
+    * composes with `readStream` UNCHANGED — the epoch explode is a
+    * stateless per-row generate (no shuffle, no watermark, no state), so
+    * the batch operator IS the streaming operator. This wrapper pins
+    * that contract (and its batch≡stream equivalence) with a spec. */
+  def sampleMixture(docs: DataFrame, sourceCol: String, textCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame =
+    graft.ops.Corpus.sampleMixture(docs, sourceCol, textCol, weights,
+      defaultWeight)
+
+  /** Streaming benchmark decontamination: the batch
+    * [[graft.ops.Dedup.decontaminate]] applied per micro-batch via
+    * `foreachBatch`. Value-identical to the batch operator because
+    * contamination is per-DOCUMENT against a STATIC benchmark — no
+    * cross-batch state exists, and the benchmark's distinct-gram set
+    * broadcasts into every micro-batch exactly as it does into a batch
+    * job. (The per-doc gram explode + re-aggregation inside the op is a
+    * streaming aggregation if expressed directly on the stream; running
+    * it per micro-batch is the idiomatic Spark shape for a
+    * stateless-per-row-result op whose INTERNAL plan aggregates.) */
+  def decontaminateForEachBatch(
+      bench: DataFrame, benchTextCol: String, n: Int,
+      idCol: String, textCol: String)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => sink(graft.ops.Dedup.decontaminate(
+      batch.toDF(), idCol, textCol, bench, benchTextCol, n))
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

@@ -115,6 +115,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture sampling equals its batch twin row-for-row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix_stream").toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.25)
+    val q = Streaming.sampleMixture(stream, "source", "text", weights)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_sampled").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, source, epoch FROM mix_sampled")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.Corpus.sampleMixture(docs, "source", "text", weights)
+        .select("doc_id", "source", "epoch")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // the drop weight binds in the streamed output too
+      assert(!streamed.exists(_(1) == "src0"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch decontamination equals its batch twin row-for-row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val bench = docs.filter(col("doc_id") % 10 === 0).select("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream").toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val fb = Streaming.decontaminateForEachBatch(
+      bench, "text", 8, "doc_id", "text") { out =>
+      got ++= out.collect().map(_.toSeq)
+    }
+    val q = stream.writeStream.outputMode("append").foreachBatch(fb).start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.ops.Dedup.decontaminate(
+        docs, "doc_id", "text", bench, "text", n = 8)
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet == batch)
+      // contamination binds: the benchmark docs themselves are flagged
+      assert(got.exists(r => r(2) == true))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val events = Seq(
       Streaming.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
