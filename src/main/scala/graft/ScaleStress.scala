@@ -193,6 +193,32 @@ object ScaleStress {
           bench, "text", n = 8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q79 shape: corpus-wide paragraph dedup — the keep-decision window
+      // rides 32-byte digests; the claim is both shuffles (decision +
+      // rebuild) stay hash-partitioned with no single-partition stage
+      timed(scale, "dedup_paragraphs") {
+        val d = docs.select(col("doc_id"),
+          concat_ws("\n\n", lit("SHARED INTRO"), col("text")).as("text"))
+        val out = Dedup.dedupParagraphs(d, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q81 shape: duplicated-span profile — (id, hash) explode, count
+      // window on the hash key, per-doc re-aggregation; text never
+      // shuffles, cost tracks total shingle count linearly
+      timed(scale, "dup_spans") {
+        val out = Dedup.dupSpanProfile(docs, "doc_id", "text", k = 8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q80 shape: mixture sampling — stateless per-row generate; must
+      // stay exchange-free at any size (the derived corpus carries no
+      // source column, so derive one from the id)
+      timed(scale, "sample_mixture") {
+        val d = docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+        val out = Corpus.sampleMixture(d, "source", "text",
+          Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.25, "src3" -> 3.0))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
