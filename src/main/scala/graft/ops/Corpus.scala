@@ -137,6 +137,30 @@ object Corpus {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Token-budget corpus selection: within each key (source, language,
+    * …) rank rows by `orderCol` DESCENDING (quality first; `idCol`
+    * breaks ties deterministically) and keep the maximal prefix whose
+    * cumulative `tokCol` stays within `budget` — the "take the best
+    * documents until N tokens per source" mixing step. GREEDY-PREFIX
+    * semantics: once a document overflows the budget, nothing after it
+    * is considered (no knapsack backfill), so the output never exceeds
+    * the budget and is a rank-contiguous prefix.
+    *
+    * Scale shape: one cumulative-sum window hash-partitioned BY KEY (the
+    * [[sequencePack]] per-shard shape — no global sort, no
+    * single-partition window); skew concentrates only on keys with many
+    * candidates, whose tail rows are exactly the ones being discarded. */
+  def selectByTokenBudget(df: DataFrame, keyCol: String, tokCol: String,
+      orderCol: String, budget: Long, idCol: String): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum__", sum(col(tokCol)).over(w))
+      .filter(col("__cum__") <= budget)
+      .drop("__cum__")
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

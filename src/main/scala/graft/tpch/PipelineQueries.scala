@@ -249,6 +249,14 @@ object PipelineQueries {
       graft.ops.Dedup.dupSpanProfile(docs(s, dir), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))),
 
+    // token-budget selection: per source, largest docs first until 3000
+    // chars — the budget BINDS (119 of 500 docs survive at sf0.01)
+    "q82_token_budget" -> ((s, dir) =>
+      graft.ops.Corpus.selectByTokenBudget(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "n_chars", 3000L, "doc_id")
+        .orderBy(col("doc_id"))),
+
     // per-source quota cap: at most 10 docs per source, deterministic by
     // doc_id (fixture sources hold 25 docs each, so the cap BINDS)
     "q78_cap_per_source" -> ((s, dir) =>
@@ -762,6 +770,12 @@ object PipelineQueries {
         |  FROM k WHERE rn = 1 GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q82_token_budget" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY SUM(n_chars) OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) <= 3000
         |ORDER BY doc_id""".stripMargin,
 
     "q81_dup_spans" ->

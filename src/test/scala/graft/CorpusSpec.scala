@@ -161,6 +161,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
 
+  test("selectByTokenBudget keeps the best prefix within budget per key") {
+    val df = Seq(
+      // key a: quality order 10(40tok), 11(50tok), 12(20tok)
+      (10L, "a", 40L, 9.0), (11L, "a", 50L, 8.0), (12L, "a", 20L, 7.0),
+      // key b: one doc alone overflows the budget
+      (20L, "b", 200L, 9.0), (21L, "b", 30L, 8.0)
+    ).toDF("doc_id", "source", "n_tok", "quality")
+    val got = Corpus.selectByTokenBudget(
+      df, "source", "n_tok", "quality", 100L, "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // a: 40 + 50 = 90 <= 100; adding 20 would hit 110 — greedy prefix
+    // stops (no backfill). b: 200 overflows immediately; 30 after an
+    // overflow is NOT reconsidered (prefix semantics)
+    assert(got == Seq(10L, 11L))
+    // helper column does not leak
+    assert(Corpus.selectByTokenBudget(df, "source", "n_tok", "quality",
+      100L, "doc_id").columns.toSeq ==
+      Seq("doc_id", "source", "n_tok", "quality"))
+    // the cumsum window is hash-partitioned by key
+    val plan = Corpus.selectByTokenBudget(df, "source", "n_tok", "quality",
+      100L, "doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("sampleMixture: whole epochs, fractional bucket, drop, determinism") {
     val df = Seq(
       (1L, "drop", "alpha"), (2L, "half", "beta"), (3L, "half", "gamma"),
