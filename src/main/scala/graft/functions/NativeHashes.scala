@@ -141,6 +141,25 @@ object HashImpls {
       Array[Any](scale, qsum, qmin, qmax, nonzero, err))
   }
 
+  /** Sign-bit LSH signature: bit i set iff element i of the float vector
+    * is positive, over the first `bits` elements. NaN counts as positive
+    * — Spark SQL (and DuckDB) order NaN above every number, so the
+    * SQL-lambda spec's `x > 0` is TRUE for NaN; a plain Java `>` would
+    * silently diverge. Vectors shorter than `bits` leave high bits 0
+    * (the lambda's zip_with null-pad). */
+  def signBits(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int): Long = {
+    val n = math.min(bits, a.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val f = a.getFloat(i)
+      if (f > 0 || java.lang.Float.isNaN(f)) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
   /** Sorted-distinct packed char n-grams of `s`: each gram's n code points
     * packed into one long (21 bits per code point — lossless for any
     * Unicode scalar, so the packing is a bijection onto the substring
@@ -255,6 +274,23 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
 }
 
 /** simhash32(str): 32-bit SimHash in one call. */
+/** sign_bits(vec, bits): sign-bit LSH bucket of a float vector in one
+  * JIT loop (NaN positive, matching SQL comparison semantics — see
+  * [[HashImpls.signBits]]). */
+case class SignBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashImpls.signBits(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.signBits($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SignBitsExpr =
+    copy(child = c)
+}
+
 case class SimHash32Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
@@ -344,5 +380,7 @@ object NativeHashes {
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductExpr(toExpr(a), toExpr(b)))
   def quantize_stats(a: Column): Column = toCol(QuantizeStatsExpr(toExpr(a)))
+  def sign_bits(a: Column, bits: Int): Column =
+    toCol(SignBitsExpr(toExpr(a), bits))
   def simhash32(c: Column): Column = toCol(SimHash32Expr(toExpr(c)))
 }

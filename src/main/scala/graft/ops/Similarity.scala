@@ -33,8 +33,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit signature: bit i = (v_i > 0) over the first `bits` dims —
-    * a deterministic random-hyperplane LSH (planes = axis planes). */
+    * a deterministic random-hyperplane LSH (planes = axis planes).
+    * Codegen'd ([[graft.functions.NativeHashes.sign_bits]]); the
+    * SQL-lambda twin below is the cross-validated executable spec. */
   def signBits(v: Column, bits: Int): Column =
+    graft.functions.NativeHashes.sign_bits(v, bits)
+
+  /** SQL-lambda formulation of [[signBits]] — identical results (NaN
+    * ranks above zero in SQL comparisons, which the native loop
+    * replicates), used for cross-validation. */
+  def signBitsLambda(v: Column, bits: Int): Column =
     aggregate(
       zip_with(slice(v, 1, bits), sequence(lit(0), lit(bits - 1)),
         (x, i) => when(x > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),

@@ -693,6 +693,30 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("native sign_bits == SQL-lambda formulation on real embeddings + edges") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    for (bits <- Seq(8, 16)) {
+      val diff = emb.select(
+        Similarity.signBits(col("embedding"), bits).as("a"),
+        Similarity.signBitsLambda(col("embedding"), bits).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"bits=$bits")
+    }
+    // vectors shorter than bits leave high bits 0; NaN counts as
+    // positive (SQL comparison semantics rank NaN above every number)
+    val edges = Seq(
+      Array(1.0f, -1.0f),
+      Array(-0.0f, 0.0f, Float.NaN, 5.0f),
+      Array.empty[Float]
+    ).toDF("embedding")
+    val ediff = edges.select(
+      Similarity.signBits(col("embedding"), 8).as("a"),
+      Similarity.signBitsLambda(col("embedding"), 8).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ediff == 0)
+  }
+
   test("dupSpanProfile counts corpus-wide repeated shingles per doc") {
     import spark.implicits._
     // k=2 word shingles; "a b" appears in docs 1 and 2, "b c" only in 1,
