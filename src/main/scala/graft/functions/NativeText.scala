@@ -314,6 +314,40 @@ object TextImpls {
     }
     new GenericArrayData(out)
   }
+
+  /** Rebuild `s` from the \s+ tokens NOT covered by any flagged
+    * k-shingle: flag i covers tokens i..i+k-1 (0-based, the
+    * [[graft.functions.HashImpls.shingleHashes]] position space —
+    * tokenization is the same `split("\\s+", -1)` INCLUDING boundary
+    * empties, so positions align). Survivors join with single spaces
+    * (whitespace is normalized — span removal cannot preserve the
+    * original separators around excised spans). Fewer flags than
+    * shingles (or none) leaves the uncovered tail intact. */
+  def removeCoveredTokens(s: String,
+      flags: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): UTF8String = {
+    val toks = s.split("\\s+", -1)
+    val nFlags = flags.numElements()
+    val sb = new java.lang.StringBuilder(s.length)
+    var first = true
+    var j = 0
+    while (j < toks.length) {
+      var i = math.max(0, j - (k - 1))
+      val hi = math.min(j, nFlags - 1)
+      var covered = false
+      while (i <= hi && !covered) {
+        if (flags.getBoolean(i)) covered = true
+        i += 1
+      }
+      if (!covered) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** lang_id(lowered): stopword-argmax language ID in one call. `full`
@@ -380,6 +414,24 @@ case class WordNGramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** remove_covered_tokens(text, flags, k): rebuild text from the tokens
+  * not covered by any flagged k-shingle — the span-excision pass of
+  * exact-substring dedup, one JIT loop per doc. */
+case class RemoveCoveredTokensExpr(left: Expression, right: Expression,
+    k: Int) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any, f: Any): Any =
+    TextImpls.removeCoveredTokens(t.asInstanceOf[UTF8String].toString,
+      f.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, f) =>
+      s"graft.functions.TextImpls.removeCoveredTokens($t.toString(), $f, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RemoveCoveredTokensExpr =
+    copy(left = l, right = r)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -392,4 +444,6 @@ object NativeText {
     toCol(RepetitionStatsExpr(toExpr(text)))
   def word_ngrams(text: Column, n: Int): Column =
     toCol(WordNGramsExpr(toExpr(text), n))
+  def remove_covered_tokens(text: Column, flags: Column, k: Int): Column =
+    toCol(RemoveCoveredTokensExpr(toExpr(text), toExpr(flags), k))
 }

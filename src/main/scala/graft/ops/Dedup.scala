@@ -144,6 +144,41 @@ object Dedup {
         .as("dup_fraction"))
   }
 
+  /** Duplicated-span REMOVAL (the published exact-substring-dedup step
+    * itself, at word-shingle granularity): every later occurrence of a
+    * corpus-repeated word k-shingle is excised — the FIRST occurrence
+    * (doc order, then position) survives, and each document is rebuilt
+    * from its surviving tokens (single-space joined; span excision
+    * cannot preserve the separators around removed spans). A token is
+    * removed iff ANY flagged shingle occurrence covers it.
+    *
+    * Scale shape: the [[dupSpanProfile]] explode — (id, pos, 8-byte
+    * shingle hash), text never in the decision shuffle — with a
+    * row_number window on the hash key (first occurrence keeps, the
+    * [[dedupParagraphs]] window); per-doc flags come back as a boolean
+    * array and the token surgery is one codegen'd pass per doc
+    * ([[graft.functions.NativeText.remove_covered_tokens]]). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val grams = df.select(col(idCol).as("__id__"),
+      posexplode(graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), k)).as(Seq("__pos__", "__h__")))
+    val w = Window.partitionBy(col("__h__"))
+      .orderBy(col("__id__").asc, col("__pos__").asc)
+    val flagged = grams.withColumn("__rm__", row_number().over(w) >= 2)
+    val flagsPerDoc = flagged.groupBy(col("__id__").as(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__pos__"), col("__rm__")))),
+        s => s.getField("__rm__")).as("__flags__"))
+    df.select(col(idCol), col(textCol)).join(flagsPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.NativeText.remove_covered_tokens(
+          coalesce(col(textCol), lit("")),
+          coalesce(col("__flags__"), array().cast("array<boolean>")),
+          k).as(textCol))
+  }
+
   /** Corpus-wide paragraph dedup (the C4/RefinedWeb "remove repeated
     * paragraphs across the corpus" cleaning step): every paragraph keeps
     * only its FIRST occurrence — document order, then position within the

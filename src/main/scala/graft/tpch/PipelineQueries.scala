@@ -249,6 +249,12 @@ object PipelineQueries {
       graft.ops.Dedup.dupSpanProfile(docs(s, dir), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))),
 
+    // duplicated-span removal: later occurrences of corpus-repeated word
+    // 8-shingles are excised token-wise; first occurrences survive
+    "q83_remove_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.removeDupSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
+
     // token-budget selection: per source, largest docs first until 3000
     // chars — the budget BINDS (119 of 500 docs survive at sf0.01)
     "q82_token_budget" -> ((s, dir) =>
@@ -777,6 +783,30 @@ object PipelineQueries {
         |QUALIFY SUM(n_chars) OVER (PARTITION BY source
         |  ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) <= 3000
         |ORDER BY doc_id""".stripMargin,
+
+    "q83_remove_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
+         |    ${dshingleHashesK("coalesce(text, '')", 8)} AS sh
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(sh) AS h,
+         |    generate_subscripts(sh, 1) AS pos FROM t),
+         |f AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) >= 2
+         |      AS rm FROM e),
+         |fl AS (SELECT doc_id, list(rm ORDER BY pos) AS flags
+         |  FROM f GROUP BY doc_id),
+         |r AS (SELECT t.doc_id,
+         |    regexp_split_to_array(t.text, '\\s+') AS toks, fl.flags
+         |  FROM t JOIN fl USING (doc_id))
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_filter(list_transform(
+         |    generate_series(1, len(toks)),
+         |    j -> CASE WHEN len(list_filter(
+         |          flags[greatest(1, j - 7):least(j, len(flags))],
+         |          x -> x)) > 0
+         |        THEN NULL ELSE toks[j] END), x -> x IS NOT NULL), ' '), '')
+         |    AS text
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q81_dup_spans" ->
       s"""WITH t AS (SELECT doc_id,

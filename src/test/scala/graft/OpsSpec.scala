@@ -742,6 +742,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("removeDupSpans excises later occurrences, keeps first, rebuilds text") {
+    import spark.implicits._
+    // k=3 shingles. Doc 1 owns "one two three"; doc 2 repeats it inside a
+    // longer sentence — those three tokens are excised from doc 2 only.
+    val df = Seq(
+      (1L, "one two three"),
+      (2L, "start one two three end"),
+      (3L, "totally unrelated words here"),
+      (4L, "one two three") // full repeat of doc 1: everything excised
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "one two three")
+    // doc 2: shingle ("one","two","three") at pos 1 is a repeat; it
+    // covers tokens 1..3. "start" (covered only by flagged-free shingle
+    // 0? no — shingle 0 = start one two, unique) and "end" survive
+    assert(got(2L) == "start end")
+    assert(got(3L) == "totally unrelated words here")
+    assert(got(4L) == "")
+    // only the hash rides the decision shuffle
+    val plan = Dedup.removeDupSpans(df, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__h__"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("dedupParagraphs keeps first occurrences corpus-wide and rebuilds docs") {
     import spark.implicits._
     val df = Seq(
