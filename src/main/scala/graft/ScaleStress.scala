@@ -209,6 +209,13 @@ object ScaleStress {
         val out = Dedup.dupSpanProfile(docs, "doc_id", "text", k = 8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q83 shape: duplicated-span removal — dup_spans' hash-key window
+      // (row_number instead of count) + per-doc codegen'd token surgery;
+      // same claim: text in the rebuild join only, never the decision
+      timed(scale, "remove_dup_spans") {
+        val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q80 shape: mixture sampling — stateless per-row generate; must
       // stay exchange-free at any size (the derived corpus carries no
       // source column, so derive one from the id)
