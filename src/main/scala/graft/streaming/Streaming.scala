@@ -105,6 +105,30 @@ object Streaming {
     (batch, _) => sink(graft.ops.Dedup.decontaminate(
       batch.toDF(), idCol, textCol, bench, benchTextCol, n))
 
+  /** Streaming per-key quota cap: admit at most `maxPerKey` rows per key
+    * over the stream's lifetime — the streaming twin of
+    * [[graft.ops.Corpus.capPerKey]], with the ONE semantic difference
+    * streaming forces: admission is ARRIVAL order (batch picks the
+    * lowest `orderCol` globally; an unbounded stream cannot). State per
+    * key is a single admitted-count long, bounded by the key cardinality
+    * and never by the stream length. Emits `(key, order)` pairs of the
+    * admitted rows; join back by key+order for full rows. */
+  def capPerKeyStream(rows: Dataset[(String, Long)],
+      maxPerKey: Int): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val take = it.take(
+            math.max(0, maxPerKey - admitted).toInt).toSeq
+          state.update(admitted + take.length)
+          take.iterator
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

@@ -165,6 +165,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-key cap admits at most maxPerKey across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_stream").toFile
+    val in = dir.getAbsolutePath + "/in"
+    // batch 1: a has 2 rows (under quota), b has 4 (over)
+    Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("key", "ord").write.parquet(in)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ord",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(in).as[(String, Long)]
+    val q = Streaming.capPerKeyStream(stream, maxPerKey = 3)
+      .toDF("key", "ord").writeStream.outputMode("append")
+      .format("memory").queryName("capped").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT key, ord FROM capped")
+        .as[(String, Long)].collect()
+      // a fully admitted (2 < 3); b capped at 3
+      assert(b1.count(_._1 == "a") == 2)
+      assert(b1.count(_._1 == "b") == 3)
+      // batch 2: one more row per key — a admits it (2+1=3), b is full
+      Seq(("a", 9L), ("b", 9L)).toDF("key", "ord")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT key, ord FROM capped")
+        .as[(String, Long)].collect()
+      assert(b2.count(_._1 == "a") == 3 && b2.exists(r => r == ("a", 9L)))
+      assert(b2.count(_._1 == "b") == 3 && !b2.exists(r => r == ("b", 9L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     val events = Seq(
       Streaming.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
