@@ -188,27 +188,35 @@ object Dedup {
     * Scale shape: the keep-decision is a row_number window partitioned by
     * sha2-256 of the paragraph (collision-safe EXACT keying, the
     * [[dropBoilerplateLines]] argument: a 64-bit key would silently merge
-    * distinct rare paragraphs at billions-of-paragraphs scale) — one
-    * shuffle keyed on a 32-byte digest, where a hot key holds exactly the
-    * copies being discarded; reassembly is the [[dropBoilerplateLines]]
-    * order-safe groupBy. Documents whose every paragraph was seen earlier
-    * survive with empty text (dropping them is the caller's policy). */
+    * distinct rare paragraphs at billions-of-paragraphs scale) over
+    * (id, position, digest) ONLY — paragraph text never rides a decision
+    * exchange. Kept POSITIONS come back as one small int-array row per
+    * document (the [[removeDupSpans]] flags shape) and each document
+    * rebuilds per-row from its own re-split text — no text
+    * `collect_list`, no rebuild shuffle of text. Documents whose every
+    * paragraph was seen earlier survive with empty text (dropping them
+    * is the caller's policy). */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
-    val paras = df.select(col(idCol).as("__id__"),
-      posexplode(split(coalesce(col(textCol), lit("")),
-        java.util.regex.Pattern.quote(sep)))
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val keyed = df.select(col(idCol).as("__id__"),
+      posexplode(split(coalesce(col(textCol), lit("")), sepRe))
         .as(Seq("__para_no__", "__para__")))
-    val w = Window.partitionBy(sha2(col("__para__"), 256))
+      .select(col("__id__"), col("__para_no__"),
+        sha2(col("__para__"), 256).as("__sha__"))
+    val w = Window.partitionBy(col("__sha__"))
       .orderBy(col("__id__").asc, col("__para_no__").asc)
-    val kept = paras.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1).drop("__rn__")
-    val rebuilt = kept.groupBy(col("__id__").as(idCol))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("__para_no__"), col("__para__")))),
-        s => s.getField("__para__")), sep).as(textCol))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    val keepPos = keyed.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .groupBy(col("__id__").as(idCol))
+      .agg(sort_array(collect_list(col("__para_no__"))).as("__keep__"))
+    df.select(col(idCol), col(textCol)).join(keepPos, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(split(coalesce(col(textCol), lit("")), sepRe),
+            (p, i) => array_contains(
+              coalesce(col("__keep__"), array().cast("array<int>")), i)),
+          sep).as(textCol))
   }
 
   /** SQL-lambda formulation of distinct word n-grams — the executable
