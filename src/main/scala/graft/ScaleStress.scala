@@ -202,18 +202,58 @@ object ScaleStress {
         val out = Dedup.dedupParagraphs(d, "doc_id", "text")
         (out.queryExecution.toRdd.count(), sig(out))
       }
-      // q81 shape: duplicated-span profile — (id, hash) explode, count
-      // window on the hash key, per-doc re-aggregation; text never
-      // shuffles, cost tracks total shingle count linearly
+      // q81 shape: duplicated-span profile — (id, hash) explode,
+      // partial-aggregated groupBy(hash).count() + join-back of the
+      // >=minOcc set; text never shuffles, cost tracks shingle count
       timed(scale, "dup_spans") {
         val out = Dedup.dupSpanProfile(docs, "doc_id", "text", k = 8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
-      // q83 shape: duplicated-span removal — dup_spans' hash-key window
-      // (row_number instead of count) + per-doc codegen'd token surgery;
-      // same claim: text in the rebuild join only, never the decision
+      // q83 shape: duplicated-span removal — keep-first is a
+      // partial-aggregable min(struct(id,pos)) per hash + join-back,
+      // then per-doc codegen'd token surgery; text rides the rebuild
+      // join only, never the decision shuffle
       timed(scale, "remove_dup_spans") {
         val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // ADVERSARIAL hot-shingle corpus: one fixed 8-word boilerplate
+      // sentence prefixes 50% of documents, so a single shingle hash
+      // holds half the corpus — the web-boilerplate skew that killed the
+      // former count/row_number windows (every occurrence in one task).
+      // The claim under test: map-side partial aggregation collapses the
+      // hot key pre-shuffle, so wall stays ~linear and the plan is
+      // unchanged vs the uniform corpus
+      val hotDocs = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("click here to accept all cookies and continue "),
+            coalesce(col("text"), lit(""))))
+          .otherwise(col("text")))
+      timed(scale, "dup_spans_hot") {
+        val out = Dedup.dupSpanProfile(hotDocs, "doc_id", "text", k = 8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "remove_dup_spans_hot") {
+        val out = Dedup.removeDupSpans(hotDocs, "doc_id", "text", k = 8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q78/q82 shapes under ADVERSARIAL key skew: one hot key holds 50%
+      // of rows through the per-key quota cap and the token-budget
+      // cumsum. Both windows stay hash-partitioned BY KEY; the hot key
+      // sorts in one task but its tail rows are exactly the discarded
+      // ones, so wall must stay bounded (~linear) as the corpus grows
+      val skewed = docs
+        .withColumn("key",
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit("hot"))
+            .otherwise(concat(lit("k"), pmod(col("doc_id"), lit(97L)))))
+        .withColumn("len", length(coalesce(col("text"), lit(""))))
+      timed(scale, "cap_per_key_hot") {
+        val out = Corpus.capPerKey(skewed, "key", 100, "len", "doc_id")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "token_budget_hot") {
+        val out = Corpus.selectByTokenBudget(
+          skewed, "key", "len", "len", 500000L, "doc_id")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q80 shape: mixture sampling — stateless per-row generate; must

@@ -348,6 +348,40 @@ object TextImpls {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Rebuild `s` from the parts of its LITERAL-`sep` split whose 0-based
+    * index appears in the sorted `keep` positions, re-joined with `sep` —
+    * a two-pointer merge, O(parts + kept) per document. The split keeps
+    * empty parts INCLUDING trailing ones (the `split(col, regex, -1)`
+    * convention the keep-positions were numbered against). Positions
+    * beyond the last part are ignored; an empty keep list yields "". */
+  def keepSplitParts(s: String, sep: String,
+      keep: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val nKeep = keep.numElements()
+    val sl = sep.length
+    val sb = new java.lang.StringBuilder(s.length)
+    var ki = 0
+    var idx = 0
+    var start = 0
+    var first = true
+    var done = false
+    while (!done && ki < nKeep) {
+      val e = s.indexOf(sep, start)
+      val end = if (e < 0) s.length else e
+      // keep is sorted ascending and unique (window survivors); skip any
+      // stale entries below the cursor defensively
+      while (ki < nKeep && keep.getInt(ki) < idx) ki += 1
+      if (ki < nKeep && keep.getInt(ki) == idx) {
+        if (!first) sb.append(sep)
+        sb.append(s, start, end)
+        first = false
+        ki += 1
+      }
+      idx += 1
+      if (e < 0) done = true else start = e + sl
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** lang_id(lowered): stopword-argmax language ID in one call. `full`
@@ -432,6 +466,28 @@ case class RemoveCoveredTokensExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** keep_split_parts(text, positions, sep): rebuild text from the
+  * literal-`sep` split parts at the sorted kept positions — the
+  * paragraph-dedup rebuild as one O(parts + kept) JIT loop per doc (an
+  * `array_contains` filter lambda is O(parts × kept): a 10k-paragraph
+  * concatenated web document would pay 10⁸ interpreted comparisons). */
+case class KeepSplitPartsExpr(left: Expression, right: Expression,
+    sep: String) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(sep.nonEmpty, "separator must be non-empty")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    TextImpls.keepSplitParts(t.asInstanceOf[UTF8String].toString, sep,
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.TextImpls.keepSplitParts($t.toString(), $sepRef, $p)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KeepSplitPartsExpr =
+    copy(left = l, right = r)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -446,4 +502,6 @@ object NativeText {
     toCol(WordNGramsExpr(toExpr(text), n))
   def remove_covered_tokens(text: Column, flags: Column, k: Int): Column =
     toCol(RemoveCoveredTokensExpr(toExpr(text), toExpr(flags), k))
+  def keep_split_parts(text: Column, positions: Column, sep: String): Column =
+    toCol(KeepSplitPartsExpr(toExpr(text), toExpr(positions), sep))
 }

@@ -87,16 +87,22 @@ object Corpus {
     * partial-aggregated count → `TakeOrdered` top-k: one shuffle on the
     * word key, bounded driver result. */
   /** Per-key quota cap: keep at most `maxPerKey` rows per key, chosen
-    * deterministically by `orderCol` (the CommonCrawl-style per-domain
-    * cap — one hot domain must not dominate a corpus). The row_number
-    * window is hash-partitioned BY KEY (the [[sequencePack]] per-shard
-    * shape): no global sort or single-partition window appears at any
-    * corpus size, and skew concentrates only on keys that are themselves
-    * over quota — exactly the rows being discarded. */
+    * deterministically by `orderCol` with `idCol` breaking ties (the
+    * CommonCrawl-style per-domain cap — one hot domain must not dominate
+    * a corpus). The tie-break matters: duplicate `orderCol` values are
+    * routine (quality scores, char counts), and without a total order
+    * `row_number` survivorship would be partition-order luck — two runs
+    * of the same pipeline keeping different rows (the
+    * [[selectByTokenBudget]] composite order, for the same reason). The
+    * row_number window is hash-partitioned BY KEY (the [[sequencePack]]
+    * per-shard shape): no global sort or single-partition window appears
+    * at any corpus size, and skew concentrates only on keys that are
+    * themselves over quota — exactly the rows being discarded. */
   def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int,
-      orderCol: String): DataFrame = {
+      orderCol: String, idCol: String): DataFrame = {
     require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).asc, col(idCol).asc)
     df.withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") <= maxPerKey)
       .drop("__rn__")

@@ -120,10 +120,15 @@ object Dedup {
     * drop/trim signal of a span-level deduper.
     *
     * Scale shape: explode to (id, shingle-hash) — 8-byte hashes only,
-    * text never shuffles; the corpus-wide occurrence count is a count
-    * window over the hash key (one shuffle, hot keys hold exactly the
-    * duplicated spans being flagged), per-doc re-aggregation is the
-    * second. The hash domain is the minhash shingle space
+    * text never shuffles. The corpus-wide occurrence count is a
+    * `groupBy(hash).count()` — map-side partial aggregation collapses
+    * every local repeat of a hot boilerplate shingle BEFORE the
+    * exchange, so a shingle occurring 10⁸ times corpus-wide ships at
+    * most one partial row per map task (a count-over-window would ship
+    * every occurrence to one task). The ≥minOcc survivors (the small
+    * "duplicated span" set) join back onto the gram stream with a plain
+    * equi-join AQE can skew-split; per-doc re-aggregation is the final
+    * shuffle. The hash domain is the minhash shingle space
     * ([[shingleHashesLambda]]'s poly-fold — the stack's deliberate,
     * documented approximation); the DuckDB oracle replays the same
     * hashes bit-for-bit. */
@@ -134,9 +139,12 @@ object Dedup {
     val grams = df.select(col(idCol).as("__id__"),
       explode(graft.functions.NativeHashes.shingle_hashes(
         coalesce(col(textCol), lit("")), k)).as("__h__"))
-    val occ = Window.partitionBy(col("__h__"))
-    val marked = grams.withColumn("__occ__", count(lit(1)).over(occ))
-    val isDup = when(col("__occ__") >= minOcc, 1L).otherwise(0L)
+    val dupHashes = grams.groupBy(col("__h__"))
+      .agg(count(lit(1)).as("__occ__"))
+      .filter(col("__occ__") >= minOcc)
+      .select(col("__h__"), lit(1L).as("__dup__"))
+    val marked = grams.join(dupHashes, Seq("__h__"), "left")
+    val isDup = coalesce(col("__dup__"), lit(0L))
     marked.groupBy(col("__id__").as(idCol)).agg(
       count(lit(1)).as("n_shingles"),
       sum(isDup).as("n_dup_shingles"),
@@ -153,10 +161,18 @@ object Dedup {
     * removed iff ANY flagged shingle occurrence covers it.
     *
     * Scale shape: the [[dupSpanProfile]] explode — (id, pos, 8-byte
-    * shingle hash), text never in the decision shuffle — with a
-    * row_number window on the hash key (first occurrence keeps, the
-    * [[dedupParagraphs]] window); per-doc flags come back as a boolean
-    * array and the token surgery is one codegen'd pass per doc
+    * shingle hash), text never in the decision shuffle. The surviving
+    * occurrence per hash is `min(struct(id, pos))` under a
+    * `groupBy(hash)` — a partial-aggregable min, so every map task
+    * ships ONE candidate per locally-seen hash instead of sorting all
+    * occurrences of a hot boilerplate shingle in one task (the
+    * row_number-window shape keeps a boolean for EVERY row, so no
+    * rank-limit pruning could apply). Hashes seen once are dropped
+    * before the join-back (first == only ⇒ never removed), the
+    * remaining small dup set joins the gram stream with an equi-join
+    * AQE can skew-split, and `__rm__` = "this (id,pos) is not the
+    * minimum". Per-doc flags come back as a boolean array and the
+    * token surgery is one codegen'd pass per doc
     * ([[graft.functions.NativeText.remove_covered_tokens]]). */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
@@ -164,9 +180,14 @@ object Dedup {
     val grams = df.select(col(idCol).as("__id__"),
       posexplode(graft.functions.NativeHashes.shingle_hashes(
         coalesce(col(textCol), lit("")), k)).as(Seq("__pos__", "__h__")))
-    val w = Window.partitionBy(col("__h__"))
-      .orderBy(col("__id__").asc, col("__pos__").asc)
-    val flagged = grams.withColumn("__rm__", row_number().over(w) >= 2)
+    val firstDup = grams.groupBy(col("__h__"))
+      .agg(count(lit(1)).as("__occ__"),
+        min(struct(col("__id__"), col("__pos__"))).as("__first__"))
+      .filter(col("__occ__") >= 2)
+      .select(col("__h__"), col("__first__"))
+    val flagged = grams.join(firstDup, Seq("__h__"), "left")
+      .withColumn("__rm__", col("__first__").isNotNull &&
+        struct(col("__id__"), col("__pos__")) =!= col("__first__"))
     val flagsPerDoc = flagged.groupBy(col("__id__").as(idCol))
       .agg(transform(
         sort_array(collect_list(struct(col("__pos__"), col("__rm__")))),
@@ -183,7 +204,11 @@ object Dedup {
     * paragraphs across the corpus" cleaning step): every paragraph keeps
     * only its FIRST occurrence — document order, then position within the
     * document — and each document is reassembled from its surviving
-    * paragraphs. `sep` is a LITERAL separator (default blank line).
+    * paragraphs by a codegen'd two-pointer merge over the sorted kept
+    * positions (O(paragraphs + kept) per doc — an `array_contains`
+    * membership filter would be O(paragraphs × kept), 10⁸ comparisons
+    * for one 10k-paragraph concatenated web document). `sep` is a
+    * LITERAL separator (default blank line).
     *
     * Scale shape: the keep-decision is a row_number window partitioned by
     * sha2-256 of the paragraph (collision-safe EXACT keying, the
@@ -212,12 +237,21 @@ object Dedup {
       .agg(sort_array(collect_list(col("__para_no__"))).as("__keep__"))
     df.select(col(idCol), col(textCol)).join(keepPos, Seq(idCol), "left")
       .select(col(idCol),
-        array_join(
-          filter(split(coalesce(col(textCol), lit("")), sepRe),
-            (p, i) => array_contains(
-              coalesce(col("__keep__"), array().cast("array<int>")), i)),
+        graft.functions.NativeText.keep_split_parts(
+          coalesce(col(textCol), lit("")),
+          coalesce(col("__keep__"), array().cast("array<int>")),
           sep).as(textCol))
   }
+
+  /** SQL-lambda formulation of the [[dedupParagraphs]] rebuild — the
+    * executable spec for [[graft.functions.NativeText.keep_split_parts]]
+    * (O(parts × kept) membership scans, so the op runs the codegen'd
+    * two-pointer twin; OpsSpec asserts value identity). */
+  def keepSplitPartsLambda(text: Column, keep: Column, sep: String): Column =
+    array_join(
+      filter(split(text, java.util.regex.Pattern.quote(sep)),
+        (p, i) => array_contains(keep, i)),
+      sep)
 
   /** SQL-lambda formulation of distinct word n-grams — the executable
     * spec for [[graft.functions.NativeText.word_ngrams]] (interpreted

@@ -263,12 +263,14 @@ object PipelineQueries {
         "source", "n_chars", "n_chars", 3000L, "doc_id")
         .orderBy(col("doc_id"))),
 
-    // per-source quota cap: at most 10 docs per source, deterministic by
-    // doc_id (fixture sources hold 25 docs each, so the cap BINDS)
+    // per-source quota cap: at most 10 docs per source, ordered by
+    // n_chars (which DUPLICATES within sources at sf0.01 — the doc_id
+    // tie-break is what keeps survivorship deterministic) with doc_id
+    // breaking ties; fixture sources hold 25 docs each, so the cap BINDS
     "q78_cap_per_source" -> ((s, dir) =>
       graft.ops.Corpus.capPerKey(
-        docs(s, dir).select(col("doc_id"), col("source")),
-        "source", 10, "doc_id")
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", 10, "n_chars", "doc_id")
         .orderBy(col("doc_id"))),
 
     // benchmark decontamination: every 10th doc plays the benchmark set;
@@ -753,8 +755,9 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q78_cap_per_source" ->
-      """SELECT doc_id, source FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY n_chars, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
 
     "q79_dedup_paragraphs" ->

@@ -125,20 +125,39 @@ class CorpusSpec extends AnyFunSuite {
       (10L, "a"), (11L, "a"), (12L, "a"),
       (20L, "b"), (21L, "b"),
       (30L, "c")).toDF("doc_id", "source")
-    val got = Corpus.capPerKey(df, "source", 2, "doc_id")
+    val got = Corpus.capPerKey(df, "source", 2, "doc_id", "doc_id")
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
     assert(got.toSeq == Seq((10L, "a"), (11L, "a"), (20L, "b"), (21L, "b"),
       (30L, "c")))
     // helper column does not leak into the output schema
-    assert(Corpus.capPerKey(df, "source", 2, "doc_id").columns.toSeq ==
-      Seq("doc_id", "source"))
+    assert(Corpus.capPerKey(df, "source", 2, "doc_id", "doc_id")
+      .columns.toSeq == Seq("doc_id", "source"))
+  }
+
+  test("capPerKey ties on the order column break deterministically by id") {
+    // every row of key "a" shares score=5: without the id tie-break,
+    // survivorship would be partition-order luck. Run the cap over two
+    // differently-shuffled layouts of the same data — identical survivors.
+    val rows = Seq(
+      (14L, "a", 5L), (11L, "a", 5L), (13L, "a", 5L), (12L, "a", 5L),
+      (20L, "b", 9L), (21L, "b", 1L), (22L, "b", 1L))
+    def survivors(seed: Seq[(Long, String, Long)]): Seq[Long] =
+      Corpus.capPerKey(
+        seed.toDF("doc_id", "source", "score").repartition(7),
+        "source", 2, "score", "doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val a = survivors(rows)
+    val b = survivors(rows.reverse)
+    // ties resolve to the LOWEST ids; both shuffled runs agree
+    assert(a == Seq(11L, 12L, 21L, 22L))
+    assert(b == a)
   }
 
   test("capPerKey rejects a non-positive quota") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     val e = intercept[IllegalArgumentException] {
-      Corpus.capPerKey(df, "source", 0, "doc_id")
+      Corpus.capPerKey(df, "source", 0, "doc_id", "doc_id")
     }
     assert(e.getMessage.contains(">= 1"))
   }
@@ -146,7 +165,7 @@ class CorpusSpec extends AnyFunSuite {
   test("capPerKey window is hash-partitioned by key, never single-partition") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"s${i % 3}"))
       .toDF("doc_id", "source")
-    val plan = Corpus.capPerKey(df, "source", 2, "doc_id")
+    val plan = Corpus.capPerKey(df, "source", 2, "doc_id", "doc_id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(source"), plan)
     assert(!plan.contains("SinglePartition"), plan)

@@ -740,6 +740,12 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(__h__"), plan)
     assert(!plan.contains("SinglePartition"), plan)
+    // occurrence counting must be a partial-aggregable groupBy (map-side
+    // combine collapses hot boilerplate shingles pre-shuffle), NOT a
+    // count-over-window on the hash key (ships every occurrence to one
+    // task)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count"), plan)
   }
 
   test("removeDupSpans excises later occurrences, keeps first, rebuilds text") {
@@ -766,6 +772,11 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(__h__"), plan)
     assert(!plan.contains("SinglePartition"), plan)
+    // keep-first must be a partial-aggregable min(struct(id,pos)) per
+    // hash — one candidate per map task per hash — NOT a row_number
+    // window sorting every occurrence of a hot shingle in one task
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
   }
 
   test("dedupParagraphs keeps first occurrences corpus-wide and rebuilds docs") {
@@ -795,6 +806,46 @@ class OpsSpec extends AnyFunSuite {
     // rank-limit pushdown: a partial WindowGroupLimit prunes losers
     // map-side BEFORE the shuffle (the combiner shape of this dedup)
     assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("dedupParagraphs rebuild: O(P) native merge == lambda spec, scales to many paragraphs") {
+    import spark.implicits._
+    import graft.functions.NativeText
+    // native two-pointer rebuild must match the O(P*K) array_contains
+    // lambda on edge shapes: empty keeps, trailing separators (empty
+    // parts are real positions), keeps past the end, unicode seps
+    val cases = Seq(
+      ("a\n\nb\n\nc", Seq(0, 2), "a\n\nc"),
+      ("a\n\nb\n\nc", Seq.empty[Int], ""),
+      ("a\n\nb\n\n", Seq(0, 2), "a\n\n"),     // pos 2 is the trailing empty
+      ("", Seq(0), ""),
+      ("x", Seq(5), ""),                      // keep beyond last part
+      ("p\n\np\n\np", Seq(1), "p"))
+    val df = cases.zipWithIndex
+      .map { case ((t, k, want), i) => (i, t, k, want) }
+      .toDF("i", "t", "keep", "want")
+    val got = df.select(col("i"), col("want"),
+      NativeText.keep_split_parts(col("t"), col("keep"), "\n\n").as("nat"),
+      Dedup.keepSplitPartsLambda(col("t"), col("keep"), "\n\n").as("lam"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("nat") == r.getAs[String]("want"), r)
+      assert(r.getAs[String]("lam") == r.getAs[String]("want"), r)
+    }
+    // a 4000-paragraph doc (half of them corpus-duplicated) round-trips —
+    // the shape that makes an O(P*K) rebuild pay ~10^6+ comparisons in
+    // one row; the merge rebuild handles it in one linear pass
+    val paras = (0 until 4000).map(i =>
+      if (i % 2 == 0) s"unique paragraph $i" else "REPEATED BOILERPLATE")
+    val big = Seq(
+      (0L, "REPEATED BOILERPLATE"),           // owns the duplicate
+      (1L, paras.mkString("\n\n"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(big, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantBig = paras.filter(_.startsWith("unique")).mkString("\n\n")
+    assert(out(0L) == "REPEATED BOILERPLATE")
+    assert(out(1L) == wantBig)
   }
 
   test("native word_ngrams == SQL-lambda formulation on real documents + edges") {
