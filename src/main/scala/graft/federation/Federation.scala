@@ -45,7 +45,12 @@ final class SlicerStore(
 
   private def withAuth(params: Seq[(String, String)]): Seq[(String, String)] =
     if (authentication.contains("pass_parameter"))
-      params :+ (authParameter -> authIdentity.getOrElse(""))
+      // drop any client-supplied value of the auth parameter first: a
+      // relayed request forwards the caller's query string verbatim, and
+      // a caller's own api_key must not shadow (or ride alongside) the
+      // store's configured credential on the remote request
+      params.filterNot(_._1 == authParameter) :+
+        (authParameter -> authIdentity.getOrElse(""))
     else params
 
   private def uriOf(action: String, params: Seq[(String, String)]): URI = {
@@ -267,8 +272,13 @@ final class FederatedBrowser(
       df(parseArray(store.cubeRequest("facts", cubeName,
         commonParams(cell, order, page, pageSize) ++ fieldParams)))
     } else {
-      // deterministic paging needs a total order; the remote orders by
-      // its fact key when asked. Loop until a short page.
+      // deterministic paging needs a TOTAL order, and the caller's order
+      // may tie at page boundaries — rows straddling a tie could be
+      // duplicated or dropped between pages. So auto-pagination always
+      // pages with NO explicit order (a graft remote then falls back to
+      // its fact-key total order, Browser.facts) and the caller's order
+      // is applied LOCALLY on the assembled frame. Loop until a short
+      // page.
       val out = Seq.newBuilder[JValue]
       var fetched = 0
       var p = 0
@@ -278,13 +288,22 @@ final class FederatedBrowser(
           s"federated fact stream exceeds maxRows=$maxRows — page " +
             "explicitly, cut the cell down, or export from the remote")
         val batch = parseArray(store.cubeRequest("facts", cubeName,
-          commonParams(cell, order, Some(p), Some(fetchPageSize)) ++ fieldParams))
+          commonParams(cell, Nil, Some(p), Some(fetchPageSize)) ++ fieldParams))
         out ++= batch
         fetched += batch.size
         last = batch.size
         p += 1
       }
-      df(out.result())
+      val assembled = df(out.result())
+      val sortCols = order.collect {
+        // an order ref outside the projected fields cannot be re-sorted
+        // locally; skip it rather than fail the whole relay
+        case (a, d) if assembled.columns.contains(a) =>
+          if (d.exists(_.toLowerCase.startsWith("desc")))
+            org.apache.spark.sql.functions.col(a).desc
+          else org.apache.spark.sql.functions.col(a).asc
+      }
+      if (sortCols.isEmpty) assembled else assembled.orderBy(sortCols: _*)
     }
   }
 

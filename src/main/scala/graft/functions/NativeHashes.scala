@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -276,10 +276,15 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
 /** simhash32(str): 32-bit SimHash in one call. */
 /** sign_bits(vec, bits): sign-bit LSH bucket of a float vector in one
   * JIT loop (NaN positive, matching SQL comparison semantics — see
-  * [[HashImpls.signBits]]). */
+  * [[HashImpls.signBits]]). Declares array<float> input so a caller's
+  * array<double> vector gets a Catalyst cast inserted at analysis time —
+  * [[HashImpls.signBits]] reads 4-byte float slots, and an unsafe
+  * array<double> fed to it directly would yield silently wrong buckets. */
 case class SignBitsExpr(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  // Seq[DataType] (covariant override; AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     HashImpls.signBits(
@@ -307,7 +312,12 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
   * ~1000× cheaper per row (one JIT-compiled loop instead of interpreted
   * higher-order lambdas). */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  // same float-slot contract as SignBitsExpr: analysis-time cast, never
+  // a silent misread of 8-byte slots
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

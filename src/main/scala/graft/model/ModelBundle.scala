@@ -52,7 +52,29 @@ object ModelBundle {
     val metadata: JObject =
       if (Files.isDirectory(p)) {
         // validate each member independently first, so one bad file does
-        // not hide the rest
+        // not hide the rest. Duplicate names are tracked across member
+        // files (seeded with model.json's inline lists, mirroring the
+        // assembly's own check) so a member the lenient assembly will
+        // drop for duplicating an earlier name is REPORTED, not silently
+        // missing from the assembled model
+        def inlineNames(key: String): scala.collection.mutable.Set[String] = {
+          val s = scala.collection.mutable.Set.empty[String]
+          try {
+            (parseFile(p.resolve("model.json")) \ key) match {
+              case JArray(xs) => xs.foreach {
+                case o: JObject => (o \ "name") match {
+                  case JString(n) => s += n
+                  case _          => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+          } catch { case _: Exception => () } // unreadable root reported below
+          s
+        }
+        val seenDims = inlineNames("dimensions")
+        val seenCubes = inlineNames("cubes")
         listJsonFiles(p)
           .foreach { f =>
             val fname = f.getFileName.toString
@@ -62,10 +84,17 @@ object ModelBundle {
               // skipped by the lenient assembly below — report it here so
               // the skip is visible in the findings, not silent
               val prefix = fname.split("_", 2).head
-              if (prefix == "dim" || prefix == "dimension" || prefix == "cube")
+              val isDim = prefix == "dim" || prefix == "dimension"
+              if (isDim || prefix == "cube")
                 v match {
                   case o: JObject => (o \ "name") match {
-                    case JString(_) => ()
+                    case JString(n) =>
+                      val seen = if (isDim) seenDims else seenCubes
+                      val kind = if (isDim) "dimension" else "cube"
+                      if (!seen.add(n))
+                        issues += ValidationIssue("error", "model",
+                          Some(fname), None,
+                          s"$kind '$n' defined multiple times; skipped")
                     case _ => issues += ValidationIssue("error", "model",
                       Some(fname), None, "member file has no 'name' key; skipped")
                   }

@@ -108,16 +108,24 @@ final class Workspace(val spark: SparkSession) {
     new graft.federation.FederatedBrowser(store, remote, spark)
   }
 
-  def cubeNames: Seq[String] = (cubes.keys ++ federated.keys).toSeq.distinct
-  def cube(name: String): Cube = cubes.getOrElse(name, federated.get(name) match {
-    case Some((store, remote)) =>
-      // fetch the remote model once and cache it like a local registration
-      val c = store.cube(remote).copy(name = name)
-      cubes(name) = c
-      c
-    case None =>
-      throw new IllegalArgumentException(s"unknown cube '$name'")
-  })
+  def cubeNames: Seq[String] =
+    (cubes.synchronized(cubes.keys.toSeq) ++ federated.keys).toSeq.distinct
+  def cube(name: String): Cube = cubes.synchronized(cubes.get(name)) match {
+    case Some(c) => c
+    case None => federated.get(name) match {
+      case Some((store, remote)) =>
+        // fetch the remote model OUTSIDE the lock (an HTTP round-trip must
+        // not block every concurrent server request on the shared map),
+        // then cache it like a local registration; the server's fixed
+        // thread pool hits this map concurrently, and an unsynchronized
+        // write could corrupt it (the `browsers` cache is guarded for the
+        // same reason)
+        val c = store.cube(remote).copy(name = name)
+        cubes.synchronized(cubes.getOrElseUpdate(name, c))
+      case None =>
+        throw new IllegalArgumentException(s"unknown cube '$name'")
+    }
+  }
 
   /** Model-metadata translations (reference `translations=` workspace
     * option + `cube(..., locale=)`, `workspace.py:383,540-546`). */

@@ -148,6 +148,13 @@ class FederationSpec extends AnyFunSuite {
     assert(authed.listCubes() == Seq("mini"))
     val fb = new graft.federation.FederatedBrowser(authed, "mini", spark)
     assert(fb.aggregate(aggregates = Seq("quantity_sum")).summary.isDefined)
+    // a client-supplied api_key in the relayed params must NOT shadow the
+    // store's configured credential: the store strips it before appending
+    // its own (otherwise a caller's bogus key rides first in the query
+    // string and the remote authorizes against it)
+    val viaShadow = authed.cubeRequest("aggregate", "mini",
+      Seq("api_key" -> "WRONG", "aggregates" -> "quantity_sum"))
+    assert(viaShadow.contains("summary"))
     // without credentials the remote hides its cubes and refuses browsing
     val anon = new SlicerStore(s"http://127.0.0.1:$p")
     assert(anon.listCubes().isEmpty)

@@ -526,6 +526,39 @@ class ModelJsonSpec extends AnyFunSuite {
     assert(dimNames.contains("product") && !dimNames.contains("date_base"))
   }
 
+  test("lenient bundle read reports duplicate-name members instead of silently dropping them") {
+    import org.json4s._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_bundle")
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    // c1 is declared inline in model.json AND again as a member file; d1
+    // is declared by two member files — both duplicates are skipped by the
+    // lenient assembly, and each skip must surface as a finding
+    put("model.json",
+      """{"cubes": [{"name": "c1", "dimensions": []}]}""")
+    put("cube_c1.json", """{"name": "c1", "label": "shadowed"}""")
+    put("dim_d1.json", """{"name": "d1", "levels": [{"name": "x", "attributes": ["x"]}]}""")
+    put("dim_d1_again.json", """{"name": "d1", "label": "shadowed"}""")
+    val (metadata, issues) = ModelBundle.readLenient(dir.toString)
+    assert(issues.exists(i => i.message.contains("cube 'c1' defined multiple times")),
+      issues.map(_.render).mkString("; "))
+    assert(issues.exists(i => i.message.contains("dimension 'd1' defined multiple times")),
+      issues.map(_.render).mkString("; "))
+    // the assembled metadata kept exactly one copy of each
+    val cubeNames = (metadata \ "cubes") match {
+      case JArray(cs) => cs.collect { case o: JObject =>
+        o.obj.collectFirst { case ("name", JString(s)) => s } }.flatten
+      case _ => Nil
+    }
+    val dimNames = (metadata \ "dimensions") match {
+      case JArray(ds) => ds.collect { case o: JObject =>
+        o.obj.collectFirst { case ("name", JString(s)) => s } }.flatten
+      case _ => Nil
+    }
+    assert(cubeNames == Seq("c1"))
+    assert(dimNames == Seq("d1"))
+  }
+
   test("ext-info lists the live extension registries") {
     val all = Slicer.extInfo(None)
     assert(all.contains("aggregate_function"))

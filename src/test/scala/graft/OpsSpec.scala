@@ -715,6 +715,17 @@ class OpsSpec extends AnyFunSuite {
       Similarity.signBitsLambda(col("embedding"), 8).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(ediff == 0)
+    // array<double> callers get an analysis-time cast to array<float>
+    // (the expression reads 4-byte slots: without ImplicitCastInputTypes
+    // a double array would silently yield wrong buckets)
+    val dbl = Seq(Seq(1.0, -2.0, 3.0), Seq(-1.0, 0.5))
+      .toDF("embedding")
+    val ddiff = dbl.select(
+      Similarity.signBits(col("embedding"), 8).as("a"),
+      Similarity.signBits(
+        col("embedding").cast("array<float>"), 8).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ddiff == 0)
   }
 
   test("dupSpanProfile counts corpus-wide repeated shingles per doc") {
