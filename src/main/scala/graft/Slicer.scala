@@ -53,7 +53,10 @@ object Slicer {
       // `[info]` section → the /info and / "about" block (reference
       // `[workspace] info`, workspace.py:139-146)
       val server = new graft.server.SlicerServer(ws, port, host = host,
-        serverInfo = cfg.getOrElse("info", Map.empty))
+        serverInfo = cfg.getOrElse("info", Map.empty),
+        // `[query_log*]` sections + `[server] log`/`asynchronous_logging`
+        // → per-request audit records (reference blueprint.py:131-142)
+        requestLogger = graft.server.RequestLog.configuredLogger(cfg))
       val bound = server.start()
       println(s"slicer server listening on $host:$bound")
       Thread.currentThread().join() // serve until killed

@@ -39,7 +39,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     /** Server "about" block served by `/` and `/info` (reference
       * `[workspace] info` keys, `workspace.py:27-38` — name, label,
       * description, license, maintainer, ...). */
-    serverInfo: Map[String, String] = Map.empty) {
+    serverInfo: Map[String, String] = Map.empty,
+    /** Request logger for the browser verbs (reference `log_request`
+      * decorator on aggregate/facts/members, `server/decorators.py:142-170`
+      * + `logging.py`); None = logging off, the reference default. */
+    requestLogger: Option[RequestLogger] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -212,33 +216,43 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           throw new graft.auth.NotAuthorized(s"cube '$name' is not authorized")
         require(!q.get("format").contains("xlsx"),
           "binary formats are not relayed for federated cubes")
-        val fb = workspace.federatedBrowser(name)
-        val path = action.mkString("/")
-        val (status, body) =
-          if (ex.getRequestMethod == "POST")
-            fb.store.rawPostCubeRequest(path, fb.cubeName,
-              new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
-              q.toSeq)
-          else fb.store.rawCubeRequest(path, fb.cubeName, q.toSeq)
-        val ct = if (q.get("format").contains("csv")) "text/csv"
-          else "application/json"
-        Resp(status, body, ct)
+        // relayed browser verbs are logged like local ones: the reference
+        // decorator wraps the view function regardless of browser backend
+        logged(action.head, name, q, id) {
+          val fb = workspace.federatedBrowser(name)
+          val path = action.mkString("/")
+          val (status, body) =
+            if (ex.getRequestMethod == "POST")
+              fb.store.rawPostCubeRequest(path, fb.cubeName,
+                new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
+                q.toSeq)
+            else fb.store.rawCubeRequest(path, fb.cubeName, q.toSeq)
+          val ct = if (q.get("format").contains("csv")) "text/csv"
+            else "application/json"
+          Resp(status, body, ct)
+        }
       case List("cube", name, "model") =>
         Resp(200, modelJson(name, id, q.get("lang")), "application/json")
       case List("cube", name, "aggregate") =>
-        aggregate(name, q, id)
+        logged("aggregate", name, q, id, attribField = "aggregates") {
+          aggregate(name, q, id)
+        }
       case List("cube", name, "facts") =>
-        val b = workspace.browserFor(id, name)
-        val df = b.facts(cell(name, q), fields(q), order(q), page(q), pageSize(q))
-        frameResponse(df, q, cubeName = name)
+        logged("facts", name, q, id, attribField = "fields") {
+          val b = workspace.browserFor(id, name)
+          val df = b.facts(cell(name, q), fields(q), order(q), page(q), pageSize(q))
+          frameResponse(df, q, cubeName = name)
+        }
       case List("cube", name, "fact", key) =>
         val b = workspace.browserFor(id, name)
         frameResponse(b.fact(parseKey(key)), q, cubeName = name, stem = "fact")
       case List("cube", name, "members", dim) =>
-        val b = workspace.browserFor(id, name)
-        frameResponse(b.members(cell(name, q), dim,
-          q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
-          page(q), pageSize(q)), q, cubeName = name, stem = "members")
+        logged("members", name, q, id) {
+          val b = workspace.browserFor(id, name)
+          frameResponse(b.members(cell(name, q), dim,
+            q.get("depth").map(_.toInt), q.get("hierarchy"), q.get("level"),
+            page(q), pageSize(q)), q, cubeName = name, stem = "members")
+        }
       case List("cube", name, "cell") =>
         val b = workspace.browserFor(id, name)
         // reference shape (`/cell`, blueprint.py + query/browser.py:525):
@@ -501,6 +515,29 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     private def cell(cubeName: String, q: Map[String, String]): Cell =
       q.get("cut").map(c => TimeCuts.parseCell(workspace.cube(cubeName), c))
         .getOrElse(Cell.empty)
+
+    /** Time and log one browser verb through the configured request
+      * logger (reference `log_request` decorator,
+      * `server/decorators.py:142-170`: method, cube, cell, identity,
+      * elapsed, plus the request vocabulary — split/drilldown/page/
+      * pagesize/format and the verb's attribute field). No logger
+      * configured = zero overhead. */
+    private def logged(method: String, cubeName: String,
+        q: Map[String, String], id: Option[String],
+        attribField: String = "attributes")(f: => Resp): Resp =
+      requestLogger match {
+        case None => f
+        case Some(rl) =>
+          val other = Seq(
+            "split" -> q.get("split"),
+            "drilldown" -> q.get("drilldown"),
+            "page" -> q.get("page"),
+            "page_size" -> q.get("pagesize"),
+            "format" -> q.get("format"),
+            "attributes" -> q.get(attribField)
+          ).collect { case (k, Some(v)) => k -> v }.toMap
+          rl.logTime(method, cubeName, q.getOrElse("cut", ""), id, other)(f)
+      }
 
     private def listParam(q: Map[String, String], k: String): Seq[String] =
       q.get(k).toSeq.flatMap(_.split("\\|")).filter(_.nonEmpty)

@@ -257,6 +257,46 @@ class ConfigSpec extends AnyFunSuite {
     assert(ws.cubeNames == Seq("mini"))
   }
 
+  test("[query_log] sections + [server] logging keys configure the request logger") {
+    import graft.server.{AsyncRequestLogger, RequestLog}
+    val dir = Files.createTempDirectory("graft_cfg_reqlog")
+    val cfg = WorkspaceConfig.parseIni(
+      s"""[server]
+         |log: ${dir.resolve("server.log")}
+         |asynchronous_logging: true
+         |
+         |[query_log]
+         |type: default
+         |
+         |[query_log_csv]
+         |type: csv_file
+         |path: ${dir.resolve("req.csv")}
+         |
+         |[query_log_json]
+         |type: json
+         |path: ${dir.resolve("req.jsonl")}
+         |""".stripMargin)
+    val logger = RequestLog.configuredLogger(cfg).get
+    assert(logger.isInstanceOf[AsyncRequestLogger])
+    logger.log("aggregate", "mini", "returnflag:R", Some("alice"), 0.25)
+    logger.flush()
+    // default handler routed to [server] log; csv + json files each got
+    // the record
+    assert(Files.readString(dir.resolve("server.log"))
+      .contains("method:aggregate cube:mini cell:'returnflag:R' identity:'alice'"))
+    assert(Files.readString(dir.resolve("req.csv")).contains("aggregate,mini,"))
+    assert(Files.readString(dir.resolve("req.jsonl"))
+      .contains(""""identity": "alice""""))
+    // no query_log sections → no logger (reference default: logging off)
+    assert(RequestLog.configuredLogger(
+      WorkspaceConfig.parseIni("[server]\nport: 1\n")).isEmpty)
+    // unknown handler type is a loud error, not a silent drop
+    intercept[IllegalArgumentException] {
+      RequestLog.configuredLogger(
+        WorkspaceConfig.parseIni("[query_log]\ntype: bogus\n"))
+    }
+  }
+
   test("materialization verbs run against the config-loaded workspace") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val target = Files.createTempDirectory("graft_cli_agg").toString

@@ -361,4 +361,93 @@ class ServerSpec extends AnyFunSuite {
       HttpResponse.BodyHandlers.ofString())
     assert(r.statusCode() == 200 && !r.body().contains("AMERICA"))
   }
+
+  test("request log: one record per browser verb with elapsed>0 and identity, CSV+JSON round-trip") {
+    import graft.server.{CsvFileRequestLogHandler, DefaultRequestLogHandler,
+      JsonLinesRequestLogHandler, RequestLogger}
+    val dir = java.nio.file.Files.createTempDirectory("graft_reqlog")
+    val csvPath = dir.resolve("req.csv").toString
+    val jsonPath = dir.resolve("req.jsonl").toString
+    val defaultLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val logger = new RequestLogger(Seq(
+      new DefaultRequestLogHandler(l => defaultLines.synchronized(defaultLines += l)),
+      new CsvFileRequestLogHandler(csvPath),
+      new JsonLinesRequestLogHandler(jsonPath)))
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val p = new SlicerServer(ws, requestLogger = Some(logger)).start()
+    def lget(path: String): Int = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"$path -> ${r.body()}")
+      r.statusCode()
+    }
+    assert(lget("/cube/sales/aggregate?drilldown=returnflag&cut=customer:ASIA" +
+      "&identity=alice") == 200)
+    assert(lget("/cube/sales/facts?pagesize=2&identity=alice") == 200)
+    assert(lget("/cube/sales/members/returnflag?identity=alice") == 200)
+    // non-browser verbs (model) are NOT logged — verb-scoped like the
+    // reference's @log_request decorators
+    assert(lget("/cube/sales/model") == 200)
+    // CSV: one row per verb, REQUEST_LOG_ITEMS order — method is col 2,
+    // cube col 3, cell col 4, identity col 5, elapsed col 6
+    val csv = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(csvPath)).toArray.map(_.toString)
+    assert(csv.length == 3, csv.mkString("\n"))
+    val byMethod = csv.map(_.split(",", -1)).map(c => c(1) -> c).toMap
+    assert(byMethod.keySet == Set("aggregate", "facts", "members"))
+    byMethod.values.foreach { c =>
+      assert(c(2) == "sales")
+      assert(c(4) == "alice")
+      assert(c(5).toDouble > 0, "elapsed must be measured, not zero")
+    }
+    assert(byMethod("aggregate")(3) == "customer:ASIA") // the cut string
+    // JSON lines: each line parses, carries the same verbs + identity
+    val jl = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(jsonPath)).toArray.map(_.toString)
+    assert(jl.length == 3)
+    import org.json4s._
+    val parsed = jl.map(org.json4s.jackson.JsonMethods.parse(_))
+    assert(parsed.map(v => (v \ "method") match {
+      case JString(s) => s; case _ => "?" }).toSet ==
+      Set("aggregate", "facts", "members"))
+    parsed.foreach { v =>
+      assert((v \ "identity") == JString("alice"))
+      assert((v \ "timestamp").isInstanceOf[JString])
+    }
+    // default handler: reference one-liner shape
+    val dl = defaultLines.synchronized(defaultLines.toSeq)
+    assert(dl.size == 3)
+    assert(dl.exists(l => l.startsWith("method:aggregate cube:sales cell:'customer:ASIA' identity:'alice' time:")))
+  }
+
+  test("request log: async logger drains its queue; broken handler never fails the request") {
+    import graft.server.{AsyncRequestLogger, RequestLogHandler, RequestLogger}
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val boom = new RequestLogHandler {
+      override def writeRecord(r: Map[String, String]): Unit =
+        throw new RuntimeException("sink down")
+    }
+    val ok = new RequestLogHandler {
+      override def writeRecord(r: Map[String, String]): Unit =
+        got.add(r("method"))
+    }
+    val warns = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val logger: RequestLogger =
+      new AsyncRequestLogger(Seq(boom, ok), warn = w => warns.add(w))
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val p = new SlicerServer(ws, requestLogger = Some(logger)).start()
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/cube/sales/aggregate?drilldown=returnflag")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200) // the throwing handler is contained
+    logger.flush()
+    assert(got.size() == 1 && got.peek() == "aggregate")
+    assert(!warns.isEmpty) // ... and reported
+  }
 }
