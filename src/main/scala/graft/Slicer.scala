@@ -56,7 +56,10 @@ object Slicer {
         serverInfo = cfg.getOrElse("info", Map.empty),
         // `[query_log*]` sections + `[server] log`/`asynchronous_logging`
         // → per-request audit records (reference blueprint.py:131-142)
-        requestLogger = graft.server.RequestLog.configuredLogger(cfg))
+        requestLogger = graft.server.RequestLog.configuredLogger(cfg),
+        // `[server] authentication` + `[authentication]` options
+        // (reference blueprint.py:112-125)
+        authenticator = graft.server.Authenticators.configured(cfg))
       val bound = server.start()
       println(s"slicer server listening on $host:$bound")
       Thread.currentThread().join() // serve until killed

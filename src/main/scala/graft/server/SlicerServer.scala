@@ -43,7 +43,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     /** Request logger for the browser verbs (reference `log_request`
       * decorator on aggregate/facts/members, `server/decorators.py:142-170`
       * + `logging.py`); None = logging off, the reference default. */
-    requestLogger: Option[RequestLogger] = None) {
+    requestLogger: Option[RequestLogger] = None,
+    /** Request authenticator (reference `[server] authentication` methods,
+      * `server/auth.py`); None = the built-in permissive identity flows
+      * (`?identity`/`?api_key`/Bearer), the reference's `none` default. */
+    authenticator: Option[Authenticator] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -113,7 +117,12 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
         val parts = path.split("/").toList
         val q = parseQuery(ex)
-        val id = identityOf(ex, q)
+        // authentication runs BEFORE routing, on every request (reference
+        // before_request, blueprint.py:160-170)
+        val id = authenticator match {
+          case Some(a) => a.authenticate(ex, q)
+          case None    => identityOf(ex, q)
+        }
         if (ex.getRequestMethod == "GET") {
           val key = s"$path?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}" +
             s"@${id.getOrElse("")}"
@@ -122,6 +131,14 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           respond(ex, resp)
         } else respond(ex, route(ex, parts, q, id))
       } catch {
+        case e: NotAuthenticated =>
+          // 401 + the scheme's challenge (reference NotAuthenticatedError
+          // handling; the browser then prompts for Basic credentials)
+          authenticator.flatMap(_.challenge).foreach(c =>
+            ex.getResponseHeaders.set("WWW-Authenticate", c))
+          respond(ex, Resp(401,
+            s"""{"error": "not authenticated", "realm": ${jstr(e.realm)}}""",
+            "application/json"))
         case e: graft.auth.NotAuthorized =>
           respond(ex, Resp(403, s"""{"error": ${jstr(e.getMessage)}}""", "application/json"))
         case e: IllegalArgumentException =>
@@ -189,9 +206,16 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         Resp(200, infoJson(id), "application/json")
       case List("logout") =>
         // reference /logout (blueprint.py:591-596): delegates to the
-        // authenticator when one exists; the built-in identity scheme is
-        // stateless (no session cookie), so logging out is a no-op ack
-        Resp(200, "logged out", "text/plain")
+        // authenticator when one exists. Basic schemes answer 401 with a
+        // fresh challenge so the browser forgets its cached credentials
+        // (AbstractBasicAuthenticator.logout, auth.py:34-42); the
+        // stateless identity scheme is a no-op ack
+        authenticator.flatMap(_.challenge) match {
+          case Some(c) =>
+            ex.getResponseHeaders.set("WWW-Authenticate", c)
+            Resp(401, "logged out", "text/plain")
+          case None => Resp(200, "logged out", "text/plain")
+        }
       case List("cube", _, "search") =>
         // explicit descope, not a bare 404: the reference's /search needs
         // an EXTERNAL Sphinx engine even there (optional cubes_search

@@ -362,6 +362,67 @@ class ServerSpec extends AnyFunSuite {
     assert(r.statusCode() == 200 && !r.body().contains("AMERICA"))
   }
 
+  test("HTTP Basic auth: 401 challenge, admin_admin identity drives the restriction cell") {
+    import graft.auth._
+    import graft.server.{AdminAdminAuthenticator, Authenticators, HTTPBasicProxyAuthenticator}
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+      .setAuthorizer(new SimpleAuthorizer(
+        rights = Map("alice" -> AccessRight(
+          cellRestrictions = Map("sales" -> Seq("customer:ASIA"))))))
+    val p = new SlicerServer(ws,
+      authenticator = Some(new AdminAdminAuthenticator(realm = "graft"))).start()
+    def basic(user: String, pass: String, path: String): HttpResponse[String] = {
+      val tok = java.util.Base64.getEncoder.encodeToString(
+        s"$user:$pass".getBytes("UTF-8"))
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p$path"))
+        .header("Authorization", s"Basic $tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    // anonymous request → 401 carrying the realm'd Basic challenge
+    val anon = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$p/cube/sales/aggregate?drilldown=returnflag"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(anon.statusCode() == 401)
+    assert(anon.headers().firstValue("WWW-Authenticate").orElse("") ==
+      """Basic realm="graft"""")
+    // wrong password (user != pass for admin_admin) → still 401
+    assert(basic("alice", "nope", "/cubes").statusCode() == 401)
+    // authenticated alice drives the EXISTING per-identity restriction
+    // cell: only ASIA is visible in her aggregate
+    val r = basic("alice", "alice",
+      "/cube/sales/aggregate?drilldown=customer")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("ASIA") && !r.body().contains("AMERICA"))
+    // /logout answers 401 + fresh challenge so the browser drops its
+    // cached Basic credentials
+    val lo = basic("alice", "alice", "/logout")
+    assert(lo.statusCode() == 401 &&
+      lo.headers().firstValue("WWW-Authenticate").isPresent)
+    // proxy flavor: no password check, username IS the identity
+    val p2 = new SlicerServer(ws,
+      authenticator = Some(new HTTPBasicProxyAuthenticator())).start()
+    val viaProxy = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$p2/cube/sales/aggregate?drilldown=customer"))
+      .header("Authorization", "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:whatever".getBytes("UTF-8"))).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(viaProxy.statusCode() == 200 && !viaProxy.body().contains("AMERICA"))
+    assert(client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$p2/cubes")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
+    // config factory: [server] authentication + [authentication] realm
+    val cfg = graft.workspace.WorkspaceConfig.parseIni(
+      "[server]\nauthentication: admin_admin\n\n[authentication]\nrealm: R1\n")
+    assert(Authenticators.configured(cfg).get.challenge.contains("""Basic realm="R1""""))
+    assert(Authenticators.configured(
+      graft.workspace.WorkspaceConfig.parseIni("[server]\nport: 1\n")).isEmpty)
+    intercept[IllegalArgumentException](Authenticators.configured(
+      graft.workspace.WorkspaceConfig.parseIni("[server]\nauthentication: oauth\n")))
+  }
+
   test("request log: one record per browser verb with elapsed>0 and identity, CSV+JSON round-trip") {
     import graft.server.{CsvFileRequestLogHandler, DefaultRequestLogHandler,
       JsonLinesRequestLogHandler, RequestLogger}
