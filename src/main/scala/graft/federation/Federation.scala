@@ -94,6 +94,31 @@ final class SlicerStore(
       params: Seq[(String, String)] = Nil): String =
     request(s"cube/${enc(cube)}/$action", params)
 
+  /** Streamed GET: the response body as an iterator of lines, one JSON
+    * object per line (reference `SlicerStore.request(is_lines=True)` →
+    * `_JSONLinesIterator`, `server/store.py:91-126,132-139`). The relay
+    * never holds the whole body — lines are consumed as they arrive off
+    * the socket. Non-200 responses are read fully (they are small error
+    * payloads) and thrown like [[request]]. */
+  def linesRequest(action: String,
+      params: Seq[(String, String)] = Nil): Iterator[String] = {
+    val resp = client.send(
+      HttpRequest.newBuilder(uriOf(action, params))
+        .timeout(requestTimeout).GET.build(),
+      HttpResponse.BodyHandlers.ofLines())
+    import scala.jdk.CollectionConverters._
+    val lines = resp.body().iterator().asScala
+    if (resp.statusCode() != 200) {
+      val body = lines.mkString("\n")
+      checked(action, resp.statusCode(), body)
+      Iterator.empty
+    } else lines
+  }
+
+  def linesCubeRequest(action: String, cube: String,
+      params: Seq[(String, String)] = Nil): Iterator[String] =
+    linesRequest(s"cube/${enc(cube)}/$action", params)
+
   /** POST returning (status, body) verbatim (the `/report` verb relay). */
   def rawPostCubeRequest(action: String, cube: String, body: String,
       params: Seq[(String, String)] = Nil): (Int, String) = {
@@ -252,19 +277,23 @@ final class FederatedBrowser(
       })
   }
 
-  /** Relayed fact listing. Pages through the remote's record-limit window
-    * when no explicit page is requested, so an over-limit fact stream
-    * arrives whole instead of silently truncated (the reference streams
-    * `json_lines` for the same reason, `server/browser.py:78-112`). */
+  /** Relayed fact listing. An unpaged request streams `json_lines` (the
+    * reference's own relay shape: `SlicerBrowser.facts` sets
+    * `format=json_lines` and iterates `_JSONLinesIterator`,
+    * `server/browser.py:78-112` + `server/store.py:117-139`): ONE chunked
+    * response, one JSON object per line, consumed off the socket — no
+    * page-sized JSON array text ever buffers on the relay, and the
+    * caller's order rides the single stream (no page-boundary tie
+    * ambiguity to repair). An explicit page stays a single plain-JSON
+    * window request. */
   def facts(cell: Cell = Cell.empty, fields: Seq[String] = Nil,
       order: Seq[(String, Option[String])] = Nil,
       page: Option[Int] = None, pageSize: Option[Int] = None,
-      fetchPageSize: Int = 10000,
       /** Hard cap on the driver-side accumulation of an unpaged fact
-        * stream. Relayed facts buffer on THIS driver before becoming a
-        * DataFrame; a remote with billions of facts must be exported by
-        * the remote's own sinks, not siphoned through a relay — so
-        * exceeding the cap is an explicit refusal, not an OOM. */
+        * stream. Relayed facts become a local DataFrame on THIS driver; a
+        * remote with billions of facts must be exported by the remote's
+        * own sinks, not siphoned through a relay — so exceeding the cap
+        * is an explicit refusal mid-stream, not an OOM. */
       maxRows: Int = 1000000): DataFrame = {
     val fieldParams =
       if (fields.isEmpty) Nil else Seq("fields" -> fields.mkString(","))
@@ -272,40 +301,28 @@ final class FederatedBrowser(
       df(parseArray(store.cubeRequest("facts", cubeName,
         commonParams(cell, order, page, pageSize) ++ fieldParams)))
     } else {
-      // deterministic paging needs a TOTAL order, and the caller's order
-      // may tie at page boundaries — rows straddling a tie could be
-      // duplicated or dropped between pages. So auto-pagination always
-      // pages with NO explicit order (a graft remote then falls back to
-      // its fact-key total order, Browser.facts) and the caller's order
-      // is applied LOCALLY on the assembled frame. Loop until a short
-      // page.
-      val out = Seq.newBuilder[JValue]
+      val lines = store.linesCubeRequest("facts", cubeName,
+        commonParams(cell, order, None, None) ++ fieldParams :+
+          ("format" -> "json_lines"))
+      val out = Vector.newBuilder[String]
       var fetched = 0
-      var p = 0
-      var last = fetchPageSize
-      while (last == fetchPageSize) {
+      while (lines.hasNext) {
+        fetched += 1
         require(fetched <= maxRows,
           s"federated fact stream exceeds maxRows=$maxRows — page " +
             "explicitly, cut the cell down, or export from the remote")
-        val batch = parseArray(store.cubeRequest("facts", cubeName,
-          commonParams(cell, Nil, Some(p), Some(fetchPageSize)) ++ fieldParams))
-        out ++= batch
-        fetched += batch.size
-        last = batch.size
-        p += 1
+        out += lines.next()
       }
-      val assembled = df(out.result())
-      val sortCols = order.collect {
-        // an order ref outside the projected fields cannot be re-sorted
-        // locally; skip it rather than fail the whole relay
-        case (a, d) if assembled.columns.contains(a) =>
-          if (d.exists(_.toLowerCase.startsWith("desc")))
-            org.apache.spark.sql.functions.col(a).desc
-          else org.apache.spark.sql.functions.col(a).asc
-      }
-      if (sortCols.isEmpty) assembled else assembled.orderBy(sortCols: _*)
+      dfFromLines(out.result())
     }
   }
+
+  private def dfFromLines(lines: Seq[String]): DataFrame =
+    if (lines.isEmpty) spark.emptyDataFrame
+    else {
+      import spark.implicits._
+      spark.read.json(spark.createDataset(lines))
+    }
 
   /** Relayed single-fact fetch. */
   def fact(key: Any): DataFrame =

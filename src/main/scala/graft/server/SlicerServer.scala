@@ -91,8 +91,9 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     val fresh = compute
     // cache only textual (json/csv-string) responses: raw attachment
     // payloads (xlsx zips, up to the 10k-row limit each) would let 1024
-    // entries pin gigabytes of driver heap
-    if (fresh.raw.isEmpty) responseCache.synchronized {
+    // entries pin gigabytes of driver heap, and a streamed response is a
+    // single-use iterator (caching it would serve an exhausted stream)
+    if (fresh.raw.isEmpty && fresh.stream.isEmpty) responseCache.synchronized {
       responseCache.put(key, CacheEntry(fresh, now + cacheTtlSeconds * 1000L))
     }
     (fresh, false)
@@ -106,7 +107,12 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     * Content-Disposition filename like the reference's download responses. */
   private final case class Resp(code: Int, body: String, ctype: String,
       truncated: Boolean = false, raw: Option[Array[Byte]] = None,
-      attachment: Option[String] = None)
+      attachment: Option[String] = None,
+      /** Streamed line payload (`format=json_lines`): written chunked,
+        * one line at a time — the response never materializes whole on
+        * this server (reference `JSONLinesGenerator`, `server/utils
+        * .py:105-108`). Single-use; never cached. */
+      stream: Option[Iterator[String]] = None)
 
   private val XlsxMime =
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
@@ -513,7 +519,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       * cell-count work). */
     private def validatedFormat(q: Map[String, String]): String = {
       val fmt = q.getOrElse("format", "json")
-      require(Set("json", "csv", "xlsx").contains(fmt),
+      require(Set("json", "json_lines", "csv", "xlsx").contains(fmt),
         s"unknown response format '$fmt'")
       fmt
     }
@@ -521,7 +527,16 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     private def frameResponse(df: DataFrame, q: Map[String, String],
         cubeName: String, stem: String = "facts"): Resp = {
       val fmt = validatedFormat(q)
-      if (fmt == "csv") {
+      if (fmt == "json_lines") {
+        // the streaming export path (reference formatted_response,
+        // server/utils.py:105-108): one JSON object per line, chunked,
+        // NO record limit and no driver-side array — toLocalIterator
+        // pulls one partition at a time, so a federated facts() relay
+        // never pins a full result on either server
+        import scala.jdk.CollectionConverters._
+        Resp(200, "", "application/x-json-lines",
+          stream = Some(df.toJSON.toLocalIterator.asScala))
+      } else if (fmt == "csv") {
         val (csv, truncated) =
           toCsv(df, header = csvHeader(cubeName, df.columns.toSeq, q))
         Resp(200, csv, "text/csv", truncated, attachment = Some(s"$stem.csv"))
@@ -701,14 +716,26 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
 
   private def jstr(s: String): String = graft.formats.Formats.jsonString(s)
 
-  private def respond(ex: HttpExchange, r: Resp): Unit = {
-    val bytes = r.raw.getOrElse(r.body.getBytes(StandardCharsets.UTF_8))
-    ex.getResponseHeaders.set("Content-Type",
-      if (r.raw.isDefined) r.ctype else s"${r.ctype}; charset=utf-8")
-    r.attachment.foreach(f => ex.getResponseHeaders.set(
-      "Content-Disposition", s"""attachment; filename="$f""""))
-    if (r.truncated) ex.getResponseHeaders.set("X-Graft-Truncated", "true")
-    ex.sendResponseHeaders(r.code, bytes.length)
-    ex.getResponseBody.write(bytes)
+  private def respond(ex: HttpExchange, r: Resp): Unit = r.stream match {
+    case Some(lines) =>
+      // chunked transfer: lines leave as they are produced; length 0 =
+      // "unknown", the JDK server chunks automatically
+      ex.getResponseHeaders.set("Content-Type", s"${r.ctype}; charset=utf-8")
+      ex.sendResponseHeaders(r.code, 0)
+      val out = ex.getResponseBody
+      lines.foreach { line =>
+        out.write(line.getBytes(StandardCharsets.UTF_8))
+        out.write('\n')
+      }
+      out.flush()
+    case None =>
+      val bytes = r.raw.getOrElse(r.body.getBytes(StandardCharsets.UTF_8))
+      ex.getResponseHeaders.set("Content-Type",
+        if (r.raw.isDefined) r.ctype else s"${r.ctype}; charset=utf-8")
+      r.attachment.foreach(f => ex.getResponseHeaders.set(
+        "Content-Disposition", s"""attachment; filename="$f""""))
+      if (r.truncated) ex.getResponseHeaders.set("X-Graft-Truncated", "true")
+      ex.sendResponseHeaders(r.code, bytes.length)
+      ex.getResponseBody.write(bytes)
   }
 }

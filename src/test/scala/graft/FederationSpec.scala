@@ -88,15 +88,29 @@ class FederationSpec extends AnyFunSuite {
     assert(math.abs(rc - lc) < 1e-6)
   }
 
-  test("federated facts page through the remote record window; members relay") {
+  test("federated facts stream json_lines whole; members relay") {
     val fb = fedWs.federatedBrowser("mini")
     val cell = Cell(PointCut("returnflag", Seq("R")))
     val localCount = localWs.browser("mini").facts(cell).count()
-    assert(localCount > 500) // meaningful corpus for the paging loop
-    // small fetch pages force the multi-batch loop — the whole stream must
-    // arrive, not one truncated window
-    val fed = fb.facts(cell, fetchPageSize = 500)
+    // well past the remote's 10k-row plain-JSON truncation window — the
+    // json_lines stream must deliver the whole fact set, not one page
+    assert(localCount > 500)
+    val fed = fb.facts(cell)
     assert(fed.count() == localCount)
+    // the row CONTENT round-trips too, not just the count: sum a measure
+    // on both sides
+    val col = org.apache.spark.sql.functions.col _
+    val fs = fed.agg(org.apache.spark.sql.functions
+      .sum(col("quantity"))).collect()(0).getAs[Any](0).toString.toDouble
+    val ls = localWs.browser("mini").facts(cell)
+      .agg(org.apache.spark.sql.functions.sum(col("quantity")))
+      .collect()(0).getAs[Any](0).toString.toDouble
+    assert(math.abs(fs - ls) < 1e-6 * math.max(1.0, math.abs(ls)))
+    // the maxRows refusal still guards the relay heap mid-stream
+    val e = intercept[IllegalArgumentException] {
+      fb.facts(cell, maxRows = 100).count()
+    }
+    assert(e.getMessage.contains("maxRows"))
     // fact-by-key round-trips (the mini cube declares no key, so the
     // remote falls back to its first fact column — whatever the remote
     // decides, the relay must agree with a local browse)

@@ -124,6 +124,27 @@ class ServerSpec extends AnyFunSuite {
     assert(!noCount.contains("total_cell_count"))
   }
 
+  test("/facts format=json_lines: chunked stream, one object per line, no record limit") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port" +
+        "/cube/sales/facts?format=json_lines&fields=returnflag,quantity")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/x-json-lines"))
+    val lines = r.body().linesIterator.toSeq
+    // the WHOLE fact set streams (plain json truncates at 10k with the
+    // X-Graft-Truncated header; lines mode has no record limit) — sf0.001
+    // lineitem is ~6k rows, all of them arrive
+    assert(lines.size > 5000, s"got ${lines.size} lines")
+    // every line is one self-contained JSON object
+    import org.json4s._
+    val first = org.json4s.jackson.JsonMethods.parse(lines.head)
+    assert((first \ "returnflag").isInstanceOf[JString])
+    assert(org.json4s.jackson.JsonMethods.parse(lines.last)
+      .isInstanceOf[JObject])
+  }
+
   test("/aggregate csv format") {
     val (code, body) = get(
       "/cube/sales/aggregate?drilldown=returnflag&aggregates=fact_count&format=csv")
