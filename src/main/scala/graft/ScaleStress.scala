@@ -256,6 +256,29 @@ object ScaleStress {
           skewed, "key", "len", "len", 500000L, "doc_id")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q84 shape: incremental exact dedup — the seen corpus (a third of
+      // the docs) contributes only a distinct digest projection and the
+      // batch pays one sha-keyed exchange shared by the anti-join and the
+      // keep-first window; both sides grow with the corpus here, and the
+      // claim is the plan shape (single batch exchange, digests-only from
+      // seen) is scale-invariant
+      timed(scale, "dedup_incremental") {
+        val out = Dedup.dedupAgainstCorpus(
+          docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q85 shape: cluster representatives — CC then a cluster-keyed
+      // rank-1 window; the claim is WindowGroupLimit map-side pruning
+      // keeps a mega-cluster from shipping its membership to one task
+      timed(scale, "cluster_reps") {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        val scored = docs.select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("score"))
+        val out = Dedup.clusterRepresentatives(scored, "doc_id", pairs, "score")
+        (out.count(), "iterative")
+      }
       // q80 shape: mixture sampling — stateless per-row generate; must
       // stay exchange-free at any size (the derived corpus carries no
       // source column, so derive one from the id)

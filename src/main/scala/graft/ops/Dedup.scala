@@ -276,6 +276,57 @@ object Dedup {
       .filter(col("__rn__") === 1).drop("__rn__")
   }
 
+  /** INCREMENTAL exact dedup — the production "new crawl vs retained
+    * corpus" step: drop every new document whose text digest already
+    * exists in the `seen` corpus, then keep one copy per digest within
+    * the new batch itself (first by `idCol`). The seen corpus
+    * contributes ONLY a distinct 32-byte digest set: its text is never
+    * read past the digest projection and never shuffled, so yesterday's
+    * 100 TB corpus costs one digest scan, not a re-shuffle.
+    *
+    * Scale shape: both the anti-join and the keep-first window key on
+    * the sha-256 digest, so the batch pays ONE hash exchange — the
+    * window reuses the anti-join's partitioning (OpsSpec asserts a
+    * single batch-side exchange). Exact by construction (collision-safe
+    * digest keying, the [[dedupParagraphs]] argument). */
+  def dedupAgainstCorpus(df: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, seenTextCol: String): DataFrame = {
+    val d = df.withColumn("__sha__",
+      sha2(coalesce(col(textCol), lit("")), 256))
+    val seenDigests = seen
+      .select(sha2(coalesce(col(seenTextCol), lit("")), 256).as("__sha__"))
+      .distinct()
+    val w = Window.partitionBy(col("__sha__")).orderBy(col(idCol).asc)
+    d.join(seenDigests, Seq("__sha__"), "left_anti")
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__rn__", "__sha__")
+  }
+
+  /** One representative per near-duplicate CLUSTER — the retention step
+    * after clustering: rank each cluster's members by `scoreCol`
+    * descending (quality-first; `idCol` ascending breaks ties
+    * deterministically, the [[graft.ops.Corpus.capPerKey]] argument) and
+    * keep the winner. Returns (idCol, scoreCol, cluster) rows, one per
+    * cluster.
+    *
+    * Scale shape: [[nearDupClusters]]' diameter-independent label
+    * propagation, then a cluster-keyed rank-1 window — the rn=1 filter
+    * gets map-side `WindowGroupLimit` pruning, so a pathological
+    * mega-cluster (boilerplate that LSH links across half the corpus)
+    * ships one candidate per map task, not its full membership. */
+  def clusterRepresentatives(df: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: String): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, pairs)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.select(col(idCol), col(scoreCol))
+      .join(clusters, Seq(idCol))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__rn__")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Engine-independent k-shingle hashes: each token is poly-hashed once,

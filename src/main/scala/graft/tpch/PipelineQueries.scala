@@ -368,6 +368,37 @@ object PipelineQueries {
       Dedup.nearDupClusters(d, "doc_id", pairs).orderBy(col("doc_id"))
     }),
 
+    // incremental exact dedup: docs with doc_id % 3 = 0 play yesterday's
+    // retained corpus; the new batch is every doc plus an id-shifted
+    // exact copy of each fifth doc (the fixture corpus has no natural
+    // byte-identical duplicates, so both dedup axes are synthesized to
+    // BIND: ~1/3 of the batch is already-seen, the shifted copies are
+    // within-batch duplicates keeping their first id)
+    "q84_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val batch = d.unionAll(
+        d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("source"), col("text")))
+      graft.ops.Dedup.dedupAgainstCorpus(batch, "doc_id", "text",
+        d.filter(col("doc_id") % 3 === 0), "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // cluster representatives: LSH near-dup clusters, then keep the best
+    // member per cluster (longest text, doc_id tie-break) — the retention
+    // step after q54's clustering
+    "q85_cluster_representatives" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
+      Dedup.clusterRepresentatives(
+        d.select(col("doc_id"), col("n_chars"), col("text")),
+        "doc_id", pairs, "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // same components via the diameter-independent alternating algorithm
     "q61_neardup_clusters_alt" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -901,6 +932,36 @@ object PipelineQueries {
     // take the min — identical to min-label propagation's fixpoint
     "q54_neardup_clusters" -> ccOracleSql,
     "q61_neardup_clusters_alt" -> ccOracleSql,
+
+    "q84_dedup_incremental" ->
+      """WITH batch AS (
+        |    SELECT doc_id, source, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000, source, text FROM documents
+        |    WHERE doc_id % 5 = 1),
+        |  seen AS (SELECT DISTINCT coalesce(text, '') AS t
+        |    FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, text FROM batch
+        |WHERE coalesce(text, '') NOT IN (SELECT t FROM seen)
+        |QUALIFY row_number() OVER (PARTITION BY coalesce(text, '')
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q85_cluster_representatives" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairsq
+         |  UNION ALL SELECT id_b, id_a FROM pairsq),
+         |cc(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM cc GROUP BY id)
+         |SELECT d.doc_id, d.n_chars, cl.cluster
+         |FROM documents d JOIN cl USING (doc_id)
+         |QUALIFY row_number() OVER (PARTITION BY cl.cluster
+         |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q65_split" ->
       s"""WITH h AS (SELECT doc_id, ${dpolyhash("text")} % 100 AS bucket

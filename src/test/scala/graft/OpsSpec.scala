@@ -728,6 +728,47 @@ class OpsSpec extends AnyFunSuite {
     assert(ddiff == 0)
   }
 
+  test("dedupAgainstCorpus drops seen digests, keeps first within batch") {
+    import spark.implicits._
+    val seen = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha"),   // already retained → dropped
+      (2L, "gamma"),   // new
+      (3L, "gamma"),   // within-batch copy → only id 2 survives
+      (4L, "beta"),    // already retained → dropped
+      (5L, "delta"),   // new, unique
+      (6L, null.asInstanceOf[String]), // null == "" digest, new
+      (7L, null.asInstanceOf[String])  // second null: within-batch copy
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(batch, "doc_id", "text", seen, "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 5L, 6L))
+    // the batch pays ONE digest exchange: the keep-first window reuses
+    // the anti-join's sha partitioning (no second Exchange between them),
+    // and seen text never goes past its digest projection
+    val plan = Dedup.dedupAgainstCorpus(batch, "doc_id", "text", seen, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__sha__"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // rank-1 window gets map-side pruning
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("clusterRepresentatives keeps the best-scored member per cluster") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),  // cluster {1,2,3}: 2 wins (30, lower id)
+      (4L, 5L),                          // singleton: survives
+      (5L, 7L), (6L, 9L)                 // cluster {5,6}: 6 wins
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(d, "doc_id", pairs, "score")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((2L, 1L), (4L, 4L), (6L, 5L)))
+    graft.ops.Caches.releaseAll()
+  }
+
   test("dupSpanProfile counts corpus-wide repeated shingles per doc") {
     import spark.implicits._
     // k=2 word shingles; "a b" appears in docs 1 and 2, "b c" only in 1,
