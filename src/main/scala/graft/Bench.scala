@@ -124,7 +124,14 @@ object Bench {
     }
     val results = names.map(n =>
       n -> (if (failed(n)) -1.0 else perPass(n).min))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of stdout (every round's
+    // `parsed` has been null because the full line never fit), so the
+    // stdout line puts the per-query map FIRST and the headline scalars
+    // LAST — whatever is truncated, the captured tail always ends with
+    // metric/value/failed/contaminated. The complete evidence — full
+    // precision, every pass — goes to BENCH_local.json next to the build.
+    def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val passJson = names.map { n =>
       s"\"" + n + "\":" + perPass.getOrElse(n, Nil).mkString("[", ",", "]")
@@ -132,10 +139,18 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calJson = calib.mkString("[", ",", "]")
+    val calJson = calib.map(c => f"$c%.4f").mkString("[", ",", "]")
     val loadJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contamJson = contaminated.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"per_pass":$passJson,"sf":"$sfDir","passes":${calib.size},"exec":"full-plan","skipped_sink_writers":$skipped,"failed":$failedJson,"calibration_sec":$calJson,"loadavg":$loadJson,"contaminated_passes":$contamJson}""")
+    val summary = s""""sf":"$sfDir","passes":${calib.size},"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"BENCH_local.json","failed":$failedJson,"contaminated_passes":$contamJson,"metric":"total","unit":"sec","value":${f"$total%.4f"}"""
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_local.json"),
+      s"""{"queries":$fullQs,"per_pass":$passJson,$summary}""".getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
+    println(s"""{"queries":$qs,$summary}""")
     spark.stop()
   }
 }

@@ -86,10 +86,7 @@ object Smoke {
         b.aggregate(aggregates = Seq("fact_count"))
           .cells.collect()(0).getAs[Long]("fact_count"))
       // streaming: windowed agg over the events parquet via memory sink
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      val ev = graft.tpch.EventsModel.eventsTable(spark, sfDir)
       ev.write.mode("overwrite").parquet(s"$tmp/events_in")
       val stream = spark.readStream.schema(ev.schema).parquet(s"$tmp/events_in")
       val q = graft.streaming.Streaming.hourlyCounts(stream)

@@ -48,11 +48,35 @@ object EventsModel {
     keyColumn = Some("event_id")
   )
 
-  /** Events fact with the nanos timestamp rebuilt as a µs timestamp. */
+  /** Events fact with `ts` normalized to a µs timestamp, whatever the
+    * parquet encodes: TIMESTAMP(NANOS) reads as int64 under the legacy
+    * conf and is rebuilt; a native TIMESTAMP(MICROS) passes through. */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive micros: the UTC session timezone (pinned in every entry
+        // point) makes the NTZ->LTZ cast epoch-preserving, matching the
+        // oracle's treatment of the same naive parquet values
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** Events fact with `ts` normalized to epoch nanoseconds (LongType),
+    * for arithmetic-gap logic like sessionization. */
+  def eventsNanos(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => eventsTable(spark, sfDir)
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   def browser(spark: SparkSession, sfDir: String): Browser = {

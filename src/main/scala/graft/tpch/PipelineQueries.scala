@@ -335,8 +335,7 @@ object PipelineQueries {
 
     // sessionize events: 30-min inactivity gap, per-user session stats
     "q51_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet") // ts = int64 nanos
+      val ev = graft.tpch.EventsModel.eventsNanos(s, dir) // ts = int64 nanos
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts").asc)
       val gapNs = 30L * 60 * 1000000000L

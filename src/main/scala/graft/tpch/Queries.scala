@@ -494,11 +494,7 @@ object Queries {
     // Streaming-shaped batch: tumbling 1h windows over the events table
     // (window().start surfaced as epoch seconds)
     "q28_events_hourly" -> ((s, dir) => {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as long
-      // (legacy conf), so rebuild a µs timestamp for the window() bucketing
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val ev = EventsModel.eventsTable(s, dir)
       ev.groupBy(
           window(col("ts"), "1 hour").getField("start").cast("long").as("hour_start"),
           col("event_type"))

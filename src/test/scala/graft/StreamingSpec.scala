@@ -24,11 +24,8 @@ class StreamingSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private def eventsDf = {
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
+  private def eventsDf =
+    graft.tpch.EventsModel.eventsTable(spark, "/root/testdata/sf0.001")
 
   test("streaming hourly windowed aggregation matches the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
