@@ -167,6 +167,88 @@ object Corpus {
       .drop("__cum__")
   }
 
+  /** Per-document top-k keywords by TF-IDF. The idf is the LINEARIZED
+    * ratio n_docs/df rather than ln(n_docs/df): tf, df and n_docs are
+    * exact integers well under 2^53, so `score = (tf·n_docs)/df` is a
+    * single deterministic IEEE division that both engines reproduce
+    * bit-for-bit — rank and score stay hash-comparable, where a
+    * transcendental log would be at the mercy of libm ulp differences.
+    * Ranking is monotone in tf and in 1/df, which is the property
+    * keyword extraction actually needs.
+    *
+    * Scale shape: two partial-aggregable hash aggregations (term counts,
+    * then doc frequencies over the already-distinct doc-word pairs); the
+    * doc-frequency table is vocabulary-sized so it broadcasts back; the
+    * per-document window is rank-filtered, so WindowGroupLimit prunes
+    * map-side and nothing global is sorted. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = df.select(col(idCol), explode(regexp_extract_all(
+      lower(col(textCol)), lit("[^\\s]+"), lit(0))).as("word"))
+    val tf = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Per-document unigram statistics against the corpus' own frequency
+    * table: token count, mean inverse token frequency (exact-arithmetic
+    * rarity), and mean token log-probability — the CCNet-style quality
+    * signal (docs whose tokens are all corpus-rare are noise; docs whose
+    * tokens are all corpus-common are boilerplate) with the corpus itself
+    * standing in for the language model.
+    *
+    * Determinism: per-term values are computed BEFORE any aggregation,
+    * then summed by an ORDERED fold over the doc's terms sorted by word
+    * (`aggregate` over `sort_array(collect_list(...))` here; `list(...
+    * ORDER BY word)` + `list_reduce` in the oracle) — double addition is
+    * not associative, so an unordered SUM would hash-diverge between
+    * engines. The fold is bounded by per-document vocabulary, not corpus
+    * size. The log column is rounded to 6dp (libm ulp tolerance); the
+    * inverse-frequency column is exact IEEE arithmetic end to end.
+    *
+    * Scale shape: explode → two partial-aggregable aggregations; the
+    * word-frequency table is vocabulary-sized and broadcasts; the
+    * per-doc collect_list is bounded by document length. */
+  def unigramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(regexp_extract_all(
+      lower(col(textCol)), lit("[^\\s]+"), lit(0))).as("word"))
+    val tf = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val cw = tf.groupBy("word").agg(sum("tf").as("cw"))
+    val total = words.agg(count(lit(1)).as("total"))
+    val terms = tf.join(broadcast(cw), "word").crossJoin(broadcast(total))
+      .select(col(idCol),
+        struct(col("word"),
+          (col("tf").cast("double") *
+            (col("total").cast("double") / col("cw").cast("double")))
+            .as("inv"),
+          (col("tf").cast("double") *
+            log(col("cw").cast("double") / col("total").cast("double")))
+            .as("lp")).as("t"),
+        col("tf"))
+    terms.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("t"))).as("ts"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(aggregate(col("ts"), lit(0.0),
+          (a, t) => a + t.getField("inv")) / col("n_tokens"), 6)
+          .as("mean_inv_freq"),
+        round(aggregate(col("ts"), lit(0.0),
+          (a, t) => a + t.getField("lp")) / col("n_tokens"), 6)
+          .as("mean_logprob"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

@@ -398,6 +398,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-document top-5 TF-IDF keywords (linearized idf — see
+    // Corpus.tfidfKeywords for the exact-arithmetic rationale)
+    "q86_tfidf_keywords" -> ((s, dir) =>
+      Corpus.tfidfKeywords(docs(s, dir), "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // per-document unigram corpus statistics: token count, exact mean
+    // inverse token frequency, mean token log-probability (the
+    // quality-filter signal, corpus as its own LM)
+    "q87_unigram_stats" -> ((s, dir) =>
+      Corpus.unigramStats(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // same components via the diameter-independent alternating algorithm
     "q61_neardup_clusters_alt" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -945,6 +958,46 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY coalesce(text, '')
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q86_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(1) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(1) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tf, df, score, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word ASC) AS rk FROM s) t
+        |WHERE rk <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q87_unigram_stats" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(1) AS tf FROM w GROUP BY 1, 2),
+        |cw AS (SELECT word, SUM(tf) AS cw FROM tf GROUP BY 1),
+        |tot AS (SELECT COUNT(1) AS total FROM w),
+        |terms AS (SELECT tf.doc_id, tf.word, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (CAST(tot.total AS DOUBLE) / CAST(cw.cw AS DOUBLE)) AS inv,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(cw.cw AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS lp
+        |  FROM tf JOIN cw USING (word) CROSS JOIN tot),
+        |d AS (SELECT doc_id,
+        |    list(inv ORDER BY word) AS invs,
+        |    list(lp ORDER BY word) AS lps,
+        |    CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(list_reduce(invs, (a, b) -> a + b) / n_tokens, 6)
+        |    AS mean_inv_freq,
+        |  ROUND(list_reduce(lps, (a, b) -> a + b) / n_tokens, 6)
+        |    AS mean_logprob
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q85_cluster_representatives" ->
       s"""WITH RECURSIVE $minhashPairsCtes,

@@ -243,4 +243,50 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains(">= 0"))
   }
+
+  test("tfidfKeywords: hand-computed scores, rank-limit pruning in the plan") {
+    // 3 docs; "rare" appears in 1 doc, "both" in 2, "all" in 3.
+    val df = Seq(
+      (1L, "all both rare rare"),
+      (2L, "all both"),
+      (3L, "all")).toDF("doc_id", "text")
+    val out = Corpus.tfidfKeywords(df, "doc_id", "text", 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    // doc1: rare tf=2 df=1 → 2*3/1=6 (rank1); both tf=1 df=2 → 1.5 (rank2);
+    //       "all" (tf=1 df=3 → 1.0) misses the top-2 cut
+    assert(out == Set(
+      (1L, "rare", 2L, 1L, 6.0, 1),
+      (1L, "both", 1L, 2L, 1.5, 2),
+      (2L, "both", 1L, 2L, 1.5, 1),
+      (2L, "all", 1L, 3L, 1.0, 2),
+      (3L, "all", 1L, 3L, 1.0, 1)))
+    // the rank<=k filter must reach the window as a group limit so hot
+    // documents prune map-side instead of sorting every term
+    val plan = Corpus.tfidfKeywords(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the vocabulary-sized doc-frequency side broadcasts — the corpus
+    // never shuffles to meet it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("unigramStats: exact rarity + logprob on a hand-checked corpus") {
+    // corpus: 4 tokens total; "a" ×3, "z" ×1
+    val df = Seq((1L, "a a z"), (2L, "a")).toDF("doc_id", "text")
+    val out = Corpus.unigramStats(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("mean_inv_freq"), r.getAs[Double]("mean_logprob")))
+      .sortBy(_._1)
+    // doc1: (2·(4/3) + 1·(4/1))/3 = 20/9 ≈ 2.222222;
+    //       (2·ln(3/4) + 1·ln(1/4))/3 ≈ -0.653886
+    // doc2: 4/3 ≈ 1.333333; ln(3/4) ≈ -0.287682
+    assert(out(0)._1 == 1L && out(0)._2 == 3L)
+    assert(math.abs(out(0)._3 - 2.222222) < 1e-6)
+    assert(math.abs(out(0)._4 - -0.653886) < 1e-6)
+    assert(out(1)._1 == 2L && out(1)._2 == 1L)
+    assert(math.abs(out(1)._3 - 1.333333) < 1e-6)
+    assert(math.abs(out(1)._4 - -0.287682) < 1e-6)
+  }
 }
