@@ -2,7 +2,7 @@ package graft.tpch
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Clustering, Corpus, Dedup, Similarity, TextAnalysis, Multimodal}
 
 /** Gate queries for the training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings` /
@@ -397,6 +397,14 @@ object PipelineQueries {
         "doc_id", pairs, "n_chars")
         .orderBy(col("doc_id"))
     }),
+
+    // k-means corpus clustering over embeddings: fixed-point Lloyd's,
+    // 2 iterations from the k-smallest-id seed — assignments and exact
+    // integer distances (see Clustering for the determinism design)
+    "q88_kmeans" -> ((s, dir) =>
+      Clustering.kmeansAssign(emb(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2, scale = 1000)
+        .orderBy(col("vec_id"))),
 
     // per-document top-5 TF-IDF keywords (linearized idf — see
     // Corpus.tfidfKeywords for the exact-arithmetic rationale)
@@ -958,6 +966,39 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY coalesce(text, '')
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // 2 unrolled Lloyd's iterations in relational form: quantize, explode
+    // to (vec, dim, value), join against the centroid matrix per
+    // iteration, arg-min by QUALIFY; COALESCE keeps an emptied cluster's
+    // previous centroid, exactly like the Spark side
+    "q88_kmeans" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |qe AS (SELECT q.vec_id, d.i, qv[d.i] AS v FROM q CROSS JOIN dims d),
+        |c0 AS (SELECT vec_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+        |  FROM q ORDER BY vec_id LIMIT 4),
+        |m0 AS (SELECT c0.j, e.i, e.v AS m FROM c0 JOIN qe e USING (vec_id)),
+        |d1 AS (SELECT e.vec_id, c.j,
+        |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
+        |  FROM qe e JOIN m0 c ON e.i = c.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, j, d2 FROM d1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, j ASC) = 1),
+        |u1 AS (SELECT a.j, e.i,
+        |    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(1) + 0.5) AS BIGINT) AS m
+        |  FROM a1 a JOIN qe e USING (vec_id) GROUP BY 1, 2),
+        |m1 AS (SELECT p.j, p.i, COALESCE(u.m, p.m) AS m
+        |  FROM m0 p LEFT JOIN u1 u ON u.j = p.j AND u.i = p.i),
+        |dd AS (SELECT e.vec_id, c.j,
+        |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
+        |  FROM qe e JOIN m1 c ON e.i = c.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, j AS cluster, d2 AS dist2 FROM dd
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, j ASC) = 1)
+        |SELECT vec_id, cluster, dist2 FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q86_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, unnest(list_filter(
