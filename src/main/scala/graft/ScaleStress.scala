@@ -279,6 +279,21 @@ object ScaleStress {
         val out = Dedup.clusterRepresentatives(scored, "doc_id", pairs, "score")
         (out.count(), "iterative")
       }
+      // q86 shape: TF-IDF keywords — two partial-aggregable word
+      // aggregations; the vocabulary-sized doc-frequency table broadcasts
+      // back and the per-doc top-k window is rank-limited
+      // (WindowGroupLimit), so no global sort appears at any size
+      timed(scale, "tfidf_keywords") {
+        val out = Corpus.tfidfKeywords(docs, "doc_id", "text", 5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q87 shape: unigram stats — same explode + broadcast frequency
+      // join; the per-doc ordered fold is bounded by document vocabulary,
+      // never corpus size
+      timed(scale, "unigram_stats") {
+        val out = Corpus.unigramStats(docs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q80 shape: mixture sampling — stateless per-row generate; must
       // stay exchange-free at any size (the derived corpus carries no
       // source column, so derive one from the id)
@@ -297,6 +312,30 @@ object ScaleStress {
 
     run("1x", docs1x)
     run("10x", docs10x)
+
+    // q88 shape: fixed-point k-means — per-row assignment against literal
+    // centroids (no shuffle) + one k·dim partial aggregation per
+    // iteration; the 10× embedding corpus is 10 dimension-rotated copies
+    // (same distribution, near-disjoint vectors)
+    val emb1x = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embStride = emb1x.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val embDir = "/tmp/graft_scale_emb"
+    (0 until 10).map { i =>
+      emb1x.select((col("vec_id") + lit(i * embStride)).as("vec_id"),
+        concat(slice(col("embedding"), i + 1, 64 - i),
+          slice(col("embedding"), 1, i)).as("embedding"))
+    }.reduce(_ unionAll _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(embDir)
+    val emb10x = spark.read.parquet(embDir)
+    def runKmeans(scale: String, emb: DataFrame): Unit =
+      timed(scale, "kmeans") {
+        val out = graft.ops.Clustering.kmeansAssign(
+          emb, "vec_id", "embedding", k = 8, iters = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runKmeans("1x", emb1x)
+    runKmeans("10x", emb10x)
     spark.stop()
   }
 }

@@ -25,13 +25,22 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // a failing query must leave NO output: a stale parquet dir from
-        // a previous run into the same outDir would make the compare
-        // silently PASS on the old results
+        // a failing query must leave NO stale output (a previous run's
+        // parquet would silently PASS the compare) — but it must also not
+        // VANISH from the artifact: the round-8 driver compare dropped
+        // the three failed events queries entirely and the round read as
+        // all-green. Overwrite with a one-row sentinel whose schema can
+        // never match an oracle, so the failure is recorded as an
+        // explicit mismatch with the message in the artifact.
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
         }
         rm(new java.io.File(s"$outDir/$name"))
+        try {
+          import spark.implicits._
+          Seq(("" + e.getMessage).take(500)).toDF("__verify_error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       finally graft.ops.Caches.releaseAll()
     }

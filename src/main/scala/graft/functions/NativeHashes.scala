@@ -378,6 +378,30 @@ case class QuantizeStatsExpr(child: Expression)
     copy(child = c)
 }
 
+/** bloom_might_contain(key): membership probe of a driver-built
+  * `org.apache.spark.util.sketch.BloomFilter` (the public sketch Spark's
+  * own runtime row-level filtering broadcasts), kept inside whole-stage
+  * codegen via `addReferenceObj` — the filter bits ship once per executor
+  * with the serialized plan, NOT per row and not as generated source.
+  * False positives only (never false negatives), so a definitely-absent
+  * verdict is exact: the caller may skip expensive work for misses and
+  * verify only the hits. */
+case class BloomMightContainExpr(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
+    copy(child = c)
+}
+
 object NativeHashes {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def char_ngram_jaccard(a: Column, b: Column, n: Int): Column =
@@ -393,4 +417,7 @@ object NativeHashes {
   def sign_bits(a: Column, bits: Int): Column =
     toCol(SignBitsExpr(toExpr(a), bits))
   def simhash32(c: Column): Column = toCol(SimHash32Expr(toExpr(c)))
+  def bloom_might_contain(c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomMightContainExpr(toExpr(c), bloom))
 }

@@ -303,6 +303,42 @@ object Dedup {
       .drop("__rn__", "__sha__")
   }
 
+  /** [[dedupAgainstCorpus]] with BLOOM-PRUNED seen-side scanning — the
+    * shape for the real asymmetry: a new crawl batch (TBs) against a
+    * retained corpus (100 TB). The plain anti-join shuffles every seen
+    * digest; here the BATCH's digests collapse into a bloom filter
+    * (driver-built via Spark's distributed sketch aggregation, a few MB
+    * for millions of digests at 1% fpp), and the seen scan drops every
+    * digest the filter rejects BEFORE the exchange — Spark's own
+    * runtime-row-filter pattern, hand-applied. A bloom miss is exact
+    * ("definitely not in the batch" ⇒ cannot anti-join anything), so
+    * only ~|batch| seen digests (plus the fpp tail) ever shuffle, and
+    * the result is bit-identical to [[dedupAgainstCorpus]] — the oracle
+    * replays plain anti-join semantics, blind to the pruning.
+    *
+    * `expectedBatch` sizes the filter (overestimating costs bits,
+    * underestimating costs fpp — both graceful). */
+  def dedupAgainstCorpusBloom(df: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, seenTextCol: String,
+      expectedBatch: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val d = df.withColumn("__sha__",
+      sha2(coalesce(col(textCol), lit("")), 256))
+    // probe key: 64-bit hash of the digest (bloom keys are longs); the
+    // EXACT decision stays on the collision-safe sha anti-join below
+    val bloom = d.select(xxhash64(col("__sha__")).as("__k__"))
+      .stat.bloomFilter("__k__", math.max(expectedBatch, 1L), fpp)
+    val seenDigests = seen
+      .select(sha2(coalesce(col(seenTextCol), lit("")), 256).as("__sha__"))
+      .filter(graft.functions.NativeHashes.bloom_might_contain(
+        xxhash64(col("__sha__")), bloom))
+      .distinct()
+    val w = Window.partitionBy(col("__sha__")).orderBy(col(idCol).asc)
+    d.join(seenDigests, Seq("__sha__"), "left_anti")
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__rn__", "__sha__")
+  }
+
   /** One representative per near-duplicate CLUSTER — the retention step
     * after clustering: rank each cluster's members by `scoreCol`
     * descending (quality-first; `idCol` ascending breaks ties

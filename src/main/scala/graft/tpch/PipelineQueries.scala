@@ -384,6 +384,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q84's fixture through the bloom-pruned path: the batch's digest
+    // bloom filters the seen scan before the exchange; result must be
+    // bit-identical to the plain anti-join (same oracle shape)
+    "q89_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val batch = d.unionAll(
+        d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("source"), col("text")))
+      graft.ops.Dedup.dedupAgainstCorpusBloom(batch, "doc_id", "text",
+        d.filter(col("doc_id") % 3 === 0), "text",
+        expectedBatch = 1000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // cluster representatives: LSH near-dup clusters, then keep the best
     // member per cluster (longest text, doc_id tie-break) — the retention
     // step after q54's clustering
@@ -954,6 +969,22 @@ object PipelineQueries {
     "q61_neardup_clusters_alt" -> ccOracleSql,
 
     "q84_dedup_incremental" ->
+      """WITH batch AS (
+        |    SELECT doc_id, source, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000, source, text FROM documents
+        |    WHERE doc_id % 5 = 1),
+        |  seen AS (SELECT DISTINCT coalesce(text, '') AS t
+        |    FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, source, text FROM batch
+        |WHERE coalesce(text, '') NOT IN (SELECT t FROM seen)
+        |QUALIFY row_number() OVER (PARTITION BY coalesce(text, '')
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom pruning is an exact optimization: the oracle is q84's plain
+    // anti-join semantics, blind to the filter
+    "q89_dedup_bloom" ->
       """WITH batch AS (
         |    SELECT doc_id, source, text FROM documents
         |    UNION ALL

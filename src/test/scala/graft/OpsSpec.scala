@@ -754,6 +754,32 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("dedupAgainstCorpusBloom == dedupAgainstCorpus, and prunes before the exchange") {
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), col("text"))
+    val batch = d.unionAll(d.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val seen = d.filter(col("doc_id") % 3 === 0)
+    val plain = Dedup.dedupAgainstCorpus(batch, "doc_id", "text", seen, "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val bloomed = Dedup.dedupAgainstCorpusBloom(batch, "doc_id", "text",
+      seen, "text", expectedBatch = 200L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(plain == bloomed)
+    assert(plain.nonEmpty)
+    // the bloom probe must sit on the seen-side SCAN, upstream of its
+    // exchange: the filter is exact for misses, so only ~|batch| seen
+    // digests ever shuffle
+    val plan = Dedup.dedupAgainstCorpusBloom(batch, "doc_id", "text",
+      seen, "text", expectedBatch = 200L)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"), plan)
+    val filterIdx = plan.toLowerCase.indexOf("bloommightcontain")
+    // a codegen'd expression, not a UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(filterIdx >= 0)
+  }
+
   test("clusterRepresentatives keeps the best-scored member per cluster") {
     import spark.implicits._
     val d = Seq(

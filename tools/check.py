@@ -45,6 +45,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) \
             if files else pd.DataFrame()
+        if list(got.columns) == ["__verify_error__"]:
+            msg = got["__verify_error__"].iloc[0] if len(got) else "?"
+            print(f"FAIL {name}: query failed in Verify: {msg}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(got)})")
             n_skip += 1
