@@ -237,6 +237,21 @@ object ScaleStress {
         val out = Dedup.removeDupSpans(hotDocs, "doc_id", "text", k = 8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q95 shape: CDC chunk-dup profile — per-row codegen'd chunking,
+      // then groupBy(digest) partials + join-back; only 8-byte digests
+      // shuffle and the count aggregation collapses repeats map-side
+      timed(scale, "cdc_dedup") {
+        val out = Dedup.cdcDedupStats(docs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // same op on the hot-boilerplate corpus: the shared 47-char prefix
+      // of half the docs produces a corpus-dominating chunk digest; the
+      // claim is partial aggregation collapses it pre-shuffle (wall and
+      // plan match the uniform corpus)
+      timed(scale, "cdc_dedup_hot") {
+        val out = Dedup.cdcDedupStats(hotDocs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q78/q82 shapes under ADVERSARIAL key skew: one hot key holds 50%
       // of rows through the per-key quota cap and the token-budget
       // cumsum. Both windows stay hash-partitioned BY KEY; the hot key
@@ -336,6 +351,61 @@ object ScaleStress {
       }
     runKmeans("1x", emb1x)
     runKmeans("10x", emb10x)
+
+    // q94 shape: deterministic JL projection — per-row codegen'd loop,
+    // no shuffle, no broadcast (the sign matrix is recomputed from the
+    // flat index); must stay exchange-free at any size
+    def runProj(scale: String, emb: DataFrame): Unit =
+      timed(scale, "random_projection") {
+        val out = graft.ops.Similarity.randomProjection(
+          emb, "vec_id", "embedding", 16)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runProj("1x", emb1x)
+    runProj("10x", emb10x)
+
+    // r9 event-analytics shapes (q90–q92) over the events fact. 10× = 10
+    // user-shifted copies: users grow with the log while per-user history
+    // stays constant — the production growth mode, and the one that must
+    // keep the asof window's per-key ordered scan bounded
+    val ev1x = graft.tpch.EventsModel.eventsTable(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("tus"))
+    val uStride = ev1x.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    val eStride = ev1x.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val evDir = "/tmp/graft_scale_events"
+    (0 until 10).map { i =>
+      ev1x.select((col("event_id") + lit(i * eStride)).as("event_id"),
+        (col("user_id") + lit(i * uStride)).as("user_id"),
+        col("event_type"), col("value"), col("tus"))
+    }.reduce(_ unionAll _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(evDir)
+    val ev10x = spark.read.parquet(evDir)
+    def runEvents(scale: String, ev: DataFrame): Unit = {
+      timed(scale, "asof_join") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus").as("pts"),
+            col("event_id").as("pid"), col("value").as("pv"))
+        val out = graft.ops.EventAnalytics.asofJoin(clicks, purchases,
+          Seq("user_id"), "tus", "pts", Seq("pv"), tieCol = Some("pid"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "funnel") {
+        val out = graft.ops.EventAnalytics.funnel(ev, "user_id", "tus",
+          "event_type", Seq("view", "click", "purchase"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "cohort_retention") {
+        val out = graft.ops.EventAnalytics.cohortRetention(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "user_id", "ts")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    }
+    runEvents("1x", ev1x)
+    runEvents("10x", ev10x)
     spark.stop()
   }
 }

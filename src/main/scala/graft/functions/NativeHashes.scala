@@ -86,6 +86,82 @@ object HashImpls {
     out
   }
 
+  /** Content-defined chunking (Rabin-style rolling hash, the stateless
+    * ancestor of gear/FastCDC): a chunk boundary closes at 1-based end
+    * position i when the rolling hash of the last `w` code units is
+    * ≡ 0 (mod `divisor`); the final position always closes the last
+    * chunk. Expected chunk length ≈ `divisor` characters. Returns per
+    * chunk (pos, len, digest): 0-based start offset, length, and
+    * polyHash of the chunk text. Content-defined boundaries survive
+    * insertions/deletions upstream of them — shifted near-copies of a
+    * document still share most chunk digests, which byte-offset
+    * chunking destroys. One O(n) pass per row. */
+  def cdcChunks(s: String, w: Int, divisor: Long)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val n = s.length
+    if (n == 0) {
+      return new Array[org.apache.spark.sql.catalyst.InternalRow](0)
+    }
+    var bw = 1L // B^w mod P: weight of the code unit leaving the window
+    var j = 0
+    while (j < w) { bw = bw * B % P; j += 1 }
+    val bnds = new java.util.ArrayList[Int]()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * B + s.charAt(i)) % P
+      if (i >= w) h = ((h - s.charAt(i - w) * bw) % P + P) % P
+      if (i >= w - 1 && h % divisor == 0L) bnds.add(i + 1)
+      i += 1
+    }
+    if (bnds.isEmpty || bnds.get(bnds.size - 1) != n) bnds.add(n)
+    val out =
+      new Array[org.apache.spark.sql.catalyst.InternalRow](bnds.size)
+    var prev = 0
+    var k = 0
+    while (k < bnds.size) {
+      val end = bnds.get(k)
+      out(k) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(
+          Array[Any](prev, end - prev, polyHash(s.substring(prev, end))))
+      prev = end
+      k += 1
+    }
+    out
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss projection of a quantized
+    * float vector — value-identical to the SQL-lambda spec in
+    * [[graft.ops.Similarity.randomProjectionLambda]]: q_i =
+    * floor(x_i·scale + 0.5), sign(j,i) from the parity bit of an LCG mix
+    * of the flat index j·dim+i, out_j = Σ sign·q_i (exact longs). */
+  def randomProjection(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      outDims: Int, scale: Long): Array[Long] = {
+    val d = a.numElements()
+    val q = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      q(i) = math.floor(a.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0L
+      var idx = j.toLong * d
+      i = 0
+      while (i < d) {
+        val v = (1103515245L * idx + 12345L) % 2147483648L // idx>=0 → v>=0
+        acc += (1L - 2L * ((v / 65536L) & 1L)) * q(i)
+        idx += 1
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
   /** Left-fold dot product of two float arrays in double precision —
     * association identical to the lambda/oracle formulation. */
   def dotFloat(a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -273,6 +349,29 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
     copy(child = c)
 }
 
+/** cdc_chunks(str): content-defined chunk (pos, len, digest) structs in
+  * one O(n) rolling pass (codegen'd — the lambda replay is O(n·w)). */
+case class CdcChunksExpr(child: Expression, w: Int, divisor: Long)
+    extends UnaryExpression {
+  require(w >= 2, s"window must be >= 2, got $w")
+  require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("digest", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashImpls.cdcChunks(
+      v.asInstanceOf[UTF8String].toString, w, divisor)
+      .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.cdcChunks($c.toString(), $w, ${divisor}L))")
+  override protected def withNewChildInternal(c: Expression): CdcChunksExpr =
+    copy(child = c)
+}
+
 /** simhash32(str): 32-bit SimHash in one call. */
 /** sign_bits(vec, bits): sign-bit LSH bucket of a float vector in one
   * JIT loop (NaN positive, matching SQL comparison semantics — see
@@ -293,6 +392,27 @@ case class SignBitsExpr(child: Expression, bits: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.HashImpls.signBits($c, $bits)")
   override protected def withNewChildInternal(c: Expression): SignBitsExpr =
+    copy(child = c)
+}
+
+/** random_projection(vec): deterministic ±1 JL projection in one JIT loop
+  * (the nested-lambda spec pays ~outDims·dim interpreted calls per row).
+  * Declares array<float> input like [[SignBitsExpr]] so array<double>
+  * callers get an analysis-time cast. */
+case class RandomProjectionExpr(child: Expression, outDims: Int, scale: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashImpls.randomProjection(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      outDims, scale))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.randomProjection($c, $outDims, ${scale}L))")
+  override protected def withNewChildInternal(c: Expression): RandomProjectionExpr =
     copy(child = c)
 }
 
@@ -417,6 +537,10 @@ object NativeHashes {
   def sign_bits(a: Column, bits: Int): Column =
     toCol(SignBitsExpr(toExpr(a), bits))
   def simhash32(c: Column): Column = toCol(SimHash32Expr(toExpr(c)))
+  def cdc_chunks(c: Column, w: Int, divisor: Long): Column =
+    toCol(CdcChunksExpr(toExpr(c), w, divisor))
+  def random_projection(c: Column, outDims: Int, scale: Long): Column =
+    toCol(RandomProjectionExpr(toExpr(c), outDims, scale))
   def bloom_might_contain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContainExpr(toExpr(c), bloom))

@@ -772,6 +772,54 @@ object Dedup {
       .distinct()
   }
 
+  // --------------------------------------- content-defined chunking (CDC)
+
+  /** Content-defined chunk table: one row per chunk of each document,
+    * with boundaries placed where a `w`-char rolling hash ≡ 0
+    * (mod `divisor`) — Rabin chunking, the storage-dedup primitive.
+    * Because boundaries depend on CONTENT, not byte offsets, an
+    * insertion or deletion only perturbs the chunks it touches: shifted
+    * near-copies of a document keep identical digests for every
+    * unaffected chunk, which fixed-size chunking destroys. Expected
+    * chunk length ≈ `divisor` chars. Per-row codegen'd O(n) pass
+    * ([[graft.functions.CdcChunksExpr]]); no shuffle. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, divisor: Long = 64L): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.NativeHashes
+          .cdc_chunks(col(textCol), w, divisor)))
+      .select(col(idCol), (col("pos") + 1).as("chunk_idx"),
+        col("col").getField("pos").as("chunk_pos"),
+        col("col").getField("len").as("chunk_len"),
+        col("col").getField("digest").as("digest"))
+
+  /** Per-document chunk-duplication profile: how much of each document
+    * is made of chunks that occur elsewhere in the corpus (≥2 total
+    * occurrences of the digest). The cross-document complement of
+    * [[dupSpanProfile]] at chunk rather than shingle granularity —
+    * CDC's insertion-tolerance means shifted copies still register.
+    *
+    * Skew-safe by the q81 redesign: corpus-wide counts come from
+    * `groupBy(digest).count()` (map-side partials collapse hot
+    * boilerplate chunks BEFORE the exchange) joined back on the digest
+    * (AQE splits a skewed build side); only 8-byte digests ever
+    * shuffle, never chunk text. */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, divisor: Long = 64L): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, w, divisor)
+      .select(col(idCol), col("chunk_len"), col("digest"))
+    val counts = ch.groupBy(col("digest"))
+      .agg(count(lit(1)).as("__n__"))
+    ch.join(counts, Seq("digest"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n__") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__n__") > 1, col("chunk_len").cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
   // ------------------------------------------- embedding near-duplicates
 
   /** Cosine near-dup pairs among embeddings: all candidate pairs from a

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-sequence analytics operators: as-of (point-in-time) join, ordered
+  * step funnels, cohort retention. These extend the OLAP browser's verb set
+  * with the time-ordered analyses an event log needs and a star schema
+  * cannot express; like the rest of `graft.ops` every computation is
+  * engine-independent arithmetic so the DuckDB oracle replays it exactly
+  * (DuckDB's native `ASOF JOIN` is the q90 oracle).
+  */
+object EventAnalytics {
+
+  /** AS-OF JOIN: attach to every left row the single most recent right row
+    * with `rightTsCol <= leftTsCol` in the same key group — the
+    * point-in-time lookup (trades→latest quote, event→latest config,
+    * features→most recent label).
+    *
+    * Spark has no asof operator, and the naive encoding — an inequality
+    * join plus per-left-row argmax — plans as `BroadcastNestedLoopJoin`
+    * (or an exploding range sort-merge): O(|L|·|R|) per key. This
+    * implementation instead tags and UNIONS the two sides and computes a
+    * running `last(_, ignoreNulls)` over `(key, ts, side)` — ONE shuffle
+    * on the key columns, one per-key ordered scan with O(1) carried state,
+    * zero row amplification; the same shape kdb's `aj` and Flink temporal
+    * joins use. Right rows sort before left rows at equal ts, so an
+    * exactly-simultaneous right row IS matched (`>=` semantics, matching
+    * DuckDB `ASOF`).
+    *
+    * The matched right columns ride in ONE struct, so they are taken
+    * atomically from the same right row (per-column `last(ignoreNulls)`
+    * would stitch different rows when a value column holds nulls).
+    *
+    * At 100 TB: the key partitioning is the only correct distribution for
+    * asof; the window never buffers the right side. A hot key costs its
+    * own row count — linear, nothing quadratic. No rank filter exists to
+    * prune map-side (every left row produces output), which is inherent
+    * to the operator, not this plan.
+    *
+    * @param valueCols right columns to carry (must not collide with left
+    *                  column names)
+    * @param tieCol    unique right column breaking `(key, ts)` ties
+    *                  deterministically — the LARGEST value wins
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, valueCols: Seq[String],
+      matchedTsCol: String = "matched_ts",
+      tieCol: Option[String] = None): DataFrame = {
+    val leftOut = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains(_)),
+      s"valueCols must exist in right: $valueCols vs ${right.columns.toSeq}")
+    require(!leftOut.contains(matchedTsCol) &&
+      valueCols.forall(!leftOut.contains(_)),
+      "matched columns must not collide with left columns")
+    val lNonKey = leftOut.filterNot(keyCols.contains)
+    val rowStruct = struct(
+      (col(rightTsCol).as("__mts__") +:
+        valueCols.map(c => col(c).as(c))): _*)
+    val rowType = StructType(
+      right.select(rowStruct).schema.head.dataType match {
+        case st: StructType => st.fields
+        case other => throw new IllegalArgumentException(other.toString)
+      })
+    val rSide = right.select(
+      (keyCols.map(col) ++ Seq(
+        col(rightTsCol).cast(left.schema(leftTsCol).dataType).as("__ts__"),
+        lit(0).as("__side__"),
+        tieCol.map(col).getOrElse(lit(0L)).cast("long").as("__tie__"),
+        rowStruct.as("__row__")) ++
+        lNonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lSide = left.select(
+      (keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts__"),
+        lit(1).as("__side__"),
+        lit(Long.MaxValue).as("__tie__"),
+        lit(null).cast(rowType).as("__row__")) ++
+        lNonKey.map(col)): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts__").asc, col("__side__").asc, col("__tie__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn("__m__", last(col("__row__"), ignoreNulls = true).over(w))
+      .filter(col("__side__") === 1)
+      .select((leftOut.map(col) :+
+        col("__m__.__mts__").as(matchedTsCol)) ++
+        valueCols.map(c => col(s"__m__.$c").as(c)): _*)
+  }
+
+  /** Ordered-step funnel: for each entity the earliest completion time of
+    * every step in `steps`, where step k must occur STRICTLY AFTER the
+    * matched step k-1 event (greedy earliest-match — the standard product
+    * funnel semantic, and the unique minimal matching). Returns one row
+    * per entity that completed step 1: the per-step times (null once the
+    * funnel stalls) and `steps_completed`.
+    *
+    * Shape: one filtered partial aggregation per step chained by
+    * per-entity equi-joins. Each step's scan prunes to its event type via
+    * predicate pushdown; every `min` has map-side partials; nothing
+    * buffers an entity's history (contrast collect-and-scan funnel UDAFs,
+    * which hold the full per-user event list in memory and get no partial
+    * aggregation). k-1 extra shuffles for a k-step funnel, each over the
+    * (entity, ts) pairs of ONE event type — at 100 TB the narrow
+    * per-step projections, not the raw log, pay the exchanges.
+    */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val s1 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t1"))
+    val full = steps.zipWithIndex.tail.foldLeft(s1) { case (prev, (st, i)) =>
+      val next = events.filter(col(typeCol) === st)
+        .select(col(entityCol), col(tsCol))
+        .join(prev.select(col(entityCol), col(s"t$i")), Seq(entityCol))
+        .filter(col(tsCol) > col(s"t$i"))
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
+      prev.join(next, Seq(entityCol), "left")
+    }
+    full.withColumn("steps_completed",
+      steps.indices
+        .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
+  /** Weekly cohort retention: cohort = Monday of the entity's first-ever
+    * event week; for each (cohort_week, week_offset) cell, the number of
+    * distinct entities active exactly that many weeks later. Two
+    * partial-aggregable aggregations joined on the entity key — the
+    * first-event table is |entities| rows, the retention matrix is
+    * O(weeks²) cells. Exact `count_distinct` is safe because the output
+    * cardinality is the week grid, not the data; swap in
+    * `approx_count_distinct` for day-grain grids at extreme scale.
+    * `cohort_week` is emitted as an ISO `yyyy-MM-dd` string so the value
+    * is engine- and timezone-representation-independent.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val week = date_trunc("week", col(tsCol))
+    val first = events.groupBy(col(entityCol))
+      .agg(min(week).as("__cw__"))
+    events.select(col(entityCol), week.as("__w__"))
+      .join(first, Seq(entityCol))
+      .groupBy(
+        date_format(col("__cw__"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(to_date(col("__w__")), to_date(col("__cw__"))) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+}

@@ -551,6 +551,11 @@ object Multimodal {
     * display-less machine in that case. */
   object ImageCodec {
     System.setProperty("java.awt.headless", "true")
+    // Stream-based ImageIO.read defaults to a DISK-backed cache file per
+    // call; 32 concurrent decode tasks then serialize on /tmp writes
+    // (observed as 2× pass-to-pass wall variance on q69). The payloads
+    // are already in memory — use the in-memory cache.
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** Decode to a BufferedImage; None when no installed reader recognizes
       * the payload (or it is truncated/corrupt). */

@@ -16,6 +16,49 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with
+    * a DETERMINISTIC ±1 projection matrix: sign(j,i) is a parity bit of an
+    * LCG mix of the flat index `j·dim+i`, recomputed identically on every
+    * executor — no materialized matrix, no broadcast, no seed to
+    * coordinate, and the DuckDB oracle replays it bit-for-bit. Input
+    * vectors are quantized to a fixed-point grid (`round(x·scale)`), so
+    * every output coordinate is an exact BIGINT sum — engine-independent,
+    * unlike a float dot against a random Gaussian matrix.
+    *
+    * ±1 (Achlioptas) projections satisfy the JL lemma like Gaussians do;
+    * distances are preserved within ε for outDims = O(log n / ε²). Per-row
+    * O(outDims·dim), shuffle-free — the cheap front of an ANN/clustering
+    * pipeline at 100 TB, cutting every downstream shuffle byte count by
+    * dim/outDims. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, scale: Long = 1000L,
+      projCol: String = "proj"): DataFrame =
+    df.select(col(idCol),
+      graft.functions.NativeHashes
+        .random_projection(col(vecCol), outDims, scale).as(projCol))
+
+  /** SQL-lambda formulation of [[randomProjection]]'s projection column —
+    * identical values (same LCG parity signs, same exact-integer sums);
+    * the executable spec the DuckDB oracle mirrors and the native
+    * [[graft.functions.RandomProjectionExpr]] is differentialy tested
+    * against. Interpreted per element (~outDims·dim lambda calls/row) —
+    * use the native twin in hot paths. */
+  def randomProjectionLambda(vecCol: Column, outDims: Int,
+      scale: Long = 1000L): Column = {
+    val q = transform(vecCol,
+      x => floor(x.cast("double") * scale + 0.5).cast("long"))
+    val d = size(vecCol)
+    transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(sequence(lit(0L), d.cast("long") - 1L), lit(0L),
+        (acc, i) => {
+          val idx = j.cast("long") * d.cast("long") + i
+          val v = pmod(lit(1103515245L) * idx + lit(12345L),
+            lit(2147483648L))
+          val bit = pmod(floor(v / 65536.0).cast("long"), lit(2L))
+          acc + (lit(1L) - lit(2L) * bit) * element_at(q, (i + 1).cast("int"))
+        }))
+  }
+
   /** Exact dot product: Σ a_i·b_i as a left fold (fixed association).
     * Codegen'd ([[graft.functions.NativeHashes.dot_product]]); the
     * SQL-lambda twin below is the executable spec. */

@@ -2,7 +2,7 @@ package graft.tpch
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Clustering, Corpus, Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Clustering, Corpus, Dedup, EventAnalytics, Similarity, TextAnalysis, Multimodal}
 
 /** Gate queries for the training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings` /
@@ -36,6 +36,30 @@ object PipelineQueries {
 
   private def dcosine(a: String, b: String): String =
     s"(${ddot(a, b)}) / (SQRT(${ddot(a, a)}) * SQRT(${ddot(b, b)}))"
+
+  /** DuckDB replay of the CDC boundary scan ([[graft.ops.Dedup.cdcChunks]],
+    * w=16, divisor=64): per-end-position 16-char window hashes (O(n·w)
+    * recompute — the Spark side rolls in O(n), same values) → boundary
+    * list (final position always closes) → per-chunk (p0, p1] spans with
+    * the doc's code array alongside for digesting. */
+  private val cdcChunkCtes: String =
+    """c AS (SELECT doc_id, list_transform(string_split(text, ''),
+      |    ch -> CAST(ascii(ch) AS BIGINT)) AS codes FROM documents),
+      |b AS (SELECT doc_id, codes, len(codes) AS n,
+      |    list_filter(range(16, len(codes) + 1), i ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i-15:i]),
+      |        (a, x) -> (a * 131 + x) % 1000000007) % 64 = 0) AS bnds
+      |  FROM c),
+      |b2 AS (SELECT doc_id, codes,
+      |    CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
+      |         ELSE list_append(bnds, n) END AS bnds
+      |  FROM b WHERE n > 0),
+      |u AS (SELECT doc_id, codes, bnds,
+      |    unnest(range(1, len(bnds) + 1)) AS k FROM b2),
+      |chunks AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |    CASE WHEN k = 1 THEN 0 ELSE bnds[k-1] END AS p0,
+      |    bnds[k] AS p1, codes
+      |  FROM u)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: keeper id + copy count per distinct text
@@ -432,6 +456,58 @@ object PipelineQueries {
     // quality-filter signal, corpus as its own LM)
     "q87_unigram_stats" -> ((s, dir) =>
       Corpus.unigramStats(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // AS-OF JOIN: each click matched to the user's most recent
+    // prior-or-simultaneous purchase — union + running-last shape, one
+    // shuffle, no nested loop; DuckDB's native ASOF JOIN is the oracle
+    "q90_asof_join" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("tus", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus").as("pts"),
+          col("event_id").as("pid"), col("value").as("purchase_value"))
+      EventAnalytics.asofJoin(clicks, purchases, Seq("user_id"),
+          "tus", "pts", valueCols = Seq("purchase_value"),
+          matchedTsCol = "purchase_ts", tieCol = Some("pid"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ordered-step funnel view → click → purchase per user: earliest
+    // greedy completion times, strictly-increasing timestamps
+    "q91_funnel" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("tus", unix_micros(col("ts")))
+      EventAnalytics.funnel(ev, "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // weekly cohort retention: distinct active users per
+    // (first-event week, weeks-since) cell
+    "q92_cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(
+          graft.tpch.EventsModel.eventsTable(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // content-defined chunking: per-chunk (pos, len, digest) table —
+    // Rabin boundaries, insertion-tolerant chunk identity
+    "q93_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docs(s, dir), "doc_id", "text", w = 16, divisor = 64L)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // deterministic ±1 Johnson–Lindenstrauss projection to 16 dims,
+    // exact BIGINT arithmetic on the quantized grid
+    "q94_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(emb(s, dir), "vec_id", "embedding", 16)
+        .orderBy(col("vec_id"))),
+
+    // chunk-level duplication profile: how much of each doc is made of
+    // corpus-repeated CDC chunks (skew-safe groupBy+join, q81 shape)
+    "q95_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedupStats(docs(s, dir), "doc_id", "text", 16, 64L)
         .orderBy(col("doc_id"))),
 
     // same components via the diameter-independent alternating algorithm
@@ -1070,6 +1146,95 @@ object PipelineQueries {
         |  ROUND(list_reduce(lps, (a, b) -> a + b) / n_tokens, 6)
         |    AS mean_logprob
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN replays the union+running-last plan;
+    // ties at identical (user, ts) resolved to the max event_id row,
+    // exactly the Spark side's __tie__ ordering
+    "q90_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, tus, value FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tus AS pts, value AS purchase_value FROM e
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, tus
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id, c.tus, c.value,
+        |  p.pts AS purchase_ts, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tus >= p.pts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // iterated earliest-match CTEs == the greedy funnel semantic
+    "q91_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t2 FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t3 FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS steps_completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q92_cohort_retention" ->
+      """WITH f AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT e.user_id,
+        |    strftime(CAST(f.cw AS DATE), '%Y-%m-%d') AS cohort_week,
+        |    CAST(date_diff('day', CAST(f.cw AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER)
+        |      AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q93_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, CAST(p0 AS INTEGER) AS chunk_pos,
+         |  CAST(p1 - p0 AS INTEGER) AS chunk_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes[p0+1:p1]),
+         |    (a, x) -> (a * 131 + x) % 1000000007) AS digest
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q95_cdc_dedup" ->
+      s"""WITH $cdcChunkCtes,
+         |dg AS (SELECT doc_id, CAST(p1 - p0 AS BIGINT) AS chunk_len,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), codes[p0+1:p1]),
+         |      (a, x) -> (a * 131 + x) % 1000000007) AS digest
+         |  FROM chunks),
+         |cnt AS (SELECT digest, COUNT(1) AS n FROM dg GROUP BY 1)
+         |SELECT dg.doc_id, COUNT(1) AS n_chunks,
+         |  CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(SUM(CASE WHEN cnt.n > 1 THEN dg.chunk_len ELSE 0 END)
+         |    AS BIGINT) AS dup_chars,
+         |  ROUND(CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(1), 6) AS dup_ratio
+         |FROM dg JOIN cnt USING (digest)
+         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "q94_random_projection" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv,
+        |    len(embedding) AS d
+        |  FROM embeddings)
+        |SELECT vec_id, list_transform(range(0, 16), j ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, d), i ->
+        |        (1 - 2 * ((((1103515245 * (j * d + i) + 12345)
+        |          % 2147483648) // 65536) % 2)) * qv[i + 1])),
+        |      (a, x) -> a + x)) AS proj
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q85_cluster_representatives" ->
       s"""WITH RECURSIVE $minhashPairsCtes,

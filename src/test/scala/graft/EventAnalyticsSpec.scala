@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- asofJoin
+
+  private def asofFixture = {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 8L, 100L, 1.0), (1L, 15L, 101L, 2.0),
+      (2L, 50L, 102L, 3.0))
+      .toDF("k", "rts", "rid", "price")
+    (left, right)
+  }
+
+  test("asofJoin matches the most recent right row per key") {
+    val (left, right) = asofFixture
+    val out = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      valueCols = Seq("price"), tieCol = Some("rid"))
+    val m = out.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("ts"))
+      -> (Option(r.getAs[java.lang.Long]("matched_ts")),
+          Option(r.getAs[java.lang.Double]("price")))).toMap
+    assert(m((1L, 10L)) == (Some(8L), Some(1.0)))   // 8 <= 10 < 15
+    assert(m((1L, 20L)) == (Some(15L), Some(2.0)))  // latest of {8, 15}
+    assert(m((2L, 5L)) == (None, None))             // right is in the future
+    assert(out.columns.toSeq ==
+      Seq("k", "ts", "tag", "matched_ts", "price"))
+  }
+
+  test("asofJoin >= semantics: a simultaneous right row is matched") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 7.0)).toDF("k", "rts", "v")
+    val r = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("v")).collect().head
+    assert(r.getAs[Long]("matched_ts") == 10L)
+    assert(r.getAs[Double]("v") == 7.0)
+  }
+
+  test("asofJoin ties at identical (key, ts): largest tieCol wins") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, 100L, 1.0), (1L, 5L, 200L, 2.0))
+      .toDF("k", "rts", "rid", "v")
+    val r = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("v"), tieCol = Some("rid")).collect().head
+    assert(r.getAs[Double]("v") == 2.0)
+  }
+
+  test("asofJoin takes all right columns atomically from the same row") {
+    // matched row has a NULL value column; per-column last(ignoreNulls)
+    // would stitch the older 1.0 in — the struct must keep the null
+    val left = Seq((1L, 20L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, Some(1.0)), (1L, 10L, Option.empty[Double]))
+      .toDF("k", "rts", "v")
+    val r = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("v")).collect().head
+    assert(r.getAs[Long]("matched_ts") == 10L)
+    assert(r.isNullAt(r.fieldIndex("v")))
+  }
+
+  test("asofJoin plans as one shuffle + window, never a nested loop") {
+    val (left, right) = asofFixture
+    val plan = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+    // exactly one exchange: the key partitioning for the window
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  // --------------------------------------------------------------- funnel
+
+  private def funnelEvents = Seq(
+    // u1 completes all three in order
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    // u2 stalls after click (purchase happened BEFORE the click)
+    (2L, 10L, "view"), (2L, 15L, "purchase"), (2L, 20L, "click"),
+    // u3 never views: excluded entirely (no step-1 row)
+    (3L, 5L, "click"), (3L, 6L, "purchase"),
+    // u4 views only
+    (4L, 40L, "view"),
+    // u5: click exactly at the view timestamp does NOT count (strict >)
+    (5L, 50L, "view"), (5L, 50L, "click"), (5L, 60L, "click"),
+    (5L, 55L, "purchase")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel computes greedy earliest-match step times") {
+    val out = EventAnalytics.funnel(funnelEvents, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+    val m = out.collect().map(r => r.getAs[Long]("user_id") ->
+      (Option(r.getAs[java.lang.Long]("t1")),
+        Option(r.getAs[java.lang.Long]("t2")),
+        Option(r.getAs[java.lang.Long]("t3")),
+        r.getAs[Int]("steps_completed"))).toMap
+    assert(m(1L) == (Some(10L), Some(20L), Some(30L), 3))
+    assert(m(2L) == (Some(10L), Some(20L), None, 2))
+    assert(!m.contains(3L))
+    assert(m(4L) == (Some(40L), None, None, 1))
+    // u5: t2 = 60 (the 50 click is simultaneous with the view), and the
+    // purchase at 55 < 60 cannot complete the funnel
+    assert(m(5L) == (Some(50L), Some(60L), None, 2))
+  }
+
+  test("funnel aggregations keep map-side partials") {
+    val plan = EventAnalytics.funnel(funnelEvents, "user_id", "ts",
+      "event_type", Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // ------------------------------------------------------ cohortRetention
+
+  test("cohortRetention buckets entities by first-event week") {
+    // weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), // cohort w0
+      (1L, ts("2024-01-10 10:00:00")), // active w0+1
+      (1L, ts("2024-01-16 10:00:00")), // active w0+2
+      (2L, ts("2024-01-03 09:00:00")), // cohort w0, never returns
+      (3L, ts("2024-01-09 09:00:00")), // cohort w1
+      (3L, ts("2024-01-17 09:00:00"))  // active w1+1
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[String]("cohort_week"),
+        r.getAs[Int]("week_offset")) -> r.getAs[Long]("n_active")).toMap
+    assert(out(("2024-01-01", 0)) == 2L) // u1 + u2 in their cohort week
+    assert(out(("2024-01-01", 1)) == 1L) // u1 back in week 1
+    assert(out(("2024-01-01", 2)) == 1L) // u1 back in week 2
+    assert(out(("2024-01-08", 0)) == 1L) // u3
+    assert(out(("2024-01-08", 1)) == 1L) // u3 back
+    assert(out.size == 5)
+  }
+}

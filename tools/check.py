@@ -15,12 +15,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
     # decimals -> float for comparison parity
     for c in df.columns:
         if df[c].dtype == object and df[c].map(
                 lambda v: hasattr(v, "as_tuple"), na_action="ignore").any():
             df[c] = df[c].astype(float)
+        # array cells (list/ndarray) are unhashable and unsortable —
+        # stringify them (both engines produce int lists for the array
+        # queries, so the rendering matches)
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, np.ndarray)),
+                na_action="ignore").any():
+            df[c] = df[c].map(
+                lambda v: str(list(v))
+                if isinstance(v, (list, np.ndarray)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="last").reset_index(drop=True)
