@@ -143,6 +143,39 @@ object Corpus {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** α-temperature source reweighting (the multilingual/domain mixing
+    * rule: p_s ∝ n_s^α, α ∈ (0, 1] — α = 1 is the natural distribution,
+    * α → 0 the uniform one; used to up-sample low-resource
+    * sources/languages without flattening the mixture entirely).
+    *
+    * Returns one row per source: document and token counts, the natural
+    * share n_s/Σn, the α-tempered share n_s^α/Σn^α, and the sampling
+    * multiplier (α-share / natural share) to feed [[sampleMixture]] as
+    * its per-source weight. Shares and multipliers are rounded to 6
+    * decimals so the one `pow` call cannot leak a last-ulp libm
+    * difference across engines.
+    *
+    * Shape: a partial-aggregable per-source aggregation collapses the
+    * corpus to |sources| rows; the Σn^α normalizer is a single-row
+    * aggregate of THAT table joined back by cross join — nothing after
+    * the first aggregation touches corpus-sized data. */
+  def mixtureWeights(df: DataFrame, sourceCol: String, tokCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).cast("long").as("n_tokens"))
+      .withColumn("__pow__", pow(col("n_tokens").cast("double"), alpha))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("__tot__"),
+      sum(col("__pow__")).as("__ptot__"))
+    per.crossJoin(tot)
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot__"), 6).as("nat_share"),
+        round(col("__pow__") / col("__ptot__"), 6).as("alpha_share"),
+        round((col("__pow__") / col("__ptot__")) /
+          (col("n_tokens") / col("__tot__")), 6).as("multiplier"))
+  }
+
   /** Token-budget corpus selection: within each key (source, language,
     * …) rank rows by `orderCol` DESCENDING (quality first; `idCol`
     * breaks ties deterministically) and keep the maximal prefix whose

@@ -25,6 +25,55 @@ object Streaming {
   // reads this class; `private` breaks codegen access at runtime
   final case class SessionState(n: Long, start: Long, last: Long)
 
+  /** Tagged input row for [[asofJoinStream]]: `side` 0 = right (reference)
+    * stream, 1 = left (probe) stream — the same union encoding the batch
+    * [[graft.ops.EventAnalytics.asofJoin]] uses internally. */
+  final case class AsofEvent(key: Long, ts: Long, side: Int, id: Long,
+      value: Double)
+
+  /** [[asofJoinStream]] output: one row per left event with the matched
+    * right row's ts/value (None before any right row is seen). */
+  final case class AsofJoined(key: Long, id: Long, ts: Long,
+      matched_ts: Option[Long], value: Option[Double])
+
+  // public for the streaming state encoder's generated code
+  final case class AsofRightState(ts: Long, id: Long, value: Double)
+
+  /** Streaming as-of join — the temporal-join twin of
+    * [[graft.ops.EventAnalytics.asofJoin]] (Flink's temporal join shape):
+    * per key the state holds ONLY the latest right row (O(1), bounded
+    * forever), each left event emits with the most recent right row whose
+    * `(ts, id)` does not exceed its own ts. Rows within a micro-batch are
+    * sorted by `(ts, side, id)` (right before left at equal ts — `>=`
+    * match semantics, ties to the larger right id, exactly the batch
+    * operator's window order), and the state carries the running last
+    * right row across batches. Stream ≡ batch whenever ingestion is
+    * per-key time-ordered ACROSS batches (in-order sources); an
+    * out-of-order right row older than the retained one is ignored rather
+    * than buffered — the O(1)-state trade every streaming asof makes. */
+  def asofJoinStream(rows: Dataset[AsofEvent]): Dataset[AsofJoined] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofRightState, AsofJoined](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[AsofRightState]) =>
+          var last: Option[AsofRightState] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofJoined]
+          it.toSeq.sortBy(e => (e.ts, e.side, e.id)).foreach { e =>
+            if (e.side == 0) {
+              if (last.forall(r =>
+                r.ts < e.ts || (r.ts == e.ts && r.id <= e.id)))
+                last = Some(AsofRightState(e.ts, e.id, e.value))
+            } else {
+              out += AsofJoined(key, e.id, e.ts,
+                last.map(_.ts), last.map(_.value))
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Tumbling event-time windows with a watermark: the streaming twin of
     * the batch `q28_events_hourly`. The grouping key must be the window
     * struct itself — `window(...).getField("start")` strips the

@@ -510,6 +510,12 @@ object PipelineQueries {
       Dedup.cdcDedupStats(docs(s, dir), "doc_id", "text", 16, 64L)
         .orderBy(col("doc_id"))),
 
+    // α-temperature domain mixing: per-source tempered shares and the
+    // sampling multiplier feeding sampleMixture (α = 0.7)
+    "q96_mixture_weights" -> ((s, dir) =>
+      Corpus.mixtureWeights(docs(s, dir), "source", "n_chars", 0.7)
+        .orderBy(col("source"))),
+
     // same components via the diameter-independent alternating algorithm
     "q61_neardup_clusters_alt" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1221,6 +1227,19 @@ object PipelineQueries {
          |    / COUNT(1), 6) AS dup_ratio
          |FROM dg JOIN cnt USING (digest)
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "q96_mixture_weights" ->
+      """WITH per AS (SELECT source, COUNT(1) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p2 AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS pw FROM per),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t,
+        |    SUM(pw) AS pt FROM p2)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(n_tokens / t, 6) AS nat_share,
+        |  ROUND(pw / pt, 6) AS alpha_share,
+        |  ROUND((pw / pt) / (n_tokens / t), 6) AS multiplier
+        |FROM p2 CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q94_random_projection" ->
       """WITH q AS (SELECT vec_id,

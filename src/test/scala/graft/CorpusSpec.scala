@@ -289,4 +289,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - 1.333333) < 1e-6)
     assert(math.abs(out(1)._4 - -0.287682) < 1e-6)
   }
+
+  test("mixtureWeights: α-tempering up-samples the small source") {
+    // tokens a=100, b=900; α=0.5 → pw 10, 30 → shares 0.25 / 0.75
+    val df = Seq(("a", 100L), ("b", 500L), ("b", 400L))
+      .toDF("source", "n_tok")
+    val m = Corpus.mixtureWeights(df, "source", "n_tok", 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("nat_share"), r.getAs[Double]("alpha_share"),
+          r.getAs[Double]("multiplier"))).toMap
+    assert(m("a") == ((1L, 100L, 0.1, 0.25, 2.5)))
+    assert(m("b")._1 == 2L && m("b")._2 == 900L)
+    assert(m("b")._3 == 0.9 && m("b")._4 == 0.75)
+    assert(math.abs(m("b")._5 - 0.833333) < 1e-9)
+    // α = 1 is the natural distribution: every multiplier 1
+    val nat = Corpus.mixtureWeights(df, "source", "n_tok", 1.0)
+      .collect().map(_.getAs[Double]("multiplier"))
+    assert(nat.forall(_ == 1.0))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.mixtureWeights(df, "source", "n_tok", 0.0)
+    }
+    assert(e.getMessage.contains("alpha"))
+  }
 }

@@ -303,6 +303,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally zf2.close()
   }
 
+  test("streaming as-of join equals the batch operator across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streaming.AsofEvent]
+    val q = Streaming.asofJoinStream(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream").start()
+    // per-key time-ordered micro-batches (the in-order ingestion contract)
+    val batch1 = Seq(
+      Streaming.AsofEvent(1, 8, 0, 100, 1.0),  // right
+      Streaming.AsofEvent(1, 10, 1, 1, 0.0),   // left → matches ts=8
+      Streaming.AsofEvent(2, 5, 1, 2, 0.0))    // left before any right
+    val batch2 = Seq(
+      Streaming.AsofEvent(1, 15, 0, 101, 2.0), // newer right
+      Streaming.AsofEvent(1, 15, 0, 102, 2.5), // same-ts tie → larger id wins
+      Streaming.AsofEvent(1, 20, 1, 3, 0.0),   // left → 15/id102 via state
+      Streaming.AsofEvent(2, 50, 0, 103, 3.0),
+      Streaming.AsofEvent(2, 60, 1, 4, 0.0))   // left → matches ts=50
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT key, ts, id, matched_ts, value FROM asof_stream")
+        .collect().map(_.toSeq).toSet
+      val all = batch1 ++ batch2
+      val left = all.filter(_.side == 1).map(e => (e.key, e.ts, e.id))
+        .toDF("key", "ts", "id")
+      val right = all.filter(_.side == 0).map(e => (e.key, e.ts, e.id, e.value))
+        .toDF("key", "rts", "rid", "value")
+      val batch = graft.ops.EventAnalytics.asofJoin(left, right,
+        Seq("key"), "ts", "rts", Seq("value"), tieCol = Some("rid"))
+        .select("key", "ts", "id", "matched_ts", "value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+      // state carried across batches: the ts=20 left saw the tie winner
+      assert(streamed.exists(r => r(2) == 3L && r(3) == 15L && r(4) == 2.5))
+    } finally q.stop()
+  }
+
   test("report fan-out evaluates multiple verbs against one cell") {
     val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
     val cell = Cell(PointCut("customer", Seq("ASIA")))
