@@ -64,7 +64,10 @@ object EventAnalytics {
         case st: StructType => st.fields
         case other => throw new IllegalArgumentException(other.toString)
       })
-    val rSide = right.select(
+    // a null right timestamp is meaningless for asof and would sort FIRST
+    // (nulls-first asc), poisoning every left row until a real right
+    // arrives — drop such rows up front
+    val rSide = right.filter(col(rightTsCol).isNotNull).select(
       (keyCols.map(col) ++ Seq(
         col(rightTsCol).cast(left.schema(leftTsCol).dataType).as("__ts__"),
         lit(0).as("__side__"),

@@ -72,6 +72,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("v")))
   }
 
+  test("asofJoin drops null right timestamps instead of matching them") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, Option.empty[Long], 9.0), (1L, Some(4L), 1.5))
+      .toDF("k", "rts", "v")
+    val r = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("v")).collect().head
+    assert(r.getAs[Long]("matched_ts") == 4L)
+    assert(r.getAs[Double]("v") == 1.5)
+  }
+
   test("asofJoin plans as one shuffle + window, never a nested loop") {
     val (left, right) = asofFixture
     val plan = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",

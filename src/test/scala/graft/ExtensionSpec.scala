@@ -85,4 +85,65 @@ class ExtensionSpec extends AnyFunSuite {
     assert(math.abs(byGrp(1) - 4.0) < 1e-9)  // √(2·8)
     assert(math.abs(byGrp(2) - 8.0) < 1e-9)  // √(4·16)
   }
+
+  test("GraftSqlExtensions registers the native expressions for pure SQL") {
+    graft.functions.GraftSqlExtensions.register(spark)
+    // SQL path ≡ Column API path, same codegen'd expression underneath
+    val viaSql = spark.sql(
+      "SELECT graft_poly_hash('hello world') AS h, " +
+        "graft_minhash_sig('a b c d e', 4, 2) AS sig, " +
+        "graft_cdc_chunks('abcdefghijklmnopqrstuvwxyz', 4, 8) AS ch")
+      .collect().head
+    assert(viaSql.getAs[Long]("h") ==
+      graft.functions.HashImpls.polyHash("hello world"))
+    assert(viaSql.getSeq[Long](viaSql.fieldIndex("sig")) ==
+      graft.functions.HashImpls
+        .minhashSignature("a b c d e", 4, 2).toSeq)
+    assert(viaSql.getSeq[org.apache.spark.sql.Row](viaSql.fieldIndex("ch"))
+      .map(_.getAs[Int]("len")).sum == 26)
+    // DESCRIBE metadata surfaces the registered usage text
+    val desc = spark.sql("DESCRIBE FUNCTION graft_poly_hash")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft_poly_hash"))
+  }
+
+  test("GraftSqlExtensions applies through the session-construction hook") {
+    // force a NEW SparkSession object on the existing context so the
+    // builder actually constructs one and runs the extensions hook.
+    // (The equivalent spark.sql.extensions=graft.functions.
+    // GraftSqlExtensions conf applies on a fresh SparkContext — a test
+    // JVM's context predates this test, so exercise withExtensions,
+    // which drives the same injectFunction path.)
+    val prev = spark // keep the shared session alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val fresh = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftSqlExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(fresh ne prev)
+      val h = fresh.sql("SELECT graft_simhash32('some text here') AS s")
+        .collect().head.getAs[Long]("s")
+      val expect = prev.range(1).select(
+        graft.ops.Dedup.simhash32(
+          org.apache.spark.sql.functions.lit("some text here")).as("s"))
+        .collect().head.getAs[Long]("s")
+      assert(h == expect)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("parameter arguments must be integer literals (analysis-time error)") {
+    graft.functions.GraftSqlExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig('x', length('ab'), 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("numPerms"))
+  }
 }
