@@ -143,6 +143,30 @@ object Corpus {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Inverted index build (word → sorted posting list of doc ids) with a
+    * document-frequency cutoff: terms appearing in more than `maxDf`
+    * documents (stopword frequency) are dropped — standard index
+    * practice, and the thing that makes the build scale-safe. TWO-PASS
+    * on purpose: document frequencies first (cheap partial-aggregable
+    * counts), then the distinct (word, doc) pairs SEMI-JOIN the
+    * surviving vocabulary before any posting list materializes — a hot
+    * stopword's postings (10⁸ docs at corpus scale) are never built,
+    * not built-then-filtered. The surviving-vocabulary table is
+    * vocabulary-sized, so Catalyst broadcasts it. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    val pairs = df.select(col(idCol), explode(array_distinct(
+        filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")))
+        .as("word"))
+    val dfc = pairs.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    pairs.join(dfc, Seq("word"))
+      .groupBy(col("word"))
+      .agg(max(col("df")).as("df"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+  }
+
   /** α-temperature source reweighting (the multilingual/domain mixing
     * rule: p_s ∝ n_s^α, α ∈ (0, 1] — α = 1 is the natural distribution,
     * α → 0 the uniform one; used to up-sample low-resource

@@ -92,6 +92,42 @@ object EventAnalytics {
         valueCols.map(c => col(s"__m__.$c").as(c)): _*)
   }
 
+  /** RANGE (interval) JOIN: every left row paired with every right
+    * interval `[startCol, endCol)` of the same key that contains its
+    * `tsCol` — trades→quote-validity windows, events→sessions,
+    * reads→genomic regions.
+    *
+    * Spark plans the naive `l.ts >= r.start AND l.ts < r.end` encoding as
+    * `BroadcastNestedLoopJoin` — O(|L|·|R|) per key. This implementation
+    * buckets time instead: each interval explodes to the `⌈len/bucket⌉`
+    * buckets it covers, each left row computes its single bucket, and the
+    * pair meets in an EQUI-join on (key…, bucket) followed by the exact
+    * containment filter. A (left, interval) pair can meet in at most one
+    * bucket (the left row's), so no dedup is needed. Fan-out is bounded
+    * by interval-length/bucket — pick `bucket` near the typical interval
+    * length so each interval ships a handful of copies; the join itself
+    * is then broadcast or shuffled by Catalyst/AQE like any equi-join,
+    * with skew handling intact. Intervals with `end <= start` are empty
+    * by definition and dropped. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, startCol: String, endCol: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    require(left.columns.toSet.intersect(right.columns.toSet)
+      .subsetOf(keyCols.toSet),
+      "left/right column names must be disjoint apart from the keys")
+    val rb = right
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__b__", explode(sequence(
+        floor(col(startCol) / bucket).cast("long"),
+        floor((col(endCol) - 1) / bucket).cast("long"))))
+    val lb = left.withColumn("__b__",
+      floor(col(tsCol) / bucket).cast("long"))
+    lb.join(rb, keyCols :+ "__b__", "inner")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__b__")
+  }
+
   /** Ordered-step funnel: for each entity the earliest completion time of
     * every step in `steps`, where step k must occur STRICTLY AFTER the
     * matched step k-1 event (greedy earliest-match — the standard product

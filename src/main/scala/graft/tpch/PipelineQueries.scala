@@ -516,6 +516,30 @@ object PipelineQueries {
       Corpus.mixtureWeights(docs(s, dir), "source", "n_chars", 0.7)
         .orderBy(col("source"))),
 
+    // RANGE (interval) join: clicks inside the hour before each
+    // purchase — bucketed equi-join encoding, 10-minute buckets (the
+    // naive inequality join would plan as a nested loop)
+    "q97_range_join" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("tus", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          (col("tus") - 3600000000L).as("w_start"), col("tus").as("w_end"))
+      EventAnalytics.rangeJoin(clicks, windows, Seq("user_id"),
+          "tus", "w_start", "w_end", bucket = 600000000L)
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("pid"), col("w_start"), col("w_end"))
+        .orderBy(col("event_id"), col("pid"))
+    }),
+
+    // inverted index with document-frequency cutoff: word → sorted
+    // posting list, stopword-frequency terms never materialize
+    "q98_inverted_index" -> ((s, dir) =>
+      Corpus.invertedIndex(docs(s, dir), "doc_id", "text", maxDf = 390L)
+        .orderBy(col("word"))),
+
     // same components via the diameter-independent alternating algorithm
     "q61_neardup_clusters_alt" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1227,6 +1251,29 @@ object PipelineQueries {
          |    / COUNT(1), 6) AS dup_ratio
          |FROM dg JOIN cnt USING (digest)
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "q97_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    event_type FROM events),
+        |c AS (SELECT event_id, user_id, tus FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, tus - 3600000000 AS w_start,
+        |    tus AS w_end FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tus, p.pid, p.w_start, p.w_end
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.tus >= p.w_start AND c.tus < p.w_end
+        |ORDER BY c.event_id, p.pid""".stripMargin,
+
+    "q98_inverted_index" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |d AS (SELECT DISTINCT doc_id, word FROM w),
+        |dfc AS (SELECT word, COUNT(1) AS df FROM d GROUP BY 1
+        |  HAVING COUNT(1) <= 390)
+        |SELECT d.word, dfc.df, list(d.doc_id ORDER BY d.doc_id) AS postings
+        |FROM d JOIN dfc USING (word)
+        |GROUP BY d.word, dfc.df ORDER BY d.word""".stripMargin,
 
     "q96_mixture_weights" ->
       """WITH per AS (SELECT source, COUNT(1) AS n_docs,

@@ -290,6 +290,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(out(1)._4 - -0.287682) < 1e-6)
   }
 
+  test("invertedIndex: sorted postings, df cutoff drops stopword terms") {
+    val df = Seq(
+      (3L, "the cat sat"), (1L, "the dog ran"), (2L, "the cat ran fast"))
+      .toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(df, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("df"), r.getSeq[Long](r.fieldIndex("postings"))))
+      .toMap
+    assert(!out.contains("the"))              // df=3 > cutoff
+    assert(out("cat") == ((2L, Seq(2L, 3L)))) // sorted, not input order
+    assert(out("ran") == ((2L, Seq(1L, 2L))))
+    assert(out("sat") == ((1L, Seq(3L))))
+    assert(out("fast") == ((1L, Seq(2L))))
+    assert(out("dog") == ((1L, Seq(1L))))
+  }
+
+  test("invertedIndex counts a repeated word once per document") {
+    val df = Seq((1L, "echo echo echo"), (2L, "echo other"))
+      .toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(df, "doc_id", "text", maxDf = 10)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[Long]("df")).toMap
+    assert(out("echo") == 2L)
+  }
+
   test("mixtureWeights: α-tempering up-samples the small source") {
     // tokens a=100, b=900; α=0.5 → pw 10, 30 → shares 0.25 / 0.75
     val df = Seq(("a", 100L), ("b", 500L), ("b", 400L))

@@ -93,6 +93,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  // ------------------------------------------------------------ rangeJoin
+
+  test("rangeJoin matches containment with [start, end) bounds") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 10L, "d")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 21L, "w1"), (1L, 25L, 26L, "w2"),
+      (2L, 100L, 200L, "w3")).toDF("k", "s", "e", "win")
+    val out = EventAnalytics.rangeJoin(left, right, Seq("k"),
+        "ts", "s", "e", bucket = 7L)
+      .select("k", "ts", "tag", "win").collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    // ts=10 in [10,21) ✓ start inclusive; ts=20 in [10,21) ✓;
+    // ts=30 in nothing; k=2 ts=10 not in [100,200)
+    assert(out == Set(("a", "w1"), ("b", "w1")))
+  }
+
+  test("rangeJoin: an interval spanning many buckets matches a row once") {
+    val left = Seq((1L, 55L)).toDF("k", "ts")
+    val right = Seq((1L, 0L, 100L, 7.0)).toDF("k", "s", "e", "v")
+    val rows = EventAnalytics.rangeJoin(left, right, Seq("k"),
+      "ts", "s", "e", bucket = 10L).collect()
+    assert(rows.length == 1)
+  }
+
+  test("rangeJoin drops empty intervals and plans as an equi-join") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 10L, "empty"), (1L, 50L, 40L, "inverted"),
+      (1L, 5L, 15L, "real")).toDF("k", "s", "e", "win")
+    val out = EventAnalytics.rangeJoin(left, right, Seq("k"),
+      "ts", "s", "e", bucket = 10L)
+    assert(out.collect().map(_.getAs[String]("win")).toSeq == Seq("real"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   // --------------------------------------------------------------- funnel
 
   private def funnelEvents = Seq(
