@@ -237,6 +237,15 @@ object ScaleStress {
         val out = Dedup.removeDupSpans(hotDocs, "doc_id", "text", k = 8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q98 shape: inverted index — df counts first, then the distinct
+      // (word, doc) pairs semi-join the surviving vocabulary BEFORE any
+      // posting list materializes; cutoff scales with the corpus so the
+      // same vocabulary fraction survives at both sizes
+      timed(scale, "inverted_index") {
+        val cutoff = docs.count() * 78 / 100
+        val out = Corpus.invertedIndex(docs, "doc_id", "text", cutoff)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q95 shape: CDC chunk-dup profile — per-row codegen'd chunking,
       // then groupBy(digest) partials + join-back; only 8-byte digests
       // shuffle and the count aggregation collapses repeats map-side
@@ -402,6 +411,31 @@ object ScaleStress {
           ev.withColumn("ts", timestamp_micros(col("tus"))),
           "user_id", "ts")
         (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q97 shape: bucketed range join — clicks in the hour before each
+      // purchase; the claim is the plan stays an EQUI-join (broadcast or
+      // shuffled by AQE) with fan-out bounded by interval/bucket, never
+      // a nested loop
+      timed(scale, "range_join") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tus"))
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            (col("tus") - 3600000000L).as("w_start"),
+            col("tus").as("w_end"))
+        val out = graft.ops.EventAnalytics.rangeJoin(clicks, windows,
+          Seq("user_id"), "tus", "w_start", "w_end", bucket = 600000000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q99 shape: z-order layout write — one sampled-boundary range
+      // exchange, no global sort; wall must track data volume
+      timed(scale, "zorder_write") {
+        val d = ev.select(col("event_id"), col("user_id"),
+          floor(col("tus") / 3600000000L).cast("long").as("hr"))
+        graft.ops.Layout.zorderWrite(d, "user_id", "hr",
+          s"/tmp/graft_scale_zorder_$scale", nFiles = 32)
+        (spark.read.parquet(s"/tmp/graft_scale_zorder_$scale").count(),
+          "write")
       }
     }
     runEvents("1x", ev1x)

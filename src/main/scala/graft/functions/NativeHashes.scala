@@ -162,6 +162,26 @@ object HashImpls {
     out
   }
 
+  /** Z-order (Morton) value of two coordinates: the low 31 bits of each
+    * input (masked — negative inputs contribute their two's-complement
+    * low bits, so callers should pass non-negative dimensions)
+    * bit-interleaved into a 62-bit value, `a` on even positions, `b` on
+    * odd. Monotone prefix locality: rows close in BOTH dimensions are
+    * close in z, which is what makes range-partitioning by z give
+    * min/max file skipping on both columns at once. */
+  def zorder2(a: Long, b: Long): Long = {
+    val x = a & 0x7FFFFFFFL
+    val y = b & 0x7FFFFFFFL
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Left-fold dot product of two float arrays in double precision —
     * association identical to the lambda/oracle formulation. */
   def dotFloat(a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -347,6 +367,23 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
         s"graft.functions.HashImpls.shingleHashes($c.toString(), $shingleK))")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
     copy(child = c)
+}
+
+/** zorder2(a, b): 62-bit Morton interleave of two long coordinates
+  * (codegen'd). Declares bigint inputs so int columns get analysis-time
+  * casts. */
+case class ZOrder2Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpls.zorder2($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZOrder2Expr = copy(left = l, right = r)
 }
 
 /** cdc_chunks(str): content-defined chunk (pos, len, digest) structs in
@@ -541,6 +578,8 @@ object NativeHashes {
     toCol(CdcChunksExpr(toExpr(c), w, divisor))
   def random_projection(c: Column, outDims: Int, scale: Long): Column =
     toCol(RandomProjectionExpr(toExpr(c), outDims, scale))
+  def zorder2(a: Column, b: Column): Column =
+    toCol(ZOrder2Expr(toExpr(a), toExpr(b)))
   def bloom_might_contain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContainExpr(toExpr(c), bloom))

@@ -540,6 +540,16 @@ object PipelineQueries {
       Corpus.invertedIndex(docs(s, dir), "doc_id", "text", maxDf = 390L)
         .orderBy(col("word"))),
 
+    // Z-order (Morton) clustering value over (user, hour) — the layout
+    // key behind two-dimensional min/max file skipping
+    "q99_zorder" -> ((s, dir) =>
+      graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+        .withColumn("z",
+          graft.ops.Layout.zorderValue(col("user_id"), col("hr")))
+        .orderBy(col("event_id"))),
+
     // same components via the diameter-independent alternating algorithm
     "q61_neardup_clusters_alt" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1251,6 +1261,17 @@ object PipelineQueries {
          |    / COUNT(1), 6) AS dup_ratio
          |FROM dg JOIN cnt USING (digest)
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "q99_zorder" -> {
+      val dz = (0 until 31).map(i =>
+        s"((((user_id & 2147483647) >> $i) & 1) << ${2 * i}) + " +
+          s"((((hr & 2147483647) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    epoch_us(ts) // 3600000000 AS hr FROM events)
+         |SELECT event_id, user_id, hr, $dz AS z
+         |FROM e ORDER BY event_id""".stripMargin
+    },
 
     "q97_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,

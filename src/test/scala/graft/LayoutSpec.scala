@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashImpls
+import graft.ops.Layout
+
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("zorder2 interleaves bits: a on even positions, b on odd") {
+    assert(HashImpls.zorder2(0L, 0L) == 0L)
+    assert(HashImpls.zorder2(1L, 0L) == 1L)   // bit 0 of a → z bit 0
+    assert(HashImpls.zorder2(0L, 1L) == 2L)   // bit 0 of b → z bit 1
+    assert(HashImpls.zorder2(3L, 0L) == 5L)   // 0b11 → 0b0101
+    assert(HashImpls.zorder2(0L, 3L) == 10L)  // 0b11 → 0b1010
+    assert(HashImpls.zorder2(3L, 3L) == 15L)
+    // distinct coordinate pairs on a grid → distinct z (it's a bijection)
+    val zs = for (a <- 0L until 32L; b <- 0L until 32L)
+      yield HashImpls.zorder2(a, b)
+    assert(zs.distinct.size == 1024)
+  }
+
+  test("native zorder2 ≡ the SQL-lambda spec") {
+    val df = Seq.tabulate(200)(i => (i.toLong * 37 % 1000, i.toLong * 91 % 1000))
+      .toDF("a", "b")
+    val bad = df.select(
+      Layout.zorderValue(col("a"), col("b")).as("n"),
+      Layout.zorderValueLambda(col("a"), col("b")).as("l"))
+      .filter(col("n") =!= col("l")).count()
+    assert(bad == 0)
+  }
+
+  test("zorderWrite gives every file a compact 2-D bounding box") {
+    // full 64×64 grid → 16 range partitions of the z curve: each file
+    // covers ~one 16×16 z block (area 256) instead of a slice of the
+    // whole 64×64 plane (area 4096) that sorting by a alone would give
+    // one dimension of
+    val grid = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
+    val df = grid.toDF("a", "b").repartition(8) // scrambled input layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    Layout.zorderWrite(df, "a", "b", dir.getAbsolutePath, nFiles = 16)
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 16)
+    var totalArea = 0L
+    files.foreach { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("a"), max("a"), min("b"), max("b")).collect().head
+      val area = (r.getLong(1) - r.getLong(0) + 1) *
+        (r.getLong(3) - r.getLong(2) + 1)
+      totalArea += area
+    }
+    // perfect z blocks: 16 files × 256 = 4096; allow sampled-boundary
+    // slack. A single-column sort layout would give 16 × (64·4) ≈ 4096
+    // too on THIS grid — the per-file MAX area is what separates them:
+    // z files stay near-square (≤ ~4× the ideal 256), a-sorted files
+    // span the full b range (area ≥ 64·4 = 256 but with b span 64)
+    files.foreach { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("a"), max("a"), min("b"), max("b")).collect().head
+      val spanA = r.getLong(1) - r.getLong(0) + 1
+      val spanB = r.getLong(3) - r.getLong(2) + 1
+      // BOTH dimensions bounded — the two-dimensional skipping property
+      assert(spanA <= 32, s"a-span $spanA too wide in ${f.getName}")
+      assert(spanB <= 32, s"b-span $spanB too wide in ${f.getName}")
+    }
+    assert(totalArea <= 4L * 4096L, s"total bbox area $totalArea")
+    // the written table still holds every row exactly once
+    assert(spark.read.parquet(dir.getAbsolutePath).count() == 4096)
+  }
+}
