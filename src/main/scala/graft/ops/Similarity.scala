@@ -59,6 +59,35 @@ object Similarity {
         }))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: k-means partitions the
+    * embedding corpus (fixed-point Lloyd's — [[Clustering.kmeansAssign]]),
+    * then EXACT cosine runs only WITHIN clusters. The published
+    * semantic-dedup recipe: cluster count k turns the O(n²) pairwise
+    * problem into k problems of O((n/k)²), and the within-cluster
+    * restriction is the documented approximation (a near-dup pair split
+    * across a cluster boundary is missed — acceptable because near-dups
+    * sit close in embedding space and land together). At 100 TB: raise k
+    * so clusters fit a partition; assignment is shuffle-free, the
+    * cluster-keyed self-join is the only exchange, AQE splits skewed
+    * clusters. */
+  def clusteredNearDups(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      scale: Int = 1000): DataFrame = {
+    val assign = Clustering.kmeansAssign(df, idCol, vecCol, k, iters, scale)
+      .select(col(idCol).as("__id__"), col("cluster"))
+    val withC = df.select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
+      .join(assign, Seq("__id__"))
+    val a = withC.alias("a")
+    val b = withC.alias("b")
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.__id__") < col("b.__id__"))
+      .withColumn("cosine", cosine(col("a.__v__"), col("b.__v__")))
+      // NaN (zero-norm) sorts above any threshold in Spark — exclude
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+      .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact dot product: Σ a_i·b_i as a left fold (fixed association).
     * Codegen'd ([[graft.functions.NativeHashes.dot_product]]); the
     * SQL-lambda twin below is the executable spec. */

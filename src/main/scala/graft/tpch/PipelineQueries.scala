@@ -37,6 +37,40 @@ object PipelineQueries {
   private def dcosine(a: String, b: String): String =
     s"(${ddot(a, b)}) / (SQRT(${ddot(a, a)}) * SQRT(${ddot(b, b)}))"
 
+  /** DuckDB replay of [[graft.ops.Clustering.kmeansAssign]] (k=4, 2
+    * unrolled Lloyd's iterations, scale 1000): quantize, explode to
+    * (vec, dim, value), join the centroid matrix per iteration, arg-min
+    * by QUALIFY; COALESCE keeps an emptied cluster's previous centroid,
+    * exactly like the Spark side. Ends at `a2(vec_id, cluster, dist2)`
+    * for reuse (q88 assignments, q100 within-cluster pairs). */
+  private val kmeansCtes: String =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |qe AS (SELECT q.vec_id, d.i, qv[d.i] AS v FROM q CROSS JOIN dims d),
+      |c0 AS (SELECT vec_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+      |  FROM q ORDER BY vec_id LIMIT 4),
+      |m0 AS (SELECT c0.j, e.i, e.v AS m FROM c0 JOIN qe e USING (vec_id)),
+      |d1 AS (SELECT e.vec_id, c.j,
+      |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
+      |  FROM qe e JOIN m0 c ON e.i = c.i GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, j, d2 FROM d1
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY d2 ASC, j ASC) = 1),
+      |u1 AS (SELECT a.j, e.i,
+      |    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(1) + 0.5) AS BIGINT) AS m
+      |  FROM a1 a JOIN qe e USING (vec_id) GROUP BY 1, 2),
+      |m1 AS (SELECT p.j, p.i, COALESCE(u.m, p.m) AS m
+      |  FROM m0 p LEFT JOIN u1 u ON u.j = p.j AND u.i = p.i),
+      |dd AS (SELECT e.vec_id, c.j,
+      |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
+      |  FROM qe e JOIN m1 c ON e.i = c.i GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, j AS cluster, d2 AS dist2 FROM dd
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY d2 ASC, j ASC) = 1)""".stripMargin
+
   /** DuckDB replay of the CDC boundary scan ([[graft.ops.Dedup.cdcChunks]],
     * w=16, divisor=64): per-end-position 16-char window hashes (O(n·w)
     * recompute — the Spark side rolls in O(n), same values) → boundary
@@ -539,6 +573,14 @@ object PipelineQueries {
     "q98_inverted_index" -> ((s, dir) =>
       Corpus.invertedIndex(docs(s, dir), "doc_id", "text", maxDf = 390L)
         .orderBy(col("word"))),
+
+    // SemDeDup: kmeans partition (k=4, 2 iters) then exact cosine only
+    // within clusters — the published semantic-dedup recipe; every
+    // surviving pair's cosine is oracle-replayed
+    "q100_semantic_neardup" -> ((s, dir) =>
+      Similarity.clusteredNearDups(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Z-order (Morton) clustering value over (user, hour) — the layout
     // key behind two-dimensional min/max file skipping
@@ -1119,33 +1161,23 @@ object PipelineQueries {
     // iteration, arg-min by QUALIFY; COALESCE keeps an emptied cluster's
     // previous centroid, exactly like the Spark side
     "q88_kmeans" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |dims AS (SELECT unnest(range(1, 65)) AS i),
-        |qe AS (SELECT q.vec_id, d.i, qv[d.i] AS v FROM q CROSS JOIN dims d),
-        |c0 AS (SELECT vec_id,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
-        |  FROM q ORDER BY vec_id LIMIT 4),
-        |m0 AS (SELECT c0.j, e.i, e.v AS m FROM c0 JOIN qe e USING (vec_id)),
-        |d1 AS (SELECT e.vec_id, c.j,
-        |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
-        |  FROM qe e JOIN m0 c ON e.i = c.i GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, j, d2 FROM d1
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY d2 ASC, j ASC) = 1),
-        |u1 AS (SELECT a.j, e.i,
-        |    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(1) + 0.5) AS BIGINT) AS m
-        |  FROM a1 a JOIN qe e USING (vec_id) GROUP BY 1, 2),
-        |m1 AS (SELECT p.j, p.i, COALESCE(u.m, p.m) AS m
-        |  FROM m0 p LEFT JOIN u1 u ON u.j = p.j AND u.i = p.i),
-        |dd AS (SELECT e.vec_id, c.j,
-        |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
-        |  FROM qe e JOIN m1 c ON e.i = c.i GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, j AS cluster, d2 AS dist2 FROM dd
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY d2 ASC, j ASC) = 1)
-        |SELECT vec_id, cluster, dist2 FROM a2 ORDER BY vec_id""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, dist2 FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup (within-cluster pairwise cosine): kmeans partitions, then
+    // exact cosine only inside each cluster — the oracle replays the
+    // full clustering AND every surviving pair's 64-term dot products
+    "q100_semantic_neardup" ->
+      s"""WITH $kmeansCtes,
+         |wc AS (SELECT a2.vec_id, a2.cluster, e.embedding
+         |  FROM a2 JOIN embeddings e USING (vec_id)),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dcosine("a.embedding", "b.embedding")} AS cos
+         |  FROM wc a JOIN wc b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM pr
+         |WHERE cos >= 0.2 AND NOT isnan(cos)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q86_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, unnest(list_filter(

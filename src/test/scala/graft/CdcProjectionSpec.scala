@@ -105,6 +105,35 @@ class CdcProjectionSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("clusteredNearDups finds within-cluster near-duplicates only") {
+    // two near-identical vectors (the dup pair), plus far-away noise
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.0f, 0.0f, 0.01f),
+      2L -> Array(1.0f, 0.001f, 0.0f, 0.01f), // ≈ copy of 1
+      3L -> Array(-1.0f, 0.2f, 0.0f, 0.0f),
+      4L -> Array(0.0f, -1.0f, 0.3f, 0.0f),
+      5L -> Array(0.1f, 1.0f, -0.2f, 0.0f),
+      6L -> Array(0.0f, 0.0f, 1.0f, 0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.clusteredNearDups(df, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.95)
+    val pairs = out.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing the duplicate pair: $pairs")
+    // every reported pair really is >= threshold (exact recompute)
+    val m = vecs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    pairs.foreach { case (x, y) => assert(cos(m(x), m(y)) >= 0.95 - 1e-9) }
+    // the join is cluster-keyed equi, never a cartesian/nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("randomProjection matches the reference formula bit-for-bit") {
     val vec = Array(0.5f, -1.25f, 3.75f, 0.0f, -0.001f)
     val df = Seq((1L, vec)).toDF("vec_id", "embedding")
