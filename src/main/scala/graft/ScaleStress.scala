@@ -373,6 +373,18 @@ object ScaleStress {
     runProj("1x", emb1x)
     runProj("10x", emb10x)
 
+    // q100 shape: SemDeDup — k MUST grow with the corpus (k ∝ n keeps
+    // per-cluster size, and thus the within-cluster pairwise cost,
+    // CONSTANT; fixed k would be quadratic). The published recipe.
+    def runSemDedup(scale: String, emb: DataFrame, k: Int): Unit =
+      timed(scale, "semantic_neardup") {
+        val out = graft.ops.Similarity.clusteredNearDups(
+          emb, "vec_id", "embedding", k = k, iters = 2, threshold = 0.2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runSemDedup("1x", emb1x, k = 8)
+    runSemDedup("10x", emb10x, k = 80)
+
     // r9 event-analytics shapes (q90–q92) over the events fact. 10× = 10
     // user-shifted copies: users grow with the log while per-user history
     // stays constant — the production growth mode, and the one that must

@@ -171,6 +171,65 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  // ------------------------------------- randomized brute-force differential
+
+  /** Deterministic LCG stream for fixture generation. */
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .drop(1).map(_ >>> 16)
+
+  test("asofJoin equals driver-side brute force on random data") {
+    val rnd = lcg(0xA50F).grouped(3).take(400).toSeq
+    // small key/ts domains force collisions, ties, and empty groups
+    val left = rnd.take(200).zipWithIndex
+      .map { case (Seq(k, t, _), i) => (k % 7, t % 50, i.toLong) }
+      .toDF("k", "ts", "lid")
+    val right = rnd.drop(200).zipWithIndex
+      .map { case (Seq(k, t, v), i) =>
+        (k % 7, t % 50, 1000L + i, (v % 100).toDouble) }
+      .toDF("k", "rts", "rid", "v")
+    val got = EventAnalytics.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("v"), tieCol = Some("rid")).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        (Option(r.getAs[java.lang.Long]("matched_ts")),
+          Option(r.getAs[java.lang.Double]("v")))).toMap
+    val rightRows = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val leftRows = left.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    leftRows.foreach { case (k, ts, lid) =>
+      val best = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption // max (rts, rid)
+      assert(got(lid) == (best.map(_._2), best.map(_._4)),
+        s"lid=$lid k=$k ts=$ts: ${got(lid)} vs $best")
+    }
+  }
+
+  test("rangeJoin equals driver-side brute force on random data") {
+    val rnd = lcg(0xBEEF).grouped(3).take(300).toSeq
+    val left = rnd.take(150).zipWithIndex
+      .map { case (Seq(k, t, _), i) => (k % 5, t % 100, i.toLong) }
+      .toDF("k", "ts", "lid")
+    val right = rnd.drop(150).zipWithIndex
+      .map { case (Seq(k, s, len), i) =>
+        val st = s % 100
+        (k % 5, st, st + len % 30 - 5, 1000L + i) } // some empty/inverted
+      .toDF("k", "s", "e", "rid")
+    // a bucket width that does NOT divide the domain evenly
+    val got = EventAnalytics.rangeJoin(left, right, Seq("k"),
+      "ts", "s", "e", bucket = 7L).collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid"))).toSet
+    val leftRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (for {
+      (k, ts, lid) <- leftRows
+      (rk, s, e, rid) <- rightRows
+      if rk == k && ts >= s && ts < e
+    } yield (lid, rid)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   // ------------------------------------------------------ cohortRetention
 
   test("cohortRetention buckets entities by first-event week") {
