@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators — the summaries a 100 TB pipeline keeps
+  * PER SHARD and unions, instead of re-scanning the corpus: count-min
+  * for frequency estimates, HLL for distinct counts. Both of Spark's
+  * sketch aggregates compute partial sketches map-side and merge them —
+  * the same associative shape as a sum, so a 1000-executor scan ships
+  * kilobytes per partition. Correctness-gated like q30: the estimate is
+  * compared against its exact twin with the sketch's error bound, and
+  * the BOOLEAN is what the oracle checks.
+  */
+object Sketches {
+
+  /** Heavy hitters with a count-min sketch: the exact top-k terms (by
+    * count desc, term asc — deterministic) plus the CMS estimate of each,
+    * gated by CMS's one-sided guarantee: `est >= exact` always, and
+    * `est <= exact + eps·N` with the sketch's confidence. The sketch
+    * aggregates distributed (partial sketches merge); the top-k query
+    * against it is a bounded driver-side read of one kilobyte-sized
+    * blob — the pattern that answers "how often does X occur" over a
+    * corpus without a second scan. */
+  def heavyHitters(df: DataFrame, textCol: String, topK: Int,
+      eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(explode(filter(
+      split(lower(col(textCol)), "\\s+"), w => w =!= "")).as("word"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = exact.map(_._2).sum.max(1L) // lower bound on N is enough
+    val blob = words
+      .agg(expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, 42)")
+        .as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(blob))
+    val n = cms.totalCount()
+    val rows = exact.map { case (w, c) =>
+      val est = cms.estimateCount(w)
+      Row(w, c, est >= c && est <= c + math.ceil(eps * n).toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cms_ok",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+      .orderBy(col("n").desc, col("word").asc)
+  }
+
+  /** Sharded distinct count with HLL sketch UNION: one HLL per shard
+    * (the per-day / per-source summary a pipeline would persist), then
+    * `hll_union_agg` merges them into the corpus-wide estimate — no
+    * re-scan of the shards, which is the entire point of a mergeable
+    * sketch. Gated against the exact distinct count at the sketch's
+    * standard-error tolerance. Returns one row:
+    * (n_shards, exact, hll_ok). */
+  def shardedDistinct(df: DataFrame, valueCol: String, shardCol: String,
+      relTol: Double = 0.05): DataFrame = {
+    val per = df.groupBy(col(shardCol))
+      .agg(expr(s"hll_sketch_agg($valueCol)").as("sk"))
+    val merged = per.agg(
+      count(lit(1)).as("n_shards"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = df.agg(countDistinct(col(valueCol)).as("exact"))
+    merged.crossJoin(exact)
+      .select(col("n_shards"), col("exact"),
+        (abs(col("est") - col("exact")) <=
+          greatest(col("exact") * relTol, lit(1.0))).as("hll_ok"))
+  }
+}

@@ -582,6 +582,19 @@ object PipelineQueries {
           k = 4, iters = 2, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // count-min heavy hitters: exact top-10 words + the CMS estimate of
+    // each, gated by the sketch's one-sided error bound (q30 pattern —
+    // the boolean is what the oracle checks)
+    "q101_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Sketches.heavyHitters(docs(s, dir), "text", topK = 10)),
+
+    // sharded HLL distinct: one sketch per event_type shard, union-merged
+    // corpus estimate vs the exact distinct user count
+    "q102_sharded_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.shardedDistinct(
+        graft.tpch.EventsModel.eventsTable(s, dir),
+        "user_id", "event_type")),
+
     // Z-order (Morton) clustering value over (user, hour) — the layout
     // key behind two-dimensional min/max file skipping
     "q99_zorder" -> ((s, dir) =>
@@ -1293,6 +1306,20 @@ object PipelineQueries {
          |    / COUNT(1), 6) AS dup_ratio
          |FROM dg JOIN cnt USING (digest)
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "q101_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |c AS (SELECT word, COUNT(1) AS n FROM w GROUP BY 1
+        |  ORDER BY n DESC, word ASC LIMIT 10)
+        |SELECT word, n, TRUE AS cms_ok FROM c
+        |ORDER BY n DESC, word ASC""".stripMargin,
+
+    "q102_sharded_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_shards,
+        |  COUNT(DISTINCT user_id) AS exact, TRUE AS hll_ok
+        |FROM events""".stripMargin,
 
     "q99_zorder" -> {
       val dz = (0 until 31).map(i =>

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("heavyHitters: exact ranks, CMS bound holds, estimate one-sided") {
+    // "alpha" dominates; long tail of uniques stresses the sketch
+    val docs = (Seq.fill(40)("alpha beta") ++ Seq.fill(10)("beta gamma") ++
+      (0 until 200).map(i => s"unique$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = Sketches.heavyHitters(docs, "text", topK = 3).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("beta", "alpha", "gamma"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(50L, 40L, 10L))
+    assert(rows.forall(_.getBoolean(2)), rows.mkString(";"))
+  }
+
+  test("shardedDistinct: union of per-shard HLLs matches exact count") {
+    // overlapping shards: naive per-shard sums would overcount 3×
+    val rows = (0 until 3).flatMap(shard =>
+      (0 until 500).map(v => (s"shard$shard", (v % 400).toLong)))
+      .toDF("shard", "v")
+    val out = Sketches.shardedDistinct(rows, "v", "shard").collect().head
+    assert(out.getAs[Long]("n_shards") == 3L)
+    assert(out.getAs[Long]("exact") == 400L)
+    assert(out.getAs[Boolean]("hll_ok"))
+  }
+}
