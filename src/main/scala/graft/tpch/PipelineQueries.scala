@@ -569,10 +569,15 @@ object PipelineQueries {
     }),
 
     // inverted index with document-frequency cutoff: word → sorted
-    // posting list, stopword-frequency terms never materialize
-    "q98_inverted_index" -> ((s, dir) =>
-      Corpus.invertedIndex(docs(s, dir), "doc_id", "text", maxDf = 390L)
-        .orderBy(col("word"))),
+    // posting list, stopword-frequency terms never materialize. The
+    // cutoff is RELATIVE (78% of the corpus) so it bins the same way at
+    // every scale factor; exact integer floor on both engines.
+    "q98_inverted_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.invertedIndex(d, "doc_id", "text",
+          maxDf = d.count() * 78L / 100L)
+        .orderBy(col("word"))
+    }),
 
     // SemDeDup: kmeans partition (k=4, 2 iters) then exact cosine only
     // within clusters — the published semantic-dedup recipe; every
@@ -1350,7 +1355,8 @@ object PipelineQueries {
         |    t -> length(t) > 0)) AS word FROM documents),
         |d AS (SELECT DISTINCT doc_id, word FROM w),
         |dfc AS (SELECT word, COUNT(1) AS df FROM d GROUP BY 1
-        |  HAVING COUNT(1) <= 390)
+        |  HAVING COUNT(1) <=
+        |    (SELECT (COUNT(1) * 78) // 100 FROM documents))
         |SELECT d.word, dfc.df, list(d.doc_id ORDER BY d.doc_id) AS postings
         |FROM d JOIN dfc USING (word)
         |GROUP BY d.word, dfc.df ORDER BY d.word""".stripMargin,
