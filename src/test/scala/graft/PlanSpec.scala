@@ -256,4 +256,23 @@ class PlanSpec extends AnyFunSuite {
     assert(partialAgg > firstExchange && firstExchange >= 0,
       s"expected map-side partial aggregation below the exchange:\n$vocabPlan")
   }
+
+  test("event-analytics queries push their type filters into the scans") {
+    // q90 asof: both union sides prune to their event type at the source
+    val asof = graft.SparkEntry.queries("q90_asof_join")(
+      spark, "/root/testdata/sf0.001")
+    val ap = physicalPlan(asof)
+    assert(ap.contains("EqualTo(event_type,click)"), ap)
+    assert(ap.contains("EqualTo(event_type,purchase)"), ap)
+    assert(!ap.contains("BroadcastNestedLoopJoin") &&
+      !ap.contains("CartesianProduct"), ap)
+    // q97 range join: same pushdown + an equi-join on (key, bucket)
+    val rj = graft.SparkEntry.queries("q97_range_join")(
+      spark, "/root/testdata/sf0.001")
+    val rp = physicalPlan(rj)
+    assert(rp.contains("EqualTo(event_type,click)"), rp)
+    assert(rp.contains("EqualTo(event_type,purchase)"), rp)
+    assert(!rp.contains("BroadcastNestedLoopJoin") &&
+      !rp.contains("CartesianProduct"), rp)
+  }
 }
