@@ -130,7 +130,11 @@ object Bench {
     // LAST — whatever is truncated, the captured tail always ends with
     // metric/value/failed/contaminated. The complete evidence — full
     // precision, every pass — goes to BENCH_local.json next to the build.
-    def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de, fr, …) would render 3,1416 — invalid JSON
+    def fmt4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def r4(v: Double): String = if (v < 0) "-1" else fmt4(v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val passJson = names.map { n =>
@@ -139,10 +143,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calJson = calib.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val calJson = calib.map(fmt4).mkString("[", ",", "]")
     val loadJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contamJson = contaminated.mkString("[", ",", "]")
-    val summary = s""""sf":"$sfDir","passes":${calib.size},"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"BENCH_local.json","failed":$failedJson,"contaminated_passes":$contamJson,"metric":"total","unit":"sec","value":${f"$total%.4f"}"""
+    val summary = s""""sf":"$sfDir","passes":${calib.size},"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"BENCH_local.json","failed":$failedJson,"contaminated_passes":$contamJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(

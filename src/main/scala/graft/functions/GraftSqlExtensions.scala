@@ -32,7 +32,12 @@ object GraftSqlExtensions {
 
   private def litInt(fn: String, arg: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      // toInt would silently WRAP an out-of-range BIGINT literal
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: $arg out of int range: $v")
+      else v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }

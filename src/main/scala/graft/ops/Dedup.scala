@@ -295,9 +295,18 @@ object Dedup {
       sha2(coalesce(col(textCol), lit("")), 256))
     val seenDigests = seen
       .select(sha2(coalesce(col(seenTextCol), lit("")), 256).as("__sha__"))
-      .distinct()
+    antiJoinKeepFirst(d, seenDigests, idCol)
+  }
+
+  /** Shared tail of [[dedupAgainstCorpus]]/[[dedupAgainstCorpusBloom]]:
+    * drop batch rows whose `__sha__` appears in `seenDigests`, then keep
+    * the lowest-id row per surviving digest. One change point for the
+    * digest scheme / tie-break, so the two paths cannot diverge (the
+    * bloom variant's contract is bit-identical output). */
+  private def antiJoinKeepFirst(d: DataFrame, seenDigests: DataFrame,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__sha__")).orderBy(col(idCol).asc)
-    d.join(seenDigests, Seq("__sha__"), "left_anti")
+    d.join(seenDigests.distinct(), Seq("__sha__"), "left_anti")
       .withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") === 1)
       .drop("__rn__", "__sha__")
@@ -331,12 +340,7 @@ object Dedup {
       .select(sha2(coalesce(col(seenTextCol), lit("")), 256).as("__sha__"))
       .filter(graft.functions.NativeHashes.bloom_might_contain(
         xxhash64(col("__sha__")), bloom))
-      .distinct()
-    val w = Window.partitionBy(col("__sha__")).orderBy(col(idCol).asc)
-    d.join(seenDigests, Seq("__sha__"), "left_anti")
-      .withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1)
-      .drop("__rn__", "__sha__")
+    antiJoinKeepFirst(d, seenDigests, idCol)
   }
 
   /** One representative per near-duplicate CLUSTER — the retention step

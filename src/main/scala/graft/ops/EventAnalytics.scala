@@ -40,6 +40,11 @@ object EventAnalytics {
     * prune map-side (every left row produces output), which is inherent
     * to the operator, not this plan.
     *
+    * Null keys: Spark's window partitioning groups null keys TOGETHER,
+    * so a null-key left row can match a null-key right row — SQL join
+    * equality (and DuckDB ASOF) would never match them. Filter null keys
+    * upstream if SQL semantics are required.
+    *
     * @param valueCols right columns to carry (must not collide with left
     *                  column names)
     * @param tieCol    unique right column breaking `(key, ts)` ties
@@ -108,7 +113,12 @@ object EventAnalytics {
     * length so each interval ships a handful of copies; the join itself
     * is then broadcast or shuffled by Catalyst/AQE like any equi-join,
     * with skew handling intact. Intervals with `end <= start` are empty
-    * by definition and dropped. */
+    * by definition and dropped.
+    *
+    * Bucketing uses `floor(ts / bucket)` in double precision, which is
+    * boundary-exact while |ts| stays well under 2^53 (epoch MICROsecond
+    * timestamps are ~2×10^15 — three orders of magnitude of headroom;
+    * epoch nanoseconds are not safe — divide them down first). */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, startCol: String, endCol: String,
       bucket: Long): DataFrame = {

@@ -30,7 +30,6 @@ object Sketches {
     val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc).limit(topK)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val total = exact.map(_._2).sum.max(1L) // lower bound on N is enough
     val blob = words
       .agg(expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, 42)")
         .as("sk"))
@@ -63,7 +62,11 @@ object Sketches {
     * (n_shards, exact, hll_ok). */
   def shardedDistinct(df: DataFrame, valueCol: String, shardCol: String,
       relTol: Double = 0.05): DataFrame = {
-    val per = df.groupBy(col(shardCol))
+    // a NULL shard key would form its own group (Spark groupBy keeps
+    // nulls) while COUNT(DISTINCT shard) ignores them — exclude it so
+    // n_shards means what it says
+    val per = df.filter(col(shardCol).isNotNull)
+      .groupBy(col(shardCol))
       .agg(expr(s"hll_sketch_agg($valueCol)").as("sk"))
     val merged = per.agg(
       count(lit(1)).as("n_shards"),

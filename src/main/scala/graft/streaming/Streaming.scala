@@ -65,8 +65,13 @@ object Streaming {
                 r.ts < e.ts || (r.ts == e.ts && r.id <= e.id)))
                 last = Some(AsofRightState(e.ts, e.id, e.value))
             } else {
+              // a left event OLDER than the retained right state (late
+              // arrival across batches) must get NO match, not an
+              // anti-causal future one — the state only answers lefts
+              // at or after its own timestamp
+              val visible = last.filter(_.ts <= e.ts)
               out += AsofJoined(key, e.id, e.ts,
-                last.map(_.ts), last.map(_.value))
+                visible.map(_.ts), visible.map(_.value))
             }
           }
           last.foreach(state.update)

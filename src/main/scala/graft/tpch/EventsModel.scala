@@ -56,7 +56,10 @@ object EventsModel {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // `ts div 1000`: INTEGRAL division — `col / 1000L` is a double
+        // Divide whose 256ns ulp at epoch-nanos magnitude would shift a
+        // fraction of rows by 1µs vs the oracle's exact epoch_us
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // naive micros: the UTC session timezone (pinned in every entry
         // point) makes the NTZ->LTZ cast epoch-preserving, matching the

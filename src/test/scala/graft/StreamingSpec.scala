@@ -343,6 +343,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join never emits an anti-causal (future) match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streaming.AsofEvent]
+    val q = Streaming.asofJoinStream(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_late").start()
+    try {
+      // batch 1 installs right state at ts=100
+      ms.addData(Seq(Streaming.AsofEvent(1, 100, 0, 900, 9.0)))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE left at ts=50: the retained right is in
+      // its future — must yield NO match, not matched_ts=100
+      ms.addData(Seq(Streaming.AsofEvent(1, 50, 1, 1, 0.0),
+        Streaming.AsofEvent(1, 200, 1, 2, 0.0)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, matched_ts, value FROM asof_late ORDER BY id")
+        .collect()
+      assert(rows(0).isNullAt(1) && rows(0).isNullAt(2), rows.mkString(";"))
+      assert(rows(1).getLong(1) == 100L && rows(1).getDouble(2) == 9.0)
+    } finally q.stop()
+  }
+
   test("report fan-out evaluates multiple verbs against one cell") {
     val b = graft.tpch.TpchModel.browser(spark, "/root/testdata/sf0.001")
     val cell = Cell(PointCut("customer", Seq("ASIA")))

@@ -28,8 +28,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object and df[c].map(
                 lambda v: isinstance(v, (list, np.ndarray)),
                 na_action="ignore").any():
+            # tolist() first: numpy>=2 scalars repr as np.int64(1), which
+            # would mismatch plain-list cells from the other engine
             df[c] = df[c].map(
-                lambda v: str(list(v))
+                lambda v: str(v.tolist() if isinstance(v, np.ndarray)
+                              else list(v))
                 if isinstance(v, (list, np.ndarray)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort",
