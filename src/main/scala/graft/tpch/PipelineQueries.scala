@@ -587,6 +587,13 @@ object PipelineQueries {
           k = 4, iters = 2, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // one-pass table profile over the documents snapshot: row/null/
+    // distinct counts + stringified extrema per column
+    "q103_profile" -> ((s, dir) =>
+      graft.ops.Profiling.profile(docs(s, dir),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
     // count-min heavy hitters: exact top-10 words + the CMS estimate of
     // each, gated by the sketch's one-sided error bound (q30 pattern —
     // the boolean is what the oracle checks)
@@ -1311,6 +1318,16 @@ object PipelineQueries {
          |    / COUNT(1), 6) AS dup_ratio
          |FROM dg JOIN cnt USING (digest)
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
+    "q103_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(1) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     "q101_heavy_hitters" ->
       """WITH w AS (SELECT unnest(list_filter(

@@ -29,6 +29,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(2)), rows.mkString(";"))
   }
 
+  test("profile: one-pass per-column stats with nulls and extrema") {
+    val df = Seq(
+      (1L, Some("en"), 10L), (2L, Some("de"), 5L),
+      (3L, None, 10L), (4L, Some("en"), 7L))
+      .toDF("id", "lang", "n")
+    val out = graft.ops.Profiling.profile(df, Seq("id", "lang", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("lang") == ((4L, 1L, 2L, "de", "en")))
+    assert(out("n") == ((4L, 0L, 3L, "5", "10")))
+    // ONE scan feeds every statistic (not one job per column)
+    val plan = graft.ops.Profiling.profile(df, Seq("id", "lang", "n"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("shardedDistinct: union of per-shard HLLs matches exact count") {
     // overlapping shards: naive per-shard sums would overcount 3×
     val rows = (0 until 3).flatMap(shard =>
