@@ -27,6 +27,25 @@ class StreamingSpec extends AnyFunSuite {
   private def eventsDf =
     graft.tpch.EventsModel.eventsTable(spark, "/root/testdata/sf0.001")
 
+  test("eventsTable rebuilds int64-nanos ts with exact integral division") {
+    // ns offsets exercise the boundary the old double-division got wrong
+    // (256ns ulp at epoch magnitude → off-by-1µs truncation)
+    val base = 1706745600000000000L // 2024-02-01T00:00:00Z in ns
+    val offs = Seq(0L, 999L, 1000L, 1001L, 999999L, 987654321999L)
+    val df = offs.zipWithIndex.map { case (off, i) =>
+      (i.toLong, base + off, i.toLong, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ns_events")
+    df.write.mode("overwrite").parquet(dir.toString + "/events.parquet")
+    val got = graft.tpch.EventsModel.eventsTable(spark, dir.toString)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    offs.zipWithIndex.foreach { case (off, i) =>
+      assert(got(i.toLong) == (base + off) / 1000L,
+        s"off=$off: ${got(i.toLong)} != ${(base + off) / 1000L}")
+    }
+  }
+
   test("streaming hourly windowed aggregation matches the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
