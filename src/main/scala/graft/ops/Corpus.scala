@@ -108,6 +108,34 @@ object Corpus {
       .drop("__rn__")
   }
 
+  /** Deterministic stratified sampling: EXACTLY `min(nPerKey, |stratum|)`
+    * rows survive per stratum, chosen by content-addressed hash order —
+    * the polynomial hash of the text is uniform over content, so ranking
+    * by it and keeping the first `nPerKey` is a uniform without-replacement
+    * sample that needs no RNG, no seed coordination across 1000 executors,
+    * and reproduces bit-identically on re-runs and across engines
+    * (contrast `df.sampleBy`, which is seed- and partitioning-dependent
+    * and only approximates the requested fraction). Byte-identical
+    * duplicate texts rank adjacently, surfacing sampling bias from
+    * duplication instead of hiding it — run dedup first if that matters.
+    *
+    * Same execution shape as [[capPerKey]]: one hash exchange on the
+    * stratum key, per-key `row_number` window with map-side
+    * `WindowGroupLimit` pruning (each map task forwards at most `nPerKey`
+    * candidate rows per stratum, so an over-represented stratum never
+    * concentrates its full membership on one task). */
+  def stratifiedSample(df: DataFrame, keyCol: String, nPerKey: Int,
+      textCol: String, idCol: String): DataFrame = {
+    require(nPerKey >= 1, s"nPerKey must be >= 1, got $nPerKey")
+    val h = graft.functions.NativeHashes.poly_hash(
+      coalesce(col(textCol).cast("string"), lit("")))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= nPerKey)
+      .drop("__rn__")
+  }
+
   /** Deterministic mixture sampling: each source is sampled at weight
     * `w` — a doc is kept `floor(w)` whole times, plus once more iff its
     * content bucket falls below the fractional part (content-addressed:

@@ -197,4 +197,43 @@ object EventAnalytics {
           .cast("int").as("week_offset"))
       .agg(countDistinct(col(entityCol)).as("n_active"))
   }
+
+  /** Volume-anomaly detection: flag the (group, hour) buckets whose event
+    * count deviates from the group's mean by more than `z` standard
+    * deviations — the rate-spike / outage signal over an event log.
+    *
+    * The z-score test is evaluated WITHOUT computing a mean, a variance,
+    * or a square root: with `m` buckets, bucket count `x`, sum `S` and
+    * sum-of-squares `SS` per group, `(x - S/m)² > z²·(SS - S²/m)/m`
+    * multiplies through by `m²` into the all-integer form
+    * `(m·x - S)²·zDen² > zNum²·(m·SS - S²)` — exact, so two engines agree
+    * on every boundary bucket where float sqrt/division would flip the
+    * flag by one ulp (`z = zNum/zDen` admits non-integer thresholds).
+    * Arithmetic runs in decimal(38,0): the squared terms hold to corpus
+    * sums of ~10^18 (10^12 events/hour fleet-wide), far past long range.
+    *
+    * Shape: one partial-aggregable aggregation collapses the log to the
+    * (group, hour) grid — the only exchange that sees data-sized input;
+    * the per-group moment table is |groups| rows and broadcast-joins
+    * back. Population variance (the grid is complete, not a sample). */
+  def anomalousBuckets(events: DataFrame, groupCol: String, tsCol: String,
+      bucketMicros: Long = 3600000000L, zNum: Long = 3, zDen: Long = 1,
+      flagCol: String = "anomalous"): DataFrame = {
+    require(bucketMicros > 0 && zNum > 0 && zDen > 0,
+      "bucketMicros, zNum, zDen must be positive")
+    val dec = "decimal(38,0)"
+    val grid = events.groupBy(col(groupCol),
+        floor(unix_micros(col(tsCol)) / bucketMicros).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val moments = grid.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(dec).as("__m__"),
+      sum(col("n")).cast(dec).as("__s__"),
+      sum(col("n") * col("n")).cast(dec).as("__ss__"))
+    val dev = col("__m__") * col("n").cast(dec) - col("__s__")
+    val lhs = dev * dev * lit(zDen * zDen).cast(dec)
+    val rhs = lit(zNum * zNum).cast(dec) *
+      (col("__m__") * col("__ss__") - col("__s__") * col("__s__"))
+    grid.join(broadcast(moments), Seq(groupCol))
+      .select(col(groupCol), col("bucket"), col("n"), (lhs > rhs).as(flagCol))
+  }
 }

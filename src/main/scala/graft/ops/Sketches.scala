@@ -77,4 +77,52 @@ object Sketches {
         (abs(col("est") - col("exact")) <=
           greatest(col("exact") * relTol, lit(1.0))).as("hll_ok"))
   }
+
+  /** Quantile profile with a rank-error gate: per group, the exact
+    * interpolated quantiles (the verification twin) alongside a check
+    * that each `approx_percentile` estimate honors the sketch's
+    * guarantee — the Greenwald–Khanna summary promises an element whose
+    * RANK is within `n/accuracy` of the target rank. The gate counts the
+    * estimate's actual rank straddle (`#values < est`, `#values ≤ est`)
+    * against `⌈p·n⌉ ± ⌈n/accuracy⌉`; counting ranks sidesteps comparing
+    * the engine-specific estimate value itself, the q30 posture.
+    *
+    * Shape: the sketch pass is one partial-aggregable aggregation
+    * (mergeable GK summaries, kilobytes per partition — the operator a
+    * 100 TB percentile query must use; the EXACT twin buffers each
+    * group's values and exists only to certify the sketch at test
+    * scale). The rank count is a second scan against the broadcast
+    * |groups|·|qs| estimate table. Returns
+    * (group, q, exact_q, rank_ok). */
+  def quantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      accuracy: Int = 1000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0, 1]")
+    val qArr = array(qs.map(lit): _*)
+    val v = col(valueCol).cast("double")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(v).as("__n__"),
+      percentile_approx(v, qArr, lit(accuracy)).as("__ests__"),
+      expr(s"percentile(CAST($valueCol AS DOUBLE), " +
+        qs.mkString("array(", ", ", ")") + ")").as("__exs__"))
+    val per = agg.select(col(groupCol), col("__n__"),
+      posexplode(arrays_zip(col("__ests__"), col("__exs__"))))
+      .select(col(groupCol), col("__n__"),
+        element_at(qArr, col("pos") + 1).as("q"),
+        col("col.__ests__").as("__est__"), col("col.__exs__").as("exact_q"))
+    val counted = df.select(col(groupCol).as("__g__"), v.as("__v__"))
+      .join(broadcast(per), col("__g__") === col(groupCol))
+      .groupBy(col(groupCol), col("q"), col("exact_q"), col("__est__"),
+        col("__n__"))
+      .agg(sum(when(col("__v__") < col("__est__"), 1L).otherwise(0L))
+          .as("__lt__"),
+        sum(when(col("__v__") <= col("__est__"), 1L).otherwise(0L))
+          .as("__le__"))
+    val err = ceil(col("__n__").cast("double") / accuracy)
+    val target = ceil(col("q") * col("__n__"))
+    counted.select(col(groupCol), col("q"), col("exact_q"),
+      (col("__lt__") <= target + err &&
+        col("__le__") >= target - err).as("rank_ok"))
+  }
 }

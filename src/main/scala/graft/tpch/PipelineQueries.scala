@@ -594,6 +594,24 @@ object PipelineQueries {
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("col_name"))),
 
+    // deterministic stratified sample: exactly 7 docs per source by
+    // content-hash order (uniform, seedless, reproducible) — the cap
+    // BINDS (sources hold 25 docs each at sf0.01)
+    "q104_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "source", 7, "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // hourly volume anomalies per event type: integer-exact z²-test
+    // (no sqrt/division — both engines agree on every boundary bucket)
+    "q105_anomalous_hours" -> ((s, dir) =>
+      EventAnalytics.anomalousBuckets(
+        graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts",
+        bucketMicros = 3600000000L, zNum = 2, zDen = 1)
+        .orderBy(col("event_type"), col("bucket"))),
+
     // count-min heavy hitters: exact top-10 words + the CMS estimate of
     // each, gated by the sketch's one-sided error bound (q30 pattern —
     // the boolean is what the oracle checks)
@@ -1377,6 +1395,28 @@ object PipelineQueries {
         |SELECT d.word, dfc.df, list(d.doc_id ORDER BY d.doc_id) AS postings
         |FROM d JOIN dfc USING (word)
         |GROUP BY d.word, dfc.df ORDER BY d.word""".stripMargin,
+
+    "q104_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${dpolyhash("coalesce(text, '')")} AS hh FROM documents)
+         |SELECT doc_id, source FROM h
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY hh, doc_id) <= 7
+         |ORDER BY doc_id""".stripMargin,
+
+    "q105_anomalous_hours" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(1) AS HUGEINT) AS m,
+        |    CAST(SUM(n) AS HUGEINT) AS s,
+        |    CAST(SUM(n * n) AS HUGEINT) AS ss
+        |  FROM g GROUP BY 1)
+        |SELECT g.event_type, g.bucket, g.n,
+        |  (m.m * g.n - m.s) * (m.m * g.n - m.s)
+        |    > 4 * (m.m * m.ss - m.s * m.s) AS anomalous
+        |FROM g JOIN m USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q96_mixture_weights" ->
       """WITH per AS (SELECT source, COUNT(1) AS n_docs,

@@ -271,6 +271,18 @@ object Queries {
         aggregates = Seq("quantity_median", "fact_count")
       ).cells),
 
+    // GK quantile-sketch profile: exact quartiles per returnflag + the
+    // rank-error gate on each approx_percentile estimate (q30 posture:
+    // the estimate's RANK is checked, its engine-specific value never
+    // leaves the plan)
+    "q106_quantile_gate" -> ((s, dir) =>
+      graft.ops.Sketches.quantileProfile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_quantity",
+        Seq(0.25, 0.5, 0.75), accuracy = 100)
+        .withColumnRenamed("l_returnflag", "returnflag")
+        .orderBy(col("returnflag"), col("q"))),
+
     // approximate sketch aggregates (HLL / quantile sketch) verified against
     // their exact twins: the sketches' raw values are engine-specific, so the
     // oracle-checkable surface is (exact value, within-tolerance boolean).
@@ -891,6 +903,16 @@ object Queries {
 
     // sketch values are engine-specific; the oracle checks the exact twins
     // and asserts the within-tolerance booleans Spark computed are TRUE
+    "q106_quantile_gate" ->
+      """WITH e AS (SELECT l_returnflag AS returnflag,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE),
+        |      [0.25, 0.5, 0.75]) AS ex
+        |  FROM lineitem GROUP BY 1)
+        |SELECT returnflag, [0.25, 0.5, 0.75][i] AS q, ex[i] AS exact_q,
+        |  TRUE AS rank_ok
+        |FROM e CROSS JOIN (SELECT unnest(range(1, 4)) AS i)
+        |ORDER BY returnflag, q""".stripMargin,
+
     "q30_approx_sketches" ->
       s"""SELECT l_returnflag AS returnflag,
          |  COUNT(DISTINCT l_partkey) AS parts,

@@ -171,6 +171,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("stratifiedSample keeps exactly n per stratum, layout-independent") {
+    val rows = Seq.tabulate(20)(i => (i.toLong, s"s${i % 2}", s"text $i"))
+    def run(seed: Seq[(Long, String, String)]): Seq[Long] =
+      Corpus.stratifiedSample(
+        seed.toDF("doc_id", "source", "text").repartition(5),
+        "source", 3, "text", "doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val a = run(rows)
+    assert(a == run(rows.reverse), "survivors must not depend on layout")
+    assert(a.size == 6)
+    // a stratum smaller than n survives whole
+    val small = Seq((1L, "x", "t1"), (2L, "x", "t2"))
+      .toDF("doc_id", "source", "text")
+    assert(Corpus.stratifiedSample(small, "source", 5, "text", "doc_id")
+      .count() == 2)
+  }
+
+  test("stratifiedSample is content-addressed: same texts, same sample") {
+    // two strata with IDENTICAL text sets but disjoint ids select the
+    // same TEXTS — the hash rank is a function of content, not id
+    val rows = (0 until 12).map(i => (i.toLong, "p", s"doc ${i % 6}")) ++
+      (100 until 112).map(i => (i.toLong, "q", s"doc ${i % 6}"))
+    val got = Corpus.stratifiedSample(
+      rows.toDF("doc_id", "source", "text"), "source", 4, "text", "doc_id")
+      .collect().groupBy(_.getAs[String]("source"))
+      .map { case (k, v) => k -> v.map(_.getAs[String]("text")).sorted.toSeq }
+    assert(got("p") == got("q"))
+  }
+
+  test("stratifiedSample plan: per-key window with map-side group limit") {
+    val df = Seq.tabulate(8)(i => (i.toLong, s"s${i % 3}", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val plan = Corpus.stratifiedSample(df, "source", 2, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("sequencePack plan has no single-partition global window") {
     // the window must be hash-partitioned on the shard column — a missing
     // partitionBy would serialize the 100 TB cumsum through one task

@@ -253,4 +253,56 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(("2024-01-08", 1)) == 1L) // u3 back
     assert(out.size == 5)
   }
+
+  // ------------------------------------------------------- anomalousBuckets
+
+  private def hourEvents(counts: Seq[(String, Int, Int)]) = {
+    // (group, hour index, count) -> one event per unit at that hour
+    val rows = counts.flatMap { case (g, h, n) =>
+      (0 until n).map(i => (g, h.toLong * 3600000000L + i))
+    }
+    rows.toDF("g", "us").select(col("g"),
+      timestamp_micros(col("us")).as("ts"))
+  }
+
+  test("anomalousBuckets flags the spike hour by the exact z² test") {
+    // group a: counts [1,1,1,1,100] over 5 hours. With m=5, S=104,
+    // SS=10004: the spike's z is exactly 2 (the one-outlier maximum
+    // sqrt(m-1)), so z=2 does NOT flag (strict >) and z=3/2 does —
+    // the boundary case float sqrt would get wrong by an ulp.
+    val ev = hourEvents(Seq(("a", 0, 1), ("a", 1, 1), ("a", 2, 1),
+      ("a", 3, 1), ("a", 4, 100)))
+    def flags(zNum: Long, zDen: Long): Map[Long, Boolean] =
+      EventAnalytics.anomalousBuckets(ev, "g", "ts",
+          zNum = zNum, zDen = zDen)
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("anomalous"))
+        .toMap
+    val strict = flags(2, 1)
+    assert(strict.values.forall(!_), "z=2 is the exact boundary: no flag")
+    val loose = flags(3, 2)
+    assert(loose(4L) && loose.count(_._2) == 1,
+      s"z=1.5 must flag exactly the spike hour: $loose")
+  }
+
+  test("anomalousBuckets: constant series has no anomalies; groups isolate") {
+    val ev = hourEvents(Seq(("c", 0, 5), ("c", 1, 5), ("c", 2, 5),
+      ("d", 0, 1), ("d", 1, 1), ("d", 2, 40)))
+    val got = EventAnalytics.anomalousBuckets(ev, "g", "ts",
+        zNum = 1, zDen = 1)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bucket")) ->
+        r.getAs[Boolean]("anomalous")).toMap
+    assert(Seq(0L, 1L, 2L).forall(h => !got(("c", h))),
+      "zero-variance group never flags (strict inequality)")
+    assert(got(("d", 2L)), "spike in d flags independently of c")
+  }
+
+  test("anomalousBuckets moments join broadcasts; grid agg is partial") {
+    val ev = hourEvents(Seq(("a", 0, 2), ("a", 1, 3), ("b", 0, 1)))
+    val plan = EventAnalytics.anomalousBuckets(ev, "g", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.toLowerCase.contains("nestedloop"), plan)
+  }
 }

@@ -57,4 +57,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.getAs[Long]("exact") == 400L)
     assert(out.getAs[Boolean]("hll_ok"))
   }
+
+  test("quantileProfile: exact interpolated quartiles + rank gate holds") {
+    import spark.implicits._
+    // group g: 1..100 (quartiles 25.75 / 50.5 / 75.25); group h: 1..5
+    val df = ((1 to 100).map(i => ("g", i.toLong)) ++
+      (1 to 5).map(i => ("h", i.toLong))).toDF("k", "v")
+    val got = graft.ops.Sketches.quantileProfile(df, "k", "v",
+        Seq(0.25, 0.5, 0.75), accuracy = 50)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("q")) ->
+        (r.getAs[Double]("exact_q"), r.getAs[Boolean]("rank_ok"))).toMap
+    assert(got(("g", 0.25))._1 == 25.75)
+    assert(got(("g", 0.5))._1 == 50.5)
+    assert(got(("g", 0.75))._1 == 75.25)
+    assert(got(("h", 0.5))._1 == 3.0)
+    assert(got.size == 6)
+    assert(got.values.forall(_._2), "GK guarantee must hold at accuracy=50")
+  }
 }
