@@ -44,4 +44,55 @@ object Layout {
       .repartitionByRange(nFiles, col(zCol))
       .sortWithinPartitions(col(zCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Per-file (min, max) manifest of `cols` for the parquet table at
+    * `path` — the stats table Delta/Iceberg persist at write time so a
+    * reader can prune FILES before any scan task launches. Built with
+    * one distributed pass grouped on `_metadata.file_path` (partial
+    * min/max aggregate per file); on a table written by [[zorderWrite]]
+    * the boxes are tight in both dimensions, which is the whole point of
+    * the z-order layout. Collect it once per write and persist next to
+    * the data, like the table formats do. */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-pruned closed-range read: list the files whose `[min, max]`
+    * box overlaps EVERY requested `col -> (lo, hi)` range (driver-side
+    * decision over the kilobyte-sized manifest), then scan ONLY those
+    * files and apply the exact predicate. Semantically identical to
+    * filtering the full table — pruning can only drop files that contain
+    * no qualifying rows — but the scan's task count shrinks with the
+    * selectivity, BEFORE parquet row-group statistics even come into
+    * play: at 100 TB this is the difference between launching a thousand
+    * tasks and launching six. Returns the filtered DataFrame; the number
+    * of surviving files is `prunedFiles(...).length`. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      manifestDf: DataFrame, ranges: Map[String, (Long, Long)]): DataFrame = {
+    val files = prunedFiles(manifestDf, ranges)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    ranges.toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** The driver-side pruning decision of [[prunedRead]]: files whose
+    * per-column boxes intersect all the ranges. */
+  def prunedFiles(manifestDf: DataFrame,
+      ranges: Map[String, (Long, Long)]): Seq[String] = {
+    require(ranges.nonEmpty, "prunedRead needs at least one range")
+    val keep = ranges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    manifestDf.filter(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
 }

@@ -594,6 +594,41 @@ object PipelineQueries {
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("col_name"))),
 
+    // PageRank over the supplier-nation → customer-nation trade graph:
+    // 3 exact integer-quantized iterations — bit-identical ranks across
+    // engines and cluster layouts
+    "q107_pagerank" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .select(supp("s_nationkey").as("src"), cust("c_nationkey").as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // manifest-pruned read over a z-ordered layout: write 16 z-clustered
+    // files, build the per-file min/max manifest, prune to the files whose
+    // boxes overlap a (user, hour) rectangle, scan only those + exact
+    // filter — result ≡ plain filter over the full table (the oracle)
+    "q108_prune_read" -> ((s, dir) => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"))
+      graft.ops.Layout.zorderWrite(ev, "user_id", "hr", path, nFiles = 16)
+      val mf = graft.ops.Layout.manifest(s, path, Seq("user_id", "hr"))
+      graft.ops.Layout.prunedRead(s, path, mf,
+          Map("user_id" -> (3L, 9L), "hr" -> (473400L, 473519L)))
+        .select(col("event_id"), col("user_id"), col("hr"))
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic stratified sample: exactly 7 docs per source by
     // content-hash order (uniform, seedless, reproducible) — the cap
     // BINDS (sources hold 25 docs each at sf0.01)
@@ -1395,6 +1430,41 @@ object PipelineQueries {
         |SELECT d.word, dfc.df, list(d.doc_id ORDER BY d.doc_id) AS postings
         |FROM d JOIN dfc USING (word)
         |GROUP BY d.word, dfc.df ORDER BY d.word""".stripMargin,
+
+    "q107_pagerank" -> {
+      // 3 unrolled exact-integer PageRank iterations; `//` is DuckDB
+      // floor division ≡ Spark `div` on the non-negative ranks
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (SELECT e.dst, SUM(r.r // d.od) AS s FROM edges e
+           |  JOIN $prev r ON r.id = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY 1),
+           |$out AS (SELECT n.id,
+           |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$out c ON c.dst = n.id)""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT s.s_nationkey AS src,
+         |    c.c_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |nodes AS (SELECT src AS id FROM edges
+         |  UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, COUNT(1) AS od FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id AS node, r AS rank_micros FROM r3
+         |ORDER BY node""".stripMargin
+    },
+
+    "q108_prune_read" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(ts) // 3600000000 AS hr FROM events)
+        |SELECT event_id, user_id, hr FROM e
+        |WHERE user_id BETWEEN 3 AND 9
+        |  AND hr BETWEEN 473400 AND 473519
+        |ORDER BY event_id""".stripMargin,
 
     "q104_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, source,

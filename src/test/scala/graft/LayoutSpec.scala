@@ -78,4 +78,29 @@ class LayoutSpec extends AnyFunSuite {
     // the written table still holds every row exactly once
     assert(spark.read.parquet(dir.getAbsolutePath).count() == 4096)
   }
+
+  test("manifest + prunedRead: skips files, result ≡ full filter") {
+    val grid = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toFile
+    Layout.zorderWrite(grid.toDF("a", "b").repartition(8), "a", "b",
+      dir.getAbsolutePath, nFiles = 16)
+    val mf = Layout.manifest(spark, dir.getAbsolutePath, Seq("a", "b"))
+    assert(mf.count() == 16, "one manifest row per file")
+    val ranges = Map("a" -> (10L, 20L), "b" -> (10L, 20L))
+    // the pruning decision must actually skip files on a z layout — an
+    // 11×11 rectangle of a 64×64 grid touches a few z blocks, not all 16
+    val surviving = Layout.prunedFiles(mf, ranges)
+    assert(surviving.nonEmpty && surviving.size < 16,
+      s"expected real pruning, got ${surviving.size} of 16 files")
+    val got = Layout.prunedRead(spark, dir.getAbsolutePath, mf, ranges)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = grid.filter { case (a, b) =>
+      a >= 10 && a <= 20 && b >= 10 && b <= 20 }.sorted
+    assert(got == want, "pruned scan must equal the full-table filter")
+    // an empty intersection prunes everything and returns zero rows
+    val none = Layout.prunedRead(spark, dir.getAbsolutePath, mf,
+      Map("a" -> (1000L, 2000L)))
+    assert(none.count() == 0)
+  }
 }
