@@ -382,6 +382,38 @@ object TextImpls {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Unicode canonicalization for dedup keys, one pass: NFKD decompose
+    * (folds compatibility variants — full-width forms, ligatures — AND
+    * splits off combining marks), drop the marks (café ≡ café ≡ cafe
+    * however the bytes arrived), collapse whitespace runs to single
+    * spaces, trim, lowercase with Locale.ROOT (no Turkish-I surprise
+    * from the JVM default locale). On pure-ASCII input this reduces to
+    * lowercase + whitespace-collapse + trim, which is what the DuckDB
+    * oracle replays; the unicode cases are spec-asserted. */
+  def normalizeText(raw: String): UTF8String = {
+    val d = java.text.Normalizer.normalize(raw,
+      java.text.Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      val t = Character.getType(c)
+      if (t == Character.NON_SPACING_MARK ||
+          t == Character.COMBINING_SPACING_MARK ||
+          t == Character.ENCLOSING_MARK) {
+        // combining mark: drop
+      } else if (Character.isWhitespace(c)) {
+        pendingSpace = sb.length() > 0
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString.toLowerCase(java.util.Locale.ROOT))
+  }
 }
 
 /** lang_id(lowered): stopword-argmax language ID in one call. `full`
@@ -488,9 +520,24 @@ case class KeepSplitPartsExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** normalize_text(raw): NFKD + mark-strip + whitespace-collapse + trim +
+  * ROOT-locale lowercase — the unicode-safe dedup key. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.normalizeText(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextImpls.normalizeText($c.toString())")
+  override protected def withNewChildInternal(c: Expression): NormalizeTextExpr =
+    copy(child = c)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
+  def normalize_text(raw: Column): Column =
+    toCol(NormalizeTextExpr(toExpr(raw)))
   /** Production language-ID: ~60 words × 11 languages. */
   def lang_id_full(lowered: Column): Column =
     toCol(LangIdExpr(toExpr(lowered), full = true))

@@ -136,6 +136,26 @@ object Corpus {
       .drop("__rn__")
   }
 
+  /** Percentile-threshold filtering: keep the rows whose `valueCol` is at
+    * or above their key's `q`-th quantile — "drop the bottom 20% by
+    * quality, per source", the relative variant of an absolute-score
+    * cutoff (a single threshold over-prunes weak sources and
+    * under-prunes strong ones). The exact interpolated percentile keeps
+    * the op oracle-replayable; the threshold table is |keys| rows and
+    * broadcast-joins back, so the data pays one scan for thresholds and
+    * one for the filter, no data-sized shuffle. At extreme scale swap
+    * the exact percentile (which buffers each key's values) for
+    * `approx_percentile` — mergeable, same two-scan shape. */
+  def filterByQuantile(df: DataFrame, keyCol: String, valueCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q")
+    val th = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile(CAST($valueCol AS DOUBLE), $q)").as("__th__"))
+    df.join(broadcast(th), Seq(keyCol))
+      .filter(col(valueCol).cast("double") >= col("__th__"))
+      .drop("__th__")
+  }
+
   /** Deterministic mixture sampling: each source is sampled at weight
     * `w` — a doc is kept `floor(w)` whole times, plus once more iff its
     * content bucket falls below the fractional part (content-addressed:

@@ -34,4 +34,35 @@ object Profiling {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_null"),
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
   }
+
+  /** Exact equi-width histogram of an integral column over the closed
+    * domain `[lo, hi]`: value `v` lands in bucket
+    * `((v - lo) · nBuckets) div (hi - lo + 1)` — all-integer, so every
+    * boundary value bins identically across engines (float bucket width
+    * would mis-bin values sitting on a boundary by one ulp). Rows
+    * outside the domain are counted in `n_below` / `n_above` guard rows
+    * (bucket -1 and nBuckets) rather than silently dropped or clamped
+    * into the edge buckets. Empty buckets are emitted with n = 0 via a
+    * join against the generated bucket range.
+    *
+    * One partial-aggregable pass over the data; the bucket grid is
+    * nBuckets rows. Returns (bucket, n, min_value, max_value) with
+    * observed extrema per bucket (null when empty). */
+  def histogram(df: DataFrame, valueCol: String, lo: Long, hi: Long,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi >= lo,
+      s"need nBuckets >= 1 and hi >= lo, got [$lo, $hi] x $nBuckets")
+    val span = hi - lo + 1
+    val v = col(valueCol).cast("long")
+    val b = when(v < lo, lit(-1L)).when(v > hi, lit(nBuckets.toLong))
+      .otherwise(expr(s"(CAST($valueCol AS BIGINT) - $lo) * $nBuckets div $span"))
+    val observed = df.groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n"), min(v).as("min_value"),
+        max(v).as("max_value"))
+    val grid = df.sparkSession.range(-1L, nBuckets + 1L)
+      .select(col("id").as("bucket"))
+    grid.join(observed, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
+        col("min_value"), col("max_value"))
+  }
 }

@@ -54,6 +54,18 @@ object TextAnalysis {
     graft.functions.NativeHashes.poly_hash(
       regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode canonicalization for dedup keys (codegen'd
+    * [[graft.functions.NormalizeTextExpr]]): NFKD fold of compatibility
+    * variants (full-width forms, ligatures), combining-mark strip
+    * (café ≡ café ≡ cafe regardless of byte encoding), whitespace-run
+    * collapse, trim, ROOT-locale lowercase. Dedup on `normalizeText`
+    * catches the case/spacing/encoding near-copies exact dedup misses
+    * while staying a pure per-row map — no shuffle, no model. On ASCII
+    * input it equals `lower` + whitespace collapse + trim, which is the
+    * DuckDB-replayable subset; unicode behavior is spec-asserted. */
+  def normalizeText(text: Column): Column =
+    graft.functions.NativeText.normalize_text(text)
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (canonical definition lives next to the native expressions
     * in [[graft.functions.TextImpls.stopwords]]). Real deployments swap in

@@ -594,6 +594,32 @@ object PipelineQueries {
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("col_name"))),
 
+    // unicode-normalized exact dedup: synthesized UPPERCASE and
+    // whitespace-padded copies of every doc collapse onto the original's
+    // normalized key (3 copies per distinct text)
+    "q109_normalize_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = d
+        .union(d.select(col("doc_id") + 100000L, upper(col("text"))))
+        .union(d.select(col("doc_id") + 200000L,
+          concat(lit("  "), regexp_replace(col("text"), " ", "   "))))
+      variants
+        .withColumn("norm", TextAnalysis.normalizeText(col("text")))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // percentile-threshold filtering: per source, keep docs at/above the
+    // 0.8 length quantile — the relative quality cutoff
+    "q111_quantile_filter" -> ((s, dir) =>
+      Corpus.filterByQuantile(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", 0.8)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // PageRank over the supplier-nation → customer-nation trade graph:
     // 3 exact integer-quantized iterations — bit-identical ranks across
     // engines and cluster layouts
@@ -1430,6 +1456,26 @@ object PipelineQueries {
         |SELECT d.word, dfc.df, list(d.doc_id ORDER BY d.doc_id) AS postings
         |FROM d JOIN dfc USING (word)
         |GROUP BY d.word, dfc.df ORDER BY d.word""".stripMargin,
+
+    "q109_normalize_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents
+        |  UNION ALL SELECT doc_id + 200000,
+        |    '  ' || replace(text, ' ', '   ') FROM documents),
+        |k AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT MIN(doc_id) AS doc_id, COUNT(1) AS n_copies
+        |FROM k GROUP BY norm ORDER BY doc_id""".stripMargin,
+
+    "q111_quantile_filter" ->
+      """WITH th AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.8) AS t
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN th USING (source)
+        |WHERE CAST(d.n_chars AS DOUBLE) >= th.t
+        |ORDER BY doc_id""".stripMargin,
 
     "q107_pagerank" -> {
       // 3 unrolled exact-integer PageRank iterations; `//` is DuckDB

@@ -271,6 +271,14 @@ object Queries {
         aggregates = Seq("quantity_median", "fact_count")
       ).cells),
 
+    // exact equi-width histogram of l_quantity (domain 1..50, 10
+    // buckets): all-integer bucketing, out-of-domain guard rows
+    "q110_histogram" -> ((s, dir) =>
+      graft.ops.Profiling.histogram(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_quantity", 1L, 50L, 10)
+        .orderBy(col("bucket"))),
+
     // GK quantile-sketch profile: exact quartiles per returnflag + the
     // rank-error gate on each approx_percentile estimate (q30 posture:
     // the estimate's RANK is checked, its engine-specific value never
@@ -903,6 +911,16 @@ object Queries {
 
     // sketch values are engine-specific; the oracle checks the exact twins
     // and asserts the within-tolerance booleans Spark computed are TRUE
+    "q110_histogram" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |b AS (SELECT CASE WHEN v < 1 THEN -1 WHEN v > 50 THEN 10
+        |    ELSE (v - 1) * 10 // 50 END AS bucket, COUNT(1) AS n,
+        |    MIN(v) AS min_value, MAX(v) AS max_value
+        |  FROM v GROUP BY 1)
+        |SELECT g.bucket, COALESCE(b.n, 0) AS n, b.min_value, b.max_value
+        |FROM (SELECT unnest(range(-1, 11)) AS bucket) g
+        |LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
+
     "q106_quantile_gate" ->
       """WITH e AS (SELECT l_returnflag AS returnflag,
         |    quantile_cont(CAST(l_quantity AS DOUBLE),

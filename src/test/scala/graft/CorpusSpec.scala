@@ -200,6 +200,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("p") == got("q"))
   }
 
+  test("filterByQuantile keeps rows at/above the per-key exact quantile") {
+    // key a: 1..10, q=0.8 → threshold 0.8·(n-1)+1 = 8.2 → keep 9, 10;
+    // key b: all equal → threshold = value → everything survives
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L))).toDF("k", "v")
+    val got = Corpus.filterByQuantile(df, "k", "v", 0.8)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("v")))
+      .sorted.toSeq
+    assert(got == Seq(("a", 9L), ("a", 10L), ("b", 5L), ("b", 5L), ("b", 5L)))
+    // threshold table broadcasts — no data-sized shuffle join
+    val plan = Corpus.filterByQuantile(df, "k", "v", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("stratifiedSample plan: per-key window with map-side group limit") {
     val df = Seq.tabulate(8)(i => (i.toLong, s"s${i % 3}", s"t$i"))
       .toDF("doc_id", "source", "text")

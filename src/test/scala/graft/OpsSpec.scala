@@ -110,6 +110,31 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("normalizeText: unicode canonicalization collapses near-copies") {
+    import graft.functions.TextImpls.{normalizeText => n}
+    // case + whitespace
+    assert(n("  Hello\t\n WORLD  ").toString == "hello world")
+    // composed é (U+00E9) ≡ decomposed e+combining-acute ≡ plain e
+    assert(n("café").toString == "cafe")
+    assert(n("café").toString == "cafe")
+    // NFKC compatibility folds: full-width latin, fi ligature
+    assert(n("ＨＥＬＬＯ").toString == "hello")
+    assert(n("ﬁle").toString == "file")
+    // ROOT-locale lowering: no Turkish dotless-i surprise
+    assert(n("TITLE").toString == "title")
+    // empty / whitespace-only
+    assert(n("").toString == "")
+    assert(n(" \t ").toString == "")
+    // the codegen'd column expression agrees with the direct call
+    val df = Seq((1L, "  A  B\tC "), (2L, "Café au lait"))
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+        graft.ops.TextAnalysis.normalizeText(col("text")).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "a b c")
+    assert(rows(2L) == "cafe au lait")
+  }
+
   test("identical docs are minhash near-dups with jaccard 1.0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

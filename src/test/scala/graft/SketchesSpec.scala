@@ -58,6 +58,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.getAs[Boolean]("hll_ok"))
   }
 
+  test("histogram: integer bucketing, guard rows, empty buckets emitted") {
+    import spark.implicits._
+    // domain 0..9, 5 buckets of width 2; values hit buckets 0,0,1,4 and
+    // out-of-domain -5 / 12 land in the guard rows
+    val df = Seq(0L, 1L, 2L, 9L, -5L, 12L).toDF("v")
+    val got = graft.ops.Profiling.histogram(df, "v", 0L, 9L, 5)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(-1L) == ((1L, Some(-5L), Some(-5L))))
+    assert(got(0L) == ((2L, Some(0L), Some(1L))))
+    assert(got(1L) == ((1L, Some(2L), Some(2L))))
+    assert(got(2L) == ((0L, None, None)), "empty bucket emitted with n=0")
+    assert(got(3L) == ((0L, None, None)))
+    assert(got(4L) == ((1L, Some(9L), Some(9L))))
+    assert(got(5L) == ((1L, Some(12L), Some(12L))))
+    assert(got.size == 7)
+  }
+
   test("quantileProfile: exact interpolated quartiles + rank gate holds") {
     import spark.implicits._
     // group g: 1..100 (quartiles 25.75 / 50.5 / 75.25); group h: 1..5
