@@ -275,6 +275,20 @@ object ScaleStress {
         val out = Corpus.capPerKey(skewed, "key", 100, "len", "doc_id")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q104 shape under the same skew: hash-order sampling through a
+      // hot stratum — WindowGroupLimit forwards ≤ n candidates per map
+      // task, so the hot stratum never ships its membership to one task
+      timed(scale, "stratified_sample_hot") {
+        val out = Corpus.stratifiedSample(skewed, "key", 100,
+          "text", "doc_id")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q111 shape: per-key exact-percentile thresholds (|keys| rows)
+      // broadcast back; two scans, no data-sized shuffle
+      timed(scale, "quantile_filter") {
+        val out = Corpus.filterByQuantile(skewed, "key", "len", 0.8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       timed(scale, "token_budget_hot") {
         val out = Corpus.selectByTokenBudget(
           skewed, "key", "len", "len", 500000L, "doc_id")
@@ -448,6 +462,35 @@ object ScaleStress {
           s"/tmp/graft_scale_zorder_$scale", nFiles = 32)
         (spark.read.parquet(s"/tmp/graft_scale_zorder_$scale").count(),
           "write")
+      }
+      // q108 shape: manifest + pruned read of a fixed rectangle over the
+      // just-written z layout — the claim is the scan cost tracks the
+      // SELECTED box, not the table: file pruning drops whole files
+      // before any task launches, so 10× the table is not 10× the read
+      timed(scale, "pruned_read") {
+        val path = s"/tmp/graft_scale_zorder_$scale"
+        val mf = graft.ops.Layout.manifest(spark, path, Seq("user_id", "hr"))
+        val out = graft.ops.Layout.prunedRead(spark, path, mf,
+          Map("user_id" -> (3L, 9L), "hr" -> (473400L, 473519L)))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q105 shape: the anomaly grid collapses the log in one
+      // partial-aggregable pass; everything after is grid-sized
+      timed(scale, "anomaly_buckets") {
+        val out = graft.ops.EventAnalytics.anomalousBuckets(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "event_type", "ts", zNum = 2, zDen = 1)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q107 shape: PageRank over a deterministic 997-node multigraph
+      // derived from the event log (edges grow 10×, nodes fixed) — per
+      // iteration one src-keyed join + one dst-keyed partial aggregation
+      timed(scale, "pagerank") {
+        val edges = ev.select(
+          pmod(col("user_id"), lit(997L)).as("src"),
+          pmod(col("user_id") * 131L + col("event_id"), lit(997L)).as("dst"))
+        val out = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
       }
     }
     runEvents("1x", ev1x)
