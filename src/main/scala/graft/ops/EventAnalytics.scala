@@ -236,4 +236,36 @@ object EventAnalytics {
     grid.join(broadcast(moments), Seq(groupCol))
       .select(col(groupCol), col("bucket"), col("n"), (lhs > rhs).as(flagCol))
   }
+
+  /** PREQUENTIAL variant of [[anomalousBuckets]]: bucket `k` is judged
+    * against the moments of buckets `1..k` only — the online semantics a
+    * stream can actually compute (no future buckets exist yet), and the
+    * batch twin of [[graft.streaming.Streaming.anomalousBucketsStream]]
+    * (batch ≡ stream under per-key in-order bucket arrival, asserted in
+    * StreamingSpec). Same all-integer z² test in decimal(38,0); the
+    * cumulative moments come from one per-group ordered window,
+    * hash-partitioned by group (the capPerKey shape — no global sort). */
+  def anomalousBucketsPrequential(events: DataFrame, groupCol: String,
+      tsCol: String, bucketMicros: Long = 3600000000L,
+      zNum: Long = 3, zDen: Long = 1,
+      flagCol: String = "anomalous"): DataFrame = {
+    require(bucketMicros > 0 && zNum > 0 && zDen > 0,
+      "bucketMicros, zNum, zDen must be positive")
+    val dec = "decimal(38,0)"
+    val grid = events.groupBy(col(groupCol),
+        floor(unix_micros(col(tsCol)) / bucketMicros).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(col(groupCol), col("bucket"), col("n"),
+      count(lit(1)).over(w).cast(dec).as("__m__"),
+      sum(col("n")).over(w).cast(dec).as("__s__"),
+      sum(col("n") * col("n")).over(w).cast(dec).as("__ss__"))
+    val dev = col("__m__") * col("n").cast(dec) - col("__s__")
+    val lhs = dev * dev * lit(zDen * zDen).cast(dec)
+    val rhs = lit(zNum * zNum).cast(dec) *
+      (col("__m__") * col("__ss__") - col("__s__") * col("__s__"))
+    cum.select(col(groupCol), col("bucket"), col("n"),
+      (lhs > rhs).as(flagCol))
+  }
 }

@@ -183,6 +183,40 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of
+    * [[graft.ops.EventAnalytics.anomalousBucketsPrequential]]: rows are
+    * CLOSED buckets `(group, bucket, n)` (e.g. from an upstream
+    * watermarked windowed count); per-group state is the three running
+    * moments `(m, S, SS)` — O(1) per key forever — and each bucket is
+    * flagged against the moments including itself, exactly the batch
+    * op's prequential z² test (BigInt arithmetic mirrors its
+    * decimal(38,0)). Stream ≡ batch under per-key in-order bucket
+    * arrival, asserted in StreamingSpec across micro-batches. */
+  def anomalousBucketsStream(rows: Dataset[(String, Long, Long)],
+      zNum: Long = 3, zDen: Long = 1)
+      : Dataset[(String, Long, Long, Boolean)] = {
+    import rows.sparkSession.implicits._
+    require(zNum > 0 && zDen > 0, "zNum, zDen must be positive")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (String, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long, Long)]) =>
+          var (m, s, ss) = state.getOption.getOrElse((0L, 0L, 0L))
+          // micro-batch iterator order is not bucket order — sort locally
+          val out = it.toSeq.sortBy(_._2).map { case (_, bucket, n) =>
+            m += 1; s += n; ss += n * n
+            val dev = BigInt(m) * BigInt(n) - BigInt(s)
+            val lhs = dev * dev * BigInt(zDen * zDen)
+            val rhs = BigInt(zNum * zNum) *
+              (BigInt(m) * BigInt(ss) - BigInt(s) * BigInt(s))
+            (key, bucket, n, lhs > rhs)
+          }
+          state.update((m, s, ss))
+          out.iterator
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

@@ -673,6 +673,15 @@ object PipelineQueries {
         bucketMicros = 3600000000L, zNum = 2, zDen = 1)
         .orderBy(col("event_type"), col("bucket"))),
 
+    // prequential (online) anomaly flags: bucket k judged against the
+    // moments of buckets 1..k only — the semantics the streaming twin
+    // computes; same integer-exact z² test
+    "q113_anomaly_prequential" -> ((s, dir) =>
+      EventAnalytics.anomalousBucketsPrequential(
+        graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts",
+        zNum = 2, zDen = 1)
+        .orderBy(col("event_type"), col("bucket"))),
+
     // count-min heavy hitters: exact top-10 words + the CMS estimate of
     // each, gated by the sketch's one-sided error bound (q30 pattern —
     // the boolean is what the oracle checks)
@@ -1511,6 +1520,20 @@ object PipelineQueries {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND hr BETWEEN 473400 AND 473519
         |ORDER BY event_id""".stripMargin,
+
+    "q113_anomaly_prequential" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, n,
+        |    CAST(COUNT(1) OVER w AS HUGEINT) AS m,
+        |    CAST(SUM(n) OVER w AS HUGEINT) AS s,
+        |    CAST(SUM(n * n) OVER w AS HUGEINT) AS ss
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, bucket, n,
+        |  (m * n - s) * (m * n - s) > 4 * (m * ss - s * s) AS anomalous
+        |FROM c ORDER BY event_type, bucket""".stripMargin,
 
     "q104_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, source,

@@ -271,6 +271,25 @@ object Queries {
         aggregates = Seq("quantity_median", "fact_count")
       ).cells),
 
+    // salted skew join: lineitem⋈supplier on suppkey with an 8-way
+    // derived salt — output provably salt-independent, so the oracle is
+    // the PLAIN join (the skew-mitigation rewrite for paths AQE can't
+    // reach); exact-decimal revenue per nation on top
+    "q112_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+          col("l_extendedprice"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(li, supp, Seq("s_suppkey"),
+          saltFrom = "l_orderkey", n = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          AggFunctions.exactSum(col("l_extendedprice"),
+            org.apache.spark.sql.types.DoubleType).as("price_sum"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // exact equi-width histogram of l_quantity (domain 1..50, 10
     // buckets): all-integer bucketing, out-of-domain guard rows
     "q110_histogram" -> ((s, dir) =>
@@ -911,6 +930,12 @@ object Queries {
 
     // sketch values are engine-specific; the oracle checks the exact twins
     // and asserts the within-tolerance booleans Spark computed are TRUE
+    "q112_salted_join" ->
+      s"""SELECT s.s_nationkey, COUNT(1) AS n_items,
+         |  ${dsum("l.l_extendedprice")} AS price_sum
+         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q110_histogram" ->
       """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem),
         |b AS (SELECT CASE WHEN v < 1 THEN -1 WHEN v > 50 THEN 10

@@ -298,6 +298,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(("d", 2L)), "spike in d flags independently of c")
   }
 
+  test("anomalousBucketsPrequential: online semantics, not hindsight") {
+    // LATE spike [1,1,1,1,100]: the spike bucket's prequential moments
+    // equal the global ones (it is the last bucket), so both ops flag it
+    val late = hourEvents(Seq(("a", 0, 1), ("a", 1, 1), ("a", 2, 1),
+      ("a", 3, 1), ("a", 4, 100)))
+    def preq(ev: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      EventAnalytics.anomalousBucketsPrequential(ev, "g", "ts",
+          zNum = 3, zDen = 2)
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("anomalous"))
+        .toMap
+    val lateFlags = preq(late)
+    assert(lateFlags(4L) && lateFlags.count(_._2) == 1)
+    // EARLY spike [100,1,1,1,1]: the global op flags bucket 0 with
+    // hindsight; prequentially bucket 0 IS the whole baseline (m=1,
+    // variance 0) so nothing flags — the defining online difference
+    val early = hourEvents(Seq(("a", 0, 100), ("a", 1, 1), ("a", 2, 1),
+      ("a", 3, 1), ("a", 4, 1)))
+    assert(preq(early).values.forall(!_))
+    val global = EventAnalytics.anomalousBuckets(early, "g", "ts",
+        zNum = 3, zDen = 2).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("anomalous"))
+      .toMap
+    assert(global(0L), "global hindsight flags the early spike")
+    // window is hash-partitioned by group, never single-partition
+    val plan = EventAnalytics.anomalousBucketsPrequential(late, "g", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(g"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("anomalousBuckets moments join broadcasts; grid agg is partial") {
     val ev = hourEvents(Seq(("a", 0, 2), ("a", 1, 3), ("b", 0, 1)))
     val plan = EventAnalytics.anomalousBuckets(ev, "g", "ts")

@@ -400,4 +400,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(r("rolled").collect().head.getAs[Long]("fact_count") > 0)
     assert(r("nations").count() > 0)
   }
+
+  test("streaming anomaly flags equal the prequential batch op across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = Streaming.anomalousBucketsStream(ms.toDS(), zNum = 3, zDen = 2)
+      .toDF("g", "bucket", "n", "anomalous")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_stream").start()
+    // per-key in-order buckets; the spike arrives in a LATER micro-batch
+    // so the flag must come from moments carried in state
+    val batch1 = Seq(("a", 0L, 1L), ("a", 1L, 1L), ("b", 0L, 10L))
+    val batch2 = Seq(("a", 2L, 1L), ("a", 3L, 1L), ("b", 1L, 10L))
+    val batch3 = Seq(("a", 4L, 100L), ("b", 2L, 10L))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      ms.addData(batch3); q.processAllAvailable()
+      val streamed = spark.sql("SELECT g, bucket, n, anomalous FROM anom_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      // batch twin over the same closed buckets, rebuilt as raw events
+      val ev = (batch1 ++ batch2 ++ batch3).flatMap { case (g, b, n) =>
+        (0L until n).map(i => (g, b * 3600000000L + i))
+      }.toDF("g", "us").select(col("g"),
+        timestamp_micros(col("us")).as("ts"))
+      val batch = graft.ops.EventAnalytics.anomalousBucketsPrequential(
+        ev, "g", "ts", zNum = 3, zDen = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(streamed == batch)
+      // the cross-batch spike is flagged; constant series b never is
+      assert(streamed.contains(("a", 4L, 100L, true)))
+      assert(streamed.filter(_._1 == "b").forall(!_._4))
+    } finally q.stop()
+  }
 }
