@@ -216,6 +216,30 @@ object TextAnalysis {
     )
   }
 
+  /** All http(s) URLs in the text, in order — the crawl-pipeline
+    * extraction step feeding per-host statistics and URL-level dedup.
+    * Shared Java/RE2 regex subset, so the DuckDB oracle replays it. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Lower-cased registrable host of a URL, `www.` prefix dropped — the
+    * per-domain aggregation key (domain quotas, host quality priors,
+    * per-site caps all group on this). Empty string for non-URLs. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^https?://(?:www\\.)?([^/?#]+)", 1))
+
+  /** Canonical URL for dedup: lower-cased host (scheme and `www.`
+    * dropped — http/https/www variants of one page collapse) + the path
+    * with query string, fragment, and trailing slashes stripped (the
+    * tracking-parameter noise that makes byte-level URL dedup miss).
+    * Path CASE is preserved (paths are case-sensitive, hosts are not).
+    * Pure per-row regex chain — no shuffle, streams unchanged. */
+  def canonicalizeUrl(url: Column): Column = {
+    val host = urlHost(url)
+    val path = regexp_extract(url, "^https?://[^/?#]+([^?#]*)", 1)
+    concat(host, rtrim(path, "/"))
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

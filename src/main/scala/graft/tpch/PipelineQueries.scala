@@ -673,6 +673,28 @@ object PipelineQueries {
         bucketMicros = 3600000000L, zNum = 2, zDen = 1)
         .orderBy(col("event_type"), col("bucket"))),
 
+    // URL extraction → canonicalization → per-host stats: two injected
+    // URLs per doc (a per-source host with www/query/fragment/slash
+    // noise, and one shared tracker host); canonical dedup collapses the
+    // noise, host grouping counts the crawl's per-domain footprint
+    "q114_url_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val withUrls = d.withColumn("text", concat(col("text"),
+        lit(" https://www."), upper(col("source")), lit(".example.com/P"),
+        col("doc_id").cast("string"), lit("/?utm=x#frag"),
+        lit(" http://Tracker.net/p/"), col("doc_id").cast("string")))
+      withUrls
+        .select(col("doc_id"),
+          explode(TextAnalysis.extractUrls(col("text"))).as("url"))
+        .select(col("doc_id"), TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("canon")).as("n_canonical"))
+        .orderBy(col("host"))
+    }),
+
     // prequential (online) anomaly flags: bucket k judged against the
     // moments of buckets 1..k only — the semantics the streaming twin
     // computes; same integer-exact z² test
@@ -1520,6 +1542,27 @@ object PipelineQueries {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND hr BETWEEN 473400 AND 473519
         |ORDER BY event_id""".stripMargin,
+
+    "q114_url_stats" ->
+      """WITH d AS (SELECT doc_id, text || ' https://www.' || upper(source)
+        |    || '.example.com/P' || CAST(doc_id AS VARCHAR) || '/?utm=x#frag'
+        |    || ' http://Tracker.net/p/' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM d),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '^https?://(?:www\.)?([^/?#]+)', 1)) AS host,
+        |    lower(regexp_extract(url,
+        |      '^https?://(?:www\.)?([^/?#]+)', 1)) ||
+        |    rtrim(regexp_extract(url,
+        |      '^https?://[^/?#]+([^?#]*)', 1), '/') AS canon
+        |  FROM u)
+        |SELECT host, COUNT(1) AS n_urls,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(DISTINCT canon) AS n_canonical
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q113_anomaly_prequential" ->
       """WITH g AS (SELECT event_type,

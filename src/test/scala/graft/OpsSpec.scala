@@ -135,6 +135,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2L) == "cafe au lait")
   }
 
+  test("url extraction, host key, canonical dedup collapse scheme/www/query noise") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "see https://www.Example.COM/A/b/?q=1#x then http://example.com/A/b ok"),
+      (2L, "no urls here"),
+      (3L, "https://sub.Example.com/path/ and http://sub.example.com/path"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        explode(TextAnalysis.extractUrls(col("text"))).as("url"))
+      .select(col("id"), col("url"),
+        TextAnalysis.urlHost(col("url")).as("host"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+      .collect()
+    assert(got.count(_.getLong(0) == 2L) == 0, "no urls → no rows")
+    val byId1 = got.filter(_.getLong(0) == 1L)
+    assert(byId1.map(_.getAs[String]("host")).toSet == Set("example.com"),
+      "case + www. collapse onto one host key")
+    assert(byId1.map(_.getAs[String]("canon")).distinct.length == 1,
+      "https+www+query+fragment+slash variants share one canonical URL")
+    assert(byId1.head.getAs[String]("canon") == "example.com/A/b")
+    val byId3 = got.filter(_.getLong(0) == 3L)
+    assert(byId3.map(_.getAs[String]("canon")).distinct.toSeq ==
+      Seq("sub.example.com/path"))
+    // path case is PRESERVED (only the host lowers)
+    assert(byId1.head.getAs[String]("canon").contains("/A/b"))
+  }
+
   test("identical docs are minhash near-dups with jaccard 1.0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
