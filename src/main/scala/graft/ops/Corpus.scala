@@ -363,6 +363,30 @@ object Corpus {
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(k)
 
+  /** Corpus tokenization to vocabulary ids — the "text → token ids" step
+    * a pretraining pipeline runs after vocabulary selection: the top
+    * `vocabSize` words (from [[vocabulary]]: count desc, word asc —
+    * deterministic ids) map to ids `1..vocabSize` by rank, everything
+    * else to the OOV id `0`. The vocabulary is collected driver-side
+    * (bounded by `vocabSize`, the same contract a trained tokenizer
+    * ships as its merges file) and baked into the plan as a literal map,
+    * so the tokenization itself is a pure per-row `transform` — NO
+    * shuffle, no join, streams unchanged; the only distributed cost is
+    * the one vocabulary-count pass. */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, outCol: String = "token_ids"): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocab = vocabulary(df, textCol, vocabSize).collect()
+      .map(_.getString(0))
+    val m =
+      if (vocab.isEmpty) map().cast("map<string,bigint>")
+      else map(vocab.zipWithIndex.flatMap { case (w, i) =>
+        Seq(lit(w), lit(i + 1L)) }: _*)
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[^\\s]+"), lit(0))
+    df.select(col(idCol),
+      transform(toks, t => coalesce(element_at(m, t), lit(0L))).as(outCol))
+  }
+
   /** PII categories as (name, regex, replacement), applied IN ORDER — the
     * regexes are in the shared Java/RE2 subset (no backrefs, no lookaround)
     * so DuckDB replays the same sequence. URL first: it can contain '@'

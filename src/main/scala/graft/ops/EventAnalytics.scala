@@ -268,4 +268,30 @@ object EventAnalytics {
     cum.select(col(groupCol), col("bucket"), col("n"),
       (lhs > rhs).as(flagCol))
   }
+
+  /** Gap-filled (dense) per-key time grid: one row for EVERY bucket in
+    * the key's observed [min, max] span, zero-filled where the log is
+    * silent — downstream rate math (moving averages, anomaly baselines,
+    * chart axes) breaks on a sparse grid because absent buckets read as
+    * "no data" instead of "zero events".
+    *
+    * Shape: the log collapses to the (key, bucket) grid in one
+    * partial-aggregable pass; each key's span generates its buckets with
+    * `explode(sequence(lo, hi))` — fan-out bounded by span/bucket, i.e.
+    * the OUTPUT size, never the input; the observed grid left-joins back
+    * on (key, bucket). Nothing data-sized shuffles twice. */
+  def densify(events: DataFrame, groupCol: String, tsCol: String,
+      bucketMicros: Long = 3600000000L): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val grid = events.groupBy(col(groupCol),
+        floor(unix_micros(col(tsCol)) / bucketMicros).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val dense = grid.groupBy(col(groupCol))
+      .agg(min(col("bucket")).as("__lo__"), max(col("bucket")).as("__hi__"))
+      .select(col(groupCol),
+        explode(sequence(col("__lo__"), col("__hi__"))).as("bucket"))
+    dense.join(grid, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -43,10 +43,15 @@ object Graph {
       "need iters >= 1 and 0 <= dampNum <= dampDen")
     val e = edges.select(col(srcCol).cast("long").as("__src__"),
       col(dstCol).cast("long").as("__dst__"))
-    val nodes = e.select(col("__src__").as("node"))
-      .union(e.select(col("__dst__"))).distinct()
+    // the loop-invariant tables are PERSISTED (registered with the
+    // thread-scoped cache registry, released by the consumer): without
+    // this the unrolled 3-iteration plan recomputes the edge derivation
+    // once per join — 7× the file scans in the q107 shape
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nodes = Caches.registerDf(e.select(col("__src__").as("node"))
+      .union(e.select(col("__dst__"))).distinct().persist(lvl))
     val deg = e.groupBy(col("__src__")).agg(count(lit(1)).as("__od__"))
-    val ew = e.join(deg, "__src__")
+    val ew = Caches.registerDf(e.join(deg, "__src__").persist(lvl))
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("rank_micros", lit(scale))
     for (_ <- 1 to iters) {

@@ -673,6 +673,21 @@ object PipelineQueries {
         bucketMicros = 3600000000L, zNum = 2, zDen = 1)
         .orderBy(col("event_type"), col("bucket"))),
 
+    // gap-filled per-type hourly grid: every bucket in each type's
+    // observed span, zero-filled (215 silent hours at sf0.01 — the
+    // zero-fill BINDS)
+    "q115_densify" -> ((s, dir) =>
+      EventAnalytics.densify(
+        graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // corpus tokenization to vocabulary ids: top-50 words → ids 1..50 by
+    // rank (count desc, word asc — deterministic), OOV → 0; the literal
+    // vocab map keeps tokenization per-row and shuffle-free
+    "q116_tokenize" -> ((s, dir) =>
+      Corpus.tokenizeToIds(docs(s, dir), "doc_id", "text", vocabSize = 50)
+        .orderBy(col("doc_id"))),
+
     // URL extraction → canonicalization → per-host stats: two injected
     // URLs per doc (a per-source host with www/query/fragment/slash
     // noise, and one shared tracker host); canonical dedup collapses the
@@ -1542,6 +1557,37 @@ object PipelineQueries {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND hr BETWEEN 473400 AND 473519
         |ORDER BY event_id""".stripMargin,
+
+    "q115_densify" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |  FROM g GROUP BY 1),
+        |d AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+        |  FROM s)
+        |SELECT d.event_type, d.bucket, COALESCE(g.n, 0) AS n
+        |FROM d LEFT JOIN g USING (event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q116_tokenize" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[^\s]+') AS ts
+        |  FROM documents),
+        |w AS (SELECT unnest(ts) AS word FROM toks),
+        |v AS (SELECT word,
+        |    row_number() OVER (ORDER BY COUNT(1) DESC, word) AS id
+        |  FROM w GROUP BY word
+        |  ORDER BY COUNT(1) DESC, word LIMIT 50),
+        |e AS (SELECT doc_id, unnest(ts) AS word,
+        |    generate_subscripts(ts, 1) AS ord FROM toks),
+        |r AS (SELECT e.doc_id,
+        |    list(COALESCE(v.id, 0) ORDER BY e.ord) AS tids
+        |  FROM e LEFT JOIN v USING (word) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  COALESCE(r.tids, CAST([] AS BIGINT[])) AS token_ids
+        |FROM toks t LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q114_url_stats" ->
       """WITH d AS (SELECT doc_id, text || ' https://www.' || upper(source)

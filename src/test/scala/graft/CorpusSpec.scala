@@ -200,6 +200,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("p") == got("q"))
   }
 
+  test("tokenizeToIds: rank ids, OOV 0, empty text, shuffle-free plan") {
+    // corpus counts: "the"×4, "cat"×2, "dog"×1 → ids the=1, cat=2, dog=3
+    val df = Seq(
+      (1L, "the cat the dog"),
+      (2L, "THE the cat"),
+      (3L, ""),
+      (4L, "unseen the")).toDF("doc_id", "text")
+    val got = Corpus.tokenizeToIds(df, "doc_id", "text", vocabSize = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSeq).toMap
+    // vocabSize=2 keeps the(1), cat(2); dog and unseen → OOV 0
+    assert(got(1L) == Seq(1L, 2L, 1L, 0L))
+    assert(got(2L) == Seq(1L, 1L, 2L), "tokenization is case-folded")
+    assert(got(3L) == Seq())
+    assert(got(4L) == Seq(0L, 1L))
+    // the literal vocab map keeps the tokenization itself per-row
+    val plan = Corpus.tokenizeToIds(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("filterByQuantile keeps rows at/above the per-key exact quantile") {
     // key a: 1..10, q=0.8 → threshold 0.8·(n-1)+1 = 8.2 → keep 9, 10;
     // key b: all equal → threshold = value → everything survives

@@ -329,6 +329,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("densify zero-fills each key's span independently") {
+    // a: hours 0 and 3 observed → grid 0..3 with zeros at 1,2;
+    // b: single hour → single row, no fabricated span
+    val ev = hourEvents(Seq(("a", 0, 2), ("a", 3, 1), ("b", 5, 4)))
+    val got = EventAnalytics.densify(ev, "g", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got == Map(
+      ("a", 0L) -> 2L, ("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("b", 5L) -> 4L))
+  }
+
   test("anomalousBuckets moments join broadcasts; grid agg is partial") {
     val ev = hourEvents(Seq(("a", 0, 2), ("a", 1, 3), ("b", 0, 1)))
     val plan = EventAnalytics.anomalousBuckets(ev, "g", "ts")
