@@ -673,6 +673,37 @@ object PipelineQueries {
         bucketMicros = 3600000000L, zNum = 2, zDen = 1)
         .orderBy(col("event_type"), col("bucket"))),
 
+    // edit-distance-≤1 fuzzy key join via deletion neighborhoods:
+    // injected one-char-prefixed variants of synthetic product-code keys
+    // meet their originals in the variant equi-join; exact levenshtein
+    // verifies (candidate completeness is a theorem, not a heuristic)
+    "q117_fuzzy_join" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val keys = d.select(col("doc_id"),
+          concat(col("source"), lit("-"),
+            col("doc_id").cast("string")).as("key"))
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id") + 300000L,
+            concat(lit("x"), col("source"), lit("-"),
+              col("doc_id").cast("string"))))
+      graft.ops.Fuzzy.fuzzyPairs(keys, "doc_id", "key")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // asymmetric shingle containment: 6-word excerpts of every 10th doc
+    // are fully contained in their parents (Jaccard ≈ 0 — the signal
+    // banded MinHash structurally misses); df-cutoff prunes boilerplate
+    // shingles BEFORE the self-join, integer-exact threshold
+    "q118_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val withExcerpts = d.union(
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id") + 400000L,
+          array_join(slice(split(col("text"), "\\s+"), 1, 6), " ")))
+      graft.ops.Fuzzy.containmentPairs(withExcerpts, "doc_id", "text",
+          shingleK = 3, maxDf = 20L, pctMin = 80)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // gap-filled per-type hourly grid: every bucket in each type's
     // observed span, zero-filled (215 silent hours at sf0.01 — the
     // zero-fill BINDS)
@@ -1557,6 +1588,49 @@ object PipelineQueries {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND hr BETWEEN 473400 AND 473519
         |ORDER BY event_id""".stripMargin,
+
+    "q117_fuzzy_join" ->
+      """WITH k AS (SELECT doc_id,
+        |    source || '-' || CAST(doc_id AS VARCHAR) AS key
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 300000,
+        |    'x' || source || '-' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |n AS (SELECT doc_id, key, unnest(list_distinct(list_prepend(key,
+        |    list_transform(range(1, len(key) + 1),
+        |      i -> substr(key, 1, i - 1) || substr(key, i + 1, len(key))))))
+        |    AS variant
+        |  FROM k)
+        |SELECT DISTINCT a.doc_id AS id_a, a.key AS key_a,
+        |  b.doc_id AS id_b, b.key AS key_b,
+        |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM n a JOIN n b USING (variant)
+        |WHERE a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q118_containment" -> {
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 400000,
+         |    array_to_string(regexp_split_to_array(text, '\\s+')[1:6], ' ')
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sh AS (SELECT doc_id,
+         |    unnest(list_distinct(${dshingleHashesK("text", 3)})) AS h
+         |  FROM d),
+         |rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(1) <= 20),
+         |pr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |sz AS (SELECT doc_id, COUNT(1) AS n FROM pr GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    COUNT(1) AS inter
+         |  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |  TRUE AS contained
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE inter * 100 >= LEAST(sa.n, sb.n) * 80
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q115_densify" ->
       """WITH g AS (SELECT event_type,
