@@ -387,6 +387,58 @@ object Corpus {
       transform(toks, t => coalesce(element_at(m, t), lit(0L))).as(outCol))
   }
 
+  /** Word n-gram language-model count table: the top `topK` n-grams by
+    * corpus frequency (count desc, gram asc — deterministic), each with
+    * its (n-1)-gram PREFIX count, so the conditional probability
+    * `P(w|prefix) = n_gram / n_prefix` is carried as an EXACT integer
+    * pair — no float division to diverge between engines, and the counts
+    * re-aggregate associatively across corpus shards (the mergeable-LM
+    * property that lets 1000 executors build one model).
+    *
+    * ALL occurrences count (an LM is occurrence-weighted), unlike the
+    * decontamination path's distinct-gram sets. Two partial-aggregable
+    * aggregations + a prefix join-back bounded by the prefix vocabulary;
+    * `TakeOrdered` caps the result at `topK`. */
+  def ngramLmCounts(df: DataFrame, textCol: String, n: Int,
+      topK: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    // sequence(1, 0) would run BACKWARDS ([1,0]) — short docs guard to
+    // an explicitly-typed empty array instead
+    val gramStructs = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => struct(
+        concat_ws(" ", slice(toks, i, lit(n))).as("gram"),
+        concat_ws(" ", slice(toks, i, lit(n - 1))).as("prefix")))
+    val pairs = df.select(explode(when(size(toks) >= n, gramStructs)
+        .otherwise(array().cast("array<struct<gram:string,prefix:string>>")))
+      .as("g"))
+      .select(col("g.gram"), col("g.prefix"))
+    val grams = pairs.groupBy(col("gram"))
+      .agg(first(col("prefix")).as("prefix"), count(lit(1)).as("n_gram"))
+    val prefixes = pairs.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_prefix"))
+    grams.join(prefixes, Seq("prefix"))
+      .select(col("gram"), col("prefix"), col("n_gram"), col("n_prefix"))
+      .orderBy(col("n_gram").desc, col("gram").asc)
+      .limit(topK)
+  }
+
+  /** Per-key rank normalization: `percent_rank` of `valueCol` within its
+    * key — the distribution-free feature transform ("this doc is longer
+    * than 83% of its source") that makes heterogeneous sources
+    * comparable without fitting anything. Ties share a rank (equal
+    * values MUST normalize equally — an id tie-break here would rank
+    * identical docs differently). `(rank-1)/(n-1)` is the same IEEE
+    * division in every engine. Hash-partitioned window by key, the
+    * capPerKey shape. */
+  def rankNormalize(df: DataFrame, keyCol: String, valueCol: String,
+      outCol: String = "pct_rank"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    df.withColumn(outCol, percent_rank().over(w))
+  }
+
   /** PII categories as (name, regex, replacement), applied IN ORDER — the
     * regexes are in the shared Java/RE2 subset (no backrefs, no lookaround)
     * so DuckDB replays the same sequence. URL first: it can contain '@'

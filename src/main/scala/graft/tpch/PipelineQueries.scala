@@ -673,6 +673,20 @@ object PipelineQueries {
         bucketMicros = 3600000000L, zNum = 2, zDen = 1)
         .orderBy(col("event_type"), col("bucket"))),
 
+    // bigram LM count table: top-50 bigrams with exact (n_gram,
+    // n_prefix) integer pairs — conditional probability without float
+    // division; counts merge associatively across shards
+    "q119_bigram_lm" -> ((s, dir) =>
+      Corpus.ngramLmCounts(docs(s, dir), "text", n = 2, topK = 50)),
+
+    // per-source percent_rank length normalization: ties share a rank
+    // (identical docs must normalize identically)
+    "q120_rank_normalize" -> ((s, dir) =>
+      Corpus.rankNormalize(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")
+        .orderBy(col("doc_id"))),
+
     // edit-distance-≤1 fuzzy key join via deletion neighborhoods:
     // injected one-char-prefixed variants of synthetic product-code keys
     // meet their originals in the variant equi-join; exact levenshtein
@@ -1588,6 +1602,25 @@ object PipelineQueries {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND hr BETWEEN 473400 AND 473519
         |ORDER BY event_id""".stripMargin,
+
+    "q119_bigram_lm" ->
+      """WITH toksf AS (SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |e AS (SELECT ts[i] || ' ' || ts[i + 1] AS gram, ts[i] AS prefix
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toksf)),
+        |grams AS (SELECT gram, COUNT(1) AS n_gram FROM e GROUP BY 1),
+        |prefixes AS (SELECT prefix, COUNT(1) AS n_prefix FROM e GROUP BY 1)
+        |SELECT g.gram, split_part(g.gram, ' ', 1) AS prefix,
+        |  g.n_gram, p.n_prefix
+        |FROM grams g JOIN prefixes p ON split_part(g.gram, ' ', 1) = p.prefix
+        |ORDER BY n_gram DESC, gram LIMIT 50""".stripMargin,
+
+    "q120_rank_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |    AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q117_fuzzy_join" ->
       """WITH k AS (SELECT doc_id,

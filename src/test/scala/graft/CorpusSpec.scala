@@ -221,6 +221,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("ngramLmCounts: occurrence-weighted bigrams with exact prefix counts") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val got = Corpus.ngramLmCounts(df, "text", n = 2, topK = 10)
+      .collect()
+      .map(r => r.getAs[String]("gram") ->
+        (r.getAs[String]("prefix"), r.getAs[Long]("n_gram"),
+          r.getAs[Long]("n_prefix"))).toMap
+    // "a b" occurs 3× (twice in doc1 — occurrences, not distinct), "b a" 1×
+    assert(got("a b") == (("a", 3L, 3L)))
+    assert(got("b a") == (("b", 1L, 1L)))
+    assert(got.size == 2, "the 1-token doc contributes nothing")
+    // trigram order: prefix is the leading (n-1)-gram
+    val tri = Corpus.ngramLmCounts(
+      Seq((1L, "a b c d")).toDF("id", "text"), "text", n = 3, topK = 10)
+      .collect().map(r => r.getAs[String]("gram") ->
+        r.getAs[String]("prefix")).toMap
+    assert(tri == Map("a b c" -> "a b", "b c d" -> "b c"))
+  }
+
+  test("rankNormalize: ties share a percent rank within their key") {
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 20L, 3L),
+      ("a", 30L, 4L), ("b", 7L, 5L)).toDF("k", "v", "id")
+    val got = Corpus.rankNormalize(df, "k", "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("pct_rank")).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == got(3L) && math.abs(got(2L) - 1.0 / 3) < 1e-15)
+    assert(got(4L) == 1.0)
+    assert(got(5L) == 0.0, "singleton key ranks 0")
+  }
+
   test("filterByQuantile keeps rows at/above the per-key exact quantile") {
     // key a: 1..10, q=0.8 → threshold 0.8·(n-1)+1 = 8.2 → keep 9, 10;
     // key b: all equal → threshold = value → everything survives
