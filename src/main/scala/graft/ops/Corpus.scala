@@ -439,6 +439,122 @@ object Corpus {
     df.withColumn(outCol, percent_rank().over(w))
   }
 
+  /** BM25 retrieval scoring for a literal query-term list, top-k docs.
+    * LN-FREE variant: idf is the raw Robertson–Spärck-Jones odds ratio
+    * `(N - df + 0.5) / (df + 0.5)` WITHOUT the log — per term it is a
+    * monotone transform of classic idf, and with the log dropped every
+    * operation in the score is IEEE +,-,*,/ (no transcendental), so both
+    * engines produce bit-identical doubles and the result stays
+    * hash-comparable. `k1`/`b` must be exactly-representable doubles
+    * (1.5, 0.75) for the same reason; `k1 + 1` is folded at runtime so
+    * the oracle writes `(1.5 + 1.0)`, not a re-rounded 2.5 literal.
+    *
+    * Scale shape: per-term tf comes from the row's OWN token array (no
+    * per-term join, no explode); the only corpus-wide state is ONE
+    * single-row aggregate (N, Σdl, per-term df) that cross-joins back as
+    * a broadcast — the 100 TB cost is two narrow scans plus a bounded
+    * top-k, never a postings shuffle. The per-term score sum is a fixed
+    * left-to-right fold in query order, matching the oracle's
+    * parenthesization. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[^\\s]+"), lit(0))
+    val base = df.select(col(idCol), toks.as("__toks__"))
+      .withColumn("dl", size(col("__toks__")).cast("double"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) {
+      case (d, (t, i)) => d.withColumn(s"__tf$i",
+        size(filter(col("__toks__"), w => w === lit(t))).cast("double"))
+    }
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("__n__"),
+      sum(col("dl")).as("__sumdl__") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0d, 1L).otherwise(0L))
+            .cast("double").as(s"__df$i")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("__avgdl__", col("__sumdl__") / col("__n__"))
+    val score = queryTerms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val idf = (col("__n__") - col(s"__df$i") + lit(0.5)) /
+        (col(s"__df$i") + lit(0.5))
+      val tf = col(s"__tf$i")
+      acc + (idf * (tf * (lit(k1) + lit(1.0)))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) +
+          lit(b) * (col("dl") / col("__avgdl__"))))
+    }
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("score", score)
+      .select(col(idCol), col("dl").cast("long").as("dl"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Deterministic weighted priority sample: keep the `k` rows per key
+    * with the smallest `priority = polyhash(id) / weight` — a seedless,
+    * engine-reproducible analogue of weighted reservoir sampling
+    * (Efraimidis–Spirakis keys use `u^(1/w)`; dividing a fixed uniform
+    * hash by the weight preserves the monotone-in-weight selection
+    * pressure without the transcendental `pow`, so both engines agree on
+    * every boundary row). Heavier rows get smaller priorities and are
+    * proportionally more likely to survive; re-running — or re-sharding —
+    * the corpus reselects the SAME sample, which is what makes the
+    * sample reproducible across pipeline versions.
+    *
+    * Scale shape: the priority is per-row arithmetic on a codegen'd
+    * hash; one key-partitioned `row_number` window (the [[capPerKey]]
+    * shape — map-side `WindowGroupLimit` prunes to k per partition
+    * before the exchange). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val priority =
+      graft.functions.NativeHashes.poly_hash(col(idCol).cast("string"))
+        .cast("double") / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__prio__").asc, col(idCol).asc)
+    df.withColumn("__prio__", priority)
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .drop("__prio__", "__rn__")
+  }
+
+  /** Sliding-window document chunking (the RAG / long-context prep step):
+    * split each document's token stream into windows of `window` tokens
+    * advancing by `stride` (`stride < window` ⇒ overlapping chunks; the
+    * final window is allowed to run short rather than re-anchor to the
+    * end, so chunk boundaries are a pure function of position — stable
+    * under document appends). A document shorter than one window yields
+    * exactly one chunk. Emits (id, chunk_idx, start token 0-based,
+    * n_tokens, chunk text).
+    *
+    * Scale shape: per-row `sequence` + `posexplode` over the row's own
+    * token array — no shuffle, no state; output size is corpus tokens ×
+    * window/stride, the same blow-up any chunker pays. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"window and stride must be >= 1, got $window/$stride")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[^\\s]+"), lit(0))
+    val n = size(toks)
+    // integer ceil-div via floor: operands are small exact ints, so the
+    // IEEE quotient can never round across an integer boundary
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + (stride - 1)) / lit(stride))
+        .cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks__"), n.as("__n__"),
+        nChunks.as("__nc__"))
+      .select(col(idCol), col("__toks__"),
+        posexplode(sequence(lit(0), col("__nc__") - 1)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start"),
+        slice(col("__toks__"), col("pos") * stride + 1, lit(window))
+          .as("__chunk__"))
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        size(col("__chunk__")).cast("long").as("n_tokens"),
+        array_join(col("__chunk__"), " ").as("chunk_text"))
+  }
+
   /** PII categories as (name, regex, replacement), applied IN ORDER — the
     * regexes are in the shared Java/RE2 subset (no backrefs, no lookaround)
     * so DuckDB replays the same sequence. URL first: it can contain '@'

@@ -276,4 +276,33 @@ object Similarity {
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     topKOf(scored, k)
   }
+
+  /** Contrastive hard-negative mining: for each anchor, the top-k corpus
+    * rows whose cosine lands in the HARD band `[lo, hi)` — similar
+    * enough to be informative negatives for embedding training, but
+    * excluded from the near-duplicate zone above `hi` (those are
+    * probable positives/dups, poison as negatives). The band filters the
+    * RAW cosine before [[topKOf]]'s 6dp display rounding, so the
+    * boundary decision is the same exact IEEE comparison in the oracle.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — broadcast anchors ×
+    * corpus scan into the bounded map-side top-k aggregate; the band
+    * filter only SHRINKS what the partial aggregation keeps. The
+    * documented scale path is the same LSH/IVF routing as ANN ([
+    * [lshTopK]]/[[ivfTopK]] accept the filtered score column shape);
+    * mining stays a one-scan pass either way. */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      lo: Double, hi: Double
+  ): DataFrame = {
+    require(lo < hi, s"band must satisfy lo < hi, got [$lo, $hi)")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    topKOf(scored, k)
+  }
 }

@@ -2,7 +2,7 @@ package graft.tpch
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Clustering, Corpus, Dedup, EventAnalytics, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Clustering, Corpus, Dedup, EventAnalytics, Incremental, Similarity, TextAnalysis, Multimodal}
 
 /** Gate queries for the training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings` /
@@ -763,6 +763,65 @@ object PipelineQueries {
         graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts",
         zNum = 2, zDen = 1)
         .orderBy(col("event_type"), col("bucket"))),
+
+    // BM25 top-20 for a 3-term query: ln-free rational idf keeps the
+    // score pure IEEE +,-,*,/ (hash-comparable); one single-row stats
+    // broadcast, no postings shuffle
+    "q121_bm25" -> ((s, dir) =>
+      Corpus.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("join", "vector", "scan"), topK = 20)),
+
+    // deterministic weighted priority sample: 5 docs per source, weight
+    // n_chars — polyhash(id)/weight priority, reproducible across runs
+    // and engines (no seed, no pow)
+    "q122_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id", k = 5)
+        .orderBy(col("doc_id"))),
+
+    // sliding-window RAG chunking: 24-token windows advancing by 16
+    // (overlap 8); the short final window BINDS on most docs
+    "q123_chunk" -> ((s, dir) =>
+      Corpus.chunkDocuments(docs(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text", window = 24, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // incremental pre-agg maintenance: base aggregate (ts < Jan 16) +
+    // signed CDC delta (inserts after the cut; retractions of the %11
+    // inserts and of the %13 base facts) must EQUAL the from-scratch
+    // recompute the oracle runs — integer counts + milli-scaled sums,
+    // only the delta is scanned on the Spark side's refresh path
+    "q124_incremental_preagg" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+        .withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+      val t0 = lit("2024-01-16 00:00:00").cast("timestamp")
+      val keys = Seq("event_type", "user_bucket")
+      val base = Incremental.aggregateSigned(
+        ev.filter(col("ts") < t0).withColumn("sign", lit(1L)),
+        keys, "sign", Seq("vmil"))
+      val delta = ev.filter(col("ts") >= t0).withColumn("sign", lit(1L))
+        .unionByName(
+          ev.filter(col("ts") >= t0 && col("event_id") % 11 === 0)
+            .withColumn("sign", lit(-1L)))
+        .unionByName(
+          ev.filter(col("ts") < t0 && col("event_id") % 13 === 0)
+            .withColumn("sign", lit(-1L)))
+      Incremental.merge(base,
+        Incremental.aggregateSigned(delta, keys, "sign", Seq("vmil")), keys)
+        .orderBy(col("event_type"), col("user_bucket"))
+    }),
+
+    // contrastive hard negatives: per anchor, top-3 by cosine INSIDE the
+    // band [0.125, 0.25) — informative negatives below the near-dup zone
+    "q125_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 3, lo = 0.125, hi = 0.25)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // count-min heavy hitters: exact top-10 words + the CMS estimate of
     // each, gated by the sketch's one-sided error bound (q30 pattern —
@@ -1730,6 +1789,97 @@ object PipelineQueries {
         |SELECT event_type, bucket, n,
         |  (m * n - s) * (m * n - s) > 4 * (m * ss - s * s) AS anomalous
         |FROM c ORDER BY event_type, bucket""".stripMargin,
+
+    "q121_bm25" -> {
+      val terms = Seq("join", "vector", "scan")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, w -> w = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      // EXACT parenthesization of the Spark fold: ((0.0 + t0) + t1) + t2,
+      // each term ((idf * (tf * 2.5)) / (tf + 1.5*(0.25 + 0.75*(dl/avgdl))))
+      val score = terms.indices.foldLeft("0.0") { (acc, i) =>
+        s"($acc + ((((n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.5)) / " +
+          s"(tf$i + 1.5 * (0.25 + 0.75 * (dl / avgdl)))))"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[^\\s]+') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    $tfCols
+         |  FROM t),
+         |s AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+         |    $dfCols
+         |  FROM d),
+         |sc AS (SELECT d.doc_id, d.dl, s.n, s.sumdl / s.n AS avgdl,
+         |    ${terms.indices.map(i => s"d.tf$i, s.df$i").mkString(", ")}
+         |  FROM d CROSS JOIN s)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl, $score AS score,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY $score DESC, doc_id ASC)
+         |    AS INTEGER) AS rank
+         |FROM sc
+         |QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+    },
+
+    "q122_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, source, n_chars,
+         |    CAST(${dpolyhash("CAST(doc_id AS VARCHAR)")} AS DOUBLE) /
+         |      CAST(n_chars AS DOUBLE) AS prio
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars FROM h
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+         |  ORDER BY prio ASC, doc_id ASC) <= 5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q123_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[^\s]+') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 24 THEN 1
+        |      ELSE CAST(floor((len(toks) - 24 + 15) / 16) AS INTEGER) + 1
+        |    END AS nc
+        |  FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n),
+        |x AS (SELECT doc_id, ci,
+        |    toks[ci * 16 + 1 : ci * 16 + 24] AS chunk
+        |  FROM c)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |  CAST(ci * 16 AS BIGINT) AS start,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q124_incremental_preagg" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+        |  CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS vmil_sum
+        |FROM events
+        |WHERE (ts < TIMESTAMP '2024-01-16 00:00:00' AND event_id % 13 <> 0)
+        |   OR (ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_id % 11 <> 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q125_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${dcosine("q.qv", "c.embedding")} AS cos_raw
+         |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+         |band AS (SELECT * FROM scored
+         |  WHERE cos_raw >= 0.125 AND cos_raw < 0.25),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM band)
+         |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q104_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, source,

@@ -443,4 +443,74 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("alpha"))
   }
+
+  test("bm25TopK: zero-tf docs score 0, present terms rank by tf and dl") {
+    val df = Seq(
+      (1L, "join join join pad pad"),          // tf=3, short
+      (2L, "join pad pad pad pad pad pad pad pad pad"), // tf=1, long
+      (3L, "pad pad pad pad pad"))             // tf=0
+      .toDF("doc_id", "text")
+    val rows = Corpus.bm25TopK(df, "doc_id", "text", Seq("join"), topK = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank")))
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId(3L) == 0.0)                   // absent term contributes 0
+    assert(byId(1L) > byId(2L))               // higher tf + shorter doc
+    assert(rows.sortBy(_._3).map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("bm25TopK sums terms in query order and respects topK") {
+    val df = Seq((1L, "a b"), (2L, "a a"), (3L, "b b"), (4L, "c c"))
+      .toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(df, "doc_id", "text", Seq("a", "b"), topK = 2)
+      .collect()
+    assert(out.length == 2)
+    // doc 1 matches both terms; single-term docs score lower
+    assert(out.map(_.getAs[Long]("doc_id")).contains(1L))
+  }
+
+  test("weightedSample is reproducible and weight-sensitive") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, "k", if (i < 10) 1000000L else 1L))
+      .toDF("doc_id", "source", "w")
+    val pick = Corpus.weightedSample(df, "source", "w", "doc_id", k = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // heavy rows (ids 0-9, weight 1e6) dominate the smallest priorities
+    assert(pick.count(_ < 10) >= 7)
+    // identical under re-partitioning: selection is content-addressed
+    val pick2 = Corpus.weightedSample(df.repartition(7), "source", "w",
+      "doc_id", k = 8).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(pick == pick2)
+    assert(Corpus.weightedSample(df, "source", "w", "doc_id", 8)
+      .columns.toSeq == Seq("doc_id", "source", "w"))
+  }
+
+  test("chunkDocuments: short doc = one chunk; overlap and tail are exact") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text10), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = Corpus.chunkDocuments(df, "doc_id", "text",
+      window = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[Long]("start"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // n=10, w=4, s=3 → ceil((10-4)/3)+1 = 3 chunks at 0,3,6
+    assert(d1.map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    assert(d1.head._5 == "w1 w2 w3 w4")
+    assert(d1.last._5 == "w7 w8 w9 w10")
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3L && d2.head._5 == "a b c")
+  }
+
+  test("chunkDocuments emits a short final window when the tail binds") {
+    val df = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Corpus.chunkDocuments(df, "doc_id", "text", 4, 3)
+      .collect().sortBy(_.getAs[Int]("chunk_idx"))
+    // n=11 → ceil(7/3)+1 = 4 chunks; the last starts at 9 with 2 tokens
+    assert(rows.length == 4)
+    assert(rows.last.getAs[Long]("start") == 9L)
+    assert(rows.last.getAs[Long]("n_tokens") == 2L)
+  }
 }

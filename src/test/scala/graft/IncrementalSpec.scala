@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Incremental
+
+class IncrementalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("merge(base, delta) equals a from-scratch recompute") {
+    // facts: (key, metric); base = first 6, delta = 2 inserts + 1 delete
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 1L), ("b", 2L),
+      ("c", 5L), ("c", 7L)).toDF("k", "v").withColumn("sign", lit(1L))
+    val delta = Seq(("a", 30L, 1L), ("d", 100L, 1L), ("b", 2L, -1L))
+      .toDF("k", "v", "sign")
+    val merged = Incremental.merge(
+      Incremental.aggregateSigned(base, Seq("k"), "sign", Seq("v")),
+      Incremental.aggregateSigned(delta, Seq("k"), "sign", Seq("v")),
+      Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("v_sum"))).toMap
+    // survivors: a{10,20,30}, b{1}, c{5,7}, d{100}
+    assert(merged == Map(
+      "a" -> (3L, 60L), "b" -> (1L, 1L), "c" -> (2L, 12L), "d" -> (1L, 100L)))
+  }
+
+  test("fully-retracted keys vanish (no zero rows)") {
+    val base = Seq(("x", 5L)).toDF("k", "v").withColumn("sign", lit(1L))
+    val delta = Seq(("x", 5L, -1L)).toDF("k", "v", "sign")
+    val out = Incremental.merge(
+      Incremental.aggregateSigned(base, Seq("k"), "sign", Seq("v")),
+      Incremental.aggregateSigned(delta, Seq("k"), "sign", Seq("v")),
+      Seq("k")).collect()
+    assert(out.isEmpty)
+  }
+
+  test("merge rejects shape-mismatched inputs") {
+    val a = Seq(("k1", 1L, 2L)).toDF("k", "n", "v_sum")
+    val b = Seq(("k1", 1L, 2L)).toDF("k", "n", "other_sum")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.merge(a, b, Seq("k"))
+    }
+    assert(e.getMessage.contains("shapes differ"))
+  }
+
+  test("delta refresh never scans the base fact table (scale shape)") {
+    // the merge plan unions two |keys|-sized aggregates — assert the base
+    // AGGREGATE (not its facts) feeds the final hash aggregate: no join,
+    // no window, exactly two aggregate layers
+    val base = Seq(("a", 1L)).toDF("k", "v").withColumn("sign", lit(1L))
+    val delta = Seq(("a", 2L, 1L)).toDF("k", "v", "sign")
+    val plan = Incremental.merge(
+      Incremental.aggregateSigned(base, Seq("k"), "sign", Seq("v")),
+      Incremental.aggregateSigned(delta, Seq("k"), "sign", Seq("v")),
+      Seq("k")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+}

@@ -222,6 +222,34 @@ class OpsSpec extends AnyFunSuite {
     (0 until 3).foreach(i => assert(lsh(i.toLong) == 100L + i))
   }
 
+  test("hardNegatives keeps only the [lo, hi) cosine band, excludes near-dups") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // cos ≈ 0.995 → above band (dup)
+      (2L, Array(0.5f, 0.866f, 0.0f)),  // cos ≈ 0.5  → in band
+      (3L, Array(0.3f, 0.954f, 0.0f)),  // cos ≈ 0.3  → in band
+      (4L, Array(0.0f, 0.0f, 1.0f))     // cos = 0    → below band
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(
+      vs.filter($"vec_id" === 0), vs, "vec_id", "embedding",
+      k = 3, lo = 0.25, hi = 0.9).collect()
+    // only vectors 2 and 3 fall in [0.25, 0.9); rank by cosine desc
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    out.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.25 && c < 0.9)
+    }
+  }
+
+  test("hardNegatives rejects an inverted band") {
+    val vs = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vs, vs, "vec_id", "embedding", 1, 0.9, 0.5)
+    }
+    assert(e.getMessage.contains("lo < hi"))
+  }
+
   test("near-dup clustering: chains collapse to one component, keepers kept") {
     val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3, pair 5-6; 4 and 7 singletons
