@@ -342,6 +342,44 @@ object ScaleStress {
           Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.25, "src3" -> 3.0))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q121 shape: BM25 — per-term tf from the row's own tokens, ONE
+      // single-row stats broadcast; the corpus never shuffles and the
+      // rank window is top-k-limited (WindowGroupLimit map-side)
+      timed(scale, "bm25") {
+        val out = Corpus.bm25TopK(docs, "doc_id", "text",
+          Seq("join", "vector", "scan"), topK = 20)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q122 shape under the cap_per_key skew: hot key holds half the
+      // corpus, but WindowGroupLimit forwards ≤ k rows per map task
+      timed(scale, "weighted_sample_hot") {
+        val out = Corpus.weightedSample(skewed, "key", "len", "doc_id", 100)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q123 shape: chunking — pure per-row sequence+posexplode; output
+      // grows with tokens × window/stride, shuffle must stay zero
+      timed(scale, "chunk") {
+        val out = Corpus.chunkDocuments(docs, "doc_id", "text", 24, 16)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q124 shape: incremental pre-agg refresh — base is ALREADY the
+      // |keys|-sized aggregate (persisted once), so a delta refresh
+      // scans and shuffles only the delta + aggregate rows; the claim is
+      // the refresh cost tracks |delta|, not |base facts|
+      timed(scale, "incremental_preagg") {
+        import graft.ops.Incremental
+        val keyed = docs.withColumn("key", pmod(col("doc_id"), lit(97L)))
+          .withColumn("len", length(coalesce(col("text"), lit(""))).cast("long"))
+          .withColumn("sign", lit(1L))
+        val baseAgg = Incremental.aggregateSigned(
+          keyed.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+          Seq("key"), "sign", Seq("len"))
+        val deltaAgg = Incremental.aggregateSigned(
+          keyed.filter(pmod(col("doc_id"), lit(10L)) === 0),
+          Seq("key"), "sign", Seq("len"))
+        val out = Incremental.merge(baseAgg, deltaAgg, Seq("key"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
@@ -398,6 +436,20 @@ object ScaleStress {
       }
     runSemDedup("1x", emb1x, k = 8)
     runSemDedup("10x", emb10x, k = 80)
+
+    // q125 shape: hard-negative mining — the anchor set is FIXED-size
+    // (a training batch), so the broadcast side never grows; the corpus
+    // scan is one pass into the bounded map-side top-k aggregate and the
+    // band filter only shrinks what the partial agg keeps
+    def runHardNeg(scale: String, emb: DataFrame): Unit =
+      timed(scale, "hard_negatives") {
+        val out = graft.ops.Similarity.hardNegatives(
+          emb1x.filter(col("vec_id") < 16), emb, "vec_id", "embedding",
+          k = 5, lo = 0.125, hi = 0.25)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runHardNeg("1x", emb1x)
+    runHardNeg("10x", emb10x)
 
     // r9 event-analytics shapes (q90–q92) over the events fact. 10× = 10
     // user-shifted copies: users grow with the log while per-user history

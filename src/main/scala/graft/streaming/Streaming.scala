@@ -183,6 +183,31 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Incremental]]: the pre-aggregated
+    * sink maintained CONTINUOUSLY from a signed CDC stream of
+    * `(key, sign, value)` rows (+1 insert, -1 delete). Per-key state is
+    * the same (n, Σ value·sign) monoid the batch merge adds — O(1) per
+    * key forever; each micro-batch folds its rows and emits every
+    * touched key's REFRESHED aggregate (update semantics: downstream
+    * upserts by key). A key retracted to n = 0 emits its zero row as
+    * the delete signal — the state the batch [[graft.ops.Incremental
+    * .merge]] expresses by DROPPING the key; StreamingSpec asserts the
+    * stream's final states equal the batch merge over the same rows
+    * modulo exactly that representation. */
+  def preaggStream(rows: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, sign, v) => n += sign; s += sign * v }
+          state.update((n, s))
+          Iterator.single((key, n, s))
+      }
+  }
+
   /** Streaming twin of
     * [[graft.ops.EventAnalytics.anomalousBucketsPrequential]]: rows are
     * CLOSED buckets `(group, bucket, n)` (e.g. from an upstream

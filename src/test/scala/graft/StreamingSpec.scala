@@ -436,4 +436,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.filter(_._1 == "b").forall(!_._4))
     } finally q.stop()
   }
+
+  test("preaggStream final states equal the batch incremental merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = Streaming.preaggStream(ms.toDS())
+      .toDF("k", "n", "v_sum")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("preagg_stream").start()
+    // batch 1: plain inserts; batch 2: an insert, a delete of a batch-1
+    // row (cross-batch retraction), and a full retraction of key c
+    val batch1 = Seq(("a", 1L, 10L), ("a", 1L, 20L), ("b", 1L, 5L),
+      ("c", 1L, 7L))
+    val batch2 = Seq(("a", 1L, 30L), ("b", -1L, 5L), ("c", -1L, 7L),
+      ("b", 1L, 9L))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // last emitted row per key = the maintained aggregate
+      val rows = spark.sql(
+        "SELECT k, n, v_sum FROM preagg_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val finalState = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+      // batch twin over the same rows through aggregateSigned+merge
+      val merged = graft.ops.Incremental.merge(
+        graft.ops.Incremental.aggregateSigned(
+          batch1.toDF("k", "sign", "v"), Seq("k"), "sign", Seq("v")),
+        graft.ops.Incremental.aggregateSigned(
+          batch2.toDF("k", "sign", "v"), Seq("k"), "sign", Seq("v")),
+        Seq("k"))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[Long]("v_sum"))).toSet
+      // surviving keys agree exactly
+      assert(merged == Set(("a", 3L, 60L), ("b", 1L, 9L)))
+      assert(finalState("a") == ("a", 3L, 60L))
+      assert(finalState("b") == ("b", 1L, 9L))
+      // the stream represents c's full retraction as the zero row the
+      // batch merge expresses by dropping the key
+      assert(finalState("c") == ("c", 0L, 0L))
+    } finally q.stop()
+  }
 }
