@@ -59,7 +59,8 @@ object Bench {
     // not query throughput. They stay in the CORRECTNESS gate; the bench
     // times the query engine.
     val sinkWriters = Set("q34_materialize_denorm", "q35_materialize_preagg",
-      "q36_materialize_dim", "q37_formats_roundtrip", "q108_prune_read")
+      "q36_materialize_dim", "q37_formats_roundtrip", "q108_prune_read",
+      "q129_bucket_join")
     // N COMPLETE passes over the catalog, per-query min taken ACROSS
     // passes. Back-to-back min-of-N per query cannot escape deferred
     // cleanup noise: a heavy query's async unpersists/GC land on whichever

@@ -342,6 +342,12 @@ object ScaleStress {
           Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.25, "src3" -> 3.0))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q130 shape under the same skew: winsorization — |keys|-row
+      // percentile table broadcast back; two scans, no data-sized shuffle
+      timed(scale, "winsorize_hot") {
+        val out = Corpus.winsorize(skewed, "key", "len", 0.1, 0.9)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q121 shape: BM25 — per-term tf from the row's own tokens, ONE
       // single-row stats broadcast; the corpus never shuffles and the
       // rank window is top-k-limited (WindowGroupLimit map-side)
@@ -488,6 +494,31 @@ object ScaleStress {
         val out = graft.ops.EventAnalytics.cohortRetention(
           ev.withColumn("ts", timestamp_micros(col("tus"))),
           "user_id", "ts")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q126 shape: gaps-and-islands — two key-partitioned windows + one
+      // grouped agg on ONE hash partitioning; per-key cost linear
+      timed(scale, "interval_merge") {
+        val iv = ev.select(col("user_id"), col("tus").as("s"),
+          (col("tus") + 1800000000L).as("e"))
+        val out = graft.ops.EventAnalytics.coalesceIntervals(
+          iv, Seq("user_id"), "s", "e")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q127 shape: per-key EWMA — collect_list bounded by the KEY's
+      // history; users grow with the log, per-user history stays flat
+      timed(scale, "ewma") {
+        val out = graft.ops.EventAnalytics.ewma(
+          ev, "user_id", "tus", "event_id", "value", alpha = 0.25)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q128 shape: attribution — one asof key shuffle + a tiny group agg
+      timed(scale, "attribution") {
+        val e2 = ev.withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+        val out = graft.ops.EventAnalytics.attribution(e2, "user_id",
+          "tus", "event_id", "event_type", "vmil",
+          convType = "purchase", touchTypes = Seq("view", "click"))
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q97 shape: bucketed range join — clicks in the hour before each

@@ -156,6 +156,30 @@ object Corpus {
       .drop("__th__")
   }
 
+  /** Per-key winsorization: clamp `valueCol` into its key's
+    * `[loQ, hiQ]` exact interpolated percentile band — the outlier
+    * treatment that preserves row count where [[filterByQuantile]]
+    * drops (feature pipelines want every row, with tails flattened).
+    * Same scale shape as the filter: per-key thresholds are |keys| rows
+    * computed in one partial-aggregable pass and BROADCAST back; two
+    * scans, no data-sized shuffle. Adds `<valueCol>_w` (clamped double)
+    * plus the band columns; swap `approx_percentile` at extreme key
+    * cardinality, same shape. */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val th = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile(CAST($valueCol AS DOUBLE), $loQ)").as("__lo__"),
+      expr(s"percentile(CAST($valueCol AS DOUBLE), $hiQ)").as("__hi__"))
+    df.join(broadcast(th), Seq(keyCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo__")),
+          col("__hi__")))
+      .withColumnRenamed("__lo__", "band_lo")
+      .withColumnRenamed("__hi__", "band_hi")
+  }
+
   /** Deterministic mixture sampling: each source is sampled at weight
     * `w` — a doc is kept `floor(w)` whole times, plus once more iff its
     * content bucket falls below the fractional part (content-addressed:

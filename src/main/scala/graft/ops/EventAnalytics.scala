@@ -294,4 +294,103 @@ object EventAnalytics {
       .select(col(groupCol), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Interval coalescing (gaps-and-islands): merge each key's
+    * overlapping-or-touching `[start, end)` intervals into maximal
+    * disjoint islands — session spans from raw visit intervals,
+    * maintenance-window union, covered-time computation. Two intervals
+    * merge when the next `start <= running max end` (touching counts as
+    * merged; pass micros, all-integer, so both engines agree on every
+    * boundary).
+    *
+    * Shape: per-key sort, running `max(end)` over the PRECEDING frame,
+    * island id as a running sum of new-island flags, then one grouped
+    * aggregation — two key-partitioned windows + one partial-aggregable
+    * groupBy sharing a single hash partitioning on the key; a hot key
+    * costs its own row count, nothing quadratic. Returns one row per
+    * island: key, island ordinal, island start/end, merged-interval
+    * count. Empty intervals (`end <= start`) are dropped up front. */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    val order = Seq(col(startCol).asc, col(endCol).asc)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(endCol) > col(startCol))
+      .withColumn("__newisland__",
+        when(col(startCol) <= max(col(endCol)).over(wPrev), 0L)
+          .otherwise(1L))
+      .withColumn("__island__", sum(col("__newisland__")).over(wRun))
+      .groupBy((keyCols.map(col) :+ col("__island__")): _*)
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .select((keyCols.map(col) :+ col("__island__").as("island")) ++
+        Seq(col("island_start"), col("island_end"), col("n_merged")): _*)
+  }
+
+  /** Per-key exponentially-weighted moving average of `valueCol` in
+    * `(tsCol, idCol)` order: `ewma ← ewma·(1−α) + x·α`, seeded with the
+    * key's FIRST value (no zero-init bias). α must be an exactly
+    * representable double (0.25, 0.5) and the fold is a fixed
+    * left-to-right reduction over the key's time-sorted history, so the
+    * result is bit-identical across engines and layouts — an unordered
+    * float aggregation would hash-diverge.
+    *
+    * Shape: one key-partitioned `collect_list` + per-key ordered fold —
+    * state is bounded by the KEY's history (per-user event counts, the
+    * production growth mode where users grow with the log and per-user
+    * history stays flat), not by the corpus. For unbounded per-key
+    * histories use the streaming twin shape (O(1) running state) instead
+    * of this batch formulation. Returns key, n_events, last ts, ewma. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val t = struct(col(tsCol).as("ts"), col(idCol).as("id"),
+      col(valueCol).cast("double").as("v"))
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(t)).as("__h__"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("n_events"),
+        element_at(col("__h__"), -1).getField("ts").as("last_ts"),
+        aggregate(
+          slice(col("__h__"), lit(2), size(col("__h__")) - 1),
+          element_at(col("__h__"), 1).getField("v"),
+          (acc, e) => acc * lit(1.0 - alpha) +
+            e.getField("v") * lit(alpha)).as("ewma"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent PRECEDING touch event (view/click/…) of the same
+    * entity — the as-of join is exactly the right primitive, so this
+    * composes [[asofJoin]] (conversions probe, touches reference) and
+    * aggregates credited value per touch type. Conversions with no prior
+    * touch report as type `"(none)"` — dropped conversions would
+    * silently understate revenue. One key shuffle end to end.
+    *
+    * Returns one row per touch type: conversions credited and total
+    * credited value. Pass an INTEGER value column (e.g. milli-scaled)
+    * when hash-exact cross-engine totals matter — a double sum is
+    * partition-order-dependent. */
+  def attribution(events: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, typeCol: String, valueCol: String,
+      convType: String, touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(entityCol), col(tsCol), col(idCol), col(valueCol))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol), col(tsCol).as("__tts__"),
+        col(idCol).as("__tid__"), col(typeCol).as("touch_type"))
+    asofJoin(conv, touch, Seq(entityCol), tsCol, "__tts__",
+        Seq("touch_type"), matchedTsCol = "__mts__",
+        tieCol = Some("__tid__"))
+      .withColumn("touch_type",
+        coalesce(col("touch_type"), lit("(none)")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol)).as("value_sum"))
+  }
 }

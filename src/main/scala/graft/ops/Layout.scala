@@ -45,6 +45,33 @@ object Layout {
       .sortWithinPartitions(col(zCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Write `df` bucketed by `keyCol` into `nBuckets` buckets as managed
+    * table `table` (Spark's hash-bucketing layout: file N holds exactly
+    * the rows with `pmod(hash(key), nBuckets) = N`, recorded in the
+    * catalog). Two tables bucketed the SAME way join (and aggregate)
+    * with ZERO exchange — the shuffle is paid ONCE at write time and
+    * amortized over every subsequent join, the co-located-join strategy
+    * for fact tables that join on the same key daily at 100 TB.
+    * `sortBy` the key too, so the join's sort is also pre-paid
+    * per-bucket. LayoutSpec asserts the bucketed self/pair join plans
+    * carry NO Exchange while the plain-parquet twin carries two. */
+  def bucketWrite(df: DataFrame, keyCol: String, nBuckets: Int,
+      table: String): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    // an in-memory catalog forgets tables across sessions but leaves the
+    // managed location on disk; the next CREATE then fails with
+    // LOCATION_ALREADY_EXISTS — drop both the entry and any stale dir
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Per-file (min, max) manifest of `cols` for the parquet table at
     * `path` — the stats table Delta/Iceberg persist at write time so a
     * reader can prune FILES before any scan task launches. Built with

@@ -823,6 +823,76 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // gaps-and-islands interval coalescing: 30-min visit intervals per
+    // user merged into maximal disjoint sessions (touching merges)
+    "q126_interval_merge" -> ((s, dir) => {
+      val iv = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 1800000000L).as("e"))
+      EventAnalytics.coalesceIntervals(iv, Seq("user_id"), "s", "e")
+        .orderBy(col("user_id"), col("island"))
+    }),
+
+    // per-user EWMA of event value (α=0.25, first-value seed): fixed
+    // left-to-right fold over the time-sorted history — bit-identical
+    // doubles in both engines
+    "q127_ewma" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+      EventAnalytics.ewma(ev, "user_id", "tus", "event_id", "value",
+          alpha = 0.25)
+        .orderBy(col("user_id"))
+    }),
+
+    // last-touch attribution: purchases credited to the latest preceding
+    // view/click of the same user (asof composition); integer
+    // milli-value sums so totals are hash-exact
+    "q128_attribution" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"))
+      EventAnalytics.attribution(ev, "user_id", "tus", "event_id",
+          "event_type", "vmil", convType = "purchase",
+          touchTypes = Seq("view", "click"))
+        .orderBy(col("touch_type"))
+    }),
+
+    // bucketed co-located join: lineitem + orders pre-bucketed on the
+    // order key (shuffle paid once at WRITE time), joined with zero
+    // exchange — revenue per order priority; oracle is the plain join
+    // (layout is invisible to semantics, which is the claim)
+    "q129_bucket_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,4)").as("rev"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.ops.Layout.bucketWrite(li, "l_orderkey", 8,
+        "graft_bkt_lineitem")
+      graft.ops.Layout.bucketWrite(ord, "o_orderkey", 8,
+        "graft_bkt_orders")
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // per-source winsorization of n_chars into the [p10, p90] band:
+    // row-preserving outlier treatment (the filter's sibling)
+    "q130_winsorize" -> ((s, dir) =>
+      Corpus.winsorize(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", loQ = 0.1, hiQ = 0.9)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("band_lo"), col("band_hi"), col("n_chars_w"))
+        .orderBy(col("doc_id"))),
+
     // count-min heavy hitters: exact top-10 words + the CMS estimate of
     // each, gated by the sketch's one-sided error bound (q30 pattern —
     // the boolean is what the oracle checks)
@@ -1880,6 +1950,73 @@ object PipelineQueries {
          |  CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q126_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e FROM events),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN s <= MAX(e) OVER (PARTITION BY user_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) THEN 0 ELSE 1 END AS ni
+        |  FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |    SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(s) AS island_start, MAX(e) AS island_end,
+        |  COUNT(1) AS n_merged
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
+
+    "q127_ewma" ->
+      """WITH h AS (SELECT user_id,
+        |    list(struct_pack(ts := epoch_us(ts), id := event_id,
+        |      v := value) ORDER BY epoch_us(ts), event_id) AS hh,
+        |    COUNT(1) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events, hh[-1].ts AS last_ts,
+        |  list_reduce(
+        |    list_prepend(hh[1].v, list_transform(hh[2:], x -> x.v)),
+        |    (a, v) -> a * 0.75 + v * 0.25) AS ewma
+        |FROM h ORDER BY user_id""".stripMargin,
+
+    // last-touch attribution: DuckDB ASOF with the q90 tie discipline
+    "q128_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |c AS (SELECT user_id, tus, vmil FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, tus AS tts, event_type AS touch_type
+        |  FROM e WHERE event_type IN ('view', 'click')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, tus
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT COALESCE(t.touch_type, '(none)') AS touch_type,
+        |  COUNT(1) AS n_conversions,
+        |  CAST(SUM(c.vmil) AS BIGINT) AS value_sum
+        |FROM c ASOF LEFT JOIN t
+        |  ON c.user_id = t.user_id AND c.tus >= t.tts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // layout is invisible to semantics: the oracle is the PLAIN join
+    "q129_bucket_join" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q130_winsorize" ->
+      """WITH th AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.1) AS band_lo,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS band_hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars, th.band_lo, th.band_hi,
+        |  LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), th.band_lo),
+        |    th.band_hi) AS n_chars_w
+        |FROM documents d JOIN th USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q104_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, source,

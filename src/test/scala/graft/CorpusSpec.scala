@@ -503,6 +503,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(d2.length == 1 && d2.head._4 == 3L && d2.head._5 == "a b c")
   }
 
+  test("winsorize clamps tails into the per-key band, preserves rows") {
+    // key a: values 0..10 → p0=0, p1=10 with loQ=0.2 → 2.0, hiQ=0.8 → 8.0
+    val df = (0 to 10).map(i => ("a", i.toLong, i)).toDF("k", "id", "v")
+    val got = Corpus.winsorize(df, "k", "v", 0.2, 0.8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("v_w"), r.getAs[Double]("band_lo"),
+          r.getAs[Double]("band_hi"))).toMap
+    assert(got.size == 11, "row-preserving")
+    assert(got(0L)._1 == 2.0 && got(1L)._1 == 2.0)   // low tail clamped
+    assert(got(5L)._1 == 5.0)                        // interior untouched
+    assert(got(9L)._1 == 8.0 && got(10L)._1 == 8.0)  // high tail clamped
+    assert(got(0L)._2 == 2.0 && got(0L)._3 == 8.0)
+  }
+
+  test("winsorize: an all-equal key degenerates to the identity") {
+    val df = Seq(("k", 1L, 7), ("k", 2L, 7), ("k", 3L, 7))
+      .toDF("k", "id", "v")
+    val got = Corpus.winsorize(df, "k", "v", 0.1, 0.9).collect()
+    assert(got.forall(_.getAs[Double]("v_w") == 7.0))
+  }
+
   test("chunkDocuments emits a short final window when the tail binds") {
     val df = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")

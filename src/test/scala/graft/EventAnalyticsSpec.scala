@@ -349,4 +349,61 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.toLowerCase.contains("nestedloop"), plan)
   }
+
+  test("coalesceIntervals merges overlap and touch, keeps gaps apart") {
+    // key a: [0,10) + [5,12) overlap; [12,20) touches → one island;
+    //        [30,40) gapped → second island. key b independent. the
+    //        empty interval [50,50) is dropped entirely.
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 12L), ("a", 12L, 20L),
+      ("a", 30L, 40L), ("b", 0L, 1L), ("a", 50L, 50L))
+      .toDF("k", "s", "e")
+    val got = EventAnalytics.coalesceIntervals(iv, Seq("k"), "s", "e")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("island"),
+        r.getAs[Long]("island_start"), r.getAs[Long]("island_end"),
+        r.getAs[Long]("n_merged"))).toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 20L, 3L), ("a", 2L, 30L, 40L, 1L),
+      ("b", 1L, 0L, 1L, 1L)))
+  }
+
+  test("coalesceIntervals: a long interval swallows later short ones") {
+    // running-max (not previous-end) semantics: [0,100) covers [10,20)
+    // AND [30,40); lag-based implementations split at 20
+    val iv = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 30L, 40L),
+      ("k", 150L, 160L)).toDF("k", "s", "e")
+    val got = EventAnalytics.coalesceIntervals(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getAs[Long]("island_start"),
+        r.getAs[Long]("island_end"), r.getAs[Long]("n_merged"))).toSet
+    assert(got == Set((0L, 100L, 3L), (150L, 160L, 1L)))
+  }
+
+  test("ewma: hand-computed fold, first-value seed, singleton key") {
+    val ev = Seq((1L, 0L, 1L, 8.0), (1L, 1L, 2L, 4.0), (1L, 2L, 3L, 0.0),
+      (2L, 0L, 4L, 7.5)).toDF("k", "tus", "id", "v")
+    val got = EventAnalytics.ewma(ev, "k", "tus", "id", "v", alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_ts"),
+          r.getAs[Double]("ewma"))).toMap
+    // k=1: seed 8 → 8*.5+4*.5 = 6 → 6*.5+0*.5 = 3
+    assert(got(1L) == ((3L, 2L, 3.0)))
+    // singleton: ewma IS the value (no zero-init bias)
+    assert(got(2L) == ((1L, 0L, 7.5)))
+  }
+
+  test("attribution: last preceding touch wins; untouched conversions report (none)") {
+    val ev = Seq(
+      (1L, 0L, 1L, "view", 0L), (1L, 5L, 2L, "click", 0L),
+      (1L, 9L, 3L, "purchase", 100L),          // credited to click@5
+      (1L, 20L, 4L, "view", 0L),
+      (1L, 25L, 5L, "purchase", 50L),          // credited to view@20
+      (2L, 3L, 6L, "purchase", 7L))            // no touch → (none)
+      .toDF("k", "tus", "id", "typ", "vmil")
+    val got = EventAnalytics.attribution(ev, "k", "tus", "id", "typ",
+        "vmil", convType = "purchase", touchTypes = Seq("view", "click"))
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Long]("value_sum"))).toMap
+    assert(got == Map("click" -> ((1L, 100L)), "view" -> ((1L, 50L)),
+      "(none)" -> ((1L, 7L))))
+  }
 }

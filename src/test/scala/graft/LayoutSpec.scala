@@ -103,4 +103,40 @@ class LayoutSpec extends AnyFunSuite {
       Map("a" -> (1000L, 2000L)))
     assert(none.count() == 0)
   }
+
+  test("bucketed tables join with zero exchange; plain twins shuffle") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i, i * 10)).toDF("k", "x")
+    val right = (1L to 200L).map(i => (i, s"r$i")).toDF("k2", "y")
+    Layout.bucketWrite(left, "k", 4, "graft_spec_bkt_l")
+    Layout.bucketWrite(right, "k2", 4, "graft_spec_bkt_r")
+    // force the shuffle-join path so the Exchange assert is about
+    // BUCKETING, not about the broadcast threshold hiding the question
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val bucketed = spark.table("graft_spec_bkt_l")
+      .join(spark.table("graft_spec_bkt_r"), col("k") === col("k2"))
+    // the write pre-paid the shuffle AND the sort: the join plan reads
+    // both sides bucket-aligned with no Exchange at all
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(bucketed.count() == 200)
+    // result ≡ the plain-parquet join that pays two exchanges
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toFile
+    left.write.mode("overwrite").parquet(dir.getAbsolutePath + "/l")
+    right.write.mode("overwrite").parquet(dir.getAbsolutePath + "/r")
+    val plain = spark.read.parquet(dir.getAbsolutePath + "/l")
+      .join(spark.read.parquet(dir.getAbsolutePath + "/r"),
+        col("k") === col("k2"))
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(plainPlan.contains("Exchange") ||
+      plainPlan.contains("Broadcast"), plainPlan)
+    val a = bucketed.select("k", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val b = plain.select("k", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
