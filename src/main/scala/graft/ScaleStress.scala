@@ -348,6 +348,25 @@ object ScaleStress {
         val out = Corpus.winsorize(skewed, "key", "len", 0.1, 0.9)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q133 shape: snapshot diff — digests-only full-outer join, one
+      // key shuffle, payloads never ship
+      timed(scale, "snapshot_diff") {
+        val dig = graft.functions.NativeHashes.poly_hash(
+          coalesce(col("text"), lit("")))
+        val old = docs.select(col("doc_id"), dig.as("digest"))
+        val neu = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+          .select(col("doc_id"), dig.as("digest"))
+        val out = graft.ops.Incremental.snapshotDiff(
+          old, neu, "doc_id", "digest")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q134 shape under the cap_per_key skew: equi-depth ntile — one
+      // key-partitioned window, a key costs its own row count
+      timed(scale, "equidepth_hot") {
+        val out = graft.ops.Profiling.equiDepthBins(
+          skewed, "key", "len", "doc_id", 5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q121 shape: BM25 — per-term tf from the row's own tokens, ONE
       // single-row stats broadcast; the corpus never shuffles and the
       // rank window is top-k-limited (WindowGroupLimit map-side)
@@ -496,6 +515,20 @@ object ScaleStress {
           "user_id", "ts")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q132 shape: Markov transitions — one lag window + two partial
+      // aggs; output |states|²-bounded at any scale
+      timed(scale, "markov") {
+        val out = graft.ops.EventAnalytics.markovTransitions(
+          ev, "user_id", "tus", "event_id", "event_type")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q135 shape: SCD2 — two key-partitioned windows on one
+      // partitioning; a key costs its own history
+      timed(scale, "scd2") {
+        val out = graft.ops.Incremental.scd2(
+          ev, "user_id", "tus", "event_id", "event_type")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q126 shape: gaps-and-islands — two key-partitioned windows + one
       // grouped agg on ONE hash partitioning; per-key cost linear
       timed(scale, "interval_merge") {
@@ -573,6 +606,16 @@ object ScaleStress {
           pmod(col("user_id"), lit(997L)).as("src"),
           pmod(col("user_id") * 131L + col("event_id"), lit(997L)).as("dst"))
         val out = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q131 shape: triangle counting on the same 997-node multigraph —
+      // 10× events add parallel edges (dedup collapses them), the wedge
+      // join stays bounded by the oriented out-degrees
+      timed(scale, "triangles") {
+        val edges = ev.select(
+          pmod(col("user_id"), lit(997L)).as("src"),
+          pmod(col("user_id") * 131L + col("event_id"), lit(997L)).as("dst"))
+        val out = graft.ops.Graph.triangleCounts(edges, "src", "dst")
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

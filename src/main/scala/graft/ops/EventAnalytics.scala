@@ -363,6 +363,36 @@ object EventAnalytics {
             e.getField("v") * lit(alpha)).as("ewma"))
   }
 
+  /** First-order Markov transition counts over each entity's event-type
+    * sequence (next-action modeling, funnel discovery, bot detection by
+    * transition signature): consecutive `(from, to)` state pairs in
+    * `(tsCol, idCol)` order per entity, aggregated to
+    * `(from_state, to_state, n_trans, n_from)` — the conditional
+    * probability `P(to|from) = n_trans / n_from` carried as an EXACT
+    * integer pair (the [[Corpus.ngramLmCounts]] discipline: no float
+    * division, counts merge associatively across shards).
+    *
+    * Shape: one key-partitioned `lag` window + two partial-aggregable
+    * aggregations; output is |states|²-bounded, tiny at any corpus
+    * size. */
+  def markovTransitions(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__from__", lag(col(stateCol), 1).over(w))
+      .filter(col("__from__").isNotNull)
+      .select(col("__from__").as("from_state"),
+        col(stateCol).as("to_state"))
+    val trans = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(count(lit(1)).as("n_from"))
+    trans.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"),
+        col("n_trans"), col("n_from"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * most recent PRECEDING touch event (view/click/…) of the same
     * entity — the as-of join is exactly the right primitive, so this

@@ -65,4 +65,24 @@ object Profiling {
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
         col("min_value"), col("max_value"))
   }
+
+  /** Per-key equi-DEPTH binning (`ntile`): each key's rows split into
+    * `nBins` rank-contiguous bins of near-equal COUNT in
+    * `(valueCol, idCol)` order — the feature-discretization twin of the
+    * equi-width [[histogram]] (quantile bins adapt to the distribution;
+    * width bins adapt to the domain). The id tie-break makes equal
+    * values bin deterministically; `ntile`'s ANSI fill order (first
+    * `n mod nBins` bins take the extra row) is identical in both
+    * engines.
+    *
+    * Shape: one key-partitioned window — a key costs its own row count.
+    * Returns the input plus a `bin` column (1-based). */
+  def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("bin", ntile(nBins).over(w))
+  }
 }

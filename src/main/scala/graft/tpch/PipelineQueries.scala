@@ -893,6 +893,66 @@ object PipelineQueries {
           col("band_lo"), col("band_hi"), col("n_chars_w"))
         .orderBy(col("doc_id"))),
 
+    // per-node triangle counts on the part↔supplier co-trade graph
+    // (both endpoints folded into one 50-node id space so triangles
+    // exist): degree-oriented wedge join, never the naive Σdeg² explode
+    "q131_triangles" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(pmod(col("l_partkey"), lit(50L)).as("a"),
+          pmod(col("l_suppkey"), lit(50L)).as("b"))
+      graft.ops.Graph.triangleCounts(e, "a", "b")
+        .orderBy(col("node"))
+    }),
+
+    // first-order Markov transitions over each user's event-type
+    // sequence: exact (n_trans, n_from) integer pairs — P(to|from)
+    // without float division (the LM-counts discipline)
+    "q132_markov" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+      EventAnalytics.markovTransitions(ev, "user_id", "tus",
+          "event_id", "event_type")
+        .orderBy(col("from_state"), col("to_state"))
+    }),
+
+    // snapshot diff by content digest: every 13th doc removed, every
+    // 7th changed, 20 added — added/removed/changed/unchanged exact
+    "q133_snapshot_diff" -> ((s, dir) => {
+      val dig = graft.functions.NativeHashes.poly_hash(col("text"))
+      val old = docs(s, dir).select(col("doc_id"), dig.as("digest"))
+      val neu = docs(s, dir)
+        .filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), dig.as("digest"))
+        .union(docs(s, dir).filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            dig.as("digest")))
+      graft.ops.Incremental.snapshotDiff(old, neu, "doc_id", "digest")
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source equi-depth quintiles of n_chars (ANSI ntile fill,
+    // id tie-break): the quantile-adaptive twin of the q110 histogram
+    "q134_binning" -> ((s, dir) =>
+      graft.ops.Profiling.equiDepthBins(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id", nBins = 5)
+        .orderBy(col("doc_id"))),
+
+    // SCD2 validity intervals from each user's event-type change stream:
+    // no-op updates collapse, eff_to = next change (null while current)
+    "q135_scd2" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+      graft.ops.Incremental.scd2(ev, "user_id", "tus", "event_id",
+          "event_type")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // count-min heavy hitters: exact top-10 words + the CMS estimate of
     // each, gated by the sketch's one-sided error bound (q30 pattern —
     // the boolean is what the oracle checks)
@@ -1950,6 +2010,83 @@ object PipelineQueries {
          |  CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q131_triangles" ->
+      """WITH raw AS (SELECT l_partkey % 50 AS a, l_suppkey % 50 AS b
+        |  FROM lineitem WHERE l_partkey % 50 <> l_suppkey % 50),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM raw),
+        |deg AS (SELECT n, COUNT(1) AS d FROM (
+        |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN v ELSE u END AS t
+        |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |wedge AS (SELECT w1.s, w1.t AS x, w2.t AS y
+        |  FROM ori w1 JOIN ori w2 ON w1.s = w2.s AND w1.t < w2.t),
+        |tri AS (SELECT s, x, y FROM wedge
+        |  JOIN und ON und.u = x AND und.v = y)
+        |SELECT node, COUNT(1) AS n_triangles FROM (
+        |  SELECT s AS node FROM tri
+        |  UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q132_markov" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS from_state,
+        |    event_type AS to_state
+        |  FROM e QUALIFY from_state IS NOT NULL),
+        |t AS (SELECT from_state, to_state, COUNT(1) AS n_trans
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT from_state, COUNT(1) AS n_from FROM p GROUP BY 1)
+        |SELECT t.from_state, t.to_state, t.n_trans, f.n_from
+        |FROM t JOIN f USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    "q133_snapshot_diff" -> {
+      val dig = dpolyhash("text")
+      s"""WITH old AS (SELECT doc_id, $dig AS od FROM documents),
+         |neu AS (
+         |  SELECT doc_id, ${dpolyhash(
+            "CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END")} AS nd
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000, $dig FROM documents WHERE doc_id < 20)
+         |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+         |  CASE WHEN old.doc_id IS NULL THEN 'added'
+         |       WHEN neu.doc_id IS NULL THEN 'removed'
+         |       WHEN od = nd THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  od AS old_digest, nd AS new_digest
+         |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q134_binning" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(NTILE(5) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS INTEGER) AS bin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q135_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_type, tus, event_id FROM (
+        |    SELECT *, LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS prev FROM e)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, tus AS eff_from,
+        |  LEAD(tus, 1) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS eff_to,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS BIGINT) AS version
+        |FROM c ORDER BY user_id, version""".stripMargin,
 
     "q126_interval_merge" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

@@ -391,6 +391,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 0L, 7.5)))
   }
 
+  test("markovTransitions: hand-counted pairs, exact conditional fractions") {
+    // user 1: a→b→b→c; user 2: a→b. pairs: (a,b)×2, (b,b), (b,c)
+    val ev = Seq((1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "b"),
+      (1L, 3L, 4L, "c"), (2L, 0L, 5L, "a"), (2L, 1L, 6L, "b"))
+      .toDF("k", "tus", "id", "typ")
+    val got = EventAnalytics.markovTransitions(ev, "k", "tus", "id", "typ")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("n_from"))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2L)),
+      ("b", "b") -> ((1L, 2L)),
+      ("b", "c") -> ((1L, 2L))))
+  }
+
   test("attribution: last preceding touch wins; untouched conversions report (none)") {
     val ev = Seq(
       (1L, 0L, 1L, "view", 0L), (1L, 5L, 2L, "click", 0L),

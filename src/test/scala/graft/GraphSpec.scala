@@ -62,4 +62,37 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("nestedloop"), plan)
     assert(!plan.toLowerCase.contains("cartesian"), plan)
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: hand-checked graph, normalization, K4") {
+    // triangle 1-2-3 plus a dangling edge 3-4: nodes 1,2,3 in exactly
+    // one triangle each, node 4 in none (absent from output)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // direction, duplicates and self-loops are normalized away
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L),
+      (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4 has 4 triangles; every node sits in 3 of them
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle-free (bipartite star): empty result
+    assert(tri(Seq((1L, 10L), (2L, 10L), (3L, 10L))).isEmpty)
+  }
+
+  test("triangleCounts orientation bounds the hub wedge explosion") {
+    // star hub 0 with 20 leaves + one closing edge (1,2): naive wedges
+    // at the hub = C(20,2) = 190; degree orientation points every spoke
+    // AT the hub (leaves have degree 1-2 < 20), so the hub is never a
+    // wedge SOURCE and the only wedge comes from a closing-edge corner
+    val star = (1L to 20L).map(l => (0L, l)) :+ (1L, 2L)
+    assert(tri(star) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // layout invariance
+    val df = star.toDF("src", "dst").repartition(5)
+    val again = Graph.triangleCounts(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }

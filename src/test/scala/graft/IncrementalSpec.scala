@@ -53,6 +53,34 @@ class IncrementalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shapes differ"))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "dig")
+    val neu = Seq((1L, 10L), (2L, 99L), (4L, 40L)).toDF("k", "dig")
+    val got = Incremental.snapshotDiff(old, neu, "k", "dig")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("scd2: no-op updates collapse, intervals chain, ties break by id") {
+    // key 1: a@0, a@5 (no-op), b@10, b@12 (no-op), a@20 → 3 versions
+    // key 2: same-ts pair (id order decides which is 'first')
+    val ev = Seq((1L, 0L, 1L, "a"), (1L, 5L, 2L, "a"), (1L, 10L, 3L, "b"),
+      (1L, 12L, 4L, "b"), (1L, 20L, 5L, "a"),
+      (2L, 7L, 6L, "x"), (2L, 7L, 7L, "y"))
+      .toDF("k", "tus", "id", "v")
+    val got = Incremental.scd2(ev, "k", "tus", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("version")) ->
+        (r.getString(1), r.getAs[Long]("eff_from"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L -> 1L) == (("a", 0L, Some(10L))))
+    assert(got(1L -> 2L) == (("b", 10L, Some(20L))))
+    assert(got(1L -> 3L) == (("a", 20L, None)))       // current version
+    // same-ts tie: id 6 ('x') precedes id 7 ('y')
+    assert(got(2L -> 1L) == (("x", 7L, Some(7L))))
+    assert(got(2L -> 2L) == (("y", 7L, None)))
+  }
+
   test("delta refresh never scans the base fact table (scale shape)") {
     // the merge plan unions two |keys|-sized aggregates — assert the base
     // AGGREGATE (not its facts) feeds the final hash aggregate: no join,

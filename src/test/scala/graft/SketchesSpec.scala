@@ -94,4 +94,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.size == 6)
     assert(got.values.forall(_._2), "GK guarantee must hold at accuracy=50")
   }
+
+  test("equiDepthBins: ANSI fill order, ties split by id, per-key") {
+    import spark.implicits._
+    // key a: 7 rows into 3 bins → sizes 3,2,2 (first n%bins bins larger);
+    // values tie in pairs, so the id tie-break decides bin boundaries
+    val df = ((1 to 7).map(i => ("a", i.toLong, (i / 2).toLong)) ++
+      Seq(("b", 100L, 1L))).toDF("k", "id", "v")
+    val got = graft.ops.Profiling.equiDepthBins(df, "k", "v", "id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Int]("bin")).toMap
+    // order by (v, id): ids 1(v0),2(v1),3(v1),4(v2),5(v2),6(v3),7(v3)
+    assert(got(("a", 1L)) == 1 && got(("a", 2L)) == 1 && got(("a", 3L)) == 1)
+    assert(got(("a", 4L)) == 2 && got(("a", 5L)) == 2)
+    assert(got(("a", 6L)) == 3 && got(("a", 7L)) == 3)
+    // singleton key: everything in bin 1
+    assert(got(("b", 100L)) == 1)
+  }
 }
