@@ -423,4 +423,76 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_conversions"),
         sum(col(valueCol)).as("value_sum"))
   }
+
+  /** Per-key linear-trend detection (volume drift, quality decay, score
+    * creep per source) via ordinary-least-squares sufficient statistics:
+    * slope over `(x, y)` carried as the EXACT integer rational
+    * `slope = slope_num / slope_den` with
+    * `slope_num = n·Σxy − Σx·Σy`, `slope_den = n·Σx² − (Σx)²` — no
+    * float division, so the rising/falling verdict is bit-identical
+    * across engines, layouts, and shard merge orders (a float `slope`
+    * would ulp-flip near-zero trends). Inputs must be integral (scale
+    * values to milli-units upstream); sums run in decimal(38,0) so
+    * 100 TB row counts cannot overflow.
+    *
+    * Shape: ONE partial-aggregable grouped pass (five sums — the
+    * classic mergeable-moments trick: shard aggregates combine by
+    * addition, the regression never rescans). Output per key:
+    * n, slope_num, slope_den, `rising` (null when all x equal —
+    * slope undefined — rather than a false flat). */
+  def trend(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(dec).as("__n__"),
+        sum(x).as("__sx__"), sum(y).as("__sy__"),
+        sum(x * x).as("__sxx__"), sum(x * y).as("__sxy__"))
+      .select(col(keyCol), col("__n__").cast("long").as("n"),
+        (col("__n__") * col("__sxy__") - col("__sx__") * col("__sy__"))
+          .cast(dec).as("slope_num"),
+        (col("__n__") * col("__sxx__") - col("__sx__") * col("__sx__"))
+          .cast(dec).as("slope_den"))
+      .withColumn("rising",
+        when(col("slope_den") === 0, lit(null).cast("boolean"))
+          .otherwise(col("slope_num") > 0))
+  }
+
+  /** Debounce: collapse each key's event BURSTS — maximal chains where
+    * consecutive gaps are `<= cooldown` — to their first event (retry
+    * storms, double-clicks, sensor chatter; the dedup that exact-match
+    * dedup cannot do because burst payloads differ). Burst boundaries
+    * are gaps-and-islands on the integer timestamp: a gap
+    * `> cooldown` from the PREVIOUS event (kept or not) starts a new
+    * burst — all-integer comparisons, so both engines agree on every
+    * boundary gap.
+    *
+    * Shape: one key-partitioned `lag` window (island flags), a running
+    * sum on the SAME partitioning (no second exchange —
+    * hash(key) co-locates (key, burst)), then a partial-aggregable
+    * `min(struct(ts, id))` per burst — the skew-safe keep-first shape
+    * ([[graft.ops.Dedup.removeDupSpans]] discipline): a hot key's rows
+    * combine map-side, never sort in one task. Returns one row per
+    * burst: key, burst ordinal, first ts/id, burst size. */
+  def debounce(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, cooldownUs: Long): DataFrame = {
+    require(cooldownUs >= 0, s"cooldown must be >= 0, got $cooldownUs")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev__", lag(col(tsCol), 1).over(w))
+      .withColumn("__nb__",
+        when(col("__prev__").isNull ||
+          col(tsCol) - col("__prev__") > cooldownUs, 1L).otherwise(0L))
+      .withColumn("__burst__", sum(col("__nb__")).over(wRun))
+      .groupBy(col(keyCol), col("__burst__"))
+      .agg(min(struct(col(tsCol), col(idCol))).as("__first__"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("__burst__").as("burst"),
+        col("__first__").getField(tsCol).as("first_ts"),
+        col("__first__").getField(idCol).as("first_id"),
+        col("n_events"))
+  }
 }

@@ -85,4 +85,42 @@ object Profiling {
       .orderBy(col(valueCol).asc, col(idCol).asc)
     df.withColumn("bin", ntile(nBins).over(w))
   }
+
+  /** Categorical distribution drift between two corpus snapshots/shards
+    * (language mix shift, source mix shift, event-type mix shift — the
+    * monitor that catches a silently broken upstream feed): per category,
+    * the two-proportion test `|a/N₁ − b/N₂| > t` evaluated ENTIRELY in
+    * integer arithmetic via cross-multiplication —
+    * `|a·N₂ − b·N₁| · tDen > tNum · N₁ · N₂` for the rational threshold
+    * `t = tNum/tDen` — so no engine ever divides and every boundary
+    * category flags identically. Products run in decimal(38,0):
+    * 100 TB-scale counts (10¹²) square to 10²⁴, far past Long.
+    *
+    * Shape: one partial-aggregable count per side (|categories| rows
+    * each), totals as single-row broadcasts, full-outer on category so a
+    * category PRESENT in one side and absent in the other still flags
+    * (missing → 0 — the most drifted case a left join would drop).
+    * Returns (category, n_old, n_new, diff_cross, drift). */
+  def categoryDrift(oldDf: DataFrame, newDf: DataFrame, catCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"threshold must be >= 0, got $tNum/$tDen")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(catCol).as("category")).agg(count(lit(1)).as(n))
+    def total(df: DataFrame, n: String) =
+      df.agg(count(lit(1)).cast(dec).as(n))
+    val a = counts(oldDf, "n_old")
+    val b = counts(newDf, "n_new")
+    a.join(b, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .crossJoin(broadcast(total(oldDf, "__N1__")))
+      .crossJoin(broadcast(total(newDf, "__N2__")))
+      .withColumn("diff_cross",
+        (col("n_old").cast(dec) * col("__N2__") -
+          col("n_new").cast(dec) * col("__N1__")).cast(dec))
+      .withColumn("drift",
+        abs(col("diff_cross")) * tDen > col("__N1__") * col("__N2__") * tNum)
+      .select(col("category"), col("n_old"), col("n_new"),
+        col("diff_cross"), col("drift"))
+  }
 }

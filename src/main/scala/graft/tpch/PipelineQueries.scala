@@ -96,6 +96,46 @@ object PipelineQueries {
       |  FROM u)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-user linear trend of event value over the hour index: OLS
+    // slope carried as the exact integer rational
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — one mergeable-moments pass,
+    // no float division, rising verdict bit-identical across engines
+    "q136_trend" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"),
+          (expr("unix_micros(ts) div 3600000000") - 473000L).as("x"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("y"))
+      EventAnalytics.trend(ev, "user_id", "x", "y")
+        .orderBy(col("user_id"))
+    }),
+
+    // event-type mix drift between two shards (even vs odd event ids,
+    // with 1/5 of the odd shard's views dropped to fake a broken feed):
+    // two-proportion test via integer cross-multiplication at t = 2% —
+    // 'view' flags, the rebalanced others stay under threshold
+    "q137_category_drift" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      val old = ev.filter(col("event_id") % 2 === 0)
+      val neu = ev.filter(col("event_id") % 2 === 1 &&
+        !(col("event_type") === "view" && col("event_id") % 10 === 1))
+      graft.ops.Profiling.categoryDrift(old, neu, "event_type", 2, 100)
+        .select(col("category"), col("n_old"), col("n_new"),
+          col("drift"))
+        .orderBy(col("category"))
+    }),
+
+    // debounce: collapse each user's event bursts (gap <= 4h chains) to
+    // their first event — gaps-and-islands flags, then the skew-safe
+    // min(struct) keep-first per burst
+    "q138_debounce" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+      EventAnalytics.debounce(ev, "user_id", "tus", "event_id",
+          cooldownUs = 14400000000L)
+        .orderBy(col("user_id"), col("burst"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1176,6 +1216,62 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q136_trend" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 3600000000 - 473000 AS x,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y FROM events),
+        |s AS (SELECT user_id, CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE n * sxy - sx * sy > 0 END AS rising
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q137_category_drift" ->
+      """WITH old AS (SELECT event_type, COUNT(1) AS n_old FROM events
+        |  WHERE event_id % 2 = 0 GROUP BY 1),
+        |neu AS (SELECT event_type, COUNT(1) AS n_new FROM events
+        |  WHERE event_id % 2 = 1
+        |    AND NOT (event_type = 'view' AND event_id % 10 = 1)
+        |  GROUP BY 1),
+        |t1 AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n1 FROM events
+        |  WHERE event_id % 2 = 0),
+        |t2 AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n2 FROM events
+        |  WHERE event_id % 2 = 1
+        |    AND NOT (event_type = 'view' AND event_id % 10 = 1))
+        |SELECT event_type AS category,
+        |  COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+        |  abs(COALESCE(n_old, 0) * n2 - COALESCE(n_new, 0) * n1) * 100
+        |    > n1 * n2 * 2 AS drift
+        |FROM old FULL OUTER JOIN neu USING (event_type)
+        |CROSS JOIN t1 CROSS JOIN t2
+        |ORDER BY category""".stripMargin,
+
+    "q138_debounce" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, tus, event_id,
+        |    CASE WHEN LAG(tus, 1) OVER w IS NULL
+        |         OR tus - LAG(tus, 1) OVER w > 14400000000
+        |      THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT user_id, tus, event_id,
+        |    SUM(nb) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS burst
+        |  FROM f)
+        |SELECT user_id, CAST(burst AS BIGINT) AS burst,
+        |  tus AS first_ts, event_id AS first_id,
+        |  COUNT(1) OVER (PARTITION BY user_id, burst) AS n_events
+        |FROM g
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, burst
+        |  ORDER BY tus, event_id) = 1
+        |ORDER BY user_id, burst""".stripMargin,
+
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(1) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

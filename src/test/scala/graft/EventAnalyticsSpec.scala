@@ -420,4 +420,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Map("click" -> ((1L, 100L)), "view" -> ((1L, 50L)),
       "(none)" -> ((1L, 7L))))
   }
+
+  test("trend: hand-computed OLS rational; all-x-equal key yields null") {
+    // key a: (0,0),(1,2),(2,4) → exact slope 2: num = 3·10−3·6 = 12,
+    // den = 3·5−9 = 6. key b: falling. key c: single x value → den 0.
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),
+      ("b", 0L, 9L), ("b", 1L, 5L), ("b", 2L, 1L),
+      ("c", 7L, 1L), ("c", 7L, 99L)).toDF("k", "x", "y")
+    val got = EventAnalytics.trend(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"),
+         r.getAs[java.math.BigDecimal]("slope_num").longValueExact(),
+         r.getAs[java.math.BigDecimal]("slope_den").longValueExact(),
+         Option(r.getAs[java.lang.Boolean]("rising")))).toMap
+    assert(got("a") == ((3L, 12L, 6L, Some(true))))
+    assert(got("b")._4 == Some(false))
+    assert(got("b")._2.toDouble / got("b")._3 == -4.0)
+    assert(got("c") == ((2L, 0L, 0L, None))) // undefined, not false
+  }
+
+  test("debounce: chained gaps extend a burst; gap > cooldown splits") {
+    // cooldown 4: ts 0,3,6 chain into ONE burst (each consecutive gap
+    // <= 4 even though 0→6 exceeds it); 11 starts a new burst (gap 5).
+    val ev = Seq(("u", 0L, 1L), ("u", 3L, 2L), ("u", 6L, 3L),
+      ("u", 11L, 4L), ("v", 0L, 5L)).toDF("k", "tus", "id")
+    val got = EventAnalytics.debounce(ev, "k", "tus", "id", cooldownUs = 4L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("burst")) ->
+        (r.getAs[Long]("first_ts"), r.getAs[Long]("first_id"),
+         r.getAs[Long]("n_events"))).toMap
+    assert(got == Map(
+      ("u", 1L) -> ((0L, 1L, 3L)),
+      ("u", 2L) -> ((11L, 4L, 1L)),
+      ("v", 1L) -> ((0L, 5L, 1L))))
+  }
+
+  test("debounce: exact-cooldown gap stays in the burst (strict >)") {
+    val ev = Seq(("u", 0L, 1L), ("u", 4L, 2L)).toDF("k", "tus", "id")
+    val got = EventAnalytics.debounce(ev, "k", "tus", "id", cooldownUs = 4L)
+    assert(got.count() == 1L) // gap == cooldown does not split
+  }
 }

@@ -111,4 +111,26 @@ class SketchesSpec extends AnyFunSuite {
     // singleton key: everything in bin 1
     assert(got(("b", 100L)) == 1)
   }
+
+  test("categoryDrift: one-sided categories flag; exact threshold is strict") {
+    import spark.implicits._
+    // old: a×6, b×4 (N1=10). new: a×3, c×2 (N2=5).
+    // a: |6·5 − 3·10| = 0 → no drift at any t.
+    // b: |4·5 − 0| = 20; t=0.4 → 20·tDen(10) = 200 vs 4·50 = 200 → strict
+    //    > does NOT flag at exactly-threshold.
+    // c: |0 − 2·10| = 20 → same boundary, also unflagged at t=0.4.
+    val old = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("cat")
+    val neu = (Seq.fill(3)("a") ++ Seq.fill(2)("c")).toDF("cat")
+    val at = (tn: Int, td: Int) =>
+      graft.ops.Profiling.categoryDrift(old, neu, "cat", tn, td)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+           r.getAs[Boolean]("drift"))).toMap
+    val exact = at(4, 10) // t = 0.4: b and c sit exactly ON the threshold
+    assert(exact("a") == ((6L, 3L, false)))
+    assert(exact("b") == ((4L, 0L, false)))   // strict >, not >=
+    assert(exact("c") == ((0L, 2L, false)))   // absent-in-old still counted
+    val below = at(39, 100) // t = 0.39: both one-sided categories flag
+    assert(below("b")._3 && below("c")._3 && !below("a")._3)
+  }
 }
