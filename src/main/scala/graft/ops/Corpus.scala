@@ -600,4 +600,27 @@ object Corpus {
         (regexp_replace(t, pattern, replacement),
           counts :+ (s"n_$name" -> regexp_count(t, lit(pattern))))
     }
+
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination is shared by at least `k` rows — groups smaller than
+    * `k` are SUPPRESSED entirely (the release-safety primitive for
+    * training corpora carrying user-derived attributes: a unique
+    * (locale, source, length-bucket) tuple is a re-identification
+    * handle). Generalize the quasi columns upstream (bucket, truncate)
+    * until the suppression rate is acceptable.
+    *
+    * Shape: one partial-aggregable count per quasi-tuple + one equi
+    * join-back on the quasi columns (AQE splits a skewed tuple; the
+    * alternative count-over-window has NO map-side reduction — exactly
+    * the [[graft.ops.Dedup.dupSpanProfile]] lesson). Returns surviving
+    * rows plus their `group_n`. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") >= k)
+    df.join(counts, quasiCols)
+  }
 }

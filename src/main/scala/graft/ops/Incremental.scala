@@ -108,4 +108,43 @@ object Incremental {
         lead(col(tsCol), 1).over(w2).as("eff_to"),
         row_number().over(w2).cast("long").as("version"))
   }
+
+  /** Order-independent dataset fingerprint per shard — the
+    * dataset-versioning primitive: "is this corpus byte-identical to the
+    * one we trained on?" answered WITHOUT a sort or a diff. Each row
+    * digests to `polyhash(id | digest)`; a shard's fingerprint is the
+    * triple (row count, XOR of digests, SUM of digests mod 10⁹+7) —
+    * every component commutative and associative, so the fingerprint is
+    * layout/partitioning-independent AND MERGEABLE: the corpus total is
+    * computed here FROM THE SHARD ROWS (never rescanning the data), the
+    * same add-summaries path an incremental ingest uses. XOR alone is
+    * blind to duplicated pairs; count+sum+xor together catch every
+    * practical mutation (drop, dup, edit, swap-across-shards changes
+    * shard rows but provably not the total).
+    *
+    * Shape: one partial-aggregable pass (sum in decimal(38,0) — 100 TB
+    * row counts × 10⁹ digests pass Long), plus a |shards|-row
+    * re-aggregation. Returns one row per shard + a `(total)` row. */
+  def datasetFingerprint(df: DataFrame, shardCol: String, idCol: String,
+      digestCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val p = 1000000007L
+    val rowh = graft.functions.NativeHashes.poly_hash(
+      concat(col(idCol).cast("string"), lit("|"),
+        col(digestCol).cast("string")))
+    val shards = df
+      .select(col(shardCol).as("shard"), rowh.as("__h__"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h__)").as("xor_digest"),
+        (sum(col("__h__").cast(dec)) % p).cast("long").as("sum_digest"))
+    val total = shards
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(xor_digest)").as("xor_digest"),
+        (sum(col("sum_digest").cast(dec)) % p).cast("long")
+          .as("sum_digest"))
+      .select(lit("(total)").as("shard"), col("n_rows"),
+        col("xor_digest"), col("sum_digest"))
+    shards.unionByName(total)
+  }
 }

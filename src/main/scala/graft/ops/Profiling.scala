@@ -123,4 +123,34 @@ object Profiling {
       .select(col("category"), col("n_old"), col("n_new"),
         col("diff_cross"), col("drift"))
   }
+
+  /** Per-key robust outlier flags via MAD (median absolute deviation):
+    * flag rows with `|v − median| > k · MAD` — the robust z-score, which
+    * unlike the mean/stddev z² test ([[graft.ops.EventAnalytics
+    * .anomalousBuckets]]) is immune to the outliers poisoning their own
+    * baseline. All comparisons are EXACT: medians of integers are
+    * integral or half-integral, so deviations are carried DOUBLED
+    * (`dev2 = |2v − 2·med|`, a long) and the MAD quadrupled
+    * (`mad4 = 2 · median(dev2)`), making the flag the all-integer
+    * comparison `2·dev2 > k·mad4` — no float ever enters, both engines
+    * agree on every boundary row.
+    *
+    * Shape: two partial-aggregable median passes (per-key exact
+    * `median`; at extreme key cardinality swap `approx_percentile`,
+    * same shape) + two broadcast join-backs of |keys|-row tables — the
+    * data never shuffles. Returns the input plus (dev2, outlier). */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val med2 = df.groupBy(col(keyCol))
+      .agg((median(col(valueCol)) * 2).cast("long").as("__med2__"))
+    val dev = df.join(broadcast(med2), Seq(keyCol))
+      .withColumn("dev2",
+        abs(col(valueCol).cast("long") * 2 - col("__med2__")))
+    val mad4 = dev.groupBy(col(keyCol))
+      .agg((median(col("dev2")) * 2).cast("long").as("__mad4__"))
+    dev.join(broadcast(mad4), Seq(keyCol))
+      .withColumn("outlier", col("dev2") * 2 > col("__mad4__") * k)
+      .drop("__med2__", "__mad4__")
+  }
 }

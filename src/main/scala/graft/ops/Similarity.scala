@@ -305,4 +305,38 @@ object Similarity {
       .filter(col("cosine") >= lo && col("cosine") < hi)
     topKOf(scored, k)
   }
+
+  /** Reciprocal-rank fusion of several retrieval rankings (BM25 + dense
+    * ANN + recency, …) into one list — the standard hybrid-search merge,
+    * score-scale-free because only RANKS enter:
+    * `rrf(item) = Σ_lists scale div (kParam + rank)`. The classic
+    * `1/(k+r)` is summed here in integer micro-units with INTEGER
+    * division (the mixture-sampling discipline) so fused scores and
+    * tie-breaks are bit-identical across engines — an IEEE float sum
+    * would ulp-flip adjacent fused ranks. `kParam = 60` is the published
+    * default; items missing from a list simply contribute nothing.
+    *
+    * Shape: union of |lists| bounded rankings (each already top-k —
+    * tiny), one partial-aggregable groupBy, one global rank window on a
+    * ≤ |lists|·k row set with a `rank <= topM` filter
+    * (`WindowGroupLimit` prunes map-side). Nothing here ever touches
+    * the corpus — fusion cost is bounded by the RANKINGS, not the data.
+    * Returns (item, rrf_mil, n_lists, rank). */
+  def rrfFuse(rankings: Seq[DataFrame], itemCol: String, rankCol: String,
+      kParam: Int = 60, topM: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kParam >= 0 && topM >= 1 && scale >= 1, "bad rrf parameters")
+    val slim = rankings.map(_.select(col(itemCol), col(rankCol)))
+    val contrib = slim.reduce(_ unionByName _)
+      .withColumn("__c__",
+        expr(s"$scale div (CAST($rankCol AS BIGINT) + $kParam)"))
+    val fused = contrib.groupBy(col(itemCol))
+      .agg(sum(col("__c__")).as("rrf_mil"),
+        count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_mil").desc, col(itemCol).asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topM)
+  }
 }

@@ -183,6 +183,36 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.debounce]]: emit the
+    * FIRST event of each burst as it opens (a gap `> cooldown` from the
+    * key's previous event — kept or not — opens a burst), suppressing
+    * the chatter behind it with O(1) state per key: just the last-seen
+    * timestamp, never a buffer. Stream ≡ batch keep-first rows under
+    * per-key in-order arrival (asserted in StreamingSpec across
+    * micro-batches, including a burst CHAIN that spans batches); the
+    * batch op's burst ordinals and sizes need hindsight an unbounded
+    * stream cannot have, so the twin emits the kept `(key, ts)` pairs.
+    * Within a micro-batch rows sort by ts locally (iterator order is
+    * not arrival order). */
+  def debounceStream(rows: Dataset[(String, Long)],
+      cooldownUs: Long): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    require(cooldownUs >= 0, s"cooldown must be >= 0, got $cooldownUs")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(_._2).flatMap { case (_, ts) =>
+            val keep = last == Long.MinValue || ts - last > cooldownUs
+            last = ts
+            if (keep) Some((key, ts)) else None
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Incremental]]: the pre-aggregated
     * sink maintained CONTINUOUSLY from a signed CDC stream of
     * `(key, sign, value)` rows (+1 insert, -1 delete). Per-key state is

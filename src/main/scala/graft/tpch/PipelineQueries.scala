@@ -136,6 +136,51 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("burst"))
     }),
 
+    // order-independent mergeable dataset fingerprint per source shard
+    // (count, xor, sum-mod of row digests) + the corpus total computed
+    // FROM the shard rows — the add-summaries versioning path
+    "q139_fingerprint" -> ((s, dir) =>
+      graft.ops.Incremental.datasetFingerprint(docs(s, dir), "source",
+          "doc_id", "text")
+        .orderBy(col("shard"))),
+
+    // hybrid-search reciprocal-rank fusion: BM25 top-20 (3 terms) merged
+    // with dense cosine top-20 (query vec 0) in integer micro-units —
+    // scale-free rank merge, bit-identical fused order
+    "q140_rrf_fusion" -> ((s, dir) => {
+      val a = Corpus.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("join", "vector", "scan"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val b = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+          "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(a, b), "doc_id", "rank", kParam = 60,
+          topM = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // per-user robust outliers: |v − median| > 5·MAD in all-integer
+    // doubled/quadrupled form — immune to the spike poisoning its own
+    // baseline, every boundary row identical across engines
+    "q141_mad_outliers" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"))
+      graft.ops.Profiling.madOutliers(ev, "user_id", "vmil", k = 5)
+        .orderBy(col("event_id"))
+    }),
+
+    // k-anonymity suppression over (lang, source, 500-char length
+    // bucket): quasi-identifier groups smaller than 3 are dropped
+    // entirely — 76 of 500 docs suppress at sf0.01
+    "q142_k_anonymize" -> ((s, dir) =>
+      Corpus.kAnonymize(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 500").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 3)
+        .orderBy(col("doc_id"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1216,6 +1261,95 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q139_fingerprint" -> {
+      val h = dpolyhash("CAST(doc_id AS VARCHAR) || '|' || text")
+      s"""WITH h AS (SELECT source AS shard, $h AS h FROM documents),
+         |s AS (SELECT shard, COUNT(1) AS n_rows,
+         |    bit_xor(h) AS xor_digest,
+         |    CAST(SUM(CAST(h AS HUGEINT)) % 1000000007 AS BIGINT)
+         |      AS sum_digest
+         |  FROM h GROUP BY 1),
+         |t AS (SELECT '(total)' AS shard,
+         |    CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |    bit_xor(xor_digest) AS xor_digest,
+         |    CAST(SUM(CAST(sum_digest AS HUGEINT)) % 1000000007
+         |      AS BIGINT) AS sum_digest
+         |  FROM s)
+         |SELECT * FROM s UNION ALL SELECT * FROM t
+         |ORDER BY shard""".stripMargin
+    },
+
+    "q140_rrf_fusion" -> {
+      val terms = Seq("join", "vector", "scan")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, w -> w = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val score = terms.indices.foldLeft("0.0") { (acc, i) =>
+        s"($acc + ((((n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.5)) / " +
+          s"(tf$i + 1.5 * (0.25 + 0.75 * (dl / avgdl)))))"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[^\\s]+') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    $tfCols
+         |  FROM t),
+         |s AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+         |    $dfCols
+         |  FROM d),
+         |sc AS (SELECT d.doc_id, d.dl, s.n, s.sumdl / s.n AS avgdl,
+         |    ${terms.indices.map(i => s"d.tf$i, s.df$i").mkString(", ")}
+         |  FROM d CROSS JOIN s),
+         |bmr AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY $score DESC, doc_id ASC) AS rank
+         |  FROM sc QUALIFY rank <= 20),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |ascored AS (SELECT c.vec_id AS doc_id,
+         |    ${dcosine("q0.qv", "c.embedding")} AS cr
+         |  FROM q0 CROSS JOIN embeddings c WHERE c.vec_id <> 0),
+         |annr AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cr DESC, doc_id ASC) AS rank
+         |  FROM ascored QUALIFY rank <= 20),
+         |u AS (SELECT doc_id, rank FROM bmr
+         |  UNION ALL SELECT doc_id, rank FROM annr),
+         |f AS (SELECT doc_id,
+         |    CAST(SUM(1000000 // (CAST(rank AS BIGINT) + 60)) AS BIGINT)
+         |      AS rrf_mil,
+         |    COUNT(1) AS n_lists
+         |  FROM u GROUP BY 1)
+         |SELECT doc_id, rrf_mil, n_lists,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_mil DESC, doc_id ASC)
+         |    AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+    },
+
+    "q141_mad_outliers" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(2 * median(vmil) AS BIGINT) AS med2
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.user_id, event_id, vmil,
+        |    abs(2 * vmil - med2) AS dev2
+        |  FROM e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, CAST(2 * median(dev2) AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT d.user_id, event_id, vmil, dev2,
+        |  2 * dev2 > 5 * mad4 AS outlier
+        |FROM d JOIN md USING (user_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q142_k_anonymize" ->
+      """SELECT lang, source, n_chars // 500 AS len_bucket, doc_id,
+        |  COUNT(1) OVER (PARTITION BY lang, source, n_chars // 500)
+        |    AS group_n
+        |FROM documents
+        |QUALIFY group_n >= 3
+        |ORDER BY doc_id""".stripMargin,
+
     "q136_trend" ->
       """WITH e AS (SELECT user_id,
         |    epoch_us(ts) // 3600000000 - 473000 AS x,

@@ -534,4 +534,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("start") == 9L)
     assert(rows.last.getAs[Long]("n_tokens") == 2L)
   }
+
+  test("kAnonymize suppresses sub-k quasi-identifier groups entirely") {
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"), // n=3
+      (4L, "en", "book"), (5L, "en", "book"),                  // n=2
+      (6L, "fr", "web")).toDF("id", "lang", "src")             // n=1
+    val got = Corpus.kAnonymize(df, Seq("lang", "src"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("group_n")).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    // k above every group size suppresses the whole table, never errors
+    assert(Corpus.kAnonymize(df, Seq("lang", "src"), k = 10).count() == 0)
+  }
 }

@@ -94,4 +94,30 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("Union"), plan)
   }
+
+  test("datasetFingerprint: layout-independent, mergeable, mutation-sensitive") {
+    val df = Seq((1L, "aa", "s1"), (2L, "bb", "s1"), (3L, "cc", "s2"))
+      .toDF("id", "text", "shard")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Incremental.datasetFingerprint(d, "shard", "id", "text")
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_digest"),
+           r.getAs[Long]("sum_digest"))).toMap
+    val base = fp(df)
+    assert(base.keySet == Set("s1", "s2", "(total)"))
+    assert(base("(total)")._1 == 3L)
+    // layout independence: repartitioned input fingerprints identically
+    assert(fp(df.repartition(7)) == base)
+    // mutation sensitivity: editing one row changes its shard AND total
+    val edited = fp(Seq((1L, "aA", "s1"), (2L, "bb", "s1"),
+      (3L, "cc", "s2")).toDF("id", "text", "shard"))
+    assert(edited("s1") != base("s1") && edited("s2") == base("s2"))
+    assert(edited("(total)") != base("(total)"))
+    // moving a row across shards changes shard rows but NOT the total —
+    // the commutative-merge property the add-summaries path relies on
+    val moved = fp(Seq((1L, "aa", "s2"), (2L, "bb", "s1"),
+      (3L, "cc", "s2")).toDF("id", "text", "shard"))
+    assert(moved("s1") != base("s1") && moved("s2") != base("s2"))
+    assert(moved("(total)") == base("(total)"))
+  }
 }

@@ -1027,4 +1027,22 @@ class OpsSpec extends AnyFunSuite {
       assert(ediff == 0, s"n=$n")
     }
   }
+
+  test("rrfFuse: exact integer scores, both-lists boost, topM cut") {
+    import spark.implicits._
+    // list1 ranks a,b,c; list2 ranks b,d. k=60, scale=1e6:
+    // a: 1000000 div 61 = 16393; b: 16393 + 16129 = 32522 (rank-1 in one
+    // + rank-2 in the other beats any single-list item); d: 16129.
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("item", "rank")
+    val l2 = Seq(("b", 1), ("d", 2)).toDF("item", "rank")
+    val got = graft.ops.Similarity.rrfFuse(Seq(l1, l2), "item", "rank",
+        kParam = 60, topM = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("rrf_mil"), r.getAs[Long]("n_lists"),
+         r.getAs[Int]("rank"))).toMap
+    assert(got("b") == ((16393L + 16129L, 2L, 1)))
+    assert(got("a") == ((16393L, 1L, 2)))
+    assert(got("d") == ((16129L, 1L, 3)))
+    assert(!got.contains("c")) // topM = 3 cuts the fourth item
+  }
 }

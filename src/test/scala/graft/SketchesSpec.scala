@@ -133,4 +133,20 @@ class SketchesSpec extends AnyFunSuite {
     val below = at(39, 100) // t = 0.39: both one-sided categories flag
     assert(below("b")._3 && below("c")._3 && !below("a")._3)
   }
+
+  test("madOutliers: robust flags, half-integral medians exact, zero MAD") {
+    import spark.implicits._
+    // key a: 1..9 + 100 — median 5.5 (med2=11), dev2 of 100 = 189,
+    // median(dev2)=5 → mad4=10; flag iff 2·dev2 > 5·10 → only the 100.
+    // key b: four equal + one spike — MAD 0, spike still flags (2·dev2>0).
+    val df = ((1L to 9L).map(("a", _)) ++ Seq(("a", 100L)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 7L), ("b", 50L)))
+      .toDF("k", "v")
+    val got = graft.ops.Profiling.madOutliers(df, "k", "v", k = 5)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("dev2"), r.getAs[Boolean]("outlier"))).toMap
+    assert(got(("a", 100L)) == ((189L, true)))
+    assert((1L to 9L).forall(v => !got(("a", v))._2))
+    assert(got(("b", 50L))._2 && !got(("b", 7L))._2)
+  }
 }

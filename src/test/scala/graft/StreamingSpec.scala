@@ -437,6 +437,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("debounceStream keeps batch's keep-first rows; burst chains span batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = Streaming.debounceStream(ms.toDS(), cooldownUs = 4L)
+      .toDF("k", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("debounced").start()
+    // the burst 0,3 | 6 chains ACROSS the batch boundary: 6 is within
+    // cooldown of the batch-1 tail 3, so state must suppress it
+    val batch1 = Seq(("u", 0L), ("u", 3L), ("v", 0L))
+    val batch2 = Seq(("u", 6L), ("u", 11L))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val streamed = spark.sql("SELECT k, ts FROM debounced").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == Set(("u", 0L), ("u", 11L), ("v", 0L)))
+      // batch twin over the union emits the same keep-first rows
+      val batch = graft.ops.EventAnalytics.debounce(
+        (batch1 ++ batch2).zipWithIndex
+          .map { case ((k, ts), i) => (k, ts, i.toLong) }
+          .toDF("k", "ts", "id"), "k", "ts", "id", cooldownUs = 4L)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("first_ts")))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("preaggStream final states equal the batch incremental merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
