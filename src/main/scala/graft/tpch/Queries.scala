@@ -397,6 +397,28 @@ object Queries {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    // mixed-format store registration (S1 ingest surface): nation
+    // round-trips through a CSV table (header + schema inference),
+    // region through JSON-lines, both registered by the SAME
+    // registerTableDir scan a parquet store uses — then joined and
+    // aggregated; values must survive the text round trip exactly
+    "q143_table_store" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_store").toString
+      s.read.parquet(s"$dir/nation.parquet").write.mode("overwrite")
+        .option("header", "true").csv(s"$store/nation.csv")
+      s.read.parquet(s"$dir/region.parquet").write.mode("overwrite")
+        .json(s"$store/region.jsonl")
+      val ws = new graft.workspace.Workspace(s).registerTableDir(store)
+      ws.table("nation")
+        .join(ws.table("region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"))
+        .orderBy(col("r_name"))
+    }),
+
     // T2/T3/T6: the Calendar module's datetime→path decomposition,
     // truncation, and since-period-start, replayed by DuckDB's date
     // functions over every distinct ship date. The calendar math is
@@ -859,6 +881,12 @@ object Queries {
          |  COUNT(1) AS fact_count_json
          |FROM lineitem
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q143_table_store" ->
+      """SELECT r_name, COUNT(1) AS n_nations,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q38_calendar_paths" ->
       s"""SELECT strftime(d, '%Y-%m-%d') AS shipdate,

@@ -54,18 +54,43 @@ final class Workspace(val spark: SparkSession) {
     this
   }
 
-  /** Register every `<name>.parquet` under the directory as a table of the
-    * given store ("" = default store). */
+  /** Register every `<name>.parquet`, `<name>.csv`, and `<name>.jsonl` /
+    * `<name>.ndjson` under the directory as a table of the given store
+    * ("" = default store). Each entry may be a single file or a
+    * directory of part files (a Spark sink's output registers as-is).
+    * CSV reads with header + schema inference — schema-on-register, one
+    * extra pass over the csv ONLY (reference stores type their columns
+    * at load the same way, `tutorial create_table_from_csv`); parquet
+    * stays the scale format, text formats are the ingest convenience. */
   def registerTableDir(dir: String, namespace: String = ""): this.type = {
     // tolerate TIMESTAMP(NANOS) columns (read as long nanos)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.filter(_.getName.endsWith(".parquet")).foreach { f =>
-      storeTables(namespace)(f.getName.stripSuffix(".parquet")) =
-        spark.read.parquet(f.getAbsolutePath)
+    def put(name: String, df: DataFrame): Unit =
+      storeTables(namespace)(name) = df
+    files.foreach { f =>
+      val n = f.getName
+      val p = f.getAbsolutePath
+      if (n.endsWith(".parquet"))
+        put(n.stripSuffix(".parquet"), spark.read.parquet(p))
+      else if (n.endsWith(".csv"))
+        // multiLine: quoted embedded newlines must not split records;
+        // it pins each FILE to one input split, which is the right
+        // trade for an ingest-convenience format (scale data is parquet)
+        put(n.stripSuffix(".csv"), spark.read
+          .option("header", "true").option("inferSchema", "true")
+          .option("multiLine", "true").csv(p))
+      else if (n.endsWith(".jsonl"))
+        put(n.stripSuffix(".jsonl"), spark.read.json(p))
+      else if (n.endsWith(".ndjson"))
+        put(n.stripSuffix(".ndjson"), spark.read.json(p))
     }
     this
   }
+
+  /** The registered table, as the store's cubes would see it. */
+  def table(name: String, namespace: String = ""): DataFrame =
+    storeTables(namespace)(name)
 
   def registerTable(name: String, df: DataFrame,
       namespace: String = ""): this.type = {

@@ -297,6 +297,27 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("registerTableDir ingests csv and jsonl tables next to parquet") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_mixed_store")
+    // csv with a quoted comma + embedded newline — the round trip must
+    // not split the field; inferSchema must type n as a number
+    Files.writeString(dir.resolve("people.csv"),
+      "id,name,n\n1,\"Doe, Jane\",10\n2,\"two\nlines\",20\n")
+    Files.writeString(dir.resolve("tags.jsonl"),
+      """{"id":1,"tag":"a"}""" + "\n" + """{"id":2,"tag":"b"}""" + "\n")
+    val ws = new graft.workspace.Workspace(spark)
+      .registerTableDir(dir.toString)
+    val people = ws.table("people")
+    assert(people.count() == 2)
+    assert(people.schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(people.filter(col("name") === "Doe, Jane").count() == 1)
+    assert(people.filter(col("name").contains("\n")).count() == 1)
+    val joined = people.join(ws.table("tags"), "id")
+    assert(joined.agg(sum(col("n"))).collect().head.getLong(0) == 30L)
+  }
+
   test("materialization verbs run against the config-loaded workspace") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val target = Files.createTempDirectory("graft_cli_agg").toString
