@@ -618,6 +618,55 @@ object ScaleStress {
         val out = graft.ops.Graph.triangleCounts(edges, "src", "dst")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q136 shape: OLS trend — ONE partial-aggregable pass of five
+      // mergeable moments; everything after is |keys|-sized
+      timed(scale, "trend") {
+        val e2 = ev.select(col("user_id"),
+          (col("tus") / 3600000000L).cast("long").as("x"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("y"))
+        val out = graft.ops.EventAnalytics.trend(e2, "user_id", "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q141 shape: MAD outliers — two median passes + two broadcast
+      // |keys|-row join-backs; the data-sized side never shuffles
+      timed(scale, "mad_outliers") {
+        val e2 = ev.select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"))
+        val out = graft.ops.Profiling.madOutliers(e2, "user_id", "vmil", 5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q138 shape: debounce — gaps-and-islands windows + the skew-safe
+      // min(struct) keep-first per burst, all on one hash partitioning
+      timed(scale, "debounce") {
+        val out = graft.ops.EventAnalytics.debounce(
+          ev, "user_id", "tus", "event_id", cooldownUs = 14400000000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q137 shape: category drift — two count passes collapse the log
+      // map-side; everything after is |categories|-sized
+      timed(scale, "category_drift") {
+        val out = graft.ops.Profiling.categoryDrift(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "event_type", 2, 100)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q139 shape: dataset fingerprint — one partial-aggregable digest
+      // pass; the total re-aggregates |shards| rows, never the data
+      timed(scale, "fingerprint") {
+        val out = graft.ops.Incremental.datasetFingerprint(
+          ev.withColumn("v", col("value").cast("string")),
+          "event_type", "event_id", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q142 shape: k-anonymity — partial-aggregable count + an
+      // AQE-splittable equi join-back (not a count-over-window)
+      timed(scale, "k_anonymize") {
+        val e2 = ev.select(col("event_id"), col("event_type"),
+          (col("tus") / 86400000000L).cast("long").as("day"))
+        val out = graft.ops.Corpus.kAnonymize(e2,
+          Seq("event_type", "day"), k = 50)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
     runEvents("1x", ev1x)
     runEvents("10x", ev10x)

@@ -183,6 +183,41 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.trend]]: the per-key
+    * OLS sufficient statistics `(n, Σx, Σy, Σx², Σxy)` maintained as
+    * O(1) running state per key (BigInt mirrors the batch op's
+    * decimal(38,0)); each micro-batch folds its rows and emits every
+    * touched key's refreshed `(n, slope_num, slope_den)` — update
+    * semantics, downstream upserts by key. Because the statistics are
+    * the batch op's mergeable moments, stream state after any prefix
+    * EQUALS the batch aggregate over the same rows (asserted in
+    * StreamingSpec), arrival order irrelevant — addition commutes. */
+  def trendStream(rows: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, String, String)] = {
+    import rows.sparkSession.implicits._
+    // moments persist as decimal STRINGS (BigInt has no Spark encoder)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, String, String, String),
+        (String, Long, String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it,
+            state: GroupState[(Long, String, String, String, String)]) =>
+          val st = state.getOption.getOrElse((0L, "0", "0", "0", "0"))
+          var n = st._1
+          var sx = BigInt(st._2); var sy = BigInt(st._3)
+          var sxx = BigInt(st._4); var sxy = BigInt(st._5)
+          it.foreach { case (_, x, y) =>
+            n += 1; sx += x; sy += y
+            sxx += BigInt(x) * x; sxy += BigInt(x) * y
+          }
+          state.update((n, sx.toString, sy.toString,
+            sxx.toString, sxy.toString))
+          val num = BigInt(n) * sxy - sx * sy
+          val den = BigInt(n) * sxx - sx * sx
+          Iterator.single((key, n, num.toString, den.toString))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics.debounce]]: emit the
     * FIRST event of each burst as it opens (a gap `> cooldown` from the
     * key's previous event — kept or not — opens a burst), suppressing

@@ -275,4 +275,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!rp.contains("BroadcastNestedLoopJoin") &&
       !rp.contains("CartesianProduct"), rp)
   }
+
+  test("r9 profiling ops keep their scale shape: partial aggs, no data-sized windows") {
+    import spark.implicits._
+    val ev = (1 to 200).map(i =>
+      (i.toLong % 7, i.toLong, i.toLong * 3 % 101)).toDF("k", "id", "v")
+    // trend: ONE aggregate pair (partial+final), zero windows/joins
+    val tp = physicalPlan(graft.ops.EventAnalytics.trend(ev, "k", "id", "v"))
+    assert(!tp.contains("Window") && !tp.contains("Join"), tp)
+    assert(tp.contains("partial"), tp)
+    assert(tp.linesIterator.count(_.contains("Exchange")) == 1, tp)
+    // categoryDrift: category counts partial-aggregate; totals broadcast
+    val cd = physicalPlan(graft.ops.Profiling.categoryDrift(
+      ev.filter(ev("id") % 2 === 0), ev.filter(ev("id") % 2 === 1),
+      "k", 2, 100))
+    assert(cd.contains("partial"), cd)
+    assert(cd.contains("BroadcastNestedLoopJoin"), cd) // 1-row totals only
+    assert(!cd.contains("Window"), cd)
+    // debounce: burst collapse is a partial-aggregable min(struct), and
+    // the whole op runs on ONE exchange (windows + groupBy share hash(k))
+    val db = physicalPlan(graft.ops.EventAnalytics.debounce(
+      ev, "k", "v", "id", cooldownUs = 10L))
+    assert(db.linesIterator.count(_.contains("Exchange")) == 1, db)
+    assert(db.contains("partial_min") || db.contains("partial"), db)
+    // kAnonymize: count + equi join-back, never a count-over-window
+    val ka = physicalPlan(graft.ops.Corpus.kAnonymize(ev, Seq("k"), 2))
+    assert(!ka.contains("Window"), ka)
+    assert(ka.contains("partial"), ka)
+    // madOutliers: every |keys|-row median table joins back by BROADCAST
+    // (the mad branch re-derives its dev lineage, so the med2 join shows
+    // twice — 3 broadcast joins, still zero data-sized shuffles)
+    val mo = physicalPlan(graft.ops.Profiling.madOutliers(ev, "k", "v", 5))
+    assert(mo.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, mo)
+    assert(!mo.contains("Window") && !mo.contains("SortMergeJoin"), mo)
+  }
 }

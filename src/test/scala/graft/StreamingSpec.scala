@@ -437,6 +437,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendStream final moments equal the batch OLS rational per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = Streaming.trendStream(ms.toDS())
+      .toDF("k", "n", "num", "den")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trend_stream").start()
+    // rows arrive across batches and out of x-order: moments commute
+    val batch1 = Seq(("a", 2L, 4L), ("a", 0L, 0L), ("b", 1L, 9L))
+    val batch2 = Seq(("a", 1L, 2L), ("b", 2L, 5L), ("b", 3L, 1L))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // last emitted row per key = the maintained statistics
+      val rows = spark.sql("SELECT k, n, num, den FROM trend_stream")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getString(2), r.getString(3))))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      // batch twin over the union
+      val batch = graft.ops.EventAnalytics.trend(
+        (batch1 ++ batch2).toDF("k", "x", "y"), "k", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n"),
+            r.getAs[java.math.BigDecimal]("slope_num")
+              .toBigInteger.toString,
+            r.getAs[java.math.BigDecimal]("slope_den")
+              .toBigInteger.toString))).toMap
+      assert(last == batch)
+      // exact rational for a: perfect line y = 2x → num/den = 12/6
+      assert(last("a") == ((3L, "12", "6")))
+    } finally q.stop()
+  }
+
   test("debounceStream keeps batch's keep-first rows; burst chains span batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
