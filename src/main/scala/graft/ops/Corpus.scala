@@ -623,4 +623,73 @@ object Corpus {
       .filter(col("group_n") >= k)
     df.join(counts, quasiCols)
   }
+
+  /** Deterministic class rebalancing by EXACT integer oversampling:
+    * every class is brought to exactly the majority class's count —
+    * each row repeats `target div n` times, and the first
+    * `target mod n` rows of the class IN CONTENT-HASH ORDER repeat
+    * once more (seedless: re-running, re-sharding, or re-running on
+    * another engine picks the same extra rows — the [[stratifiedSample]]
+    * discipline, applied to UP-sampling). The imbalance cure for
+    * per-language / per-source training mixes where down-sampling
+    * would discard scarce data.
+    *
+    * Shape: |classes|-row count table + single-row target, both
+    * broadcast; one per-class rank window (a class costs its own row
+    * count); the `posexplode(sequence(...))` fan-out is bounded by the
+    * OUTPUT corpus — the irreducible cost of oversampling. Returns one
+    * row per emitted copy: the id, class, and 1-based `copy` ordinal
+    * (copy = 1 is the original). */
+  def balanceClasses(df: DataFrame, classCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__n__"))
+    val target = counts.agg(max(col("__n__")).as("__target__"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(graft.functions.NativeHashes
+        .poly_hash(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.select(col(idCol), col(classCol))
+      .withColumn("__rn__", row_number().over(w))
+      .join(broadcast(counts), Seq(classCol))
+      .crossJoin(broadcast(target))
+      .withColumn("__copies__",
+        expr("__target__ div __n__") +
+          when(col("__rn__") <= expr("__target__ % __n__"), 1L)
+            .otherwise(0L))
+      .select(col(idCol), col(classCol),
+        posexplode(sequence(lit(1L), col("__copies__"))))
+      .select(col(idCol), col(classCol),
+        (col("pos") + 1).cast("long").as("copy"))
+  }
+
+  /** BPE merge-candidate statistics — the inner loop of tokenizer
+    * training at corpus scale: adjacent CHARACTER-pair counts weighted
+    * by word frequency (the pair picked for the next merge is the
+    * argmax). Two mergeable aggregations: the word-frequency table
+    * (partial-aggregable, vocabulary-sized — the corpus text collapses
+    * map-side) and the pair roll-up over DISTINCT words, so a word
+    * repeated 10⁸ times costs its length once, weighted — never 10⁸
+    * explodes (the reason production BPE trainers work from the word
+    * histogram, reproduced here as the plan shape). Deterministic
+    * top-k by (count desc, pair asc). */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = df.select(explode(split(lower(
+      coalesce(col(textCol), lit(""))), "\\s+")).as("__w__"))
+      .filter(length(col("__w__")) >= 2)
+    val wf = words.groupBy(col("__w__"))
+      .agg(count(lit(1)).as("__wn__"))
+    val pairs = wf.select(col("__wn__"),
+      explode(transform(
+        sequence(lit(1), length(col("__w__")) - 1),
+        i => struct(col("__w__").substr(i, lit(1)).as("a"),
+          col("__w__").substr(i + 1, lit(1)).as("b")))).as("__p__"))
+    val counts = pairs.groupBy(col("__p__.a").as("a"),
+        col("__p__.b").as("b"))
+      .agg(sum(col("__wn__")).as("n"))
+    val w = Window.orderBy(col("n").desc, col("a").asc, col("b").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

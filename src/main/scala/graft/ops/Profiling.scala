@@ -153,4 +153,32 @@ object Profiling {
       .withColumn("outlier", col("dev2") * 2 > col("__mad4__") * k)
       .drop("__med2__", "__mad4__")
   }
+
+  /** Join-key skew profile — the pre-join diagnostic that decides
+    * between a plain shuffle join, [[graft.ops.Skew.saltedJoin]], and a
+    * broadcast: the `topN` heaviest keys with exact counts and a `hot`
+    * flag for keys holding more than `pctNum/pctDen` of the table,
+    * evaluated by integer cross-multiplication
+    * (`n·pctDen > pctNum·total` in decimal(38,0) — boundary keys flag
+    * identically in both engines).
+    *
+    * Shape: one partial-aggregable count (the table collapses
+    * map-side), a single-row total broadcast, and a `rank <= topN`
+    * window over the |keys|-row count table. Null keys count as a key —
+    * they are the most common skew culprit a profiler must not hide. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int,
+      pctNum: Int, pctDen: Int): DataFrame = {
+    require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).cast(dec).as("__total__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_first)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .crossJoin(broadcast(total))
+      .withColumn("hot",
+        col("n").cast(dec) * pctDen > col("__total__") * pctNum)
+      .select(col(keyCol), col("n"), col("rank"), col("hot"))
+  }
 }

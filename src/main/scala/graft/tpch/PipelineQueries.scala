@@ -181,6 +181,26 @@ object PipelineQueries {
         Seq("lang", "source", "len_bucket"), k = 3)
         .orderBy(col("doc_id"))),
 
+    // deterministic class rebalancing: every language oversampled to
+    // exactly the majority count; the `target mod n` extra copies go to
+    // the first rows in content-hash order (seedless, engine-stable)
+    "q144_balance_classes" -> ((s, dir) =>
+      Corpus.balanceClasses(docs(s, dir), "lang", "doc_id")
+        .orderBy(col("doc_id"), col("copy"))),
+
+    // BPE merge-candidate statistics: adjacent char-pair counts weighted
+    // by word frequency, rolled up over DISTINCT words (the histogram
+    // shape production tokenizer trainers use); deterministic top-30
+    "q145_bpe_pairs" -> ((s, dir) =>
+      Corpus.bpePairCounts(docs(s, dir), "text", topK = 30)),
+
+    // join-key skew profile over the language column: exact top-5 counts
+    // + integer cross-multiplied hot flags at 30% — only 'en' (43.6% at
+    // sf0.01) flags
+    "q146_key_skew" -> ((s, dir) =>
+      graft.ops.Profiling.keySkew(docs(s, dir), "lang", topN = 5,
+        pctNum = 30, pctDen = 100)),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1261,6 +1281,49 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q144_balance_classes" -> {
+      val h = dpolyhash("CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT lang, COUNT(1) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT MAX(n) AS target FROM c),
+         |r AS (SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY $h, doc_id) AS rn
+         |  FROM documents),
+         |x AS (SELECT r.doc_id, r.lang,
+         |    t.target // c.n +
+         |      CASE WHEN r.rn <= t.target % c.n THEN 1 ELSE 0 END
+         |      AS copies
+         |  FROM r JOIN c USING (lang) CROSS JOIN t)
+         |SELECT doc_id, lang,
+         |  CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+         |FROM x ORDER BY doc_id, copy""".stripMargin
+    },
+
+    "q145_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+        |    AS w FROM documents),
+        |wf AS (SELECT w, COUNT(1) AS wn FROM w
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        |p0 AS (SELECT wn, string_split(w, '') AS cs FROM wf),
+        |p1 AS (SELECT wn, cs, unnest(range(1, len(cs))) AS i FROM p0),
+        |p AS (SELECT wn, cs[i] AS a, cs[i + 1] AS b FROM p1),
+        |g AS (SELECT a, b, CAST(SUM(wn) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT a, b, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, a ASC, b ASC)
+        |    AS INTEGER) AS rank
+        |FROM g QUALIFY rank <= 30 ORDER BY rank""".stripMargin,
+
+    "q146_key_skew" ->
+      """WITH c AS (SELECT lang, COUNT(1) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(1) AS HUGEINT) AS total FROM documents)
+        |SELECT lang, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, lang ASC)
+        |    AS INTEGER) AS rank,
+        |  CAST(n AS HUGEINT) * 100 > total * 30 AS hot
+        |FROM c CROSS JOIN t
+        |QUALIFY rank <= 5 ORDER BY rank""".stripMargin,
+
     "q139_fingerprint" -> {
       val h = dpolyhash("CAST(doc_id AS VARCHAR) || '|' || text")
       s"""WITH h AS (SELECT source AS shard, $h AS h FROM documents),

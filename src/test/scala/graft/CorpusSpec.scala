@@ -535,6 +535,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("n_tokens") == 2L)
   }
 
+  test("balanceClasses: exact-equal class sizes, deterministic extras") {
+    // a×3, b×2 → target 3: every a row once; b gets base 1 + ONE extra
+    // copy on the hash-first row — totals exactly equal
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"))
+      .toDF("id", "cls")
+    val out = Corpus.balanceClasses(df, "cls", "id")
+    val byClass = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass == Map("a" -> 3L, "b" -> 3L))
+    // copy ordinals: the doubled b row has copies 1 and 2
+    val doubled = out.filter(col("cls") === "b")
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(doubled.values.toSeq.sorted == Seq(1L, 2L))
+    // determinism: identical output across a reshuffled input
+    val again = Corpus.balanceClasses(df.repartition(5), "cls", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Long]("copy"))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getAs[Long]("copy"))).toSet)
+  }
+
+  test("bpePairCounts: word-frequency-weighted adjacent char pairs") {
+    // "ab" appears twice (weight 2), "aab" once → (a,b): 2+1 = 3,
+    // (a,a): 1, (c,d): 1; 1-char words are skipped
+    val df = Seq("ab cd x", "ab aab").toDF("text")
+    val got = Corpus.bpePairCounts(df, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Int]("rank"))).toMap
+    assert(got(("a", "b")) == ((3L, 1)))
+    assert(got(("a", "a")) == ((1L, 2))) // count tie → pair-lexicographic
+    assert(got(("c", "d")) == ((1L, 3)))
+    assert(got.size == 3)
+  }
+
   test("kAnonymize suppresses sub-k quasi-identifier groups entirely") {
     val df = Seq(
       (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"), // n=3

@@ -134,6 +134,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(below("b")._3 && below("c")._3 && !below("a")._3)
   }
 
+  test("keySkew: exact top-N, strict cross-multiplied hot flag, null key counted") {
+    import spark.implicits._
+    // a×6, b×3, null×1 → total 10. At 30%: a (60%) flags; b sits
+    // EXACTLY on the threshold (3·100 = 30·10) → strict >, not hot.
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq(Option.empty[String])).toDF("k")
+    val got = graft.ops.Profiling.keySkew(df, "k", topN = 3, 30, 100)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getAs[Long]("n"), r.getAs[Int]("rank"),
+         r.getAs[Boolean]("hot")))
+    assert(got.toSeq == Seq(
+      Some("a") -> ((6L, 1, true)),
+      Some("b") -> ((3L, 2, false)),
+      None -> ((1L, 3, false))))
+  }
+
   test("madOutliers: robust flags, half-integral medians exact, zero MAD") {
     import spark.implicits._
     // key a: 1..9 + 100 — median 5.5 (med2=11), dev2 of 100 = 189,
