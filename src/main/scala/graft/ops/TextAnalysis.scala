@@ -240,6 +240,42 @@ object TextAnalysis {
     concat(host, rtrim(path, "/"))
   }
 
+  /** Unicode-script profile — the multilingual corpus-filtering signal
+    * language-ID cannot give (it answers "which language", this answers
+    * "which WRITING SYSTEMS, and how mixed"): per-script character
+    * counts over the four highest-volume script blocks + a dominant
+    * label and a mixed-script flag. Script mixing at high rates is a
+    * spam/SEO/encoding-corruption marker, and per-script counts route
+    * docs to script-specific tokenizers. All counts are codegen'd
+    * per-row `regexp_count` over explicit code-point ranges (the shared
+    * Java/RE2 subset — both engines count identically); the dominant
+    * label is a FIXED strict-> CASE chain (latin ≻ cjk ≻ cyrillic ≻
+    * arabic on ties) and the mixed flag is the integer test
+    * `(letters − dominant) · 5 >= letters` (≥20% of script letters
+    * outside the dominant script). No shuffle; streams unchanged.
+    * Returns (name -> column) pairs to splat into a select. */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    def cnt(pattern: String): Column =
+      regexp_count(text, lit(pattern)).cast("long")
+    val latin = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
+    val cjk = cnt("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val ar = cnt("[\\x{0600}-\\x{06FF}]")
+    val letters = latin + cjk + cyr + ar
+    val dom = when(letters === 0, "none")
+      .when(latin >= cjk && latin >= cyr && latin >= ar, "latin")
+      .when(cjk >= cyr && cjk >= ar, "cjk")
+      .when(cyr >= ar, "cyrillic")
+      .otherwise("arabic")
+    val domCnt = greatest(latin, cjk, cyr, ar)
+    Seq(
+      "n_latin" -> latin, "n_cjk" -> cjk, "n_cyrillic" -> cyr,
+      "n_arabic" -> ar,
+      "script" -> dom,
+      "mixed_script" ->
+        (letters > 0 && (letters - domCnt) * 5 >= letters))
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

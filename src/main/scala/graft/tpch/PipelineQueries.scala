@@ -201,6 +201,20 @@ object PipelineQueries {
       graft.ops.Profiling.keySkew(docs(s, dir), "lang", topN = 5,
         pctNum = 30, pctDen = 100)),
 
+    // Unicode-script profile with injected Cyrillic (every 9th doc) and
+    // CJK (every 17th) noise: per-script counts, strict-≻ dominant
+    // label, integer ≥20% mixed-script flag — all replayed by RE2
+    "q147_script_profile" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          lit(" привет мир это тест смешанного письма")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" 数据 管道 去重 质量 检查")).otherwise(lit(""))))
+      val cols = TextAnalysis.scriptProfile(col("text"))
+        .map { case (n, c) => c.as(n) }
+      d.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1281,6 +1295,37 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q147_script_profile" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN ' привет мир это тест смешанного письма' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN ' 数据 管道 去重 质量 检查' ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic
+        |  FROM d),
+        |s AS (SELECT *,
+        |    n_latin + n_cjk + n_cyrillic + n_arabic AS letters,
+        |    GREATEST(n_latin, n_cjk, n_cyrillic, n_arabic) AS dom
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+        |  CASE WHEN letters = 0 THEN 'none'
+        |       WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+        |         AND n_latin >= n_arabic THEN 'latin'
+        |       WHEN n_cjk >= n_cyrillic AND n_cjk >= n_arabic THEN 'cjk'
+        |       WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       ELSE 'arabic' END AS script,
+        |  letters > 0 AND (letters - dom) * 5 >= letters AS mixed_script
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q144_balance_classes" -> {
       val h = dpolyhash("CAST(doc_id AS VARCHAR)")
       s"""WITH c AS (SELECT lang, COUNT(1) AS n FROM documents GROUP BY 1),

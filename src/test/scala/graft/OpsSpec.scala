@@ -1028,6 +1028,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scriptProfile: dominant label, tie priority, exact 20% mixed boundary") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world"),            // pure latin
+      (2L, "你好世界"),                // pure cjk
+      (3L, "привет мир"),             // pure cyrillic
+      (4L, "مرحبا"),                  // pure arabic
+      (5L, ""),                       // no letters → none
+      (6L, "ab你好"),                  // 2 latin vs 2 cjk tie → latin wins
+      (7L, "abcd你"),                  // 1 of 5 = exactly 20% → mixed (>=)
+      (8L, "abcde你")                  // 1 of 6 < 20% → not mixed
+    ).toDF("id", "text")
+    val cols = graft.ops.TextAnalysis.scriptProfile(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = df.select(col("id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("script"), r.getAs[Boolean]("mixed_script"),
+         r.getAs[Long]("n_cjk"))).toMap
+    assert(got(1L) == (("latin", false, 0L)))
+    assert(got(2L) == (("cjk", false, 4L)))
+    assert(got(3L)._1 == "cyrillic" && got(4L)._1 == "arabic")
+    assert(got(5L) == (("none", false, 0L)))
+    assert(got(6L) == (("latin", true, 2L)))  // strict chain: latin on tie
+    assert(got(7L)._2 && !got(8L)._2)         // >= makes 20% exact bind
+  }
+
   test("rrfFuse: exact integer scores, both-lists boost, topM cut") {
     import spark.implicits._
     // list1 ranks a,b,c; list2 ranks b,d. k=60, scale=1e6:
