@@ -424,6 +424,35 @@ object EventAnalytics {
         sum(col(valueCol)).as("value_sum"))
   }
 
+  /** Top event-type PATHS: each entity's first `maxSteps` states in
+    * `(tsCol, idCol)` order joined into one path string, counted across
+    * entities, top-k by `(count desc, path asc)` — the product-analytics
+    * "common journeys" view ([[funnel]] asks about ONE ordered pattern;
+    * this discovers which patterns exist). Truncation to the first
+    * `maxSteps` steps is the standard unbounded-path cure.
+    *
+    * Shape: one per-entity `collect_list` (state bounded by the KEY's
+    * history — the [[ewma]] discipline) + a partial-aggregable path
+    * count + a `rank <= topK` window (map-side `WindowGroupLimit`).
+    * Returns (path, n_entities, rank). */
+  def topPaths(events: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, stateCol: String, maxSteps: Int,
+      topK: Int): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1, "maxSteps and topK must be >= 1")
+    val t = struct(col(tsCol).as("ts"), col(idCol).as("id"),
+      col(stateCol).cast("string").as("s"))
+    val paths = events.groupBy(col(entityCol))
+      .agg(sort_array(collect_list(t)).as("__h__"))
+      .select(array_join(
+        transform(slice(col("__h__"), 1, maxSteps), e => e.getField("s")),
+        ">").as("path"))
+    val counts = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_entities"))
+    val w = Window.orderBy(col("n_entities").desc, col("path").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Per-key linear-trend detection (volume drift, quality decay, score
     * creep per source) via ordinary-least-squares sufficient statistics:
     * slope over `(x, y)` carried as the EXACT integer rational

@@ -125,6 +125,29 @@ object Incremental {
     * Shape: one partial-aggregable pass (sum in decimal(38,0) — 100 TB
     * row counts × 10⁹ digests pass Long), plus a |shards|-row
     * re-aggregation. Returns one row per shard + a `(total)` row. */
+  /** CDC log compaction — the upsert/delete stream collapsed to current
+    * state (the MERGE/compaction step every incrementally-maintained
+    * 100 TB table runs): per key, the LATEST row in `(tsCol, idCol)`
+    * order wins; if that row is a delete marker (`opCol == "delete"`)
+    * the key vanishes from the compacted state rather than surfacing a
+    * tombstone.
+    *
+    * Shape: one key-partitioned `row_number` window DESC + a `rn = 1`
+    * filter — the filter-on-rank shape Spark prunes MAP-SIDE via
+    * `WindowGroupLimit`, so a hot key ships one candidate per map task,
+    * not its whole history (the [[graft.ops.Dedup.dedupParagraphs]]
+    * discipline). The id tie-break makes same-timestamp races
+    * deterministic. Returns the surviving rows minus the helper rank. */
+  def compactCdc(cdc: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    cdc.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .filter(col(opCol) =!= "delete")
+      .drop("__rn__")
+  }
+
   def datasetFingerprint(df: DataFrame, shardCol: String, idCol: String,
       digestCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)

@@ -215,6 +215,31 @@ object PipelineQueries {
       d.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
     }),
 
+    // CDC compaction: latest row per user wins, error events act as
+    // delete markers — users whose LAST event is an error vanish from
+    // the compacted state (no tombstone surfaces)
+    "q148_cdc_compact" -> ((s, dir) => {
+      val cdc = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          col("event_type"))
+      graft.ops.Incremental.compactCdc(cdc, "user_id", "tus",
+          "event_id", "op")
+        .orderBy(col("user_id"))
+    }),
+
+    // common-journey discovery: each user's first 5 event types as a
+    // path string, top-20 paths by user count
+    "q149_top_paths" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+      EventAnalytics.topPaths(ev, "user_id", "tus", "event_id",
+        "event_type", maxSteps = 5, topK = 20)
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1295,6 +1320,28 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q148_cdc_compact" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    event_type FROM events)
+        |SELECT user_id, tus, event_id, op, event_type FROM c
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY tus DESC, event_id DESC) = 1
+        |  AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+
+    "q149_top_paths" ->
+      """WITH h AS (SELECT user_id,
+        |    list(event_type ORDER BY epoch_us(ts), event_id) AS states
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT array_to_string(states[1:5], '>') AS path FROM h),
+        |c AS (SELECT path, COUNT(1) AS n_entities FROM p GROUP BY 1)
+        |SELECT path, n_entities,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_entities DESC, path ASC)
+        |    AS INTEGER) AS rank
+        |FROM c QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
     "q147_script_profile" ->
       """WITH d AS (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 9 = 0

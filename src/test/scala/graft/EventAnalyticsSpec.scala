@@ -421,6 +421,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "(none)" -> ((1L, 7L))))
   }
 
+  test("topPaths: time-ordered, truncated at maxSteps, deterministic ties") {
+    // u1 and u2 share path a>b (u2's long tail truncates at 2 steps);
+    // u3 is b>a — arrival order in the fixture is shuffled on purpose
+    val ev = Seq(
+      (1L, 2L, 12L, "b"), (1L, 1L, 11L, "a"),
+      (2L, 3L, 23L, "c"), (2L, 1L, 21L, "a"), (2L, 2L, 22L, "b"),
+      (3L, 1L, 31L, "b"), (3L, 2L, 32L, "a"))
+      .toDF("u", "ts", "id", "typ")
+    val got = EventAnalytics.topPaths(ev, "u", "ts", "id", "typ",
+        maxSteps = 2, topK = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_entities"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq("a>b" -> ((2L, 1)), "b>a" -> ((1L, 2))))
+  }
+
   test("trend: hand-computed OLS rational; all-x-equal key yields null") {
     // key a: (0,0),(1,2),(2,4) → exact slope 2: num = 3·10−3·6 = 12,
     // den = 3·5−9 = 6. key b: falling. key c: single x value → den 0.

@@ -95,6 +95,21 @@ class IncrementalSpec extends AnyFunSuite {
     assert(plan.contains("Union"), plan)
   }
 
+  test("compactCdc: latest wins, delete markers vanish, map-side rank pruning") {
+    val cdc = Seq(
+      ("a", 1L, 1L, "upsert", "v1"), ("a", 2L, 2L, "upsert", "v2"),
+      ("b", 1L, 3L, "upsert", "v1"), ("b", 2L, 4L, "delete", ""),
+      ("c", 5L, 5L, "upsert", "x"), ("c", 5L, 6L, "upsert", "y"))
+      .toDF("k", "ts", "id", "op", "v")
+    val out = Incremental.compactCdc(cdc, "k", "ts", "id", "op")
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getAs[String]("v")).toMap
+    assert(got == Map("a" -> "v2", "c" -> "y")) // b deleted; c: id 6 wins tie
+    // the rn=1 filter must plan as a WindowGroupLimit (map-side pruning)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("datasetFingerprint: layout-independent, mergeable, mutation-sensitive") {
     val df = Seq((1L, "aa", "s1"), (2L, "bb", "s1"), (3L, "cc", "s2"))
       .toDF("id", "text", "shard")
