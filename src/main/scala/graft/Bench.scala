@@ -60,7 +60,7 @@ object Bench {
     // times the query engine.
     val sinkWriters = Set("q34_materialize_denorm", "q35_materialize_preagg",
       "q36_materialize_dim", "q37_formats_roundtrip", "q108_prune_read",
-      "q129_bucket_join", "q143_table_store")
+      "q129_bucket_join", "q143_table_store", "q151_snapshots")
     // N COMPLETE passes over the catalog, per-query min taken ACROSS
     // passes. Back-to-back min-of-N per query cannot escape deferred
     // cleanup noise: a heavy query's async unpersists/GC land on whichever

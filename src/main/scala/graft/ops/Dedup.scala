@@ -132,6 +132,31 @@ object Dedup {
     * ([[shingleHashesLambda]]'s poly-fold — the stack's deliberate,
     * documented approximation); the DuckDB oracle replays the same
     * hashes bit-for-bit. */
+  /** Pair-set evaluation — the harness that grades one duplicate
+    * detector against another (or against labeled truth): exact
+    * TP/FP/FN counts over UNORDERED id pairs. Both inputs normalize to
+    * `(least, greatest)` and dedupe first, so direction and repetition
+    * in either detector's output cannot skew the counts; precision and
+    * recall leave as the exact integer pairs `(tp, tp+fp)` /
+    * `(tp, tp+fn)` — division is the caller's presentation choice.
+    *
+    * Shape: two partial-aggregable distincts + one full-outer equi-join
+    * on the pair key + a single-row count aggregate. */
+  def pairMetrics(pred: DataFrame, truth: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    def norm(df: DataFrame, tag: String) = df.select(
+      least(col(aCol), col(bCol)).as("__lo__"),
+      greatest(col(aCol), col(bCol)).as("__hi__"))
+      .distinct().withColumn(s"__$tag", lit(1L))
+    norm(pred, "p").join(norm(truth, "t"),
+        Seq("__lo__", "__hi__"), "full_outer")
+      .agg(
+        sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__p").isNull, 1L).otherwise(0L)).as("fn"))
+  }
+
   def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minOcc: Int = 2): DataFrame = {
     require(k >= 1, s"shingle size must be >= 1, got $k")

@@ -122,4 +122,48 @@ object Layout {
     manifestDf.filter(keep).select(col("file"))
       .collect().map(_.getString(0)).toSeq.sorted
   }
+
+  /** Snapshot-versioned table writes — the time-travel primitive a
+    * reproducible training run needs ("train on corpus AS OF v12" after
+    * v13 landed): each write appends an immutable `v=N` directory, never
+    * rewriting history, and reads pin a version or resolve the latest.
+    * The directory name IS the commit (atomic at the FS rename level the
+    * same way a Delta log entry is); no compaction runs here —
+    * [[manifest]]/[[prunedRead]] apply per snapshot unchanged.
+    *
+    * Returns the version number just written. */
+  def snapshotWrite(df: DataFrame, basePath: String): Int = {
+    // number PAST any existing v= dir, committed or torn — a writer that
+    // died mid-flight must not block (or be silently overwritten by)
+    // the next commit
+    val taken = Option(new java.io.File(basePath).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+    val next = (taken :+ 0).max + 1
+    df.write.mode("errorifexists").parquet(s"$basePath/v=$next")
+    next
+  }
+
+  /** The committed versions under `basePath`, ascending. A `v=N`
+    * directory counts as committed once its `_SUCCESS` marker exists —
+    * a write that died mid-flight is invisible to readers. */
+  def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Seq[Int] = {
+    val base = new java.io.File(basePath)
+    Option(base.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toInt).sorted
+  }
+
+  /** Read a pinned snapshot (or the latest when `version` is None). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, version: Option[Int] = None): DataFrame = {
+    val vs = snapshotVersions(spark, basePath)
+    require(vs.nonEmpty, s"no committed snapshots under $basePath")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown snapshot v=$v (have $vs)")
+    spark.read.parquet(s"$basePath/v=$v")
+  }
 }

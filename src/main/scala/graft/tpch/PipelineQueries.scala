@@ -240,6 +240,43 @@ object PipelineQueries {
         "event_type", maxSteps = 5, topK = 20)
     }),
 
+    // detector-evaluation harness: TP/FP/FN over unordered pair sets —
+    // synthesized pred (every-3rd adjacent pair + reversed every-9th
+    // duplicates) vs truth (every-2nd); normalization must collapse the
+    // reversed injections
+    "q150_pair_metrics" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id"))
+      val pred = ids.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .union(ids.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1).as("a"), col("doc_id").as("b")))
+      val truth = ids.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      Dedup.pairMetrics(pred, truth, "a", "b")
+    }),
+
+    // snapshot-versioned table: v1 = nation, v2 = every-5th name edited;
+    // pinned v1 read + latest-resolution read summarized per version —
+    // history is immutable, time travel exact
+    "q151_snapshots" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_snap").toString
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      graft.ops.Layout.snapshotWrite(nation, base)
+      graft.ops.Layout.snapshotWrite(
+        nation.withColumn("n_name",
+          when(col("n_nationkey") % 5 === 0,
+            concat(col("n_name"), lit("_X")))
+            .otherwise(col("n_name"))), base)
+      val dig = graft.functions.NativeHashes.poly_hash(col("n_name"))
+      def summ(df: DataFrame, v: Long) =
+        df.agg(count(lit(1)).as("n_rows"), sum(dig).as("name_sum"))
+          .withColumn("version", lit(v))
+      summ(graft.ops.Layout.readSnapshot(s, base, Some(1)), 1L)
+        .unionByName(summ(graft.ops.Layout.readSnapshot(s, base), 2L))
+        .orderBy(col("version"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1320,6 +1357,39 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q150_pair_metrics" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |pred AS (SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM (
+        |    SELECT doc_id AS a, doc_id + 1 AS b FROM ids
+        |    WHERE doc_id % 3 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 1, doc_id FROM ids WHERE doc_id % 9 = 0)
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT doc_id AS lo, doc_id + 1 AS hi FROM ids
+        |  WHERE doc_id % 2 = 0),
+        |j AS (SELECT pred.lo IS NOT NULL AS p, truth.lo IS NOT NULL AS t
+        |  FROM pred FULL OUTER JOIN truth
+        |    ON pred.lo = truth.lo AND pred.hi = truth.hi)
+        |SELECT
+        |  CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fp,
+        |  CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fn
+        |FROM j""".stripMargin,
+
+    "q151_snapshots" -> {
+      val d1 = dpolyhash("n_name")
+      val d2 = dpolyhash(
+        "CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X' ELSE n_name END")
+      s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(1) AS n_rows,
+         |  CAST(SUM($d1) AS BIGINT) AS name_sum FROM nation
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), COUNT(1),
+         |  CAST(SUM($d2) AS BIGINT) FROM nation
+         |ORDER BY version""".stripMargin
+    },
+
     "q148_cdc_compact" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    CASE WHEN event_type = 'error' THEN 'delete'

@@ -139,4 +139,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(a == b)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("snapshots: immutable versions, pinned + latest reads, torn writes invisible") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_snapspec")
+      .toString
+    val l = graft.ops.Layout
+    assert(l.snapshotVersions(spark, base).isEmpty)
+    assert(l.snapshotWrite(Seq(1L, 2L).toDF("x"), base) == 1)
+    assert(l.snapshotWrite(Seq(1L, 2L, 3L).toDF("x"), base) == 2)
+    assert(l.snapshotVersions(spark, base) == Seq(1, 2))
+    // pinned v1 still reads the ORIGINAL rows after v2 landed
+    assert(l.readSnapshot(spark, base, Some(1)).count() == 2)
+    assert(l.readSnapshot(spark, base).count() == 3) // latest resolves v2
+    // a torn write (directory without _SUCCESS) is invisible to readers
+    // and does not claim a version number
+    val torn = new java.io.File(s"$base/v=3")
+    torn.mkdirs()
+    assert(l.snapshotVersions(spark, base) == Seq(1, 2))
+    assert(l.readSnapshot(spark, base).count() == 3)
+    // the next commit numbers PAST the torn dir instead of colliding
+    assert(l.snapshotWrite(Seq(9L).toDF("x"), base) == 4)
+    assert(l.snapshotVersions(spark, base) == Seq(1, 2, 4))
+    assert(l.readSnapshot(spark, base).count() == 1)
+    // unknown pinned version refuses loudly
+    intercept[IllegalArgumentException] {
+      l.readSnapshot(spark, base, Some(99))
+    }
+  }
 }

@@ -1028,6 +1028,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pairMetrics: direction and duplicates collapse before counting") {
+    import spark.implicits._
+    // pred {1-2, 3-4 (given twice, once reversed), 5-6}; truth {1-2, 7-8}
+    val pred = Seq((1L, 2L), (3L, 4L), (4L, 3L), (5L, 6L))
+      .toDF("a", "b")
+    val truth = Seq((2L, 1L), (7L, 8L)).toDF("a", "b")
+    val r = graft.ops.Dedup.pairMetrics(pred, truth, "a", "b")
+      .collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn")) == ((1L, 2L, 1L)))
+  }
+
   test("scriptProfile: dominant label, tie priority, exact 20% mixed boundary") {
     import spark.implicits._
     val df = Seq(
