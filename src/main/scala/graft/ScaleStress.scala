@@ -405,6 +405,33 @@ object ScaleStress {
         val out = Incremental.merge(baseAgg, deltaAgg, Seq("key"))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q145 shape: BPE pair stats — the corpus collapses into the
+      // word-frequency histogram map-side; the char-pair roll-up runs
+      // over DISTINCT words, so 10× data with the same vocabulary must
+      // cost the FIRST aggregation only
+      timed(scale, "bpe_pairs") {
+        val out = Corpus.bpePairCounts(docs, "text", topK = 50)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q147 shape: script profile — pure per-row regexp counts, zero
+      // shuffle beyond the harness count
+      timed(scale, "script_profile") {
+        val cols = TextAnalysis.scriptProfile(col("text"))
+          .map { case (n, c) => c.as(n) }
+        val out = docs.select(col("doc_id") +: cols: _*)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q144 shape: class rebalancing with an ADVERSARIAL split — one
+      // class holds ~50% of rows (the per-class rank window's hot key);
+      // skew lands on the MAJORITY class, which gets no extra copies,
+      // and the fan-out is bounded by the output corpus
+      timed(scale, "balance_hot") {
+        val skewed = docs.withColumn("cls",
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit("hot"))
+            .otherwise(pmod(col("doc_id"), lit(13L)).cast("string")))
+        val out = Corpus.balanceClasses(skewed, "cls", "doc_id")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
@@ -665,6 +692,39 @@ object ScaleStress {
           (col("tus") / 86400000000L).cast("long").as("day"))
         val out = graft.ops.Corpus.kAnonymize(e2,
           Seq("event_type", "day"), k = 50)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q138 debounce under ADVERSARIAL skew: one key owns 50% of the
+      // log. The lag/cumsum windows pay the hot key's full history in
+      // one task (inherent to per-key ordering), but the burst collapse
+      // partial-aggregates map-side — wall must stay linear in the hot
+      // key's rows, nothing quadratic
+      timed(scale, "debounce_hot") {
+        val skewed = ev.withColumn("k",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit(0L))
+            .otherwise(col("user_id")))
+        val out = graft.ops.EventAnalytics.debounce(
+          skewed, "k", "tus", "event_id", cooldownUs = 14400000000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q148 shape: CDC compaction — rn=1 DESC with map-side
+      // WindowGroupLimit; the same 50%-hot key ships ONE candidate per
+      // map task, not its history
+      timed(scale, "cdc_compact_hot") {
+        val skewed = ev.withColumn("k",
+          when(pmod(col("event_id"), lit(2L)) === 0, lit(0L))
+            .otherwise(col("user_id")))
+          .withColumn("op", when(col("event_type") === "error",
+            "delete").otherwise("upsert"))
+        val out = graft.ops.Incremental.compactCdc(
+          skewed, "k", "tus", "event_id", "op")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q149 shape: top paths — per-entity collect bounded by key
+      // history + partial-aggregable path counts
+      timed(scale, "top_paths") {
+        val out = graft.ops.EventAnalytics.topPaths(
+          ev, "user_id", "tus", "event_id", "event_type", 5, 20)
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

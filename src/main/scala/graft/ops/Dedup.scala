@@ -24,6 +24,24 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__text_sha__")
 
+  /** [[exactKeepers]] with a CANONICAL-SELECTION POLICY: among exact
+    * duplicates, keep the row with the highest `scoreCol` (best quality
+    * score, richest metadata, longest variant — whatever the caller
+    * ranks), id ascending on score ties. "Keep first" is the right
+    * default for determinism; "keep best" is what a production corpus
+    * actually wants when duplicates differ in their surrounding record.
+    * Same skew-safe shape: one partial-aggregable `max(struct)` per
+    * sha-256 text key — a 10⁸-copy boilerplate document combines
+    * map-side, never sorts in one task (deliberately NOT the
+    * rank-window formulation). */
+  def keepBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("__text_sha__"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
+        .as("__best__"), count(lit(1)).as("n_copies"))
+      .select((-col("__best__.ni")).as(idCol),
+        col("__best__.s").as(scoreCol), col("n_copies"))
+
   /** Boilerplate-line removal (the C4/Gopher corpus-cleaning step): drop
     * every line that occurs in more than `maxDocFreq` DISTINCT documents
     * (navigation chrome, cookie banners, license footers), then reassemble

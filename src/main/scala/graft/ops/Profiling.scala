@@ -166,6 +166,39 @@ object Profiling {
     * map-side), a single-row total broadcast, and a `rank <= topN`
     * window over the |keys|-row count table. Null keys count as a key —
     * they are the most common skew culprit a profiler must not hide. */
+  /** EXACT join-cardinality profile WITHOUT materializing the join —
+    * the other pre-join diagnostic next to [[keySkew]]: for an
+    * equi-join on `keyCol`, `|A ⋈ B| = Σ_k a_k·b_k`, computed from the
+    * two |keys|-sized count tables. Answers "will this join explode,
+    * and which keys explode it" for the cost of two partial-aggregable
+    * counts + a |keys|-row join — against a join that might be 10¹⁵
+    * rows, this is the difference between planning and discovering.
+    * Returns the topN contributing keys (n_left, n_right, n_out, rank)
+    * plus a `(total)` row with the full join cardinality; products in
+    * decimal(38,0). */
+  def joinSizeProfile(a: DataFrame, b: DataFrame, keyCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_left"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_right"))
+    val contrib = ca.join(cb, Seq(keyCol))
+      .withColumn("n_out",
+        (col("n_left").cast(dec) * col("n_right")).cast(dec))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_out").desc, col(keyCol).asc)
+    val top = contrib.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(keyCol).cast("string").as("key"), col("n_left"),
+        col("n_right"), col("n_out"), col("rank"))
+    val total = contrib.agg(
+      sum(col("n_left")).as("n_left"), sum(col("n_right")).as("n_right"),
+      sum(col("n_out")).cast(dec).as("n_out"))
+      .select(lit("(total)").as("key"), col("n_left"), col("n_right"),
+        col("n_out"), lit(0).as("rank"))
+    top.unionByName(total)
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int,
       pctNum: Int, pctDen: Int): DataFrame = {
     require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")

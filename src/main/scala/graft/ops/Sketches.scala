@@ -78,6 +78,40 @@ object Sketches {
           greatest(col("exact") * relTol, lit(1.0))).as("hll_ok"))
   }
 
+  /** Corpus-overlap estimate by HLL inclusion–exclusion —
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)` — next to its exact twin:
+    * the audience-overlap / returning-population / cross-corpus
+    * contamination scout that runs from per-corpus SKETCHES alone (the
+    * two corpora need never be co-shuffled; at 100 TB the sketches are
+    * KB-sized persisted summaries, the [[shardedDistinct]] posture).
+    * Three compounding HLL errors make the inclusion–exclusion bound
+    * looser than a single estimate's, so the gate tolerance is relative
+    * to the UNION size (the quantity the absolute errors scale with),
+    * not the intersection. The engine-specific estimate never leaves
+    * the plan — the oracle replays exact values and expects the gate
+    * TRUE (the q30 posture). */
+  def overlapEstimate(a: DataFrame, b: DataFrame, valueCol: String,
+      relTol: Double = 0.15): DataFrame = {
+    val ea = a.agg(expr(s"hll_sketch_agg($valueCol)").as("ska"),
+      countDistinct(col(valueCol)).as("n_a"))
+    val eb = b.agg(expr(s"hll_sketch_agg($valueCol)").as("skb"),
+      countDistinct(col(valueCol)).as("n_b"))
+    val u = a.select(col(valueCol))
+      .unionByName(b.select(col(valueCol)))
+      .agg(countDistinct(col(valueCol)).as("n_union"))
+    ea.crossJoin(eb).crossJoin(u)
+      .withColumn("inter_exact",
+        col("n_a") + col("n_b") - col("n_union"))
+      .withColumn("__est__",
+        expr("hll_sketch_estimate(ska)") +
+          expr("hll_sketch_estimate(skb)") -
+          expr("hll_sketch_estimate(hll_union(ska, skb))"))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        col("inter_exact"),
+        (abs(col("__est__") - col("inter_exact")) <=
+          greatest(col("n_union") * relTol, lit(1.0))).as("hll_ok"))
+  }
+
   /** Quantile profile with a rank-error gate: per group, the exact
     * interpolated quantiles (the verification twin) alongside a check
     * that each `approx_percentile` estimate honors the sketch's

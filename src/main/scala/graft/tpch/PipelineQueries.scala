@@ -277,6 +277,35 @@ object PipelineQueries {
         .orderBy(col("version"))
     }),
 
+    // corpus overlap by HLL inclusion-exclusion + exact twin: returning
+    // (user, minute) entities across the two month halves; the engine's
+    // HLL estimate never leaves the plan — the gate boolean does
+    "q152_overlap" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select((col("user_id") * 100 + minute(col("ts"))).as("ent"),
+          dayofmonth(col("ts")).as("d"))
+      graft.ops.Sketches.overlapEstimate(
+        ev.filter(col("d") < 15), ev.filter(col("d") >= 15), "ent")
+    }),
+
+    // exact join-size profile WITHOUT running the join: the events
+    // user_id self-join cardinality Σn² + its top-5 contributing keys
+    "q153_join_size" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"))
+      graft.ops.Profiling.joinSizeProfile(ev, ev, "user_id", topN = 5)
+        .orderBy(col("rank"))
+    }),
+
+    // keep-BEST exact dedup: among duplicates the highest synthetic
+    // quality (doc_id mod 7) wins, id ascending on ties — canonical
+    // selection policy vs q40's keep-first
+    "q154_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(
+        docs(s, dir).withColumn("q", col("doc_id") % 7),
+        "text", "doc_id", "q")
+        .orderBy(col("doc_id"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1357,6 +1386,43 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q152_overlap" ->
+      """WITH a AS (SELECT DISTINCT user_id * 100 + minute(ts) AS ent
+        |  FROM events WHERE day(ts) < 15),
+        |b AS (SELECT DISTINCT user_id * 100 + minute(ts) AS ent
+        |  FROM events WHERE day(ts) >= 15),
+        |u AS (SELECT ent FROM a UNION SELECT ent FROM b)
+        |SELECT (SELECT COUNT(1) FROM a) AS n_a,
+        |  (SELECT COUNT(1) FROM b) AS n_b,
+        |  (SELECT COUNT(1) FROM u) AS n_union,
+        |  (SELECT COUNT(1) FROM a) + (SELECT COUNT(1) FROM b)
+        |    - (SELECT COUNT(1) FROM u) AS inter_exact,
+        |  TRUE AS hll_ok""".stripMargin,
+
+    "q153_join_size" ->
+      """WITH c AS (SELECT user_id, COUNT(1) AS n FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY CAST(n AS HUGEINT) * n DESC, user_id ASC)
+        |      AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT CAST(user_id AS VARCHAR) AS key, n AS n_left,
+        |  n AS n_right, CAST(n AS HUGEINT) * n AS n_out, rank
+        |FROM r WHERE rank <= 5
+        |UNION ALL
+        |SELECT '(total)', CAST(SUM(n) AS BIGINT), CAST(SUM(n) AS BIGINT),
+        |  SUM(CAST(n AS HUGEINT) * n), 0 FROM c
+        |ORDER BY rank""".stripMargin,
+
+    "q154_keep_best" ->
+      """SELECT doc_id, q, n_copies FROM (
+        |  SELECT doc_id, doc_id % 7 AS q, text,
+        |    COUNT(1) OVER (PARTITION BY text) AS n_copies
+        |  FROM documents)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY text
+        |  ORDER BY q DESC, doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q150_pair_metrics" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |pred AS (SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM (

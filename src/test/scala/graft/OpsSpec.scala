@@ -1028,6 +1028,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBest: highest score wins among duplicates, id breaks ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same", 5L), (2L, "same", 9L), (3L, "same", 9L), // 9-tie → id 2
+      (4L, "only", 1L)).toDF("id", "text", "score")
+    val got = graft.ops.Dedup.keepBest(df, "text", "id", "score")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("score"), r.getAs[Long]("n_copies"))).toMap
+    assert(got == Map(2L -> ((9L, 3L)), 4L -> ((1L, 1L))))
+  }
+
   test("pairMetrics: direction and duplicates collapse before counting") {
     import spark.implicits._
     // pred {1-2, 3-4 (given twice, once reversed), 5-6}; truth {1-2, 7-8}

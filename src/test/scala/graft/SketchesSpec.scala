@@ -134,6 +134,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(below("b")._3 && below("c")._3 && !below("a")._3)
   }
 
+  test("overlapEstimate: exact inclusion-exclusion, gate holds, disjoint and nested cases") {
+    import spark.implicits._
+    val a = (1L to 100L).toDF("v")
+    val b = (51L to 150L).toDF("v")
+    val r = graft.ops.Sketches.overlapEstimate(a, b, "v").collect().head
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Long]("n_union") == 150L)
+    assert(r.getAs[Long]("inter_exact") == 50L)
+    assert(r.getAs[Boolean]("hll_ok"))
+    // disjoint: intersection exactly 0
+    val d = graft.ops.Sketches.overlapEstimate(
+      (1L to 50L).toDF("v"), (100L to 149L).toDF("v"), "v").collect().head
+    assert(d.getAs[Long]("inter_exact") == 0L && d.getAs[Boolean]("hll_ok"))
+    // nested: B ⊂ A → intersection = |B|
+    val n = graft.ops.Sketches.overlapEstimate(
+      (1L to 100L).toDF("v"), (40L to 49L).toDF("v"), "v").collect().head
+    assert(n.getAs[Long]("inter_exact") == 10L && n.getAs[Boolean]("hll_ok"))
+  }
+
+  test("joinSizeProfile: exact per-key products and total, never runs the join") {
+    import spark.implicits._
+    // a: k1×3, k2×1; b: k1×4, k3×2 → join = 3·4 = 12 rows, only k1
+    val a = (Seq.fill(3)("k1") :+ "k2").toDF("k")
+    val b = (Seq.fill(4)("k1") ++ Seq.fill(2)("k3")).toDF("k")
+    val rows = graft.ops.Profiling.joinSizeProfile(a, b, "k", topN = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+         r.getAs[java.math.BigDecimal]("n_out").longValueExact(),
+         r.getAs[Int]("rank"))).toMap
+    assert(rows("k1") == ((3L, 4L, 12L, 1)))
+    assert(rows("(total)") == ((3L, 4L, 12L, 0))) // only matching keys
+    assert(rows.size == 2) // k2/k3 never match, never profiled
+  }
+
   test("keySkew: exact top-N, strict cross-multiplied hot flag, null key counted") {
     import spark.implicits._
     // a×6, b×3, null×1 → total 10. At 30%: a (60%) flags; b sits
