@@ -150,6 +150,40 @@ object Dedup {
     * ([[shingleHashesLambda]]'s poly-fold — the stack's deliberate,
     * documented approximation); the DuckDB oracle replays the same
     * hashes bit-for-bit. */
+  /** Templated-source detection — the crawl diagnostic that catches
+    * mirror sites, listing factories, and boilerplate-stamped domains
+    * BEFORE their near-identical pages flood the near-dup stage: per
+    * source, the maximum document-frequency of any word k-shingle
+    * relative to the source's document count; a source whose hottest
+    * shingle appears in more than `pctNum/pctDen` of its documents is
+    * flagged templated (integer cross-multiplication, no division).
+    *
+    * Shape: doc-distinct (source, shingle) pairs — the distinct
+    * collapses a shingle repeated WITHIN a page before anything
+    * shuffles — then two partial-aggregable aggregations; only 8-byte
+    * hashes travel, text never leaves the scan. */
+  def templateScore(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int = 8, pctNum: Int = 50,
+      pctDen: Int = 100): DataFrame = {
+    require(k >= 1 && pctNum >= 0 && pctDen > 0, "bad templateScore params")
+    val grams = df.select(col(sourceCol).as("__src__"),
+        col(idCol).as("__id__"),
+        explode(graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(textCol), lit("")), k)).as("__h__"))
+      .distinct()
+    val maxDf = grams.groupBy(col("__src__"), col("__h__"))
+      .agg(count(lit(1)).as("__df__"))
+      .groupBy(col("__src__"))
+      .agg(max(col("__df__")).as("max_df"))
+    val nDocs = df.groupBy(col(sourceCol).as("__src__"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    maxDf.join(nDocs, Seq("__src__"))
+      .withColumn("templated",
+        col("max_df") * pctDen > col("n_docs") * pctNum)
+      .select(col("__src__").as(sourceCol), col("n_docs"),
+        col("max_df"), col("templated"))
+  }
+
   /** Pair-set evaluation — the harness that grades one duplicate
     * detector against another (or against labeled truth): exact
     * TP/FP/FN counts over UNORDERED id pairs. Both inputs normalize to

@@ -306,6 +306,35 @@ object PipelineQueries {
         "text", "doc_id", "q")
         .orderBy(col("doc_id"))),
 
+    // templated-source detection: src1 docs get a stamped 12-word
+    // footer — its internal 8-shingles hit every src1 doc, max_df/n_docs
+    // crosses 50% and only src1 flags
+    "q155_template_detect" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text", concat(col("text"),
+        when(col("source") === "src1",
+          lit(" common footer boilerplate phrase shared across every" +
+            " page of this site")).otherwise(lit(""))))
+      Dedup.templateScore(d, "doc_id", "text", "source", k = 8,
+          pctNum = 50, pctDen = 100)
+        .orderBy(col("source"))
+    }),
+
+    // the cleaning pipeline END-TO-END in one plan: length-band quality
+    // filter → exact dedup keep-first → per-source cap 15 (content-hash
+    // order) → deterministic split assignment
+    "q156_clean_pipeline" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .filter(col("n_chars") >= 100 && col("n_chars") <= 400)
+      val keepers = Dedup.exactKeepers(base, "text", "doc_id")
+        .select(col("doc_id"))
+      val deduped = base.join(keepers, "doc_id")
+      val capped = Corpus.stratifiedSample(deduped, "source", 15,
+        "text", "doc_id")
+      Corpus.withSplit(capped, "text")
+        .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1386,6 +1415,39 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q155_template_detect" -> {
+      val stamped = "text || CASE WHEN source = 'src1' THEN " +
+        "' common footer boilerplate phrase shared across every" +
+        " page of this site' ELSE '' END"
+      s"""WITH d AS (SELECT doc_id, source, $stamped AS text
+         |  FROM documents),
+         |g0 AS (SELECT source, doc_id,
+         |    unnest(${dshingleHashesK("text", 8)}) AS h FROM d),
+         |g AS (SELECT DISTINCT source, doc_id, h FROM g0),
+         |f AS (SELECT source, h, COUNT(1) AS df FROM g GROUP BY 1, 2),
+         |m AS (SELECT source, MAX(df) AS max_df FROM f GROUP BY 1),
+         |n AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM d GROUP BY 1)
+         |SELECT source, n_docs, max_df,
+         |  max_df * 100 > n_docs * 50 AS templated
+         |FROM m JOIN n USING (source) ORDER BY source""".stripMargin
+    },
+
+    "q156_clean_pipeline" -> {
+      val h = dpolyhash("text")
+      s"""WITH f AS (SELECT doc_id, source, text FROM documents
+         |  WHERE n_chars BETWEEN 100 AND 400),
+         |d AS (SELECT * FROM f
+         |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+         |c AS (SELECT * FROM d
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY $h, doc_id) <= 15)
+         |SELECT doc_id, source, $h % 100 AS bucket,
+         |  CASE WHEN $h % 100 < 90 THEN 'train'
+         |       WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "q152_overlap" ->
       """WITH a AS (SELECT DISTINCT user_id * 100 + minute(ts) AS ent
         |  FROM events WHERE day(ts) < 15),

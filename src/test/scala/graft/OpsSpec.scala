@@ -1028,6 +1028,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("templateScore: stamped source flags; within-doc repetition collapses") {
+    import spark.implicits._
+    val stamp = "one two three four five six seven eight" // exactly k=8
+    val df = Seq(
+      (1L, s"alpha beta $stamp", "t"),
+      (2L, s"gamma delta $stamp", "t"),
+      // repeating the stamp INSIDE one doc must not inflate df
+      (3L, s"$stamp pad pad pad pad pad pad pad $stamp", "t"),
+      (4L, "totally different words without any shared phrasing here", "c"),
+      (5L, "another unrelated document of plain prose for control", "c"))
+      .toDF("id", "text", "src")
+    val got = graft.ops.Dedup.templateScore(df, "id", "text", "src",
+        k = 8, pctNum = 50, pctDen = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("max_df"),
+         r.getAs[Boolean]("templated"))).toMap
+    assert(got("t") == ((3L, 3L, true)))  // stamp shingle in all 3 docs
+    assert(got("c")._2 == 1L && !got("c")._3)
+  }
+
   test("keepBest: highest score wins among duplicates, id breaks ties") {
     import spark.implicits._
     val df = Seq(
