@@ -459,11 +459,23 @@ object Dedup {
         (acc, h) => pmod(acc * 131L + h, lit(1000000007L))))
   }
 
-  /** k-word shingles of the lowercased, whitespace-split text. */
+  /** k-word shingles of the lowercased, whitespace-split text.
+    *
+    * Formulated as an `arrays_zip` of k shifted slices, NOT a
+    * `transform(sequence(...), i => slice(toks, i, k))` lambda: a lambda
+    * body that references the computed token array re-tokenizes the
+    * whole document PER SHINGLE POSITION (higher-order functions do not
+    * cache outer subexpressions — measured O(len²), 15× a whole query's
+    * runtime on [[graft.ops.Corpus.ngramLmCounts]] before the same fix).
+    * Here every slice is evaluated once per row and the lambda touches
+    * only its own variable. Short texts (< k tokens) zip-pad with nulls,
+    * which `concat_ws` skips — same single partial shingle as before. */
   def wordShingles(text: Column, k: Int): Column = {
     val toks = split(lower(text), "\\s+")
-    transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val m = greatest(size(toks) - (k - 1), lit(1))
+    val shifted = (0 until k).map(j => slice(toks, lit(j + 1), m).as(s"t$j"))
+    transform(arrays_zip(shifted: _*),
+      s => concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*))
   }
 
   /** Fixed permutation parameters (a·h + b mod P) for MinHash. Deterministic
