@@ -67,9 +67,13 @@ object Fuzzy {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, maxDf: Long, pctMin: Int): DataFrame = {
     require(pctMin >= 1 && pctMin <= 100, s"pctMin in [1,100], got $pctMin")
-    val sh = df.select(col(idCol).as("__id__"),
+    // persisted: this lineage (scan → shingle → distinct → explode)
+    // feeds the df-count, BOTH sides of the self-join, and the size
+    // table — un-persisted it recomputes the shingling four times
+    // (released by the consumer via Caches, the LSH-band discipline)
+    val sh = Caches.registerDf(df.select(col(idCol).as("__id__"),
         explode(array_distinct(graft.functions.NativeHashes.shingle_hashes(
-          col(textCol), shingleK))).as("__h__"))
+          col(textCol), shingleK))).as("__h__")).persist())
     val rare = sh.groupBy(col("__h__"))
       .agg(count(lit(1)).as("__df__"))
       .filter(col("__df__") <= maxDf)
