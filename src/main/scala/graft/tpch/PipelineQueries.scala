@@ -335,6 +335,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: near-dup CLUSTERS land in one split — the
+    // split hash runs on the cluster label, not the doc, so a test doc's
+    // near-copy can never sit in train (the leak content-addressed
+    // per-doc splitting cannot prevent)
+    "q157_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false)
+      val clusters = Dedup.nearDupClusters(d, "doc_id", pairs)
+      Corpus.withSplit(
+          clusters.withColumn("ck", col("cluster").cast("string")), "ck")
+        .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1415,6 +1431,24 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q157_leakage_safe_split" -> {
+      val h = dpolyhash("CAST(cluster AS VARCHAR)")
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairsq
+         |  UNION ALL SELECT id_b, id_a FROM pairsq),
+         |cc(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster
+         |  FROM cc GROUP BY id)
+         |SELECT doc_id, cluster, $h % 100 AS bucket,
+         |  CASE WHEN $h % 100 < 90 THEN 'train'
+         |       WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin
+    },
+
     "q155_template_detect" -> {
       val stamped = "text || CASE WHEN source = 'src1' THEN " +
         "' common footer boilerplate phrase shared across every" +
