@@ -424,6 +424,30 @@ object EventAnalytics {
         sum(col(valueCol)).as("value_sum"))
   }
 
+  /** Time-to-conversion: per entity, the delay from its FIRST touch
+    * (any of `touchTypes`) to its FIRST `convType` event — the
+    * funnel-latency metric [[funnel]]'s step counts don't give.
+    * Entities that converted before any touch (organic/dark-channel
+    * conversions) report `organic = true` with their negative delay
+    * rather than vanishing or clamping — dropping them overstates
+    * channel effectiveness. Entities with only one side are omitted
+    * (no delay exists).
+    *
+    * Shape: two filtered partial-aggregable `min` passes + one
+    * |entities|-row equi-join — the log never self-joins. */
+  def timeToConversion(events: DataFrame, entityCol: String,
+      tsCol: String, typeCol: String, touchTypes: Seq[String],
+      convType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("first_touch"))
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("first_conv"))
+    touch.join(conv, Seq(entityCol))
+      .withColumn("delay_us", col("first_conv") - col("first_touch"))
+      .withColumn("organic", col("delay_us") < 0)
+  }
+
   /** Top event-type PATHS: each entity's first `maxSteps` states in
     * `(tsCol, idCol)` order joined into one path string, counted across
     * entities, top-k by `(count desc, path asc)` — the product-analytics

@@ -154,6 +154,28 @@ object Profiling {
       .drop("__med2__", "__mad4__")
   }
 
+  /** Per-source duplication health — the crawl-feed monitor that says
+    * WHICH upstream is re-sending content before corpus-wide dedup
+    * silently absorbs it: per key, total docs vs sha-256-distinct
+    * texts, with a `dup_heavy` flag when the duplicate fraction
+    * crosses `pctNum/pctDen` (integer cross-multiplication in
+    * decimal(38,0), strict >). Collision-safe exact keying like
+    * [[graft.ops.Dedup.exactKeepers]].
+    *
+    * Shape: one partial-aggregable pass (count + distinct-count per
+    * key); output is |keys|-sized. */
+  def duplicationProfile(df: DataFrame, keyCol: String, textCol: String,
+      pctNum: Int, pctDen: Int): DataFrame = {
+    require(pctNum >= 0 && pctDen > 0, s"bad threshold $pctNum/$pctDen")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col(textCol), 256)).as("n_distinct"))
+      .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_heavy",
+        col("n_dups").cast(dec) * pctDen > col("n_docs").cast(dec) * pctNum)
+  }
+
   /** Join-key skew profile — the pre-join diagnostic that decides
     * between a plain shuffle join, [[graft.ops.Skew.saltedJoin]], and a
     * broadcast: the `topN` heaviest keys with exact counts and a `hot`

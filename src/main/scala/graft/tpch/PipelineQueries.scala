@@ -351,6 +351,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source duplication health: src2's docs injected twice (ids
+    // shifted) → 50% dup rate flags at the 20% threshold; clean sources
+    // stay unflagged
+    "q158_dup_profile" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val withDups = d.unionByName(
+        d.filter(col("source") === "src2")
+          .select((col("doc_id") + 700000L).as("doc_id"), col("source"),
+            col("text")))
+      graft.ops.Profiling.duplicationProfile(withDups, "source", "text",
+          pctNum = 20, pctDen = 100)
+        .orderBy(col("source"))
+    }),
+
+    // funnel latency: per user, first view/click → first purchase delay;
+    // organic (pre-touch) conversions keep their negative delay
+    "q159_time_to_conversion" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"))
+      EventAnalytics.timeToConversion(ev, "user_id", "tus",
+          "event_type", Seq("view", "click"), "purchase")
+        .orderBy(col("user_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1431,6 +1456,31 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q158_dup_profile" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, source, text FROM documents
+        |  WHERE source = 'src2')
+        |SELECT source, COUNT(1) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_distinct,
+        |  COUNT(1) - COUNT(DISTINCT text) AS n_dups,
+        |  (COUNT(1) - COUNT(DISTINCT text)) * 100 > COUNT(1) * 20
+        |    AS dup_heavy
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q159_time_to_conversion" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |t AS (SELECT user_id, MIN(tus) AS first_touch FROM e
+        |  WHERE event_type IN ('view', 'click') GROUP BY 1),
+        |c AS (SELECT user_id, MIN(tus) AS first_conv FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT t.user_id, first_touch, first_conv,
+        |  first_conv - first_touch AS delay_us,
+        |  first_conv - first_touch < 0 AS organic
+        |FROM t JOIN c ON t.user_id = c.user_id
+        |ORDER BY t.user_id""".stripMargin,
+
     "q157_leakage_safe_split" -> {
       val h = dpolyhash("CAST(cluster AS VARCHAR)")
       s"""WITH RECURSIVE $minhashPairsCtes,

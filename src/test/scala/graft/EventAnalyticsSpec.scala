@@ -421,6 +421,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "(none)" -> ((1L, 7L))))
   }
 
+  test("timeToConversion: first-to-first delay, organic negatives kept, one-sided dropped") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 5L, "click"), (1L, 30L, "purchase"),
+      (1L, 40L, "purchase"),                 // later conv ignored
+      (2L, 50L, "view"),                     // never converts → omitted
+      (3L, 8L, "purchase"), (3L, 20L, "view") // organic: conv before touch
+    ).toDF("u", "tus", "typ")
+    val got = EventAnalytics.timeToConversion(ev, "u", "tus", "typ",
+        Seq("view", "click"), "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("delay_us"), r.getAs[Boolean]("organic"))).toMap
+    assert(got == Map(1L -> ((25L, false)), 3L -> ((-12L, true))))
+  }
+
   test("topPaths: time-ordered, truncated at maxSteps, deterministic ties") {
     // u1 and u2 share path a>b (u2's long tail truncates at 2 steps);
     // u3 is b>a — arrival order in the fixture is shuffled on purpose

@@ -168,6 +168,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.size == 2) // k2/k3 never match, never profiled
   }
 
+  test("duplicationProfile: exact dup counts, strict threshold, clean source") {
+    import spark.implicits._
+    // s1: 5 docs, 4 distinct → 1/5 = exactly 20% → strict >, NOT heavy;
+    // s2: 4 docs, 2 distinct → 50% → heavy; s3 clean
+    val df = (Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s1", "d")) ++ Seq(("s2", "x"), ("s2", "x"), ("s2", "y"),
+      ("s2", "y")) ++ Seq(("s3", "p"))).toDF("src", "text")
+    val got = graft.ops.Profiling.duplicationProfile(df, "src", "text",
+        20, 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"),
+         r.getAs[Long]("n_dups"), r.getAs[Boolean]("dup_heavy"))).toMap
+    assert(got("s1") == ((5L, 4L, 1L, false))) // exactly on threshold
+    assert(got("s2") == ((4L, 2L, 2L, true)))
+    assert(got("s3") == ((1L, 1L, 0L, false)))
+  }
+
   test("keySkew: exact top-N, strict cross-multiplied hot flag, null key counted") {
     import spark.implicits._
     // a×6, b×3, null×1 → total 10. At 30%: a (60%) flags; b sits
