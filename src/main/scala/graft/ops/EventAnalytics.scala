@@ -424,6 +424,33 @@ object EventAnalytics {
         sum(col(valueCol)).as("value_sum"))
   }
 
+  /** Inter-arrival profile + bot flag: per entity, exact summary
+    * statistics of the gaps between consecutive events (count, min,
+    * max, sum — all mergeable integers; mean = sum/n is the caller's
+    * division) and a `bot` flag for entities firing faster than humans
+    * sustain: `n_gaps >= minEvents AND min_gap <= maxMinGapUs` — the
+    * machine-traffic signature (scripted clients keep sub-second
+    * minimum gaps over long runs; humans don't).
+    *
+    * Shape: one key-partitioned lag window + one partial-aggregable
+    * grouped pass sharing the same hash partitioning; a hot entity
+    * costs its own history, and the output is |entities|-sized. */
+  def interArrivalProfile(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String, minEvents: Long,
+      maxMinGapUs: Long): DataFrame = {
+    require(minEvents >= 1 && maxMinGapUs >= 0, "bad interArrival params")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .withColumn("__gap__", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__gap__").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_gaps"), min(col("__gap__")).as("min_gap"),
+        max(col("__gap__")).as("max_gap"), sum(col("__gap__")).as("sum_gap"))
+      .withColumn("bot",
+        col("n_gaps") >= minEvents && col("min_gap") <= maxMinGapUs)
+  }
+
   /** Time-to-conversion: per entity, the delay from its FIRST touch
     * (any of `touchTypes`) to its FIRST `convType` event — the
     * funnel-latency metric [[funnel]]'s step counts don't give.

@@ -306,6 +306,41 @@ object Similarity {
     topKOf(scored, k)
   }
 
+  /** Embedding-distribution drift between two corpus snapshots — the
+    * monitor that catches a silent encoder swap / re-embedding /
+    * pipeline bug by comparing PER-DIMENSION centroids: vectors
+    * quantize to milli-unit integers (exact, engine-independent — raw
+    * float means are summation-order-dependent), each side aggregates
+    * per-dimension integer sums, and dimension d drifts when
+    * `|meanA_d − meanB_d| > t` by cross-multiplication:
+    * `|sa·nb − sb·na| · tDen > tNum · na · nb` for `t = tNum/tDen`
+    * milli-units — no division, boundary dims identical in both
+    * engines.
+    *
+    * Shape: one posexplode + partial-aggregable per-dimension sum per
+    * side (dims-sized output), then a dims-row join — the corpora
+    * never co-shuffle; at 100 TB the per-dim sums are the persisted
+    * summaries an ingest job maintains incrementally (mergeable by
+    * addition). Returns (dim, n_a, n_b, sum_a, sum_b, drift). */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      tNum: Int, tDen: Int, scale: Long = 1000L): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && scale >= 1, "bad drift params")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def sums(df: DataFrame, n: String, s: String) = df
+      .select(posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * scale + 0.5).cast("long"))))
+      .groupBy(col("pos").as("dim"))
+      .agg(count(lit(1)).cast(dec).as(n), sum(col("col")).cast(dec).as(s))
+    sums(a, "n_a", "sum_a").join(sums(b, "n_b", "sum_b"), Seq("dim"))
+      .withColumn("drift",
+        abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a")) * tDen >
+          col("n_a") * col("n_b") * tNum)
+      .select(col("dim"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("sum_a").cast("long").as("sum_a"),
+        col("sum_b").cast("long").as("sum_b"), col("drift"))
+  }
+
   /** Reciprocal-rank fusion of several retrieval rankings (BM25 + dense
     * ANN + recency, …) into one list — the standard hybrid-search merge,
     * score-scale-free because only RANKS enter:

@@ -240,6 +240,32 @@ object TextAnalysis {
     concat(host, rtrim(path, "/"))
   }
 
+  /** Markup-density features — the "is this page still HTML" cleaning
+    * signal for crawled corpora: counts of tags, entity escapes, and
+    * URL-ish tokens, plus a `markup_heavy` flag when tag characters
+    * exceed `pctNum/pctDen` of all characters (integer
+    * cross-multiplication — tag-char count scales with `n_chars`, so
+    * the ratio test needs no division). An extraction pipeline that
+    * missed a page leaves exactly these artifacts; quality scoring
+    * alone ranks such a page as "long and punctuated", i.e. fine.
+    * Pure per-row codegen'd regex (shared Java/RE2 subset), streams
+    * unchanged. Returns (name -> column) pairs. */
+  def markupFeatures(text: Column, pctNum: Int = 5,
+      pctDen: Int = 100): Seq[(String, Column)] = {
+    def cnt(p: String): Column = regexp_count(text, lit(p)).cast("long")
+    val tags = cnt("</?[A-Za-z][A-Za-z0-9]*[^<>]*>")
+    val entities = cnt("&[A-Za-z]+;|&#[0-9]+;")
+    val tagChars = length(text) -
+      length(regexp_replace(text, "</?[A-Za-z][A-Za-z0-9]*[^<>]*>", ""))
+    Seq(
+      "n_tags" -> tags,
+      "n_entities" -> entities,
+      "n_tag_chars" -> tagChars.cast("long"),
+      "markup_heavy" ->
+        (tagChars.cast("long") * pctDen >
+          length(text).cast("long") * pctNum))
+  }
+
   /** Unicode-script profile — the multilingual corpus-filtering signal
     * language-ID cannot give (it answers "which language", this answers
     * "which WRITING SYSTEMS, and how mixed"): per-script character

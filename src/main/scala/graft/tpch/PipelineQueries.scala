@@ -376,6 +376,43 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // embedding-distribution drift: odd-id snapshot gets dimension 5
+    // shifted +0.25 — per-dim integer centroid sums, cross-multiplied
+    // 0.1-milli-mean threshold; the injected dim flags
+    "q160_embedding_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(i === 5, x + lit(0.25f)).otherwise(x)))
+      Similarity.embeddingDrift(a, b, "embedding", tNum = 100, tDen = 1)
+        .orderBy(col("dim"))
+    }),
+
+    // inter-arrival profile + bot flag: exact per-user gap statistics;
+    // a sub-60s minimum gap over a 50+-event run reads as scripted
+    "q161_interarrival" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"))
+      EventAnalytics.interArrivalProfile(ev, "user_id", "tus",
+          "event_id", minEvents = 50, maxMinGapUs = 60000000L)
+        .orderBy(col("user_id"))
+    }),
+
+    // markup-density features with injected residual HTML on every 11th
+    // doc: tag/entity counts + the tag-char ratio flag extraction bugs
+    // leave behind
+    "q162_markup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(lit("<div id=x>"), col("text"),
+            lit("</div> &amp; <br/> x &#39;"))).otherwise(col("text")))
+      val cols = TextAnalysis.markupFeatures(col("text"))
+        .map { case (n, c) => c.as(n) }
+      d.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1456,6 +1493,59 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q160_embedding_drift" ->
+      """WITH a AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |b0 AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |ai AS (SELECT unnest(range(1, 65)) AS i, embedding FROM a),
+        |ae AS (SELECT i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q FROM ai),
+        |sa AS (SELECT dim, CAST(COUNT(1) AS HUGEINT) AS n_a,
+        |    CAST(SUM(q) AS HUGEINT) AS sum_a FROM ae GROUP BY 1),
+        |bi AS (SELECT unnest(range(1, 65)) AS i, embedding FROM b0),
+        |be AS (SELECT i - 1 AS dim,
+        |    CAST(floor(CAST(CASE WHEN i = 6
+        |        THEN embedding[i] + CAST(0.25 AS FLOAT)
+        |        ELSE embedding[i] END AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q FROM bi),
+        |sb AS (SELECT dim, CAST(COUNT(1) AS HUGEINT) AS n_b,
+        |    CAST(SUM(q) AS HUGEINT) AS sum_b FROM be GROUP BY 1)
+        |SELECT dim, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b,
+        |  abs(sum_a * n_b - sum_b * n_a) * 1 > n_a * n_b * 100 AS drift
+        |FROM sa JOIN sb USING (dim) ORDER BY dim""".stripMargin,
+
+    "q161_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    tus - LAG(tus, 1) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS gap
+        |  FROM e QUALIFY gap IS NOT NULL)
+        |SELECT user_id, COUNT(1) AS n_gaps, MIN(gap) AS min_gap,
+        |  MAX(gap) AS max_gap, CAST(SUM(gap) AS BIGINT) AS sum_gap,
+        |  COUNT(1) >= 50 AND MIN(gap) <= 60000000 AS bot
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q162_markup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN '<div id=x>' || text || '</div> &amp; <br/> x &#39;'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '</?[A-Za-z][A-Za-z0-9]*[^<>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(text,
+        |    '&[A-Za-z]+;|&#[0-9]+;')) AS BIGINT) AS n_entities,
+        |  CAST(len(text) - len(regexp_replace(text,
+        |    '</?[A-Za-z][A-Za-z0-9]*[^<>]*>', '', 'g')) AS BIGINT)
+        |    AS n_tag_chars,
+        |  (len(text) - len(regexp_replace(text,
+        |    '</?[A-Za-z][A-Za-z0-9]*[^<>]*>', '', 'g'))) * 100
+        |    > len(text) * 5 AS markup_heavy
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q158_dup_profile" ->
       """WITH d AS (SELECT doc_id, source, text FROM documents
         |  UNION ALL

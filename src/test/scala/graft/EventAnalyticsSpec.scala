@@ -421,6 +421,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "(none)" -> ((1L, 7L))))
   }
 
+  test("interArrivalProfile: exact gap stats; bot needs BOTH volume and speed") {
+    val ev = Seq(
+      // u: gaps 2, 8, 1 → min 1, max 8, sum 11
+      ("u", 0L, 1L), ("u", 2L, 2L), ("u", 10L, 3L), ("u", 11L, 4L),
+      // v: one fast gap but below the volume bar
+      ("v", 0L, 5L), ("v", 1L, 6L)).toDF("k", "tus", "id")
+    val got = EventAnalytics.interArrivalProfile(ev, "k", "tus", "id",
+        minEvents = 3, maxMinGapUs = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap"),
+         r.getAs[Long]("max_gap"), r.getAs[Long]("sum_gap"),
+         r.getAs[Boolean]("bot"))).toMap
+    assert(got("u") == ((3L, 1L, 8L, 11L, true)))
+    assert(got("v") == ((1L, 1L, 1L, 1L, false))) // fast but low-volume
+  }
+
   test("timeToConversion: first-to-first delay, organic negatives kept, one-sided dropped") {
     val ev = Seq(
       (1L, 10L, "view"), (1L, 5L, "click"), (1L, 30L, "purchase"),

@@ -1048,6 +1048,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got("c")._2 == 1L && !got("c")._3)
   }
 
+  test("markupFeatures: tags/entities counted, ratio flag, clean text zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain prose with no markup at all in a longer sentence"),
+      (2L, "<b>x</b> tiny"),                    // 7 of 13 chars = tags
+      (3L, "&amp; &#39; entities only no tags here in this doc"),
+      (4L, "a < b and b > c is math, not markup")).toDF("id", "text")
+    val cols = graft.ops.TextAnalysis.markupFeatures(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = df.select(col("id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tags"), r.getAs[Long]("n_entities"),
+         r.getAs[Boolean]("markup_heavy"))).toMap
+    assert(got(1L) == ((0L, 0L, false)))
+    assert(got(2L)._1 == 2L && got(2L)._3)      // 7/13 > 5%
+    assert(got(3L) == ((0L, 2L, false)))
+    assert(got(4L) == ((0L, 0L, false)))        // comparisons aren't tags
+  }
+
+  test("embeddingDrift: shifted dimension flags, others exact-equal") {
+    import spark.implicits._
+    val a = Seq(Tuple1(Array(0.1f, 0.5f)), Tuple1(Array(0.3f, 0.5f)))
+      .toDF("embedding")
+    // dim 0 shifted by +0.3 (300 milli > t=100); dim 1 identical
+    val b = Seq(Tuple1(Array(0.4f, 0.5f)), Tuple1(Array(0.6f, 0.5f)))
+      .toDF("embedding")
+    val got = graft.ops.Similarity.embeddingDrift(a, b, "embedding",
+        tNum = 100, tDen = 1)
+      .collect().map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("sum_a"), r.getAs[Long]("sum_b"),
+         r.getAs[Boolean]("drift"))).toMap
+    assert(got(0) == ((400L, 1000L, true)))
+    assert(got(1) == ((1000L, 1000L, false)))
+  }
+
   test("keepBest: highest score wins among duplicates, id breaks ties") {
     import spark.implicits._
     val df = Seq(
