@@ -150,6 +150,30 @@ object Dedup {
     * ([[shingleHashesLambda]]'s poly-fold — the stack's deliberate,
     * documented approximation); the DuckDB oracle replays the same
     * hashes bit-for-bit. */
+  /** Cross-source duplicate matrix — "which feeds mirror each other":
+    * for every source pair, the number of DISTINCT texts both carry
+    * (aggregator/mirror/scraper detection, and the dedup-priority
+    * order: dedup the pair with the biggest shared mass first). Keys
+    * are sha-256 digests ([[exactKeepers]] discipline); each side of
+    * the self-join is the DISTINCT (source, digest) set, so a text
+    * repeated within one source counts once, and the join fan-out per
+    * digest is bounded by the number of sources carrying it (≤ |S|,
+    * never row counts — the hot-boilerplate digest costs |S|² pairs,
+    * not copies²).
+    *
+    * Returns (src_a, src_b, n_shared) with src_a < src_b. */
+  def crossSourceDups(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val sd = df.select(col(sourceCol).as("__s__"),
+      sha2(col(textCol), 256).as("__d__")).distinct()
+    sd.select(col("__s__").as("src_a"), col("__d__"))
+      .join(sd.select(col("__s__").as("src_b"), col("__d__")),
+        Seq("__d__"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Templated-source detection — the crawl diagnostic that catches
     * mirror sites, listing factories, and boilerplate-stamped domains
     * BEFORE their near-identical pages flood the near-dup stage: per

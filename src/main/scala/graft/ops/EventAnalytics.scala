@@ -424,6 +424,38 @@ object EventAnalytics {
         sum(col(valueCol)).as("value_sum"))
   }
 
+  /** EXACT rolling active entities — daily actives plus the W-day
+    * rolling distinct (DAU/WAU): a sketch-free rolling distinct is
+    * impossible with plain window frames (distinct does not decompose
+    * over sliding windows), so each (entity, day) presence EXPLODES to
+    * the W window-days it contributes to and the count per window-day
+    * is a plain distinct — fan-out is W × |active (entity, day)| pairs,
+    * bounded and predictable (W is a small constant), the standard
+    * exact formulation. Swap an HLL-per-day union at extreme scale,
+    * same grid shape.
+    *
+    * Returns one row per observed window-end day: (day, dau, wau) —
+    * `dau` the day's own distinct entities (0-filled days absent, as
+    * only observed days ground a window), `wau` the distinct over
+    * `[day − W + 1, day]`. */
+  def rollingActiveUsers(events: DataFrame, entityCol: String,
+      tsCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayUs = 86400000000L
+    val pres = events.select(col(entityCol).as("__e__"),
+        (unix_micros(col(tsCol)) / dayUs).cast("long").as("__day__"))
+      .distinct()
+    val dau = pres.groupBy(col("__day__").as("day"))
+      .agg(countDistinct(col("__e__")).as("dau"))
+    val wau = pres
+      .select(col("__e__"), explode(sequence(col("__day__"),
+        col("__day__") + (windowDays - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__e__")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** Inter-arrival profile + bot flag: per entity, exact summary
     * statistics of the gaps between consecutive events (count, min,
     * max, sum — all mergeable integers; mean = sum/n is the caller's

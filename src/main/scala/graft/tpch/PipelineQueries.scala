@@ -413,6 +413,33 @@ object PipelineQueries {
       d.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
     }),
 
+    // cross-source duplicate matrix with an injected mirror feed (every
+    // 4th doc) and a scraper (a third of src3 re-hosted as src5): shared
+    // distinct-text mass per source pair, fan-out bounded by |sources|
+    "q163_cross_source_dups" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val mirror = d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          lit("mirror").as("source"), col("text"))
+      val scraped = d.filter(col("source") === "src3" &&
+          col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          lit("src5").as("source"), col("text"))
+      Dedup.crossSourceDups(
+          d.unionByName(mirror).unionByName(scraped), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // exact DAU/WAU: daily distinct users + 7-day rolling distinct via
+    // the presence-to-window-days explode (rolling distinct does not
+    // decompose over frames; the fan-out is the bounded W factor)
+    "q164_rolling_active" -> ((s, dir) =>
+      EventAnalytics.rollingActiveUsers(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .select(col("user_id"), col("ts")),
+        "user_id", "ts", windowDays = 7)
+        .orderBy(col("day"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1493,6 +1520,32 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q163_cross_source_dups" ->
+      """WITH base AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror', text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'src5', text FROM documents
+        |  WHERE source = 'src3' AND doc_id % 3 = 0),
+        |sd AS (SELECT DISTINCT source, text FROM base)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(1) AS n_shared
+        |FROM sd a JOIN sd b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    "q164_rolling_active" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |  FROM p GROUP BY 1),
+        |w AS (SELECT user_id, day + i AS day
+        |  FROM p CROSS JOIN range(0, 7) t(i)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        |  FROM w GROUP BY 1)
+        |SELECT dau.day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+
     "q160_embedding_drift" ->
       """WITH a AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
         |b0 AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1),

@@ -421,6 +421,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "(none)" -> ((1L, 7L))))
   }
 
+  test("rollingActiveUsers: exact W-day distinct; same-day repeats count once") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 10L),      // u1 twice on day 0 → one presence
+      (2L, 0L),                 // day 0: dau 2
+      (1L, day),                // day 1: dau 1; wau(2d) = {1,2} = 2
+      (3L, 3 * day))            // day 3: dau 1; wau(2d) = {3} (day 2 gap)
+      .toDF("u", "tus")
+      .select(col("u"), org.apache.spark.sql.functions
+        .timestamp_micros(col("tus")).as("ts"))
+    val got = EventAnalytics.rollingActiveUsers(ev, "u", "ts", 2)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L)),
+      3L -> ((1L, 1L))))
+  }
+
   test("interArrivalProfile: exact gap stats; bot needs BOTH volume and speed") {
     val ev = Seq(
       // u: gaps 2, 8, 1 → min 1, max 8, sum 11

@@ -1028,6 +1028,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossSourceDups: distinct texts per pair, within-source copies count once") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),  // a's duplicate x counts once
+      ("b", "x"), ("b", "y"), ("b", "z"),
+      ("c", "z")).toDF("src", "text")
+    val got = graft.ops.Dedup.crossSourceDups(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L))
+  }
+
   test("templateScore: stamped source flags; within-doc repetition collapses") {
     import spark.implicits._
     val stamp = "one two three four five six seven eight" // exactly k=8
