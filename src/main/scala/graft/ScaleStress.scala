@@ -727,6 +727,29 @@ object ScaleStress {
           ev, "user_id", "tus", "event_id", "event_type", 5, 20)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q159 shape: time-to-conversion — two filtered mins + an
+      // |entities|-row join, the log never self-joins
+      timed(scale, "time_to_conversion") {
+        val out = graft.ops.EventAnalytics.timeToConversion(ev,
+          "user_id", "tus", "event_type", Seq("view", "click"),
+          "purchase")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q161 shape: inter-arrival profile — one lag window + one
+      // grouped pass on a single hash partitioning
+      timed(scale, "interarrival") {
+        val out = graft.ops.EventAnalytics.interArrivalProfile(ev,
+          "user_id", "tus", "event_id", 50, 60000000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q164 shape: rolling actives — presence explodes to the bounded
+      // W window-days; fan-out = 7 × |user-day presences|, never events
+      timed(scale, "rolling_active") {
+        val out = graft.ops.EventAnalytics.rollingActiveUsers(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "user_id", "ts", 7)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
     runEvents("1x", ev1x)
     runEvents("10x", ev10x)
