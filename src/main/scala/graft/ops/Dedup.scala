@@ -150,6 +150,35 @@ object Dedup {
     * ([[shingleHashesLambda]]'s poly-fold — the stack's deliberate,
     * documented approximation); the DuckDB oracle replays the same
     * hashes bit-for-bit. */
+  /** Per-document NOVELTY against a reference corpus — the other side
+    * of [[decontaminate]]'s coin: instead of flagging matches, score
+    * each document by how much of it is UNSEEN (`n_novel / n_shingles`
+    * as the exact integer pair) — dedup-aware data valuation: a crawl
+    * increment full of 0-novelty docs isn't worth ingesting, and
+    * high-novelty docs are the ones worth labeling first.
+    *
+    * Shape: doc-distinct (id, shingle-hash) pairs left-anti-mark
+    * against the reference's DISTINCT hash set (8-byte keys only —
+    * neither corpus's text ever shuffles; the reference set is the
+    * dedup-family broadcast candidate), then one partial-aggregable
+    * per-doc roll-up. */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val docGrams = df.select(col(idCol).as("__id__"),
+        explode(graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(textCol), lit("")), k)).as("__h__"))
+      .distinct()
+    val refGrams = reference.select(
+        explode(graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(refTextCol), lit("")), k)).as("__h__"))
+      .distinct().withColumn("__seen__", lit(1L))
+    docGrams.join(refGrams, Seq("__h__"), "left")
+      .groupBy(col("__id__").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen__").isNull, 1L).otherwise(0L)).as("n_novel"))
+  }
+
   /** Cross-source duplicate matrix — "which feeds mirror each other":
     * for every source pair, the number of DISTINCT texts both carry
     * (aggregator/mirror/scraper detection, and the dedup-priority

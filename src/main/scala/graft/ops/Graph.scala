@@ -121,4 +121,24 @@ object Graph {
     tri.select(explode(array(col("s"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Directed-graph reciprocity — the mutual-link rate (follows-back
+    * ratio in social graphs, mutual-citation rate in link graphs; link
+    * farms sit at the extremes): distinct non-loop directed edges
+    * checked for their reverse via a self-join on the REVERSED key.
+    * The ratio `n_reciprocal / n_edges` leaves as the exact integer
+    * pair — division is presentation.
+    *
+    * Shape: one distinct + one equi self-join on (dst, src) — both
+    * hash-partitioned on the edge key, fan-out 1 (edges are distinct);
+    * output is a single row. */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__s__"), col(dstCol).as("__d__"))
+      .filter(col("__s__") =!= col("__d__")).distinct()
+    val rev = e.select(col("__d__").as("__s__"), col("__s__").as("__d__"))
+    val recip = e.join(rev, Seq("__s__", "__d__"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+  }
 }

@@ -440,6 +440,26 @@ object PipelineQueries {
         "user_id", "ts", windowDays = 7)
         .orderBy(col("day"))),
 
+    // directed reciprocity over a synthetic follow graph from the event
+    // log: exact (n_edges, n_reciprocal) integer pair
+    "q165_reciprocity" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(pmod(col("user_id"), lit(50L)).as("src"),
+          pmod(col("user_id") * 7 + col("event_id"), lit(50L)).as("dst"))
+      graft.ops.Graph.reciprocity(ev, "src", "dst")
+    }),
+
+    // per-doc novelty vs the even-id half as reference corpus: exact
+    // (n_shingles, n_novel) pairs — exact copies of reference docs
+    // score zero novel, genuinely new text scores high
+    "q166_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.shingleNovelty(d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", d.filter(col("doc_id") % 2 === 0), "text",
+          k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1520,6 +1540,29 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q165_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT user_id % 50 AS s,
+        |    (user_id * 7 + event_id) % 50 AS d
+        |  FROM events WHERE user_id % 50 <> (user_id * 7 + event_id) % 50)
+        |SELECT (SELECT COUNT(1) FROM e) AS n_edges,
+        |  (SELECT COUNT(1) FROM e
+        |   WHERE EXISTS (SELECT 1 FROM e r
+        |     WHERE r.s = e.d AND r.d = e.s)) AS n_reciprocal""".stripMargin,
+
+    "q166_novelty" -> {
+      val sh = dshingleHashesK("text", 3)
+      s"""WITH dg0 AS (SELECT doc_id, unnest($sh) AS h FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |dg AS (SELECT DISTINCT doc_id, h FROM dg0),
+         |rg AS (SELECT DISTINCT unnest($sh) AS h FROM documents
+         |  WHERE doc_id % 2 = 0)
+         |SELECT doc_id, COUNT(1) AS n_shingles,
+         |  CAST(SUM(CASE WHEN rg.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel
+         |FROM dg LEFT JOIN rg ON dg.h = rg.h
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q163_cross_source_dups" ->
       """WITH base AS (
         |  SELECT source, text FROM documents

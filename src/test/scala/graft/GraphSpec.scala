@@ -95,4 +95,19 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("reciprocity: mutual pairs counted both ways, loops and dups excluded") {
+    // 1↔2 mutual (2 reciprocal edges), 1→3 one-way, 3→3 loop dropped,
+    // 1→2 duplicated (distinct-ed) → n_edges 3, n_reciprocal 2
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("s", "d")
+    val r = Graph.reciprocity(e, "s", "d").collect().head
+    assert((r.getAs[Long]("n_edges"), r.getAs[Long]("n_reciprocal")) ==
+      ((3L, 2L)))
+    // edgeless graph: zero row, not an empty frame
+    val z = Graph.reciprocity(Seq((7L, 7L)).toDF("s", "d"), "s", "d")
+      .collect().head
+    assert((z.getAs[Long]("n_edges"), z.getAs[Long]("n_reciprocal")) ==
+      ((0L, 0L)))
+  }
 }

@@ -1028,6 +1028,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleNovelty: copies score zero, fresh text full, overlap partial") {
+    import spark.implicits._
+    val ref = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),        // exact copy → 0 novel
+      (2L, "totally different words here"),  // all novel
+      (3L, "alpha beta gamma epsilon"))      // shares 2 of 2+... partial
+      .toDF("id", "text")
+    val got = graft.ops.Dedup.shingleNovelty(df, "id", "text",
+        ref, "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))).toMap
+    assert(got(1L)._2 == 0L)
+    assert(got(2L)._2 == got(2L)._1 && got(2L)._1 > 0L)
+    assert(got(3L)._2 > 0L && got(3L)._2 < got(3L)._1)
+  }
+
   test("crossSourceDups: distinct texts per pair, within-source copies count once") {
     import spark.implicits._
     val df = Seq(
