@@ -424,6 +424,29 @@ object EventAnalytics {
         sum(col(valueCol)).as("value_sum"))
   }
 
+  /** Traffic-concentration profile — "which share of events comes from
+    * the top decile of entities": per-entity counts bucketed into
+    * `nBuckets` rank deciles (heaviest first, id tie-break), each
+    * decile reporting its exact entity and event counts. The
+    * whale/bot-concentration diagnostic behind per-key quota decisions
+    * ([[graft.ops.Corpus.capPerKey]]'s cap is chosen FROM this view).
+    *
+    * Shape: one partial-aggregable count collapses the log to
+    * |entities| rows; the global `ntile` window then runs over that
+    * BOUNDED table only (entities, not events — the same
+    * driver-scale-not-data-scale posture as vocabulary's TakeOrdered).
+    * Returns (decile, n_entities, n_events). */
+  def concentrationProfile(events: DataFrame, entityCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val per = events.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("__n__"))
+    val w = Window.orderBy(col("__n__").desc, col(entityCol).asc)
+    per.withColumn("decile", ntile(nBuckets).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__n__")).as("n_events"))
+  }
+
   /** EXACT rolling active entities — daily actives plus the W-day
     * rolling distinct (DAU/WAU): a sketch-free rolling distinct is
     * impossible with plain window frames (distinct does not decompose

@@ -460,6 +460,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // traffic concentration: per-user event counts bucketed into rank
+    // deciles — exact entity/event counts per decile (the view a
+    // per-key quota cap is chosen from)
+    "q167_concentration" -> ((s, dir) =>
+      EventAnalytics.concentrationProfile(
+        graft.tpch.EventsModel.eventsTable(s, dir), "user_id",
+        nBuckets = 10)
+        .orderBy(col("decile"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1540,6 +1549,15 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q167_concentration" ->
+      """WITH per AS (SELECT user_id, COUNT(1) AS n FROM events
+        |  GROUP BY 1),
+        |b AS (SELECT user_id, n, NTILE(10) OVER (ORDER BY n DESC,
+        |    user_id ASC) AS decile FROM per)
+        |SELECT CAST(decile AS INTEGER) AS decile,
+        |  COUNT(1) AS n_entities, CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM b GROUP BY 1 ORDER BY decile""".stripMargin,
+
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,
         |    (user_id * 7 + event_id) % 50 AS d

@@ -421,6 +421,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "(none)" -> ((1L, 7L))))
   }
 
+  test("concentrationProfile: heavy entities fill early deciles, exact sums") {
+    // counts: a=5, b=3, c=1, d=1 → 2 buckets: {a,b} and {c,d}
+    val ev = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "x")
+    val got = EventAnalytics.concentrationProfile(ev, "k", nBuckets = 2)
+      .collect().map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n_entities"), r.getAs[Long]("n_events"))).toMap
+    assert(got == Map(1 -> ((2L, 8L)), 2 -> ((2L, 2L))))
+  }
+
   test("rollingActiveUsers: exact W-day distinct; same-day repeats count once") {
     val day = 86400000000L
     val ev = Seq(
