@@ -21,8 +21,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // gate contract: no array/map/struct-typed output columns — the
+        // driver's pandas checker cannot hash container cells (round-9
+        // q94/q98/q116 'unhashable numpy.ndarray'). Operators may return
+        // arrays; gate queries must export them via array_join/to_json.
+        val bad = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType => true
+          case _: org.apache.spark.sql.types.MapType => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(bad.isEmpty, s"gate query $name exports container-typed " +
+          s"columns ${bad.map(_.name).mkString(",")} — stringify them " +
+          "(array_join/to_json) before export")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failing query must leave NO stale output (a previous run's

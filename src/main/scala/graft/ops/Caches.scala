@@ -68,13 +68,20 @@ object Caches {
     s.rdds.foreach(_.unpersist(blocking = false))
     s.rdds.clear()
     s.dfs.foreach { d =>
-      val drop = refCounts.synchronized {
+      refCounts.synchronized {
         val k = keyOf(d)
         val n = refCounts.getOrElse(k, 1) - 1
-        if (n <= 0) { refCounts.remove(k); true }
-        else { refCounts(k) = n; false }
+        if (n <= 0) {
+          refCounts.remove(k)
+          // unpersist INSIDE the monitor: a concurrent registerDf of the
+          // same canonical plan must not land between the count-hits-zero
+          // decision and the drop, or the new registrant would hold a
+          // reference to an already-evicted entry (the same race the
+          // refcount exists to prevent, one window narrower).
+          // unpersist(blocking=false) only marks the entry — cheap.
+          d.unpersist(blocking = false)
+        } else refCounts(k) = n
       }
-      if (drop) d.unpersist(blocking = false)
     }
     s.dfs.clear()
   }

@@ -637,7 +637,17 @@ object Corpus {
     val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") >= k)
-    df.join(counts, quasiCols)
+    // groupBy treats NULL as a regular grouping value, so the join-back
+    // must too: null-safe equality (<=>) keeps a NULL-bearing quasi
+    // tuple whose group reaches k — a plain equi-join would silently
+    // suppress every such row regardless of group size. Still an
+    // equi-join shape for the planner (SortMergeJoin/AQE-splittable).
+    val cnt = quasiCols.foldLeft(counts) { (d, q) =>
+      d.withColumnRenamed(q, s"__k_$q")
+    }
+    val cond = quasiCols.map(q => col(q) <=> col(s"__k_$q"))
+      .reduce(_ && _)
+    df.join(cnt, cond).drop(quasiCols.map(q => s"__k_$q"): _*)
   }
 
   /** Deterministic class rebalancing by EXACT integer oversampling:

@@ -35,12 +35,23 @@ object Dedup {
     * map-side, never sorts in one task (deliberately NOT the
     * rank-window formulation). */
   def keepBest(df: DataFrame, textCol: String, idCol: String,
-      scoreCol: String): DataFrame =
+      scoreCol: String): DataFrame = {
+    // the id rides the struct NEGATED (max(s, -id) = highest score,
+    // lowest id on ties), which is only sound for numeric ids — a
+    // string id would be implicitly cast to double and negate to NULL,
+    // silently corrupting both the tie-break and the returned column.
+    // Fail loudly instead ([[exactKeepers]] accepts any orderable id).
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBest requires a numeric id column for the max(score, -id) " +
+        s"tie-break; '$idCol' is $idType — use exactKeepers, or map the " +
+        "id to a numeric surrogate first")
     df.groupBy(sha2(col(textCol), 256).as("__text_sha__"))
       .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
         .as("__best__"), count(lit(1)).as("n_copies"))
       .select((-col("__best__.ni")).as(idCol),
         col("__best__.s").as(scoreCol), col("n_copies"))
+  }
 
   /** Boilerplate-line removal (the C4/Gopher corpus-cleaning step): drop
     * every line that occurs in more than `maxDocFreq` DISTINCT documents

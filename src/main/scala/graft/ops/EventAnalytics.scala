@@ -465,8 +465,11 @@ object EventAnalytics {
       tsCol: String, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val dayUs = 86400000000L
+    // floor(), not cast-to-long: the cast truncates toward zero, so a
+    // pre-1970 timestamp would bucket off-by-one vs the oracle's floor
+    // division (and vs every sibling day-bucket op in this file)
     val pres = events.select(col(entityCol).as("__e__"),
-        (unix_micros(col(tsCol)) / dayUs).cast("long").as("__day__"))
+        floor(unix_micros(col(tsCol)) / dayUs).cast("long").as("__day__"))
       .distinct()
     val dau = pres.groupBy(col("__day__").as("day"))
       .agg(countDistinct(col("__e__")).as("dau"))

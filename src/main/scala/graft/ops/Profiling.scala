@@ -227,8 +227,11 @@ object Profiling {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val total = df.agg(count(lit(1)).cast(dec).as("__total__"))
+    // asc_nulls_last matches SQL's default ASC NULLS LAST (the q146
+    // DuckDB oracle's ORDER BY n DESC, key ASC): a null key tied on
+    // count with a non-null key must rank identically across engines
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col(keyCol).asc_nulls_first)
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_last)
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
       .crossJoin(broadcast(total))

@@ -106,6 +106,12 @@ object PipelineQueries {
           (expr("unix_micros(ts) div 3600000000") - 473000L).as("x"),
           floor(col("value") * 1000 + 0.5).cast("long").as("y"))
       EventAnalytics.trend(ev, "user_id", "x", "y")
+        // gate export: the exact rational rides the plan as
+        // decimal(38,0); at sf0.1 the values fit BIGINT, and exporting
+        // them as such avoids the DuckDB-HUGEINT→pandas-float64
+        // rendering mismatch in the driver's hash compare
+        .withColumn("slope_num", col("slope_num").cast("long"))
+        .withColumn("slope_den", col("slope_den").cast("long"))
         .orderBy(col("user_id"))
     }),
 
@@ -294,6 +300,8 @@ object PipelineQueries {
       val ev = graft.tpch.EventsModel.eventsTable(s, dir)
         .select(col("user_id"))
       graft.ops.Profiling.joinSizeProfile(ev, ev, "user_id", topN = 5)
+        // gate export: Σn² fits BIGINT at sf0.1; see q136 note
+        .withColumn("n_out", col("n_out").cast("long"))
         .orderBy(col("rank"))
     }),
 
@@ -909,6 +917,11 @@ object PipelineQueries {
     // exact BIGINT arithmetic on the quantized grid
     "q94_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(emb(s, dir), "vec_id", "embedding", 16)
+        // gate export: the driver's checker cannot hash array cells, so
+        // the projected vector leaves as a space-joined string (oracle
+        // mirrors with array_to_string); the operator API stays typed
+        .withColumn("proj",
+          array_join(transform(col("proj"), x => x.cast("string")), " "))
         .orderBy(col("vec_id"))),
 
     // chunk-level duplication profile: how much of each doc is made of
@@ -949,6 +962,10 @@ object PipelineQueries {
       val d = docs(s, dir)
       Corpus.invertedIndex(d, "doc_id", "text",
           maxDf = d.count() * 78L / 100L)
+        // gate export: posting list as a space-joined string (q94 note)
+        .withColumn("postings",
+          array_join(transform(col("postings"), x => x.cast("string")),
+            " "))
         .orderBy(col("word"))
     }),
 
@@ -1104,6 +1121,10 @@ object PipelineQueries {
     // vocab map keeps tokenization per-row and shuffle-free
     "q116_tokenize" -> ((s, dir) =>
       Corpus.tokenizeToIds(docs(s, dir), "doc_id", "text", vocabSize = 50)
+        // gate export: token-id sequence as a space-joined string
+        .withColumn("token_ids",
+          array_join(transform(col("token_ids"), x => x.cast("string")),
+            " "))
         .orderBy(col("doc_id"))),
 
     // URL extraction → canonicalization → per-host stats: two injected
@@ -1757,11 +1778,12 @@ object PipelineQueries {
         |      AS INTEGER) AS rank
         |  FROM c)
         |SELECT CAST(user_id AS VARCHAR) AS key, n AS n_left,
-        |  n AS n_right, CAST(n AS HUGEINT) * n AS n_out, rank
+        |  n AS n_right, CAST(CAST(n AS HUGEINT) * n AS BIGINT) AS n_out,
+        |  rank
         |FROM r WHERE rank <= 5
         |UNION ALL
         |SELECT '(total)', CAST(SUM(n) AS BIGINT), CAST(SUM(n) AS BIGINT),
-        |  SUM(CAST(n AS HUGEINT) * n), 0 FROM c
+        |  CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT), 0 FROM c
         |ORDER BY rank""".stripMargin,
 
     "q154_keep_best" ->
@@ -2001,8 +2023,8 @@ object PipelineQueries {
         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
         |  FROM e GROUP BY 1)
         |SELECT user_id, CAST(n AS BIGINT) AS n,
-        |  n * sxy - sx * sy AS slope_num,
-        |  n * sxx - sx * sx AS slope_den,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |       ELSE n * sxy - sx * sy > 0 END AS rising
         |FROM s ORDER BY user_id""".stripMargin,
@@ -2604,7 +2626,9 @@ object PipelineQueries {
         |dfc AS (SELECT word, COUNT(1) AS df FROM d GROUP BY 1
         |  HAVING COUNT(1) <=
         |    (SELECT (COUNT(1) * 78) // 100 FROM documents))
-        |SELECT d.word, dfc.df, list(d.doc_id ORDER BY d.doc_id) AS postings
+        |SELECT d.word, dfc.df,
+        |  array_to_string(list(d.doc_id ORDER BY d.doc_id), ' ')
+        |    AS postings
         |FROM d JOIN dfc USING (word)
         |GROUP BY d.word, dfc.df ORDER BY d.word""".stripMargin,
 
@@ -2752,7 +2776,8 @@ object PipelineQueries {
         |    list(COALESCE(v.id, 0) ORDER BY e.ord) AS tids
         |  FROM e LEFT JOIN v USING (word) GROUP BY 1)
         |SELECT t.doc_id,
-        |  COALESCE(r.tids, CAST([] AS BIGINT[])) AS token_ids
+        |  array_to_string(COALESCE(r.tids, CAST([] AS BIGINT[])), ' ')
+        |    AS token_ids
         |FROM toks t LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
@@ -3067,12 +3092,12 @@ object PipelineQueries {
         |      CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv,
         |    len(embedding) AS d
         |  FROM embeddings)
-        |SELECT vec_id, list_transform(range(0, 16), j ->
+        |SELECT vec_id, array_to_string(list_transform(range(0, 16), j ->
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(0, d), i ->
         |        (1 - 2 * ((((1103515245 * (j * d + i) + 12345)
         |          % 2147483648) // 65536) % 2)) * qv[i + 1])),
-        |      (a, x) -> a + x)) AS proj
+        |      (a, x) -> a + x)), ' ') AS proj
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q85_cluster_representatives" ->

@@ -582,4 +582,18 @@ class CorpusSpec extends AnyFunSuite {
     // k above every group size suppresses the whole table, never errors
     assert(Corpus.kAnonymize(df, Seq("lang", "src"), k = 10).count() == 0)
   }
+
+  test("kAnonymize: NULL quasi values group together and survive at k") {
+    // groupBy treats NULL as a value, so the join-back must be
+    // null-safe: the (null, web) pair reaches k=2 and must be KEPT
+    val df = Seq(
+      (1L, Option.empty[String], Some("web")),
+      (2L, Option.empty[String], Some("web")),      // n=2 with nulls
+      (3L, Option.empty[String], Option.empty[String]), // n=1, all-null
+      (4L, Some("en"), Some("web"))).toDF("id", "lang", "src") // n=1
+    val got = Corpus.kAnonymize(df, Seq("lang", "src"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("group_n")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+  }
 }

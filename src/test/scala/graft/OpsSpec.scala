@@ -1123,6 +1123,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> ((9L, 3L)), 4L -> ((1L, 1L))))
   }
 
+  test("keepBest: non-numeric id fails loudly instead of NULL-corrupting") {
+    import spark.implicits._
+    // a string id would implicitly cast to double inside the -id
+    // tie-break and negate to NULL — require() must reject it up front
+    val df = Seq(("d1", "same", 5L), ("d2", "same", 9L))
+      .toDF("id", "text", "score")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.keepBest(df, "text", "id", "score")
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
   test("pairMetrics: direction and duplicates collapse before counting") {
     import spark.implicits._
     // pred {1-2, 3-4 (given twice, once reversed), 5-6}; truth {1-2, 7-8}

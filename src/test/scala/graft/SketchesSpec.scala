@@ -201,6 +201,17 @@ class SketchesSpec extends AnyFunSuite {
       None -> ((1L, 3, false))))
   }
 
+  test("keySkew: null key tied on count ranks AFTER non-null (ASC NULLS LAST)") {
+    import spark.implicits._
+    // z×2, null×2 tie on count; SQL's ASC NULLS LAST (the oracle's
+    // ORDER BY n DESC, key ASC) must put z at rank 1, null at rank 2
+    val df = (Seq.fill(2)(Some("z")) ++ Seq.fill(2)(Option.empty[String]))
+      .toDF("k")
+    val got = graft.ops.Profiling.keySkew(df, "k", topN = 2, 90, 100)
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Int]("rank"))
+    assert(got.toSeq == Seq(Some("z") -> 1, None -> 2))
+  }
+
   test("madOutliers: robust flags, half-integral medians exact, zero MAD") {
     import spark.implicits._
     // key a: 1..9 + 100 — median 5.5 (med2=11), dev2 of 100 = 189,
