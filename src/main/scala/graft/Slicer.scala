@@ -59,7 +59,12 @@ object Slicer {
         requestLogger = graft.server.RequestLog.configuredLogger(cfg),
         // `[server] authentication` + `[authentication]` options
         // (reference blueprint.py:112-125)
-        authenticator = graft.server.Authenticators.configured(cfg))
+        authenticator = graft.server.Authenticators.configured(cfg),
+        // `[server] allow_cors_origin` + `[server] visualizer`
+        // (reference blueprint.py:109-110)
+        allowCorsOrigin = cfg.getOrElse("server", Map.empty)
+          .get("allow_cors_origin"),
+        visualizer = cfg.getOrElse("server", Map.empty).get("visualizer"))
       val bound = server.start()
       println(s"slicer server listening on $host:$bound")
       Thread.currentThread().join() // serve until killed

@@ -38,9 +38,16 @@ object Graph {
     * 10^11 nodes. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      /** Truncate the rank table's lineage with a `localCheckpoint`
+        * every N iterations: the unrolled loop otherwise grows the plan
+        * linearly in `iters` (3 rounds is fine; 10+ pays quadratic
+        * analysis time and risks planner stack depth). 0 disables —
+        * ranks stay bit-identical either way, only the plan changes. */
+      checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need iters >= 1 and 0 <= dampNum <= dampDen")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     val e = edges.select(col(srcCol).cast("long").as("__src__"),
       col(dstCol).cast("long").as("__dst__"))
     // the loop-invariant tables are PERSISTED (registered with the
@@ -54,7 +61,7 @@ object Graph {
     val ew = Caches.registerDf(e.join(deg, "__src__").persist(lvl))
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("rank_micros", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ew
         .join(ranks, ew("__src__") === ranks("node"))
         .select(col("__dst__"),
@@ -65,6 +72,10 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__s__, 0L)) div $dampDen"))
             .as("rank_micros"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        // eager local checkpoint: materializes this round's |nodes|-row
+        // rank table on the executors and restarts lineage from it
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -47,7 +47,17 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     /** Request authenticator (reference `[server] authentication` methods,
       * `server/auth.py`); None = the built-in permissive identity flows
       * (`?identity`/`?api_key`/Bearer), the reference's `none` default. */
-    authenticator: Option[Authenticator] = None) {
+    authenticator: Option[Authenticator] = None,
+    /** CORS origin (`[server] allow_cors_origin`, reference
+      * `blueprint.py:109,610-623`): when set, every response carries
+      * `Access-Control-Allow-*` headers and OPTIONS preflights are
+      * answered; `*` echoes the request's Origin back (credentialed
+      * wildcard, exactly the reference's behavior). None = no CORS. */
+    allowCorsOrigin: Option[String] = None,
+    /** Visualizer URL (`[server] visualizer`, reference
+      * `blueprint.py:110,599-606`): `/visualizer/` redirects here; 404
+      * when unset. */
+    visualizer: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -123,6 +133,16 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
         val parts = path.split("/").toList
         val q = parseQuery(ex)
+        // CORS preflight: answered before authentication — browsers never
+        // attach credentials to preflights, so an authenticated OPTIONS
+        // would always 401 and permanently block the cross-origin client
+        // (the reference delegates OPTIONS to Flask's automatic handler,
+        // which likewise bypasses the view; blueprint.py:615-616 only
+        // decorates the response)
+        if (ex.getRequestMethod == "OPTIONS") {
+          respond(ex, Resp(200, "", "text/plain"))
+          return
+        }
         // authentication runs BEFORE routing, on every request (reference
         // before_request, blueprint.py:160-170)
         val id = authenticator match {
@@ -221,6 +241,17 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
             ex.getResponseHeaders.set("WWW-Authenticate", c)
             Resp(401, "logged out", "text/plain")
           case None => Resp(200, "logged out", "text/plain")
+        }
+      case List("visualizer") | List("visualizer", "index.html") =>
+        // reference get_visualizer (blueprint.py:599-606): redirect to the
+        // configured visualizer URL; PageNotFound when unset
+        visualizer match {
+          case Some(url) =>
+            ex.getResponseHeaders.set("Location", url)
+            Resp(302, s"""{"redirect": ${jstr(url)}}""", "application/json")
+          case None =>
+            Resp(404, """{"error": "Visualizer not configured"}""",
+              "application/json")
         }
       case List("cube", _, "search") =>
         // explicit descope, not a bare 404: the reference's /search needs
@@ -341,7 +372,16 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           }
           result0.copy(cells = paged, unpagedCells = Some(persisted))
         }
-      if (fmt == "csv") {
+      if (fmt == "json_lines") {
+        // streamed cells, one JSON object per line (the facts treatment,
+        // reference JSONLinesGenerator server/utils.py:105-108): no record
+        // limit and nothing driver-buffered — the last collect() on the
+        // aggregate read path. Summary/levels/count are the json format's
+        // envelope; a line stream is just the cell records.
+        import scala.jdk.CollectionConverters._
+        Resp(200, "", "application/x-json-lines",
+          stream = Some(result.cells.toJSON.toLocalIterator.asScala))
+      } else if (fmt == "csv") {
         val (csv, truncated) = toCsv(result.cells,
           header = csvHeader(name, result.cells.columns.toSeq, q))
         Resp(200, csv, "text/csv", truncated,
@@ -716,7 +756,29 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
 
   private def jstr(s: String): String = graft.formats.Formats.jsonString(s)
 
-  private def respond(ex: HttpExchange, r: Resp): Unit = r.stream match {
+  /** Cross-origin resource sharing headers on EVERY response (reference
+    * after_request `add_cors_headers`, blueprint.py:608-623): wildcard
+    * origin echoes the request's Origin back (a credentialed response
+    * cannot carry the literal `*`), preflights additionally allow the
+    * `X-Requested-With` request header. */
+  private def corsHeaders(ex: HttpExchange): Unit =
+    allowCorsOrigin.filter(_.nonEmpty).foreach { origin =>
+      val h = ex.getResponseHeaders
+      if (ex.getRequestMethod == "OPTIONS")
+        h.set("Access-Control-Allow-Headers", "X-Requested-With")
+      val allowed =
+        if (origin == "*")
+          Option(ex.getRequestHeaders.getFirst("Origin")).getOrElse(origin)
+        else origin
+      h.set("Access-Control-Allow-Origin", allowed)
+      h.set("Access-Control-Allow-Credentials", "true")
+      h.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+      h.set("Access-Control-Max-Age", "1728000")
+    }
+
+  private def respond(ex: HttpExchange, r: Resp): Unit = {
+    corsHeaders(ex)
+    r.stream match {
     case Some(lines) =>
       // chunked transfer: lines leave as they are produced; length 0 =
       // "unknown", the JDK server chunks automatically
@@ -735,7 +797,13 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       r.attachment.foreach(f => ex.getResponseHeaders.set(
         "Content-Disposition", s"""attachment; filename="$f""""))
       if (r.truncated) ex.getResponseHeaders.set("X-Graft-Truncated", "true")
-      ex.sendResponseHeaders(r.code, bytes.length)
-      ex.getResponseBody.write(bytes)
+      // a zero-length 200 must send -1 (no body) per HttpServer contract;
+      // 0 means chunked-unknown and hangs keep-alive clients
+      if (bytes.isEmpty) ex.sendResponseHeaders(r.code, -1)
+      else {
+        ex.sendResponseHeaders(r.code, bytes.length)
+        ex.getResponseBody.write(bytes)
+      }
+    }
   }
 }

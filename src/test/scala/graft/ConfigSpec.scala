@@ -62,6 +62,18 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg("b")("z") == "c:/path") // first separator wins, value intact
   }
 
+  test("[server] allow_cors_origin + visualizer parse for the serve wiring") {
+    // reference blueprint.py:109-110 — both are plain [server] strings,
+    // absent by default (no CORS, visualizer 404s)
+    val cfg = WorkspaceConfig.parseIni(
+      "[server]\nallow_cors_origin: *\nvisualizer: https://viz.example\n")
+    assert(cfg("server").get("allow_cors_origin").contains("*"))
+    assert(cfg("server").get("visualizer").contains("https://viz.example"))
+    val none = WorkspaceConfig.parseIni("[server]\nport: 0\n")
+    assert(none("server").get("allow_cors_origin").isEmpty)
+    assert(none("server").get("visualizer").isEmpty)
+  }
+
   test("store use_denormalization flips cubes to their materialized views") {
     // reference store options use_denormalization + denormalized_prefix
     // (sql/store.py:138-144, naming mapper.py:163-168): the browser reads

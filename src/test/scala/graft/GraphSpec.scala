@@ -63,6 +63,28 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"), plan)
   }
 
+  test("pageRank: deep iteration checkpointing is rank-identical and bounds the plan") {
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    def run(ckpt: Int) =
+      Graph.pageRank(df, "src", "dst", iters = 10, checkpointEvery = ckpt)
+    try {
+      // bit-identical ranks with and without lineage truncation
+      val plain = run(0).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toMap
+      val ck = run(3)
+      assert(ck.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toMap == plain)
+      // the checkpointed 10-iteration plan restarts from the last
+      // materialized round: at most ckpt=3 unrolled joins deep vs 10
+      def depth(p: org.apache.spark.sql.DataFrame) =
+        p.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.size
+      assert(depth(run(3)) < depth(run(0)),
+        s"checkpoint did not truncate lineage: ${depth(run(3))} vs ${depth(run(0))}")
+    } finally graft.ops.Caches.releaseAll()
+  }
+
   private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -532,4 +532,105 @@ class ServerSpec extends AnyFunSuite {
     assert(got.size() == 1 && got.peek() == "aggregate")
     assert(!warns.isEmpty) // ... and reported
   }
+
+  test("CORS headers on every response + OPTIONS preflight (blueprint.py:608-623)") {
+    import graft.server.AdminAdminAuthenticator
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    // fixed origin: echoed verbatim on browser verbs
+    val p = new SlicerServer(ws,
+      allowCorsOrigin = Some("https://viz.example")).start()
+    def send(path: String, method: String, origin: Option[String] = None) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+        .method(method, HttpRequest.BodyPublishers.noBody())
+      origin.foreach(o => b.header("Origin", o))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val agg = send("/cube/sales/aggregate?drilldown=returnflag", "GET")
+    assert(agg.statusCode() == 200)
+    assert(agg.headers().firstValue("Access-Control-Allow-Origin")
+      .orElse("") == "https://viz.example")
+    assert(agg.headers().firstValue("Access-Control-Allow-Credentials")
+      .orElse("") == "true")
+    assert(agg.headers().firstValue("Access-Control-Allow-Methods")
+      .orElse("") == "GET, POST, OPTIONS")
+    assert(agg.headers().firstValue("Access-Control-Max-Age")
+      .orElse("") == "1728000")
+    // facts too — the after_request hook decorates every route
+    assert(send("/cube/sales/facts?pagesize=1", "GET").headers()
+      .firstValue("Access-Control-Allow-Origin").isPresent)
+    // preflight: 200 without auth, allows X-Requested-With
+    val pre = send("/cube/sales/aggregate", "OPTIONS",
+      origin = Some("https://viz.example"))
+    assert(pre.statusCode() == 200)
+    assert(pre.headers().firstValue("Access-Control-Allow-Headers")
+      .orElse("") == "X-Requested-With")
+    // wildcard origin echoes the REQUEST's Origin back (credentialed
+    // responses cannot carry a literal *)
+    val pw = new SlicerServer(ws, allowCorsOrigin = Some("*")).start()
+    val echo = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$pw/version"))
+      .header("Origin", "https://other.example").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(echo.headers().firstValue("Access-Control-Allow-Origin")
+      .orElse("") == "https://other.example")
+    // preflight bypasses authentication: a credential-less OPTIONS must
+    // not 401 even on a Basic-auth server
+    val pa = new SlicerServer(ws, allowCorsOrigin = Some("*"),
+      authenticator = Some(new AdminAdminAuthenticator(realm = "g"))).start()
+    val preAuth = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$pa/cube/sales/aggregate"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+      .header("Origin", "https://x.example").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(preAuth.statusCode() == 200)
+    // unconfigured server: no CORS headers at all
+    assert(!get("/version")._2.isEmpty)
+    val plain = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/version")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(!plain.headers().firstValue("Access-Control-Allow-Origin").isPresent)
+  }
+
+  test("aggregate format=json_lines streams cells chunked, one object per line") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(
+      s"http://127.0.0.1:$port/cube/sales/aggregate?drilldown=returnflag&format=json_lines"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/x-json-lines"))
+    // chunked transfer — no Content-Length on the streamed path
+    assert(!r.headers().firstValue("Content-Length").isPresent)
+    val lines = r.body().split("\n").filter(_.nonEmpty)
+    assert(lines.length == 3) // 3 return flags
+    lines.foreach { l =>
+      val j = org.json4s.jackson.JsonMethods.parse(l)
+      assert((j \ "returnflag") != org.json4s.JNothing, l)
+    }
+    // agrees with the buffered json format's cells
+    val (c2, body2) = get("/cube/sales/aggregate?drilldown=returnflag")
+    assert(c2 == 200)
+    val cells = (org.json4s.jackson.JsonMethods.parse(body2) \ "cells")
+    assert(cells.children.size == 3)
+  }
+
+  test("/visualizer redirects when configured, 404 when not (blueprint.py:599-606)") {
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val p = new SlicerServer(ws,
+      visualizer = Some("https://viz.example/studio")).start()
+    for (path <- Seq("/visualizer/", "/visualizer/index.html")) {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 302, path)
+      assert(r.headers().firstValue("Location")
+        .orElse("") == "https://viz.example/studio", path)
+    }
+    // unset → the reference's PageNotFoundError
+    val (code, body) = get("/visualizer/")
+    assert(code == 404 && body.contains("Visualizer not configured"))
+  }
 }
