@@ -4,6 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Names of container-typed (array/map/struct) columns in a gate
+    * query's output schema. Gate contract: none allowed — the driver's
+    * pandas checker cannot hash container cells (round-9 q94/q98/q116
+    * 'unhashable numpy.ndarray'); operators may return arrays, gate
+    * queries must export them via array_join/to_json. */
+  def containerColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if (f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => true
+        case _: org.apache.spark.sql.types.MapType => true
+        case _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      }) => f.name
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter for fast local
     // iteration on one gate query (the driver always passes exactly two)
@@ -23,18 +38,9 @@ object Verify {
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // gate contract: no array/map/struct-typed output columns — the
-        // driver's pandas checker cannot hash container cells (round-9
-        // q94/q98/q116 'unhashable numpy.ndarray'). Operators may return
-        // arrays; gate queries must export them via array_join/to_json.
-        val bad = df.schema.fields.filter(f => f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType => true
-          case _: org.apache.spark.sql.types.MapType => true
-          case _: org.apache.spark.sql.types.StructType => true
-          case _ => false
-        })
+        val bad = containerColumns(df.schema)
         require(bad.isEmpty, s"gate query $name exports container-typed " +
-          s"columns ${bad.map(_.name).mkString(",")} — stringify them " +
+          s"columns ${bad.mkString(",")} — stringify them " +
           "(array_join/to_json) before export")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }

@@ -718,4 +718,138 @@ object Corpus {
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Bigram COLLOCATION (phrase) detection — the word2vec phrase rule:
+    * a bigram `w1 w2` is a phrase when
+    * `(count(w1 w2) − δ) · N / (count(w1) · count(w2)) > threshold`
+    * (δ discounts rare accidents, N is the corpus token count). The
+    * comparison is carried as EXACT integer cross-multiplication in
+    * decimal(38,0) — `(c₁₂−δ)·N·den > num·c₁·c₂` — so no float
+    * division can diverge between engines; the counts leave as plain
+    * longs.
+    *
+    * Scale shape: bigrams are built IN-ROW (zip of the token array with
+    * its own tail — no self-join, no positional explode+join), then one
+    * partial-aggregable count per bigram and one per unigram; the two
+    * unigram joins are vocabulary-sized (AQE broadcasts them when they
+    * fit). `minCount` prunes the accidental-bigram tail BEFORE the
+    * joins, which is what bounds the output at corpus scale.
+    *
+    * Returns (w1, w2, n_pair, n_w1, n_w2, phrase). */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      delta: Long, thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    require(minCount >= 1 && delta >= 0 && thresholdNum >= 0 &&
+      thresholdDen > 0, "bad collocations params")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val toks = df.select(filter(
+      split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      w => w =!= "").as("__t__"))
+    val uni = toks.select(explode(col("__t__")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val k = greatest(size(col("__t__")) - 1, lit(0))
+    val big = toks.select(explode(zip_with(
+        slice(col("__t__"), lit(1), k), slice(col("__t__"), lit(2), k),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b__"))
+      .groupBy(col("__b__.w1").as("w1"), col("__b__.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val total = uni.agg(sum(col("n")).cast(dec).as("__N__"))
+    big
+      .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        ((col("n_pair") - delta).cast(dec) * col("__N__") * thresholdDen >
+          lit(thresholdNum).cast(dec) * col("n_w1") * col("n_w2"))
+          .as("phrase"))
+  }
+
+  /** Lexical diversity profile per key (source, language, shard): token
+    * count, type count (distinct words), and hapax count (words
+    * occurring exactly once within the key) — the classic
+    * type-token-ratio ingredients, exported as exact integers so the
+    * ratio is the caller's division. Low TTR flags templated/boilerplate
+    * sources; a collapsing hapax share flags synthetic or deduplicated-
+    * to-death corpora.
+    *
+    * Shape: one partial-aggregable (key, word) count — the corpus text
+    * collapses map-side to the per-key vocabulary — then one per-key
+    * roll-up of that vocabulary-sized table. Both shuffles carry counts,
+    * never text bodies. */
+  def lexicalDiversity(df: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    val words = df.select(col(keyCol), explode(filter(
+      split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      w => w =!= "")).as("__w__"))
+    words.groupBy(col(keyCol), col("__w__"))
+      .agg(count(lit(1)).as("__n__"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n__")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n__") === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
+  /** Vocabulary coverage curve: for each requested percentage `p`, the
+    * SMALLEST top-frequency vocabulary (count desc, word asc) whose
+    * occurrences cover ≥ p% of the corpus token mass, with the tokens it
+    * covers — the "how big must the tokenizer's vocab be" planning
+    * number.
+    *
+    * The running total over the frequency-ranked vocabulary is computed
+    * as a DISTRIBUTED PREFIX SUM — range-repartition by (count desc,
+    * word asc), per-partition running sums via a window PARTITIONED BY
+    * the physical partition id, plus per-partition offsets (one
+    * |partitions|-row driver collect, the k-means-centroid precedent) —
+    * deliberately NOT a global `sum over (order by ...)` window, which
+    * plans as a single-partition sort of the whole vocabulary (the
+    * round-7 scale-killer shape this codebase banned).
+    *
+    * Returns one row per threshold: (pct, vocab_size, covered_tokens,
+    * total_tokens). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      thresholdsPct: Seq[Int]): DataFrame = {
+    require(thresholdsPct.nonEmpty &&
+      thresholdsPct.forall(p => p >= 1 && p <= 100),
+      "thresholds must be percentages in [1, 100]")
+    val spark = df.sparkSession
+    val counts = df.select(explode(filter(
+        split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        w => w =!= "")).as("__w__"))
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__n__"))
+    val sorted = Caches.registerDf(counts
+      .repartitionByRange(col("__n__").desc, col("__w__").asc)
+      .sortWithinPartitions(col("__n__").desc, col("__w__").asc)
+      .withColumn("__pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-partition (token mass, vocab rows) → prefix offsets; bounded
+    // by the partition count, not the vocabulary
+    val partStats = sorted.groupBy(col("__pid__"))
+      .agg(sum(col("__n__")).as("__s__"), count(lit(1)).as("__c__"))
+      .collect().map(r => (r.getAs[Int]("__pid__"),
+        r.getAs[Long]("__s__"), r.getAs[Long]("__c__")))
+      .sortBy(_._1)
+    val totalTokens = partStats.map(_._2).sum
+    var accS = 0L; var accC = 0L
+    val offsets = partStats.map { case (pid, s, c) =>
+      val row = (pid, accS, accC); accS += s; accC += c; row
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq
+      .toDF("__pid__", "__off_tok__", "__off_rank__"))
+    val w = Window.partitionBy(col("__pid__"))
+      .orderBy(col("__n__").desc, col("__w__").asc)
+    val cum = sorted.join(offDf, Seq("__pid__"))
+      .select(
+        (col("__off_rank__") + row_number().over(w)).as("__rank__"),
+        (col("__off_tok__") + sum(col("__n__")).over(w)).as("__cum__"))
+    val thr = broadcast(thresholdsPct.toDF("pct"))
+    // first rank whose cumulative mass crosses p% of the total —
+    // integer cross-multiplication, no division
+    cum.join(thr, col("__cum__") * 100 >= col("pct") * totalTokens)
+      .groupBy(col("pct"))
+      .agg(min(col("__rank__")).as("vocab_size"),
+        min_by(col("__cum__"), col("__rank__")).as("covered_tokens"))
+      .withColumn("total_tokens", lit(totalTokens))
+  }
 }

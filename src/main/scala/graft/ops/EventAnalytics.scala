@@ -633,4 +633,66 @@ object EventAnalytics {
         col("__first__").getField(idCol).as("first_id"),
         col("n_events"))
   }
+
+  /** First-order TRANSITION MATRIX over each entity's event sequence:
+    * for every consecutive pair (ordered by `(tsCol, idCol)` — the id
+    * tiebreak makes simultaneous events deterministic), the count of
+    * `from_state → to_state` steps plus the from-state's total outgoing
+    * count, so `P(to|from) = n / n_from` is carried as an exact integer
+    * pair. The Markov-chain view of user behavior: navigation models,
+    * broken-funnel detection ("view→purchase transitions collapsed"),
+    * bot signatures (near-deterministic rows).
+    *
+    * Shape: one key-partitioned lag window (each entity sorts its own
+    * events — never a global sort), one partial-aggregable pair count
+    * collapsing to |states|² rows, and a states-sized self-aggregation
+    * for the denominators. */
+  def transitionMatrix(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = events
+      .withColumn("__from__",
+        lag(col(stateCol).cast("string"), 1).over(w))
+      .filter(col("__from__").isNotNull)
+      .groupBy(col("__from__").as("from_state"),
+        col(stateCol).cast("string").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = steps.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_from"))
+    steps.join(broadcast(outTotals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"), col("n_from"))
+  }
+
+  /** Exact pairwise AUDIENCE OVERLAP between event types (or campaigns,
+    * features, cohorts): for every unordered type pair, the distinct
+    * entities seen in both, plus each side's distinct audience — the
+    * exact integers behind Jaccard/containment ("do purchasers also use
+    * search?"), the planning twin of the sketched
+    * [[graft.ops.Sketches.overlapEstimate]].
+    *
+    * Shape: distinct (type, entity) pairs first (partial-aggregable —
+    * an entity firing 10⁸ identical events collapses map-side), then a
+    * per-entity self-join whose fan-out is bounded by |types|² per
+    * entity (types are a small set by contract), then one
+    * |types|²-sized count. Entity ids ride the one shuffle; event
+    * payloads never do. */
+  def audienceOverlap(events: DataFrame, typeCol: String,
+      entityCol: String): DataFrame = {
+    val pres = events.select(col(typeCol).cast("string").as("__t__"),
+      col(entityCol).as("__e__")).distinct()
+    val sizes = pres.groupBy(col("__t__")).agg(count(lit(1)).as("__n__"))
+    val a = pres.select(col("__t__").as("type_a"), col("__e__"))
+    val b = pres.select(col("__t__").as("type_b"), col("__e__"))
+    a.join(b, Seq("__e__"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("__t__").as("type_a"),
+        col("__n__").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("__t__").as("type_b"),
+        col("__n__").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"))
+  }
 }

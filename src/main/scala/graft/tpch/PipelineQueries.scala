@@ -477,6 +477,51 @@ object PipelineQueries {
         nBuckets = 10)
         .orderBy(col("decile"))),
 
+    // bigram collocation detection (the word2vec phrase rule, integer
+    // cross-multiplied): a ' deep learning' phrase stamped into every
+    // third doc must flag; the near-uniform organic bigrams must not.
+    // minCount is RELATIVE (4% of docs) so it bins identically at
+    // every scale factor.
+    "q168_collocations" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val d = d0.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" deep learning")))
+          .otherwise(col("text")))
+      Corpus.collocations(d, "text", minCount = d0.count() * 4 / 100,
+          delta = 5, thresholdNum = 3, thresholdDen = 2)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // per-source lexical diversity: token/type/hapax counts — the
+    // type-token-ratio ingredients as exact integers
+    "q169_lexical_diversity" -> ((s, dir) =>
+      Corpus.lexicalDiversity(docs(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
+    // first-order event-type transition matrix per user sequence, with
+    // exact P(to|from) = n/n_from integer pairs
+    "q170_transition_matrix" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(
+        graft.tpch.EventsModel.eventsTable(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("from_state"), col("to_state"))),
+
+    // exact pairwise audience overlap between event types (distinct
+    // users in both / each side) — the Jaccard numerators
+    "q171_audience_overlap" -> ((s, dir) =>
+      EventAnalytics.audienceOverlap(
+        graft.tpch.EventsModel.eventsTable(s, dir),
+        "event_type", "user_id")
+        .orderBy(col("type_a"), col("type_b"))),
+
+    // vocabulary coverage curve at 50/90/99% token mass — distributed
+    // prefix sum over the frequency-ranked vocabulary (never a global
+    // single-partition running window)
+    "q172_vocab_coverage" -> ((s, dir) =>
+      Corpus.vocabCoverage(docs(s, dir), "text", Seq(50, 90, 99))
+        .orderBy(col("pct"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1578,6 +1623,83 @@ object PipelineQueries {
         |SELECT CAST(decile AS INTEGER) AS decile,
         |  COUNT(1) AS n_entities, CAST(SUM(n) AS BIGINT) AS n_events
         |FROM b GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q168_collocations" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' deep learning' ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS ts FROM d),
+        |uc AS (SELECT w, COUNT(1) AS n FROM
+        |  (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total FROM uc),
+        |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(1) AS n_pair
+        |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+        |      i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b FROM toks)
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(1) >=
+        |    (SELECT (COUNT(1) * 4) // 100 FROM documents))
+        |SELECT w1, w2, n_pair, u1.n AS n_w1, u2.n AS n_w2,
+        |  CAST(n_pair - 5 AS HUGEINT) * total * 2 >
+        |    3 * CAST(u1.n AS HUGEINT) * u2.n AS phrase
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+        |CROSS JOIN tot ORDER BY w1, w2""".stripMargin,
+
+    "q169_lexical_diversity" ->
+      """WITH w AS (SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |c AS (SELECT source, word, COUNT(1) AS n FROM w GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(1) AS n_types,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q170_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events),
+        |c AS (SELECT f AS from_state, event_type AS to_state,
+        |    COUNT(1) AS n
+        |  FROM s WHERE f IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, t.n_from
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    "q171_audience_overlap" ->
+      """WITH p AS (SELECT DISTINCT event_type AS t, user_id AS e
+        |  FROM events),
+        |s AS (SELECT t, COUNT(1) AS n FROM p GROUP BY 1),
+        |b AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(1) AS n_both
+        |  FROM p a JOIN p b ON a.e = b.e AND a.t < b.t GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b
+        |FROM b JOIN s sa ON b.type_a = sa.t JOIN s sb ON b.type_b = sb.t
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q172_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |c AS (SELECT word, COUNT(1) AS n FROM w GROUP BY 1),
+        |r AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word ASC)
+        |    AS rank,
+        |    SUM(n) OVER (ORDER BY n DESC, word ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |th AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT th.pct, CAST(MIN(r.rank) AS BIGINT) AS vocab_size,
+        |  CAST(MIN(r.cum) AS BIGINT) AS covered_tokens,
+        |  tot.total AS total_tokens
+        |FROM r CROSS JOIN tot JOIN th
+        |  ON CAST(r.cum AS HUGEINT) * 100 >=
+        |     CAST(th.pct AS HUGEINT) * tot.total
+        |GROUP BY th.pct, tot.total ORDER BY pct""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

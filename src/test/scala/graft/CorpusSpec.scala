@@ -583,6 +583,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.kAnonymize(df, Seq("lang", "src"), k = 10).count() == 0)
   }
 
+  test("collocations: hand-computed phrase flags, integer cross-multiplied score") {
+    // corpus: "new york new york" + "in new york"
+    // unigrams: new=3 york=3 in=1, N=7; bigrams: (new,york)=3,
+    // (york,new)=1, (in,new)=1. With delta=1, threshold 1/1:
+    // phrase iff (c12-1)*7 > c1*c2 → only (new,york): 2*7=14 > 9
+    val df = Seq("new york new york", "in new york").toDF("text")
+    val got = Corpus.collocations(df, "text", minCount = 1, delta = 1,
+        thresholdNum = 1, thresholdDen = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pair"), r.getAs[Long]("n_w1"),
+         r.getAs[Long]("n_w2"), r.getAs[Boolean]("phrase"))).toMap
+    assert(got(("new", "york")) == ((3L, 3L, 3L, true)))
+    assert(got(("york", "new")) == ((1L, 3L, 3L, false)))
+    assert(got(("in", "new")) == ((1L, 1L, 3L, false)))
+    assert(got.size == 3)
+    // minCount prunes the accidental tail before any join
+    assert(Corpus.collocations(df, "text", minCount = 2, delta = 0,
+      thresholdNum = 1, thresholdDen = 1).count() == 1)
+  }
+
+  test("lexicalDiversity: tokens, types, hapax per key") {
+    val df = Seq(("a", "x x y"), ("b", "p q r"), ("a", "x z"))
+      .toDF("src", "text")
+    val got = Corpus.lexicalDiversity(df, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+         r.getAs[Long]("n_hapax"))).toMap
+    // a: tokens x,x,y,x,z → 5 tokens, 3 types, hapax {y,z}
+    assert(got("a") == ((5L, 3L, 2L)))
+    assert(got("b") == ((3L, 3L, 3L)))
+  }
+
+  test("vocabCoverage: smallest covering vocab per threshold, distributed prefix sum") {
+    try {
+      // a×5 b×3 c×1 d×1, total 10
+      val df = Seq("a a a a a", "b b b c", "d").toDF("text")
+      val got = Corpus.vocabCoverage(df, "text", Seq(50, 80, 95))
+        .collect().map(r => r.getAs[Int]("pct") ->
+          (r.getAs[Long]("vocab_size"), r.getAs[Long]("covered_tokens"),
+           r.getAs[Long]("total_tokens"))).toMap
+      assert(got(50) == ((1L, 5L, 10L)))   // a alone hits exactly 50%
+      assert(got(80) == ((2L, 8L, 10L)))   // a+b hit exactly 80%
+      assert(got(95) == ((4L, 10L, 10L)))  // needs the full vocab
+      // scale assert: every window in the plan is PARTITIONED — the
+      // global-order running-sum single-partition shape is banned
+      val windows = Corpus.vocabCoverage(df, "text", Seq(90))
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+            w.partitionSpec
+        }
+      assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+        s"unpartitioned window in vocabCoverage plan: $windows")
+    } finally graft.ops.Caches.releaseAll()
+  }
+
   test("kAnonymize: NULL quasi values group together and survive at k") {
     // groupBy treats NULL as a value, so the join-back must be
     // null-safe: the (null, web) pair reaches k=2 and must be KEPT
