@@ -413,6 +413,28 @@ object ScaleStress {
         val out = Corpus.bpePairCounts(docs, "text", topK = 50)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q168 shape: collocations — in-row bigram zip (no self-join),
+      // vocabulary-sized unigram joins; output bounded by minCount
+      timed(scale, "collocations") {
+        val out = Corpus.collocations(docs, "text",
+          minCount = 20, delta = 5, thresholdNum = 3, thresholdDen = 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q169 shape: lexical diversity — text collapses map-side to the
+      // per-key vocabulary; second pass is vocabulary-sized
+      timed(scale, "lexical_diversity") {
+        val keyed = docs.withColumn("src",
+          pmod(col("doc_id"), lit(20L)).cast("string"))
+        val out = Corpus.lexicalDiversity(keyed, "src", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q172 shape: vocab coverage — distributed prefix sum; every
+      // window is partition-scoped, the offset collect is
+      // |partitions|-rows
+      timed(scale, "vocab_coverage") {
+        val out = Corpus.vocabCoverage(docs, "text", Seq(50, 90, 99))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q147 shape: script profile — pure per-row regexp counts, zero
       // shuffle beyond the harness count
       timed(scale, "script_profile") {
@@ -748,6 +770,13 @@ object ScaleStress {
         val out = graft.ops.EventAnalytics.rollingActiveUsers(
           ev.withColumn("ts", timestamp_micros(col("tus"))),
           "user_id", "ts", 7)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q171 shape: audience overlap — distinct presence collapses the
+      // log map-side; per-entity self-join fan-out bounded by |types|²
+      timed(scale, "audience_overlap") {
+        val out = graft.ops.EventAnalytics.audienceOverlap(
+          ev, "event_type", "user_id")
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

@@ -634,36 +634,6 @@ object EventAnalytics {
         col("n_events"))
   }
 
-  /** First-order TRANSITION MATRIX over each entity's event sequence:
-    * for every consecutive pair (ordered by `(tsCol, idCol)` — the id
-    * tiebreak makes simultaneous events deterministic), the count of
-    * `from_state → to_state` steps plus the from-state's total outgoing
-    * count, so `P(to|from) = n / n_from` is carried as an exact integer
-    * pair. The Markov-chain view of user behavior: navigation models,
-    * broken-funnel detection ("view→purchase transitions collapsed"),
-    * bot signatures (near-deterministic rows).
-    *
-    * Shape: one key-partitioned lag window (each entity sorts its own
-    * events — never a global sort), one partial-aggregable pair count
-    * collapsing to |states|² rows, and a states-sized self-aggregation
-    * for the denominators. */
-  def transitionMatrix(events: DataFrame, entityCol: String,
-      tsCol: String, idCol: String, stateCol: String): DataFrame = {
-    val w = Window.partitionBy(col(entityCol))
-      .orderBy(col(tsCol).asc, col(idCol).asc)
-    val steps = events
-      .withColumn("__from__",
-        lag(col(stateCol).cast("string"), 1).over(w))
-      .filter(col("__from__").isNotNull)
-      .groupBy(col("__from__").as("from_state"),
-        col(stateCol).cast("string").as("to_state"))
-      .agg(count(lit(1)).as("n"))
-    val outTotals = steps.groupBy(col("from_state"))
-      .agg(sum(col("n")).as("n_from"))
-    steps.join(broadcast(outTotals), Seq("from_state"))
-      .select(col("from_state"), col("to_state"), col("n"), col("n_from"))
-  }
-
   /** Exact pairwise AUDIENCE OVERLAP between event types (or campaigns,
     * features, cohorts): for every unordered type pair, the distinct
     * entities seen in both, plus each side's distinct audience — the

@@ -149,7 +149,11 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
           case Some(a) => a.authenticate(ex, q)
           case None    => identityOf(ex, q)
         }
-        if (ex.getRequestMethod == "GET") {
+        // a GET /report carries its spec in the BODY (reference allows
+        // both verbs), which the URL-keyed response cache cannot see —
+        // two different report bodies would collide on one cache entry
+        val bodyCarrying = parts.lastOption.contains("report")
+        if (ex.getRequestMethod == "GET" && !bodyCarrying) {
           val key = s"$path?${Option(ex.getRequestURI.getRawQuery).getOrElse("")}" +
             s"@${id.getOrElse("")}"
           val (resp, hit) = cached(key)(route(ex, parts, q, id))
@@ -322,7 +326,10 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         val details = b.cellDetails(cell(name, q), q.get("dimension"))
         Resp(200, details.map(cutDetailsJson).mkString("[", ",", "]"),
           "application/json")
-      case List("cube", name, "report") if ex.getRequestMethod == "POST" =>
+      // the reference accepts BOTH verbs (blueprint.py:508 methods=
+      // ["GET", "POST"]) — either way the report spec is the request body
+      case List("cube", name, "report")
+          if ex.getRequestMethod == "POST" || ex.getRequestMethod == "GET" =>
         report(name, new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8), q, id)
       case _ => Resp(404, """{"error": "not found"}""", "application/json")
     }

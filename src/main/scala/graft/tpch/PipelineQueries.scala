@@ -499,14 +499,6 @@ object PipelineQueries {
       Corpus.lexicalDiversity(docs(s, dir), "source", "text")
         .orderBy(col("source"))),
 
-    // first-order event-type transition matrix per user sequence, with
-    // exact P(to|from) = n/n_from integer pairs
-    "q170_transition_matrix" -> ((s, dir) =>
-      EventAnalytics.transitionMatrix(
-        graft.tpch.EventsModel.eventsTable(s, dir),
-        "user_id", "ts", "event_id", "event_type")
-        .orderBy(col("from_state"), col("to_state"))),
-
     // exact pairwise audience overlap between event types (distinct
     // users in both / each side) — the Jaccard numerators
     "q171_audience_overlap" -> ((s, dir) =>
@@ -1656,20 +1648,6 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_hapax
         |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
-
-    "q170_transition_matrix" ->
-      """WITH s AS (SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS f
-        |  FROM events),
-        |c AS (SELECT f AS from_state, event_type AS to_state,
-        |    COUNT(1) AS n
-        |  FROM s WHERE f IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
-        |  FROM c GROUP BY 1)
-        |SELECT c.from_state, c.to_state, c.n, t.n_from
-        |FROM c JOIN t USING (from_state)
-        |ORDER BY from_state, to_state""".stripMargin,
 
     "q171_audience_overlap" ->
       """WITH p AS (SELECT DISTINCT event_type AS t, user_id AS e

@@ -532,25 +532,6 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.count() == 1L) // gap == cooldown does not split
   }
 
-  test("transitionMatrix: hand-computed step counts with exact denominators") {
-    // u1: A B A B; u2: A A → steps A→B×2, B→A×1, A→A×1; n_from A=3 B=1
-    val ev = Seq(("u1", 1L, 1L, "A"), ("u1", 2L, 2L, "B"),
-      ("u1", 3L, 3L, "A"), ("u1", 4L, 4L, "B"),
-      ("u2", 1L, 5L, "A"), ("u2", 2L, 6L, "A"))
-      .toDF("u", "ts", "id", "s")
-    val got = EventAnalytics.transitionMatrix(ev, "u", "ts", "id", "s")
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getAs[Long]("n"), r.getAs[Long]("n_from"))).toMap
-    assert(got == Map(("A", "B") -> ((2L, 3L)), ("B", "A") -> ((1L, 1L)),
-      ("A", "A") -> ((1L, 3L))))
-    // simultaneous events: the id tiebreak decides the order
-    val tie = Seq(("u", 1L, 2L, "Y"), ("u", 1L, 1L, "X"))
-      .toDF("u", "ts", "id", "s")
-    val t = EventAnalytics.transitionMatrix(tie, "u", "ts", "id", "s")
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    assert(t.toSeq == Seq(("X", "Y")))
-  }
-
   test("audienceOverlap: exact distinct intersections, duplicates collapse") {
     // t1:{u1,u2}, t2:{u1,u3}, t3:{u9} — (t1,t2) overlap 1, t3 disjoint
     val ev = Seq(("t1", 1L), ("t1", 2L), ("t1", 1L), ("t2", 1L),

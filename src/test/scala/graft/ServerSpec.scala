@@ -236,6 +236,30 @@ class ServerSpec extends AnyFunSuite {
     assert(body.contains("\"byflag\"") && body.contains("\"regions\""))
   }
 
+  test("GET /report with a body behaves like POST and bypasses the response cache") {
+    // reference blueprint.py:508 accepts methods=["GET", "POST"]; the
+    // body-carried spec must not be served from the URL-keyed cache
+    val ws = new Workspace(spark)
+      .registerCube(TpchModel.cube)
+      .registerTableDir("/root/testdata/sf0.001")
+    val p = new SlicerServer(ws, cacheTtlSeconds = 60).start()
+    def getReport(body: String) = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/cube/sales/report"))
+        .method("GET", HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val r1 = getReport("""{"queries": {"byflag": {"query": "aggregate",
+      |"drilldown": "returnflag", "aggregates": "fact_count"}}}"""
+      .stripMargin)
+    assert(r1.statusCode() == 200 && r1.body().contains("\"byflag\""))
+    // a DIFFERENT body on the same URL must compute, not replay r1
+    val r2 = getReport("""{"queries": {"members": {"query": "members",
+      |"dimension": "customer", "depth": 1}}}""".stripMargin)
+    assert(r2.statusCode() == 200 && r2.body().contains("\"members\""))
+    assert(!r2.body().contains("\"byflag\""))
+    assert(!r2.headers().firstValue("X-Graft-Cache").isPresent)
+  }
+
   test("POST /report: body 'cell' cut-dicts override the URL cut (reference cut_from_dict)") {
     // URL says EUROPE; the body cell (reference dict vocabulary, numbers
     // allowed as path values) says ASIA — body must win
