@@ -221,6 +221,52 @@ object Profiling {
     top.unionByName(total)
   }
 
+  /** Exact PRECISION/RECALL CURVE for an integer-valued classifier
+    * score against a boolean label — the table a corpus-filter
+    * threshold is tuned from ("what do I keep and what do I lose at
+    * cutoff s"). One row per DISTINCT observed score s, with the exact
+    * confusion counts of the rule `keep iff score >= s`:
+    * (tp, fp, fn, tn) — precision/recall/F1 are the caller's divisions,
+    * so nothing float ever leaves the plan.
+    *
+    * Scores must be integral (milli-quantize upstream): quantization is
+    * what BOUNDS the curve table. Shape: one partial-aggregable
+    * (score → pos, neg) pass collapses the corpus; the descending
+    * cumulative runs over that BOUNDED table only (the
+    * [[graft.ops.EventAnalytics.concentrationProfile]] precedent — a
+    * global window is fine when its input is quantization-bounded, and
+    * wrong when it isn't). */
+  def prCurve(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val it = df.schema(scoreCol).dataType
+    val integral = it match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"prCurve requires an integral score (quantize upstream); " +
+        s"'$scoreCol' is $it")
+    val perScore = df.groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos__"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg__"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val totals = perScore.agg(sum(col("__pos__")).as("__P__"),
+      sum(col("__neg__")).as("__N__"))
+    perScore
+      .withColumn("tp", sum(col("__pos__")).over(wDesc))
+      .withColumn("fp", sum(col("__neg__")).over(wDesc))
+      .crossJoin(broadcast(totals))
+      .select(col("score"), col("tp"), col("fp"),
+        (col("__P__") - col("tp")).as("fn"),
+        (col("__N__") - col("fp")).as("tn"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int,
       pctNum: Int, pctDen: Int): DataFrame = {
     require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")

@@ -248,6 +248,82 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.funnel]]: per-entity
+    * ordered-step progression maintained as O(|steps|) state — the
+    * earliest timestamp each step was reached, a step only arming after
+    * its predecessor (strictly later, the batch op's `ts > t_i` rule).
+    * Each micro-batch emits every touched entity's refreshed
+    * `steps_completed` (update semantics). Stream ≡ batch under per-key
+    * in-order arrival: in-order, the first qualifying arrival IS the
+    * batch `min(ts)` for that step. Entities that never reach step 1
+    * hold no state and emit nothing, matching the batch op's inner
+    * first-step join. Within a micro-batch rows sort by ts locally
+    * (iterator order is not arrival order). */
+  def funnelStream(rows: Dataset[(String, Long, String)],
+      steps: Seq[String]): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val sentinel = Long.MinValue
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Seq[Long]]) =>
+          val times = state.getOption
+            .getOrElse(Seq.fill(steps.size)(sentinel)).toArray
+          var touched = false
+          it.toSeq.sortBy(_._2).foreach { case (_, ts, tpe) =>
+            val i = steps.indexOf(tpe)
+            if (i >= 0 && times(i) == sentinel &&
+              (i == 0 || (times(i - 1) != sentinel && ts > times(i - 1)))) {
+              times(i) = ts; touched = true
+            }
+          }
+          if (!touched && state.getOption.isEmpty) Iterator.empty
+          else {
+            state.update(times.toSeq)
+            if (times(0) == sentinel) Iterator.empty
+            else Iterator.single(
+              (key, times.count(_ != sentinel).toLong))
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.EventAnalytics.interArrivalProfile]]:
+    * per-key gap statistics (n, min, max, sum — the same mergeable
+    * integers) plus the bot verdict, maintained with O(1) state: the
+    * last-seen timestamp and the four accumulators. Every micro-batch
+    * emits each touched key's refreshed profile (update semantics;
+    * keys still on their first event emit nothing — no gap exists,
+    * matching the batch op's lag-null filter). Stream ≡ batch under
+    * per-key in-order arrival; equal timestamps produce 0 gaps in any
+    * order, so ties need no id tiebreak here. */
+  def interArrivalStream(rows: Dataset[(String, Long)],
+      minEvents: Long, maxMinGapUs: Long)
+      : Dataset[(String, Long, Long, Long, Long, Boolean)] = {
+    import rows.sparkSession.implicits._
+    require(minEvents >= 1 && maxMinGapUs >= 0, "bad interArrival params")
+    // state: (lastTs, nGaps, minGap, maxGap, sumGap)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long),
+        (String, Long, Long, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (last, n, mn, mx, sm) = state.getOption
+            .getOrElse((Long.MinValue, 0L, Long.MaxValue, Long.MinValue, 0L))
+          it.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            if (last != Long.MinValue) {
+              val g = ts - last
+              n += 1; mn = math.min(mn, g); mx = math.max(mx, g); sm += g
+            }
+            last = ts
+          }
+          state.update((last, n, mn, mx, sm))
+          if (n == 0) Iterator.empty
+          else Iterator.single((key, n, mn, mx, sm,
+            n >= minEvents && mn <= maxMinGapUs))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Incremental]]: the pre-aggregated
     * sink maintained CONTINUOUSLY from a signed CDC stream of
     * `(key, sign, value)` rows (+1 insert, -1 delete). Per-key state is

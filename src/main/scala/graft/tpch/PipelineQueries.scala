@@ -514,6 +514,17 @@ object PipelineQueries {
       Corpus.vocabCoverage(docs(s, dir), "text", Seq(50, 90, 99))
         .orderBy(col("pct"))),
 
+    // exact PR curve for a length-bucket "quality" score against an
+    // is-English label: per-threshold confusion counts, keep iff
+    // score >= s — the filter-tuning table
+    "q173_pr_curve" -> ((s, dir) =>
+      graft.ops.Profiling.prCurve(
+        docs(s, dir)
+          .withColumn("score", expr("n_chars div 100").cast("long"))
+          .withColumn("y", col("lang") === "en"),
+        "score", "y")
+        .orderBy(col("score"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1658,6 +1669,24 @@ object PipelineQueries {
         |SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b
         |FROM b JOIN s sa ON b.type_a = sa.t JOIN s sb ON b.type_b = sb.t
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q173_pr_curve" ->
+      """WITH d AS (SELECT n_chars // 100 AS score,
+        |    lang = 'en' AS y FROM documents),
+        |ps AS (SELECT score,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+        |    CAST(SUM(neg) AS BIGINT) AS n FROM ps),
+        |c AS (SELECT score,
+        |    CAST(SUM(pos) OVER (ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(SUM(neg) OVER (ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM ps)
+        |SELECT score, tp, fp, t.p - tp AS fn, t.n - fp AS tn
+        |FROM c CROSS JOIN t ORDER BY score""".stripMargin,
 
     "q172_vocab_coverage" ->
       """WITH w AS (SELECT unnest(list_filter(

@@ -212,6 +212,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some("z") -> 1, None -> 2))
   }
 
+  test("prCurve: exact confusion counts per distinct score, keep iff score >= s") {
+    import spark.implicits._
+    val df = Seq((3L, true), (3L, false), (2L, true), (1L, false),
+      (1L, false), (0L, true)).toDF("s", "y")
+    val got = graft.ops.Profiling.prCurve(df, "s", "y")
+      .collect().map(r => r.getAs[Long]("score") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+         r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+    assert(got == Map(
+      3L -> ((1L, 1L, 2L, 2L)),
+      2L -> ((2L, 1L, 1L, 2L)),
+      1L -> ((2L, 3L, 1L, 0L)),
+      0L -> ((3L, 3L, 0L, 0L))))
+    // non-integral scores are rejected (quantization bounds the curve)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.prCurve(
+        Seq((0.5, true)).toDF("s", "y"), "s", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("madOutliers: robust flags, half-integral medians exact, zero MAD") {
     import spark.implicits._
     // key a: 1..9 + 100 — median 5.5 (med2=11), dev2 of 100 = 189,

@@ -542,4 +542,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalState("c") == ("c", 0L, 0L))
     } finally q.stop()
   }
+
+  test("funnelStream final step counts equal the batch funnel per entity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    val ms = MemoryStream[(String, Long, String)]
+    val q = Streaming.funnelStream(ms.toDS(), steps)
+      .toDF("k", "steps_completed")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream").start()
+    // u completes across the batch boundary; v's click PRECEDES its
+    // view (must not count — ordered progression); w never views (no
+    // state, no rows); x re-views (first time wins)
+    val batch1 = Seq(("u", 1L, "view"), ("u", 2L, "click"),
+      ("v", 1L, "click"), ("w", 5L, "buy"), ("x", 3L, "view"))
+    val batch2 = Seq(("u", 9L, "buy"), ("v", 4L, "view"),
+      ("x", 1L, "click"), ("x", 7L, "click"))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // last update per key is the final state
+      val rows = spark.sql(
+        "SELECT k, steps_completed FROM funnel_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val finalState = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      val batch = graft.ops.EventAnalytics.funnel(
+        (batch1 ++ batch2).toDF("k", "ts", "tpe"),
+        "k", "ts", "tpe", steps)
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Int]("steps_completed").toLong)
+        .toMap
+      assert(batch == Map("u" -> 3L, "v" -> 1L, "x" -> 2L))
+      assert(finalState == batch)
+    } finally q.stop()
+  }
+
+  test("interArrivalStream final gap stats + bot flag equal the batch profile") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = Streaming.interArrivalStream(ms.toDS(),
+        minEvents = 3, maxMinGapUs = 2L)
+      .toDF("k", "n_gaps", "min_gap", "max_gap", "sum_gap", "bot")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gaps_stream").start()
+    // bot: 3+ gaps with a <=2us minimum — u qualifies only after its
+    // batch-2 burst; the cross-batch gap (10 -> 11) must be seen
+    val batch1 = Seq(("u", 0L), ("u", 5L), ("u", 10L), ("v", 7L))
+    val batch2 = Seq(("u", 11L), ("v", 100L))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM gaps_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      val finalState = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      val batch = graft.ops.EventAnalytics.interArrivalProfile(
+        (batch1 ++ batch2).zipWithIndex
+          .map { case ((k, ts), i) => (k, ts, i.toLong) }
+          .toDF("k", "ts", "id"), "k", "ts", "id", 3, 2L)
+        .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_gaps"),
+          r.getAs[Long]("min_gap"), r.getAs[Long]("max_gap"),
+          r.getAs[Long]("sum_gap"), r.getAs[Boolean]("bot"))).toMap
+      assert(batch == Map(
+        "u" -> ((3L, 1L, 5L, 11L, true)),
+        "v" -> ((1L, 93L, 93L, 93L, false))))
+      assert(finalState == batch)
+    } finally q.stop()
+  }
 }
