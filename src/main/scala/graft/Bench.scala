@@ -108,9 +108,11 @@ object Bench {
     val pinned = Seq("q68_pii_redact", "q62_content_flags",
       "q47_langid", "q76_langid_full").filter(names.contains)
     val minPinnedPasses = 5
-    for (n <- pinned if !failed(n)) {
-      var have = perPass.getOrElse(n, Nil).size
-      while (have < minPinnedPasses) {
+    for (n <- pinned) {
+      // re-check failure each round: a query that fails mid-pinning must
+      // stop (its artifact row is -1; more samples would be wasted work
+      // AND internally inconsistent with the failed marker)
+      while (!failed(n) && perPass.getOrElse(n, Nil).size < minPinnedPasses) {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
@@ -120,7 +122,6 @@ object Bench {
           failed += n
           System.err.println(s"[bench] $n FAILED (pinned): ${e.getMessage}")
         } finally graft.ops.Caches.releaseAll()
-        have += 1
       }
     }
     // retry-on-contamination: a transiently busy host should not leave the

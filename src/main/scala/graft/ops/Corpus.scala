@@ -647,7 +647,12 @@ object Corpus {
     }
     val cond = quasiCols.map(q => col(q) <=> col(s"__k_$q"))
       .reduce(_ && _)
-    df.join(cnt, cond).drop(quasiCols.map(q => s"__k_$q"): _*)
+    val rest = df.columns.filterNot(quasiCols.contains)
+    // column order preserved from the pre-null-safe equi-join shape
+    // (quasi columns first): callers and the q142 oracle select by name,
+    // but the stable order costs nothing
+    df.join(cnt, cond)
+      .select((quasiCols ++ rest :+ "group_n").map(col): _*)
   }
 
   /** Deterministic class rebalancing by EXACT integer oversampling:

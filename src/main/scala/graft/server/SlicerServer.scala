@@ -286,12 +286,20 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
         logged(action.head, name, q, id) {
           val fb = workspace.federatedBrowser(name)
           val path = action.mkString("/")
-          val (status, body) =
-            if (ex.getRequestMethod == "POST")
-              fb.store.rawPostCubeRequest(path, fb.cubeName,
-                new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
-                q.toSeq)
-            else fb.store.rawCubeRequest(path, fb.cubeName, q.toSeq)
+          // report carries its spec in the BODY for both verbs — a GET
+          // relay without the body would hand the remote an empty spec;
+          // relaying body-carrying requests as POST preserves it (the
+          // remote accepts either verb)
+          val relayBody =
+            if (ex.getRequestMethod == "POST" || action.lastOption.contains("report"))
+              Some(new String(ex.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8))
+            else None
+          val (status, body) = relayBody match {
+            case Some(rb) =>
+              fb.store.rawPostCubeRequest(path, fb.cubeName, rb, q.toSeq)
+            case None => fb.store.rawCubeRequest(path, fb.cubeName, q.toSeq)
+          }
           val ct = if (q.get("format").contains("csv")) "text/csv"
             else "application/json"
           Resp(status, body, ct)
@@ -472,7 +480,15 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
     private def report(name: String, body: String, q: Map[String, String],
         id: Option[String]): Resp = {
       val b = workspace.browserFor(id, name)
-      val root = JsonMethods.parse(body)
+      // a missing or malformed body is the CLIENT's error: a plain
+      // browser GET of /report (now a served verb) must answer 400, not
+      // let the parser's exception surface as a 500
+      val root =
+        try JsonMethods.parse(body)
+        catch { case e: Throwable =>
+          throw new IllegalArgumentException(
+            s"report request body must be a JSON object: ${e.getMessage}")
+        }
       val items = (root \ "queries") match {
         case JObject(fields) => fields.map { case (qname, v) =>
           def s(k: String) = (v \ k) match { case JString(x) => Some(x); case _ => None }
@@ -792,9 +808,24 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
       ex.getResponseHeaders.set("Content-Type", s"${r.ctype}; charset=utf-8")
       ex.sendResponseHeaders(r.code, 0)
       val out = ex.getResponseBody
-      lines.foreach { line =>
-        out.write(line.getBytes(StandardCharsets.UTF_8))
-        out.write('\n')
+      try {
+        lines.foreach { line =>
+          out.write(line.getBytes(StandardCharsets.UTF_8))
+          out.write('\n')
+        }
+      } catch { case e: Throwable =>
+        // the 200 header is already committed, so a Spark failure
+        // mid-iterator cannot become an error status — without this the
+        // chunked body would just END, indistinguishable from a complete
+        // result. Emit a parse-distinguishable error line (clients read
+        // one JSON object per line; a trailing {"error": ...} is the
+        // line-protocol's error signal) instead of re-raising into the
+        // handler's catch, whose second respond() would throw on the
+        // committed exchange and mask the cause.
+        System.err.println(s"[slicer] json_lines stream failed: $e")
+        try out.write((s"""{"error": ${jstr(String.valueOf(e))}}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
       }
       out.flush()
     case None =>

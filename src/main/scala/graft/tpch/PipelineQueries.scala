@@ -21,6 +21,12 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Gate export of an array column as a space-joined string — the
+    * Verify contract bans container-typed exports (the driver's checker
+    * cannot hash them); oracles mirror with `array_to_string(col, ' ')`. */
+  private def stringifyArray(name: String) =
+    array_join(transform(col(name), x => x.cast("string")), " ")
+
   // DuckDB-side building blocks ------------------------------------------
 
   /** DuckDB replay of TextAnalysis.polyHash over a string expression. */
@@ -488,7 +494,11 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" deep learning")))
           .otherwise(col("text")))
-      Corpus.collocations(d, "text", minCount = d0.count() * 4 / 100,
+      // clamped to >= 1: below 25 docs the 4% cutoff floors to zero,
+      // which the operator rejects while the oracle's HAVING >= 0
+      // keeps everything
+      Corpus.collocations(d, "text",
+          minCount = math.max(1L, d0.count() * 4 / 100),
           delta = 5, thresholdNum = 3, thresholdDen = 2)
         .orderBy(col("w1"), col("w2"))
     }),
@@ -965,11 +975,9 @@ object PipelineQueries {
     // exact BIGINT arithmetic on the quantized grid
     "q94_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(emb(s, dir), "vec_id", "embedding", 16)
-        // gate export: the driver's checker cannot hash array cells, so
-        // the projected vector leaves as a space-joined string (oracle
-        // mirrors with array_to_string); the operator API stays typed
-        .withColumn("proj",
-          array_join(transform(col("proj"), x => x.cast("string")), " "))
+        // gate export: the projected vector leaves as a space-joined
+        // string (see stringifyArray); the operator API stays typed
+        .withColumn("proj", stringifyArray("proj"))
         .orderBy(col("vec_id"))),
 
     // chunk-level duplication profile: how much of each doc is made of
@@ -1010,10 +1018,8 @@ object PipelineQueries {
       val d = docs(s, dir)
       Corpus.invertedIndex(d, "doc_id", "text",
           maxDf = d.count() * 78L / 100L)
-        // gate export: posting list as a space-joined string (q94 note)
-        .withColumn("postings",
-          array_join(transform(col("postings"), x => x.cast("string")),
-            " "))
+        // gate export: posting list as a space-joined string
+        .withColumn("postings", stringifyArray("postings"))
         .orderBy(col("word"))
     }),
 
@@ -1170,9 +1176,7 @@ object PipelineQueries {
     "q116_tokenize" -> ((s, dir) =>
       Corpus.tokenizeToIds(docs(s, dir), "doc_id", "text", vocabSize = 50)
         // gate export: token-id sequence as a space-joined string
-        .withColumn("token_ids",
-          array_join(transform(col("token_ids"), x => x.cast("string")),
-            " "))
+        .withColumn("token_ids", stringifyArray("token_ids"))
         .orderBy(col("doc_id"))),
 
     // URL extraction → canonicalization → per-host stats: two injected

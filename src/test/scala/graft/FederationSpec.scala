@@ -146,6 +146,19 @@ class FederationSpec extends AnyFunSuite {
     val bad = get(chainPort, "/cube/mini/members/nope")
     assert(bad.statusCode() == get(port, "/cube/mini/members/nope").statusCode())
     assert(bad.statusCode() == 400)
+    // a report against the federated cube relays its BODY for both
+    // verbs (GET would otherwise hand the remote an empty spec)
+    val spec = """{"queries": {"agg": {"query": "aggregate",
+      |"drilldown": "returnflag", "aggregates": "quantity_sum"}}}"""
+      .stripMargin
+    for (verb <- Seq("POST", "GET")) {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$chainPort/cube/mini/report"))
+        .method(verb, HttpRequest.BodyPublishers.ofString(spec)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"$verb: ${r.body()}")
+      assert(r.body().contains("\"agg\""), verb)
+    }
   }
 
   test("pass_parameter authentication relays the identity to the remote") {

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** The Verify gate's export contract: no gate query may emit
   * container-typed (array/map/struct) columns — the external checker
   * hashes cell values and cannot hash containers (round-9 q94/q98/q116
-  * failed exactly this way). Schema-only checks: plans are built, never
-  * executed, so the whole catalog stays cheap to sweep. */
+  * failed exactly this way). The sweep reads schemas, not results —
+  * though a handful of queries run small construction-time actions
+  * (relative cutoffs from count(), literal vocab/centroid collection),
+  * so it is cheap, not free. */
 class GateContractSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -31,11 +33,13 @@ class GateContractSpec extends AnyFunSuite {
 
   test("no gate query exports container-typed columns (schema sweep)") {
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val bad = Verify.containerColumns(fn(spark, dir).schema)
-        if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString(",")}")
-    }
-    assert(offenders.isEmpty, offenders.mkString("; "))
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val bad = Verify.containerColumns(fn(spark, dir).schema)
+          if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString(",")}")
+      }
+      assert(offenders.isEmpty, offenders.mkString("; "))
+    } finally graft.ops.Caches.releaseAll() // construction-time persists
   }
 }

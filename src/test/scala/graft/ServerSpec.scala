@@ -260,6 +260,18 @@ class ServerSpec extends AnyFunSuite {
     assert(!r2.headers().firstValue("X-Graft-Cache").isPresent)
   }
 
+  test("/report without a body answers 400, not 500") {
+    // a plain browser GET of the advertised route carries no body — the
+    // parse failure is the CLIENT's error
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/cube/sales/report"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("JSON"))
+    val (cp, bp) = post("/cube/sales/report", "not json either")
+    assert(cp == 400, bp)
+  }
+
   test("POST /report: body 'cell' cut-dicts override the URL cut (reference cut_from_dict)") {
     // URL says EUROPE; the body cell (reference dict vocabulary, numbers
     // allowed as path values) says ASIA — body must win
