@@ -304,6 +304,58 @@ object HashImpls {
     common.toDouble / (la.length + lb.length - common)
   }
 
+  /** Jaro-Winkler similarity, matching the semantics DuckDB's
+    * `jaro_winkler_similarity` exposes (the published Winkler variant):
+    * match window `max(|a|,|b|)/2 - 1`, transpositions = half the
+    * out-of-order matches, empty input → 0 (NOT 1, even for two empty
+    * strings), and the prefix boost (p = 0.1, prefix ≤ 4) applied only
+    * when the base Jaro score exceeds 0.7. Association order of the
+    * three-term Jaro mean is the textbook left-to-right one; gate
+    * queries round to 6 digits like every float export. */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var halfT = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = halfT / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
   /** 32-bit SimHash over token hashes (bit j set iff Σ±1 over bit j > 0). */
   def simhash32(s: String): Long = {
     val th = tokenHashes(s)
@@ -513,6 +565,24 @@ case class CharNgramJaccardExpr(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** jaro_winkler(a, b): edit-distance-free name similarity in one
+  * JIT-compiled call — the record-linkage verify step after a cheap
+  * blocking join. Mirrors DuckDB's `jaro_winkler_similarity` exactly
+  * (see [[HashImpls.jaroWinkler]] for the pinned semantics), so the
+  * oracle replays it with the builtin. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashImpls.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaroWinklerExpr =
+    copy(left = l, right = r)
+}
+
 /** quantize_stats(vec): one-pass int8-quantization statistics as a struct
   * (scale, q_sum, q_min, q_max, q_nonzero, max_abs_err) — the codegen'd
   * twin of the lambda formulation (which stays the cross-validated
@@ -563,6 +633,8 @@ object NativeHashes {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def char_ngram_jaccard(a: Column, b: Column, n: Int): Column =
     toCol(CharNgramJaccardExpr(toExpr(a), toExpr(b), n))
+  def jaro_winkler(a: Column, b: Column): Column =
+    toCol(JaroWinklerExpr(toExpr(a), toExpr(b)))
   def poly_hash(c: Column): Column = toCol(PolyHashExpr(toExpr(c)))
   def minhash_sig(c: Column, numPerms: Int, k: Int): Column =
     toCol(MinHashSigExpr(toExpr(c), numPerms, k))

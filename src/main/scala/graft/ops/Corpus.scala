@@ -857,4 +857,48 @@ object Corpus {
         min_by(col("__cum__"), col("__rank__")).as("covered_tokens"))
       .withColumn("total_tokens", lit(totalTokens))
   }
+
+  /** Dictionary (gazetteer) phrase matching: occurrence counts of each
+    * phrase — a consecutive, lowercased token sequence — per document.
+    * The entity-tagging / blocklist-hit primitive.
+    *
+    * Scale shape: the corpus side explodes once per DISTINCT phrase
+    * token-length (a doc of n tokens emits ~n L-gram strings per length
+    * L present in the dictionary — lengths, not phrases, drive the
+    * fan-out), and the dictionary broadcasts into an equi-join that
+    * prunes non-hits at the first shuffle boundary, so corpus volume
+    * rides exactly one explode per length and non-matching grams never
+    * leave the map side. A single-pass Aho-Corasick `mapPartitions`
+    * would scan text once instead of once per length; the explode form
+    * keeps the whole pipeline in codegen'd builtins and its output is
+    * the same — swap only if profile says the lengths dominate.
+    * Returns (id, phrase, n) for phrases with ≥ 1 hit. */
+  def gazetteerMatch(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty gazetteer")
+    val norm = phrases.map(p => p.toLowerCase.split("\\s+").toSeq)
+    require(norm.forall(_.nonEmpty), "blank phrase in gazetteer")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = broadcast(
+      norm.map(ws => (ws.mkString(" "), ws.length)).distinct
+        .toDF("phrase", "__len__"))
+    val toks = df.select(col(idCol).as("__id__"),
+      split(lower(col(textCol)), "\\s+").as("__toks__"))
+    // sequence(1, n) steps DOWNWARD when n < 1 — docs shorter than the
+    // phrase can't match, filter them before the gram transform
+    val byLen = norm.map(_.length).distinct.sorted.map { l =>
+      toks.filter(size(col("__toks__")) >= l)
+        .select(col("__id__"), explode(transform(
+          sequence(lit(1), size(col("__toks__")) - (l - 1)),
+          i => array_join(slice(col("__toks__"), i, lit(l)), " ")))
+        .as("__gram__"))
+        .withColumn("__len__", lit(l))
+    }.reduce(_.unionAll(_))
+    byLen.join(dict, byLen("__gram__") === dict("phrase") &&
+        byLen("__len__") === dict("__len__"))
+      .groupBy(col("__id__").as(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(idCol), col("phrase"), col("n"))
+  }
 }

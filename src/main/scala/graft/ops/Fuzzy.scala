@@ -95,4 +95,93 @@ object Fuzzy {
           .as("contained"))
       .filter(col("contained"))
   }
+
+  /** Jaro-Winkler record-linkage pairs: all `(key_a < key_b)` pairs with
+    * similarity ≥ `minSim`, candidates blocked on the lowercased
+    * `blockLen`-char prefix. The blocking is the standard record-linkage
+    * trade: Winkler's prefix boost already privileges strings agreeing on
+    * their first characters, so a prefix block keeps exactly the
+    * neighborhood the score rewards; pairs that disagree within the first
+    * `blockLen` characters are never proposed (documented incompleteness,
+    * like every blocking scheme). Scale shape: one equi-join on the block
+    * key — per-block fan-out is `O(block²)` of ALREADY prefix-identical
+    * keys, and the codegen'd [[graft.functions.JaroWinklerExpr]] verify
+    * runs inside the join's whole-stage pipeline, so nothing quadratic in
+    * the corpus forms. Returns (key_a, key_b, jw). */
+  def jaroWinklerPairs(df: DataFrame, keyCol: String, blockLen: Int,
+      minSim: Double): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    val keys = df.select(col(keyCol).as("__key__")).distinct()
+      .withColumn("__block__", lower(substring(col("__key__"), 1, blockLen)))
+    keys.select(col("__block__"), col("__key__").as("key_a"))
+      .join(keys.select(col("__block__"), col("__key__").as("key_b")),
+        Seq("__block__"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("jw", graft.functions.NativeHashes.jaro_winkler(
+        col("key_a"), col("key_b")))
+      .filter(col("jw") >= minSim)
+      .select(col("key_a"), col("key_b"), col("jw"))
+  }
+
+  /** Exact set-similarity self-join with PREFIX FILTERING (the Bayardo
+    * All-Pairs / PPJoin candidate rule): all `(id_a < id_b)` pairs whose
+    * distinct word-`k`-shingle sets have Jaccard ≥ `thNum/thDen` —
+    * COMPLETE, unlike MinHash LSH (no banding misses), yet never
+    * quadratic. Each set is sorted by global rarity (document frequency
+    * asc, hash asc — a total order, so no global rank assignment is
+    * needed) and only its PREFIX of length `n - ceil(t·n) + 1` enters the
+    * self-join: if `J(x,y) ≥ t` then `|x∩y| ≥ ceil(t·|x|)` (because
+    * `J ≤ i/max(|x|,|y|)`), so the first common element in the total
+    * order sits inside BOTH prefixes — the equi-join on prefix elements
+    * proposes every qualifying pair. Rarity ordering makes prefixes meet
+    * on the corpus's RAREST shingles, collapsing the hot-key fan-out a
+    * frequency-blind order would hit.
+    *
+    * Verify is exact-integer: candidate pairs fetch both docs' sorted
+    * hash arrays (bounded by doc length, joined by id — only candidates
+    * pay) and keep iff `inter·thDen ≥ thNum·(n_a + n_b - inter)`.
+    * Returns (id_a, id_b, inter, n_a, n_b). */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, thNum: Int, thDen: Int): DataFrame = {
+    require(thNum >= 1 && thDen >= thNum,
+      s"threshold must be in (0, 1]: $thNum/$thDen")
+    import org.apache.spark.sql.expressions.Window
+    val sh = Caches.registerDf(df.select(col(idCol).as("__id__"),
+        explode(array_distinct(graft.functions.NativeHashes.shingle_hashes(
+          col(textCol), shingleK))).as("__h__")).persist())
+    val freq = sh.groupBy(col("__h__")).agg(count(lit(1)).as("__df__"))
+    val sizes = sh.groupBy(col("__id__")).agg(count(lit(1)).as("__n__"))
+    // per-doc rarity position; window hash-partitioned by doc id (the
+    // sequencePack discipline — never a global single-partition window)
+    val positioned = sh.join(freq, Seq("__h__"))
+      .withColumn("__pos__", row_number().over(
+        Window.partitionBy(col("__id__"))
+          .orderBy(col("__df__").asc, col("__h__").asc)))
+      .join(sizes, Seq("__id__"))
+    // prefix length n - ceil(t*n) + 1, ceil via exact integer div (the
+    // `/` Column operator is double division — never for index math)
+    val prefix = positioned.filter(col("__pos__") <=
+      col("__n__") - expr(s"(__n__ * $thNum + ${thDen - 1}) div $thDen") + 1)
+      .select(col("__h__"), col("__id__"))
+    val cands = prefix.select(col("__h__"), col("__id__").as("id_a"))
+      .join(prefix.select(col("__h__"), col("__id__").as("id_b")),
+        Seq("__h__"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = sh.groupBy(col("__id__"))
+      .agg(sort_array(collect_list(col("__h__"))).as("__set__"))
+    val out = cands
+      .join(sets.select(col("__id__").as("id_a"), col("__set__").as("__sa__")),
+        Seq("id_a"))
+      .join(sets.select(col("__id__").as("id_b"), col("__set__").as("__sb__")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__sa__"), col("__sb__")))
+        .cast("long"))
+      .withColumn("n_a", size(col("__sa__")).cast("long"))
+      .withColumn("n_b", size(col("__sb__")).cast("long"))
+      .filter(col("inter") * thDen >= (col("n_a") + col("n_b") - col("inter"))
+        * thNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+    out
+  }
 }

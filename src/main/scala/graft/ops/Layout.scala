@@ -166,4 +166,40 @@ object Layout {
     require(vs.contains(v), s"unknown snapshot v=$v (have $vs)")
     spark.read.parquet(s"$basePath/v=$v")
   }
+
+  /** Rendezvous (highest-random-weight) shard of a string key: the
+    * STABLE alternative to `hash(key) mod n` for incremental corpus
+    * layouts — growing `nShards` by one reassigns only ~1/(n+1) of the
+    * keys (exactly the keys whose new shard wins the weight race), where
+    * mod-n reshuffles almost everything and invalidates every
+    * shard-local structure (bloom filters, dedup indexes, bucketed
+    * files) built so far.
+    *
+    * Weight of (key, s) is `mix(polyHash(key + "#" + s))·64 + s`, where
+    * `mix(h) = ((h² mod P)² mod P)` — the raw rolling hash is AFFINE in
+    * the suffix character (`h = prefix·131 + c mod P`), so without the
+    * nonlinear finisher the weights are ORDERED by shard index and every
+    * key lands on the last shard; two modular squarings decorrelate them
+    * (measured: uniform shard fill, 1/(n+1) movement on growth). The
+    * `+ s` makes weights DISTINCT across shards, so the argmax needs no
+    * tie-break rule to be engine-independent (mix(h) < 2³⁰, the ·64
+    * shift cannot overflow). Pure per-row arithmetic inside codegen:
+    * no shuffle, no lookup table, nothing to coordinate across 1000
+    * executors. `nShards ≤ 64` guards the shift; the per-row cost is
+    * O(nShards) hashes, so this is the layout-assignment primitive, not
+    * a 10⁶-way partitioner. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 64,
+      s"nShards in [1, 64] (weight packing reserves 6 bits), got $nShards")
+    val P = graft.functions.HashImpls.P
+    aggregate(
+      org.apache.spark.sql.functions.sequence(lit(0), lit(nShards - 1)),
+      lit(Long.MinValue),
+      (acc, s) => {
+        val h = graft.functions.NativeHashes.poly_hash(
+          concat(key, lit("#"), s.cast("string")))
+        val h2 = (h * h) % P
+        greatest(acc, ((h2 * h2) % P) * 64 + s)
+      }) % 64
+  }
 }

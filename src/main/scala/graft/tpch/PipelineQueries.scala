@@ -535,6 +535,63 @@ object PipelineQueries {
         "score", "y")
         .orderBy(col("score"))),
 
+    // Jaro-Winkler record linkage: distinct part names + their
+    // third-char-deleted misspellings, blocked on the 2-char prefix
+    // (the Winkler-privileged key), codegen'd verify >= 0.87
+    "q174_jaro_winkler" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name")).distinct()
+      val variants = names.select(
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("p_name"))
+      graft.ops.Fuzzy.jaroWinklerPairs(names.union(variants).distinct(),
+          "p_name", blockLen = 2, minSim = 0.87)
+        .withColumn("jw", round(col("jw"), 6))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
+    // prefix-filtered EXACT set-similarity self-join (All-Pairs/PPJoin
+    // candidate rule): every doc pair with 3-shingle Jaccard >= 1/2,
+    // no LSH banding misses — the oracle replays ALL pairs and must
+    // agree exactly. Every 25th doc gets a drop-last-word twin
+    // (Jaccard ~ (n-2)/n, comfortably above 1/2) so the join BINDS;
+    // organic cross-doc pairs stay below threshold.
+    "q175_ppjoin" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val twins = d.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id") + 500000L,
+          array_join(slice(split(col("text"), "\\s+"), lit(1),
+            size(split(col("text"), "\\s+")) - 1), " "))
+      graft.ops.Fuzzy.prefixFilterJaccardPairs(d.union(twins),
+          "doc_id", "text", shingleK = 3, thNum = 1, thDen = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // gazetteer phrase matching: per-doc occurrence counts of a
+    // mixed-length dictionary (1/2/3-token phrases from the corpus
+    // vocabulary) — broadcast dictionary equi-join, one explode per
+    // distinct phrase length
+    "q176_gazetteer" -> ((s, dir) =>
+      Corpus.gazetteerMatch(docs(s, dir), "doc_id", "text",
+          Seq("spark", "hash join", "key agg row"))
+        .orderBy(col("doc_id"), col("phrase"))),
+
+    // rendezvous (highest-random-weight) sharding: per-shard doc counts
+    // at n=8 plus how many of each shard's docs MOVE at n=9 — the
+    // stability contract (~1/9 move, vs ~8/9 under mod-n)
+    "q177_rendezvous" -> ((s, dir) => {
+      val k = col("doc_id").cast("string")
+      docs(s, dir).select(
+          graft.ops.Layout.rendezvousShard(k, 8).as("shard8"),
+          graft.ops.Layout.rendezvousShard(k, 9).as("shard9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy(col("shard8"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1711,6 +1768,70 @@ object PipelineQueries {
         |  ON CAST(r.cum AS HUGEINT) * 100 >=
         |     CAST(th.pct AS HUGEINT) * tot.total
         |GROUP BY th.pct, tot.total ORDER BY pct""".stripMargin,
+
+    "q174_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |u AS (SELECT p_name FROM n
+        |  UNION SELECT substr(p_name, 1, 2) || substr(p_name, 4) FROM n)
+        |SELECT a.p_name AS key_a, b.p_name AS key_b,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM u a JOIN u b
+        |  ON a.p_name < b.p_name
+        | AND lower(substr(a.p_name, 1, 2)) = lower(substr(b.p_name, 1, 2))
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.87
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "q175_ppjoin" -> {
+      val sh = dshingleHashesK("text", 3)
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |tw AS (SELECT doc_id + 500000 AS doc_id,
+         |    array_to_string(list_slice(regexp_split_to_array(text, '\\s+'),
+         |      1, len(regexp_split_to_array(text, '\\s+')) - 1), ' ') AS text
+         |  FROM d0 WHERE doc_id % 25 = 0),
+         |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM tw),
+         |s AS (SELECT doc_id, list_distinct($sh) AS sh FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) AS BIGINT) AS n_a,
+         |    CAST(len(b.sh) AS BIGINT) AS n_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, inter, n_a, n_b FROM p
+         |WHERE inter * 2 >= (n_a + n_b - inter)
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q176_gazetteer" ->
+      """WITH p AS (SELECT * FROM (VALUES ('spark', 1), ('hash join', 2),
+        |    ('key agg row', 3)) AS t(phrase, plen)),
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, p.phrase,
+        |    len(list_filter(range(1, len(ts) - p.plen + 2),
+        |      i -> array_to_string(list_slice(ts, i, i + p.plen - 1), ' ')
+        |           = p.phrase)) AS n
+        |  FROM toks CROSS JOIN p WHERE len(ts) >= p.plen)
+        |SELECT doc_id, phrase, CAST(n AS BIGINT) AS n FROM g
+        |WHERE n > 0 ORDER BY doc_id, phrase""".stripMargin,
+
+    "q177_rendezvous" -> {
+      // mix(h) = (h^2 % P)^2 % P replayed by textual duplication of the
+      // rolling-hash expression (no variable binding in DuckDB lambdas)
+      def shard(n: Int) = {
+        val h = dpolyhash(
+          "CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)")
+        val h2 = s"(($h) * ($h) % 1000000007)"
+        s"list_max(list_transform(range(0, $n), " +
+          s"s -> ($h2 * $h2 % 1000000007) * 64 + s)) % 64"
+      }
+      s"""WITH a AS (SELECT ${shard(8)} AS shard8, ${shard(9)} AS shard9
+         |  FROM documents)
+         |SELECT shard8, COUNT(1) AS n_docs,
+         |  CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved
+         |FROM a GROUP BY 1 ORDER BY shard8""".stripMargin
+    },
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

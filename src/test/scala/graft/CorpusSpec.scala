@@ -638,6 +638,24 @@ class CorpusSpec extends AnyFunSuite {
     } finally graft.ops.Caches.releaseAll()
   }
 
+  test("gazetteerMatch: overlapping counts, case fold, sub-length docs") {
+    val df = Seq(
+      (1L, "aa aa aa bb cc"), // "aa aa" twice (overlapping), "bb" once
+      (2L, "AA bb"),          // case-folded single-token hit
+      (3L, "zz"))             // shorter than every multi-token phrase
+      .toDF("id", "text")
+    val got = Corpus.gazetteerMatch(df, "id", "text",
+        Seq("aa aa", "bb", "aa aa bb"))
+      .collect()
+      .map(r => ((r.getAs[Long]("id"), r.getAs[String]("phrase")),
+        r.getAs[Long]("n"))).toMap
+    assert(got == Map(
+      (1L, "aa aa") -> 2L,    // sliding positions 1 and 2
+      (1L, "bb") -> 1L,
+      (1L, "aa aa bb") -> 1L,
+      (2L, "bb") -> 1L), s"got $got")
+  }
+
   test("kAnonymize: NULL quasi values group together and survive at k") {
     // groupBy treats NULL as a value, so the join-back must be
     // null-safe: the (null, web) pair reaches k=2 and must be KEPT

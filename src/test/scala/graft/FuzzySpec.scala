@@ -76,6 +76,75 @@ class FuzzySpec extends AnyFunSuite {
     assert(inter == 4L && nb == 4L && na == 18L)
   }
 
+  test("jaroWinkler matches DuckDB's jaro_winkler_similarity on pinned cases") {
+    // values produced by `SELECT jaro_winkler_similarity(a, b)` in DuckDB
+    // (the oracle engine) — empty-string zero, the 0.7 boost threshold,
+    // and transposition halving all pinned
+    val cases = Seq(
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcdxxxx", "abcdyyyyzzzz", 0.611111111111111), // jaro <= 0.7: NO boost
+      ("ab", "ba", 0.0),       // window 0: no matches
+      ("a", "", 0.0),          // empty side
+      ("", "", 0.0),           // both empty — 0, not 1
+      ("abc", "abc", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334), // boost eligible, prefix 0
+      ("aaaaaaaaab", "aaaaaaaaba", 0.98))
+    for ((a, b, want) <- cases) {
+      val got = graft.functions.HashImpls.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b): got $got want $want")
+    }
+    // codegen'd expression path agrees with the JVM impl
+    val viaExpr = Seq(("DIXON", "DICKSONX")).toDF("a", "b")
+      .select(graft.functions.NativeHashes.jaro_winkler(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(math.abs(viaExpr - 0.8133333333333332) < 1e-12)
+  }
+
+  test("jaroWinklerPairs: blocked pairs above threshold, prefix block binds") {
+    val df = Seq("jonathan", "jonathon", "jhonathan", "zonathan", "kim")
+      .toDF("name")
+    val got = Fuzzy.jaroWinklerPairs(df, "name", blockLen = 2, minSim = 0.9)
+      .collect()
+      .map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")))
+      .toSet
+    // jonathan~jonathon share the "jo" block and score > 0.9;
+    // jhonathan and zonathan are near but BLOCKED OUT (prefix differs) —
+    // the documented blocking incompleteness
+    assert(got == Set(("jonathan", "jonathon")), s"got $got")
+  }
+
+  test("prefixFilterJaccardPairs == brute-force all-pairs Jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta thetaX"), // near-dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),        // exact dup of 3
+      (5L, "alpha beta unrelated words entirely different here now"),
+      (6L, "tiny"))                                           // < k tokens
+    val df = docs.toDF("id", "text")
+    val got = Fuzzy.prefixFilterJaccardPairs(df, "id", "text",
+        shingleK = 3, thNum = 1, thDen = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    // ground truth: full cartesian over distinct shingle-hash sets
+    val sets = docs.map { case (i, t) =>
+      i -> graft.functions.HashImpls.shingleHashes(t, 3).toSet }.toMap
+    val want = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+      if ia < ib
+      inter = (sa & sb).size
+      if inter * 2 >= (sa.size + sb.size - inter)
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((3L, 4L)), "exact dup must pair")
+    assert(want.contains((1L, 2L)), "near dup must pair")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("containmentPairs df cutoff drops boilerplate shingles pre-join") {
     // the same 3 words open EVERY doc: with maxDf=2 those shingles are
     // dropped, so docs sharing ONLY the boilerplate never pair

@@ -167,4 +167,27 @@ class LayoutSpec extends AnyFunSuite {
       l.readSnapshot(spark, base, Some(99))
     }
   }
+
+  test("rendezvousShard: range, determinism, growth moves only to the new shard") {
+    val df = (0 until 2000).map(i => s"key$i").toDF("k")
+    val got = df.select(Layout.rendezvousShard(col("k"), 8).as("s8"),
+        Layout.rendezvousShard(col("k"), 9).as("s9")).collect()
+    assert(got.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 9))
+    // a key's shard changes on growth IFF the new shard wins its weight
+    // race — so every mover lands on shard 8, and ~1/9 of keys move
+    val movers = got.filter(r => r.getLong(0) != r.getLong(1))
+    assert(movers.forall(_.getLong(1) == 8L),
+      "a mover landed on an old shard — not rendezvous hashing")
+    assert(movers.length > 100 && movers.length < 400,
+      s"${movers.length} of 2000 moved; expected ~222")
+    // deterministic across evaluations
+    val again = df.select(Layout.rendezvousShard(col("k"), 8).as("s8")).collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // n=1 degenerates to the single shard
+    val one = df.select(Layout.rendezvousShard(col("k"), 1).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L))
+    intercept[IllegalArgumentException] { Layout.rendezvousShard(col("k"), 65) }
+  }
 }
