@@ -285,4 +285,74 @@ object Profiling {
         col("n").cast(dec) * pctDen > col("__total__") * pctNum)
       .select(col(keyCol), col("n"), col("rank"), col("hot"))
   }
+
+  /** 2-D Pareto frontier (maximization skyline): the input rows NOT
+    * dominated on `(xCol, yCol)` — row r dominates s iff `r.x ≥ s.x`,
+    * `r.y ≥ s.y`, and at least one is strict. The multi-objective
+    * selection primitive ("no doc both longer AND higher-quality
+    * exists"); duplicates of a frontier point all survive, equal points
+    * never dominate each other.
+    *
+    * Scale shape: dominance in 2-D is decided entirely by the
+    * per-distinct-x maximum of y — a row survives iff `y = maxY(x)` and
+    * `max{maxY(x') : x' > x} < y`. So the corpus collapses map-side to
+    * the |distinct x| table (one partial-aggregable pass), and the
+    * strictly-greater suffix max runs DISTRIBUTED over that table: range
+    * repartition on x desc, per-partition running max, |partitions|-row
+    * offset collect (the vocabCoverage prefix-sum discipline — never a
+    * single-partition global window). Survivors return via one
+    * broadcast-joinable frontier table (frontier size ≤ |distinct x|).
+    * Integral coordinates required: the strict within-partition frame
+    * uses a value-range offset of 1. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def requireIntegral(c: String): Unit = {
+      val t = df.schema(c).dataType
+      val ok = t match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"skyline2d needs integral coordinates " +
+        s"(quantize upstream); '$c' is $t")
+    }
+    requireIntegral(xCol); requireIntegral(yCol)
+    val spark = df.sparkSession
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val perX = Caches.registerDf(
+      df.select(x.as("__x__"), y.as("__y__"))
+        .groupBy(col("__x__")).agg(max(col("__y__")).as("__maxy__"))
+        .repartitionByRange(col("__x__").desc)
+        .sortWithinPartitions(col("__x__").desc)
+        .withColumn("__pid__", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-partition max, collected (|partitions| rows) → for partition
+    // p, the max over every EARLIER partition (all of whose x are
+    // strictly greater — range boundaries never split an x value)
+    val partMax = perX.groupBy(col("__pid__"))
+      .agg(max(col("__maxy__")).as("__pm__"))
+      .collect().map(r => (r.getAs[Int]("__pid__"), r.getAs[Long]("__pm__")))
+      .sortBy(_._1)
+    var acc = Long.MinValue
+    val offsets = partMax.map { case (pid, pm) =>
+      val row = (pid, acc); acc = math.max(acc, pm); row
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid__", "__off__"))
+    // within the partition, the strictly-larger-x running max: value
+    // range frame ending 1 before the current x (integral coordinates)
+    val wSuffix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid__")).orderBy(col("__x__").desc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val frontier = perX.join(offDf, Seq("__pid__"))
+      .withColumn("__suffix__", greatest(col("__off__"),
+        coalesce(max(col("__maxy__")).over(wSuffix), lit(Long.MinValue))))
+      .filter(col("__maxy__") > col("__suffix__"))
+      .select(col("__x__"), col("__maxy__"))
+    df.join(broadcast(frontier),
+      x === col("__x__") && y === col("__maxy__"), "left_semi")
+  }
 }

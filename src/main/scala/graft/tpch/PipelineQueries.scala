@@ -592,6 +592,28 @@ object PipelineQueries {
         .orderBy(col("shard8"))
     }),
 
+    // 2-D Pareto frontier over (length, content-hash pseudo-quality):
+    // the docs no other doc beats on BOTH axes — uncorrelated axes so
+    // the frontier is a real staircase, not a single max point
+    "q178_skyline" -> ((s, dir) =>
+      graft.ops.Profiling.skyline2d(
+        docs(s, dir).withColumn("q",
+          graft.functions.NativeHashes.poly_hash(col("text")) % 1000),
+        "n_chars", "q")
+        .select(col("doc_id"), col("n_chars"), col("q"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic synchronous label propagation (2 rounds, min-label
+    // ties) over the derived 200-node event graph — every node's
+    // community label replayed exactly
+    "q179_label_prop" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .select((col("user_id") % 200).as("src"),
+            ((col("user_id") * 7 + col("event_id")) % 200).as("dst")),
+        "src", "dst", iters = 2)
+        .orderBy(col("node"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1832,6 +1854,37 @@ object PipelineQueries {
          |    AS BIGINT) AS n_moved
          |FROM a GROUP BY 1 ORDER BY shard8""".stripMargin
     },
+
+    "q178_skyline" -> {
+      val q = s"${dpolyhash("text")} % 1000"
+      s"""WITH d AS (SELECT doc_id, n_chars, $q AS q FROM documents)
+         |SELECT doc_id, n_chars, q FROM d a
+         |WHERE NOT EXISTS (SELECT 1 FROM d b
+         |  WHERE b.n_chars >= a.n_chars AND b.q >= a.q
+         |    AND (b.n_chars > a.n_chars OR b.q > a.q))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q179_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    LEAST(user_id % 200, (user_id * 7 + event_id) % 200) AS a,
+        |    GREATEST(user_id % 200, (user_id * 7 + event_id) % 200) AS b
+        |  FROM events
+        |  WHERE user_id % 200 <> (user_id * 7 + event_id) % 200),
+        |adj AS (SELECT a AS n, b AS m FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj),
+        |c1 AS (SELECT adj.n AS n, l0.label AS label, COUNT(1) AS c
+        |  FROM adj JOIN l0 ON adj.m = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT n AS node, label FROM c1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n
+        |    ORDER BY c DESC, label ASC) = 1),
+        |c2 AS (SELECT adj.n AS n, l1.label AS label, COUNT(1) AS c
+        |  FROM adj JOIN l1 ON adj.m = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT n AS node, label FROM c2
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n
+        |    ORDER BY c DESC, label ASC) = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

@@ -132,4 +132,43 @@ class GraphSpec extends AnyFunSuite {
     assert((z.getAs[Long]("n_edges"), z.getAs[Long]("n_reciprocal")) ==
       ((0L, 0L)))
   }
+
+  /** Reference synchronous LPA (min tie-break) for cross-validation. */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (n, ms) =>
+        val freq = ms.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation ≡ reference sync-LPA; communities converge") {
+    // two triangles bridged by one edge, plus duplicate/reversed/loop
+    // edges that normalization must absorb
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    for (iters <- Seq(1, 2, 3, 4)) {
+      val got = Graph.labelPropagation(e.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+        .toMap
+      assert(got == lpaRef(e, iters), s"iters=$iters: got $got")
+      graft.ops.Caches.releaseAll()
+    }
+    // a larger pseudo-random graph agrees too (the argmax/tie path gets
+    // exercised beyond hand cases), and checkpointed ≡ unchckpointed
+    val big = (0 until 400).map(i =>
+      ((i * 37 % 97).toLong, (i * 61 % 97 + (i % 3)).toLong))
+    val a = Graph.labelPropagation(big.toDF("s", "d"), "s", "d", 5,
+      checkpointEvery = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == lpaRef(big, 5))
+    graft.ops.Caches.releaseAll()
+  }
 }

@@ -233,6 +233,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("skyline2d ≡ brute-force dominance; dups and ties survive together") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 5L), (2L, 5L, 5L),   // duplicate frontier point
+      (3L, 6L, 4L), (4L, 4L, 6L), (5L, 6L, 5L), // 5 dominates 3
+      (6L, 2L, 2L), (7L, 6L, 5L),               // equal to 5 — both live
+      (8L, 1L, 7L), (9L, 1L, 6L))               // 8 dominates 9 (same x)
+    val df = pts.toDF("id", "x", "y")
+    val got = graft.ops.Profiling.skyline2d(df, "x", "y")
+      .collect().map(_.getAs[Long]("id")).toSet
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got == want && want == Set(4L, 5L, 7L, 8L), s"got $got")
+    graft.ops.Caches.releaseAll()
+    // pseudo-random cross-validation incl. many same-x collisions
+    val rnd = (0 until 500).map(i =>
+      (i.toLong, (i * 37 % 50).toLong, (i * 91 % 200).toLong))
+    val got2 = graft.ops.Profiling.skyline2d(rnd.toDF("id", "x", "y"), "x", "y")
+      .collect().map(_.getAs[Long]("id")).toSet
+    val want2 = rnd.filter { case (_, x, y) =>
+      !rnd.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got2 == want2)
+    graft.ops.Caches.releaseAll()
+    // float coordinates refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.skyline2d(
+        Seq((1L, 1.5, 2.0)).toDF("id", "x", "y"), "x", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("madOutliers: robust flags, half-integral medians exact, zero MAD") {
     import spark.implicits._
     // key a: 1..9 + 100 — median 5.5 (med2=11), dev2 of 100 = 189,
