@@ -858,6 +858,96 @@ object Corpus {
       .withColumn("total_tokens", lit(totalTokens))
   }
 
+  private def tokensOf(textCol: String): Column =
+    filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+      w => w =!= "")
+
+  /** CCNet-style language-model quality scoring: per-document average
+    * negative log-probability (ln of perplexity) under an add-one
+    * unigram LM trained on `train` — the published head/middle/tail
+    * quality-bucketing signal (docs unlike the reference corpus score
+    * high). `score = (n·ln(N+V+1) − Σ_tokens ln(c_w+1)) / n` with
+    * `c_w` the train count (0 for OOV), `N` train tokens, `V` train
+    * vocabulary; OOV tokens also counted exactly.
+    *
+    * Shape: the train corpus collapses map-side to its (word, count)
+    * vocabulary; the score corpus explodes once and joins that table on
+    * the word (Spark picks broadcast vs shuffle by vocabulary size),
+    * per-doc sums partial-aggregate, and only `(N, V)` — two scalars —
+    * ever reach the driver. Output floats round to 6 digits (the
+    * cosine-export posture). Returns (id, n_tokens, n_oov,
+    * avg_neg_logprob). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String): DataFrame = {
+    val counts = Caches.registerDf(
+      train.select(explode(tokensOf(trainTextCol)).as("__w__"))
+        .groupBy(col("__w__")).agg(count(lit(1)).as("__c__")).persist())
+    val Array(nTrain, vTrain) = counts
+      .agg(coalesce(sum(col("__c__")), lit(0L)), count(lit(1)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val lnDen = math.log((nTrain + vTrain + 1).toDouble)
+    df.select(col(idCol).as("__id__"), explode(tokensOf(textCol)).as("__w__"))
+      .join(counts, Seq("__w__"), "left")
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__c__").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(log(coalesce(col("__c__"), lit(0L)) + 1)).as("__sum_ln__"))
+      .select(col("__id__").as(idCol), col("n_tokens"), col("n_oov"),
+        round((col("n_tokens") * lnDen - col("__sum_ln__"))
+          / col("n_tokens"), 6).as("avg_neg_logprob"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance `Σ_tokens ln(p_target(b_w)/p_raw(b_w))` over HASHED
+    * unigram buckets (`polyHash(w) mod numBuckets`), both distributions
+    * add-one smoothed — the cheap learned-distribution-matching filter
+    * ("keep web text that looks like Wikipedia"). Positive means the
+    * doc looks more like the target than like the raw pool; resample
+    * downstream proportionally to `exp(log_w)`.
+    *
+    * Shape: both corpora collapse map-side to `numBuckets`-row count
+    * tables whose PER-BUCKET log-ratio is precomputed and BROADCAST
+    * (the model is `numBuckets` doubles — nothing vocabulary-sized
+    * ships); the scored corpus explodes once, joins the broadcast
+    * bucket table, and per-doc sums partial-aggregate. Bucket counts
+    * are computed with one exchange of (bucket, count) partials.
+    * Returns (id, n_tokens, log_w rounded 6). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets in [2, 2^20], got $numBuckets")
+    def bucket(t: Column): Column =
+      graft.functions.NativeHashes.poly_hash(t) % numBuckets
+    def bucketCounts(d: DataFrame, tc: String) =
+      d.select(explode(tokensOf(tc)).as("__w__"))
+        .groupBy(bucket(col("__w__")).as("__b__"))
+        .agg(count(lit(1)).as("__c__"))
+    val tCounts = bucketCounts(target, targetTextCol)
+      .withColumnRenamed("__c__", "__ct__")
+    val rCounts = bucketCounts(df, textCol)
+      .withColumnRenamed("__c__", "__cr__")
+    // numBuckets-row model: ln((ct+1)) - ln((cr+1)) per bucket; the
+    // N-dependent constant folds into one scalar applied per token
+    val model = tCounts.join(rCounts, Seq("__b__"), "full")
+      .select(col("__b__"),
+        (log(coalesce(col("__ct__"), lit(0L)) + 1)
+          - log(coalesce(col("__cr__"), lit(0L)) + 1)).as("__lr__"))
+    val Array(nT, nR) = Seq(
+      target.select(explode(tokensOf(targetTextCol)).as("w")),
+      df.select(explode(tokensOf(textCol)).as("w")))
+      .map(_.agg(count(lit(1))).collect().head.getLong(0)).toArray
+    val c = math.log((nR + numBuckets).toDouble) -
+      math.log((nT + numBuckets).toDouble)
+    df.select(col(idCol).as("__id__"), explode(tokensOf(textCol)).as("__w__"))
+      .join(broadcast(model), bucket(col("__w__")) === col("__b__"), "left")
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__lr__"), lit(0.0))).as("__s__"))
+      .select(col("__id__").as(idCol), col("n_tokens"),
+        round(col("__s__") + col("n_tokens") * c, 6).as("log_w"))
+  }
+
   /** Dictionary (gazetteer) phrase matching: occurrence counts of each
     * phrase — a consecutive, lowercased token sequence — per document.
     * The entity-tagging / blocklist-hit primitive.

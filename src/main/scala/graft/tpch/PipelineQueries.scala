@@ -614,6 +614,27 @@ object PipelineQueries {
         "src", "dst", iters = 2)
         .orderBy(col("node"))),
 
+    // CCNet-style LM quality score: add-one unigram LM trained on the
+    // English docs, every doc scored by average negative log-prob (ln
+    // perplexity) + exact OOV counts
+    "q180_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.lmScore(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights: hashed-unigram (64 buckets) target-vs-raw
+    // log-ratio per doc, target = every 3rd English doc — positive
+    // means "looks like the target distribution"
+    "q181_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.dsirWeights(d, "doc_id", "text",
+          d.filter(col("lang") === "en" && col("doc_id") % 3 === 0),
+          "text", numBuckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1885,6 +1906,52 @@ object PipelineQueries {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n
         |    ORDER BY c DESC, label ASC) = 1)
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+
+    "q180_lm_score" ->
+      """WITH tr AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w FROM documents WHERE lang = 'en'),
+        |c AS (SELECT w, COUNT(1) AS c FROM tr GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(1) AS v FROM c),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS w FROM documents),
+        |j AS (SELECT doc_id, c.c AS c FROM tok LEFT JOIN c ON tok.w = c.w),
+        |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
+        |    CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov,
+        |    SUM(ln(COALESCE(c, 0) + 1)) AS sum_ln
+        |  FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  ROUND((n_tokens * ln(nv.n + nv.v + 1) - sum_ln) / n_tokens, 6)
+        |    AS avg_neg_logprob
+        |FROM agg CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+
+    "q181_dsir" -> {
+      val pw = dpolyhash("w")
+      s"""WITH tt AS (SELECT unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> length(t) > 0)) AS w FROM documents
+         |  WHERE lang = 'en' AND doc_id % 3 = 0),
+         |rt AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> length(t) > 0)) AS w FROM documents),
+         |tb AS (SELECT $pw % 64 AS b, COUNT(1) AS ct FROM tt GROUP BY 1),
+         |rb AS (SELECT $pw % 64 AS b, COUNT(1) AS cr FROM rt GROUP BY 1),
+         |m AS (SELECT COALESCE(tb.b, rb.b) AS b,
+         |    ln(COALESCE(ct, 0) + 1) - ln(COALESCE(cr, 0) + 1) AS lr
+         |  FROM tb FULL JOIN rb ON tb.b = rb.b),
+         |nt AS (SELECT COUNT(1) AS n FROM tt),
+         |nr AS (SELECT COUNT(1) AS n FROM rt),
+         |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
+         |    SUM(COALESCE(m.lr, 0)) AS s
+         |  FROM rt LEFT JOIN m ON $pw % 64 = m.b GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  ROUND(s + n_tokens * (ln(nr.n + 64) - ln(nt.n + 64)), 6)
+         |    AS log_w
+         |FROM agg CROSS JOIN nt CROSS JOIN nr
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

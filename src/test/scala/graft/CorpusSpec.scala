@@ -656,6 +656,59 @@ class CorpusSpec extends AnyFunSuite {
       (2L, "bb") -> 1L), s"got $got")
   }
 
+  test("lmScore: add-one unigram negative log-prob, exact OOV counts") {
+    val train = Seq("a a b", "b c").toDF("text")    // a:2 b:2 c:1, N=5 V=3
+    val score = Seq((1L, "a b z"), (2L, "c c"), (3L, "B A"))
+      .toDF("id", "text")
+    val got = Corpus.lmScore(score, "id", "text", train, "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("avg_neg_logprob")))).toMap
+    val ln9 = math.log(9.0)
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(1L)._1 == 3L && got(1L)._2 == 1L)
+    assert(got(1L)._3 == rnd((3 * ln9 - 2 * math.log(3.0)) / 3))
+    assert(got(2L) == ((2L, 0L, rnd(ln9 - math.log(2.0)))))
+    // case folding: "B A" scores like "b a"; all in-vocabulary
+    assert(got(3L)._2 == 0L)
+    assert(got(3L)._3 == rnd(ln9 - math.log(3.0)))
+    // frequent-token text scores LOWER (less surprising) than OOV text
+    assert(got(3L)._3 < got(1L)._3)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("dsirWeights ≡ reference hashed-unigram importance; signs sensible") {
+    import graft.functions.HashImpls
+    val B = 16
+    val raw = Seq((1L, "alpha beta alpha"), (2L, "zz yy xx ww"),
+      (3L, "alpha beta gamma"))
+    val tgt = Seq("alpha beta gamma", "alpha gamma")
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bk(w: String) = HashImpls.polyHash(w) % B
+    val ct = tgt.flatMap(toks).groupBy(bk).map { case (k, v) => k -> v.size }
+    val cr = raw.flatMap(r => toks(r._2)).groupBy(bk)
+      .map { case (k, v) => k -> v.size }
+    val nT = tgt.flatMap(toks).size
+    val nR = raw.flatMap(r => toks(r._2)).size
+    val const = math.log((nR + B).toDouble) - math.log((nT + B).toDouble)
+    val want = raw.map { case (id, t) =>
+      val ts = toks(t)
+      val s = ts.map(w => math.log(ct.getOrElse(bk(w), 0) + 1.0)
+        - math.log(cr(bk(w)) + 1.0)).sum
+      id -> (ts.size.toLong, math.round((s + ts.size * const) * 1e6) / 1e6)
+    }.toMap
+    val got = Corpus.dsirWeights(raw.toDF("id", "text"), "id", "text",
+        tgt.toDF("text"), "text", numBuckets = B)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("log_w")))).toMap
+    for ((id, (n, w)) <- want)
+      assert(got(id)._1 == n && math.abs(got(id)._2 - w) < 2e-6,
+        s"doc $id: got ${got(id)} want ($n, $w)")
+    // target-looking text must outscore the disjoint-vocabulary doc
+    assert(got(3L)._2 > got(2L)._2)
+    graft.ops.Caches.releaseAll()
+  }
+
   test("kAnonymize: NULL quasi values group together and survive at k") {
     // groupBy treats NULL as a value, so the join-back must be
     // null-safe: the (null, web) pair reaches k=2 and must be KEPT
