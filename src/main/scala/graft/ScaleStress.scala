@@ -454,6 +454,49 @@ object ScaleStress {
         val out = Corpus.balanceClasses(skewed, "cls", "doc_id")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q175 shape: prefix-filtered exact Jaccard join — candidates meet
+      // only on prefix (rarest-shingle) elements; 10× corpus with
+      // duplicate structure must scale in candidates, not corpus²
+      timed(scale, "ppjoin") {
+        val withTwins = docs.unionAll(
+          docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+            .select(col("doc_id") + 10000000L,
+              concat(col("text"), lit(" extra")).as("text")))
+        val out = graft.ops.Fuzzy.prefixFilterJaccardPairs(
+          withTwins, "doc_id", "text", 3, 1, 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q176 shape: gazetteer — one explode per phrase length + a
+      // broadcast dictionary join; non-hits die map-side
+      timed(scale, "gazetteer") {
+        val out = Corpus.gazetteerMatch(docs, "doc_id", "text",
+          Seq("the", "of the", "in a row"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q180 shape: LM scoring — train vocabulary collapses map-side,
+      // scoring is one explode + word join + per-doc partial agg
+      timed(scale, "lm_score") {
+        val out = Corpus.lmScore(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q181 shape: DSIR — the model is |buckets| doubles broadcast;
+      // cost is the two bucket-count collapses + the scoring pass
+      timed(scale, "dsir") {
+        val out = Corpus.dsirWeights(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text", 64)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q178 shape: skyline — corpus collapses to the |distinct x|
+      // frontier table map-side; the suffix max runs partition-scoped
+      timed(scale, "skyline") {
+        val pts = docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("x"),
+          (graft.functions.NativeHashes.poly_hash(col("text")) % 1000)
+            .as("y"))
+        val out = graft.ops.Profiling.skyline2d(pts, "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
@@ -777,6 +820,15 @@ object ScaleStress {
       timed(scale, "audience_overlap") {
         val out = graft.ops.EventAnalytics.audienceOverlap(
           ev, "event_type", "user_id")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q179 shape: label propagation — per round one adjacency join +
+      // two partial-aggregable levels, no windows; 10× events grow the
+      // edge list, rounds stay fixed
+      timed(scale, "label_prop") {
+        val edges = ev.select((col("user_id") % 5000).as("s"),
+          ((col("user_id") * 7 + col("event_id")) % 5000).as("d"))
+        val out = graft.ops.Graph.labelPropagation(edges, "s", "d", 3)
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

@@ -862,6 +862,59 @@ object Corpus {
     filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
       w => w =!= "")
 
+  /** EXACT stratified split: within every stratum the split sizes are
+    * exactly the largest-remainder apportionment of the weights (train
+    * 80 / val 10 / test 10 of a 57-doc stratum = 46/6/5 — not "80% in
+    * expectation" like the content-hash bucketing of [[withSplit]],
+    * which drifts ±√n per stratum). Rows rank within their stratum by
+    * `(polyHash(text), id)` — content-addressed, so re-running on a
+    * reordered corpus reproduces the same assignment; byte-identical
+    * duplicates rank adjacently and land in the same split unless a
+    * boundary splits them (use [[withSplit]] or dedup first when
+    * leakage, not exactness, is the priority).
+    *
+    * Shape: one rank window HASH-PARTITIONED BY STRATUM (the capPerKey
+    * discipline), a boundary table of `|strata|·|splits|` rows built
+    * with stratum-partitioned windows and BROADCAST back, one range
+    * join on (stratum, rank). Returns the input plus a `split` column.
+    *
+    * @param weights (label, percent), percents sum to 100. */
+  def exactStratifiedSplit(df: DataFrame, strataCol: String,
+      textCol: String, idCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100 &&
+      weights.forall(_._2 >= 0), s"weights must sum to 100: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = df.withColumn("__h__",
+        graft.functions.NativeHashes.poly_hash(col(textCol)))
+      .withColumn("__r__", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("__h__").asc, col(idCol).asc)))
+      .drop("__h__")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n__"))
+    val splits = broadcast(weights.zipWithIndex
+      .map { case ((l, p), i) => (l, p.toLong, i) }
+      .toDF("split", "__pct__", "__idx__"))
+    val wStratum = Window.partitionBy(col(strataCol))
+    val alloc = counts.crossJoin(splits)
+      .withColumn("__base__", expr("(__n__ * __pct__) div 100"))
+      .withColumn("__rem__", expr("(__n__ * __pct__) % 100"))
+      .withColumn("__left__", col("__n__") - sum(col("__base__")).over(wStratum))
+      .withColumn("__er__", row_number().over(
+        wStratum.orderBy(col("__rem__").desc, col("__idx__").asc)))
+      .withColumn("__size__", col("__base__") +
+        when(col("__er__") <= col("__left__"), 1L).otherwise(0L))
+      .withColumn("__hi__", sum(col("__size__")).over(
+        wStratum.orderBy(col("__idx__").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__lo__", col("__hi__") - col("__size__"))
+      .select(col(strataCol), col("split"), col("__lo__"), col("__hi__"))
+    ranked.join(broadcast(alloc), Seq(strataCol))
+      .filter(col("__r__") > col("__lo__") && col("__r__") <= col("__hi__"))
+      .drop("__r__", "__lo__", "__hi__")
+  }
+
   /** CCNet-style language-model quality scoring: per-document average
     * negative log-probability (ln of perplexity) under an add-one
     * unigram LM trained on `train` — the published head/middle/tail

@@ -153,6 +153,50 @@ object Graph {
       .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
   }
 
+  /** Degree assortativity of the undirected simple graph — "do hubs
+    * link to hubs" (positive: social/collaboration structure; negative:
+    * hub-and-spoke link farms, star spam). Newman's Pearson coefficient
+    * over the edge-endpoint degree pairs, both orientations counted, so
+    * the x/y marginals coincide and
+    * `r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)`.
+    *
+    * The four moments `(m, Σxy, Σx, Σx²)` are EXACT integers — one
+    * degree count pass plus one edge-degree join, everything
+    * partial-aggregable, single-row output; `r` is one division of two
+    * engine-identical integers (rounded to 6, the float posture), NULL
+    * on a degree-regular graph (zero variance). */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("__a__"),
+        col(dstCol).cast("long").as("__b__"))
+      .filter(col("__a__") =!= col("__b__"))
+    val pairs = und.select(least(col("__a__"), col("__b__")).as("__a__"),
+      greatest(col("__a__"), col("__b__")).as("__b__")).distinct()
+    val e2 = Caches.registerDf(
+      pairs.select(col("__a__").as("__s__"), col("__b__").as("__d__"))
+        .unionAll(pairs.select(col("__b__").as("__s__"),
+          col("__a__").as("__d__"))).persist())
+    val deg = e2.groupBy(col("__s__").as("__n__"))
+      .agg(count(lit(1)).as("__dg__"))
+    val xy = e2
+      .join(deg.select(col("__n__").as("__s__"), col("__dg__").as("__x__")),
+        Seq("__s__"))
+      .join(deg.select(col("__n__").as("__d__"), col("__dg__").as("__y__")),
+        Seq("__d__"))
+    val m = xy.agg(count(lit(1)).as("m"),
+      sum(col("__x__") * col("__y__")).as("sum_xy"),
+      sum(col("__x__")).as("sum_x"),
+      sum(col("__x__") * col("__x__")).as("sum_x2"))
+    m.select(col("m"), col("sum_xy"), col("sum_x"), col("sum_x2"),
+      when(col("m") * col("sum_x2") - col("sum_x") * col("sum_x") === 0,
+        lit(null).cast("double"))
+        .otherwise(round(
+          (col("m") * col("sum_xy") - col("sum_x") * col("sum_x"))
+            .cast("double") /
+          (col("m") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .cast("double"), 6)).as("r"))
+  }
+
   /** Synchronous label-propagation community detection over the
     * UNDIRECTED simple graph of `(srcCol, dstCol)` (direction,
     * duplicates, self-loops normalized away) — the near-linear

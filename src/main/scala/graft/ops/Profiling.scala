@@ -286,6 +286,31 @@ object Profiling {
       .select(col(keyCol), col("n"), col("rank"), col("hot"))
   }
 
+  /** Discrete power-law exponent fit per key — the Zipf/heavy-tail
+    * diagnostic for degree, token-frequency, and per-entity activity
+    * distributions (is this feed organic ~2–3, or bot-flattened?).
+    * Clauset–Shalizi–Newman continuous-approximation MLE:
+    * `alpha = 1 + n / Σ ln(x_i / (xmin − ½))` over values `x ≥ xmin`.
+    *
+    * One partial-aggregable pass per key (count + log sum — both merge
+    * associatively across shards); n is exact, alpha rounds to 6 (the
+    * float posture). Returns (key, n, alpha); keys with no values
+    * ≥ xmin are absent. The log sum is strictly positive whenever a
+    * value survives the xmin filter (each term is
+    * `ln(x/(xmin−½)) ≥ ln(xmin/(xmin−½)) > 0`), so alpha is always
+    * finite. */
+  def powerLawAlpha(df: DataFrame, keyCol: String, valueCol: String,
+      xmin: Long): DataFrame = {
+    require(xmin >= 1, s"xmin must be >= 1, got $xmin")
+    val shift = xmin - 0.5
+    df.filter(col(valueCol) >= xmin)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(log(col(valueCol).cast("double") / shift)).as("__s__"))
+      .select(col(keyCol), col("n"),
+        round(lit(1.0) + col("n") / col("__s__"), 6).as("alpha"))
+  }
+
   /** 2-D Pareto frontier (maximization skyline): the input rows NOT
     * dominated on `(xCol, yCol)` — row r dominates s iff `r.x ≥ s.x`,
     * `r.y ≥ s.y`, and at least one is strict. The multi-objective

@@ -635,6 +635,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // degree assortativity of the 200-node event graph: exact integer
+    // moments + the Pearson r as one division of engine-identical
+    // integers
+    "q182_assortativity" -> ((s, dir) =>
+      graft.ops.Graph.assortativity(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .select((col("user_id") % 200).as("src"),
+            ((col("user_id") * 7 + col("event_id")) % 200).as("dst")),
+        "src", "dst")),
+
+    // EXACT stratified 80/10/10 split per source: largest-remainder
+    // apportionment, content-hash ranked — every doc's assignment
+    // replayed
+    "q183_stratified_split" -> ((s, dir) =>
+      Corpus.exactStratifiedSplit(docs(s, dir), "source", "text",
+          "doc_id", Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // power-law exponent of per-user activity per event type
+    // (Clauset-Shalizi-Newman MLE, xmin=2) — the organic-vs-bot tail
+    // diagnostic
+    "q184_power_law" -> ((s, dir) =>
+      graft.ops.Profiling.powerLawAlpha(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "x", xmin = 2)
+        .orderBy(col("event_type"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1952,6 +1982,67 @@ object PipelineQueries {
          |FROM agg CROSS JOIN nt CROSS JOIN nr
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q182_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    LEAST(user_id % 200, (user_id * 7 + event_id) % 200) AS a,
+        |    GREATEST(user_id % 200, (user_id * 7 + event_id) % 200) AS b
+        |  FROM events
+        |  WHERE user_id % 200 <> (user_id * 7 + event_id) % 200),
+        |e2 AS (SELECT a AS s, b AS d FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT s AS n, COUNT(1) AS dg FROM e2 GROUP BY 1),
+        |xy AS (SELECT da.dg AS x, db.dg AS y FROM e2
+        |  JOIN deg da ON e2.s = da.n JOIN deg db ON e2.d = db.n),
+        |mo AS (SELECT COUNT(1) AS m,
+        |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_x2 FROM xy)
+        |SELECT m, sum_xy, sum_x, sum_x2,
+        |  CASE WHEN m * sum_x2 - sum_x * sum_x = 0 THEN NULL
+        |    ELSE ROUND(CAST(m * sum_xy - sum_x * sum_x AS DOUBLE)
+        |      / (m * sum_x2 - sum_x * sum_x), 6) END AS r
+        |FROM mo""".stripMargin,
+
+    "q183_stratified_split" -> {
+      val h = dpolyhash("text")
+      s"""WITH rk AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY $h, doc_id) AS r
+         |  FROM documents),
+         |c AS (SELECT source, COUNT(1) AS n FROM documents GROUP BY 1),
+         |sp AS (SELECT * FROM (VALUES ('train', 80, 0), ('val', 10, 1),
+         |    ('test', 10, 2)) t(split, pct, idx)),
+         |a0 AS (SELECT c.source, sp.split, sp.idx,
+         |    (c.n * sp.pct) // 100 AS base,
+         |    (c.n * sp.pct) % 100 AS rem, c.n AS n
+         |  FROM c CROSS JOIN sp),
+         |a1 AS (SELECT *, n - SUM(base) OVER (PARTITION BY source)
+         |      AS leftover,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY rem DESC, idx ASC) AS er FROM a0),
+         |a2 AS (SELECT source, split, idx,
+         |    base + CASE WHEN er <= leftover THEN 1 ELSE 0 END AS sz
+         |  FROM a1),
+         |a3 AS (SELECT source, split,
+         |    SUM(sz) OVER (PARTITION BY source ORDER BY idx
+         |      ROWS UNBOUNDED PRECEDING) AS hi,
+         |    SUM(sz) OVER (PARTITION BY source ORDER BY idx
+         |      ROWS UNBOUNDED PRECEDING) - sz AS lo FROM a2)
+         |SELECT rk.doc_id, rk.source, a3.split
+         |FROM rk JOIN a3 ON rk.source = a3.source
+         |  AND rk.r > a3.lo AND rk.r <= a3.hi
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q184_power_law" ->
+      """WITH pu AS (SELECT user_id, event_type, COUNT(1) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, x FROM pu WHERE x >= 2),
+        |a AS (SELECT event_type, COUNT(1) AS n,
+        |    SUM(ln(CAST(x AS DOUBLE) / 1.5)) AS s
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n, ROUND(1.0 + n / s, 6) AS alpha
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

@@ -709,6 +709,37 @@ class CorpusSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("exactStratifiedSplit: largest-remainder sizes, content-addressed, order-free") {
+    // stratum a: 7 rows at 50/30/20 → bases 3/2/1, leftover 1 goes to
+    // the LARGEST remainder (50→rem 50 beats 20→rem 40 beats 30→rem 10)
+    // → 4/2/1; stratum b: 10 rows → exact 5/3/2, no leftover
+    val rows = (1L to 7L).map(i => (i, "a", s"doc a $i")) ++
+      (11L to 20L).map(i => (i, "b", s"doc b $i"))
+    val df = rows.toDF("id", "src", "text")
+    val w = Seq(("s1", 50), ("s2", 30), ("s3", 20))
+    val got = Corpus.exactStratifiedSplit(df, "src", "text", "id", w)
+    val sizes = got.groupBy("src", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sizes == Map(("a", "s1") -> 4L, ("a", "s2") -> 2L,
+      ("a", "s3") -> 1L, ("b", "s1") -> 5L, ("b", "s2") -> 3L,
+      ("b", "s3") -> 2L), s"got $sizes")
+    // every row assigned exactly once
+    assert(got.count() == 17 && got.select("id").distinct().count() == 17)
+    // assignment is CONTENT-addressed: a shuffled input reproduces it
+    val shuffled = rows.reverse.toDF("id", "src", "text").repartition(5)
+    val a1 = got.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[String]("split")).toMap
+    val a2 = Corpus.exactStratifiedSplit(shuffled, "src", "text", "id", w)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split"))
+      .toMap
+    assert(a1 == a2)
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      Corpus.exactStratifiedSplit(df, "src", "text", "id",
+        Seq(("x", 60), ("y", 20)))
+    }
+  }
+
   test("kAnonymize: NULL quasi values group together and survive at k") {
     // groupBy treats NULL as a value, so the join-back must be
     // null-safe: the (null, web) pair reaches k=2 and must be KEPT

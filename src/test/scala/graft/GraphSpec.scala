@@ -133,6 +133,23 @@ class GraphSpec extends AnyFunSuite {
       ((0L, 0L)))
   }
 
+  test("assortativity: star graph -1 exactly, regular graph NULL r") {
+    // hub 0 ↔ {1,2,3}: degrees (3,1,1,1); both orientations → m=6,
+    // Σxy=18, Σx=12, Σx²=30 → r = (108−144)/(180−144) = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L)) // dup dir absorbed
+      .toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").collect().head
+    assert(r.getAs[Long]("m") == 6L && r.getAs[Long]("sum_xy") == 18L)
+    assert(r.getAs[Long]("sum_x") == 12L && r.getAs[Long]("sum_x2") == 30L)
+    assert(r.getAs[Double]("r") == -1.0)
+    graft.ops.Caches.releaseAll()
+    // 4-cycle: every degree 2 → zero variance → NULL, not NaN/divide
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val rc = Graph.assortativity(cyc, "s", "d").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("r")))
+    graft.ops.Caches.releaseAll()
+  }
+
   /** Reference synchronous LPA (min tie-break) for cross-validation. */
   private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val und = edges.filter(e => e._1 != e._2)

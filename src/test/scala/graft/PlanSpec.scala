@@ -309,4 +309,58 @@ class PlanSpec extends AnyFunSuite {
     assert(mo.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, mo)
     assert(!mo.contains("Window") && !mo.contains("SortMergeJoin"), mo)
   }
+
+  test("r10 ops keep their scale shape: partitioned windows, broadcast dictionaries, equi-joins") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"alpha w$i beta w${i % 7} gamma delta")).toDF("id", "text")
+    try {
+      // ppjoin: every window hash-partitioned per doc (rarity positions),
+      // candidates meet in EQUI-joins — no nested-loop anywhere
+      val pp = graft.ops.Fuzzy.prefixFilterJaccardPairs(
+        docs, "id", "text", 3, 1, 2)
+      val ppWindows = pp.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec
+      }
+      assert(ppWindows.nonEmpty && ppWindows.forall(_.nonEmpty),
+        s"unpartitioned window in ppjoin plan: $ppWindows")
+      val ppp = physicalPlan(pp)
+      assert(!ppp.contains("NestedLoop") && !ppp.contains("Cartesian"), ppp)
+      // gazetteer: the dictionary side broadcasts; counts partial-agg
+      val gz = physicalPlan(graft.ops.Corpus.gazetteerMatch(
+        docs, "id", "text", Seq("alpha", "beta gamma")))
+      assert(gz.contains("BroadcastHashJoin"), gz)
+      assert(gz.contains("partial"), gz)
+      // dsir: the bucket model broadcasts, per-doc sums partial-agg,
+      // nothing vocabulary-sized rides a window
+      val ds = physicalPlan(graft.ops.Corpus.dsirWeights(
+        docs, "id", "text", docs.limit(20), "text", 16))
+      assert(ds.contains("BroadcastHashJoin"), ds)
+      assert(!ds.contains("Window"), ds)
+      // lmScore: no window; per-doc partial aggregation
+      val lm = physicalPlan(graft.ops.Corpus.lmScore(
+        docs, "id", "text", docs.limit(20), "text"))
+      assert(!lm.contains("Window") && lm.contains("partial"), lm)
+      // skyline: suffix-max windows are partitioned (per range
+      // partition), survivors return via a broadcast join
+      val sk = graft.ops.Profiling.skyline2d(
+        docs.select(docs("id"), (docs("id") % 9).as("x"),
+          (docs("id") * 7 % 13).as("y")), "x", "y")
+      val skWindows = sk.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec
+      }
+      assert(skWindows.nonEmpty && skWindows.forall(_.nonEmpty),
+        s"unpartitioned window in skyline plan: $skWindows")
+      assert(physicalPlan(sk).contains("BroadcastHashJoin"),
+        physicalPlan(sk))
+      // label propagation: NO windows at all — two partial-aggregable
+      // levels per round
+      val lp = physicalPlan(graft.ops.Graph.labelPropagation(
+        docs.select((docs("id") % 10).as("s"), (docs("id") % 7).as("d")),
+        "s", "d", iters = 2))
+      assert(!lp.contains("Window") && lp.contains("partial"), lp)
+    } finally graft.ops.Caches.releaseAll()
+  }
 }

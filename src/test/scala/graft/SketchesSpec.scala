@@ -267,6 +267,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("powerLawAlpha: CSN MLE hand values, xmin filter, absent keys") {
+    import spark.implicits._
+    val df = Seq(("k", 2L), ("k", 4L), ("k", 8L), ("k", 1L), // 1 < xmin
+      ("flat", 1L)).toDF("key", "x")                         // all < xmin
+    val got = graft.ops.Profiling.powerLawAlpha(df, "key", "x", xmin = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("alpha")))).toMap
+    val s = math.log(2 / 1.5) + math.log(4 / 1.5) + math.log(8 / 1.5)
+    assert(got.keySet == Set("k"), "below-xmin-only keys must be absent")
+    assert(got("k")._1 == 3L)
+    assert(got("k")._2 == math.round((1.0 + 3 / s) * 1e6) / 1e6)
+  }
+
   test("madOutliers: robust flags, half-integral medians exact, zero MAD") {
     import spark.implicits._
     // key a: 1..9 + 100 — median 5.5 (med2=11), dev2 of 100 = 189,
