@@ -473,6 +473,14 @@ object ScaleStress {
           Seq("the", "of the", "in a row"))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // the single-pass Aho-Corasick twin: same dictionary, one scan
+      // regardless of phrase-length count — measured against the
+      // explode form above
+      timed(scale, "gazetteer_ac") {
+        val out = Corpus.gazetteerMatchAC(docs, "doc_id", "text",
+          Seq("the", "of the", "in a row"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q180 shape: LM scoring — train vocabulary collapses map-side,
       // scoring is one explode + word join + per-doc partial agg
       timed(scale, "lm_score") {

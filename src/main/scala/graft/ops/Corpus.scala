@@ -915,6 +915,28 @@ object Corpus {
       .drop("__r__", "__lo__", "__hi__")
   }
 
+  /** Trained unigram-LM state for [[lmScoreWith]]: the persisted
+    * (word, count) vocabulary plus the two scalar normalizers. Train
+    * once, score many batches (the streaming twin reuses one model
+    * across micro-batches instead of re-aggregating the train corpus
+    * per batch). */
+  final case class LmModel(counts: DataFrame, nTrain: Long, vTrain: Long) {
+    def lnDen: Double = math.log((nTrain + vTrain + 1).toDouble)
+  }
+
+  /** Aggregate `train` into an add-one unigram [[LmModel]]; the counts
+    * table stays persisted (thread-registered) until the consumer
+    * releases via [[Caches]]. */
+  def lmTrain(train: DataFrame, trainTextCol: String): LmModel = {
+    val counts = Caches.registerDf(
+      train.select(explode(tokensOf(trainTextCol)).as("__w__"))
+        .groupBy(col("__w__")).agg(count(lit(1)).as("__c__")).persist())
+    val Array(nTrain, vTrain) = counts
+      .agg(coalesce(sum(col("__c__")), lit(0L)), count(lit(1)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    LmModel(counts, nTrain, vTrain)
+  }
+
   /** CCNet-style language-model quality scoring: per-document average
     * negative log-probability (ln of perplexity) under an add-one
     * unigram LM trained on `train` — the published head/middle/tail
@@ -931,14 +953,14 @@ object Corpus {
     * cosine-export posture). Returns (id, n_tokens, n_oov,
     * avg_neg_logprob). */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
-      train: DataFrame, trainTextCol: String): DataFrame = {
-    val counts = Caches.registerDf(
-      train.select(explode(tokensOf(trainTextCol)).as("__w__"))
-        .groupBy(col("__w__")).agg(count(lit(1)).as("__c__")).persist())
-    val Array(nTrain, vTrain) = counts
-      .agg(coalesce(sum(col("__c__")), lit(0L)), count(lit(1)))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val lnDen = math.log((nTrain + vTrain + 1).toDouble)
+      train: DataFrame, trainTextCol: String): DataFrame =
+    lmScoreWith(lmTrain(train, trainTextCol), df, idCol, textCol)
+
+  /** Score against an already-trained [[LmModel]] (see [[lmScore]]). */
+  def lmScoreWith(model: LmModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val counts = model.counts
+    val lnDen = model.lnDen
     df.select(col(idCol).as("__id__"), explode(tokensOf(textCol)).as("__w__"))
       .join(counts, Seq("__w__"), "left")
       .groupBy(col("__id__"))
@@ -1043,5 +1065,87 @@ object Corpus {
       .groupBy(col("__id__").as(idCol), col("phrase"))
       .agg(count(lit(1)).as("n"))
       .select(col(idCol), col("phrase"), col("n"))
+  }
+
+  /** Single-pass Aho-Corasick twin of [[gazetteerMatch]]: the automaton
+    * (token-level goto/fail/output links) is built ONCE on the driver
+    * from the dictionary and ships with the closure, and every document
+    * is scanned in one O(tokens + hits) pass regardless of how many
+    * distinct phrase lengths the dictionary holds — the swap the
+    * explode form's Scaladoc promises when per-length explodes dominate
+    * the profile. `mapPartitions` is justified here exactly as in
+    * `Multimodal`: the automaton walk is imperative state no Catalyst
+    * expression composition expresses. Value-identical to
+    * [[gazetteerMatch]] (overlapping occurrences, suffix phrases, case
+    * fold — the spec cross-validates); requires a long-castable id.
+    * Returns (id, phrase, n). */
+  def gazetteerMatchAC(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty gazetteer")
+    val norm = phrases.map(p => p.toLowerCase.split("\\s+").toSeq)
+    require(norm.forall(_.nonEmpty), "blank phrase in gazetteer")
+    val pats = norm.map(ws => ws.mkString(" ") -> ws)
+      .foldLeft(Vector.empty[(String, Seq[String])]) { (acc, p) =>
+        if (acc.exists(_._1 == p._1)) acc else acc :+ p
+      }
+    // trie with goto links
+    import scala.collection.mutable
+    val trans = mutable.ArrayBuffer(mutable.HashMap.empty[String, Int])
+    val outB = mutable.ArrayBuffer(List.empty[Int])
+    pats.zipWithIndex.foreach { case ((_, ws), pi) =>
+      var s = 0
+      ws.foreach { w =>
+        s = trans(s).getOrElseUpdate(w, {
+          trans += mutable.HashMap.empty[String, Int]
+          outB += Nil
+          trans.length - 1
+        })
+      }
+      outB(s) = pi :: outB(s)
+    }
+    // BFS fail links; outputs accumulate down the fail chain (fail
+    // targets are shallower, so they are finalized before their users)
+    val fail = new Array[Int](trans.length)
+    val queue = mutable.Queue[Int]()
+    trans(0).valuesIterator.foreach(queue.enqueue(_))
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      trans(u).foreach { case (w, v) =>
+        queue.enqueue(v)
+        var f = fail(u)
+        while (f != 0 && !trans(f).contains(w)) f = fail(f)
+        val fv = trans(f).get(w).filter(_ != v).getOrElse(0)
+        fail(v) = fv
+        outB(v) = outB(v) ::: outB(fv)
+      }
+    }
+    val transA: Array[Map[String, Int]] = trans.map(_.toMap).toArray
+    val failA: Array[Int] = fail
+    val outA: Array[Array[Int]] = outB.map(_.toArray).toArray
+    val labels: Array[String] = pats.map(_._1).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        lower(coalesce(col(textCol), lit(""))))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val toks = t.split("\\s+")
+          val cnt = new Array[Long](labels.length)
+          var s = 0
+          var i = 0
+          while (i < toks.length) {
+            val w = toks(i)
+            while (s != 0 && !transA(s).contains(w)) s = failA(s)
+            s = transA(s).getOrElse(w, 0)
+            val os = outA(s)
+            var j = 0
+            while (j < os.length) { cnt(os(j)) += 1; j += 1 }
+            i += 1
+          }
+          labels.indices.iterator.filter(cnt(_) > 0)
+            .map(pi => (id, labels(pi), cnt(pi)))
+        }
+      }.toDF(idCol, "phrase", "n")
   }
 }

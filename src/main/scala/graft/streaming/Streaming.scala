@@ -159,6 +159,23 @@ object Streaming {
     (batch, _) => sink(graft.ops.Dedup.decontaminate(
       batch.toDF(), idCol, textCol, bench, benchTextCol, n))
 
+  /** Streaming LM quality scoring: the add-one unigram model trains
+    * ONCE from the static `train` corpus (persisted vocabulary + two
+    * scalars) and every micro-batch scores against it — value-identical
+    * to [[graft.ops.Corpus.lmScore]] because scoring is per-document
+    * against fixed state (no cross-batch coupling). Re-aggregating the
+    * train corpus per batch is the trap this closure shape avoids; the
+    * caller releases the model's persisted counts via `Caches` after
+    * stopping the stream. */
+  def lmScoreForEachBatch(
+      train: DataFrame, trainTextCol: String,
+      idCol: String, textCol: String)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    val model = graft.ops.Corpus.lmTrain(train, trainTextCol)
+    (batch, _) => sink(graft.ops.Corpus.lmScoreWith(
+      model, batch.toDF(), idCol, textCol))
+  }
+
   /** Streaming per-key quota cap: admit at most `maxPerKey` rows per key
     * over the stream's lifetime — the streaming twin of
     * [[graft.ops.Corpus.capPerKey]], with the ONE semantic difference

@@ -740,6 +740,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("gazetteerMatchAC ≡ gazetteerMatch (fail links, suffix phrases, overlaps)") {
+    // dictionary chosen so fail/output links matter: "b" is a suffix of
+    // "a b", "b a" overlaps "a b" at every other token
+    val dict = Seq("a b", "b", "a b a", "b a", "c c")
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b"×2, "b"×2, "a b a"×2, "b a"×2
+      (2L, "b b b"),
+      (3L, "c c c"),       // "c c"×2 overlapping
+      (4L, "x y z"),
+      (5L, "A B a")) ++    // case fold
+      (6L to 40L).map(i => (i, s"w${i % 5} a b w${i % 3} b a c"))
+    val df = docs.toDF("id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[String]("phrase")) -> r.getAs[Long]("n")
+    val viaExplode = Corpus.gazetteerMatch(df, "id", "text", dict)
+      .collect().map(key).toMap
+    val viaAc = Corpus.gazetteerMatchAC(df, "id", "text", dict)
+      .collect().map(key).toMap
+    assert(viaAc == viaExplode, s"ac $viaAc vs explode $viaExplode")
+    // spot-check the overlap arithmetic on doc 1
+    assert(viaExplode((1L, "a b")) == 2L)
+    assert(viaExplode((1L, "a b a")) == 2L)
+    assert(viaExplode((1L, "b")) == 2L)
+  }
+
   test("kAnonymize: NULL quasi values group together and survive at k") {
     // groupBy treats NULL as a value, so the join-back must be
     // null-safe: the (null, web) pair reaches k=2 and must be KEPT
