@@ -150,14 +150,14 @@ object Fuzzy {
         explode(array_distinct(graft.functions.NativeHashes.shingle_hashes(
           col(textCol), shingleK))).as("__h__")).persist())
     val freq = sh.groupBy(col("__h__")).agg(count(lit(1)).as("__df__"))
-    val sizes = sh.groupBy(col("__id__")).agg(count(lit(1)).as("__n__"))
-    // per-doc rarity position; window hash-partitioned by doc id (the
-    // sequencePack discipline — never a global single-partition window)
+    // per-doc rarity position AND set size off ONE doc-id partitioning
+    // (two Window specs, same exchange — the sequencePack discipline;
+    // never a global single-partition window, never a sizes join)
+    val wDoc = Window.partitionBy(col("__id__"))
     val positioned = sh.join(freq, Seq("__h__"))
       .withColumn("__pos__", row_number().over(
-        Window.partitionBy(col("__id__"))
-          .orderBy(col("__df__").asc, col("__h__").asc)))
-      .join(sizes, Seq("__id__"))
+        wDoc.orderBy(col("__df__").asc, col("__h__").asc)))
+      .withColumn("__n__", count(lit(1)).over(wDoc))
     // prefix length n - ceil(t*n) + 1, ceil via exact integer div (the
     // `/` Column operator is double division — never for index math)
     val prefix = positioned.filter(col("__pos__") <=
