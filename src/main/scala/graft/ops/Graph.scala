@@ -153,6 +153,48 @@ object Graph {
       .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
   }
 
+  /** Bounded k-core peeling of the undirected simple graph: `rounds`
+    * synchronous rounds of "drop every node with degree < k (and its
+    * edges)", returning the surviving nodes with their residual
+    * degrees — the dense-cohesion filter (spam/link-farm cores survive
+    * aggressive peeling; organic periphery does not). The true k-core
+    * is the FIXPOINT of this peel; fixed `rounds` approximates it FROM
+    * ABOVE (supersets of the k-core, exact once no round drops a node)
+    * — the bounded-round contract [[labelPropagation]] uses, because a
+    * data-dependent convergence loop has no engine-replayable round
+    * count. In practice peeling converges in a handful of rounds; pick
+    * `rounds` ≥ the expected peel depth and assert convergence from the
+    * returned degrees (all ≥ k ⟺ converged).
+    *
+    * Shape per round: one partial-aggregable degree count (node, deg —
+    * never neighbor lists) + two semi-joins of the edge list against
+    * the |survivors| keep-set; lineage bounded by `rounds`, optional
+    * localCheckpoint for deep peels. Returns (node, degree). */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val und = edges.select(col(srcCol).cast("long").as("__a__"),
+        col(dstCol).cast("long").as("__b__"))
+      .filter(col("__a__") =!= col("__b__"))
+    var e = und.select(least(col("__a__"), col("__b__")).as("__a__"),
+      greatest(col("__a__"), col("__b__")).as("__b__")).distinct()
+    def degrees(ed: DataFrame) =
+      ed.select(col("__a__").as("__n__"))
+        .unionAll(ed.select(col("__b__").as("__n__")))
+        .groupBy(col("__n__")).agg(count(lit(1)).as("__dg__"))
+    for (i <- 1 to rounds) {
+      val keep = degrees(e).filter(col("__dg__") >= k).select(col("__n__"))
+      e = e.join(keep.select(col("__n__").as("__a__")), Seq("__a__"),
+          "left_semi")
+        .join(keep.select(col("__n__").as("__b__")), Seq("__b__"),
+          "left_semi")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+        e = e.localCheckpoint()
+    }
+    degrees(e).select(col("__n__").as("node"), col("__dg__").as("degree"))
+  }
+
   /** Degree assortativity of the undirected simple graph — "do hubs
     * link to hubs" (positive: social/collaboration structure; negative:
     * hub-and-spoke link farms, star spam). Newman's Pearson coefficient

@@ -311,6 +311,60 @@ object Profiling {
         round(lit(1.0) + col("n") / col("__s__"), 6).as("alpha"))
   }
 
+  /** Global quantile-bucket assignment over an INTEGRAL (quantize
+    * upstream — the [[prCurve]] posture) value column: each row gets
+    * `bucket` ∈ 1..|probs|+1, where the boundary for percentile p is
+    * the smallest value whose cumulative count crosses p% (exact
+    * integer cross-multiplication, no interpolation). The
+    * head/middle/tail splitter for quality scores (CCNet buckets at
+    * 33/66), latency tiers, activity bands.
+    *
+    * Shape: the corpus collapses map-side to the quantization-BOUNDED
+    * per-value count table; the cumulative runs over THAT table only
+    * (the prCurve discipline — an ntile over the raw rows would be a
+    * corpus-sized single-partition window); the |probs| boundary rows
+    * broadcast back and the bucket index is a per-row comparison sum.
+    * Ties share a value, so they always share a bucket — by
+    * construction, not by window luck. */
+  def quantileBuckets(df: DataFrame, valueCol: String,
+      probsPct: Seq[Int]): DataFrame = {
+    require(probsPct.nonEmpty &&
+      probsPct.forall(p => p >= 1 && p <= 99) &&
+      probsPct == probsPct.sorted && probsPct.distinct == probsPct,
+      s"probs must be sorted distinct percentages in [1, 99]: $probsPct")
+    val it = df.schema(valueCol).dataType
+    val integral = it match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral, s"quantileBuckets requires an integral value " +
+      s"(quantize upstream); '$valueCol' is $it")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perValue = df.groupBy(col(valueCol).cast("long").as("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v__").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val total = df.count()
+    val cum = perValue.withColumn("__cum__", sum(col("__c__")).over(wCum))
+    val probs = broadcast(probsPct.toDF("__p__"))
+    // |probs| boundary rows to the driver (the kmeans centroid-collect
+    // precedent), then the bucket index is pure per-row codegen
+    val bs: Seq[Long] = cum.join(probs,
+        col("__cum__") * 100 >= col("__p__") * total)
+      .groupBy(col("__p__")).agg(min(col("__v__")).as("__b__"))
+      .collect().map(_.getAs[Long]("__b__")).toSeq.sorted
+    val bucketCol = bs.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(valueCol).cast("long") > b, 1).otherwise(0)
+    }
+    df.withColumn("bucket", bucketCol.cast("int"))
+  }
+
   /** 2-D Pareto frontier (maximization skyline): the input rows NOT
     * dominated on `(xCol, yCol)` — row r dominates s iff `r.x ≥ s.x`,
     * `r.y ≥ s.y`, and at least one is strict. The multi-objective

@@ -665,6 +665,33 @@ object PipelineQueries {
         "event_type", "x", xmin = 2)
         .orderBy(col("event_type"))),
 
+    // bounded k-core peeling (k=2, 2 rounds) of the mod-97 quadratic
+    // functional graph — scale-stable (distinct residue pairs saturate
+    // at every SF) and leaves genuinely peel
+    "q185_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCorePeel(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .select((col("user_id") % 97).as("src"),
+            ((col("user_id") * col("user_id") + col("user_id") * 3) % 97)
+              .as("dst")).distinct(),
+        "src", "dst", k = 2, rounds = 2)
+        .orderBy(col("node"))),
+
+    // CCNet head/middle/tail: LM score → milli quantization → global
+    // 33/66 quantile buckets off the quantization-bounded histogram
+    // (never an ntile over the corpus)
+    "q186_ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = Corpus.lmScore(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text")
+        .withColumn("score_milli",
+          round(col("avg_neg_logprob") * 1000).cast("long"))
+        .select(col("doc_id"), col("score_milli"))
+      graft.ops.Profiling.quantileBuckets(scored, "score_milli",
+          Seq(33, 66))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -1629,6 +1656,25 @@ object PipelineQueries {
   private val langCaseFull: String =
     langCaseFor(graft.functions.TextImpls.fullStopwords, "lang_pred_full")
 
+  /** Shared CTE chain replaying [[graft.ops.Corpus.lmScore]] (train on
+    * lang='en', score every doc) up to the per-doc `agg` table + the
+    * `nv` scalars; q180 exports the score, q186 buckets it. */
+  private val lmScoreCtes: String =
+    """WITH tr AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'),
+      |    t -> length(t) > 0)) AS w FROM documents WHERE lang = 'en'),
+      |c AS (SELECT w, COUNT(1) AS c FROM tr GROUP BY 1),
+      |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(1) AS v FROM c),
+      |tok AS (SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'),
+      |    t -> length(t) > 0)) AS w FROM documents),
+      |j AS (SELECT doc_id, c.c AS c FROM tok LEFT JOIN c ON tok.w = c.w),
+      |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
+      |    CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov,
+      |    SUM(ln(COALESCE(c, 0) + 1)) AS sum_ln
+      |  FROM j GROUP BY 1)""".stripMargin
+
   private val simhashSql: String = {
     val th = s"list_transform(regexp_split_to_array(lower(text), '\\s+'), " +
       s"t -> ${dpolyhash("t")})"
@@ -1938,24 +1984,30 @@ object PipelineQueries {
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
     "q180_lm_score" ->
-      """WITH tr AS (SELECT unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'),
-        |    t -> length(t) > 0)) AS w FROM documents WHERE lang = 'en'),
-        |c AS (SELECT w, COUNT(1) AS c FROM tr GROUP BY 1),
-        |nv AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(1) AS v FROM c),
-        |tok AS (SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'),
-        |    t -> length(t) > 0)) AS w FROM documents),
-        |j AS (SELECT doc_id, c.c AS c FROM tok LEFT JOIN c ON tok.w = c.w),
-        |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
-        |    CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_oov,
-        |    SUM(ln(COALESCE(c, 0) + 1)) AS sum_ln
-        |  FROM j GROUP BY 1)
+      s"""$lmScoreCtes
         |SELECT doc_id, n_tokens, n_oov,
         |  ROUND((n_tokens * ln(nv.n + nv.v + 1) - sum_ln) / n_tokens, 6)
         |    AS avg_neg_logprob
         |FROM agg CROSS JOIN nv ORDER BY doc_id""".stripMargin,
+
+    "q186_ccnet_buckets" ->
+      s"""$lmScoreCtes,
+        |sc AS (SELECT doc_id, CAST(ROUND(ROUND((n_tokens *
+        |      ln(nv.n + nv.v + 1) - sum_ln) / n_tokens, 6) * 1000)
+        |    AS BIGINT) AS score_milli
+        |  FROM agg CROSS JOIN nv),
+        |pv AS (SELECT score_milli AS v, COUNT(1) AS c FROM sc GROUP BY 1),
+        |cm AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM pv),
+        |tot AS (SELECT COUNT(1) AS n FROM sc),
+        |bd AS (SELECT pp.p, MIN(v) AS b FROM cm CROSS JOIN tot
+        |  JOIN (SELECT unnest([33, 66]) AS p) pp ON cum * 100 >= pp.p * n
+        |  GROUP BY pp.p)
+        |SELECT sc.doc_id, sc.score_milli,
+        |  CAST(1 + SUM(CASE WHEN sc.score_milli > bd.b THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS bucket
+        |FROM sc CROSS JOIN bd GROUP BY 1, 2
+        |ORDER BY doc_id""".stripMargin,
 
     "q181_dsir" -> {
       val pw = dpolyhash("w")
@@ -2043,6 +2095,27 @@ object PipelineQueries {
         |  FROM f GROUP BY 1)
         |SELECT event_type, n, ROUND(1.0 + n / s, 6) AS alpha
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q185_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    LEAST(user_id % 97, (user_id * user_id + user_id * 3) % 97)
+        |      AS a,
+        |    GREATEST(user_id % 97, (user_id * user_id + user_id * 3) % 97)
+        |      AS b
+        |  FROM events
+        |  WHERE user_id % 97 <> (user_id * user_id + user_id * 3) % 97),
+        |d1 AS (SELECT n, COUNT(1) AS dg FROM (SELECT a AS n FROM e0
+        |    UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |k1 AS (SELECT n FROM d1 WHERE dg >= 2),
+        |e1 AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, COUNT(1) AS dg FROM (SELECT a AS n FROM e1
+        |    UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k2 AS (SELECT n FROM d2 WHERE dg >= 2),
+        |e2 AS (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2))
+        |SELECT n AS node, COUNT(1) AS degree FROM (SELECT a AS n FROM e2
+        |  UNION ALL SELECT b FROM e2) GROUP BY 1 ORDER BY node""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

@@ -133,6 +133,41 @@ class GraphSpec extends AnyFunSuite {
       ((0L, 0L)))
   }
 
+  test("kCorePeel: rounds peel leaves; enough rounds reach the exact 2-core") {
+    // triangle {1,2,3} + path tail 3-4-5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    def got(rounds: Int) = Graph.kCorePeel(e.toDF("s", "d"), "s", "d",
+        k = 2, rounds = rounds)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree"))
+      .toMap
+    // round 1 drops only the outer leaf (5); 4's degree falls to 1
+    assert(got(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // round 2 drops 4 → the triangle, all residual degrees >= k (converged)
+    assert(got(2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    graft.ops.Caches.releaseAll()
+    // pseudo-random graph: bounded peel at depth 10 ≡ the true 2-core
+    // fixpoint computed by a reference loop
+    val big = (0 until 300).map(i =>
+      ((i * 37 % 120).toLong, (i * 17 % 120 + i % 2).toLong))
+    var ref = big.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = (ref.map(_._1) ++ ref.map(_._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+      val next = ref.filter(p => deg(p._1) >= 2 && deg(p._2) >= 2)
+      changed = next.size != ref.size
+      ref = next
+    }
+    val wantDeg = (ref.map(_._1) ++ ref.map(_._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val deep = Graph.kCorePeel(big.toDF("s", "d"), "s", "d", 2, 10,
+      checkpointEvery = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == wantDeg)
+    graft.ops.Caches.releaseAll()
+  }
+
   test("assortativity: star graph -1 exactly, regular graph NULL r") {
     // hub 0 ↔ {1,2,3}: degrees (3,1,1,1); both orientations → m=6,
     // Σxy=18, Σx=12, Σx²=30 → r = (108−144)/(180−144) = −1

@@ -267,6 +267,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("quantileBuckets: exact crossing boundaries, ties share, float refusal") {
+    import spark.implicits._
+    val df = (1L to 10L).map(v => (v, v)).toDF("id", "v")
+    val got = graft.ops.Profiling.quantileBuckets(df, "v", Seq(30, 60))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket"))
+      .toMap
+    // boundaries: cum(3)=3 >= 30% of 10 → 3; cum(6)=6 >= 60% → 6
+    assert((1L to 3L).forall(got(_) == 1))
+    assert((4L to 6L).forall(got(_) == 2))
+    assert((7L to 10L).forall(got(_) == 3))
+    // ties always share a bucket: 7 copies of one value cross BOTH the
+    // 33% and 66% boundaries at once, so both boundaries collapse to 5,
+    // all duplicates stay in bucket 1, and bucket 2 is legitimately
+    // EMPTY — the 9s land in bucket 3
+    val ties = (Seq.fill(7)(5L) ++ Seq.fill(3)(9L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val tb = graft.ops.Profiling.quantileBuckets(ties, "v", Seq(33, 66))
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Int]("bucket")))
+      .distinct.sorted.toSeq
+    assert(tb == Seq((5L, 1), (9L, 3)), s"got $tb")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.quantileBuckets(
+        Seq((1L, 1.5)).toDF("id", "v"), "v", Seq(50))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("powerLawAlpha: CSN MLE hand values, xmin filter, absent keys") {
     import spark.implicits._
     val df = Seq(("k", 2L), ("k", 4L), ("k", 8L), ("k", 1L), // 1 < xmin
