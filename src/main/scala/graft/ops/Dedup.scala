@@ -542,6 +542,55 @@ object Dedup {
       s => concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*))
   }
 
+  /** Winnowing fingerprints (the MOSS local document-fingerprinting
+    * scheme, Schleimer–Wilkerson–Aiken SIGMOD'03): over the positional
+    * word k-shingle hash sequence, every window of `w` consecutive
+    * hashes selects its minimum — rightmost position on ties — and the
+    * distinct (position, hash) selections are the document's
+    * fingerprint set. The winnowing guarantee: any shared token run of
+    * length ≥ w + k − 1 between two documents yields at least one
+    * shared fingerprint, while only ~2/(w+1) of all shingles are kept —
+    * the density/recall dial exact-substring dedup at corpus scale
+    * needs (store fingerprints, not shingle sets).
+    *
+    * Shape: one narrow projection materializes the codegen'd hash array
+    * ([[graft.functions.NativeHashes.shingle_hashes]]) so the window
+    * lambdas reference an attribute, not a recomputed subtree (the
+    * [[wordShingles]] O(len²) trap); the per-window rightmost-min is a
+    * single O(w) index fold. Entirely per-row until the final explode —
+    * no shuffle, streams unchanged at any corpus size.
+    *
+    * Returns (idCol, pos, h): 1-based shingle position and hash of each
+    * selected fingerprint. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    require(w >= 1, s"window size must be >= 1, got $w")
+    val hashed = df.select(col(idCol),
+      graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), k).as("__hs__"))
+    val hs = col("__hs__")
+    val m = size(hs)
+    // window starts j = 1 .. max(m − w + 1, 1); a short document's single
+    // window just spans what exists
+    val sel = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
+      j => {
+        val jend = least(j + (w - 1), m)
+        // rightmost-min fold over the window's index range: <= keeps the
+        // later position among equal hashes (the MOSS tie rule)
+        val best = aggregate(sequence(j, jend),
+          struct(lit(Long.MaxValue).as("v"), lit(0).as("p")),
+          (acc, i) =>
+            when(element_at(hs, i) <= acc.getField("v"),
+              struct(element_at(hs, i).as("v"), i.as("p")))
+              .otherwise(acc))
+        struct(best.getField("p").as("pos"), best.getField("v").as("h"))
+      })
+    hashed
+      .select(col(idCol), explode(array_distinct(sel)).as("__fp__"))
+      .select(col(idCol), col("__fp__.pos").as("pos"), col("__fp__.h").as("h"))
+  }
+
   /** Fixed permutation parameters (a·h + b mod P) for MinHash. Deterministic
     * — any engine replaying the same parameters gets the same signature. */
   val MinhashP: Long = 2147483647L // 2^31 - 1

@@ -133,6 +133,38 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over the undirected simple
+    * graph: `2·T(v) / (d(v)·(d(v)−1))` — the fraction of a node's
+    * neighbor pairs that are themselves linked. The standard
+    * neighborhood-cohesion signal next to raw [[triangleCounts]]:
+    * link farms score near 1.0 (everything interlinks), organic hubs
+    * near 0 (their neighbors don't know each other).
+    *
+    * Shape: [[triangleCounts]]' degree-oriented wedge join (bounded by
+    * E^1.5, never Σdeg²) left-joined back onto the degree table, so
+    * every node appears — triangle-free nodes with coefficient 0,
+    * degree-1 nodes with NULL (undefined: no neighbor pairs exist).
+    * The exact integer pair (n_triangles, degree) rides alongside the
+    * rounded coefficient; division is presentation. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg.join(tri, deg("n") === tri("node"), "left")
+      .select(deg("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("d") * (col("d") - 1)).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("coefficient"))
+  }
+
   /** Directed-graph reciprocity — the mutual-link rate (follows-back
     * ratio in social graphs, mutual-citation rate in link graphs; link
     * farms sit at the extremes): distinct non-loop directed edges

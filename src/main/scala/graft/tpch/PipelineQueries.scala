@@ -692,6 +692,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MOSS winnowing fingerprints: word 3-shingle hashes, window w=4,
+    // rightmost-min selection — the local fingerprinting scheme whose
+    // guarantee (shared runs >= w+k-1 tokens always share a print)
+    // makes exact-substring dedup storable at ~2/(w+1) density
+    "q187_winnowing" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // per-node local clustering coefficient of the q131 bipartite-ish
+    // part/supp residue graph: exact (degree, n_triangles) integers +
+    // the rounded 2T/d(d-1) presentation ratio
+    "q188_clustering_coeff" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(pmod(col("l_partkey"), lit(50L)).as("a"),
+          pmod(col("l_suppkey"), lit(50L)).as("b"))
+      graft.ops.Graph.clusteringCoefficient(e, "a", "b")
+        .orderBy(col("node"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2116,6 +2136,53 @@ object PipelineQueries {
         |  WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2))
         |SELECT n AS node, COUNT(1) AS degree FROM (SELECT a AS n FROM e2
         |  UNION ALL SELECT b FROM e2) GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q187_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ${dshingleHashesK("coalesce(text, '')", 3)} AS hs
+         |  FROM documents),
+         |u AS (SELECT doc_id, hs, len(hs) AS m FROM t),
+         |wins AS (SELECT doc_id, hs, m,
+         |    unnest(generate_series(1, GREATEST(m - 3, 1))) AS j FROM u),
+         |b AS (SELECT doc_id, hs, j, LEAST(j + 3, m) AS jj FROM wins),
+         |sel AS (SELECT doc_id,
+         |    CAST(list_max(list_filter(generate_series(j, jj),
+         |      i -> hs[i] = list_min(hs[j:jj]))) AS INTEGER) AS pos,
+         |    list_min(hs[j:jj]) AS h
+         |  FROM b)
+         |SELECT DISTINCT doc_id, pos, h FROM sel
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q188_clustering_coeff" ->
+      """WITH raw AS (SELECT l_partkey % 50 AS a, l_suppkey % 50 AS b
+        |  FROM lineitem WHERE l_partkey % 50 <> l_suppkey % 50),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM raw),
+        |deg AS (SELECT n, COUNT(1) AS d FROM (
+        |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN v ELSE u END AS t
+        |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |wedge AS (SELECT w1.s, w1.t AS x, w2.t AS y
+        |  FROM ori w1 JOIN ori w2 ON w1.s = w2.s AND w1.t < w2.t),
+        |tri AS (SELECT s, x, y FROM wedge
+        |  JOIN und ON und.u = x AND und.v = y),
+        |tcnt AS (SELECT node, COUNT(1) AS n_triangles FROM (
+        |  SELECT s AS node FROM tri
+        |  UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
+        |GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |  COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    ROUND(2.0 * COALESCE(t.n_triangles, 0)
+        |      / (deg.d * (deg.d - 1)), 6)
+        |  ELSE NULL END AS coefficient
+        |FROM deg LEFT JOIN tcnt t ON t.node = deg.n
+        |ORDER BY node""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

@@ -223,4 +223,39 @@ class GraphSpec extends AnyFunSuite {
     assert(a == lpaRef(big, 5))
     graft.ops.Caches.releaseAll()
   }
+
+  test("clusteringCoefficient: square + diagonal, hand-computed") {
+    // square 1-2-3-4 with diagonal (1,3) → triangles (1,2,3), (1,3,4);
+    // isolated edge (5,6) → degree-1 nodes get NULL (undefined), not 0.
+    // duplicate/reversed/self-loop edges must normalize away.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (3L, 2L), (4L, 4L), (5L, 6L))
+    val got = Graph.clusteringCoefficient(e.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          Option(r.getAs[java.lang.Double]("coefficient"))))).toMap
+    assert(got(1L) == (3L, 2L, Some(0.666667)))
+    assert(got(2L) == (2L, 1L, Some(1.0)))
+    assert(got(3L) == (3L, 2L, Some(0.666667)))
+    assert(got(4L) == (2L, 1L, Some(1.0)))
+    assert(got(5L) == (1L, 0L, None))
+    assert(got(6L) == (1L, 0L, None))
+    assert(got.size == 6)
+  }
+
+  test("clusteringCoefficient: complete graph is all-1.0, star is all-0") {
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    val gotK = Graph.clusteringCoefficient(k5.toDF("s", "d"), "s", "d")
+      .collect()
+    assert(gotK.length == 5)
+    assert(gotK.forall(_.getAs[Double]("coefficient") == 1.0))
+    assert(gotK.forall(_.getAs[Long]("n_triangles") == 6L)) // C(4,2)
+    // star: hub's neighbors never interlink → hub coefficient 0.0
+    val star = (1L to 6L).map(i => (0L, i))
+    val gotS = Graph.clusteringCoefficient(star.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Double]("coefficient"))).toMap
+    assert(gotS(0L) == Some(0.0))
+    (1L to 6L).foreach(i => assert(gotS(i).isEmpty))
+  }
 }

@@ -1190,4 +1190,73 @@ class OpsSpec extends AnyFunSuite {
     assert(got("d") == ((16129L, 1L, 3)))
     assert(!got.contains("c")) // topM = 3 cuts the fourth item
   }
+
+  /** Independent winnowing reference over the shared hash primitive:
+    * every window of w shingle hashes keeps its rightmost minimum. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val hs = HashImpls.shingleHashes(text, k)
+    val m = hs.length
+    (1 to math.max(m - (w - 1), 1)).map { j =>
+      val jend = math.min(j + (w - 1), m)
+      var bv = Long.MaxValue; var bp = 0
+      for (i <- j to jend) if (hs(i - 1) <= bv) { bv = hs(i - 1); bp = i }
+      (bp, bv)
+    }.toSet
+  }
+
+  test("winnowFingerprints ≡ brute-force reference, incl. tie + short docs") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "a b a b a b a b a b",      // repeated shingles force hash ties
+      3L -> "one two three",            // exactly one shingle window
+      4L -> "solo",                     // fewer tokens than k
+      5L -> "")                         // empty text
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("pos"), r.getAs[Long]("h"))))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    texts.foreach { case (id, t) =>
+      assert(got(id) == winnowRef(t, 3, 4), s"doc $id")
+    }
+    // null text behaves as empty, not as a dropped row
+    val nullGot = Dedup.winnowFingerprints(
+      Seq((9L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, w = 4).collect()
+    assert(nullGot.length == 1 &&
+      nullGot.head.getAs[Long]("h") == HashImpls.shingleHashes("", 3)(0))
+  }
+
+  test("winnowing guarantee: shared run >= w+k-1 tokens shares a print") {
+    // docs share the 6-token run (w + k - 1 = 6) inside unrelated text
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"xx yy $shared zz ww"),
+      (2L, s"pp $shared qq rr ss tt")).toDF("doc_id", "text")
+    val prints = Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    val h1 = prints.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = prints.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.intersect(h2).nonEmpty)
+    // density: never more prints than windows, always >= 1 per doc
+    val counts = prints.groupBy(_._1).map(_._2.length)
+    assert(counts.forall(_ >= 1))
+  }
+
+  test("winnowFingerprints plan: per-row until explode, no exchange") {
+    // parquet-backed input — a literal local relation constant-folds the
+    // whole projection away and hides the shape under test (and the
+    // shared `docs` fixture's limit(100) would inject its own exchange)
+    val full = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.winnowFingerprints(full, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the hash array is materialized once; the window lambdas reference
+    // the attribute (no per-window re-tokenization of the document)
+    assert(plan.contains("shinglehashesexpr"), plan)
+    assert(plan.split("shinglehashesexpr").length == 2,
+      "shinglehashesexpr must appear exactly once in the plan:\n" + plan)
+  }
 }
