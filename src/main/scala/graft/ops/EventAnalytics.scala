@@ -665,4 +665,57 @@ object EventAnalytics {
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
         col("n_b"))
   }
+
+  /** Item–item co-occurrence with pointwise mutual information over
+    * (key, item) presence — the co-engagement signal behind
+    * item-to-item recommendation and distributional association mining:
+    * `pmi(a,b) = ln(n_ab·N / (n_a·n_b))` over distinct keys, where N
+    * counts the keys surviving the activity cap. Positive PMI = the
+    * pair co-occurs more than independent popularity predicts.
+    *
+    * Scale shape: the pair fan-out of a key with n items is n(n−1)/2,
+    * so `maxItemsPerKey` drops hyperactive keys BEFORE the self-join
+    * (the standard practice — a crawler hitting every item carries no
+    * association signal and alone would dominate the pair volume);
+    * after the cap, volume is ≤ C(cap, 2)·|keys| and every aggregate
+    * is partial (map-side combine). Marginals and N are computed on
+    * the SAME capped key set, keeping the contingency table
+    * consistent. Only ids and counts shuffle.
+    *
+    * Returns (item_a, item_b, n_ab, n_a, n_b, n_keys, pmi): the exact
+    * integer contingency plus the rounded-6 PMI (division and log are
+    * presentation; the integers are the engine-identical truth). */
+  def cooccurrencePmi(df: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int = 100, minPairCount: Long = 1): DataFrame = {
+    require(maxItemsPerKey >= 2, s"cap must allow pairs, got $maxItemsPerKey")
+    val ki = df.select(col(keyCol).as("__k__"), col(itemCol).as("__i__"))
+      .filter(col("__k__").isNotNull && col("__i__").isNotNull)
+      .distinct()
+    val kept = ki.join(
+      ki.groupBy(col("__k__")).agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__") <= maxItemsPerKey).select(col("__k__")),
+      Seq("__k__"))
+    val nKeys = kept.select(col("__k__")).distinct()
+      .agg(count(lit(1)).as("n_keys"))
+    val marg = kept.groupBy(col("__i__")).agg(count(lit(1)).as("__m__"))
+    val pairs = kept.select(col("__k__"), col("__i__").as("item_a"))
+      .join(kept.select(col("__k__"), col("__i__").as("item_b")),
+        Seq("__k__"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    // no broadcast hint on the marginals: |items| is unbounded (unlike
+    // audienceOverlap's enum-typed sizes) — AQE broadcasts when small
+    pairs
+      .join(marg.select(col("__i__").as("item_a"),
+        col("__m__").as("n_a")), Seq("item_a"))
+      .join(marg.select(col("__i__").as("item_b"),
+        col("__m__").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_keys"),
+        round(log((col("n_ab") * col("n_keys")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+  }
 }

@@ -24,6 +24,46 @@ object Fuzzy {
         concat(substr(key, lit(1), i - 1),
           substr(key, i + 1, length(key))))))
 
+  /** Sorted-neighborhood blocking (the Hernández–Stolfo merge/purge
+    * candidate generator): within each block, records sort by
+    * `sortCols` (then id, for a total order) and every record pairs
+    * with the next `w − 1` records in that order — the linkage
+    * candidate set when similar records land near each other under a
+    * well-chosen sort key (name prefix, normalized address, size).
+    * Complements the equi-join generators ([[fuzzyPairs]],
+    * [[prefixFilterJaccardPairs]]): O(n·w) candidates instead of
+    * per-key quadratic, at the price of sort-key design.
+    *
+    * Shape: ONE hash shuffle on the block key + a per-block sort —
+    * the window carries `w − 1` `lead` columns in a single pass, and
+    * the pair explode is per-row. Blocks are the unit of parallelism;
+    * an unbounded block (empty `blockCols` = one global sort) is the
+    * caller's scale decision — sub-block with a coarser prefix when a
+    * block outgrows one task. Nulls sort LAST (both engines' SQL
+    * default), so null-keyed records still pair among themselves at
+    * the tail rather than silently vanishing.
+    *
+    * Returns blockCols + (id_a, id_b, gap): gap ∈ [1, w−1] is the sort
+    * distance — rank-adjacent pairs (gap 1) are the strongest
+    * candidates. */
+  def sortedNeighborhood(df: DataFrame, idCol: String,
+      blockCols: Seq[String], sortCols: Seq[String], w: Int): DataFrame = {
+    require(w >= 2, s"window must cover at least 2 records, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val ord = sortCols.map(c => col(c).asc_nulls_last) :+
+      col(idCol).asc_nulls_last
+    val win = Window.partitionBy(blockCols.map(col): _*).orderBy(ord: _*)
+    val leads = (1 until w).map(g =>
+      struct(lead(col(idCol), g).over(win).as("id_b"),
+        lit(g).as("gap")).as(s"__l$g"))
+    df.select(blockCols.map(col) ++ Seq(col(idCol)) ++ leads: _*)
+      .select(blockCols.map(col) ++ Seq(col(idCol).as("id_a"),
+        explode(array((1 until w).map(g => col(s"__l$g")): _*)).as("__p__")): _*)
+      .filter(col("__p__.id_b").isNotNull)
+      .select(blockCols.map(col) ++ Seq(col("id_a"),
+        col("__p__.id_b").as("id_b"), col("__p__.gap").as("gap")): _*)
+  }
+
   /** Edit-distance-≤1 pair join (same-column self-join flavor): all
     * `(id_a < id_b)` pairs whose keys are within Levenshtein distance 1
     * — the fuzzy-key dedup for titles, handles, product codes. The

@@ -712,6 +712,31 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // sorted-neighborhood blocking: within each lang block, docs sort
+    // by (n_chars, doc_id) and pair with the next 2 records — O(n·w)
+    // linkage candidates, no equi-key needed
+    "q189_sorted_neighborhood" -> ((s, dir) =>
+      graft.ops.Fuzzy.sortedNeighborhood(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", Seq("lang"), Seq("n_chars"), w = 3)
+        .orderBy(col("lang"), col("id_a"), col("gap"))),
+
+    // item co-occurrence PMI over (user, purchased props.k) presence:
+    // the item2item co-engagement signal. Purchases keep the per-user
+    // item set scale-STABLE (median 12, max ~25 at every SF — clicks
+    // saturate toward the whole catalog as SF grows), so the 20-item
+    // activity cap binds on the hyperactive tail at every scale
+    "q190_cooccurrence" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+            .cast("long").as("item"))
+      EventAnalytics.cooccurrencePmi(ev, "user_id", "item",
+          maxItemsPerKey = 20, minPairCount = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2183,6 +2208,43 @@ object PipelineQueries {
         |  ELSE NULL END AS coefficient
         |FROM deg LEFT JOIN tcnt t ON t.node = deg.n
         |ORDER BY node""".stripMargin,
+
+    "q189_sorted_neighborhood" ->
+      """WITH l AS (SELECT lang, doc_id AS id_a,
+        |    LEAD(doc_id, 1) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS b1,
+        |    LEAD(doc_id, 2) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS b2
+        |  FROM documents)
+        |SELECT lang, id_a, id_b, gap FROM (
+        |  SELECT lang, id_a, b1 AS id_b, 1 AS gap FROM l
+        |  UNION ALL SELECT lang, id_a, b2 AS id_b, 2 AS gap FROM l)
+        |WHERE id_b IS NOT NULL
+        |ORDER BY lang, id_a, gap""".stripMargin,
+
+    "q190_cooccurrence" ->
+      """WITH ki AS (SELECT DISTINCT user_id AS k,
+        |    CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+        |      AS BIGINT) AS i
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+        |      IS NOT NULL),
+        |sz AS (SELECT k, COUNT(1) AS n FROM ki GROUP BY 1),
+        |kept AS (SELECT ki.k, ki.i FROM ki JOIN sz USING (k)
+        |  WHERE sz.n <= 20),
+        |nk AS (SELECT COUNT(DISTINCT k) AS n_keys FROM kept),
+        |marg AS (SELECT i, COUNT(1) AS m FROM kept GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(1) AS n_ab
+        |  FROM kept a JOIN kept b ON a.k = b.k AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 2)
+        |SELECT item_a, item_b, n_ab, ma.m AS n_a, mb.m AS n_b,
+        |  nk.n_keys,
+        |  ROUND(LN(CAST(n_ab * nk.n_keys AS DOUBLE)
+        |    / CAST(ma.m * mb.m AS DOUBLE)), 6) AS pmi
+        |FROM p JOIN marg ma ON ma.i = p.item_a
+        |JOIN marg mb ON mb.i = p.item_b
+        |CROSS JOIN nk ORDER BY item_a, item_b""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

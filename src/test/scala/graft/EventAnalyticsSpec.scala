@@ -543,4 +543,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // only intersecting pairs appear; each unordered pair once
     assert(got == Map(("t1", "t2") -> ((1L, 2L, 2L))))
   }
+
+  test("cooccurrencePmi: hand-computed contingency, cap and min-count") {
+    import spark.implicits._
+    // k1:{a,b} k2:{a,b} k3:{a} k4:{c,d}; k5 holds 4 items and the cap
+    // of 3 drops it entirely (its items never reach marginals or N).
+    // duplicate (key, item) rows collapse via presence-distinct.
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "c"), (4L, "d"),
+      (5L, "a"), (5L, "b"), (5L, "c"), (5L, "d")
+    ).toDF("k", "item")
+    val got = EventAnalytics.cooccurrencePmi(df, "k", "item",
+        maxItemsPerKey = 3, minPairCount = 1)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("n_keys"),
+          r.getAs[Double]("pmi")))).toMap
+    // N=4 kept keys; marg a:3 b:2 c:1 d:1
+    assert(got(("a", "b")) ==
+      ((2L, 3L, 2L, 4L, math.round(math.log(8.0 / 6.0) * 1e6) / 1e6)))
+    assert(got(("c", "d")) == ((1L, 1L, 1L, 4L, 1.386294)))
+    assert(got.size == 2)
+    // minPairCount=2 keeps only the repeated pair
+    val strict = EventAnalytics.cooccurrencePmi(df, "k", "item",
+        maxItemsPerKey = 3, minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(strict.toSeq == Seq(("a", "b")))
+  }
+
+  test("cooccurrencePmi plan: partial-aggregated pair count, no cartesian") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("k", "item")
+    val plan = EventAnalytics.cooccurrencePmi(df, "k", "item")
+      .queryExecution.executedPlan.toString
+    // the single-row N table is the only nested-loop input (broadcast
+    // cross of 1 row); the pair join itself must be an equi-join
+    assert(plan.contains("partial_count"), plan)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nested <= 1, s"only the 1-row N cross join may nest:\n" + plan)
+  }
 }

@@ -155,4 +155,40 @@ class FuzzySpec extends AnyFunSuite {
       maxDf = 2L, pctMin = 50)
     assert(got.count() == 0, "boilerplate-only overlap must not pair")
   }
+
+  test("sortedNeighborhood: per-block sort order, window pairs, gaps") {
+    import spark.implicits._
+    // block A sorts by (size, id): 3(5) < 1(7) < 4(7) < 2(9); block B
+    // has a single record (no pairs); null size sorts LAST in block A
+    val df = Seq(
+      (1L, "A", java.lang.Long.valueOf(7L)),
+      (2L, "A", java.lang.Long.valueOf(9L)),
+      (3L, "A", java.lang.Long.valueOf(5L)),
+      (4L, "A", java.lang.Long.valueOf(7L)),
+      (5L, "B", java.lang.Long.valueOf(1L)),
+      (6L, "A", null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "blk", "size")
+    val got = Fuzzy.sortedNeighborhood(df, "id", Seq("blk"), Seq("size"), 3)
+      .collect()
+      .map(r => (r.getAs[String]("blk"), r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"), r.getAs[Int]("gap"))).toSet
+    // order in A: 3, 1, 4, 2, 6(null last)
+    assert(got == Set(
+      ("A", 3L, 1L, 1), ("A", 3L, 4L, 2),
+      ("A", 1L, 4L, 1), ("A", 1L, 2L, 2),
+      ("A", 4L, 2L, 1), ("A", 4L, 6L, 2),
+      ("A", 2L, 6L, 1)))
+  }
+
+  test("sortedNeighborhood plan: one block-key shuffle, single window") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Fuzzy.sortedNeighborhood(df, "doc_id", Seq("lang"),
+        Seq("n_chars"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length == 2,
+      "exactly one exchange (block-key hash):\n" + plan)
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(plan.split("Window").length == 2,
+      "the w-1 leads ride one window pass:\n" + plan)
+  }
 }
