@@ -1148,4 +1148,68 @@ object Corpus {
         }
       }.toDF(idCol, "phrase", "n")
   }
+
+  /** χ²-scored distinctive keywords per class — the "which words
+    * characterize THIS source/language against the rest" signal
+    * (complementing [[tfidfKeywords]], which scores within a document,
+    * not across classes). For each (word, class), the 2×2 document-
+    * frequency contingency (in-class-with-word n11, elsewhere-with-word
+    * n10, in-class-without n01, elsewhere-without n00) scores
+    * `χ² = N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00))`,
+    * and the top `topK` words per class survive (χ² desc, word asc).
+    *
+    * Shape: distinct per-doc word presence explodes once, then three
+    * partial-aggregable counts (word-class cells, word df, class
+    * sizes); the χ² arithmetic is per-row from exact integers (cast to
+    * double in ONE fixed expression order — engine-identical), and the
+    * per-class top-k is a rank window over |classes| partitions that
+    * `WindowGroupLimit` prunes map-side. `minDf` drops hapax words
+    * before the cells table forms. Returns (class, word, n11, df,
+    * class_n, n_docs, chi2, rank). */
+  def chi2Keywords(df: DataFrame, idCol: String, classCol: String,
+      textCol: String, topK: Int = 5, minDf: Long = 2): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.select(col(idCol).as("__id__"),
+      col(classCol).cast("string").as("__cls__"),
+      array_distinct(tokensOf(textCol)).as("__ws__"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val classN = base.groupBy(col("__cls__"))
+      .agg(count(lit(1)).as("class_n"))
+    val pres = base.select(col("__cls__"), col("__id__"),
+      explode(col("__ws__")).as("__w__"))
+    val cells = pres.groupBy(col("__w__"), col("__cls__"))
+      .agg(count(lit(1)).as("n11"))
+    val wordDf = cells.groupBy(col("__w__"))
+      .agg(sum(col("n11")).as("df"))
+      .filter(col("df") >= minDf)
+    val scored = cells
+      .join(wordDf, Seq("__w__"))
+      .join(broadcast(classN), Seq("__cls__"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__n10__", col("df") - col("n11"))
+      .withColumn("__n01__", col("class_n") - col("n11"))
+      .withColumn("__n00__",
+        col("n_docs") - col("df") - col("class_n") + col("n11"))
+      .withColumn("chi2", round(
+        col("n_docs").cast("double") *
+          ((col("n11") * col("__n00__") - col("__n10__") * col("__n01__"))
+            .cast("double") *
+           (col("n11") * col("__n00__") - col("__n10__") * col("__n01__"))
+            .cast("double")) /
+          (col("df").cast("double") *
+           (col("n_docs") - col("df")).cast("double") *
+           col("class_n").cast("double") *
+           (col("n_docs") - col("class_n")).cast("double")), 6))
+      // degenerate margins (word in every doc / single-class corpus)
+      // have zero variance — χ² undefined, dropped
+      .filter(col("df") < col("n_docs") && col("class_n") < col("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cls__"))
+      .orderBy(col("chi2").desc, col("__w__").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("__cls__").as(classCol), col("__w__").as("word"),
+        col("n11"), col("df"), col("class_n"), col("n_docs"),
+        col("chi2"), col("rank"))
+  }
 }

@@ -434,4 +434,61 @@ object Profiling {
     df.join(broadcast(frontier),
       x === col("__x__") && y === col("__maxy__"), "left_semi")
   }
+
+  /** Information gain of each candidate feature column against the
+    * label — the decision-stump feature-selection score (which metadata
+    * field actually predicts quality/topic): `gain(F) = H(L) − H(L|F)`
+    * in bits, over the rows where both are non-null. Features and
+    * labels are treated as categoricals; bucketize continuous columns
+    * upstream.
+    *
+    * Shape: one explode melts the row into |features| (feature, value)
+    * rows, then everything is three partial-aggregable counts — cells
+    * (feature, value, label), per-(feature, value) totals, per-feature
+    * label marginals — and the entropies fold over cell counts with
+    * `Σ c·log2(c)` terms (each term exact-from-integers; the ≤ dozens-
+    * of-cells summation is the only float accumulation, rounded to 6).
+    * Nothing wide shuffles; output is |features| rows.
+    *
+    * Returns (feature, n, h_label, h_cond, gain), entropies in bits
+    * rounded to 6. */
+  def infoGain(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val melted = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__l__"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+          .as("__fv__"))
+      .filter(col("__fv__.v").isNotNull)
+      .select(col("__fv__.f").as("__f__"), col("__fv__.v").as("__v__"),
+        col("__l__"))
+    val cells = melted.groupBy(col("__f__"), col("__v__"), col("__l__"))
+      .agg(count(lit(1)).as("__c__"))
+    // H(L|F) = log2(n) − (Σ_v c_v·log2(c_v))/n
+    //          − [log2(n) − (Σ_vl c_vl·log2(c_vl))/n]-style folding:
+    // both entropies use the c·log2(c) identity so every term derives
+    // from one exact integer count
+    val perFv = cells.groupBy(col("__f__"), col("__v__"))
+      .agg(sum(col("__c__")).as("__cv__"),
+        sum(col("__c__").cast("double") * log2(col("__c__"))).as("__scl__"))
+    val perF = perFv.groupBy(col("__f__")).agg(
+      sum(col("__cv__")).as("n"),
+      // Σ_v c_v·log2(c_v) and Σ_vl c_vl·log2(c_vl)
+      sum(col("__cv__").cast("double") * log2(col("__cv__"))).as("__sv__"),
+      sum(col("__scl__")).as("__svl__"))
+    // label marginals per feature (features may drop different null rows)
+    val perL = cells.groupBy(col("__f__"), col("__l__"))
+      .agg(sum(col("__c__")).as("__cl__"))
+      .groupBy(col("__f__"))
+      .agg(sum(col("__cl__").cast("double") * log2(col("__cl__")))
+        .as("__sl__"))
+    perF.join(perL, Seq("__f__"))
+      .select(col("__f__").as("feature"), col("n"),
+        round(log2(col("n")) - col("__sl__") / col("n"), 6).as("h_label"),
+        round((col("__sv__") - col("__svl__")) / col("n"), 6).as("h_cond"),
+        round((log2(col("n")) - col("__sl__") / col("n")) -
+          (col("__sv__") - col("__svl__")) / col("n"), 6).as("gain"))
+  }
 }

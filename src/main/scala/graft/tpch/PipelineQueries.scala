@@ -737,6 +737,27 @@ object PipelineQueries {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // decision-stump information gain: which candidate feature predicts
+    // the embedding label — sign-of-dimension features carry signal,
+    // the id-parity control sits at ~0 bits
+    "q191_info_gain" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("label"),
+        (element_at(col("embedding"), 1) > 0).as("dim1_pos"),
+        (element_at(col("embedding"), 2) > 0).as("dim2_pos"),
+        (col("vec_id") % 2 === 0).as("id_parity"))
+      graft.ops.Profiling.infoGain(e,
+          Seq("dim1_pos", "dim2_pos", "id_parity"), "label")
+        .orderBy(col("feature"))
+    }),
+
+    // χ² distinctive keywords per source: cross-class contrast (vs
+    // q86's within-doc tf-idf) — top-5 words whose document frequency
+    // is most skewed toward one source
+    "q192_chi2_keywords" -> ((s, dir) =>
+      Corpus.chi2Keywords(docs(s, dir), "doc_id", "source", "text",
+          topK = 5, minDf = 2)
+        .orderBy(col("source"), col("rank"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2245,6 +2266,67 @@ object PipelineQueries {
         |FROM p JOIN marg ma ON ma.i = p.item_a
         |JOIN marg mb ON mb.i = p.item_b
         |CROSS JOIN nk ORDER BY item_a, item_b""".stripMargin,
+
+    "q191_info_gain" ->
+      """WITH m AS (
+        |  SELECT 'dim1_pos' AS f, CAST(embedding[1] > 0 AS VARCHAR) AS v,
+        |    CAST(label AS VARCHAR) AS l FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'dim2_pos', CAST(embedding[2] > 0 AS VARCHAR),
+        |    CAST(label AS VARCHAR) FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding[2] IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'id_parity', CAST(vec_id % 2 = 0 AS VARCHAR),
+        |    CAST(label AS VARCHAR) FROM embeddings
+        |  WHERE label IS NOT NULL AND vec_id IS NOT NULL),
+        |cells AS (SELECT f, v, l, COUNT(1) AS c FROM m GROUP BY 1, 2, 3),
+        |perfv AS (SELECT f, v, CAST(SUM(c) AS BIGINT) AS cv,
+        |    SUM(CAST(c AS DOUBLE) * log2(c)) AS scl
+        |  FROM cells GROUP BY 1, 2),
+        |perf AS (SELECT f, CAST(SUM(cv) AS BIGINT) AS n,
+        |    SUM(CAST(cv AS DOUBLE) * log2(cv)) AS sv,
+        |    SUM(scl) AS svl
+        |  FROM perfv GROUP BY 1),
+        |perl AS (SELECT f,
+        |    SUM(CAST(cl AS DOUBLE) * log2(cl)) AS sl
+        |  FROM (SELECT f, l, CAST(SUM(c) AS BIGINT) AS cl
+        |    FROM cells GROUP BY 1, 2) GROUP BY 1)
+        |SELECT f AS feature, n,
+        |  ROUND(log2(n) - sl / n, 6) AS h_label,
+        |  ROUND((sv - svl) / n, 6) AS h_cond,
+        |  ROUND((log2(n) - sl / n) - (sv - svl) / n, 6) AS gain
+        |FROM perf JOIN perl USING (f) ORDER BY feature""".stripMargin,
+
+    "q192_chi2_keywords" ->
+      """WITH base AS (SELECT doc_id, CAST(source AS VARCHAR) AS cls,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |      x -> x <> '')) AS ws
+        |  FROM documents),
+        |nd AS (SELECT COUNT(1) AS n_docs FROM base),
+        |cn AS (SELECT cls, COUNT(1) AS class_n FROM base GROUP BY 1),
+        |pres AS (SELECT cls, doc_id, unnest(ws) AS w FROM base),
+        |cells AS (SELECT w, cls, COUNT(1) AS n11 FROM pres GROUP BY 1, 2),
+        |wdf AS (SELECT w, CAST(SUM(n11) AS BIGINT) AS df FROM cells
+        |  GROUP BY 1 HAVING SUM(n11) >= 2),
+        |sc AS (SELECT cells.cls, cells.w, n11, df, class_n, n_docs,
+        |    ROUND(CAST(n_docs AS DOUBLE) *
+        |      (CAST(n11 * (n_docs - df - class_n + n11)
+        |          - (df - n11) * (class_n - n11) AS DOUBLE) *
+        |       CAST(n11 * (n_docs - df - class_n + n11)
+        |          - (df - n11) * (class_n - n11) AS DOUBLE)) /
+        |      (CAST(df AS DOUBLE) * CAST(n_docs - df AS DOUBLE) *
+        |       CAST(class_n AS DOUBLE) *
+        |       CAST(n_docs - class_n AS DOUBLE)), 6) AS chi2
+        |  FROM cells JOIN wdf USING (w)
+        |  JOIN cn ON cn.cls = cells.cls CROSS JOIN nd
+        |  WHERE df < n_docs AND class_n < n_docs)
+        |SELECT cls AS source, w AS word, n11, df, class_n, n_docs, chi2,
+        |  CAST(rnk AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
+        |    ORDER BY chi2 DESC, w ASC) AS rnk FROM sc)
+        |WHERE rnk <= 5 ORDER BY source, rank""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

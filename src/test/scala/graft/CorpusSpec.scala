@@ -778,4 +778,44 @@ class CorpusSpec extends AnyFunSuite {
         r.getAs[Long]("group_n")).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L))
   }
+
+  test("chi2Keywords: hand-computed 2x2 contingencies, minDf, ranks") {
+    import spark.implicits._
+    // 'apple' exclusive to A, 'dog' exclusive to B → χ² = 4·(2·2)²/2⁴ =
+    // 4.0; 'banana' spread evenly → χ² = 0; 'cherry'/'egg' are hapax
+    // (df=1) and minDf=2 drops them before scoring
+    val df = Seq(
+      (1L, "A", "apple banana"), (2L, "A", "apple cherry"),
+      (3L, "B", "dog banana"), (4L, "B", "dog egg")
+    ).toDF("doc_id", "cls", "text")
+    val got = Corpus.chi2Keywords(df, "doc_id", "cls", "text",
+        topK = 5, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n11"), r.getAs[Long]("df"),
+          r.getAs[Long]("class_n"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("chi2"), r.getAs[Int]("rank")))).toMap
+    assert(got(("A", "apple")) == ((2L, 2L, 2L, 4L, 4.0, 1)))
+    assert(got(("A", "banana")) == ((1L, 2L, 2L, 4L, 0.0, 2)))
+    assert(got(("B", "dog")) == ((2L, 2L, 2L, 4L, 4.0, 1)))
+    assert(got(("B", "banana")) == ((1L, 2L, 2L, 4L, 0.0, 2)))
+    assert(got.size == 4) // hapax words never scored
+    // a word present in EVERY doc has a degenerate margin — dropped
+    val df2 = Seq((1L, "A", "the cat"), (2L, "B", "the dog"),
+      (3L, "A", "the cat"), (4L, "B", "the dog")).toDF("doc_id", "cls", "text")
+    val words2 = Corpus.chi2Keywords(df2, "doc_id", "cls", "text",
+        topK = 5, minDf = 2)
+      .collect().map(_.getString(1)).toSet
+    assert(!words2.contains("the"))
+    assert(words2 == Set("cat", "dog"))
+  }
+
+  test("chi2Keywords plan: WindowGroupLimit prunes the per-class rank") {
+    val full = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val plan = Corpus.chi2Keywords(full, "doc_id", "source", "text",
+        topK = 5, minDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }

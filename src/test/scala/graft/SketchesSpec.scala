@@ -322,4 +322,34 @@ class SketchesSpec extends AnyFunSuite {
     assert((1L to 9L).forall(v => !got(("a", v))._2))
     assert(got(("b", 50L))._2 && !got(("b", 7L))._2)
   }
+
+  test("infoGain: perfect predictor = H(L) bits, constant feature = 0") {
+    import spark.implicits._
+    // f mirrors the label exactly; g is constant; h has a null (its row
+    // drops for h only); one null label row drops everywhere
+    val df = Seq(
+      ("0", "a", "x", "p"), ("0", "a", "x", "p"),
+      ("1", "b", "x", null), ("1", "b", "x", "q"),
+      (null, "a", "x", "p")
+    ).toDF("l", "f", "g", "h")
+    val got = graft.ops.Profiling.infoGain(df, Seq("f", "g", "h"), "l")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("h_label"),
+          r.getAs[Double]("h_cond"), r.getAs[Double]("gain")))).toMap
+    assert(got("f") == ((4L, 1.0, 0.0, 1.0)))
+    assert(got("g") == ((4L, 1.0, 1.0, 0.0)))
+    // h sees 3 rows: l=0,0,1 → H = log2(3) − (2·1)/3 = 0.918296;
+    // h=p ⇒ l=0 (2 rows), h=q ⇒ l=1 → H(L|H) = 0 (perfect on survivors)
+    assert(got("h") == ((3L, 0.918296, 0.0, 0.918296)))
+  }
+
+  test("infoGain plan: melt once, partial-aggregable counts") {
+    import spark.implicits._
+    val df = Seq(("0", "a"), ("1", "b")).toDF("l", "f")
+    val plan = graft.ops.Profiling.infoGain(df, Seq("f"), "l")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
