@@ -505,6 +505,34 @@ object ScaleStress {
         val out = graft.ops.Profiling.skyline2d(pts, "x", "y")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q187 shape: winnowing — per-row window folds, zero shuffle
+      // before the explode; wall must track the corpus linearly
+      timed(scale, "winnowing") {
+        val out = Dedup.winnowFingerprints(docs, "doc_id", "text",
+          k = 3, w = 4)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q189 shape: sorted-neighborhood — ONE block-key shuffle + a
+      // per-block sort; candidates are O(n·w) by construction
+      timed(scale, "sorted_neighborhood") {
+        val d = docs.select(col("doc_id"),
+          pmod(graft.functions.NativeHashes.poly_hash(col("text")),
+            lit(64L)).as("blk"),
+          length(col("text")).cast("long").as("len"))
+        val out = graft.ops.Fuzzy.sortedNeighborhood(d, "doc_id",
+          Seq("blk"), Seq("len"), w = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q192 shape: χ² keywords — presence explode collapses into
+      // partial-aggregable (word, class) cells; top-k is a
+      // WindowGroupLimit-pruned rank over |classes| partitions
+      timed(scale, "chi2_keywords") {
+        val d = docs.withColumn("cls",
+          pmod(col("doc_id"), lit(16L)).cast("string"))
+        val out = Corpus.chi2Keywords(d, "doc_id", "cls", "text",
+          topK = 5, minDf = 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
@@ -716,6 +744,36 @@ object ScaleStress {
           pmod(col("user_id"), lit(997L)).as("src"),
           pmod(col("user_id") * 131L + col("event_id"), lit(997L)).as("dst"))
         val out = graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q188 shape: clustering coefficient — the triangles wedge join
+      // plus a degree-table left join; same E^1.5 bound, |nodes| output
+      timed(scale, "clustering_coeff") {
+        val edges = ev.select(
+          pmod(col("user_id"), lit(997L)).as("src"),
+          pmod(col("user_id") * 131L + col("event_id"), lit(997L)).as("dst"))
+        val out = graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q190 shape: co-occurrence PMI — presence-distinct, the activity
+      // cap bounds the per-key pair fan-out to C(cap,2), then all
+      // partial-aggregable counts; only ids and counts shuffle
+      timed(scale, "cooccurrence") {
+        val e2 = ev.select(col("user_id"),
+          pmod(col("event_id"), lit(100L)).as("item"))
+        val out = graft.ops.EventAnalytics.cooccurrencePmi(
+          e2, "user_id", "item", maxItemsPerKey = 40, minPairCount = 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q191 shape: info gain — one melt explode, three partial counts;
+      // output |features| rows at any scale
+      timed(scale, "info_gain") {
+        val e2 = ev.select(
+          (col("value") >= 0.5).as("hi_value"),
+          col("event_type"),
+          (pmod(col("event_id"), lit(7L)) === 0).as("id_mod"))
+        val out = graft.ops.Profiling.infoGain(e2,
+          Seq("hi_value", "id_mod"), "event_type")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q136 shape: OLS trend — ONE partial-aggregable pass of five

@@ -666,6 +666,44 @@ object EventAnalytics {
         col("n_b"))
   }
 
+  /** Per-key burstiness — the Fano factor (variance-to-mean ratio) of
+    * the key's per-bucket event counts across its ACTIVE SPAN (first to
+    * last bucket inclusive; silent buckets count as zeros): ≈1 for a
+    * Poisson-ish organic actor, ≫1 for bursty scripted traffic, ≈0 for
+    * metronomic bots — the rate-pattern bot signal next to
+    * [[interArrivalProfile]]. With B span buckets and counts c_i
+    * (Σc = n): `fano = (B·Σc² − n²) / (B·n)` — the exact integer pair
+    * rides out, division is presentation.
+    *
+    * Shape: one partial-aggregable (key, bucket) count, then one
+    * partial-aggregable per-key fold of (Σc, Σc², min, max) — two
+    * shuffles on the key, nothing wide, output |keys| rows. Returns
+    * (key, n_events, n_buckets, fano_num, fano_den, fano rounded 6). */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucket width must be >= 1 us, got $bucketUs")
+    val perBucket = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k__"),
+        // floor(), not `div`: truncation buckets pre-1970 timestamps
+        // off-by-one vs the oracle's floor division (the q164 posture)
+        floor(unix_micros(col(tsCol)) / bucketUs).cast("long").as("__b__"))
+      .groupBy(col("__k__"), col("__b__"))
+      .agg(count(lit(1)).as("__c__"))
+    perBucket.groupBy(col("__k__"))
+      .agg(sum(col("__c__")).as("n_events"),
+        sum(col("__c__") * col("__c__")).as("__s2__"),
+        (max(col("__b__")) - min(col("__b__")) + 1).as("n_buckets"))
+      .select(col("__k__").as(keyCol), col("n_events"), col("n_buckets"),
+        (col("n_buckets") * col("__s2__") -
+          col("n_events") * col("n_events")).as("fano_num"),
+        (col("n_buckets") * col("n_events")).as("fano_den"),
+        round((col("n_buckets") * col("__s2__") -
+          col("n_events") * col("n_events")).cast("double") /
+          (col("n_buckets") * col("n_events")).cast("double"), 6)
+          .as("fano"))
+  }
+
   /** Item–item co-occurrence with pointwise mutual information over
     * (key, item) presence — the co-engagement signal behind
     * item-to-item recommendation and distributional association mining:

@@ -435,6 +435,71 @@ object Profiling {
       x === col("__x__") && y === col("__maxy__"), "left_semi")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of two frames — the numeric-column drift test next
+    * to [[categoryDrift]]'s categorical one (did the feed's length/
+    * score/latency distribution move between snapshots?). The D
+    * statistic is EXACT: at every distinct value,
+    * `|cdf_a − cdf_b| = |c_a·n_b − c_b·n_a| / (n_a·n_b)` is an integer
+    * cross-multiplication, so the maximum and its location carry no
+    * float — division is presentation. Requires an integral value
+    * (quantize upstream, the [[quantileBuckets]] contract), which also
+    * bounds the distinct grid.
+    *
+    * Shape: each side collapses map-side to its |grid| histogram
+    * (partial-aggregable count), the merged grid rides ONE task for
+    * the cumulative window — sound because the quantization bounds
+    * |grid|, never the row count; nothing row-sized shuffles. Returns
+    * one row: (n_a, n_b, d_num, d_den, d_at, d) — `d_at` the smallest
+    * value attaining the max, `d = d_num/d_den` rounded 6. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def requireIntegral(df: DataFrame): Unit = {
+      val t = df.schema(valueCol).dataType
+      val ok = t match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"ksTest requires an integral value " +
+        s"(quantize upstream); '$valueCol' is $t")
+    }
+    requireIntegral(a); requireIntegral(b)
+    val ha = a.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v__"))
+      .agg(count(lit(1)).as("__ca__"))
+    val hb = b.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v__"))
+      .agg(count(lit(1)).as("__cb__"))
+    val grid = ha.join(hb, Seq("__v__"), "full_outer")
+      .select(col("__v__"),
+        coalesce(col("__ca__"), lit(0L)).as("__ca__"),
+        coalesce(col("__cb__"), lit(0L)).as("__cb__"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v__").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("__cuma__", sum(col("__ca__")).over(wCum))
+      .withColumn("__cumb__", sum(col("__cb__")).over(wCum))
+    val totals = grid.agg(sum(col("__ca__")).as("n_a"),
+      sum(col("__cb__")).as("n_b"))
+    val scored = cum.crossJoin(broadcast(totals))
+      .withColumn("__dnum__",
+        abs(col("__cuma__") * col("n_b") - col("__cumb__") * col("n_a")))
+    scored.agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("__dnum__")).as("d_num"),
+        min_by(col("__v__"),
+          struct((-col("__dnum__")).as("nd"), col("__v__").as("v")))
+          .as("d_at"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"), col("d_at"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+  }
+
   /** Information gain of each candidate feature column against the
     * label — the decision-stump feature-selection score (which metadata
     * field actually predicts quality/topic): `gain(F) = H(L) − H(L|F)`

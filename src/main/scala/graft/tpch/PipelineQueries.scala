@@ -758,6 +758,26 @@ object PipelineQueries {
           topK = 5, minDf = 2)
         .orderBy(col("source"), col("rank"))),
 
+    // two-sample KS distance between even- and odd-shard event values
+    // (milli-quantized), with 1/5 of the odd shard's views dropped via
+    // the q137 fixture trick — D and its location are exact integers
+    "q193_ks_test" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("vmil", floor(col("value") * 1000 + 0.5).cast("long"))
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 === 1)
+        .filter(!(col("event_type") === "view" && col("event_id") % 5 === 1))
+      graft.ops.Profiling.ksTest(a, b, "vmil")
+    }),
+
+    // per-user burstiness: Fano factor of hourly event counts over the
+    // user's active span — ~1 organic, >>1 bursty, ~0 metronomic
+    "q194_burstiness" -> ((s, dir) =>
+      EventAnalytics.burstiness(
+        graft.tpch.EventsModel.eventsTable(s, dir),
+        "user_id", "ts", bucketUs = 3600000000L)
+        .orderBy(col("user_id"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2327,6 +2347,52 @@ object PipelineQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
         |    ORDER BY chi2 DESC, w ASC) AS rnk FROM sc)
         |WHERE rnk <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q193_ks_test" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |a AS (SELECT vmil FROM ev
+        |  WHERE event_id % 2 = 0 AND vmil IS NOT NULL),
+        |b AS (SELECT vmil FROM ev WHERE event_id % 2 = 1
+        |  AND NOT (event_type = 'view' AND event_id % 5 = 1)
+        |  AND vmil IS NOT NULL),
+        |ha AS (SELECT vmil AS v, COUNT(1) AS ca FROM a GROUP BY 1),
+        |hb AS (SELECT vmil AS v, COUNT(1) AS cb FROM b GROUP BY 1),
+        |grid AS (SELECT COALESCE(ha.v, hb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v) AS cumb FROM grid),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM grid),
+        |sc AS (SELECT v,
+        |    CAST(ABS(cuma * n_b - cumb * n_a) AS BIGINT) AS dnum
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_a, n_b,
+        |  (SELECT MAX(dnum) FROM sc) AS d_num,
+        |  n_a * n_b AS d_den,
+        |  (SELECT MIN(v) FROM sc
+        |   WHERE dnum = (SELECT MAX(dnum) FROM sc)) AS d_at,
+        |  ROUND(CAST((SELECT MAX(dnum) FROM sc) AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE), 6) AS d
+        |FROM tot""".stripMargin,
+
+    "q194_burstiness" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 3600000000 AS b FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pb AS (SELECT user_id, b, COUNT(1) AS c FROM e GROUP BY 1, 2),
+        |agg AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2,
+        |    MAX(b) - MIN(b) + 1 AS n_buckets
+        |  FROM pb GROUP BY 1)
+        |SELECT user_id, n_events, n_buckets,
+        |  n_buckets * s2 - n_events * n_events AS fano_num,
+        |  n_buckets * n_events AS fano_den,
+        |  ROUND(CAST(n_buckets * s2 - n_events * n_events AS DOUBLE)
+        |    / CAST(n_buckets * n_events AS DOUBLE), 6) AS fano
+        |FROM agg ORDER BY user_id""".stripMargin,
 
     "q165_reciprocity" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS s,

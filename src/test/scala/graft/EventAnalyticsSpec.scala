@@ -575,6 +575,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(strict.toSeq == Seq(("a", "b")))
   }
 
+  test("burstiness: hand-computed Fano factors over the active span") {
+    import spark.implicits._
+    val h = 3600000000L
+    // u1: hours 0,0,1,2 → B=3, n=4, Σc²=6 → fano = (18−16)/12 = 1/6
+    // u2: one event → fano 0 (single bucket, zero variance)
+    // u3: hours 0×4 and 4 → B=5, n=5, Σc²=17 → (85−25)/25 = 2.4
+    //     (silent hours 1-3 count as zeros via the span term)
+    val df = Seq(
+      (1L, 0L), (1L, 1L), (1L, h + 1L), (1L, 2 * h),
+      (2L, 5 * h),
+      (3L, 0L), (3L, 2L), (3L, 3L), (3L, 4L), (3L, 4 * h)
+    ).toDF("u", "us").withColumn("ts", timestamp_micros(col("us")))
+    val got = EventAnalytics.burstiness(df, "u", "ts", h)
+      .collect().map(r => r.getAs[Long]("u") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("fano_num"), r.getAs[Long]("fano_den"),
+          r.getAs[Double]("fano")))).toMap
+    assert(got(1L) == ((4L, 3L, 2L, 12L, 0.166667)))
+    assert(got(2L) == ((1L, 1L, 0L, 1L, 0.0)))
+    assert(got(3L) == ((5L, 5L, 60L, 25L, 2.4)))
+  }
+
+  test("burstiness plan: two partial-aggregable key shuffles, no window") {
+    import spark.implicits._
+    val df = Seq((1L, 0L)).toDF("u", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val plan = EventAnalytics.burstiness(df, "u", "ts", 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("cooccurrencePmi plan: partial-aggregated pair count, no cartesian") {
     import spark.implicits._
     val df = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("k", "item")

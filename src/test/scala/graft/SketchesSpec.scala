@@ -343,6 +343,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("h") == ((3L, 0.918296, 0.0, 0.918296)))
   }
 
+  test("ksTest: hand-computed D, argmax location, identical = 0") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 4L, 4L).toDF("v")
+    // grid 1,2,3,4: cuma 2,3,4,4; cumb 0,1,3,5
+    // |cuma·5 − cumb·4| = 10, 11, 8, 0 → D = 11/20 at v = 2
+    val r = graft.ops.Profiling.ksTest(a, b, "v").collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("d_num"), r.getAs[Long]("d_den"),
+      r.getAs[Long]("d_at"), r.getAs[Double]("d")) ==
+      ((4L, 5L, 11L, 20L, 2L, 0.55)))
+    // identical samples → D = 0, location = smallest grid value
+    val r2 = graft.ops.Profiling.ksTest(a, a, "v").collect().head
+    assert(r2.getAs[Long]("d_num") == 0L && r2.getAs[Long]("d_at") == 1L)
+    // disjoint supports → D = 1
+    val r3 = graft.ops.Profiling.ksTest(
+      Seq(1L).toDF("v"), Seq(2L).toDF("v"), "v").collect().head
+    assert(r3.getAs[Double]("d") == 1.0 && r3.getAs[Long]("d_at") == 1L)
+  }
+
+  test("ksTest plan: histogram collapses map-side before the grid window") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("v")
+    val plan = graft.ops.Profiling.ksTest(a, a, "v")
+      .queryExecution.executedPlan.toString
+    // per-side histograms partial-aggregate before any exchange; the
+    // single-partition window rides the |grid|-sized histogram only
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("infoGain plan: melt once, partial-aggregable counts") {
     import spark.implicits._
     val df = Seq(("0", "a"), ("1", "b")).toDF("l", "f")
