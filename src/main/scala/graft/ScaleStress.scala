@@ -566,6 +566,25 @@ object ScaleStress {
     runKmeans("1x", emb1x)
     runKmeans("10x", emb10x)
 
+    // q195/q196 shape: PQ — training is m bounded-driver loops, encoding
+    // is one narrow literal-codebook pass; the ADC scan broadcasts the
+    // 8-query LUT block and collapses through the bounded top-k agg
+    def runPq(scale: String, emb: DataFrame): Unit = {
+      timed(scale, "pq_codes") {
+        val out = graft.ops.Clustering.pqCodes(
+          emb, "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "pq_adc") {
+        val out = graft.ops.Clustering.pqAdcTopK(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2, topK = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    }
+    runPq("1x", emb1x)
+    runPq("10x", emb10x)
+
     // q94 shape: deterministic JL projection — per-row codegen'd loop,
     // no shuffle, no broadcast (the sign matrix is recomputed from the
     // flat index); must stay exchange-free at any size

@@ -71,6 +71,16 @@ object Clustering {
     require(k > 0 && iters > 0, s"k and iters must be > 0, got k=$k iters=$iters")
     val q = df.select(col(idCol).as("__id__"),
       quantizeFixed(col(vecCol), scale).as("__q__"))
+    assign(q, trainCentroids(q, k, iters)).select(col("__id__").as(idCol),
+      col("__c__").as("cluster"), col("__d2__").as("dist2"))
+  }
+
+  /** The Lloyd's training loop over a pre-quantized `(__id__, __q__)`
+    * frame, returning the final centroid matrix (k·dim longs on the
+    * driver — the bounded-state pattern). Shared by [[kmeansAssign]]
+    * and the per-subspace codebooks of [[pqCodes]]. */
+  private def trainCentroids(q: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
     var centroids: Array[Array[Long]] = q.orderBy(col("__id__").asc).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(centroids.length == k,
@@ -92,7 +102,118 @@ object Clustering {
       }
       centroids = next
     }
-    assign(q, centroids).select(col("__id__").as(idCol),
-      col("__c__").as("cluster"), col("__d2__").as("dist2"))
+    centroids
+  }
+
+  /** Product-quantization codes (Jégou–Douze–Schmid PQ): the vector
+    * splits into `m` contiguous subvectors, each subspace trains its own
+    * k-codeword integer Lloyd's codebook ([[trainCentroids]] — same
+    * seedless init, same fixed-point grid), and every vector compresses
+    * to the m-tuple of nearest-codeword indices. dim·4 bytes become
+    * m·⌈log₂k⌉ bits — the memory step that makes billion-vector ANN fit
+    * a cluster's RAM; an ADC scan then reads codes + per-query lookup
+    * tables instead of raw vectors.
+    *
+    * Shape: training is m independent bounded-driver-state loops (k·dim
+    * literals each); the final encoding is ONE narrow pass — the m sub-
+    * arrays materialize in one projection and each code is a per-row
+    * `array_min(struct(dist, idx))` against its literal codebook. No
+    * joins, no shuffle; output |rows| × (1 + 2m) columns.
+    *
+    * Returns (idCol, code_0, dist2_0, …, code_{m−1}, dist2_{m−1}):
+    * per-subspace winning codeword index and its exact BIGINT squared
+    * distance (Σ_j dist2_j is the vector's total quantization error —
+    * the ADC identity). */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, k: Int, iters: Int, scale: Int = 1000): DataFrame =
+    pqEncode(df, idCol, vecCol, dims, m, k, iters, scale)._2
+
+  /** Shared PQ train+encode: returns the m codebooks (driver-side
+    * literals) and the coded frame
+    * (idCol, code_0, dist2_0, …, code_{m−1}, dist2_{m−1}). */
+  private def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int, scale: Int)
+      : (Seq[Array[Array[Long]]], DataFrame) = {
+    require(m >= 1 && dims >= m && dims % m == 0,
+      s"dims=$dims must split evenly into m=$m subspaces")
+    require(k > 0 && iters > 0, s"k and iters must be > 0, got k=$k iters=$iters")
+    val subLen = dims / m
+    val q = df.select(col(idCol).as("__id__"),
+      quantizeFixed(col(vecCol), scale).as("__q__"))
+    // one projection materializes the m sub-arrays so every per-codeword
+    // distance references an attribute (the winnowing discipline)
+    val subs = q.select(col("__id__") +: (0 until m).map(j =>
+      slice(col("__q__"), j * subLen + 1, subLen).as(s"__s$j")): _*)
+    val books = (0 until m).map { j =>
+      trainCentroids(
+        subs.select(col("__id__"), col(s"__s$j").as("__q__")), k, iters)
+    }
+    // winner structs materialize once (field extraction would otherwise
+    // duplicate each array_min), then the final projection unpacks
+    val withBest = subs.select(col("__id__") +: (0 until m).map { j =>
+      array_min(array(books(j).zipWithIndex.map { case (mu, c) =>
+        struct(
+          aggregate(
+            zip_with(col(s"__s$j"), array(mu.map(lit(_)): _*),
+              (x, cm) => (x - cm) * (x - cm)),
+            lit(0L), (a, d) => a + d).as("d"),
+          lit(c).as("j"))
+      }: _*)).as(s"__b$j")
+    }: _*)
+    val coded = withBest.select(
+      col("__id__").as(idCol) +: (0 until m).flatMap(j => Seq(
+        col(s"__b$j").getField("j").as(s"code_$j"),
+        col(s"__b$j").getField("d").as(s"dist2_$j"))): _*)
+    (books, coded)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: the corpus lives as
+    * PQ codes (built here via [[pqCodes]]' train+encode), each query
+    * computes its m·k lookup table of exact sub-distances to every
+    * codeword, and a query's distance to a corpus vector is the m-term
+    * table sum selected by the vector's codes — the Jégou et al. scan
+    * that reads 1 byte/subspace instead of 4 bytes/dimension.
+    *
+    * Scale shape: the query block (with its LUT columns — m·k BIGINTs
+    * per query) BROADCASTS against the coded corpus; per-row work is m
+    * array lookups + adds, and the per-query result collapses through
+    * the bounded map-side [[graft.functions.TopKAgg]] — the shuffle is
+    * O(|Q|·topK·partitions) structs, never |Q|×|corpus|. Exact integer
+    * distances end-to-end (the fixed-point grid), so ranking is
+    * engine-identical; ties break toward the smaller neighbor id.
+    *
+    * Returns (query_id, neighbor_id, adc_dist2, rank). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Int, m: Int, k: Int, iters: Int,
+      topK: Int, scale: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val subLen = dims / m
+    val (books, coded) = pqEncode(corpus, idCol, vecCol, dims, m, k,
+      iters, scale)
+    val qq = queries.select(col(idCol).as("query_id"),
+      quantizeFixed(col(vecCol), scale).as("__q__"))
+    val qsubs = qq.select(col("query_id") +: (0 until m).map(j =>
+      slice(col("__q__"), j * subLen + 1, subLen).as(s"__s$j")): _*)
+    // per-query LUT: lut_j = [d²(querySub_j, book_j[0]), …, book_j[k−1]]
+    val withLuts = qsubs.select(col("query_id") +: (0 until m).map { j =>
+      array(books(j).map { mu =>
+        aggregate(
+          zip_with(col(s"__s$j"), array(mu.map(lit(_)): _*),
+            (x, cm) => (x - cm) * (x - cm)),
+          lit(0L), (a, d) => a + d)
+      }: _*).as(s"__lut$j")
+    }: _*)
+    val scored = coded
+      .join(broadcast(withLuts), col("query_id") =!= col(idCol))
+      .withColumn("__ad__", (0 until m).map(j =>
+        element_at(col(s"__lut$j"), col(s"code_$j") + 1))
+        .reduce(_ + _))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k_by_score(
+        (-col("__ad__")).cast("double"), col(idCol), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("adc_dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

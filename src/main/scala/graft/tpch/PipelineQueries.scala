@@ -77,6 +77,50 @@ object PipelineQueries {
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
       |    ORDER BY d2 ASC, j ASC) = 1)""".stripMargin
 
+  /** DuckDB replay of [[graft.ops.Clustering.pqCodes]] (64 dims → 4
+    * subspaces × 4 codewords, 2 Lloyd's iterations, scale 1000): the
+    * q88 kmeans CTE block instantiated per subspace over the sliced
+    * quantized vector — subspace j reads qv[16j+1 .. 16j+16]. Ends at
+    * `a2<j>(vec_id, cluster, d2)` per subspace plus the final codebooks
+    * `m1<j>(j, i, m)` (which the q196 ADC oracle's LUTs read). */
+  private val dpqCtes: String = {
+    def sub(j: Int): String = {
+      val off = j * 16
+      s"""qe$j AS (SELECT q.vec_id, d.i, qv[$off + d.i] AS v
+         |  FROM q CROSS JOIN dimsS d),
+         |c0$j AS (SELECT vec_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |      AS j
+         |  FROM q ORDER BY vec_id LIMIT 4),
+         |m0$j AS (SELECT c.j, e.i, e.v AS m
+         |  FROM c0$j c JOIN qe$j e USING (vec_id)),
+         |d1$j AS (SELECT e.vec_id, c.j,
+         |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
+         |  FROM qe$j e JOIN m0$j c ON e.i = c.i GROUP BY 1, 2),
+         |a1$j AS (SELECT vec_id, j, d2 FROM d1$j
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, j ASC) = 1),
+         |u1$j AS (SELECT a.j, e.i,
+         |    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(1) + 0.5)
+         |      AS BIGINT) AS m
+         |  FROM a1$j a JOIN qe$j e USING (vec_id) GROUP BY 1, 2),
+         |m1$j AS (SELECT p.j, p.i, COALESCE(u.m, p.m) AS m
+         |  FROM m0$j p LEFT JOIN u1$j u ON u.j = p.j AND u.i = p.i),
+         |dd$j AS (SELECT e.vec_id, c.j,
+         |    CAST(SUM((e.v - c.m) * (e.v - c.m)) AS BIGINT) AS d2
+         |  FROM qe$j e JOIN m1$j c ON e.i = c.i GROUP BY 1, 2),
+         |a2$j AS (SELECT vec_id, j AS cluster, d2 FROM dd$j
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, j ASC) = 1)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+       |      AS qv
+       |  FROM embeddings),
+       |dimsS AS (SELECT unnest(range(1, 17)) AS i),
+       |${(0 until 4).map(sub).mkString(",\n")}""".stripMargin
+  }
+
   /** DuckDB replay of the CDC boundary scan ([[graft.ops.Dedup.cdcChunks]],
     * w=16, divisor=64): per-end-position 16-char window hashes (O(n·w)
     * recompute — the Spark side rolls in O(n), same values) → boundary
@@ -777,6 +821,25 @@ object PipelineQueries {
         graft.tpch.EventsModel.eventsTable(s, dir),
         "user_id", "ts", bucketUs = 3600000000L)
         .orderBy(col("user_id"))),
+
+    // product-quantization codes: 64 dims → 4 subspaces × 4 codewords
+    // (integer Lloyd's per subspace, the q88 arithmetic) — the
+    // compression step that makes billion-vector ANN RAM-resident
+    "q195_pq_codes" -> ((s, dir) =>
+      Clustering.pqCodes(emb(s, dir), "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        .orderBy(col("vec_id"))),
+
+    // PQ asymmetric-distance search: 8 query vectors scan the coded
+    // corpus via per-query lookup tables — exact integer ADC distances,
+    // bounded map-side top-3 per query
+    "q196_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Clustering.pqAdcTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2,
+          topK = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
@@ -2347,6 +2410,51 @@ object PipelineQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cls
         |    ORDER BY chi2 DESC, w ASC) AS rnk FROM sc)
         |WHERE rnk <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q195_pq_codes" ->
+      s"""$dpqCtes
+         |SELECT q.vec_id,
+         |  a20.cluster AS code_0, a20.d2 AS dist2_0,
+         |  a21.cluster AS code_1, a21.d2 AS dist2_1,
+         |  a22.cluster AS code_2, a22.d2 AS dist2_2,
+         |  a23.cluster AS code_3, a23.d2 AS dist2_3
+         |FROM q
+         |JOIN a20 ON a20.vec_id = q.vec_id
+         |JOIN a21 ON a21.vec_id = q.vec_id
+         |JOIN a22 ON a22.vec_id = q.vec_id
+         |JOIN a23 ON a23.vec_id = q.vec_id
+         |ORDER BY q.vec_id""".stripMargin,
+
+    "q196_pq_adc" -> {
+      // per-query LUT per subspace: cross the 8 queries with the final
+      // codebook m1<j>, sum exact squared diffs per codeword
+      def lut(j: Int): String = {
+        val off = j * 16
+        s"""lut$j AS (SELECT qr.vec_id AS qid, c.j AS cw,
+           |    CAST(SUM((qr.qv[$off + c.i] - c.m)
+           |      * (qr.qv[$off + c.i] - c.m)) AS BIGINT) AS d
+           |  FROM q qr CROSS JOIN m1$j c
+           |  WHERE qr.vec_id < 8 GROUP BY 1, 2)""".stripMargin
+      }
+      s"""$dpqCtes,
+         |${(0 until 4).map(lut).mkString(",\n")},
+         |scored AS (SELECT l0.qid, d0.vec_id AS nid,
+         |    l0.d + l1.d + l2.d + l3.d AS ad
+         |  FROM a20 d0
+         |  JOIN a21 d1 ON d1.vec_id = d0.vec_id
+         |  JOIN a22 d2 ON d2.vec_id = d0.vec_id
+         |  JOIN a23 d3 ON d3.vec_id = d0.vec_id
+         |  JOIN lut0 l0 ON l0.cw = d0.cluster
+         |  JOIN lut1 l1 ON l1.cw = d1.cluster AND l1.qid = l0.qid
+         |  JOIN lut2 l2 ON l2.cw = d2.cluster AND l2.qid = l0.qid
+         |  JOIN lut3 l3 ON l3.cw = d3.cluster AND l3.qid = l0.qid
+         |  WHERE d0.vec_id <> l0.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, ad AS adc_dist2,
+         |  CAST(rnk AS INTEGER) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY ad ASC, nid ASC) AS rnk FROM scored)
+         |WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q193_ks_test" ->
       """WITH ev AS (SELECT event_id, event_type,

@@ -88,4 +88,94 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("pqCodes ≡ per-subspace kmeansAssign; codes bounded; dims split") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    val pq = Clustering.pqCodes(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until 4).map(j => (r.getAs[Int](s"code_$j"),
+          r.getAs[Long](s"dist2_$j")))).toMap
+    assert(pq.nonEmpty)
+    // each subspace independently reproduces kmeansAssign on the slice
+    for (j <- 0 until 4) {
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), j * 16 + 1, 16).as("sub"))
+      val ka = Clustering.kmeansAssign(sliced, "vec_id", "sub",
+          k = 4, iters = 2)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cluster"), r.getAs[Long]("dist2")))).toMap
+      pq.foreach { case (id, codes) =>
+        assert(codes(j) == ka(id), s"vec $id subspace $j")
+      }
+    }
+    pq.values.foreach(codes =>
+      codes.foreach { case (c, d2) => assert(c >= 0 && c < 4 && d2 >= 0) })
+  }
+
+  test("pqAdcTopK ≡ independent Scala ADC reference") {
+    // iters=1 → codebooks are literally the k smallest ids' subvectors,
+    // so the whole pipeline is hand-replayable
+    val vecs: Map[Long, Array[Double]] = Map(
+      1L -> Array(0.0, 0.1, 1.0, 1.1), 2L -> Array(0.9, 1.0, 0.0, 0.2),
+      3L -> Array(0.1, 0.1, 1.0, 1.0), 4L -> Array(1.0, 0.9, 0.1, 0.1),
+      5L -> Array(0.5, 0.5, 0.5, 0.5), 6L -> Array(0.0, 0.0, 0.9, 1.2))
+    val (m, k, scale, topK) = (2, 2, 1000, 3)
+    val subLen = 2
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * scale + 0.5).toLong) }
+    def sub(v: Array[Long], j: Int) = v.slice(j * subLen, (j + 1) * subLen)
+    val books = (0 until m).map { j =>
+      q.toSeq.sortBy(_._1).take(k).map(t => sub(t._2, j)) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codes = q.map { case (id, v) => id -> (0 until m).map(j =>
+      books(j).zipWithIndex.map { case (mu, c) =>
+        (d2(sub(v, j), mu), c) }.min._2) }
+    val qIds = Seq(1L, 2L)
+    val expect = (for (qid <- qIds) yield {
+      val scored = q.keys.filter(_ != qid).toSeq.map { nid =>
+        val ad = (0 until m).map(j =>
+          d2(sub(q(qid), j), books(j)(codes(nid)(j)))).sum
+        (ad, nid)
+      }.sorted.take(topK)
+      qid -> scored.zipWithIndex.map { case ((ad, nid), i) =>
+        (nid, ad, i + 1) }
+    }).toMap
+    val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Clustering.pqAdcTopK(df, df.filter(col("vec_id") <= 2),
+        "vec_id", "embedding", dims = 4, m = m, k = k, iters = 1,
+        topK = topK, scale = scale)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist2"),
+          r.getAs[Int]("rank"))))
+      .groupBy(_._1).map { case (id, xs) =>
+        id -> xs.map(_._2).sortBy(_._3).toSeq }
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
+  test("pqAdcTopK plan: broadcast query block, bounded top-k aggregate") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Clustering.pqAdcTopK(emb, emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", dims = 64, m = 4, k = 2, iters = 1,
+        topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // != predicate
+    assert(plan.contains("partial_topkbyscoreagg") ||
+      plan.contains("TopKByScore"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pqCodes plan: encoding is one narrow pass, codebooks are literals") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Clustering.pqCodes(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
