@@ -142,6 +142,18 @@ object Streaming {
     graft.ops.Corpus.sampleMixture(docs, sourceCol, textCol, weights,
       defaultWeight)
 
+  /** Streaming winnowing fingerprints:
+    * [[graft.ops.Dedup.winnowFingerprints]] composes with `readStream`
+    * UNCHANGED — the per-document window-min fold and the fingerprint
+    * explode are stateless per-row work (no shuffle, no watermark, no
+    * state), so the batch operator IS the streaming operator: the shape
+    * an ingest pipeline needs to fingerprint documents as they land,
+    * joining against the fingerprint store downstream. This wrapper
+    * pins that contract with a batch≡stream spec. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    graft.ops.Dedup.winnowFingerprints(docs, idCol, textCol, k, w)
+
   /** Streaming benchmark decontamination: the batch
     * [[graft.ops.Dedup.decontaminate]] applied per micro-batch via
     * `foreachBatch`. Value-identical to the batch operator because

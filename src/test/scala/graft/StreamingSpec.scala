@@ -156,6 +156,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnowing equals its batch twin row-for-row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_stream")
+      .toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val q = Streaming.winnowFingerprints(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, pos, h FROM winnow_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch decontamination equals its batch twin row-for-row") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(100)
