@@ -841,6 +841,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // expectations gate: five rule kinds over a snapshot with seeded
+    // duplicates — range/set/unique/FK violations all fire with exact
+    // counts (row-local rules share ONE scan)
+    "q197_validate" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val d = d0.unionAll(d0.filter(col("doc_id") % 100 === 0))
+      graft.ops.Validate.validate(d, Seq(
+        graft.ops.Validate.NotNull("lang"),
+        graft.ops.Validate.InRange("n_chars", 0L, 800L),
+        graft.ops.Validate.InSet("source",
+          (0 until 10).map(i => s"src$i")),
+        graft.ops.Validate.Unique(Seq("doc_id")),
+        graft.ops.Validate.ForeignKey(Seq("doc_id"),
+          s.read.parquet(s"$dir/orders.parquet"),
+          Seq("o_orderkey"), "orders")))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2454,6 +2471,31 @@ object PipelineQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY ad ASC, nid ASC) AS rnk FROM scored)
          |WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q197_validate" -> {
+      val srcs = (0 until 10).map(i => s"'src$i'").mkString(", ")
+      s"""WITH d AS (SELECT * FROM documents
+         |    UNION ALL SELECT * FROM documents WHERE doc_id % 100 = 0),
+         |n AS (SELECT COUNT(1) AS n_rows FROM d)
+         |SELECT * FROM (
+         |  SELECT 'not_null(lang)' AS rule, n.n_rows,
+         |    (SELECT COUNT(1) FROM d WHERE lang IS NULL) AS n_violations
+         |  FROM n
+         |  UNION ALL SELECT 'in_range(n_chars,0,800)', n.n_rows,
+         |    (SELECT COUNT(1) FROM d WHERE n_chars IS NOT NULL
+         |     AND (n_chars < 0 OR n_chars > 800)) FROM n
+         |  UNION ALL SELECT 'in_set(source)', n.n_rows,
+         |    (SELECT COUNT(1) FROM d WHERE source IS NOT NULL
+         |     AND source NOT IN ($srcs)) FROM n
+         |  UNION ALL SELECT 'unique(doc_id)', n.n_rows,
+         |    (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+         |      (SELECT COUNT(1) AS c FROM d GROUP BY doc_id
+         |       HAVING COUNT(1) > 1)) FROM n
+         |  UNION ALL SELECT 'foreign_key(doc_id→orders)', n.n_rows,
+         |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
+         |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
+         |) ORDER BY rule""".stripMargin
     },
 
     "q193_ks_test" ->
