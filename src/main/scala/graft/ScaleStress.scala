@@ -505,6 +505,17 @@ object ScaleStress {
         val out = graft.ops.Profiling.skyline2d(pts, "x", "y")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q198 shape: incremental near-dup — the 1-in-10 perturbed batch
+      // probes the corpus band table via the (band, key) equi-join;
+      // candidate volume tracks the batch, never batch×corpus
+      timed(scale, "minhash_incremental") {
+        val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat(col("text"), lit(" z")).as("text"))
+        val out = Dedup.minhashNearDupsAgainst(batch, docs, "doc_id",
+          "text", bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q187 shape: winnowing — per-row window folds, zero shuffle
       // before the explode; wall must track the corpus linearly
       timed(scale, "winnowing") {

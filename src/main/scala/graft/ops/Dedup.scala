@@ -671,6 +671,82 @@ object Dedup {
       .distinct()
   }
 
+  /** The (id, band, key) LSH band table of a frame — the explode step
+    * of [[minhashCandidates]], shared by the incremental variant. */
+  private def bandTable(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int, shingleK: Int,
+      hashedBandKeys: Boolean): DataFrame = {
+    val withSig = withMinhashSignature(df, textCol, bands * rows, shingleK,
+      keep = Seq(col(idCol).as("__id__")))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      val key =
+        if (hashedBandKeys) xxhash64(slice: _*)
+        else concat_ws(",", slice: _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    withSig
+      .select(col("__id__"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id__"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** INCREMENTAL MinHash near-dup: the new batch's LSH bands probe the
+    * RETAINED corpus's bands — the production dedup loop at 100 TB (a
+    * TB-scale crawl delta against the standing corpus), the near-dup
+    * sibling of the exact [[dedupAgainstCorpus]]. No batch×corpus join
+    * ever forms: candidates meet in an EQUI-join on the 8-byte
+    * (band, key), and only pairs sharing a band reach the exact-Jaccard
+    * verify. In steady state the corpus band table is a maintained
+    * artifact (bucketed by key); here it derives from the corpus frame.
+    *
+    * `maxBucketSize` caps CORPUS-side buckets (the boilerplate guard of
+    * [[minhashCandidates]], applied to the side that owns the skew —
+    * a viral template bucket would otherwise fan every matching batch
+    * doc into it quadratically).
+    *
+    * Returns (batch_id, corpus_id, jaccard ≥ threshold, rounded 6). */
+  def minhashNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, shingleK: Int = 3,
+      threshold: Double = 0.7, maxBucketSize: Int = Int.MaxValue,
+      hashedBandKeys: Boolean = true): DataFrame = {
+    val bb = bandTable(batch, idCol, textCol, bands, rows, shingleK,
+      hashedBandKeys)
+    val cb0 = bandTable(corpus, idCol, textCol, bands, rows, shingleK,
+      hashedBandKeys)
+    val cb =
+      if (maxBucketSize == Int.MaxValue) cb0
+      else {
+        val capped = Caches.registerDf(cb0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val ok = capped.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") <= maxBucketSize)
+          .select(col("band"), col("key"))
+        capped.join(ok, Seq("band", "key"), "left_semi")
+      }
+    val cands = bb.alias("nb")
+      .join(cb.alias("cc"),
+        col("nb.band") === col("cc.band") && col("nb.key") === col("cc.key"))
+      .select(col("nb.__id__").as("batch_id"),
+        col("cc.__id__").as("corpus_id"))
+      .distinct()
+    def sets(df: DataFrame, out: String, idOut: String) =
+      df.select(col(idCol).as(idOut),
+        array_distinct(graft.functions.NativeHashes.shingle_hashes(
+          col(textCol), shingleK)).as(out))
+    cands
+      .join(sets(batch, "sa", "batch_id"), "batch_id")
+      .join(sets(corpus, "sb", "corpus_id"), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact Jaccard similarity between the k-shingle sets of two texts. */
   def jaccardShingles(textA: Column, textB: Column, k: Int): Column = {
     val sa = array_distinct(wordShingles(textA, k))

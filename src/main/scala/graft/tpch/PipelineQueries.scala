@@ -858,6 +858,20 @@ object PipelineQueries {
           Seq("o_orderkey"), "orders")))
     }),
 
+    // INCREMENTAL near-dup: a perturbed 1-in-5 batch probes the standing
+    // corpus through the LSH band index — the crawl-delta dedup loop;
+    // no batch×corpus join ever forms
+    "q198_minhash_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" novelterm")).as("text"))
+      Dedup.minhashNearDupsAgainst(batch, d, "doc_id", "text",
+          bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+          hashedBandKeys = false) // string band keys: DuckDB-replayable
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -3361,6 +3375,7 @@ object PipelineQueries {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q52_minhash_neardup" -> minhashNearDupSql,
+    "q198_minhash_incremental" -> minhashIncrementalSql,
 
     // connected components replayed with a recursive CTE: enumerate all
     // reachable labels per node over the (symmetrized) near-dup edges,
@@ -4179,4 +4194,33 @@ object PipelineQueries {
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
        |FROM pairsq ORDER BY 1, 2""".stripMargin
+
+  /** q198 oracle: the q52 signature replay on BOTH sides — corpus as-is,
+    * batch = every 5th doc with ' novelterm' appended and id +100000 —
+    * banded equi-match between the sides, exact Jaccard verify. */
+  private lazy val minhashIncrementalSql: String = {
+    val shc = dshingleHashes
+    val shb = dshingleHashesK("text || ' novelterm'", 3)
+    val mhCols = Dedup.minhashParams(32).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandMatch = (0 until 8).map { bnd =>
+      "(" + (bnd * 4 until bnd * 4 + 4).map(i => s"b.mh_$i = c.mh_$i").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $shc AS sh FROM documents),
+       |bt AS (SELECT doc_id + 100000 AS doc_id, $shb AS sh
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sigc AS (SELECT doc_id, sh, $mhCols FROM t),
+       |sigb AS (SELECT doc_id, sh, $mhCols FROM bt),
+       |cand AS (
+       |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |    list_distinct(b.sh) AS sa, list_distinct(c.sh) AS sb
+       |  FROM sigb b JOIN sigc c ON ($bandMatch)),
+       |j AS (SELECT batch_id, corpus_id,
+       |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sa, sb))) AS jac
+       |  FROM cand)
+       |SELECT batch_id, corpus_id, ROUND(jac, 6) AS jaccard
+       |FROM j WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin
+  }
 }

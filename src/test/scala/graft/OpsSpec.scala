@@ -1191,6 +1191,51 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains("c")) // topM = 3 cuts the fourth item
   }
 
+  test("minhashNearDupsAgainst: batch probes corpus, no self-pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "an entirely different document about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river today"),
+      (101L, "completely unrelated text with no shingles in common at all zz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("corpus_id"))).toSet
+    // the near-copy finds both corpus variants; the unrelated doc none
+    assert(got.contains((100L, 1L)) && got.contains((100L, 3L)), got)
+    assert(!got.exists(_._1 == 101L), got)
+    // one-sided probe: corpus ids never appear on the batch side
+    assert(got.forall(_._1 >= 100L))
+  }
+
+  test("minhashNearDupsAgainst: corpus bucket cap drops boilerplate buckets") {
+    val boiler = "identical boilerplate page body repeated across the site"
+    val corpus = (1L to 20L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val batch = Seq((100L, boiler + " x")).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id",
+      "text", threshold = 0.2, maxBucketSize = 5)
+    assert(capped.count() == 0, "capped boilerplate bucket must not pair")
+    graft.ops.Caches.releaseAll()
+    val uncapped = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id",
+      "text", threshold = 0.2)
+    assert(uncapped.count() == 20)
+  }
+
+  test("minhashNearDupsAgainst plan: banded equi-join, no cartesian") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" z")).as("text"))
+    val plan = Dedup.minhashNearDupsAgainst(batch, d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("band"), plan)
+  }
+
   /** Independent winnowing reference over the shared hash primitive:
     * every window of w shingle hashes keeps its rightmost minimum. */
   private def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
