@@ -342,6 +342,19 @@ object Profiling {
     }
     require(integral, s"quantileBuckets requires an integral value " +
       s"(quantize upstream); '$valueCol' is $it")
+    val bs = quantileBoundaries(df, valueCol, probsPct)
+    val bucketCol = bs.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(valueCol).cast("long") > b, 1).otherwise(0)
+    }
+    df.withColumn("bucket", bucketCol.cast("int"))
+  }
+
+  /** Driver-side quantile boundaries `b_p = min{v : cdf(v) ≥ p%}` off
+    * the value histogram — the |probs|-row collect behind
+    * [[quantileBuckets]] and [[psi]] (the kmeans centroid precedent:
+    * bounded state to the driver, never the data). */
+  def quantileBoundaries(df: DataFrame, valueCol: String,
+      probsPct: Seq[Int]): Seq[Long] = {
     val spark = df.sparkSession
     import spark.implicits._
     val perValue = df.groupBy(col(valueCol).cast("long").as("__v__"))
@@ -353,16 +366,68 @@ object Profiling {
     val total = df.count()
     val cum = perValue.withColumn("__cum__", sum(col("__c__")).over(wCum))
     val probs = broadcast(probsPct.toDF("__p__"))
-    // |probs| boundary rows to the driver (the kmeans centroid-collect
-    // precedent), then the bucket index is pure per-row codegen
-    val bs: Seq[Long] = cum.join(probs,
+    cum.join(probs,
         col("__cum__") * 100 >= col("__p__") * total)
       .groupBy(col("__p__")).agg(min(col("__v__")).as("__b__"))
       .collect().map(_.getAs[Long]("__b__")).toSeq.sorted
-    val bucketCol = bs.foldLeft(lit(1)) { (acc, b) =>
-      acc + when(col(valueCol).cast("long") > b, 1).otherwise(0)
+  }
+
+  /** Population stability index between a baseline and a comparison
+    * frame — the binned drift score ML platforms alert on (PSI < 0.1
+    * stable, > 0.25 shifted), complementing [[ksTest]]'s max-distance
+    * view with a per-bin decomposition that SAYS WHERE the mass moved.
+    * Bins are the baseline's quantile buckets (boundaries from
+    * [[quantileBoundaries]], so bin populations start near-uniform);
+    * each side's bin counts are Laplace-smoothed (+1 per bin — the
+    * standard empty-bin guard, making every term finite and the whole
+    * statistic engine-exact) and
+    * `term_i = (p_a,i − p_b,i) · ln(p_a,i / p_b,i) ≥ 0`.
+    *
+    * Shape: one histogram pass per side (partial-aggregable groupBy on
+    * the bucket index — per-row codegen against ≤ |probs| literal
+    * boundaries), a |bins|-row join, single-row totals broadcast.
+    * Returns one row per bin: (bin, lo, n_a, n_b, term) + the constant
+    * `psi` total column (Σ terms, rounded 6); exact integer counts ride
+    * alongside the presentation doubles. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      probsPct: Seq[Int] = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90))
+      : DataFrame = {
+    val bs = quantileBoundaries(a, valueCol, probsPct)
+    val nBins = bs.length + 1
+    val spark = a.sparkSession
+    import spark.implicits._
+    def hist(df: DataFrame, out: String) = {
+      val bucketCol = bs.foldLeft(lit(1)) { (acc, bnd) =>
+        acc + when(col(valueCol).cast("long") > bnd, 1).otherwise(0)
+      }
+      df.filter(col(valueCol).isNotNull)
+        .select(bucketCol.cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
     }
-    df.withColumn("bucket", bucketCol.cast("int"))
+    val bins = (1 to nBins).map(i =>
+      (i, if (i == 1) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(bs(i - 2)))).toDF("bin", "lo")
+    val grid = bins
+      .join(hist(a, "n_a"), Seq("bin"), "left")
+      .join(hist(b, "n_b"), Seq("bin"), "left")
+      .select(col("bin"), col("lo"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = grid.agg(sum(col("n_a")).as("__ta__"),
+      sum(col("n_b")).as("__tb__"))
+    val pa = (col("n_a") + 1).cast("double") /
+      (col("__ta__") + nBins).cast("double")
+    val pb = (col("n_b") + 1).cast("double") /
+      (col("__tb__") + nBins).cast("double")
+    val term = (pa - pb) * log(pa / pb)
+    val scored = grid.crossJoin(broadcast(totals))
+      .withColumn("__term__", term)
+    scored
+      .withColumn("term", round(col("__term__"), 6))
+      .crossJoin(broadcast(scored.agg(
+        round(sum(col("__term__")), 6).as("psi"))))
+      .select(col("bin"), col("lo"), col("n_a"), col("n_b"),
+        col("term"), col("psi"))
   }
 
   /** 2-D Pareto frontier (maximization skyline): the input rows NOT

@@ -872,6 +872,19 @@ object PipelineQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // PSI drift between the q193 shards: baseline-decile bins with
+    // Laplace smoothing — the per-bin decomposition that says WHERE the
+    // dropped-views mass moved
+    "q199_psi" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("vmil", floor(col("value") * 1000 + 0.5).cast("long"))
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 === 1)
+        .filter(!(col("event_type") === "view" && col("event_id") % 5 === 1))
+      graft.ops.Profiling.psi(a, b, "vmil")
+        .orderBy(col("bin"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2511,6 +2524,54 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q199_psi" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |a AS (SELECT event_id, vmil FROM ev
+        |  WHERE event_id % 2 = 0 AND vmil IS NOT NULL),
+        |b AS (SELECT event_id, vmil FROM ev WHERE event_id % 2 = 1
+        |  AND NOT (event_type = 'view' AND event_id % 5 = 1)
+        |  AND vmil IS NOT NULL),
+        |pv AS (SELECT vmil AS v, COUNT(1) AS c FROM a GROUP BY 1),
+        |cm AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM pv),
+        |tot AS (SELECT COUNT(1) AS n FROM a),
+        |bd AS (SELECT pp.p, MIN(v) AS bnd FROM cm CROSS JOIN tot
+        |  JOIN (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p)
+        |    pp ON cum * 100 >= pp.p * n
+        |  GROUP BY pp.p),
+        |bdx AS (SELECT bnd, ROW_NUMBER() OVER (ORDER BY bnd) AS r
+        |  FROM bd),
+        |ha AS (SELECT bin, COUNT(1) AS n_a FROM (
+        |    SELECT x.event_id,
+        |      1 + SUM(CASE WHEN x.vmil > bd.bnd THEN 1 ELSE 0 END) AS bin
+        |    FROM a x CROSS JOIN bd GROUP BY x.event_id) GROUP BY 1),
+        |hb AS (SELECT bin, COUNT(1) AS n_b FROM (
+        |    SELECT x.event_id,
+        |      1 + SUM(CASE WHEN x.vmil > bd.bnd THEN 1 ELSE 0 END) AS bin
+        |    FROM b x CROSS JOIN bd GROUP BY x.event_id) GROUP BY 1),
+        |bins AS (SELECT unnest(range(1, 11)) AS bin),
+        |grid AS (SELECT bins.bin, bdx.bnd AS lo,
+        |    COALESCE(ha.n_a, 0) AS n_a, COALESCE(hb.n_b, 0) AS n_b
+        |  FROM bins LEFT JOIN bdx ON bdx.r = bins.bin - 1
+        |  LEFT JOIN ha ON ha.bin = bins.bin
+        |  LEFT JOIN hb ON hb.bin = bins.bin),
+        |t2 AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM grid),
+        |sc AS (SELECT bin, lo, n_a, n_b,
+        |    (CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+        |     - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+        |    * LN((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+        |        / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+        |      AS t
+        |  FROM grid CROSS JOIN t2)
+        |SELECT CAST(bin AS INTEGER) AS bin, lo,
+        |  CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, ROUND(t, 6) AS term,
+        |  (SELECT ROUND(SUM(t), 6) FROM sc) AS psi
+        |FROM sc ORDER BY bin""".stripMargin,
 
     "q193_ks_test" ->
       """WITH ev AS (SELECT event_id, event_type,

@@ -363,6 +363,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("d") == 1.0 && r3.getAs[Long]("d_at") == 1L)
   }
 
+  test("psi: identical = 0, shifted mass decomposes per bin") {
+    import spark.implicits._
+    val a = (1L to 10L).toDF("v")
+    val same = graft.ops.Profiling.psi(a, a, "v").collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getAs[Double]("term") == 0.0))
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    // baseline uniform deciles; comparison all-mass-in-top-bin
+    val b = Seq.fill(10)(10L).toDF("v")
+    val got = graft.ops.Profiling.psi(a, b, "v").collect()
+      .map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("term"), r.getAs[Double]("psi")))).toMap
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val tLow = rnd((0.1 - 0.05) * math.log(0.1 / 0.05))
+    val tTop = rnd((0.1 - 0.55) * math.log(0.1 / 0.55))
+    val psi = rnd(9 * ((0.1 - 0.05) * math.log(0.1 / 0.05)) +
+      (0.1 - 0.55) * math.log(0.1 / 0.55))
+    (1 to 9).foreach { i =>
+      assert(got(i) == ((1L, 0L, tLow, psi)), s"bin $i: ${got(i)}")
+    }
+    assert(got(10) == ((1L, 10L, tTop, psi)))
+    // lo column: bin 1 open-ended (null), others carry the boundary
+    val lows = graft.ops.Profiling.psi(a, b, "v").collect()
+      .map(r => r.getAs[Int]("bin") ->
+        Option(r.getAs[java.lang.Long]("lo"))).toMap
+    assert(lows(1).isEmpty && lows(2) == Some(1L) && lows(10) == Some(9L))
+  }
+
   test("ksTest plan: histogram collapses map-side before the grid window") {
     import spark.implicits._
     val a = Seq(1L, 2L).toDF("v")
