@@ -79,7 +79,13 @@ object ScaleStress {
       }
     }
 
+    // optional second arg: comma-separated op allowlist (re-measure a
+    // few rows without paying for the whole harness)
+    val opFilter: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+
     def timed(scale: String, op: String)(f: => (Long, String)): String = {
+      if (opFilter.exists(!_.contains(op))) return ""
       drainListeners()
       shuffleWrite.set(0)
       val t0 = System.nanoTime()
@@ -544,6 +550,20 @@ object ScaleStress {
           topK = 5, minDf = 2)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q197 shape: expectations — all row-local rules fold into ONE
+      // aggregation pass; Unique adds one partial-aggregable groupBy,
+      // ForeignKey one anti-join against a fixed-size reference
+      timed(scale, "expectations") {
+        val ref = docs.select(pmod(col("doc_id"), lit(1000L)).as("k"))
+          .distinct()
+        val out = graft.ops.Validate.validate(
+          docs.withColumn("k2", pmod(col("doc_id"), lit(1100L))), Seq(
+            graft.ops.Validate.NotNull("text"),
+            graft.ops.Validate.InRange("doc_id", 0L, 1000000000L),
+            graft.ops.Validate.Unique(Seq("doc_id")),
+            graft.ops.Validate.ForeignKey(Seq("k2"), ref, Seq("k"), "ref")))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
@@ -925,6 +945,19 @@ object ScaleStress {
         val edges = ev.select((col("user_id") % 5000).as("s"),
           ((col("user_id") * 7 + col("event_id")) % 5000).as("d"))
         val out = graft.ops.Graph.labelPropagation(edges, "s", "d", 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q199 shape: PSI drift — one histogram pass per side (each
+      // partial-aggregable on the ≤|probs|+1 bucket index), a
+      // |bins|-row grid; output is bin-bounded at any scale
+      timed(scale, "psi") {
+        val e2 = ev.withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+        val a = e2.filter(col("event_id") % 2 === 0)
+        val b = e2.filter(col("event_id") % 2 === 1)
+          .filter(!(col("event_type") === "view" &&
+            col("event_id") % 5 === 1))
+        val out = graft.ops.Profiling.psi(a, b, "vmil")
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }
