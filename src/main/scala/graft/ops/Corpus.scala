@@ -378,6 +378,63 @@ object Corpus {
           .as("mean_logprob"))
   }
 
+  /** Jensen-Shannon divergence between two corpora's unigram
+    * distributions — the text-space drift score (0 = identical corpora,
+    * ln 2 ≈ 0.693 = disjoint vocabularies), the lexical complement to
+    * the numeric PSI: a crawl snapshot that shifted topic or language
+    * mix shows up here before any downstream metric moves. Vocabulary is
+    * the union support restricted to words with combined count ≥
+    * `minCount`, and each side is renormalized within that vocabulary
+    * (a proper JSD over the truncated distributions — and the knob that
+    * keeps the support, and therefore the ordered total fold, bounded at
+    * corpus scale). Per-word contribution
+    * `½·p·ln(p/m) + ½·q·ln(q/m)`, `m = (p+q)/2`, zero-count side
+    * contributes 0 (the 0·ln 0 limit).
+    *
+    * Returns the `topK` words by contribution (desc, word asc tiebreak):
+    * (word, n_a, n_b, term) — the WHERE of the drift — plus the constant
+    * `jsd` total. Determinism: per-word terms are pure IEEE arithmetic;
+    * the total is an ORDERED fold over words (double addition is not
+    * associative), `sort_array`+`aggregate` here, `list(... ORDER BY
+    * word)`+`list_reduce` in the oracle — the [[unigramStats]] posture.
+    *
+    * Scale shape: one explode + partial-aggregable count per side, a
+    * vocabulary-sized full-outer join, single-row totals broadcast; the
+    * collect_list fold and output are vocabulary-bounded (`minCount`
+    * caps the support). */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 20, minCount: Long = 1L): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(regexp_extract_all(
+          lower(col(textCol)), lit("[^\\s]+"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(out))
+    val grid = counts(a, "n_a")
+      .join(counts(b, "n_b"), Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= minCount)
+    val totals = grid.agg(sum(col("n_a")).as("__ta__"),
+      sum(col("n_b")).as("__tb__"))
+    val p = col("n_a").cast("double") / col("__ta__").cast("double")
+    val q = col("n_b").cast("double") / col("__tb__").cast("double")
+    val m = (p + q) / 2
+    val contrib =
+      when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0.0)) / 2 +
+      when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0)) / 2
+    val scored = grid.crossJoin(broadcast(totals))
+      .withColumn("__c__", contrib)
+    val total = scored
+      .agg(sort_array(collect_list(struct(col("word"), col("__c__"))))
+        .as("cs"))
+      .select(round(aggregate(col("cs"), lit(0.0),
+        (acc, t) => acc + t.getField("__c__")), 6).as("jsd"))
+    scored.orderBy(col("__c__").desc, col("word")).limit(topK)
+      .select(col("word"), col("n_a"), col("n_b"),
+        round(col("__c__"), 6).as("term"))
+      .crossJoin(broadcast(total))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

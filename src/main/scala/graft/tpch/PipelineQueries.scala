@@ -885,6 +885,17 @@ object PipelineQueries {
         .orderBy(col("bin"))
     }),
 
+    // Jensen-Shannon drift between the English corpus slice and the
+    // rest: top-20 diverging words + the total — the lexical twin of
+    // q199's numeric PSI
+    "q200_js_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Corpus.jsDivergence(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"),
+        "text", topK = 20, minCount = 3L)
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2524,6 +2535,44 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q200_js_divergence" ->
+      """WITH wa AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents
+        |  WHERE lang = 'en'),
+        |wb AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents
+        |  WHERE lang <> 'en'),
+        |ca AS (SELECT word, COUNT(1) AS n_a FROM wa GROUP BY 1),
+        |cb AS (SELECT word, COUNT(1) AS n_b FROM wb GROUP BY 1),
+        |grid AS (SELECT word, COALESCE(n_a, 0) AS n_a,
+        |    COALESCE(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb USING (word)
+        |  WHERE COALESCE(n_a, 0) + COALESCE(n_b, 0) >= 3),
+        |t2 AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM grid),
+        |sc AS (SELECT word, n_a, n_b,
+        |    CASE WHEN n_a > 0 THEN
+        |      (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+        |      * LN((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+        |        / ((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |            + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2))
+        |      ELSE 0.0 END / 2
+        |    + CASE WHEN n_b > 0 THEN
+        |      (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+        |      * LN((CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+        |        / ((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |            + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2))
+        |      ELSE 0.0 END / 2 AS c
+        |  FROM grid CROSS JOIN t2),
+        |tot AS (SELECT ROUND(list_reduce(list(c ORDER BY word),
+        |    (x, y) -> x + y), 6) AS jsd FROM sc)
+        |SELECT word, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, ROUND(c, 6) AS term, tot.jsd
+        |FROM sc CROSS JOIN tot
+        |ORDER BY c DESC, word LIMIT 20""".stripMargin,
 
     "q199_psi" ->
       """WITH ev AS (SELECT event_id, event_type,

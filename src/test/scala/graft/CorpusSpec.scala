@@ -818,4 +818,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("jsDivergence: 0 for identical, ln 2 for disjoint, hand case") {
+    val a = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val same = Corpus.jsDivergence(a, a, "text").collect()
+    assert(same.nonEmpty)
+    assert(same.forall(_.getAs[Double]("term") == 0.0))
+    assert(same.forall(_.getAs[Double]("jsd") == 0.0))
+
+    val b = Seq((3L, "p q"), (4L, "p r")).toDF("doc_id", "text")
+    val disj = Corpus.jsDivergence(a, b, "text").collect()
+    // disjoint supports: every word's m = p/2 (or q/2), so each side
+    // contributes ½·Σp·ln2 and the total is ln 2
+    assert(math.abs(disj.head.getAs[Double]("jsd") - math.log(2)) < 1e-6)
+    disj.foreach { r =>
+      assert(r.getAs[Long]("n_a") == 0L || r.getAs[Long]("n_b") == 0L)
+    }
+
+    // hand case: a = {x:3, y:1}, b = {x:1, y:3}
+    val ha = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val hb = Seq((2L, "x y y y")).toDF("doc_id", "text")
+    def t(p: Double, q: Double) = {
+      val m = (p + q) / 2
+      p * math.log(p / m) / 2 + q * math.log(q / m) / 2
+    }
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val got = Corpus.jsDivergence(ha, hb, "text").collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("term"), r.getAs[Double]("jsd")))).toMap
+    val jsd = rnd(t(0.75, 0.25) + t(0.25, 0.75))
+    assert(got("x") == ((3L, 1L, rnd(t(0.75, 0.25)), jsd)), got("x"))
+    assert(got("y") == ((1L, 3L, rnd(t(0.25, 0.75)), jsd)), got("y"))
+
+    // minCount truncates the support AND renormalizes within it
+    val mc = Corpus.jsDivergence(
+      Seq((1L, "x x x y")).toDF("doc_id", "text"),
+      Seq((2L, "x x x z")).toDF("doc_id", "text"),
+      "text", topK = 10, minCount = 2L).collect()
+    assert(mc.length == 1 && mc.head.getAs[String]("word") == "x")
+    // only x survives; renormalized p = q = 1 → jsd = 0
+    assert(mc.head.getAs[Double]("jsd") == 0.0)
+  }
 }
