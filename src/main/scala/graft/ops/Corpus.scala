@@ -435,6 +435,45 @@ object Corpus {
       .crossJoin(broadcast(total))
   }
 
+  /** Distinct-n n-gram diversity per group — the templated/synthetic
+    * corpus detector (low distinct-2/distinct-3 ratios flag
+    * machine-generated or boilerplate-heavy slices; the corpus-level
+    * "distinct-n" metric from the text-generation literature, computed
+    * per source so the offending feed is named). For each n in `ns`:
+    * `distinct_ratio = |distinct n-grams| / |n-gram occurrences|`
+    * within the group — 1.0 means every n-gram is unique, → 0 means the
+    * slice repeats itself.
+    *
+    * Scale shape: per n, one codegen'd per-row gram expansion (no
+    * window, no join) → explode → TWO partial-aggregable levels
+    * ((group, gram) then group); only 8-byte-ish gram strings ride the
+    * one shuffle and the second level is |groups|-sized. Output is
+    * |groups| × |ns| rows. */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
+    val ws = regexp_extract_all(lower(col(textCol)), lit("[^\\s]+"), lit(0))
+    val perN = ns.map { n =>
+      val grams =
+        if (n == 1) ws
+        else when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      df.select(col(groupCol), explode(grams).as("gram"))
+        .groupBy(col(groupCol), col("gram"))
+        .agg(count(lit(1)).as("occ"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("distinct_ngrams"),
+          sum(col("occ")).as("total_ngrams"))
+        .select(col(groupCol), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+    }
+    perN.reduce(_ unionAll _)
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

@@ -896,6 +896,12 @@ object PipelineQueries {
         "text", topK = 20, minCount = 3L)
     }),
 
+    // distinct-n diversity per language: the templated-corpus detector
+    // (low distinct-2/3 ratio = the slice repeats itself)
+    "q201_ngram_diversity" -> ((s, dir) =>
+      graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
+        .orderBy(col("lang"), col("n"))),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2535,6 +2541,31 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q201_ngram_diversity" ->
+      """WITH w AS (SELECT lang, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0) AS ws FROM documents),
+        |g AS (
+        |  SELECT lang, 1 AS n, unnest(ws) AS gram FROM w
+        |  UNION ALL
+        |  SELECT lang, 2 AS n, unnest(CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(generate_series(1, len(ws) - 1),
+        |        i -> array_to_string(ws[i:i+1], ' '))
+        |    ELSE [] END) AS gram FROM w
+        |  UNION ALL
+        |  SELECT lang, 3 AS n, unnest(CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(generate_series(1, len(ws) - 2),
+        |        i -> array_to_string(ws[i:i+2], ' '))
+        |    ELSE [] END) AS gram FROM w),
+        |c AS (SELECT lang, n, gram, COUNT(1) AS occ
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(n AS INTEGER) AS n,
+        |  CAST(SUM(occ) AS BIGINT) AS total_ngrams,
+        |  CAST(COUNT(1) AS BIGINT) AS distinct_ngrams,
+        |  ROUND(CAST(COUNT(1) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE), 6)
+        |    AS distinct_ratio
+        |FROM c GROUP BY 1, 2 ORDER BY lang, n""".stripMargin,
 
     "q200_js_divergence" ->
       """WITH wa AS (SELECT unnest(list_filter(

@@ -860,4 +860,20 @@ class CorpusSpec extends AnyFunSuite {
     // only x survives; renormalized p = q = 1 → jsd = 0
     assert(mc.head.getAs[Double]("jsd") == 0.0)
   }
+
+  test("ngramDiversity: hand counts; short docs skip long grams") {
+    val df = Seq((1L, "g1", "a b a b"), (2L, "g2", "x y"))
+      .toDF("doc_id", "grp", "text")
+    val got = Corpus.ngramDiversity(df, "grp", "text").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          r.getAs[Double]("distinct_ratio")))).toMap
+    assert(got(("g1", 1)) == ((4L, 2L, 0.5)))
+    assert(got(("g1", 2)) == ((3L, 2L, 0.666667)))
+    assert(got(("g1", 3)) == ((2L, 2L, 1.0)))
+    assert(got(("g2", 1)) == ((2L, 2L, 1.0)))
+    assert(got(("g2", 2)) == ((1L, 1L, 1.0)))
+    // 2-token doc has no trigram row at all
+    assert(!got.contains(("g2", 3)) && got.size == 5)
+  }
 }
