@@ -90,6 +90,46 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Small-file compaction planner — the answer to the small-file
+    * problem a long-lived 100 TB table accumulates (every incremental
+    * write adds files; scan cost grows with FILE COUNT, not bytes, once
+    * files are small). Files of `sizeCol` < `targetBytes` are grouped
+    * into contiguous rewrite groups of ≈ target total size by
+    * cumulative-size quantization in `fileCol` order:
+    * `grp = floor(exclusive-prefix-sum / target)` — deterministic,
+    * single-pass, and every group except possibly the last lands in
+    * [target, 2·target) bytes. Files already ≥ target are left alone
+    * (grp NULL, their own row). Returns one row per file:
+    * (file, size, grp, grp_files, grp_bytes) — a rewrite job per grp.
+    *
+    * Scale shape: the global-order window runs on the MANIFEST, which is
+    * metadata-sized (10⁵–10⁶ rows for a 100 TB table) — the same
+    * driver-adjacent posture as [[manifest]]/[[prunedFiles]]; the data
+    * itself is never touched. */
+  def compactionPlan(manifestDf: DataFrame, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val small = manifestDf.filter(col(sizeCol) < targetBytes)
+      .withColumn("__pre__",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("grp",
+        floor(col("__pre__").cast("double") /
+          lit(targetBytes).cast("double")).cast("long"))
+      .drop("__pre__")
+    val perGrp = small.groupBy(col("grp"))
+      .agg(count(lit(1)).as("grp_files"), sum(col(sizeCol)).as("grp_bytes"))
+    val smallOut = small.join(broadcast(perGrp), Seq("grp"))
+      .select(col(fileCol), col(sizeCol), col("grp"),
+        col("grp_files"), col("grp_bytes"))
+    val bigOut = manifestDf.filter(col(sizeCol) >= targetBytes)
+      .select(col(fileCol), col(sizeCol),
+        lit(null).cast("long").as("grp"),
+        lit(1L).as("grp_files"), col(sizeCol).cast("long").as("grp_bytes"))
+    smallOut.unionAll(bigOut)
+  }
+
   /** Manifest-pruned closed-range read: list the files whose `[min, max]`
     * box overlaps EVERY requested `col -> (lo, hi)` range (driver-side
     * decision over the kilobyte-sized manifest), then scan ONLY those

@@ -902,6 +902,17 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // compaction planner over a synthetic (source, shard) file manifest:
+    // small files quantize into ~target rewrite groups, big ones pass
+    "q202_compaction_plan" -> ((s, dir) => {
+      val mf = docs(s, dir)
+        .groupBy(concat(col("source"), lit("_"),
+          pmod(col("doc_id"), lit(50L))).as("file"))
+        .agg(sum(col("n_chars")).as("size_bytes"))
+      graft.ops.Layout.compactionPlan(mf, "file", "size_bytes", 5000L)
+        .orderBy(col("file"))
+    }),
+
     // exact dedup: keeper id + copy count per distinct text
     "q40_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(docs(s, dir), "text", "doc_id")
@@ -2541,6 +2552,27 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q202_compaction_plan" ->
+      """WITH mf AS (SELECT source || '_' || CAST(doc_id % 50 AS VARCHAR)
+        |    AS file, CAST(SUM(n_chars) AS BIGINT) AS size_bytes
+        |  FROM documents GROUP BY 1),
+        |small AS (SELECT file, size_bytes,
+        |    CAST(floor(CAST(COALESCE(SUM(size_bytes) OVER (
+        |        ORDER BY file ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0) AS DOUBLE) / 5000.0) AS BIGINT)
+        |      AS grp
+        |  FROM mf WHERE size_bytes < 5000),
+        |per AS (SELECT grp, CAST(COUNT(1) AS BIGINT) AS grp_files,
+        |    CAST(SUM(size_bytes) AS BIGINT) AS grp_bytes
+        |  FROM small GROUP BY 1)
+        |SELECT file, size_bytes, grp, grp_files, grp_bytes
+        |FROM small JOIN per USING (grp)
+        |UNION ALL
+        |SELECT file, size_bytes, NULL AS grp, 1 AS grp_files,
+        |  size_bytes AS grp_bytes
+        |FROM mf WHERE size_bytes >= 5000
+        |ORDER BY file""".stripMargin,
 
     "q201_ngram_diversity" ->
       """WITH w AS (SELECT lang, list_filter(

@@ -190,4 +190,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(one == Seq(0L))
     intercept[IllegalArgumentException] { Layout.rendezvousShard(col("k"), 65) }
   }
+
+  test("compactionPlan: quantized groups for small files, big pass through") {
+    val mf = Seq(("a", 3L), ("b", 3L), ("c", 3L), ("d", 10L))
+      .toDF("file", "size_bytes")
+    val got = Layout.compactionPlan(mf, "file", "size_bytes", 5L)
+      .collect()
+      .map(r => r.getAs[String]("file") ->
+        ((Option(r.getAs[java.lang.Long]("grp")), r.getAs[Long]("grp_files"),
+          r.getAs[Long]("grp_bytes")))).toMap
+    // prefix sums 0,3,6 → grp 0,0,1; d ≥ target keeps its own row
+    assert(got("a") == ((Some(0L), 2L, 6L)))
+    assert(got("b") == ((Some(0L), 2L, 6L)))
+    assert(got("c") == ((Some(1L), 1L, 3L)))
+    assert(got("d") == ((None, 1L, 10L)))
+    // every non-last group lands in [target, 2*target)
+    assert(got("a")._3 >= 5L && got("a")._3 < 10L)
+  }
 }
