@@ -130,6 +130,13 @@ object GraftSqlExtensions {
         classOf[WordNGramsExpr]) { args =>
         arity("graft_word_ngrams", 2, args)
         WordNGramsExpr(args.head, litInt("graft_word_ngrams", "n", args(1)))
+      },
+      entry("graft_deflate_size",
+        "graft_deflate_size(str, level) - DEFLATE-compressed byte count",
+        classOf[DeflateSizeExpr]) { args =>
+        arity("graft_deflate_size", 2, args)
+        DeflateSizeExpr(args.head,
+          litInt("graft_deflate_size", "level", args(1)))
       })
 
   /** Register on a LIVE session (the extensions conf only applies at

@@ -414,6 +414,24 @@ object TextImpls {
     }
     UTF8String.fromString(sb.toString.toLowerCase(java.util.Locale.ROOT))
   }
+
+  /** Byte length of the raw-DEFLATE stream of `bytes` at the pinned
+    * `level` (nowrap — no zlib header/trailer, so the count is pure
+    * entropy coding). One Deflater per call: the object is scoped to the
+    * row because Deflater is stateful and codegen'd rows interleave
+    * across operators; allocation cost is dwarfed by the deflate pass
+    * itself. */
+  def deflateSize(bytes: Array[Byte], level: Int): Long = {
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }
 
 /** lang_id(lowered): stopword-argmax language ID in one call. `full`
@@ -533,6 +551,25 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** deflate_size(text, level): DEFLATE-compressed byte count of the
+  * UTF-8 text — the Gopher/RefinedWeb-style repetitiveness signal
+  * (compressed/raw ratio near 0 = templated or repeated text; ≈1 =
+  * high-entropy). JIT-compiled per-row codec work, the same posture as
+  * the multimodal decoders: no SQL oracle can replay zlib, so the
+  * contract is the spec's direct cross-validation plus pinned level. */
+case class DeflateSizeExpr(child: Expression, level: Int)
+    extends UnaryExpression {
+  require(level >= 0 && level <= 9, s"deflate level must be 0..9, got $level")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.deflateSize(v.asInstanceOf[UTF8String].getBytes, level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextImpls.deflateSize($c.getBytes(), $level)")
+  override protected def withNewChildInternal(c: Expression): DeflateSizeExpr =
+    copy(child = c)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -551,4 +588,6 @@ object NativeText {
     toCol(RemoveCoveredTokensExpr(toExpr(text), toExpr(flags), k))
   def keep_split_parts(text: Column, positions: Column, sep: String): Column =
     toCol(KeepSplitPartsExpr(toExpr(text), toExpr(positions), sep))
+  def deflate_size(text: Column, level: Int = 6): Column =
+    toCol(DeflateSizeExpr(toExpr(text), level))
 }

@@ -302,6 +302,29 @@ object TextAnalysis {
         (letters > 0 && (letters - domCnt) * 5 >= letters))
   }
 
+  /** Deflate compression-ratio quality signal — the classic
+    * repetitiveness filter (Gopher/RefinedWeb prune documents whose
+    * compressed size is a small fraction of the raw size: mostly
+    * templated/repeated bytes; near-random text sits close to — or,
+    * deflate block overhead included, slightly above — 1.0). Per doc:
+    * raw UTF-8 byte count, DEFLATE byte count at the pinned `level`
+    * (raw stream, no zlib framing), and their rounded ratio.
+    *
+    * Scale shape: one JIT-compiled codec pass per row
+    * ([[graft.functions.NativeText.deflate_size]]), no shuffle, streams
+    * unchanged — the q47/q68 per-row posture. No SQL oracle can replay
+    * zlib, so the contract is spec-level (direct java.util.zip
+    * cross-validation + invariants), the multimodal-decoder posture. */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val raw = octet_length(col(textCol)).cast("long")
+    val comp = graft.functions.NativeText.deflate_size(col(textCol), level)
+    df.select(col(idCol), raw.as("n_bytes"), comp.as("deflate_bytes"),
+      when(raw > 0,
+        round(comp.cast("double") / raw.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("compression_ratio"))
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

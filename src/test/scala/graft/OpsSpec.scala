@@ -1304,4 +1304,46 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.split("shinglehashesexpr").length == 2,
       "shinglehashesexpr must appear exactly once in the plan:\n" + plan)
   }
+
+  test("compressionSignals: deflate cross-validation, invariants, SQL path") {
+    // direct cross-validation against java.util.zip on real docs + edges
+    def refDeflate(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    val sample = docs.select(col("doc_id"), col("text")).limit(20)
+    val got = TextAnalysis.compressionSignals(sample, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("deflate_bytes")))).toMap
+    val raw = sample.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    raw.foreach { case (id, text) =>
+      assert(got(id) ==
+        ((text.getBytes("UTF-8").length.toLong, refDeflate(text))), s"doc $id")
+    }
+    // invariant: pure repetition compresses far better than varied text
+    val inv = TextAnalysis.compressionSignals(
+      Seq((1L, "ab" * 500), (2L, (1 to 500).mkString(" "))).toDF("id", "t"),
+      "id", "t").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("compression_ratio"))
+      .toMap
+    assert(inv(1L) < 0.05 && inv(2L) > 0.2, inv)
+    // empty text: ratio is null, deflate of zero bytes still emits a block
+    val empty = TextAnalysis.compressionSignals(
+      Seq((1L, "")).toDF("id", "t"), "id", "t").collect().head
+    assert(empty.getAs[Long]("n_bytes") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("compression_ratio")))
+    // SQL registration path computes the same value
+    graft.functions.GraftSqlExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_deflate_size('hello hello hello', 6) AS n")
+      .collect().head.getAs[Long]("n")
+    assert(viaSql == refDeflate("hello hello hello"))
+  }
 }
