@@ -415,6 +415,32 @@ object TextImpls {
     UTF8String.fromString(sb.toString.toLowerCase(java.util.Locale.ROOT))
   }
 
+  /** Codepoint-histogram entropy stats in ONE pass:
+    * [n_codepoints, n_distinct, entropy_nats]. Entropy is
+    * `-Σ p·ln(p)` over the codepoint histogram, folded in ASCENDING
+    * CODEPOINT order with each term as `(c/n)·ln(c/n)` in IEEE double —
+    * the exact fold the DuckDB oracle replays (single-codepoint strings
+    * sort in codepoint order there), so the value is engine-exact
+    * before rounding. Empty input → [0, 0, 0]. */
+  def charEntropy(raw: String): Array[Double] = {
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n.toDouble
+      acc += p * math.log(p)
+    }
+    Array(n.toDouble, counts.size().toDouble, if (n == 0) 0.0 else -acc)
+  }
+
   /** Byte length of the raw-DEFLATE stream of `bytes` at the pinned
     * `level` (nowrap — no zlib header/trailer, so the count is pure
     * entropy coding). One Deflater per call: the object is scoped to the
@@ -570,6 +596,23 @@ case class DeflateSizeExpr(child: Expression, level: Int)
     copy(child = c)
 }
 
+/** char_entropy(text): [n_codepoints, n_distinct, entropy_nats] of the
+  * codepoint histogram in one JIT pass — the gibberish/binary-junk
+  * quality signal (natural language sits ~3–4.5 nats; near-zero =
+  * repeated filler, near-ln(n) = random bytes). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextImpls.charEntropy(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextImpls.charEntropy($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(child = c)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -590,4 +633,6 @@ object NativeText {
     toCol(KeepSplitPartsExpr(toExpr(text), toExpr(positions), sep))
   def deflate_size(text: Column, level: Int = 6): Column =
     toCol(DeflateSizeExpr(toExpr(text), level))
+  def char_entropy(text: Column): Column =
+    toCol(CharEntropyExpr(toExpr(text)))
 }

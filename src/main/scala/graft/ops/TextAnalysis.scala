@@ -325,6 +325,23 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("compression_ratio"))
   }
 
+  /** Per-document codepoint-entropy stats — the gibberish/binary-junk
+    * detector (natural language sits ~3–4.5 nats of character entropy;
+    * near 0 = repeated filler, near ln(n_distinct) everywhere = random
+    * noise — both ends get pruned by quality filters). One JIT pass per
+    * row ([[graft.functions.NativeText.char_entropy]]), no shuffle; the
+    * entropy fold runs in ascending-codepoint order so the DuckDB
+    * oracle replays it bit-for-bit before the 6dp rounding. */
+  def charEntropyStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val e = graft.functions.NativeText.char_entropy(col(textCol))
+    df.select(col(idCol), e.as("__e__"))
+      .select(col(idCol),
+        col("__e__").getItem(0).cast("long").as("n_codepoints"),
+        col("__e__").getItem(1).cast("long").as("distinct_codepoints"),
+        round(col("__e__").getItem(2), 6).as("char_entropy"))
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

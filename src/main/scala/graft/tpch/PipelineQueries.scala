@@ -902,6 +902,11 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // per-doc codepoint entropy: the gibberish/binary-junk detector
+    "q203_char_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charEntropyStats(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // compaction planner over a synthetic (source, shard) file manifest:
     // small files quantize into ~target rewrite groups, big ones pass
     "q202_compaction_plan" -> ((s, dir) => {
@@ -2552,6 +2557,24 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q203_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, length(text)), i -> text[i:i])) AS ch
+        |  FROM documents),
+        |h AS (SELECT doc_id, ch, COUNT(1) AS c FROM c GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_codepoints,
+        |    CAST(COUNT(1) AS BIGINT) AS distinct_codepoints
+        |  FROM h GROUP BY 1),
+        |e AS (SELECT h.doc_id, list(
+        |    (CAST(c AS DOUBLE) / CAST(n_codepoints AS DOUBLE))
+        |    * LN(CAST(c AS DOUBLE) / CAST(n_codepoints AS DOUBLE))
+        |    ORDER BY ch) AS terms
+        |  FROM h JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT n.doc_id, n.n_codepoints, n.distinct_codepoints,
+        |  ROUND(-list_reduce(e.terms, (a, b) -> a + b), 6)
+        |    AS char_entropy
+        |FROM n JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q202_compaction_plan" ->
       """WITH mf AS (SELECT source || '_' || CAST(doc_id % 50 AS VARCHAR)

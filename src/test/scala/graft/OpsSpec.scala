@@ -1346,4 +1346,43 @@ class OpsSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("n")
     assert(viaSql == refDeflate("hello hello hello"))
   }
+
+  test("charEntropyStats: hand cases + explode-twin differential") {
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val got = TextAnalysis.charEntropyStats(
+      Seq((1L, "aab"), (2L, ""), (3L, "𝄞a"), (4L, "zzzz"))
+        .toDF("id", "t"), "id", "t").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_codepoints"), r.getAs[Long]("distinct_codepoints"),
+          r.getAs[Double]("char_entropy")))).toMap
+    // fold order a<b: (2/3)ln(2/3) then (1/3)ln(1/3)
+    val aab = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(got(1L) == ((3L, 2L, rnd(aab))))
+    assert(got(2L) == ((0L, 0L, 0.0)))
+    // supplementary codepoint counts once, not as two UTF-16 units
+    assert(got(3L) == ((2L, 2L, rnd(math.log(2)))))
+    assert(got(4L) == ((4L, 1L, 0.0)))
+
+    // differential vs a declarative explode+groupBy twin on real docs
+    val native = TextAnalysis.charEntropyStats(docs, "doc_id", "text")
+    val chars = docs.select(col("doc_id"),
+      explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0) // split(_, "") keeps a trailing ""
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val n = chars.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
+    val twin = chars.join(n, "doc_id")
+      .select(col("doc_id"), struct(col("ch"),
+        ((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")))
+          .as("term")).as("t"),
+        col("n"), col("d"))
+      .groupBy(col("doc_id"), col("n"), col("d"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("doc_id"), col("n").as("n_codepoints"),
+        col("d").as("distinct_codepoints"),
+        round(-aggregate(col("ts"), lit(0.0),
+          (a, t) => a + t.getField("term")), 6).as("char_entropy"))
+    assert(native.exceptAll(twin).isEmpty && twin.exceptAll(native).isEmpty)
+  }
 }
