@@ -267,6 +267,76 @@ object Profiling {
         (col("__N__") - col("fp")).as("tn"))
   }
 
+  /** Cumulative Poisson(1) thresholds for the bootstrap's inverse-CDF
+    * draw, truncated at weight 5 (covers 1 − 6·10⁻⁵ of the mass; the
+    * truncation rule is part of the cross-engine contract). */
+  private val poissonCum = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean in ONE
+    * pass over the data — the at-scale bootstrap (resampling n rows B
+    * times is a non-starter at 100 TB; giving every row B independent
+    * Poisson(1) weights is one bounded fan-out and keeps every
+    * aggregation partial). Weights are CONTENT-ADDRESSED: replicate b's
+    * weight for a row is the inverse Poisson CDF at
+    * `u = polyHash(id ⊕ b) / 10⁶` — no RNG state, identical across
+    * engines, reruns, and partitionings. Replicate means are exact
+    * integer-sum ratios (`Σw·x / Σw`, one double division — no float
+    * accumulation anywhere), so the whole statistic is engine-exact.
+    * Empty replicates (Σw = 0) are excluded by contract; percentile
+    * ranks are nearest-rank over the surviving means.
+    *
+    * Returns per group: n, mean (exact Σx/n), ci_lo, ci_hi at
+    * `alpha` (two-sided), n_reps surviving.
+    *
+    * Scale shape: one B-way per-row fan-out (B ≈ 40, bounded) → ONE
+    * partial-aggregable groupBy on (group, b) → a |groups|-sized
+    * collect of B means each. `valueCol` must be integral so the
+    * replicate sums stay exact. */
+  def bootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, b: Int = 40, alpha: Double = 0.05): DataFrame = {
+    require(b >= 4, s"need at least 4 replicates, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val it = df.schema(valueCol).dataType
+    require(Seq("long", "int", "smallint", "tinyint").contains(it.typeName)
+      || it.typeName.startsWith("decimal"),
+      s"bootstrapCI needs an integral value column; '$valueCol' is $it")
+    val u = pmod(graft.functions.NativeHashes.poly_hash(
+        concat(col(idCol).cast("string"), lit("_"),
+          col("__b__").cast("string"))), lit(1000000L))
+      .cast("double") / 1000000.0
+    val w = poissonCum.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((t, i), rest) => when(u < t, i.toLong).otherwise(rest)
+    }
+    val reps = df.select(col(groupCol), col(idCol),
+        col(valueCol).cast("long").as("__x__"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b__"))
+      .select(col(groupCol), col("__b__"), col("__x__"), w.as("__w__"))
+      .groupBy(col(groupCol), col("__b__"))
+      .agg(sum(col("__w__") * col("__x__")).as("__wx__"),
+        sum(col("__w__")).as("__ws__"))
+      .filter(col("__ws__") > 0)
+      .select(col(groupCol),
+        (col("__wx__").cast("double") / col("__ws__").cast("double"))
+          .as("__m__"))
+    val perGroup = reps.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("__m__"))).as("__ms__"))
+    val base = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("__sx__"))
+    val nReps = size(col("__ms__"))
+    // nearest-rank (1-based): lo = floor(α/2·R)+1, hi = ceil((1−α/2)·R)
+    val loIdx = floor(lit(alpha / 2) * nReps.cast("double"))
+      .cast("int") + 1
+    val hiIdx = ceil(lit(1 - alpha / 2) * nReps.cast("double")).cast("int")
+    base.join(perGroup, Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        (col("__sx__").cast("double") / col("n").cast("double")).as("mean"),
+        element_at(col("__ms__"), loIdx).as("ci_lo"),
+        element_at(col("__ms__"), hiIdx).as("ci_hi"),
+        nReps.cast("long").as("n_reps"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int,
       pctNum: Int, pctDen: Int): DataFrame = {
     require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")

@@ -902,6 +902,13 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // one-pass Poisson-bootstrap CI on mean(n_chars) per lang: exact
+    // integer replicate sums, content-addressed weights, no RNG state
+    "q204_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Profiling.bootstrapCI(docs(s, dir), "lang", "n_chars",
+        "doc_id", b = 40, alpha = 0.05)
+        .orderBy(col("lang"))),
+
     // per-doc codepoint entropy: the gibberish/binary-junk detector
     "q203_char_entropy" -> ((s, dir) =>
       graft.ops.TextAnalysis.charEntropyStats(docs(s, dir), "doc_id", "text")
@@ -2557,6 +2564,39 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q204_bootstrap_ci" ->
+      s"""WITH reps AS (SELECT unnest(range(0, 40)) AS b),
+        |u AS (SELECT d.lang, d.n_chars, r.b,
+        |    CAST(${dpolyhash(
+               "CAST(d.doc_id AS VARCHAR) || '_' || CAST(r.b AS VARCHAR)")}
+        |      % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM documents d CROSS JOIN reps r),
+        |w AS (SELECT lang, n_chars, b,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM u),
+        |m AS (SELECT lang, b,
+        |    CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+        |  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |rk AS (SELECT lang, m,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY m) AS r,
+        |    COUNT(1) OVER (PARTITION BY lang) AS nr FROM m),
+        |base AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)
+        |      AS mean
+        |  FROM documents GROUP BY 1),
+        |lo AS (SELECT lang, m AS ci_lo FROM rk
+        |  WHERE r = CAST(floor(0.025 * nr) AS BIGINT) + 1),
+        |hi AS (SELECT lang, m AS ci_hi, CAST(nr AS BIGINT) AS n_reps
+        |  FROM rk WHERE r = CAST(ceil(0.975 * nr) AS BIGINT))
+        |SELECT base.lang, n, mean, ci_lo, ci_hi, n_reps
+        |FROM base JOIN lo USING (lang) JOIN hi USING (lang)
+        |ORDER BY lang""".stripMargin,
 
     "q203_char_entropy" ->
       """WITH c AS (SELECT doc_id, unnest(list_transform(

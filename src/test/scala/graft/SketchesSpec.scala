@@ -392,6 +392,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(lows(1).isEmpty && lows(2) == Some(1L) && lows(10) == Some(9L))
   }
 
+  test("bootstrapCI: deterministic, brackets the mean, integral-only") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, "g", i % 50)).toDF("id", "grp", "v")
+    def run() = graft.ops.Profiling.bootstrapCI(df, "grp", "v", "id",
+      b = 40).collect().head
+    val r1 = run()
+    val r2 = run()
+    assert(r1 == r2) // content-addressed weights: no RNG state anywhere
+    assert(r1.getAs[Long]("n") == 200L)
+    val mean = r1.getAs[Double]("mean")
+    val lo = r1.getAs[Double]("ci_lo")
+    val hi = r1.getAs[Double]("ci_hi")
+    assert(lo < mean && mean < hi, s"[$lo, $hi] vs $mean")
+    assert(r1.getAs[Long]("n_reps") == 40L)
+    // CI shrinks roughly with sqrt(n): 10x data gives a tighter interval
+    val big = (1L to 2000L).map(i => (i, "g", i % 50)).toDF("id", "grp", "v")
+    val rBig = graft.ops.Profiling.bootstrapCI(big, "grp", "v", "id",
+      b = 40).collect().head
+    assert(rBig.getAs[Double]("ci_hi") - rBig.getAs[Double]("ci_lo") <
+      (hi - lo), "10x data must tighten the CI")
+    // non-integral value column is refused
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.bootstrapCI(
+        Seq((1L, "g", 1.5)).toDF("id", "grp", "v"), "grp", "v", "id")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("ksTest plan: histogram collapses map-side before the grid window") {
     import spark.implicits._
     val a = Seq(1L, 2L).toDF("v")
