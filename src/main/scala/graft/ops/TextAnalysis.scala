@@ -325,6 +325,41 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("compression_ratio"))
   }
 
+  /** Segment-level language mixture per document — the mixed-language
+    * detector (a doc whose paragraphs disagree on language defeats
+    * doc-level language ID and usually signals scraped boilerplate,
+    * bilingual templates, or concatenation bugs; pipelines route such
+    * docs to segment-level processing instead of trusting one label).
+    * Splits on the literal `sep`, drops blank segments, language-IDs
+    * each segment with the codegen'd [[languageId]] argmax, and reports
+    * per doc: n_segments, n_langs, majority_lang (most segments, ties
+    * to the lexicographically first), mixed = more than one language.
+    *
+    * Scale shape: one per-row split + explode (fan-out = segments per
+    * doc), one partial-aggregable (doc, lang) count, a per-doc window
+    * over ≤ |languages| rows, one final per-doc aggregate — all on one
+    * doc-keyed partitioning; text leaves the plan at the langid. */
+  def langMixture(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val segs = df.select(col(idCol),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("__seg__"))
+      .filter(length(trim(col("__seg__"))) > 0)
+      .select(col(idCol), languageId(col("__seg__")).as("seg_lang"))
+    val counts = segs.groupBy(col(idCol), col("seg_lang"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__c__").desc, col("seg_lang").asc)
+    counts.withColumn("__rn__", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c__")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("__rn__") === 1, col("seg_lang")))
+          .as("majority_lang"))
+      .withColumn("mixed", col("n_langs") > 1)
+  }
+
   /** Per-document codepoint-entropy stats — the gibberish/binary-junk
     * detector (natural language sits ~3–4.5 nats of character entropy;
     * near 0 = repeated filler, near ln(n_distinct) everywhere = random

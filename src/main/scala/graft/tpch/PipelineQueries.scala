@@ -902,6 +902,19 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // segment-level language mixture over two-paragraph synthetic docs
+    // (each doc glued to its successor, which is often another language)
+    "q205_lang_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val d2 = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("text2"))
+      val glued = d.join(d2, "doc_id")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("text2")).as("text"))
+      graft.ops.TextAnalysis.langMixture(glued, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // one-pass Poisson-bootstrap CI on mean(n_chars) per lang: exact
     // integer replicate sums, content-addressed weights, no RNG state
     "q204_bootstrap_ci" -> ((s, dir) =>
@@ -1883,6 +1896,23 @@ object PipelineQueries {
 
   private val langCase: String = langCaseFor(TextAnalysis.stopwords, "lang_pred")
 
+  /** The q47 argmax as a bare CASE expression over an arbitrary text
+    * expression (sequential WHENs = the native tie-break by list
+    * position) — lets oracles language-ID SEGMENTS, not just docs. */
+  private def langCaseExpr(textExpr: String): String = {
+    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+      val inList = words.map(w => "'" + w.replace("'", "''") + "'")
+        .mkString(", ")
+      lang -> (s"len(list_filter(regexp_split_to_array(lower($textExpr)," +
+        s" '\\s+'), t -> t IN ($inList)))")
+    }
+    val best = s"GREATEST(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (lang, sc) =>
+      s"WHEN $sc = $best THEN '$lang'"
+    }.mkString(" ")
+    s"CASE WHEN $best = 0 THEN 'und' $whens ELSE 'und' END"
+  }
+
   /** q76: the PRODUCTION ~60-word × 11-language lists replayed verbatim —
     * the full lists are string literals, so the oracle inlines them into
     * the same argmax mechanism q47 pins for the 8-word lists. */
@@ -2564,6 +2594,27 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q205_lang_mixture" ->
+      s"""WITH p AS (SELECT d1.doc_id,
+        |    d1.text || chr(10) || chr(10) || d2.text AS text
+        |  FROM documents d1
+        |  JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        |segs AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS seg
+        |  FROM p),
+        |sl AS (SELECT doc_id, ${langCaseExpr("seg")} AS seg_lang
+        |  FROM segs WHERE length(trim(seg)) > 0),
+        |c AS (SELECT doc_id, seg_lang, COUNT(1) AS c
+        |  FROM sl GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, seg_lang, c, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, seg_lang ASC) AS rn
+        |  FROM c)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_segments,
+        |  CAST(COUNT(1) AS BIGINT) AS n_langs,
+        |  MAX(CASE WHEN rn = 1 THEN seg_lang END) AS majority_lang,
+        |  COUNT(1) > 1 AS mixed
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q204_bootstrap_ci" ->
       s"""WITH reps AS (SELECT unnest(range(0, 40)) AS b),

@@ -1347,6 +1347,23 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("langMixture: per-segment argmax, blank segments dropped, ties") {
+    val df = Seq(
+      (1L, "the a of and to\n\nel la de que y"),   // en + es
+      (2L, "the a of\n\n\n\nthe a of and"),        // blank seg dropped
+      (3L, "zzz qqq\n\nthe a of"))                 // und + en
+      .toDF("id", "t")
+    val got = TextAnalysis.langMixture(df, "id", "t").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("majority_lang"), r.getAs[Boolean]("mixed"))))
+      .toMap
+    // 1-1 tie between en and es: lexicographically first wins
+    assert(got(1L) == ((2L, 2L, "en", true)))
+    assert(got(2L) == ((2L, 1L, "en", false)))
+    assert(got(3L) == ((2L, 2L, "en", true)))
+  }
+
   test("charEntropyStats: hand cases + explode-twin differential") {
     def rnd(x: Double) = math.round(x * 1e6) / 1e6
     val got = TextAnalysis.charEntropyStats(
