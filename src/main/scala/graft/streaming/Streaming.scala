@@ -412,6 +412,58 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.psi]]: a live drift monitor
+    * scoring the stream-so-far against a STATIC baseline histogram
+    * (boundaries + per-bin counts, both computed batch-side with
+    * [[graft.ops.Profiling.quantileBoundaries]] and frozen — the
+    * deployment shape: the reference window is fixed, the comparison
+    * side accumulates). Each value maps to its bin with the batch op's
+    * rule (`1 + #{boundaries below}`) in a distributed per-row map; the
+    * stateful stage then only consumes bin INDICES under one logical
+    * key whose state is the |bins|-sized cumulative histogram — O(bins)
+    * state forever. Emits `(n_seen, psi)` after every micro-batch, with
+    * the batch op's exact Laplace-smoothed term fold in bin order, so
+    * stream ≡ batch at every prefix (asserted in StreamingSpec).
+    *
+    * At production volume, pre-aggregate (bin, count) upstream per
+    * micro-batch (the [[anomalousBucketsStream]] posture) so the
+    * single-key stage consumes |bins| rows, not |events|. */
+  def psiStream(rows: Dataset[Long], boundaries: Seq[Long],
+      baseCounts: Seq[Long]): Dataset[(Long, Double)] = {
+    import rows.sparkSession.implicits._
+    require(baseCounts.length == boundaries.length + 1,
+      s"need ${boundaries.length + 1} baseline bins, got ${baseCounts.length}")
+    val nBins = baseCounts.length
+    val bs = boundaries.toArray
+    val ta = baseCounts.sum
+    rows.map { v =>
+      var b = 1
+      var i = 0
+      while (i < bs.length) { if (v > bs(i)) b += 1; i += 1 }
+      b
+    }.groupByKey(_ => "psi")
+      .flatMapGroupsWithState[Seq[Long], (Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Seq[Long]]) =>
+          val counts = state.getOption
+            .getOrElse(Seq.fill(nBins)(0L)).toArray
+          it.foreach(b => counts(b - 1) += 1)
+          state.update(counts.toSeq)
+          val tb = counts.sum
+          var acc = 0.0
+          var i = 0
+          while (i < nBins) {
+            val pa = (baseCounts(i) + 1).toDouble / (ta + nBins).toDouble
+            val pb = (counts(i) + 1).toDouble / (tb + nBins).toDouble
+            acc += (pa - pb) * math.log(pa / pb)
+            i += 1
+          }
+          val psi = BigDecimal(acc)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single((tb, psi))
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

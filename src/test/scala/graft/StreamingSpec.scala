@@ -480,6 +480,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psiStream equals the batch PSI total at every micro-batch prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseVals = (1L to 40L).map(_ % 10 + 1)
+    val aDf = baseVals.toDF("v")
+    val probs = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val bs = graft.ops.Profiling.quantileBoundaries(aDf, "v", probs)
+    val baseCounts = {
+      val byBin = graft.ops.Profiling.quantileBuckets(aDf, "v", probs)
+        .groupBy("bucket").count().collect()
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+      (1 to bs.length + 1).map(b => byBin.getOrElse(b, 0L))
+    }
+    val ms = MemoryStream[Long]
+    val q = Streaming.psiStream(ms.toDS(), bs, baseCounts)
+      .toDF("n_seen", "psi")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("psi_stream").start()
+    val batch1 = Seq(1L, 2L, 9L, 9L, 10L)
+    val batch2 = Seq(10L, 10L, 10L, 3L)
+    def lastPsi(): (Long, Double) = {
+      val rows = spark.sql("SELECT n_seen, psi FROM psi_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      rows.maxBy(_._1)
+    }
+    def batchPsi(vals: Seq[Long]): Double =
+      graft.ops.Profiling.psi(aDf, vals.toDF("v"), "v", probs)
+        .collect().head.getAs[Double]("psi")
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(lastPsi() == ((5L, batchPsi(batch1))))
+      ms.addData(batch2); q.processAllAvailable()
+      assert(lastPsi() == ((9L, batchPsi(batch1 ++ batch2))))
+    } finally q.stop()
+  }
+
   test("trendStream final moments equal the batch OLS rational per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
