@@ -341,6 +341,48 @@ object Similarity {
         col("sum_b").cast("long").as("sum_b"), col("drift"))
   }
 
+  /** Per-dimension embedding health profile — the vector-QA pass run
+    * before indexing a new embedding snapshot (a DEAD dimension — all
+    * zeros — means a truncated model export; a COLLAPSED one — near-zero
+    * variance — wastes index capacity and usually signals an untrained
+    * or saturated feature; both silently degrade recall if they ship).
+    * Values quantize to `scale` units ([[embeddingDrift]]'s discipline),
+    * so every moment is an exact integer: variance decisions are
+    * cross-multiplied integer predicates
+    * (`(n·Σx² − S²)·tDen < n²·tNum` ⟺ var < tNum/tDen q-units²), and
+    * the exported mean/var are single exact-ratio divisions — nothing
+    * float-accumulates anywhere.
+    *
+    * Returns per dim: n, n_zero, min_q, max_q, mean_q, var_q,
+    * dead (all-zero), collapsed (var below threshold).
+    *
+    * Scale shape: ONE posexplode + ONE partial-aggregable groupBy on the
+    * |dims|-sized key space; output is |dims| rows at any corpus size. */
+  def dimHealth(df: DataFrame, vecCol: String, tNum: Long = 1,
+      tDen: Long = 1, scale: Long = 1000L): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && scale >= 1, "bad health params")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    df.select(posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * scale + 0.5).cast("long"))))
+      .groupBy(col("pos").as("dim"))
+      .agg(count(lit(1)).cast(dec).as("__n__"),
+        sum(when(col("col") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("col")).as("min_q"), max(col("col")).as("max_q"),
+        sum(col("col")).cast(dec).as("__s__"),
+        sum(col("col") * col("col")).cast(dec).as("__ss__"))
+      .select(col("dim"), col("__n__").cast("long").as("n"),
+        col("n_zero"), col("min_q"), col("max_q"),
+        round(col("__s__").cast("double") /
+          col("__n__").cast("double"), 6).as("mean_q"),
+        round((col("__n__") * col("__ss__") - col("__s__") * col("__s__"))
+          .cast("double") /
+          (col("__n__") * col("__n__")).cast("double"), 6).as("var_q"),
+        (col("n_zero") === col("__n__").cast("long")).as("dead"),
+        ((col("__n__") * col("__ss__") - col("__s__") * col("__s__")) *
+          lit(tDen) <
+          col("__n__") * col("__n__") * lit(tNum)).as("collapsed"))
+  }
+
   /** Reciprocal-rank fusion of several retrieval rankings (BM25 + dense
     * ANN + recency, …) into one list — the standard hybrid-search merge,
     * score-scale-free because only RANKS enter:

@@ -902,6 +902,16 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // embedding health: dim 3 zeroed (dead), dim 7 pinned (collapsed) —
+    // the vector-QA pass must flag exactly those
+    "q206_dim_health" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(i === 3, lit(0.0f)).when(i === 7, lit(0.5f)).otherwise(x)))
+      graft.ops.Similarity.dimHealth(e, "embedding")
+        .orderBy(col("dim"))
+    }),
+
     // segment-level language mixture over two-paragraph synthetic docs
     // (each doc glued to its successor, which is often another language)
     "q205_lang_mixture" -> ((s, dir) => {
@@ -2594,6 +2604,31 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q206_dim_health" ->
+      """WITH v AS (SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |o AS (SELECT dim, CASE WHEN dim = 3 THEN CAST(0.0 AS FLOAT)
+        |    WHEN dim = 7 THEN CAST(0.5 AS FLOAT) ELSE x END AS xf
+        |  FROM v),
+        |q AS (SELECT dim,
+        |    CAST(floor(CAST(xf AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+        |  FROM o),
+        |g AS (SELECT dim, COUNT(1) AS n,
+        |    SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |    MIN(qv) AS min_q, MAX(qv) AS max_q,
+        |    SUM(qv) AS s, SUM(qv * qv) AS ss
+        |  FROM q GROUP BY 1)
+        |SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  CAST(min_q AS BIGINT) AS min_q, CAST(max_q AS BIGINT) AS max_q,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q,
+        |  ROUND(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+        |    AS var_q,
+        |  n_zero = n AS dead,
+        |  (n * ss - s * s) * 1 < n * n * 1 AS collapsed
+        |FROM g ORDER BY dim""".stripMargin,
 
     "q205_lang_mixture" ->
       s"""WITH p AS (SELECT d1.doc_id,

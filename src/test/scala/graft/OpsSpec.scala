@@ -1347,6 +1347,26 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("dimHealth: dead and collapsed dims flagged, exact moments") {
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f, 0.004f)),
+      (2L, Array(0.0f, 1.0f, 4.0f, 0.004f)),
+      (3L, Array(0.0f, 1.0f, 6.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimHealth(df, "embedding").collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_zero"), r.getAs[Long]("min_q"),
+          r.getAs[Long]("max_q"), r.getAs[Double]("mean_q"),
+          r.getAs[Double]("var_q"), r.getAs[Boolean]("dead"),
+          r.getAs[Boolean]("collapsed")))).toMap
+    assert(got(0) == ((3L, 0L, 0L, 0.0, 0.0, true, true)))
+    assert(got(1) == ((0L, 1000L, 1000L, 1000.0, 0.0, false, true)))
+    // varying dim: mean 4000, var (3·56e6 − 12000²)/9
+    assert(got(2) == ((0L, 2000L, 6000L, 4000.0,
+      math.round(24000000.0 / 9 * 1e6) / 1e6, false, false)))
+    assert(got(3) == ((0L, 4L, 10L, 6.0, 8.0, false, false)))
+  }
+
   test("langMixture: per-segment argmax, blank segments dropped, ties") {
     val df = Seq(
       (1L, "the a of and to\n\nel la de que y"),   // en + es
