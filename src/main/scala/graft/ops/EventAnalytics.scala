@@ -578,6 +578,58 @@ object EventAnalytics {
     * addition, the regression never rescans). Output per key:
     * n, slope_num, slope_den, `rising` (null when all x equal —
     * slope undefined — rather than a false flat). */
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    * the adjustment every large experiment platform applies): for
+    * per-unit rows (variant, pre-period covariate x, experiment metric
+    * y), the adjusted variant mean is
+    * `mean(y_v) − θ·(mean(x_v) − mean(x))` with
+    * `θ = cov(x,y)/var(x)` POOLED across variants — pre-period signal
+    * can't be caused by treatment, so subtracting its explained
+    * component shrinks variance without bias. Both columns must be
+    * integral (quantize upstream): every moment is an exact integer sum,
+    * θ and each mean are single exact-ratio divisions, and the adjusted
+    * mean is one fixed multiply-subtract — engine-exact before the 6dp
+    * rounding. Zero pre-period variance degrades to θ = 0 (no
+    * adjustment), not a NaN.
+    *
+    * Returns per variant: n, mean_x, mean_y, adj_mean + the constant
+    * theta. Scale shape: ONE partial-aggregable pass for the pooled
+    * moments (single-row broadcast) + ONE for the per-variant sums;
+    * output is |variants| rows. */
+  def cuped(units: DataFrame, variantCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    Seq(xCol, yCol).foreach { c =>
+      val t = units.schema(c).dataType
+      require(Seq("long", "int", "smallint", "tinyint").contains(t.typeName),
+        s"cuped needs integral metric columns; '$c' is $t")
+    }
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val pooled = units.agg(
+      count(lit(1)).cast(dec).as("__n__"),
+      sum(x).as("__sx__"), sum(y).as("__sy__"),
+      sum(x * y).cast(dec).as("__sxy__"),
+      sum(x * x).cast(dec).as("__sxx__"))
+    val varNum = col("__n__") * col("__sxx__") - col("__sx__") * col("__sx__")
+    val covNum = col("__n__") * col("__sxy__") - col("__sx__") * col("__sy__")
+    val theta = when(varNum === 0, lit(0.0))
+      .otherwise(covNum.cast("double") / varNum.cast("double"))
+    val perVariant = units.groupBy(col(variantCol))
+      .agg(count(lit(1)).cast(dec).as("__nv__"),
+        sum(x).as("__sxv__"), sum(y).as("__syv__"))
+    val meanXAll = col("__sx__").cast("double") / col("__n__").cast("double")
+    val meanXv = col("__sxv__").cast("double") / col("__nv__").cast("double")
+    val meanYv = col("__syv__").cast("double") / col("__nv__").cast("double")
+    perVariant.crossJoin(broadcast(pooled))
+      .withColumn("__theta__", theta)
+      .select(col(variantCol), col("__nv__").cast("long").as("n"),
+        round(meanXv, 6).as("mean_x"), round(meanYv, 6).as("mean_y"),
+        round(meanYv - col("__theta__") * (meanXv - meanXAll), 6)
+          .as("adj_mean"),
+        round(col("__theta__"), 6).as("theta"))
+  }
+
   def trend(df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)

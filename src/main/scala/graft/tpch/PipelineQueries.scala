@@ -902,6 +902,21 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // CUPED variance-reduced A/B readout: pre-period views as the
+    // covariate, purchase milli-value as the metric, variant = user % 2
+    "q207_cuped" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("vmil", floor(col("value") * 1000 + 0.5).cast("long"))
+      val units = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", col("vmil"))
+            .otherwise(0L)).as("y"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      graft.ops.EventAnalytics.cuped(units, "variant", "x", "y")
+        .orderBy(col("variant"))
+    }),
+
     // embedding health: dim 3 zeroed (dead), dim 7 pinned (collapsed) —
     // the vector-QA pass must flag exactly those
     "q206_dim_health" -> ((s, dir) => {
@@ -2604,6 +2619,33 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q207_cuped" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |u AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN vmil ELSE 0 END)
+        |      AS y
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (SELECT COUNT(1) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM u),
+        |t AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_all
+        |  FROM p),
+        |v AS (SELECT variant, COUNT(1) AS nv, SUM(x) AS sxv,
+        |    SUM(y) AS syv FROM u GROUP BY 1)
+        |SELECT variant, CAST(nv AS BIGINT) AS n,
+        |  ROUND(CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS mean_x,
+        |  ROUND(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS mean_y,
+        |  ROUND(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |    - theta * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |               - mean_x_all), 6) AS adj_mean,
+        |  ROUND(theta, 6) AS theta
+        |FROM v CROSS JOIN t ORDER BY variant""".stripMargin,
 
     "q206_dim_health" ->
       """WITH v AS (SELECT vec_id, unnest(embedding) AS x,

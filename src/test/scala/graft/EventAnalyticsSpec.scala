@@ -618,4 +618,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(nested <= 1, s"only the 1-row N cross join may nest:\n" + plan)
   }
+
+  test("cuped: perfect covariate equalizes adjusted means; zero-var degrades") {
+    // y = 10x + 10 exactly: theta = 10, both variants adjust to 25
+    val units = Seq(("a", 0L, 10L), ("a", 2L, 30L),
+      ("b", 1L, 20L), ("b", 3L, 40L)).toDF("variant", "x", "y")
+    val got = graft.ops.EventAnalytics.cuped(units, "variant", "x", "y")
+      .collect().map(r => r.getAs[String]("variant") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_x"),
+          r.getAs[Double]("mean_y"), r.getAs[Double]("adj_mean"),
+          r.getAs[Double]("theta")))).toMap
+    assert(got("a") == ((2L, 1.0, 20.0, 25.0, 10.0)))
+    assert(got("b") == ((2L, 2.0, 30.0, 25.0, 10.0)))
+    // constant covariate: theta = 0, adjusted mean = raw mean
+    val flat = Seq(("a", 5L, 10L), ("b", 5L, 30L)).toDF("variant", "x", "y")
+    val g2 = graft.ops.EventAnalytics.cuped(flat, "variant", "x", "y")
+      .collect().map(r => r.getAs[String]("variant") ->
+        ((r.getAs[Double]("adj_mean"), r.getAs[Double]("theta")))).toMap
+    assert(g2("a") == ((10.0, 0.0)) && g2("b") == ((30.0, 0.0)))
+    // non-integral metric refused
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.cuped(
+        Seq(("a", 1.0, 2L)).toDF("variant", "x", "y"), "variant", "x", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
