@@ -224,4 +224,54 @@ object Fuzzy {
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
     out
   }
+
+  /** Fellegi–Sunter record-linkage weights (JASA 1969 — the model behind
+    * every probabilistic matcher, Splink included): from LABELED
+    * candidate pairs with per-field boolean agreement columns, estimate
+    * `m_i = P(field i agrees | match)` and `u_i = P(agrees | non-match)`
+    * and emit each field's evidence weights
+    * `w_agree = ln(m/u)`, `w_disagree = ln((1−m)/(1−u))` — a scored pair
+    * sums the weights of its agreement vector. Probabilities are
+    * add-half smoothed (`(a + ½)/(n + 1)` — Jeffreys prior; keeps every
+    * weight finite when a field always or never agrees) and each is ONE
+    * exact-ratio division, each weight ONE ln of their quotient —
+    * engine-exact before the 6dp rounding.
+    *
+    * Returns per field: n_match, n_agree_match, n_nonmatch,
+    * n_agree_nonmatch (the exact evidence), m, u, w_agree, w_disagree.
+    *
+    * Scale shape: ONE partial-aggregable pass over the pairs (2·|fields|
+    * conditional sums + 2 counts in a single aggregate); output is
+    * |fields| rows. Candidate generation stays in the blocking ops
+    * ([[sortedNeighborhood]], [[jaroWinklerPairs]]); this prices the
+    * evidence. */
+  def fellegiSunter(pairs: DataFrame, labelCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one agreement field")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val isM = col(labelCol) === true
+    val aggs =
+      Seq(sum(when(isM, 1L).otherwise(0L)).as("__nm__"),
+        sum(when(!isM, 1L).otherwise(0L)).as("__nu__")) ++
+      fields.flatMap { f => Seq(
+        sum(when(isM && col(f), 1L).otherwise(0L)).as(s"__am_$f"),
+        sum(when(!isM && col(f), 1L).otherwise(0L)).as(s"__au_$f"))
+      }
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      val m = (col(s"__am_$f").cast("double") + 0.5) /
+        (col("__nm__").cast("double") + 1.0)
+      val u = (col(s"__au_$f").cast("double") + 0.5) /
+        (col("__nu__").cast("double") + 1.0)
+      one.select(lit(f).as("field"),
+        col("__nm__").as("n_match"), col(s"__am_$f").as("n_agree_match"),
+        col("__nu__").as("n_nonmatch"),
+        col(s"__au_$f").as("n_agree_nonmatch"),
+        round(m, 6).as("m"), round(u, 6).as("u"),
+        round(log(m / u), 6).as("w_agree"),
+        round(log((lit(1.0) - m) / (lit(1.0) - u)), 6).as("w_disagree"))
+    }
+    rows.reduce(_ unionAll _)
+  }
 }

@@ -902,6 +902,25 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // Fellegi-Sunter linkage weights from labeled pairs (same-source =
+    // match truth; lang/length/first-word agreement as evidence fields)
+    "q208_fellegi_sunter" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"),
+        regexp_extract(col("text"), "^[^\\s]+", 0).as("w1"))
+      val d2 = d.select((col("doc_id") - 250).as("doc_id"),
+        col("lang").as("lang2"), col("source").as("source2"),
+        col("n_chars").as("n2"), col("w1").as("w12"))
+      val pairs = d.join(d2, "doc_id")
+        .select((col("source") === col("source2")).as("is_match"),
+          (col("lang") === col("lang2")).as("lang_agree"),
+          (abs(col("n_chars") - col("n2")) <= 20).as("len_agree"),
+          (col("w1") === col("w12")).as("word_agree"))
+      graft.ops.Fuzzy.fellegiSunter(pairs, "is_match",
+        Seq("lang_agree", "len_agree", "word_agree"))
+        .orderBy(col("field"))
+    }),
+
     // CUPED variance-reduced A/B readout: pre-period views as the
     // covariate, purchase milli-value as the metric, variant = user % 2
     "q207_cuped" -> ((s, dir) => {
@@ -2618,6 +2637,47 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q208_fellegi_sunter" -> {
+      val fieldSql = Seq("lang_agree", "len_agree", "word_agree").map { f =>
+        s"""SELECT '$f' AS field, nm AS n_match, am_$f AS n_agree_match,
+           |  nu AS n_nonmatch, au_$f AS n_agree_nonmatch,
+           |  ROUND(m_$f, 6) AS m, ROUND(u_$f, 6) AS u,
+           |  ROUND(LN(m_$f / u_$f), 6) AS w_agree,
+           |  ROUND(LN((1.0 - m_$f) / (1.0 - u_$f)), 6) AS w_disagree
+           |FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |    regexp_extract(text, '^[^\\s]+') AS w1 FROM documents),
+         |p AS (SELECT a.source = b.source AS is_match,
+         |    a.lang = b.lang AS lang_agree,
+         |    abs(a.n_chars - b.n_chars) <= 20 AS len_agree,
+         |    a.w1 = b.w1 AS word_agree
+         |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 250),
+         |agg0 AS (SELECT
+         |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nm,
+         |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nu,
+         |${Seq("lang_agree", "len_agree", "word_agree").map(f =>
+             s"""    CAST(SUM(CASE WHEN is_match AND $f THEN 1 ELSE 0 END)
+                |      AS BIGINT) AS am_$f,
+                |    CAST(SUM(CASE WHEN NOT is_match AND $f THEN 1 ELSE 0
+                |      END) AS BIGINT) AS au_$f""".stripMargin)
+             .mkString(",\n")}
+         |  FROM p),
+         |agg AS (SELECT *,
+         |${Seq("lang_agree", "len_agree", "word_agree").map(f =>
+             s"""    (CAST(am_$f AS DOUBLE) + 0.5) /
+                |      (CAST(nm AS DOUBLE) + 1.0) AS m_$f,
+                |    (CAST(au_$f AS DOUBLE) + 0.5) /
+                |      (CAST(nu AS DOUBLE) + 1.0) AS u_$f""".stripMargin)
+             .mkString(",\n")}
+         |  FROM agg0)
+         |SELECT * FROM (
+         |$fieldSql
+         |) ORDER BY field""".stripMargin
     },
 
     "q207_cuped" ->

@@ -191,4 +191,29 @@ class FuzzySpec extends AnyFunSuite {
     assert(plan.split("Window").length == 2,
       "the w-1 leads ride one window pass:\n" + plan)
   }
+
+  test("fellegiSunter: add-half smoothed m/u and symmetric log weights") {
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    // informative field agrees on 3/4 matches, 1/4 non-matches;
+    // useless field agrees everywhere
+    val pairs = Seq(
+      (true, true, true), (true, true, true), (true, true, true),
+      (true, false, true),
+      (false, true, true), (false, false, true), (false, false, true),
+      (false, false, true))
+      .toDF("is_match", "f_info", "f_flat")
+    val got = graft.ops.Fuzzy.fellegiSunter(pairs, "is_match",
+      Seq("f_info", "f_flat")).collect()
+      .map(r => r.getAs[String]("field") ->
+        ((r.getAs[Long]("n_match"), r.getAs[Long]("n_agree_match"),
+          r.getAs[Long]("n_nonmatch"), r.getAs[Long]("n_agree_nonmatch"),
+          r.getAs[Double]("m"), r.getAs[Double]("u"),
+          r.getAs[Double]("w_agree"), r.getAs[Double]("w_disagree"))))
+      .toMap
+    // m = 3.5/5 = .7, u = 1.5/5 = .3: agreement is ln(7/3) evidence FOR
+    assert(got("f_info") == ((4L, 3L, 4L, 1L, 0.7, 0.3,
+      rnd(math.log(0.7 / 0.3)), rnd(math.log(0.3 / 0.7)))))
+    // m = u = .9: a field that always agrees carries zero evidence
+    assert(got("f_flat") == ((4L, 4L, 4L, 4L, 0.9, 0.9, 0.0, 0.0)))
+  }
 }
