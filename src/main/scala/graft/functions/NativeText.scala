@@ -441,6 +441,29 @@ object TextImpls {
     Array(n.toDouble, counts.size().toDouble, if (n == 0) 0.0 else -acc)
   }
 
+  /** ONE classic BPE merge scan over a symbol sequence: leftmost
+    * non-overlapping occurrences of adjacent (a, b) fuse to `a+b`, the
+    * scan continuing AFTER each fused token (so [a,a,a] with (a,a) →
+    * [aa, a], and [a]·5 → [aa, aa, a] — the leftmost-first overlap
+    * rule every BPE trainer implements). */
+  def bpeMergeOnce(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: UTF8String, b: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(a) && syms.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Byte length of the raw-DEFLATE stream of `bytes` at the pinned
     * `level` (nowrap — no zlib header/trailer, so the count is pure
     * entropy coding). One Deflater per call: the object is scoped to the
@@ -613,6 +636,30 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** bpe_merge_once(syms, a, b): one classic BPE merge scan (leftmost
+  * non-overlapping, continue after the fused token) as a JIT call —
+  * the per-round inner loop of tokenizer training, run over the
+  * vocabulary table, never the corpus. */
+case class BpeMergeOnceExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  require(a.nonEmpty && b.nonEmpty, "merge symbols must be non-empty")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.bpeMergeOnce(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      UTF8String.fromString(a), UTF8String.fromString(b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("a", UTF8String.fromString(a),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("b", UTF8String.fromString(b),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextImpls.bpeMergeOnce($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeOnceExpr =
+    copy(child = c)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -635,4 +682,6 @@ object NativeText {
     toCol(DeflateSizeExpr(toExpr(text), level))
   def char_entropy(text: Column): Column =
     toCol(CharEntropyExpr(toExpr(text)))
+  def bpe_merge_once(syms: Column, a: String, b: String): Column =
+    toCol(BpeMergeOnceExpr(toExpr(syms), a, b))
 }

@@ -820,6 +820,71 @@ object Corpus {
       .filter(col("rank") <= topK)
   }
 
+  /** Full BPE tokenizer training — the iterated [[bpePairCounts]] loop
+    * (Sennrich et al., ACL'16): per round, count adjacent symbol pairs
+    * weighted by word frequency, fuse the argmax pair (count desc, then
+    * (left, right) lexicographic — fully deterministic) across the
+    * whole vocabulary with the classic leftmost-non-overlapping scan
+    * ([[graft.functions.NativeText.bpe_merge_once]]), repeat. Stops
+    * early if the vocabulary runs out of adjacent pairs. Returns the
+    * learned merge table (rank, left, right, pair_count) — the artifact
+    * a tokenizer ships.
+    *
+    * Scale shape: the corpus collapses ONCE into the word-frequency
+    * table (partial-aggregable, vocabulary-sized); every round after
+    * that is vocab-sized work — one explode + one partial-aggregable
+    * pair count + a 1-row argmax collect (the kmeans centroid
+    * discipline) + one JIT merge map. The symbol table is persisted per
+    * round and `localCheckpoint`ed every `checkpointEvery` rounds so
+    * plan lineage stays bounded at production merge counts (the
+    * PageRank posture). */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 16): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(split(lower(
+        coalesce(col(textCol), lit(""))), "\\s+")).as("__w__"))
+      .filter(length(col("__w__")) >= 2)
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__wn__"))
+      .select(filter(split(col("__w__"), ""),
+        s => length(s) > 0).as("__syms__"), col("__wn__"))
+    vocab.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab.filter(size(col("__syms__")) >= 2)
+        .select(col("__wn__"), explode(transform(
+          sequence(lit(1), size(col("__syms__")) - 1),
+          i => struct(element_at(col("__syms__"), i).as("a"),
+            element_at(col("__syms__"), i + 1).as("b")))).as("__p__"))
+        .groupBy(col("__p__.a").as("a"), col("__p__.b").as("b"))
+        .agg(sum(col("__wn__")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top.head.getAs[String]("a"),
+          top.head.getAs[String]("b"), top.head.getAs[Long]("n"))
+        merges += ((rank, a, b, n))
+        val next = vocab.select(
+          graft.functions.NativeText.bpe_merge_once(col("__syms__"), a, b)
+            .as("__syms__"), col("__wn__"))
+        // materialize the child BEFORE dropping the parent cache, or the
+        // next action would recompute the whole merge chain from source
+        val mat = if (rank % checkpointEvery == 0) next.localCheckpoint()
+          else { next.persist(); next.queryExecution.toRdd.count(); next }
+        vocab.unpersist(blocking = false)
+        vocab = mat
+        rank += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Bigram COLLOCATION (phrase) detection — the word2vec phrase rule:
     * a bigram `w1 w2` is a phrase when
     * `(count(w1 w2) − δ) · N / (count(w1) · count(w2)) > threshold`

@@ -902,6 +902,12 @@ object PipelineQueries {
       graft.ops.Corpus.ngramDiversity(docs(s, dir), "lang", "text")
         .orderBy(col("lang"), col("n"))),
 
+    // full BPE tokenizer training: 6 merge rounds over the corpus
+    // word-frequency table
+    "q209_bpe_train" -> ((s, dir) =>
+      graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
+        .orderBy(col("rank"))),
+
     // Fellegi-Sunter linkage weights from labeled pairs (same-source =
     // match truth; lang/length/first-word agreement as evidence fields)
     "q208_fellegi_sunter" -> ((s, dir) => {
@@ -2637,6 +2643,49 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q209_bpe_train" -> {
+      // one merge round: pair-count the current encoded vocab, pick the
+      // argmax, apply it with ONE doubled-delimiter replace — the
+      // encoding that makes string replace equal the classic leftmost
+      // non-overlapping symbol scan (adjacent-but-distinct pairs share
+      // no characters; overlapping ones do, so replace skips them
+      // exactly like the trainer)
+      val d = "chr(1)"
+      def round(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""p$i AS (SELECT wn,
+           |    string_split(trim(w, chr(1)), $d || $d) AS syms
+           |  FROM $prev),
+           |e$i AS (SELECT wn, syms,
+           |    unnest(generate_series(1, len(syms) - 1)) AS j FROM p$i),
+           |c$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(wn) AS n
+           |  FROM e$i GROUP BY 1, 2),
+           |m$i AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM c$i
+           |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+           |v$i AS (SELECT replace(w,
+           |    $d || m.a || $d || $d || m.b || $d,
+           |    $d || m.a || m.b || $d) AS w, wn
+           |  FROM $prev CROSS JOIN m$i m)""".stripMargin
+      }
+      val rounds = (1 to 6).map(round).mkString(",\n")
+      val out = (1 to 6).map(i =>
+        s"SELECT $i AS rank, a AS left_sym, b AS right_sym, " +
+          s"n AS pair_count FROM m$i").mkString("\nUNION ALL\n")
+      s"""WITH wf AS (SELECT w, COUNT(1) AS wn FROM (
+         |    SELECT unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> length(t) >= 2)) AS w FROM documents)
+         |  GROUP BY 1),
+         |v0 AS (SELECT $d || array_to_string(list_transform(
+         |      generate_series(1, length(w)), i -> w[i:i]),
+         |      $d || $d) || $d AS w, wn
+         |  FROM wf),
+         |$rounds
+         |SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym,
+         |  pair_count
+         |FROM ($out) ORDER BY rank""".stripMargin
     },
 
     "q208_fellegi_sunter" -> {

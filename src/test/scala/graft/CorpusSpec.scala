@@ -861,6 +861,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(mc.head.getAs[Double]("jsd") == 0.0)
   }
 
+  test("trainBpe: deterministic merges, overlap rule, early exhaustion") {
+    import org.apache.spark.sql.functions._
+    // classic leftmost-first overlap: a,a,a,a,a -> aa,aa,a
+    val scan = spark.range(1).select(
+      graft.functions.NativeText.bpe_merge_once(
+        typedLit(Seq("a", "a", "a", "a", "a")), "a", "a").as("s"))
+      .collect().head.getSeq[String](0)
+    assert(scan == Seq("aa", "aa", "a"))
+
+    // "ab"x2 + "abab": round 1 fuses (a,b) seen 4x, round 2 (ab,ab) 1x,
+    // then the vocabulary has no adjacent pairs left -> early stop
+    val df = Seq((1L, "ab ab abab")).toDF("doc_id", "text")
+    val merges = graft.ops.Corpus.trainBpe(df, "text", numMerges = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    assert(merges.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 1L)))
+  }
+
   test("ngramDiversity: hand counts; short docs skip long grams") {
     val df = Seq((1L, "g1", "a b a b"), (2L, "g2", "x y"))
       .toDF("doc_id", "grp", "text")
