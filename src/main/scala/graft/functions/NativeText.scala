@@ -464,6 +464,52 @@ object TextImpls {
     new GenericArrayData(out.toArray)
   }
 
+  /** BPE-encode every \s+-word of `text` with the trained merge list
+    * and return [n_words, n_tokens] in one JIT pass. Encoding applies
+    * merges IN RANK ORDER, one [[bpeMergeOnce]]-style scan each — for
+    * BPE merges one scan per rank is exhaustive (a fused symbol is
+    * strictly longer than either side, so a scan can't create new
+    * occurrences of its own pair), and rank-order application equals
+    * the classic lowest-rank-first encode loop. */
+  def bpeEncodeStats(text: String,
+      merges: Array[Array[String]]): Array[Long] = {
+    var nWords = 0L
+    var nTokens = 0L
+    val it = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").iterator.filter(_.nonEmpty)
+    while (it.hasNext) {
+      val w = it.next()
+      nWords += 1
+      var syms = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val n = Character.charCount(cp)
+          b += w.substring(i, i + n)
+          i += n
+        }
+        b
+      }
+      var m = 0
+      while (m < merges.length && syms.length >= 2) {
+        val a = merges(m)(0)
+        val bb = merges(m)(1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == bb) {
+            out += (a + bb); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out
+        m += 1
+      }
+      nTokens += syms.length
+    }
+    Array(nWords, nTokens)
+  }
+
   /** Byte length of the raw-DEFLATE stream of `bytes` at the pinned
     * `level` (nowrap — no zlib header/trailer, so the count is pure
     * entropy coding). One Deflater per call: the object is scoped to the
@@ -660,6 +706,29 @@ case class BpeMergeOnceExpr(child: Expression, a: String, b: String)
     copy(child = c)
 }
 
+/** bpe_encode_stats(text): [n_words, n_tokens] after encoding every
+  * word with the trained merge list (rank-ordered scans, one JIT pass
+  * per document — the tokenizer-application side of [[BpeMergeOnceExpr]]'s
+  * training loop). */
+case class BpeEncodeStatsExpr(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val mergeArr: Array[Array[String]] =
+    merges.map(p => Array(p._1, p._2)).toArray
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextImpls.bpeEncodeStats(v.asInstanceOf[UTF8String].toString, mergeArr))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("merges",
+      merges.map(p => Array(p._1, p._2)).toArray, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextImpls.bpeEncodeStats($c.toString(), $mRef))")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeStatsExpr =
+    copy(child = c)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -684,4 +753,6 @@ object NativeText {
     toCol(CharEntropyExpr(toExpr(text)))
   def bpe_merge_once(syms: Column, a: String, b: String): Column =
     toCol(BpeMergeOnceExpr(toExpr(syms), a, b))
+  def bpe_encode_stats(text: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeEncodeStatsExpr(toExpr(text), merges))
 }

@@ -885,6 +885,28 @@ object Corpus {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Tokenize every document with a TRAINED merge list ([[trainBpe]]'s
+    * artifact) and report per doc: word count, BPE token count, and
+    * tokens-per-word (the fertility metric that prices a corpus in
+    * training FLOPs and flags tokenizer/corpus mismatch — fertility
+    * near 1 means the merges cover the text; near characters-per-word
+    * means they don't). One JIT pass per document
+    * ([[graft.functions.NativeText.bpe_encode_stats]] — rank-ordered
+    * merge scans, the classic encode); no shuffle, no explode, the
+    * merge table rides along as a broadcast-sized literal. */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val e = graft.functions.NativeText.bpe_encode_stats(
+      coalesce(col(textCol), lit("")), merges)
+    df.select(col(idCol), e.as("__e__"))
+      .select(col(idCol),
+        col("__e__").getItem(0).as("n_words"),
+        col("__e__").getItem(1).as("n_tokens"))
+      .withColumn("tokens_per_word", when(col("n_words") > 0,
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6)))
+  }
+
   /** Bigram COLLOCATION (phrase) detection — the word2vec phrase rule:
     * a bigram `w1 w2` is a phrase when
     * `(count(w1 w2) − δ) · N / (count(w1) · count(w2)) > threshold`

@@ -908,6 +908,18 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // tokenize the corpus with the 6 trained merges: per-doc token
+    // counts + fertility (train on the driver, encode distributed)
+    "q210_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.ops.Corpus.trainBpe(d, "text", numMerges = 6)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"))).toSeq
+      graft.ops.Corpus.bpeEncodeStats(d, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // Fellegi-Sunter linkage weights from labeled pairs (same-source =
     // match truth; lang/length/first-word agreement as evidence fields)
     "q208_fellegi_sunter" -> ((s, dir) => {
@@ -1946,6 +1958,44 @@ object PipelineQueries {
 
   private val langCase: String = langCaseFor(TextAnalysis.stopwords, "lang_pred")
 
+  /** Shared CTE chain replaying [[graft.ops.Corpus.trainBpe]] (6 merge
+    * rounds over the documents word-frequency table). One merge round:
+    * pair-count the current encoded vocab, pick the argmax, apply it
+    * with ONE doubled-delimiter replace — the encoding makes string
+    * replace equal the classic leftmost non-overlapping symbol scan
+    * (adjacent-but-distinct pairs share no characters; overlapping ones
+    * do, so replace skips them exactly like the trainer). Ends with
+    * `m1..m6 (a, b, n)` and the final vocab `v6 (w, wn)`. */
+  private val bpeTrainCtes: String = {
+    val d = "chr(1)"
+    def round(i: Int): String = {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""p$i AS (SELECT wn,
+         |    string_split(trim(w, chr(1)), $d || $d) AS syms
+         |  FROM $prev),
+         |e$i AS (SELECT wn, syms,
+         |    unnest(generate_series(1, len(syms) - 1)) AS j FROM p$i),
+         |c$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(wn) AS n
+         |  FROM e$i GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM c$i
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS (SELECT replace(w,
+         |    $d || m.a || $d || $d || m.b || $d,
+         |    $d || m.a || m.b || $d) AS w, wn
+         |  FROM $prev CROSS JOIN m$i m)""".stripMargin
+    }
+    s"""wf AS (SELECT w, COUNT(1) AS wn FROM (
+       |    SELECT unnest(list_filter(
+       |      regexp_split_to_array(lower(text), '\\s+'),
+       |      t -> length(t) >= 2)) AS w FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (SELECT $d || array_to_string(list_transform(
+       |      generate_series(1, length(w)), i -> w[i:i]),
+       |      $d || $d) || $d AS w, wn
+       |  FROM wf),
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** The q47 argmax as a bare CASE expression over an arbitrary text
     * expression (sequential WHENs = the native tie-break by list
     * position) — lets oracles language-ID SEGMENTS, not just docs. */
@@ -2645,48 +2695,44 @@ object PipelineQueries {
          |) ORDER BY rule""".stripMargin
     },
 
-    "q209_bpe_train" -> {
-      // one merge round: pair-count the current encoded vocab, pick the
-      // argmax, apply it with ONE doubled-delimiter replace — the
-      // encoding that makes string replace equal the classic leftmost
-      // non-overlapping symbol scan (adjacent-but-distinct pairs share
-      // no characters; overlapping ones do, so replace skips them
-      // exactly like the trainer)
+    "q210_bpe_encode" -> {
       val d = "chr(1)"
-      def round(i: Int): String = {
-        val prev = if (i == 1) "v0" else s"v${i - 1}"
-        s"""p$i AS (SELECT wn,
-           |    string_split(trim(w, chr(1)), $d || $d) AS syms
-           |  FROM $prev),
-           |e$i AS (SELECT wn, syms,
-           |    unnest(generate_series(1, len(syms) - 1)) AS j FROM p$i),
-           |c$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(wn) AS n
-           |  FROM e$i GROUP BY 1, 2),
-           |m$i AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM c$i
-           |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
-           |v$i AS (SELECT replace(w,
+      def enc(i: Int): String = {
+        val prev = if (i == 1) "we0" else s"we${i - 1}"
+        s"""we$i AS (SELECT w0, replace(w,
            |    $d || m.a || $d || $d || m.b || $d,
-           |    $d || m.a || m.b || $d) AS w, wn
+           |    $d || m.a || m.b || $d) AS w
            |  FROM $prev CROSS JOIN m$i m)""".stripMargin
       }
-      val rounds = (1 to 6).map(round).mkString(",\n")
-      val out = (1 to 6).map(i =>
-        s"SELECT $i AS rank, a AS left_sym, b AS right_sym, " +
-          s"n AS pair_count FROM m$i").mkString("\nUNION ALL\n")
-      s"""WITH wf AS (SELECT w, COUNT(1) AS wn FROM (
-         |    SELECT unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '\\s+'),
-         |      t -> length(t) >= 2)) AS w FROM documents)
-         |  GROUP BY 1),
-         |v0 AS (SELECT $d || array_to_string(list_transform(
+      s"""WITH $bpeTrainCtes,
+         |dw AS (SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> length(t) > 0)) AS w FROM documents),
+         |we0 AS (SELECT w AS w0,
+         |    $d || array_to_string(list_transform(
          |      generate_series(1, length(w)), i -> w[i:i]),
-         |      $d || $d) || $d AS w, wn
-         |  FROM wf),
-         |$rounds
+         |      $d || $d) || $d AS w
+         |  FROM (SELECT DISTINCT w FROM dw)),
+         |${(1 to 6).map(enc).mkString(",\n")},
+         |tc AS (SELECT w0,
+         |    len(string_split(trim(w, chr(1)), $d || $d)) AS t
+         |  FROM we6)
+         |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+         |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(SUM(t) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6)
+         |    AS tokens_per_word
+         |FROM dw JOIN tc ON dw.w = tc.w0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q209_bpe_train" ->
+      s"""WITH $bpeTrainCtes
          |SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym,
          |  pair_count
-         |FROM ($out) ORDER BY rank""".stripMargin
-    },
+         |FROM (${(1 to 6).map(i =>
+             s"SELECT $i AS rank, a AS left_sym, b AS right_sym, " +
+               s"n AS pair_count FROM m$i").mkString("\nUNION ALL\n")})
+         |ORDER BY rank""".stripMargin,
 
     "q208_fellegi_sunter" -> {
       val fieldSql = Seq("lang_agree", "len_agree", "word_agree").map { f =>

@@ -880,6 +880,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(merges.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 1L)))
   }
 
+  test("bpeEncodeStats: rank-ordered merges, fertility, edge words") {
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    // ab -> [ab]; abab -> [ab,ab] -> [abab]; x single symbol;
+    // aaab -> [a,a,ab] (merge (a,b) fuses only the final pair)
+    val got = graft.ops.Corpus.bpeEncodeStats(
+      Seq((1L, "ab abab x aaab"), (2L, "")).toDF("id", "t"),
+      "id", "t", merges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          Option(r.getAs[java.lang.Double]("tokens_per_word"))))).toMap
+    assert(got(1L) == ((4L, 6L, Some(1.5))))
+    assert(got(2L) == ((0L, 0L, None)))
+  }
+
   test("ngramDiversity: hand counts; short docs skip long grams") {
     val df = Seq((1L, "g1", "a b a b"), (2L, "g2", "x y"))
       .toDF("doc_id", "grp", "text")
