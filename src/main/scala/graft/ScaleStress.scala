@@ -550,6 +550,49 @@ object ScaleStress {
           topK = 5, minDf = 2)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q200 shape: JS divergence — vocabulary-sized full-outer join
+      // after two partial-aggregable counts; total fold bounded by the
+      // minCount-truncated support
+      timed(scale, "js_divergence") {
+        val out = Corpus.jsDivergence(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+          "text", topK = 20, minCount = 3L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q201 shape: distinct-n diversity — three explodes, each into two
+      // partial-aggregable levels; only gram strings ride the shuffle
+      timed(scale, "ngram_diversity") {
+        val d = docs.withColumn("grp",
+          pmod(col("doc_id"), lit(8L)).cast("string"))
+        val out = Corpus.ngramDiversity(d, "grp", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q203 shape: codepoint entropy — one JIT pass per row, no shuffle
+      timed(scale, "char_entropy") {
+        val out = graft.ops.TextAnalysis.charEntropyStats(
+          docs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // deflate quality signal — per-row codec pass, no shuffle
+      timed(scale, "compression_ratio") {
+        val out = graft.ops.TextAnalysis.compressionSignals(
+          docs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q209 shape: BPE training — corpus collapses once into the vocab
+      // table; every round after is vocab-sized (4 rounds here)
+      timed(scale, "bpe_train") {
+        val out = Corpus.trainBpe(docs, "text", numMerges = 4)
+        (out.queryExecution.toRdd.count(), "driver-loop")
+      }
+      // q210 shape: BPE encode — per-row JIT pass with a literal merge
+      // table, no shuffle
+      timed(scale, "bpe_encode") {
+        val out = Corpus.bpeEncodeStats(docs, "doc_id", "text",
+          Seq(("e", "r"), ("t", "h"), ("a", "n"), ("er", "s")))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q197 shape: expectations — all row-local rules fold into ONE
       // aggregation pass; Unique adds one partial-aggregable groupBy,
       // ForeignKey one anti-join against a fixed-size reference
@@ -615,6 +658,16 @@ object ScaleStress {
     }
     runPq("1x", emb1x)
     runPq("10x", emb10x)
+
+    // q206 shape: dim health — one posexplode into a |dims|-keyed
+    // partial-aggregable pass; output fixed at 64 rows
+    def runDimHealth(scale: String, emb: DataFrame): Unit =
+      timed(scale, "dim_health") {
+        val out = graft.ops.Similarity.dimHealth(emb, "embedding")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runDimHealth("1x", emb1x)
+    runDimHealth("10x", emb10x)
 
     // q94 shape: deterministic JL projection — per-row codegen'd loop,
     // no shuffle, no broadcast (the sign matrix is recomputed from the
@@ -945,6 +998,30 @@ object ScaleStress {
         val edges = ev.select((col("user_id") % 5000).as("s"),
           ((col("user_id") * 7 + col("event_id")) % 5000).as("d"))
         val out = graft.ops.Graph.labelPropagation(edges, "s", "d", 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q204 shape: Poisson bootstrap — bounded 40x fan-out into ONE
+      // partial-aggregable (group, replicate) pass; per-group state is
+      // 40 means
+      timed(scale, "bootstrap_ci") {
+        val e2 = ev.withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+        val out = graft.ops.Profiling.bootstrapCI(e2, "event_type",
+          "vmil", "event_id", b = 40)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q207 shape: CUPED — two partial-aggregable passes (pooled
+      // moments broadcast as one row), |variants| output
+      timed(scale, "cuped") {
+        val e2 = ev.withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+        val units = e2.groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", col("vmil"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+        val out = graft.ops.EventAnalytics.cuped(units, "variant", "x", "y")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q199 shape: PSI drift — one histogram pass per side (each

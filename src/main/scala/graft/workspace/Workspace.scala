@@ -84,6 +84,8 @@ final class Workspace(val spark: SparkSession) {
         put(n.stripSuffix(".jsonl"), spark.read.json(p))
       else if (n.endsWith(".ndjson"))
         put(n.stripSuffix(".ndjson"), spark.read.json(p))
+      else if (n.endsWith(".orc"))
+        put(n.stripSuffix(".orc"), spark.read.orc(p))
     }
     this
   }

@@ -330,6 +330,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(joined.agg(sum(col("n"))).collect().head.getLong(0) == 30L)
   }
 
+  test("registerTableDir ingests orc tables with schema intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc_store")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "n")
+      .write.orc(dir.resolve("facts.orc").toString)
+    val ws = new graft.workspace.Workspace(spark)
+      .registerTableDir(dir.toString)
+    val facts = ws.table("facts")
+    assert(facts.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(facts.agg(sum(col("n"))).collect().head.getLong(0) == 30L)
+  }
+
   test("materialization verbs run against the config-loaded workspace") {
     val ws = WorkspaceConfig.load(spark, configDir.resolve("slicer.ini").toString)
     val target = Files.createTempDirectory("graft_cli_agg").toString
