@@ -441,6 +441,85 @@ object TextImpls {
     Array(n.toDouble, counts.size().toDouble, if (n == 0) 0.0 else -acc)
   }
 
+  /** The Gopher repetition-rule counters in ONE pass:
+    * `[n_words,
+    *   top2_covered, top3_covered, top4_covered,
+    *   dup5_covered, ..., dup10_covered]`.
+    * For n ∈ {2,3,4}: word positions covered by the UNION of the
+    * occurrences of the single most frequent n-gram (ties to the
+    * lexicographically smallest gram — space-joined comparison, the
+    * oracle's ORDER BY). For n ∈ {5..10}: positions covered by the
+    * union of ALL n-grams occurring at least twice. Fractions are
+    * covered/n_words, computed in Column math so the division is one
+    * exact IEEE op on both engines. */
+  def gopherRepetition(raw: String): Array[Long] = {
+    val words = raw.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val nw = words.length
+    val out = new Array[Long](10)
+    out(0) = nw
+    def gram(j: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(j + k))
+        k += 1
+      }
+      sb.toString
+    }
+    var slot = 1
+    var n = 2
+    while (n <= 10) {
+      val isTop = n <= 4
+      if (nw >= n) {
+        val counts = new java.util.HashMap[String, Integer]()
+        var j = 0
+        while (j + n <= nw) {
+          counts.merge(gram(j, n), 1, (a, b) => a + b)
+          j += 1
+        }
+        val covered = new Array[Boolean](nw)
+        if (isTop) {
+          var best: String = null
+          var bestC = 0
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue.intValue()
+            if (c > bestC || (c == bestC && e.getKey.compareTo(best) < 0)) {
+              best = e.getKey; bestC = c
+            }
+          }
+          j = 0
+          while (j + n <= nw) {
+            if (gram(j, n) == best) {
+              var k = 0
+              while (k < n) { covered(j + k) = true; k += 1 }
+            }
+            j += 1
+          }
+        } else {
+          j = 0
+          while (j + n <= nw) {
+            if (counts.get(gram(j, n)) >= 2) {
+              var k = 0
+              while (k < n) { covered(j + k) = true; k += 1 }
+            }
+            j += 1
+          }
+        }
+        var cov = 0L
+        var i = 0
+        while (i < nw) { if (covered(i)) cov += 1; i += 1 }
+        out(slot) = cov
+      }
+      slot += 1
+      n += 1
+    }
+    out
+  }
+
   /** ONE classic BPE merge scan over a symbol sequence: leftmost
     * non-overlapping occurrences of adjacent (a, b) fuse to `a+b`, the
     * scan continuing AFTER each fused token (so [a,a,a] with (a,a) →
@@ -706,6 +785,21 @@ case class BpeMergeOnceExpr(child: Expression, a: String, b: String)
     copy(child = c)
 }
 
+/** gopher_repetition(text): the 10 Gopher repetition counters in one
+  * JIT pass (word count + top-2/3/4-gram and dup-5..10-gram coverage). */
+case class GopherRepetitionExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextImpls.gopherRepetition(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextImpls.gopherRepetition($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): GopherRepetitionExpr =
+    copy(child = c)
+}
+
 /** bpe_encode_stats(text): [n_words, n_tokens] after encoding every
   * word with the trained merge list (rank-ordered scans, one JIT pass
   * per document — the tokenizer-application side of [[BpeMergeOnceExpr]]'s
@@ -755,4 +849,6 @@ object NativeText {
     toCol(BpeMergeOnceExpr(toExpr(syms), a, b))
   def bpe_encode_stats(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncodeStatsExpr(toExpr(text), merges))
+  def gopher_repetition(text: Column): Column =
+    toCol(GopherRepetitionExpr(toExpr(text)))
 }

@@ -360,6 +360,30 @@ object TextAnalysis {
       .withColumn("mixed", col("n_langs") > 1)
   }
 
+  /** The Gopher repetition rules (Rae et al. 2021, table A1) — the
+    * exact signals that paper prunes on and that [[repetitionFeatures]]
+    * does not cover: fraction of word positions covered by the most
+    * frequent 2/3/4-gram, and by the union of all duplicated
+    * 5..10-grams. One JIT pass per document
+    * ([[graft.functions.NativeText.gopher_repetition]]); each fraction
+    * is one exact IEEE division of the pass's integer counters, so the
+    * oracle replays it bit-for-bit. Coverage is the UNION of covering
+    * occurrences (overlaps not double-counted), ties on the top gram to
+    * the lexicographically smallest. */
+  def gopherRepetitionFeatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val g = graft.functions.NativeText.gopher_repetition(
+      coalesce(col(textCol), lit("")))
+    val nw = col("__g__").getItem(0)
+    val fracs = (2 to 10).zipWithIndex.map { case (n, i) =>
+      val name = if (n <= 4) s"top_${n}gram_frac" else s"dup_${n}gram_frac"
+      when(nw > 0, round(col("__g__").getItem(i + 1).cast("double") /
+        nw.cast("double"), 6)).as(name)
+    }
+    df.select(col(idCol), g.as("__g__"))
+      .select(col(idCol) +: nw.as("n_words") +: fracs: _*)
+  }
+
   /** Per-document codepoint-entropy stats — the gibberish/binary-junk
     * detector (natural language sits ~3–4.5 nats of character entropy;
     * near 0 = repeated filler, near ln(n_distinct) everywhere = random

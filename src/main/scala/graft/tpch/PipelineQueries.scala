@@ -908,6 +908,13 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // the Gopher repetition rules: top-2/3/4-gram and dup-5..10-gram
+    // word-position coverage per doc
+    "q211_gopher_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.gopherRepetitionFeatures(
+        docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // tokenize the corpus with the 6 trained merges: per-doc token
     // counts + fertility (train on the driver, encode distributed)
     "q210_bpe_encode" -> ((s, dir) => {
@@ -2693,6 +2700,53 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q211_gopher_repetition" -> {
+      def per(n: Int): String = {
+        val sel =
+          if (n <= 4)
+            s"""t$n AS (SELECT doc_id, g FROM (SELECT doc_id, g,
+               |    ROW_NUMBER() OVER (PARTITION BY doc_id
+               |      ORDER BY c DESC, g ASC) AS rn
+               |  FROM cn$n) WHERE rn = 1),
+               |k$n AS (SELECT g$n.doc_id, g$n.j FROM g$n
+               |  JOIN t$n ON g$n.doc_id = t$n.doc_id AND g$n.g = t$n.g)"""
+              .stripMargin
+          else
+            s"""t$n AS (SELECT doc_id, g FROM cn$n WHERE c >= 2),
+               |k$n AS (SELECT g$n.doc_id, g$n.j FROM g$n
+               |  JOIN t$n ON g$n.doc_id = t$n.doc_id AND g$n.g = t$n.g)"""
+              .stripMargin
+        s"""g$n AS (SELECT doc_id, j,
+           |    array_to_string(ws[j:j + ${n - 1}], ' ') AS g
+           |  FROM wsl, unnest(generate_series(1, len(ws) - ${n - 1}))
+           |    AS u(j)),
+           |cn$n AS (SELECT doc_id, g, COUNT(1) AS c FROM g$n
+           |  GROUP BY 1, 2),
+           |$sel,
+           |cov$n AS (SELECT doc_id, COUNT(1) AS cov FROM (
+           |  SELECT DISTINCT doc_id, unnest(generate_series(j,
+           |    j + ${n - 1})) AS p FROM k$n) GROUP BY 1)""".stripMargin
+      }
+      val joins = (2 to 10).map(n =>
+        s"LEFT JOIN cov$n ON cov$n.doc_id = nw.doc_id").mkString("\n")
+      val cols = (2 to 10).map { n =>
+        val name = if (n <= 4) s"top_${n}gram_frac" else s"dup_${n}gram_frac"
+        s"""  CASE WHEN nw.n > 0 THEN ROUND(
+           |    CAST(COALESCE(cov$n.cov, 0) AS DOUBLE)
+           |    / CAST(nw.n AS DOUBLE), 6) END AS $name""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wsl AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> length(t) > 0) AS ws FROM documents),
+         |nw AS (SELECT doc_id, len(ws) AS n FROM wsl),
+         |${(2 to 10).map(per).mkString(",\n")}
+         |SELECT nw.doc_id, CAST(nw.n AS BIGINT) AS n_words,
+         |$cols
+         |FROM nw
+         |$joins
+         |ORDER BY nw.doc_id""".stripMargin
     },
 
     "q210_bpe_encode" -> {

@@ -1347,6 +1347,30 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("gopherRepetitionFeatures: union coverage, lexicographic ties") {
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val df = Seq((1L, "a b a b c a b"), (2L, "x"), (3L, ""))
+      .toDF("id", "t")
+    val got = TextAnalysis.gopherRepetitionFeatures(df, "id", "t")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_words") == 7L)
+    // top 2-gram "a b" occurs at 1,3,6: union covers 6 of 7 positions
+    assert(r1.getAs[Double]("top_2gram_frac") == rnd(6.0 / 7))
+    // all 3-grams unique: tie goes to "a b a" (lexicographically first)
+    assert(r1.getAs[Double]("top_3gram_frac") == rnd(3.0 / 7))
+    assert(r1.getAs[Double]("top_4gram_frac") == rnd(4.0 / 7))
+    // no duplicated 5..10-grams
+    (5 to 10).foreach(n =>
+      assert(r1.getAs[Double](s"dup_${n}gram_frac") == 0.0, s"n=$n"))
+    // single word: no 2-grams at all -> coverage 0, not null
+    assert(got(2L).getAs[Long]("n_words") == 1L)
+    assert(got(2L).getAs[Double]("top_2gram_frac") == 0.0)
+    // empty text: fractions null
+    assert(got(3L).getAs[Long]("n_words") == 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("top_2gram_frac")))
+  }
+
   test("dimHealth: dead and collapsed dims flagged, exact moments") {
     val df = Seq(
       (1L, Array(0.0f, 1.0f, 2.0f, 0.004f)),
