@@ -384,6 +384,57 @@ object TextAnalysis {
       .select(col(idCol) +: nw.as("n_words") +: fracs: _*)
   }
 
+  /** The Gopher QUALITY rules (Rae et al. 2021, table A1) as one
+    * per-row pass — the named filter set pipelines cite by name, here
+    * with every threshold decided by exact integer cross-multiplication
+    * (`10·symbols ≤ words` instead of `symbols/words ≤ 0.1`), so no
+    * float ratio can diverge between engines. Rules (with this repo's
+    * pinned 8-word English stopword list standing in for Gopher's):
+    * word count in [minWords, maxWords]; mean word length in [3, 10];
+    * symbol-to-word ratio (# or ellipsis) ≤ 1/10; bullet-point lines
+    * ≤ 9/10 of lines; ellipsis-ending lines ≤ 3/10; ≥ 4/5 of words
+    * contain a letter; ≥ 2 stopword hits. Returns the counters, one
+    * boolean per rule, and the conjunction `gopher_pass`. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val w = regexp_count(t, lit("[^\\s]+")).cast("long")
+    val wordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val symbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\.|…"))).cast("long")
+    val lines = regexp_count(t, lit("[^\\n]+")).cast("long")
+    val bullets = regexp_count(t, lit("(?m)^[ \\t]*[-•*]")).cast("long")
+    val ellLines = regexp_count(t, lit("(?m)(\\.\\.\\.|…)[ \\t]*$"))
+      .cast("long")
+    val alphaWords = regexp_count(t, lit("[^\\s]*[A-Za-z][^\\s]*"))
+      .cast("long")
+    val stops = graft.functions.NativeText.stopword_hits(lower(t), "en")
+      .cast("long")
+    df.select(col(idCol), w.as("n_words"), wordChars.as("n_word_chars"),
+        symbols.as("n_symbols"), lines.as("n_lines"),
+        bullets.as("n_bullet_lines"), ellLines.as("n_ellipsis_lines"),
+        alphaWords.as("n_alpha_words"), stops.as("n_stopword_hits"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len", col("n_words") > 0 &&
+        col("n_word_chars") >= col("n_words") * 3 &&
+        col("n_word_chars") <= col("n_words") * 10)
+      .withColumn("r_symbol_ratio",
+        col("n_words") > 0 && col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_bullet_lines", col("n_lines") > 0 &&
+        col("n_bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("r_ellipsis_lines", col("n_lines") > 0 &&
+        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_alpha_words", col("n_words") > 0 &&
+        col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stopwords", col("n_stopword_hits") >= 2)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+        col("r_symbol_ratio") && col("r_bullet_lines") &&
+        col("r_ellipsis_lines") && col("r_alpha_words") &&
+        col("r_stopwords"))
+  }
+
   /** Per-document codepoint-entropy stats — the gibberish/binary-junk
     * detector (natural language sits ~3–4.5 nats of character entropy;
     * near 0 = repeated filler, near ln(n_distinct) everywhere = random

@@ -908,6 +908,13 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // the Gopher quality rules as integer-exact predicates; minWords
+    // lowered to 10 so the synthetic corpus exercises both outcomes
+    "q212_gopher_rules" -> ((s, dir) =>
+      graft.ops.TextAnalysis.gopherQualityFlags(
+        docs(s, dir), "doc_id", "text", minWords = 10)
+        .orderBy(col("doc_id"))),
+
     // the Gopher repetition rules: top-2/3/4-gram and dup-5..10-gram
     // word-position coverage per doc
     "q211_gopher_repetition" -> ((s, dir) =>
@@ -2700,6 +2707,47 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q212_gopher_rules" -> {
+      val enList = TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_word_chars,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT)
+         |      AS n_symbols,
+         |    CAST(len(regexp_extract_all(text, '[^\\n]+')) AS BIGINT)
+         |      AS n_lines,
+         |    CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-•*]'))
+         |      AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$'))
+         |      AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[^\\s]*[A-Za-z][^\\s]*')) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($enList))) AS BIGINT) AS n_stopword_hits
+         |  FROM documents),
+         |r AS (SELECT *,
+         |    n_words >= 10 AND n_words <= 100000 AS r_word_count,
+         |    n_words > 0 AND n_word_chars >= n_words * 3
+         |      AND n_word_chars <= n_words * 10 AS r_mean_word_len,
+         |    n_words > 0 AND n_symbols * 10 <= n_words AS r_symbol_ratio,
+         |    n_lines > 0 AND n_bullet_lines * 10 <= n_lines * 9
+         |      AS r_bullet_lines,
+         |    n_lines > 0 AND n_ellipsis_lines * 10 <= n_lines * 3
+         |      AS r_ellipsis_lines,
+         |    n_words > 0 AND n_alpha_words * 5 >= n_words * 4
+         |      AS r_alpha_words,
+         |    n_stopword_hits >= 2 AS r_stopwords
+         |  FROM c)
+         |SELECT *, r_word_count AND r_mean_word_len AND r_symbol_ratio
+         |    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+         |    AND r_stopwords AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     "q211_gopher_repetition" -> {

@@ -1347,6 +1347,32 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("gopherQualityFlags: integer-exact rules and the conjunction") {
+    val good = "the cats and dogs runs fast into the barn yard"
+    val df = Seq(
+      (1L, good),                      // every rule passes
+      (2L, "# # # ..."),               // symbols, alpha, stopwords fail
+      (3L, "- a\n- b\n- c"))           // all-bullet lines fail
+      .toDF("id", "t")
+    val got = TextAnalysis.gopherQualityFlags(df, "id", "t",
+      minWords = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_words") == 10L)
+    assert(r1.getAs[Long]("n_word_chars") == 37L)
+    assert(r1.getAs[Long]("n_stopword_hits") == 3L)
+    assert(r1.getAs[Boolean]("gopher_pass"))
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_symbols") == 4L) // three '#' + one '...'
+    assert(!r2.getAs[Boolean]("r_symbol_ratio"))
+    assert(!r2.getAs[Boolean]("r_alpha_words"))
+    assert(!r2.getAs[Boolean]("r_stopwords"))
+    assert(!r2.getAs[Boolean]("gopher_pass"))
+    val r3 = got(3L)
+    assert(r3.getAs[Long]("n_bullet_lines") == 3L)
+    assert(!r3.getAs[Boolean]("r_bullet_lines"))
+  }
+
   test("gopherRepetitionFeatures: union coverage, lexicographic ties") {
     def rnd(x: Double) = math.round(x * 1e6) / 1e6
     val df = Seq((1L, "a b a b c a b"), (2L, "x"), (3L, ""))
