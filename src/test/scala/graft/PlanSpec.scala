@@ -363,4 +363,53 @@ class PlanSpec extends AnyFunSuite {
       assert(!lp.contains("Window") && lp.contains("partial"), lp)
     } finally graft.ops.Caches.releaseAll()
   }
+
+  test("r10 batch-5 ops keep their scale shape: per-row passes, partial aggs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"alpha w$i beta w${i % 7} gamma delta")).toDF("id", "text")
+    try {
+      // per-row JIT passes: no exchange anywhere in the plan
+      Seq(
+        graft.ops.TextAnalysis.charEntropyStats(docs, "id", "text"),
+        graft.ops.TextAnalysis.compressionSignals(docs, "id", "text"),
+        graft.ops.TextAnalysis.gopherRepetitionFeatures(docs, "id", "text"),
+        graft.ops.TextAnalysis.gopherQualityFlags(docs, "id", "text"),
+        graft.ops.Corpus.bpeEncodeStats(docs, "id", "text",
+          Seq(("a", "l")))).foreach { df =>
+        val p = physicalPlan(df)
+        assert(!p.contains("Exchange"), s"per-row op must not shuffle:\n$p")
+      }
+      // ngram diversity: both aggregation levels partial (map-side
+      // combine collapses duplicate grams before the wire)
+      val nd = physicalPlan(graft.ops.Corpus.ngramDiversity(
+        docs.withColumn("g", docs("id") % 3), "g", "text"))
+      assert(nd.contains("partial_count"), nd)
+      assert(!nd.contains("Window"), nd)
+      // bootstrap: the 40x fan-out collapses through ONE partial agg on
+      // (group, replicate); no data-sized window, no nested loop
+      val bc = physicalPlan(graft.ops.Profiling.bootstrapCI(
+        docs.select(docs("id"), lit("g").as("grp"),
+          (docs("id") % 9).as("v")), "grp", "v", "id", b = 8))
+      assert(bc.contains("partial"), bc)
+      assert(!bc.contains("NestedLoop") || bc.contains("BroadcastNested"),
+        bc)
+      assert(!bc.contains("Window"), bc)
+      // dim health: posexplode into a |dims|-keyed partial agg
+      val emb = (1 to 20).map(i => (i.toLong,
+        Array(i.toFloat, 2f * i, 0f))).toDF("vec_id", "embedding")
+      val dh = physicalPlan(graft.ops.Similarity.dimHealth(emb, "embedding"))
+      assert(dh.contains("partial"), dh)
+      assert(!dh.contains("Window"), dh)
+      // js divergence: single-row totals broadcast; the only joins are
+      // the vocab full-outer and broadcast singletons — never cartesian
+      // over data
+      val js = physicalPlan(graft.ops.Corpus.jsDivergence(
+        docs.filter(docs("id") % 2 === 0), docs.filter(docs("id") % 2 === 1),
+        "text"))
+      assert(!js.contains("CartesianProduct"), js)
+      assert(js.contains("partial_count"), js)
+    } finally graft.ops.Caches.releaseAll()
+  }
 }
