@@ -820,6 +820,58 @@ object Corpus {
       .filter(col("rank") <= topK)
   }
 
+  /** Skip-gram (center, context) training-pair generation with the
+    * word2vec frequency-subsampling rule (Mikolov et al. 2013) — the
+    * corpus-prep step for embedding training. An occurrence of word w
+    * survives iff `polyHash(doc⊕pos) mod 10⁶ < ⌊√(t/f(w))·10⁶⌋`
+    * (content-addressed: no RNG state, identical across engines and
+    * reruns; `f(w)` = corpus frequency, so frequent words thin out at
+    * the published rate). Survivors are RE-INDEXED per document (the
+    * word2vec "shrunken sentence") and every ordered pair within
+    * `window` re-indexed positions becomes a training pair; pairs
+    * aggregate to (center, context, n) and the top `topK` by
+    * (n desc, center, context) are returned.
+    *
+    * Scale shape: one token explode, one vocabulary-sized frequency
+    * join (broadcast when it fits), one per-doc re-index window
+    * (partitioned by doc), one doc-keyed self-join with fan-out ≤
+    * 2·window per surviving token, one partial-aggregable pair count,
+    * and a WindowGroupLimit-prunable top-k. */
+  def skipgramPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, tMil: Long = 1000L, topK: Int = 50): DataFrame = {
+    require(window >= 1 && tMil >= 1 && topK >= 1, "bad skipgram params")
+    val toks = df.select(col(idCol).as("__doc__"),
+      posexplode(filter(split(lower(coalesce(col(textCol), lit(""))),
+        "\\s+"), s => length(s) > 0)).as(Seq("__pos__", "word")))
+    val cw = toks.groupBy(col("word")).agg(count(lit(1)).as("__cw__"))
+    val total = toks.agg(count(lit(1)).as("__total__"))
+    val keepMil = least(lit(1000000L),
+      floor(sqrt(col("__total__").cast("double") *
+        (tMil.toDouble / 1e6) / col("__cw__").cast("double")) * 1e6)
+        .cast("long"))
+    val survivors = toks.join(broadcast(cw), "word")
+      .crossJoin(broadcast(total))
+      .filter(pmod(graft.functions.NativeHashes.poly_hash(
+        concat(col("__doc__").cast("string"), lit("_"),
+          col("__pos__").cast("string"))), lit(1000000L)) < keepMil)
+      .select(col("__doc__"), col("__pos__"), col("word"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc__")).orderBy(col("__pos__").asc)
+    val idx = survivors.withColumn("__i__", row_number().over(w))
+      .select(col("__doc__"), col("__i__"), col("word"))
+    val pairs = idx.as("c").join(idx.as("x"),
+        col("c.__doc__") === col("x.__doc__") &&
+        col("c.__i__") =!= col("x.__i__") &&
+        abs(col("c.__i__") - col("x.__i__")) <= window)
+      .select(col("c.word").as("center"), col("x.word").as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("center").asc, col("context").asc)
+    pairs.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topK)
+  }
+
   /** Full BPE tokenizer training — the iterated [[bpePairCounts]] loop
     * (Sennrich et al., ACL'16): per round, count adjacent symbol pairs
     * weighted by word frequency, fuse the argmax pair (count desc, then

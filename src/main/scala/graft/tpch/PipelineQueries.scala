@@ -908,6 +908,13 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // word2vec-style skip-gram pairs with content-addressed frequency
+    // subsampling
+    "q213_skipgram_pairs" -> ((s, dir) =>
+      graft.ops.Corpus.skipgramPairs(docs(s, dir), "doc_id", "text",
+        window = 2, tMil = 1000L, topK = 50)
+        .orderBy(col("rank"))),
+
     // the Gopher quality rules as integer-exact predicates; minWords
     // lowered to 10 so the synthetic corpus exercises both outcomes
     "q212_gopher_rules" -> ((s, dir) =>
@@ -2708,6 +2715,36 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q213_skipgram_pairs" ->
+      s"""WITH toks AS (SELECT doc_id AS doc, pos - 1 AS pos, word FROM (
+        |    SELECT doc_id, unnest(ws) AS word,
+        |      generate_subscripts(ws, 1) AS pos
+        |    FROM (SELECT doc_id, list_filter(
+        |        regexp_split_to_array(lower(text), '\\s+'),
+        |        t -> length(t) > 0) AS ws FROM documents))),
+        |cw AS (SELECT word, COUNT(1) AS cw FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(1) AS total FROM toks),
+        |k AS (SELECT word, LEAST(1000000,
+        |    CAST(floor(sqrt(CAST(total AS DOUBLE) * 0.001
+        |      / CAST(cw AS DOUBLE)) * 1000000.0) AS BIGINT)) AS keep_mil
+        |  FROM cw CROSS JOIN tot),
+        |s AS (SELECT doc, pos, word FROM toks JOIN k USING (word)
+        |  WHERE ${dpolyhash(
+               "CAST(doc AS VARCHAR) || '_' || CAST(pos AS VARCHAR)")}
+        |    % 1000000 < keep_mil),
+        |idx AS (SELECT doc, word,
+        |    ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS i
+        |  FROM s),
+        |p AS (SELECT c.word AS center, x.word AS context, COUNT(1) AS n
+        |  FROM idx c JOIN idx x ON c.doc = x.doc AND c.i <> x.i
+        |    AND abs(c.i - x.i) <= 2
+        |  GROUP BY 1, 2)
+        |SELECT center, context, CAST(n AS BIGINT) AS n,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT center, context, n, ROW_NUMBER() OVER (
+        |    ORDER BY n DESC, center, context) AS rank FROM p)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "q212_gopher_rules" -> {
       val enList = TextAnalysis.stopwords.toMap.apply("en")

@@ -880,6 +880,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(merges.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 1L)))
   }
 
+  test("skipgramPairs: windowed pairs, deterministic subsampling") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // t = 1.0: every word survives; pairs are pure window combinatorics
+    val got = graft.ops.Corpus.skipgramPairs(df, "doc_id", "text",
+      window = 2, tMil = 1000000L, topK = 50)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context"),
+        r.getAs[Long]("n")))
+    assert(got.toSeq == Seq(("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 1L), ("b", "c", 1L), ("c", "a", 1L), ("c", "b", 1L)))
+    // window=1 drops the distance-2 pairs
+    val w1 = graft.ops.Corpus.skipgramPairs(df, "doc_id", "text",
+      window = 1, tMil = 1000000L, topK = 50).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context")))
+      .toSet
+    assert(w1 == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
+    // content-addressed subsampling: identical across runs
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = graft.ops.Corpus.skipgramPairs(big, "doc_id", "text",
+      window = 2, tMil = 1000L, topK = 20).collect().toSeq
+    assert(run() == run())
+  }
+
   test("bpeEncodeStats: rank-ordered merges, fertility, edge words") {
     val merges = Seq(("a", "b"), ("ab", "ab"))
     // ab -> [ab]; abab -> [ab,ab] -> [abab]; x single symbol;
