@@ -872,6 +872,42 @@ object Corpus {
       .filter(col("rank") <= topK)
   }
 
+  /** Unigram^¾ negative-sampling table (word2vec's noise distribution)
+    * over the top-`topK` vocabulary: each word's weight is
+    * `⌊count^0.75 · 1000⌋`, computed as `sqrt(c·sqrt(c))` — two IEEE
+    * sqrt (correctly rounded by the standard on BOTH engines, unlike
+    * pow) and one multiply, so the exponent-¾ is engine-exact. Returns
+    * (word, cw, w75_mil, rank, cum_w75): a sampler draws
+    * u ∈ [0, Σw75) and takes the first rank with cum > u — the
+    * cumulative column IS the alias table, and integer cumulative sums
+    * are order-exact.
+    *
+    * Scale shape: one partial-aggregable count, a WindowGroupLimit-
+    * pruned top-k, then rank/cum windows over K rows only (the
+    * standard vocab cap — word2vec tables are truncated by
+    * construction). */
+  def negativeSamplingTable(df: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cw = df.select(explode(regexp_extract_all(
+        lower(coalesce(col(textCol), lit(""))),
+        lit("[^\\s]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cw").desc, col("word").asc)
+    val top = cw.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .withColumn("w75_mil",
+        floor(sqrt(col("cw").cast("double") *
+          sqrt(col("cw").cast("double"))) * 1000.0).cast("long"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.withColumn("cum_w75", sum(col("w75_mil")).over(cumW))
+      .select(col("word"), col("cw"), col("w75_mil"), col("rank"),
+        col("cum_w75"))
+  }
+
   /** Full BPE tokenizer training — the iterated [[bpePairCounts]] loop
     * (Sennrich et al., ACL'16): per round, count adjacent symbol pairs
     * weighted by word frequency, fuse the argmax pair (count desc, then

@@ -578,6 +578,30 @@ object EventAnalytics {
     * addition, the regression never rescans). Output per key:
     * n, slope_num, slope_den, `rising` (null when all x equal —
     * slope undefined — rather than a false flat). */
+  /** Embargoed temporal train/test split — the time-series hygiene rule
+    * (de Prado's purged split): a UNIT (user, account, series) goes to
+    * `train` only if its entire history ends before the split point, to
+    * `test` only if it starts at or after split + embargo; anything
+    * straddling the boundary or inside the embargo gap is quarantined
+    * as `embargo` (the rows a naive random split would leak through —
+    * a unit with events on both sides carries future information into
+    * training). Returns per unit: n_events, first/last timestamp, and
+    * the split label.
+    *
+    * Scale shape: ONE partial-aggregable pass (min/max/count per unit);
+    * the label is per-row Column math on the aggregate. */
+  def embargoSplit(ev: DataFrame, unitCol: String, tsCol: String,
+      splitUs: Long, embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, "embargo must be non-negative")
+    ev.groupBy(col(unitCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_us"), max(col(tsCol)).as("last_us"))
+      .withColumn("split",
+        when(col("last_us") < splitUs, "train")
+          .when(col("first_us") >= splitUs + embargoUs, "test")
+          .otherwise("embargo"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
     * the adjustment every large experiment platform applies): for
     * per-unit rows (variant, pre-period covariate x, experiment metric

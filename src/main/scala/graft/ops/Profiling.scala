@@ -337,6 +337,47 @@ object Profiling {
         nReps.cast("long").as("n_reps"))
   }
 
+  /** Calibration profile + expected calibration error for a scored
+    * binary classifier — the reliability diagram behind every model
+    * card (a filter whose 0.9-confidence bucket is right 60% of the
+    * time is lying about 0.9). Scores are integral milli-units
+    * ([0, 1000]); bin b = min(⌊score/100⌋, 9). Per bin: n, confidence
+    * (exact mean score ratio) and accuracy (exact positive ratio) as
+    * single divisions; `ece = Σ |acc−conf|·n/N` folded in BIN ORDER
+    * over the ≤10 bins (the [[psi]] determinism posture), rounded 6dp.
+    *
+    * Scale shape: ONE partial-aggregable pass on the 10-bin key space;
+    * everything after is bin-sized. */
+  def calibration(df: DataFrame, scoreMilCol: String,
+      labelCol: String): DataFrame = {
+    val bin = least(floor(col(scoreMilCol).cast("long") / 100), lit(9L))
+      .cast("int")
+    val grid = df.select(bin.as("bin"),
+        col(scoreMilCol).cast("long").as("__s__"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y__"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s__")).as("__ss__"),
+        sum(col("__y__")).as("__sy__"))
+      .withColumn("conf_mil", col("__ss__").cast("double") /
+        col("n").cast("double"))
+      .withColumn("acc_mil", col("__sy__").cast("double") * 1000.0 /
+        col("n").cast("double"))
+    val total = grid.agg(sum(col("n")).as("__nt__"))
+    val scored = grid.crossJoin(broadcast(total))
+      .withColumn("__term__",
+        abs(col("acc_mil") - col("conf_mil")) *
+          (col("n").cast("double") / col("__nt__").cast("double")))
+    val ece = scored
+      .agg(sort_array(collect_list(struct(col("bin"), col("__term__"))))
+        .as("ts"))
+      .select(round(aggregate(col("ts"), lit(0.0),
+        (a, t) => a + t.getField("__term__")), 6).as("ece_mil"))
+    scored.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"),
+        round(col("conf_mil"), 6).as("conf_mil"),
+        round(col("acc_mil"), 6).as("acc_mil"), col("ece_mil"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int,
       pctNum: Int, pctDen: Int): DataFrame = {
     require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")

@@ -908,6 +908,37 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // unigram^3/4 negative-sampling table: sqrt-composed exponent,
+    // integer cumulative alias column
+    "q215_negative_sampling" -> ((s, dir) =>
+      graft.ops.Corpus.negativeSamplingTable(docs(s, dir), "text",
+        topK = 100)
+        .orderBy(col("rank"))),
+
+    // calibration + ECE for a content-addressed synthetic scorer whose
+    // labels are drawn AT its stated confidence
+    "q216_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("score_mil",
+          pmod(graft.functions.NativeHashes.poly_hash(col("text")),
+            lit(1001L)))
+        .withColumn("label",
+          pmod(graft.functions.NativeHashes.poly_hash(
+            concat(col("text"), lit("L"))), lit(1000L)) < col("score_mil"))
+      graft.ops.Profiling.calibration(d, "score_mil", "label")
+        .orderBy(col("bin"))
+    }),
+
+    // embargoed temporal split: train ends before Jan 20, test starts
+    // after the 1-day embargo, straddlers quarantined
+    "q214_embargo_split" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("tus", unix_micros(col("ts")))
+      graft.ops.EventAnalytics.embargoSplit(ev, "user_id", "tus",
+        splitUs = 1705708800000000L, embargoUs = 86400000000L)
+        .orderBy(col("user_id"))
+    }),
+
     // word2vec-style skip-gram pairs with content-addressed frequency
     // subsampling
     "q213_skipgram_pairs" -> ((s, dir) =>
@@ -2715,6 +2746,60 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q215_negative_sampling" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |cw AS (SELECT word, COUNT(1) AS cw FROM w GROUP BY 1),
+        |top AS (SELECT word, CAST(cw AS BIGINT) AS cw,
+        |    ROW_NUMBER() OVER (ORDER BY cw DESC, word ASC) AS rank
+        |  FROM cw QUALIFY rank <= 100),
+        |wt AS (SELECT word, cw, CAST(rank AS INTEGER) AS rank,
+        |    CAST(floor(sqrt(CAST(cw AS DOUBLE)
+        |      * sqrt(CAST(cw AS DOUBLE))) * 1000.0) AS BIGINT)
+        |      AS w75_mil
+        |  FROM top)
+        |SELECT word, cw, w75_mil, rank,
+        |  CAST(SUM(w75_mil) OVER (ORDER BY rank
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w75
+        |FROM wt ORDER BY rank""".stripMargin,
+
+    "q216_calibration" -> {
+      val score = dpolyhash("text") + " % 1001"
+      val lab = dpolyhash("text || 'L'") + " % 1000"
+      s"""WITH d AS (SELECT ($score) AS score_mil,
+         |    ($lab) < ($score) AS label FROM documents),
+         |g AS (SELECT LEAST(CAST(floor(score_mil / 100) AS BIGINT), 9)
+         |      AS bin,
+         |    COUNT(1) AS n, SUM(score_mil) AS ss,
+         |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS sy
+         |  FROM d GROUP BY 1),
+         |c AS (SELECT bin, CAST(n AS BIGINT) AS n,
+         |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS conf_mil,
+         |    CAST(sy AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE) AS acc_mil
+         |  FROM g),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+         |sc AS (SELECT bin, n, conf_mil, acc_mil,
+         |    abs(acc_mil - conf_mil)
+         |      * (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) AS term
+         |  FROM c CROSS JOIN t),
+         |e AS (SELECT ROUND(list_reduce(list(term ORDER BY bin),
+         |    (a, b) -> a + b), 6) AS ece_mil FROM sc)
+         |SELECT CAST(bin AS INTEGER) AS bin, n,
+         |  ROUND(conf_mil, 6) AS conf_mil, ROUND(acc_mil, 6) AS acc_mil,
+         |  e.ece_mil
+         |FROM sc CROSS JOIN e ORDER BY bin""".stripMargin
+    },
+
+    "q214_embargo_split" ->
+      """SELECT user_id, CAST(COUNT(1) AS BIGINT) AS n_events,
+        |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+        |  CASE WHEN MAX(epoch_us(ts)) < 1705708800000000 THEN 'train'
+        |       WHEN MIN(epoch_us(ts)) >= 1705708800000000 + 86400000000
+        |         THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q213_skipgram_pairs" ->
       s"""WITH toks AS (SELECT doc_id AS doc, pos - 1 AS pos, word FROM (

@@ -880,6 +880,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(merges.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "ab", 1L)))
   }
 
+  test("negativeSamplingTable: sqrt-composed ^0.75, integer alias column") {
+    val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    def w75(c: Long) =
+      math.floor(math.sqrt(c.toDouble * math.sqrt(c.toDouble)) * 1000).toLong
+    val got = graft.ops.Corpus.negativeSamplingTable(df, "text", topK = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("cw"),
+        r.getAs[Long]("w75_mil"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cum_w75")))
+    assert(got.toSeq == Seq(
+      ("a", 4L, w75(4), 1, w75(4)),
+      ("b", 2L, w75(2), 2, w75(4) + w75(2))))
+    assert(w75(4) == 2828L && w75(2) == 1681L)
+  }
+
   test("skipgramPairs: windowed pairs, deterministic subsampling") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     // t = 1.0: every word survives; pairs are pure window combinatorics

@@ -619,6 +619,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(nested <= 1, s"only the 1-row N cross join may nest:\n" + plan)
   }
 
+  test("embargoSplit: straddlers and gap-dwellers quarantined") {
+    val ev = Seq(
+      ("a", 10L), ("a", 40L),          // entirely before split
+      ("b", 40L), ("b", 160L),         // straddles -> embargo
+      ("c", 210L), ("c", 300L),        // starts after split+embargo
+      ("d", 120L))                     // inside the gap -> embargo
+      .toDF("u", "tus")
+    val got = graft.ops.EventAnalytics.embargoSplit(ev, "u", "tus",
+      splitUs = 100L, embargoUs = 100L).collect()
+      .map(r => r.getAs[String]("u") ->
+        ((r.getAs[Long]("n_events"), r.getAs[String]("split")))).toMap
+    assert(got("a") == ((2L, "train")))
+    assert(got("b") == ((2L, "embargo")))
+    assert(got("c") == ((2L, "test")))
+    assert(got("d") == ((1L, "embargo")))
+  }
+
   test("cuped: perfect covariate equalizes adjusted means; zero-var degrades") {
     // y = 10x + 10 exactly: theta = 10, both variants adjust to 25
     val units = Seq(("a", 0L, 10L), ("a", 2L, 30L),

@@ -420,6 +420,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("calibration: exact per-bin ratios, bin-ordered ECE fold") {
+    import spark.implicits._
+    val df = Seq((50L, false), (150L, true), (950L, true), (1000L, true))
+      .toDF("score_mil", "label")
+    val rows = graft.ops.Profiling.calibration(df, "score_mil", "label")
+      .collect().map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("conf_mil"),
+          r.getAs[Double]("acc_mil"), r.getAs[Double]("ece_mil")))).toMap
+    // score 1000 folds into bin 9 with 950
+    assert(rows.keySet == Set(0, 1, 9))
+    val ece = 0.25 * 50 + 0.25 * (1000 - 150) + 0.5 * (1000 - 975)
+    assert(rows(0) == ((1L, 50.0, 0.0, ece)))
+    assert(rows(1) == ((1L, 150.0, 1000.0, ece)))
+    assert(rows(9) == ((2L, 975.0, 1000.0, ece)))
+  }
+
   test("ksTest plan: histogram collapses map-side before the grid window") {
     import spark.implicits._
     val a = Seq(1L, 2L).toDF("v")
