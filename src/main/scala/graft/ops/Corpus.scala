@@ -453,6 +453,11 @@ object Corpus {
       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
     val ws = regexp_extract_all(lower(col(textCol)), lit("[^\\s]+"), lit(0))
+    // one pass PER n, unioned: measured 25x faster at 10x sf0.1 than a
+    // "clever" single-scan variant that tagged all n's grams into one
+    // exploded struct array (the per-row struct-array materialization
+    // dwarfed the extra parquet scans it saved — scans are cheap, row
+    // allocation is not)
     val perN = ns.map { n =>
       val grams =
         if (n == 1) ws
