@@ -593,6 +593,31 @@ object ScaleStress {
           Seq(("e", "r"), ("t", "h"), ("a", "n"), ("er", "s")))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q211/q212 shape: Gopher repetition + quality rules — per-row
+      // passes, no exchange
+      timed(scale, "gopher_repetition") {
+        val out = graft.ops.TextAnalysis.gopherRepetitionFeatures(
+          docs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "gopher_rules") {
+        val out = graft.ops.TextAnalysis.gopherQualityFlags(
+          docs, "doc_id", "text", minWords = 10)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q213 shape: skip-gram pairs — vocab-sized frequency join, per-doc
+      // re-index window, doc-keyed self-join with fan-out <= 2*window
+      timed(scale, "skipgram_pairs") {
+        val out = Corpus.skipgramPairs(docs, "doc_id", "text",
+          window = 2, tMil = 1000L, topK = 50)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q215 shape: negative-sampling table — one partial-aggregable
+      // count, windows over the K-row cap only
+      timed(scale, "negative_sampling") {
+        val out = Corpus.negativeSamplingTable(docs, "text", topK = 100)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q197 shape: expectations — all row-local rules fold into ONE
       // aggregation pass; Unique adds one partial-aggregable groupBy,
       // ForeignKey one anti-join against a fixed-size reference
@@ -1022,6 +1047,23 @@ object ScaleStress {
               .otherwise(0L)).as("y"))
           .withColumn("variant", (col("user_id") % 2).cast("int"))
         val out = graft.ops.EventAnalytics.cuped(units, "variant", "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q214 shape: embargo split — one partial-aggregable min/max pass
+      timed(scale, "embargo_split") {
+        val out = graft.ops.EventAnalytics.embargoSplit(
+          ev.select(col("user_id"), col("tus")), "user_id", "tus",
+          splitUs = 1705708800000000L, embargoUs = 86400000000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q216 shape: calibration — 10-bin partial aggregate, bin-sized
+      // tail
+      timed(scale, "calibration") {
+        val d = ev.withColumn("score_mil",
+            pmod(col("event_id") * 37 + col("user_id"), lit(1001L)))
+          .withColumn("label",
+            pmod(col("event_id") * 17, lit(1000L)) < col("score_mil"))
+        val out = graft.ops.Profiling.calibration(d, "score_mil", "label")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q199 shape: PSI drift — one histogram pass per side (each

@@ -435,6 +435,47 @@ object TextAnalysis {
         col("r_stopwords"))
   }
 
+  /** Chat/SFT dialogue-structure stats — the validation pass instruction
+    * -tuning pipelines run before training on conversation data: a
+    * transcript whose turns don't alternate (or that opens with the
+    * assistant) is usually a scraping or templating bug and poisons the
+    * loss mask. Turns are lines matching `role: text` with role in
+    * {system, user, assistant}; per doc: turn counts by role,
+    * non-turn line count, whether the first non-system turn is the
+    * user's, strict user/assistant alternation (system lines excluded
+    * from the alternation check), and mean turn length in characters
+    * (exact integer ratio). All per-row array/lambda math over the
+    * line split — no shuffle, streams unchanged. */
+  def dialogueStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => length(trim(l)) > 0)
+    val roleOf = (l: Column) =>
+      regexp_extract(l, "^(system|user|assistant): ", 1)
+    val turns = filter(lines, l => roleOf(l) =!= "")
+    val roles = transform(turns, l => roleOf(l))
+    val ua = filter(roles, r => r =!= "system")
+    val nTurns = size(turns).cast("long")
+    val cnt = (role: String) =>
+      size(filter(roles, r => r === role)).cast("long")
+    val turnChars = aggregate(turns, lit(0L),
+      (acc, l) => acc + length(l) - length(roleOf(l)) - 2)
+    val alternating = size(ua) <= 1 ||
+      size(filter(transform(sequence(lit(1), size(ua) - 1),
+        i => element_at(ua, i) === element_at(ua, i + 1)),
+        x => x)) === 0
+    df.select(col(idCol),
+      nTurns.as("n_turns"),
+      cnt("system").as("n_system"),
+      cnt("user").as("n_user"),
+      cnt("assistant").as("n_assistant"),
+      (size(lines).cast("long") - nTurns).as("n_untagged_lines"),
+      (size(ua) > 0 && element_at(ua, 1) === "user").as("starts_with_user"),
+      (size(ua) > 0 && alternating).as("alternating"),
+      when(nTurns > 0, round(turnChars.cast("double") /
+        nTurns.cast("double"), 6)).as("mean_turn_chars"))
+  }
+
   /** Per-document codepoint-entropy stats — the gibberish/binary-junk
     * detector (natural language sits ~3–4.5 nats of character entropy;
     * near 0 = repeated filler, near ln(n_distinct) everywhere = random

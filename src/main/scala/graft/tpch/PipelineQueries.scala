@@ -908,6 +908,27 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // SFT dialogue-structure validation over synthetic 3-turn chats;
+    // every 4th doc gets a double-assistant turn (alternation break)
+    "q217_dialogue_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val d2 = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("t2"))
+      val d3 = d.select((col("doc_id") - 2).as("doc_id"),
+        col("text").as("t3"))
+      val conv = d.join(d2, "doc_id").join(d3, "doc_id")
+        .select(col("doc_id"), concat(
+          lit("system: be helpful\n"),
+          lit("user: "), col("text"), lit("\n"),
+          lit("assistant: "), col("t2"), lit("\n"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("assistant: "), col("t3")))
+            .otherwise(concat(lit("user: "), col("t3"))),
+          lit("\nnote without role")).as("text"))
+      graft.ops.TextAnalysis.dialogueStats(conv, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram^3/4 negative-sampling table: sqrt-composed exponent,
     // integer cumulative alias column
     "q215_negative_sampling" -> ((s, dir) =>
@@ -2745,6 +2766,47 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q217_dialogue_stats" -> {
+      val role = "regexp_extract(x, '^(system|user|assistant): ', 1)"
+      s"""WITH conv AS (SELECT d1.doc_id,
+         |    'system: be helpful' || chr(10)
+         |    || 'user: ' || d1.text || chr(10)
+         |    || 'assistant: ' || d2.text || chr(10)
+         |    || CASE WHEN d1.doc_id % 4 = 0 THEN 'assistant: ' || d3.text
+         |       ELSE 'user: ' || d3.text END
+         |    || chr(10) || 'note without role' AS text
+         |  FROM documents d1
+         |  JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+         |  JOIN documents d3 ON d3.doc_id = d1.doc_id + 2),
+         |l AS (SELECT doc_id, list_filter(string_split(text, chr(10)),
+         |    x -> length(trim(x)) > 0) AS lines FROM conv),
+         |t AS (SELECT doc_id, lines,
+         |    list_filter(lines, x -> $role <> '') AS turns FROM l),
+         |r AS (SELECT doc_id, lines, turns,
+         |    list_transform(turns, x -> $role) AS roles FROM t),
+         |u AS (SELECT *, list_filter(roles, x -> x <> 'system') AS ua
+         |  FROM r)
+         |SELECT doc_id,
+         |  CAST(len(turns) AS BIGINT) AS n_turns,
+         |  CAST(len(list_filter(roles, x -> x = 'system')) AS BIGINT)
+         |    AS n_system,
+         |  CAST(len(list_filter(roles, x -> x = 'user')) AS BIGINT)
+         |    AS n_user,
+         |  CAST(len(list_filter(roles, x -> x = 'assistant')) AS BIGINT)
+         |    AS n_assistant,
+         |  CAST(len(lines) - len(turns) AS BIGINT) AS n_untagged_lines,
+         |  len(ua) > 0 AND ua[1] = 'user' AS starts_with_user,
+         |  len(ua) > 0 AND (len(ua) <= 1 OR len(list_filter(
+         |    list_transform(generate_series(1, len(ua) - 1),
+         |      i -> ua[i] = ua[i + 1]), x -> x)) = 0) AS alternating,
+         |  CASE WHEN len(turns) > 0 THEN ROUND(CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list_transform(turns,
+         |      x -> CAST(length(x) - length($role) - 2 AS BIGINT))),
+         |    (a, b) -> a + b) AS DOUBLE) / len(turns), 6) END
+         |    AS mean_turn_chars
+         |FROM u ORDER BY doc_id""".stripMargin
     },
 
     "q215_negative_sampling" ->

@@ -1347,6 +1347,35 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("dialogueStats: roles, alternation, untagged lines, mean chars") {
+    val ok = "system: be brief\nuser: hi there\nassistant: hello\nuser: bye"
+    val bad = "assistant: first\nassistant: again\nfree text line"
+    val got = TextAnalysis.dialogueStats(
+      Seq((1L, ok), (2L, bad), (3L, "no structure at all"))
+        .toDF("id", "t"), "id", "t").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_turns") == 4L)
+    assert(r1.getAs[Long]("n_system") == 1L)
+    assert(r1.getAs[Long]("n_user") == 2L)
+    assert(r1.getAs[Long]("n_assistant") == 1L)
+    assert(r1.getAs[Long]("n_untagged_lines") == 0L)
+    assert(r1.getAs[Boolean]("starts_with_user"))
+    assert(r1.getAs[Boolean]("alternating"))
+    // turn texts: "be brief"(8) "hi there"(8) "hello"(5) "bye"(3) = 24/4
+    assert(r1.getAs[Double]("mean_turn_chars") == 6.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_turns") == 2L)
+    assert(r2.getAs[Long]("n_untagged_lines") == 1L)
+    assert(!r2.getAs[Boolean]("starts_with_user"))
+    assert(!r2.getAs[Boolean]("alternating"))
+    val r3 = got(3L)
+    assert(r3.getAs[Long]("n_turns") == 0L)
+    assert(!r3.getAs[Boolean]("starts_with_user"))
+    assert(!r3.getAs[Boolean]("alternating"))
+    assert(r3.isNullAt(r3.fieldIndex("mean_turn_chars")))
+  }
+
   test("gopherQualityFlags: integer-exact rules and the conjunction") {
     val good = "the cats and dogs runs fast into the barn yard"
     val df = Seq(
