@@ -671,6 +671,48 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash sketch calibration over the LSH candidate pairs: for each
+    * candidate, the signature-agreement estimate
+    * `est = #{agreeing permutation slots} / n` next to the EXACT shingle
+    * Jaccard and their absolute error — the audit that tells you whether
+    * the sketch's permutation count is sized right for the corpus before
+    * trusting it at a scale where exact verification is sampled, not
+    * total (E[est] = J, σ = √(J(1−J)/n): observed spread beyond that
+    * means skewed shingle distributions, fix bands/rows before the big
+    * run). `est` is exact in IEEE doubles (k/32 is a dyadic rational),
+    * so every exported number is engine-reproducible.
+    *
+    * Returns (id_a, id_b, n_agree, est, jaccard, abs_err), candidates
+    * from the same banded join as [[minhashNearDups]] — never all
+    * pairs. */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, shingleK: Int = 3,
+      hashedBandKeys: Boolean = true): DataFrame = {
+    val n = bands * rows
+    val cands = minhashCandidates(df, idCol, textCol, bands, rows, shingleK,
+      Int.MaxValue, hashedBandKeys)
+    val sigs = withMinhashSignature(df, textCol, n, shingleK,
+      keep = Seq(col(idCol).as("__id__"),
+        array_distinct(graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(textCol), lit("")), shingleK)).as("__sset__")))
+    def side(tag: String) = sigs.select(
+      col("__id__").as(s"id_$tag") +: col("__sset__").as(s"s$tag") +:
+        (0 until n).map(i => col(s"mh_$i").as(s"${tag}_mh_$i")): _*)
+    val agree = (0 until n).map(i =>
+      when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(side("a"), "id_a").join(side("b"), "id_b")
+      .withColumn("n_agree", agree)
+      .withColumn("est", col("n_agree").cast("double") / n.toDouble)
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        round(col("est"), 6).as("est"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** The (id, band, key) LSH band table of a frame — the explode step
     * of [[minhashCandidates]], shared by the incremental variant. */
   private def bandTable(df: DataFrame, idCol: String, textCol: String,

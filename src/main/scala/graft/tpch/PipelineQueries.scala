@@ -908,6 +908,14 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // MinHash sketch calibration: signature-agreement estimate vs exact
+    // Jaccard on the banded candidates
+    "q218_minhash_calibration" -> ((s, dir) =>
+      graft.ops.Dedup.minhashCalibration(docs(s, dir), "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
+        .orderBy(col("id_a"), col("id_b"))),
+
     // SFT dialogue-structure validation over synthetic 3-turn chats;
     // every 4th doc gets a double-assistant turn (alternation break)
     "q217_dialogue_stats" -> ((s, dir) => {
@@ -2766,6 +2774,36 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q218_minhash_calibration" -> {
+      val sh = dshingleHashes
+      val mhCols = Dedup.minhashParams(32).zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh_$i"
+      }.mkString(",\n  ")
+      val bandMatch = (0 until 8).map { bnd =>
+        "(" + (bnd * 4 until bnd * 4 + 4)
+          .map(i => s"a.mh_$i = b.mh_$i").mkString(" AND ") + ")"
+      }.mkString(" OR ")
+      val agree = (0 until 32)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sig AS (SELECT doc_id, sh, $mhCols FROM t),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb,
+         |    ($agree) AS n_agree
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |j AS (SELECT id_a, id_b, n_agree,
+         |    CAST(n_agree AS DOUBLE) / 32.0 AS est,
+         |    CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa, sb))) AS jac
+         |  FROM cand)
+         |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+         |  ROUND(est, 6) AS est, ROUND(jac, 6) AS jaccard,
+         |  ROUND(ABS(est - jac), 6) AS abs_err
+         |FROM j ORDER BY id_a, id_b""".stripMargin
     },
 
     "q217_dialogue_stats" -> {

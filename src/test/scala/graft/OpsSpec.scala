@@ -1347,6 +1347,23 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("minhashCalibration: est is k/32 dyadic, exact on identical docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words in this entirely other text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(df, "doc_id", "text",
+      bands = 8, rows = 4, shingleK = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("n_agree"), r.getAs[Double]("est"),
+          r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err")))).toMap
+    // identical docs: every slot agrees, exact jaccard 1, zero error
+    assert(got((1L, 2L)) == ((32L, 1.0, 1.0, 0.0)))
+    // doc 3 shares no band with the twins
+    assert(got.keySet == Set((1L, 2L)))
+  }
+
   test("dialogueStats: roles, alternation, untagged lines, mean chars") {
     val ok = "system: be brief\nuser: hi there\nassistant: hello\nuser: bye"
     val bad = "assistant: first\nassistant: again\nfree text line"
