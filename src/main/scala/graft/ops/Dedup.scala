@@ -508,6 +508,53 @@ object Dedup {
       .drop("__rn__")
   }
 
+  /** Near-dup cluster PURITY audit: for every multi-member cluster, the
+    * exact shingle-Jaccard of each member against the cluster's
+    * representative — the check that catches LSH over-merging before a
+    * dedup pass deletes distinct documents (transitive chains a→b→c can
+    * connect texts whose direct similarity is far below threshold; a
+    * low min_jac names exactly those clusters). Returns
+    * (cluster, rep_id, n_members, mean_jac, min_jac), only clusters
+    * with ≥ 2 members.
+    *
+    * Scale shape: clustering is the existing O(log²) CC; purity adds
+    * ONE member→rep equi-join and |members| Jaccards (linear — never
+    * pairwise within the cluster); the mean is an ordered member fold,
+    * bounded by cluster size. */
+  def clusterPurity(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, scoreCol: String, shingleK: Int = 3): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, pairs)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val withC = df.select(col(idCol), col(scoreCol)).join(clusters, Seq(idCol))
+    val reps = withC.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .select(col("cluster"), col(idCol).as("rep_id"))
+    val sets = df.select(col(idCol).as("__sid__"),
+      array_distinct(graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), shingleK)).as("__ss__"))
+    withC.select(col(idCol), col("cluster"))
+      .join(reps, "cluster")
+      .join(sets.withColumnRenamed("__sid__", idCol)
+        .withColumnRenamed("__ss__", "sm"), Seq(idCol))
+      .join(sets.withColumnRenamed("__sid__", "rep_id")
+        .withColumnRenamed("__ss__", "sr"), Seq("rep_id"))
+      .withColumn("__jac__",
+        size(array_intersect(col("sm"), col("sr"))).cast("double") /
+          size(array_union(col("sm"), col("sr"))))
+      .groupBy(col("cluster"), col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col(idCol), col("__jac__"))))
+          .as("__js__"),
+        min(col("__jac__")).as("__mn__"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster"), col("rep_id"), col("n_members"),
+        round(aggregate(col("__js__"), lit(0.0),
+          (a, t) => a + t.getField("__jac__")) /
+          col("n_members").cast("double"), 6).as("mean_jac"),
+        round(col("__mn__"), 6).as("min_jac"))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Engine-independent k-shingle hashes: each token is poly-hashed once,

@@ -908,6 +908,18 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // near-dup cluster purity: every member's exact Jaccard to its
+    // representative — the LSH over-merge audit
+    "q219_cluster_purity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
+      Dedup.clusterPurity(d.select(col("doc_id"), col("n_chars"),
+        col("text")), "doc_id", "text", pairs, "n_chars")
+        .orderBy(col("cluster"))
+    }),
+
     // MinHash sketch calibration: signature-agreement estimate vs exact
     // Jaccard on the banded candidates
     "q218_minhash_calibration" -> ((s, dir) =>
@@ -2775,6 +2787,41 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q219_cluster_purity" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairsq
+         |  UNION ALL SELECT id_b, id_a FROM pairsq),
+         |cc(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster
+         |  FROM cc GROUP BY id),
+         |wc AS (SELECT d.doc_id, d.n_chars, cl.cluster
+         |  FROM documents d JOIN cl USING (doc_id)),
+         |rep AS (SELECT cluster, doc_id AS rep_id FROM wc
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, doc_id) = 1),
+         |m AS (SELECT wc.cluster, wc.doc_id, rep.rep_id
+         |  FROM wc JOIN rep USING (cluster)),
+         |js AS (SELECT m.cluster, m.rep_id, m.doc_id,
+         |    CAST(len(list_intersect(list_distinct(ta.sh),
+         |      list_distinct(tb.sh))) AS DOUBLE)
+         |    / len(list_distinct(list_concat(list_distinct(ta.sh),
+         |      list_distinct(tb.sh)))) AS jac
+         |  FROM m JOIN t ta ON ta.doc_id = m.doc_id
+         |  JOIN t tb ON tb.doc_id = m.rep_id),
+         |g AS (SELECT cluster, rep_id, CAST(COUNT(1) AS BIGINT)
+         |      AS n_members,
+         |    list(jac ORDER BY doc_id) AS jl, MIN(jac) AS mn
+         |  FROM js GROUP BY 1, 2)
+         |SELECT cluster, rep_id, n_members,
+         |  ROUND(list_reduce(list_prepend(0.0, jl), (a, b) -> a + b)
+         |    / n_members, 6) AS mean_jac,
+         |  ROUND(mn, 6) AS min_jac
+         |FROM g WHERE n_members >= 2 ORDER BY cluster""".stripMargin,
 
     "q218_minhash_calibration" -> {
       val sh = dshingleHashes

@@ -1347,6 +1347,23 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("clusterPurity: member-to-rep jaccard, singletons excluded") {
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq((1L, 10L, t1), (2L, 20L, t1),
+      (3L, 5L, "unrelated corpus text with completely different words here"))
+      .toDF("doc_id", "score", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPurity(df, "doc_id", "text", pairs, "score")
+      .collect()
+    // one 2-member cluster; rep = doc 2 (higher score); identical text
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("rep_id") == 2L)
+    assert(r.getAs[Long]("n_members") == 2L)
+    assert(r.getAs[Double]("mean_jac") == 1.0)
+    assert(r.getAs[Double]("min_jac") == 1.0)
+  }
+
   test("minhashCalibration: est is k/32 dyadic, exact on identical docs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
