@@ -464,6 +464,50 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.calibration]]: a live ECE
+    * monitor over (score_mil, label) predictions — the model-rot alarm
+    * for a deployed filter (labels arrive with feedback delay; the
+    * cumulative reliability curve drifting from the diagonal pages
+    * someone before the corpus does). State is the 10-bin
+    * (n, Σscore, Σpos) table under one logical key — O(1) forever; each
+    * micro-batch emits (n_seen, ece_mil) with the batch op's exact
+    * per-bin ratios and bin-ordered term fold, so stream ≡ batch at
+    * every prefix (asserted in StreamingSpec). Pre-aggregate per-batch
+    * bin counts upstream at volume (the [[psiStream]] posture). */
+  def calibrationStream(rows: Dataset[(Long, Boolean)])
+      : Dataset[(Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.map { case (s, y) =>
+      (math.min(s / 100, 9L).toInt, s, if (y) 1L else 0L)
+    }.groupByKey(_ => "ece")
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val bins = state.getOption
+            .getOrElse(Seq.fill(10)((0L, 0L, 0L))).toArray
+          it.foreach { case (b, s, y) =>
+            val (n, ss, sy) = bins(b)
+            bins(b) = (n + 1, ss + s, sy + y)
+          }
+          state.update(bins.toSeq)
+          val nt = bins.map(_._1).sum
+          var acc = 0.0
+          var b = 0
+          while (b < 10) {
+            val (n, ss, sy) = bins(b)
+            if (n > 0) {
+              val conf = ss.toDouble / n.toDouble
+              val a = sy.toDouble * 1000.0 / n.toDouble
+              acc += math.abs(a - conf) * (n.toDouble / nt.toDouble)
+            }
+            b += 1
+          }
+          val ece = BigDecimal(acc)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single((nt, ece))
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

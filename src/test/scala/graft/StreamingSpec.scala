@@ -516,6 +516,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("calibrationStream equals the batch ECE at every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Boolean)]
+    val q = Streaming.calibrationStream(ms.toDS())
+      .toDF("n_seen", "ece_mil")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cal_stream").start()
+    val batch1 = Seq((50L, false), (150L, true), (950L, true))
+    val batch2 = Seq((1000L, true), (450L, false), (449L, true))
+    def lastEce(): (Long, Double) =
+      spark.sql("SELECT n_seen, ece_mil FROM cal_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).maxBy(_._1)
+    def batchEce(vals: Seq[(Long, Boolean)]): Double =
+      graft.ops.Profiling.calibration(vals.toDF("score_mil", "label"),
+        "score_mil", "label")
+        .collect().head.getAs[Double]("ece_mil")
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(lastEce() == ((3L, batchEce(batch1))))
+      ms.addData(batch2); q.processAllAvailable()
+      assert(lastEce() == ((6L, batchEce(batch1 ++ batch2))))
+    } finally q.stop()
+  }
+
   test("trendStream final moments equal the batch OLS rational per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
