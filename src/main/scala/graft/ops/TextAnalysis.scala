@@ -493,6 +493,51 @@ object TextAnalysis {
         round(col("__e__").getItem(2), 6).as("char_entropy"))
   }
 
+  /** Per-SOURCE quality scorecard — the vendor/feed dashboard a corpus
+    * owner reviews before renewing an ingest contract: for every source,
+    * document count, mean length, exact-duplicate rate, Gopher-rule pass
+    * rate, and mean codepoint entropy. Composes [[gopherQualityFlags]],
+    * [[charEntropyStats]], and sha-keyed exact-dup detection into one
+    * |sources|-row result. Determinism: per-doc entropy (engine-exact,
+    * 6dp) is scaled to integer MICRO-nats before the per-source sum —
+    * integer sums are order-free, so no float accumulation ever crosses
+    * an aggregation; every exported mean/rate is one exact-ratio
+    * division.
+    *
+    * Scale shape: two per-row passes + ONE text-hash groupBy for the dup
+    * flag (8-byte keys) + ONE per-source partial aggregate. */
+  def sourceScorecard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minWords: Long = 10): DataFrame = {
+    val flags = gopherQualityFlags(df, idCol, textCol, minWords = minWords)
+      .select(col(idCol), col("gopher_pass"))
+    val ent = charEntropyStats(df, idCol, textCol)
+      .select(col(idCol),
+        round(col("char_entropy") * 1e6).cast("long").as("__emic__"))
+    val dupCounts = df.groupBy(sha2(coalesce(col(textCol), lit("")), 256)
+        .as("__h__"))
+      .agg(count(lit(1)).as("__copies__"))
+    val perDoc = df.select(col(idCol), col(sourceCol),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__len__"),
+        sha2(coalesce(col(textCol), lit("")), 256).as("__h__"))
+      .join(dupCounts, "__h__")
+      .join(flags, Seq(idCol)).join(ent, Seq(idCol))
+    perDoc.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len__")).as("__chars__"),
+        sum(when(col("__copies__") > 1, 1L).otherwise(0L)).as("__dups__"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("__pass__"),
+        sum(col("__emic__")).as("__esum__"))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("__chars__").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_chars"),
+        round(col("__dups__").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("__pass__").cast("double") /
+          col("n_docs").cast("double"), 6).as("gopher_pass_rate"),
+        round(col("__esum__").cast("double") / 1e6 /
+          col("n_docs").cast("double"), 6).as("mean_entropy"))
+  }
+
   /** One composite [0,1] quality score: weighted mix of the features, the
     * shape of a fasttext/heuristic doc-quality filter. Deterministic. */
   def qualityScore(text: Column): Column = {

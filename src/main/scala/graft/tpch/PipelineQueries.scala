@@ -908,6 +908,12 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // per-source quality scorecard: the vendor dashboard composite
+    "q220_source_scorecard" -> ((s, dir) =>
+      graft.ops.TextAnalysis.sourceScorecard(docs(s, dir), "doc_id",
+        "text", "source", minWords = 10)
+        .orderBy(col("source"))),
+
     // near-dup cluster purity: every member's exact Jaccard to its
     // representative — the LSH over-merge audit
     "q219_cluster_purity" -> ((s, dir) => {
@@ -2786,6 +2792,69 @@ object PipelineQueries {
          |    (SELECT COUNT(1) FROM d WHERE doc_id IS NOT NULL
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
+    },
+
+    "q220_source_scorecard" -> {
+      val enList = TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH ch AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, length(text)), i -> text[i:i])) AS c
+         |  FROM documents),
+         |h AS (SELECT doc_id, c, COUNT(1) AS cnt FROM ch GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM h
+         |  GROUP BY 1),
+         |e AS (SELECT h.doc_id, CAST(ROUND(ROUND(-list_reduce(list(
+         |    (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY c),
+         |    (a, b) -> a + b), 6) * 1000000.0, 0) AS BIGINT) AS emic
+         |  FROM h JOIN n USING (doc_id) GROUP BY h.doc_id, n.n),
+         |gc AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS n_word_chars,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT)
+         |      AS n_symbols,
+         |    CAST(len(regexp_extract_all(text, '[^\\n]+')) AS BIGINT)
+         |      AS n_lines,
+         |    CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-•*]'))
+         |      AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(regexp_extract_all(text,
+         |      '(?m)(\\.\\.\\.|…)[ \\t]*$$')) AS BIGINT)
+         |      AS n_ellipsis_lines,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[^\\s]*[A-Za-z][^\\s]*')) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($enList))) AS BIGINT) AS n_stopword_hits
+         |  FROM documents),
+         |gp AS (SELECT doc_id,
+         |    (n_words >= 10 AND n_words <= 100000)
+         |    AND (n_words > 0 AND n_word_chars >= n_words * 3
+         |         AND n_word_chars <= n_words * 10)
+         |    AND (n_words > 0 AND n_symbols * 10 <= n_words)
+         |    AND (n_lines > 0 AND n_bullet_lines * 10 <= n_lines * 9)
+         |    AND (n_lines > 0 AND n_ellipsis_lines * 10 <= n_lines * 3)
+         |    AND (n_words > 0 AND n_alpha_words * 5 >= n_words * 4)
+         |    AND (n_stopword_hits >= 2) AS gopher_pass
+         |  FROM gc),
+         |dup AS (SELECT text, COUNT(1) AS copies FROM documents
+         |  GROUP BY 1),
+         |p AS (SELECT d.doc_id, d.source, length(d.text) AS len,
+         |    dup.copies, gp.gopher_pass, COALESCE(e.emic, 0) AS emic
+         |  FROM documents d JOIN dup ON dup.text = d.text
+         |  JOIN gp USING (doc_id) LEFT JOIN e USING (doc_id))
+         |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6)
+         |    AS mean_chars,
+         |  ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS dup_rate,
+         |  ROUND(CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6)
+         |    AS gopher_pass_rate,
+         |  ROUND(CAST(SUM(emic) AS DOUBLE) / 1000000.0
+         |    / CAST(COUNT(1) AS DOUBLE), 6) AS mean_entropy
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q219_cluster_purity" ->

@@ -1347,6 +1347,35 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("sourceScorecard: per-source composite with order-free sums") {
+    val good = "the cats and dogs runs fast into the barn yard"
+    val df = Seq(
+      (1L, "A", good), (2L, "A", good),      // exact dups, gopher-pass
+      (3L, "A", "zz"),                       // unique, gopher-fail
+      (4L, "B", "xy xy"))
+      .toDF("id", "src", "t")
+    val got = TextAnalysis.sourceScorecard(df, "id", "t", "src",
+      minWords = 10).collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Double]("dup_rate") == math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(a.getAs[Double]("gopher_pass_rate") ==
+      math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(a.getAs[Double]("mean_chars") ==
+      math.round((46 + 46 + 2) / 3.0 * 1e6) / 1e6)
+    val b = got("B")
+    assert(b.getAs[Long]("n_docs") == 1L)
+    assert(b.getAs[Double]("dup_rate") == 0.0)
+    // mean_entropy equals the micro-quantized mean of the per-doc op
+    val perDoc = TextAnalysis.charEntropyStats(
+      df.filter(col("src") === "A"), "id", "t").collect()
+      .map(r => math.round(r.getAs[Double]("char_entropy") * 1e6))
+    val expected = math.round(
+      perDoc.sum.toDouble / 1e6 / perDoc.length * 1e6) / 1e6
+    assert(a.getAs[Double]("mean_entropy") == expected)
+  }
+
   test("clusterPurity: member-to-rep jaccard, singletons excluded") {
     val t1 = "the quick brown fox jumps over the lazy dog tonight"
     val df = Seq((1L, 10L, t1), (2L, 20L, t1),
