@@ -582,6 +582,62 @@ object Multimodal {
       min_r: Long, max_r: Long, min_g: Long, max_g: Long,
       min_b: Long, max_b: Long)
 
+  final case class ImageAHash(
+      media_id: Long, width: Int, height: Int,
+      n_bits: Int, ahash_hi: Long, ahash_lo: Long, n_ones: Int)
+
+  /** Perceptual average-hash over REAL decoded pixels — the image
+    * near-dup primitive (re-encoded copies of the same picture hash
+    * identically even when their bytes don't; Hamming-close hashes are
+    * near-dup candidates for a banded join downstream). Per image:
+    * integer luma `⌊(299r + 587g + 114b)/1000⌋` per pixel, bit i set
+    * iff `luma_i · n > Σluma` (strict cross-multiplied comparison — no
+    * float mean) over the first min(64, w·h) row-major pixels; the hash
+    * ships as two 32-bit halves so it stays exactly representable in
+    * any engine. Decode failure yields the width = -1 sentinel row.
+    * Same batched `mapPartitions` posture as [[decodeImageStats]]: no
+    * shuffle, per-row codec CPU. */
+  def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.media) match {
+        case None => ImageAHash(r.media_id, -1, -1, 0, 0L, 0L, 0)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val n = w * h
+          val lumas = new Array[Long](n)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val l = (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              lumas(y * w + x) = l
+              sum += l
+              x += 1
+            }
+            y += 1
+          }
+          val nb = math.min(64, n)
+          var hi = 0L
+          var lo = 0L
+          var ones = 0
+          var i = 0
+          while (i < nb) {
+            if (lumas(i) * n > sum) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              ones += 1
+            }
+            i += 1
+          }
+          ImageAHash(r.media_id, w, h, nb, hi, lo, ones)
+      }
+    })
+  }
+
   /** REAL pixel decode + per-channel stats, batched like the other tiers:
     * parallel `mapPartitions`, no shuffle — decode cost is per-row CPU,
     * which is exactly what a 1000-executor cluster scales linearly. Rows

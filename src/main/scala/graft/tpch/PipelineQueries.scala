@@ -908,6 +908,14 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // perceptual aHash over REAL PNG decodes, checked against the
+    // synthetic pixel formula
+    "q221_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(
+        Multimodal.withSyntheticImage(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // per-source quality scorecard: the vendor dashboard composite
     "q220_source_scorecard" -> ((s, dir) =>
       graft.ops.TextAnalysis.sourceScorecard(docs(s, dir), "doc_id",
@@ -2793,6 +2801,34 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q221_image_ahash" ->
+      """WITH px AS (SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST((doc_id * 7) % 16 + 1 AS INTEGER) AS h
+        |  FROM documents),
+        |pp AS (SELECT doc_id, w, h, (y * w + x) AS i,
+        |    (299 * ((doc_id + 3 * x + 5 * y) % 256)
+        |     + 587 * ((3 * doc_id + 7 * x + y) % 256)
+        |     + 114 * ((5 * doc_id + x + 11 * y) % 256)) // 1000 AS luma
+        |  FROM px, unnest(generate_series(0, h - 1)) AS uy(y),
+        |    unnest(generate_series(0, w - 1)) AS ux(x)),
+        |s AS (SELECT doc_id, w, h, SUM(luma) AS sl, COUNT(1) AS n
+        |  FROM pp GROUP BY 1, 2, 3),
+        |b AS (SELECT pp.doc_id, s.w, s.h,
+        |    LEAST(64, s.n) AS nb,
+        |    SUM(CASE WHEN pp.i >= 32 AND pp.i < LEAST(64, s.n)
+        |      AND pp.luma * s.n > s.sl
+        |      THEN (CAST(1 AS BIGINT) << (pp.i - 32)) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN pp.i < 32 AND pp.luma * s.n > s.sl
+        |      THEN (CAST(1 AS BIGINT) << pp.i) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN pp.i < LEAST(64, s.n)
+        |      AND pp.luma * s.n > s.sl THEN 1 ELSE 0 END) AS ones
+        |  FROM pp JOIN s USING (doc_id) GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(nb AS INTEGER) AS n_bits, CAST(hi AS BIGINT) AS ahash_hi,
+        |  CAST(lo AS BIGINT) AS ahash_lo, CAST(ones AS INTEGER) AS n_ones
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q220_source_scorecard" -> {
       val enList = TextAnalysis.stopwords.toMap.apply("en")

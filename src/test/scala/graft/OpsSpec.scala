@@ -1347,6 +1347,41 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == refDeflate("hello hello hello"))
   }
 
+  test("imageAHash: decode matches the pixel-formula hash; copies collide") {
+    val media = Multimodal.withSyntheticImage(
+      Seq(5L, 12L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.imageAHash(media).collect()
+      .map(r => r.media_id -> r).toMap
+    // driver-side replay of the synthetic pixel formula
+    def ref(id: Long) = {
+      val w = (id % 16 + 1).toInt
+      val h = (id * 7 % 16 + 1).toInt
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = Multimodal.synthPixel(id, x, y)
+        (299L * r + 587L * g + 114L * b) / 1000L
+      }
+      val n = w * h
+      val sum = lumas.sum
+      val nb = math.min(64, n)
+      var hi = 0L; var lo = 0L; var ones = 0
+      for (i <- 0 until nb if lumas(i) * n > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        ones += 1
+      }
+      (w, h, nb, hi, lo, ones)
+    }
+    Seq(5L, 12L).foreach { id =>
+      val r = got(id)
+      assert((r.width, r.height, r.n_bits, r.ahash_hi, r.ahash_lo,
+        r.n_ones) == ref(id), s"id $id")
+    }
+    // byte-identical copies hash identically (the near-dup group key)
+    val twice = media.union(media)
+    val hashes = Multimodal.imageAHash(twice).collect()
+      .groupBy(r => (r.ahash_hi, r.ahash_lo)).values.map(_.length).toSeq
+    assert(hashes.sorted == Seq(2, 2))
+  }
+
   test("sourceScorecard: per-source composite with order-free sums") {
     val good = "the cats and dogs runs fast into the barn yard"
     val df = Seq(
