@@ -387,6 +387,53 @@ object Multimodal {
 
   /** Synthetic PCM sample: linear in id/index/channel over a signed 16-bit
     * subrange, replayable arithmetically by the oracle. */
+  final case class AudioFingerprint(
+      media_id: Long, sample_rate: Int, n_frames: Int,
+      fp: Long, total_energy: Long)
+
+  /** Energy-delta audio fingerprint over REAL PCM decodes — the
+    * Shazam-style robust hash reduced to its deterministic core: split
+    * channel 0 into complete `frameLen`-sample frames, frame energy
+    * `Σ s²` (exact integers), fingerprint bit f set iff
+    * `energy_f > energy_{f+1}` (energy CONTOUR, not absolute level — the
+    * property that survives gain changes). Byte-identical re-encodes
+    * collide; contour-equal recordings band together for a near-dup
+    * join. Decode failure yields the rate = -1 sentinel. Same
+    * `mapPartitions` posture as [[decodeAudioStats]]. */
+  def audioFingerprint(media: Dataset[MediaRecord],
+      frameLen: Int = 8): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    require(frameLen >= 1, "frameLen must be >= 1")
+    media.mapPartitions(_.map { r =>
+      AudioCodec.decodePcm(r.media) match {
+        case None => AudioFingerprint(r.media_id, -1, -1, 0L, 0L)
+        case Some((rate, channels, chans)) =>
+          val s = if (channels > 0) chans(0) else Array.empty[Int]
+          val nf = s.length / frameLen
+          val e = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            var acc = 0L
+            var i = 0
+            while (i < frameLen) {
+              val v = s(f * frameLen + i).toLong
+              acc += v * v
+              i += 1
+            }
+            e(f) = acc
+            f += 1
+          }
+          var fp = 0L
+          f = 0
+          while (f < nf - 1) {
+            if (e(f) > e(f + 1)) fp |= 1L << f
+            f += 1
+          }
+          AudioFingerprint(r.media_id, rate, nf, fp, e.sum)
+      }
+    })
+  }
+
   @inline def synthSample(id: Long, i: Int, c: Int): Int =
     (((id * 31 + i.toLong * 7 + c.toLong * 13) % 4001) - 2000).toInt
 

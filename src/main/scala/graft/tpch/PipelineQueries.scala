@@ -908,6 +908,14 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // energy-contour audio fingerprint over REAL WAV/PCM decodes,
+    // checked against the synthetic sample formula
+    "q222_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.withSyntheticWavPcm(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // perceptual aHash over REAL PNG decodes, checked against the
     // synthetic pixel formula
     "q221_image_ahash" -> ((s, dir) =>
@@ -2801,6 +2809,27 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q222_audio_fingerprint" ->
+      """WITH sm AS (SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 7) % 4001) - 2000 AS v
+        |  FROM documents, unnest(generate_series(0, 63)) AS u(i)),
+        |fr AS (SELECT doc_id, i // 8 AS f, SUM(v * v) AS e
+        |  FROM sm GROUP BY 1, 2),
+        |fp AS (SELECT x.doc_id,
+        |    CAST(SUM(CASE WHEN x.e > y.e
+        |      THEN (CAST(1 AS BIGINT) << x.f) ELSE 0 END) AS BIGINT)
+        |      AS fp
+        |  FROM fr x JOIN fr y ON y.doc_id = x.doc_id AND y.f = x.f + 1
+        |  GROUP BY 1),
+        |te AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total_energy
+        |  FROM fr GROUP BY 1)
+        |SELECT d.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(8 AS INTEGER) AS n_frames,
+        |  COALESCE(fp.fp, 0) AS fp, te.total_energy
+        |FROM documents d JOIN te USING (doc_id)
+        |LEFT JOIN fp USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q221_image_ahash" ->
       """WITH px AS (SELECT doc_id,

@@ -1382,6 +1382,29 @@ class OpsSpec extends AnyFunSuite {
     assert(hashes.sorted == Seq(2, 2))
   }
 
+  test("audioFingerprint: decode matches the sample-formula contour") {
+    val media = Multimodal.withSyntheticWavPcm(
+      Seq(3L, 8L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.media_id -> r).toMap
+    def ref(id: Long) = {
+      val s = (0 until 64).map(i => Multimodal.synthSample(id, i, 0).toLong)
+      val e = s.grouped(8).map(fr => fr.map(v => v * v).sum).toSeq
+      var fp = 0L
+      for (f <- 0 until 7 if e(f) > e(f + 1)) fp |= 1L << f
+      (8000, 8, fp, e.sum)
+    }
+    Seq(3L, 8L).foreach { id =>
+      val r = got(id)
+      assert((r.sample_rate, r.n_frames, r.fp, r.total_energy) == ref(id),
+        s"id $id")
+    }
+    // byte-identical copies collide on the fingerprint
+    val twice = Multimodal.audioFingerprint(media.union(media)).collect()
+      .groupBy(_.fp).values.map(_.length).toSeq
+    assert(twice.forall(_ % 2 == 0))
+  }
+
   test("sourceScorecard: per-source composite with order-free sums") {
     val good = "the cats and dogs runs fast into the barn yard"
     val df = Seq(
