@@ -181,6 +181,17 @@ object ScaleStress {
           Multimodal.withSyntheticImage(docs, "doc_id"))
         (st.queryExecution.toRdd.count(), sig(st))
       }
+      // q221/q222 shapes: perceptual hashes — decode CPU, no shuffle
+      timed(scale, "image_ahash") {
+        val st = Multimodal.imageAHash(
+          Multimodal.withSyntheticImage(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
+      timed(scale, "audio_fingerprint") {
+        val st = Multimodal.audioFingerprint(
+          Multimodal.withSyntheticWavPcm(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
       // q72 shape: WAV PCM construct→javax.sound decode→stats — same
       // linear-CPU/no-shuffle claim for the audio tier
       timed(scale, "audio_decode") {
@@ -616,6 +627,31 @@ object ScaleStress {
       // count, windows over the K-row cap only
       timed(scale, "negative_sampling") {
         val out = Corpus.negativeSamplingTable(docs, "text", topK = 100)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q217 shape: dialogue stats — per-row array lambdas, no shuffle
+      timed(scale, "dialogue_stats") {
+        val conv = docs.select(col("doc_id"),
+          concat(lit("user: "), col("text"), lit("\nassistant: "),
+            col("text")).as("text"))
+        val out = graft.ops.TextAnalysis.dialogueStats(
+          conv, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q218 shape: sketch calibration — the q52 banded join + one
+      // signature join-back per side; candidates, never all pairs
+      timed(scale, "minhash_calibration") {
+        val out = Dedup.minhashCalibration(docs, "doc_id", "text",
+          bands = 8, rows = 4, shingleK = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q220 shape: source scorecard — two per-row passes + one
+      // hash-keyed dup groupBy + one per-source aggregate
+      timed(scale, "source_scorecard") {
+        val d = docs.withColumn("src",
+          pmod(col("doc_id"), lit(20L)).cast("string"))
+        val out = graft.ops.TextAnalysis.sourceScorecard(
+          d, "doc_id", "text", "src", minWords = 10)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q197 shape: expectations — all row-local rules fold into ONE
