@@ -567,6 +567,53 @@ object Multimodal {
 
   /** Synthetic frame byte: linear in id/frame/offset mod 256 — the oracle
     * replays the sampled-frame digest arithmetically. */
+  final case class VideoSceneChanges(
+      media_id: Long, n_frames: Long, n_transitions: Int,
+      n_scene_changes: Int, total_diff: Long)
+
+  /** Scene-change detection over the AVI container walk — the shot
+    * segmentation pass a video-training pipeline runs to pick keyframes
+    * (sampling one frame per SCENE beats sampling every k-th frame of a
+    * static shot). Per consecutive frame pair: exact integer sum of
+    * absolute byte differences over the common prefix; a transition is
+    * a scene change iff `diff · 1000 > thresholdMil · len` (mean
+    * absolute byte delta above thresholdMil milli-units — integer
+    * cross-multiplication, no float). Codec-free like [[walkAvi]]: raw
+    * frame payload bytes are compared; with a compressed codec this
+    * runs on the decode service's luma planes instead, same contract.
+    * Unparseable payloads yield the n_frames = -1 sentinel. */
+  def videoSceneChanges(media: Dataset[MediaRecord],
+      thresholdMil: Long = 54000L): Dataset[VideoSceneChanges] = {
+    import media.sparkSession.implicits._
+    require(thresholdMil >= 0, "threshold must be non-negative")
+    media.mapPartitions(_.map { r =>
+      walkAvi(r.media) match {
+        case None => VideoSceneChanges(r.media_id, -1L, 0, 0, 0L)
+        case Some((_, _, n, frames)) =>
+          var scenes = 0
+          var total = 0L
+          var t = 0
+          while (t < frames.length - 1) {
+            val (o1, s1) = frames(t)
+            val (o2, s2) = frames(t + 1)
+            val len = math.min(s1, s2)
+            var d = 0L
+            var j = 0
+            while (j < len) {
+              d += math.abs((r.media(o1 + j) & 0xff) -
+                (r.media(o2 + j) & 0xff))
+              j += 1
+            }
+            if (len > 0 && d * 1000L > thresholdMil * len) scenes += 1
+            total += d
+            t += 1
+          }
+          VideoSceneChanges(r.media_id, n,
+            math.max(frames.length - 1, 0), scenes, total)
+      }
+    })
+  }
+
   @inline def synthFrameByte(id: Long, frame: Int, j: Int): Int =
     ((id + frame.toLong * 31 + j.toLong * 7) % 256).toInt
 

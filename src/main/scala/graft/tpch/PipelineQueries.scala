@@ -908,6 +908,14 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // scene-change detection over the AVI frame walk, checked against
+    // the synthetic frame-byte formula
+    "q223_video_scenes" -> ((s, dir) =>
+      Multimodal.videoSceneChanges(
+        Multimodal.withSyntheticAvi(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // energy-contour audio fingerprint over REAL WAV/PCM decodes,
     // checked against the synthetic sample formula
     "q222_audio_fingerprint" -> ((s, dir) =>
@@ -2809,6 +2817,27 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q223_video_scenes" ->
+      """WITH v AS (SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS n
+        |  FROM documents),
+        |tr AS (SELECT doc_id, n,
+        |    unnest(generate_series(0, CAST(n AS INTEGER) - 2)) AS f
+        |  FROM v WHERE n >= 2),
+        |d AS (SELECT doc_id, n, f,
+        |    SUM(ABS(((doc_id + f * 31 + j * 7) % 256)
+        |      - ((doc_id + (f + 1) * 31 + j * 7) % 256))) AS diff
+        |  FROM tr, unnest(generate_series(0, 31)) AS uj(j)
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT doc_id, CAST(COUNT(1) AS INTEGER) AS trans,
+        |    CAST(SUM(CASE WHEN diff * 1000 > 54000 * 32 THEN 1 ELSE 0
+        |      END) AS INTEGER) AS scenes,
+        |    CAST(SUM(diff) AS BIGINT) AS total FROM d GROUP BY 1)
+        |SELECT v.doc_id, v.n AS n_frames,
+        |  COALESCE(g.trans, 0) AS n_transitions,
+        |  COALESCE(g.scenes, 0) AS n_scene_changes,
+        |  COALESCE(g.total, 0) AS total_diff
+        |FROM v LEFT JOIN g USING (doc_id) ORDER BY v.doc_id""".stripMargin,
 
     "q222_audio_fingerprint" ->
       """WITH sm AS (SELECT doc_id, i,

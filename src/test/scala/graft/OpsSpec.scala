@@ -1382,6 +1382,29 @@ class OpsSpec extends AnyFunSuite {
     assert(hashes.sorted == Seq(2, 2))
   }
 
+  test("videoSceneChanges: container walk matches the frame-byte formula") {
+    val media = Multimodal.withSyntheticAvi(
+      Seq(2L, 9L, 7L).toDF("doc_id"), "doc_id") // 7L: n=1, no transitions
+    val got = Multimodal.videoSceneChanges(media).collect()
+      .map(r => r.media_id -> r).toMap
+    def ref(id: Long) = {
+      val n = (id % 7 + 1).toInt
+      val diffs = (0 until n - 1).map { f =>
+        (0 until 32).map(j => math.abs(
+          Multimodal.synthFrameByte(id, f, j) -
+            Multimodal.synthFrameByte(id, f + 1, j)).toLong).sum
+      }
+      (n.toLong, math.max(n - 1, 0),
+        diffs.count(d => d * 1000L > 54000L * 32), diffs.sum)
+    }
+    Seq(2L, 9L, 7L).foreach { id =>
+      val r = got(id)
+      assert((r.n_frames, r.n_transitions, r.n_scene_changes,
+        r.total_diff) == ref(id), s"id $id")
+    }
+    assert(got(7L).n_transitions == 0)
+  }
+
   test("audioFingerprint: decode matches the sample-formula contour") {
     val media = Multimodal.withSyntheticWavPcm(
       Seq(3L, 8L).toDF("doc_id"), "doc_id")
