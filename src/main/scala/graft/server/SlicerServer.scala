@@ -227,7 +227,7 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
             s""""api": ["/version", "/info", "/cubes", "/cube/<cube>/model", """ +
             s""""/cube/<cube>/aggregate", "/cube/<cube>/facts", "/cube/<cube>/fact/<id>", """ +
             s""""/cube/<cube>/members/<dim>", "/cube/<cube>/cell", "/cube/<cube>/report", """ +
-            s""""/logout"]}""",
+            s""""/cube/<cube>/search", "/logout"]}""",
           "application/json")
       case List("version") =>
         Resp(200, """{"version": "0.1.0", "server_version": "0.1.0", "api_version": 2}""",
@@ -257,14 +257,55 @@ final class SlicerServer(workspace: Workspace, port: Int = 0,
             Resp(404, """{"error": "Visualizer not configured"}""",
               "application/json")
         }
-      case List("cube", _, "search") =>
-        // explicit descope, not a bare 404: the reference's /search needs
-        // an EXTERNAL Sphinx engine even there (optional cubes_search
-        // package, blueprint.py:542-573) — surface that instead of
-        // pretending the route doesn't exist
-        Resp(501,
-          """{"error": "not implemented", "message": "member search requires an external search backend (the reference binds Sphinx via the optional cubes_search package); not bundled"}""",
-          "application/json")
+      case List("cube", name, "search") =>
+        // the reference's /search (blueprint.py:542-573) requires an
+        // EXTERNAL Sphinx engine (optional cubes_search package) and
+        // 501s without it; graft EXCEEDS it with a native member search:
+        // case-insensitive substring match over the string attributes of
+        // the cube's dimension members (the member listings are
+        // dimension-cardinality-sized — exactly what an embedded search
+        // can afford), reusing the browser's members plumbing so
+        // authorization clamps apply identically
+        logged("search", name, q, id) {
+          val query = q.getOrElse("q", throw new IllegalArgumentException(
+            "missing 'q' parameter"))
+          val b = workspace.browserFor(id, name)
+          val dims = q.get("dimension").map(Seq(_))
+            .getOrElse(b.cube.dimensions.map(_.name))
+          val lim = q.get("limit").map(_.toInt).getOrElse(20)
+          require(lim >= 1 && lim <= 1000, "limit must be in [1, 1000]")
+          val needle = query.toLowerCase(java.util.Locale.ROOT)
+          val matches = scala.collection.mutable.LinkedHashSet
+            .empty[(String, String, String)]
+          dims.iterator.takeWhile(_ => matches.size < lim).foreach { d =>
+            val m = b.members(Cell(), d)
+            val strCols = m.schema.fields.collect {
+              case f if f.dataType ==
+                org.apache.spark.sql.types.StringType => f.name
+            }
+            if (strCols.nonEmpty) {
+              val cond = strCols.map(c =>
+                org.apache.spark.sql.functions.lower(
+                  org.apache.spark.sql.functions.col(s"`$c`"))
+                  .contains(needle)).reduce(_ || _)
+              m.filter(cond).limit(lim).collect().foreach { row =>
+                strCols.foreach { c =>
+                  val v = row.getAs[String](row.fieldIndex(c))
+                  if (v != null && matches.size < lim &&
+                      v.toLowerCase(java.util.Locale.ROOT).contains(needle))
+                    matches += ((d, c, v))
+                }
+              }
+            }
+          }
+          val items = matches.toSeq.map { case (d, a, v) =>
+            s"""{"dimension": ${jstr(d)}, "attribute": ${jstr(a)}, """ +
+              s""""value": ${jstr(v)}}"""
+          }
+          Resp(200,
+            s"""{"q": ${jstr(query)}, "matches": ${items.mkString("[", ",", "]")}}""",
+            "application/json")
+        }
       case List("cubes") =>
         val cubes = workspace.authorizedCubes(id).map { n =>
           val c = workspace.cube(n)

@@ -84,11 +84,25 @@ class ServerSpec extends AnyFunSuite {
     } finally s2.stop()
   }
 
-  test("/logout acknowledges; /cube/<c>/search is an explicit 501 descope") {
+  test("/logout acknowledges; /cube/<c>/search finds members natively") {
     val (code, body) = get("/logout")
     assert(code == 200 && body == "logged out")
+    // native member search (the reference 501s without external Sphinx;
+    // graft searches the member listings directly)
     val (sc, sbody) = get("/cube/sales/search?q=asia")
-    assert(sc == 501 && sbody.contains("external search backend"))
+    assert(sc == 200, sbody)
+    assert(sbody.contains(""""q": "asia""""), sbody)
+    assert(sbody.toLowerCase.contains("asia"), sbody)
+    assert(sbody.contains(""""dimension""""), sbody)
+    // case-insensitive substring; dimension filter narrows the scope
+    val (sc2, sbody2) = get("/cube/sales/search?q=ASIA&dimension=customer")
+    assert(sc2 == 200 && sbody2.toLowerCase.contains("asia"), sbody2)
+    // no hits -> empty matches, not an error
+    val (sc3, sbody3) = get("/cube/sales/search?q=zzzzqqqq")
+    assert(sc3 == 200 && sbody3.contains(""""matches": []"""), sbody3)
+    // missing q is a client error
+    val (sc4, _) = get("/cube/sales/search")
+    assert(sc4 == 400)
   }
 
   test("/version carries api_version (reference show_version)") {
