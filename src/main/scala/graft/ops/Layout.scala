@@ -151,6 +151,32 @@ object Layout {
     }
   }
 
+  /** Clustering-quality audit over a manifest: are the per-file
+    * `[min_c, max_c]` boxes DISJOINT in file order (the property that
+    * makes footer pruning effective — overlapping boxes mean a point
+    * predicate hits multiple files and the layout has decayed under
+    * appends)? Orders files by (min_c, max_c, file) and counts, for each
+    * file, the overlap with its predecessor's running max. Returns one
+    * row per file: (file, min, max, prev_max, overlaps) plus the table
+    * verdict columns n_overlapping and clustered (zero overlaps). The
+    * window runs on the metadata-sized manifest — the [[manifest]]
+    * posture; the data is never touched. */
+  def sortOrderAudit(manifestDf: DataFrame, c: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("min_v").asc, col("max_v").asc, col("file").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val scored = manifestDf
+      .select(col("file"), col(s"min_$c").cast("long").as("min_v"),
+        col(s"max_$c").cast("long").as("max_v"))
+      .withColumn("prev_max", max(col("max_v")).over(w))
+      .withColumn("overlaps",
+        col("prev_max").isNotNull && col("min_v") <= col("prev_max"))
+    val verdict = scored.agg(
+      sum(when(col("overlaps"), 1L).otherwise(0L)).as("n_overlapping"))
+    scored.crossJoin(broadcast(verdict))
+      .withColumn("clustered", col("n_overlapping") === 0)
+  }
+
   /** The driver-side pruning decision of [[prunedRead]]: files whose
     * per-column boxes intersect all the ranges. */
   def prunedFiles(manifestDf: DataFrame,

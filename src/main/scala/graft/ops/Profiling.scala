@@ -378,6 +378,56 @@ object Profiling {
         round(col("acc_mil"), 6).as("acc_mil"), col("ece_mil"))
   }
 
+  /** Benford first-significant-digit conformance per group — the
+    * classic numeric-data forensics test (organic multiplicative
+    * quantities follow P(d) = log10(1 + 1/d); fabricated, truncated, or
+    * synthetic columns don't, and the χ² against the Benford curve says
+    * so per SOURCE, naming the feed to audit). The value column must be
+    * a positive integral (quantize upstream); the first digit comes
+    * from the decimal rendering, exact in both engines. Per (group,
+    * digit 1..9): observed count and the χ² term
+    * `(o − n·p)² / (n·p)` (p computed as `ln(1+1/d)/ln 10` — same
+    * libm calls both sides); `chi2` is the digit-ordered fold and
+    * `benford_ok` compares it to the χ²(8 df, α=0.05) critical value
+    * 15.51. One partial-aggregable pass on the (group, digit) key
+    * space; output is 9·|groups| rows. */
+  def benford(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val firstDigit = substring(col(valueCol).cast("long").cast("string"),
+      1, 1).cast("int")
+    val counts = df.filter(col(valueCol).cast("long") > 0)
+      .select(col(groupCol), firstDigit.as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val digits = broadcast((1 to 9).toDF("digit"))
+    val grid = counts.select(col(groupCol)).distinct()
+      .crossJoin(digits)
+      .join(counts, Seq(groupCol, "digit"), "left")
+      .select(col(groupCol), col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
+    val totals = grid.groupBy(col(groupCol))
+      .agg(sum(col("observed")).as("__n__"))
+    val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val e = col("__n__").cast("double") * p
+    val scored = grid.join(totals, Seq(groupCol))
+      .withColumn("__term__",
+        (col("observed").cast("double") - e) *
+          (col("observed").cast("double") - e) / e)
+    val chi = scored.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("digit"), col("__term__"))))
+        .as("__ts__"))
+      .select(col(groupCol),
+        round(aggregate(col("__ts__"), lit(0.0),
+          (a, t) => a + t.getField("__term__")), 6).as("chi2"))
+    scored.join(chi, Seq(groupCol))
+      .select(col(groupCol), col("digit"), col("observed"),
+        round(col("__term__"), 6).as("term"), col("chi2"),
+        (col("chi2") < 15.51).as("benford_ok"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int,
       pctNum: Int, pctDen: Int): DataFrame = {
     require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")

@@ -908,6 +908,22 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // Benford first-digit conformance of milli-values per event type
+    "q225_benford" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("vmil", floor(col("value") * 1000 + 0.5).cast("long"))
+      graft.ops.Profiling.benford(ev, "event_type", "vmil")
+        .orderBy(col("event_type"), col("digit"))
+    }),
+
+    // layout clustering audit: per-file key boxes vs the running max —
+    // overlap count = footer-pruning decay
+    "q224_sort_audit" -> ((s, dir) => {
+      val mf = docs(s, dir).groupBy(col("source").as("file"))
+        .agg(min(col("doc_id")).as("min_k"), max(col("doc_id")).as("max_k"))
+      graft.ops.Layout.sortOrderAudit(mf, "k").orderBy(col("file"))
+    }),
+
     // scene-change detection over the AVI frame walk, checked against
     // the synthetic frame-byte formula
     "q223_video_scenes" -> ((s, dir) =>
@@ -2817,6 +2833,59 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q225_benford" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(substring(CAST(vmil AS VARCHAR), 1, 1) AS INTEGER)
+        |      AS digit,
+        |    COUNT(1) AS observed
+        |  FROM ev WHERE vmil > 0 GROUP BY 1, 2),
+        |grid AS (SELECT g.event_type, d.digit,
+        |    CAST(COALESCE(c.observed, 0) AS BIGINT) AS observed
+        |  FROM (SELECT DISTINCT event_type FROM c) g
+        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+        |  LEFT JOIN c ON c.event_type = g.event_type
+        |    AND c.digit = d.digit),
+        |t AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS n
+        |  FROM grid GROUP BY 1),
+        |sc AS (SELECT grid.event_type, digit, observed,
+        |    (CAST(observed AS DOUBLE)
+        |     - CAST(n AS DOUBLE) * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |       / LN(10.0)))
+        |    * (CAST(observed AS DOUBLE)
+        |     - CAST(n AS DOUBLE) * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |       / LN(10.0)))
+        |    / (CAST(n AS DOUBLE) * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |       / LN(10.0))) AS term
+        |  FROM grid JOIN t USING (event_type)),
+        |ch AS (SELECT event_type,
+        |    ROUND(list_reduce(list_prepend(0.0, list(term ORDER BY digit)),
+        |      (a, b) -> a + b), 6) AS chi2
+        |  FROM sc GROUP BY 1)
+        |SELECT sc.event_type, CAST(sc.digit AS INTEGER) AS digit,
+        |  sc.observed, ROUND(sc.term, 6) AS term, ch.chi2,
+        |  ch.chi2 < 15.51 AS benford_ok
+        |FROM sc JOIN ch USING (event_type)
+        |ORDER BY sc.event_type, sc.digit""".stripMargin,
+
+    "q224_sort_audit" ->
+      """WITH mf AS (SELECT source AS file, MIN(doc_id) AS min_v,
+        |    MAX(doc_id) AS max_v FROM documents GROUP BY 1),
+        |sc AS (SELECT file, min_v, max_v,
+        |    MAX(max_v) OVER (ORDER BY min_v, max_v, file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM mf),
+        |o AS (SELECT *, prev_max IS NOT NULL AND min_v <= prev_max
+        |    AS "overlaps" FROM sc),
+        |v AS (SELECT CAST(SUM(CASE WHEN "overlaps" THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlapping FROM o)
+        |SELECT o.file, o.min_v, o.max_v, o.prev_max, o."overlaps",
+        |  v.n_overlapping, v.n_overlapping = 0 AS clustered
+        |FROM o CROSS JOIN v ORDER BY o.file""".stripMargin,
 
     "q223_video_scenes" ->
       """WITH v AS (SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS n

@@ -191,6 +191,23 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Layout.rendezvousShard(col("k"), 65) }
   }
 
+  test("sortOrderAudit: overlap against the running max; clean layout passes") {
+    val decayed = Seq(("a", 0L, 10L), ("b", 5L, 20L), ("c", 30L, 40L))
+      .toDF("file", "min_k", "max_k")
+    val got = Layout.sortOrderAudit(decayed, "k").collect()
+      .map(r => r.getAs[String]("file") ->
+        ((Option(r.getAs[java.lang.Long]("prev_max")),
+          r.getAs[Boolean]("overlaps"), r.getAs[Long]("n_overlapping"),
+          r.getAs[Boolean]("clustered")))).toMap
+    assert(got("a") == ((None, false, 1L, false)))
+    assert(got("b") == ((Some(10L), true, 1L, false)))  // 5 <= 10
+    assert(got("c") == ((Some(20L), false, 1L, false)))
+    val clean = Seq(("a", 0L, 10L), ("b", 11L, 20L))
+      .toDF("file", "min_k", "max_k")
+    val ok = Layout.sortOrderAudit(clean, "k").collect()
+    assert(ok.forall(_.getAs[Boolean]("clustered")))
+  }
+
   test("compactionPlan: quantized groups for small files, big pass through") {
     val mf = Seq(("a", 3L), ("b", 3L), ("c", 3L), ("d", 10L))
       .toDF("file", "size_bytes")

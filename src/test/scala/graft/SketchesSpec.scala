@@ -420,6 +420,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("benford: first digits, chi2 against the log curve, verdicts") {
+    import spark.implicits._
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    // a perfectly Benford-weighted sample: 1000 draws at the ideal
+    // frequencies round to counts whose chi2 is tiny
+    val ideal = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(n)(("g", d.toLong * 100 + 7))
+    }.toDF("grp", "v")
+    val okRows = graft.ops.Profiling.benford(ideal, "grp", "v").collect()
+    assert(okRows.length == 9)
+    assert(okRows.forall(_.getAs[Boolean]("benford_ok")))
+    // a uniform-first-digit sample fails loudly
+    val flat = (1 to 9).flatMap(d => Seq.fill(100)(("g", d.toLong * 10)))
+      .toDF("grp", "v")
+    val badRows = graft.ops.Profiling.benford(flat, "grp", "v").collect()
+    assert(badRows.forall(!_.getAs[Boolean]("benford_ok")))
+    // digit extraction + zero/negative filtering
+    val digits = graft.ops.Profiling.benford(
+      Seq(("g", 912L), ("g", 0L), ("g", 37L)).toDF("grp", "v"),
+      "grp", "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("observed")).toMap
+    assert(digits(9) == 1L && digits(3) == 1L && digits(1) == 0L)
+    // hand-check one chi2 term: observed o at digit d with n total
+    val n = 2.0
+    val p9 = math.log(1.0 + 1.0 / 9) / math.log(10.0)
+    val t9 = (1.0 - n * p9) * (1.0 - n * p9) / (n * p9)
+    val r9 = graft.ops.Profiling.benford(
+      Seq(("g", 912L), ("g", 0L), ("g", 37L)).toDF("grp", "v"),
+      "grp", "v").collect().find(_.getAs[Int]("digit") == 9).get
+    assert(r9.getAs[Double]("term") == rnd(t9))
+  }
+
   test("calibration: exact per-bin ratios, bin-ordered ECE fold") {
     import spark.implicits._
     val df = Seq((50L, false), (150L, true), (950L, true), (1000L, true))
