@@ -428,6 +428,64 @@ object Profiling {
         (col("chi2") < 15.51).as("benford_ok"))
   }
 
+  /** NDCG@k ranking evaluation — the retrieval/recommender quality gate
+    * (RRF fusion and the ANN stack produce rankings; this scores them
+    * against ground-truth relevance before they ship). Inputs: a
+    * `ranking` (query, item, rank 1..k) and a `truth` (query, item,
+    * rel ≥ 0) table. Per query:
+    * `dcg = Σ rel(item@r) / log2(r+1)` over the ranking,
+    * `idcg` the same sum over the query's relevances sorted descending
+    * (top k), `ndcg = dcg/idcg` (0 when the query has no relevant
+    * items). Both sums are RANK-ORDERED folds over ≤ k doubles (the
+    * [[psi]] determinism posture — rel and rank are integers, each term
+    * one division by the same libm log2), so the score is
+    * engine-reproducible.
+    *
+    * Scale shape: one ranking↔truth left join on (query, item), two
+    * k-bounded per-query folds, |queries| output rows. */
+  def ndcg(ranking: DataFrame, truth: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(itemCol), col(rankCol).cast("int").as("__r__"))
+    val t = truth.select(col(queryCol), col(itemCol),
+      col(relCol).cast("long").as("__rel__"))
+    val joined = r.join(t, Seq(queryCol, itemCol), "left")
+      .select(col(queryCol), col("__r__"),
+        coalesce(col("__rel__"), lit(0L)).as("__rel__"))
+    val dcg = joined.groupBy(col(queryCol))
+      .agg(sort_array(collect_list(struct(col("__r__"), col("__rel__"))))
+        .as("__rs__"))
+      .select(col(queryCol),
+        aggregate(col("__rs__"), lit(0.0), (a, s) =>
+          a + s.getField("__rel__").cast("double") /
+            (log(s.getField("__r__").cast("double") + 1.0) / log(lit(2.0))))
+          .as("__dcg__"))
+    // ideal ordering: relevance desc (item asc tie-break), top k
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col("__rel__").desc, col(itemCol).asc)
+    val idcg = t.filter(col("__rel__") > 0)
+      .withColumn("__ir__", row_number().over(iw))
+      .filter(col("__ir__") <= k)
+      .groupBy(col(queryCol))
+      .agg(sort_array(collect_list(struct(col("__ir__"), col("__rel__"))))
+        .as("__is__"))
+      .select(col(queryCol),
+        aggregate(col("__is__"), lit(0.0), (a, s) =>
+          a + s.getField("__rel__").cast("double") /
+            (log(s.getField("__ir__").cast("double") + 1.0) / log(lit(2.0))))
+          .as("__idcg__"))
+    dcg.join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        round(col("__dcg__"), 6).as("dcg"),
+        round(coalesce(col("__idcg__"), lit(0.0)), 6).as("idcg"),
+        when(coalesce(col("__idcg__"), lit(0.0)) > 0,
+          round(col("__dcg__") / col("__idcg__"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int,
       pctNum: Int, pctDen: Int): DataFrame = {
     require(topN >= 1 && pctNum >= 0 && pctDen > 0, "bad keySkew params")

@@ -908,6 +908,24 @@ object PipelineQueries {
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
 
+    // NDCG@5: view-count ranking scored against purchase relevance
+    "q226_ndcg" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("item", (col("event_id") % 37).cast("long"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("item").asc)
+      val ranking = views.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val truth = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("rel"))
+      graft.ops.Profiling.ndcg(ranking, truth, "user_id", "item",
+        "rank", "rel", k = 5)
+        .orderBy(col("user_id"))
+    }),
+
     // Benford first-digit conformance of milli-values per event type
     "q225_benford" -> ((s, dir) => {
       val ev = graft.tpch.EventsModel.eventsTable(s, dir)
@@ -2833,6 +2851,37 @@ object PipelineQueries {
          |     AND doc_id NOT IN (SELECT o_orderkey FROM orders)) FROM n
          |) ORDER BY rule""".stripMargin
     },
+
+    "q226_ndcg" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id % 37 AS item
+        |  FROM events),
+        |v AS (SELECT user_id, item, COUNT(1) AS n FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |rk AS (SELECT user_id, item, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY n DESC, item ASC) AS r
+        |  FROM v),
+        |r5 AS (SELECT * FROM rk WHERE r <= 5),
+        |tr AS (SELECT user_id, item, COUNT(1) AS rel FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT r5.user_id, r5.r, COALESCE(tr.rel, 0) AS rel
+        |  FROM r5 LEFT JOIN tr USING (user_id, item)),
+        |d AS (SELECT user_id, list_reduce(list_prepend(0.0,
+        |    list(CAST(rel AS DOUBLE)
+        |      / (LN(CAST(r AS DOUBLE) + 1.0) / LN(2.0)) ORDER BY r)),
+        |    (a, b) -> a + b) AS dcg FROM j GROUP BY 1),
+        |it AS (SELECT user_id, item, rel, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY rel DESC, item ASC) AS ir
+        |  FROM tr WHERE rel > 0),
+        |ic AS (SELECT user_id, list_reduce(list_prepend(0.0,
+        |    list(CAST(rel AS DOUBLE)
+        |      / (LN(CAST(ir AS DOUBLE) + 1.0) / LN(2.0)) ORDER BY ir)),
+        |    (a, b) -> a + b) AS idcg
+        |  FROM it WHERE ir <= 5 GROUP BY 1)
+        |SELECT d.user_id, ROUND(d.dcg, 6) AS dcg,
+        |  ROUND(COALESCE(ic.idcg, 0.0), 6) AS idcg,
+        |  CASE WHEN COALESCE(ic.idcg, 0.0) > 0
+        |    THEN ROUND(d.dcg / ic.idcg, 6) ELSE 0.0 END AS ndcg
+        |FROM d LEFT JOIN ic USING (user_id) ORDER BY d.user_id""".stripMargin,
 
     "q225_benford" ->
       """WITH ev AS (SELECT event_type,

@@ -420,6 +420,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("ndcg: perfect ranking scores 1, inverted scores less, no-truth 0") {
+    import spark.implicits._
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val truth = Seq(("q1", "a", 3L), ("q1", "b", 1L), ("q3", "x", 2L))
+      .toDF("q", "item", "rel")
+    // q1 ranked ideally; q2 has no truth at all
+    val perfect = Seq(("q1", "a", 1), ("q1", "b", 2), ("q2", "z", 1))
+      .toDF("q", "item", "rank")
+    val got = graft.ops.Profiling.ndcg(perfect, truth, "q", "item",
+      "rank", "rel", k = 5).collect()
+      .map(r => r.getAs[String]("q") ->
+        ((r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+          r.getAs[Double]("ndcg")))).toMap
+    val ideal = 3.0 / (math.log(2.0) / math.log(2.0)) +
+      1.0 / (math.log(3.0) / math.log(2.0))
+    assert(got("q1") == ((rnd(ideal), rnd(ideal), 1.0)))
+    assert(got("q2") == ((0.0, 0.0, 0.0)))
+    // inverted ranking: dcg < idcg
+    val inverted = Seq(("q1", "b", 1), ("q1", "a", 2)).toDF("q", "item", "rank")
+    val inv = graft.ops.Profiling.ndcg(inverted, truth, "q", "item",
+      "rank", "rel", k = 5).collect().head
+    assert(inv.getAs[Double]("ndcg") < 1.0 && inv.getAs[Double]("ndcg") > 0)
+  }
+
   test("benford: first digits, chi2 against the log curve, verdicts") {
     import spark.implicits._
     def rnd(x: Double) = math.round(x * 1e6) / 1e6
