@@ -862,8 +862,13 @@ object Corpus {
       .select(col("__doc__"), col("__pos__"), col("word"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__doc__")).orderBy(col("__pos__").asc)
-    val idx = survivors.withColumn("__i__", row_number().over(w))
-      .select(col("__doc__"), col("__i__"), col("word"))
+    // both sides of the self-join read the survivor index: persist it
+    // once (the minhashCandidates discipline) instead of re-running the
+    // corpus scan + frequency join + re-index window twice
+    val idx = Caches.registerDf(
+      survivors.withColumn("__i__", row_number().over(w))
+        .select(col("__doc__"), col("__i__"), col("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = idx.as("c").join(idx.as("x"),
         col("c.__doc__") === col("x.__doc__") &&
         col("c.__i__") =!= col("x.__i__") &&

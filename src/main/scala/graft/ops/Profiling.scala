@@ -299,9 +299,14 @@ object Profiling {
     require(b >= 4, s"need at least 4 replicates, got $b")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val it = df.schema(valueCol).dataType
+    val decimalScaleOk = it match {
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     require(Seq("long", "int", "smallint", "tinyint").contains(it.typeName)
-      || it.typeName.startsWith("decimal"),
-      s"bootstrapCI needs an integral value column; '$valueCol' is $it")
+      || decimalScaleOk,
+      s"bootstrapCI needs an integral value column (a fractional decimal " +
+        s"would silently truncate); '$valueCol' is $it")
     val u = pmod(graft.functions.NativeHashes.poly_hash(
         concat(col(idCol).cast("string"), lit("_"),
           col("__b__").cast("string"))), lit(1000000L))
