@@ -192,6 +192,12 @@ object ScaleStress {
           Multimodal.withSyntheticWavPcm(docs, "doc_id"))
         (st.queryExecution.toRdd.count(), sig(st))
       }
+      // q223 shape: scene changes — container walk, per-row CPU only
+      timed(scale, "video_scenes") {
+        val st = Multimodal.videoSceneChanges(
+          Multimodal.withSyntheticAvi(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
       // q72 shape: WAV PCM construct→javax.sound decode→stats — same
       // linear-CPU/no-shuffle claim for the audio tier
       timed(scale, "audio_decode") {
@@ -1100,6 +1106,34 @@ object ScaleStress {
           .withColumn("label",
             pmod(col("event_id") * 17, lit(1000L)) < col("score_mil"))
         val out = graft.ops.Profiling.calibration(d, "score_mil", "label")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q225 shape: Benford — one (group, digit) partial aggregate
+      timed(scale, "benford") {
+        val e2 = ev.withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+        val out = graft.ops.Profiling.benford(e2, "event_type", "vmil")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q226 shape: NDCG@5 — two grouped counts, one left join, k-bounded
+      // per-query folds
+      timed(scale, "ndcg") {
+        val e2 = ev.withColumn("item", (col("event_id") % 37))
+        val views = e2.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("item").asc)
+        val ranking = views
+          .withColumn("rank", org.apache.spark.sql.functions
+            .row_number().over(w))
+          .filter(col("rank") <= 5)
+        val truth = e2.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).as("rel"))
+        val out = graft.ops.Profiling.ndcg(ranking, truth, "user_id",
+          "item", "rank", "rel", k = 5)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q199 shape: PSI drift — one histogram pass per side (each
