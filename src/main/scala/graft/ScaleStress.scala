@@ -674,6 +674,46 @@ object ScaleStress {
             graft.ops.Validate.ForeignKey(Seq("k2"), ref, Seq("k"), "ref")))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q230 shape: blocked edit-distance linkage over the distinct
+      // first words — block size is vocabulary-bounded, the length
+      // prefilter rides the join condition, only survivors pay the DP
+      timed(scale, "edit_join") {
+        val keys = docs.select(
+          split(col("text"), "\\s+").getItem(0).as("w"))
+          .filter(length(col("w")).between(3, 20))
+        val out = graft.ops.Fuzzy.editDistancePairs(keys, "w",
+          blockLen = 2, maxDist = 1)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q231 shape: LOO target encoding — one per-category partial
+      // aggregate + an AQE-splittable join-back on the category key
+      timed(scale, "target_encode") {
+        val d = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(50L)).cast("string").as("cat"),
+          length(col("text")).cast("long").as("y"))
+        val out = Corpus.targetEncodeLoo(d, "doc_id", "cat", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q232 shape: encoding anomalies — pure per-row codegen'd
+      // regexp_count, no exchange at any size
+      timed(scale, "mojibake") {
+        val out = docs.select(Seq(col("doc_id")) ++
+          graft.ops.TextAnalysis.encodingAnomalies(col("text")).map {
+            case (n, c) => c.as(n) }: _*)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q234 shape: Hamming near-dup pairing — 4-band explode + one
+      // equi-join on (band, chunk); signatures derive from the text
+      // hash so the 10× rotated copies band near-uniformly
+      timed(scale, "hamming_neardup") {
+        val sigs = docs.select(col("doc_id"),
+          pmod(hash(col("text")).cast("long"), lit(1L << 32)).as("hi"),
+          pmod(hash(col("text"), col("doc_id") % 7).cast("long"),
+            lit(1L << 32)).as("lo"))
+        val out = graft.ops.Dedup.hammingNearDups(sigs, "doc_id",
+          "hi", "lo", maxDist = 3, bands = 4)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
 
     // warmup (JIT/codegen) on the small corpus, untimed
@@ -1147,6 +1187,63 @@ object ScaleStress {
           .filter(!(col("event_type") === "view" &&
             col("event_id") % 5 === 1))
         val out = graft.ops.Profiling.psi(a, b, "vmil")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q227 shape: HITS on the 997-node multigraph — per half-step one
+      // edge join + per-node partial agg; 10× events add parallel edges
+      // the distinct collapses, so work grows with |distinct edges|
+      timed(scale, "hits") {
+        val edges = ev.select(
+          pmod(col("user_id"), lit(997L)).as("src"),
+          pmod(col("user_id") * 131L + col("event_id"), lit(997L)).as("dst"))
+        val out = graft.ops.Graph.hits(edges, "src", "dst", iters = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q228 shape: SRM — one distinct-unit partial aggregate, then
+      // everything is |variants|-sized
+      timed(scale, "srm_check") {
+        val e2 = ev.select(col("user_id"),
+          when(col("user_id") % 4 <= 1, "a")
+            .when(col("user_id") % 4 === 2, "b").otherwise("c")
+            .as("variant"))
+        val out = graft.ops.Profiling.srmCheck(e2, "user_id", "variant",
+          Seq(("a", 2L), ("b", 1L), ("c", 1L)), crit = 5.991)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q229 shape: Kaplan-Meier — two filtered per-unit mins collapse
+      // the log; the survival fold runs over |distinct durations| rows
+      // (bounded by the observation range in days)
+      timed(scale, "kaplan_meier") {
+        val first = ev.groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("tc"))
+        val cutoff = ev.agg(max(col("tus")).as("tmax"))
+        val d = first.join(conv, Seq("user_id"), "left")
+          .crossJoin(broadcast(cutoff))
+          .select(expr("(coalesce(tc, tmax) - t0) div 86400000000")
+            .as("dur"), col("tc").isNotNull.as("ev"))
+        val out = graft.ops.EventAnalytics.kaplanMeier(d, "dur", "ev")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q233 shape: MRR/recall@5 — the ndcg join pattern with min +
+      // conditional-count aggregates in place of the DCG folds
+      timed(scale, "mrr_recall") {
+        val e2 = ev.withColumn("item", (col("event_id") % 37))
+        val views = e2.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("item").asc)
+        val ranking = views
+          .withColumn("rank", org.apache.spark.sql.functions
+            .row_number().over(w))
+          .filter(col("rank") <= 5)
+        val truth = e2.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).as("rel"))
+        val out = graft.ops.Profiling.mrrRecall(ranking, truth,
+          "user_id", "item", "rank", "rel", k = 5)
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

@@ -216,4 +216,48 @@ object Clustering {
         (-col("col.score")).cast("long").as("adc_dist2"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Simplified silhouette over a [[kmeansAssign]] clustering — the
+    * standard "is k right / did the clusters separate" audit, in the
+    * centroid-distance formulation (the classic all-pairs silhouette is
+    * O(n²); the simplified form replaces mean-to-member distances with
+    * distance-to-centroid and is the accepted large-n variant). Per
+    * vector: `a` = distance to its OWN centroid, `b` = distance to the
+    * nearest OTHER centroid, `s = (b − a) / max(a, b)` — near 1 means
+    * well-placed, near 0 a boundary point, negative a likely
+    * mis-assignment ([[graft.ops.Similarity.clusteredNearDups]] inherits
+    * exactly those boundary blind spots, so this is also SemDeDup's
+    * quality gauge). Distances are exact BIGINT squared fixed-point
+    * sums; the final `s` takes one correctly-rounded sqrt per side, so
+    * both engines agree to the bit. Degenerate all-zero case (a = b =
+    * 0) reports 0.
+    *
+    * Shape: training is [[trainCentroids]]' bounded driver loop; the
+    * audit itself is ONE per-row pass against the k·dim literal centroid
+    * matrix — `array_sort` of k (dist², j) structs picks own and
+    * runner-up in the same expression, no shuffle, no join. Returns
+    * `(idCol, cluster, own_dist2, neighbor_dist2, silhouette)`. */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
+    require(iters > 0, s"iters must be > 0, got $iters")
+    val q = df.select(col(idCol).as("__id__"),
+      quantizeFixed(col(vecCol), scale).as("__q__"))
+    val centroids = trainCentroids(q, k, iters)
+    val sorted = array_sort(array(centroids.zipWithIndex.map {
+      case (m, j) =>
+        struct(dist2(col("__q__"), m).as("d"), lit(j).as("j"))
+    }: _*))
+    val a = sqrt(col("__own__").cast("double"))
+    val b = sqrt(col("__nb__").cast("double"))
+    q.withColumn("__s__", sorted)
+      .select(col("__id__"),
+        col("__s__").getItem(0).getField("j").as("cluster"),
+        col("__s__").getItem(0).getField("d").as("__own__"),
+        col("__s__").getItem(1).getField("d").as("__nb__"))
+      .select(col("__id__").as(idCol), col("cluster"),
+        col("__own__").as("own_dist2"), col("__nb__").as("neighbor_dist2"),
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise(round((b - a) / greatest(a, b), 6)).as("silhouette"))
+  }
 }

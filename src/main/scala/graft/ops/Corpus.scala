@@ -1493,4 +1493,47 @@ object Corpus {
         col("n11"), col("df"), col("class_n"), col("n_docs"),
         col("chi2"), col("rank"))
   }
+
+  /** Leave-one-out target encoding — the leakage-safe categorical
+    * feature: each row's category is replaced by the mean target of the
+    * OTHER rows in its category, `(Σ_group − y) / (n_group − 1)`, so a
+    * row never sees its own label (plain group-mean encoding leaks the
+    * target into the feature and inflates every downstream validation
+    * score — the tabular-ML sibling of the [[graft.ops.Dedup]]
+    * decontamination rule). `targetCol` must be integral (micro-scale
+    * upstream, the house rule): the encode leaves the plan as the exact
+    * integer pair `(loo_num, loo_den)` plus a presentation-only double,
+    * so two engines agree to the bit and the caller can re-derive any
+    * precision. Singleton categories (n = 1) have no peers — encode is
+    * null, the caller's global-prior fallback decision, not ours.
+    *
+    * Shape: one partial-aggregable per-category collapse (sum + count)
+    * joined back on the category key — the [[kAnonymize]] join-back
+    * discipline, null-safe on the key so NULL categories encode like
+    * any other value; AQE splits a hot category. Nothing windows,
+    * nothing leaves per-row except the row's own arithmetic. */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String): DataFrame = {
+    val tt = df.schema(targetCol).dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      tt == ByteType || tt == ShortType || tt == IntegerType ||
+        tt == LongType
+    }
+    require(integral,
+      s"targetEncodeLoo needs an integral target (scale to micros " +
+        s"upstream); '$targetCol' is $tt")
+    val grp = df.groupBy(col(catCol).as("__cat__"))
+      .agg(sum(col(targetCol)).cast("long").as("__sum__"),
+        count(lit(1)).as("__n__"))
+    df.select(col(idCol), col(catCol), col(targetCol))
+      .join(grp, col(catCol) <=> col("__cat__"))
+      .select(col(idCol), col(catCol), col(targetCol),
+        when(col("__n__") > 1, col("__sum__") - col(targetCol))
+          .as("loo_num"),
+        when(col("__n__") > 1, col("__n__") - 1).as("loo_den"),
+        when(col("__n__") > 1,
+          round((col("__sum__") - col(targetCol)).cast("double") /
+            (col("__n__") - 1), 6)).as("loo_mean"))
+  }
 }

@@ -1213,4 +1213,60 @@ object Dedup {
       .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Hamming near-dup join over 64-bit signatures — the pairing step
+    * for PERCEPTUAL hashes ([[graft.ops.Multimodal.imageAHash]] emits
+    * the signature; this finds the re-encoded/resized image twins whose
+    * bytes differ but whose aHash is a few bits off; equally the
+    * simhash-pairing primitive when the caller owns the signature). The
+    * signature arrives as two 32-bit halves in longs (`hiCol` bits
+    * 32..63, `loCol` bits 0..31 — the layout a BIGINT-only exporter can
+    * carry); the 64 bits split into `bands` equal chunks and a pair is
+    * a candidate iff some chunk matches exactly. With
+    * `maxDist < bands` that is COMPLETE by pigeonhole — ≤ maxDist
+    * differing bits cannot touch all `bands` chunks — so unlike MinHash
+    * banding there are no misses; the exact `bit_count(xor)` verify
+    * then keeps true pairs only. `groupCols` add required-equal keys to
+    * the band join (e.g. width/height: two images of different
+    * geometry are not near-dups however their hashes land).
+    *
+    * Shape: each id explodes to `bands` rows carrying its 16-byte
+    * signature, one equi-join on (group, chunk index, chunk value) —
+    * band keys spread hot signatures across `bands` buckets, AQE splits
+    * what remains — and the verify is codegen'd bit arithmetic; pair
+    * dedup is a distinct on the verified output. Returns
+    * `(id_a, id_b, dist)` with `id_a < id_b`, `dist ≤ maxDist`. */
+  def hammingNearDups(df: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxDist: Int, bands: Int = 4,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands must split both 32-bit halves evenly, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"completeness needs maxDist < bands, got $maxDist/$bands")
+    val w = 64 / bands
+    val mask = (1L << w) - 1
+    val base = df.select((groupCols.map(col) ++ Seq(
+      col(idCol).as("__id__"), col(hiCol).cast("long").as("__hi__"),
+      col(loCol).cast("long").as("__lo__"))): _*)
+    // chunk i covers bits [i·w, (i+1)·w) of the 64-bit signature; the
+    // halves hold 32 non-negative bits each, so arithmetic shift is safe
+    val banded = base.select((groupCols.map(col) ++ Seq(col("__id__"),
+      col("__hi__"), col("__lo__"),
+      posexplode(array((0 until bands).map { i =>
+        val c = if (i * w < 32) shiftright(col("__lo__"), i * w)
+                else shiftright(col("__hi__"), i * w - 32)
+        c.bitwiseAND(mask)
+      }: _*)).as(Seq("__band__", "__bv__")))): _*)
+    val joinKeys = groupCols ++ Seq("__band__", "__bv__")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("id_a"), col("b.__id__").as("id_b"),
+        (bit_count(col("a.__hi__").bitwiseXOR(col("b.__hi__"))) +
+          bit_count(col("a.__lo__").bitwiseXOR(col("b.__lo__"))))
+          .cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -832,4 +832,53 @@ object EventAnalytics {
         round(log((col("n_ab") * col("n_keys")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
   }
+
+  /** Kaplan-Meier survival table over right-censored unit durations —
+    * the honest answer to "how long until churn/conversion" when many
+    * units haven't converted yet (a naive mean over converters only is
+    * survivorship bias by construction; [[timeToConversion]] feeds this
+    * its durations). Input is one row per unit: an integral
+    * `durationCol` (e.g. whole days to the event or to the observation
+    * cutoff) and a boolean `eventCol` (true = the event was observed at
+    * that duration, false = censored there).
+    *
+    * Every count is exact: `n_risk(t)` = units still under observation
+    * entering t (total minus everything that left strictly before),
+    * `n_event`/`n_censored` are plain integer counts, and the survival
+    * estimate Π_{t'≤t} (1 − d/n) is a LEFT FOLD over the per-duration
+    * factors in t order — both engines multiply the same doubles in the
+    * same order, so the export is bit-identical (a cumulative-product
+    * window via exp(Σ ln) would not be).
+    *
+    * Shape: one partial-aggregable per-duration collapse, one global
+    * ordered window over the |distinct durations| rows (bounded by the
+    * observation range in duration units — days over years is
+    * thousands, a single task is the right plan), and the factor list
+    * rides back as one broadcast row; the O(T²) prefix refold is over
+    * that same bounded T. Returns
+    * `(t, n_risk, n_event, n_censored, survival)` ordered by `t`. */
+  def kaplanMeier(durations: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val base = durations.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("__e__"))
+    val perT = base.groupBy(col("t")).agg(
+      sum(when(col("__e__"), 1L).otherwise(0L)).as("n_event"),
+      sum(when(col("__e__"), 0L).otherwise(1L)).as("n_censored"))
+    val total = base.agg(count(lit(1)).as("__n__"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = perT.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__n__") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(w), lit(0L)))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"))
+    val factors = atRisk
+      .agg(sort_array(collect_list(struct(col("t").as("ft"),
+        (lit(1.0) - col("n_event").cast("double") / col("n_risk"))
+          .as("f")))).as("__fs__"))
+    atRisk.crossJoin(broadcast(factors))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(aggregate(
+          filter(col("__fs__"), s => s.getField("ft") <= col("t")),
+          lit(1.0), (a, s) => a * s.getField("f")), 6).as("survival"))
+  }
 }

@@ -163,6 +163,44 @@ object Fuzzy {
       .select(col("key_a"), col("key_b"), col("jw"))
   }
 
+  /** Blocked Levenshtein self-join: all distinct key pairs within edit
+    * distance `maxDist` that share a `blockLen`-character lowercase
+    * prefix — the [[jaroWinklerPairs]] blocking contract with the
+    * metric swapped for plain edit distance (the linkage workhorse when
+    * typos are insert/delete/substitute rather than transposition).
+    * Same trade, stated plainly: a typo INSIDE the first `blockLen`
+    * characters escapes the block ([[deletionNeighborhood]] /
+    * [[fuzzyPairs]] is the COMPLETE distance-1 generator; this scales
+    * to larger distances by paying that blind spot). The
+    * `|len(a) − len(b)| ≤ maxDist` prefilter is sound (each edit moves
+    * length by at most 1) and discards most of the block before the
+    * O(len²) DP runs; the verify is Spark's codegen'd `levenshtein`,
+    * the textbook unit-cost DP every engine implements identically.
+    *
+    * Shape: one equi-join on the prefix block (distinct keys, so block
+    * size is data-bounded; AQE splits a skewed prefix), the length
+    * prefilter rides the join condition, and only surviving pairs pay
+    * the DP. Returns `(key_a, key_b, dist)` with `key_a < key_b`. */
+  def editDistancePairs(df: DataFrame, keyCol: String, blockLen: Int,
+      maxDist: Int): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val keys = df.select(col(keyCol).as("__key__")).distinct()
+      .withColumn("__block__",
+        lower(substring(col("__key__"), 1, blockLen)))
+      .withColumn("__len__", length(col("__key__")))
+    keys.select(col("__block__"), col("__key__").as("key_a"),
+        col("__len__").as("__la__"))
+      .join(keys.select(col("__block__"), col("__key__").as("key_b"),
+          col("__len__").as("__lb__")),
+        Seq("__block__"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("__la__") - col("__lb__")) <= maxDist)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("dist"))
+  }
+
   /** Exact set-similarity self-join with PREFIX FILTERING (the Bayardo
     * All-Pairs / PPJoin candidate rule): all `(id_a < id_b)` pairs whose
     * distinct word-`k`-shingle sets have Jaccard ≥ `thNum/thDen` —
@@ -273,5 +311,44 @@ object Fuzzy {
         round(log((lit(1.0) - m) / (lit(1.0) - u)), 6).as("w_disagree"))
     }
     rows.reduce(_ unionAll _)
+  }
+
+  /** Golden-record survivorship — the step AFTER matching: linkage
+    * ([[editDistancePairs]] / [[jaroWinklerPairs]] → connected
+    * components) says which records are the same entity; this merges
+    * each cluster into one canonical record. Per field, the surviving
+    * value comes from the best row that actually HAS the field —
+    * "best" = lexicographic max of `(field is not null, orderCol,
+    * idCol)`, i.e. freshest-wins per field with the unique id as the
+    * deterministic tie-break — so a stale row's phone number never
+    * overwrites a fresh one, but a fresh row with a NULL phone doesn't
+    * erase the only phone the cluster has (the standard "most recent
+    * non-null" survivorship rule). A field null on every member stays
+    * null. `rep_id` is the overall-best member (max `(orderCol,
+    * idCol)`), the cluster's provenance anchor.
+    *
+    * Shape: ONE partial-aggregable groupBy on the cluster key — every
+    * per-field survivor is a `max(struct(...))` that combines map-side,
+    * so the shuffle carries |clusters| rows of current bests, never the
+    * members; AQE splits a hot cluster. The unique id breaks every tie
+    * BEFORE the value field, so the comparison never reaches a value
+    * and engines can't diverge on value-type ordering. `orderCol` and
+    * `idCol` must be non-null (a null order key would sort engine-
+    * dependently); enforce upstream.
+    *
+    * Returns `(cluster, n_members, rep_id, fields…)`. */
+  def goldenRecords(df: DataFrame, clusterCol: String, orderCol: String,
+      idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to merge")
+    val fieldAggs = fields.map { f =>
+      max(struct(col(f).isNotNull.cast("int").as("p"),
+        col(orderCol).as("o"), col(idCol).as("i"), col(f).as("v")))
+        .getField("v").as(f)
+    }
+    val aggs = Seq(count(lit(1)).as("n_members"),
+      max(struct(col(orderCol).as("o"), col(idCol).as("i")))
+        .getField("i").as("rep_id")) ++ fieldAggs
+    df.groupBy(col(clusterCol).as("cluster"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -323,4 +323,82 @@ object Graph {
     }
     labels
   }
+
+  /** HITS hubs-and-authorities over `(srcCol, dstCol)` edges,
+    * DETERMINISTIC and exact — the [[pageRank]] discipline applied to
+    * the two-score mutual-reinforcement recurrence (Kleinberg's
+    * authority signal is the standard complement to PageRank for
+    * crawl-quality priors: a page LINKING TO many good sources is a hub
+    * even when nothing links to it). Scores live in integer micro-units
+    * (every node starts at `scale` = 1e6); each half-step sums the
+    * opposite score over the edge list in decimal(38,0) — overflow-safe
+    * past any realistic degree — then renormalizes integrally to
+    * `(raw · scale) div max(raw)`, so the max-scoring node is exactly
+    * `scale` and two engines produce bit-identical scores (the float
+    * formulation's L2 normalization differs in the last digits from
+    * summation order alone). Truncating `div` replaces the usual
+    * divide-by-norm; ranking order is unaffected.
+    *
+    * Shape per iteration: two equi-joins of the persisted edge list
+    * against the |nodes|-row score tables (hash-partitioned on the join
+    * key), per-node sums partial-aggregate map-side, and the max is a
+    * single-row aggregate broadcast back — nothing keyed on a hot
+    * value. Each half-step's raw-sum table is consumed TWICE (its own
+    * max and the renormalization), so it is persisted, and every
+    * `checkpointEvery` iterations both |nodes|-row score tables are
+    * `localCheckpoint`ed — the Pregel superstep barrier. The default is
+    * EVERY iteration: unlike [[pageRank]]'s linear lineage, the mutual
+    * recurrence would otherwise DOUBLE the plan tree per half-step
+    * (exponential in `iters` — a 6-iteration uncheckpointed run OOMs
+    * the planner's explain string before any data moves). Scores are
+    * bit-identical at any checkpoint cadence. Parallel edges are
+    * collapsed; self-loops kept (HITS is well-defined with them). Nodes
+    * with no in-edges hold authority 0, no out-edges hub 0.
+    *
+    * Returns `(node, hub_micros, auth_micros)`. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 1 && scale >= 1, "need iters >= 1 and scale >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e0 = edges.select(col(srcCol).cast("long").as("__src__"),
+      col(dstCol).cast("long").as("__dst__")).distinct()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Caches.registerDf(e0.persist(lvl))
+    val nodes = Caches.registerDf(e.select(col("__src__").as("node"))
+      .union(e.select(col("__dst__"))).distinct().persist(lvl))
+    // one half-step: raw(n) = Σ opposite-score over the edge side,
+    // renormalized to (raw · scale) div max — IntegralDivide on the
+    // decimal sums truncates toward zero (positive here, so = floor),
+    // matching integer `//` replay on the oracle side
+    def halfStep(scores: DataFrame, joinKey: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = Caches.registerDf(
+        e.join(scores.withColumnRenamed("node", joinKey), joinKey)
+          .groupBy(col(outKey).as("node"))
+          .agg(sum(col("__s__").cast("decimal(38,0)")).as("__raw__"))
+          .persist(lvl))
+      val mx = raw.agg(max(col("__raw__")).as("__mx__"))
+      val norm = raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(__raw__ * $scale) div __mx__").as("__s__"))
+      nodes.join(norm, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s__"), lit(0L)).as(outCol))
+    }
+    var hub = nodes.withColumn("hub_micros", lit(scale))
+    var auth = nodes.withColumn("auth_micros", lit(scale))
+    for (i <- 1 to iters) {
+      auth = halfStep(hub.select(col("node"),
+          col("hub_micros").as("__s__")),
+        "__src__", "__dst__", "auth_micros")
+      hub = halfStep(auth.select(col("node"),
+          col("auth_micros").as("__s__")),
+        "__dst__", "__src__", "hub_micros")
+      if (i % checkpointEvery == 0 && i < iters) {
+        auth = auth.localCheckpoint(); hub = hub.localCheckpoint()
+      }
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("hub_micros"), col("auth_micros"))
+  }
 }

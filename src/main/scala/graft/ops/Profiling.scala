@@ -845,4 +845,102 @@ object Profiling {
         round((log2(col("n")) - col("__sl__") / col("n")) -
           (col("__sv__") - col("__svl__")) / col("n"), 6).as("gain"))
   }
+
+  /** Sample-ratio-mismatch check — the first gate on any experiment
+    * readout (a 50/50 split that lands 52/48 on millions of units means
+    * the assignment itself is broken and every downstream metric is
+    * biased; [[bootstrapCI]] / cuped on an SRM'd experiment is garbage
+    * in, garbage out). `expected` gives the intended allocation as
+    * INTEGER weights (e.g. `("control", 1), ("treatment", 1)`), so the
+    * expected count `n·w/W` derives from exact integers and the χ²
+    * terms are reproducible to the bit; the verdict compares the
+    * ordered-fold χ² total against `crit` (default 3.841 = χ²₀.₉₅ for
+    * one degree of freedom — pass the right quantile for >2 arms).
+    *
+    * Shape: one distinct-unit aggregation (map-side partial), the
+    * |variants|-row expected table is a broadcast literal, and the χ²
+    * total is a single-row ordered fold broadcast back — variants not
+    * in `expected` are someone else's bug and are ignored here.
+    *
+    * Returns one row per expected variant: `(variant, observed,
+    * expected_n, term, chi2, srm)` — `chi2`/`srm` repeated per row. */
+  def srmCheck(df: DataFrame, unitCol: String, variantCol: String,
+      expected: Seq[(String, Long)], crit: Double = 3.841): DataFrame = {
+    require(expected.size >= 2, "need at least two expected variants")
+    require(expected.forall(_._2 > 0), "expected weights must be > 0")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "duplicate variant in expected allocation")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDen = expected.map(_._2).sum
+    val exp = expected.toDF("variant", "w")
+    val obs = df.select(col(variantCol).cast("string").as("variant"),
+        col(unitCol).as("__u__"))
+      .filter(col("variant").isin(expected.map(_._1): _*))
+      .groupBy(col("variant"))
+      .agg(countDistinct(col("__u__")).as("observed"))
+    val counts = broadcast(exp).join(obs, Seq("variant"), "left")
+      .select(col("variant"), col("w"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
+    val tot = counts.agg(sum(col("observed")).as("__n__"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .select(col("variant"), col("observed"),
+        (col("__n__").cast("double") * col("w") / wDen).as("__e__"))
+      .select(col("variant"), col("observed"),
+        round(col("__e__"), 6).as("expected_n"),
+        round((col("observed") - col("__e__")) *
+          (col("observed") - col("__e__")) / col("__e__"), 6).as("term"))
+    // χ² total: ordered fold over the variant list — engine-exact
+    val chi2 = terms
+      .agg(sort_array(collect_list(struct(col("variant").as("v"),
+        col("term").as("t")))).as("__ts__"))
+      .select(round(aggregate(col("__ts__"), lit(0.0),
+        (a, s) => a + s.getField("t")), 6).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("variant"), col("observed"), col("expected_n"),
+        col("term"), col("chi2"), (col("chi2") > crit).as("srm"))
+  }
+
+  /** MRR and recall@k — the retrieval-evaluation companions to [[ndcg]]
+    * (MRR grades "how soon is the FIRST good result", recall "how much
+    * of the good set did top-k cover"; NDCG alone hides both). Inputs
+    * match [[ndcg]]: a `(query, item, rank)` ranking and a
+    * `(query, item, rel)` truth table; only `rel > 0` truth rows count
+    * as relevant. Every metric derives from exact integers — the first
+    * relevant rank, the hit count, and the relevant-set size — with
+    * division as presentation, so the row is reproducible to the bit.
+    *
+    * Shape: one left equi-join on `(query, item)` and one
+    * partial-aggregable per-query collapse (min + conditional counts);
+    * nothing windows, nothing collects. Queries with an empty relevant
+    * set report `recall = 0` and `first_rel_rank` null.
+    *
+    * Returns `(query, first_rel_rank, n_hits, n_rel, rr, recall)`. */
+  def mrrRecall(ranking: DataFrame, truth: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = truth.filter(col(relCol) > 0)
+      .select(col(queryCol), col(itemCol), lit(1L).as("__rel__"))
+    val nRel = t.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"))
+    val r = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(itemCol),
+        col(rankCol).cast("long").as("__r__"))
+    val hits = r.join(t, Seq(queryCol, itemCol), "left")
+      .groupBy(col(queryCol))
+      .agg(min(when(col("__rel__").isNotNull, col("__r__")))
+          .as("first_rel_rank"),
+        sum(when(col("__rel__").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"))
+    hits.join(nRel, Seq(queryCol), "left")
+      .select(col(queryCol), col("first_rel_rank"), col("n_hits"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(col("first_rel_rank").isNotNull,
+          round(lit(1.0) / col("first_rel_rank"), 6))
+          .otherwise(lit(0.0)).as("rr"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(col("n_hits").cast("double") / col("n_rel"), 6))
+          .otherwise(lit(0.0)).as("recall"))
+  }
 }

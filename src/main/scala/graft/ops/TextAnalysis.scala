@@ -302,6 +302,37 @@ object TextAnalysis {
         (letters > 0 && (letters - domCnt) * 5 >= letters))
   }
 
+  /** Encoding-anomaly features — the mojibake detector ([[scriptProfile]]
+    * answers "which writing systems"; this answers "did an encoding step
+    * already destroy them"): counts of U+FFFD replacement characters
+    * (a decoder already gave up), stray C0/C1 control characters
+    * (tab/newline/CR excluded — real text has those), and the classic
+    * UTF-8-read-as-Latin-1 double-encoding digraphs (`Ã`/`Â` followed by
+    * a Latin-1 continuation byte, and the `â€`-family punctuation
+    * wrecks). Corrupted docs poison tokenizers and dedup alike — the
+    * shingle of a mojibake'd page no longer matches its clean twin, so
+    * encoding damage silently defeats [[graft.ops.Dedup]]; filter first.
+    * The verdict flag uses integer cross-multiplication only: any
+    * double-encoding/replacement hit, or controls ≥ 2% of characters.
+    * Pure per-row codegen'd `regexp_count` over the shared Java/RE2
+    * subset; no shuffle, streams unchanged. Returns (name -> column)
+    * pairs to splat into a select. */
+  def encodingAnomalies(text: Column): Seq[(String, Column)] = {
+    def cnt(pattern: String): Column =
+      regexp_count(text, lit(pattern)).cast("long")
+    val repl = cnt("\\x{FFFD}")
+    val ctrl = cnt("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}" +
+      "\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}]")
+    val dbl = cnt("[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}" +
+      "\\x{00C0}-\\x{00FF}]|\\x{00E2}\\x{20AC}")
+    Seq(
+      "n_replacement" -> repl,
+      "n_control" -> ctrl,
+      "n_double_encoded" -> dbl,
+      "encoding_suspect" ->
+        (repl + dbl > 0 || ctrl * 50 >= length(text).cast("long")))
+  }
+
   /** Deflate compression-ratio quality signal — the classic
     * repetitiveness filter (Gopher/RefinedWeb prune documents whose
     * compressed size is a small fraction of the raw size: mostly

@@ -77,6 +77,35 @@ object PipelineQueries {
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
       |    ORDER BY d2 ASC, j ASC) = 1)""".stripMargin
 
+  /** DuckDB replay of [[graft.ops.Multimodal.imageAHash]] over the
+    * synthetic-image formula ([[graft.ops.Multimodal.withSyntheticImage]]):
+    * per-pixel integer luma, set-bit accumulation into 32-bit halves.
+    * Ends at `b(doc_id, w, h, nb, hi, lo, ones)` for reuse (q221 hashes,
+    * q234 Hamming pairs). */
+  private val ahashCtes: String =
+    """px AS (SELECT doc_id,
+      |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+      |    CAST((doc_id * 7) % 16 + 1 AS INTEGER) AS h
+      |  FROM documents),
+      |pp AS (SELECT doc_id, w, h, (y * w + x) AS i,
+      |    (299 * ((doc_id + 3 * x + 5 * y) % 256)
+      |     + 587 * ((3 * doc_id + 7 * x + y) % 256)
+      |     + 114 * ((5 * doc_id + x + 11 * y) % 256)) // 1000 AS luma
+      |  FROM px, unnest(generate_series(0, h - 1)) AS uy(y),
+      |    unnest(generate_series(0, w - 1)) AS ux(x)),
+      |s AS (SELECT doc_id, w, h, SUM(luma) AS sl, COUNT(1) AS n
+      |  FROM pp GROUP BY 1, 2, 3),
+      |b AS (SELECT pp.doc_id, s.w, s.h,
+      |    LEAST(64, s.n) AS nb,
+      |    SUM(CASE WHEN pp.i >= 32 AND pp.i < LEAST(64, s.n)
+      |      AND pp.luma * s.n > s.sl
+      |      THEN (CAST(1 AS BIGINT) << (pp.i - 32)) ELSE 0 END) AS hi,
+      |    SUM(CASE WHEN pp.i < 32 AND pp.luma * s.n > s.sl
+      |      THEN (CAST(1 AS BIGINT) << pp.i) ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN pp.i < LEAST(64, s.n)
+      |      AND pp.luma * s.n > s.sl THEN 1 ELSE 0 END) AS ones
+      |  FROM pp JOIN s USING (doc_id) GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** DuckDB replay of [[graft.ops.Clustering.pqCodes]] (64 dims → 4
     * subspaces × 4 codewords, 2 Lloyd's iterations, scale 1000): the
     * q88 kmeans CTE block instantiated per subspace over the sliced
@@ -146,6 +175,123 @@ object PipelineQueries {
       |  FROM u)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HITS hubs/authorities over the supplier-nation → customer-nation
+    // trade graph (the q107 edge derivation): 3 integer-exact
+    // mutually-reinforcing iterations, max-normalized to micro-units
+    "q227_hits" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .select(supp("s_nationkey").as("src"), cust("c_nationkey").as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // sample-ratio-mismatch gate over a 2:1:1 three-arm split keyed on
+    // user_id — exact unit counts, ordered-fold χ², df=2 critical value
+    "q228_srm" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"),
+          when(col("user_id") % 4 <= 1, "a")
+            .when(col("user_id") % 4 === 2, "b")
+            .otherwise("c").as("variant"))
+      graft.ops.Profiling.srmCheck(ev, "user_id", "variant",
+          Seq(("a", 2L), ("b", 1L), ("c", 1L)), crit = 5.991)
+        .orderBy(col("variant"))
+    }),
+
+    // Kaplan-Meier time-to-purchase: whole-day durations from each
+    // user's first event, censored at the global last-event time
+    "q229_survival" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("tus")).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("tc"))
+      val cutoff = ev.agg(max(col("tus")).as("tmax"))
+      val durations = first.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(cutoff))
+        .select(
+          expr("(coalesce(tc, tmax) - t0) div 86400000000")
+            .as("dur_days"),
+          col("tc").isNotNull.as("converted"))
+      EventAnalytics.kaplanMeier(durations, "dur_days", "converted")
+        .orderBy(col("t"))
+    }),
+
+    // blocked Levenshtein linkage over part names: first-letter block,
+    // sound length prefilter, exact DP verify at distance <= 4
+    "q230_edit_join" -> ((s, dir) =>
+      graft.ops.Fuzzy.editDistancePairs(
+          s.read.parquet(s"$dir/part.parquet").select(col("p_name")),
+          "p_name", blockLen = 1, maxDist = 4)
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // leave-one-out target encoding of market segment against integer
+    // account-balance cents — the leakage-safe categorical feature
+    "q231_target_encode" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long")
+            .as("bal_cents"))
+      Corpus.targetEncodeLoo(c, "c_custkey", "c_mktsegment", "bal_cents")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // encoding-anomaly detection over deterministically corrupted text:
+    // doc_id%7 double-encodes, %11 injects U+FFFD, %13 appends a BEL
+    "q232_mojibake" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            // U+00C3 U+00A1 = UTF-8 a-acute read back as Latin-1
+            regexp_replace(col("text"), "a", "\u00C3\u00A1"))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\uFFFD")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit("\u0007")))
+          .otherwise(col("text")).as("t2"))
+      d.select(Seq(col("doc_id")) ++
+          TextAnalysis.encodingAnomalies(col("t2")).map {
+            case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MRR + recall@5 over the q226 ranking/truth pair — first-hit rank
+    // and coverage, every metric an exact-integer derivation
+    "q233_mrr" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("item", (col("event_id") % 37).cast("long"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("item").asc)
+      val ranking = views.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val truth = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("rel"))
+      graft.ops.Profiling.mrrRecall(ranking, truth, "user_id", "item",
+          "rank", "rel", k = 5)
+        .orderBy(col("user_id"))
+    }),
+
+    // Hamming near-dup pairing over the q221 perceptual hashes:
+    // complete 4-band blocking within (width, height), dist <= 3
+    "q234_ahash_neardup" -> ((s, dir) => {
+      val hashes = Multimodal.imageAHash(
+        Multimodal.withSyntheticImage(docs(s, dir), "doc_id")).toDF()
+      Dedup.hammingNearDups(hashes, "media_id", "ahash_hi", "ahash_lo",
+          maxDist = 3, bands = 4, groupCols = Seq("width", "height"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // per-user linear trend of event value over the hour index: OLS
     // slope carried as the exact integer rational
     // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — one mergeable-moments pass,
@@ -2318,6 +2464,190 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q227_hits" -> {
+      // 3 unrolled integer-exact HITS iterations; each half-step sums
+      // the opposite score (HUGEINT) and max-normalizes with `//`,
+      // mirroring the Spark side's decimal(38,0) + IntegralDivide
+      val steps = (1 to 3).map { i =>
+        val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (SELECT e.dst AS node, SUM(h.s) AS raw
+           |  FROM e JOIN $prevHub h ON e.src = h.node GROUP BY 1),
+           |a$i AS (SELECT n.node, COALESCE((r.raw * 1000000)
+           |      // (SELECT MAX(raw) FROM a${i}r), CAST(0 AS HUGEINT)) AS s
+           |  FROM n LEFT JOIN a${i}r r USING (node)),
+           |h${i}r AS (SELECT e.src AS node, SUM(a.s) AS raw
+           |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+           |h$i AS (SELECT n.node, COALESCE((r.raw * 1000000)
+           |      // (SELECT MAX(raw) FROM h${i}r), CAST(0 AS HUGEINT)) AS s
+           |  FROM n LEFT JOIN h${i}r r USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT s.s_nationkey AS src,
+         |    c.c_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS s FROM n),
+         |$steps
+         |SELECT n.node, CAST(h3.s AS BIGINT) AS hub_micros,
+         |  CAST(a3.s AS BIGINT) AS auth_micros
+         |FROM n JOIN h3 USING (node) JOIN a3 USING (node)
+         |ORDER BY n.node""".stripMargin
+    },
+
+    "q228_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id,
+        |    CASE WHEN user_id % 4 <= 1 THEN 'a'
+        |         WHEN user_id % 4 = 2 THEN 'b' ELSE 'c' END AS variant
+        |  FROM events),
+        |ex AS (SELECT * FROM (VALUES ('a', 2), ('b', 1), ('c', 1))
+        |  AS t(variant, w)),
+        |obs AS (SELECT variant, CAST(COUNT(1) AS BIGINT) AS observed
+        |  FROM u GROUP BY 1),
+        |cnt AS (SELECT ex.variant, ex.w, COALESCE(obs.observed, 0)
+        |    AS observed FROM ex LEFT JOIN obs USING (variant)),
+        |tot AS (SELECT SUM(observed) AS n FROM cnt),
+        |terms AS (SELECT variant, observed,
+        |    CAST(n AS DOUBLE) * w / 4 AS e FROM cnt CROSS JOIN tot),
+        |t2 AS (SELECT variant, observed, ROUND(e, 6) AS expected_n,
+        |    ROUND((observed - e) * (observed - e) / e, 6) AS term
+        |  FROM terms),
+        |c2 AS (SELECT ROUND(list_reduce(list_prepend(0.0,
+        |    list(term ORDER BY variant)), (a, b) -> a + b), 6) AS chi2
+        |  FROM t2)
+        |SELECT t2.variant, t2.observed, t2.expected_n, t2.term,
+        |  c2.chi2, c2.chi2 > 5.991 AS srm
+        |FROM t2 CROSS JOIN c2 ORDER BY t2.variant""".stripMargin,
+
+    "q229_survival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(tus) AS t0 FROM e GROUP BY 1),
+        |c AS (SELECT user_id, MIN(tus) AS tc FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT MAX(tus) AS tmax FROM e),
+        |d AS (SELECT (COALESCE(c.tc, mx.tmax) - f.t0) // 86400000000
+        |      AS t, c.tc IS NOT NULL AS ev
+        |  FROM f LEFT JOIN c USING (user_id) CROSS JOIN mx),
+        |p AS (SELECT t,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_event,
+        |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(1) AS BIGINT) AS total FROM d),
+        |ar AS (SELECT t, n_event, n_censored,
+        |    tt.total - COALESCE(SUM(n_event + n_censored) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM p CROSS JOIN tt),
+        |fs AS (SELECT list(struct_pack(ft := t,
+        |    f := CAST(1 AS DOUBLE) - CAST(n_event AS DOUBLE) / n_risk)
+        |    ORDER BY t) AS l FROM ar)
+        |SELECT ar.t, CAST(ar.n_risk AS BIGINT) AS n_risk, ar.n_event,
+        |  ar.n_censored,
+        |  ROUND(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |    list_transform(list_filter(fs.l, x -> x.ft <= ar.t),
+        |      x -> x.f)), (a, b) -> a * b), 6) AS survival
+        |FROM ar CROSS JOIN fs ORDER BY ar.t""".stripMargin,
+
+    "q230_edit_join" ->
+      """WITH k AS (SELECT DISTINCT p_name AS key FROM part),
+        |b AS (SELECT key, lower(substring(key, 1, 1)) AS blk,
+        |    length(key) AS len FROM k)
+        |SELECT a.key AS key_a, b2.key AS key_b,
+        |  CAST(levenshtein(a.key, b2.key) AS INTEGER) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.key < b2.key
+        |  AND abs(a.len - b2.len) <= 4
+        |WHERE levenshtein(a.key, b2.key) <= 4
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "q231_target_encode" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |g AS (SELECT c_mktsegment, CAST(SUM(bal_cents) AS BIGINT) AS s,
+        |    CAST(COUNT(1) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.c_custkey, c.c_mktsegment, c.bal_cents,
+        |  CASE WHEN g.n > 1 THEN g.s - c.bal_cents END AS loo_num,
+        |  CASE WHEN g.n > 1 THEN g.n - 1 END AS loo_den,
+        |  CASE WHEN g.n > 1 THEN ROUND(
+        |    CAST(g.s - c.bal_cents AS DOUBLE) / (g.n - 1), 6) END
+        |    AS loo_mean
+        |FROM c JOIN g USING (c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q232_mojibake" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN replace(text, 'a', chr(195) || chr(161))
+        |         WHEN doc_id % 11 = 0 THEN text || chr(65533)
+        |         WHEN doc_id % 13 = 0 THEN text || chr(7)
+        |         ELSE text END AS t2
+        |  FROM documents),
+        |c AS (SELECT doc_id, t2,
+        |    CAST(len(regexp_extract_all(t2, '\x{FFFD}')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}' ||
+        |      '\x{007F}-\x{009F}]')) AS BIGINT) AS n_control,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}\x{00C0}-\x{00FF}]' ||
+        |      '|\x{00E2}\x{20AC}')) AS BIGINT) AS n_double_encoded
+        |  FROM d)
+        |SELECT doc_id, n_replacement, n_control, n_double_encoded,
+        |  (n_replacement + n_double_encoded > 0
+        |   OR n_control * 50 >= length(t2)) AS encoding_suspect
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q233_mrr" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id % 37 AS item
+        |  FROM events),
+        |v AS (SELECT user_id, item, COUNT(1) AS n FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |rk AS (SELECT user_id, item, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY n DESC, item ASC) AS r
+        |  FROM v),
+        |r5 AS (SELECT * FROM rk WHERE r <= 5),
+        |tr AS (SELECT user_id, item, COUNT(1) AS rel FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |h AS (SELECT r5.user_id,
+        |    MIN(CASE WHEN tr.rel IS NOT NULL THEN r5.r END)
+        |      AS first_rel_rank,
+        |    CAST(SUM(CASE WHEN tr.rel IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hits
+        |  FROM r5 LEFT JOIN tr USING (user_id, item) GROUP BY 1),
+        |nr AS (SELECT user_id, CAST(COUNT(1) AS BIGINT) AS n_rel
+        |  FROM tr WHERE rel > 0 GROUP BY 1)
+        |SELECT h.user_id, h.first_rel_rank, h.n_hits,
+        |  COALESCE(nr.n_rel, 0) AS n_rel,
+        |  CASE WHEN h.first_rel_rank IS NOT NULL
+        |    THEN ROUND(CAST(1 AS DOUBLE) / h.first_rel_rank, 6)
+        |    ELSE 0.0 END AS rr,
+        |  CASE WHEN COALESCE(nr.n_rel, 0) > 0
+        |    THEN ROUND(CAST(h.n_hits AS DOUBLE) / nr.n_rel, 6)
+        |    ELSE 0.0 END AS recall
+        |FROM h LEFT JOIN nr USING (user_id)
+        |ORDER BY h.user_id""".stripMargin,
+
+    "q234_ahash_neardup" ->
+      s"""WITH $ahashCtes,
+         |bd AS (SELECT doc_id, w, h, CAST(hi AS BIGINT) AS hi,
+         |    CAST(lo AS BIGINT) AS lo, i,
+         |    CASE i WHEN 0 THEN CAST(lo AS BIGINT) & 65535
+         |      WHEN 1 THEN (CAST(lo AS BIGINT) >> 16) & 65535
+         |      WHEN 2 THEN CAST(hi AS BIGINT) & 65535
+         |      ELSE (CAST(hi AS BIGINT) >> 16) & 65535 END AS bv
+         |  FROM b, unnest(range(0, 4)) AS u(i))
+         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.hi, b2.hi))
+         |    + bit_count(xor(a.lo, b2.lo)) AS INTEGER) AS dist
+         |FROM bd a JOIN bd b2 ON a.w = b2.w AND a.h = b2.h
+         |  AND a.i = b2.i AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.hi, b2.hi))
+         |  + bit_count(xor(a.lo, b2.lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q167_concentration" ->
       """WITH per AS (SELECT user_id, COUNT(1) AS n FROM events
         |  GROUP BY 1),
@@ -2979,32 +3309,11 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q221_image_ahash" ->
-      """WITH px AS (SELECT doc_id,
-        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
-        |    CAST((doc_id * 7) % 16 + 1 AS INTEGER) AS h
-        |  FROM documents),
-        |pp AS (SELECT doc_id, w, h, (y * w + x) AS i,
-        |    (299 * ((doc_id + 3 * x + 5 * y) % 256)
-        |     + 587 * ((3 * doc_id + 7 * x + y) % 256)
-        |     + 114 * ((5 * doc_id + x + 11 * y) % 256)) // 1000 AS luma
-        |  FROM px, unnest(generate_series(0, h - 1)) AS uy(y),
-        |    unnest(generate_series(0, w - 1)) AS ux(x)),
-        |s AS (SELECT doc_id, w, h, SUM(luma) AS sl, COUNT(1) AS n
-        |  FROM pp GROUP BY 1, 2, 3),
-        |b AS (SELECT pp.doc_id, s.w, s.h,
-        |    LEAST(64, s.n) AS nb,
-        |    SUM(CASE WHEN pp.i >= 32 AND pp.i < LEAST(64, s.n)
-        |      AND pp.luma * s.n > s.sl
-        |      THEN (CAST(1 AS BIGINT) << (pp.i - 32)) ELSE 0 END) AS hi,
-        |    SUM(CASE WHEN pp.i < 32 AND pp.luma * s.n > s.sl
-        |      THEN (CAST(1 AS BIGINT) << pp.i) ELSE 0 END) AS lo,
-        |    SUM(CASE WHEN pp.i < LEAST(64, s.n)
-        |      AND pp.luma * s.n > s.sl THEN 1 ELSE 0 END) AS ones
-        |  FROM pp JOIN s USING (doc_id) GROUP BY 1, 2, 3, 4)
-        |SELECT doc_id, w AS width, h AS height,
-        |  CAST(nb AS INTEGER) AS n_bits, CAST(hi AS BIGINT) AS ahash_hi,
-        |  CAST(lo AS BIGINT) AS ahash_lo, CAST(ones AS INTEGER) AS n_ones
-        |FROM b ORDER BY doc_id""".stripMargin,
+      s"""WITH $ahashCtes
+         |SELECT doc_id, w AS width, h AS height,
+         |  CAST(nb AS INTEGER) AS n_bits, CAST(hi AS BIGINT) AS ahash_hi,
+         |  CAST(lo AS BIGINT) AS ahash_lo, CAST(ones AS INTEGER) AS n_ones
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q220_source_scorecard" -> {
       val enList = TextAnalysis.stopwords.toMap.apply("en")

@@ -947,4 +947,34 @@ class CorpusSpec extends AnyFunSuite {
     // 2-token doc has no trigram row at all
     assert(!got.contains(("g2", 3)) && got.size == 5)
   }
+
+  test("targetEncodeLoo: peers-only means, singletons null, null-safe key") {
+    val df = Seq((1L, Some("A"), 10L), (2L, Some("A"), 20L),
+      (3L, Some("A"), 30L), (4L, Some("B"), 5L),
+      (5L, None, 7L), (6L, None, 9L))
+      .toDF("id", "cat", "y")
+    val got = Corpus.targetEncodeLoo(df, "id", "cat", "y").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[java.lang.Long]("loo_num")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("loo_den")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("loo_mean")).map(_.toDouble))))
+      .toMap
+    assert(got(1L) == ((Some(50L), Some(2L), Some(25.0))))
+    assert(got(2L) == ((Some(40L), Some(2L), Some(20.0))))
+    assert(got(3L) == ((Some(30L), Some(2L), Some(15.0))))
+    // singleton category: no peers, encode is null — caller's prior
+    assert(got(4L) == ((None, None, None)))
+    // NULL category rows encode against each other (null-safe join)
+    assert(got(5L) == ((Some(9L), Some(1L), Some(9.0))))
+    assert(got(6L) == ((Some(7L), Some(1L), Some(7.0))))
+    assert(got.size == 6)
+  }
+
+  test("targetEncodeLoo: fractional target fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Corpus.targetEncodeLoo(Seq((1L, "A", 1.5)).toDF("id", "cat", "y"),
+        "id", "cat", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -660,4 +660,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("kaplanMeier: textbook table — risk sets, censoring, exact fold") {
+    // durations (days, observed?): classic 6-unit example; censored
+    // units leave the risk set but contribute no survival drop
+    val d = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    val got = EventAnalytics.kaplanMeier(d, "dur", "ev").collect()
+      .map(r => r.getAs[Long]("t") -> ((r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival"))))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val m = got.toMap
+    assert(m(1L) == ((6L, 1L, 0L, 0.833333)))  // 1·(1−1/6)
+    assert(m(2L) == ((5L, 0L, 1L, 0.833333)))  // censor: no drop
+    assert(m(3L) == ((4L, 2L, 0L, 0.416667)))  // ·(1−2/4)
+    assert(m(4L) == ((2L, 0L, 1L, 0.416667)))
+    assert(m(5L) == ((1L, 1L, 0L, 0.0)))       // last unit converts
+  }
+
+  test("kaplanMeier: all-censored stays at 1.0; ties at t=0 well-defined") {
+    val d = Seq((0L, false), (0L, false), (7L, false)).toDF("dur", "ev")
+    val got = EventAnalytics.kaplanMeier(d, "dur", "ev").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Double]("survival")))
+    assert(got.toSeq == Seq((0L, 3L, 1.0), (7L, 1L, 1.0)))
+  }
 }

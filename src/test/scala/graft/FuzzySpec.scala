@@ -216,4 +216,26 @@ class FuzzySpec extends AnyFunSuite {
     // m = u = .9: a field that always agrees carries zero evidence
     assert(got("f_flat") == ((4L, 4L, 4L, 4L, 0.9, 0.9, 0.0, 0.0)))
   }
+
+  test("editDistancePairs: blocked DP verify, case-folded block, dedup") {
+    val keys = Seq("apple", "apples", "applle", "Apple", "banana",
+      "apple", "a").toDF("k")
+    val got = Fuzzy.editDistancePairs(keys, "k", blockLen = 1, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // "apples"/"applle" share the block but sit at distance 2 → dropped;
+    // "banana" blocks under 'b' alone; "a" is length-filtered from all
+    // 5-6 char keys; duplicate "apple" rows collapse before pairing
+    assert(got == Set(("Apple", "apple", 1), ("apple", "apples", 1),
+      ("apple", "applle", 1)))
+  }
+
+  test("editDistancePairs: length prefilter is sound at larger maxDist") {
+    val keys = Seq("abc", "abcde", "abcdefg", "xbc").toDF("k")
+    val got = Fuzzy.editDistancePairs(keys, "k", blockLen = 1, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // |3−7| > 2 prunes (abc, abcdefg) before any DP; xbc blocks under x
+    assert(got == Set(("abc", "abcde", 2), ("abcde", "abcdefg", 2)))
+  }
 }

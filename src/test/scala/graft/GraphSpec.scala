@@ -258,4 +258,58 @@ class GraphSpec extends AnyFunSuite {
     assert(gotS(0L) == Some(0.0))
     (1L to 6L).foreach(i => assert(gotS(i).isEmpty))
   }
+
+  private def hitsMap(edges: Seq[(Long, Long)], iters: Int = 3)
+      : Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("hub_micros"), r.getAs[Long]("auth_micros"))))
+      .toMap
+
+  test("hits: 2-cycle is a fixed point at the scale") {
+    // each half-step's raw sums are equal across nodes, so the integer
+    // renormalization returns every score to exactly `scale`
+    val got = hitsMap(Seq((1L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> ((1000000L, 1000000L)),
+      2L -> ((1000000L, 1000000L))))
+  }
+
+  test("hits: hand-computed 3-node DAG, exact integer truncation") {
+    // edges 1→2, 1→3, 2→3: node 1 is the pure hub (links to everything,
+    // nothing links to it), node 3 the pure authority. Expected values
+    // are the unrolled integer recurrence (micro-units, div truncation):
+    // iter3 auth(2) = 615384, hub(2) = 619047.
+    val got = hitsMap(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got == Map(
+      1L -> ((1000000L, 0L)),
+      2L -> ((619047L, 615384L)),
+      3L -> ((0L, 1000000L))))
+    // parallel edges must not double-count: same graph, same answer
+    val dup = hitsMap(Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(dup == got)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("hits plan: equi-joins only, checkpointing keeps scores identical") {
+    val edges = (for (i <- 0L until 40L) yield (i % 7, (i * 3) % 11))
+      .toDF("src", "dst")
+    val p = Graph.hits(edges, "src", "dst", iters = 2)
+    val bad = p.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty && !j.joinType.sql.contains("CROSS") => j
+    }
+    assert(bad.isEmpty, "HITS must never plan a conditionless non-cross join")
+    // scores are checkpoint-cadence-independent (cadence 3 lets the
+    // mutual recurrence double the tree for 3 rounds before the barrier
+    // — still bounded — while 1 barriers every round)
+    val deep = Graph.hits(edges, "src", "dst", iters = 6,
+      checkpointEvery = 1).collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2))).toSet
+    val sparse = Graph.hits(edges, "src", "dst", iters = 6,
+      checkpointEvery = 3).collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(deep == sparse)
+    graft.ops.Caches.releaseAll()
+  }
 }

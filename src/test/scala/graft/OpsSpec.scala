@@ -1645,4 +1645,115 @@ class OpsSpec extends AnyFunSuite {
           (a, t) => a + t.getField("term")), 6).as("char_entropy"))
     assert(native.exceptAll(twin).isEmpty && twin.exceptAll(native).isEmpty)
   }
+
+  test("hammingNearDups: pigeonhole-complete pairs, group keys separate") {
+    // 64-bit signatures as (hi, lo) halves; bands=4, maxDist=3 →
+    // any pair ≤3 bits apart shares at least one 16-bit chunk
+    val sig = Seq(
+      (1L, 0L, 0L, 1),            // base
+      (2L, 0L, 1L, 1),            // dist 1 to base
+      (3L, 3L, 0L, 1),            // dist 2 (bits 32,33)
+      (4L, 0L, 15L, 1),           // dist 4 → excluded
+      // dist exactly 3 with the bits spread over chunks 0,1,2 — only
+      // chunk 3 matches; the completeness edge case
+      (5L, 1L, 65537L, 1),        // bits 0, 16, 32
+      (6L, 0L, 0L, 2))            // identical to base, other group
+      .toDF("id", "hi", "lo", "grp")
+    val got = graft.ops.Dedup.hammingNearDups(sig, "id", "hi", "lo",
+        maxDist = 3, bands = 4, groupCols = Seq("grp"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("dist"))).toSet
+    // bit sets: s1=∅ s2={0} s3={32,33} s4={0,1,2,3} s5={0,16,32};
+    // pairs over maxDist — (1,4)=4, (3,4)=6, (4,5)=5 — are excluded
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 2), (1L, 5L, 3),
+      (2L, 3L, 3), (2L, 4L, 3), (2L, 5L, 2), (3L, 5L, 3)))
+    // group 2's identical twin pairs with nobody
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("hammingNearDups: bands must divide the halves; maxDist < bands") {
+    val df = Seq((1L, 0L, 0L)).toDF("id", "hi", "lo")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.hammingNearDups(df, "id", "hi", "lo", 2, bands = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.hammingNearDups(df, "id", "hi", "lo", 4, bands = 4)
+    }
+  }
+
+  test("encodingAnomalies: mojibake digraphs, controls, replacement char") {
+    val df = Seq(
+      (1L, "clean text with tab\tand newline\n kept"),
+      (2L, "bad�decode"),
+      (3L, "cafÃ© double encoded"),
+      (4L, "xy"),                    // 1 control in 3 chars → ≥2%
+      (5L, "one bell in a long enough sentence that two percent " +
+        "of the characters is more than one control character total"))
+      .toDF("id", "t")
+    val got = df.select(Seq(col("id")) ++
+        TextAnalysis.encodingAnomalies(col("t")).map {
+          case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_replacement"), r.getAs[Long]("n_control"),
+          r.getAs[Long]("n_double_encoded"),
+          r.getAs[Boolean]("encoding_suspect")))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))  // tab/newline are fine
+    assert(got(2L) == ((1L, 0L, 0L, true)))
+    assert(got(3L) == ((0L, 0L, 1L, true)))
+    assert(got(4L) == ((0L, 1L, 0L, true)))   // 1·50 ≥ 3
+    assert(got(5L) == ((0L, 1L, 0L, false)))  // 1·50 < length
+  }
+
+  test("srmCheck: exact chi-squared terms, missing arm counts as zero") {
+    // 60/40 on an intended 1:1 → chi2 = 2·(10²/50) = 4.0 > 3.841
+    val units = ((1L to 60L).map(u => (u, "a")) ++
+      (61L to 100L).map(u => (u, "b")) ++
+      Seq((7L, "a"), (999L, "junk")))   // dup unit + unexpected variant
+      .toDF("u", "v")
+    val got = graft.ops.Profiling.srmCheck(units, "u", "v",
+        Seq(("a", 1L), ("b", 1L))).collect()
+      .map(r => r.getAs[String]("variant") ->
+        ((r.getAs[Long]("observed"), r.getAs[Double]("expected_n"),
+          r.getAs[Double]("term"), r.getAs[Double]("chi2"),
+          r.getAs[Boolean]("srm")))).toMap
+    assert(got("a") == ((60L, 50.0, 2.0, 4.0, true)))
+    assert(got("b") == ((40L, 50.0, 2.0, 4.0, true)))
+    // balanced 2:1:1 passes at the df=2 critical value
+    val ok = ((1L to 50L).map(u => (u, "x")) ++
+      (51L to 76L).map(u => (u, "y")) ++ (77L to 100L).map(u => (u, "z")))
+      .toDF("u", "v")
+    val row = graft.ops.Profiling.srmCheck(ok, "u", "v",
+        Seq(("x", 2L), ("y", 1L), ("z", 1L)), crit = 5.991)
+      .collect().head
+    assert(!row.getAs[Boolean]("srm"))
+    // an arm that never shows up is observed 0, not dropped
+    val miss = graft.ops.Profiling.srmCheck(
+        Seq((1L, "a"), (2L, "a")).toDF("u", "v"), "u", "v",
+        Seq(("a", 1L), ("b", 1L))).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("observed"))
+      .toMap
+    assert(miss == Map("a" -> 2L, "b" -> 0L))
+  }
+
+  test("mrrRecall: first-hit rank, coverage, empty-truth queries") {
+    val ranking = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1), (2L, 20L, 2),
+      (3L, 40L, 1), (3L, 50L, 2), (3L, 60L, 6)) // rank 6 > k cut
+      .toDF("q", "item", "rank")
+    val truth = Seq((1L, 20L, 1L), (1L, 99L, 2L), (3L, 60L, 1L),
+      (3L, 40L, 0L))                            // rel=0 is not relevant
+      .toDF("q", "item", "rel")
+    val got = graft.ops.Profiling.mrrRecall(ranking, truth, "q", "item",
+        "rank", "rel", k = 5).collect()
+      .map(r => r.getAs[Long]("q") ->
+        ((Option(r.getAs[java.lang.Long]("first_rel_rank")).map(_.toLong),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("n_rel"),
+          r.getAs[Double]("rr"), r.getAs[Double]("recall")))).toMap
+    assert(got(1L) == ((Some(2L), 1L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((None, 0L, 0L, 0.0, 0.0)))
+    // q3's only relevant item sits at rank 6, cut by k=5
+    assert(got(3L) == ((None, 0L, 1L, 0.0, 0.0)))
+    assert(got.size == 3)
+  }
 }
