@@ -702,6 +702,20 @@ object ScaleStress {
             case (n, c) => c.as(n) }: _*)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q236 shape: golden-record survivorship — ONE partial-aggregable
+      // groupBy; every per-field survivor is a max(struct) that
+      // combines map-side, so the shuffle carries |clusters| rows
+      timed(scale, "golden_record") {
+        val d = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(50000L)).as("clu"),
+          pmod(col("doc_id"), lit(11L)).as("ord"),
+          when(pmod(col("doc_id"), lit(7L)) =!= 0, col("text"))
+            .as("t"),
+          length(col("text")).cast("long").as("len"))
+        val out = graft.ops.Fuzzy.goldenRecords(d, "clu", "ord",
+          "doc_id", Seq("t", "len"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q234 shape: Hamming near-dup pairing — 4-band explode + one
       // equi-join on (band, chunk); signatures derive from the text
       // hash so the 10× rotated copies band near-uniformly
@@ -787,6 +801,18 @@ object ScaleStress {
       }
     runProj("1x", emb1x)
     runProj("10x", emb10x)
+
+    // q235 shape: silhouette — trainCentroids' bounded driver loop +
+    // ONE per-row pass against the k·dim literal matrix; no shuffle in
+    // the audit itself
+    def runSilhouette(scale: String, emb: DataFrame): Unit =
+      timed(scale, "silhouette") {
+        val out = graft.ops.Clustering.silhouette(
+          emb, "vec_id", "embedding", k = 8, iters = 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runSilhouette("1x", emb1x)
+    runSilhouette("10x", emb10x)
 
     // q100 shape: SemDeDup — k MUST grow with the corpus (k ∝ n keeps
     // per-cluster size, and thus the within-cluster pairwise cost,
@@ -1244,6 +1270,37 @@ object ScaleStress {
           .agg(count(lit(1)).as("rel"))
         val out = graft.ops.Profiling.mrrRecall(ranking, truth,
           "user_id", "item", "rank", "rel", k = 5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q237 shape: correlation matrix — ONE pass computing every
+      // moment in a single aggregate row; output is pair-count-sized
+      timed(scale, "corr_matrix") {
+        val e2 = ev.select(
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"),
+          pmod(col("event_id"), lit(1000L)).as("em"),
+          pmod(col("user_id"), lit(97L)).as("um"))
+        val out = graft.ops.Profiling.corrMatrix(e2,
+          Seq("vmil", "em", "um"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q238 shape: two-proportion readout — per-(unit, variant)
+      // collapse, |variants|-row tail
+      timed(scale, "proportion_test") {
+        val e2 = ev.select(col("user_id"),
+          when(col("user_id") % 2 === 0, "control")
+            .otherwise("treatment").as("variant"),
+          (col("event_type") === "purchase").as("conv"))
+        val out = graft.ops.Profiling.proportionTest(e2, "user_id",
+          "variant", "conv", control = "control")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q239 shape: bot signals — two entity-keyed log aggregations
+      // joined at |entities| rows; the hot entity IS the subject
+      timed(scale, "bot_signals") {
+        val out = graft.ops.EventAnalytics.botSignals(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "user_id", "ts", "event_type",
+          peakPerMinute = 3L, minEvents = 100L)
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

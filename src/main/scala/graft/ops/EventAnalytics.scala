@@ -857,6 +857,52 @@ object EventAnalytics {
     * rides back as one broadcast row; the O(T²) prefix refold is over
     * that same bounded T. Returns
     * `(t, n_risk, n_event, n_censored, survival)` ordered by `t`. */
+  /** Per-entity bot/automation signals — the traffic-hygiene gate
+    * before any behavioral analytics (a scraper hammering one endpoint
+    * poisons funnels, retention, and co-occurrence alike; filter first,
+    * like [[graft.ops.TextAnalysis]] quality rules filter text before
+    * training). Signals per entity, all exact integers: event count,
+    * distinct active minutes, PEAK events in any single minute (burst
+    * rate — humans don't click 30 times in one minute), distinct event
+    * types (single-type high-volume streams are pings, not sessions),
+    * and milli-scaled events-per-active-minute (`n·1000 div minutes`,
+    * integer division). The verdict is two cross-multiplied rules:
+    * `peak_per_minute ≥ peakPerMinute`, or `n_events ≥ minEvents` with
+    * a single event type.
+    *
+    * Shape: one per-(entity, minute) partial-aggregable collapse feeds
+    * the per-entity rollup, plus one distinct-type count keyed the same
+    * — two log-sized hash aggregations on the entity key joined at
+    * |entities| rows; no windows, no self-joins, AQE handles a hot
+    * entity (which is exactly what a bot is).
+    *
+    * Returns `(entity, n_events, active_minutes, peak_per_minute,
+    * n_types, epm_milli, bot)`. */
+  def botSignals(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, peakPerMinute: Long = 30L,
+      minEvents: Long = 20L): DataFrame = {
+    require(peakPerMinute >= 1 && minEvents >= 1,
+      "thresholds must be >= 1")
+    val base = events.select(col(entityCol).as("__e__"),
+      expr(s"unix_micros(`$tsCol`) div 60000000").as("__min__"),
+      col(typeCol).as("__t__"))
+    val perMin = base.groupBy(col("__e__"), col("__min__"))
+      .agg(count(lit(1)).as("__c__"))
+    val roll = perMin.groupBy(col("__e__"))
+      .agg(sum(col("__c__")).as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        max(col("__c__")).as("peak_per_minute"))
+    val types = base.groupBy(col("__e__"))
+      .agg(countDistinct(col("__t__")).as("n_types"))
+    roll.join(types, "__e__")
+      .select(col("__e__").as(entityCol), col("n_events"),
+        col("active_minutes"), col("peak_per_minute"), col("n_types"),
+        expr("n_events * 1000 div active_minutes").as("epm_milli"),
+        (col("peak_per_minute") >= peakPerMinute ||
+          (col("n_events") >= minEvents && col("n_types") === 1))
+          .as("bot"))
+  }
+
   def kaplanMeier(durations: DataFrame, durationCol: String,
       eventCol: String): DataFrame = {
     val base = durations.select(col(durationCol).cast("long").as("t"),

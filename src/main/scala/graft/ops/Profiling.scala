@@ -916,6 +916,129 @@ object Profiling {
     * set report `recall = 0` and `first_rel_rank` null.
     *
     * Returns `(query, first_rel_rank, n_hits, n_rel, rr, recall)`. */
+  /** Pearson correlation matrix over integral metric columns — the
+    * feature-redundancy / metric-sanity profile (two quality signals
+    * correlating at 0.98 measure the same thing; a guardrail metric
+    * correlating with nothing is probably broken). Listwise deletion:
+    * rows with a null in ANY profiled column are dropped first, so
+    * every pair sees the same n (pairwise deletion gives each cell a
+    * different population — a classic silent lie in correlation
+    * tables). All five moments per pair (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact decimal(38,0) sums of long inputs; r's numerator and the two
+    * variance terms are formed in exact integer arithmetic and cast to
+    * double only for the final sqrt/divide, so both engines compute the
+    * identical float expression from identical integers. Zero-variance
+    * columns yield null r (undefined, not 0).
+    *
+    * Shape: ONE partial-aggregable pass computing all m(m+1)/2 + m + 1
+    * moments in a single aggregate row (m is small — this is a profile
+    * of metric columns, not a feature store), then a per-pair literal
+    * explode of that one row. Nothing but the single moment row ever
+    * shuffles. Returns `(col_x, col_y, n, corr)` for the m(m−1)/2
+    * unordered pairs in input order. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate column in cols")
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      import org.apache.spark.sql.types._
+      require(t == ByteType || t == ShortType || t == IntegerType ||
+        t == LongType,
+        s"corrMatrix needs integral columns (scale to micros upstream); " +
+          s"'$c' is $t")
+    }
+    val base = df.na.drop(cols).select(cols.map(col): _*)
+    def dec(c: String) = col(c).cast("decimal(19,0)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).cast("decimal(38,0)").as("__n__")) ++
+      cols.flatMap { c => Seq(
+        sum(dec(c)).as(s"__s_$c"),
+        sum(dec(c) * dec(c)).as(s"__ss_$c"))
+      } ++
+      pairs.map { case (a, b) =>
+        sum(dec(a) * dec(b)).as(s"__sp_${a}_$b")
+      }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val num = col("__n__") * col(s"__sp_${a}_$b") -
+        col(s"__s_$a") * col(s"__s_$b")
+      val va = col("__n__") * col(s"__ss_$a") -
+        col(s"__s_$a") * col(s"__s_$a")
+      val vb = col("__n__") * col(s"__ss_$b") -
+        col(s"__s_$b") * col(s"__s_$b")
+      one.select(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("__n__").cast("long").as("n"),
+        when(va > 0 && vb > 0,
+          round(num.cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 6))
+          .as("corr"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** Two-proportion experiment readout — the binary-metric companion to
+    * [[bootstrapCI]]/cuped (conversion, retention, click-through):
+    * per-variant conversion rate with a Wilson 95% interval (the
+    * normal-approximation interval misbehaves at small n or extreme
+    * p̂; Wilson is the standard fix), plus a pooled two-proportion
+    * z-statistic against the named control arm. A unit converts if ANY
+    * of its rows converted (per-unit OR, so duplicate event rows don't
+    * inflate n). Everything derives from the exact integers (n, x) per
+    * variant in a fixed float expression order, so engines agree to
+    * the bit; `zCrit` defaults to 1.96 (two-sided 95%).
+    *
+    * Shape: one per-(unit, variant) partial-aggregable collapse, one
+    * |variants|-row aggregate, and the control row broadcast back onto
+    * the |variants|-row table — the log shuffles once. Pair with
+    * [[srmCheck]] FIRST: a readout on a mis-allocated experiment is
+    * noise. Returns `(variant, n_units, n_converted, rate, ci_lo,
+    * ci_hi, z_vs_control, significant)` — z/significant null on the
+    * control row itself. */
+  def proportionTest(df: DataFrame, unitCol: String, variantCol: String,
+      convCol: String, control: String,
+      zCrit: Double = 1.96): DataFrame = {
+    val units = df.select(col(variantCol).cast("string").as("variant"),
+        col(unitCol).as("__u__"), col(convCol).cast("boolean").as("__c__"))
+      .groupBy(col("variant"), col("__u__"))
+      .agg(max(when(col("__c__"), 1L).otherwise(0L)).as("__conv__"))
+    val per = units.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__conv__")).as("n_converted"))
+    val z2 = zCrit * zCrit
+    def wilson(n: Column, x: Column) = {
+      val nD = n.cast("double")
+      val p = x.cast("double") / nD
+      val centre = p + lit(z2) / (lit(2.0) * nD)
+      val spread = lit(zCrit) * sqrt(p * (lit(1.0) - p) / nD +
+        lit(z2) / (lit(4.0) * nD * nD))
+      val denom = lit(1.0) + lit(z2) / nD
+      ((centre - spread) / denom, (centre + spread) / denom)
+    }
+    val ctl = per.filter(col("variant") === control)
+      .select(col("n_units").as("__cn__"),
+        col("n_converted").as("__cx__"))
+    val (lo, hi) = wilson(col("n_units"), col("n_converted"))
+    val pv = col("n_converted").cast("double") /
+      col("n_units").cast("double")
+    val pc = col("__cx__").cast("double") / col("__cn__").cast("double")
+    val pool = (col("n_converted") + col("__cx__")).cast("double") /
+      (col("n_units") + col("__cn__")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_units").cast("double") +
+        lit(1.0) / col("__cn__").cast("double")))
+    val zStat = when(col("variant") =!= control && se > 0,
+      round((pv - pc) / se, 6))
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n_units"), col("n_converted"),
+        round(pv, 6).as("rate"),
+        round(lo, 6).as("ci_lo"), round(hi, 6).as("ci_hi"),
+        zStat.as("z_vs_control"),
+        when(col("variant") =!= control && se > 0,
+          abs((pv - pc) / se) > zCrit).as("significant"))
+  }
+
   def mrrRecall(ranking: DataFrame, truth: DataFrame, queryCol: String,
       itemCol: String, rankCol: String, relCol: String,
       k: Int): DataFrame = {

@@ -508,6 +508,53 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.srmCheck]]: a live
+    * sample-ratio-mismatch monitor over the experiment ASSIGNMENT
+    * stream — one row per newly-assigned unit carrying its variant (the
+    * assignment log is unique per unit by construction, which is what
+    * keeps state O(|variants|); monitoring raw exposure events would
+    * need per-unit dedup state instead). Unknown variants are someone
+    * else's bug and are ignored, exactly like the batch op. Each
+    * micro-batch emits `(n_units, chi2, srm)` with the batch op's exact
+    * arithmetic — expected counts from integer weights, per-term
+    * half-up 6dp rounding, variant-ordered fold — so stream ≡ batch at
+    * every prefix (asserted in StreamingSpec). An alarm BEFORE the
+    * readout: a broken splitter pages on day one, not at analysis. */
+  def srmStream(assignments: Dataset[String],
+      expected: Seq[(String, Long)], crit: Double)
+      : Dataset[(Long, Double, Boolean)] = {
+    import assignments.sparkSession.implicits._
+    require(expected.size >= 2, "need at least two expected variants")
+    require(expected.forall(_._2 > 0), "expected weights must be > 0")
+    val variants = expected.map(_._1).toArray
+    val weights = expected.map(_._2).toArray
+    val wDen = weights.sum
+    val idx = variants.zipWithIndex.toMap
+    // variant-name fold order, fixed up front like the batch sort_array
+    val foldOrder = variants.indices.sortBy(variants(_)).toArray
+    assignments.flatMap(v => idx.get(v))
+      .groupByKey(_ => "srm")
+      .flatMapGroupsWithState[Seq[Long], (Long, Double, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Seq[Long]]) =>
+          val counts = state.getOption
+            .getOrElse(Seq.fill(variants.length)(0L)).toArray
+          it.foreach(i => counts(i) += 1)
+          state.update(counts.toSeq)
+          val n = counts.sum
+          def term(i: Int): Double = {
+            val e = n.toDouble * weights(i) / wDen
+            val t = (counts(i) - e) * (counts(i) - e) / e
+            BigDecimal(t).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          val chi2 = BigDecimal(
+            foldOrder.foldLeft(0.0)((a, i) => a + term(i)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single((n, chi2, chi2 > crit))
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

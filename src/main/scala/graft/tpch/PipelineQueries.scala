@@ -282,6 +282,66 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // simplified silhouette over the q88 clustering: per-vector own vs
+    // runner-up centroid distance, exact integer d2, one sqrt per side
+    "q235_silhouette" -> ((s, dir) =>
+      graft.ops.Clustering.silhouette(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy(col("vec_id"))),
+
+    // golden-record survivorship over synthesized match clusters:
+    // per-field freshest-non-null winner, id tie-break, rep provenance
+    "q236_golden_record" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        (col("c_custkey") % 300).as("cluster"),
+        (col("c_custkey") % 11).as("ord"),
+        when(col("c_custkey") % 7 =!= 0, col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"),
+        when(col("c_custkey") % 5 =!= 0,
+          floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+          .as("bal_cents"))
+      graft.ops.Fuzzy.goldenRecords(c, "cluster", "ord", "c_custkey",
+          Seq("name", "segment", "bal_cents"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Pearson correlation matrix over four integral lineitem metrics:
+    // exact decimal moments in ONE pass, double only at the final sqrt
+    "q237_corr_matrix" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_c"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("price_c"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc_bp"),
+        col("l_linenumber").cast("long").as("linenum"))
+      graft.ops.Profiling.corrMatrix(li,
+          Seq("qty_c", "price_c", "disc_bp", "linenum"))
+        .orderBy(col("col_x"), col("col_y"))
+    }),
+
+    // two-proportion readout: per-variant Wilson CI + pooled z against
+    // control; unit converts if ANY of its events is a purchase
+    "q238_proportion_test" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"),
+          when(col("user_id") % 2 === 0, "control")
+            .otherwise("treatment").as("variant"),
+          (col("event_type") === "purchase").as("conv"))
+      graft.ops.Profiling.proportionTest(ev, "user_id", "variant",
+          "conv", control = "control")
+        .orderBy(col("variant"))
+    }),
+
+    // bot signals: burst peak + mono-type volume rules from exact
+    // per-minute integer counts
+    "q239_bot_signals" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      graft.ops.EventAnalytics.botSignals(ev, "user_id", "ts",
+          "event_type", peakPerMinute = 3L, minEvents = 100L)
+        .orderBy(col("user_id"))
+    }),
+
     // Hamming near-dup pairing over the q221 perceptual hashes:
     // complete 4-band blocking within (width, height), dist <= 3
     "q234_ahash_neardup" -> ((s, dir) => {
@@ -2630,6 +2690,138 @@ object PipelineQueries {
         |    ELSE 0.0 END AS recall
         |FROM h LEFT JOIN nr USING (user_id)
         |ORDER BY h.user_id""".stripMargin,
+
+    // the kmeans CTE block ends at dd(vec_id, j, d2) = distances to the
+    // FINAL centroids; own/runner-up by (d2, j) rank replays the Spark
+    // side's array_sort of (d2, j) structs
+    "q235_silhouette" ->
+      s"""WITH $kmeansCtes,
+         |rk AS (SELECT vec_id, j, d2, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY d2 ASC, j ASC) AS rn
+         |  FROM dd)
+         |SELECT a.vec_id, a.j AS cluster,
+         |  CAST(a.d2 AS BIGINT) AS own_dist2,
+         |  CAST(b.d2 AS BIGINT) AS neighbor_dist2,
+         |  CASE WHEN greatest(sqrt(CAST(a.d2 AS DOUBLE)),
+         |      sqrt(CAST(b.d2 AS DOUBLE))) = 0 THEN 0.0
+         |    ELSE ROUND((sqrt(CAST(b.d2 AS DOUBLE))
+         |        - sqrt(CAST(a.d2 AS DOUBLE)))
+         |      / greatest(sqrt(CAST(a.d2 AS DOUBLE)),
+         |        sqrt(CAST(b.d2 AS DOUBLE))), 6) END AS silhouette
+         |FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+         |  AND a.rn = 1 AND b.rn = 2
+         |ORDER BY a.vec_id""".stripMargin,
+
+    "q236_golden_record" ->
+      """WITH c AS (SELECT c_custkey,
+        |    c_custkey % 300 AS cluster, c_custkey % 11 AS ord,
+        |    CASE WHEN c_custkey % 7 <> 0 THEN c_name END AS name,
+        |    c_mktsegment AS segment,
+        |    CASE WHEN c_custkey % 5 <> 0
+        |      THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |      END AS bal_cents
+        |  FROM customer)
+        |SELECT cluster, CAST(COUNT(1) AS BIGINT) AS n_members,
+        |  (max(struct_pack(o := ord, i := c_custkey))).i AS rep_id,
+        |  (max(struct_pack(p := CASE WHEN name IS NULL THEN 0 ELSE 1 END,
+        |    o := ord, i := c_custkey, v := name))).v AS name,
+        |  (max(struct_pack(p := CASE WHEN segment IS NULL THEN 0 ELSE 1
+        |    END, o := ord, i := c_custkey, v := segment))).v AS segment,
+        |  (max(struct_pack(p := CASE WHEN bal_cents IS NULL THEN 0 ELSE 1
+        |    END, o := ord, i := c_custkey, v := bal_cents))).v
+        |    AS bal_cents
+        |FROM c GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "q237_corr_matrix" -> {
+      val cols = Seq("qty_c", "price_c", "disc_bp", "linenum")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val pairSql = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |  CAST(n AS BIGINT) AS n,
+           |  CASE WHEN n * ss_$a - s_$a * s_$a > 0
+           |      AND n * ss_$b - s_$b * s_$b > 0
+           |    THEN ROUND(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |      / (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE))
+           |        * sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))), 6)
+           |    END AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH li AS (SELECT
+         |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |      AS price_c,
+         |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+         |    CAST(l_linenumber AS BIGINT) AS linenum
+         |  FROM lineitem),
+         |m AS (SELECT CAST(COUNT(1) AS HUGEINT) AS n,
+         |    ${cols.map(c => s"CAST(SUM(CAST($c AS HUGEINT)) AS HUGEINT) AS s_$c, " +
+                s"CAST(SUM(CAST($c AS HUGEINT) * $c) AS HUGEINT) AS ss_$c")
+                .mkString(",\n    ")},
+         |    ${pairs.map { case (a, b) =>
+                s"CAST(SUM(CAST($a AS HUGEINT) * $b) AS HUGEINT) AS sp_${a}_$b" }
+                .mkString(",\n    ")}
+         |  FROM li)
+         |SELECT * FROM ($pairSql)
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
+    "q238_proportion_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control'
+        |      ELSE 'treatment' END AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |per AS (SELECT variant, CAST(COUNT(1) AS BIGINT) AS n_units,
+        |    CAST(SUM(conv) AS BIGINT) AS n_converted
+        |  FROM u GROUP BY 1),
+        |ctl AS (SELECT n_units AS cn, n_converted AS cx FROM per
+        |  WHERE variant = 'control'),
+        |w AS (SELECT per.*, ctl.cn, ctl.cx,
+        |    CAST(n_converted AS DOUBLE) / CAST(n_units AS DOUBLE) AS p,
+        |    CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE) AS pc,
+        |    CAST(n_converted + cx AS DOUBLE)
+        |      / CAST(n_units + cn AS DOUBLE) AS pool
+        |  FROM per CROSS JOIN ctl),
+        |f AS (SELECT variant, n_units, n_converted, p, pc,
+        |    p + 3.8416 / (2.0 * CAST(n_units AS DOUBLE)) AS centre,
+        |    1.96 * sqrt(p * (1.0 - p) / CAST(n_units AS DOUBLE)
+        |      + 3.8416 / (4.0 * CAST(n_units AS DOUBLE)
+        |        * CAST(n_units AS DOUBLE))) AS spread,
+        |    1.0 + 3.8416 / CAST(n_units AS DOUBLE) AS denom,
+        |    sqrt(pool * (1.0 - pool) * (1.0 / CAST(n_units AS DOUBLE)
+        |      + 1.0 / CAST(cn AS DOUBLE))) AS se
+        |  FROM w)
+        |SELECT variant, n_units, n_converted, ROUND(p, 6) AS rate,
+        |  ROUND((centre - spread) / denom, 6) AS ci_lo,
+        |  ROUND((centre + spread) / denom, 6) AS ci_hi,
+        |  CASE WHEN variant <> 'control' AND se > 0
+        |    THEN ROUND((p - pc) / se, 6) END AS z_vs_control,
+        |  CASE WHEN variant <> 'control' AND se > 0
+        |    THEN abs((p - pc) / se) > 1.96 END AS significant
+        |FROM f ORDER BY variant""".stripMargin,
+
+    "q239_bot_signals" ->
+      """WITH pm AS (SELECT user_id,
+        |    epoch_us(ts) // 60000000 AS minute,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(1) AS BIGINT) AS active_minutes,
+        |    CAST(MAX(c) AS BIGINT) AS peak_per_minute
+        |  FROM pm GROUP BY 1),
+        |t AS (SELECT user_id,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events GROUP BY 1)
+        |SELECT r.user_id, r.n_events, r.active_minutes,
+        |  r.peak_per_minute, t.n_types,
+        |  r.n_events * 1000 // r.active_minutes AS epm_milli,
+        |  (r.peak_per_minute >= 3
+        |   OR (r.n_events >= 100 AND t.n_types = 1)) AS bot
+        |FROM r JOIN t USING (user_id)
+        |ORDER BY r.user_id""".stripMargin,
 
     "q234_ahash_neardup" ->
       s"""WITH $ahashCtes,

@@ -178,4 +178,38 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("silhouette: hand-computed 1-D clusters, exact d2 and ratios") {
+    // scale=10 → q = 0,1,2,100,101,120; k=2, iters=2: init c0=[0],
+    // c1=[1]; after one update c0=[0] (member: q=0), c1=[65]
+    // (mean of 1,2,100,101,120 = 64.8 → half-up 65)
+    val df = Seq(
+      (1L, Array(0.0f)), (2L, Array(0.1f)), (3L, Array(0.2f)),
+      (4L, Array(10.0f)), (5L, Array(10.1f)), (6L, Array(12.0f)))
+      .toDF("id", "v")
+    val got = Clustering.silhouette(df, "id", "v", k = 2, iters = 2,
+        scale = 10).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Long]("own_dist2"),
+          r.getAs[Long]("neighbor_dist2"),
+          r.getAs[Double]("silhouette")))).toMap
+    assert(got(1L) == ((0, 0L, 4225L, 1.0)))        // (65−0)/65
+    assert(got(2L) == ((0, 1L, 4096L, 0.984375)))   // (64−1)/64
+    assert(got(3L) == ((0, 4L, 3969L, 0.968254)))   // (63−2)/63
+    assert(got(4L) == ((1, 1225L, 10000L, 0.65)))   // (100−35)/100
+    assert(got(5L) == ((1, 1296L, 10201L, 0.643564)))
+    assert(got(6L) == ((1, 3025L, 14400L, 0.541667)))
+  }
+
+  test("silhouette: coincident centroids degrade to 0, not NaN") {
+    val df = Seq((1L, Array(1.0f)), (2L, Array(1.0f)),
+      (3L, Array(1.0f))).toDF("id", "v")
+    val got = Clustering.silhouette(df, "id", "v", k = 2, iters = 2)
+      .collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Double]("silhouette") == 0.0))
+    intercept[IllegalArgumentException] {
+      Clustering.silhouette(df, "id", "v", k = 1, iters = 1)
+    }
+  }
 }

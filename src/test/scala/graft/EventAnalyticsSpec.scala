@@ -679,6 +679,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(m(5L) == ((1L, 1L, 0L, 0.0)))       // last unit converts
   }
 
+  test("botSignals: burst rule, mono-type rule, exact minute buckets") {
+    val m = 60000000L // one minute in micros
+    val rows =
+      // user 1: 5 events inside one minute (burst), 2 types
+      Seq((1L, 10L, "view"), (1L, 20L, "view"), (1L, 30L, "click"),
+        (1L, 40L, "view"), (1L, 50L, "view")) ++
+      // user 2: 4 events in 4 separate minutes, low volume → human
+      (0 until 4).map(i => (2L, i * m, "view")) ++
+      // user 3: 30 single-type events spread over 30 minutes → ping
+      (0 until 30).map(i => (3L, i * m + 5L, "ping"))
+    val df = rows.toDF("u", "tus", "t")
+      .select(col("u"), timestamp_micros(col("tus")).as("ts"), col("t"))
+    val got = EventAnalytics.botSignals(df, "u", "ts", "t",
+        peakPerMinute = 5L, minEvents = 20L).collect()
+      .map(r => r.getAs[Long]("u") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("active_minutes"),
+          r.getAs[Long]("peak_per_minute"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("epm_milli"), r.getAs[Boolean]("bot")))).toMap
+    assert(got(1L) == ((5L, 1L, 5L, 2L, 5000L, true)))   // burst
+    assert(got(2L) == ((4L, 4L, 1L, 1L, 1000L, false)))  // low volume
+    assert(got(3L) == ((30L, 30L, 1L, 1L, 1000L, true))) // mono-type
+    assert(got.size == 3)
+  }
+
   test("kaplanMeier: all-censored stays at 1.0; ties at t=0 well-defined") {
     val d = Seq((0L, false), (0L, false), (7L, false)).toDF("dur", "ev")
     val got = EventAnalytics.kaplanMeier(d, "dur", "ev").collect()

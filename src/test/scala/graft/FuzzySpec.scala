@@ -238,4 +238,26 @@ class FuzzySpec extends AnyFunSuite {
     // |3−7| > 2 prunes (abc, abcdefg) before any DP; xbc blocks under x
     assert(got == Set(("abc", "abcde", 2), ("abcde", "abcdefg", 2)))
   }
+
+  test("goldenRecords: per-field freshest-non-null, id tie-break, rep") {
+    val rows = Seq(
+      // cluster 1: each field's winner is a DIFFERENT row
+      (1L, 1L, 5L, None, Some("A"), Some(10L)),
+      (2L, 1L, 3L, Some("bob"), Some("B"), None),
+      (3L, 1L, 5L, Some("carl"), None, Some(30L)),
+      // cluster 2: all-null field survives as null
+      (4L, 2L, 7L, None, Some("C"), Some(40L)))
+      .toDF("id", "clu", "ord", "name", "seg", "bal")
+    val got = Fuzzy.goldenRecords(rows, "clu", "ord", "id",
+        Seq("name", "seg", "bal")).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("rep_id"),
+          r.getAs[String]("name"), r.getAs[String]("seg"),
+          Option(r.getAs[java.lang.Long]("bal")).map(_.toLong)))).toMap
+    // rep = max (ord, id) = (5, 3); name: non-null max (ord, id) =
+    // carl; seg: row 1 beats row 2 on ord; bal: ord tie 5,5 → id 3
+    assert(got(1L) == ((3L, 3L, "carl", "A", Some(30L))))
+    assert(got(2L) == ((1L, 4L, null, "C", Some(40L))))
+    assert(got.size == 2)
+  }
 }

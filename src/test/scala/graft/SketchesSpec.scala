@@ -512,4 +512,70 @@ class SketchesSpec extends AnyFunSuite {
       plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("corrMatrix: hand moments, listwise deletion, zero variance") {
+    import spark.implicits._
+    // after listwise-dropping the null row: x=[1,2,3], y=[2,4,6],
+    // z=[3,1,2], w=[5,5,5]; y = 2x → corr 1; corr(x,z) = −3/6 = −0.5;
+    // w is constant → null against everything
+    val df = Seq(
+      (Some(1L), Some(2L), Some(3L), Some(5L)),
+      (Some(2L), Some(4L), Some(1L), Some(5L)),
+      (Some(3L), Some(6L), Some(2L), Some(5L)),
+      (Some(4L), None, Some(0L), Some(9L)))
+      .toDF("x", "y", "z", "w")
+    val got = graft.ops.Profiling.corrMatrix(df,
+        Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        ((r.getAs[Long]("n"),
+          Option(r.getAs[java.lang.Double]("corr")).map(_.toDouble))))
+      .toMap
+    assert(got(("x", "y")) == ((3L, Some(1.0))))
+    assert(got(("x", "z")) == ((3L, Some(-0.5))))
+    assert(got(("y", "z")) == ((3L, Some(-0.5))))
+    assert(got(("x", "w")) == ((3L, None)))
+    assert(got(("y", "w")) == ((3L, None)))
+    assert(got(("z", "w")) == ((3L, None)))
+    assert(got.size == 6)
+    // fractional columns are rejected, not silently cast
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.corrMatrix(
+        Seq((1L, 0.5)).toDF("a", "b"), Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("corrMatrix plan: one aggregation pass, no joins") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L), (4L, 5L, 6L)).toDF("a", "b", "c")
+    val plan = graft.ops.Profiling.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan)
+  }
+
+  test("proportionTest: Wilson intervals, pooled z, per-unit OR") {
+    import spark.implicits._
+    // unit 13 has rows (false, true) → converts once, not twice
+    val rows = Seq(
+      (10L, "control", false), (11L, "control", true),
+      (12L, "control", false), (13L, "control", false),
+      (13L, "control", true),
+      (20L, "treatment", true), (21L, "treatment", true),
+      (22L, "treatment", true), (23L, "treatment", true))
+      .toDF("u", "v", "conv")
+    val got = graft.ops.Profiling.proportionTest(rows, "u", "v",
+        "conv", control = "control").collect()
+      .map(r => r.getAs[String]("variant") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_converted"),
+          r.getAs[Double]("rate"), r.getAs[Double]("ci_lo"),
+          r.getAs[Double]("ci_hi"),
+          Option(r.getAs[java.lang.Double]("z_vs_control")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("control") == ((4L, 2L, 0.5, 0.150036, 0.849964,
+      None, None)))
+    assert(got("treatment") == ((4L, 4L, 1.0, 0.5101, 1.0,
+      Some(1.632993), Some(false))))
+  }
 }

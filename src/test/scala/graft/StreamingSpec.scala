@@ -541,6 +541,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("srmStream equals the batch srmCheck chi2 at every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val expected = Seq(("a", 2L), ("b", 1L), ("c", 1L))
+    val ms = MemoryStream[String]
+    val q = Streaming.srmStream(ms.toDS(), expected, crit = 5.991)
+      .toDF("n_units", "chi2", "srm")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("srm_stream").start()
+    // 'junk' must be ignored by both engines
+    val batch1 = Seq("a", "a", "b", "c", "junk")
+    val batch2 = Seq("a", "a", "a", "a", "b")
+    def lastSrm(): (Long, Double, Boolean) =
+      spark.sql("SELECT n_units, chi2, srm FROM srm_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .maxBy(_._1)
+    def batchSrm(vals: Seq[String]): (Double, Boolean) = {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("u", "v")
+      val r = graft.ops.Profiling.srmCheck(df, "u", "v", expected,
+        crit = 5.991).collect().head
+      (r.getAs[Double]("chi2"), r.getAs[Boolean]("srm"))
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      val (c1, s1) = batchSrm(batch1)
+      assert(lastSrm() == ((4L, c1, s1)))
+      ms.addData(batch2); q.processAllAvailable()
+      val (c2, s2) = batchSrm(batch1 ++ batch2)
+      assert(lastSrm() == ((9L, c2, s2)))
+    } finally q.stop()
+  }
+
   test("trendStream final moments equal the batch OLS rational per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
