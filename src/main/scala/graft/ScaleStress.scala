@@ -678,11 +678,16 @@ object ScaleStress {
       // first words — block size is vocabulary-bounded, the length
       // prefilter rides the join condition, only survivors pay the DP
       timed(scale, "edit_join") {
-        val keys = docs.select(
-          split(col("text"), "\\s+").getItem(0).as("w"))
-          .filter(length(col("w")).between(3, 20))
-        val out = graft.ops.Fuzzy.editDistancePairs(keys, "w",
-          blockLen = 2, maxDist = 1)
+        // distinct vocabulary (~10× at 10× via the rotated copies) plus
+        // a 3rd-char-deletion typo per word, so the DP verify has real
+        // distance-1 pairs to confirm, not just a block join to prune
+        val words = docs.select(
+            explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")).between(4, 12))
+        val typos = words.select(concat(substring(col("w"), 1, 2),
+          substring(col("w"), 4, 100)).as("w"))
+        val out = graft.ops.Fuzzy.editDistancePairs(
+          words.unionAll(typos), "w", blockLen = 2, maxDist = 1)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q231 shape: LOO target encoding — one per-category partial
@@ -692,6 +697,69 @@ object ScaleStress {
           pmod(col("doc_id"), lit(50L)).cast("string").as("cat"),
           length(col("text")).cast("long").as("y"))
         val out = Corpus.targetEncodeLoo(d, "doc_id", "cat", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q240 shape: l-diversity — the kAnonymize plan with one more
+      // aggregate; null-safe equi join-back, AQE splits hot groups
+      timed(scale, "l_diversity") {
+        // 199·7 co-prime to 5, so doc_id % 5 VARIES inside each quasi
+        // group (a 200-modulus would lock it and homogenize every group)
+        val d = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(199L)).as("q1"),
+          pmod(col("doc_id"), lit(7L)).as("q2"),
+          when(pmod(col("doc_id"), lit(3L)) =!= 0,
+            pmod(col("doc_id"), lit(5L)).cast("string")).as("sens"))
+        val out = Corpus.lDiversity(d, Seq("q1", "q2"), "sens", l = 3L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q241 shape: LSH tuning sweep — ONE persisted signature pass
+      // feeds all three configs; per config an explode + (band, key)
+      // partial count collapsing to a single row
+      timed(scale, "lsh_tuning") {
+        val out = graft.ops.Dedup.lshTuning(docs, "doc_id", "text",
+          Seq((8, 4), (16, 2), (4, 8)))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q242 shape: soft-dedup weights — cluster count + join-back on
+      // synthesized clusters (the CC path is measured separately)
+      timed(scale, "dup_weights") {
+        val a = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(20000L)).as("cluster"))
+        val out = graft.ops.Dedup.dupWeights(a, "cluster")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q243 shape: percentile rank — per-(group, value) partial counts
+      // window only over the distinct-value histogram, then join-back
+      timed(scale, "percentile_rank") {
+        val d = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(20L)).cast("string").as("src"),
+          length(col("text")).cast("long").as("len"))
+        val out = graft.ops.Profiling.percentileRank(d, "src", "len")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q245 shape: readability — pure per-row regexp_count trio
+      timed(scale, "readability") {
+        val out = docs.select(Seq(col("doc_id")) ++
+          graft.ops.TextAnalysis.readability(col("text")).map {
+            case (n, c) => c.as(n) }: _*)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q246 shape: ROUGE-2 — per-side (id, gram) partial counts, one
+      // full-outer equi-join, per-id collapse. The exact-string path
+      // ships the text's n-grams verbatim; the hashed path is the
+      // corpus-scale variant (8-byte poly-hash grams on the wire)
+      timed(scale, "rouge") {
+        val cand = docs.select(col("doc_id"),
+          regexp_replace(col("text"), "e", "a").as("text"))
+        val out = graft.ops.TextAnalysis.rougeN(cand, docs, "doc_id",
+          "text", n = 2)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "rouge_hashed") {
+        val cand = docs.select(col("doc_id"),
+          regexp_replace(col("text"), "e", "a").as("text"))
+        val out = graft.ops.TextAnalysis.rougeN(cand, docs, "doc_id",
+          "text", n = 2, hashed = true)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q232 shape: encoding anomalies — pure per-row codegen'd

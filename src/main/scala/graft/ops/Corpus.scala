@@ -756,6 +756,48 @@ object Corpus {
       .select((quasiCols ++ rest :+ "group_n").map(col): _*)
   }
 
+  /** l-diversity enforcement — [[kAnonymize]]'s necessary complement
+    * (k-anonymity alone fails the HOMOGENEITY attack: a group of 50
+    * identical quasi-tuples is k-anonymous at k=50, yet if all 50 share
+    * one sensitive value the attacker learns it exactly; l-diversity
+    * additionally requires ≥ l DISTINCT sensitive values per group).
+    * Keeps only rows whose quasi-identifier group has at least `l`
+    * distinct sensitive values — run it after (or instead of)
+    * [[kAnonymize]] when the table carries a sensitive column. NULL is
+    * a distinct sensitive value like any other (it reveals "value
+    * missing", which is information too), counted via the null-safe
+    * distinct; NULL quasi tuples group and join null-safely exactly
+    * like [[kAnonymize]].
+    *
+    * Shape: one partial-aggregable groupBy on the quasi key (count +
+    * distinct-sensitive count) and an AQE-splittable null-safe equi
+    * join-back — the [[kAnonymize]] plan with one more aggregate.
+    * Returns the surviving rows + `(group_n, sensitive_n)`. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
+    require(l >= 1, s"l must be >= 1, got $l")
+    // countDistinct skips NULL; count NULL as one more distinct value
+    // when the group has any (the missing-ness is itself sensitive)
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L)))
+          .as("sensitive_n"))
+      .filter(col("sensitive_n") >= l)
+    val cnt = quasiCols.foldLeft(counts) { (d, q) =>
+      d.withColumnRenamed(q, s"__k_$q")
+    }
+    val cond = quasiCols.map(q => col(q) <=> col(s"__k_$q"))
+      .reduce(_ && _)
+    val rest = df.columns.filterNot(quasiCols.contains)
+    df.join(cnt, cond)
+      .select((quasiCols ++ rest ++ Seq("group_n", "sensitive_n"))
+        .map(col): _*)
+  }
+
   /** Deterministic class rebalancing by EXACT integer oversampling:
     * every class is brought to exactly the majority class's count —
     * each row repeats `target div n` times, and the first

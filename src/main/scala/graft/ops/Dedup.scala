@@ -1214,6 +1214,85 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** LSH banding-parameter sweep — the sizing tool you run BEFORE
+    * committing a (bands, rows) choice to a corpus-scale
+    * [[minhashNearDups]] join: for each candidate configuration it
+    * measures, on the REAL corpus, how many bucket-collision pairs the
+    * band join would have to verify (the dominant cost term) alongside
+    * the configuration's analytic similarity threshold
+    * `(1/b)^(1/r)` — the S-curve midpoint where collision probability
+    * crosses ½. Pick the config whose threshold matches the dedup
+    * target and whose measured candidate volume fits the budget;
+    * guessing (b, r) and discovering a 100× over-generation mid-join is
+    * the classic web-dedup failure. Thresholds are evaluated in Scala
+    * and embedded as literals (one `Math.pow` on the driver — never a
+    * per-engine float path).
+    *
+    * Shape: ONE signature computation (max needed permutations,
+    * persisted) feeds every configuration; per config one explode +
+    * partial-aggregable (band, key) count, collapsed to a single row —
+    * only band keys and counts shuffle, text never does. Candidate
+    * pairs are Σ C(n,2) over buckets as exact BIGINTs (fits 2^63 for
+    * any bucket-capped corpus; cap hot buckets upstream exactly as the
+    * join itself would). Returns one row per config:
+    * `(bands, rows_per_band, threshold_micro, n_buckets,
+    * max_bucket, candidate_pairs)`. */
+  def lshTuning(df: DataFrame, idCol: String, textCol: String,
+      configs: Seq[(Int, Int)], shingleK: Int = 3): DataFrame = {
+    require(configs.nonEmpty, "need at least one (bands, rows) config")
+    require(configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      "bands and rows must be >= 1")
+    require(configs.distinct.size == configs.size, "duplicate config")
+    val nPerms = configs.map { case (b, r) => b * r }.max
+    val withSig = Caches.registerDf(withMinhashSignature(
+      df, textCol, nPerms, shingleK,
+      keep = Seq(col(idCol).as("__id__")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rows = configs.map { case (b, r) =>
+      val bandCols = (0 until b).map { i =>
+        val slice = (i * r until (i + 1) * r).map(j => col(s"mh_$j"))
+        struct(lit(i).as("band"), concat_ws(",", slice: _*).as("key"))
+      }
+      val thresholdMicro =
+        math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6).toLong
+      withSig
+        .select(explode(array(bandCols: _*)).as("bk"))
+        .groupBy(col("bk.band"), col("bk.key"))
+        .agg(count(lit(1)).as("__n__"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("__n__")).as("max_bucket"),
+          sum(expr("__n__ * (__n__ - 1) div 2")).as("candidate_pairs"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(thresholdMicro).as("threshold_micro"),
+          col("n_buckets"), col("max_bucket"),
+          col("candidate_pairs").cast("long").as("candidate_pairs"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** Soft-dedup weights — the keep-everything alternative to dropping
+    * duplicates: every member of a near-dup cluster ([[
+    * nearDupClusters]] output, or any (id, cluster) assignment) gets
+    * training weight `1e6 div cluster_size` micro-units, so a page
+    * crawled 40 times contributes ~1/40 per copy and the CORPUS-level
+    * influence of the page stays constant (the documented alternative
+    * in the dedup literature when provenance or recency variants must
+    * survive). Exact integer division — engines agree to the bit;
+    * weights sum to ≤ 1e6 per cluster with the remainder dropped
+    * (truncation, not rounding, so no cluster ever exceeds unit mass).
+    *
+    * Shape: one partial-aggregable cluster count + an AQE-splittable
+    * equi join-back on the cluster key ([[graft.ops.Corpus.kAnonymize]]
+    * discipline — no count-over-window on the hot key). Returns the
+    * input columns + `(cluster_n, weight_micro)`. */
+  def dupWeights(assignments: DataFrame, clusterCol: String): DataFrame = {
+    val counts = assignments.groupBy(col(clusterCol).as("__clu__"))
+      .agg(count(lit(1)).as("cluster_n"))
+    assignments.join(counts, col(clusterCol) <=> col("__clu__"))
+      .drop("__clu__")
+      .withColumn("weight_micro", expr("1000000 div cluster_n"))
+  }
+
   /** Hamming near-dup join over 64-bit signatures — the pairing step
     * for PERCEPTUAL hashes ([[graft.ops.Multimodal.imageAHash]] emits
     * the signature; this finds the re-encoded/resized image twins whose

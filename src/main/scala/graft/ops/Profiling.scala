@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE-style summary a pipeline records per
@@ -916,6 +917,46 @@ object Profiling {
     * set report `recall = 0` and `first_rel_rank` null.
     *
     * Returns `(query, first_rel_rank, n_hits, n_rel, rr, recall)`. */
+  /** Per-group percentile rank (empirical CDF value) of every row — the
+    * scale-free feature transform (a raw "quality 812" means nothing
+    * across sources whose score ranges differ; "84th percentile within
+    * its source" compares): `cdf_micro = (#{values ≤ v} · 1e6) div n`
+    * per group, from exact integer counts only. Equal values share a
+    * rank (the ECDF convention — ties are REAL ties, not
+    * insertion-order accidents), so the output is deterministic under
+    * any row order and replayable as SQL `cume_dist`.
+    *
+    * Shape: collapse to per-(group, value) counts first (partial-
+    * aggregable — the log-sized input never windows), then ONE ordered
+    * window over the |distinct values|-per-group rows for the running
+    * total, and an AQE-splittable equi join-back onto the rows. A
+    * hot group costs its own distinct-value count in one task — the
+    * value-histogram size, not its row count (the [[
+    * graft.ops.Corpus.kAnonymize]] join-back discipline applied to
+    * ranking). Returns the input + `(group_n, cdf_micro)`. */
+  def percentileRank(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val t = df.schema(valueCol).dataType
+    import org.apache.spark.sql.types._
+    require(t == ByteType || t == ShortType || t == IntegerType ||
+      t == LongType,
+      s"percentileRank needs an integral value column; '$valueCol' is $t")
+    val perVal = df.groupBy(col(groupCol).as("__g__"),
+        col(valueCol).as("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("__g__"))
+    val ranked = perVal
+      .withColumn("__le__", sum(col("__c__")).over(w))
+      .withColumn("group_n", sum(col("__c__")).over(wg))
+      .select(col("__g__"), col("__v__"), col("group_n"),
+        expr("__le__ * 1000000 div group_n").as("cdf_micro"))
+    df.join(ranked, col(groupCol) <=> col("__g__") &&
+        col(valueCol) <=> col("__v__"))
+      .drop("__g__", "__v__")
+  }
+
   /** Pearson correlation matrix over integral metric columns — the
     * feature-redundancy / metric-sanity profile (two quality signals
     * correlating at 0.98 measure the same thing; a guardrail metric

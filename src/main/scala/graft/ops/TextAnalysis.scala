@@ -333,6 +333,100 @@ object TextAnalysis {
         (repl + dbl > 0 || ctrl * 50 >= length(text).cast("long")))
   }
 
+  /** Readability features — Flesch reading ease and Flesch-Kincaid
+    * grade from three exact integer counts (words = non-space runs,
+    * sentences = `[.!?]+` runs floored at 1, syllables = vowel-group
+    * runs, the standard syllable proxy). Training mixes tune on these
+    * (children's corpora vs. legal text behave differently at every
+    * scale), and the two scores are the accepted shorthand; the
+    * integer counts ride along so any other formula can be re-derived
+    * without another scan. Scores are fixed-order float expressions of
+    * the three integers, rounded 6dp — engine-exact. Empty/whitespace
+    * text yields null scores, zero counts. Pure per-row codegen'd
+    * `regexp_count`; no shuffle, streams unchanged. Returns
+    * (name -> column) pairs to splat into a select. */
+  def readability(text: Column): Seq[(String, Column)] = {
+    val words = regexp_count(text, lit("[^\\s]+")).cast("long")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+"))
+      .cast("long")
+    val (w, s, y) = (words.cast("double"), sentences.cast("double"),
+      syllables.cast("double"))
+    Seq(
+      "n_words" -> words,
+      "n_sentences" -> sentences,
+      "n_syllables" -> syllables,
+      "flesch" -> when(words > 0, round(
+        lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w), 6)),
+      "fk_grade" -> when(words > 0, round(
+        lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59), 6)))
+  }
+
+  /** ROUGE-N overlap between candidate and reference texts — the
+    * n-gram-recall evaluation for generated summaries/answers against
+    * gold references (the LLM-eval companion to
+    * [[graft.ops.Profiling.ndcg]]'s retrieval grading). Per id: clipped
+    * n-gram matches `Σ_g min(count_cand(g), count_ref(g))` — the
+    * official ROUGE clipping, so repeating a reference gram ten times
+    * scores once per reference occurrence — with
+    * `precision = matched/total_cand`, `recall = matched/total_ref`,
+    * and their harmonic F1, every one a fixed-order float of exact
+    * integers (6dp). Ids present on only one side report zero totals
+    * on the other and null ratios there (0/0 is undefined, not 0).
+    *
+    * Shape: per-side explode to (id, gram) partial counts, one
+    * full-outer equi-join on (id, gram), one per-id partial-aggregable
+    * collapse. A hot id costs its own gram count; AQE splits it. With
+    * `hashed = false` (default) grams are the literal n-gram STRINGS —
+    * official ROUGE, DuckDB-replayable, but the shuffle carries ~2× the
+    * text (measured 80 s at the 10× stress corpus). `hashed = true` is
+    * the corpus-scale path: grams live in the stack's poly-hash shingle
+    * domain ([[graft.functions.NativeHashes.shingle_hashes]] — 8-byte
+    * keys on the wire, the same deliberate hash domain as MinHash;
+    * a 2⁻⁶¹-ish collision can merge two grams, and sub-n-word docs
+    * contribute one partial shingle instead of none). Scores between
+    * the two paths differ only on those documented edges.
+    * Returns `(id, n_cand, n_ref, n_match, precision, recall, f1)`. */
+  def rougeN(cand: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int, hashed: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame, out: String): DataFrame = {
+      val gs =
+        if (hashed)
+          graft.functions.NativeHashes.shingle_hashes(col(textCol), n)
+        else {
+          val ws = regexp_extract_all(lower(col(textCol)),
+            lit("[^\\s]+"), lit(0))
+          if (n == 1) ws
+          else when(size(ws) >= n,
+            transform(sequence(lit(1), size(ws) - (n - 1)),
+              i => concat_ws(" ", slice(ws, i, lit(n)))))
+            .otherwise(array().cast("array<string>"))
+        }
+      df.select(col(idCol).as("__id__"), explode(gs).as("__g__"))
+        .groupBy(col("__id__"), col("__g__"))
+        .agg(count(lit(1)).as(out))
+    }
+    val joined = grams(cand, "__c__")
+      .join(grams(ref, "__r__"), Seq("__id__", "__g__"), "full_outer")
+    val per = joined.groupBy(col("__id__"))
+      .agg(sum(coalesce(col("__c__"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("__r__"), lit(0L))).as("n_ref"),
+        sum(least(coalesce(col("__c__"), lit(0L)),
+          coalesce(col("__r__"), lit(0L)))).as("n_match"))
+    val p = col("n_match").cast("double") / col("n_cand").cast("double")
+    val r = col("n_match").cast("double") / col("n_ref").cast("double")
+    per.select(col("__id__").as(idCol), col("n_cand"), col("n_ref"),
+      col("n_match"),
+      when(col("n_cand") > 0, round(p, 6)).as("precision"),
+      when(col("n_ref") > 0, round(r, 6)).as("recall"),
+      when(col("n_cand") > 0 && col("n_ref") > 0 && col("n_match") > 0,
+        round(lit(2.0) * p * r / (p + r), 6))
+        .when(col("n_cand") > 0 && col("n_ref") > 0, lit(0.0))
+        .as("f1"))
+  }
+
   /** Deflate compression-ratio quality signal — the classic
     * repetitiveness filter (Gopher/RefinedWeb prune documents whose
     * compressed size is a small fraction of the raw size: mostly

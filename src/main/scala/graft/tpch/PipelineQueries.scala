@@ -282,6 +282,76 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // DAU/WAU stickiness per day: the q164 rolling actives with the
+    // ratio carried as exact integer micro-units
+    "q244_stickiness" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      graft.ops.EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 7)
+        .withColumn("stickiness_micro",
+          expr("dau * 1000000 div wau"))
+        .orderBy(col("day"))
+    }),
+
+    // readability: Flesch + FK grade from three exact integer counts
+    "q245_readability" -> ((s, dir) =>
+      docs(s, dir).select(Seq(col("doc_id")) ++
+          graft.ops.TextAnalysis.readability(col("text")).map {
+            case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))),
+
+    // ROUGE-2 of a deterministic "summary" (vowel-mangled text) vs the
+    // original; one-sided ids exercise the 0-total edges
+    "q246_rouge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), regexp_replace(col("text"), "e", "a")
+          .as("text"))
+      val ref = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.rougeN(cand, ref, "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // l-diversity: quasi-groups must hold >= l distinct sensitive
+    // values (NULL counts as one); rows in homogeneous groups drop
+    "q240_l_diversity" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        (col("c_nationkey") % 5).as("region_band"),
+        when(col("c_custkey") % 9 =!= 0,
+          (col("c_acctbal") > 0).cast("string")).as("solvent"))
+      Corpus.lDiversity(c, Seq("seg", "region_band"), "solvent", l = 3L)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // LSH banding sweep: measured candidate volume + analytic S-curve
+    // threshold per (bands, rows) config from ONE signature pass
+    "q241_lsh_tuning" -> ((s, dir) =>
+      Dedup.lshTuning(docs(s, dir), "doc_id", "text",
+          Seq((8, 4), (16, 2), (4, 8)))
+        .orderBy(col("bands"), col("rows_per_band"))),
+
+    // soft dedup: per-copy weight 1e6 div cluster size over the q54
+    // near-dup clusters — corpus influence of a page stays constant
+    "q242_dup_weights" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        bands = 8, rows = 4, threshold = 0.2, hashedBandKeys = false)
+      val clusters = Dedup.nearDupClusters(
+        docs(s, dir).select(col("doc_id")), "doc_id", pairs)
+      Dedup.dupWeights(clusters, "cluster")
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source percentile rank of the quality proxy: exact-integer
+    // ECDF in micro-units, ties share a rank
+    "q243_percentile_rank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("len"))
+      graft.ops.Profiling.percentileRank(d, "source", "len")
+        .orderBy(col("doc_id"))
+    }),
+
     // simplified silhouette over the q88 clustering: per-vector own vs
     // runner-up centroid distance, exact integer d2, one sqrt per side
     "q235_silhouette" -> ((s, dir) =>
@@ -2690,6 +2760,167 @@ object PipelineQueries {
         |    ELSE 0.0 END AS recall
         |FROM h LEFT JOIN nr USING (user_id)
         |ORDER BY h.user_id""".stripMargin,
+
+    "q244_stickiness" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |  FROM p GROUP BY 1),
+        |w AS (SELECT user_id, day + i AS day
+        |  FROM p CROSS JOIN range(0, 7) t(i)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        |  FROM w GROUP BY 1)
+        |SELECT dau.day, dau, wau,
+        |  (dau * 1000000) // wau AS stickiness_micro
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q245_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN ROUND(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+        |    END AS flesch,
+        |  CASE WHEN n_words > 0 THEN ROUND(
+        |    0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |    - 15.59, 6) END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q246_rouge" ->
+      """WITH cd AS (SELECT doc_id, replace(text, 'e', 'a') AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |rd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |cw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[^\s]+') AS ws FROM cd),
+        |cg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        |  FROM cw, unnest(range(1, greatest(len(ws), 1))) t(i)
+        |  WHERE len(ws) >= 2),
+        |cc AS (SELECT doc_id, g, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM cg GROUP BY 1, 2),
+        |rw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[^\s]+') AS ws FROM rd),
+        |rg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        |  FROM rw, unnest(range(1, greatest(len(ws), 1))) t(i)
+        |  WHERE len(ws) >= 2),
+        |rc AS (SELECT doc_id, g, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM rg GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(cc.doc_id, rc.doc_id) AS doc_id,
+        |    COALESCE(cc.c, 0) AS c, COALESCE(rc.c, 0) AS r
+        |  FROM cc FULL OUTER JOIN rc
+        |    ON cc.doc_id = rc.doc_id AND cc.g = rc.g),
+        |per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cand,
+        |    CAST(SUM(r) AS BIGINT) AS n_ref,
+        |    CAST(SUM(least(c, r)) AS BIGINT) AS n_match
+        |  FROM j GROUP BY 1)
+        |SELECT doc_id, n_cand, n_ref, n_match,
+        |  CASE WHEN n_cand > 0 THEN ROUND(
+        |    CAST(n_match AS DOUBLE) / n_cand, 6) END AS precision,
+        |  CASE WHEN n_ref > 0 THEN ROUND(
+        |    CAST(n_match AS DOUBLE) / n_ref, 6) END AS recall,
+        |  CASE WHEN n_cand > 0 AND n_ref > 0 AND n_match > 0
+        |    THEN ROUND(2.0 * (CAST(n_match AS DOUBLE) / n_cand)
+        |      * (CAST(n_match AS DOUBLE) / n_ref)
+        |      / ((CAST(n_match AS DOUBLE) / n_cand)
+        |        + (CAST(n_match AS DOUBLE) / n_ref)), 6)
+        |    WHEN n_cand > 0 AND n_ref > 0 THEN 0.0 END AS f1
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q240_l_diversity" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+        |    c_nationkey % 5 AS region_band,
+        |    CASE WHEN c_custkey % 9 <> 0
+        |      THEN CAST(c_acctbal > 0 AS VARCHAR) END AS solvent
+        |  FROM customer),
+        |g AS (SELECT seg, region_band,
+        |    CAST(COUNT(1) AS BIGINT) AS group_n,
+        |    CAST(COUNT(DISTINCT solvent)
+        |      + MAX(CASE WHEN solvent IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sensitive_n
+        |  FROM c GROUP BY 1, 2)
+        |SELECT c.seg, c.region_band, c.c_custkey, c.solvent,
+        |  g.group_n, g.sensitive_n
+        |FROM c JOIN g USING (seg, region_band)
+        |WHERE g.sensitive_n >= 3
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    // one 32-perm signature replay feeds every config; per config the
+    // band keys are the comma-joined slice (the gate's concat_ws keys),
+    // candidate pairs = sum of C(n,2) over buckets; thresholds are the
+    // SAME Math.pow literals the op embeds
+    "q241_lsh_tuning" -> {
+      val sh = dshingleHashes
+      val mhCols = Dedup.minhashParams(32).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"list_min(list_transform(sh, h -> (h * $a + $b) % " +
+            s"${Dedup.MinhashP})) AS mh_$i"
+      }.mkString(",\n  ")
+      val configs = Seq((8, 4), (16, 2), (4, 8))
+      val perConfig = configs.map { case (b, r) =>
+        val thresholdMicro =
+          math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6).toLong
+        val bandSelects = (0 until b).map { i =>
+          val slice = (i * r until (i + 1) * r).map(j => s"mh_$j")
+          s"SELECT $i AS band, concat_ws(',', ${slice.mkString(", ")}) " +
+            s"AS key FROM sig"
+        }.mkString("\n    UNION ALL ")
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  CAST($thresholdMicro AS BIGINT) AS threshold_micro,
+           |  CAST(COUNT(1) AS BIGINT) AS n_buckets,
+           |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+           |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+           |FROM (SELECT band, key, COUNT(1) AS n FROM (
+           |    $bandSelects
+           |  ) GROUP BY 1, 2)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sig AS (SELECT doc_id, $mhCols FROM t)
+         |SELECT * FROM ($perConfig)
+         |ORDER BY bands, rows_per_band""".stripMargin
+    },
+
+    // the q54 recursive-CC oracle extended with the per-cluster weight
+    "q242_dup_weights" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairsq
+         |  UNION ALL SELECT id_b, id_a FROM pairsq),
+         |cc(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, cc.label FROM edges e JOIN cc ON cc.id = e.d),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster
+         |  FROM cc GROUP BY id),
+         |cn AS (SELECT cluster, CAST(COUNT(1) AS BIGINT) AS cluster_n
+         |  FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster, cn.cluster_n,
+         |  CAST(1000000 // cn.cluster_n AS BIGINT) AS weight_micro
+         |FROM cl JOIN cn USING (cluster)
+         |ORDER BY cl.doc_id""".stripMargin,
+
+    "q243_percentile_rank" ->
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS len
+        |  FROM documents),
+        |pv AS (SELECT source, len, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |r AS (SELECT source, len,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY len
+        |      ROWS UNBOUNDED PRECEDING) AS le,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM pv)
+        |SELECT d.doc_id, d.source, d.len,
+        |  CAST(r.n AS BIGINT) AS group_n,
+        |  CAST((r.le * 1000000) // r.n AS BIGINT) AS cdf_micro
+        |FROM d JOIN r USING (source, len)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the kmeans CTE block ends at dd(vec_id, j, d2) = distances to the
     // FINAL centroids; own/runner-up by (d2, j) rank replays the Spark

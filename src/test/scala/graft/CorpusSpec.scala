@@ -977,4 +977,26 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("lDiversity: homogeneous groups drop, NULL sensitive is a value") {
+    val df = Seq(
+      // g1: sensitive {x, x, y, NULL} → 2 distinct + null = 3 → keep
+      (1L, Some("g1"), Some("x")), (2L, Some("g1"), Some("x")),
+      (3L, Some("g1"), Some("y")), (4L, Some("g1"), None),
+      // g2: k-anonymous but homogeneous → drop at l=3
+      (5L, Some("g2"), Some("x")), (6L, Some("g2"), Some("x")),
+      (7L, Some("g2"), Some("x")),
+      // NULL quasi group with 3 distinct sensitives → null-safe keep
+      (8L, None, Some("a")), (9L, None, Some("b")), (10L, None, Some("c")))
+      .toDF("id", "q", "s")
+    val got = Corpus.lDiversity(df, Seq("q"), "s", l = 3L).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("group_n"), r.getAs[Long]("sensitive_n")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 8L, 9L, 10L))
+    assert(got(1L) == ((4L, 3L)))
+    assert(got(8L) == ((3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Corpus.lDiversity(df, Seq("s"), "s", 2L)
+    }
+  }
 }

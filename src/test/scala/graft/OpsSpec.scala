@@ -1681,6 +1681,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lshTuning: copy-group candidate volume, analytic thresholds") {
+    // 3 copies of A, 2 of B, 1 unique C — identical texts share whole
+    // signatures, so every band holds the copy groups intact:
+    // candidates per config = bands · (C(3,2) + C(2,2... = 3 + 1) and
+    // buckets per band = 3 (assuming no cross-text band collisions,
+    // which these texts don't produce)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),
+      (6L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.lshTuning(docs, "doc_id", "text",
+        Seq((2, 2), (4, 1))).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
+        ((r.getAs[Long]("threshold_micro"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("max_bucket"),
+          r.getAs[Long]("candidate_pairs")))).toMap
+    assert(got((2, 2)) ==
+      ((math.floor(math.pow(0.5, 0.5) * 1e6).toLong, 6L, 3L, 8L)))
+    assert(got((4, 1)) == ((250000L, 12L, 3L, 16L)))
+    assert(got.size == 2)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("dupWeights: unit mass split by cluster size, null-safe key") {
+    val a = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(10L)),
+      (4L, Some(20L)), (5L, None), (6L, None))
+      .toDF("id", "cluster")
+    val got = graft.ops.Dedup.dupWeights(a, "cluster").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster_n"), r.getAs[Long]("weight_micro"))))
+      .toMap
+    assert(got(1L) == ((3L, 333333L)))
+    assert(got(4L) == ((1L, 1000000L)))
+    assert(got(5L) == ((2L, 500000L)))  // NULL cluster still groups
+    assert(got.size == 6)
+  }
+
   test("encodingAnomalies: mojibake digraphs, controls, replacement char") {
     val df = Seq(
       (1L, "clean text with tab\tand newline\n kept"),
@@ -1702,6 +1743,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 1L, true)))
     assert(got(4L) == ((0L, 1L, 0L, true)))   // 1·50 ≥ 3
     assert(got(5L) == ((0L, 1L, 0L, false)))  // 1·50 < length
+  }
+
+  test("readability: hand-computed Flesch/FK, empty text degrades") {
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, ""), (3L, "   "))
+      .toDF("id", "t")
+    val got = df.select(Seq(col("id")) ++
+        TextAnalysis.readability(col("t")).map {
+          case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"),
+          Option(r.getAs[java.lang.Double]("flesch")),
+          Option(r.getAs[java.lang.Double]("fk_grade"))))).toMap
+    // 5 words, 2 sentence runs, 5 vowel groups:
+    // 206.835 − 1.015·2.5 − 84.6·1 = 119.6975; 0.39·2.5 + 11.8 − 15.59
+    assert(got(1L) == ((5L, 2L, 5L, Some(119.6975), Some(-2.815))))
+    assert(got(2L) == ((0L, 1L, 0L, None, None)))
+    assert(got(3L) == ((0L, 1L, 0L, None, None)))
+  }
+
+  test("rougeN: clipped bigram overlap, one-sided ids, harmonic F1") {
+    val cand = Seq((1L, "a b c b c"), (2L, "x y"), (4L, "solo"))
+      .toDF("id", "t")
+    val ref = Seq((1L, "a b c d"), (3L, "p q r"), (4L, "solo"))
+      .toDF("id", "t")
+    val got = TextAnalysis.rougeN(cand, ref, "id", "t", n = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_ref"),
+          r.getAs[Long]("n_match"),
+          Option(r.getAs[java.lang.Double]("precision")),
+          Option(r.getAs[java.lang.Double]("recall")),
+          Option(r.getAs[java.lang.Double]("f1"))))).toMap
+    // cand bigrams {a b:1, b c:2, c b:1}, ref {a b, b c, c d}:
+    // clipped match 2 → p = 2/4, r = 2/3, f1 = 4/7
+    assert(got(1L) == ((4L, 3L, 2L, Some(0.5), Some(0.666667),
+      Some(0.571429))))
+    assert(got(2L) == ((1L, 0L, 0L, Some(0.0), None, None)))
+    assert(got(3L) == ((0L, 2L, 0L, None, Some(0.0), None)))
+    // single-word docs have no bigrams on either side → no row at all
+    assert(!got.contains(4L) && got.size == 3)
+  }
+
+  test("rougeN hashed ≡ exact on regular docs (the scale-path contract)") {
+    // all docs ≥ 2 words and gram-collision-free, so the poly-hash
+    // domain must reproduce the exact-string scores bit for bit
+    val cand = docs.limit(40).select(col("doc_id"),
+      regexp_replace(col("text"), "e", "a").as("text"))
+    val ref = docs.limit(40).select(col("doc_id"), col("text"))
+    val exact = TextAnalysis.rougeN(cand, ref, "doc_id", "text", n = 2)
+    val hashed = TextAnalysis.rougeN(cand, ref, "doc_id", "text", n = 2,
+      hashed = true)
+    assert(exact.exceptAll(hashed).isEmpty &&
+      hashed.exceptAll(exact).isEmpty)
   }
 
   test("srmCheck: exact chi-squared terms, missing arm counts as zero") {

@@ -412,4 +412,48 @@ class PlanSpec extends AnyFunSuite {
       assert(js.contains("partial_count"), js)
     } finally graft.ops.Caches.releaseAll()
   }
+
+  test("round-10 batch-9/10 op plans: equi-joins, partial aggs, no cartesian") {
+    import spark.implicits._
+    try {
+      // hamming near-dup: the band join must be a hash/sort-merge
+      // equi-join on (band, chunk), never a nested loop over pairs
+      val sigs = (1L to 40L).map(i => (i, i % 7, i % 11))
+        .toDF("id", "hi", "lo")
+      val hn = physicalPlan(graft.ops.Dedup.hammingNearDups(
+        sigs, "id", "hi", "lo", maxDist = 3, bands = 4))
+      assert(!hn.contains("NestedLoop") && !hn.contains("CartesianProduct"),
+        hn)
+      // blocked edit-distance: equi-join on the prefix block; the
+      // length prefilter and DP ride as post-join filters
+      val keys = (1 to 60).map(i => s"word$i").toDF("k")
+      val ed = physicalPlan(graft.ops.Fuzzy.editDistancePairs(
+        keys, "k", blockLen = 2, maxDist = 2))
+      assert(!ed.contains("NestedLoop") && !ed.contains("CartesianProduct"),
+        ed)
+      // golden record: ONE aggregation (partial+final), zero joins
+      val rows = (1L to 30L).map(i => (i, i % 5, i % 3, s"v$i"))
+        .toDF("id", "clu", "ord", "f")
+      val gr = physicalPlan(graft.ops.Fuzzy.goldenRecords(
+        rows, "clu", "ord", "id", Seq("f")))
+      assert(!gr.contains("Join"), gr)
+      assert(gr.contains("partial_"), gr)
+      // lsh tuning: no join anywhere — explode + two aggregation levels
+      val d2 = (1L to 20L).map(i => (i, s"some text number ${i % 4} here"))
+        .toDF("doc_id", "text")
+      val lt = physicalPlan(graft.ops.Dedup.lshTuning(
+        d2, "doc_id", "text", Seq((2, 2))))
+      assert(!lt.contains("Join"), lt)
+      assert(lt.contains("partial_"), lt)
+      // percentile rank: the window runs over the per-(group, value)
+      // HISTOGRAM, after a partial-aggregable collapse of the rows
+      val pr = graft.ops.Profiling.percentileRank(
+        (1L to 50L).map(i => (i, (i % 3).toString, i % 7))
+          .toDF("id", "g", "v"), "g", "v")
+      val prs = physicalPlan(pr)
+      assert(prs.contains("partial_count"), prs)
+      assert(!prs.contains("NestedLoop") && !prs.contains("CartesianProduct"),
+        prs)
+    } finally graft.ops.Caches.releaseAll()
+  }
 }

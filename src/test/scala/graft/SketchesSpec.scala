@@ -555,6 +555,29 @@ class SketchesSpec extends AnyFunSuite {
       plan)
   }
 
+  test("percentileRank: ECDF micro-units, ties share a rank, null group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("A"), 10L), (2L, Some("A"), 20L), (3L, Some("A"), 20L),
+      (4L, Some("A"), 30L),
+      (5L, None, 5L), (6L, None, 7L))
+      .toDF("id", "g", "v")
+    val got = graft.ops.Profiling.percentileRank(df, "g", "v").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("group_n"), r.getAs[Long]("cdf_micro")))).toMap
+    assert(got(1L) == ((4L, 250000L)))
+    assert(got(2L) == ((4L, 750000L)))   // ties: both 20s rank together
+    assert(got(3L) == ((4L, 750000L)))
+    assert(got(4L) == ((4L, 1000000L)))
+    assert(got(5L) == ((2L, 500000L)))   // NULL group joins null-safely
+    assert(got(6L) == ((2L, 1000000L)))
+    assert(got.size == 6)
+    intercept[IllegalArgumentException] {
+      graft.ops.Profiling.percentileRank(
+        Seq(("a", 0.5)).toDF("g", "v"), "g", "v")
+    }
+  }
+
   test("proportionTest: Wilson intervals, pooled z, per-unit OR") {
     import spark.implicits._
     // unit 13 has rows (false, true) → converts once, not twice
