@@ -1232,6 +1232,16 @@ object ScaleStress {
           splitUs = 1705708800000000L, embargoUs = 86400000000L)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q247 shape: lift table — boundary collect + one labeled
+      // histogram pass; the cumulative window rides the ≤10 bucket rows
+      timed(scale, "lift_table") {
+        val d = ev.withColumn("score_mil",
+            pmod(col("event_id") * 37 + col("user_id"), lit(1001L)))
+          .withColumn("label",
+            pmod(col("event_id") * 17, lit(1000L)) < col("score_mil"))
+        val out = graft.ops.Profiling.liftTable(d, "score_mil", "label")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q216 shape: calibration — 10-bin partial aggregate, bin-sized
       // tail
       timed(scale, "calibration") {

@@ -957,6 +957,69 @@ object Profiling {
       .drop("__g__", "__v__")
   }
 
+  /** Model-score lift/gains table — "how much better than random is
+    * targeting the top k% by score": rows are score-quantile buckets
+    * (boundaries from [[quantileBoundaries]] so populations start
+    * near-uniform), walked from the HIGHEST bucket down with cumulative
+    * counts; `gains = cum_pos / total_pos` (what share of all positives
+    * the top buckets capture) and `lift = (cum_pos·total_n) /
+    * (cum_n·total_pos)` — both formed as integer cross-products cast to
+    * double only for the final division, so engines agree to the bit.
+    * [[calibration]] asks "are the probabilities honest"; this asks the
+    * campaign question "is the RANKING useful, and how deep to go".
+    *
+    * Shape: one driver-side boundary collect (|probs| longs), one
+    * partial-aggregable per-bucket histogram pass with labels, and the
+    * cumulative window runs over the ≤ |probs|+1 bucket rows only —
+    * the [[psi]] grid discipline. Returns one row per non-empty bucket,
+    * highest scores first: `(bucket, lo, n, n_pos, cum_n, cum_pos,
+    * gains, lift)`; `lo` is the bucket's lower boundary (null for the
+    * lowest), lift null when the table has no positives at all. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      probsPct: Seq[Int] = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90))
+      : DataFrame = {
+    val t = df.schema(scoreCol).dataType
+    import org.apache.spark.sql.types._
+    require(t == ByteType || t == ShortType || t == IntegerType ||
+      t == LongType,
+      s"liftTable needs an integral score (scale to mils upstream); " +
+        s"'$scoreCol' is $t")
+    require(probsPct.nonEmpty && probsPct == probsPct.sorted &&
+      probsPct.forall(p => p > 0 && p < 100), "bad probsPct")
+    val base = df.select(col(scoreCol).cast("long").as("__s__"),
+      col(labelCol).cast("boolean").as("__y__"))
+      .filter(col("__s__").isNotNull)
+    val bs = quantileBoundaries(base, "__s__", probsPct)
+    val bucket = bs.map(b => when(col("__s__") > b, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val hist = base.withColumn("__b__", bucket)
+      .groupBy(col("__b__").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y__"), 1L).otherwise(0L)).as("n_pos"))
+    // descending walk over the ≤ |probs|+1 bucket rows; single task by
+    // design — the grid is bin-bounded at any data size
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("__tn__"),
+      sum(col("n_pos")).as("__tp__"))
+    val los = bs.sorted
+    val loCol = (2 to los.length + 1).foldLeft(lit(null).cast("long")) {
+      (acc, i) => when(col("bucket") === i, los(i - 2)).otherwise(acc)
+    }
+    hist
+      .withColumn("cum_n", sum(col("n")).over(wDesc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), loCol.as("lo"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        when(col("__tp__") > 0, round(col("cum_pos").cast("double") /
+          col("__tp__").cast("double"), 6)).as("gains"),
+        when(col("__tp__") > 0, round(
+          (col("cum_pos") * col("__tn__")).cast("double") /
+            (col("cum_n") * col("__tp__")).cast("double"), 6))
+          .as("lift"))
+  }
+
   /** Pearson correlation matrix over integral metric columns — the
     * feature-redundancy / metric-sanity profile (two quality signals
     * correlating at 0.98 measure the same thing; a guardrail metric

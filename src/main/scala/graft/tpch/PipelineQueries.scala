@@ -282,6 +282,18 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // lift/gains table over the q216 synthetic score/label: decile
+    // buckets walked top-down, integer cross-product lift
+    "q247_lift_table" -> ((s, dir) => {
+      val d = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("score_mil",
+          pmod(col("event_id") * 37 + col("user_id"), lit(1001L)))
+        .withColumn("label",
+          pmod(col("event_id") * 17, lit(1000L)) < col("score_mil"))
+      graft.ops.Profiling.liftTable(d, "score_mil", "label")
+        .orderBy(col("bucket").desc)
+    }),
+
     // DAU/WAU stickiness per day: the q164 rolling actives with the
     // ratio carried as exact integer micro-units
     "q244_stickiness" -> ((s, dir) => {
@@ -2760,6 +2772,48 @@ object PipelineQueries {
         |    ELSE 0.0 END AS recall
         |FROM h LEFT JOIN nr USING (user_id)
         |ORDER BY h.user_id""".stripMargin,
+
+    "q247_lift_table" ->
+      """WITH d AS (SELECT event_id,
+        |    (event_id * 37 + user_id) % 1001 AS s,
+        |    ((event_id * 17) % 1000) < ((event_id * 37 + user_id) % 1001)
+        |      AS y
+        |  FROM events),
+        |pv AS (SELECT s AS v, COUNT(1) AS c FROM d GROUP BY 1),
+        |cm AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM pv),
+        |tot AS (SELECT COUNT(1) AS n FROM d),
+        |bd AS (SELECT pp.p, MIN(v) AS bnd FROM cm CROSS JOIN tot
+        |  JOIN (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p)
+        |    pp ON cum * 100 >= pp.p * n
+        |  GROUP BY pp.p),
+        |bdx AS (SELECT bnd, ROW_NUMBER() OVER (ORDER BY bnd) AS r
+        |  FROM bd),
+        |hb AS (SELECT bin, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM (SELECT x.event_id, x.y,
+        |      CAST(1 + SUM(CASE WHEN x.s > bd.bnd THEN 1 ELSE 0 END)
+        |        AS INTEGER) AS bin
+        |    FROM d x CROSS JOIN bd GROUP BY x.event_id, x.y)
+        |  GROUP BY 1),
+        |t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(n_pos) AS BIGINT) AS tp FROM hb),
+        |ct AS (SELECT hb.*,
+        |    CAST(SUM(n) OVER (ORDER BY bin DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |    CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM hb)
+        |SELECT c.bin AS bucket, bdx.bnd AS lo, c.n, c.n_pos,
+        |  c.cum_n, c.cum_pos,
+        |  CASE WHEN t2.tp > 0 THEN ROUND(
+        |    CAST(c.cum_pos AS DOUBLE) / CAST(t2.tp AS DOUBLE), 6)
+        |    END AS gains,
+        |  CASE WHEN t2.tp > 0 THEN ROUND(
+        |    CAST(c.cum_pos * t2.tn AS DOUBLE)
+        |      / CAST(c.cum_n * t2.tp AS DOUBLE), 6) END AS lift
+        |FROM ct c LEFT JOIN bdx ON bdx.r = c.bin - 1 CROSS JOIN t2
+        |ORDER BY bucket DESC""".stripMargin,
 
     "q244_stickiness" ->
       """WITH p AS (SELECT DISTINCT user_id,

@@ -578,6 +578,33 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("liftTable: top-down cumulative gains and integer-exact lift") {
+    import spark.implicits._
+    // scores 1..10, positives are exactly the top half; a perfect
+    // ranking's top bucket doubles the base rate → lift 2.0
+    val df = (1L to 10L).map(s => (s, s > 5)).toDF("s", "y")
+    val got = graft.ops.Profiling.liftTable(df, "s", "y",
+        probsPct = Seq(50)).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((Option(r.getAs[java.lang.Long]("lo")).map(_.toLong),
+          r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("cum_n"), r.getAs[Long]("cum_pos"),
+          r.getAs[Double]("gains"), r.getAs[Double]("lift")))).toMap
+    assert(got(2) == ((Some(5L), 5L, 5L, 5L, 5L, 1.0, 2.0)))
+    assert(got(1) == ((None, 5L, 0L, 10L, 5L, 1.0, 1.0)))
+    assert(got.size == 2)
+    // no positives anywhere → gains/lift null, counts intact
+    val none = graft.ops.Profiling.liftTable(
+      (1L to 4L).map(s => (s, false)).toDF("s", "y"), "s", "y",
+      probsPct = Seq(50)).collect()
+    assert(none.forall(r =>
+      r.isNullAt(r.fieldIndex("lift")) && r.isNullAt(r.fieldIndex("gains"))))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profiling.liftTable(
+        Seq((0.5, true)).toDF("s", "y"), "s", "y")
+    }
+  }
+
   test("proportionTest: Wilson intervals, pooled z, per-unit OR") {
     import spark.implicits._
     // unit 13 has rows (false, true) → converts once, not twice
