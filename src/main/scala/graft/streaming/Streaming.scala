@@ -555,6 +555,67 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.liftTable]] against FROZEN
+    * bucket boundaries (the [[psiStream]] posture: quantile boundaries
+    * come from the training/baseline snapshot and stay fixed, so the
+    * monitor detects the SCORES drifting off the ranking, not the bins
+    * chasing them). Input rows are (score, label); state is the
+    * per-bucket (n, n_pos) table — O(|boundaries|+1) forever. Each
+    * micro-batch emits one row per non-empty bucket, highest first,
+    * with the batch op's exact arithmetic (integer cross-product lift,
+    * 6dp half-up), so stream ≡ batch at every prefix given the same
+    * literal boundaries (asserted in StreamingSpec); while no positive
+    * has arrived yet, nothing emits (the batch op's all-null row has no
+    * useful streaming rendering). A top-decile lift sagging toward 1.0
+    * means the model stopped ranking — pages before the campaign
+    * wastes its budget. */
+  def liftStream(rows: Dataset[(Long, Boolean)], boundaries: Seq[Long])
+      : Dataset[(Int, Long, Long, Long, Long, Double, Double)] = {
+    import rows.sparkSession.implicits._
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be non-empty and ascending")
+    val bs = boundaries.toArray
+    val nBins = bs.length + 1
+    rows.map { case (s, y) =>
+      var b = 1
+      var i = 0
+      while (i < bs.length) { if (s > bs(i)) b += 1; i += 1 }
+      (b, if (y) 1L else 0L)
+    }.groupByKey(_ => "lift")
+      .flatMapGroupsWithState[Seq[(Long, Long)],
+        (Int, Long, Long, Long, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Seq[(Long, Long)]]) =>
+          val bins = state.getOption
+            .getOrElse(Seq.fill(nBins)((0L, 0L))).toArray
+          it.foreach { case (b, y) =>
+            val (n, p) = bins(b - 1); bins(b - 1) = (n + 1, p + y)
+          }
+          state.update(bins.toSeq)
+          val tn = bins.map(_._1).sum
+          val tp = bins.map(_._2).sum
+          def rnd(x: Double) = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          var cumN = 0L
+          var cumP = 0L
+          val out = Vector.newBuilder[
+            (Int, Long, Long, Long, Long, Double, Double)]
+          var b = nBins - 1
+          while (b >= 0) {
+            val (n, p) = bins(b)
+            if (n > 0) {
+              cumN += n; cumP += p
+              if (tp > 0)
+                out += ((b + 1, n, p, cumN, cumP,
+                  rnd(cumP.toDouble / tp.toDouble),
+                  rnd((cumP * tn).toDouble / (cumN * tp).toDouble)))
+            }
+            b -= 1
+          }
+          out.result().iterator
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

@@ -574,6 +574,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("liftStream ≡ batch lift arithmetic at every prefix (frozen bins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // frozen boundary 5 → two buckets, exactly the batch spec's shape
+    val bs = Seq(5L)
+    val ms = MemoryStream[(Long, Boolean)]
+    val q = Streaming.liftStream(ms.toDS(), bs)
+      .toDF("bucket", "n", "n_pos", "cum_n", "cum_pos", "gains", "lift")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("lift_stream").start()
+    val batch1 = (1L to 10L).map(s => (s, s > 5))
+    val batch2 = Seq((3L, true), (9L, false), (10L, true))
+    def streamRows(): Map[Int, (Long, Long, Long, Long, Double, Double)] = {
+      // Update mode re-emits per batch; keep the freshest row per
+      // bucket (largest cum_n at that bucket)
+      spark.sql("SELECT * FROM lift_stream").collect()
+        .groupBy(_.getInt(0))
+        .map { case (b, rows) =>
+          val r = rows.maxBy(_.getLong(3))
+          b -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6)))
+        }
+    }
+    def batchRows(vals: Seq[(Long, Boolean)])
+        : Map[Int, (Long, Long, Long, Long, Double, Double)] = {
+      import spark.implicits._
+      // replay through the SAME frozen boundaries: bucket rows directly
+      val df = vals.toDF("s", "y")
+        .withColumn("b", when(col("s") > bs.head, 2).otherwise(1))
+      val hist = df.groupBy(col("b")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("p")).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val tn = hist.values.map(_._1).sum
+      val tp = hist.values.map(_._2).sum
+      def rnd(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var cumN = 0L; var cumP = 0L
+      (2 to 1 by -1).flatMap { b =>
+        hist.get(b).map { case (n, p) =>
+          cumN += n; cumP += p
+          b -> ((n, p, cumN, cumP, rnd(cumP.toDouble / tp),
+            rnd((cumP * tn).toDouble / (cumN * tp))))
+        }
+      }.toMap
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(streamRows() == batchRows(batch1))
+      ms.addData(batch2); q.processAllAvailable()
+      assert(streamRows() == batchRows(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
   test("trendStream final moments equal the batch OLS rational per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
