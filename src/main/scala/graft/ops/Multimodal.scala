@@ -732,6 +732,61 @@ object Multimodal {
     })
   }
 
+  final case class ImageDHash(
+      media_id: Long, width: Int, height: Int,
+      n_bits: Int, dhash_hi: Long, dhash_lo: Long, n_ones: Int)
+
+  /** Perceptual difference-hash over REAL decoded pixels — [[
+    * imageAHash]]'s standard companion: aHash thresholds each pixel
+    * against the GLOBAL mean (robust to re-encoding, blind to uniform
+    * brightness shifts only up to the mean), while dHash encodes local
+    * GRADIENTS — bit i set iff `luma_{i+1} > luma_i` over the row-major
+    * scan — so a brightness/contrast-shifted copy keeps its hash even
+    * when every absolute luma moved (monotone tone curves preserve
+    * adjacent-pixel order). Production image dedup runs both and pairs
+    * each through [[graft.ops.Dedup.hammingNearDups]]; hashes disagree
+    * on different edits. First min(64, w·h − 1) adjacent pairs, integer
+    * luma, strict comparison, the same 32-bit-halves layout. Decode
+    * failure yields the width = -1 sentinel row; a 1×1 image has 0
+    * bits. Batched `mapPartitions`, no shuffle, per-row codec CPU. */
+  def imageDHash(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.media) match {
+        case None => ImageDHash(r.media_id, -1, -1, 0, 0L, 0L, 0)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val n = w * h
+          val lumas = new Array[Long](n)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lumas(y * w + x) = (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          val nb = math.min(64, n - 1)
+          var hi = 0L
+          var lo = 0L
+          var ones = 0
+          var i = 0
+          while (i < nb) {
+            if (lumas(i + 1) > lumas(i)) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              ones += 1
+            }
+            i += 1
+          }
+          ImageDHash(r.media_id, w, h, nb, hi, lo, ones)
+      }
+    })
+  }
+
   /** REAL pixel decode + per-channel stats, batched like the other tiers:
     * parallel `mapPartitions`, no shuffle — decode cost is per-row CPU,
     * which is exactly what a 1000-executor cluster scales linearly. Rows

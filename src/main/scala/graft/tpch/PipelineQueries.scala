@@ -82,7 +82,7 @@ object PipelineQueries {
     * per-pixel integer luma, set-bit accumulation into 32-bit halves.
     * Ends at `b(doc_id, w, h, nb, hi, lo, ones)` for reuse (q221 hashes,
     * q234 Hamming pairs). */
-  private val ahashCtes: String =
+  private val lumaCtes: String =
     """px AS (SELECT doc_id,
       |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
       |    CAST((doc_id * 7) % 16 + 1 AS INTEGER) AS h
@@ -92,7 +92,9 @@ object PipelineQueries {
       |     + 587 * ((3 * doc_id + 7 * x + y) % 256)
       |     + 114 * ((5 * doc_id + x + 11 * y) % 256)) // 1000 AS luma
       |  FROM px, unnest(generate_series(0, h - 1)) AS uy(y),
-      |    unnest(generate_series(0, w - 1)) AS ux(x)),
+      |    unnest(generate_series(0, w - 1)) AS ux(x))""".stripMargin
+
+  private val ahashCtes: String = s"""$lumaCtes,
       |s AS (SELECT doc_id, w, h, SUM(luma) AS sl, COUNT(1) AS n
       |  FROM pp GROUP BY 1, 2, 3),
       |b AS (SELECT pp.doc_id, s.w, s.h,
@@ -423,6 +425,14 @@ object PipelineQueries {
           "event_type", peakPerMinute = 3L, minEvents = 100L)
         .orderBy(col("user_id"))
     }),
+
+    // difference-hash twin of q221: adjacent-luma gradient bits from
+    // the same real PNG decodes, exact integer comparisons
+    "q248_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(
+        Multimodal.withSyntheticImage(docs(s, dir), "doc_id")).toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
 
     // Hamming near-dup pairing over the q221 perceptual hashes:
     // complete 4-band blocking within (width, height), dist <= 3
@@ -3107,6 +3117,33 @@ object PipelineQueries {
         |   OR (r.n_events >= 100 AND t.n_types = 1)) AS bot
         |FROM r JOIN t USING (user_id)
         |ORDER BY r.user_id""".stripMargin,
+
+    // the q221 pixel-formula replay restricted to the luma CTEs; bits
+    // come from adjacent (i, i+1) pairs, LEFT JOIN so a 1x1 image keeps
+    // its zero-bit row
+    "q248_image_dhash" ->
+      s"""WITH $lumaCtes,
+         |nn AS (SELECT doc_id, w, h, COUNT(1) AS n
+         |  FROM pp GROUP BY 1, 2, 3),
+         |pr AS (SELECT a.doc_id, a.i, a.luma AS la, b.luma AS lb
+         |  FROM pp a JOIN pp b
+         |    ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |bits AS (SELECT nn.doc_id, nn.w, nn.h,
+         |    LEAST(64, nn.n - 1) AS nb,
+         |    COALESCE(SUM(CASE WHEN pr.i >= 32
+         |      AND pr.i < LEAST(64, nn.n - 1) AND pr.lb > pr.la
+         |      THEN (CAST(1 AS BIGINT) << (pr.i - 32)) ELSE 0 END), 0)
+         |      AS hi,
+         |    COALESCE(SUM(CASE WHEN pr.i < 32 AND pr.lb > pr.la
+         |      THEN (CAST(1 AS BIGINT) << pr.i) ELSE 0 END), 0) AS lo,
+         |    COALESCE(SUM(CASE WHEN pr.i < LEAST(64, nn.n - 1)
+         |      AND pr.lb > pr.la THEN 1 ELSE 0 END), 0) AS ones
+         |  FROM nn LEFT JOIN pr ON pr.doc_id = nn.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, w AS width, h AS height,
+         |  CAST(nb AS INTEGER) AS n_bits, CAST(hi AS BIGINT) AS dhash_hi,
+         |  CAST(lo AS BIGINT) AS dhash_lo, CAST(ones AS INTEGER) AS n_ones
+         |FROM bits ORDER BY doc_id""".stripMargin,
 
     "q234_ahash_neardup" ->
       s"""WITH $ahashCtes,

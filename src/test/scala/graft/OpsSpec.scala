@@ -1382,6 +1382,43 @@ class OpsSpec extends AnyFunSuite {
     assert(hashes.sorted == Seq(2, 2))
   }
 
+  test("imageDHash: decode matches the formula; brightness-shift invariant") {
+    val media = Multimodal.withSyntheticImage(
+      Seq(5L, 12L, 16L).toDF("doc_id"), "doc_id")  // 16 → 1×1 image
+    val got = Multimodal.imageDHash(media).collect()
+      .map(r => r.media_id -> r).toMap
+    def lumasOf(id: Long): (Int, Int, IndexedSeq[Long]) = {
+      val w = (id % 16 + 1).toInt
+      val h = (id * 7 % 16 + 1).toInt
+      (w, h, for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = Multimodal.synthPixel(id, x, y)
+        (299L * r + 587L * g + 114L * b) / 1000L
+      })
+    }
+    def hash(lumas: IndexedSeq[Long]): (Int, Long, Long, Int) = {
+      val nb = math.min(64, lumas.length - 1)
+      var hi = 0L; var lo = 0L; var ones = 0
+      for (i <- 0 until nb if lumas(i + 1) > lumas(i)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        ones += 1
+      }
+      (nb, hi, lo, ones)
+    }
+    Seq(5L, 12L, 16L).foreach { id =>
+      val (w, h, ls) = lumasOf(id)
+      val r = got(id)
+      assert((r.width, r.height) == ((w, h)), s"id $id")
+      assert((r.n_bits, r.dhash_hi, r.dhash_lo, r.n_ones) == hash(ls),
+        s"id $id")
+    }
+    // the dHash property aHash lacks: a global brightness shift keeps
+    // every gradient bit (adjacent-order is preserved)
+    val (_, _, ls) = lumasOf(5L)
+    assert(hash(ls) == hash(ls.map(_ + 37L)))
+    // 1×1 image: zero comparable pairs, well-defined zero hash
+    assert(got(16L).n_bits == 0 && got(16L).n_ones == 0)
+  }
+
   test("videoSceneChanges: container walk matches the frame-byte formula") {
     val media = Multimodal.withSyntheticAvi(
       Seq(2L, 9L, 7L).toDF("doc_id"), "doc_id") // 7L: n=1, no transitions
