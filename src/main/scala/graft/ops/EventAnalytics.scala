@@ -295,6 +295,46 @@ object EventAnalytics {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Autocorrelation function of each group's bucketed event-count
+    * series at lags 1..`maxLag` — the seasonality detector (a daily
+    * cycle shows as a peak at lag 24 on hourly buckets; white noise
+    * hovers near 0): Pearson r between the zero-filled series and its
+    * lag-shifted self, one row per (group, lag). Missing buckets COUNT
+    * AS ZERO via [[densify]] — computing ACF only over observed buckets
+    * silently deletes the silence that drives the correlation.
+    *
+    * Shape: one bucketed pre-aggregation, the densify grid, a `maxLag`-
+    * way bounded explode, and ONE self-equi-join on (group, bucket+lag)
+    * — all partial-aggregable, hash-partitioned on the group key; a
+    * 1000× longer history costs 1000× rows, nothing quadratic. Moments
+    * are exact 64-bit integers; only the final
+    * `num / sqrt(dx·dy)` (identical IEEE shape in the oracle) is float.
+    * r is null when either side has zero variance. */
+  def acf(events: DataFrame, groupCol: String, tsCol: String,
+      maxLag: Int = 3, bucketMicros: Long = 3600000000L): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dense = densify(events, groupCol, tsCol, bucketMicros)
+    val a = dense.select(col(groupCol), col("bucket"), col("n").as("x"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val b = dense.select(col(groupCol).as("__g__"),
+      col("bucket").as("__b__"), col("n").as("y"))
+    val m = a.join(b, col(groupCol) === col("__g__") &&
+        col("__b__") === col("bucket") + col("lag"))
+      .groupBy(col(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val dx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    m.select(col(groupCol), col("lag"), col("n_pairs"),
+      when(dx > 0 && dy > 0,
+        num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double"))).as("r"))
+  }
+
   /** Interval coalescing (gaps-and-islands): merge each key's
     * overlapping-or-touching `[start, end)` intervals into maximal
     * disjoint islands — session spans from raw visit intervals,

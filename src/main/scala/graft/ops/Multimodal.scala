@@ -434,6 +434,53 @@ object Multimodal {
     })
   }
 
+  /** Channel-0 PCM hygiene counters; `sample_rate` = -1 when the payload
+    * did not decode. All integers — exactly replayable. */
+  final case class AudioQuality(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      n_clipped: Long, n_silent: Long, peak_abs: Long,
+      sum_sq: Long, dc_sum: Long)
+
+  /** Audio hygiene gate over REAL PCM decodes — the signals a speech/
+    * audio training pipeline filters on BEFORE feature extraction:
+    * clipping (|s| ≥ `clipLevel` — distorted takes), silence fraction
+    * (|s| ≤ `silenceLevel` — dead air / truncated uploads), peak
+    * amplitude, exact energy `Σ s²`, and the DC offset `Σ s` (a non-zero
+    * mean betrays a miswired ADC). Channel 0 only, like
+    * [[audioFingerprint]]; everything is exact 64-bit integer arithmetic
+    * (a 16-bit sample squares to < 2³⁰, so > 2³³ samples per file would
+    * be needed to overflow). Decode failure yields the rate = -1
+    * sentinel. Batched `mapPartitions`, no shuffle, per-row codec CPU —
+    * linear across executors at any scale. */
+  def audioQuality(media: Dataset[MediaRecord], clipLevel: Int = 32760,
+      silenceLevel: Int = 100): Dataset[AudioQuality] = {
+    import media.sparkSession.implicits._
+    require(clipLevel > silenceLevel,
+      s"clipLevel $clipLevel must exceed silenceLevel $silenceLevel")
+    media.mapPartitions(_.map { r =>
+      AudioCodec.decodePcm(r.media) match {
+        case None => AudioQuality(r.media_id, -1, -1L, 0L, 0L, 0L, 0L, 0L)
+        case Some((rate, channels, chans)) =>
+          val s = if (channels > 0) chans(0) else Array.empty[Int]
+          var clipped = 0L; var silent = 0L; var peak = 0L
+          var sumSq = 0L; var dc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            if (a >= clipLevel) clipped += 1
+            if (a <= silenceLevel) silent += 1
+            if (a > peak) peak = a
+            sumSq += v * v
+            dc += v
+            i += 1
+          }
+          AudioQuality(r.media_id, rate, s.length.toLong,
+            clipped, silent, peak, sumSq, dc)
+      }
+    })
+  }
+
   @inline def synthSample(id: Long, i: Int, c: Int): Int =
     (((id * 31 + i.toLong * 7 + c.toLong * 13) % 4001) - 2000).toInt
 
@@ -783,6 +830,95 @@ object Multimodal {
             i += 1
           }
           ImageDHash(r.media_id, w, h, nb, hi, lo, ones)
+      }
+    })
+  }
+
+  /** Q14 fixed-point 8-point DCT-II basis: `round(16384·cos((2x+1)uπ/16))`
+    * for u,x ∈ 0..7 — pinned INTEGERS so [[imagePHash]] is deterministic
+    * across JVMs and exactly replayable by a SQL oracle (the q252 oracle
+    * inlines this very table as a VALUES list; float cosines would make
+    * the hash platform-defined). */
+  val DctQ14: Array[Array[Long]] = Array.tabulate(8, 8)((u, x) =>
+    math.round(16384.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)))
+
+  final case class ImagePHash(
+      media_id: Long, width: Int, height: Int,
+      phash_hi: Long, phash_lo: Long, n_ones: Int)
+
+  /** Perceptual DCT-hash over REAL decoded pixels — the third and most
+    * robust tier of the perceptual trio ([[imageAHash]] = global mean,
+    * [[imageDHash]] = local gradients, pHash = FREQUENCY structure): a
+    * rescaled/re-encoded/smoothed copy keeps its low-frequency DCT
+    * spectrum even when every pixel changed. Per image: nearest-neighbor
+    * downsample to 8×8 (`src = (i·dim) / 8` integer division — exact,
+    * no interpolation float), integer luma, 2-D DCT-II with the pinned
+    * [[DctQ14]] Q14 basis (all products in 64-bit integers: |coef| ≤
+    * 255·16384²·64 < 2⁶³), then bit p−1 set (p = v·8+u ∈ 1..63, DC
+    * skipped) iff `coef(u,v) > median` of the 63 AC coefficients — the
+    * 32nd order statistic, well-defined since 63 is odd. Ships as 31+32
+    * bit halves; pairs through [[graft.ops.Dedup.hammingNearDups]] like
+    * the other two. Decode failure yields the width = -1 sentinel.
+    * Batched `mapPartitions`, no shuffle, per-row codec CPU. */
+  def imagePHash(media: Dataset[MediaRecord]): Dataset[ImagePHash] = {
+    import media.sparkSession.implicits._
+    val t = DctQ14
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.media) match {
+        case None => ImagePHash(r.media_id, -1, -1, 0L, 0L, 0)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          // nearest-neighbor 8×8 luma: L8(col i, row j)
+          val l8 = Array.ofDim[Long](8, 8)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val rgb = img.getRGB(i * w / 8, j * h / 8)
+              l8(i)(j) = (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              i += 1
+            }
+            j += 1
+          }
+          // coef(u,v) = Σ_i Σ_j L8(i,j)·T(u,i)·T(v,j)
+          val coef = new Array[Long](64)
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              var acc = 0L
+              var ii = 0
+              while (ii < 8) {
+                var jj = 0
+                while (jj < 8) {
+                  acc += l8(ii)(jj) * t(u)(ii) * t(v)(jj)
+                  jj += 1
+                }
+                ii += 1
+              }
+              coef(v * 8 + u) = acc
+              u += 1
+            }
+            v += 1
+          }
+          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+          java.util.Arrays.sort(ac)
+          val median = ac(31) // 32nd smallest of 63
+          var hi = 0L
+          var lo = 0L
+          var ones = 0
+          var p = 1
+          while (p < 64) {
+            if (coef(p) > median) {
+              val b = p - 1
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              ones += 1
+            }
+            p += 1
+          }
+          ImagePHash(r.media_id, w, h, hi, lo, ones)
       }
     })
   }

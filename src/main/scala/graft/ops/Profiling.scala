@@ -511,6 +511,29 @@ object Profiling {
       .select(col(keyCol), col("n"), col("rank"), col("hot"))
   }
 
+  /** Herfindahl–Hirschman concentration of `keyCol` within each group —
+    * the single-number "is this slice dominated by one source?" audit
+    * next to [[keySkew]]'s per-key view: HHI = Σ share² ∈ (0, 1], 1 =
+    * monopoly, 1/k = k equal sources. A language whose corpus is 95%
+    * one crawl domain is a diversity risk no mean quality score shows.
+    *
+    * Two stacked partial-aggregable groupBys (rows → (group, key)
+    * counts → group), both hash-partitioned; every moment is an exact
+    * 64-bit integer (`Σc²` ≤ n² needs n < 3·10⁹ rows per group — beyond
+    * that feed pre-aggregated counts). Only the final `sum_sq/n²`
+    * division is float, same IEEE shape in the oracle. Returns (group,
+    * n, n_keys, max_count, sum_sq_counts, hhi). */
+  def hhi(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__c__"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c__")).as("n"),
+        count(lit(1)).as("n_keys"),
+        max(col("__c__")).as("max_count"),
+        sum(col("__c__") * col("__c__")).as("sum_sq_counts"))
+      .withColumn("hhi", col("sum_sq_counts").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+
   /** Discrete power-law exponent fit per key — the Zipf/heavy-tail
     * diagnostic for degree, token-frequency, and per-entity activity
     * distributions (is this feed organic ~2–3, or bot-flattened?).

@@ -1,6 +1,6 @@
 package graft.tpch
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Clustering, Corpus, Dedup, EventAnalytics, Incremental, Similarity, TextAnalysis, Multimodal}
 
@@ -20,6 +20,26 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic messy URL per doc — every canonicalization case the
+    * q250 contract covers (case-mixed host, www, default/non-default
+    * ports matched to the scheme, duplicate slashes, trailing slash,
+    * tracking params, fragments), replayed verbatim by the oracle CTE. */
+  private def synthUrl(id: Column): Column = {
+    val scheme = when(id % 3 === 0, lit("https")).otherwise(lit("http"))
+    val www    = when(id % 2 === 0, lit("WWW.")).otherwise(lit(""))
+    val dom = concat(lit("Site"), (id % 5).cast("string"), lit(".Example."),
+      when(id % 2 === 0, lit("com")).otherwise(lit("org")))
+    val port = when(id % 4 === 1,
+        when(id % 3 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(id % 4 === 2, lit(":8080")).otherwise(lit(""))
+    val pathTail = when(id % 2 === 0, lit("/")).otherwise(lit(""))
+    val qs = when(id % 3 === 0, lit("?utm_source=x&b=2&a=1"))
+      .when(id % 3 === 1, lit("?gclid=1&z=9")).otherwise(lit(""))
+    val frag = when(id % 2 === 0, lit("#top")).otherwise(lit(""))
+    concat(scheme, lit("://"), www, dom, port, lit("//a/"),
+      (id % 7).cast("string"), pathTail, qs, frag)
+  }
 
   /** Gate export of an array column as a space-joined string — the
     * Verify contract bans container-typed exports (the driver's checker
@@ -93,6 +113,61 @@ object PipelineQueries {
       |     + 114 * ((5 * doc_id + x + 11 * y) % 256)) // 1000 AS luma
       |  FROM px, unnest(generate_series(0, h - 1)) AS uy(y),
       |    unnest(generate_series(0, w - 1)) AS ux(x))""".stripMargin
+
+  /** DuckDB replay of [[synthUrl]] + [[graft.ops.UrlOps.canonicalize]] +
+    * registrable-domain extraction, step-chained CTEs ending at
+    * `dom(doc_id, lang, n_chars, url, canonical, hostonly, domain)`. */
+  private val urlCanonCtes: String =
+    """su AS (SELECT doc_id, lang, n_chars,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN
+      |        (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END)
+      |      WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) ||
+      |    '//a/' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+      |      WHEN doc_id % 3 = 1 THEN '?gclid=1&z=9' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM documents),
+      |u1 AS (SELECT *, split_part(url, '#', 1) AS nf FROM su),
+      |u2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS scheme,
+      |    substr(nf, length(split_part(nf, '://', 1)) + 4) AS rest FROM u1),
+      |u3 AS (SELECT *, split_part(rest, '/', 1) AS auth,
+      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      |  FROM u2),
+      |u4 AS (SELECT *, CASE WHEN starts_with(lower(auth), 'www.')
+      |    THEN substr(lower(auth), 5) ELSE lower(auth) END AS nw FROM u3),
+      |u5 AS (SELECT *, CASE
+      |    WHEN scheme = 'http' AND ends_with(nw, ':80')
+      |      THEN substr(nw, 1, length(nw) - 3)
+      |    WHEN scheme = 'https' AND ends_with(nw, ':443')
+      |      THEN substr(nw, 1, length(nw) - 4)
+      |    ELSE nw END AS host FROM u4),
+      |u6 AS (SELECT *, split_part(pathq, '?', 1) AS pathraw FROM u5),
+      |u7 AS (SELECT *, CASE WHEN length(pathq) > length(pathraw)
+      |      THEN substr(pathq, length(pathraw) + 2) ELSE '' END AS qry,
+      |    regexp_replace(pathraw, '/+', '/', 'g') AS collapsed FROM u6),
+      |u8 AS (SELECT *, CASE WHEN collapsed = '' THEN '/'
+      |    ELSE collapsed END AS path0 FROM u7),
+      |u9 AS (SELECT *, CASE WHEN length(path0) > 1 AND ends_with(path0, '/')
+      |      THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+      |    list_sort(list_filter(string_split(qry, '&'), t -> t <> ''
+      |      AND NOT starts_with(split_part(t, '=', 1), 'utm_')
+      |      AND NOT list_contains(
+      |        ['gclid', 'fbclid', 'msclkid', 'ref', 'igshid'],
+      |        split_part(t, '=', 1)))) AS kept FROM u8),
+      |canon AS (SELECT doc_id, lang, n_chars, url,
+      |    scheme || '://' || host || path ||
+      |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+      |      ELSE '' END) AS canonical,
+      |    split_part(host, ':', 1) AS hostonly FROM u9),
+      |dom AS (SELECT *, (CASE WHEN len(string_split(hostonly, '.')) >= 2
+      |    THEN string_split(hostonly, '.')[-2] || '.' ||
+      |      string_split(hostonly, '.')[-1]
+      |    ELSE hostonly END) AS domain FROM canon)""".stripMargin
 
   private val ahashCtes: String = s"""$lumaCtes,
       |s AS (SELECT doc_id, w, h, SUM(luma) AS sl, COUNT(1) AS n
@@ -433,6 +508,57 @@ object PipelineQueries {
         Multimodal.withSyntheticImage(docs(s, dir), "doc_id")).toDF()
         .withColumnRenamed("media_id", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // audio hygiene gate over real WAV/PCM decodes: clipping, silence,
+    // peak, exact energy, DC offset — all integers vs the sample formula
+    "q249_audio_quality" -> ((s, dir) =>
+      Multimodal.audioQuality(
+        Multimodal.withSyntheticWavPcm(docs(s, dir), "doc_id"),
+        clipLevel = 1800, silenceLevel = 150).toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // DCT perceptual hash (third tier after aHash/dHash): integer Q14
+    // basis, nearest-neighbor 8x8 downsample, median-of-AC threshold
+    "q252_image_phash" -> ((s, dir) =>
+      Multimodal.imagePHash(
+        Multimodal.withSyntheticImage(docs(s, dir), "doc_id")).toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // URL canonicalization over deterministic messy URLs: fragment /
+    // case / www / default-port / dup-slash / tracking-param / param-
+    // order collapse, plus registrable-domain extraction
+    "q250_url_canonicalize" -> ((s, dir) => {
+      val id  = col("doc_id")
+      val u   = docs(s, dir).select(id, synthUrl(id).as("url"))
+      val can = graft.ops.UrlOps.canonicalize(col("url"))
+      u.select(id, col("url"), can.as("canonical"),
+          graft.ops.UrlOps.registrableDomain(can).as("domain"))
+        .orderBy(id)
+    }),
+
+    // per-registrable-domain crawl rollup over the canonical URLs
+    "q251_domain_rollup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        synthUrl(col("doc_id")).as("url"), col("lang"), col("n_chars"))
+      graft.ops.UrlOps.domainRollup(d, "url", "lang", "n_chars")
+        .orderBy(col("domain"))
+    }),
+
+    // autocorrelation of the hourly event-count series per type at
+    // lags 1..3 — the seasonality detector over the densified grid
+    "q253_acf" -> ((s, dir) =>
+      graft.ops.EventAnalytics.acf(
+        graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts",
+        maxLag = 3)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // Herfindahl source concentration per language: exact integer
+    // moments, the corpus-diversity audit
+    "q254_hhi" -> ((s, dir) =>
+      graft.ops.Profiling.hhi(docs(s, dir), "lang", "source")
+        .orderBy(col("lang"))),
 
     // Hamming near-dup pairing over the q221 perceptual hashes:
     // complete 4-band blocking within (width, height), dist <= 3
@@ -3144,6 +3270,118 @@ object PipelineQueries {
          |  CAST(nb AS INTEGER) AS n_bits, CAST(hi AS BIGINT) AS dhash_hi,
          |  CAST(lo AS BIGINT) AS dhash_lo, CAST(ones AS INTEGER) AS n_ones
          |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "q249_audio_quality" ->
+      """WITH sm AS (SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 7) % 4001) - 2000 AS v
+        |  FROM documents, unnest(generate_series(0, 63)) AS u(i))
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(64 AS BIGINT) AS n_samples,
+        |  CAST(SUM(CASE WHEN ABS(v) >= 1800 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(SUM(CASE WHEN ABS(v) <= 150 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(v) AS BIGINT) AS dc_sum
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the q221 pixel formula downsampled 8x8 nearest-neighbor, 2-D
+    // DCT-II against the SAME pinned Q14 integer basis the Scala op
+    // uses (inlined as VALUES — single source of truth), median-of-AC
+    // threshold replayed through the rank-32 order statistic
+    "q252_image_phash" -> {
+      val tvals = (for {
+        u <- 0 until 8; x <- 0 until 8
+      } yield s"(${u}, ${x}, ${graft.ops.Multimodal.DctQ14(u)(x)})")
+        .mkString(", ")
+      s"""WITH $lumaCtes,
+         |t(u, x, c) AS (SELECT * FROM (VALUES $tvals)),
+         |d8 AS (SELECT px.doc_id, gx.xi, gy.yj, p.luma
+         |  FROM px, unnest(generate_series(0, 7)) AS gx(xi),
+         |    unnest(generate_series(0, 7)) AS gy(yj), pp p
+         |  WHERE p.doc_id = px.doc_id
+         |    AND p.i = ((gy.yj * px.h) // 8) * px.w + ((gx.xi * px.w) // 8)),
+         |c AS (SELECT d8.doc_id, tu.u AS u, tv.u AS v,
+         |    SUM(d8.luma * tu.c * tv.c) AS coef
+         |  FROM d8 JOIN t tu ON tu.x = d8.xi JOIN t tv ON tv.x = d8.yj
+         |  GROUP BY 1, 2, 3),
+         |ac AS (SELECT doc_id, coef,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY coef, v * 8 + u) AS rn
+         |  FROM c WHERE NOT (u = 0 AND v = 0)),
+         |med AS (SELECT doc_id, coef AS m FROM ac WHERE rn = 32),
+         |bits AS (SELECT c.doc_id,
+         |    SUM(CASE WHEN c.coef > med.m AND c.v * 8 + c.u - 1 >= 32
+         |      THEN (CAST(1 AS BIGINT) << (c.v * 8 + c.u - 33))
+         |      ELSE 0 END) AS hi,
+         |    SUM(CASE WHEN c.coef > med.m AND c.v * 8 + c.u - 1 < 32
+         |      THEN (CAST(1 AS BIGINT) << (c.v * 8 + c.u - 1))
+         |      ELSE 0 END) AS lo,
+         |    SUM(CASE WHEN c.coef > med.m THEN 1 ELSE 0 END) AS ones
+         |  FROM c JOIN med USING (doc_id)
+         |  WHERE NOT (c.u = 0 AND c.v = 0)
+         |  GROUP BY 1)
+         |SELECT px.doc_id, px.w AS width, px.h AS height,
+         |  CAST(b.hi AS BIGINT) AS phash_hi, CAST(b.lo AS BIGINT) AS phash_lo,
+         |  CAST(b.ones AS INTEGER) AS n_ones
+         |FROM px JOIN bits b ON b.doc_id = px.doc_id
+         |ORDER BY px.doc_id""".stripMargin
+    },
+
+    "q250_url_canonicalize" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, url, canonical, domain FROM dom
+         |ORDER BY doc_id""".stripMargin,
+
+    "q251_domain_rollup" ->
+      s"""WITH $urlCanonCtes
+         |SELECT domain, COUNT(1) AS n_pages,
+         |  COUNT(DISTINCT hostonly) AS n_hosts,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM dom GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q253_acf" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |  FROM g GROUP BY 1),
+        |grid AS (SELECT r.event_type, u.b AS bucket
+        |  FROM r, unnest(generate_series(r.lo, r.hi)) AS u(b)),
+        |dense AS (SELECT grid.event_type, grid.bucket,
+        |    COALESCE(g.n, 0) AS n
+        |  FROM grid LEFT JOIN g ON g.event_type = grid.event_type
+        |    AND g.bucket = grid.bucket),
+        |al AS (SELECT event_type, bucket, n, u.lag
+        |  FROM dense, unnest(generate_series(1, 3)) AS u(lag)),
+        |pairs AS (SELECT al.event_type, al.lag, al.n AS x, b.n AS y
+        |  FROM al JOIN dense b ON b.event_type = al.event_type
+        |    AND b.bucket = al.bucket + al.lag),
+        |m AS (SELECT event_type, lag, COUNT(1) AS np,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+        |    THEN CAST(np * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(np * sxx - sx * sx AS DOUBLE) *
+        |           CAST(np * syy - sy * sy AS DOUBLE))
+        |  END AS r
+        |FROM m ORDER BY 1, 2""".stripMargin,
+
+    "q254_hhi" ->
+      """WITH c AS (SELECT lang, source, COUNT(1) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(COUNT(1) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_count,
+        |  CAST(SUM(c * c) AS BIGINT) AS sum_sq_counts,
+        |  CAST(SUM(c * c) AS DOUBLE) /
+        |    (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS hhi
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q234_ahash_neardup" ->
       s"""WITH $ahashCtes,

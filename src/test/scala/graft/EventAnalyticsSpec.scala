@@ -342,6 +342,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("b", 5L) -> 4L))
   }
 
+  test("acf: alternating series gives r = -1/+1/-1 at lags 1/2/3; " +
+    "constant series has null r; silence counts as zero") {
+    // a: one event at even hours 0,2,4,6 → densified [1,0,1,0,1,0,1]
+    //    (the zero hours NEVER appear as rows — only densify sees them)
+    val ev = hourEvents(Seq(("a", 0, 1), ("a", 2, 1), ("a", 4, 1),
+      ("a", 6, 1), ("c", 0, 1), ("c", 1, 1), ("c", 2, 1), ("c", 3, 1)))
+    val got = EventAnalytics.acf(ev, "g", "ts", maxLag = 3)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("lag")) ->
+        (r.getAs[Long]("n_pairs"), Option(r.getAs[java.lang.Double]("r"))))
+      .toMap
+    assert(got(("a", 1)) == ((6L, Some(-1.0))))
+    assert(got(("a", 2)) == ((5L, Some(1.0))))
+    assert(got(("a", 3)) == ((4L, Some(-1.0))))
+    // c is constant 1/hour: zero variance on both sides → null r
+    assert(got(("c", 1)) == ((3L, None)))
+  }
+
   test("anomalousBuckets moments join broadcasts; grid agg is partial") {
     val ev = hourEvents(Seq(("a", 0, 2), ("a", 1, 3), ("b", 0, 1)))
     val plan = EventAnalytics.anomalousBuckets(ev, "g", "ts")

@@ -1419,6 +1419,86 @@ class OpsSpec extends AnyFunSuite {
     assert(got(16L).n_bits == 0 && got(16L).n_ones == 0)
   }
 
+  test("imagePHash: decode matches the integer-DCT formula; " +
+    "brightness-shift invariant; flat image hashes to zero") {
+    val ids = Seq(5L, 12L, 16L)
+    val media = Multimodal.withSyntheticImage(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.imagePHash(media).collect()
+      .map(r => r.media_id -> r).toMap
+    val t = Multimodal.DctQ14
+    def lumaAt(id: Long, x: Int, y: Int): Long = {
+      val (r, g, b) = Multimodal.synthPixel(id, x, y)
+      (299L * r + 587L * g + 114L * b) / 1000L
+    }
+    def hash(l8: (Int, Int) => Long): (Long, Long, Int) = {
+      val coef = Array.tabulate(64) { p =>
+        val u = p % 8; val v = p / 8
+        (for (i <- 0 until 8; j <- 0 until 8)
+          yield l8(i, j) * t(u)(i) * t(v)(j)).sum
+      }
+      val med = coef.drop(1).sorted.apply(31)
+      var hi = 0L; var lo = 0L; var ones = 0
+      for (p <- 1 until 64 if coef(p) > med) {
+        if (p - 1 < 32) lo |= 1L << (p - 1) else hi |= 1L << (p - 33)
+        ones += 1
+      }
+      (hi, lo, ones)
+    }
+    ids.foreach { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id * 7 % 16 + 1).toInt
+      val r = got(id)
+      val (hi, lo, ones) =
+        hash((i, j) => lumaAt(id, i * w / 8, j * h / 8))
+      assert((r.width, r.height) == ((w, h)), s"id $id")
+      assert((r.phash_hi, r.phash_lo, r.n_ones) == ((hi, lo, ones)),
+        s"id $id")
+    }
+    // frequency-domain property: a global brightness shift moves ONLY
+    // the DC coefficient (every AC basis row of the pinned Q14 table
+    // sums to exactly 0), so the hash is bit-identical
+    val w5 = (5L % 16 + 1).toInt; val h5 = (5L * 7 % 16 + 1).toInt
+    (1 until 8).foreach(u => assert(t(u).sum == 0L, s"basis row $u"))
+    assert(hash((i, j) => lumaAt(5L, i * w5 / 8, j * h5 / 8)) ==
+      hash((i, j) => lumaAt(5L, i * w5 / 8, j * h5 / 8) + 37L))
+    // a flat image has every AC coefficient 0: strict > median keeps
+    // all 63 bits clear
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val flat = Seq(Multimodal.MediaRecord(99L,
+      Multimodal.ImageCodec.encodePng(img), "png", 0L)).toDS()
+    val fr = Multimodal.imagePHash(flat).collect().head
+    assert((fr.phash_hi, fr.phash_lo, fr.n_ones) == ((0L, 0L, 0)))
+    // non-decodable payload yields the sentinel row
+    val bad = Seq(Multimodal.MediaRecord(7L,
+      Array[Byte](1, 2, 3), "junk", 3L)).toDS()
+    assert(Multimodal.imagePHash(bad).collect().head.width == -1)
+  }
+
+  test("audioQuality: clipping/silence/peak/energy match the formula") {
+    val media = Multimodal.withSyntheticWavPcm(
+      Seq(3L, 8L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioQuality(media, clipLevel = 1800,
+      silenceLevel = 150).collect().map(r => r.media_id -> r).toMap
+    Seq(3L, 8L).foreach { id =>
+      val s = (0 until 64).map(i => Multimodal.synthSample(id, i, 0).toLong)
+      val r = got(id)
+      assert(r.sample_rate == 8000 && r.n_samples == 64L, s"id $id")
+      assert(r.n_clipped == s.count(v => math.abs(v) >= 1800), s"id $id")
+      assert(r.n_silent == s.count(v => math.abs(v) <= 150), s"id $id")
+      assert(r.peak_abs == s.map(math.abs).max, s"id $id")
+      assert(r.sum_sq == s.map(v => v * v).sum, s"id $id")
+      assert(r.dc_sum == s.sum, s"id $id")
+    }
+    // non-audio payload yields the sentinel row
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRecord(1L,
+      Array[Byte](9, 9, 9), "junk", 3L)).toDS()
+    assert(Multimodal.audioQuality(bad).collect().head.sample_rate == -1)
+  }
+
   test("videoSceneChanges: container walk matches the frame-byte formula") {
     val media = Multimodal.withSyntheticAvi(
       Seq(2L, 9L, 7L).toDF("doc_id"), "doc_id") // 7L: n=1, no transitions

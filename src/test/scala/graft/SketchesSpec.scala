@@ -185,6 +185,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("s3") == ((1L, 1L, 0L, false)))
   }
 
+  test("hhi: equal split = 1/k, monopoly = 1, exact integer moments") {
+    val df = Seq(
+      ("en", "s1"), ("en", "s1"), ("en", "s2"), ("en", "s2"),
+      ("fr", "s1"), ("fr", "s1"), ("fr", "s1"))
+      .toDF("lang", "source")
+    val got = graft.ops.Profiling.hhi(df, "lang", "source")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n") == 4L && en.getAs[Long]("n_keys") == 2L)
+    assert(en.getAs[Long]("max_count") == 2L)
+    assert(en.getAs[Long]("sum_sq_counts") == 8L)
+    assert(en.getAs[Double]("hhi") == 0.5) // two equal sources → 1/2
+    val fr = got("fr")
+    assert(fr.getAs[Double]("hhi") == 1.0) // monopoly
+    assert(fr.getAs[Long]("sum_sq_counts") == 9L)
+  }
+
   test("keySkew: exact top-N, strict cross-multiplied hot flag, null key counted") {
     import spark.implicits._
     // a×6, b×3, null×1 → total 10. At 30%: a (60%) flags; b sits

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlOps
+
+class UrlOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.canonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("canonicalize: the full kitchen sink collapses") {
+    assert(canon(
+      "https://WWW.Example.COM:443//a//b/?utm_source=x&b=2&a=1&gclid=7#frag")
+      == Seq("https://example.com/a/b?a=1&b=2"))
+  }
+
+  test("canonicalize: default port strips only when it matches the scheme") {
+    assert(canon("http://Site.Org:80/p") == Seq("http://site.org/p"))
+    assert(canon("https://site.org:443/p") == Seq("https://site.org/p"))
+    // :8080 is load-bearing; :443 on http is NOT that scheme's default
+    assert(canon("http://site.org:8080/p") == Seq("http://site.org:8080/p"))
+    assert(canon("http://site.org:443/p") == Seq("http://site.org:443/p"))
+  }
+
+  test("canonicalize: empty path becomes /, root slash survives") {
+    assert(canon("HTTP://Host.Com") == Seq("http://host.com/"))
+    assert(canon("http://host.com/") == Seq("http://host.com/"))
+  }
+
+  test("canonicalize: params sort, empties drop, tracking dies, rest live") {
+    assert(canon("http://h.co/p?z=1&a&b=&utm_campaign=c&ref=r&fbclid=f")
+      == Seq("http://h.co/p?a&b=&z=1"))
+    // a query of ONLY tracking params vanishes entirely
+    assert(canon("http://h.co/p?utm_source=x") == Seq("http://h.co/p"))
+    // a param NAMED like a value keeps: refresh is not ref
+    assert(canon("http://h.co/p?refresh=1") == Seq("http://h.co/p?refresh=1"))
+  }
+
+  test("canonicalize: no :// passes through lowercased; isWellFormed flags") {
+    assert(canon("Not A Url") == Seq("not a url"))
+    val flags = Seq("http://ok.com/x", "nope", "http://")
+      .toDF("u").select(UrlOps.isWellFormed(col("u")).as("f"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(flags == Seq(true, false, false))
+  }
+
+  test("registrableDomain: last two labels; single label passes through") {
+    val got = Seq("https://a.b.site.org/x", "http://localhost/x",
+      "http://site.org:8080/x")
+      .toDF("u")
+      .select(UrlOps.registrableDomain(UrlOps.canonicalize(col("u"))).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("site.org", "localhost", "site.org"))
+  }
+
+  test("domainRollup groups canonical variants of one page together") {
+    val df = Seq(
+      (1L, "http://WWW.Site.com/a?utm_source=x", "en", 10L),
+      (2L, "http://site.com:80/a", "en", 20L),
+      (3L, "https://sub.site.com/b", "fr", 30L),
+      (4L, "http://other.org/c", "en", 40L))
+      .toDF("id", "url", "lang", "n_chars")
+    val got = UrlOps.domainRollup(df, "url", "lang", "n_chars")
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val s = got("site.com")
+    assert(s.getAs[Long]("n_pages") == 3L)
+    assert(s.getAs[Long]("n_hosts") == 2L) // site.com + sub.site.com
+    assert(s.getAs[Long]("n_langs") == 2L)
+    assert(s.getAs[Long]("total_chars") == 60L)
+    assert(got("other.org").getAs[Long]("n_pages") == 1L)
+  }
+}
