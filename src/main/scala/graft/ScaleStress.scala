@@ -205,6 +205,48 @@ object ScaleStress {
           Multimodal.withSyntheticWavPcm(docs, "doc_id"))
         (st.queryExecution.toRdd.count(), sig(st))
       }
+      // q248/q252 shapes: the other two perceptual tiers — same
+      // decode-CPU/no-shuffle claim; pHash adds the 8×8 integer DCT
+      timed(scale, "image_dhash") {
+        val st = Multimodal.imageDHash(
+          Multimodal.withSyntheticImage(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
+      timed(scale, "image_phash") {
+        val st = Multimodal.imagePHash(
+          Multimodal.withSyntheticImage(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
+      // q249 shape: audio hygiene counters over the same PCM decodes
+      timed(scale, "audio_quality") {
+        val st = Multimodal.audioQuality(
+          Multimodal.withSyntheticWavPcm(docs, "doc_id"),
+          clipLevel = 1800, silenceLevel = 150)
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
+      // q250/q251 shapes: per-row string canonicalization (shuffle-free)
+      // then the domain rollup's two partial-aggregable groupBys
+      timed(scale, "url_canonicalize") {
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 3 === 0, lit("https")).otherwise(lit("http")),
+          lit("://"), when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Site"), (id % 5).cast("string"), lit(".Example.org"),
+          lit("//a/"), (id % 7).cast("string"),
+          when(id % 3 === 0, lit("?utm_source=x&b=2&a=1")).otherwise(lit("")))
+        val d = docs.select(id, url.as("url"), lit("en").as("lang"),
+          length(col("text")).as("n_chars"))
+        val out = graft.ops.UrlOps.domainRollup(d, "url", "lang", "n_chars")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q254 shape: HHI — two stacked groupBys, group-count-sized tail
+      timed(scale, "hhi") {
+        val out = graft.ops.Profiling.hhi(
+          docs.withColumn("lang", (col("doc_id") % 5).cast("string"))
+            .withColumn("source", (col("doc_id") % 37).cast("string")),
+          "lang", "source")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q77 shape: benchmark decontamination — the claim under test is
       // that with a FIXED benchmark set (real eval suites don't grow with
       // the corpus) its gram set broadcasts, corpus text is never the
@@ -1370,6 +1412,15 @@ object ScaleStress {
           (col("event_type") === "purchase").as("conv"))
         val out = graft.ops.Profiling.proportionTest(e2, "user_id",
           "variant", "conv", control = "control")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q253 shape: ACF — densified grid (bucket-count-sized, NOT
+      // event-sized) self-joined at L lags; the event table collapses
+      // map-side before anything shuffles
+      timed(scale, "acf") {
+        val out = graft.ops.EventAnalytics.acf(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "event_type", "ts", maxLag = 3)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q239 shape: bot signals — two entity-keyed log aggregations
