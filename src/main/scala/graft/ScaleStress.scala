@@ -1423,6 +1423,22 @@ object ScaleStress {
           "event_type", "ts", maxLag = 3)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q256 shape: CUSUM — windows over the SPAN-sized grid only
+      timed(scale, "cusum") {
+        val out = graft.ops.EventAnalytics.cusumDrift(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "event_type", "ts")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q257 shape: TWA — one key-partitioned lead window + groupBy
+      timed(scale, "time_weighted_avg") {
+        val out = graft.ops.EventAnalytics.timeWeightedAvg(
+          ev.withColumn("ts", timestamp_micros(col("tus")))
+            .withColumn("vmil",
+              floor(col("value") * 1000 + 0.5).cast("long")),
+          "event_type", "ts", "event_id", "vmil")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q239 shape: bot signals — two entity-keyed log aggregations
       // joined at |entities| rows; the hot entity IS the subject
       timed(scale, "bot_signals") {

@@ -335,6 +335,75 @@ object EventAnalytics {
           sqrt(dx.cast("double") * dy.cast("double"))).as("r"))
   }
 
+  /** Offline CUSUM change-point localization per group — the "WHEN did
+    * this series shift?" companion to [[anomalousBuckets]]'s "which
+    * buckets are outliers?": the classic AMOC statistic
+    * `S_b = Σ_{i≤b} (x_i − x̄)` over the [[densify]] zero-filled bucket
+    * series, with the change-point estimate at `argmax |S_b|` (a level
+    * shift makes |S| a tent peaking at the shift; white noise keeps it
+    * near 0). Kept exact by scaling with the bucket count B:
+    * `cusum_scaled_b = Σ_{i≤b} (x_i·B − total)` — all 64-bit integers,
+    * no float mean. `S` at the last bucket is 0 by construction.
+    *
+    * Shape: the event table collapses map-side to the bucket grid; both
+    * windows run over that SPAN-sized table (a year of hourly buckets is
+    * 8,760 rows per group), partitioned by group — never over raw
+    * events. Returns (group, bucket, n, cusum_scaled, is_peak) with
+    * `is_peak` marking the argmax-|S| row (earliest on ties). */
+  def cusumDrift(events: DataFrame, groupCol: String, tsCol: String,
+      bucketMicros: Long = 3600000000L): DataFrame = {
+    val dense = densify(events, groupCol, tsCol, bucketMicros)
+    val tot = dense.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("__total__"), count(lit(1)).as("__nb__"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bucket").asc)
+    val wp = Window.partitionBy(col(groupCol))
+      .orderBy(abs(col("cusum_scaled")).desc, col("bucket").asc)
+    dense.join(tot, Seq(groupCol))
+      .withColumn("cusum_scaled",
+        sum(col("n") * col("__nb__") - col("__total__")).over(wc))
+      .withColumn("is_peak", row_number().over(wp) === 1)
+      .select(col(groupCol), col("bucket"), col("n"),
+        col("cusum_scaled"), col("is_peak"))
+  }
+
+  /** Time-weighted average per key over IRREGULAR samples — the metrics
+    * readout where arithmetic mean lies (a gauge sampled every second
+    * while ramping and once an hour while stable would average the ramp
+    * 3600× too heavily): zero-order hold, each value weighted by how
+    * long it held, `Σ v_i·(t_{i+1}−t_i) / (t_last − t_first)`; the last
+    * sample holds nothing. The value column must be INTEGRAL (quantize
+    * upstream — the prCurve posture) so the weighted sum is an exact
+    * 64-bit integer and engines agree bit-for-bit; `idCol` breaks
+    * timestamp ties deterministically (equal-ts runs contribute zero
+    * width regardless, but WHICH value bridges to the next distinct
+    * timestamp must not depend on shuffle order).
+    *
+    * Shape: one key-partitioned sort window (lead) + one partial-
+    * aggregable groupBy sharing the key partitioning; a hot key costs
+    * its own row count. Returns (key, n_samples, span_us, twa_num,
+    * twa). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType,
+      s"timeWeightedAvg needs an integral value column; '$valueCol' is " +
+        s"$dt — quantize upstream (e.g. floor(v*1000 + 0.5))")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us__").asc, col(idCol).asc)
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__us__"),
+        col(idCol), col(valueCol).cast("long").as("__v__"))
+      .withColumn("__nus__", lead(col("__us__"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col("__us__")) - min(col("__us__"))).as("span_us"),
+        sum(when(col("__nus__").isNotNull,
+          col("__v__") * (col("__nus__") - col("__us__")))
+          .otherwise(lit(0L))).as("twa_num"))
+      .withColumn("twa", when(col("span_us") > 0,
+        col("twa_num").cast("double") / col("span_us").cast("double")))
+  }
+
   /** Interval coalescing (gaps-and-islands): merge each key's
     * overlapping-or-touching `[start, end)` intervals into maximal
     * disjoint islands — session spans from raw visit intervals,

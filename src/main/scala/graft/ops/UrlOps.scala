@@ -114,6 +114,19 @@ object UrlOps {
       .otherwise(h)
   }
 
+  /** Drop rows whose REGISTRABLE domain appears in the blocklist — the
+    * crawl hygiene filter (spam/SEO-farm/adult domain lists), applied on
+    * the canonical form so `WWW.Bad.COM:80` can't dodge a `bad.com`
+    * entry. The blocklist is list-sized (thousands to low millions of
+    * rows — never corpus-scale), so it broadcasts and the filter is a
+    * map-side anti-join: the corpus never shuffles. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame =
+    df.join(
+      broadcast(blocklist.select(col(domainCol).as("__blocked__")).distinct()),
+      registrableDomain(canonicalize(col(urlCol))) === col("__blocked__"),
+      "left_anti")
+
   /** Per-registrable-domain rollup — the crawl-curation dashboard: page
     * count, distinct hosts and languages, total chars. One partial-
     * aggregable groupBy on the (low-cardinality) domain key; counts are

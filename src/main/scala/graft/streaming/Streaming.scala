@@ -616,6 +616,36 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.hhi]] — the live corpus-
+    * concentration monitor: as an ingest stream runs, is one source
+    * quietly taking over a language's share? Input rows are
+    * (group, key); state per group is the key→count table — O(|keys in
+    * that group|), the same key domain the batch op aggregates (sources,
+    * variants, domains — bounded vocabularies, not entities). Each
+    * micro-batch emits the group's refreshed row with the batch op's
+    * exact integer moments, so stream ≡ batch at every prefix (asserted
+    * in StreamingSpec). */
+  def hhiStream(rows: Dataset[(String, String)])
+      : Dataset[(String, Long, Long, Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+        (String, Long, Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[Map[String, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { case (_, k) =>
+            counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+          }
+          state.update(counts)
+          val n = counts.valuesIterator.sum
+          val sumSq = counts.valuesIterator.map(c => c * c).sum
+          Iterator.single((g, n, counts.size.toLong,
+            counts.valuesIterator.max, sumSq,
+            sumSq.toDouble / (n.toDouble * n.toDouble)))
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

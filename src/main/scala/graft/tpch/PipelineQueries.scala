@@ -560,6 +560,36 @@ object PipelineQueries {
       graft.ops.Profiling.hhi(docs(s, dir), "lang", "source")
         .orderBy(col("lang"))),
 
+    // domain blocklist filter on canonical form: WWW./port/case
+    // variants of a blocked domain cannot dodge the entry
+    "q255_blocked_domains" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"),
+        synthUrl(col("doc_id")).as("url"), col("lang"))
+      graft.ops.UrlOps.filterBlockedDomains(d, "url",
+          Seq("example.org").toDF("domain"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CUSUM change-point localization over the hourly grid: exact
+    // B-scaled cumulative deviations, argmax-|S| peak flag
+    "q256_cusum" -> ((s, dir) =>
+      graft.ops.EventAnalytics.cusumDrift(
+        graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // time-weighted average value per event type: zero-order hold over
+    // irregular samples, exact integer weighted sum over milli-units
+    "q257_time_weighted_avg" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("vmil",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+      graft.ops.EventAnalytics.timeWeightedAvg(ev, "event_type", "ts",
+          "event_id", "vmil")
+        .orderBy(col("event_type"))
+    }),
+
     // Hamming near-dup pairing over the q221 perceptual hashes:
     // complete 4-band blocking within (width, height), dist <= 3
     "q234_ahash_neardup" -> ((s, dir) => {
@@ -3341,6 +3371,56 @@ object PipelineQueries {
          |  COUNT(DISTINCT lang) AS n_langs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM dom GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q255_blocked_domains" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, lang FROM dom
+         |WHERE domain NOT IN ('example.org')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q256_cusum" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |  FROM g GROUP BY 1),
+        |grid AS (SELECT r.event_type, u.b AS bucket
+        |  FROM r, unnest(generate_series(r.lo, r.hi)) AS u(b)),
+        |dense AS (SELECT grid.event_type, grid.bucket,
+        |    COALESCE(g.n, 0) AS n
+        |  FROM grid LEFT JOIN g ON g.event_type = grid.event_type
+        |    AND g.bucket = grid.bucket),
+        |tot AS (SELECT event_type, SUM(n) AS total, COUNT(1) AS nb
+        |  FROM dense GROUP BY 1),
+        |s AS (SELECT dense.event_type, dense.bucket, dense.n,
+        |    SUM(dense.n * tot.nb - tot.total) OVER (
+        |      PARTITION BY dense.event_type ORDER BY dense.bucket)
+        |      AS cusum_scaled
+        |  FROM dense JOIN tot USING (event_type))
+        |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+        |  (ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(cusum_scaled) DESC, bucket)) = 1 AS is_peak
+        |FROM s ORDER BY event_type, bucket""".stripMargin,
+
+    "q257_time_weighted_avg" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vmil
+        |  FROM events),
+        |b AS (SELECT event_type, us, vmil,
+        |    LEAD(us) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS nus
+        |  FROM e)
+        |SELECT event_type, COUNT(1) AS n_samples,
+        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+        |  CAST(SUM(CASE WHEN nus IS NOT NULL
+        |    THEN vmil * (nus - us) ELSE 0 END) AS BIGINT) AS twa_num,
+        |  CASE WHEN MAX(us) - MIN(us) > 0
+        |    THEN CAST(SUM(CASE WHEN nus IS NOT NULL
+        |        THEN vmil * (nus - us) ELSE 0 END) AS DOUBLE) /
+        |      CAST(MAX(us) - MIN(us) AS DOUBLE)
+        |  END AS twa
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q253_acf" ->
       """WITH g AS (SELECT event_type,

@@ -360,6 +360,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(("c", 1)) == ((3L, None)))
   }
 
+  test("cusumDrift: level shift peaks |S| at the boundary; S ends at 0") {
+    // hours 0..3 at 1/hour, hours 4..7 at 5/hour: B=8, total=24,
+    // dev_scaled = n*8 - 24 → 4×(-16) then 4×(+16); S walks
+    // -16,-32,-48,-64 then -48,-32,-16,0 → peak |S| at bucket 3
+    val ev = hourEvents((0 to 3).map(h => ("a", h, 1)) ++
+      (4 to 7).map(h => ("a", h, 5)))
+    val got = EventAnalytics.cusumDrift(ev, "g", "ts")
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("is_peak")))
+      .toMap
+    assert(got(0L) == ((-16L, false)))
+    assert(got(3L) == ((-64L, true)))
+    assert(got(7L) == ((0L, false)))
+    assert(got.values.count(_._2) == 1)
+  }
+
+  test("timeWeightedAvg: zero-order hold; ties bridge deterministically") {
+    val df = Seq(
+      // key a: v=10 holds 10us, v=0 holds 90us → twa = 100/100 = 1.0
+      ("a", 0L, 1L, 10L), ("a", 10L, 2L, 0L), ("a", 100L, 3L, 7L),
+      // key b: tie at ts=0 — id 2 (v=20) bridges to ts=10; id 1 holds 0us
+      ("b", 0L, 1L, 10L), ("b", 0L, 2L, 20L), ("b", 10L, 3L, 0L),
+      // key c: single sample → zero span, null twa
+      ("c", 5L, 1L, 42L))
+      .toDF("k", "us", "id", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventAnalytics.timeWeightedAvg(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_samples") == 3L)
+    assert(a.getAs[Long]("span_us") == 100L)
+    assert(a.getAs[Long]("twa_num") == 100L)
+    assert(a.getAs[Double]("twa") == 1.0)
+    assert(got("b").getAs[Long]("twa_num") == 200L) // 20 × (10 − 0)
+    assert(got("c").isNullAt(got("c").fieldIndex("twa")))
+    // integral-value contract refuses doubles up front
+    val dbl = df.withColumn("v", col("v").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.timeWeightedAvg(dbl, "k", "ts", "id", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("anomalousBuckets moments join broadcasts; grid agg is partial") {
     val ev = hourEvents(Seq(("a", 0, 2), ("a", 1, 3), ("b", 0, 1)))
     val plan = EventAnalytics.anomalousBuckets(ev, "g", "ts")

@@ -574,6 +574,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hhiStream equals the batch hhi moments at every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val q = Streaming.hhiStream(ms.toDS())
+      .toDF("g", "n", "n_keys", "max_count", "sum_sq_counts", "hhi")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hhi_stream").start()
+    val batch1 = Seq(("en", "s1"), ("en", "s1"), ("en", "s2"), ("fr", "s1"))
+    val batch2 = Seq(("en", "s2"), ("en", "s2"), ("fr", "s1"))
+    def streamRows(): Map[String, (Long, Long, Long, Long, Double)] =
+      spark.sql("SELECT * FROM hhi_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))))
+        .groupBy(_._1).map { case (g, rs) => // latest emission per group
+          g -> rs.map(_._2).maxBy(_._1)
+        }
+    def batchRows(vals: Seq[(String, String)])
+        : Map[String, (Long, Long, Long, Long, Double)] =
+      graft.ops.Profiling.hhi(vals.toDF("g", "k"), "g", "k")
+        .collect().map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n_keys"),
+            r.getAs[Long]("max_count"), r.getAs[Long]("sum_sq_counts"),
+            r.getAs[Double]("hhi")))).toMap
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(streamRows() == batchRows(batch1))
+      ms.addData(batch2); q.processAllAvailable()
+      assert(streamRows() == batchRows(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
   test("liftStream ≡ batch lift arithmetic at every prefix (frozen bins)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -66,6 +66,21 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got == Seq("site.org", "localhost", "site.org"))
   }
 
+  test("filterBlockedDomains: canonical variants can't dodge; " +
+    "the blocklist broadcasts (anti-join, corpus never shuffles)") {
+    val df = Seq(
+      (1L, "http://WWW.Bad.COM:80/x?utm_source=a"),
+      (2L, "https://sub.bad.com/y"),
+      (3L, "http://good.org/z"))
+      .toDF("id", "url")
+    val out = UrlOps.filterBlockedDomains(df, "url",
+      Seq("bad.com").toDF("domain"))
+    assert(out.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+  }
+
   test("domainRollup groups canonical variants of one page together") {
     val df = Seq(
       (1L, "http://WWW.Site.com/a?utm_source=x", "en", 10L),
