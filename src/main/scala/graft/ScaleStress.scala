@@ -239,6 +239,14 @@ object ScaleStress {
         val out = graft.ops.UrlOps.domainRollup(d, "url", "lang", "n_chars")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q258 shape: Gini — rank window over the count table only
+      timed(scale, "gini") {
+        val out = graft.ops.Profiling.gini(
+          docs.withColumn("lang", (col("doc_id") % 5).cast("string"))
+            .withColumn("source", (col("doc_id") % 37).cast("string")),
+          "lang", "source")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q254 shape: HHI — two stacked groupBys, group-count-sized tail
       timed(scale, "hhi") {
         val out = graft.ops.Profiling.hhi(
@@ -1437,6 +1445,13 @@ object ScaleStress {
             .withColumn("vmil",
               floor(col("value") * 1000 + 0.5).cast("long")),
           "event_type", "ts", "event_id", "vmil")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q259 shape: seasonal anomalies — grid + 24-row broadcast base
+      timed(scale, "seasonal_anomalies") {
+        val out = graft.ops.EventAnalytics.seasonalAnomalies(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "event_type", "ts", thresholdAbs = 3L)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q239 shape: bot signals — two entity-keyed log aggregations

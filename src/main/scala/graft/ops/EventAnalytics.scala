@@ -335,6 +335,40 @@ object EventAnalytics {
           sqrt(dx.cast("double") * dy.cast("double"))).as("r"))
   }
 
+  /** Seasonal-baseline anomaly detection per group — the diurnal
+    * companion to [[anomalousBuckets]] (which compares every bucket to
+    * ONE global mean and therefore flags every healthy midnight as an
+    * anomaly on a diurnal service): each hourly bucket compares to the
+    * mean of ITS OWN hour-of-day across the series, so "3am looks like
+    * other 3ams" is the null hypothesis. The baseline mean stays an
+    * exact rational (num, den); a bucket flags when
+    * `|n·den − num| ≥ thresholdAbs·den` — strictly-crossed integer
+    * arithmetic, no float mean. Buckets with no observed events count
+    * as zero via [[densify]], in the baseline AND as candidates (a
+    * dead 9am on a busy service must flag).
+    *
+    * Shape: events collapse to the span-sized grid; the 24-row-per-group
+    * baseline joins back — broadcastable at any scale. Returns (group,
+    * bucket, hour_of_day, n, base_num, base_den, is_anomaly). */
+  def seasonalAnomalies(events: DataFrame, groupCol: String,
+      tsCol: String, thresholdAbs: Long,
+      bucketMicros: Long = 3600000000L,
+      periodBuckets: Int = 24): DataFrame = {
+    require(thresholdAbs >= 0, "thresholdAbs must be >= 0")
+    require(periodBuckets >= 1, "periodBuckets must be >= 1")
+    val dense = densify(events, groupCol, tsCol, bucketMicros)
+      .withColumn("hour_of_day", pmod(col("bucket"), lit(periodBuckets.toLong)))
+    val base = dense.groupBy(col(groupCol).as("__g__"),
+        col("hour_of_day").as("__h__"))
+      .agg(sum(col("n")).as("base_num"), count(lit(1)).as("base_den"))
+    dense.join(broadcast(base), col(groupCol) === col("__g__") &&
+        col("hour_of_day") === col("__h__"))
+      .select(col(groupCol), col("bucket"), col("hour_of_day"), col("n"),
+        col("base_num"), col("base_den"),
+        (abs(col("n") * col("base_den") - col("base_num")) >=
+          lit(thresholdAbs) * col("base_den")).as("is_anomaly"))
+  }
+
   /** Offline CUSUM change-point localization per group — the "WHEN did
     * this series shift?" companion to [[anomalousBuckets]]'s "which
     * buckets are outliers?": the classic AMOC statistic

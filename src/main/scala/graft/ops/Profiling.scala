@@ -534,6 +534,36 @@ object Profiling {
       .withColumn("hhi", col("sum_sq_counts").cast("double") /
         (col("n").cast("double") * col("n").cast("double")))
 
+  /** Exact Gini coefficient of `keyCol`'s count distribution within each
+    * group — [[hhi]]'s rank-based sibling (HHI weighs the HEAD, Gini the
+    * whole inequality curve; a corpus of one giant source plus a long
+    * equal tail scores moderate HHI but high Gini): for counts c₁≤…≤c_k,
+    * `G = (2·Σ i·cᵢ − (k+1)·Σc) / (k·Σc)` — 0 = equal shares,
+    * → 1 = one key holds everything. Numerator and denominator ship as
+    * exact 64-bit integers; tie order cannot move the value (equal
+    * counts contribute the same Σ i·cᵢ under any permutation).
+    *
+    * Shape: rows collapse map-side to the (group, key) count table; the
+    * rank window runs over THAT table only (bounded by distinct keys per
+    * group — sources, domains, variants), partitioned by group. Returns
+    * (group, n, n_keys, gini_num, gini_den, gini). */
+  def gini(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__c__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__c__").asc, col(keyCol).asc_nulls_last)
+    counts.withColumn("__i__", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c__")).as("n"),
+        count(lit(1)).as("n_keys"),
+        (lit(2L) * sum(col("__i__") * col("__c__")) -
+          (count(lit(1)) + 1) * sum(col("__c__"))).as("gini_num"),
+        (count(lit(1)) * sum(col("__c__"))).as("gini_den"))
+      .withColumn("gini",
+        col("gini_num").cast("double") / col("gini_den").cast("double"))
+  }
+
   /** Discrete power-law exponent fit per key — the Zipf/heavy-tail
     * diagnostic for degree, token-frequency, and per-entity activity
     * distributions (is this feed organic ~2–3, or bot-flattened?).

@@ -646,6 +646,48 @@ object Streaming {
       }
   }
 
+  /** Streaming Page's-test CUSUM detector — the ONLINE half of
+    * [[graft.ops.EventAnalytics.cusumDrift]] (which localizes a shift
+    * after the fact; this one fires WHILE it happens): against a FROZEN
+    * target mean `mu` with slack `k` (the [[psiStream]] frozen-baseline
+    * posture — the target comes from the healthy baseline window and
+    * does not chase the drift), fold each sample
+    * `S⁺ = max(0, S⁺ + x − mu − k)`, `S⁻ = max(0, S⁻ + mu − x − k)`,
+    * alarm when either reaches the decision limit `h`, then reset both
+    * to 0 (the classic restart, so repeated shifts re-alarm). All
+    * integer arithmetic in the caller's unit.
+    *
+    * Input rows are (group, seq, x); the per-batch fold applies in
+    * `seq` order (shuffle delivery order is not contractual — an
+    * unordered fold would make WHICH sample trips the limit
+    * nondeterministic). State per group is (S⁺, S⁻, n, alarms) —
+    * O(1) forever. Each batch emits the group's refreshed
+    * (n, s_plus, s_minus, n_alarms); prefix-equivalence with a direct
+    * fold is asserted in StreamingSpec. */
+  def cusumStream(rows: Dataset[(String, Long, Long)], mu: Long,
+      slack: Long, h: Long)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(h > 0, "decision limit h must be > 0")
+    require(slack >= 0, "slack must be >= 0")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[(Long, Long, Long, Long)]) =>
+          var (sp, sm, n, alarms) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(_._2).foreach { case (_, _, x) =>
+            n += 1
+            sp = math.max(0L, sp + x - mu - slack)
+            sm = math.max(0L, sm + mu - x - slack)
+            if (sp >= h || sm >= h) { alarms += 1; sp = 0L; sm = 0L }
+          }
+          state.update((sp, sm, n, alarms))
+          Iterator.single((g, n, sp, sm, alarms))
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

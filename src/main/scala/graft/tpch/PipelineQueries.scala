@@ -579,6 +579,20 @@ object PipelineQueries {
         graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts")
         .orderBy(col("event_type"), col("bucket"))),
 
+    // exact Gini of the source distribution per language: rank window
+    // over the count table only, integer num/den
+    "q258_gini" -> ((s, dir) =>
+      graft.ops.Profiling.gini(docs(s, dir), "lang", "source")
+        .orderBy(col("lang"))),
+
+    // hour-of-day seasonal baseline anomalies: each bucket vs the mean
+    // of its own hour slot, exact rational cross-multiplied threshold
+    "q259_seasonal_anomalies" -> ((s, dir) =>
+      graft.ops.EventAnalytics.seasonalAnomalies(
+        graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts",
+        thresholdAbs = 3L)
+        .orderBy(col("event_type"), col("bucket"))),
+
     // time-weighted average value per event type: zero-order hold over
     // irregular samples, exact integer weighted sum over milli-units
     "q257_time_weighted_avg" -> ((s, dir) => {
@@ -3377,6 +3391,46 @@ object PipelineQueries {
          |SELECT doc_id, lang FROM dom
          |WHERE domain NOT IN ('example.org')
          |ORDER BY doc_id""".stripMargin,
+
+    "q258_gini" ->
+      """WITH c AS (SELECT lang, source, COUNT(1) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |rk AS (SELECT lang, c, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY c ASC, source ASC NULLS LAST) AS i
+        |  FROM c)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(COUNT(1) AS BIGINT) AS n_keys,
+        |  CAST(2 * SUM(i * c) - (COUNT(1) + 1) * SUM(c) AS BIGINT)
+        |    AS gini_num,
+        |  CAST(COUNT(1) * SUM(c) AS BIGINT) AS gini_den,
+        |  CAST(2 * SUM(i * c) - (COUNT(1) + 1) * SUM(c) AS DOUBLE) /
+        |    CAST(COUNT(1) * SUM(c) AS DOUBLE) AS gini
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q259_seasonal_anomalies" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS bucket, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |  FROM g GROUP BY 1),
+        |grid AS (SELECT r.event_type, u.b AS bucket
+        |  FROM r, unnest(generate_series(r.lo, r.hi)) AS u(b)),
+        |dense AS (SELECT grid.event_type, grid.bucket, grid.bucket % 24
+        |    AS hour_of_day, COALESCE(g.n, 0) AS n
+        |  FROM grid LEFT JOIN g ON g.event_type = grid.event_type
+        |    AND g.bucket = grid.bucket),
+        |base AS (SELECT event_type, hour_of_day, SUM(n) AS base_num,
+        |    COUNT(1) AS base_den
+        |  FROM dense GROUP BY 1, 2)
+        |SELECT d.event_type, d.bucket, d.hour_of_day,
+        |  CAST(d.n AS BIGINT) AS n,
+        |  CAST(b.base_num AS BIGINT) AS base_num,
+        |  CAST(b.base_den AS BIGINT) AS base_den,
+        |  ABS(d.n * b.base_den - b.base_num) >= 3 * b.base_den
+        |    AS is_anomaly
+        |FROM dense d JOIN base b ON b.event_type = d.event_type
+        |  AND b.hour_of_day = d.hour_of_day
+        |ORDER BY d.event_type, d.bucket""".stripMargin,
 
     "q256_cusum" ->
       """WITH g AS (SELECT event_type,

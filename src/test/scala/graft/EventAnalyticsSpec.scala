@@ -403,6 +403,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("seasonalAnomalies: diurnal pattern is the null; a dead slot and " +
+    "a burst flag; global-mean twin would flag every quiet hour") {
+    // 3-hour period for a compact fixture: two full periods where slot 0
+    // runs 10/hour and slots 1-2 run 0/hour, then a third period with a
+    // DEAD slot 0 and a burst at slot 1.
+    val ev = hourEvents(Seq(("a", 0, 10), ("a", 3, 10),  // healthy slot 0
+      ("a", 7, 8)) :+ ("a", 8, 1))                        // burst + filler
+    // buckets 0..8; slot0 = {0,3,6}: counts 10,10,0 → mean 20/3
+    // slot1 = {1,4,7}: 0,0,8 → mean 8/3 ; slot2 = {2,5,8}: 0,0,1 → 1/3
+    val got = EventAnalytics.seasonalAnomalies(ev, "g", "ts",
+      thresholdAbs = 3L, periodBuckets = 3)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("hour_of_day"), r.getAs[Long]("n"),
+          r.getAs[Long]("base_num"), r.getAs[Long]("base_den"),
+          r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(got(0L) == ((0L, 10L, 20L, 3L, true)))  // |30-20|=10 >= 9
+    assert(got(6L) == ((0L, 0L, 20L, 3L, true)))   // dead slot: |0-20|=20 >= 9
+    assert(got(7L) == ((1L, 8L, 8L, 3L, true)))    // burst: |24-8|=16 >= 9
+    assert(got(1L) == ((1L, 0L, 8L, 3L, false)))   // quiet slot 1 is normal
+    assert(got(2L) == ((2L, 0L, 1L, 3L, false)))
+  }
+
   test("anomalousBuckets moments join broadcasts; grid agg is partial") {
     val ev = hourEvents(Seq(("a", 0, 2), ("a", 1, 3), ("b", 0, 1)))
     val plan = EventAnalytics.anomalousBuckets(ev, "g", "ts")

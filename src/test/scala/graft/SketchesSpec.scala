@@ -202,6 +202,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(fr.getAs[Long]("sum_sq_counts") == 9L)
   }
 
+  test("gini: equal shares = 0, monopoly tail → high; tie-order invariant") {
+    // en: 4 equal sources → G = 0; fr: 9-vs-1-vs-1-vs-1 → counts
+    // sorted [1,1,1,9], Σi·c = 1+2+3+36 = 42, k=4, total=12:
+    // num = 84 − 60 = 24, den = 48 → G = 0.5
+    val df = (Seq.fill(1)("s1") ++ Seq.fill(1)("s2") ++ Seq.fill(1)("s3") ++
+      Seq.fill(1)("s4")).map(("en", _)) ++
+      (Seq.fill(9)("a") ++ Seq("b", "c", "d")).map(("fr", _))
+    val got = graft.ops.Profiling.gini(df.toDF("lang", "source"),
+      "lang", "source").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got("en").getAs[Long]("gini_num") == 0L)
+    assert(got("en").getAs[Double]("gini") == 0.0)
+    val fr = got("fr")
+    assert(fr.getAs[Long]("n") == 12L && fr.getAs[Long]("n_keys") == 4L)
+    assert(fr.getAs[Long]("gini_num") == 24L)
+    assert(fr.getAs[Long]("gini_den") == 48L)
+    assert(fr.getAs[Double]("gini") == 0.5)
+  }
+
   test("keySkew: exact top-N, strict cross-multiplied hot flag, null key counted") {
     import spark.implicits._
     // a×6, b×3, null×1 → total 10. At 30%: a (60%) flags; b sits

@@ -606,6 +606,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumStream: Page's test alarms on sustained shift, resets, " +
+    "and equals the direct fold at every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (mu, k, h) = (10L, 1L, 6L)
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = Streaming.cusumStream(ms.toDS(), mu, k, h)
+      .toDF("g", "n", "s_plus", "s_minus", "n_alarms")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cusum_stream").start()
+    def fold(xs: Seq[Long]): (Long, Long, Long, Long) = {
+      var sp = 0L; var sm = 0L; var n = 0L; var al = 0L
+      xs.foreach { x =>
+        n += 1
+        sp = math.max(0L, sp + x - mu - k)
+        sm = math.max(0L, sm + mu - x - k)
+        if (sp >= h || sm >= h) { al += 1; sp = 0L; sm = 0L }
+      }
+      (n, sp, sm, al)
+    }
+    def lastRow(): (Long, Long, Long, Long) =
+      spark.sql("SELECT * FROM cusum_stream WHERE g = 'a'").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .maxBy(_._1)
+    // healthy batch hovers at the target; shift batch runs +4 over it
+    val batch1 = Seq(10L, 11L, 9L, 10L)
+    val batch2 = Seq(14L, 14L, 14L, 10L)
+    try {
+      ms.addData(batch1.zipWithIndex.map { case (x, i) =>
+        ("a", i.toLong, x) })
+      q.processAllAvailable()
+      assert(lastRow() == fold(batch1))
+      assert(fold(batch1)._4 == 0L) // no alarm while healthy
+      ms.addData(batch2.zipWithIndex.map { case (x, i) =>
+        ("a", (batch1.size + i).toLong, x) })
+      q.processAllAvailable()
+      assert(lastRow() == fold(batch1 ++ batch2))
+      assert(fold(batch1 ++ batch2)._4 == 1L) // the shift alarmed once
+      // post-alarm restart: S+ folded back from 0, not from the peak
+      assert(fold(batch1 ++ batch2)._2 < h)
+    } finally q.stop()
+  }
+
   test("liftStream ≡ batch lift arithmetic at every prefix (frozen bins)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
