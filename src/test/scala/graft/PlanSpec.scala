@@ -456,4 +456,47 @@ class PlanSpec extends AnyFunSuite {
         prs)
     } finally graft.ops.Caches.releaseAll()
   }
+
+  test("round-10 batch-11 op plans: partitioned windows, equi-joins only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    try {
+      val ev = (1L to 200L).map(i =>
+        (i, (i % 3).toString, i * 600000000L))
+        .toDF("id", "g", "tus")
+        .withColumn("ts", timestamp_micros(col("tus")))
+      // ACF: lag pairing is an equi-join on (group, bucket+lag) —
+      // never a nested loop; grid and moments stay partial-aggregable
+      val acf = physicalPlan(graft.ops.EventAnalytics.acf(
+        ev, "g", "ts", maxLag = 2))
+      assert(!acf.contains("NestedLoop") && !acf.contains("CartesianProduct"),
+        acf)
+      assert(acf.contains("partial_"), acf)
+      // CUSUM + TWA + Gini: every window is PARTITIONED by the
+      // group/key — a global (unpartitioned) window would serialize
+      // the whole table through one task at scale
+      val cs = physicalPlan(graft.ops.EventAnalytics.cusumDrift(
+        ev, "g", "ts"))
+      val tw = physicalPlan(graft.ops.EventAnalytics.timeWeightedAvg(
+        ev.withColumn("v", col("id") % 7), "g", "ts", "id", "v"))
+      val gi = physicalPlan(graft.ops.Profiling.gini(
+        ev.withColumn("k", (col("id") % 11).cast("string")), "g", "k"))
+      Seq("cusum" -> cs, "twa" -> tw, "gini" -> gi).foreach {
+        case (name, plan) =>
+          // every windowspecdefinition must name the group column as its
+          // partition key (an empty partition spec renders as
+          // `windowspecdefinition(bucket ASC…` with no leading g#…)
+          val specs = plan.linesIterator
+            .filter(_.contains("windowspecdefinition")).toSeq
+          assert(specs.nonEmpty && specs.forall(_.matches(
+            ".*windowspecdefinition\\(g#\\d+.*")),
+            s"$name has an unpartitioned window:\n$plan")
+          assert(!plan.contains("NestedLoop") &&
+            !plan.contains("CartesianProduct"), s"$name:\n$plan")
+          // the concrete symptom to ban: a single-partition exchange
+          assert(!plan.contains("Exchange SinglePartition"),
+            s"$name window collapsed to a single partition:\n$plan")
+      }
+    } finally graft.ops.Caches.releaseAll()
+  }
 }
