@@ -114,6 +114,23 @@ object UrlOps {
       .otherwise(h)
   }
 
+  /** Keep-first dedup on the CANONICAL url — the first dedup tier of
+    * every crawl pipeline (cheaper than any content hash: the same page
+    * re-crawled under `?utm_…`, `WWW.`, port, or param-order variants
+    * collapses before its text is even read). Lowest `idCol` survives,
+    * full rows return. One row_number window partitioned by the
+    * canonical string — the [[graft.ops.Dedup.exactDedup]] shape, with
+    * the canonical form as the key; a hot URL costs its own duplicate
+    * count, nothing quadratic. Content-level dedup (exact sha /
+    * near-dup) runs AFTER this tier on the survivors. */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(canonicalize(col(urlCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
   /** Drop rows whose REGISTRABLE domain appears in the blocklist — the
     * crawl hygiene filter (spam/SEO-farm/adult domain lists), applied on
     * the canonical form so `WWW.Bad.COM:80` can't dodge a `bad.com`

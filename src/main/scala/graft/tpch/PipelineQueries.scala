@@ -579,6 +579,16 @@ object PipelineQueries {
         graft.tpch.EventsModel.eventsTable(s, dir), "event_type", "ts")
         .orderBy(col("event_type"), col("bucket"))),
 
+    // crawl URL dedup: keep-first on the canonical form — synthetic
+    // urls repeat with period lcm(2,3,4,5,7)=420, so late ids collapse
+    "q260_url_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        synthUrl(col("doc_id")).as("url"), col("lang"))
+      graft.ops.UrlOps.dedupByCanonicalUrl(d, "url", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact Gini of the source distribution per language: rank window
     // over the count table only, integer num/den
     "q258_gini" -> ((s, dir) =>
@@ -3390,6 +3400,13 @@ object PipelineQueries {
       s"""WITH $urlCanonCtes
          |SELECT doc_id, lang FROM dom
          |WHERE domain NOT IN ('example.org')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q260_url_dedup" ->
+      s"""WITH $urlCanonCtes,
+         |rk AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
+         |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
 
     "q258_gini" ->

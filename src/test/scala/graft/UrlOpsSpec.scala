@@ -81,6 +81,18 @@ class UrlOpsSpec extends AnyFunSuite {
       plan)
   }
 
+  test("dedupByCanonicalUrl: variants collapse, lowest id survives intact") {
+    val df = Seq(
+      (3L, "http://WWW.Site.com:80/a?utm_source=x&q=1", "keep3"),
+      (1L, "http://site.com/a/?q=1#frag", "keep1"),
+      (2L, "https://site.com/a?q=1", "keep2")) // https ≠ http: distinct
+      .toDF("id", "url", "payload")
+    val out = UrlOps.dedupByCanonicalUrl(df, "url", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "keep1", 2L -> "keep2")) // 3 collapsed into 1
+  }
+
   test("domainRollup groups canonical variants of one page together") {
     val df = Seq(
       (1L, "http://WWW.Site.com/a?utm_source=x", "en", 10L),
