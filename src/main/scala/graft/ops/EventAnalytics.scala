@@ -685,8 +685,11 @@ object EventAnalytics {
     *
     * Shape: one per-entity `collect_list` (state bounded by the KEY's
     * history — the [[ewma]] discipline) + a partial-aggregable path
-    * count + a `rank <= topK` window (map-side `WindowGroupLimit`).
-    * Returns (path, n_entities, rank). */
+    * count, then `TakeOrderedAndProject` for the top-k (each shard
+    * forwards only its own top-k candidates — the path table never
+    * single-partitions; an unpartitioned rank window here would drag
+    * EVERY distinct path through one task). The rank column is a window
+    * over the k surviving rows only. Returns (path, n_entities, rank). */
   def topPaths(events: DataFrame, entityCol: String, tsCol: String,
       idCol: String, stateCol: String, maxSteps: Int,
       topK: Int): DataFrame = {
@@ -700,9 +703,10 @@ object EventAnalytics {
         ">").as("path"))
     val counts = paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_entities"))
+    val top = counts
+      .orderBy(col("n_entities").desc, col("path").asc).limit(topK)
     val w = Window.orderBy(col("n_entities").desc, col("path").asc)
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    top.withColumn("rank", row_number().over(w))
   }
 
   /** Per-key linear-trend detection (volume drift, quality decay, score

@@ -36,6 +36,38 @@ object Profiling {
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
   }
 
+  /** Pairwise co-missingness — [[profile]] tells you THAT 30% of
+    * `email` is null; this tells you those nulls are the SAME rows
+    * where `phone` is null (one broken upstream join), or disjoint
+    * rows (two independent causes): for every ordered column pair,
+    * exact counts of rows null in A, null in B, null in BOTH, and in
+    * NEITHER. ONE scan — all |cols|² counters ride a single aggregate
+    * row ([[corrMatrix]]'s posture), reshaped to pair rows afterwards;
+    * nothing shuffles but one row. */
+  def missingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "missingness needs at least two columns")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val aggs: Seq[Column] = count(lit(1)).as("__n__") +:
+      (cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__na_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+            .as(s"__nb_${a}_$b")
+        })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perPair = pairs.map { case (a, b) => struct(
+      lit(a).as("col_a"), lit(b).as("col_b"), col("__n__").as("n_rows"),
+      col(s"__na_$a").as("null_a"), col(s"__na_$b").as("null_b"),
+      col(s"__nb_${a}_$b").as("null_both"),
+      (col("__n__") - col(s"__na_$a") - col(s"__na_$b") +
+        col(s"__nb_${a}_$b")).as("null_neither"))
+    }
+    one.select(explode(array(perPair: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n_rows"),
+        col("p.null_a"), col("p.null_b"), col("p.null_both"),
+        col("p.null_neither"))
+  }
+
   /** Exact equi-width histogram of an integral column over the closed
     * domain `[lo, hi]`: value `v` lands in bucket
     * `((v - lo) · nBuckets) div (hi - lo + 1)` — all-integer, so every

@@ -589,6 +589,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // pairwise co-missingness over synthesized null patterns: v2 nulls
+    // are a strict subset of v1's non-null rows' complement
+    "q261_missingness" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("v1", when(col("event_id") % 3 === 0, col("value")))
+        .withColumn("v2", when(col("event_id") % 6 === 0, col("user_id")))
+        .withColumn("v3", when(col("event_id") % 2 === 0,
+          col("event_type")))
+      graft.ops.Profiling.missingness(ev, Seq("v1", "v2", "v3"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // exact Gini of the source distribution per language: rank window
     // over the count table only, integer num/den
     "q258_gini" -> ((s, dir) =>
@@ -3408,6 +3420,35 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q261_missingness" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_id % 3 = 0 THEN value END AS v1,
+        |    CASE WHEN event_id % 6 = 0 THEN user_id END AS v2,
+        |    CASE WHEN event_id % 2 = 0 THEN event_type END AS v3
+        |  FROM events),
+        |m AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN v1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na1,
+        |    CAST(SUM(CASE WHEN v2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na2,
+        |    CAST(SUM(CASE WHEN v3 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na3,
+        |    CAST(SUM(CASE WHEN v1 IS NULL AND v2 IS NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nb12,
+        |    CAST(SUM(CASE WHEN v1 IS NULL AND v3 IS NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nb13,
+        |    CAST(SUM(CASE WHEN v2 IS NULL AND v3 IS NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nb23
+        |  FROM e)
+        |SELECT col_a, col_b, n_rows, null_a, null_b, null_both,
+        |  n_rows - null_a - null_b + null_both AS null_neither
+        |FROM (
+        |  SELECT 'v1' AS col_a, 'v2' AS col_b, n AS n_rows,
+        |    na1 AS null_a, na2 AS null_b, nb12 AS null_both FROM m
+        |  UNION ALL SELECT 'v1', 'v3', n, na1, na3, nb13 FROM m
+        |  UNION ALL SELECT 'v2', 'v3', n, na2, na3, nb23 FROM m)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     "q258_gini" ->
       """WITH c AS (SELECT lang, source, COUNT(1) AS c

@@ -202,6 +202,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(fr.getAs[Long]("sum_sq_counts") == 9L)
   }
 
+  test("missingness: identical, disjoint, and independent null patterns") {
+    val df = Seq[(Option[Int], Option[Int], Option[Int])](
+      (None, None, Some(1)),      // a,b co-missing
+      (None, None, Some(2)),
+      (Some(1), Some(2), None),   // c missing alone
+      (Some(3), Some(4), Some(5)) // complete row
+    ).toDF("a", "b", "c")
+    val got = graft.ops.Profiling.missingness(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(("a", "b")) == ((2L, 2L, 2L, 2L)))  // perfectly coupled
+    assert(got(("a", "c")) == ((2L, 1L, 0L, 1L)))  // disjoint causes
+    assert(got(("b", "c")) == ((2L, 1L, 0L, 1L)))
+    // one scan: the plan has a single aggregation pair, no join
+    val plan = graft.ops.Profiling.missingness(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("gini: equal shares = 0, monopoly tail → high; tie-order invariant") {
     // en: 4 equal sources → G = 0; fr: 9-vs-1-vs-1-vs-1 → counts
     // sorted [1,1,1,9], Σi·c = 1+2+3+36 = 42, k=4, total=12:
