@@ -661,6 +661,80 @@ object Multimodal {
     })
   }
 
+  /** Frozen-frame detection; `n_frames` = -1 when not a recognized AVI. */
+  final case class VideoFreeze(
+      media_id: Long, n_frames: Long, n_transitions: Int,
+      n_frozen: Int, n_freeze_runs: Int, longest_run: Int)
+
+  /** Stuck-video detection over the AVI frame walk — the companion
+    * failure mode to [[videoSceneChanges]] (that one finds CUTS; this
+    * finds the encoder/capture stall where consecutive frames stop
+    * changing): a transition is FROZEN when its mean per-byte delta is
+    * ≤ `thresholdMil`/1000 (`d·1000 ≤ threshold·len`, strict integer
+    * cross-multiplication, same contract as the scene threshold), and
+    * freezes are reported as maximal RUNS (a 3-second stall is one
+    * incident, not 72 transitions). Returns frozen-transition count,
+    * run count, and the longest run. Same batched `mapPartitions`
+    * container walk — per-row CPU, no shuffle, no decode. */
+  def videoFreezeRuns(media: Dataset[MediaRecord],
+      thresholdMil: Long = 1000L): Dataset[VideoFreeze] = {
+    import media.sparkSession.implicits._
+    require(thresholdMil >= 0, "threshold must be non-negative")
+    media.mapPartitions(_.map { r =>
+      walkAvi(r.media) match {
+        case None => VideoFreeze(r.media_id, -1L, 0, 0, 0, 0)
+        case Some((_, _, n, frames)) =>
+          var frozen = 0
+          var runs = 0
+          var longest = 0
+          var cur = 0
+          var t = 0
+          while (t < frames.length - 1) {
+            val (o1, s1) = frames(t)
+            val (o2, s2) = frames(t + 1)
+            val len = math.min(s1, s2)
+            var d = 0L
+            var j = 0
+            while (j < len) {
+              d += math.abs((r.media(o1 + j) & 0xff) -
+                (r.media(o2 + j) & 0xff))
+              j += 1
+            }
+            if (len > 0 && d * 1000L <= thresholdMil * len) {
+              frozen += 1
+              if (cur == 0) runs += 1
+              cur += 1
+              if (cur > longest) longest = cur
+            } else cur = 0
+            t += 1
+          }
+          VideoFreeze(r.media_id, n,
+            math.max(frames.length - 1, 0), frozen, runs, longest)
+      }
+    })
+  }
+
+  /** [[withSyntheticAvi]] with each logical frame REPEATED `repeat`
+    * times (a stalled encoder emitting duplicates) — the construct half
+    * of the freeze-detection oracle: frame f carries the bytes of
+    * logical frame `f / repeat`, so transitions inside a repeat group
+    * have delta 0 and group boundaries jump. */
+  def withSyntheticAviRepeats(docs: DataFrame, idCol: String,
+      frameBytes: Int = 32, repeat: Int = 3): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    require(repeat >= 1, "repeat must be >= 1")
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 100 + 1).toInt
+      val h = (id * 3 % 100 + 1).toInt
+      val n = (id % 7 + 1).toInt
+      val frames = Seq.tabulate(n)(f =>
+        Array.tabulate(frameBytes)(j =>
+          synthFrameByte(id, f / repeat, j).toByte))
+      val bytes = aviBytes(w, h, frames)
+      MediaRecord(id, bytes, "avi", bytes.length.toLong)
+    })
+  }
+
   @inline def synthFrameByte(id: Long, frame: Int, j: Int): Int =
     ((id + frame.toLong * 31 + j.toLong * 7) % 256).toInt
 

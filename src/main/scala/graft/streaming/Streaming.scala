@@ -688,6 +688,57 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.seasonalAnomalies]]
+    * against a FROZEN per-slot baseline (the [[psiStream]] posture: the
+    * baseline comes from a healthy historical window and does not chase
+    * the drift): input rows are (group, bucket, count-increment);
+    * per-group state accumulates bucket totals ACROSS batches (late
+    * increments to an open hour fold in), pruned to the most recent
+    * `keepBuckets` buckets so state is O(keepBuckets) forever. Each
+    * batch re-emits every bucket it touched with the refreshed total
+    * and the batch op's exact cross-multiplied verdict
+    * `|n·den − num| ≥ thresholdAbs·den` against the bucket's
+    * hour-of-period slot. Unknown (group, slot) pairs — absent from the
+    * frozen baseline — emit `is_anomaly = true` (an hour the baseline
+    * never saw IS the anomaly). */
+  def seasonalAnomalyStream(rows: Dataset[(String, Long, Long)],
+      baseline: Seq[(String, Long, Long, Long)], thresholdAbs: Long,
+      periodBuckets: Int = 24, keepBuckets: Int = 168)
+      : Dataset[(String, Long, Long, Boolean)] = {
+    import rows.sparkSession.implicits._
+    require(thresholdAbs >= 0 && periodBuckets >= 1 && keepBuckets >= 1,
+      "bad seasonalAnomalyStream params")
+    val base: Map[(String, Long), (Long, Long)] =
+      baseline.map { case (g, slot, num, den) => (g, slot) -> (num, den) }
+        .toMap
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long],
+        (String, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          it.foreach { case (_, b, inc) =>
+            counts = counts.updated(b, counts.getOrElse(b, 0L) + inc)
+            touched += b
+          }
+          if (counts.nonEmpty) {
+            val hi = counts.keysIterator.max
+            counts = counts.filter(_._1 > hi - keepBuckets)
+          }
+          state.update(counts)
+          touched.iterator.filter(counts.contains).map { b =>
+            val n = counts(b)
+            val verdict = base.get((g, b % periodBuckets)) match {
+              case Some((num, den)) =>
+                math.abs(n * den - num) >= thresholdAbs * den
+              case None => true
+            }
+            (g, b, n, verdict)
+          }
+      }
+  }
+
   /** One micro-batch's worth of events for one user folded into the open
     * session state; returns the new state + closed sessions. Separated
     * from the streaming plumbing so the CROSS-batch semantics (late

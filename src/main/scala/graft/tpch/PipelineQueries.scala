@@ -589,6 +589,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // stuck-video detection over AVIs with each logical frame tripled:
+    // freeze runs inside repeat groups, exact byte-delta thresholds
+    "q262_video_freeze" -> ((s, dir) =>
+      Multimodal.videoFreezeRuns(
+        Multimodal.withSyntheticAviRepeats(docs(s, dir), "doc_id"))
+        .toDF().withColumnRenamed("media_id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // pairwise co-missingness over synthesized null patterns: v2 nulls
     // are a strict subset of v1's non-null rows' complement
     "q261_missingness" -> ((s, dir) => {
@@ -3420,6 +3428,38 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q262_video_freeze" ->
+      """WITH v AS (SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS n
+        |  FROM documents),
+        |tr0 AS (SELECT v.doc_id, v.n, u.f, j.j,
+        |    ABS(((v.doc_id + (u.f // 3) * 31 + j.j * 7) % 256) -
+        |        ((v.doc_id + ((u.f + 1) // 3) * 31 + j.j * 7) % 256))
+        |      AS dd
+        |  FROM v, unnest(generate_series(0, v.n - 2)) AS u(f),
+        |    unnest(generate_series(0, 31)) AS j(j)
+        |  WHERE v.n >= 2),
+        |tr AS (SELECT doc_id, f, SUM(dd) AS d FROM tr0 GROUP BY 1, 2),
+        |fz AS (SELECT doc_id, f, (d * 1000 <= 1000 * 32) AS frozen
+        |  FROM tr),
+        |mk AS (SELECT *, CASE WHEN frozen AND NOT COALESCE(
+        |    LAG(frozen) OVER (PARTITION BY doc_id ORDER BY f), FALSE)
+        |    THEN 1 ELSE 0 END AS st FROM fz),
+        |rid AS (SELECT *, SUM(st) OVER (PARTITION BY doc_id ORDER BY f)
+        |    AS run_id FROM mk),
+        |runlen AS (SELECT doc_id, run_id, COUNT(1) AS len FROM rid
+        |  WHERE frozen GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    SUM(CASE WHEN frozen THEN 1 ELSE 0 END) AS n_frozen,
+        |    SUM(st) AS n_runs, COUNT(1) AS n_tr FROM mk GROUP BY 1),
+        |lr AS (SELECT doc_id, MAX(len) AS longest FROM runlen GROUP BY 1)
+        |SELECT v.doc_id, v.n AS n_frames,
+        |  CAST(COALESCE(agg.n_tr, 0) AS INTEGER) AS n_transitions,
+        |  CAST(COALESCE(agg.n_frozen, 0) AS INTEGER) AS n_frozen,
+        |  CAST(COALESCE(agg.n_runs, 0) AS INTEGER) AS n_freeze_runs,
+        |  CAST(COALESCE(lr.longest, 0) AS INTEGER) AS longest_run
+        |FROM v LEFT JOIN agg USING (doc_id) LEFT JOIN lr USING (doc_id)
+        |ORDER BY v.doc_id""".stripMargin,
 
     "q261_missingness" ->
       """WITH e AS (SELECT

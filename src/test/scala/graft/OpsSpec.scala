@@ -1477,6 +1477,30 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imagePHash(bad).collect().head.width == -1)
   }
 
+  test("videoFreezeRuns: tripled frames make runs of 2; boundaries break") {
+    // id 6: n=7 frames, logical 0,0,0,1,1,1,2 → transitions
+    // f=0,1 frozen | f=2 jump | f=3,4 frozen | f=5 jump:
+    // 4 frozen, 2 runs, longest 2
+    val media = Multimodal.withSyntheticAviRepeats(
+      Seq(6L, 1L, 7L).toDF("doc_id"), "doc_id") // 1L: n=2; 7L: n=1
+    val got = Multimodal.videoFreezeRuns(media).collect()
+      .map(r => r.media_id -> r).toMap
+    val six = got(6L)
+    assert((six.n_frames, six.n_transitions, six.n_frozen,
+      six.n_freeze_runs, six.longest_run) == ((7L, 6, 4, 2, 2)))
+    // n=2: one frozen transition (both frames are logical frame 0)
+    val one = got(1L)
+    assert((one.n_transitions, one.n_frozen, one.n_freeze_runs,
+      one.longest_run) == ((1, 1, 1, 1)))
+    // n=1: no transitions at all
+    assert(got(7L).n_transitions == 0 && got(7L).n_freeze_runs == 0)
+    // non-AVI payload yields the sentinel
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRecord(9L,
+      Array[Byte](1, 2), "junk", 2L)).toDS()
+    assert(Multimodal.videoFreezeRuns(bad).collect().head.n_frames == -1L)
+  }
+
   test("audioQuality: clipping/silence/peak/energy match the formula") {
     val media = Multimodal.withSyntheticWavPcm(
       Seq(3L, 8L).toDF("doc_id"), "doc_id")

@@ -606,6 +606,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seasonalAnomalyStream: frozen baseline verdicts, cross-batch " +
+    "bucket accumulation, unknown slot flags") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // period 3; baseline: slot 0 averages 20/3, slot 1 averages 8/3;
+    // slot 2 is absent from the baseline on purpose
+    val baseline = Seq(("a", 0L, 20L, 3L), ("a", 1L, 8L, 3L))
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = Streaming.seasonalAnomalyStream(ms.toDS(), baseline,
+      thresholdAbs = 3L, periodBuckets = 3)
+      .toDF("g", "bucket", "n", "is_anomaly")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("seasonal_stream").start()
+    def rows(): Map[Long, (Long, Boolean)] =
+      spark.sql("SELECT * FROM seasonal_stream").collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getBoolean(3)))
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).maxBy(_._1) }
+    try {
+      // bucket 3 (slot 0): first batch holds 4 events — |12−20| < 9 OK
+      ms.addData(("a", 3L, 4L)); q.processAllAvailable()
+      assert(rows()(3L) == ((4L, false)))
+      // late increments push the same bucket to 10: |30−20| = 10 ≥ 9
+      ms.addData(("a", 3L, 6L)); q.processAllAvailable()
+      assert(rows()(3L) == ((10L, true)))
+      // slot 2 has no baseline → anomalous by definition
+      ms.addData(("a", 5L, 1L)); q.processAllAvailable()
+      assert(rows()(5L) == ((1L, true)))
+      // and the batch-op arithmetic agrees on the known-slot verdicts
+      assert(math.abs(10L * 3 - 20L) >= 3L * 3)
+      assert(math.abs(4L * 3 - 20L) < 3L * 3)
+    } finally q.stop()
+  }
+
   test("cusumStream: Page's test alarms on sustained shift, resets, " +
     "and equals the direct fold at every prefix") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
