@@ -137,6 +137,13 @@ object GraftSqlExtensions {
         arity("graft_deflate_size", 2, args)
         DeflateSizeExpr(args.head,
           litInt("graft_deflate_size", "level", args(1)))
+      },
+      entry("graft_url_canon",
+        "graft_url_canon(url) - canonical crawl URL (fragment/case/www/" +
+          "default-port/dup-slash/tracking-param/param-order collapse)",
+        classOf[UrlCanonExpr]) { args =>
+        arity("graft_url_canon", 1, args)
+        UrlCanonExpr(args.head)
       })
 
   /** Register on a LIVE session (the extensions conf only applies at

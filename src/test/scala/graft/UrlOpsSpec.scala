@@ -93,6 +93,54 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "keep1", 2L -> "keep2")) // 3 collapsed into 1
   }
 
+  test("native canonicalize ≡ lambda spec on the battery AND the synth corpus") {
+    val battery = Seq(
+      "https://WWW.Example.COM:443//a//b/?utm_source=x&b=2&a=1&gclid=7#frag",
+      "http://Site.Org:80/p", "http://site.org:8080/p",
+      "http://site.org:443/p", "HTTP://Host.Com", "http://host.com/",
+      "http://h.co/p?z=1&a&b=&utm_campaign=c&ref=r&fbclid=f",
+      "http://h.co/p?utm_source=x", "http://h.co/p?refresh=1",
+      "Not A Url", "http://", "http://host?a=1&b=0",
+      "http://host/p?x=%20&x=+&&&", "https://a.b.c.d.e/x/y/z/")
+    // plus every synthetic corpus URL (the gate's own input space)
+    val synth = (0L until 500L).toDF("doc_id")
+      .select(col("doc_id"))
+    val urls = battery.toDF("u").union(
+      synth.select(concat(
+        when(col("doc_id") % 3 === 0, "https").otherwise("http"),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, "WWW.").otherwise(""),
+        lit("Site"), (col("doc_id") % 5).cast("string"),
+        lit(".Example."),
+        when(col("doc_id") % 2 === 0, "com").otherwise("org"),
+        when(col("doc_id") % 4 === 1,
+          when(col("doc_id") % 3 === 0, ":443").otherwise(":80"))
+          .when(col("doc_id") % 4 === 2, ":8080").otherwise(""),
+        lit("//a/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        when(col("doc_id") % 3 === 0, "?utm_source=x&b=2&a=1")
+          .when(col("doc_id") % 3 === 1, "?gclid=1&z=9").otherwise(""),
+        when(col("doc_id") % 2 === 0, "#top").otherwise("")).as("u")))
+    val diff = urls.select(col("u"),
+        UrlOps.canonicalize(col("u")).as("native"),
+        UrlOps.canonicalizeLambda(col("u")).as("lambda"))
+      .filter(not(col("native") <=> col("lambda")))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+    // the native tracking set cannot drift from the documented list
+    UrlOps.trackingParams.foreach { p =>
+      val c = Seq(s"http://h.co/p?$p=1&keep=2").toDF("u")
+        .select(UrlOps.canonicalize(col("u"))).collect().head.getString(0)
+      assert(c == "http://h.co/p?keep=2", s"param $p not stripped: $c")
+    }
+    // SQL registration path computes the same value
+    graft.functions.GraftSqlExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_url_canon('http://WWW.H.co:80/a//b/?b=1&a=2#x') AS c")
+      .collect().head.getString(0)
+    assert(viaSql == "http://h.co/a/b?a=2&b=1")
+  }
+
   test("domainRollup groups canonical variants of one page together") {
     val df = Seq(
       (1L, "http://WWW.Site.com/a?utm_source=x", "en", 10L),
