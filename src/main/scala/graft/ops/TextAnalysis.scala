@@ -88,6 +88,33 @@ object TextAnalysis {
   def languageId(text: Column): Column =
     graft.functions.NativeText.lang_id(lower(text))
 
+  /** Language-ID with a CONFIDENCE margin — [[languageId]] returns only
+    * the argmax, but a pipeline routing documents to per-language
+    * cleaning stages needs to know when the call was a coin flip:
+    * per doc, the best and runner-up stopword-hit counts, their margin,
+    * the predicted language (same tie rules as [[languageId]]), and an
+    * `ambiguous` flag (no hits at all, or margin ≤ 1 — one word away
+    * from flipping). Per-row codegen'd [[graft.functions.StopwordHitsExpr]]
+    * passes, no shuffle; the q263 oracle replays every count. */
+  def langIdMargin(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val scored = stopwords.map { case (lang, _) =>
+      lang -> graft.functions.NativeText.stopword_hits(lowered, lang)
+    }
+    val arr = array_sort(array(scored.map(_._2): _*))
+    val best = element_at(arr, -1)
+    val second = element_at(arr, -2)
+    val pred = scored.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    df.select(col(idCol), pred.as("lang_pred"),
+      best.cast("long").as("best_hits"),
+      second.cast("long").as("second_hits"),
+      (best - second).cast("long").as("margin"),
+      (best === 0 || best - second <= 1).as("ambiguous"))
+  }
+
   /** Production language-ID: same single-pass argmax, but over the
     * realistic [[graft.functions.TextImpls.fullStopwords]] lists (~60
     * words × 11 languages). [[languageId]] keeps the pinned 8-word lists

@@ -589,6 +589,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // language-ID with confidence margin: best/runner-up stopword hits,
+    // ambiguity flag — the routing gate in front of per-language stages
+    "q263_langid_margin" -> ((s, dir) =>
+      TextAnalysis.langIdMargin(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // stuck-video detection over AVIs with each logical frame tripled:
     // freeze runs inside repeat groups, exact byte-delta thresholds
     "q262_video_freeze" -> ((s, dir) =>
@@ -3428,6 +3434,36 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q263_langid_margin" -> {
+      val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+        val inList = words.map(w => "'" + w.replace("'", "''") + "'")
+          .mkString(", ")
+        lang -> ("len(list_filter(regexp_split_to_array(lower(text), " +
+          s"'\\s+'), t -> t IN ($inList)))")
+      }
+      val colDefs = scores.map { case (l, s) => s"$s AS s_$l" }
+        .mkString(",\n    ")
+      val names = scores.map("s_" + _._1).mkString(", ")
+      val listExpr = s"[$names]"
+      val whens = scores.map { case (l, _) =>
+        s"WHEN s_$l = best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |    $colDefs
+         |  FROM documents),
+         |b AS (SELECT doc_id, $names,
+         |    list_sort($listExpr)[-1] AS best,
+         |    list_sort($listExpr)[-2] AS second
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred,
+         |  CAST(best AS BIGINT) AS best_hits,
+         |  CAST(second AS BIGINT) AS second_hits,
+         |  CAST(best - second AS BIGINT) AS margin,
+         |  (best = 0 OR best - second <= 1) AS ambiguous
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "q262_video_freeze" ->
       """WITH v AS (SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS n

@@ -1477,6 +1477,32 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imagePHash(bad).collect().head.width == -1)
   }
 
+  test("langIdMargin: clear winner, one-word coin flip, no-hit und") {
+    val df = Seq(
+      (1L, "the cat of the house and the dog"), // en ×5 hits, clear
+      (2L, "the der"),                          // en 1, de 1 → tie: en
+      (3L, "xyzzy plugh"),                      // no hits → und
+      (4L, "the la"))                           // en 1, es 1 (la), fr 1
+      .toDF("id", "t")
+    val got = TextAnalysis.langIdMargin(df, "id", "t")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[Long]("best_hits"),
+          r.getAs[Long]("second_hits"), r.getAs[Long]("margin"),
+          r.getAs[Boolean]("ambiguous")))).toMap
+    val one = got(1L)
+    assert(one._1 == "en" && one._2 == 5L && one._5 == (one._4 <= 1))
+    assert(got(2L) == (("en", 1L, 1L, 0L, true))) // tie breaks by order
+    assert(got(3L) == (("und", 0L, 0L, 0L, true)))
+    assert(got(4L)._1 == "en" && got(4L)._5)
+    // margin agrees with the plain argmax op on every prediction
+    val preds = TextAnalysis.langIdMargin(df, "id", "t")
+      .select(col("id"), col("lang_pred"))
+    val plain = df.select(col("id"),
+      TextAnalysis.languageId(col("t")).as("p"))
+    assert(preds.join(plain, "id")
+      .filter(col("lang_pred") =!= col("p")).count() == 0)
+  }
+
   test("videoFreezeRuns: tripled frames make runs of 2; boundaries break") {
     // id 6: n=7 frames, logical 0,0,0,1,1,1,2 → transitions
     // f=0,1 frozen | f=2 jump | f=3,4 frozen | f=5 jump:
