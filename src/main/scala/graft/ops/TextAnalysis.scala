@@ -329,6 +329,28 @@ object TextAnalysis {
         (letters > 0 && (letters - domCnt) * 5 >= letters))
   }
 
+  /** Token-level homoglyph detection — [[scriptProfile]] sees a document
+    * that is 98% Latin and calls it clean; this catches the single
+    * `pаypal` token whose `а` is CYRILLIC (U+0430) — the classic
+    * phishing/SEO-spoof/adversarial-poisoning signal, and in a training
+    * corpus a tokenizer-splitting artifact that quietly degrades the
+    * vocabulary. Counts whitespace-delimited tokens mixing Latin with
+    * Cyrillic and with Greek (the two confusable-rich scripts); flag =
+    * any such token. Pure per-row `regexp_count`, no shuffle, streams
+    * unchanged; the q264 oracle replays the same RE2-compatible
+    * patterns. */
+  def homoglyphSignals(text: Column): Seq[(String, Column)] = {
+    def mixedTok(range: String): Column = regexp_count(text, lit(
+      "[^\\s]*(?:[A-Za-z][^\\s]*[" + range + "]|[" + range +
+        "][^\\s]*[A-Za-z])[^\\s]*")).cast("long")
+    val cyr = mixedTok("\\x{0400}-\\x{04FF}")
+    val grk = mixedTok("\\x{0370}-\\x{03FF}")
+    Seq(
+      "n_latin_cyrillic_tokens" -> cyr,
+      "n_latin_greek_tokens" -> grk,
+      "has_homoglyph" -> (cyr + grk > 0))
+  }
+
   /** Encoding-anomaly features — the mojibake detector ([[scriptProfile]]
     * answers "which writing systems"; this answers "did an encoding step
     * already destroy them"): counts of U+FFFD replacement characters

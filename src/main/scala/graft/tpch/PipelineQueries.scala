@@ -589,6 +589,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // token-level homoglyph spoof detection over synthesized Cyrillic/
+    // Greek lookalike injections (documents text is clean ASCII)
+    "q264_homoglyphs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val spiked = docs(s, dir).select(id, concat(col("text"),
+        when(id % 5 === 0, lit(" pаypal"))       // Cyrillic а
+          .when(id % 5 === 1, lit(" alphαbet"))  // Greek α
+          .when(id % 5 === 2, lit(" мосcow")) // мос + cow
+          .otherwise(lit(" clean"))).as("text"))
+      val sig = TextAnalysis.homoglyphSignals(col("text"))
+      spiked.select(id +: sig.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(id)
+    }),
+
     // language-ID with confidence margin: best/runner-up stopword hits,
     // ambiguity flag — the routing gate in front of per-language stages
     "q263_langid_margin" -> ((s, dir) =>
@@ -3434,6 +3448,27 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q264_homoglyphs" ->
+      """WITH sp AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ' p' || chr(1072) || 'ypal'
+        |      WHEN doc_id % 5 = 1 THEN ' alph' || chr(945) || 'bet'
+        |      WHEN doc_id % 5 = 2 THEN ' ' || chr(1084) || chr(1086) ||
+        |        chr(1089) || 'cow'
+        |      ELSE ' clean' END) AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[^\s]*(?:[A-Za-z][^\s]*[\x{0400}-\x{04FF}]|[\x{0400}-\x{04FF}][^\s]*[A-Za-z])[^\s]*'))
+        |      AS BIGINT) AS n_latin_cyrillic_tokens,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[^\s]*(?:[A-Za-z][^\s]*[\x{0370}-\x{03FF}]|[\x{0370}-\x{03FF}][^\s]*[A-Za-z])[^\s]*'))
+        |      AS BIGINT) AS n_latin_greek_tokens
+        |  FROM sp)
+        |SELECT doc_id, n_latin_cyrillic_tokens, n_latin_greek_tokens,
+        |  (n_latin_cyrillic_tokens + n_latin_greek_tokens > 0)
+        |    AS has_homoglyph
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q263_langid_margin" -> {
       val scores = TextAnalysis.stopwords.map { case (lang, words) =>

@@ -1477,6 +1477,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imagePHash(bad).collect().head.width == -1)
   }
 
+  test("homoglyphSignals: mixed-script tokens flag; pure scripts do not") {
+    val df = Seq(
+      (1L, "pаypal is fake"),          // Cyrillic а inside Latin
+      (2L, "alphαbet soup"),            // Greek α inside Latin
+      (3L, "hello world"),                   // clean Latin
+      (4L, "москва 2024"), // pure Cyrillic
+      (5L, "xа yβ z"))             // one of each
+      .toDF("id", "t")
+    val sig = TextAnalysis.homoglyphSignals(col("t"))
+    val got = df.select(col("id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_latin_cyrillic_tokens"),
+          r.getAs[Long]("n_latin_greek_tokens"),
+          r.getAs[Boolean]("has_homoglyph")))).toMap
+    assert(got(1L) == ((1L, 0L, true)))
+    assert(got(2L) == ((0L, 1L, true)))
+    assert(got(3L) == ((0L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, false))) // pure Cyrillic is NOT spoofing
+    assert(got(5L) == ((1L, 1L, true)))
+  }
+
   test("langIdMargin: clear winner, one-word coin flip, no-hit und") {
     val df = Seq(
       (1L, "the cat of the house and the dog"), // en ×5 hits, clear
