@@ -351,6 +351,23 @@ object TextAnalysis {
       "has_homoglyph" -> (cyr + grk > 0))
   }
 
+  /** OCR/PDF hyphenation repair — scanned and PDF-extracted corpora are
+    * full of `exam- ple` line-break artifacts (the hyphen + whitespace
+    * splitting one word), which poison tokenization (two junk subwords
+    * per break), n-gram dedup, and every word-count-based quality rule
+    * upstream of them. Rejoins lowercase-letter − hyphen − whitespace −
+    * lowercase-letter sequences; deliberately narrow so real compounds
+    * (`well- known` is repaired, `twenty-one` untouched, `end- The` kept
+    * split: a capital after the break usually IS a sentence boundary
+    * artifact worth keeping visible). Returns (repaired, n_breaks).
+    * Pure per-row regexp, DuckDB-replayable, streams unchanged. */
+  def repairHyphenation(text: Column): Seq[(String, Column)] = {
+    val pat = "([a-z])-\\s+([a-z])"
+    Seq(
+      "repaired" -> regexp_replace(text, pat, "$1$2"),
+      "n_breaks" -> regexp_count(text, lit(pat)).cast("long"))
+  }
+
   /** Encoding-anomaly features — the mojibake detector ([[scriptProfile]]
     * answers "which writing systems"; this answers "did an encoding step
     * already destroy them"): counts of U+FFFD replacement characters

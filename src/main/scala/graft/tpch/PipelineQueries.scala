@@ -589,6 +589,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // OCR hyphenation repair over synthesized line-break artifacts;
+    // capitals after the break stay split by design
+    "q265_hyphen_repair" -> ((s, dir) => {
+      val id = col("doc_id")
+      val spiked = docs(s, dir).select(id, concat(col("text"),
+        when(id % 3 === 0, lit(" exam- ple and test-  ing"))
+          .when(id % 3 === 1, lit(" end- The next"))
+          .otherwise(lit(" twenty-one"))).as("text"))
+      val rep = TextAnalysis.repairHyphenation(col("text"))
+      spiked.select(id +: rep.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(id)
+    }),
+
     // token-level homoglyph spoof detection over synthesized Cyrillic/
     // Greek lookalike injections (documents text is clean ASCII)
     "q264_homoglyphs" -> ((s, dir) => {
@@ -3448,6 +3461,19 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q265_hyphen_repair" ->
+      """WITH sp AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' exam- ple and test-  ing'
+        |      WHEN doc_id % 3 = 1 THEN ' end- The next'
+        |      ELSE ' twenty-one' END) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(text, '([a-z])-\s+([a-z])', '\1\2', 'g')
+        |    AS repaired,
+        |  CAST(len(regexp_extract_all(text, '([a-z])-\s+([a-z])'))
+        |    AS BIGINT) AS n_breaks
+        |FROM sp ORDER BY doc_id""".stripMargin,
 
     "q264_homoglyphs" ->
       """WITH sp AS (SELECT doc_id, text ||

@@ -1477,6 +1477,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imagePHash(bad).collect().head.width == -1)
   }
 
+  test("repairHyphenation: lowercase breaks rejoin; compounds and " +
+    "sentence boundaries survive") {
+    val df = Seq(
+      (1L, "an exam- ple of test-  ing"),
+      (2L, "twenty-one items"),     // real compound: no whitespace
+      (3L, "the end- The next"),    // capital after break: kept
+      (4L, "clean text"))
+      .toDF("id", "t")
+    val rep = TextAnalysis.repairHyphenation(col("t"))
+    val got = df.select(col("id") +: rep.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("repaired"), r.getAs[Long]("n_breaks")))).toMap
+    assert(got(1L) == (("an example of testing", 2L)))
+    assert(got(2L) == (("twenty-one items", 0L)))
+    assert(got(3L) == (("the end- The next", 0L)))
+    assert(got(4L) == (("clean text", 0L)))
+  }
+
   test("homoglyphSignals: mixed-script tokens flag; pure scripts do not") {
     val df = Seq(
       (1L, "pаypal is fake"),          // Cyrillic а inside Latin
