@@ -536,6 +536,49 @@ object EventAnalytics {
         col("n_trans"), col("n_from"))
   }
 
+  /** Per-entity journey log-probability under the corpus's own
+    * first-order transition model — the anomalous-journey detector
+    * ([[markovTransitions]] builds the model; this SCORES each entity
+    * against it): an account whose click-path is a chain of
+    * rarely-followed transitions (scraper, broken client, fraud
+    * automation) surfaces with a far-below-typical average step
+    * log-probability. Each observed step a→b contributes
+    * `ln(c(a→b)/c(a))` in the source-scorecard micro-nat posture
+    * (round to 6 dp, carry as ×10⁶ integers) so the per-entity sum is
+    * order-free and engine-exact; every observed pair has c ≥ 1, so no
+    * smoothing is needed when scoring the corpus against itself.
+    *
+    * Shape: one entity-partitioned lag window builds the step stream;
+    * the |states|²-bounded model broadcasts back onto it; one partial-
+    * aggregable per-entity collapse. Returns (entity, n_steps,
+    * logprob_micro, avg_logprob_micro). */
+  def pathLogProb(events: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__from__", lag(col(stateCol), 1).over(w))
+      .filter(col("__from__").isNotNull)
+      .select(col(entityCol), col("__from__").as("from_state"),
+        col(stateCol).as("to_state"))
+    val trans = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("__nt__"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(count(lit(1)).as("__nf__"))
+    val model = trans.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"),
+        round(round(log(col("__nt__").cast("double") /
+          col("__nf__").cast("double")), 6) * 1e6).cast("long")
+          .as("__lp__"))
+    pairs.join(broadcast(model), Seq("from_state", "to_state"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("__lp__")).as("logprob_micro"))
+      .withColumn("avg_logprob_micro",
+        col("logprob_micro").cast("double") /
+          col("n_steps").cast("double"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * most recent PRECEDING touch event (view/click/…) of the same
     * entity — the as-of join is exactly the right primitive, so this

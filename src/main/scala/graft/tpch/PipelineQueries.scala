@@ -589,6 +589,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // journey log-probability under the corpus transition model:
+    // micro-nat integer sums, the anomalous-path readout
+    "q266_path_logprob" -> ((s, dir) =>
+      graft.ops.EventAnalytics.pathLogProb(
+        graft.tpch.EventsModel.eventsTable(s, dir), "user_id", "ts",
+        "event_id", "event_type")
+        .orderBy(col("user_id"))),
+
     // OCR hyphenation repair over synthesized line-break artifacts;
     // capitals after the break stay split by design
     "q265_hyphen_repair" -> ((s, dir) => {
@@ -3461,6 +3469,26 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q266_path_logprob" ->
+      """WITH p0 AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events),
+        |p AS (SELECT user_id, f AS from_state, event_type AS to_state
+        |  FROM p0 WHERE f IS NOT NULL),
+        |t AS (SELECT from_state, to_state, COUNT(1) AS nt
+        |  FROM p GROUP BY 1, 2),
+        |tf AS (SELECT from_state, COUNT(1) AS nf FROM p GROUP BY 1),
+        |m AS (SELECT t.from_state, t.to_state,
+        |    CAST(ROUND(ROUND(LN(CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE)),
+        |      6) * 1000000.0, 0) AS BIGINT) AS lp
+        |  FROM t JOIN tf USING (from_state))
+        |SELECT p.user_id, CAST(COUNT(1) AS BIGINT) AS n_steps,
+        |  CAST(SUM(m.lp) AS BIGINT) AS logprob_micro,
+        |  CAST(SUM(m.lp) AS DOUBLE) / COUNT(1) AS avg_logprob_micro
+        |FROM p JOIN m USING (from_state, to_state)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q265_hyphen_repair" ->
       """WITH sp AS (SELECT doc_id, text ||

@@ -403,6 +403,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("pathLogProb: common journeys score high, rare ones low; " +
+    "micro-nat sums are exact") {
+    // corpus: 3 users do a→b, 1 user does a→c.
+    // c(a→b)=3, c(a→c)=1, c(a)=4 → lp(a→b)=ln(3/4), lp(a→c)=ln(1/4)
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"),
+      (2L, 0L, "a"), (2L, 1L, "b"),
+      (3L, 0L, "a"), (3L, 1L, "b"),
+      (4L, 0L, "a"), (4L, 1L, "c"))
+      .toDF("u", "us", "s").withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("id", col("us"))
+    val got = EventAnalytics.pathLogProb(ev, "u", "ts", "id", "s")
+      .collect().map(r => r.getAs[Long]("u") ->
+        ((r.getAs[Long]("n_steps"), r.getAs[Long]("logprob_micro")))).toMap
+    def micro(x: Double): Long =
+      math.round(BigDecimal(math.log(x)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    assert(got(1L) == ((1L, micro(3.0 / 4.0))))
+    assert(got(4L) == ((1L, micro(1.0 / 4.0))))
+    assert(got(4L)._2 < got(1L)._2) // the rare path scores lower
+  }
+
   test("seasonalAnomalies: diurnal pattern is the null; a dead slot and " +
     "a burst flag; global-mean twin would flag every quiet hour") {
     // 3-hour period for a compact fixture: two full periods where slot 0
