@@ -255,6 +255,30 @@ object ScaleStress {
           "lang", "source")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q262-q265 shapes: per-row passes (container walk, regexps,
+      // stopword scans) — the zero-shuffle tier
+      timed(scale, "video_freeze") {
+        val st = Multimodal.videoFreezeRuns(
+          Multimodal.withSyntheticAviRepeats(docs, "doc_id"))
+        (st.queryExecution.toRdd.count(), sig(st))
+      }
+      timed(scale, "langid_margin") {
+        val out = graft.ops.TextAnalysis.langIdMargin(
+          docs, "doc_id", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "homoglyphs") {
+        val sigs2 = graft.ops.TextAnalysis.homoglyphSignals(col("text"))
+        val out = docs.select(col("doc_id") +:
+          sigs2.map { case (n, c) => c.as(n) }: _*)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "hyphen_repair") {
+        val rep = graft.ops.TextAnalysis.repairHyphenation(col("text"))
+        val out = docs.select(col("doc_id") +:
+          rep.map { case (n, c) => c.as(n) }: _*)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q77 shape: benchmark decontamination — the claim under test is
       // that with a FIXED benchmark set (real eval suites don't grow with
       // the corpus) its gram set broadcasts, corpus text is never the
@@ -1452,6 +1476,13 @@ object ScaleStress {
         val out = graft.ops.EventAnalytics.seasonalAnomalies(
           ev.withColumn("ts", timestamp_micros(col("tus"))),
           "event_type", "ts", thresholdAbs = 3L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q266 shape: path log-prob — entity lag window + broadcast model
+      timed(scale, "path_logprob") {
+        val out = graft.ops.EventAnalytics.pathLogProb(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "user_id", "ts", "event_id", "event_type")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q239 shape: bot signals — two entity-keyed log aggregations
