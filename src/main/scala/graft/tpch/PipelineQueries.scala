@@ -589,6 +589,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // semi-structured props field audit: never-throw JSON extraction
+    // with injected malformed payloads, exact per-type stats
+    "q267_json_props" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("props",
+          when(col("event_id") % 97 === 0, lit("{broken"))
+            .otherwise(col("props")))
+      graft.ops.SemiStructured.fieldStats(ev, "event_type", "props",
+        "$.k").orderBy(col("event_type"))
+    }),
+
     // journey log-probability under the corpus transition model:
     // micro-nat integer sums, the anomalous-path readout
     "q266_path_logprob" -> ((s, dir) =>
@@ -3469,6 +3480,24 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q267_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN '{broken' ELSE props END
+        |      AS props
+        |  FROM events),
+        |x AS (SELECT event_type,
+        |    CASE WHEN json_valid(props) THEN
+        |      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(MIN(k) AS BIGINT) AS k_min,
+        |  CAST(MAX(k) AS BIGINT) AS k_max
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q266_path_logprob" ->
       """WITH p0 AS (SELECT user_id, event_type,

@@ -403,6 +403,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("SemiStructured.fieldStats: malformed/missing/non-numeric never " +
+    "throw; stats cover the extractable rows only") {
+    val df = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", "{broken"),                  // malformed
+      ("a", """{"other": 1}"""),         // missing path
+      ("b", """{"k": "text"}"""),        // non-numeric
+      ("b", """{"k": -3}"""))
+      .toDF("g", "props")
+    val got = graft.ops.SemiStructured.fieldStats(df, "g", "props", "$.k")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Long]("n_missing") == 2L)
+    assert(a.getAs[Long]("k_sum") == 12L && a.getAs[Long]("k_max") == 7L)
+    val b = got("b")
+    assert(b.getAs[Long]("n_missing") == 1L)
+    assert(b.getAs[Long]("k_sum") == -3L && b.getAs[Long]("k_min") == -3L)
+  }
+
   test("pathLogProb: common journeys score high, rare ones low; " +
     "micro-nat sums are exact") {
     // corpus: 3 users do a→b, 1 user does a→c.
