@@ -579,6 +579,40 @@ object EventAnalytics {
           col("n_steps").cast("double"))
   }
 
+  /** Position-bias-corrected engagement (COEC — clicks over expected
+    * clicks): raw CTR rewards whatever was shown at rank 1; COEC divides
+    * each item's clicks by the clicks EXPECTED from where it was shown
+    * (Σ over its impressions of the global per-position CTR), so an
+    * item that out-clicks its slots scores > 1 wherever it was ranked —
+    * the standard position-debiased relevance signal for ranker
+    * training data. Per-position CTRs carry as round-half-up micro
+    * units (the micro-nat posture: per-position rounding, then exact
+    * integer Σ impressions×ctr_micro per item), so the expected-click
+    * sum is order-free and engine-exact; the final `clicks·10⁶ / ec`
+    * is the only float.
+    *
+    * Shape: two partial-aggregable groupBys — (position) for the
+    * bias model (|positions| rows, broadcast back) and (item, position)
+    * collapsed to items. Returns (item, n_impr, n_clicks, ec_micro,
+    * coec); coec is null for an item with zero expected clicks. */
+  def coec(df: DataFrame, itemCol: String, posCol: String,
+      clickCol: String): DataFrame = {
+    val ip = df.groupBy(col(itemCol), col(posCol).as("__pos__"))
+      .agg(count(lit(1)).as("__n__"),
+        sum(when(col(clickCol), 1L).otherwise(0L)).as("__c__"))
+    val posCtr = ip.groupBy(col("__pos__"))
+      .agg(round(lit(1e6) * sum(col("__c__")).cast("double") /
+        sum(col("__n__")).cast("double")).cast("long").as("__ctr_mic__"))
+    ip.join(broadcast(posCtr), Seq("__pos__"))
+      .groupBy(col(itemCol))
+      .agg(sum(col("__n__")).as("n_impr"),
+        sum(col("__c__")).as("n_clicks"),
+        sum(col("__n__") * col("__ctr_mic__")).as("ec_micro"))
+      .withColumn("coec", when(col("ec_micro") > 0,
+        col("n_clicks").cast("double") * 1e6 /
+          col("ec_micro").cast("double")))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * most recent PRECEDING touch event (view/click/…) of the same
     * entity — the as-of join is exactly the right primitive, so this

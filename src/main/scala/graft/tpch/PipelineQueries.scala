@@ -589,6 +589,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // position-debiased engagement (COEC) over synthetic rank slots:
+    // per-position CTR model broadcast back, exact micro-unit sums
+    "q268_coec" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("item", pmod(col("event_id"), lit(37L)))
+        .withColumn("pos", pmod(col("event_id") * 13, lit(5L)) + 1)
+        .withColumn("click", col("event_type") === "purchase")
+      graft.ops.EventAnalytics.coec(ev, "item", "pos", "click")
+        .orderBy(col("item"))
+    }),
+
     // semi-structured props field audit: never-throw JSON extraction
     // with injected malformed payloads, exact per-type stats
     "q267_json_props" -> ((s, dir) => {
@@ -3480,6 +3491,27 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q268_coec" ->
+      """WITH e AS (SELECT event_id % 37 AS item,
+        |    (event_id * 13) % 5 + 1 AS pos,
+        |    (event_type = 'purchase') AS click
+        |  FROM events),
+        |ip AS (SELECT item, pos, COUNT(1) AS n,
+        |    SUM(CASE WHEN click THEN 1 ELSE 0 END) AS c
+        |  FROM e GROUP BY 1, 2),
+        |pc AS (SELECT pos, CAST(ROUND(1000000.0 * CAST(SUM(c) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE), 0) AS BIGINT) AS ctr_mic
+        |  FROM ip GROUP BY 1),
+        |a AS (SELECT item, CAST(SUM(n) AS BIGINT) AS n_impr,
+        |    CAST(SUM(c) AS BIGINT) AS n_clicks,
+        |    CAST(SUM(n * ctr_mic) AS BIGINT) AS ec_micro
+        |  FROM ip JOIN pc USING (pos) GROUP BY 1)
+        |SELECT item, n_impr, n_clicks, ec_micro,
+        |  CASE WHEN ec_micro > 0 THEN
+        |    CAST(n_clicks AS DOUBLE) * 1000000.0 / CAST(ec_micro AS DOUBLE)
+        |  END AS coec
+        |FROM a ORDER BY item""".stripMargin,
 
     "q267_json_props" ->
       """WITH e AS (SELECT event_type,

@@ -422,6 +422,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("k_sum") == -3L && b.getAs[Long]("k_min") == -3L)
   }
 
+  test("coec: out-clicking your slot scores > 1 at any rank") {
+    // pooled per-position CTRs are both 1/2. item A clicked on BOTH its
+    // pos-2 impressions → expected 1.0 clicks, COEC 2.0; item B matches
+    // its slot exactly → COEC 1.0; item D never clicks → COEC 0
+    val df = Seq(
+      ("A", 2, true), ("A", 2, true),
+      ("B", 1, true), ("B", 1, false),
+      ("C", 1, true), ("C", 1, false),   // fills pos-1 pool
+      ("D", 2, false), ("D", 2, false))  // fills pos-2 pool
+      .toDF("item", "pos", "click")
+    val got = EventAnalytics.coec(df, "item", "pos", "click")
+      .collect().map(r => r.getAs[String]("item") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_impr") == 2L && a.getAs[Long]("n_clicks") == 2L)
+    assert(a.getAs[Long]("ec_micro") == 1000000L) // 2 × 500000
+    assert(a.getAs[Double]("coec") == 2.0)
+    assert(got("B").getAs[Double]("coec") == 1.0)
+    assert(got("D").getAs[Long]("n_clicks") == 0L)
+    assert(got("D").getAs[Double]("coec") == 0.0)
+  }
+
   test("pathLogProb: common journeys score high, rare ones low; " +
     "micro-nat sums are exact") {
     // corpus: 3 users do a→b, 1 user does a→c.
