@@ -566,6 +566,45 @@ object Profiling {
       .withColumn("hhi", col("sum_sq_counts").cast("double") /
         (col("n").cast("double") * col("n").cast("double")))
 
+  /** Cohen's kappa inter-rater agreement per group — the label-quality
+    * gate for annotated training data (raw percent-agreement flatters
+    * skewed label sets: two raters stamping 95% "safe" agree 90%+ by
+    * CHANCE; kappa subtracts exactly that): with `a` = agreements,
+    * `n` = items, and `pe_num = Σ_k rowA_k·colB_k` the chance-agreement
+    * numerator, `kappa = (a·n − pe_num) / (n² − pe_num)` — an exact
+    * integer rational (ships as kappa_num/kappa_den), float only in the
+    * final division. kappa is null when the denominator is 0 (both
+    * raters constant and identical — agreement is vacuous).
+    *
+    * Shape: one (group, labelA, labelB) contingency collapse (rows never
+    * shuffle twice), then label-count-bounded marginal joins. Returns
+    * (group, n, n_agree, kappa_num, kappa_den, kappa). */
+  def cohensKappa(df: DataFrame, groupCol: String, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(raterACol).as("__a__"),
+        col(raterBCol).as("__b__"))
+      .agg(count(lit(1)).as("__c__"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("__c__")).as("n"),
+        sum(when(col("__a__") <=> col("__b__"), col("__c__"))
+          .otherwise(lit(0L))).as("n_agree"))
+    val margA = cells.groupBy(col(groupCol), col("__a__").as("__l__"))
+      .agg(sum(col("__c__")).as("__ca__"))
+    val margB = cells.groupBy(col(groupCol), col("__b__").as("__l__"))
+      .agg(sum(col("__c__")).as("__cb__"))
+    val pe = margA.join(margB, Seq(groupCol, "__l__"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__ca__") * col("__cb__")).as("__pe_num__"))
+    // left join: raters sharing NO label at all still report (pe = 0)
+    totals.join(pe, Seq(groupCol), "left")
+      .withColumn("__pe_num__", coalesce(col("__pe_num__"), lit(0L)))
+      .select(col(groupCol), col("n"), col("n_agree"),
+        (col("n_agree") * col("n") - col("__pe_num__")).as("kappa_num"),
+        (col("n") * col("n") - col("__pe_num__")).as("kappa_den"))
+      .withColumn("kappa", when(col("kappa_den") =!= 0,
+        col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+  }
+
   /** Exact Gini coefficient of `keyCol`'s count distribution within each
     * group — [[hhi]]'s rank-based sibling (HHI weighs the HEAD, Gini the
     * whole inequality curve; a corpus of one giant source plus a long

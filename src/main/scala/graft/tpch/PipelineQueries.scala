@@ -589,6 +589,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // inter-rater agreement per event type: two synthetic annotators
+    // with controlled disagreement, exact rational kappa
+    "q269_cohens_kappa" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("rater_a", pmod(col("event_id"), lit(3L)))
+        .withColumn("rater_b",
+          when(col("event_id") % 7 === 0,
+            pmod(col("event_id") + 1, lit(3L)))
+            .otherwise(pmod(col("event_id"), lit(3L))))
+      graft.ops.Profiling.cohensKappa(ev, "event_type", "rater_a",
+        "rater_b").orderBy(col("event_type"))
+    }),
+
     // position-debiased engagement (COEC) over synthetic rank slots:
     // per-position CTR model broadcast back, exact micro-unit sums
     "q268_coec" -> ((s, dir) => {
@@ -3491,6 +3504,36 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q269_cohens_kappa" ->
+      """WITH e AS (SELECT event_type,
+        |    event_id % 3 AS a,
+        |    CASE WHEN event_id % 7 = 0 THEN (event_id + 1) % 3
+        |      ELSE event_id % 3 END AS b
+        |  FROM events),
+        |cells AS (SELECT event_type, a, b, COUNT(1) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, SUM(c) AS n,
+        |    SUM(CASE WHEN a = b THEN c ELSE 0 END) AS n_agree
+        |  FROM cells GROUP BY 1),
+        |ma AS (SELECT event_type, a AS l, SUM(c) AS ca FROM cells
+        |  GROUP BY 1, 2),
+        |mb AS (SELECT event_type, b AS l, SUM(c) AS cb FROM cells
+        |  GROUP BY 1, 2),
+        |pe AS (SELECT event_type, SUM(ca * cb) AS pe_num
+        |  FROM ma JOIN mb USING (event_type, l) GROUP BY 1)
+        |SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+        |  CAST(t.n_agree AS BIGINT) AS n_agree,
+        |  CAST(t.n_agree * t.n - COALESCE(pe.pe_num, 0) AS BIGINT)
+        |    AS kappa_num,
+        |  CAST(t.n * t.n - COALESCE(pe.pe_num, 0) AS BIGINT)
+        |    AS kappa_den,
+        |  CASE WHEN t.n * t.n - COALESCE(pe.pe_num, 0) <> 0 THEN
+        |    CAST(t.n_agree * t.n - COALESCE(pe.pe_num, 0) AS DOUBLE) /
+        |    CAST(t.n * t.n - COALESCE(pe.pe_num, 0) AS DOUBLE)
+        |  END AS kappa
+        |FROM tot t LEFT JOIN pe USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
 
     "q268_coec" ->
       """WITH e AS (SELECT event_id % 37 AS item,

@@ -221,6 +221,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("cohensKappa: perfect = 1, chance-level ≈ 0, skew doesn't flatter") {
+    // g1: perfect agreement on a balanced pair of labels → kappa 1
+    val perfect = Seq.tabulate(8)(i => ("g1", i % 2, i % 2))
+    // g2: rater B ignores A entirely — every A label gets every B label
+    // equally → observed = chance → kappa 0
+    val chance = for (a <- 0 to 1; b <- 0 to 1; _ <- 1 to 2)
+      yield ("g2", a, b)
+    // g3: both stamp the same constant → vacuous, kappa null
+    val vacuous = Seq.fill(4)(("g3", 1, 1))
+    val df = (perfect ++ chance ++ vacuous).toDF("g", "a", "b")
+    val got = graft.ops.Profiling.cohensKappa(df, "g", "a", "b")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("g1").getAs[Double]("kappa") == 1.0)
+    assert(got("g2").getAs[Double]("kappa") == 0.0)
+    assert(got("g3").isNullAt(got("g3").fieldIndex("kappa")))
+    assert(got("g3").getAs[Long]("kappa_den") == 0L)
+    // exact rationals: g1 is (8·8 − 32)/(64 − 32)
+    assert(got("g1").getAs[Long]("kappa_num") == 32L)
+    assert(got("g1").getAs[Long]("kappa_den") == 32L)
+  }
+
   test("gini: equal shares = 0, monopoly tail → high; tie-order invariant") {
     // en: 4 equal sources → G = 0; fr: 9-vs-1-vs-1-vs-1 → counts
     // sorted [1,1,1,9], Σi·c = 1+2+3+36 = 42, k=4, total=12:
