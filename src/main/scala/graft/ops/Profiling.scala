@@ -605,6 +605,44 @@ object Profiling {
         col("kappa_num").cast("double") / col("kappa_den").cast("double")))
   }
 
+  /** Pairwise preference win matrix — the first QA readout over RLHF /
+    * eval comparison data (before fitting any Bradley-Terry/Elo model,
+    * look at the raw matrix: a 90/10 split on 10 comparisons and a
+    * 52/48 on 10,000 need different handling, and position bias shows
+    * as A-side inflation): per UNORDERED model pair, comparison count,
+    * wins for each side, ties, and the exact-rational win rate of the
+    * lexicographically-first model (ties excluded from the rate,
+    * counted in the row). Pairs are canonicalized (least(a,b),
+    * greatest(a,b)) so A/B seating is erased BEFORE counting; the
+    * per-seat counts survive as a_seat_first for the position-bias
+    * check. One partial-aggregable groupBy on the |models|²-bounded
+    * pair key. `outcome` is 'a' | 'b' | 'tie' (seat letters, pre-
+    * canonicalization). */
+  def winMatrix(df: DataFrame, modelACol: String, modelBCol: String,
+      outcomeCol: String): DataFrame = {
+    val lo = least(col(modelACol), col(modelBCol))
+    val hi = greatest(col(modelACol), col(modelBCol))
+    val firstIsA = col(modelACol) <= col(modelBCol)
+    val firstWon = (firstIsA && col(outcomeCol) === "a") ||
+      (!firstIsA && col(outcomeCol) === "b")
+    val secondWon = (firstIsA && col(outcomeCol) === "b") ||
+      (!firstIsA && col(outcomeCol) === "a")
+    df.select(lo.as("model_1"), hi.as("model_2"),
+        when(firstWon, 1L).otherwise(0L).as("__w1__"),
+        when(secondWon, 1L).otherwise(0L).as("__w2__"),
+        when(col(outcomeCol) === "tie", 1L).otherwise(0L).as("__t__"),
+        when(firstIsA, 1L).otherwise(0L).as("__fa__"))
+      .groupBy(col("model_1"), col("model_2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w1__")).as("wins_1"),
+        sum(col("__w2__")).as("wins_2"),
+        sum(col("__t__")).as("ties"),
+        sum(col("__fa__")).as("a_seat_first"))
+      .withColumn("winrate_1", when(col("wins_1") + col("wins_2") > 0,
+        col("wins_1").cast("double") /
+          (col("wins_1") + col("wins_2")).cast("double")))
+  }
+
   /** Exact Gini coefficient of `keyCol`'s count distribution within each
     * group — [[hhi]]'s rank-based sibling (HHI weighs the HEAD, Gini the
     * whole inequality curve; a corpus of one giant source plus a long

@@ -589,6 +589,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RLHF comparison-data win matrix over synthetic model pairs and
+    // outcomes; seating canonicalized before counting
+    "q270_win_matrix" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("model_a",
+          concat(lit("m"), pmod(col("event_id"), lit(4L))))
+        .withColumn("model_b",
+          concat(lit("m"), pmod(col("event_id") * 7 + 1, lit(4L))))
+        .filter(col("model_a") =!= col("model_b"))
+        .withColumn("outcome",
+          when(col("event_id") % 9 === 0, "tie")
+            .when(col("event_id") % 2 === 0, "a").otherwise("b"))
+      graft.ops.Profiling.winMatrix(ev, "model_a", "model_b", "outcome")
+        .orderBy(col("model_1"), col("model_2"))
+    }),
+
     // inter-rater agreement per event type: two synthetic annotators
     // with controlled disagreement, exact rational kappa
     "q269_cohens_kappa" -> ((s, dir) => {
@@ -3504,6 +3520,35 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q270_win_matrix" ->
+      """WITH e AS (SELECT 'm' || CAST(event_id % 4 AS VARCHAR) AS ma,
+        |    'm' || CAST((event_id * 7 + 1) % 4 AS VARCHAR) AS mb,
+        |    CASE WHEN event_id % 9 = 0 THEN 'tie'
+        |      WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS outcome
+        |  FROM events),
+        |f AS (SELECT LEAST(ma, mb) AS model_1, GREATEST(ma, mb)
+        |      AS model_2,
+        |    (ma <= mb) AS fa,
+        |    outcome
+        |  FROM e WHERE ma <> mb),
+        |g AS (SELECT model_1, model_2, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN (fa AND outcome = 'a')
+        |      OR (NOT fa AND outcome = 'b') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins_1,
+        |    CAST(SUM(CASE WHEN (fa AND outcome = 'b')
+        |      OR (NOT fa AND outcome = 'a') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins_2,
+        |    CAST(SUM(CASE WHEN outcome = 'tie' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties,
+        |    CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a_seat_first
+        |  FROM f GROUP BY 1, 2)
+        |SELECT model_1, model_2, n, wins_1, wins_2, ties, a_seat_first,
+        |  CASE WHEN wins_1 + wins_2 > 0 THEN
+        |    CAST(wins_1 AS DOUBLE) / CAST(wins_1 + wins_2 AS DOUBLE)
+        |  END AS winrate_1
+        |FROM g ORDER BY model_1, model_2""".stripMargin,
 
     "q269_cohens_kappa" ->
       """WITH e AS (SELECT event_type,

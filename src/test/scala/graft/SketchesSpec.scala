@@ -242,6 +242,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("g1").getAs[Long]("kappa_den") == 32L)
   }
 
+  test("winMatrix: seating is erased, seat counts survive, ties excluded " +
+    "from the rate") {
+    val df = Seq(
+      // x beats y twice from the A seat, loses once from the B seat
+      ("x", "y", "a"), ("x", "y", "a"), ("y", "x", "a"),
+      ("y", "x", "b"),                  // x wins from the B seat
+      ("x", "y", "tie"),
+      ("z", "x", "b"))                  // x beats z seated B
+      .toDF("ma", "mb", "o")
+    val got = graft.ops.Profiling.winMatrix(df, "ma", "mb", "o")
+      .collect().map(r => (r.getAs[String]("model_1"),
+        r.getAs[String]("model_2")) -> r).toMap
+    val xy = got(("x", "y"))
+    assert(xy.getAs[Long]("n") == 5L)
+    assert(xy.getAs[Long]("wins_1") == 3L)  // x: 2 as A + 1 as B
+    assert(xy.getAs[Long]("wins_2") == 1L)
+    assert(xy.getAs[Long]("ties") == 1L)
+    assert(xy.getAs[Long]("a_seat_first") == 3L) // x sat in seat A 3×
+    assert(xy.getAs[Double]("winrate_1") == 0.75) // ties excluded
+    val xz = got(("x", "z"))
+    assert(xz.getAs[Long]("wins_1") == 1L && xz.getAs[Long]("n") == 1L)
+  }
+
   test("gini: equal shares = 0, monopoly tail → high; tie-order invariant") {
     // en: 4 equal sources → G = 0; fr: 9-vs-1-vs-1-vs-1 → counts
     // sorted [1,1,1,9], Σi·c = 1+2+3+36 = 42, k=4, total=12:
