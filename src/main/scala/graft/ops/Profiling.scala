@@ -605,6 +605,45 @@ object Profiling {
         col("kappa_num").cast("double") / col("kappa_den").cast("double")))
   }
 
+  /** Simpson's-paradox check between two variants — the aggregation
+    * pitfall detector that belongs next to [[srmCheck]] and
+    * [[proportionTest]]: treatment can win in EVERY segment yet lose in
+    * the pooled rate when allocation correlates with segment base rates
+    * (or vice versa). Per segment, the sign of the rate difference
+    * `x_t/n_t − x_c/n_c` computed as the exact integer cross product
+    * `x_t·n_c − x_c·n_t`; a segment FLIPS when its sign strictly
+    * opposes the pooled sign. Returns one row per segment with both
+    * signs, counts, and the flip flag — plus the pooled totals repeated
+    * on every row so the readout is self-contained (a broadcast
+    * single-row join). Segments missing either variant are dropped (no
+    * within-segment comparison exists). */
+  def simpsonsCheck(df: DataFrame, segmentCol: String, variantCol: String,
+      convCol: String, treatment: String, control: String): DataFrame = {
+    val seg = df.filter(col(variantCol).isin(treatment, control))
+      .groupBy(col(segmentCol))
+      .agg(
+        sum(when(col(variantCol) === treatment, 1L).otherwise(0L))
+          .as("n_t"),
+        sum(when(col(variantCol) === treatment && col(convCol), 1L)
+          .otherwise(0L)).as("x_t"),
+        sum(when(col(variantCol) === control, 1L).otherwise(0L))
+          .as("n_c"),
+        sum(when(col(variantCol) === control && col(convCol), 1L)
+          .otherwise(0L)).as("x_c"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+    val pooled = seg.agg(sum(col("n_t")).as("pooled_n_t"),
+      sum(col("x_t")).as("pooled_x_t"), sum(col("n_c")).as("pooled_n_c"),
+      sum(col("x_c")).as("pooled_x_c"))
+    val segSign = col("x_t") * col("n_c") - col("x_c") * col("n_t")
+    val pooledSign = col("pooled_x_t") * col("pooled_n_c") -
+      col("pooled_x_c") * col("pooled_n_t")
+    seg.crossJoin(broadcast(pooled))
+      .withColumn("seg_diff_sign", signum(segSign).cast("int"))
+      .withColumn("pooled_diff_sign", signum(pooledSign).cast("int"))
+      .withColumn("flips",
+        col("seg_diff_sign") * col("pooled_diff_sign") === -1)
+  }
+
   /** Pairwise preference win matrix — the first QA readout over RLHF /
     * eval comparison data (before fitting any Bradley-Terry/Elo model,
     * look at the raw matrix: a 90/10 split on 10 comparisons and a

@@ -589,6 +589,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Simpson's-paradox flip detection across user segments: exact
+    // cross-product signs per segment vs pooled
+    "q271_simpsons_check" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("segment", pmod(col("user_id"), lit(3L)))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "treatment")
+            .otherwise("control"))
+        .withColumn("conv", col("event_type") === "purchase")
+      graft.ops.Profiling.simpsonsCheck(ev, "segment", "variant",
+        "conv", treatment = "treatment", control = "control")
+        .orderBy(col("segment"))
+    }),
+
     // RLHF comparison-data win matrix over synthetic model pairs and
     // outcomes; seating canonicalized before counting
     "q270_win_matrix" -> ((s, dir) => {
@@ -3520,6 +3534,41 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q271_simpsons_check" ->
+      """WITH e AS (SELECT user_id % 3 AS segment,
+        |    CASE WHEN user_id % 2 = 0 THEN 'treatment'
+        |      ELSE 'control' END AS variant,
+        |    (event_type = 'purchase') AS conv
+        |  FROM events),
+        |seg AS (SELECT segment,
+        |    SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS n_t,
+        |    SUM(CASE WHEN variant = 'treatment' AND conv THEN 1 ELSE 0
+        |      END) AS x_t,
+        |    SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS n_c,
+        |    SUM(CASE WHEN variant = 'control' AND conv THEN 1 ELSE 0
+        |      END) AS x_c
+        |  FROM e GROUP BY 1
+        |  HAVING SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+        |      > 0
+        |    AND SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) > 0),
+        |p AS (SELECT SUM(n_t) AS pn_t, SUM(x_t) AS px_t,
+        |    SUM(n_c) AS pn_c, SUM(x_c) AS px_c FROM seg)
+        |SELECT seg.segment, CAST(seg.n_t AS BIGINT) AS n_t,
+        |  CAST(seg.x_t AS BIGINT) AS x_t,
+        |  CAST(seg.n_c AS BIGINT) AS n_c,
+        |  CAST(seg.x_c AS BIGINT) AS x_c,
+        |  CAST(p.pn_t AS BIGINT) AS pooled_n_t,
+        |  CAST(p.px_t AS BIGINT) AS pooled_x_t,
+        |  CAST(p.pn_c AS BIGINT) AS pooled_n_c,
+        |  CAST(p.px_c AS BIGINT) AS pooled_x_c,
+        |  CAST(SIGN(seg.x_t * seg.n_c - seg.x_c * seg.n_t) AS INTEGER)
+        |    AS seg_diff_sign,
+        |  CAST(SIGN(p.px_t * p.pn_c - p.px_c * p.pn_t) AS INTEGER)
+        |    AS pooled_diff_sign,
+        |  (SIGN(seg.x_t * seg.n_c - seg.x_c * seg.n_t) *
+        |   SIGN(p.px_t * p.pn_c - p.px_c * p.pn_t) = -1) AS flips
+        |FROM seg, p ORDER BY seg.segment""".stripMargin,
 
     "q270_win_matrix" ->
       """WITH e AS (SELECT 'm' || CAST(event_id % 4 AS VARCHAR) AS ma,

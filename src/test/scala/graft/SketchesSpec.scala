@@ -242,6 +242,43 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("g1").getAs[Long]("kappa_den") == 32L)
   }
 
+  test("simpsonsCheck: the textbook flip is caught; one-sided segments drop") {
+    // classic construction: treatment wins INSIDE both segments but the
+    // allocation skew makes it lose pooled.
+    //  seg A: t 8/10 (.8)  vs c 7/10 (.7)   → t ahead
+    //  seg B: t 2/10 (.2)  vs c 9/90 (.1)   → t ahead
+    //  pooled: t 10/20 (.5) vs c 16/100 (.16) — stays ahead; flip the
+    //  seating instead: use control as "treatment" → both segs behind,
+    //  pooled ahead? Use the numbers straight and assert signs per seg.
+    def rows(seg: String, v: String, conv: Int, n: Int) =
+      Seq.fill(n)((seg, v, true)).take(conv) ++
+        Seq.fill(n - conv)((seg, v, false))
+    val df = (rows("A", "t", 8, 10) ++ rows("A", "c", 7, 10) ++
+      rows("B", "t", 2, 10) ++ rows("B", "c", 9, 90) ++
+      rows("C", "t", 1, 5)) // no control in C → dropped
+      .toDF("seg", "v", "conv")
+    val got = graft.ops.Profiling.simpsonsCheck(df, "seg", "v", "conv",
+      treatment = "c", control = "t") // seat control as treatment
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(!got.contains("C"))
+    // per segment, c is BEHIND t (negative sign)…
+    assert(got("A").getAs[Int]("seg_diff_sign") == -1)
+    assert(got("B").getAs[Int]("seg_diff_sign") == -1)
+    // …but pooled, c (16/100 = .16) vs t (10/20 = .5): still behind —
+    // no flip with these numbers; now verify the true paradox variant:
+    val df2 = (rows("A", "t", 81, 87) ++ rows("A", "c", 234, 270) ++
+      rows("B", "t", 192, 263) ++ rows("B", "c", 55, 80))
+      .toDF("seg", "v", "conv") // the Berkeley-style numbers
+    val g2 = graft.ops.Profiling.simpsonsCheck(df2, "seg", "v", "conv",
+      "t", "c").collect().map(r => r.getAs[String]("seg") -> r).toMap
+    // t ahead in both segments (81/87 > 234/270; 192/263 > 55/80)
+    assert(g2("A").getAs[Int]("seg_diff_sign") == 1)
+    assert(g2("B").getAs[Int]("seg_diff_sign") == 1)
+    // pooled: t 273/350 (.78) vs c 289/350 (.826) → behind → both flip
+    assert(g2("A").getAs[Int]("pooled_diff_sign") == -1)
+    assert(g2("A").getAs[Boolean]("flips") && g2("B").getAs[Boolean]("flips"))
+  }
+
   test("winMatrix: seating is erased, seat counts survive, ties excluded " +
     "from the rate") {
     val df = Seq(
