@@ -605,6 +605,34 @@ object Profiling {
         col("kappa_num").cast("double") / col("kappa_den").cast("double")))
   }
 
+  /** Binary confusion-matrix stats per group — the classifier eval
+    * primitive at a FIXED decision (the [[prCurve]] sweeps thresholds;
+    * this scores the one you shipped): exact tp/fp/fn/tn counts and
+    * precision/recall/F1/accuracy, each derived from the integers in
+    * the final projection only (F1 as `2tp / (2tp + fp + fn)` — the
+    * algebraic form that never divides by a rounded intermediate).
+    * Rates are null when their denominator is 0. One partial-aggregable
+    * groupBy. */
+  def confusionStats(df: DataFrame, groupCol: String, labelCol: String,
+      predCol: String): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val l = col(labelCol)
+    val p = col(predCol)
+    df.groupBy(col(groupCol))
+      .agg(cnt(l && p).as("tp"), cnt(!l && p).as("fp"),
+        cnt(l && !p).as("fn"), cnt(!l && !p).as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1", when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2) * col("tp")).cast("double") /
+          (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+  }
+
   /** Simpson's-paradox check between two variants — the aggregation
     * pitfall detector that belongs next to [[srmCheck]] and
     * [[proportionTest]]: treatment can win in EVERY segment yet lose in

@@ -351,6 +351,38 @@ object TextAnalysis {
       "has_homoglyph" -> (cyr + grk > 0))
   }
 
+  /** Source-code detection signals — the pretraining ROUTER (code wants
+    * different cleaning than prose: no lowercase-normalize, no stopword
+    * quality rules, different dedup granularity; misrouting either way
+    * poisons both pipelines): per-row integer counts of brace/bracket
+    * density, semicolon line-ends, camelCase identifiers, and hits on a
+    * pinned keyword list, plus a cross-multiplied composite verdict
+    * (≥ 2 braces AND ≥ 1 keyword per 100 chars would misfire on math
+    * text — the verdict requires two independent signal families).
+    * Pure per-row regexp + token scans, DuckDB-replayable. */
+  val codeKeywords: Seq[String] = Seq("def", "return", "import", "class",
+    "void", "const", "function", "var", "if", "else", "for", "while")
+
+  def codeSignals(text: Column): Seq[(String, Column)] = {
+    val braces = regexp_count(text, lit("[{}\\[\\]()]")).cast("long")
+    val semis = regexp_count(text, lit(";")).cast("long")
+    val camel = regexp_count(text,
+      lit("\\b[a-z]+[A-Z][A-Za-z]*\\b")).cast("long")
+    val kw = size(filter(split(lower(text), "\\s+"),
+      t => t.isin(codeKeywords: _*))).cast("long")
+    val chars = length(text).cast("long")
+    Seq(
+      "n_braces" -> braces,
+      "n_semicolons" -> semis,
+      "n_camel" -> camel,
+      "n_keywords" -> kw,
+      "n_chars" -> chars,
+      // ≥ 2 brace-family chars per 100 chars AND ≥ 1 keyword per 50
+      // words-ish (cross-multiplied; two independent families)
+      "looks_like_code" ->
+        (braces * 100 >= chars * 2 && kw > 0 && semis + camel > 0))
+  }
+
   /** OCR/PDF hyphenation repair — scanned and PDF-extracted corpora are
     * full of `exam- ple` line-break artifacts (the hyphen + whitespace
     * splitting one word), which poison tokenization (two junk subwords

@@ -589,6 +589,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // code-vs-prose routing signals over prose docs with injected code
+    // snippets; two independent signal families gate the verdict
+    "q272_code_signals" -> ((s, dir) => {
+      val id = col("doc_id")
+      val spiked = docs(s, dir).select(id, concat(col("text"),
+        when(id % 4 === 0, lit(
+          " def countItems(x) { return x.fooBar; } import os;"))
+          .when(id % 4 === 1, lit(" just (some) prose [here]"))
+          .otherwise(lit(""))).as("text"))
+      val sig = TextAnalysis.codeSignals(col("text"))
+      spiked.select(id +: sig.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(id)
+    }),
+
+    // confusion-matrix eval at a fixed decision per event type: exact
+    // tp/fp/fn/tn, algebraic-form F1
+    "q273_confusion" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("label", col("event_type") === "purchase")
+        .withColumn("pred", pmod(col("event_id") * 31, lit(5L)) === 0)
+      graft.ops.Profiling.confusionStats(ev, "event_type", "label",
+        "pred").orderBy(col("event_type"))
+    }),
+
     // Simpson's-paradox flip detection across user segments: exact
     // cross-product signs per segment vs pooled
     "q271_simpsons_check" -> ((s, dir) => {
@@ -3534,6 +3558,59 @@ object PipelineQueries {
          |    PARTITION BY canonical ORDER BY doc_id) AS rn FROM dom)
          |SELECT doc_id, lang FROM rk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    "q272_code_signals" -> {
+      val kwIn = TextAnalysis.codeKeywords.map(k => s"'$k'").mkString(", ")
+      s"""WITH sp AS (SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN
+         |      ' def countItems(x) { return x.fooBar; } import os;'
+         |      WHEN doc_id % 4 = 1 THEN ' just (some) prose [here]'
+         |      ELSE '' END) AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[{}\\[\\]()]'))
+         |      AS BIGINT) AS n_braces,
+         |    CAST(len(regexp_extract_all(text, ';')) AS BIGINT)
+         |      AS n_semicolons,
+         |    CAST(len(regexp_extract_all(text,
+         |      '\\b[a-z]+[A-Z][A-Za-z]*\\b')) AS BIGINT) AS n_camel,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+         |      '\\s+'), t -> t IN ($kwIn))) AS BIGINT) AS n_keywords,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM sp)
+         |SELECT doc_id, n_braces, n_semicolons, n_camel, n_keywords,
+         |  n_chars,
+         |  (n_braces * 100 >= n_chars * 2 AND n_keywords > 0
+         |    AND n_semicolons + n_camel > 0) AS looks_like_code
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q273_confusion" ->
+      """WITH e AS (SELECT event_type,
+        |    (event_type = 'purchase') AS label,
+        |    ((event_id * 31) % 5 = 0) AS pred
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |  END AS f1,
+        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+        |    AS accuracy
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q271_simpsons_check" ->
       """WITH e AS (SELECT user_id % 3 AS segment,

@@ -1477,6 +1477,25 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imagePHash(bad).collect().head.width == -1)
   }
 
+  test("codeSignals: code trips both families; bracket-happy prose does not") {
+    val code = "def countItems(x) { return x.fooBar; } import os; " +
+      "if (x) { y(); }"
+    val prose = "just (some) prose [here] with (many) brackets (every) " +
+      "word gets (extra) parens (now) and (more) and (more) again"
+    val plain = "completely ordinary sentence about nothing much at all"
+    val df = Seq((1L, code), (2L, prose), (3L, plain)).toDF("id", "t")
+    val sig = TextAnalysis.codeSignals(col("t"))
+    val got = df.select(col("id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("looks_like_code"))
+    assert(got(1L).getAs[Long]("n_keywords") >= 3L) // def, return, import, if
+    assert(got(1L).getAs[Long]("n_camel") >= 2L)
+    // prose is brace-dense but has no keywords → NOT code
+    assert(got(2L).getAs[Long]("n_braces") >= 10L)
+    assert(!got(2L).getAs[Boolean]("looks_like_code"))
+    assert(!got(3L).getAs[Boolean]("looks_like_code"))
+  }
+
   test("repairHyphenation: lowercase breaks rejoin; compounds and " +
     "sentence boundaries survive") {
     val df = Seq(

@@ -242,6 +242,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("g1").getAs[Long]("kappa_den") == 32L)
   }
 
+  test("confusionStats: exact counts, algebraic F1, null-on-empty rates") {
+    val df = Seq(
+      ("g", true, true), ("g", true, true),   // 2 tp
+      ("g", true, false),                     // 1 fn
+      ("g", false, true),                     // 1 fp
+      ("g", false, false), ("g", false, false), // 2 tn
+      ("h", false, false))                    // never predicts, no pos
+      .toDF("g", "label", "pred")
+    val got = graft.ops.Profiling.confusionStats(df, "g", "label", "pred")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = got("g")
+    assert((g.getAs[Long]("tp"), g.getAs[Long]("fp"),
+      g.getAs[Long]("fn"), g.getAs[Long]("tn")) == ((2L, 1L, 1L, 2L)))
+    assert(g.getAs[Double]("precision") == 2.0 / 3.0)
+    assert(g.getAs[Double]("recall") == 2.0 / 3.0)
+    assert(g.getAs[Double]("f1") == 4.0 / 6.0)
+    assert(g.getAs[Double]("accuracy") == 4.0 / 6.0)
+    val h = got("h")
+    assert(h.isNullAt(h.fieldIndex("precision"))) // no predictions
+    assert(h.isNullAt(h.fieldIndex("recall")))    // no positives
+    assert(h.getAs[Double]("accuracy") == 1.0)
+  }
+
   test("simpsonsCheck: the textbook flip is caught; one-sided segments drop") {
     // classic construction: treatment wins INSIDE both segments but the
     // allocation skew makes it lose pooled.
