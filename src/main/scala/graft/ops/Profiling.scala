@@ -1399,4 +1399,164 @@ object Profiling {
           round(col("n_hits").cast("double") / col("n_rel"), 6))
           .otherwise(lit(0.0)).as("recall"))
   }
+
+  /** Mann–Whitney U rank-sum test per group — the nonparametric
+    * two-sample comparison that belongs next to [[ksTest]] (KS asks
+    * "did the SHAPE move", rank-sum asks "does one population
+    * stochastically dominate", and unlike a t-test it ignores outlier
+    * magnitude entirely). The same statistic IS the exact ROC AUC:
+    * `AUC = U / (n_pos·n_neg)`, so one op serves both the drift test
+    * and the classifier-score evaluation ("does the positive class
+    * really score higher?").
+    *
+    * Everything derives from exact integers on the value histogram.
+    * Midranks carry the classic ½ for ties, so all ranks ride DOUBLED
+    * (`rank2 = 2·before + t + 1`, an integer); `u2 = 2·U` and
+    * `auc = u2 / (2·n_pos·n_neg)` with division as presentation. The
+    * significance flag is the tie-corrected normal approximation,
+    * decided by the integer cross-multiplication
+    * `(u2 − n_pos·n_neg)² · 3·n(n−1) · 1e6  ≥
+    *  zc²·1e6 · n_pos·n_neg · (n(n−1)(n+1) − Σ(t³−t))`
+    * in decimal(38,0) — both engines compare the same integers, no
+    * float boundary can flip the verdict. (The cross products bound
+    * exactness to ~1e6 rows per group before decimal(38,0) overflows
+    * to null — beyond that, pre-aggregate or quantize coarser; the
+    * honest behavior is a null flag, never a wrong one.)
+    *
+    * Shape: ONE partial-aggregable collapse to the per-(group, value)
+    * histogram, one window over that histogram (partitioned by group —
+    * a hot group costs its |distinct values|, the [[percentileRank]]
+    * discipline), one partial-aggregable fold to a row per group.
+    * Requires an integral value column (quantize upstream, the
+    * [[quantileBuckets]] contract). Returns
+    * `(group, n_pos, n_neg, u2, auc, significant)` — `u2` as
+    * decimal(38,0); cast at the export boundary when values fit. */
+  def rankSumTest(df: DataFrame, groupCol: String, labelCol: String,
+      valueCol: String, zCrit: Double = 1.96): DataFrame = {
+    val t = df.schema(valueCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"rankSumTest requires an integral value " +
+      s"(quantize upstream); '$valueCol' is $t")
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v__"))
+      .agg(
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__cp__"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__cn__"))
+    val wBefore = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ranked = hist
+      .withColumn("__before__",
+        coalesce(sum(col("__cp__") + col("__cn__")).over(wBefore),
+          lit(0L)))
+      // doubled midrank of every row tied at this value
+      .withColumn("__rank2__",
+        col("__before__") * 2 + col("__cp__") + col("__cn__") + 1)
+      .withColumn("__t__", dec(col("__cp__") + col("__cn__")))
+    val per = ranked.groupBy(col(groupCol))
+      .agg(sum(col("__cp__")).as("n_pos"),
+        sum(col("__cn__")).as("n_neg"),
+        sum(dec(col("__cp__")) * dec(col("__rank2__"))).as("__r2__"),
+        sum(col("__t__") * col("__t__") * col("__t__") - col("__t__"))
+          .as("__ties__"))
+    val nP = col("n_pos")
+    val nN = col("n_neg")
+    val n = nP + nN
+    val u2 = col("__r2__") - dec(nP) * dec(nP + 1)
+    val mu2 = dec(nP) * dec(nN)
+    val diff = u2 - mu2
+    // n(n−1)(n+1) − Σ(t³−t): zero iff every row in the group ties
+    val varNum = dec(n) * dec(n - 1) * dec(n + 1) - col("__ties__")
+    val lhs = diff * diff * lit(3) * dec(n) * dec(n - 1) * lit(1000000L)
+    val rhs = lit(zc2Micro) * mu2 * varNum
+    per.select(col(groupCol), nP, nN, u2.as("u2"),
+        when(nP > 0 && nN > 0,
+          round(u2.cast("double") /
+            (nP * nN * 2L).cast("double"), 6)).as("auc"),
+        when(nP > 0 && nN > 0 && varNum > 0, lhs >= rhs)
+          .otherwise(lit(false)).as("significant"))
+  }
+
+  /** Welch two-sample t-test of an integral metric per variant vs the
+    * named control — the mean-difference readout beside
+    * [[proportionTest]] (that one compares conversion RATES;
+    * experiments also ship "did revenue-per-user / latency / tokens
+    * MOVE?"). Welch's form (unpooled variances) is the safe default —
+    * it never assumes the variants share a variance, and at experiment
+    * scale the degrees of freedom are large enough that the normal
+    * threshold `zCrit` applies.
+    *
+    * All moments are exact integer sums (Σv, Σv² in decimal(38,0));
+    * the verdict is the integer cross-multiplication of
+    * `t² = (m₁−m₂)² / (s₁²/n₁ + s₂²/n₂)` against `zc²·1e6`, carried
+    * out entirely in decimals so no float rounding can flip a
+    * borderline flag (same honesty bound as [[rankSumTest]]: at
+    * extreme group sizes the cross products overflow to a NULL flag,
+    * never a wrong one). With `S_i = Σv`, `Q_i = Σv²`:
+    * `(S₁n₂ − S₂n₁)² · (n₁−1)(n₂−1) · 1e6 ≥
+    *  zc²·1e6 · (n₂²(n₂−1)(n₁Q₁−S₁²) + n₁²(n₁−1)(n₂Q₂−S₂²))`.
+    * Means are exact rationals, emitted rounded to 6.
+    *
+    * Shape: one partial-aggregable collapse to |variants| moment rows,
+    * then a broadcast single-row join of the control's moments — the
+    * [[proportionTest]] plan. Returns
+    * `(variant, n, mean, diff_vs_control, significant)`; the control
+    * row carries nulls for the comparison columns. */
+  def welchTTest(df: DataFrame, variantCol: String, valueCol: String,
+      control: String, zCrit: Double = 1.96): DataFrame = {
+    val t = df.schema(valueCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"welchTTest requires an integral value " +
+      s"(quantize upstream); '$valueCol' is $t")
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.filter(col(valueCol).isNotNull)
+      .select(col(variantCol).cast("string").as("variant"),
+        col(valueCol).cast("long").as("__v__"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__v__"))).as("__s__"),
+        sum(dec(col("__v__")) * dec(col("__v__"))).as("__q__"))
+    val ctl = per.filter(col("variant") === control)
+      .select(col("n").as("__cn__"), col("__s__").as("__cs__"),
+        col("__q__").as("__cq__"))
+    val n1 = dec(col("n")); val s1 = col("__s__"); val q1 = col("__q__")
+    val n2 = dec(col("__cn__")); val s2 = col("__cs__")
+    val q2 = col("__cq__")
+    // n·Q − S² = n(n−1)·s²  (≥ 0; 0 ⇔ constant sample)
+    val ss1 = n1 * q1 - s1 * s1
+    val ss2 = n2 * q2 - s2 * s2
+    val dNum = s1 * n2 - s2 * n1 // (m1 − m2) · n1·n2
+    val lhs = dNum * dNum * (n1 - 1) * (n2 - 1) * lit(1000000L)
+    val rhs = lit(zc2Micro) *
+      (n2 * n2 * (n2 - 1) * ss1 + n1 * n1 * (n1 - 1) * ss2)
+    val isCtl = col("variant") === control
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n"),
+        round(s1.cast("double") / n1.cast("double"), 6).as("mean"),
+        when(!isCtl, round(
+          (s1.cast("double") / n1.cast("double")) -
+            (s2.cast("double") / n2.cast("double")), 6))
+          .as("diff_vs_control"),
+        when(!isCtl && col("n") > 1 && col("__cn__") > 1 &&
+            (ss1 > 0 || ss2 > 0), lhs >= rhs)
+          .as("significant"))
+  }
 }

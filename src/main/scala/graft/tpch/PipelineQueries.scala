@@ -603,6 +603,30 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // Mann–Whitney rank-sum ≡ exact ROC AUC per source: do English docs
+    // run longer than non-English? midranks doubled, tie-corrected
+    // significance by integer cross-multiplication
+    "q274_rank_sum" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("is_en", col("lang") === "en")
+      graft.ops.Profiling.rankSumTest(d, "source", "is_en", "n_chars")
+        // gate export: u2 fits BIGINT at every gate SF (q136 posture —
+        // the decimal stays internal)
+        .withColumn("u2", col("u2").cast("long"))
+        .orderBy(col("source"))
+    }),
+
+    // Welch two-sample t-test of the quantized event value per variant
+    // vs control: exact integer moments, cross-multiplied verdict
+    "q275_welch_t" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("variant",
+          when(col("user_id") % 3 === 0, "control")
+            .when(col("user_id") % 3 === 1, "t1").otherwise("t2"))
+        .withColumn("v_c", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Profiling.welchTTest(ev, "variant", "v_c",
+        control = "control").orderBy(col("variant"))
+    }),
+
     // confusion-matrix eval at a fixed decision per event type: exact
     // tp/fp/fn/tn, algebraic-form F1
     "q273_confusion" -> ((s, dir) => {
@@ -3584,6 +3608,67 @@ object PipelineQueries {
          |    AND n_semicolons + n_camel > 0) AS looks_like_code
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q274_rank_sum" ->
+      """WITH h AS (SELECT source, n_chars AS v,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cn
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, v, cp, cn,
+        |    COALESCE(SUM(cp + cn) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bef
+        |  FROM h),
+        |p AS (SELECT source,
+        |    CAST(SUM(cp) AS HUGEINT) AS np,
+        |    CAST(SUM(cn) AS HUGEINT) AS nn,
+        |    SUM(CAST(cp AS HUGEINT) * (2 * bef + cp + cn + 1)) AS r2,
+        |    SUM(CAST(cp + cn AS HUGEINT) * (cp + cn) * (cp + cn)
+        |      - (cp + cn)) AS ties
+        |  FROM r GROUP BY 1)
+        |SELECT source,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(r2 - np * (np + 1) AS BIGINT) AS u2,
+        |  CASE WHEN np > 0 AND nn > 0 THEN
+        |    ROUND(CAST(r2 - np * (np + 1) AS DOUBLE)
+        |      / CAST(2 * np * nn AS DOUBLE), 6) END AS auc,
+        |  CASE WHEN np > 0 AND nn > 0
+        |      AND (np + nn) * (np + nn - 1) * (np + nn + 1) - ties > 0
+        |    THEN (r2 - np * (np + 1) - np * nn)
+        |      * (r2 - np * (np + 1) - np * nn) * 3
+        |      * (np + nn) * (np + nn - 1) * 1000000
+        |      >= 3841600 * np * nn
+        |        * ((np + nn) * (np + nn - 1) * (np + nn + 1) - ties)
+        |    ELSE FALSE END AS significant
+        |FROM p ORDER BY source""".stripMargin,
+
+    "q275_welch_t" ->
+      """WITH e AS (SELECT
+        |    CASE user_id % 3 WHEN 0 THEN 'control'
+        |      WHEN 1 THEN 't1' ELSE 't2' END AS variant,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |p AS (SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(v) AS HUGEINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT n AS cn, s AS cs, q AS cq FROM p
+        |  WHERE variant = 'control')
+        |SELECT p.variant, CAST(p.n AS BIGINT) AS n,
+        |  ROUND(CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN p.variant <> 'control' THEN
+        |    ROUND(CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+        |      - CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE), 6)
+        |    END AS diff_vs_control,
+        |  CASE WHEN p.variant <> 'control' AND p.n > 1 AND c.cn > 1
+        |      AND ((p.n * p.q - p.s * p.s) > 0
+        |        OR (c.cn * c.cq - c.cs * c.cs) > 0) THEN
+        |    (p.s * c.cn - c.cs * p.n) * (p.s * c.cn - c.cs * p.n)
+        |      * (p.n - 1) * (c.cn - 1) * 1000000
+        |    >= 3841600
+        |      * (c.cn * c.cn * (c.cn - 1) * (p.n * p.q - p.s * p.s)
+        |        + p.n * p.n * (p.n - 1) * (c.cn * c.cq - c.cs * c.cs))
+        |    END AS significant
+        |FROM p, c ORDER BY p.variant""".stripMargin,
 
     "q273_confusion" ->
       """WITH e AS (SELECT event_type,

@@ -787,4 +787,92 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("treatment") == ((4L, 4L, 1.0, 0.5101, 1.0,
       Some(1.632993), Some(false))))
   }
+
+  test("rankSumTest: midranks on ties, exact AUC, hand-computed U") {
+    import spark.implicits._
+    // positives [3,5,5] vs negatives [1,5,2]: ranks 1..3 then midrank 5
+    // for the three 5s → R_pos = 13, U = 7, AUC = 7/9
+    val df = Seq(
+      ("g", true, 3L), ("g", true, 5L), ("g", true, 5L),
+      ("g", false, 1L), ("g", false, 5L), ("g", false, 2L),
+      // perfect separation, tiny n → AUC 1.0 but not significant
+      ("h", true, 10L), ("h", true, 11L),
+      ("h", false, 1L), ("h", false, 2L))
+      .toDF("g", "label", "v")
+    val got = graft.ops.Profiling.rankSumTest(df, "g", "label", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[java.math.BigDecimal]("u2").longValueExact(),
+          r.getAs[Double]("auc"),
+          r.getAs[Boolean]("significant")))).toMap
+    assert(got("g") == ((3L, 3L, 14L, 0.777778, false)))
+    assert(got("h") == ((2L, 2L, 8L, 1.0, false)))
+  }
+
+  test("rankSumTest: tie-corrected significance fires at scale") {
+    import spark.implicits._
+    // 20 pos all at 2, 20 neg all at 1: U = n_pos·n_neg (perfect),
+    // tie-corrected var stays positive (two tie blocks, not one)
+    val rows = (0 until 20).map(_ => ("g", true, 2L)) ++
+      (0 until 20).map(_ => ("g", false, 1L))
+    val got = graft.ops.Profiling.rankSumTest(rows.toDF("g", "label", "v"),
+      "g", "label", "v").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[java.math.BigDecimal]("u2").longValueExact() == 800L)
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Boolean]("significant"))
+    // all-tied group: var = 0 → never significant, AUC exactly half
+    val tied = (0 until 10).map(i => ("t", i % 2 == 0, 7L))
+    val rt = graft.ops.Profiling.rankSumTest(tied.toDF("g", "label", "v"),
+      "g", "label", "v").collect().head
+    assert(rt.getAs[Double]("auc") == 0.5)
+    assert(!rt.getAs[Boolean]("significant"))
+  }
+
+  test("rankSumTest: one-sided group reports null AUC, plan partial-aggs") {
+    import spark.implicits._
+    val df = Seq(("g", true, 1L), ("g", true, 2L)).toDF("g", "label", "v")
+    val r = graft.ops.Profiling.rankSumTest(df, "g", "label", "v")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("auc")))
+    assert(!r.getAs[Boolean]("significant"))
+    // histogram collapse must partial-aggregate before the window
+    val plan = graft.ops.Profiling.rankSumTest(df, "g", "label", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("welchTTest: hand moments, significance, control nulls") {
+    import spark.implicits._
+    // control [1,2,3] vs treatment [5,6,7]: both s²=1, t² = 24 → sig
+    val df = Seq(
+      ("control", 1L), ("control", 2L), ("control", 3L),
+      ("treatment", 5L), ("treatment", 6L), ("treatment", 7L),
+      // same mean as control, zero variance on one side only
+      ("flat", 2L), ("flat", 2L))
+      .toDF("variant", "v")
+    val got = graft.ops.Profiling.welchTTest(df, "variant", "v",
+        control = "control").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean"),
+          Option(r.getAs[java.lang.Double]("diff_vs_control")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("control") == ((3L, 2.0, None, None)))
+    assert(got("treatment") == ((3L, 6.0, Some(4.0), Some(true))))
+    // flat vs control: diff 0 → t² = 0 → not significant
+    assert(got("flat") == ((2L, 2.0, Some(0.0), Some(false))))
+  }
+
+  test("welchTTest: both-constant comparison degrades to null flag") {
+    import spark.implicits._
+    val df = Seq(("control", 5L), ("control", 5L),
+      ("treatment", 9L), ("treatment", 9L)).toDF("variant", "v")
+    val got = graft.ops.Profiling.welchTTest(df, "variant", "v",
+        control = "control").collect()
+      .map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Boolean]("significant"))).toMap
+    // zero variance on BOTH sides: t² undefined — null, never a verdict
+    assert(got("treatment").isEmpty)
+  }
 }
