@@ -1151,4 +1151,74 @@ object EventAnalytics {
           filter(col("__fs__"), s => s.getField("ft") <= col("t")),
           lit(1.0), (a, s) => a * s.getField("f")), 6).as("survival"))
   }
+
+  /** Mann–Kendall trend test per key — the nonparametric companion to
+    * [[trend]]'s OLS slope (OLS asks "what is the line"; MK asks "is
+    * there a MONOTONIC drift at all", immune to outlier magnitude and
+    * to any monotone transform of the value):
+    * `S = Σ_{x_i<x_j} sign(y_j − y_i)` over all time-ordered pairs,
+    * with the classic tie-corrected variance
+    * `Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)` and the ±1
+    * continuity-corrected normal verdict decided by the integer
+    * cross-multiplication `(|S|−1)²·18·1e6 ≥ zc²·1e6·Var·18` in
+    * decimal(38,0) — no float can flip a borderline call.
+    *
+    * Input contract: ONE row per (key, x) — pre-aggregate the series
+    * upstream (the [[acf]] densify posture); x and y must be integral.
+    * Shape: a per-key self equi-join with `x1 < x2` generates the
+    * pairs — O(span²) per key like [[acf]], bounded by the SERIES
+    * length (days/hours per key), never the event count; the tie term
+    * is one partial-aggregable (key, y) histogram. Returns
+    * (key, n, s, var18, rising, significant) — `rising` null when
+    * S = 0. */
+  def mannKendall(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, zCrit: Double = 1.96): DataFrame = {
+    Seq(xCol, yCol).foreach { c =>
+      val t = df.schema(c).dataType
+      val ok = t match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"mannKendall requires integral columns " +
+        s"(quantize upstream); '$c' is $t")
+    }
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val series = df.select(col(keyCol).as("__k__"),
+      col(xCol).cast("long").as("__x__"),
+      col(yCol).cast("long").as("__y__"))
+    val a = series.alias("a")
+    val b = series.alias("b")
+    val pairs = a.join(b, col("a.__k__") === col("b.__k__") &&
+        col("a.__x__") < col("b.__x__"))
+      .groupBy(col("a.__k__").as("__k__"))
+      .agg(sum(signum(col("b.__y__") - col("a.__y__")).cast("long"))
+        .as("s"))
+    val perKey = series.groupBy(col("__k__"))
+      .agg(count(lit(1)).as("n"))
+    val t = col("__t__")
+    val ties = series.groupBy(col("__k__"), col("__y__"))
+      .agg(count(lit(1)).as("__t__"))
+      .groupBy(col("__k__"))
+      .agg(sum(t * (t - 1) * (lit(2) * t + 5)).as("__ties__"))
+    val n = col("n")
+    def d(c: Column) = c.cast(dec)
+    val var18 = d(n) * d(n - 1) * d(lit(2) * n + 5) -
+      d(coalesce(col("__ties__"), lit(0L)))
+    val sAbs = abs(coalesce(col("s"), lit(0L)))
+    val lhs = d(sAbs - 1) * d(sAbs - 1) * lit(18L) * lit(1000000L)
+    val rhs = lit(zc2Micro) * var18
+    perKey.join(pairs, Seq("__k__"), "left")
+      .join(ties, Seq("__k__"), "left")
+      .select(col("__k__").as(keyCol), n,
+        coalesce(col("s"), lit(0L)).as("s"),
+        var18.cast("long").as("var18"),
+        when(coalesce(col("s"), lit(0L)) =!= 0,
+          coalesce(col("s"), lit(0L)) > 0).as("rising"),
+        when(sAbs >= 1 && var18 > 0, lhs >= rhs)
+          .otherwise(lit(false)).as("significant"))
+  }
 }

@@ -416,4 +416,94 @@ object Similarity {
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topM)
   }
+
+  /** Exact Gram (scatter) matrix of the quantized embedding corpus:
+    * `G_ij = Σ_rows q_i·q_j` over the upper triangle `i ≤ j`, with
+    * `q = round(x·scale)` — the one-pass second-moment summary behind
+    * PCA/whitening/covariance ("which dimensions move together?"),
+    * exactly the statistic an ANN pipeline wants BEFORE choosing IVF
+    * axes. Fixed-point quantization makes every cell an exact integer
+    * sum — engine-independent and MERGEABLE (shard Grams add), so at
+    * 100 TB this is the summary an ingest job maintains incrementally
+    * ([[embeddingDrift]]'s posture, one moment higher).
+    *
+    * Shape: each row explodes to its d(d+1)/2 upper-triangle products,
+    * then ONE partial-aggregable groupBy((i,j)) — map-side combine
+    * collapses to d²/2 cells per partition, so the shuffle carries
+    * O(d²·partitions) rows, never O(rows). The d² explode factor is the
+    * honest per-row cost of any one-pass scatter matrix; for d beyond
+    * ~256, project first ([[randomProjection]]) — that is the published
+    * recipe, not a workaround. Returns (i, j, n, g) with `g` as
+    * decimal(38,0); cast at the export boundary when values fit. */
+  def gramMatrix(df: DataFrame, vecCol: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * scale + 0.5).cast("long"))
+    val d = df.select(q.as("__q__"))
+    val n = size(col("__q__"))
+    d.select(explode(flatten(transform(sequence(lit(0), n - 1), i =>
+        transform(sequence(i, n - 1), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__q__"), i + 1) *
+              element_at(col("__q__"), j + 1)).as("p")))))).as("__e__"))
+      .groupBy(col("__e__.i").as("i"), col("__e__.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("__e__.p").cast(dec)).as("g"))
+  }
+
+  /** Top principal component of the quantized embedding corpus by power
+    * iteration on the d×d covariance built from [[gramMatrix]] plus the
+    * per-dimension sums — "what single direction explains the most
+    * variance" (the first whitening axis, the dominant-topic detector,
+    * the IVF split axis). The DATA-scale work is the two exact-integer
+    * moment passes; the iteration itself runs on the d×d matrix
+    * driver-side — the same driver-scale-not-data-scale posture as
+    * k-means centroids (k·dim there, d² here). Covariance is
+    * `C = (n·G − S·Sᵀ) / n²` in q-units²; sign is fixed by making the
+    * largest-|loading| coordinate positive, so the answer is
+    * deterministic. Returns one row per dimension:
+    * (dim, loading, eigenvalue) — loading the unit eigenvector entry
+    * (round 6), eigenvalue in q-units² (round 6). */
+  def topPrincipalComponent(df: DataFrame, vecCol: String,
+      scale: Long = 1000L, iters: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val gRows = gramMatrix(df, vecCol, scale).collect()
+    require(gRows.nonEmpty, "empty corpus")
+    val dim = gRows.map(_.getAs[Int]("j")).max + 1
+    val n = gRows.head.getAs[Long]("n").toDouble
+    val sums = df
+      .select(posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * scale + 0.5).cast("long"))))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Long]("s").toDouble)
+      .toMap
+    val c = Array.ofDim[Double](dim, dim)
+    gRows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val g = r.getAs[java.math.BigDecimal]("g").doubleValue()
+      val cij = (n * g - sums(i) * sums(j)) / (n * n)
+      c(i)(j) = cij; c(j)(i) = cij
+    }
+    // power iteration from the all-ones direction; d² flops per round
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > 0) { v = w.map(_ / nrm); lambda = nrm }
+    }
+    // deterministic sign: the largest-|loading| coordinate is positive
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v = v.map(x => -x)
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) =>
+      (i, BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble,
+        BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toSeq.toDF("dim", "loading", "eigenvalue")
+  }
 }

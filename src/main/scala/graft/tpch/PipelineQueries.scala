@@ -603,6 +603,27 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // exact Gram (scatter) matrix of the quantized embedding corpus:
+    // the mergeable second-moment summary behind PCA/whitening; 2080
+    // upper-triangle cells at d=64, shuffle O(d²·partitions)
+    "q276_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(emb(s, dir), "embedding")
+        // gate export: cells fit BIGINT at every gate SF (q136 posture)
+        .withColumn("g", col("g").cast("long"))
+        .orderBy(col("i"), col("j"))),
+
+    // Mann–Kendall monotonic-trend test over each event type's daily
+    // count series: S from all time-ordered pairs, tie-corrected
+    // variance, continuity-corrected verdict — all integers
+    "q277_mann_kendall" -> ((s, dir) => {
+      val series = graft.tpch.EventsModel.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("x"))
+        .agg(count(lit(1)).as("y"))
+      EventAnalytics.mannKendall(series, "event_type", "x", "y")
+        .orderBy(col("event_type"))
+    }),
+
     // Mann–Whitney rank-sum ≡ exact ROC AUC per source: do English docs
     // run longer than non-English? midranks doubled, tie-corrected
     // significance by integer cross-multiplication
@@ -3608,6 +3629,49 @@ object PipelineQueries {
          |    AND n_semicolons + n_camel > 0) AS looks_like_code
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q276_gram_matrix" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |idx AS (SELECT i FROM generate_series(1, 64) t(i))
+        |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(qv[a.i] AS HUGEINT) * qv[b.i]) AS BIGINT) AS g
+        |FROM q, idx a, idx b
+        |WHERE a.i <= b.i
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q277_mann_kendall" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 86400000000 AS x,
+        |    CAST(COUNT(1) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.k,
+        |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM s a JOIN s b ON a.k = b.k AND a.x < b.x GROUP BY 1),
+        |nn AS (SELECT k, CAST(COUNT(1) AS HUGEINT) AS n FROM s
+        |  GROUP BY 1),
+        |ti AS (SELECT k, SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+        |    AS ties
+        |  FROM (SELECT k, y, COUNT(1) AS t FROM s GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |m AS (SELECT nn.k, nn.n, COALESCE(pr.s, 0) AS s,
+        |    nn.n * (nn.n - 1) * (2 * nn.n + 5)
+        |      - COALESCE(ti.ties, 0) AS var18
+        |  FROM nn LEFT JOIN pr ON nn.k = pr.k
+        |    LEFT JOIN ti ON nn.k = ti.k)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n, s,
+        |  CAST(var18 AS BIGINT) AS var18,
+        |  CASE WHEN s <> 0 THEN s > 0 END AS rising,
+        |  CASE WHEN abs(s) >= 1 AND var18 > 0 THEN
+        |    (CAST(abs(s) AS HUGEINT) - 1) * (abs(s) - 1) * 18 * 1000000
+        |      >= 3841600 * var18
+        |    ELSE FALSE END AS significant
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q274_rank_sum" ->
       """WITH h AS (SELECT source, n_chars AS v,

@@ -855,4 +855,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
         r.getAs[Double]("survival")))
     assert(got.toSeq == Seq((0L, 3L, 1.0), (7L, 1L, 1.0)))
   }
+
+  test("mannKendall: monotone series flag, ties kill variance, S=0 null") {
+    val rows =
+      // strictly rising: S = 10, var18 = 300 → Z = 9/√(300/18) ≈ 2.2
+      (1 to 5).map(x => ("up", x.toLong, x.toLong)) ++
+      (1 to 5).map(x => ("down", x.toLong, (6 - x).toLong)) ++
+      // constant: every pair ties — var18 = 0, S = 0
+      (1 to 5).map(x => ("flat", x.toLong, 7L)) ++
+      // S = 0 with variation: rising is null, not false
+      Seq(("mix", 1L, 2L), ("mix", 2L, 1L), ("mix", 3L, 2L))
+    val got = EventAnalytics.mannKendall(rows.toDF("k", "x", "y"),
+        "k", "x", "y").collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+          r.getAs[Long]("var18"),
+          Option(r.getAs[java.lang.Boolean]("rising")),
+          r.getAs[Boolean]("significant")))).toMap
+    assert(got("up") == ((5L, 10L, 300L, Some(true), true)))
+    assert(got("down") == ((5L, -10L, 300L, Some(false), true)))
+    assert(got("flat") == ((5L, 0L, 0L, None, false)))
+    // var18 = 3·2·11 − 2·1·9 (the tied pair of 2s) = 48
+    assert(got("mix") == ((3L, 0L, 48L, None, false)))
+  }
 }

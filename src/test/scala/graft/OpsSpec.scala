@@ -2075,4 +2075,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((None, 0L, 1L, 0.0, 0.0)))
     assert(got.size == 3)
   }
+
+  test("gramMatrix: hand-computed upper triangle, partial-aggregable") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("id", "vec")
+    val got = graft.ops.Similarity.gramMatrix(df, "vec", scale = 1L)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("g").longValueExact()))).toMap
+    // q rows [1,2] and [3,4]: G00=1+9, G01=2+12, G11=4+16
+    assert(got == Map((0, 0) -> ((2L, 10L)), (0, 1) -> ((2L, 14L)),
+      (1, 1) -> ((2L, 20L))))
+    val plan = graft.ops.Similarity.gramMatrix(df, "vec", 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("topPrincipalComponent: rank-1 direction recovered, sign fixed") {
+    // points t·(3,4), t ∈ -2..2 — covariance is rank-1 along (0.6, 0.8)
+    val df = (-2 to 2).map(t => (t.toLong, Seq(3.0f * t, 4.0f * t)))
+      .toDF("id", "vec")
+    val got = graft.ops.Similarity.topPrincipalComponent(df, "vec")
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Double]("loading"), r.getAs[Double]("eigenvalue"))))
+      .toMap
+    assert(got(0)._1 == 0.6 && got(1)._1 == 0.8, got)
+    // λ = Σt²/n · |(3000,4000)|² = 2 · 2.5e7
+    assert(math.abs(got(0)._2 - 5.0e7) < 1.0, got)
+    // sign convention: flipping every input leaves the answer unchanged
+    val flipped = (-2 to 2).map(t => (t.toLong, Seq(-3.0f * t, -4.0f * t)))
+      .toDF("id", "vec")
+    val g2 = graft.ops.Similarity.topPrincipalComponent(flipped, "vec")
+      .collect().map(r => r.getAs[Int]("dim") ->
+        r.getAs[Double]("loading")).toMap
+    assert(g2 == Map(0 -> 0.6, 1 -> 0.8), g2)
+  }
 }
