@@ -1400,6 +1400,110 @@ object Profiling {
           .otherwise(lit(0.0)).as("recall"))
   }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between the `valueCol`
+    * distributions of two frames — the MAGNITUDE companion to
+    * [[ksTest]]'s max-gap D (KS says "the CDFs separate somewhere";
+    * W₁ says "by how much probability mass × distance" — a fat tail
+    * that moved far scores high here even when no single CDF gap is
+    * large). On an integral grid the integral is a finite sum:
+    * `W₁ = Σ_k |cumA_k·n_b − cumB_k·n_a| · (v_{k+1} − v_k) / (n_a·n_b)`
+    * — numerator an exact integer (decimal(38,0)), division is
+    * presentation.
+    *
+    * Shape: the [[ksTest]] plan exactly — each side collapses map-side
+    * to its |grid| histogram, the merged grid rides one task for the
+    * cumulative window and `lead` gap (sound because quantization
+    * bounds |grid|, never the row count). Returns one row:
+    * (n_a, n_b, w1_num, w1) with `w1 = w1_num / (n_a·n_b)` rounded 6;
+    * `w1_num` is decimal(38,0) — cast at the export boundary when
+    * values fit. */
+  def wasserstein1(a: DataFrame, b: DataFrame,
+      valueCol: String): DataFrame = {
+    def requireIntegral(df: DataFrame): Unit = {
+      val t = df.schema(valueCol).dataType
+      val ok = t match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"wasserstein1 requires an integral value " +
+        s"(quantize upstream); '$valueCol' is $t")
+    }
+    requireIntegral(a); requireIntegral(b)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ha = a.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v__"))
+      .agg(count(lit(1)).as("__ca__"))
+    val hb = b.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v__"))
+      .agg(count(lit(1)).as("__cb__"))
+    val grid = ha.join(hb, Seq("__v__"), "full_outer")
+      .select(col("__v__"),
+        coalesce(col("__ca__"), lit(0L)).as("__ca__"),
+        coalesce(col("__cb__"), lit(0L)).as("__cb__"))
+    val wCum = Window.orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.orderBy(col("__v__").asc)
+    val cum = grid
+      .withColumn("__cuma__", sum(col("__ca__")).over(wCum))
+      .withColumn("__cumb__", sum(col("__cb__")).over(wCum))
+      .withColumn("__gap__",
+        coalesce(lead(col("__v__"), 1).over(wLead) - col("__v__"),
+          lit(0L)))
+    val totals = grid.agg(sum(col("__ca__")).as("n_a"),
+      sum(col("__cb__")).as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(dec(col("__cuma__")) * dec(col("n_b")) -
+          dec(col("__cumb__")) * dec(col("n_a"))) * dec(col("__gap__")))
+          .as("w1_num"))
+      .select(col("n_a"), col("n_b"), col("w1_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("w1_num").cast("double") /
+            (dec(col("n_a")) * dec(col("n_b"))).cast("double"), 6))
+          .as("w1"))
+  }
+
+  /** Effective sample size of a weighted corpus per group —
+    * `ESS = (Σw)² / Σw²`, the standard importance-sampling diagnostic
+    * for score-weighted data ([[graft.ops.Dedup.dupWeights]],
+    * quality-weighted mixtures): ESS ≈ n means weights are nearly
+    * uniform; ESS ≪ n means a few heavy rows dominate and the "big"
+    * corpus trains like a small one. Integral weights make both
+    * moments exact integers (decimal(38,0)); the ratio is
+    * presentation. One partial-aggregable groupBy; |groups| rows out.
+    * Returns (group, n, sum_w, ess, ess_ratio) — ess and the
+    * ess/n ratio rounded 6; null for groups whose weights sum to 0. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val t = df.schema(weightCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"effectiveSampleSize requires an integral weight " +
+      s"(quantize upstream); '$weightCol' is $t")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    df.filter(col(weightCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(weightCol))).as("sum_w"),
+        sum(dec(col(weightCol)) * dec(col(weightCol))).as("__sw2__"))
+      .select(col(groupCol), col("n"), col("sum_w").as("sum_w"),
+        when(col("__sw2__") > 0,
+          round((col("sum_w") * col("sum_w")).cast("double") /
+            col("__sw2__").cast("double"), 6)).as("ess"),
+        when(col("__sw2__") > 0,
+          round((col("sum_w") * col("sum_w")).cast("double") /
+            (col("__sw2__") * dec(col("n"))).cast("double"), 6))
+          .as("ess_ratio"))
+  }
+
   /** Mann–Whitney U rank-sum test per group — the nonparametric
     * two-sample comparison that belongs next to [[ksTest]] (KS asks
     * "did the SHAPE move", rank-sum asks "does one population

@@ -603,6 +603,28 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // exact 1-Wasserstein distance between the even/odd event-id
+    // shards' value distributions (cents grid): mass × distance as an
+    // exact integer numerator, ksTest's magnitude companion
+    "q278_wasserstein" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Profiling.wasserstein1(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "v")
+        // gate export: numerator fits BIGINT at every gate SF
+        .withColumn("w1_num", col("w1_num").cast("long"))
+    }),
+
+    // effective sample size of the n_chars-weighted corpus per source:
+    // (Σw)²/Σw² from exact integer moments — the importance-weighting
+    // health readout
+    "q279_ess" -> ((s, dir) =>
+      graft.ops.Profiling.effectiveSampleSize(docs(s, dir), "source",
+          "n_chars")
+        .withColumn("sum_w", col("sum_w").cast("long"))
+        .orderBy(col("source"))),
+
     // exact Gram (scatter) matrix of the quantized embedding corpus:
     // the mergeable second-moment summary behind PCA/whitening; 2080
     // upper-triangle cells at d=64, shuffle O(d²·partitions)
@@ -3629,6 +3651,46 @@ object PipelineQueries {
          |    AND n_semicolons + n_camel > 0) AS looks_like_code
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q278_wasserstein" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |ha AS (SELECT v, COUNT(1) AS ca FROM e WHERE event_id % 2 = 0
+        |  GROUP BY 1),
+        |hb AS (SELECT v, COUNT(1) AS cb FROM e WHERE event_id % 2 = 1
+        |  GROUP BY 1),
+        |g AS (SELECT COALESCE(ha.v, hb.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v) AS cumb,
+        |    COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS gap FROM g),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(SUM(ABS(CAST(c.cuma AS HUGEINT) * t.nb
+        |    - CAST(c.cumb AS HUGEINT) * t.na) * c.gap) AS BIGINT)
+        |    AS w1_num,
+        |  CASE WHEN t.na > 0 AND t.nb > 0 THEN
+        |    ROUND(CAST(SUM(ABS(CAST(c.cuma AS HUGEINT) * t.nb
+        |      - CAST(c.cumb AS HUGEINT) * t.na) * c.gap) AS DOUBLE)
+        |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6)
+        |    END AS w1
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+
+    "q279_ess" ->
+      """SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+        |  CASE WHEN SUM(CAST(n_chars AS HUGEINT) * n_chars) > 0 THEN
+        |    ROUND(CAST(SUM(CAST(n_chars AS HUGEINT))
+        |        * SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+        |      / CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE),
+        |      6) END AS ess,
+        |  CASE WHEN SUM(CAST(n_chars AS HUGEINT) * n_chars) > 0 THEN
+        |    ROUND(CAST(SUM(CAST(n_chars AS HUGEINT))
+        |        * SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+        |      / CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars)
+        |        * COUNT(1) AS DOUBLE), 6) END AS ess_ratio
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q276_gram_matrix" ->
       """WITH q AS (SELECT list_transform(embedding,

@@ -788,6 +788,43 @@ class SketchesSpec extends AnyFunSuite {
       Some(1.632993), Some(false))))
   }
 
+  test("wasserstein1: exact mass-times-distance, zero on identity") {
+    import spark.implicits._
+    // a=[0,0,10], b=[0,10,10]: one third of the mass moves 10 → 10/3
+    val a = Seq(0L, 0L, 10L).toDF("v")
+    val b = Seq(0L, 10L, 10L).toDF("v")
+    val r = graft.ops.Profiling.wasserstein1(a, b, "v").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[java.math.BigDecimal]("w1_num").longValueExact() == 30L)
+    assert(r.getAs[Double]("w1") == 3.333333)
+    // identical distributions: exactly zero
+    val same = graft.ops.Profiling.wasserstein1(a, a, "v").collect().head
+    assert(same.getAs[java.math.BigDecimal]("w1_num")
+      .longValueExact() == 0L)
+    assert(same.getAs[Double]("w1") == 0.0)
+    // KS blind spot: shift every value by 5 — same D as a tiny shift,
+    // but W1 grows with the distance
+    val shifted = Seq(5L, 5L, 15L).toDF("v")
+    val w = graft.ops.Profiling.wasserstein1(a, shifted, "v")
+      .collect().head
+    assert(w.getAs[Double]("w1") == 5.0, w)
+  }
+
+  test("effectiveSampleSize: uniform = n, skew shrinks, zero-sum null") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 1L),
+      ("h", 3L), ("h", 1L), ("z", 0L), ("z", 0L)).toDF("grp", "w")
+    val got = graft.ops.Profiling.effectiveSampleSize(df, "grp", "w")
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("sum_w").longValueExact(),
+          Option(r.getAs[java.lang.Double]("ess")),
+          Option(r.getAs[java.lang.Double]("ess_ratio"))))).toMap
+    assert(got("g") == ((4L, 4L, Some(4.0), Some(1.0))))
+    assert(got("h") == ((2L, 4L, Some(1.6), Some(0.8))))
+    assert(got("z") == ((2L, 0L, None, None)))
+  }
+
   test("rankSumTest: midranks on ties, exact AUC, hand-computed U") {
     import spark.implicits._
     // positives [3,5,5] vs negatives [1,5,2]: ranks 1..3 then midrank 5
