@@ -944,6 +944,17 @@ object ScaleStress {
     runProj("1x", emb1x)
     runProj("10x", emb10x)
 
+    // q276 shape: Gram matrix — d(d+1)/2 products per row, ONE
+    // partial-aggregable groupBy on the d²-sized key space; shuffle is
+    // O(d²·partitions) regardless of corpus size
+    def runGram(scale: String, emb: DataFrame): Unit =
+      timed(scale, "gram_matrix") {
+        val out = graft.ops.Similarity.gramMatrix(emb, "embedding")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runGram("1x", emb1x)
+    runGram("10x", emb10x)
+
     // q235 shape: silhouette — trainCentroids' bounded driver loop +
     // ONE per-row pass against the k·dim literal matrix; no shuffle in
     // the audit itself
@@ -1492,6 +1503,49 @@ object ScaleStress {
           ev.withColumn("ts", timestamp_micros(col("tus"))),
           "user_id", "ts", "event_type",
           peakPerMinute = 3L, minEvents = 100L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q274 shape: rank-sum — ONE histogram collapse, a window over
+      // the per-group value GRID (distinct cents, not events), one fold
+      timed(scale, "rank_sum") {
+        val e2 = ev.select(col("event_type"),
+          (col("user_id") % 2 === 0).as("lab"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.rankSumTest(e2, "event_type",
+          "lab", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q275 shape: Welch t — one |variants|-row moment collapse + a
+      // broadcast single-row control join
+      timed(scale, "welch_t") {
+        val e2 = ev.select(
+          when(col("user_id") % 3 === 0, "control")
+            .when(col("user_id") % 3 === 1, "t1").otherwise("t2")
+            .as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.welchTTest(e2, "variant", "v",
+          control = "control")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q278 shape: Wasserstein — two histogram collapses, the merged
+      // grid rides one task (grid-bounded, like ksTest)
+      timed(scale, "wasserstein") {
+        val e2 = ev.select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.wasserstein1(
+          e2.filter(col("event_id") % 2 === 0),
+          e2.filter(col("event_id") % 2 === 1), "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q277 shape: Mann–Kendall — the event log collapses to the daily
+      // grid FIRST; the O(span²) pair join runs on grid rows only
+      timed(scale, "mann_kendall") {
+        val series = ev
+          .groupBy(col("event_type"),
+            expr("tus div 86400000000").as("x"))
+          .agg(count(lit(1)).as("y"))
+        val out = graft.ops.EventAnalytics.mannKendall(series,
+          "event_type", "x", "y")
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

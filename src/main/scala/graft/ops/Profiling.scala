@@ -1517,15 +1517,16 @@ object Profiling {
     * Midranks carry the classic ½ for ties, so all ranks ride DOUBLED
     * (`rank2 = 2·before + t + 1`, an integer); `u2 = 2·U` and
     * `auc = u2 / (2·n_pos·n_neg)` with division as presentation. The
-    * significance flag is the tie-corrected normal approximation,
-    * decided by the integer cross-multiplication
-    * `(u2 − n_pos·n_neg)² · 3·n(n−1) · 1e6  ≥
-    *  zc²·1e6 · n_pos·n_neg · (n(n−1)(n+1) − Σ(t³−t))`
-    * in decimal(38,0) — both engines compare the same integers, no
-    * float boundary can flip the verdict. (The cross products bound
-    * exactness to ~1e6 rows per group before decimal(38,0) overflows
-    * to null — beyond that, pre-aggregate or quantize coarser; the
-    * honest behavior is a null flag, never a wrong one.)
+    * significance flag is the tie-corrected normal approximation
+    * `z² = ((u2 − n_pos·n_neg)/2)² / Var(U)` with
+    * `Var(U) = n_pos·n_neg·(n(n−1)(n+1) − Σ(t³−t)) / (12·n(n−1))`:
+    * every MOMENT stays an exact decimal integer (safe through ~1e10
+    * rows per group), and only the final z² assembles in doubles —
+    * deterministic across engines because the oracle replays the
+    * identical expression tree on the identical integers. (An earlier
+    * all-decimal cross-multiplied form was bit-exact but overflowed
+    * decimal(38,0) — an ANSI-mode job KILLER — at ~3e5 rows per group;
+    * six-way integer products do not survive production group sizes.)
     *
     * Shape: ONE partial-aggregable collapse to the per-(group, value)
     * histogram, one window over that histogram (partitioned by group —
@@ -1579,16 +1580,20 @@ object Profiling {
     val n = nP + nN
     val u2 = col("__r2__") - dec(nP) * dec(nP + 1)
     val mu2 = dec(nP) * dec(nN)
-    val diff = u2 - mu2
     // n(n−1)(n+1) − Σ(t³−t): zero iff every row in the group ties
-    val varNum = dec(n) * dec(n - 1) * dec(n + 1) - col("__ties__")
-    val lhs = diff * diff * lit(3) * dec(n) * dec(n - 1) * lit(1000000L)
-    val rhs = lit(zc2Micro) * mu2 * varNum
+    val varNum = dec(n) * dec(n + 1) * dec(n - 1) - col("__ties__")
+    // z² in doubles from the exact moments — the oracle replays this
+    // exact expression tree, so the verdict is engine-identical
+    val dHalf = (u2 - mu2).cast("double") / lit(2.0)
+    val varU = mu2.cast("double") * varNum.cast("double") /
+      (lit(12.0) * n.cast("double") * (n - 1).cast("double"))
+    val z2 = dHalf * dHalf / varU
     per.select(col(groupCol), nP, nN, u2.as("u2"),
         when(nP > 0 && nN > 0,
           round(u2.cast("double") /
             (nP * nN * 2L).cast("double"), 6)).as("auc"),
-        when(nP > 0 && nN > 0 && varNum > 0, lhs >= rhs)
+        when(nP > 0 && nN > 0 && varNum > 0,
+            z2 * lit(1000000.0) >= lit(zc2Micro.toDouble))
           .otherwise(lit(false)).as("significant"))
   }
 
@@ -1601,16 +1606,17 @@ object Profiling {
     * scale the degrees of freedom are large enough that the normal
     * threshold `zCrit` applies.
     *
-    * All moments are exact integer sums (Σv, Σv² in decimal(38,0));
-    * the verdict is the integer cross-multiplication of
-    * `t² = (m₁−m₂)² / (s₁²/n₁ + s₂²/n₂)` against `zc²·1e6`, carried
-    * out entirely in decimals so no float rounding can flip a
-    * borderline flag (same honesty bound as [[rankSumTest]]: at
-    * extreme group sizes the cross products overflow to a NULL flag,
-    * never a wrong one). With `S_i = Σv`, `Q_i = Σv²`:
-    * `(S₁n₂ − S₂n₁)² · (n₁−1)(n₂−1) · 1e6 ≥
-    *  zc²·1e6 · (n₂²(n₂−1)(n₁Q₁−S₁²) + n₁²(n₁−1)(n₂Q₂−S₂²))`.
-    * Means are exact rationals, emitted rounded to 6.
+    * All moments are exact integer sums (Σv, Σv² in decimal(38,0),
+    * safe through ~1e10 rows per variant); with `S_i = Σv`, `Q_i = Σv²`
+    * and `nQ_i − S_i² = n_i(n_i−1)s_i²`, the verdict assembles
+    * `t² = (S₁/n₁ − S₂/n₂)² / (ss₁/(n₁²(n₁−1)) + ss₂/(n₂²(n₂−1)))`
+    * in doubles FROM those exact moments and compares `t²·1e6` against
+    * `round(zc²·1e6)` — deterministic across engines because the
+    * oracle replays the identical expression tree on the identical
+    * integers ([[rankSumTest]]'s discipline; the all-decimal
+    * cross-multiplied form overflowed decimal(38,0) at ~1e5 rows per
+    * variant, an ANSI-mode job killer). Means are exact rationals,
+    * emitted rounded to 6.
     *
     * Shape: one partial-aggregable collapse to |variants| moment rows,
     * then a broadcast single-row join of the control's moments — the
@@ -1644,13 +1650,17 @@ object Profiling {
     val n1 = dec(col("n")); val s1 = col("__s__"); val q1 = col("__q__")
     val n2 = dec(col("__cn__")); val s2 = col("__cs__")
     val q2 = col("__cq__")
-    // n·Q − S² = n(n−1)·s²  (≥ 0; 0 ⇔ constant sample)
+    // n·Q − S² = n(n−1)·s²  (≥ 0; 0 ⇔ constant sample) — exact
     val ss1 = n1 * q1 - s1 * s1
     val ss2 = n2 * q2 - s2 * s2
-    val dNum = s1 * n2 - s2 * n1 // (m1 − m2) · n1·n2
-    val lhs = dNum * dNum * (n1 - 1) * (n2 - 1) * lit(1000000L)
-    val rhs = lit(zc2Micro) *
-      (n2 * n2 * (n2 - 1) * ss1 + n1 * n1 * (n1 - 1) * ss2)
+    // t² in doubles from the exact moments (oracle-identical tree)
+    val md = s1.cast("double") / n1.cast("double") -
+      s2.cast("double") / n2.cast("double")
+    val va = ss1.cast("double") / (n1.cast("double") * n1.cast("double") *
+      (n1 - 1).cast("double"))
+    val vb = ss2.cast("double") / (n2.cast("double") * n2.cast("double") *
+      (n2 - 1).cast("double"))
+    val t2 = md * md / (va + vb)
     val isCtl = col("variant") === control
     per.crossJoin(broadcast(ctl))
       .select(col("variant"), col("n"),
@@ -1660,7 +1670,8 @@ object Profiling {
             (s2.cast("double") / n2.cast("double")), 6))
           .as("diff_vs_control"),
         when(!isCtl && col("n") > 1 && col("__cn__") > 1 &&
-            (ss1 > 0 || ss2 > 0), lhs >= rhs)
+            (ss1 > 0 || ss2 > 0),
+          t2 * lit(1000000.0) >= lit(zc2Micro.toDouble))
           .as("significant"))
   }
 }

@@ -3751,22 +3751,28 @@ object PipelineQueries {
         |    SUM(CAST(cp AS HUGEINT) * (2 * bef + cp + cn + 1)) AS r2,
         |    SUM(CAST(cp + cn AS HUGEINT) * (cp + cn) * (cp + cn)
         |      - (cp + cn)) AS ties
-        |  FROM r GROUP BY 1)
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT source, np, nn,
+        |    r2 - np * (np + 1) AS u2,
+        |    np * nn AS mu2,
+        |    (np + nn) * (np + nn + 1) * (np + nn - 1) - ties AS varnum
+        |  FROM p),
+        |z AS (SELECT source, np, nn, u2, mu2, varnum,
+        |    CAST(u2 - mu2 AS DOUBLE) / 2.0 AS dh,
+        |    CAST(mu2 AS DOUBLE) * CAST(varnum AS DOUBLE)
+        |      / (12.0 * CAST(np + nn AS DOUBLE)
+        |        * CAST(np + nn - 1 AS DOUBLE)) AS varu
+        |  FROM f)
         |SELECT source,
         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-        |  CAST(r2 - np * (np + 1) AS BIGINT) AS u2,
+        |  CAST(u2 AS BIGINT) AS u2,
         |  CASE WHEN np > 0 AND nn > 0 THEN
-        |    ROUND(CAST(r2 - np * (np + 1) AS DOUBLE)
-        |      / CAST(2 * np * nn AS DOUBLE), 6) END AS auc,
-        |  CASE WHEN np > 0 AND nn > 0
-        |      AND (np + nn) * (np + nn - 1) * (np + nn + 1) - ties > 0
-        |    THEN (r2 - np * (np + 1) - np * nn)
-        |      * (r2 - np * (np + 1) - np * nn) * 3
-        |      * (np + nn) * (np + nn - 1) * 1000000
-        |      >= 3841600 * np * nn
-        |        * ((np + nn) * (np + nn - 1) * (np + nn + 1) - ties)
+        |    ROUND(CAST(u2 AS DOUBLE)
+        |      / CAST(np * nn * 2 AS DOUBLE), 6) END AS auc,
+        |  CASE WHEN np > 0 AND nn > 0 AND varnum > 0
+        |    THEN dh * dh / varu * 1000000.0 >= 3841600.0
         |    ELSE FALSE END AS significant
-        |FROM p ORDER BY source""".stripMargin,
+        |FROM z ORDER BY source""".stripMargin,
 
     "q275_welch_t" ->
       """WITH e AS (SELECT
@@ -3788,11 +3794,17 @@ object PipelineQueries {
         |  CASE WHEN p.variant <> 'control' AND p.n > 1 AND c.cn > 1
         |      AND ((p.n * p.q - p.s * p.s) > 0
         |        OR (c.cn * c.cq - c.cs * c.cs) > 0) THEN
-        |    (p.s * c.cn - c.cs * p.n) * (p.s * c.cn - c.cs * p.n)
-        |      * (p.n - 1) * (c.cn - 1) * 1000000
-        |    >= 3841600
-        |      * (c.cn * c.cn * (c.cn - 1) * (p.n * p.q - p.s * p.s)
-        |        + p.n * p.n * (p.n - 1) * (c.cn * c.cq - c.cs * c.cs))
+        |    (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+        |        - CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE))
+        |      * (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+        |        - CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE))
+        |      / (CAST(p.n * p.q - p.s * p.s AS DOUBLE)
+        |          / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)
+        |            * CAST(p.n - 1 AS DOUBLE))
+        |        + CAST(c.cn * c.cq - c.cs * c.cs AS DOUBLE)
+        |          / (CAST(c.cn AS DOUBLE) * CAST(c.cn AS DOUBLE)
+        |            * CAST(c.cn - 1 AS DOUBLE)))
+        |      * 1000000.0 >= 3841600.0
         |    END AS significant
         |FROM p, c ORDER BY p.variant""".stripMargin,
 
