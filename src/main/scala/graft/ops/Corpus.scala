@@ -798,6 +798,114 @@ object Corpus {
         .map(col): _*)
   }
 
+  /** t-closeness audit — the third privacy rampart after [[kAnonymize]]
+    * and [[lDiversity]] (l-diversity still leaks by SKEW: a group with
+    * 10 distinct salaries that are all in the top percentile tells the
+    * attacker plenty; t-closeness bounds how far each quasi-group's
+    * SENSITIVE-VALUE DISTRIBUTION may sit from the global one). For a
+    * numeric sensitive attribute the distance is the 1-Wasserstein
+    * (ordered-distance EMD, the Li et al. metric —
+    * [[graft.ops.Profiling.wasserstein1]] per group vs global),
+    * normalized by the global value range so `emd ∈ [0, 1]` and `t` is
+    * scale-free. The verdict is an exact integer cross-multiplication:
+    * `emd_num · tDen > tNum · n_g·n_all·range` — numerator
+    * `Σ_k |cumG_k·n_all − cumAll_k·n_g| · gap_k` in decimal(38,0), no
+    * float near the boundary.
+    *
+    * Returns the per-group audit (quasi…, group_n, emd_num, emd,
+    * breach) — an audit table, not filtered rows, because the remedy
+    * for a breach is coarser generalization upstream, not row
+    * suppression (suppressing the breaching group's rows would itself
+    * reveal membership). NULL sensitive values are excluded from both
+    * distributions (they carry no ordered position); NULL quasi tuples
+    * group like any other.
+    *
+    * Shape: one global histogram (grid-sized, cumulated in one task —
+    * quantization bounds it), one per-(group, value) histogram, then
+    * the groups×grid densification joined group-cum via a per-group
+    * window. The |groups|·|grid| intermediate is the honest cost of
+    * evaluating every group's CDF at every global grid point — bounded
+    * because quasi attributes are low-cardinality BY DESIGN (that is
+    * what makes them quasi-identifiers) and the grid is
+    * quantization-bounded. Requires an integral sensitive column. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
+    require(tNum >= 0 && tDen > 0, "bad t threshold")
+    val st = df.schema(sensitiveCol).dataType
+    val ok = st match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"tCloseness requires an integral sensitive column " +
+      s"(quantize upstream); '$sensitiveCol' is $st")
+    val dec38 = org.apache.spark.sql.types.DataTypes
+      .createDecimalType(38, 0)
+    def dd(c: Column) = c.cast(dec38)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+
+        col(sensitiveCol).cast("long").as("__v__"): _*)
+    // global grid: cumulative counts + the gap to the next value
+    val wCum = Window.orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = base.groupBy(col("__v__"))
+      .agg(count(lit(1)).as("__ca__"))
+      .withColumn("__cumall__", sum(col("__ca__")).over(wCum))
+      .withColumn("__gap__",
+        coalesce(lead(col("__v__"), 1)
+          .over(Window.orderBy(col("__v__").asc)) - col("__v__"),
+          lit(0L)))
+    val totals = base.agg(count(lit(1)).as("__nall__"),
+      (max(col("__v__")) - min(col("__v__"))).as("__range__"))
+    // per-(group, value) counts, densified onto the global grid; the
+    // histogram side's columns are renamed so the null-safe join
+    // condition is unambiguous (the kAnonymize discipline)
+    val gh = base.groupBy(quasiCols.map(col) :+ col("__v__"): _*)
+      .agg(count(lit(1)).as("__cg__"))
+    val gh2 = quasiCols.foldLeft(
+      gh.withColumnRenamed("__v__", "__gv__")) { (d, q) =>
+        d.withColumnRenamed(q, s"__g_$q")
+      }
+    val groups = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+    val dense = groups.crossJoin(broadcast(grid.select(col("__v__"),
+        col("__cumall__"), col("__gap__"))))
+      .join(gh2, quasiCols.map(q => col(q) <=> col(s"__g_$q"))
+          .reduce(_ && _) && col("__v__") === col("__gv__"), "left")
+      .select(quasiCols.map(col) ++ Seq(col("__v__"),
+        col("__cumall__"), col("__gap__"), col("group_n"),
+        coalesce(col("__cg__"), lit(0L)).as("__cg__")): _*)
+    val wG = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = dense
+      .withColumn("__cumg__", sum(col("__cg__")).over(wG))
+      .crossJoin(broadcast(totals))
+      .groupBy(quasiCols.map(col) :+ col("group_n"): _*)
+      .agg(max(col("__nall__")).as("__nall__"),
+        max(col("__range__")).as("__range__"),
+        sum(abs(dd(col("__cumg__")) * dd(col("__nall__")) -
+          dd(col("__cumall__")) * dd(col("group_n"))) *
+          dd(col("__gap__"))).as("emd_num"))
+    scored.select(quasiCols.map(col) :+ col("group_n") :+
+        col("emd_num") :+
+        when(col("__range__") > 0,
+          round(col("emd_num").cast("double") /
+            (dd(col("group_n")) * dd(col("__nall__")) *
+              dd(col("__range__"))).cast("double"), 6))
+          .otherwise(lit(0.0)).as("emd") :+
+        when(col("__range__") > 0,
+          col("emd_num") * lit(tDen) >
+            lit(tNum) * dd(col("group_n")) * dd(col("__nall__")) *
+              dd(col("__range__")))
+          .otherwise(lit(false)).as("breach"): _*)
+  }
+
   /** Deterministic class rebalancing by EXACT integer oversampling:
     * every class is brought to exactly the majority class's count —
     * each row repeats `target div n` times, and the first

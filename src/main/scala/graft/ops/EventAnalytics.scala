@@ -1221,4 +1221,80 @@ object EventAnalytics {
         when(sAbs >= 1 && var18 > 0, lhs >= rhs)
           .otherwise(lit(false)).as("significant"))
   }
+
+  /** Difference-in-differences readout — the causal workhorse when a
+    * change launched WITHOUT randomization (a policy flipped for one
+    * cohort at time T): the treatment group's pre→post mean shift minus
+    * the control group's, which cancels any time trend both groups
+    * share. `did = (m_t1 − m_t0) − (m_c1 − m_c0)`, with the four cell
+    * moments (n, Σv, Σv²) exact integers (decimal(38,0), the
+    * [[graft.ops.Profiling.welchTTest]] discipline) and the large-n
+    * normal verdict `did² / Σ_cells s_i²/n_i ≥ zc²` assembled in
+    * doubles FROM those moments — the oracle replays the identical
+    * tree, so the verdict is engine-identical.
+    *
+    * Shape: ONE partial-aggregable groupBy collapses the log to the
+    * four (variant, period) cells, which pivot through a single-row
+    * broadcast. Requires an integral value column. Returns one row:
+    * per-cell n and mean, did (round 6), significant (null when any
+    * cell has n ≤ 1 or all four cells are constant). */
+  def diffInDiff(df: DataFrame, variantCol: String, postCol: String,
+      valueCol: String, treatment: String, control: String,
+      zCrit: Double = 1.96): DataFrame = {
+    val t = df.schema(valueCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"diffInDiff requires an integral value " +
+      s"(quantize upstream); '$valueCol' is $t")
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def dd(c: Column) = c.cast(dec)
+    val v = col(valueCol).cast("long")
+    def cell(variant: String, post: Boolean, tag: String) = Seq(
+      sum(when(col(variantCol) === variant &&
+        col(postCol) === post, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col(variantCol) === variant && col(postCol) === post,
+        dd(v)).otherwise(dd(lit(0L)))).as(s"__s_$tag"),
+      sum(when(col(variantCol) === variant && col(postCol) === post,
+        dd(v) * dd(v)).otherwise(dd(lit(0L)))).as(s"__q_$tag"))
+    val aggs = cell(treatment, post = false, "t0") ++
+      cell(treatment, post = true, "t1") ++
+      cell(control, post = false, "c0") ++
+      cell(control, post = true, "c1")
+    val m = df.filter(col(valueCol).isNotNull &&
+        col(variantCol).isin(treatment, control))
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) =
+      col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    // s²/n = (nQ − S²) / (n²(n−1)) per cell, in doubles from the
+    // exact moments (the rank-sum/Welch determinism discipline)
+    def vn(tag: String) =
+      (dd(col(s"n_$tag")) * col(s"__q_$tag") -
+        col(s"__s_$tag") * col(s"__s_$tag")).cast("double") /
+        (col(s"n_$tag").cast("double") * col(s"n_$tag").cast("double") *
+          (col(s"n_$tag") - 1).cast("double"))
+    def ssPos(tag: String) =
+      dd(col(s"n_$tag")) * col(s"__q_$tag") -
+        col(s"__s_$tag") * col(s"__s_$tag")
+    val did = mean("t1") - mean("t0") - (mean("c1") - mean("c0"))
+    val varD = vn("t1") + vn("t0") + vn("c1") + vn("c0")
+    val allCells = Seq("t0", "t1", "c0", "c1")
+    val anyVar = allCells.map(tag => ssPos(tag) > 0).reduce(_ || _)
+    val allBig = allCells.map(tag => col(s"n_$tag") > 1).reduce(_ && _)
+    m.select(
+      col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+      round(mean("t0"), 6).as("mean_t0"),
+      round(mean("t1"), 6).as("mean_t1"),
+      round(mean("c0"), 6).as("mean_c0"),
+      round(mean("c1"), 6).as("mean_c1"),
+      round(did, 6).as("did"),
+      when(allBig && anyVar,
+        did * did / varD * lit(1000000.0) >= lit(zc2Micro.toDouble))
+        .as("significant"))
+  }
 }

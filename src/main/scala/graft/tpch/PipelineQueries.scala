@@ -603,6 +603,31 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // t-closeness audit over (lang, source) quasi-groups: per-group
+    // sensitive-length distribution vs global, range-normalized EMD,
+    // exact integer breach verdict — the privacy trio's third rampart
+    "q280_t_closeness" -> ((s, dir) =>
+      Corpus.tCloseness(docs(s, dir), Seq("lang", "source"), "n_chars",
+          tNum = 15, tDen = 100)
+        // gate export: numerator fits BIGINT at every gate SF
+        .withColumn("emd_num", col("emd_num").cast("long"))
+        .orderBy(col("lang"), col("source"))),
+
+    // difference-in-differences readout over the even/odd-day split:
+    // four exact moment cells in ONE pass, shared-trend cancellation,
+    // engine-identical double verdict
+    "q281_did" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "treatment")
+            .otherwise("control"))
+        .withColumn("post",
+          expr("unix_micros(ts) div 86400000000") % 2 === 1)
+        .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+      EventAnalytics.diffInDiff(ev, "variant", "post", "v",
+        treatment = "treatment", control = "control")
+    }),
+
     // exact 1-Wasserstein distance between the even/odd event-id
     // shards' value distributions (cents grid): mass × distance as an
     // exact integer numerator, ksTest's magnitude companion
@@ -3651,6 +3676,115 @@ object PipelineQueries {
          |    AND n_semicolons + n_camel > 0) AS looks_like_code
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q280_t_closeness" ->
+      """WITH b AS (SELECT lang, source, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |grid AS (SELECT v, COUNT(1) AS ca FROM b GROUP BY 1),
+        |g2 AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cumall,
+        |    COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS gap
+        |  FROM grid),
+        |t AS (SELECT COUNT(1) AS nall, MAX(v) - MIN(v) AS rng FROM b),
+        |gh AS (SELECT lang, source, v, COUNT(1) AS cg FROM b
+        |  GROUP BY 1, 2, 3),
+        |gr AS (SELECT lang, source, COUNT(1) AS group_n FROM b
+        |  GROUP BY 1, 2),
+        |dense AS (SELECT gr.lang, gr.source, gr.group_n, g2.v,
+        |    g2.cumall, g2.gap, COALESCE(gh.cg, 0) AS cg
+        |  FROM gr CROSS JOIN g2
+        |  LEFT JOIN gh ON gh.lang = gr.lang AND gh.source = gr.source
+        |    AND gh.v = g2.v),
+        |cum AS (SELECT lang, source, group_n, v, cumall, gap,
+        |    SUM(cg) OVER (PARTITION BY lang, source ORDER BY v) AS cumg
+        |  FROM dense),
+        |sc AS (SELECT lang, source, group_n,
+        |    SUM(ABS(CAST(cumg AS HUGEINT) * t.nall
+        |      - CAST(cumall AS HUGEINT) * group_n) * gap) AS emd_num,
+        |    MAX(t.nall) AS nall, MAX(t.rng) AS rng
+        |  FROM cum, t GROUP BY 1, 2, 3)
+        |SELECT lang, source, CAST(group_n AS BIGINT) AS group_n,
+        |  CAST(emd_num AS BIGINT) AS emd_num,
+        |  CASE WHEN rng > 0 THEN
+        |    ROUND(CAST(emd_num AS DOUBLE)
+        |      / CAST(CAST(group_n AS HUGEINT) * nall * rng AS DOUBLE),
+        |      6)
+        |    ELSE 0.0 END AS emd,
+        |  CASE WHEN rng > 0 THEN
+        |    emd_num * 100 > 15 * CAST(group_n AS HUGEINT) * nall * rng
+        |    ELSE FALSE END AS breach
+        |FROM sc ORDER BY lang, source""".stripMargin,
+
+    "q281_did" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'treatment'
+        |      ELSE 'control' END AS variant,
+        |    (epoch_us(ts) // 86400000000) % 2 = 1 AS post,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT
+        |    SUM(CASE WHEN variant = 'treatment' AND NOT post THEN 1
+        |      ELSE 0 END) AS n_t0,
+        |    SUM(CASE WHEN variant = 'treatment' AND NOT post THEN
+        |      CAST(v AS HUGEINT) ELSE 0 END) AS s_t0,
+        |    SUM(CASE WHEN variant = 'treatment' AND NOT post THEN
+        |      CAST(v AS HUGEINT) * v ELSE 0 END) AS q_t0,
+        |    SUM(CASE WHEN variant = 'treatment' AND post THEN 1
+        |      ELSE 0 END) AS n_t1,
+        |    SUM(CASE WHEN variant = 'treatment' AND post THEN
+        |      CAST(v AS HUGEINT) ELSE 0 END) AS s_t1,
+        |    SUM(CASE WHEN variant = 'treatment' AND post THEN
+        |      CAST(v AS HUGEINT) * v ELSE 0 END) AS q_t1,
+        |    SUM(CASE WHEN variant = 'control' AND NOT post THEN 1
+        |      ELSE 0 END) AS n_c0,
+        |    SUM(CASE WHEN variant = 'control' AND NOT post THEN
+        |      CAST(v AS HUGEINT) ELSE 0 END) AS s_c0,
+        |    SUM(CASE WHEN variant = 'control' AND NOT post THEN
+        |      CAST(v AS HUGEINT) * v ELSE 0 END) AS q_c0,
+        |    SUM(CASE WHEN variant = 'control' AND post THEN 1
+        |      ELSE 0 END) AS n_c1,
+        |    SUM(CASE WHEN variant = 'control' AND post THEN
+        |      CAST(v AS HUGEINT) ELSE 0 END) AS s_c1,
+        |    SUM(CASE WHEN variant = 'control' AND post THEN
+        |      CAST(v AS HUGEINT) * v ELSE 0 END) AS q_c1
+        |  FROM e),
+        |d AS (SELECT *,
+        |    CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |      - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)
+        |      - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+        |        - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did,
+        |    CAST(n_t1 * q_t1 - s_t1 * s_t1 AS DOUBLE)
+        |      / (CAST(n_t1 AS DOUBLE) * CAST(n_t1 AS DOUBLE)
+        |        * CAST(n_t1 - 1 AS DOUBLE))
+        |    + CAST(n_t0 * q_t0 - s_t0 * s_t0 AS DOUBLE)
+        |      / (CAST(n_t0 AS DOUBLE) * CAST(n_t0 AS DOUBLE)
+        |        * CAST(n_t0 - 1 AS DOUBLE))
+        |    + CAST(n_c1 * q_c1 - s_c1 * s_c1 AS DOUBLE)
+        |      / (CAST(n_c1 AS DOUBLE) * CAST(n_c1 AS DOUBLE)
+        |        * CAST(n_c1 - 1 AS DOUBLE))
+        |    + CAST(n_c0 * q_c0 - s_c0 * s_c0 AS DOUBLE)
+        |      / (CAST(n_c0 AS DOUBLE) * CAST(n_c0 AS DOUBLE)
+        |        * CAST(n_c0 - 1 AS DOUBLE)) AS vard
+        |  FROM m)
+        |SELECT CAST(n_t0 AS BIGINT) AS n_t0,
+        |  CAST(n_t1 AS BIGINT) AS n_t1,
+        |  CAST(n_c0 AS BIGINT) AS n_c0,
+        |  CAST(n_c1 AS BIGINT) AS n_c1,
+        |  ROUND(CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE), 6)
+        |    AS mean_t0,
+        |  ROUND(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE), 6)
+        |    AS mean_t1,
+        |  ROUND(CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE), 6)
+        |    AS mean_c0,
+        |  ROUND(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE), 6)
+        |    AS mean_c1,
+        |  ROUND(did, 6) AS did,
+        |  CASE WHEN n_t0 > 1 AND n_t1 > 1 AND n_c0 > 1 AND n_c1 > 1
+        |      AND (n_t0 * q_t0 - s_t0 * s_t0 > 0
+        |        OR n_t1 * q_t1 - s_t1 * s_t1 > 0
+        |        OR n_c0 * q_c0 - s_c0 * s_c0 > 0
+        |        OR n_c1 * q_c1 - s_c1 * s_c1 > 0) THEN
+        |    did * did / vard * 1000000.0 >= 3841600.0
+        |    END AS significant
+        |FROM d""".stripMargin,
 
     "q278_wasserstein" ->
       """WITH e AS (SELECT event_id,

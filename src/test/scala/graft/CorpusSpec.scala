@@ -999,4 +999,32 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.lDiversity(df, Seq("s"), "s", 2L)
     }
   }
+
+  test("tCloseness: hand EMD per group, range-normalized, breach flag") {
+    import spark.implicits._
+    // global sensitive dist is uniform on {0, 10}; groups a/b sit
+    // entirely at one end (EMD = half the mass moved across the range
+    // → 0.5), group c matches the global exactly (EMD 0)
+    val df = Seq(
+      ("a", 0L), ("a", 0L), ("b", 10L), ("b", 10L),
+      ("c", 0L), ("c", 10L)).toDF("q", "v")
+    val got = Corpus.tCloseness(df, Seq("q"), "v", tNum = 3, tDen = 10)
+      .collect().map(r => r.getAs[String]("q") ->
+        ((r.getAs[Long]("group_n"),
+          r.getAs[java.math.BigDecimal]("emd_num").longValueExact(),
+          r.getAs[Double]("emd"), r.getAs[Boolean]("breach")))).toMap
+    // a: |cumG·n_all − cumAll·n_g|·gap at v=0 → |2·6 − 3·2|·10 = 60;
+    // emd = 60/(2·6·10) = 0.5 > 0.3 → breach
+    assert(got("a") == ((2L, 60L, 0.5, true)))
+    assert(got("b") == ((2L, 60L, 0.5, true)))
+    assert(got("c") == ((2L, 0L, 0.0, false)))
+    // zero-range degenerate: single sensitive value everywhere
+    val flat = Seq(("a", 5L), ("b", 5L)).toDF("q", "v")
+    val gf = Corpus.tCloseness(flat, Seq("q"), "v", 3, 10).collect()
+    assert(gf.forall(r => !r.getAs[Boolean]("breach")))
+    // sensitive column may not be quasi
+    intercept[IllegalArgumentException] {
+      Corpus.tCloseness(df, Seq("v"), "v", 3, 10)
+    }
+  }
 }

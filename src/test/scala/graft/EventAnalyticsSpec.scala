@@ -878,4 +878,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // var18 = 3·2·11 − 2·1·9 (the tied pair of 2s) = 48
     assert(got("mix") == ((3L, 0L, 48L, None, false)))
   }
+
+  test("diffInDiff: hand cells, shared trend cancelled, verdict") {
+    // both groups drift +3 between periods; treatment gains +3 extra
+    val rows =
+      Seq(1L, 2L, 3L).map(v => ("t", false, v)) ++
+      Seq(7L, 8L, 9L).map(v => ("t", true, v)) ++
+      Seq(1L, 2L, 3L).map(v => ("c", false, v)) ++
+      Seq(4L, 5L, 6L).map(v => ("c", true, v)) ++
+      Seq(("x", true, 99L)) // unrelated variant is ignored
+    val r = EventAnalytics.diffInDiff(rows.toDF("variant", "post", "v"),
+      "variant", "post", "v", treatment = "t", control = "c")
+      .collect().head
+    assert((r.getAs[Long]("n_t0"), r.getAs[Long]("n_t1"),
+      r.getAs[Long]("n_c0"), r.getAs[Long]("n_c1")) == ((3L, 3L, 3L, 3L)))
+    assert((r.getAs[Double]("mean_t0"), r.getAs[Double]("mean_t1"),
+      r.getAs[Double]("mean_c0"), r.getAs[Double]("mean_c1")) ==
+      ((2.0, 8.0, 2.0, 5.0)))
+    // did = (8−2) − (5−2) = 3; t² = 9 / (4·(1/3)) = 6.75 ≥ 3.8416
+    assert(r.getAs[Double]("did") == 3.0)
+    assert(r.getAs[Boolean]("significant"))
+    // all-constant cells: t² undefined — null, never a verdict
+    val flat = Seq(("t", false, 5L), ("t", false, 5L),
+      ("t", true, 5L), ("t", true, 5L), ("c", false, 5L),
+      ("c", false, 5L), ("c", true, 5L), ("c", true, 5L))
+    val rf = EventAnalytics.diffInDiff(flat.toDF("variant", "post", "v"),
+      "variant", "post", "v", "t", "c").collect().head
+    assert(rf.isNullAt(rf.fieldIndex("significant")))
+    assert(rf.getAs[Double]("did") == 0.0)
+  }
 }
