@@ -1504,6 +1504,100 @@ object Profiling {
           .as("ess_ratio"))
   }
 
+  /** Split-conformal threshold per group — the distribution-free
+    * prediction-gate calibrator: given a calibration set of integral
+    * nonconformity scores (model error, −logprob, residual), the
+    * `⌈(n+1)(1−α)⌉`-th smallest score is the cutoff below which a new
+    * example's score stays with probability ≥ 1−α (finite-sample,
+    * no distributional assumption — the guarantee production gating
+    * actually wants). α rides as the exact rational
+    * `alphaNum/alphaDen`, the rank index is exact integer ceiling
+    * arithmetic (`k = n + 1 − (n+1)·αN div αD`, clamped to [1, n]),
+    * and the threshold is picked off the per-group value histogram —
+    * no float ever decides a rank.
+    *
+    * Shape: one partial-aggregable (group, value) histogram, one
+    * per-group window over the DISTINCT-value grid for the running
+    * count, then a min-over-qualifying-values collapse — a hot group
+    * costs its histogram size, never its row count (the
+    * [[percentileRank]] discipline). Returns
+    * (group, n, k, threshold). */
+  def conformalThreshold(df: DataFrame, groupCol: String,
+      scoreCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum >= 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"alpha must be in [0,1]: $alphaNum/$alphaDen")
+    val t = df.schema(scoreCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"conformalThreshold requires an integral score " +
+      s"(quantize upstream); '$scoreCol' is $t")
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum__", sum(col("__c__")).over(wCum))
+    val per = hist.groupBy(col(groupCol))
+      .agg(sum(col("__c__")).as("n"))
+      // k = ⌈(n+1)(1−α)⌉ = n + 1 − floor((n+1)·αN / αD), clamped
+      .withColumn("k", greatest(lit(1L), least(col("n"),
+        col("n") + 1 - expr(s"(n + 1) * $alphaNum div $alphaDen"))))
+    cum.join(per, Seq(groupCol))
+      .filter(col("__cum__") >= col("k"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        min(col("__v__")).as("threshold"))
+  }
+
+  /** Leave-one-group-out influence on the global mean — the source
+    * ablation readout ("which feed is dragging quality?") computed
+    * WITHOUT |groups| passes: with global moments (N, T) and per-group
+    * (n_g, t_g), the mean without g is `(T − t_g)/(N − n_g)` — every
+    * quantity an exact integer, one scan total. `influence` is
+    * `loo_mean − global_mean` (positive ⇒ removing the group RAISES
+    * the metric ⇒ the group drags it down). Division is presentation
+    * (round 6); groups covering the whole table report null loo.
+    *
+    * Shape: one partial-aggregable groupBy + a single-row broadcast —
+    * the [[proportionTest]] plan. Requires an integral value column.
+    * Returns (group, n, mean, loo_mean, influence). */
+  def leaveOneOutMeans(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val t = df.schema(valueCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"leaveOneOutMeans requires an integral value " +
+      s"(quantize upstream); '$valueCol' is $t")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v__"))
+    val per = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__v__"))).as("__t__"))
+    val tot = per.agg(sum(col("n")).as("__nn__"),
+      sum(col("__t__")).as("__tt__"))
+    val gMean = col("__tt__").cast("double") / col("__nn__").cast("double")
+    val looMean = (col("__tt__") - col("__t__")).cast("double") /
+      (col("__nn__") - col("n")).cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"),
+        round(col("__t__").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        when(col("__nn__") > col("n"), round(looMean, 6)).as("loo_mean"),
+        when(col("__nn__") > col("n"), round(looMean - gMean, 6))
+          .as("influence"))
+  }
+
   /** Mann–Whitney U rank-sum test per group — the nonparametric
     * two-sample comparison that belongs next to [[ksTest]] (KS asks
     * "did the SHAPE move", rank-sum asks "does one population

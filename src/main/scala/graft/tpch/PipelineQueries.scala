@@ -603,6 +603,22 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // split-conformal threshold per event type at α = 1/10: the
+    // ⌈(n+1)(1−α)⌉-th smallest quantized score, exact integer rank
+    // picked off the per-group histogram
+    "q282_conformal" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("sc", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Profiling.conformalThreshold(ev, "event_type", "sc",
+        alphaNum = 1, alphaDen = 10).orderBy(col("event_type"))
+    }),
+
+    // leave-one-source-out influence on the global mean length: the
+    // source-ablation readout from one scan — exact (T−t)/(N−n)
+    "q283_loo_influence" -> ((s, dir) =>
+      graft.ops.Profiling.leaveOneOutMeans(docs(s, dir), "source",
+        "n_chars").orderBy(col("source"))),
+
     // t-closeness audit over (lang, source) quasi-groups: per-group
     // sensitive-length distribution vs global, range-normalized EMD,
     // exact integer breach verdict — the privacy trio's third rampart
@@ -3676,6 +3692,40 @@ object PipelineQueries {
          |    AND n_semicolons + n_camel > 0) AS looks_like_code
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q282_conformal" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s FROM events),
+        |h AS (SELECT event_type, s, COUNT(1) AS c FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, s, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY s) AS cum
+        |  FROM h),
+        |p AS (SELECT event_type, SUM(c) AS n FROM h GROUP BY 1),
+        |k AS (SELECT event_type, n,
+        |    GREATEST(1, LEAST(n, n + 1 - (n + 1) * 1 // 10)) AS k
+        |  FROM p)
+        |SELECT c.event_type, CAST(k.n AS BIGINT) AS n,
+        |  CAST(k.k AS BIGINT) AS k, MIN(c.s) AS threshold
+        |FROM c JOIN k ON c.event_type = k.event_type
+        |WHERE c.cum >= k.k
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q283_loo_influence" ->
+      """WITH p AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS HUGEINT) AS t FROM documents
+        |  GROUP BY 1),
+        |g AS (SELECT SUM(n) AS nn, SUM(t) AS tt FROM p)
+        |SELECT p.source, p.n,
+        |  ROUND(CAST(p.t AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN g.nn > p.n THEN
+        |    ROUND(CAST(g.tt - p.t AS DOUBLE)
+        |      / CAST(g.nn - p.n AS DOUBLE), 6) END AS loo_mean,
+        |  CASE WHEN g.nn > p.n THEN
+        |    ROUND(CAST(g.tt - p.t AS DOUBLE)
+        |        / CAST(g.nn - p.n AS DOUBLE)
+        |      - CAST(g.tt AS DOUBLE) / CAST(g.nn AS DOUBLE), 6)
+        |    END AS influence
+        |FROM p, g ORDER BY p.source""".stripMargin,
 
     "q280_t_closeness" ->
       """WITH b AS (SELECT lang, source, n_chars AS v FROM documents

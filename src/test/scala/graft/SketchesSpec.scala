@@ -825,6 +825,43 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((2L, 0L, None, None)))
   }
 
+  test("conformalThreshold: exact rank index, ties, alpha clamps") {
+    import spark.implicits._
+    val g = (1L to 10L).map(v => ("g", v)) ++
+      Seq(("t", 1L), ("t", 1L), ("t", 1L), ("t", 2L))
+    val df = g.toDF("grp", "s")
+    def run(aN: Long, aD: Long) =
+      graft.ops.Profiling.conformalThreshold(df, "grp", "s", aN, aD)
+        .collect().map(r => r.getAs[String]("grp") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+            r.getAs[Long]("threshold")))).toMap
+    // α = 1/10, n = 10: k = ⌈11·0.9⌉ = 10 → the max score
+    assert(run(1, 10)("g") == ((10L, 10L, 10L)))
+    // α = 1/2: k = 11 − 5 = 6
+    assert(run(1, 2)("g") == ((10L, 6L, 6L)))
+    // ties: n = 4, α = 1/4 → k = 4; cum reaches 4 only at score 2
+    assert(run(1, 4)("t") == ((4L, 4L, 2L)))
+    // clamps: α = 1 → k = 1 (min score); α = 0 → k = n (max score)
+    assert(run(1, 1)("g") == ((10L, 1L, 1L)))
+    assert(run(0, 1)("g") == ((10L, 10L, 10L)))
+  }
+
+  test("leaveOneOutMeans: exact influence, whole-table group null") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 4L)).toDF("grp", "v")
+    val got = graft.ops.Profiling.leaveOneOutMeans(df, "grp", "v")
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean"),
+          Option(r.getAs[java.lang.Double]("loo_mean")),
+          Option(r.getAs[java.lang.Double]("influence"))))).toMap
+    // global mean 2.0; dropping a → 4.0 (+2), dropping b → 1.0 (−1)
+    assert(got("a") == ((2L, 1.0, Some(4.0), Some(2.0))))
+    assert(got("b") == ((1L, 4.0, Some(1.0), Some(-1.0))))
+    val solo = graft.ops.Profiling.leaveOneOutMeans(
+      Seq(("only", 7L)).toDF("grp", "v"), "grp", "v").collect().head
+    assert(solo.isNullAt(solo.fieldIndex("loo_mean")))
+  }
+
   test("rankSumTest: midranks on ties, exact AUC, hand-computed U") {
     import spark.implicits._
     // positives [3,5,5] vs negatives [1,5,2]: ranks 1..3 then midrank 5
