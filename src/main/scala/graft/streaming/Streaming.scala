@@ -688,6 +688,46 @@ object Streaming {
       }
   }
 
+  /** Streaming coverage monitor for a FROZEN split-conformal gate —
+    * the online half of [[graft.ops.Profiling.conformalThreshold]]
+    * (that one CALIBRATES the cutoff batch-side; this one watches
+    * whether production data still honors it): per group, count scores
+    * above the frozen threshold and flag when the realized exceedance
+    * rate breaks the α contract by exact integer cross-multiplication
+    * `n_exceed · alphaDen > alphaNum · n` — a breach means the
+    * calibration distribution has drifted and the gate needs
+    * re-calibrating (the [[psiStream]] frozen-baseline posture; a
+    * threshold that chased the stream would hide exactly the drift it
+    * must expose). State per group is (n, n_exceed) — O(1) forever.
+    * Each batch emits the refreshed
+    * (group, n, n_exceed, exceed_micro, breach); prefix-equivalence
+    * with the direct count is asserted in StreamingSpec. */
+  def conformalStream(rows: Dataset[(String, Long)],
+      thresholds: Map[String, Long], alphaNum: Long, alphaDen: Long)
+      : Dataset[(String, Long, Long, Long, Boolean)] = {
+    import rows.sparkSession.implicits._
+    require(alphaNum >= 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"alpha must be in [0,1]: $alphaNum/$alphaDen")
+    require(thresholds.nonEmpty, "need at least one group threshold")
+    rows.filter(r => thresholds.contains(r._1))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long),
+        (String, Long, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[(Long, Long)]) =>
+          var (n, exceed) = state.getOption.getOrElse((0L, 0L))
+          val thr = thresholds(g)
+          it.foreach { case (_, s) =>
+            n += 1
+            if (s > thr) exceed += 1
+          }
+          state.update((n, exceed))
+          Iterator.single((g, n, exceed,
+            if (n > 0) exceed * 1000000L / n else 0L,
+            exceed * alphaDen > alphaNum * n))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics.seasonalAnomalies]]
     * against a FROZEN per-slot baseline (the [[psiStream]] posture: the
     * baseline comes from a healthy historical window and does not chase

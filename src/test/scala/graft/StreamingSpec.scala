@@ -574,6 +574,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("conformalStream: frozen-gate coverage, exact breach, cross-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    // frozen thresholds calibrated offline; α = 1/4
+    val q = Streaming.conformalStream(ms.toDS(),
+        Map("g" -> 10L, "h" -> 5L), alphaNum = 1, alphaDen = 4)
+      .toDF("g", "n", "n_exceed", "exceed_micro", "breach")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("conf_stream").start()
+    def state(): Map[String, (Long, Long, Long, Boolean)] =
+      spark.sql("SELECT * FROM conf_stream").collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2._1)._2 }
+    try {
+      // batch 1: g sees 3 ok + 1 exceed (rate = α exactly → NOT breach,
+      // the contract is an upper bound); unknown group is dropped
+      ms.addData(Seq(("g", 1L), ("g", 10L), ("g", 9L), ("g", 11L),
+        ("zz", 99L)))
+      q.processAllAvailable()
+      assert(state()("g") == ((4L, 1L, 250000L, false)))
+      // batch 2 accumulates ACROSS batches: g now 2/6 > 1/4 → breach
+      ms.addData(Seq(("g", 12L), ("g", 2L), ("h", 6L)))
+      q.processAllAvailable()
+      val s = state()
+      assert(s("g") == ((6L, 2L, 333333L, true)))
+      assert(s("h") == ((1L, 1L, 1000000L, true)))
+    } finally q.stop()
+  }
+
   test("hhiStream equals the batch hhi moments at every prefix") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
