@@ -138,6 +138,14 @@ object GraftSqlExtensions {
         DeflateSizeExpr(args.head,
           litInt("graft_deflate_size", "level", args(1)))
       },
+      entry("graft_gram_pairs",
+        "graft_gram_pairs(vec, scale) - upper-triangle (i, j, p) Gram " +
+          "pair structs of the quantized vector",
+        classOf[GramPairsExpr]) { args =>
+        arity("graft_gram_pairs", 2, args)
+        GramPairsExpr(args.head,
+          litLong("graft_gram_pairs", "scale", args(1)))
+      },
       entry("graft_url_canon",
         "graft_url_canon(url) - canonical crawl URL (fragment/case/www/" +
           "default-port/dup-slash/tracking-param/param-order collapse)",

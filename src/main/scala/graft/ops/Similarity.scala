@@ -439,17 +439,25 @@ object Similarity {
       scale: Long = 1000L): DataFrame = {
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val q = transform(col(vecCol),
-      x => floor(x.cast("double") * scale + 0.5).cast("long"))
-    val d = df.select(q.as("__q__"))
-    val n = size(col("__q__"))
-    d.select(explode(flatten(transform(sequence(lit(0), n - 1), i =>
-        transform(sequence(i, n - 1), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__q__"), i + 1) *
-              element_at(col("__q__"), j + 1)).as("p")))))).as("__e__"))
+    df.select(explode(graft.functions.NativeHashes
+        .gram_pairs(col(vecCol), scale)).as("__e__"))
       .groupBy(col("__e__.i").as("i"), col("__e__.j").as("j"))
       .agg(count(lit(1)).as("n"), sum(col("__e__.p").cast(dec)).as("g"))
+  }
+
+  /** SQL-lambda formulation of [[graft.functions.GramPairsExpr]]'s pair
+    * column — identical structs (same quantization, same upper-triangle
+    * order), the cross-validated executable spec. Interpreted per
+    * element (~d²/2 lambda calls per row) — use the native twin in hot
+    * paths (swap measured ~2× end-to-end on the 64-dim corpus). */
+  def gramPairsLambda(vecCol: Column, scale: Long = 1000L): Column = {
+    val q = transform(vecCol,
+      x => floor(x.cast("double") * scale + 0.5).cast("long"))
+    val n = size(vecCol)
+    flatten(transform(sequence(lit(0), n - 1), i =>
+      transform(sequence(i, n - 1), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(q, i + 1) * element_at(q, j + 1)).as("p")))))
   }
 
   /** Top principal component of the quantized embedding corpus by power

@@ -2091,6 +2091,28 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("gram_pairs native equals the lambda twin, and via SQL") {
+    val df = Seq(
+      (1L, Seq(0.25f, -1.5f, 3.0f)),
+      (2L, Seq(-0.0004f, 2.2f, -7.125f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val native = df.select(col("id"),
+      graft.functions.NativeHashes.gram_pairs(col("vec"), 1000L)
+        .as("p")).orderBy("id").collect().map(_.toSeq)
+    val lambda = df.select(col("id"),
+      graft.ops.Similarity.gramPairsLambda(col("vec"), 1000L).as("p"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(native.toSeq == lambda.toSeq)
+    // SQL registration round-trip
+    graft.functions.GraftSqlExtensions.register(spark)
+    df.createOrReplaceTempView("gp_vecs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_gram_pairs(vec, 1000) AS p FROM gp_vecs " +
+        "ORDER BY id").collect().map(_.toSeq)
+    assert(viaSql.toSeq == native.toSeq)
+  }
+
   test("topPrincipalComponent: rank-1 direction recovered, sign fixed") {
     // points t·(3,4), t ∈ -2..2 — covariance is rank-1 along (0.6, 0.8)
     val df = (-2 to 2).map(t => (t.toLong, Seq(3.0f * t, 4.0f * t)))
