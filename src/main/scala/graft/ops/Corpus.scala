@@ -895,9 +895,9 @@ object Corpus {
     scored.select(quasiCols.map(col) :+ col("group_n") :+
         col("emd_num") :+
         when(col("__range__") > 0,
-          round(col("emd_num").cast("double") /
+          round(try_divide(col("emd_num").cast("double"),
             (dd(col("group_n")) * dd(col("__nall__")) *
-              dd(col("__range__"))).cast("double"), 6))
+              dd(col("__range__"))).cast("double")), 6))
           .otherwise(lit(0.0)).as("emd") :+
         when(col("__range__") > 0,
           col("emd_num") * lit(tDen) >

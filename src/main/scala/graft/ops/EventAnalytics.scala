@@ -1269,14 +1269,18 @@ object EventAnalytics {
     val m = df.filter(col(valueCol).isNotNull &&
         col(variantCol).isin(treatment, control))
       .agg(aggs.head, aggs.tail: _*)
+    // try_divide, not `/`: ANSI Spark throws DIVIDE_BY_ZERO even for
+    // doubles, and an EMPTY cell (n = 0) is a legitimate input —
+    // null means, null verdict, never a killed job
     def mean(tag: String) =
-      col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
+      try_divide(col(s"__s_$tag").cast("double"),
+        col(s"n_$tag").cast("double"))
     // s²/n = (nQ − S²) / (n²(n−1)) per cell, in doubles from the
     // exact moments (the rank-sum/Welch determinism discipline)
     def vn(tag: String) =
-      (dd(col(s"n_$tag")) * col(s"__q_$tag") -
-        col(s"__s_$tag") * col(s"__s_$tag")).cast("double") /
-        (col(s"n_$tag").cast("double") * col(s"n_$tag").cast("double") *
+      try_divide((dd(col(s"n_$tag")) * col(s"__q_$tag") -
+        col(s"__s_$tag") * col(s"__s_$tag")).cast("double"),
+        col(s"n_$tag").cast("double") * col(s"n_$tag").cast("double") *
           (col(s"n_$tag") - 1).cast("double"))
     def ssPos(tag: String) =
       dd(col(s"n_$tag")) * col(s"__q_$tag") -
@@ -1294,7 +1298,8 @@ object EventAnalytics {
       round(mean("c1"), 6).as("mean_c1"),
       round(did, 6).as("did"),
       when(allBig && anyVar,
-        did * did / varD * lit(1000000.0) >= lit(zc2Micro.toDouble))
+        try_divide(did * did, varD) * lit(1000000.0) >=
+          lit(zc2Micro.toDouble))
         .as("significant"))
   }
 }

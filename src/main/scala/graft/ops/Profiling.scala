@@ -1461,8 +1461,8 @@ object Profiling {
           .as("w1_num"))
       .select(col("n_a"), col("n_b"), col("w1_num"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          round(col("w1_num").cast("double") /
-            (dec(col("n_a")) * dec(col("n_b"))).cast("double"), 6))
+          round(try_divide(col("w1_num").cast("double"),
+            (dec(col("n_a")) * dec(col("n_b"))).cast("double")), 6))
           .as("w1"))
   }
 
@@ -1496,11 +1496,11 @@ object Profiling {
         sum(dec(col(weightCol)) * dec(col(weightCol))).as("__sw2__"))
       .select(col(groupCol), col("n"), col("sum_w").as("sum_w"),
         when(col("__sw2__") > 0,
-          round((col("sum_w") * col("sum_w")).cast("double") /
-            col("__sw2__").cast("double"), 6)).as("ess"),
+          round(try_divide((col("sum_w") * col("sum_w")).cast("double"),
+            col("__sw2__").cast("double")), 6)).as("ess"),
         when(col("__sw2__") > 0,
-          round((col("sum_w") * col("sum_w")).cast("double") /
-            (col("__sw2__") * dec(col("n"))).cast("double"), 6))
+          round(try_divide((col("sum_w") * col("sum_w")).cast("double"),
+            (col("__sw2__") * dec(col("n"))).cast("double")), 6))
           .as("ess_ratio"))
   }
 
@@ -1586,9 +1586,12 @@ object Profiling {
       .agg(count(lit(1)).as("n"), sum(dec(col("__v__"))).as("__t__"))
     val tot = per.agg(sum(col("n")).as("__nn__"),
       sum(col("__t__")).as("__tt__"))
+    // try_divide: a group covering the whole table has N − n = 0, and
+    // ANSI Spark throws on double division by zero if subexpression
+    // elimination evaluates past the `when` guard
     val gMean = col("__tt__").cast("double") / col("__nn__").cast("double")
-    val looMean = (col("__tt__") - col("__t__")).cast("double") /
-      (col("__nn__") - col("n")).cast("double")
+    val looMean = try_divide((col("__tt__") - col("__t__")).cast("double"),
+      (col("__nn__") - col("n")).cast("double"))
     per.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n"),
         round(col("__t__").cast("double") / col("n").cast("double"), 6)
@@ -1596,6 +1599,103 @@ object Profiling {
         when(col("__nn__") > col("n"), round(looMean, 6)).as("loo_mean"),
         when(col("__nn__") > col("n"), round(looMean - gMean, 6))
           .as("influence"))
+  }
+
+  /** Ratio-metric experiment readout with the delta method — the
+    * missing third of the readout trio ([[proportionTest]] compares
+    * conversion RATES, [[welchTTest]] compares MEANS; most production
+    * metrics are RATIOS OF SUMS per unit — CTR = Σclicks/Σviews,
+    * revenue-per-session, tokens-per-doc — whose variance a naive
+    * t-test understates because numerator and denominator are
+    * correlated within a unit). Per-unit sums collapse first (the
+    * [[proportionTest]] one-row-per-unit discipline), then per-variant
+    * exact moments (n, Σx, Σy, Σx², Σy², Σxy in decimal(38,0)) feed
+    * the classic delta-method variance
+    * `var(r) = (s_x² + r²·s_y² − 2r·s_xy) / (n·ȳ²)` with `r = Σx/Σy`,
+    * assembled in doubles from the exact integers and compared
+    * `(r_v − r_c)²·1e6 ≥ zc²·1e6·(var_v + var_c)` — the
+    * [[rankSumTest]] determinism discipline (the oracle replays the
+    * identical tree). Requires integral numerator/denominator columns.
+    *
+    * Shape: two partial-aggregable collapses (unit, then variant) + a
+    * single-row broadcast of the control moments. Returns per variant:
+    * (variant, n_units, sum_num, sum_den, ratio, diff_vs_control,
+    * significant); ratio is null when Σy = 0, the verdict null for the
+    * control row and when both variances vanish. */
+  def ratioMetric(df: DataFrame, unitCol: String, variantCol: String,
+      numCol: String, denCol: String, control: String,
+      zCrit: Double = 1.96): DataFrame = {
+    Seq(numCol, denCol).foreach { c =>
+      val t = df.schema(c).dataType
+      val ok = t match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"ratioMetric requires integral metric columns " +
+        s"(quantize upstream); '$c' is $t")
+    }
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val units = df
+      .select(col(variantCol).cast("string").as("variant"),
+        col(unitCol).as("__u__"),
+        coalesce(col(numCol).cast("long"), lit(0L)).as("__x__"),
+        coalesce(col(denCol).cast("long"), lit(0L)).as("__y__"))
+      .groupBy(col("variant"), col("__u__"))
+      .agg(sum(col("__x__")).as("__x__"), sum(col("__y__")).as("__y__"))
+    val per = units.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(dec(col("__x__"))).as("__sx__"),
+        sum(dec(col("__y__"))).as("__sy__"),
+        sum(dec(col("__x__")) * dec(col("__x__"))).as("__sxx__"),
+        sum(dec(col("__y__")) * dec(col("__y__"))).as("__syy__"),
+        sum(dec(col("__x__")) * dec(col("__y__"))).as("__sxy__"))
+    // delta-method var of the ratio, in doubles from exact moments —
+    // engine-identical because the oracle replays the same tree.
+    // try_divide, not `/`: ANSI Spark throws DIVIDE_BY_ZERO even for
+    // doubles, and subexpression elimination can evaluate a guarded
+    // branch's division on a degenerate variant (Σy = 0, n = 1) —
+    // null-on-zero matches the oracle's CASE guards instead
+    def ratioD(sx: Column, sy: Column) =
+      try_divide(sx.cast("double"), sy.cast("double"))
+    def varR(n: Column, sx: Column, sy: Column, sxx: Column,
+        syy: Column, sxy: Column) = {
+      val nD = n.cast("double")
+      val r = ratioD(sx, sy)
+      val my = try_divide(sy.cast("double"), nD)
+      val nn1 = nD * (n - 1).cast("double")
+      val vx = try_divide((dec(n) * sxx - sx * sx).cast("double"), nn1)
+      val vy = try_divide((dec(n) * syy - sy * sy).cast("double"), nn1)
+      val vxy = try_divide((dec(n) * sxy - sx * sy).cast("double"), nn1)
+      try_divide(vx + r * r * vy - lit(2.0) * r * vxy, nD * my * my)
+    }
+    val ctl = per.filter(col("variant") === control)
+      .select(col("n_units").as("__cn__"), col("__sx__").as("__csx__"),
+        col("__sy__").as("__csy__"), col("__sxx__").as("__csxx__"),
+        col("__syy__").as("__csyy__"), col("__sxy__").as("__csxy__"))
+    val isCtl = col("variant") === control
+    val rV = ratioD(col("__sx__"), col("__sy__"))
+    val rC = ratioD(col("__csx__"), col("__csy__"))
+    val vV = varR(col("n_units"), col("__sx__"), col("__sy__"),
+      col("__sxx__"), col("__syy__"), col("__sxy__"))
+    val vC = varR(col("__cn__"), col("__csx__"), col("__csy__"),
+      col("__csxx__"), col("__csyy__"), col("__csxy__"))
+    val diff = rV - rC
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n_units"),
+        col("__sx__").as("sum_num"), col("__sy__").as("sum_den"),
+        when(col("__sy__") =!= 0, round(rV, 6)).as("ratio"),
+        when(!isCtl && col("__sy__") =!= 0 && col("__csy__") =!= 0,
+          round(diff, 6)).as("diff_vs_control"),
+        when(!isCtl && col("n_units") > 1 && col("__cn__") > 1 &&
+            col("__sy__") =!= 0 && col("__csy__") =!= 0 &&
+            (vV + vC) > 0,
+          diff * diff * lit(1000000.0) >=
+            lit(zc2Micro.toDouble) * (vV + vC))
+          .as("significant"))
   }
 
   /** Mann–Whitney U rank-sum test per group — the nonparametric
@@ -1677,15 +1777,17 @@ object Profiling {
     // n(n−1)(n+1) − Σ(t³−t): zero iff every row in the group ties
     val varNum = dec(n) * dec(n + 1) * dec(n - 1) - col("__ties__")
     // z² in doubles from the exact moments — the oracle replays this
-    // exact expression tree, so the verdict is engine-identical
+    // exact expression tree, so the verdict is engine-identical.
+    // try_divide: ANSI throws on double/0, and a single-row or
+    // one-sided group zeroes these denominators
     val dHalf = (u2 - mu2).cast("double") / lit(2.0)
-    val varU = mu2.cast("double") * varNum.cast("double") /
-      (lit(12.0) * n.cast("double") * (n - 1).cast("double"))
-    val z2 = dHalf * dHalf / varU
+    val varU = try_divide(mu2.cast("double") * varNum.cast("double"),
+      lit(12.0) * n.cast("double") * (n - 1).cast("double"))
+    val z2 = try_divide(dHalf * dHalf, varU)
     per.select(col(groupCol), nP, nN, u2.as("u2"),
         when(nP > 0 && nN > 0,
-          round(u2.cast("double") /
-            (nP * nN * 2L).cast("double"), 6)).as("auc"),
+          round(try_divide(u2.cast("double"),
+            (nP * nN * 2L).cast("double")), 6)).as("auc"),
         when(nP > 0 && nN > 0 && varNum > 0,
             z2 * lit(1000000.0) >= lit(zc2Micro.toDouble))
           .otherwise(lit(false)).as("significant"))
@@ -1747,14 +1849,16 @@ object Profiling {
     // n·Q − S² = n(n−1)·s²  (≥ 0; 0 ⇔ constant sample) — exact
     val ss1 = n1 * q1 - s1 * s1
     val ss2 = n2 * q2 - s2 * s2
-    // t² in doubles from the exact moments (oracle-identical tree)
+    // t² in doubles from the exact moments (oracle-identical tree);
+    // try_divide because ANSI throws on double/0 and n = 1 variants
+    // zero the variance denominators
     val md = s1.cast("double") / n1.cast("double") -
       s2.cast("double") / n2.cast("double")
-    val va = ss1.cast("double") / (n1.cast("double") * n1.cast("double") *
-      (n1 - 1).cast("double"))
-    val vb = ss2.cast("double") / (n2.cast("double") * n2.cast("double") *
-      (n2 - 1).cast("double"))
-    val t2 = md * md / (va + vb)
+    val va = try_divide(ss1.cast("double"),
+      n1.cast("double") * n1.cast("double") * (n1 - 1).cast("double"))
+    val vb = try_divide(ss2.cast("double"),
+      n2.cast("double") * n2.cast("double") * (n2 - 1).cast("double"))
+    val t2 = try_divide(md * md, va + vb)
     val isCtl = col("variant") === control
     per.crossJoin(broadcast(ctl))
       .select(col("variant"), col("n"),

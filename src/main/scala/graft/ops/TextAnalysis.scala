@@ -221,6 +221,37 @@ object TextAnalysis {
     )
   }
 
+  /** The tokenizer control sequences a pretraining corpus must never
+    * contain verbatim — scraped model outputs, leaked chat transcripts
+    * and template bugs inject them, and one literal `<|endoftext|>` in
+    * a document truncates or derails everything trained after it. */
+  val DefaultSpecialTokens: Seq[String] = Seq(
+    "<|endoftext|>", "<|im_start|>", "<|im_end|>", "<s>", "</s>",
+    "[INST]", "[/INST]", "<|assistant|>", "<|user|>", "<|system|>",
+    "<pad>", "<unk>", "<mask>")
+
+  /** Special-token leak detection — counts LITERAL occurrences of the
+    * tokenizer control strings in text. Counting is pure string
+    * arithmetic (`(len(t) − len(replace(t, tok, ''))) div len(tok)`
+    * summed over the token list), NOT regex — `<|endoftext|>` is full
+    * of regex metacharacters, and the replace form is verbatim-identical
+    * in the DuckDB oracle, with no dialect-escaping seam to get wrong.
+    * Per-row, codegen'd, no shuffle ([[contentFlags]]' contract).
+    * Returns ("n_special_tokens", count) and ("has_special_tokens",
+    * flag). */
+  def specialTokenLeaks(text: Column,
+      tokens: Seq[String] = DefaultSpecialTokens): Seq[(String, Column)] = {
+    require(tokens.nonEmpty && tokens.forall(_.nonEmpty),
+      "token list must be non-empty strings")
+    val n = tokens.map { tok =>
+      // `/` is double division in both engines; counts are exact in a
+      // double far beyond any document length, and the cast pins BIGINT
+      ((length(text) - length(replace(text, lit(tok), lit("")))) /
+        lit(tok.length)).cast("long")
+    }.reduce(_ + _)
+    Seq("n_special_tokens" -> n, "has_special_tokens" -> (n > 0))
+  }
+
   /** Content-flag features: URL/email density and symbol-to-word ratio —
     * the remaining Gopher-style boilerplate/spam signals. Patterns are
     * kept to the regex subset Java and RE2 dialects share, so the DuckDB

@@ -603,6 +603,37 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // delta-method ratio metric: clicks-per-event per variant vs
+    // control with the within-unit covariance priced in — the readout
+    // naive t-tests get wrong
+    "q284_ratio_metric" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("variant",
+          when(col("user_id") % 3 === 0, "control")
+            .when(col("user_id") % 3 === 1, "t1").otherwise("t2"))
+        .withColumn("click",
+          when(col("event_type") === "click", 1L).otherwise(0L))
+        .withColumn("one", lit(1L))
+      graft.ops.Profiling.ratioMetric(ev, "user_id", "variant",
+          "click", "one", control = "control")
+        .withColumn("sum_num", col("sum_num").cast("long"))
+        .withColumn("sum_den", col("sum_den").cast("long"))
+        .orderBy(col("variant"))
+    }),
+
+    // special-token leak detection over a corpus spiked with tokenizer
+    // control strings: literal replace-arithmetic counts, no regex seam
+    "q285_special_tokens" -> ((s, dir) => {
+      val id = col("doc_id")
+      val spiked = docs(s, dir).select(id, concat(col("text"),
+        when(id % 5 === 0, lit(" <|endoftext|> trailing garbage"))
+          .when(id % 5 === 1, lit(" [INST] say <s>hi</s> [/INST]"))
+          .otherwise(lit(""))).as("text"))
+      val flags = TextAnalysis.specialTokenLeaks(col("text"))
+      spiked.select(id +: flags.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(id)
+    }),
+
     // split-conformal threshold per event type at α = 1/10: the
     // ⌈(n+1)(1−α)⌉-th smallest quantized score, exact integer rank
     // picked off the per-group histogram
@@ -3691,6 +3722,73 @@ object PipelineQueries {
          |  (n_braces * 100 >= n_chars * 2 AND n_keywords > 0
          |    AND n_semicolons + n_camel > 0) AS looks_like_code
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q284_ratio_metric" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE user_id % 3 WHEN 0 THEN 'control'
+        |      WHEN 1 THEN 't1' ELSE 't2' END AS variant,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x,
+        |    1 AS y
+        |  FROM events),
+        |u AS (SELECT variant, user_id, CAST(SUM(x) AS BIGINT) AS x,
+        |    CAST(SUM(y) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |p AS (SELECT variant, CAST(COUNT(1) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM u GROUP BY 1),
+        |z AS (SELECT variant, n, sx, sy,
+        |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vxy,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+        |  FROM p),
+        |v AS (SELECT variant, n, sx, sy, r,
+        |    (vx + r * r * vy - 2.0 * r * vxy)
+        |      / (CAST(n AS DOUBLE) * my * my) AS vr
+        |  FROM z),
+        |c AS (SELECT n AS cn, r AS cr, vr AS cvr FROM v
+        |  WHERE variant = 'control')
+        |SELECT v.variant, CAST(v.n AS BIGINT) AS n_units,
+        |  CAST(v.sx AS BIGINT) AS sum_num,
+        |  CAST(v.sy AS BIGINT) AS sum_den,
+        |  CASE WHEN v.sy <> 0 THEN ROUND(v.r, 6) END AS ratio,
+        |  CASE WHEN v.variant <> 'control' THEN
+        |    ROUND(v.r - c.cr, 6) END AS diff_vs_control,
+        |  CASE WHEN v.variant <> 'control' AND v.n > 1 AND c.cn > 1
+        |      AND v.vr + c.cvr > 0 THEN
+        |    (v.r - c.cr) * (v.r - c.cr) * 1000000.0
+        |      >= 3841600.0 * (v.vr + c.cvr)
+        |    END AS significant
+        |FROM v, c ORDER BY v.variant""".stripMargin,
+
+    "q285_special_tokens" -> {
+      // the oracle's replace-arithmetic terms are generated from the
+      // SAME token list the operator uses — one source of truth, and no
+      // stripMargin (several tokens contain the margin character)
+      val terms = graft.ops.TextAnalysis.DefaultSpecialTokens.map { tok =>
+        s"CAST((len(text) - len(replace(text, '$tok', '')))" +
+          s" / ${tok.length} AS BIGINT)"
+      }.mkString("\n    + ")
+      "WITH sp AS (SELECT doc_id, text ||\n" +
+        "    (CASE WHEN doc_id % 5 = 0" +
+        " THEN ' <|endoftext|> trailing garbage'\n" +
+        "      WHEN doc_id % 5 = 1 THEN ' [INST] say <s>hi</s> [/INST]'\n" +
+        "      ELSE '' END) AS text\n" +
+        "  FROM documents),\n" +
+        "m AS (SELECT doc_id,\n    " + terms +
+        " AS n_special_tokens FROM sp)\n" +
+        "SELECT doc_id, n_special_tokens,\n" +
+        "  n_special_tokens > 0 AS has_special_tokens\n" +
+        "FROM m ORDER BY doc_id"
     },
 
     "q282_conformal" ->

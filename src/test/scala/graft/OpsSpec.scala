@@ -2091,6 +2091,23 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("specialTokenLeaks: literal counts, no regex seam, clean zero") {
+    val df = Seq(
+      (1L, "a <|endoftext|> b [INST] hi [/INST] <|endoftext|>"),
+      (2L, "perfectly ordinary prose with <brackets> and | pipes"),
+      (3L, "<s>wrapped</s>"))
+      .toDF("id", "text")
+    val flags = graft.ops.TextAnalysis.specialTokenLeaks(col("text"))
+    val got = df.select(col("id") +:
+        flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_special_tokens"),
+          r.getAs[Boolean]("has_special_tokens")))).toMap
+    assert(got(1L) == ((4L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((2L, true)))
+  }
+
   test("gram_pairs native equals the lambda twin, and via SQL") {
     val df = Seq(
       (1L, Seq(0.25f, -1.5f, 3.0f)),

@@ -825,6 +825,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((2L, 0L, None, None)))
   }
 
+  test("ratioMetric: delta method, per-unit collapse, zero denominator") {
+    import spark.implicits._
+    val rows = Seq(
+      // control units: x = 1,2,3 over y = 10 each → ratio 0.2
+      ("control", 10L, 1L, 10L), ("control", 11L, 2L, 10L),
+      ("control", 12L, 3L, 10L),
+      // treatment: x = 4,5,6 (unit 20 split across two rows → collapse)
+      ("treatment", 20L, 2L, 4L), ("treatment", 20L, 2L, 6L),
+      ("treatment", 21L, 5L, 10L), ("treatment", 22L, 6L, 10L),
+      // degenerate variant: all-zero denominator
+      ("zden", 30L, 1L, 0L))
+      .toDF("variant", "u", "x", "y")
+    val got = graft.ops.Profiling.ratioMetric(rows, "u", "variant",
+        "x", "y", control = "control").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_units"),
+          r.getAs[java.math.BigDecimal]("sum_num").longValueExact(),
+          r.getAs[java.math.BigDecimal]("sum_den").longValueExact(),
+          Option(r.getAs[java.lang.Double]("ratio")),
+          Option(r.getAs[java.lang.Double]("diff_vs_control")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("control") == ((3L, 6L, 30L, Some(0.2), None, None)))
+    // vars: s_x² = 1, s_y² = s_xy = 0 per side → var = 1/300 each;
+    // z² = 0.09 / (2/300) = 13.5 ≥ 3.8416
+    assert(got("treatment") ==
+      ((3L, 15L, 30L, Some(0.5), Some(0.3), Some(true))))
+    assert(got("zden") == ((1L, 1L, 0L, None, None, None)))
+  }
+
   test("conformalThreshold: exact rank index, ties, alpha clamps") {
     import spark.implicits._
     val g = (1L to 10L).map(v => ("g", v)) ++
