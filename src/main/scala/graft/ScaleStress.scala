@@ -993,6 +993,20 @@ object ScaleStress {
     runHardNeg("1x", emb1x)
     runHardNeg("10x", emb10x)
 
+    // q289 shape: incremental semantic dedup — batch×corpus sign-LSH
+    // bucket equi-join; the corpus side grows, the batch stays a batch,
+    // and the hot-bucket cap bounds any degenerate bucket's fan-out
+    def runEmbAgainst(scale: String, emb: DataFrame): Unit =
+      timed(scale, "embedding_against") {
+        val out = graft.ops.Dedup.embeddingNearDupsAgainst(
+          emb1x.filter(col("vec_id") % 5 === 0), emb,
+          "vec_id", "embedding", threshold = 0.2, bits = 6,
+          maxBucketSize = 200)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runEmbAgainst("1x", emb1x)
+    runEmbAgainst("10x", emb10x)
+
     // r9 event-analytics shapes (q90–q92) over the events fact. 10× = 10
     // user-shifted copies: users grow with the log while per-user history
     // stays constant — the production growth mode, and the one that must
@@ -1546,6 +1560,53 @@ object ScaleStress {
           .agg(count(lit(1)).as("y"))
         val out = graft.ops.EventAnalytics.mannKendall(series,
           "event_type", "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q286 shape: Spearman — two histogram windows over DISTINCT
+      // values + two rank join-backs; cost tracks |distinct|, not rows
+      timed(scale, "spearman") {
+        val e2 = ev.select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("x"),
+          (floor(col("value") * 10 + 0.5) + col("user_id") % 7)
+            .cast("long").as("y"))
+        val out = graft.ops.Profiling.spearman(e2, "event_type", "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q287/q288 shape: k-sample omnibus — one (group, variant) moment
+      // collapse, |variants|-array fold per group
+      timed(scale, "kruskal_wallis") {
+        val e2 = ev.select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.kruskalWallis(e2, "event_type",
+          "variant", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "anova_f") {
+        val e2 = ev.select(col("event_type"),
+          when(col("user_id") % 4 === 0, "a")
+            .when(col("user_id") % 4 === 1, "b")
+            .when(col("user_id") % 4 === 2, "c").otherwise("d")
+            .as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.anovaF(e2, "event_type",
+          "variant", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q284 shape: delta-method ratio metric — two partial-aggregable
+      // collapses (unit, then variant) + a single-row control broadcast
+      timed(scale, "ratio_metric") {
+        val e2 = ev
+          .withColumn("variant",
+            when(col("user_id") % 3 === 0, "control")
+              .when(col("user_id") % 3 === 1, "t1").otherwise("t2"))
+          .withColumn("click",
+            when(col("event_type") === "click", 1L).otherwise(0L))
+          .withColumn("one", lit(1L))
+        val out = graft.ops.Profiling.ratioMetric(e2, "user_id",
+          "variant", "click", "one", control = "control")
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

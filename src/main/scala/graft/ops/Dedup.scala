@@ -1214,6 +1214,60 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Incremental SEMANTIC dedup: cosine near-dup pairs of a new batch
+    * AGAINST a retained corpus — the embedding-space member of the
+    * "TB batch vs 100 TB corpus" family ([[dedupAgainstCorpus]] is the
+    * exact-hash member, [[minhashNearDupsAgainst]] the lexical one;
+    * paraphrased re-crawls and template rewrites that share no shingles
+    * still land on the same embedding). Sign-bit LSH buckets
+    * ([[Similarity.signBits]] — deterministic axis hyperplanes, so the
+    * bucketing is engine-independent) generate candidates via a
+    * batch×corpus equi-join; exact cosine verifies.
+    *
+    * Scale shape: the join is bucket-keyed, never all-pairs — only
+    * same-bucket pairs score, the published sign-LSH recipe with its
+    * documented recall trade (near-threshold pairs straddling a
+    * hyperplane are missed; lower `bits` or multiprobe upstream to
+    * trade candidates for recall). `maxBucketSize` caps degenerate
+    * corpus buckets (e.g. the all-zeros embedding of empty docs) the
+    * same way [[minhashNearDupsAgainst]] caps hot band buckets: a
+    * capped bucket's candidates are SKIPPED, an explicit recall trade
+    * logged by the caller's sizing pass, not an OOM. Only ids, 8-byte
+    * buckets and the verified pairs' vectors ride the shuffle. Returns
+    * (batch_id, corpus_id, cosine) for every verified pair — feed
+    * `batch.join(result, 'left_anti')` to keep only novel rows. */
+  def embeddingNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bits: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    def withSig(df: DataFrame) =
+      df.select(col(idCol).as("__id__"), col(vecCol).as("__v__"),
+        Similarity.signBits(col(vecCol), bits).as("__sig__"))
+    val b = withSig(batch)
+    val c0 = withSig(corpus)
+    val c =
+      if (maxBucketSize == Int.MaxValue) c0
+      else {
+        val sigged = Caches.registerDf(c0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val ok = sigged.groupBy(col("__sig__"))
+          .agg(count(lit(1)).as("__n__"))
+          .filter(col("__n__") <= maxBucketSize)
+          .select(col("__sig__"))
+        sigged.join(ok, Seq("__sig__"), "left_semi")
+      }
+    b.alias("nb").join(c.alias("cc"),
+        col("nb.__sig__") === col("cc.__sig__"))
+      .withColumn("cosine",
+        Similarity.cosine(col("nb.__v__"), col("cc.__v__")))
+      // NaN (zero-norm vector) ranks above every number in Spark
+      // comparisons and would pass any threshold — exclude explicitly
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
+      .select(col("nb.__id__").as("batch_id"),
+        col("cc.__id__").as("corpus_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** LSH banding-parameter sweep — the sizing tool you run BEFORE
     * committing a (bands, rows) choice to a corpus-scale
     * [[minhashNearDups]] join: for each candidate configuration it

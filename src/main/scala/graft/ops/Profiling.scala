@@ -1872,4 +1872,233 @@ object Profiling {
           t2 * lit(1000000.0) >= lit(zc2Micro.toDouble))
           .as("significant"))
   }
+
+  /** Integral-type guard shared by the rank/variance tests: these ops
+    * promise bit-identical verdicts across engines, which only holds
+    * when the inputs are exact integers (quantize upstream). */
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    val t = df.schema(c).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"$op requires an integral column " +
+      s"(quantize upstream); '$c' is $t")
+  }
+
+  /** Doubled average midranks of an integral column within each group —
+    * the shared rank machinery of [[rankSumTest]], [[spearman]] and
+    * [[kruskalWallis]]: collapse to the per-(group, value) histogram,
+    * one window over the histogram ordered by value (a hot group costs
+    * its |distinct quantized values|, NOT its row count — the
+    * [[percentileRank]] discipline), and the midrank of every row tied
+    * at a value rides doubled (`rank2 = 2·before + t + 1`) so ties'
+    * halves stay integers. Returns (group, __v__, __t__, __rank2__)
+    * with `__t__` = tie size at the value. */
+  private def midranks2(base: DataFrame, groupCol: String,
+      vCol: String): DataFrame = {
+    val hist = base.groupBy(col(groupCol), col(vCol).as("__v__"))
+      .agg(count(lit(1)).as("__t__"))
+    val wBefore = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v__").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("__before__",
+        coalesce(sum(col("__t__")).over(wBefore), lit(0L)))
+      .withColumn("__rank2__",
+        col("__before__") * 2 + col("__t__") + 1)
+      .select(col(groupCol), col("__v__"), col("__t__"), col("__rank2__"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * readout beside [[corrMatrix]] (Pearson asks "is it LINEAR";
+    * Spearman asks "is it MONOTONE" and shrugs at outlier magnitude —
+    * the right default for quality-score-vs-engagement style questions
+    * where the relationship is curved but ordered). Exactly Pearson on
+    * average ranks with the classic tie treatment (midranks).
+    *
+    * Rows with a null in either column drop FIRST (ranks must cover the
+    * same row set in both columns). All ranks ride doubled so tie
+    * midpoints stay integers; every moment (n, Σa, Σb, Σa², Σb², Σab
+    * over the doubled ranks) is an exact decimal(38,0) — safe through
+    * ~1e8 rows per group (Σab ≤ 4n³) — and only the final
+    * `rho = (nΣab − ΣaΣb) / (√(nΣa²−(Σa)²)·√(nΣb²−(Σb)²))` assembles
+    * in doubles (IEEE sqrt is correctly rounded, so engines agree to
+    * the bit — the [[corrMatrix]] posture). rho is null when either
+    * column is constant within the group.
+    *
+    * Shape: two histogram collapses + two windows over DISTINCT values
+    * ([[midranks2]]), two equi-joins of the rank tables back onto the
+    * rows (broadcast-able: histogram-sized), one partial-aggregable
+    * moment collapse to a row per group. Requires integral columns. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    requireIntegral(df, xCol, "spearman")
+    requireIntegral(df, yCol, "spearman")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x__"),
+        col(yCol).cast("long").as("__y__"))
+    val rx = midranks2(base, groupCol, "__x__")
+      .select(col(groupCol), col("__v__").as("__x__"),
+        col("__rank2__").as("__a__"))
+    val ry = midranks2(base, groupCol, "__y__")
+      .select(col(groupCol), col("__v__").as("__y__"),
+        col("__rank2__").as("__b__"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = base
+      .join(rx, Seq(groupCol, "__x__"))
+      .join(ry, Seq(groupCol, "__y__"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__a__"))).as("__sa__"),
+        sum(dec(col("__b__"))).as("__sb__"),
+        sum(dec(col("__a__")) * dec(col("__a__"))).as("__saa__"),
+        sum(dec(col("__b__")) * dec(col("__b__"))).as("__sbb__"),
+        sum(dec(col("__a__")) * dec(col("__b__"))).as("__sab__"))
+    val n = dec(col("n"))
+    val num = n * col("__sab__") - col("__sa__") * col("__sb__")
+    val va = n * col("__saa__") - col("__sa__") * col("__sa__")
+    val vb = n * col("__sbb__") - col("__sb__") * col("__sb__")
+    per.select(col(groupCol), col("n"),
+      when(va > 0 && vb > 0,
+        round(num.cast("double") /
+          (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 6))
+        .as("rho"))
+  }
+
+  /** Kruskal–Wallis H test per group — [[rankSumTest]] generalized to
+    * k samples ("did ANY variant's distribution shift?", the
+    * nonparametric one-way ANOVA; run it before k·(k−1)/2 pairwise
+    * rank-sums inflate the false-positive rate). Values pool across
+    * variants within each group, rank with midranks ([[midranks2]],
+    * doubled), and with `R2_v = Σ doubled ranks` per variant the
+    * statistic is `H = 3/(N(N+1)) · Σ_v R2_v²/n_v − 3(N+1)`, tie-
+    * corrected by `C = 1 − Σ(t³−t)/(N³−N)`.
+    *
+    * Determinism: per-variant moments (n_v, R2_v) are exact
+    * decimal(38,0) — R2_v² needs ≤ 4N⁴, safe through N ≈ 1e9 rows per
+    * group. The cross-variant reduction Σ R2_v²/n_v is a FLOAT sum, so
+    * it folds in a FIXED order: terms collect into a variant-sorted
+    * array and fold left (`aggregate(sort_array(...))`; the oracle
+    * replays `list_reduce(list_sort(...))` — float addition is not
+    * associative, an unordered SUM would diverge between engines).
+    * `chiCrit` is the χ²(k−1) critical value for the caller's k and
+    * level (5.991 = k=3 at 95%); the verdict compares `H_corrected·1e6`
+    * against `round(chiCrit·1e6)`, null when every value ties (C = 0)
+    * or fewer than 2 variants appear.
+    *
+    * Shape: one histogram collapse + one window over distinct values,
+    * one (group, variant) moment collapse, one |variants|-array fold
+    * per group — rows shuffle once. Requires an integral value. */
+  def kruskalWallis(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String, chiCrit: Double = 5.991): DataFrame = {
+    requireIntegral(df, valueCol, "kruskalWallis")
+    val chiCritMicro = math.round(chiCrit * 1e6)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(variantCol).isNotNull)
+      .select(col(groupCol), col(variantCol).cast("string").as("__var__"),
+        col(valueCol).cast("long").as("__v__"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ranks = midranks2(base, groupCol, "__v__")
+    val perVar = base.join(ranks, Seq(groupCol, "__v__"))
+      .groupBy(col(groupCol), col("__var__"))
+      .agg(count(lit(1)).as("__nv__"),
+        sum(dec(col("__rank2__"))).as("__r2__"))
+      .withColumn("__term__",
+        try_divide((col("__r2__") * col("__r2__")).cast("double"),
+          col("__nv__").cast("double")))
+    val ties = ranks.groupBy(col(groupCol))
+      .agg(sum(dec(col("__t__")) * dec(col("__t__")) * dec(col("__t__")) -
+        dec(col("__t__"))).as("__tsum__"))
+    val per = perVar.groupBy(col(groupCol))
+      .agg(sum(col("__nv__")).as("n"),
+        count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("__var__").as("v"),
+          col("__term__").as("t")))).as("__terms__"))
+      .join(ties, Seq(groupCol))
+    val nD = col("n").cast("double")
+    val sumTerms = aggregate(col("__terms__"), lit(0.0),
+      (acc, s) => acc + s.getField("t"))
+    // H = 3·ΣR2²/n / (N(N+1)) − 3(N+1): the doubled-rank form of the
+    // classic 12/(N(N+1))·ΣR²/n − 3(N+1)
+    val h = try_divide(lit(3.0) * sumTerms, nD * (nD + 1.0)) -
+      lit(3.0) * (nD + 1.0)
+    val varNum = dec(col("n")) * dec(col("n") + 1) * dec(col("n") - 1) -
+      col("__tsum__")
+    val c = try_divide(varNum.cast("double"),
+      (dec(col("n")) * dec(col("n") + 1) * dec(col("n") - 1))
+        .cast("double"))
+    val hc = try_divide(h, c)
+    per.select(col(groupCol), col("n"), col("k"),
+      when(col("k") >= 2 && varNum > 0, round(hc, 6)).as("h"),
+      when(col("k") >= 2 && varNum > 0,
+        hc * lit(1000000.0) >= lit(chiCritMicro.toDouble))
+        .as("significant"))
+  }
+
+  /** One-way ANOVA F test per group — the k-sample mean comparison
+    * beside [[welchTTest]] (that one is 2-sample): "did ANY variant's
+    * MEAN move?" on an integral metric, the omnibus gate before
+    * pairwise readouts. `F = (SSB/(k−1)) / (SSW/(N−k))` from the
+    * per-variant exact moments (n_v, S_v = Σx, Q_v = Σx² in
+    * decimal(38,0)); SSW_v = (n_v·Q_v − S_v²)/n_v per variant and the
+    * between term Σ S_v²/n_v fold in variant-sorted order exactly like
+    * [[kruskalWallis]]'s terms (float sums must fix their order — the
+    * oracle replays `list_reduce(list_sort(...))`). The verdict
+    * cross-multiplies in doubles — `SSB·(N−k)·1e6 ≥
+    * fCrit·1e6·SSW·(k−1)` — so no division sits on a zero; `fCrit` is
+    * the F(k−1, N−k) critical value for the caller's design (at
+    * experiment scale N−k is effectively ∞, so e.g. 2.996 = F(2,∞) at
+    * 95%). The verdict is null when k < 2 or every variant is constant
+    * (SSW = 0, decided on the EXACT integer Σ(n_v·Q_v − S_v²), not a
+    * float).
+    *
+    * Shape: one (group, variant) partial-aggregable moment collapse,
+    * one |variants|-array fold per group — rows shuffle once. */
+  def anovaF(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String, fCrit: Double = 2.996): DataFrame = {
+    requireIntegral(df, valueCol, "anovaF")
+    val fCritMicro = math.round(fCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val perVar = df
+      .filter(col(valueCol).isNotNull && col(variantCol).isNotNull)
+      .select(col(groupCol), col(variantCol).cast("string").as("__var__"),
+        col(valueCol).cast("long").as("__v__"))
+      .groupBy(col(groupCol), col("__var__"))
+      .agg(count(lit(1)).as("__nv__"),
+        sum(dec(col("__v__"))).as("__s__"),
+        sum(dec(col("__v__")) * dec(col("__v__"))).as("__q__"))
+      .withColumn("__ssw_num__",
+        dec(col("__nv__")) * col("__q__") - col("__s__") * col("__s__"))
+      .withColumn("__tb__",
+        try_divide((col("__s__") * col("__s__")).cast("double"),
+          col("__nv__").cast("double")))
+      .withColumn("__tw__",
+        try_divide(col("__ssw_num__").cast("double"),
+          col("__nv__").cast("double")))
+    val per = perVar.groupBy(col(groupCol))
+      .agg(sum(col("__nv__")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("__s__")).as("__stot__"),
+        sum(col("__ssw_num__")).as("__ssw_exact__"),
+        sort_array(collect_list(struct(col("__var__").as("v"),
+          col("__tb__").as("tb"), col("__tw__").as("tw"))))
+          .as("__terms__"))
+    def fold(field: String) = aggregate(col("__terms__"), lit(0.0),
+      (acc, s) => acc + s.getField(field))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = fold("tb") -
+      try_divide((col("__stot__") * col("__stot__")).cast("double"), nD)
+    val ssw = fold("tw")
+    val f = try_divide(ssb * (nD - kD), ssw * (kD - 1.0))
+    val ok = col("k") >= 2 && col("n") > col("k") &&
+      col("__ssw_exact__") > 0
+    per.select(col(groupCol), col("n"), col("k"),
+      when(ok, round(f, 6)).as("f_stat"),
+      when(ok, ssb * (nD - kD) * lit(1000000.0) >=
+        lit(fCritMicro.toDouble) * ssw * (kD - 1.0)).as("significant"))
+  }
 }

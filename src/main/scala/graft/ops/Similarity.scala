@@ -102,7 +102,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** try_divide, not `/`: a ZERO-NORM vector (empty doc, padding row)
+    * makes the denominator exactly 0 and ANSI Spark throws
+    * DIVIDE_BY_ZERO even on doubles — null-on-zero instead, which every
+    * `cosine >= t` consumer filters exactly like the NaN guard. (DuckDB
+    * replays IEEE 0/0 = NaN; its `NOT isnan` guard excludes the same
+    * rows.) */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Sign-bit signature: bit i = (v_i > 0) over the first `bits` dims —
     * a deterministic random-hyperplane LSH (planes = axis planes).

@@ -634,6 +634,63 @@ object PipelineQueries {
         .orderBy(id)
     }),
 
+    // Spearman rank correlation per event type between the quantized
+    // value and a noisy monotone companion — heavy ties exercise the
+    // midrank machinery identically on both engines
+    "q286_spearman" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("x"),
+          (floor(col("value") * 10 + 0.5) + col("user_id") % 7)
+            .cast("long").as("y"))
+      graft.ops.Profiling.spearman(ev, "event_type", "x", "y")
+        .orderBy(col("event_type"))
+    }),
+
+    // Kruskal–Wallis omnibus per event type: did ANY of three user-id
+    // arms move the value distribution (chi2(2) at 95% = 5.991)
+    "q287_kruskal" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("variant",
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c"))
+        .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+      graft.ops.Profiling.kruskalWallis(ev, "event_type", "variant", "v",
+          chiCrit = 5.991)
+        .orderBy(col("event_type"))
+    }),
+
+    // one-way ANOVA F omnibus with a +40 shift injected into one arm's
+    // clicks: the shifted type flags, the k-sample mean gate before
+    // pairwise Welch readouts (F(3, inf) at 95% = 2.605)
+    "q288_anova" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .withColumn("variant",
+          when(col("user_id") % 4 === 0, "a")
+            .when(col("user_id") % 4 === 1, "b")
+            .when(col("user_id") % 4 === 2, "c").otherwise("d"))
+        .withColumn("v",
+          (floor(col("value") * 100 + 0.5) +
+            when(col("variant") === "b" && col("event_type") === "click",
+              40L).otherwise(0L)).cast("long"))
+      graft.ops.Profiling.anovaF(ev, "event_type", "variant", "v",
+          fCrit = 2.605)
+        .orderBy(col("event_type"))
+    }),
+
+    // incremental SEMANTIC dedup: new batch (vec_id % 5 = 0) against
+    // the retained corpus, 6-bit sign-LSH buckets, hot buckets capped
+    // at 10 (the cap path is oracle-replayed, not just exercised)
+    "q289_semdedup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.embeddingNearDupsAgainst(
+          e.filter(col("vec_id") % 5 === 0),
+          e.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", threshold = 0.2, bits = 6,
+          maxBucketSize = 10)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // split-conformal threshold per event type at α = 1/10: the
     // ⌈(n+1)(1−α)⌉-th smallest quantized score, exact integer rank
     // picked off the per-group histogram
@@ -3789,6 +3846,137 @@ object PipelineQueries {
         "SELECT doc_id, n_special_tokens,\n" +
         "  n_special_tokens > 0 AS has_special_tokens\n" +
         "FROM m ORDER BY doc_id"
+    },
+
+    "q286_spearman" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(value * 10 + 0.5) AS BIGINT) + user_id % 7 AS y
+        |  FROM events),
+        |bf AS (SELECT * FROM b WHERE x IS NOT NULL AND y IS NOT NULL),
+        |hx AS (SELECT g, x, COUNT(1) AS c FROM bf GROUP BY 1, 2),
+        |rx AS (SELECT g, x,
+        |    2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS a
+        |  FROM hx),
+        |hy AS (SELECT g, y, COUNT(1) AS c FROM bf GROUP BY 1, 2),
+        |ry AS (SELECT g, y,
+        |    2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + c + 1 AS bb
+        |  FROM hy),
+        |j AS (SELECT bf.g, rx.a, ry.bb FROM bf
+        |  JOIN rx ON bf.g = rx.g AND bf.x = rx.x
+        |  JOIN ry ON bf.g = ry.g AND bf.y = ry.y),
+        |m AS (SELECT g, CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(bb AS HUGEINT)) AS sb,
+        |    SUM(CAST(a AS HUGEINT) * a) AS saa,
+        |    SUM(CAST(bb AS HUGEINT) * bb) AS sbb,
+        |    SUM(CAST(a AS HUGEINT) * bb) AS sab
+        |  FROM j GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+        |    ROUND(CAST(n * sab - sa * sb AS DOUBLE) /
+        |      (SQRT(CAST(n * saa - sa * sa AS DOUBLE)) *
+        |        SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q287_kruskal" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CASE user_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+        |      ELSE 'c' END AS var,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, COUNT(1) AS t FROM b GROUP BY 1, 2),
+        |r AS (SELECT g, v, t,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM h),
+        |pv AS (SELECT b.g, b.var, CAST(COUNT(1) AS HUGEINT) AS nv,
+        |    SUM(CAST(r.r2 AS HUGEINT)) AS r2s
+        |  FROM b JOIN r ON b.g = r.g AND b.v = r.v GROUP BY 1, 2),
+        |tr AS (SELECT g,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tsum FROM r GROUP BY 1),
+        |terms AS (SELECT g, var, nv,
+        |    CAST(r2s * r2s AS DOUBLE) / CAST(nv AS DOUBLE) AS term
+        |  FROM pv),
+        |p AS (SELECT g, SUM(nv) AS n, CAST(COUNT(1) AS BIGINT) AS k,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(v := var, t := term))), s -> s.t),
+        |      (a, b) -> a + b) AS sumterms
+        |  FROM terms GROUP BY 1),
+        |z AS (SELECT p.g, p.n, p.k, p.sumterms, tr.tsum,
+        |    p.n * (p.n + 1) * (p.n - 1) - tr.tsum AS varnum,
+        |    CAST(p.n AS DOUBLE) AS nd
+        |  FROM p JOIN tr ON p.g = tr.g),
+        |w AS (SELECT g, n, k, varnum,
+        |    (3.0 * sumterms / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)) /
+        |      (CAST(varnum AS DOUBLE) /
+        |        CAST(n * (n + 1) * (n - 1) AS DOUBLE)) AS hc
+        |  FROM z)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, k,
+        |  CASE WHEN k >= 2 AND varnum > 0 THEN ROUND(hc, 6) END AS h,
+        |  CASE WHEN k >= 2 AND varnum > 0 THEN
+        |    hc * 1000000.0 >= 5991000.0 END AS significant
+        |FROM w ORDER BY 1""".stripMargin,
+
+    "q288_anova" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CASE user_id % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+        |      WHEN 2 THEN 'c' ELSE 'd' END AS var,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) +
+        |      (CASE WHEN user_id % 4 = 1 AND event_type = 'click'
+        |        THEN 40 ELSE 0 END) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (SELECT g, var, CAST(COUNT(1) AS HUGEINT) AS nv,
+        |    SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT g, var, nv, s, nv * q - s * s AS sswn,
+        |    CAST(s * s AS DOUBLE) / CAST(nv AS DOUBLE) AS tb,
+        |    CAST(nv * q - s * s AS DOUBLE) / CAST(nv AS DOUBLE) AS tw
+        |  FROM pv),
+        |p AS (SELECT g, SUM(nv) AS n, CAST(COUNT(1) AS BIGINT) AS k,
+        |    SUM(s) AS stot, SUM(sswn) AS sswx,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(v := var, tb := tb, tw := tw))),
+        |      x -> x.tb), (a, b) -> a + b) AS tbsum,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(v := var, tb := tb, tw := tw))),
+        |      x -> x.tw), (a, b) -> a + b) AS ssw
+        |  FROM t GROUP BY 1),
+        |z AS (SELECT g, n, k, sswx, ssw,
+        |    tbsum - CAST(stot * stot AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+        |  FROM p)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, k,
+        |  CASE WHEN k >= 2 AND n > k AND sswx > 0 THEN
+        |    ROUND(ssb * (nd - kd) / (ssw * (kd - 1.0)), 6) END AS f_stat,
+        |  CASE WHEN k >= 2 AND n > k AND sswx > 0 THEN
+        |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
+        |  END AS significant
+        |FROM z ORDER BY 1""".stripMargin,
+
+    "q289_semdedup_incremental" -> {
+      val bucket = (0 until 6).map { i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH bt AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT)
+         |    AS bucket FROM embeddings WHERE vec_id % 5 = 0),
+         |cc AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT)
+         |    AS bucket FROM embeddings WHERE vec_id % 5 <> 0),
+         |cf AS (SELECT * FROM (SELECT *,
+         |    COUNT(1) OVER (PARTITION BY bucket) AS bn FROM cc)
+         |  WHERE bn <= 10)
+         |SELECT a.vec_id AS batch_id, c.vec_id AS corpus_id,
+         |  ROUND(${dcosine("a.embedding", "c.embedding")}, 6) AS cosine
+         |FROM bt a JOIN cf c ON a.bucket = c.bucket
+         |WHERE ${dcosine("a.embedding", "c.embedding")} >= 0.2
+         |  AND NOT isnan(${dcosine("a.embedding", "c.embedding")})
+         |ORDER BY 1, 2""".stripMargin
     },
 
     "q282_conformal" ->

@@ -1225,6 +1225,42 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 20)
   }
 
+  test("embeddingNearDupsAgainst: one-sided probe, threshold, NaN guard") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),    // bucket 1, same direction as 100
+      (2L, Seq(-1.0f, 0.0f, 0.0f)),   // bucket 0 (no positive dim)
+      (3L, Seq(0.9f, 0.0f, -0.1f)),   // bucket 1, near batch 100
+      (4L, Seq(0.0f, 0.0f, 0.0f)))    // bucket 0, zero-norm: cosine NaN
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.0f, 0.0f)))  // zero-norm probe shares bucket 0
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupsAgainst(batch, corpus, "vec_id",
+        "embedding", threshold = 0.5, bits = 3)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("corpus_id"))).toSet
+    assert(got == Set((100L, 1L), (100L, 3L)), got)
+  }
+
+  test("embeddingNearDupsAgainst: corpus bucket cap, plan equi-join") {
+    val hot = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f)))
+    val corpus = (hot :+ ((50L, Seq(-1.0f, 0.1f)))).toDF("vec_id", "embedding")
+    val batch = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupsAgainst(batch, corpus, "vec_id",
+      "embedding", threshold = 0.5, bits = 2, maxBucketSize = 5)
+    // the 20-member bucket is dropped; the 1-member bucket survives
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((101L, 50L)))
+    graft.ops.Caches.releaseAll()
+    val plan = Dedup.embeddingNearDupsAgainst(batch, corpus, "vec_id",
+        "embedding", threshold = 0.5, bits = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhashNearDupsAgainst plan: banded equi-join, no cartesian") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = d.filter(col("doc_id") % 5 === 0)

@@ -978,4 +978,89 @@ class SketchesSpec extends AnyFunSuite {
     // zero variance on BOTH sides: t² undefined — null, never a verdict
     assert(got("treatment").isEmpty)
   }
+
+  test("spearman: perfect monotone, midranked ties, constant column") {
+    import spark.implicits._
+    val df = Seq(
+      // perfect monotone (nonlinear is fine — ranks only)
+      ("g", Some(1L), Some(10L)), ("g", Some(2L), Some(40L)),
+      ("g", Some(3L), Some(90L)),
+      // ties: x=[1,1,2] → a=[3,3,6]; y=[5,7,7] → b=[2,5,5] → rho 0.5
+      ("t", Some(1L), Some(5L)), ("t", Some(1L), Some(7L)),
+      ("t", Some(2L), Some(7L)),
+      // constant x → zero variance → null rho (n still counts)
+      ("c", Some(4L), Some(1L)), ("c", Some(4L), Some(2L)),
+      // a null in either column drops the row BEFORE ranking
+      ("g", Some(9L), None), ("g", None, Some(9L)))
+      .toDF("grp", "x", "y")
+    val got = graft.ops.Profiling.spearman(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"),
+          Option(r.getAs[java.lang.Double]("rho"))))).toMap
+    assert(got("g") == ((3L, Some(1.0))))
+    assert(got("t") == ((3L, Some(0.5))))
+    assert(got("c") == ((2L, None)))
+  }
+
+  test("kruskalWallis: hand H, tie correction, all-tied null") {
+    import spark.implicits._
+    val df = Seq(
+      // three clean arms, no ties: H = 12/42·(R²/n sum) − 21 = 32/7
+      ("g", "a", 1L), ("g", "a", 2L), ("g", "b", 3L), ("g", "b", 4L),
+      ("g", "c", 5L), ("g", "c", 6L),
+      // tie-corrected: a=[1,1], b=[2,2] → H = 2.4, C = 0.8 → H' = 3.0
+      ("t", "a", 1L), ("t", "a", 1L), ("t", "b", 2L), ("t", "b", 2L),
+      // every value equal: variance vanishes → null verdict
+      ("z", "a", 7L), ("z", "b", 7L))
+      .toDF("grp", "variant", "v")
+    val got = graft.ops.Profiling.kruskalWallis(df, "grp", "variant", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+          Option(r.getAs[java.lang.Double]("h")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((6L, 3L, Some(4.571429), Some(false))))
+    assert(got("t") == ((4L, 2L, Some(3.0), Some(false))))
+    assert(got("z") == ((2L, 2L, None, None)))
+  }
+
+  test("kruskalWallis: separation at scale fires the verdict") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(v => ("g", "lo", v)) ++
+      (201L to 400L).map(v => ("g", "hi", v))
+    val got = graft.ops.Profiling.kruskalWallis(
+      rows.toDF("grp", "variant", "v"), "grp", "variant", "v")
+      .collect()(0)
+    assert(got.getAs[Boolean]("significant"))
+  }
+
+  test("anovaF: hand F, one-arm shift, constant arms degrade to null") {
+    import spark.implicits._
+    val df = Seq(
+      // a=[1,2,3], b=[5,6,7]: SSB=24, SSW=4, F = (24/1)/(4/4) = 24
+      ("g", "a", 1L), ("g", "a", 2L), ("g", "a", 3L),
+      ("g", "b", 5L), ("g", "b", 6L), ("g", "b", 7L),
+      // both arms constant: SSW exact-zero → null (never a verdict)
+      ("z", "a", 5L), ("z", "a", 5L), ("z", "b", 5L), ("z", "b", 5L))
+      .toDF("grp", "variant", "v")
+    val got = graft.ops.Profiling.anovaF(df, "grp", "variant", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+          Option(r.getAs[java.lang.Double]("f_stat")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((6L, 2L, Some(24.0), Some(true))))
+    assert(got("z") == ((4L, 2L, None, None)))
+  }
+
+  test("stats omnibus plans: one shuffle of rows, partial aggregation") {
+    import spark.implicits._
+    val df = Seq(("g", "a", 1L), ("g", "b", 2L)).toDF("grp", "variant", "v")
+    for (p <- Seq(
+        graft.ops.Profiling.anovaF(df, "grp", "variant", "v")
+          .queryExecution.executedPlan.toString,
+        graft.ops.Profiling.kruskalWallis(df, "grp", "variant", "v")
+          .queryExecution.executedPlan.toString)) {
+      assert(p.contains("partial_"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
