@@ -1007,6 +1007,15 @@ object ScaleStress {
     runEmbAgainst("1x", emb1x)
     runEmbAgainst("10x", emb10x)
 
+    // q290 shape: one posexplode → |dims|-row collapse → |dims| fold
+    def runEffRank(scale: String, emb: DataFrame): Unit =
+      timed(scale, "effective_rank") {
+        val out = graft.ops.Similarity.effectiveRank(emb, "embedding")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runEffRank("1x", emb1x)
+    runEffRank("10x", emb10x)
+
     // r9 event-analytics shapes (q90–q92) over the events fact. 10× = 10
     // user-shifted copies: users grow with the log while per-user history
     // stays constant — the production growth mode, and the one that must

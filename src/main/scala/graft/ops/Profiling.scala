@@ -2101,4 +2101,50 @@ object Profiling {
       when(ok, ssb * (nD - kD) * lit(1000000.0) >=
         lit(fCritMicro.toDouble) * ssw * (kD - 1.0)).as("significant"))
   }
+
+  /** Benjamini–Hochberg step-up over a family of p-values — the
+    * multiple-testing control that belongs downstream of every
+    * per-segment readout in this file ([[welchTTest]]/[[rankSumTest]]/
+    * [[kruskalWallis]] across 200 segments WILL hand you ~10 false
+    * positives at α = 0.05; BH caps the FALSE-DISCOVERY RATE instead of
+    * the far-too-conservative per-family error of Bonferroni). The
+    * classic step-up: sort p ascending, find the largest rank r with
+    * `p_(r) ≤ α·r/m`, reject everything at or below it — including
+    * tests whose own p misses their threshold (the "step-up" part a
+    * per-row filter gets wrong).
+    *
+    * p-values arrive quantized in MICRO-units (`p_micro ∈ [0, 1e6]`,
+    * however the caller derived them), so the threshold comparison is
+    * the exact integer cross-multiplication `p_micro·m ≤ α_micro·r` —
+    * no float ever enters and engines agree to the bit (safe through
+    * m ≈ 9e12 tests in a family).
+    *
+    * Shape: one rank window per family ordered by (p, id) and one
+    * full-partition max — both over the FAMILY's rows, which is a test
+    * registry (hundreds), never corpus-sized. Returns every input row:
+    * (group, id, p_micro, rank, m, reject). */
+  def bhProcedure(df: DataFrame, groupCol: String, idCol: String,
+      pMicroCol: String, alphaMicro: Long = 50000L): DataFrame = {
+    requireIntegral(df, pMicroCol, "bhProcedure")
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1e6], got $alphaMicro")
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(col(pMicroCol).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .filter(col(pMicroCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+        col(pMicroCol).cast("long").as("p_micro"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+    ranked
+      .withColumn("__kstar__",
+        max(when(col("p_micro") * col("m") <=
+          lit(alphaMicro) * col("rank"), col("rank"))).over(wAll))
+      .select(col(groupCol), col(idCol), col("p_micro"), col("rank"),
+        col("m"),
+        coalesce(col("rank") <= col("__kstar__"), lit(false))
+          .as("reject"))
+  }
 }

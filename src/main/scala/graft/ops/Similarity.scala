@@ -390,6 +390,58 @@ object Similarity {
           col("__n__") * col("__n__") * lit(tNum)).as("collapsed"))
   }
 
+  /** Effective rank (participation ratio) of an embedding table — the
+    * one-number DIMENSIONAL-COLLAPSE detector on top of [[dimHealth]]'s
+    * per-dim view: with per-dimension variances v_d, `PR = (Σv)²/Σv²`
+    * lies in [1, dims] — `dims` when variance spreads evenly, → 1 when
+    * one direction carries everything (the classic symptom of a
+    * collapsed/under-trained encoder; axis-aligned variances make this
+    * the diagonal approximation of the eigenvalue participation ratio,
+    * cheap where a full covariance eigendecomposition is not). Contrast
+    * collapse shows up as `pr_ratio = PR/dims` sinking across training
+    * checkpoints.
+    *
+    * Determinism: per-dim variance NUMERATORS `V_d = n·Σx² − (Σx)²` are
+    * exact decimal(38,0) on the quantized grid (PR is scale-free: the
+    * shared `1/(n²·scale²)` denominator cancels); the cross-dim float
+    * sums fold in dim order (`aggregate(sort_array(...))`, the
+    * [[graft.ops.Profiling.kruskalWallis]] discipline — the oracle
+    * replays `list_reduce(list_sort(...))`). The zero guard is the
+    * exact Σ V_d > 0, never a float.
+    *
+    * Shape: one posexplode → |dims|-row partial-aggregable collapse →
+    * one |dims|-array fold. Returns one row:
+    * (n_dims, n, pr, pr_ratio). */
+  def effectiveRank(df: DataFrame, vecCol: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val perDim = df.select(posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * scale + 0.5).cast("long"))))
+      .groupBy(col("pos").as("dim"))
+      .agg(count(lit(1)).cast(dec).as("__n__"),
+        sum(col("col")).cast(dec).as("__s__"),
+        sum(col("col") * col("col")).cast(dec).as("__ss__"))
+      .select(col("dim"), col("__n__"),
+        (col("__n__") * col("__ss__") - col("__s__") * col("__s__"))
+          .as("__v__"))
+    val one = perDim.agg(count(lit(1)).as("n_dims"),
+      max(col("__n__")).cast("long").as("n"),
+      sum(col("__v__")).as("__vsum_exact__"),
+      sort_array(collect_list(struct(col("dim"),
+        col("__v__").cast("double").as("v")))).as("__vs__"))
+    val sumV = aggregate(col("__vs__"), lit(0.0),
+      (acc, s) => acc + s.getField("v"))
+    val sumV2 = aggregate(col("__vs__"), lit(0.0),
+      (acc, s) => acc + s.getField("v") * s.getField("v"))
+    val pr = try_divide(sumV * sumV, sumV2)
+    one.select(col("n_dims"), col("n"),
+      when(col("__vsum_exact__") > 0, round(pr, 6)).as("pr"),
+      when(col("__vsum_exact__") > 0,
+        round(try_divide(pr, col("n_dims").cast("double")), 6))
+        .as("pr_ratio"))
+  }
+
   /** Reciprocal-rank fusion of several retrieval rankings (BM25 + dense
     * ANN + recency, …) into one list — the standard hybrid-search merge,
     * score-scale-free because only RANKS enter:

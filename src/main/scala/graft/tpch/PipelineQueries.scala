@@ -678,6 +678,30 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // effective rank (participation ratio) of the embedding table —
+    // the one-number dimensional-collapse readout over q206's per-dim
+    // health rows
+    "q290_effective_rank" -> ((s, dir) =>
+      Similarity.effectiveRank(emb(s, dir), "embedding")),
+
+    // Benjamini–Hochberg step-up across a 25-test family per event
+    // type at alpha = 0.2: five spiked-small p's reject, and the
+    // step-up can drag a p above its OWN threshold in with them —
+    // exact integer cross-multiplication, no float thresholds
+    "q291_bh_fdr" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      val tests = ev
+        .groupBy(col("event_type"), (col("user_id") % 25).as("tid"))
+        .agg((abs(sum(floor(col("value") * 100 + 0.5).cast("long"))) %
+          1000001L).as("__pseudo__"))
+        .select(col("event_type"), col("tid"),
+          when(col("tid") < 5, col("tid") * 1000L)
+            .otherwise(col("__pseudo__")).as("p_micro"))
+      graft.ops.Profiling.bhProcedure(tests, "event_type", "tid",
+          "p_micro", alphaMicro = 200000L)
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // incremental SEMANTIC dedup: new batch (vec_id % 5 = 0) against
     // the retained corpus, 6-bit sign-LSH buckets, hot buckets capped
     // at 10 (the cap path is oracle-replayed, not just exercised)
@@ -3959,6 +3983,55 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q290_effective_rank" ->
+      """WITH v AS (SELECT unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |q AS (SELECT dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+        |  FROM v),
+        |g AS (SELECT dim, CAST(COUNT(1) AS HUGEINT) AS n,
+        |    SUM(CAST(qv AS HUGEINT)) AS s,
+        |    SUM(CAST(qv AS HUGEINT) * qv) AS ss
+        |  FROM q GROUP BY 1),
+        |pv AS (SELECT dim, n, n * ss - s * s AS v FROM g),
+        |one AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_dims,
+        |    CAST(MAX(n) AS BIGINT) AS n, SUM(v) AS vsum,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(dim := dim, v := CAST(v AS DOUBLE)))),
+        |      s -> s.v), (a, b) -> a + b) AS sumv,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(dim := dim, v := CAST(v AS DOUBLE)))),
+        |      s -> s.v * s.v), (a, b) -> a + b) AS sumv2
+        |  FROM pv)
+        |SELECT n_dims, n,
+        |  CASE WHEN vsum > 0 THEN
+        |    ROUND(sumv * sumv / sumv2, 6) END AS pr,
+        |  CASE WHEN vsum > 0 THEN
+        |    ROUND((sumv * sumv / sumv2) / CAST(n_dims AS DOUBLE), 6)
+        |  END AS pr_ratio
+        |FROM one""".stripMargin,
+
+    "q291_bh_fdr" ->
+      """WITH t0 AS (SELECT event_type, user_id % 25 AS tid,
+        |    abs(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))) % 1000001
+        |      AS pseudo
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, tid,
+        |    CASE WHEN tid < 5 THEN tid * 1000 ELSE pseudo END AS p_micro
+        |  FROM t0),
+        |r AS (SELECT event_type, tid, p_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY p_micro, tid) AS BIGINT) AS rank,
+        |    CAST(COUNT(1) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM t),
+        |k AS (SELECT *, MAX(CASE WHEN p_micro * m <= 200000 * rank
+        |      THEN rank END) OVER (PARTITION BY event_type) AS kstar
+        |  FROM r)
+        |SELECT event_type, tid, p_micro, rank, m,
+        |  COALESCE(rank <= kstar, false) AS reject
+        |FROM k ORDER BY event_type, rank""".stripMargin,
 
     "q289_semdedup_incremental" -> {
       val bucket = (0 until 6).map { i =>

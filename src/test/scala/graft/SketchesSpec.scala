@@ -1051,6 +1051,55 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((4L, 2L, None, None)))
   }
 
+  test("effectiveRank: collapsed, even, and zero-variance embeddings") {
+    import spark.implicits._
+    // variance rides only dim 0 → PR = 1 (full collapse)
+    val collapsed = Seq(Seq(1.0f, 0.0f), Seq(3.0f, 0.0f))
+      .toDF("embedding")
+    val c = graft.ops.Similarity.effectiveRank(collapsed, "embedding")
+      .collect()(0)
+    assert((c.getAs[Long]("n_dims"), c.getAs[Long]("n"),
+      c.getAs[Double]("pr"), c.getAs[Double]("pr_ratio")) ==
+      ((2L, 2L, 1.0, 0.5)))
+    // equal variance in both dims → PR = dims
+    val even = Seq(Seq(1.0f, 1.0f), Seq(3.0f, 3.0f)).toDF("embedding")
+    val e = graft.ops.Similarity.effectiveRank(even, "embedding")
+      .collect()(0)
+    assert((e.getAs[Double]("pr"), e.getAs[Double]("pr_ratio")) ==
+      ((2.0, 1.0)))
+    // a single row has zero variance everywhere → null, never 0/0
+    val one = Seq(Seq(2.0f, 2.0f)).toDF("embedding")
+    val z = graft.ops.Similarity.effectiveRank(one, "embedding")
+      .collect()(0)
+    assert(z.isNullAt(z.fieldIndex("pr")) &&
+      z.isNullAt(z.fieldIndex("pr_ratio")))
+  }
+
+  test("bhProcedure: step-up drags covered ranks in, families separate") {
+    import spark.implicits._
+    val df = Seq(
+      // m=4 at alpha=0.1: thresholds 25k/50k/75k/100k → k*=2
+      ("f1", 1L, 10000L), ("f1", 2L, 30000L),
+      ("f1", 3L, 200000L), ("f1", 4L, 900000L),
+      // THE step-up case: rank 1 misses its own threshold (60k > 50k)
+      // but rank 2 passes (70k <= 100k) → BOTH reject
+      ("f2", 1L, 60000L), ("f2", 2L, 70000L),
+      // nothing passes anywhere → zero rejections, no null flags
+      ("f3", 1L, 999999L))
+      .toDF("fam", "tid", "p_micro")
+    val got = graft.ops.Profiling.bhProcedure(df, "fam", "tid",
+        "p_micro", alphaMicro = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("rank"), r.getAs[Boolean]("reject")))).toMap
+    assert(got(("f1", 1L)) == ((1L, true)))
+    assert(got(("f1", 2L)) == ((2L, true)))
+    assert(got(("f1", 3L)) == ((3L, false)))
+    assert(got(("f1", 4L)) == ((4L, false)))
+    assert(got(("f2", 1L)) == ((1L, true)))
+    assert(got(("f2", 2L)) == ((2L, true)))
+    assert(got(("f3", 1L)) == ((1L, false)))
+  }
+
   test("stats omnibus plans: one shuffle of rows, partial aggregation") {
     import spark.implicits._
     val df = Seq(("g", "a", 1L), ("g", "b", 2L)).toDF("grp", "variant", "v")
