@@ -994,14 +994,16 @@ object ScaleStress {
     runHardNeg("10x", emb10x)
 
     // q289 shape: incremental semantic dedup — batch×corpus sign-LSH
-    // bucket equi-join; the corpus side grows, the batch stays a batch,
-    // and the hot-bucket cap bounds any degenerate bucket's fan-out
+    // bucket equi-join; the corpus side grows, the batch stays a batch.
+    // UNCAPPED here so the measurement is the real candidate growth
+    // (with 64 buckets a fixed cap under corpus/64 drops EVERY bucket
+    // at 10× — the cap is a recall knob sized per corpus, not a
+    // constant; the first run of this row proved exactly that)
     def runEmbAgainst(scale: String, emb: DataFrame): Unit =
       timed(scale, "embedding_against") {
         val out = graft.ops.Dedup.embeddingNearDupsAgainst(
           emb1x.filter(col("vec_id") % 5 === 0), emb,
-          "vec_id", "embedding", threshold = 0.2, bits = 6,
-          maxBucketSize = 200)
+          "vec_id", "embedding", threshold = 0.2, bits = 6)
         (out.queryExecution.toRdd.count(), sig(out))
       }
     runEmbAgainst("1x", emb1x)

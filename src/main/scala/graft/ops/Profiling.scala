@@ -2147,4 +2147,40 @@ object Profiling {
         coalesce(col("rank") <= col("__kstar__"), lit(false))
           .as("reject"))
   }
+
+  /** Unbiased pass@k over repeated samples per task — the standard
+    * code/eval-harness readout (Chen et al.'s estimator: with n samples
+    * of which c are correct, `pass@k = 1 − C(n−c,k)/C(n,k)`, which is
+    * unbiased where the naive `1 − (1 − c/n)^k` is not). The binomial
+    * ratio evaluates in its overflow-free product form
+    * `Π_{i=0..k−1} (n−c−i)/(n−i)`, unrolled driver-side into a fixed
+    * left-to-right fold of k terms — deterministic across engines
+    * because the oracle replays the identical expression tree, with
+    * try_divide on each term so a task with n < k nulls out instead of
+    * killing the job (pass@k is undefined there). When `n−c < k` some
+    * factor is ≤ 0: the product clamps via `greatest(0, ·)` per factor,
+    * making pass@k exactly 1 — the convention (a wrong sample can't be
+    * drawn k times from fewer than k wrong samples).
+    *
+    * Shape: ONE partial-aggregable collapse to |tasks| rows, then pure
+    * per-row arithmetic — samples shuffle once as (task, 0/1).
+    * Returns (task, n, c, pass_at_<k> for each k). */
+  def passAtK(df: DataFrame, taskCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    require(ks.distinct.size == ks.size, "duplicate k")
+    val per = df.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+          .as("c"))
+    val outs = ks.map { k =>
+      val prod = (0 until k).foldLeft(lit(1.0)) { (acc, i) =>
+        acc * greatest(lit(0.0), try_divide(
+          (col("n") - col("c") - i).cast("double"),
+          (col("n") - i).cast("double")))
+      }
+      when(col("n") >= k, round(lit(1.0) - prod, 6)).as(s"pass_at_$k")
+    }
+    per.select(col(taskCol) +: col("n") +: col("c") +: outs: _*)
+  }
 }

@@ -702,6 +702,18 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // unbiased pass@k over repeated samples per (event_type, user-arm)
+    // task: value > 1.0 is "correct"; k = 1, 5, 10 unrolled as the
+    // exact product form on both engines
+    "q292_pass_at_k" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(concat(col("event_type"), lit("#"),
+            (col("user_id") % 10).cast("string")).as("task"),
+          (col("value") > 1.0).as("correct"))
+      graft.ops.Profiling.passAtK(ev, "task", "correct", Seq(1, 5, 10))
+        .orderBy(col("task"))
+    }),
+
     // incremental SEMANTIC dedup: new batch (vec_id % 5 = 0) against
     // the retained corpus, 6-bit sign-LSH buckets, hot buckets capped
     // at 10 (the cap path is oracle-replayed, not just exercised)
@@ -3983,6 +3995,28 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q292_pass_at_k" -> {
+      // product-form binomial ratio, generated for the SAME k list the
+      // gate query uses — one source of truth for the unrolled terms
+      def passCol(k: Int): String = {
+        val terms = (0 until k).map { i =>
+          s"greatest(0.0, CAST(n - c - $i AS DOUBLE)" +
+            s" / CAST(n - $i AS DOUBLE))"
+        }.mkString(" * ")
+        s"CASE WHEN n >= $k THEN ROUND(1.0 - $terms, 6) END AS pass_at_$k"
+      }
+      s"""WITH t AS (SELECT event_type || '#' ||
+         |    CAST(user_id % 10 AS VARCHAR) AS task,
+         |    CASE WHEN value > 1.0 THEN 1 ELSE 0 END AS ok FROM events),
+         |p AS (SELECT task, CAST(COUNT(1) AS BIGINT) AS n,
+         |    CAST(SUM(ok) AS BIGINT) AS c FROM t GROUP BY 1)
+         |SELECT task, n, c,
+         |  ${passCol(1)},
+         |  ${passCol(5)},
+         |  ${passCol(10)}
+         |FROM p ORDER BY task""".stripMargin
+    },
 
     "q290_effective_rank" ->
       """WITH v AS (SELECT unnest(embedding) AS x,

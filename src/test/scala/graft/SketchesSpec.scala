@@ -1100,6 +1100,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("f3", 1L)) == ((1L, false)))
   }
 
+  test("passAtK: unbiased estimator, exhausted-wrong clamp, n<k null") {
+    import spark.implicits._
+    val rows =
+      // task A: n=10, c=3 → pass@1 = 0.3, pass@5 = 1 − C(7,5)/C(10,5)
+      //   = 1 − 21/252 = 0.916667
+      (1 to 3).map(_ => ("A", true)) ++ (1 to 7).map(_ => ("A", false)) ++
+      // task B: n=5, c=2 → n−c=3 < 5 → pass@5 clamps to exactly 1.0
+      (1 to 2).map(_ => ("B", true)) ++ (1 to 3).map(_ => ("B", false)) ++
+      // task C: never correct → pass@k = 0 at every k ≤ n
+      (1 to 10).map(_ => ("C", false))
+    val got = graft.ops.Profiling.passAtK(rows.toDF("task", "ok"),
+        "task", "ok", Seq(1, 5, 10))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("c"),
+          Option(r.getAs[java.lang.Double]("pass_at_1")),
+          Option(r.getAs[java.lang.Double]("pass_at_5")),
+          Option(r.getAs[java.lang.Double]("pass_at_10"))))).toMap
+    assert(got("A") == ((10L, 3L, Some(0.3), Some(0.916667), Some(1.0))))
+    assert(got("B") == ((5L, 2L, Some(0.4), Some(1.0), None)))
+    assert(got("C") == ((10L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+  }
+
   test("stats omnibus plans: one shuffle of rows, partial aggregation") {
     import spark.implicits._
     val df = Seq(("g", "a", 1L), ("g", "b", 2L)).toDF("grp", "variant", "v")
