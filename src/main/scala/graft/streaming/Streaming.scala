@@ -247,6 +247,44 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.passAtK]] — the live
+    * eval-harness dashboard: per task O(1) state (n samples, c
+    * correct), each micro-batch emitting the task's refreshed
+    * `(task, n, c, pass@k per requested k)`. The estimator replays the
+    * batch op's exact arithmetic — the same left-to-right product fold
+    * over `max(0, (n−c−i)/(n−i))` in doubles and the same HALF_UP
+    * 6-decimal rounding Spark's `round` applies — so every emitted row
+    * equals the batch twin run on all rows arrived so far
+    * (StreamingSpec differential); `None` where n < k, the batch null.
+    * Counts commute, so arrival order never matters. */
+  def passAtKStream(rows: Dataset[(String, Boolean)], ks: Seq[Int])
+      : Dataset[(String, Long, Long, Seq[Option[Double]])] = {
+    import rows.sparkSession.implicits._
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    require(ks.distinct.size == ks.size, "duplicate k")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long),
+        (String, Long, Long, Seq[Option[Double]])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (task, it, state: GroupState[(Long, Long)]) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, ok) => n += 1; if (ok) c += 1 }
+          state.update((n, c))
+          val passes = ks.map { k =>
+            if (n < k) None
+            else {
+              val prod = (0 until k).foldLeft(1.0) { (acc, i) =>
+                acc * math.max(0.0, (n - c - i).toDouble / (n - i))
+              }
+              Some(java.math.BigDecimal.valueOf(1.0 - prod)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue())
+            }
+          }
+          Iterator.single((task, n, c, passes))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics.debounce]]: emit the
     * FIRST event of each burst as it opens (a gap `> cooldown` from the
     * key's previous event — kept or not — opens a burst), suppressing

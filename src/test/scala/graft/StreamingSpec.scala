@@ -767,6 +767,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("passAtKStream equals the batch estimator on everything arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Boolean)]
+    val q = Streaming.passAtKStream(ms.toDS(), Seq(1, 3))
+      .toDF("task", "n", "c", "passes")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("passk_stream").start()
+    val batch1 = Seq(("A", true), ("A", false), ("B", false))
+    val batch2 = Seq(("A", false), ("A", true), ("B", false), ("B", true))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT task, n, c, passes FROM passk_stream")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2),
+            r.getSeq[java.lang.Double](3).map(Option(_)))))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      import spark.implicits._
+      val batch = graft.ops.Profiling.passAtK(
+        (batch1 ++ batch2).toDF("task", "ok"), "task", "ok", Seq(1, 3))
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("c"),
+            Seq(Option(r.getAs[java.lang.Double]("pass_at_1")),
+              Option(r.getAs[java.lang.Double]("pass_at_3")))))).toMap
+      assert(last.map { case (k, (n, c, p)) =>
+        k -> ((n, c, p.map(_.map(_.doubleValue)))) } ==
+        batch.map { case (k, (n, c, p)) =>
+          k -> ((n, c, p.map(_.map(_.doubleValue)))) })
+      // mid-stream emission after batch1: A had n=2, c=1 → pass@1 = 0.5
+      val aFirst = rows.zipWithIndex
+        .filter(r => r._1._1 == "A" && r._1._2._1 == 2L).head._1._2
+      assert(aFirst._3.head == Some(0.5))
+    } finally q.stop()
+  }
+
   test("trendStream final moments equal the batch OLS rational per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
