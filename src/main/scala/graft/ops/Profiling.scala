@@ -2148,6 +2148,80 @@ object Profiling {
           .as("reject"))
   }
 
+  /** Bradley–Terry strength fitting over pairwise preference duels —
+    * the rating layer above [[winMatrix]] (win rates mislead when
+    * matchups are unbalanced: beating a strong opponent must count for
+    * more; BT is the model RLHF preference pipelines and chat-arena
+    * leaderboards fit). Runs `iters` rounds of the classic Zermelo/MM
+    * update `s_i ← W_i / Σ_j n_ij/(s_i + s_j)` from a uniform start,
+    * then normalizes strengths to sum 1.
+    *
+    * Determinism: per-player opponent sums are FLOAT folds, so each
+    * fold runs in opponent-sorted order
+    * (`aggregate(sort_array(collect_list(...)))`, the
+    * [[kruskalWallis]] discipline), and the final normalization folds
+    * player-sorted — the oracle replays every iteration with
+    * `list_reduce(list_sort(...))`. Rounding happens ONLY at output;
+    * iterations carry full doubles. A never-winning player's strength
+    * hits exactly 0 and stays there (its duels still strengthen
+    * opponents); `strength` is null only in the fully-degenerate
+    * all-zero-wins table.
+    *
+    * Shape: duels collapse once to the symmetric (i, j, n_ij) matchup
+    * table and the per-player win counts — both bounded by the PLAYER
+    * registry, never the duel log; each iteration is one broadcast-
+    * size join + |players| folds. Returns
+    * (player, wins, n_duels, strength, rank). */
+  def btStrengths(duels: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = duels.select(col(winnerCol).cast("string").as("__w__"),
+      col(loserCol).cast("string").as("__l__"))
+      .filter(col("__w__").isNotNull && col("__l__").isNotNull &&
+        col("__w__") =!= col("__l__"))
+    val pairs = d.select(col("__w__").as("i"), col("__l__").as("j"))
+      .unionAll(d.select(col("__l__").as("i"), col("__w__").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+    val wins = d.groupBy(col("__w__").as("i")).agg(count(lit(1)).as("w"))
+    var s = pairs.groupBy(col("i"))
+      .agg(sum(col("n")).as("n_duels"))
+      .join(wins, Seq("i"), "left")
+      .select(col("i"), coalesce(col("w"), lit(0L)).as("wins"),
+        col("n_duels"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val sj = s.select(col("i").as("j"), col("s").as("__sj__"))
+      val denom = pairs
+        .join(s.select(col("i"), col("s").as("__si__")), Seq("i"))
+        .join(sj, Seq("j"))
+        .groupBy(col("i"))
+        // try_divide: a duel between two zero-strength players has an
+        // infinite term — null propagates through the fold and the
+        // coalesce below lands the mathematically-correct s = 0
+        // (DuckDB's double/0 is NULL too, so the oracle agrees)
+        .agg(sort_array(collect_list(struct(col("j"),
+          try_divide(col("n").cast("double"),
+            col("__si__") + col("__sj__")).as("t")))).as("__ts__"))
+        .select(col("i"), aggregate(col("__ts__"), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("__d__"))
+      s = s.drop("s").join(denom, Seq("i"))
+        .select(col("i"), col("wins"), col("n_duels"),
+          coalesce(try_divide(col("wins").cast("double"), col("__d__")),
+            lit(0.0)).as("s"))
+    }
+    val tot = s
+      .agg(sort_array(collect_list(struct(col("i"), col("s").as("t"))))
+        .as("__ss__"))
+      .select(aggregate(col("__ss__"), lit(0.0),
+        (acc, x) => acc + x.getField("t")).as("__tot__"))
+    val wRank = Window.orderBy(col("s").desc, col("i").asc)
+    s.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("i").as("player"), col("wins"), col("n_duels"),
+        when(col("__tot__") > 0,
+          round(try_divide(col("s"), col("__tot__")), 6)).as("strength"),
+        col("rank"))
+  }
+
   /** Unbiased pass@k over repeated samples per task — the standard
     * code/eval-harness readout (Chen et al.'s estimator: with n samples
     * of which c are correct, `pass@k = 1 − C(n−c,k)/C(n,k)`, which is

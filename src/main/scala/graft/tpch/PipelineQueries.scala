@@ -702,6 +702,24 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // Bradley–Terry strengths over synthesized preference duels: each
+    // event is a duel its type wins against a deterministically-rotated
+    // other type; 3 MM iterations, opponent-sorted folds on both engines
+    "q293_bt_strengths" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      val idx = types.tail.zipWithIndex.foldLeft(
+        when(col("event_type") === types.head, 0L)) {
+        case (acc, (t, i)) => acc.when(col("event_type") === t, i + 1L)
+      }
+      val loser = element_at(array(types.map(lit): _*),
+        (((idx + col("event_id") % 4 + 1L) % 5L) + 1L).cast("int"))
+      graft.ops.Profiling.btStrengths(
+          ev.select(col("event_type").as("winner"), loser.as("loser")),
+          "winner", "loser", iters = 3)
+        .orderBy(col("rank"))
+    }),
+
     // unbiased pass@k over repeated samples per (event_type, user-arm)
     // task: value > 1.0 is "correct"; k = 1, 5, 10 unrolled as the
     // exact product form on both engines
@@ -3995,6 +4013,54 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q293_bt_strengths" -> {
+      // the 3 MM iterations are generated, not hand-unrolled — each is
+      // the same opponent-sorted list_reduce fold the Spark op runs
+      def iterCte(k: Int): String = {
+        val prev = s"s${k - 1}"
+        s"""s$k AS (SELECT $prev.i, $prev.wins, $prev.n_duels,
+           |    COALESCE(CAST($prev.wins AS DOUBLE) / d$k.d, 0.0) AS s
+           |  FROM $prev JOIN (
+           |    SELECT p.i, list_reduce(list_transform(list_sort(
+           |        list(struct_pack(j := p.j, t := CAST(p.n AS DOUBLE)
+           |          / (si.s + sj.s)))), x -> x.t), (a, b) -> a + b) AS d
+           |    FROM pairs p JOIN $prev si ON p.i = si.i
+           |      JOIN $prev sj ON p.j = sj.i
+           |    GROUP BY p.i) d$k ON $prev.i = d$k.i)""".stripMargin
+      }
+      s"""WITH base AS (SELECT event_type AS w,
+         |    (['click', 'error', 'purchase', 'signup', 'view'])[
+         |      CAST(((CASE event_type WHEN 'click' THEN 0
+         |        WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+         |        WHEN 'signup' THEN 3 ELSE 4 END
+         |        + event_id % 4 + 1) % 5) + 1 AS INTEGER)] AS l
+         |  FROM events),
+         |d AS (SELECT w, l FROM base
+         |  WHERE w IS NOT NULL AND l IS NOT NULL AND w <> l),
+         |pairs AS (SELECT i, j, CAST(COUNT(1) AS BIGINT) AS n FROM (
+         |    SELECT w AS i, l AS j FROM d
+         |    UNION ALL SELECT l AS i, w AS j FROM d)
+         |  GROUP BY 1, 2),
+         |wn AS (SELECT w AS i, CAST(COUNT(1) AS BIGINT) AS wins
+         |  FROM d GROUP BY 1),
+         |nd AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_duels
+         |  FROM pairs GROUP BY 1),
+         |s0 AS (SELECT nd.i, COALESCE(wn.wins, 0) AS wins, nd.n_duels,
+         |    CAST(1.0 AS DOUBLE) AS s FROM nd LEFT JOIN wn USING (i)),
+         |${iterCte(1)},
+         |${iterCte(2)},
+         |${iterCte(3)},
+         |tot AS (SELECT list_reduce(list_transform(list_sort(
+         |    list(struct_pack(i := i, t := s))), x -> x.t),
+         |    (a, b) -> a + b) AS tot FROM s3)
+         |SELECT s3.i AS player, s3.wins, s3.n_duels,
+         |  CASE WHEN tot.tot > 0 THEN ROUND(s3.s / tot.tot, 6)
+         |    END AS strength,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY s3.s DESC, s3.i ASC)
+         |    AS BIGINT) AS rank
+         |FROM s3, tot ORDER BY rank""".stripMargin
+    },
 
     "q292_pass_at_k" -> {
       // product-form binomial ratio, generated for the SAME k list the

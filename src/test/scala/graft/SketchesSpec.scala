@@ -1100,6 +1100,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("f3", 1L)) == ((1L, false)))
   }
 
+  test("btStrengths: one MM iteration by hand, zero-win player pins 0") {
+    import spark.implicits._
+    // duels: A>B twice, B>C, C>A, A>D. Uniform start, one update:
+    //   d_A = 2/2 + 1/2 + 1/2 = 2      → s_A = 3/2
+    //   d_B = 2/2 + 1/2 = 3/2          → s_B = 2/3
+    //   d_C = 1/2 + 1/2 = 1            → s_C = 1
+    //   d_D = 1/2                      → s_D = 0/d = 0
+    // tot = 19/6 → 9/19, 4/19, 6/19, 0
+    val duels = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"),
+      ("A", "D")).toDF("winner", "loser")
+    val got = graft.ops.Profiling.btStrengths(duels, "winner", "loser",
+        iters = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("wins"), r.getAs[Long]("n_duels"),
+          r.getAs[Double]("strength"), r.getAs[Long]("rank")))).toMap
+    assert(got("A") == ((3L, 4L, 0.473684, 1L)))
+    assert(got("C") == ((1L, 2L, 0.315789, 2L)))
+    assert(got("B") == ((1L, 3L, 0.210526, 3L)))
+    assert(got("D") == ((0L, 1L, 0.0, 4L)))
+  }
+
+  test("btStrengths: beating the strong beats farming the weak") {
+    import spark.implicits._
+    // X and Y both win twice, but X's wins are over the otherwise-
+    // dominant Z while Y farms the winless W: BT must rank X above Y
+    // even though raw win RATES tie — the whole point over winMatrix
+    val duels = Seq(
+      ("X", "Z"), ("X", "Z"), ("Z", "Y"), ("Z", "Y"), ("Z", "W"),
+      ("Y", "W"), ("Y", "W"), ("Z", "X")).toDF("winner", "loser")
+    val s = graft.ops.Profiling.btStrengths(duels, "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank")).toMap
+    // X went 2-1 against the top player and outranks BOTH weak-farmers
+    assert(s == Map("X" -> 1L, "Z" -> 2L, "Y" -> 3L, "W" -> 4L), s)
+  }
+
   test("passAtK: unbiased estimator, exhausted-wrong clamp, n<k null") {
     import spark.implicits._
     val rows =
