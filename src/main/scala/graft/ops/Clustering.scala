@@ -260,4 +260,54 @@ object Clustering {
         when(greatest(a, b) === 0.0, lit(0.0))
           .otherwise(round((b - a) / greatest(a, b), 6)).as("silhouette"))
   }
+
+  /** k-center greedy (farthest-point) coreset selection — the standard
+    * diverse-subset picker for data curation (active-learning coresets,
+    * eval-set seeding, cluster-free coverage sampling): start from the
+    * smallest id, then repeatedly take the point FARTHEST from every
+    * center chosen so far. Greedy k-center is the classic 2-approximation
+    * of the NP-hard k-center cover; unlike random or stratified
+    * sampling it cannot collapse onto a dense mode.
+    *
+    * Fully deterministic: distances are exact BIGINT Σ(Δq)² on the
+    * fixed-point grid, argmax ties break on id — no seeds, no floats.
+    *
+    * Shape: each of the k−1 rounds is ONE narrow scan scoring every row
+    * against ≤ k literal centers (the [[kmeansAssign]] broadcast-
+    * centroid pattern) followed by a LIMIT-1 argmax — per-round driver
+    * state is a single row, total work O(k²·dim·n/p) per executor. For
+    * k beyond a few hundred, pre-partition with [[kmeansAssign]] and
+    * run the greedy pass per cluster. Returns (rank, idCol,
+    * dist2) — dist2 = exact squared grid distance to the nearest
+    * EARLIER center (null for the seed), a monotone non-increasing
+    * coverage-radius curve. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val q = Caches.registerDf(df
+      .select(col(idCol).cast("long").as("__id__"),
+        quantizeFixed(col(vecCol), scale).as("__q__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seed = q.orderBy(col("__id__").asc).limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedy needs at least one row")
+    var centers = Vector[(Long, Array[Long], Option[Long])](
+      (seed(0).getLong(0), seed(0).getSeq[Long](1).toArray, None))
+    var exhausted = false
+    while (centers.size < k && !exhausted) {
+      val minD = centers.map(c => dist2(col("__q__"), c._2))
+        .reduce((a, b) => least(a, b))
+      val next = q.filter(!col("__id__").isin(centers.map(_._1): _*))
+        .select(col("__id__"), col("__q__"), minD.as("__d__"))
+        .orderBy(col("__d__").desc, col("__id__").asc)
+        .limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else centers :+= ((next(0).getLong(0),
+        next(0).getSeq[Long](1).toArray, Some(next(0).getLong(2))))
+    }
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("rank", idCol, "dist2")
+  }
 }

@@ -702,6 +702,14 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // k-center greedy coreset over the embeddings: 6 farthest-point
+    // rounds, exact integer grid distances, id tie-breaks — the oracle
+    // replays every round as a generated CTE
+    "q294_kcenter_coreset" -> ((s, dir) =>
+      graft.ops.Clustering.kCenterGreedy(emb(s, dir), "vec_id",
+          "embedding", k = 6)
+        .orderBy(col("rank"))),
+
     // Bradley–Terry strengths over synthesized preference duels: each
     // event is a duel its type wins against a deterministically-rotated
     // other type; 3 MM iterations, opponent-sorted folds on both engines
@@ -4013,6 +4021,37 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q294_kcenter_coreset" -> {
+      // each greedy round is a generated CTE: the same exact-integer
+      // Σ(Δq)² argmax (DESC, id ASC) the Spark driver loop runs
+      def d2(c: String): String = (1 to 64).map { i =>
+        s"($c.qv[$i] - q.qv[$i]) * ($c.qv[$i] - q.qv[$i])"
+      }.mkString(" + ")
+      def round(j: Int): String = {
+        val prior = (1 until j).map(p => s"c$p")
+        val mind =
+          if (prior.size == 1) s"(${d2(prior.head)})"
+          else s"least(${prior.map(p => s"(${d2(p)})").mkString(", ")})"
+        s"""c$j AS (SELECT q.id, q.qv, $mind AS d
+           |  FROM q, ${prior.mkString(", ")}
+           |  WHERE q.id NOT IN (${prior.map(_ + ".id").mkString(", ")})
+           |  ORDER BY d DESC, q.id ASC LIMIT 1)""".stripMargin
+      }
+      val selects = (2 to 6).map(j =>
+        s"UNION ALL SELECT $j, c$j.id, c$j.d FROM c$j").mkString("\n")
+      s"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |c1 AS (SELECT id, qv FROM q ORDER BY id ASC LIMIT 1),
+         |${(2 to 6).map(round).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS rank, c1.id AS vec_id,
+         |  CAST(NULL AS BIGINT) AS dist2 FROM c1
+         |$selects
+         |ORDER BY rank""".stripMargin
+    },
 
     "q293_bt_strengths" -> {
       // the 3 MM iterations are generated, not hand-unrolled — each is

@@ -212,4 +212,24 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.silhouette(df, "id", "v", k = 1, iters = 1)
     }
   }
+
+  test("kCenterGreedy: farthest-point order, id tie-break, exhaustion") {
+    import spark.implicits._
+    // 1-D points at x = 0, 1, 10, 11 (ids 1..4), scale 1000:
+    //   seed = id 1 (smallest id); farthest = id 4 (121e6);
+    //   ids 2 and 3 then TIE at min-dist 1e6 → id 2 wins by id
+    val df = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)),
+      (3L, Seq(10.0f)), (4L, Seq(11.0f))).toDF("id", "v")
+    val got = Clustering.kCenterGreedy(df, "id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("dist2"))))
+    assert(got.toSeq == Seq(
+      (1L, 1L, None),
+      (2L, 4L, Some(121000000L)),
+      (3L, 2L, Some(1000000L)),
+      (4L, 3L, Some(1000000L))))
+    graft.ops.Caches.releaseAll()
+    // k beyond the row count stops at the rows it has — no crash
+    assert(Clustering.kCenterGreedy(df, "id", "v", k = 9).count() == 4)
+  }
 }
