@@ -43,4 +43,85 @@ object SemiStructured {
         min(col("__k__")).as("k_min"),
         max(col("__k__")).as("k_max"))
   }
+
+  /** The `[{"role": …, "content": …}, …]` schema SFT/RLHF transcripts
+    * ship in. `from_json` returns null on malformed payloads and on
+    * valid JSON of the wrong shape — never throws (the [[jsonLong]]
+    * posture). */
+  private val turnsSchema = "array<struct<role:string,content:string>>"
+
+  private def parsedTurns(jsonCol: Column): Column =
+    // the leading-'[' guard: Spark's from_json helpfully wraps a lone
+    // JSON OBJECT into a one-element array, which would make the two
+    // engines disagree on wrong-shape payloads — only actual arrays
+    // parse (the oracle's json_type(j) = 'ARRAY' twin)
+    when(startswith(ltrim(jsonCol), lit("[")),
+      from_json(jsonCol,
+        org.apache.spark.sql.types.DataType.fromDDL(turnsSchema)))
+
+  /** Explode a JSON chat transcript into one row per turn — the
+    * normalized view every SFT-data transform (templating, masking,
+    * per-turn filtering) starts from; [[graft.ops.TextAnalysis
+    * .dialogueStats]] is the line-format sibling. Malformed or
+    * non-array payloads contribute ZERO rows (posexplode of the null
+    * parse) — pair with a `json_valid`-style audit upstream to count
+    * them; one bad blob cannot kill the scan. Per-row parse + explode,
+    * no shuffle, streams unchanged. Returns
+    * (idCol, turn_idx 1-based, role, content, n_chars). */
+  def dialogueTurnsJson(df: DataFrame, idCol: String,
+      jsonCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(parsedTurns(col(jsonCol))).as(Seq("__i__", "__t__")))
+      .select(col(idCol), (col("__i__") + 1).as("turn_idx"),
+        col("__t__").getField("role").as("role"),
+        col("__t__").getField("content").as("content"),
+        coalesce(length(col("__t__").getField("content")).cast("long"),
+          lit(0L)).as("n_chars"))
+
+  /** Loss-mask QA over JSON chat transcripts — what fraction of each
+    * transcript's characters the loss will actually train on
+    * (assistant turns), plus the structural red flags that poison the
+    * mask: an assistant turn with EMPTY content (templating bug — the
+    * model learns to say nothing), consecutive same-role turns
+    * (alternation break), and an opening assistant turn. All per-row
+    * lambda folds over the parsed array — no explode, no shuffle,
+    * streams unchanged; malformed payloads yield n_turns = 0 rows that
+    * a `WHERE n_turns = 0` audit catches. `trainable_ratio` is null on
+    * zero total content. Returns (idCol, n_turns, n_assistant,
+    * assistant_chars, total_chars, trainable_ratio,
+    * has_empty_assistant, alternation_breaks, starts_with_assistant).
+    */
+  def sftMaskStats(df: DataFrame, idCol: String,
+      jsonCol: String): DataFrame = {
+    val t = parsedTurns(col(jsonCol))
+    def chars(cond: Column => Column) =
+      coalesce(aggregate(t, lit(0L), (acc, x) =>
+        acc + when(cond(x),
+          coalesce(length(x.getField("content")).cast("long"), lit(0L)))
+          .otherwise(0L)), lit(0L))
+    val isAsst = (x: Column) => x.getField("role") === "assistant"
+    val nTurns = coalesce(size(t), lit(0)).cast("long")
+    val roles = transform(t, x => x.getField("role"))
+    val tailLen = greatest(size(roles) - 1, lit(0))
+    val breaks = when(nTurns >= 2, coalesce(size(filter(
+        zip_with(slice(roles, lit(1), tailLen),
+          slice(roles, lit(2), tailLen),
+          (a, b) => a <=> b),
+        x => x)).cast("long"), lit(0L)))
+      .otherwise(lit(0L))
+    df.select(col(idCol),
+      nTurns.as("n_turns"),
+      coalesce(size(filter(t, isAsst)), lit(0)).cast("long")
+        .as("n_assistant"),
+      chars(isAsst).as("assistant_chars"),
+      chars(_ => lit(true)).as("total_chars"),
+      round(try_divide(chars(isAsst).cast("double"),
+        chars(_ => lit(true)).cast("double")), 6).as("trainable_ratio"),
+      coalesce(exists(t, x => isAsst(x) &&
+          coalesce(length(x.getField("content")), lit(0)) === 0),
+        lit(false)).as("has_empty_assistant"),
+      breaks.as("alternation_breaks"),
+      coalesce(element_at(roles, 1) === "assistant", lit(false))
+        .as("starts_with_assistant"))
+  }
 }

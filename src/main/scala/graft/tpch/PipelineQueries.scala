@@ -21,6 +21,43 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Deterministic JSON chat transcript per doc (q295/q296): an
+    * optional leading assistant turn (doc_id % 5 = 1 — the
+    * wrong-opening case), the user/assistant pair whose contents are
+    * doc_id-derived digits (no JSON escaping seam), an optional
+    * trailing EMPTY assistant turn (doc_id % 3 = 0 — mask poison AND
+    * alternation break), and a malformed blob every 7th doc. The
+    * oracle builds the identical string with `||`/CASE. */
+  private def chatJson: Column = {
+    val id = col("doc_id").cast("string")
+    when(col("doc_id") % 7 === 0, lit("not json"))
+      .otherwise(concat(
+        lit("["),
+        when(col("doc_id") % 5 === 1,
+          lit("{\"role\":\"assistant\",\"content\":\"hi\"},"))
+          .otherwise(lit("")),
+        lit("{\"role\":\"user\",\"content\":\"ask "), id,
+        lit("\"},{\"role\":\"assistant\",\"content\":\"ans "), id,
+        lit(" done\"}"),
+        when(col("doc_id") % 3 === 0,
+          lit(",{\"role\":\"assistant\",\"content\":\"\"}"))
+          .otherwise(lit("")),
+        lit("]")))
+  }
+
+  /** DuckDB twin of [[chatJson]] — the identical transcript string. */
+  private val chatJsonSql: String =
+    "(CASE WHEN doc_id % 7 = 0 THEN 'not json' ELSE '[' || " +
+      "(CASE WHEN doc_id % 5 = 1 THEN " +
+      "'{\"role\":\"assistant\",\"content\":\"hi\"},' ELSE '' END) || " +
+      "'{\"role\":\"user\",\"content\":\"ask ' || " +
+      "CAST(doc_id AS VARCHAR) || " +
+      "'\"},{\"role\":\"assistant\",\"content\":\"ans ' || " +
+      "CAST(doc_id AS VARCHAR) || ' done\"}' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN " +
+      "',{\"role\":\"assistant\",\"content\":\"\"}' ELSE '' END) " +
+      "|| ']' END)"
+
   /** Deterministic messy URL per doc — every canonicalization case the
     * q250 contract covers (case-mixed host, www, default/non-default
     * ports matched to the scheme, duplicate slashes, trailing slash,
@@ -700,6 +737,27 @@ object PipelineQueries {
       graft.ops.Profiling.bhProcedure(tests, "event_type", "tid",
           "p_micro", alphaMicro = 200000L)
         .orderBy(col("event_type"), col("rank"))
+    }),
+
+    // JSON chat transcripts synthesized per doc: an optional leading
+    // assistant turn (starts-wrong case), the user/assistant pair, an
+    // optional trailing EMPTY assistant turn (mask-poison +
+    // alternation break), and a malformed blob every 7th doc
+    "q295_dialogue_turns" -> ((s, dir) => {
+      graft.ops.SemiStructured.dialogueTurnsJson(
+          docs(s, dir).select(col("doc_id"), chatJson.as("convo")),
+          "doc_id", "convo")
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
+    // loss-mask QA over the same transcripts: trainable fraction,
+    // empty-assistant flags, alternation breaks, wrong openings;
+    // malformed docs surface as n_turns = 0 rows, never errors
+    "q296_sft_mask" -> ((s, dir) => {
+      graft.ops.SemiStructured.sftMaskStats(
+          docs(s, dir).select(col("doc_id"), chatJson.as("convo")),
+          "doc_id", "convo")
+        .orderBy(col("doc_id"))
     }),
 
     // k-center greedy coreset over the embeddings: 6 farthest-point
@@ -4021,6 +4079,60 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q295_dialogue_turns" ->
+      s"""WITH t AS (SELECT doc_id, $chatJsonSql AS j FROM documents),
+         |v AS (SELECT doc_id, j FROM t
+         |  WHERE json_valid(j) AND json_type(j) = 'ARRAY'),
+         |turns AS (SELECT doc_id, CAST(u.i + 1 AS INTEGER) AS turn_idx,
+         |    json_extract_string(j, '$$[' || u.i || '].role') AS role,
+         |    json_extract_string(j, '$$[' || u.i || '].content')
+         |      AS content
+         |  FROM v, unnest(range(CAST(json_array_length(j) AS BIGINT))) u(i))
+         |SELECT doc_id, turn_idx, role, content,
+         |  CAST(COALESCE(length(content), 0) AS BIGINT) AS n_chars
+         |FROM turns ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "q296_sft_mask" ->
+      s"""WITH t AS (SELECT doc_id, $chatJsonSql AS j FROM documents),
+         |v AS (SELECT doc_id, j FROM t
+         |  WHERE json_valid(j) AND json_type(j) = 'ARRAY'),
+         |turns AS (SELECT doc_id, CAST(u.i + 1 AS INTEGER) AS turn_idx,
+         |    json_extract_string(j, '$$[' || u.i || '].role') AS role,
+         |    json_extract_string(j, '$$[' || u.i || '].content')
+         |      AS content
+         |  FROM v, unnest(range(CAST(json_array_length(j) AS BIGINT))) u(i)),
+         |lagd AS (SELECT *, LAG(role) OVER (PARTITION BY doc_id
+         |    ORDER BY turn_idx) AS prev_role FROM turns),
+         |agg AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_turns,
+         |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_assistant,
+         |    CAST(SUM(CASE WHEN role = 'assistant' THEN length(content)
+         |      ELSE 0 END) AS BIGINT) AS assistant_chars,
+         |    CAST(SUM(length(content)) AS BIGINT) AS total_chars,
+         |    bool_or(role = 'assistant' AND length(content) = 0)
+         |      AS has_empty_assistant,
+         |    CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS alternation_breaks,
+         |    bool_or(turn_idx = 1 AND role = 'assistant')
+         |      AS starts_with_assistant
+         |  FROM lagd GROUP BY 1)
+         |SELECT t.doc_id,
+         |  COALESCE(agg.n_turns, 0) AS n_turns,
+         |  COALESCE(agg.n_assistant, 0) AS n_assistant,
+         |  COALESCE(agg.assistant_chars, 0) AS assistant_chars,
+         |  COALESCE(agg.total_chars, 0) AS total_chars,
+         |  CASE WHEN agg.total_chars > 0 THEN
+         |    ROUND(CAST(agg.assistant_chars AS DOUBLE)
+         |      / CAST(agg.total_chars AS DOUBLE), 6) END
+         |    AS trainable_ratio,
+         |  COALESCE(agg.has_empty_assistant, false)
+         |    AS has_empty_assistant,
+         |  COALESCE(agg.alternation_breaks, 0) AS alternation_breaks,
+         |  COALESCE(agg.starts_with_assistant, false)
+         |    AS starts_with_assistant
+         |FROM t LEFT JOIN agg USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q294_kcenter_coreset" -> {
       // each greedy round is a generated CTE: the same exact-integer

@@ -422,6 +422,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("k_sum") == -3L && b.getAs[Long]("k_min") == -3L)
   }
 
+  test("dialogueTurnsJson: per-turn rows, malformed yields zero rows") {
+    val df = Seq(
+      (1L, """[{"role":"user","content":"hi"},""" +
+        """{"role":"assistant","content":"hello there"}]"""),
+      (2L, "not json at all"),
+      (3L, """{"role":"user","content":"valid json, wrong shape"}"""),
+      (4L, """[{"role":"assistant","content":""}]"""))
+      .toDF("id", "convo")
+    val got = graft.ops.SemiStructured.dialogueTurnsJson(df, "id", "convo")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("n_chars")))
+    assert(got.toSet == Set(
+      (1L, 1, "user", 2L), (1L, 2, "assistant", 11L),
+      (4L, 1, "assistant", 0L)))
+  }
+
+  test("sftMaskStats: trainable fraction, empty-assistant, breaks, " +
+    "wrong opening, malformed zeros") {
+    val df = Seq(
+      // clean pair: 2 user chars, 5 assistant → ratio 5/7
+      (1L, """[{"role":"user","content":"hi"},""" +
+        """{"role":"assistant","content":"aaaaa"}]"""),
+      // assistant opening + trailing EMPTY assistant (a break too)
+      (2L, """[{"role":"assistant","content":"yo"},""" +
+        """{"role":"user","content":"q"},""" +
+        """{"role":"assistant","content":"r"},""" +
+        """{"role":"assistant","content":""}]"""),
+      (3L, "broken"))
+      .toDF("id", "convo")
+    val got = graft.ops.SemiStructured.sftMaskStats(df, "id", "convo")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_turns"), r.getAs[Long]("n_assistant"),
+          r.getAs[Long]("assistant_chars"), r.getAs[Long]("total_chars"),
+          Option(r.getAs[java.lang.Double]("trainable_ratio")),
+          r.getAs[Boolean]("has_empty_assistant"),
+          r.getAs[Long]("alternation_breaks"),
+          r.getAs[Boolean]("starts_with_assistant")))).toMap
+    assert(got(1L) ==
+      ((2L, 1L, 5L, 7L, Some(0.714286), false, 0L, false)))
+    assert(got(2L) == ((4L, 3L, 3L, 4L, Some(0.75), true, 1L, true)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, None, false, 0L, false)))
+  }
+
   test("coec: out-clicking your slot scores > 1 at any rank") {
     // pooled per-position CTRs are both 1/2. item A clicked on BOTH its
     // pos-2 impressions → expected 1.0 clicks, COEC 2.0; item B matches
