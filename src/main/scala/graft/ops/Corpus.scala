@@ -1299,6 +1299,70 @@ object Corpus {
     filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
       w => w =!= "")
 
+  /** Deterministic systematic resampling to EXACTLY `n` draws — the
+    * step that turns fractional mixture weights into integer copy
+    * counts when a training mix materializes ([[mixtureWeights]] says
+    * "source A at 2.37×"; the data loader needs whole copies). The
+    * particle-filter systematic scheme with offset 0: row i (in id
+    * order) receives `⌊cum_i·n/W⌋ − ⌊cum_{i−1}·n/W⌋` copies — every
+    * row gets within ±1 of its exact expectation `w_i·n/W` (zero
+    * sampling variance, unlike multinomial draws), the copy counts
+    * telescope to exactly `n`, and there is no RNG anywhere — the
+    * content-addressed-split determinism discipline.
+    *
+    * The cumulative weight is a DISTRIBUTED PREFIX SUM in id order
+    * ([[vocabCoverage]]'s shape): range-repartition by id,
+    * per-partition window, |partitions|-row driver offsets — never a
+    * global single-partition ORDER BY window. Copy arithmetic is exact
+    * (`decimal(38,0)` product, integral `div`). Non-positive weights
+    * contribute nothing. Returns rows with copies ≥ 1:
+    * (idCol, weight, copies). */
+  def systematicResample(df: DataFrame, idCol: String,
+      weightCol: String, n: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = df.schema(weightCol).dataType
+    val ok = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"systematicResample requires an integral weight " +
+      s"(quantize upstream); '$weightCol' is $t")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol), col(weightCol).cast("long")
+        .as("__wt__"))
+      .filter(col("__wt__") > 0)
+    val sorted = Caches.registerDf(base
+      .repartitionByRange(col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+      .withColumn("__pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partStats = sorted.groupBy(col("__pid__"))
+      .agg(sum(col("__wt__")).as("__s__"))
+      .collect().map(r => (r.getAs[Int]("__pid__"), r.getAs[Long]("__s__")))
+      .sortBy(_._1)
+    val totalW = partStats.map(_._2).sum
+    require(totalW > 0, "total weight must be positive")
+    var acc = 0L
+    val offsets = partStats.map { case (pid, s) =>
+      val row = (pid, acc); acc += s; row
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid__", "__off__"))
+    val w = Window.partitionBy(col("__pid__")).orderBy(col(idCol).asc)
+    sorted.join(offDf, Seq("__pid__"))
+      .select(col(idCol), col("__wt__"),
+        (col("__off__") + sum(col("__wt__")).over(w)).as("__hi__"))
+      .withColumn("copies",
+        expr(s"(CAST(__hi__ AS DECIMAL(38,0)) * $n) div $totalW") -
+          expr(s"(CAST(__hi__ - __wt__ AS DECIMAL(38,0)) * $n) " +
+            s"div $totalW"))
+      .filter(col("copies") >= 1)
+      .select(col(idCol), col("__wt__").as("weight"), col("copies"))
+  }
+
   /** EXACT stratified split: within every stratum the split sizes are
     * exactly the largest-remainder apportionment of the weights (train
     * 80 / val 10 / test 10 of a 57-doc stratum = 46/6/5 — not "80% in

@@ -739,6 +739,13 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // systematic resampling of the corpus to exactly 1000 draws by
+    // n_chars weight: zero-variance integer copy counts, no RNG
+    "q297_systematic_resample" -> ((s, dir) =>
+      Corpus.systematicResample(docs(s, dir), "doc_id", "n_chars",
+          n = 1000L)
+        .orderBy(col("doc_id"))),
+
     // JSON chat transcripts synthesized per doc: an optional leading
     // assistant turn (starts-wrong case), the user/assistant pair, an
     // optional trailing EMPTY assistant turn (mask-poison +
@@ -4079,6 +4086,20 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q297_systematic_resample" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (SELECT doc_id, wt,
+        |    SUM(CAST(wt AS HUGEINT)) OVER (ORDER BY doc_id) AS hi
+        |  FROM b),
+        |t AS (SELECT SUM(CAST(wt AS HUGEINT)) AS w FROM b),
+        |m AS (SELECT doc_id, wt AS weight,
+        |    CAST((c.hi * 1000) // t.w - ((c.hi - c.wt) * 1000) // t.w
+        |      AS BIGINT) AS copies
+        |  FROM c, t)
+        |SELECT doc_id, weight, copies FROM m
+        |WHERE copies >= 1 ORDER BY doc_id""".stripMargin,
 
     "q295_dialogue_turns" ->
       s"""WITH t AS (SELECT doc_id, $chatJsonSql AS j FROM documents),

@@ -932,6 +932,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, None)))
   }
 
+  test("systematicResample: exact copies, telescoping total, no RNG") {
+    import spark.implicits._
+    // W=4, n=8: copies = exactly 2x each weight
+    val even = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "w")
+    val got = graft.ops.Corpus.systematicResample(even, "id", "w", 8L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("copies")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 4L))
+    graft.ops.Caches.releaseAll()
+    // W=3, n=2: id 1 rounds to ZERO copies and is dropped; total still 2
+    val frac = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "w")
+    val g2 = graft.ops.Corpus.systematicResample(frac, "id", "w", 2L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("copies")).toMap
+    assert(g2 == Map(2L -> 1L, 3L -> 1L))
+    graft.ops.Caches.releaseAll()
+    // invariant on messy weights (zeros dropped): Σ copies == n
+    val messy = Seq((1L, 0L), (2L, 7L), (3L, 13L), (4L, 1L), (5L, 40L))
+      .toDF("id", "w")
+    val tot = graft.ops.Corpus.systematicResample(messy, "id", "w", 997L)
+      .agg(org.apache.spark.sql.functions.sum("copies")).collect()(0)
+      .getLong(0)
+    assert(tot == 997L)
+  }
+
   test("ngramDiversity: hand counts; short docs skip long grams") {
     val df = Seq((1L, "g1", "a b a b"), (2L, "g2", "x y"))
       .toDF("doc_id", "grp", "text")
