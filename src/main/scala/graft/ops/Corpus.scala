@@ -272,6 +272,64 @@ object Corpus {
           (col("n_tokens") / col("__tot__")), 6).as("multiplier"))
   }
 
+  /** Epoch plan for a token budget under a repeat cap — the
+    * data-constrained-scaling worksheet ([[mixtureWeights]] decides
+    * WHAT share each source deserves; this op says whether the source
+    * CAN deliver it, and at how many epochs): per source,
+    * `target = budget·share`, `epochs = target/available`, capped at
+    * `maxEpochsMilli` (the "repeating data beyond ~4 epochs stops
+    * helping" rule from the data-constrained scaling literature), with
+    * the unfillable remainder reported as `shortfall_tokens` so the
+    * mix designer can rebalance instead of silently over-repeating.
+    *
+    * Shares arrive quantized in MICRO units (policy is an input, not a
+    * float recomputation), and every output is exact integer
+    * arithmetic (`decimal(38,0)` products, integral `div`) — engines
+    * agree to the bit. A share for a source with NO data plans
+    * `available = 0`, null epochs, full shortfall; corpus sources
+    * without a share get share 0 (available but unwanted).
+    *
+    * Shape: one partial-aggregable per-source collapse joined (full
+    * outer) with the |shares|-row literal policy table — nothing after
+    * the first aggregation touches corpus-sized data. Returns (source,
+    * n_tokens, share_micro, target_tokens, epochs_milli, capped,
+    * planned_tokens, shortfall_tokens). */
+  def epochPlan(df: DataFrame, sourceCol: String, tokCol: String,
+      shareMicro: Seq[(String, Long)], budgetTokens: Long,
+      maxEpochsMilli: Long = 4000L): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1, got $budgetTokens")
+    require(maxEpochsMilli >= 1, "maxEpochsMilli must be >= 1")
+    require(shareMicro.nonEmpty && shareMicro.forall(_._2 >= 0),
+      "shares must be non-negative micro units")
+    require(shareMicro.map(_._1).distinct.size == shareMicro.size,
+      "duplicate source in shares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(tokCol)).cast("long").as("n_tokens"))
+    val policy = broadcast(shareMicro.toDF("source", "share_micro"))
+    val joined = avail.join(policy, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("share_micro"), lit(0L)).as("share_micro"))
+    val targetI = expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * " +
+      "share_micro) div 1000000")
+    val epochsMilli = when(col("n_tokens") > 0,
+      expr("(CAST(target_tokens AS DECIMAL(38,0)) * 1000) div n_tokens"))
+    joined
+      .withColumn("target_tokens", targetI)
+      .withColumn("epochs_milli", epochsMilli)
+      .withColumn("capped", col("n_tokens") === 0 ||
+        col("epochs_milli") > maxEpochsMilli)
+      .withColumn("planned_tokens",
+        when(col("capped"),
+          expr(s"(CAST(n_tokens AS DECIMAL(38,0)) * $maxEpochsMilli) " +
+            "div 1000"))
+          .otherwise(col("target_tokens")))
+      .withColumn("shortfall_tokens",
+        greatest(col("target_tokens") - col("planned_tokens"), lit(0L)))
+  }
+
   /** Token-budget corpus selection: within each key (source, language,
     * …) rank rows by `orderCol` DESCENDING (quality first; `idCol`
     * breaks ties deterministically) and keep the maximal prefix whose

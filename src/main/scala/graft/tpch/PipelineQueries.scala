@@ -739,6 +739,16 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // epoch plan: a 10x-corpus token budget split 40/30/20/5/5 across
+    // the four real sources plus a phantom one with no data; the
+    // upsampled tails cap at 4 epochs and report exact shortfalls
+    "q298_epoch_plan" -> ((s, dir) =>
+      Corpus.epochPlan(docs(s, dir), "source", "n_chars",
+          Seq("src0" -> 400000L, "src1" -> 300000L, "src2" -> 200000L,
+            "src3" -> 50000L, "synthetic" -> 50000L),
+          budgetTokens = 30000000L, maxEpochsMilli = 4000L)
+        .orderBy(col("source"))),
+
     // systematic resampling of the corpus to exactly 1000 draws by
     // n_chars weight: zero-variance integer copy counts, no RNG
     "q297_systematic_resample" -> ((s, dir) =>
@@ -4086,6 +4096,35 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q298_epoch_plan" ->
+      """WITH avail AS (SELECT source, CAST(SUM(n_chars) AS BIGINT)
+        |    AS n_tokens FROM documents GROUP BY 1),
+        |policy(source, share_micro) AS (VALUES
+        |  ('src0', CAST(400000 AS BIGINT)), ('src1', 300000),
+        |  ('src2', 200000), ('src3', 50000), ('synthetic', 50000)),
+        |j AS (SELECT COALESCE(a.source, p.source) AS source,
+        |    COALESCE(a.n_tokens, 0) AS n_tokens,
+        |    COALESCE(p.share_micro, 0) AS share_micro
+        |  FROM avail a FULL OUTER JOIN policy p ON a.source = p.source),
+        |t AS (SELECT source, n_tokens, share_micro,
+        |    CAST((CAST(30000000 AS HUGEINT) * share_micro) // 1000000
+        |      AS BIGINT) AS target_tokens
+        |  FROM j),
+        |e AS (SELECT *, CASE WHEN n_tokens > 0 THEN
+        |      CAST((CAST(target_tokens AS HUGEINT) * 1000) // n_tokens
+        |        AS BIGINT) END AS epochs_milli
+        |  FROM t),
+        |c AS (SELECT *, n_tokens = 0 OR epochs_milli > 4000 AS capped
+        |  FROM e),
+        |p2 AS (SELECT *, CASE WHEN capped THEN
+        |      CAST((CAST(n_tokens AS HUGEINT) * 4000) // 1000 AS BIGINT)
+        |    ELSE target_tokens END AS planned_tokens
+        |  FROM c)
+        |SELECT source, n_tokens, share_micro, target_tokens,
+        |  epochs_milli, capped, planned_tokens,
+        |  greatest(target_tokens - planned_tokens, 0) AS shortfall_tokens
+        |FROM p2 ORDER BY source""".stripMargin,
 
     "q297_systematic_resample" ->
       """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt

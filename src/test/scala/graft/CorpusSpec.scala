@@ -932,6 +932,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, None)))
   }
 
+  test("epochPlan: caps over-repeated sources, flags phantom shares") {
+    import spark.implicits._
+    val docs = (Seq.fill(1)(("A", 100L)) ++ Seq.fill(2)(("B", 500L)))
+      .toDF("src", "toks")
+    val got = graft.ops.Corpus.epochPlan(docs, "src", "toks",
+        Seq("A" -> 500000L, "B" -> 250000L, "P" -> 250000L),
+        budgetTokens = 1000L, maxEpochsMilli = 4000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+          Option(r.getAs[java.lang.Long]("epochs_milli")),
+          r.getAs[Boolean]("capped"), r.getAs[Long]("planned_tokens"),
+          r.getAs[Long]("shortfall_tokens")))).toMap
+    // A: 5 epochs needed > 4 cap → plan 4 epochs, 100 short
+    assert(got("A") == ((100L, 500L, Some(5000L), true, 400L, 100L)))
+    assert(got("B") == ((1000L, 250L, Some(250L), false, 250L, 0L)))
+    // phantom share: nothing available, full shortfall, null epochs
+    assert(got("P") == ((0L, 250L, None, true, 0L, 250L)))
+  }
+
   test("systematicResample: exact copies, telescoping total, no RNG") {
     import spark.implicits._
     // W=4, n=8: copies = exactly 2x each weight
