@@ -2222,6 +2222,53 @@ object Profiling {
         col("rank"))
   }
 
+  /** Length-bias curve over pairwise preference duels — the
+    * verbose-bias audit run on comparison data BEFORE it trains a
+    * reward model (raters systematically over-prefer longer answers;
+    * a reward model fit on biased duels learns verbosity, not
+    * quality). Duels bucket by the absolute length gap, and each
+    * bucket reports how often the LONGER side won, with a sign-test
+    * flag (`(2w − m)²·1e6 ≥ zc²·1e6·m` on the tie-excluded count m —
+    * exact integer cross-multiplication, the [[proportionTest]]
+    * discipline). A flat ~50% curve is healthy data; a rate that grows
+    * with the gap is the bias signature.
+    *
+    * Buckets use `floor(|Δlen|/width)` — floor, not integer division
+    * (they agree here since |Δ| ≥ 0, and floor() keeps the expression
+    * identical to the oracle's). One partial-aggregable collapse to
+    * |buckets| rows. Returns (bucket, gap_lo, n, n_longer_won, n_ties,
+    * longer_win_rate, biased). */
+  def lengthBias(duels: DataFrame, winnerLenCol: String,
+      loserLenCol: String, bucketWidth: Long,
+      zCrit: Double = 1.96): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    val wl = col(winnerLenCol).cast("long")
+    val ll = col(loserLenCol).cast("long")
+    val per = duels
+      .filter(wl.isNotNull && ll.isNotNull)
+      .select(
+        floor(abs(wl - ll).cast("double") / bucketWidth).cast("long")
+          .as("bucket"),
+        when(wl > ll, 1L).otherwise(0L).as("__lw__"),
+        when(wl === ll, 1L).otherwise(0L).as("__tie__"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__lw__")).as("n_longer_won"),
+        sum(col("__tie__")).as("n_ties"))
+    val m = col("n") - col("n_ties")
+    // decimal(38,0) products: dev²·1e6 overflows a long near 1e9 duels
+    // per bucket, and ANSI would kill the job instead of wrapping
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val dev = col("n_longer_won") * 2 - m
+    per.select(col("bucket"), (col("bucket") * bucketWidth).as("gap_lo"),
+      col("n"), col("n_longer_won"), col("n_ties"),
+      when(m > 0, round(try_divide(col("n_longer_won").cast("double"),
+        m.cast("double")), 6)).as("longer_win_rate"),
+      when(m > 0, dec(dev) * dec(dev) * lit(1000000L) >=
+        dec(lit(zc2Micro)) * dec(m) && dev > 0).as("biased"))
+  }
+
   /** Unbiased pass@k over repeated samples per task — the standard
     * code/eval-harness readout (Chen et al.'s estimator: with n samples
     * of which c are correct, `pass@k = 1 − C(n−c,k)/C(n,k)`, which is

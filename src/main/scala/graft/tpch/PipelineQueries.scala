@@ -739,6 +739,24 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // length-bias audit over synthesized duels (adjacent docs; the
+    // longer doc wins 3 times in 4): the win-rate-by-gap curve must
+    // flag the injected verbosity preference
+    "q299_length_bias" -> ((s, dir) => {
+      val a = docs(s, dir).select(col("doc_id"), col("n_chars").as("la"))
+      val b = docs(s, dir).select((col("doc_id") - 1).as("doc_id"),
+        col("n_chars").as("lb"))
+      val duels = a.join(b, "doc_id")
+        .select(
+          when(col("doc_id") % 4 === 0, least(col("la"), col("lb")))
+            .otherwise(greatest(col("la"), col("lb"))).as("wlen"),
+          when(col("doc_id") % 4 === 0, greatest(col("la"), col("lb")))
+            .otherwise(least(col("la"), col("lb"))).as("llen"))
+      graft.ops.Profiling.lengthBias(duels, "wlen", "llen",
+          bucketWidth = 100L)
+        .orderBy(col("bucket"))
+    }),
+
     // epoch plan: a 10x-corpus token budget split 40/30/20/5/5 across
     // the four real sources plus a phantom one with no data; the
     // upsampled tails cap at 4 epochs and report exact shortfalls
@@ -4096,6 +4114,35 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q299_length_bias" ->
+      """WITH d AS (SELECT a.doc_id, a.n_chars AS la, b.n_chars AS lb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |duel AS (SELECT
+        |    CASE WHEN doc_id % 4 = 0 THEN least(la, lb)
+        |      ELSE greatest(la, lb) END AS wlen,
+        |    CASE WHEN doc_id % 4 = 0 THEN greatest(la, lb)
+        |      ELSE least(la, lb) END AS llen
+        |  FROM d),
+        |p AS (SELECT
+        |    CAST(floor(CAST(abs(wlen - llen) AS DOUBLE) / 100)
+        |      AS BIGINT) AS bucket,
+        |    CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN wlen > llen THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_longer_won,
+        |    CAST(SUM(CASE WHEN wlen = llen THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ties
+        |  FROM duel GROUP BY 1)
+        |SELECT bucket, bucket * 100 AS gap_lo, n, n_longer_won, n_ties,
+        |  CASE WHEN n - n_ties > 0 THEN
+        |    ROUND(CAST(n_longer_won AS DOUBLE)
+        |      / CAST(n - n_ties AS DOUBLE), 6) END AS longer_win_rate,
+        |  CASE WHEN n - n_ties > 0 THEN
+        |    CAST(n_longer_won * 2 - (n - n_ties) AS HUGEINT)
+        |      * (n_longer_won * 2 - (n - n_ties)) * 1000000
+        |      >= CAST(3841600 AS HUGEINT) * (n - n_ties)
+        |    AND n_longer_won * 2 - (n - n_ties) > 0 END AS biased
+        |FROM p ORDER BY bucket""".stripMargin,
 
     "q298_epoch_plan" ->
       """WITH avail AS (SELECT source, CAST(SUM(n_chars) AS BIGINT)

@@ -1100,6 +1100,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("f3", 1L)) == ((1L, false)))
   }
 
+  test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
+    import spark.implicits._
+    val duels =
+      // bucket 0 (gap < 10): 2 longer wins, 1 shorter win, 1 tie → 2/3
+      Seq((105L, 100L), (108L, 100L), (100L, 104L), (100L, 100L)) ++
+      // bucket 5 (gap 50..59): longer wins 9 of 9 → biased
+      Seq.fill(9)((150L, 100L)) ++
+      // bucket 9: SHORTER always wins → not biased (one-sided flag)
+      Seq.fill(9)((100L, 190L))
+    val got = graft.ops.Profiling.lengthBias(
+        duels.toDF("wlen", "llen"), "wlen", "llen", bucketWidth = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_longer_won"),
+          r.getAs[Long]("n_ties"),
+          Option(r.getAs[java.lang.Double]("longer_win_rate")),
+          Option(r.getAs[java.lang.Boolean]("biased"))))).toMap
+    assert(got(0L) == ((4L, 2L, 1L, Some(0.666667), Some(false))))
+    // z² = 9 ≥ 3.8416 and one-sided toward longer → biased
+    assert(got(5L) == ((9L, 9L, 0L, Some(1.0), Some(true))))
+    // same magnitude the OTHER way: significant but not verbose-bias
+    assert(got(9L) == ((9L, 0L, 0L, Some(0.0), Some(false))))
+  }
+
   test("btStrengths: one MM iteration by hand, zero-win player pins 0") {
     import spark.implicits._
     // duels: A>B twice, B>C, C>A, A>D. Uniform start, one update:
