@@ -330,6 +330,57 @@ object Corpus {
         greatest(col("target_tokens") - col("planned_tokens"), lit(0L)))
   }
 
+  /** Deterministic epoch shuffle order — a seedless, reproducible
+    * GLOBAL training position for every row: rank in
+    * `polyhash(epoch ":" id)` order (id tie-break). Reproducibility is
+    * the point — re-running the pipeline, resuming mid-epoch, or
+    * re-deriving "which examples did step N see" all need the same
+    * permutation from the same inputs, which an RNG-seeded
+    * `orderBy(rand())` cannot give across engine versions and retries;
+    * changing `epoch` yields an unrelated permutation (the
+    * content-addressed [[withSplit]] discipline applied to ORDER).
+    *
+    * The rank is a DISTRIBUTED PREFIX SUM of row counts in key order
+    * ([[vocabCoverage]]'s shape: range-repartition by (key, id),
+    * per-partition row_number + |partitions|-row driver offsets) —
+    * never a global single-partition ORDER BY window. Returns
+    * (idCol, shuffle_key, shuffle_rank 1-based). */
+  def shuffleOrder(df: DataFrame, idCol: String,
+      epoch: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    // poly_hash alone is a BAD shuffle key: for same-length ids the
+    // fold is h = Σ c_i·131^k mod p, so ids differing in the last digit
+    // hash 1 apart (sequential ids came out in IDENTITY order). The
+    // multiplicative step is a bijection on Z_p that maps consecutive
+    // hashes ~6.4e8 apart — a real permutation, still exact integer
+    // arithmetic both engines replay (product < 2^63, no overflow).
+    val key = pmod(graft.functions.NativeHashes.poly_hash(
+        concat(lit(s"$epoch:"), col(idCol).cast("string"))) *
+        lit(636413622L) + lit(12345L),
+      lit(1000000007L))
+    val sorted = Caches.registerDf(df
+      .select(col(idCol), key.as("shuffle_key"))
+      .repartitionByRange(col("shuffle_key").asc, col(idCol).asc)
+      .sortWithinPartitions(col("shuffle_key").asc, col(idCol).asc)
+      .withColumn("__pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partCounts = sorted.groupBy(col("__pid__"))
+      .agg(count(lit(1)).as("__c__"))
+      .collect().map(r => (r.getAs[Int]("__pid__"), r.getAs[Long]("__c__")))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = partCounts.map { case (pid, c) =>
+      val row = (pid, acc); acc += c; row
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid__", "__off__"))
+    val w = Window.partitionBy(col("__pid__"))
+      .orderBy(col("shuffle_key").asc, col(idCol).asc)
+    sorted.join(offDf, Seq("__pid__"))
+      .select(col(idCol), col("shuffle_key"),
+        (col("__off__") + row_number().over(w)).as("shuffle_rank"))
+  }
+
   /** Token-budget corpus selection: within each key (source, language,
     * …) rank rows by `orderCol` DESCENDING (quality first; `idCol`
     * breaks ties deterministically) and keep the maximal prefix whose

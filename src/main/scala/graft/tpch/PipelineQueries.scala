@@ -739,6 +739,14 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // deterministic epoch-7 shuffle order: every doc's reproducible
+    // global training position, no RNG — resume and replay get the
+    // identical permutation
+    "q300_shuffle_order" -> ((s, dir) =>
+      Corpus.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id",
+          epoch = 7L)
+        .orderBy(col("doc_id"))),
+
     // length-bias audit over synthesized duels (adjacent docs; the
     // longer doc wins 3 times in 4): the win-rate-by-gap curve must
     // flag the injected verbosity preference
@@ -4114,6 +4122,16 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q300_shuffle_order" -> {
+      val k = "((" + dpolyhash("'7:' || CAST(doc_id AS VARCHAR)") +
+        " * 636413622 + 12345) % 1000000007)"
+      s"""WITH h AS (SELECT doc_id, $k AS shuffle_key FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+         |    AS BIGINT) AS shuffle_rank
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     "q299_length_bias" ->
       """WITH d AS (SELECT a.doc_id, a.n_chars AS la, b.n_chars AS lb

@@ -932,6 +932,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, None)))
   }
 
+  test("shuffleOrder: a permutation, epoch-dependent, reproducible") {
+    import spark.implicits._
+    val ids = (1L to 200L).toDF("id")
+    val e0 = graft.ops.Corpus.shuffleOrder(ids, "id", epoch = 0L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    graft.ops.Caches.releaseAll()
+    // ranks are exactly 1..n (a permutation, no gaps, no dupes)
+    assert(e0.values.toSeq.sorted == (1L to 200L))
+    // NOT the identity: the hash actually scrambled the order
+    assert((1L to 200L).count(i => e0(i) == i) < 20)
+    // same epoch reproduces bit-identically; another epoch differs
+    val e0b = graft.ops.Corpus.shuffleOrder(ids, "id", epoch = 0L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    graft.ops.Caches.releaseAll()
+    val e1 = graft.ops.Corpus.shuffleOrder(ids, "id", epoch = 1L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    graft.ops.Caches.releaseAll()
+    assert(e0b == e0)
+    assert(e1 != e0)
+  }
+
   test("epochPlan: caps over-repeated sources, flags phantom shares") {
     import spark.implicits._
     val docs = (Seq.fill(1)(("A", 100L)) ++ Seq.fill(2)(("B", 500L)))
