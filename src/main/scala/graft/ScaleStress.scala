@@ -659,6 +659,37 @@ object ScaleStress {
         val out = Corpus.ngramDiversity(d, "grp", "text")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q297 shape: systematic resample — distributed prefix sum of
+      // weights in id order, exact copy arithmetic
+      timed(scale, "systematic_resample") {
+        val out = Corpus.systematicResample(
+          docs.select(col("doc_id"),
+            (length(col("text")) + 1).cast("long").as("wt")),
+          "doc_id", "wt", n = 100000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q300 shape: epoch shuffle order — the same prefix-sum shape on
+      // row counts, LCG-scrambled polyhash keys
+      timed(scale, "shuffle_order") {
+        val out = Corpus.shuffleOrder(docs.select(col("doc_id")),
+          "doc_id", epoch = 3L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q296 shape: SFT mask QA — per-row JSON parse + lambda folds;
+      // the assistant turn carries real (JSON-sanitized) doc text so
+      // the parse cost is corpus-shaped, not constant-folded
+      timed(scale, "sft_mask") {
+        val safe = regexp_replace(col("text"),
+          "[\"\\\\\\x00-\\x1f]", " ")
+        val convo = concat(
+          lit("[{\"role\":\"user\",\"content\":\"q\"},"),
+          lit("{\"role\":\"assistant\",\"content\":\""),
+          safe, lit("\"}]"))
+        val out = graft.ops.SemiStructured.sftMaskStats(
+          docs.select(col("doc_id"), convo.as("convo")),
+          "doc_id", "convo")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q203 shape: codepoint entropy — one JIT pass per row, no shuffle
       timed(scale, "char_entropy") {
         val out = graft.ops.TextAnalysis.charEntropyStats(
@@ -1017,6 +1048,17 @@ object ScaleStress {
       }
     runEffRank("1x", emb1x)
     runEffRank("10x", emb10x)
+
+    // q294 shape: k−1 narrow argmax scans against literal centers —
+    // wall should track corpus size × k, never pairs
+    def runKCenter(scale: String, emb: DataFrame): Unit =
+      timed(scale, "kcenter_coreset") {
+        val out = graft.ops.Clustering.kCenterGreedy(emb, "vec_id",
+          "embedding", k = 6)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runKCenter("1x", emb1x)
+    runKCenter("10x", emb10x)
 
     // r9 event-analytics shapes (q90–q92) over the events fact. 10× = 10
     // user-shifted copies: users grow with the log while per-user history
@@ -1604,6 +1646,36 @@ object ScaleStress {
           floor(col("value") * 100 + 0.5).cast("long").as("v"))
         val out = graft.ops.Profiling.anovaF(e2, "event_type",
           "variant", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q293 shape: Bradley–Terry — one duel-log collapse to the
+      // registry-bounded matchup table, then 3 tiny-join MM iterations
+      timed(scale, "bt_strengths") {
+        val duels = ev.select(col("event_type").as("winner"),
+          when(col("event_type") === "view", lit("click"))
+            .otherwise(lit("view")).as("loser"))
+        val out = graft.ops.Profiling.btStrengths(duels,
+          "winner", "loser", iters = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q292 shape: pass@k — one partial-aggregable task collapse +
+      // per-row unrolled product
+      timed(scale, "pass_at_k") {
+        val e2 = ev.select(concat(col("event_type"), lit("#"),
+            pmod(col("user_id"), lit(50L)).cast("string")).as("task"),
+          (col("value") > 1.0).as("ok"))
+        val out = graft.ops.Profiling.passAtK(e2, "task", "ok",
+          Seq(1, 5, 10))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q291 shape: BH step-up — windows over the FAMILY registry only
+      timed(scale, "bh_fdr") {
+        val tests = ev.groupBy(col("event_type"),
+            pmod(col("user_id"), lit(25L)).as("tid"))
+          .agg((abs(sum(floor(col("value") * 100 + 0.5).cast("long"))) %
+            1000001L).as("p_micro"))
+        val out = graft.ops.Profiling.bhProcedure(tests, "event_type",
+          "tid", "p_micro", alphaMicro = 200000L)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q284 shape: delta-method ratio metric — two partial-aggregable
