@@ -739,6 +739,31 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // END-TO-END corpus-prep chain — the composability demo: spike the
+    // corpus with case/whitespace-mangled duplicates, then normalize →
+    // exact-dedup keep-first → word-count quality gate →
+    // content-addressed split, all in ONE plan the oracle replays
+    // stage by stage
+    "q301_corpus_prep_chain" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text"))
+      val spiked = d.unionAll(d.select(
+        (col("doc_id") + 100000L).as("doc_id"), col("source"),
+        upper(replace(col("text"), lit(" "), lit("  "))).as("text")))
+      val normed = spiked.select(col("doc_id"), col("source"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      val keepers = Dedup.exactKeepers(normed, "norm", "doc_id")
+      val kept = normed.join(keepers, "doc_id")
+      val words = size(filter(split(col("norm"), "\\s+"),
+        w => w =!= "")).cast("long")
+      val gated = kept.withColumn("words", words)
+        .filter(col("words") >= 20)
+      Corpus.withSplit(gated, "norm")
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          col("words"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic epoch-7 shuffle order: every doc's reproducible
     // global training position, no RNG — resume and replay get the
     // identical permutation
@@ -4122,6 +4147,31 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q301_corpus_prep_chain" -> {
+      val k = dpolyhash("norm")
+      s"""WITH sp AS (SELECT doc_id, source, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, source,
+         |    upper(replace(text, ' ', '  ')) FROM documents),
+         |n AS (SELECT doc_id, source,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM sp),
+         |k AS (SELECT min(doc_id) AS doc_id,
+         |    CAST(COUNT(1) AS BIGINT) AS n_copies
+         |  FROM n GROUP BY norm),
+         |j AS (SELECT n.doc_id, n.source, n.norm, k.n_copies
+         |  FROM n JOIN k USING (doc_id)),
+         |q AS (SELECT *, CAST(len(list_filter(
+         |    regexp_split_to_array(norm, '\\s+'), w -> w <> ''))
+         |    AS BIGINT) AS words FROM j),
+         |f AS (SELECT * FROM q WHERE words >= 20),
+         |s AS (SELECT doc_id, source, n_copies, words,
+         |    $k % 100 AS bucket FROM f)
+         |SELECT doc_id, source, n_copies, words, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "q300_shuffle_order" -> {
       val k = "((" + dpolyhash("'7:' || CAST(doc_id AS VARCHAR)") +
