@@ -131,6 +131,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sftMaskStats streams unchanged — per-row folds, no shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .select(col("doc_id"), concat(
+        lit("[{\"role\":\"user\",\"content\":\"q\"},"),
+        lit("{\"role\":\"assistant\",\"content\":\"a"),
+        (col("doc_id") % 5).cast("string"), lit("\"}]")).as("convo"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sft_stream").toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val q = graft.ops.SemiStructured.sftMaskStats(stream, "doc_id", "convo")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sft_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sft_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.SemiStructured
+        .sftMaskStats(docs, "doc_id", "convo")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.size == 200)
+    } finally q.stop()
+  }
+
   test("streaming mixture sampling equals its batch twin row-for-row") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "source", "text")
