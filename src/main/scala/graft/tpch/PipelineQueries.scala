@@ -739,6 +739,29 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // packing-quality audit over the q66 layout: per shard, window
+    // utilization and the fraction of docs crossing a context boundary
+    // (cross-doc attention contamination under concat-then-chunk)
+    "q302_packing_audit" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Corpus.sequencePack(d, "doc_id", "n_tokens", ctxLen = 256,
+          nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("pack_last")) + 1).as("windows_used"),
+          sum(when(col("n_windows") > 1, 1L).otherwise(0L))
+            .as("n_crossing"))
+        .withColumn("crossing_frac",
+          round(try_divide(col("n_crossing").cast("double"),
+            col("n_docs").cast("double")), 6))
+        .withColumn("utilization",
+          round(try_divide(col("total_tokens").cast("double"),
+            (col("windows_used") * 256L).cast("double")), 6))
+        .orderBy(col("shard"))
+    }),
+
     // END-TO-END corpus-prep chain — the composability demo: spike the
     // corpus with case/whitespace-mangled duplicates, then normalize →
     // exact-dedup keep-first → word-count quality gate →
@@ -4147,6 +4170,31 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2605000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q302_packing_audit" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS cum FROM t),
+        |w AS (SELECT shard, n_tokens,
+        |    (cum - n_tokens) // 256 AS pack_first,
+        |    GREATEST(cum - 1, cum - n_tokens) // 256 AS pack_last
+        |  FROM c),
+        |a AS (SELECT shard, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(MAX(pack_last) + 1 AS BIGINT) AS windows_used,
+        |    CAST(SUM(CASE WHEN pack_last - pack_first + 1 > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |  FROM w GROUP BY 1)
+        |SELECT shard, n_docs, total_tokens, windows_used, n_crossing,
+        |  ROUND(CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS crossing_frac,
+        |  ROUND(CAST(total_tokens AS DOUBLE)
+        |    / CAST(windows_used * 256 AS DOUBLE), 6) AS utilization
+        |FROM a ORDER BY shard""".stripMargin,
 
     "q301_corpus_prep_chain" -> {
       val k = dpolyhash("norm")
