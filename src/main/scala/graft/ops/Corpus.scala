@@ -1429,16 +1429,7 @@ object Corpus {
   def systematicResample(df: DataFrame, idCol: String,
       weightCol: String, n: Long): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = df.schema(weightCol).dataType
-    val ok = t match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    require(ok, s"systematicResample requires an integral weight " +
-      s"(quantize upstream); '$weightCol' is $t")
+    Profiling.requireIntegral(df, weightCol, "systematicResample")
     val spark = df.sparkSession
     val base = df.select(col(idCol), col(weightCol).cast("long")
         .as("__wt__"))

@@ -1625,18 +1625,7 @@ object Profiling {
   def ratioMetric(df: DataFrame, unitCol: String, variantCol: String,
       numCol: String, denCol: String, control: String,
       zCrit: Double = 1.96): DataFrame = {
-    Seq(numCol, denCol).foreach { c =>
-      val t = df.schema(c).dataType
-      val ok = t match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
-      require(ok, s"ratioMetric requires integral metric columns " +
-        s"(quantize upstream); '$c' is $t")
-    }
+    Seq(numCol, denCol).foreach(requireIntegral(df, _, "ratioMetric"))
     val zc2Micro = math.round(zCrit * zCrit * 1e6)
     def dec(c: Column) = c.cast("decimal(38,0)")
     val units = df
@@ -1873,10 +1862,12 @@ object Profiling {
           .as("significant"))
   }
 
-  /** Integral-type guard shared by the rank/variance tests: these ops
-    * promise bit-identical verdicts across engines, which only holds
-    * when the inputs are exact integers (quantize upstream). */
-  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+  /** Integral-type guard shared by the rank/variance tests (and the
+    * exact-arithmetic Corpus ops): these ops promise bit-identical
+    * results across engines, which only holds when the inputs are
+    * exact integers (quantize upstream). */
+  private[ops] def requireIntegral(df: DataFrame, c: String,
+      op: String): Unit = {
     val t = df.schema(c).dataType
     val ok = t match {
       case org.apache.spark.sql.types.ByteType |
@@ -2121,8 +2112,13 @@ object Profiling {
     *
     * Shape: one rank window per family ordered by (p, id) and one
     * full-partition max — both over the FAMILY's rows, which is a test
-    * registry (hundreds), never corpus-sized. Returns every input row:
-    * (group, id, p_micro, rank, m, reject). */
+    * registry (hundreds), never corpus-sized. Rows with a NULL p_micro
+    * are EXCLUDED — they carry no evidence, appear in no output row,
+    * and do not count toward the family size m (an undefined upstream
+    * statistic must not loosen or tighten the thresholds); audit them
+    * upstream if "every registered test got a verdict" matters.
+    * Returns (group, id, p_micro, rank, m, reject) for the non-null
+    * rows. */
   def bhProcedure(df: DataFrame, groupCol: String, idCol: String,
       pMicroCol: String, alphaMicro: Long = 50000L): DataFrame = {
     requireIntegral(df, pMicroCol, "bhProcedure")

@@ -62,9 +62,10 @@ object SemiStructured {
   /** Explode a JSON chat transcript into one row per turn — the
     * normalized view every SFT-data transform (templating, masking,
     * per-turn filtering) starts from; [[graft.ops.TextAnalysis
-    * .dialogueStats]] is the line-format sibling. Malformed or
-    * non-array payloads contribute ZERO rows (posexplode of the null
-    * parse) — pair with a `json_valid`-style audit upstream to count
+    * .dialogueStats]] is the line-format sibling. Malformed payloads,
+    * non-array payloads, AND well-formed arrays whose elements are not
+    * objects (`["a","b"]` — from_json nulls the whole parse) contribute
+    * ZERO rows — pair with a `json_valid`-style audit upstream to count
     * them; one bad blob cannot kill the scan. Per-row parse + explode,
     * no shuffle, streams unchanged. Returns
     * (idCol, turn_idx 1-based, role, content, n_chars). */

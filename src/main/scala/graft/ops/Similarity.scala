@@ -106,8 +106,9 @@ object Similarity {
     * makes the denominator exactly 0 and ANSI Spark throws
     * DIVIDE_BY_ZERO even on doubles — null-on-zero instead, which every
     * `cosine >= t` consumer filters exactly like the NaN guard. (DuckDB
-    * replays IEEE 0/0 = NaN; its `NOT isnan` guard excludes the same
-    * rows.) */
+    * 1.0's double/0 is NULL as well — verified, it has no IEEE-division
+    * mode — and its `NOT isnan(NULL)` is NULL, so the oracle's WHERE
+    * drops the same rows.) */
   def cosine(a: Column, b: Column): Column =
     try_divide(dot(a, b), norm(a) * norm(b))
 
@@ -416,12 +417,15 @@ object Similarity {
       scale: Long = 1000L): DataFrame = {
     require(scale >= 1, "scale must be >= 1")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // cast to decimal BEFORE multiplying/summing: qv² on unnormalized
+    // features overflows a long after ~9e6 rows (ANSI job killer); the
+    // oracle's HUGEINT twin promotes before the multiply too
     val perDim = df.select(posexplode(transform(col(vecCol),
         x => floor(x.cast("double") * scale + 0.5).cast("long"))))
       .groupBy(col("pos").as("dim"))
       .agg(count(lit(1)).cast(dec).as("__n__"),
-        sum(col("col")).cast(dec).as("__s__"),
-        sum(col("col") * col("col")).cast(dec).as("__ss__"))
+        sum(col("col").cast(dec)).as("__s__"),
+        sum(col("col").cast(dec) * col("col").cast(dec)).as("__ss__"))
       .select(col("dim"), col("__n__"),
         (col("__n__") * col("__ss__") - col("__s__") * col("__s__"))
           .as("__v__"))

@@ -865,10 +865,12 @@ object PipelineQueries {
     "q293_bt_strengths" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val ev = graft.tpch.EventsModel.eventsTable(s, dir)
-      val idx = types.tail.zipWithIndex.foldLeft(
+      // otherwise(4): an unknown event type maps to 'view' exactly like
+      // the oracle's CASE ... ELSE 4 — never a silently-dropped duel
+      val idx = types.tail.init.zipWithIndex.foldLeft(
         when(col("event_type") === types.head, 0L)) {
         case (acc, (t, i)) => acc.when(col("event_type") === t, i + 1L)
-      }
+      }.otherwise(4L)
       val loser = element_at(array(types.map(lit): _*),
         (((idx + col("event_id") % 4 + 1L) % 5L) + 1L).cast("int"))
       graft.ops.Profiling.btStrengths(
@@ -4023,15 +4025,17 @@ object PipelineQueries {
         |    (vx + r * r * vy - 2.0 * r * vxy)
         |      / (CAST(n AS DOUBLE) * my * my) AS vr
         |  FROM z),
-        |c AS (SELECT n AS cn, r AS cr, vr AS cvr FROM v
+        |c AS (SELECT n AS cn, sy AS csy, r AS cr, vr AS cvr FROM v
         |  WHERE variant = 'control')
         |SELECT v.variant, CAST(v.n AS BIGINT) AS n_units,
         |  CAST(v.sx AS BIGINT) AS sum_num,
         |  CAST(v.sy AS BIGINT) AS sum_den,
         |  CASE WHEN v.sy <> 0 THEN ROUND(v.r, 6) END AS ratio,
-        |  CASE WHEN v.variant <> 'control' THEN
+        |  CASE WHEN v.variant <> 'control' AND v.sy <> 0
+        |      AND c.csy <> 0 THEN
         |    ROUND(v.r - c.cr, 6) END AS diff_vs_control,
         |  CASE WHEN v.variant <> 'control' AND v.n > 1 AND c.cn > 1
+        |      AND v.sy <> 0 AND c.csy <> 0
         |      AND v.vr + c.cvr > 0 THEN
         |    (v.r - c.cr) * (v.r - c.cr) * 1000000.0
         |      >= 3841600.0 * (v.vr + c.cvr)
@@ -4306,7 +4310,10 @@ object PipelineQueries {
     "q295_dialogue_turns" ->
       s"""WITH t AS (SELECT doc_id, $chatJsonSql AS j FROM documents),
          |v AS (SELECT doc_id, j FROM t
-         |  WHERE json_valid(j) AND json_type(j) = 'ARRAY'),
+         |  WHERE json_valid(j) AND json_type(j) = 'ARRAY'
+         |    AND NOT EXISTS (SELECT 1 FROM
+         |      unnest(range(CAST(json_array_length(j) AS BIGINT))) u(i)
+         |      WHERE json_type(j, '$$[' || u.i || ']') <> 'OBJECT')),
          |turns AS (SELECT doc_id, CAST(u.i + 1 AS INTEGER) AS turn_idx,
          |    json_extract_string(j, '$$[' || u.i || '].role') AS role,
          |    json_extract_string(j, '$$[' || u.i || '].content')
@@ -4319,7 +4326,10 @@ object PipelineQueries {
     "q296_sft_mask" ->
       s"""WITH t AS (SELECT doc_id, $chatJsonSql AS j FROM documents),
          |v AS (SELECT doc_id, j FROM t
-         |  WHERE json_valid(j) AND json_type(j) = 'ARRAY'),
+         |  WHERE json_valid(j) AND json_type(j) = 'ARRAY'
+         |    AND NOT EXISTS (SELECT 1 FROM
+         |      unnest(range(CAST(json_array_length(j) AS BIGINT))) u(i)
+         |      WHERE json_type(j, '$$[' || u.i || ']') <> 'OBJECT')),
          |turns AS (SELECT doc_id, CAST(u.i + 1 AS INTEGER) AS turn_idx,
          |    json_extract_string(j, '$$[' || u.i || '].role') AS role,
          |    json_extract_string(j, '$$[' || u.i || '].content')
@@ -4330,13 +4340,17 @@ object PipelineQueries {
          |agg AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_turns,
          |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_assistant,
-         |    CAST(SUM(CASE WHEN role = 'assistant' THEN length(content)
+         |    CAST(SUM(CASE WHEN role = 'assistant'
+         |      THEN COALESCE(length(content), 0)
          |      ELSE 0 END) AS BIGINT) AS assistant_chars,
-         |    CAST(SUM(length(content)) AS BIGINT) AS total_chars,
-         |    bool_or(role = 'assistant' AND length(content) = 0)
+         |    CAST(SUM(COALESCE(length(content), 0)) AS BIGINT)
+         |      AS total_chars,
+         |    bool_or(role = 'assistant'
+         |      AND COALESCE(length(content), 0) = 0)
          |      AS has_empty_assistant,
-         |    CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS alternation_breaks,
+         |    CAST(SUM(CASE WHEN turn_idx > 1
+         |      AND role IS NOT DISTINCT FROM prev_role
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS alternation_breaks,
          |    bool_or(turn_idx = 1 AND role = 'assistant')
          |      AS starts_with_assistant
          |  FROM lagd GROUP BY 1)

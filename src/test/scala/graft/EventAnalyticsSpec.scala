@@ -428,7 +428,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
         """{"role":"assistant","content":"hello there"}]"""),
       (2L, "not json at all"),
       (3L, """{"role":"user","content":"valid json, wrong shape"}"""),
-      (4L, """[{"role":"assistant","content":""}]"""))
+      (4L, """[{"role":"assistant","content":""}]"""),
+      // a well-formed array of NON-OBJECTS also parses to null →
+      // zero rows (and the oracle's element-type guard matches)
+      (5L, """["a","b"]"""))
       .toDF("id", "convo")
     val got = graft.ops.SemiStructured.dialogueTurnsJson(df, "id", "convo")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
@@ -449,7 +452,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
         """{"role":"user","content":"q"},""" +
         """{"role":"assistant","content":"r"},""" +
         """{"role":"assistant","content":""}]"""),
-      (3L, "broken"))
+      (3L, "broken"),
+      // missing content KEY: counts as an empty assistant turn, zero
+      // chars — never a null verdict or a crash
+      (4L, """[{"role":"user","content":"q"},{"role":"assistant"}]"""))
       .toDF("id", "convo")
     val got = graft.ops.SemiStructured.sftMaskStats(df, "id", "convo")
       .collect().map(r => r.getLong(0) ->
@@ -463,6 +469,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ((2L, 1L, 5L, 7L, Some(0.714286), false, 0L, false)))
     assert(got(2L) == ((4L, 3L, 3L, 4L, Some(0.75), true, 1L, true)))
     assert(got(3L) == ((0L, 0L, 0L, 0L, None, false, 0L, false)))
+    assert(got(4L) == ((2L, 1L, 0L, 1L, Some(0.0), true, 0L, false)))
   }
 
   test("coec: out-clicking your slot scores > 1 at any rank") {
