@@ -1959,6 +1959,72 @@ object Profiling {
         .as("rho"))
   }
 
+  /** Kendall τ-b rank correlation per group — the third member of the
+    * correlation family ([[corrMatrix]] asks "is it LINEAR", [[
+    * spearman]] "is it MONOTONE as ranks"; Kendall asks "what fraction
+    * of PAIRS agree", which is directly interpretable as an ordering
+    * accuracy and is the standard metric for comparing two RANKERS —
+    * e.g. a cheap quality heuristic against a slow reward model). The
+    * tie-adjusted τ-b: concordant/discordant pair counts with
+    * `τ = (C − D) / √((n₀ − T_x)(n₀ − T_y))`.
+    *
+    * Scale shape: rows collapse FIRST to the per-(group, x, y) CELL
+    * grid (partial-aggregable), and the O(pairs) work runs on the
+    * grid's self-join with a strict x inequality — cost is
+    * |cells|²-bounded per group, NOT row-count-bounded (the
+    * [[graft.ops.EventAnalytics.mannKendall]] span² discipline;
+    * quantize upstream so the grid stays modest). Every count is an
+    * exact decimal(38,0); only the final ratio assembles in doubles
+    * (IEEE sqrt, the [[corrMatrix]] posture). τ is null when either
+    * column is constant within the group. Returns
+    * (group, n, concordant, discordant, tau). */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    requireIntegral(df, xCol, "kendallTau")
+    requireIntegral(df, yCol, "kendallTau")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x__"),
+        col(yCol).cast("long").as("__y__"))
+    val cells = base.groupBy(col(groupCol), col("__x__"), col("__y__"))
+      .agg(count(lit(1)).as("__n__"))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val prod = dec(col("a.__n__")) * dec(col("b.__n__"))
+    val cd = a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col("b.__x__") > col("a.__x__"))
+      .groupBy(col(s"a.$groupCol").as(groupCol))
+      .agg(sum(when(col("b.__y__") > col("a.__y__"), prod)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__c__"),
+        sum(when(col("b.__y__") < col("a.__y__"), prod)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__d__"))
+    def marginalTies(c: String) = base
+      .groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("__t__"))
+      .groupBy(col(groupCol))
+      .agg(sum(dec(col("__t__")) * dec(col("__t__") - 1)).as("__tt__"))
+    val tx = marginalTies("__x__")
+      .withColumnRenamed("__tt__", "__tx2__")
+    val ty = marginalTies("__y__")
+      .withColumnRenamed("__tt__", "__ty2__")
+    val per = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .join(cd, Seq(groupCol), "left")
+      .join(tx, Seq(groupCol)).join(ty, Seq(groupCol))
+    // doubled pair counts (n(n−1), t(t−1)) keep everything integral;
+    // the shared factor 2 cancels inside the ratio
+    val n02 = dec(col("n")) * dec(col("n") - 1)
+    val cC = coalesce(col("__c__"), lit(0).cast("decimal(38,0)"))
+    val dD = coalesce(col("__d__"), lit(0).cast("decimal(38,0)"))
+    val denx = n02 - col("__tx2__")
+    val deny = n02 - col("__ty2__")
+    per.select(col(groupCol), col("n"),
+      cC.cast("long").as("concordant"),
+      dD.cast("long").as("discordant"),
+      when(denx > 0 && deny > 0,
+        round((cC - dD).cast("double") * 2.0 /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6))
+        .as("tau"))
+  }
+
   /** Kruskal–Wallis H test per group — [[rankSumTest]] generalized to
     * k samples ("did ANY variant's distribution shift?", the
     * nonparametric one-way ANOVA; run it before k·(k−1)/2 pairwise

@@ -684,6 +684,19 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Kendall tau-b per event type between two coarse quantizations of
+    // value (one noised) — ordering agreement with heavy ties; the
+    // cell-grid pair join is replayed exactly
+    "q303_kendall_tau" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 0.25 + 0.5).cast("long").as("x"),
+          (floor(col("value") * 0.125 + 0.5) + col("user_id") % 5)
+            .cast("long").as("y"))
+      graft.ops.Profiling.kendallTau(ev, "event_type", "x", "y")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4097,6 +4110,43 @@ object PipelineQueries {
         |        SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
         |  END AS rho
         |FROM m ORDER BY 1""".stripMargin,
+
+    "q303_kendall_tau" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 0.25 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(value * 0.125 + 0.5) AS BIGINT) + user_id % 5
+        |      AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT g, x, y, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g,
+        |    SUM(CASE WHEN bb.y > a.y THEN CAST(a.n AS HUGEINT) * bb.n
+        |      ELSE 0 END) AS c,
+        |    SUM(CASE WHEN bb.y < a.y THEN CAST(a.n AS HUGEINT) * bb.n
+        |      ELSE 0 END) AS d
+        |  FROM cells a JOIN cells bb ON a.g = bb.g AND bb.x > a.x
+        |  GROUP BY 1),
+        |tx AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx2
+        |  FROM (SELECT g, x, COUNT(1) AS t FROM b GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty2
+        |  FROM (SELECT g, y, COUNT(1) AS t FROM b GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |p AS (SELECT g, CAST(COUNT(1) AS HUGEINT) AS n FROM b
+        |  GROUP BY 1)
+        |SELECT p.g AS event_type, CAST(p.n AS BIGINT) AS n,
+        |  CAST(COALESCE(cd.c, 0) AS BIGINT) AS concordant,
+        |  CAST(COALESCE(cd.d, 0) AS BIGINT) AS discordant,
+        |  CASE WHEN p.n * (p.n - 1) - tx.tx2 > 0
+        |      AND p.n * (p.n - 1) - ty.ty2 > 0 THEN
+        |    ROUND(CAST(COALESCE(cd.c, 0) - COALESCE(cd.d, 0) AS DOUBLE)
+        |      * 2.0 /
+        |      (SQRT(CAST(p.n * (p.n - 1) - tx.tx2 AS DOUBLE)) *
+        |        SQRT(CAST(p.n * (p.n - 1) - ty.ty2 AS DOUBLE))), 6)
+        |  END AS tau
+        |FROM p LEFT JOIN cd ON p.g = cd.g
+        |  JOIN tx ON p.g = tx.g JOIN ty ON p.g = ty.g
+        |ORDER BY 1""".stripMargin,
 
     "q287_kruskal" ->
       """WITH b AS (SELECT event_type AS g,

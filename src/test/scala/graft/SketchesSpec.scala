@@ -1100,6 +1100,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("f3", 1L)) == ((1L, false)))
   }
 
+  test("kendallTau: hand pairs with ties, perfect orders, constant null") {
+    import spark.implicits._
+    val df = Seq(
+      // (1,1),(2,2),(2,3),(3,1): the x<x' pairs are AB:C, AC:C,
+      // AD:tie-y, BD:D, CD:D (BC ties on x) → C = D = 2, tau 0
+      ("g", 1L, 1L), ("g", 2L, 2L), ("g", 2L, 3L), ("g", 3L, 1L),
+      // perfect agreement → tau = 1; perfect reversal → −1
+      ("p", 1L, 10L), ("p", 2L, 20L), ("p", 3L, 30L),
+      ("r", 1L, 30L), ("r", 2L, 20L), ("r", 3L, 10L),
+      // constant y → zero denominator → null tau
+      ("z", 1L, 7L), ("z", 2L, 7L))
+      .toDF("grp", "x", "y")
+    val got = graft.ops.Profiling.kendallTau(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("concordant"),
+          r.getAs[Long]("discordant"),
+          Option(r.getAs[java.lang.Double]("tau"))))).toMap
+    assert(got("p") == ((3L, 3L, 0L, Some(1.0))))
+    assert(got("r") == ((3L, 0L, 3L, Some(-1.0))))
+    assert(got("z")._4.isEmpty)
+    // g: x-ordered pairs: (1,1)<(2,2) C, (1,1)<(2,3) C, (1,1)<(3,1) tie-y,
+    // (2,2)<(3,1) D, (2,3)<(3,1) D; C=2 D=2, n0*2=12, tx2=2, ty2=0
+    // → tau = (2-2)*2/... = 0.0
+    assert(got("g") == ((4L, 2L, 2L, Some(0.0))))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
