@@ -1615,6 +1615,17 @@ object ScaleStress {
           "event_type", "x", "y")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q303 shape: Kendall τ-b — the pair join runs on the quantized
+      // CELL grid; wall must track |cells|², never rows²
+      timed(scale, "kendall_tau") {
+        val e2 = ev.select(col("event_type"),
+          floor(col("value") * 0.25 + 0.5).cast("long").as("x"),
+          (floor(col("value") * 0.125 + 0.5) + col("user_id") % 5)
+            .cast("long").as("y"))
+        val out = graft.ops.Profiling.kendallTau(e2, "event_type",
+          "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {
