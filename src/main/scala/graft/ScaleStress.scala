@@ -1626,6 +1626,27 @@ object ScaleStress {
           "x", "y")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q304 shape: Theil–Sen — same cell-grid pair join as kendall;
+      // the weighted-median window then sees |distinct slopes| rows per
+      // group (grid-bounded), never row pairs
+      timed(scale, "theil_sen") {
+        val e2 = ev.select(col("event_type"),
+          expr("tus div 86400000000").as("x"),
+          floor(col("value") * 0.1 + 0.5).cast("long").as("y"))
+        val out = graft.ops.Profiling.theilSen(e2, "event_type", "x", "y")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q305 shape: RBO — two row_number sorts share ONE exchange, then
+      // everything collapses to <= depth (group, m) rows before the fold
+      timed(scale, "rbo") {
+        val e2 = ev.select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("sa"),
+          (floor(col("value") * 10 + 0.5) + col("user_id") % 13)
+            .cast("long").as("sb"))
+        val out = graft.ops.Profiling.rbo(e2, "event_type", "event_id",
+          "sa", "sb", depth = 20, p = 0.5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -2366,4 +2366,140 @@ object Profiling {
     }
     per.select(col(taskCol) +: col("n") +: col("c") +: outs: _*)
   }
+
+  /** Tail weights for truncated RBO: `S(m) = Σ_{k=m..d} p^(k−1)/k`,
+    * folded in DESCENDING k so every S(m) is one float add on top of
+    * S(m+1) — a fixed evaluation order both engines replay by
+    * embedding these exact doubles as literals (the oracle SQL
+    * interpolates `Array.toString` round-trip representations, so no
+    * cross-engine `pow` ever evaluates). 1-indexed externally:
+    * element m holds S(m). */
+  def rboTailWeights(p: Double, depth: Int): Array[Double] = {
+    require(depth >= 1 && p > 0 && p < 1, "need depth >= 1, 0 < p < 1")
+    val s = new Array[Double](depth)
+    var acc = 0.0
+    var k = depth
+    while (k >= 1) {
+      acc += math.pow(p, k - 1) / k
+      s(k - 1) = acc
+      k -= 1
+    }
+    s
+  }
+
+  /** Rank-biased overlap (truncated at `depth`) between two rankers
+    * per group — "how much do ranker A and ranker B agree, weighted
+    * toward the top?" (Webber, Moffat & Zobel 2010). The eval-side
+    * companion to [[graft.ops.Similarity]]'s RRF *fusion*: RRF merges
+    * two rankings, RBO *scores their agreement* — run it when swapping
+    * a retrieval scorer to see how far the new top-k actually moved.
+    * `RBO@d = (1−p) Σ_{k=1..d} p^(k−1) · |A_k ∩ B_k| / k`; an item
+    * ranked ra by A and rb by B enters every prefix k ≥ max(ra, rb),
+    * so its total contribution is the tail sum S(max(ra, rb)) from
+    * [[rboTailWeights]] — no per-depth intersection ever materializes.
+    *
+    * Determinism: ranks come from `row_number` with the unique id as
+    * tie-break; the ≤ depth surviving items collapse to (group, m)
+    * integer counts, and the float reduction Σ cnt_m·S(m) folds in
+    * m-sorted order over ≤ depth terms (`aggregate(sort_array(...))`;
+    * the oracle replays `list_reduce(list_sort(...))` over the SAME
+    * S(m) literals).
+    *
+    * Shape: one partition-wise double sort for the two row_numbers
+    * (same exchange), then everything collapses to ≤ depth rows per
+    * group. Returns (group, n_items, overlap_at_d, rbo); a group whose
+    * rankings share nothing in the top d scores rbo 0. */
+  def rbo(df: DataFrame, groupCol: String, idCol: String,
+      scoreACol: String, scoreBCol: String, depth: Int = 20,
+      p: Double = 0.5): DataFrame = {
+    val sArr = rboTailWeights(p, depth)
+    val wA = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreACol).desc, col(idCol).asc)
+    val wB = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreBCol).desc, col(idCol).asc)
+    val ranked = df.select(col(groupCol),
+        row_number().over(wA).as("__ra__"),
+        row_number().over(wB).as("__rb__"))
+      .withColumn("__m__", greatest(col("__ra__"), col("__rb__")))
+      .filter(col("__m__") <= depth)
+    val perM = ranked.groupBy(col(groupCol), col("__m__"))
+      .agg(count(lit(1)).as("__cnt__"))
+    val folded = perM.groupBy(col(groupCol))
+      .agg(sum(col("__cnt__")).as("__ov__"),
+        sort_array(collect_list(struct(col("__m__").as("m"),
+          col("__cnt__").as("c")))).as("__terms__"))
+      .select(col(groupCol), col("__ov__"),
+        aggregate(col("__terms__"), lit(0.0), (acc, s) =>
+          acc + s.getField("c").cast("double") *
+            element_at(typedLit(sArr), s.getField("m"))).as("__acc__"))
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_items"))
+      .join(folded, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_items"),
+        coalesce(col("__ov__"), lit(0L)).as("overlap_at_d"),
+        round(lit(1.0 - p) * coalesce(col("__acc__"), lit(0.0)), 6)
+          .as("rbo"))
+  }
+
+  /** Theil–Sen robust slope per group — the weighted median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
+    * sibling of the per-key OLS trend: a single wild segment can drag
+    * OLS arbitrarily, but Theil–Sen tolerates ~29% contamination, and
+    * [[mannKendall]] is its natural significance companion (same
+    * pair structure).
+    *
+    * Scale shape: rows NEVER pair. The input collapses to the distinct
+    * (x, y) cell grid with multiplicities first (exactly
+    * [[kendallTau]]'s trick), the pair join runs over cells with
+    * `b.x > a.x`, and each cell pair carries weight n_a·n_b — so a
+    * billion-row group with a bounded quantization grid joins
+    * |grid|²/2 cell pairs, not n²/2 row pairs. The weighted median
+    * then needs no second pass over pairs: slopes collapse to
+    * (group, slope) weight sums, a cumulative-weight window ordered by
+    * slope (|distinct slopes| rows per group, grid-bounded) picks the
+    * smallest slope whose doubled cumulative weight reaches the total
+    * (the lower weighted median — deterministic under even totals).
+    *
+    * Determinism: x and y are required integral, so every slope is one
+    * IEEE double division of exactly-represented longs — bit-identical
+    * in any engine — and pair weights accumulate in decimal(38,0)
+    * (order-free exact addition; no float sum ever forms). Groups
+    * whose x is constant (no pairs) keep their row with a null slope.
+    * Returns (group, n, n_pairs, slope). */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    requireIntegral(df, xCol, "theilSen")
+    requireIntegral(df, yCol, "theilSen")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x__"),
+        col(yCol).cast("long").as("__y__"))
+    val cells = base.groupBy(col(groupCol), col("__x__"), col("__y__"))
+      .agg(count(lit(1)).as("__n__"))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val slopes = a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col("b.__x__") > col("a.__x__"))
+      .select(col(s"a.$groupCol").as(groupCol),
+        ((col("b.__y__") - col("a.__y__")).cast("double") /
+          (col("b.__x__") - col("a.__x__")).cast("double")).as("__s__"),
+        (dec(col("a.__n__")) * dec(col("b.__n__"))).as("__w__"))
+      .groupBy(col(groupCol), col("__s__"))
+      .agg(sum(col("__w__")).as("__w__"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val med = slopes
+      .withColumn("__cum__", sum(col("__w__")).over(w))
+      .withColumn("__tot__", sum(col("__w__")).over(tot))
+      .filter(col("__cum__") * 2 >= col("__tot__"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__s__")).as("__slope__"),
+        max(col("__tot__")).as("__np__"))
+    base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .join(med, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"),
+        coalesce(col("__np__"), lit(0).cast("decimal(38,0)"))
+          .cast("long").as("n_pairs"),
+        round(col("__slope__"), 6).as("slope"))
+  }
 }

@@ -697,6 +697,35 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Theil–Sen robust slope per event type: weighted median of
+    // pairwise day-over-day slopes on the quantized value — the
+    // outlier-tolerant twin of q136's OLS trend; grid-bounded pair
+    // join (cells, not rows)
+    "q304_theil_sen" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_type"),
+          (expr("unix_micros(ts) div 86400000000") - 19700L).as("x"),
+          floor(col("value") * 0.1 + 0.5).cast("long").as("y"))
+      graft.ops.Profiling.theilSen(ev, "event_type", "x", "y")
+        .orderBy(col("event_type"))
+    }),
+
+    // Rank-biased overlap per event type between two rankings of the
+    // same events (clean vs noisy score) — top-weighted agreement for
+    // retrieval-scorer swaps; ranks collapse to <= depth (group, m)
+    // counts, fold order fixed on both engines
+    "q305_rbo" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("sa"),
+          (floor(col("value") * 10 + 0.5) + col("user_id") % 13)
+            .cast("long").as("sb"))
+      graft.ops.Profiling.rbo(ev, "event_type", "event_id", "sa", "sb",
+          depth = 20, p = 0.5)
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4147,6 +4176,65 @@ object PipelineQueries {
         |FROM p LEFT JOIN cd ON p.g = cd.g
         |  JOIN tx ON p.g = tx.g JOIN ty ON p.g = ty.g
         |ORDER BY 1""".stripMargin,
+
+    "q304_theil_sen" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 86400000000 - 19700 AS x,
+        |    CAST(floor(value * 0.1 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT g, x, y, CAST(COUNT(1) AS HUGEINT) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |sl AS (SELECT a.g,
+        |    CAST(bb.y - a.y AS DOUBLE) / CAST(bb.x - a.x AS DOUBLE) AS s,
+        |    SUM(a.n * bb.n) AS w
+        |  FROM cells a JOIN cells bb ON a.g = bb.g AND bb.x > a.x
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT g, s, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw
+        |  FROM sl),
+        |med AS (SELECT g, MIN(s) AS slope, MAX(tw) AS np FROM cum
+        |  WHERE cw * 2 >= tw GROUP BY 1),
+        |per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n FROM b
+        |  GROUP BY 1)
+        |SELECT per.g AS event_type, per.n,
+        |  CAST(COALESCE(med.np, 0) AS BIGINT) AS n_pairs,
+        |  ROUND(med.slope, 6) AS slope
+        |FROM per LEFT JOIN med ON per.g = med.g
+        |ORDER BY 1""".stripMargin,
+
+    "q305_rbo" -> {
+      // the SAME tail-weight doubles the Spark op embeds as literals —
+      // interpolated via Double.toString, which round-trips exactly, so
+      // neither engine ever evaluates pow()
+      val sLits = graft.ops.Profiling.rboTailWeights(0.5, 20)
+        .mkString(", ")
+      s"""WITH b AS (SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS sa,
+        |    CAST(floor(value * 10 + 0.5) + user_id % 13 AS BIGINT) AS sb
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g,
+        |    row_number() OVER (PARTITION BY g ORDER BY sa DESC, id ASC)
+        |      AS ra,
+        |    row_number() OVER (PARTITION BY g ORDER BY sb DESC, id ASC)
+        |      AS rb
+        |  FROM b),
+        |pm AS (SELECT g, greatest(ra, rb) AS m,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM r WHERE greatest(ra, rb) <= 20 GROUP BY 1, 2),
+        |f AS (SELECT g, SUM(c) AS ov,
+        |    list_reduce(list(CAST(c AS DOUBLE) * ([$sLits])[m]
+        |      ORDER BY m), (a, b) -> a + b) AS acc
+        |  FROM pm GROUP BY 1),
+        |per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n_items FROM b
+        |  GROUP BY 1)
+        |SELECT per.g AS event_type, per.n_items,
+        |  CAST(COALESCE(f.ov, 0) AS BIGINT) AS overlap_at_d,
+        |  ROUND(0.5 * COALESCE(f.acc, 0.0), 6) AS rbo
+        |FROM per LEFT JOIN f ON per.g = f.g
+        |ORDER BY 1""".stripMargin
+    },
 
     "q287_kruskal" ->
       """WITH b AS (SELECT event_type AS g,

@@ -1126,6 +1126,64 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("g") == ((4L, 2L, 2L, Some(0.0))))
   }
 
+  test("theilSen: outlier-proof median slope, weights, constant-x null") {
+    import spark.implicits._
+    val df = Seq(
+      // clean slope 2 with one wild point: pairwise slopes
+      // 2,2,2,100/3,49,96 → lower weighted median 2 (OLS would not be)
+      ("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 100L),
+      // duplicate rows collapse to one cell pair of weight 2
+      ("w", 0L, 0L), ("w", 0L, 0L), ("w", 1L, 1L),
+      // even total weight: slopes 1,1,103/3,51,51,101 sorted cum
+      // 2,3,5,6 → doubled cum reaches 6 at 103/3 (lower median)
+      ("e", 0L, 0L), ("e", 1L, 1L), ("e", 2L, 102L), ("e", 3L, 103L),
+      // constant x → no pairs → null slope, n_pairs 0
+      ("z", 5L, 1L), ("z", 5L, 9L))
+      .toDF("grp", "x", "y")
+    val got = graft.ops.Profiling.theilSen(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pairs"),
+          Option(r.getAs[java.lang.Double]("slope"))))).toMap
+    assert(got("g") == ((4L, 6L, Some(2.0))))
+    assert(got("w") == ((3L, 2L, Some(1.0))))
+    assert(got("e") == ((4L, 6L, Some(34.333333))))
+    assert(got("z") == ((2L, 0L, None)))
+  }
+
+  test("rbo: identical/reversed rankings, tail weights, empty top-d") {
+    import spark.implicits._
+    // hand-check at depth 3, p 0.5: S(3)=1/12, S(2)=1/4+S(3),
+    // S(1)=1+S(2)
+    val s = graft.ops.Profiling.rboTailWeights(0.5, 3)
+    assert(math.abs(s(2) - 0.25 / 3) < 1e-15)
+    assert(math.abs(s(1) - (0.25 + 0.25 / 3)) < 1e-15)
+    assert(math.abs(s(0) - (1.0 + 0.25 + 0.25 / 3)) < 1e-15)
+    val df = Seq(
+      // identical rankings, 2 items: rbo = 0.5*(S(1)+S(2)) = 0.833333
+      ("i", 1L, 10L, 20L), ("i", 2L, 5L, 7L),
+      // reversed rankings of 3: m = (3,2,3), rbo = 0.5*(2*S(3)+S(2))
+      // = 0.25 (matches the direct per-depth intersection formula)
+      ("d", 1L, 30L, 10L), ("d", 2L, 20L, 20L), ("d", 3L, 10L, 30L),
+      // score tie broken by id asc on BOTH rankers -> identical order
+      ("t", 1L, 5L, 5L), ("t", 2L, 5L, 5L))
+      .toDF("grp", "id", "sa", "sb")
+    val got = graft.ops.Profiling.rbo(df, "grp", "id", "sa", "sb",
+        depth = 3, p = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("overlap_at_d"),
+          r.getAs[Double]("rbo")))).toMap
+    assert(got("i") == ((2L, 2L, 0.833333)))
+    assert(got("d") == ((3L, 3L, 0.25)))
+    assert(got("t") == ((2L, 2L, 0.833333)))
+    // depth 1, disagreeing tops: nothing survives the prefix -> 0
+    val z = Seq(("z", 1L, 10L, 1L), ("z", 2L, 1L, 10L))
+      .toDF("grp", "id", "sa", "sb")
+    val gz = graft.ops.Profiling.rbo(z, "grp", "id", "sa", "sb",
+        depth = 1, p = 0.5).collect()(0)
+    assert((gz.getAs[Long]("overlap_at_d"), gz.getAs[Double]("rbo")) ==
+      ((0L, 0.0)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
