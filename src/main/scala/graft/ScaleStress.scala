@@ -164,6 +164,14 @@ object ScaleStress {
         val v = Corpus.vocabulary(docs, "text", 50)
         (v.queryExecution.toRdd.count(), sig(v))
       }
+      // q308 shape: vocabulary richness — one (group, word) collapse,
+      // then a vocabulary-bounded frequency-of-frequencies collapse
+      timed(scale, "vocab_richness") {
+        val g = docs.withColumn("src",
+          concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+        val out = Corpus.vocabRichness(g, "src", "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q68 shape: PII redaction — pure per-row regex chain, no shuffle;
       // must scale linearly with zero exchanges at any size
       timed(scale, "redact_pii") {
@@ -1645,6 +1653,27 @@ object ScaleStress {
             .cast("long").as("sb"))
         val out = graft.ops.Profiling.rbo(e2, "event_type", "event_id",
           "sa", "sb", depth = 20, p = 0.5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q306 shape: McNemar — one partial-aggregable boolean collapse
+      timed(scale, "mcnemar") {
+        val e2 = ev.select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("a"),
+          (floor(col("value") * 900 + 0.5).cast("long") +
+            (col("user_id") % 10) * 500L > 34000L).as("b"))
+        val out = graft.ops.Profiling.mcnemar(e2, "event_type", "a", "b")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q307 shape: chi-squared independence — one (g, a, b) collapse,
+      // label-bounded marginal cross grid, |cells|-array fold
+      timed(scale, "chi_squared") {
+        val e2 = ev.select(col("event_type"),
+          concat(lit("s"), pmod(col("user_id"), lit(5L))).as("seg"),
+          when(col("value") < 20, "lo").when(col("value") < 60, "mid")
+            .otherwise("hi").as("vb"))
+        val out = graft.ops.Profiling.chiSquared(e2, "event_type",
+          "seg", "vb")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q286 shape: Spearman — two histogram windows over DISTINCT

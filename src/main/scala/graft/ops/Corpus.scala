@@ -594,6 +594,45 @@ object Corpus {
     perN.reduce(_ unionAll _)
   }
 
+  /** Vocabulary-richness estimators per group — "how much of this
+    * source's vocabulary have we actually SEEN?" The frequency-of-
+    * frequencies view every coverage decision hangs on: `f1`/`f2` =
+    * words seen exactly once/twice, Chao1 `D + f1(f1−1)/(2(f2+1))`
+    * (bias-corrected form — no zero-division when doubletons are
+    * absent) lower-bounds the TRUE vocabulary size, and the Good–Turing
+    * unseen mass `f1/N` is the probability the NEXT token is a new
+    * word — high unseen mass says sampling more of this source still
+    * buys novelty, near-zero says it's exhausted. Template-generated
+    * and decontaminated-to-death sources show tiny unseen mass at huge
+    * N; organic text doesn't. Both estimators are single divisions of
+    * exact integers (the f1² product in decimal), so doubles are
+    * bit-identical across engines.
+    *
+    * Shape: one (group, word) collapse, then a vocabulary-bounded
+    * frequency-of-frequencies collapse — rows shuffle once, text never
+    * rides past the first collapse. Returns (group, n_tokens, vocab,
+    * f1, f2, chao1, unseen_mass). */
+  def vocabRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val words = df.select(col(groupCol), explode(regexp_extract_all(
+      lower(col(textCol)), lit("[^\\s]+"), lit(0))).as("__w__"))
+    val wc = words.groupBy(col(groupCol), col("__w__"))
+      .agg(count(lit(1)).as("__c__"))
+    wc.groupBy(col(groupCol))
+      .agg(sum(col("__c__")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c__") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c__") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        round(col("vocab").cast("double") +
+          (dec(col("f1")) * dec(col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 6).as("chao1"),
+        round(try_divide(col("f1").cast("double"),
+          col("n_tokens").cast("double")), 6).as("unseen_mass"))
+  }
+
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
     // nonempty \s+ tokens == \S+ matches, extracted in one codegen'd call
     // instead of an interpreted split+filter lambda pair

@@ -2440,6 +2440,119 @@ object Profiling {
           .as("rbo"))
   }
 
+  /** McNemar's paired test per group — "did model B actually CHANGE
+    * outcomes vs model A on the same tasks?", the right test when both
+    * models are scored on one shared eval set (marginal-rate tests like
+    * [[proportionTest]] throw away the pairing and lose power). Only
+    * discordant pairs carry signal: `b` = A-only successes, `c` =
+    * B-only; `χ² = (b−c)²/(b+c)` against the χ²(1) critical value by
+    * EXACT decimal cross-multiplication (`(b−c)²·1e6 ≥ crit_micro·
+    * (b+c)`) so no float decides the verdict, which is null when
+    * b+c = 0 (all pairs agree — difference is untestable). Rows with a
+    * null outcome on either side are excluded as unpaired.
+    *
+    * Shape: one partial-aggregable boolean collapse — rows shuffle
+    * once, output is |groups| rows. Returns (group, n_pairs, only_a,
+    * only_b, chi2, significant). */
+  def mcnemar(df: DataFrame, groupCol: String, okACol: String,
+      okBCol: String, chiCrit: Double = 3.841): DataFrame = {
+    val critMicro = math.round(chiCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(okACol).isNotNull && col(okBCol).isNotNull)
+      .select(col(groupCol), col(okACol).cast("boolean").as("__a__"),
+        col(okBCol).cast("boolean").as("__b__"))
+    val per = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("__a__") && !col("__b__"), 1L).otherwise(0L))
+        .as("only_a"),
+      sum(when(!col("__a__") && col("__b__"), 1L).otherwise(0L))
+        .as("only_b"))
+    val d = dec(col("only_a")) - dec(col("only_b"))
+    val disc = col("only_a") + col("only_b")
+    per.select(col(groupCol), col("n_pairs"), col("only_a"),
+      col("only_b"),
+      when(disc > 0, round(try_divide((d * d).cast("double"),
+        disc.cast("double")), 6)).as("chi2"),
+      when(disc > 0,
+        d * d * dec(lit(1000000L)) >= dec(lit(critMicro)) * dec(disc))
+        .as("significant"))
+  }
+
+  /** χ²(1) .. χ²(30) critical values at 95% — the standard table, used
+    * by [[chiSquared]] to turn (statistic, df) into a verdict. */
+  val chi2Crit95: Map[Int, Double] = Map(
+    1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488, 5 -> 11.070,
+    6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919, 10 -> 18.307,
+    11 -> 19.675, 12 -> 21.026, 13 -> 22.362, 14 -> 23.685,
+    15 -> 24.996, 16 -> 26.296, 17 -> 27.587, 18 -> 28.869,
+    19 -> 30.144, 20 -> 31.410, 21 -> 32.671, 22 -> 33.924,
+    23 -> 35.172, 24 -> 36.415, 25 -> 37.652, 26 -> 38.885,
+    27 -> 40.113, 28 -> 41.337, 29 -> 42.557, 30 -> 43.773)
+
+  /** χ² test of independence per group — "does factor A depend on
+    * factor B?" over a categorical contingency table (segment × outcome,
+    * source × verdict, …), plus Cramér's V effect size so a huge-N
+    * trivial dependence doesn't read as a finding. Expected counts come
+    * from exact integer marginals (`E = ra·cb/N`, the `ra·cb` product
+    * exact in decimal before ONE double division); zero observed cells
+    * still contribute their E, so the full r×c marginal cross grid is
+    * materialized per group (label-bounded — never data-sized). The
+    * per-cell float terms fold in (a,b)-sorted order on BOTH engines
+    * ([[kruskalWallis]]'s discipline), df = (r−1)(c−1) from the labels
+    * PRESENT in each group, and the verdict looks df up in
+    * `critByDf` (default [[chi2Crit95]]; null verdict when df = 0 or
+    * df is beyond the table). `V = sqrt(χ²/(N·min(r−1,c−1)))`.
+    *
+    * Shape: one (group, a, b) partial-aggregable collapse, two
+    * label-bounded marginal collapses, one label² cross join per group,
+    * one |cells|-array fold — rows shuffle once. Returns
+    * (group, n, r, c, dof, chi2, cramers_v, significant). */
+  def chiSquared(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String,
+      critByDf: Map[Int, Double] = chi2Crit95): DataFrame = {
+    val critMicro: Map[Int, Long] =
+      critByDf.map { case (k, v) => k -> math.round(v * 1e6) }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol), col(aCol).cast("string").as("__fa__"),
+        col(bCol).cast("string").as("__fb__"))
+    val cells = base.groupBy(col(groupCol), col("__fa__"), col("__fb__"))
+      .agg(count(lit(1)).as("__o__"))
+    val ra = cells.groupBy(col(groupCol), col("__fa__"))
+      .agg(sum(col("__o__")).as("__ra__"))
+    val cb = cells.groupBy(col(groupCol), col("__fb__"))
+      .agg(sum(col("__o__")).as("__cb__"))
+    val grid = ra.join(cb, Seq(groupCol))
+      .join(cells, Seq(groupCol, "__fa__", "__fb__"), "left")
+      .withColumn("__o__", coalesce(col("__o__"), lit(0L)))
+    val nW = Window.partitionBy(col(groupCol))
+    val withN = grid.withColumn("__n__", sum(col("__o__")).over(nW))
+    val e = try_divide((dec(col("__ra__")) * dec(col("__cb__")))
+      .cast("double"), col("__n__").cast("double"))
+    val term = try_divide((col("__o__").cast("double") - e) *
+      (col("__o__").cast("double") - e), e)
+    val per = withN.withColumn("__t__", term)
+      .groupBy(col(groupCol))
+      .agg(max(col("__n__")).as("n"),
+        countDistinct(col("__fa__")).as("r"),
+        countDistinct(col("__fb__")).as("c"),
+        sort_array(collect_list(struct(col("__fa__").as("a"),
+          col("__fb__").as("b"), col("__t__").as("t")))).as("__terms__"))
+    val chi2 = aggregate(col("__terms__"), lit(0.0),
+      (acc, s) => acc + s.getField("t"))
+    val dof = ((col("r") - 1) * (col("c") - 1)).cast("int")
+    val minDim = least(col("r") - 1, col("c") - 1).cast("double")
+    val crit = element_at(typedLit(critMicro), dof)
+    per.select(col(groupCol), col("n"), col("r"), col("c"),
+      dof.as("dof"),
+      when(dof > 0, round(chi2, 6)).as("chi2"),
+      when(dof > 0 && col("n") > 0,
+        round(sqrt(try_divide(chi2, col("n").cast("double") * minDim)),
+          6)).as("cramers_v"),
+      when(dof > 0 && crit.isNotNull,
+        chi2 * lit(1000000.0) >= crit.cast("double")).as("significant"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

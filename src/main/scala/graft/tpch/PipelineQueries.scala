@@ -726,6 +726,39 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // McNemar paired eval per event type: scorer A (raw milli-value
+    // threshold) vs scorer B (rescaled + user-bucket bonus) on the SAME
+    // events — only discordant outcomes decide, exact-integer verdict
+    "q306_mcnemar" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok_a"),
+          (floor(col("value") * 900 + 0.5).cast("long") +
+            (col("user_id") % 10) * 500L > 34000L).as("ok_b"))
+      graft.ops.Profiling.mcnemar(ev, "event_type", "ok_a", "ok_b")
+        .orderBy(col("event_type"))
+    }),
+
+    // chi-squared independence per source: is the language mix
+    // independent of document length? label-bounded marginal cross
+    // grid, zero cells contribute their E, Cramer's V effect size
+    "q307_chi_squared" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("lang"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 350, "mid").otherwise("long")
+          .as("len_bucket"))
+      graft.ops.Profiling.chiSquared(d, "source", "lang", "len_bucket")
+        .orderBy(col("source"))
+    }),
+
+    // vocabulary richness per source: Chao1 true-vocab lower bound and
+    // Good-Turing unseen mass — "does sampling more of this source
+    // still buy novelty?"
+    "q308_vocab_richness" -> ((s, dir) =>
+      Corpus.vocabRichness(docs(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4235,6 +4268,98 @@ object PipelineQueries {
         |FROM per LEFT JOIN f ON per.g = f.g
         |ORDER BY 1""".stripMargin
     },
+
+    "q306_mcnemar" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000 AS a,
+        |    CAST(floor(value * 900 + 0.5) AS BIGINT) +
+        |      (user_id % 10) * 500 > 34000 AS bb
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN a AND NOT bb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS only_a,
+        |    CAST(SUM(CASE WHEN bb AND NOT a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS only_b
+        |  FROM b GROUP BY 1)
+        |SELECT g AS event_type, n_pairs, only_a, only_b,
+        |  CASE WHEN only_a + only_b > 0 THEN
+        |    ROUND(CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+        |      / CAST(only_a + only_b AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN only_a + only_b > 0 THEN
+        |    CAST((only_a - only_b) * (only_a - only_b) AS HUGEINT)
+        |      * 1000000 >= 3841000 * CAST(only_a + only_b AS HUGEINT)
+        |    END AS significant
+        |FROM per ORDER BY 1""".stripMargin,
+
+    "q307_chi_squared" -> {
+      // the SAME chi2(df) 95% critical-value micros the op embeds,
+      // 1-indexed by df
+      val critLits = (1 to 30)
+        .map(d => math.round(graft.ops.Profiling.chi2Crit95(d) * 1e6))
+        .mkString(", ")
+      s"""WITH b AS (SELECT source AS g, lang AS fa,
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |      WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS fb
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT g, fa, fb, CAST(COUNT(1) AS BIGINT) AS o
+        |  FROM b GROUP BY 1, 2, 3),
+        |ra AS (SELECT g, fa, CAST(SUM(o) AS BIGINT) AS ra FROM cells
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT g, fb, CAST(SUM(o) AS BIGINT) AS cb FROM cells
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT g, CAST(SUM(o) AS BIGINT) AS n FROM cells
+        |  GROUP BY 1),
+        |grid AS (SELECT ra.g, ra.fa, cb.fb, ra.ra, cb.cb,
+        |    COALESCE(cells.o, 0) AS o
+        |  FROM ra JOIN cb ON ra.g = cb.g
+        |  LEFT JOIN cells ON cells.g = ra.g AND cells.fa = ra.fa
+        |    AND cells.fb = cb.fb),
+        |terms AS (SELECT grid.g, fa, fb,
+        |    (CAST(o AS DOUBLE) -
+        |       CAST(ra * cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+        |    (CAST(o AS DOUBLE) -
+        |       CAST(ra * cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) /
+        |    (CAST(ra * cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS t
+        |  FROM grid JOIN nn ON grid.g = nn.g),
+        |per AS (SELECT terms.g, max(nn.n) AS n,
+        |    CAST(COUNT(DISTINCT fa) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT fb) AS BIGINT) AS c,
+        |    list_reduce(list(t ORDER BY fa, fb), (x, y) -> x + y)
+        |      AS chi2
+        |  FROM terms JOIN nn ON terms.g = nn.g GROUP BY 1)
+        |SELECT g AS source, n, r, c,
+        |  CAST((r - 1) * (c - 1) AS INT) AS dof,
+        |  CASE WHEN (r - 1) * (c - 1) > 0 THEN ROUND(chi2, 6) END
+        |    AS chi2,
+        |  CASE WHEN (r - 1) * (c - 1) > 0 AND n > 0 THEN
+        |    ROUND(sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |      CAST(least(r - 1, c - 1) AS DOUBLE))), 6) END AS cramers_v,
+        |  CASE WHEN (r - 1) * (c - 1) BETWEEN 1 AND 30 THEN
+        |    chi2 * 1000000.0 >=
+        |      CAST(([$critLits])[CAST((r - 1) * (c - 1) AS INT)]
+        |        AS DOUBLE) END AS significant
+        |FROM per ORDER BY 1""".stripMargin
+    },
+
+    "q308_vocab_richness" ->
+      """WITH w AS (SELECT source AS g, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS word FROM documents),
+        |wc AS (SELECT g, word, CAST(COUNT(1) AS BIGINT) AS c FROM w
+        |  GROUP BY 1, 2),
+        |per AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(1) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM wc GROUP BY 1)
+        |SELECT g AS source, n_tokens, vocab, f1, f2,
+        |  ROUND(CAST(vocab AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) /
+        |    (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+        |  ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS unseen_mass
+        |FROM per ORDER BY 1""".stripMargin,
 
     "q287_kruskal" ->
       """WITH b AS (SELECT event_type AS g,

@@ -100,6 +100,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
   }
 
+  test("vocabRichness: chao1 and Good-Turing from exact f1/f2") {
+    val df = Seq(("g", "a b a c"), ("g", "d b"),
+      ("u", "x x x"), ("u", "")).toDF("src", "text")
+    val got = Corpus.vocabRichness(df, "src", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+          r.getAs[Double]("chao1"),
+          r.getAs[Double]("unseen_mass")))).toMap
+    // a=2 b=2 c=1 d=1: chao1 = 4 + 2*1/(2*(2+1)) = 4.333333,
+    // next-token-is-new = 2/6
+    assert(got("g") == ((6L, 4L, 2L, 2L, 4.333333, 0.333333)))
+    // exhausted source: no singletons, chao1 = seen vocab, unseen 0
+    assert(got("u") == ((3L, 1L, 0L, 0L, 1.0, 0.0)))
+  }
+
   test("redactPii counts nested matches once, in category order") {
     val df = Seq(
       // the email-looking substring lives INSIDE a URL → counted as URL only

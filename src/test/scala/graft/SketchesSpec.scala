@@ -1184,6 +1184,57 @@ class SketchesSpec extends AnyFunSuite {
       ((0L, 0.0)))
   }
 
+  test("mcnemar: discordant pairs only, exact verdict, agree-only null") {
+    import spark.implicits._
+    def rows(g: String, n: Int, a: Boolean, b: Boolean) =
+      Seq.fill(n)((g, Some(a), Some(b)))
+    val df = (rows("g", 10, true, true) ++ rows("g", 8, true, false) ++
+      rows("g", 2, false, true) ++ rows("g", 5, false, false) ++
+      // b=9, c=0: chi2 = 81/9 = 9 -> significant
+      rows("s", 9, true, false) ++ rows("s", 3, true, true) ++
+      // all agree: verdict undefined
+      rows("z", 4, true, true) ++
+      Seq(("z", None: Option[Boolean], Some(true)))) // unpaired: dropped
+      .toDF("grp", "ok_a", "ok_b")
+    val got = graft.ops.Profiling.mcnemar(df, "grp", "ok_a", "ok_b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("only_a"),
+          r.getAs[Long]("only_b"),
+          Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    // chi2 = (8-2)^2/10 = 3.6 < 3.841: real difference but not enough
+    // discordant pairs
+    assert(got("g") == ((25L, 8L, 2L, Some(3.6), Some(false))))
+    assert(got("s") == ((12L, 9L, 0L, Some(9.0), Some(true))))
+    assert(got("z") == ((4L, 0L, 0L, None, None)))
+  }
+
+  test("chiSquared: independence, zero cells, dof-0 null, Cramer's V") {
+    import spark.implicits._
+    def rows(g: String, n: Int, a: String, b: Long) =
+      Seq.fill(n)((g, a, b))
+    val df = (rows("g", 10, "x", 0L) ++ rows("g", 10, "x", 1L) ++
+      rows("g", 10, "y", 0L) ++ rows("g", 10, "y", 1L) ++
+      rows("s", 20, "x", 0L) ++ rows("s", 5, "x", 1L) ++
+      rows("s", 5, "y", 0L) ++ rows("s", 20, "y", 1L) ++
+      // missing cells (x,1)/(y,0) still contribute their E
+      rows("zc", 4, "x", 0L) ++ rows("zc", 4, "y", 1L) ++
+      // single row label: dof = 0, no test
+      rows("one", 5, "x", 0L) ++ rows("one", 5, "x", 1L))
+      .toDF("grp", "fa", "fb")
+    val got = graft.ops.Profiling.chiSquared(df, "grp", "fa", "fb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Int]("dof"),
+          Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Double]("cramers_v")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((40L, 1, Some(0.0), Some(0.0), Some(false))))
+    // E = 12.5 everywhere, 4 terms of 7.5^2/12.5: chi2 = 18, V = 0.6
+    assert(got("s") == ((50L, 1, Some(18.0), Some(0.6), Some(true))))
+    assert(got("zc") == ((8L, 1, Some(8.0), Some(1.0), Some(true))))
+    assert(got("one") == ((10L, 0, None, None, None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
