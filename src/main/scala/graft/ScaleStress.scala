@@ -1676,6 +1676,39 @@ object ScaleStress {
           "seg", "vb")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q309 shape: Krippendorff alpha — per-unit collapse, then
+      // rater-count-bounded + label-bounded collapses only
+      timed(scale, "krippendorff") {
+        val rated = Seq(0, 1, 2).map { r =>
+          val v = r match {
+            case 0 => col("value")
+            case 1 => col("value") * 1.05
+            case _ => col("value") + (col("user_id") % 3) * 10.0
+          }
+          ev.filter((col("event_id") + r) % 5 =!= 0)
+            .select(col("event_type"), col("event_id"),
+              when(v < 20, "lo").when(v < 60, "mid").otherwise("hi")
+                .as("label"))
+        }.reduce(_ union _)
+        val out = graft.ops.Profiling.krippendorffAlpha(rated,
+          "event_type", "event_id", "label")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q310 shape: Cochran's Q — task + model collapses, exact
+      // integers to the single final division
+      timed(scale, "cochran_q") {
+        val scored = Seq(0, 1, 2).map { m =>
+          ev.filter((col("event_id") + m) % 7 =!= 0)
+            .select(col("event_type"), col("event_id"),
+              lit(s"m$m").as("model"),
+              (floor(col("value") * (1000 - m * 100) + 0.5)
+                .cast("long") + (col("user_id") % 10) * (m * 500L) >
+                34000L).as("ok"))
+        }.reduce(_ union _)
+        val out = graft.ops.Profiling.cochranQ(scored, "event_type",
+          "event_id", "model", "ok")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -2553,6 +2553,149 @@ object Profiling {
         chi2 * lit(1000000.0) >= crit.cast("double")).as("significant"))
   }
 
+  /** Krippendorff's alpha (nominal) per group — inter-rater agreement
+    * that [[cohensKappa]] cannot give you once there are MORE than two
+    * raters or missing ratings (both the norm for LLM-judge ensembles
+    * and crowdsourced labels): any number of ratings per unit, units
+    * rated by different subsets, chance-corrected. Input is the long
+    * form (group, unit, label) — one row per rating, no rater identity
+    * needed (alpha is rater-exchangeable). Units with fewer than 2
+    * ratings are unpairable and excluded (reported).
+    *
+    * `α = 1 − Do/De` with the coincidence formulation: per unit
+    * `d_u = n_u² − Σ_c o_uc²` disagreeing ordered pairs, each weighted
+    * `1/(n_u−1)`; `De = (n² − Σ_c n_c²)/(n−1)` from the pooled label
+    * marginals. Exactness: d_u sums collapse per DISTINCT n_u first
+    * (rater-count-bounded — at most |raters| distinct values), so Do is
+    * a fold over ≤ |raters| exact-integer fractions `A_m/m` in
+    * m-sorted order; both engines replay the identical sequence. α is
+    * null when De = 0 (every pooled rating is one label — agreement is
+    * undefined, not perfect).
+    *
+    * Shape: one (group, unit, label) collapse, one per-unit collapse,
+    * one rater-count-bounded collapse + one label-bounded marginal
+    * collapse — rows shuffle once, nothing data-sized survives. Returns
+    * (group, n_units, n_ratings, n_unpairable, alpha). */
+  def krippendorffAlpha(df: DataFrame, groupCol: String, unitCol: String,
+      labelCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(labelCol).isNotNull)
+      .select(col(groupCol), col(unitCol).as("__u__"),
+        col(labelCol).cast("string").as("__l__"))
+    val cells = base.groupBy(col(groupCol), col("__u__"), col("__l__"))
+      .agg(count(lit(1)).as("__o__"))
+    val perUnit = cells.groupBy(col(groupCol), col("__u__"))
+      .agg(sum(col("__o__")).as("__nu__"),
+        sum(dec(col("__o__")) * dec(col("__o__"))).as("__o2__"))
+    val pairable = perUnit.filter(col("__nu__") >= 2)
+    // collapse d_u by m = n_u − 1: |raters|-bounded rows per group
+    val perM = pairable.groupBy(col(groupCol),
+        (col("__nu__") - 1).as("__m__"))
+      .agg(sum(dec(col("__nu__")) * dec(col("__nu__")) - col("__o2__"))
+        .as("__a__"),
+        count(lit(1)).as("__units__"),
+        sum(col("__nu__")).as("__r__"))
+    val doAgg = perM.groupBy(col(groupCol))
+      .agg(sum(col("__units__")).as("n_units"),
+        sum(col("__r__")).as("n_ratings"),
+        sort_array(collect_list(struct(col("__m__").as("m"),
+          col("__a__").as("a")))).as("__terms__"))
+      .select(col(groupCol), col("n_units"), col("n_ratings"),
+        aggregate(col("__terms__"), lit(0.0), (acc, s) =>
+          acc + try_divide(s.getField("a").cast("double"),
+            s.getField("m").cast("double"))).as("__do__"))
+    // pooled label marginals over pairable units only
+    val marg = cells.join(pairable.select(col(groupCol), col("__u__")),
+        Seq(groupCol, "__u__"))
+      .groupBy(col(groupCol), col("__l__"))
+      .agg(sum(col("__o__")).as("__nc__"))
+      .groupBy(col(groupCol))
+      .agg(sum(dec(col("__nc__")) * dec(col("__nc__"))).as("__nc2__"))
+    val unpair = perUnit.groupBy(col(groupCol))
+      .agg(sum(when(col("__nu__") < 2, 1L).otherwise(0L))
+        .as("n_unpairable"))
+    val deDen = (dec(col("n_ratings")) * dec(col("n_ratings")) -
+      col("__nc2__")).cast("double")
+    unpair.join(doAgg, Seq(groupCol), "left")
+      .join(marg, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_ratings"), lit(0L)).as("n_ratings"),
+        col("n_unpairable"),
+        when(col("n_ratings") > 1 && deDen > 0,
+          round(lit(1.0) - col("__do__") *
+            (col("n_ratings") - 1).cast("double") / deDen, 6))
+          .as("alpha"))
+  }
+
+  /** Cochran's Q per group — the k-model generalization of [[mcnemar]]:
+    * k scorers on the SAME task set, "did ANY model's success rate
+    * move?", the omnibus gate before pairwise McNemars (running k²
+    * pairwise tests first is the multiple-comparisons trap [[bhProcedure]]
+    * exists to clean up). Only tasks scored by ALL k models enter
+    * (incomplete tasks are dropped and reported); all-pass/all-fail
+    * tasks cancel algebraically, so no filtering bias. `Q = (k−1)·
+    * (k·ΣG_j² − S²) / (k·ΣL_i − ΣL_i²)` with G_j = per-model successes,
+    * L_i = per-task successes, S = ΣG_j — EVERY sum is an exact integer
+    * (order-free), the single float division happens once, and the
+    * χ²(k−1) verdict cross-multiplies in decimal against the embedded
+    * 95% table ([[chi2Crit95]]), so no float decides. Q is null when
+    * the denominator is 0 (every complete task is unanimous).
+    *
+    * Shape: one (group, task) collapse + one (group, model) collapse
+    * from the same base — task- and model-bounded, rows shuffle once.
+    * Returns (group, k, n_tasks, n_incomplete, q, significant). */
+  def cochranQ(df: DataFrame, groupCol: String, taskCol: String,
+      modelCol: String, okCol: String,
+      critByDf: Map[Int, Double] = chi2Crit95): DataFrame = {
+    val critMicro: Map[Int, Long] =
+      critByDf.map { case (k, v) => k -> math.round(v * 1e6) }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(okCol).isNotNull)
+      .select(col(groupCol), col(taskCol).as("__t__"),
+        col(modelCol).as("__mo__"), col(okCol).cast("boolean")
+          .as("__ok__"))
+    val kPer = base.groupBy(col(groupCol))
+      .agg(countDistinct(col("__mo__")).as("__k__"))
+    val perTask = base.groupBy(col(groupCol), col("__t__"))
+      .agg(count(lit(1)).as("__nm__"),
+        sum(when(col("__ok__"), 1L).otherwise(0L)).as("__li__"))
+      .join(kPer, Seq(groupCol))
+    val complete = perTask.filter(col("__nm__") === col("__k__"))
+    val taskAgg = complete.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(dec(col("__li__"))).as("__sl__"),
+        sum(dec(col("__li__")) * dec(col("__li__"))).as("__sl2__"))
+    val dropped = perTask.groupBy(col(groupCol))
+      .agg(sum(when(col("__nm__") =!= col("__k__"), 1L).otherwise(0L))
+        .as("n_incomplete"))
+    val modelAgg = base
+      .join(complete.select(col(groupCol), col("__t__")),
+        Seq(groupCol, "__t__"))
+      .groupBy(col(groupCol), col("__mo__"))
+      .agg(sum(when(col("__ok__"), 1L).otherwise(0L)).as("__gj__"))
+      .groupBy(col(groupCol))
+      .agg(sum(dec(col("__gj__"))).as("__s__"),
+        sum(dec(col("__gj__")) * dec(col("__gj__"))).as("__sg2__"))
+    val kD = dec(col("__k__"))
+    val num = (kD - 1) * (kD * col("__sg2__") - col("__s__") *
+      col("__s__"))
+    val den = kD * col("__sl__") - col("__sl2__")
+    val crit = element_at(typedLit(critMicro),
+      (col("__k__") - 1).cast("int"))
+    kPer.join(dropped, Seq(groupCol))
+      .join(taskAgg, Seq(groupCol), "left")
+      .join(modelAgg, Seq(groupCol), "left")
+      .select(col(groupCol), col("__k__").as("k"),
+        coalesce(col("n_tasks"), lit(0L)).as("n_tasks"),
+        col("n_incomplete"),
+        when(den > 0, round(try_divide(num.cast("double"),
+          den.cast("double")), 6)).as("q"),
+        when(den > 0 && crit.isNotNull,
+          num * dec(lit(1000000L)) >= dec(crit) * den)
+          .as("significant"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

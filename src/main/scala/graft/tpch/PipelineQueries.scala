@@ -759,6 +759,57 @@ object PipelineQueries {
       Corpus.vocabRichness(docs(s, dir), "source", "text")
         .orderBy(col("source"))),
 
+    // Krippendorff's alpha per event type: three synthetic judges
+    // (perturbed value buckets) with deterministic missingness — the
+    // multi-rater agreement readout kappa can't give
+    "q309_krippendorff" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+      def bucket(v: Column) =
+        when(v < 20, "lo").when(v < 60, "mid").otherwise("hi")
+      val rated = Seq(
+        ev.filter((col("event_id") + 0) % 5 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            bucket(col("value")).as("label")),
+        ev.filter((col("event_id") + 1) % 5 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            bucket(col("value") * 1.05).as("label")),
+        ev.filter((col("event_id") + 2) % 5 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            bucket(col("value") + (col("user_id") % 3) * 10.0)
+              .as("label"))).reduce(_ union _)
+      graft.ops.Profiling.krippendorffAlpha(rated, "event_type",
+          "event_id", "label")
+        .orderBy(col("event_type"))
+    }),
+
+    // Cochran's Q per event type: three scorers on the same events
+    // with deterministic gaps — the k-model omnibus over q306's pair
+    "q310_cochran_q" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+      val scored = Seq(
+        ev.filter((col("event_id") + 0) % 7 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            lit("m0").as("model"),
+            (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+              .as("ok")),
+        ev.filter((col("event_id") + 1) % 7 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            lit("m1").as("model"),
+            (floor(col("value") * 900 + 0.5).cast("long") +
+              (col("user_id") % 10) * 500L > 34000L).as("ok")),
+        ev.filter((col("event_id") + 2) % 7 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            lit("m2").as("model"),
+            (floor(col("value") * 1100 + 0.5).cast("long") -
+              (col("user_id") % 5) * 300L > 34000L).as("ok")))
+        .reduce(_ union _)
+      graft.ops.Profiling.cochranQ(scored, "event_type", "event_id",
+          "model", "ok")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4360,6 +4411,113 @@ object PipelineQueries {
         |  ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
         |    AS unseen_mass
         |FROM per ORDER BY 1""".stripMargin,
+
+    "q309_krippendorff" ->
+      """WITH e AS (SELECT event_type, event_id, user_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type AS g, event_id AS u,
+        |    CASE WHEN value < 20 THEN 'lo' WHEN value < 60 THEN 'mid'
+        |      ELSE 'hi' END AS l
+        |  FROM e WHERE (event_id + 0) % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_type, event_id,
+        |    CASE WHEN value * 1.05 < 20 THEN 'lo'
+        |      WHEN value * 1.05 < 60 THEN 'mid' ELSE 'hi' END
+        |  FROM e WHERE (event_id + 1) % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_type, event_id,
+        |    CASE WHEN value + (user_id % 3) * 10.0 < 20 THEN 'lo'
+        |      WHEN value + (user_id % 3) * 10.0 < 60 THEN 'mid'
+        |      ELSE 'hi' END
+        |  FROM e WHERE (event_id + 2) % 5 <> 0),
+        |cells AS (SELECT g, u, l, CAST(COUNT(1) AS BIGINT) AS o FROM r
+        |  GROUP BY 1, 2, 3),
+        |pu AS (SELECT g, u, CAST(SUM(o) AS BIGINT) AS nu,
+        |    SUM(CAST(o AS HUGEINT) * o) AS o2
+        |  FROM cells GROUP BY 1, 2),
+        |pair AS (SELECT g, u, nu, o2 FROM pu WHERE nu >= 2),
+        |pm AS (SELECT g, nu - 1 AS m,
+        |    SUM(CAST(nu AS HUGEINT) * nu - o2) AS a,
+        |    CAST(COUNT(1) AS BIGINT) AS units,
+        |    CAST(SUM(nu) AS BIGINT) AS rts
+        |  FROM pair GROUP BY 1, 2),
+        |dd AS (SELECT g, CAST(SUM(units) AS BIGINT) AS n_units,
+        |    CAST(SUM(rts) AS BIGINT) AS n_ratings,
+        |    list_reduce(list(CAST(a AS DOUBLE) / CAST(m AS DOUBLE)
+        |      ORDER BY m), (x, y) -> x + y) AS do_
+        |  FROM pm GROUP BY 1),
+        |mg AS (SELECT cells.g, cells.l, CAST(SUM(o) AS BIGINT) AS nc
+        |  FROM cells JOIN pair ON cells.g = pair.g AND cells.u = pair.u
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT g, SUM(CAST(nc AS HUGEINT) * nc) AS nc2 FROM mg
+        |  GROUP BY 1),
+        |unp AS (SELECT g, CAST(SUM(CASE WHEN nu < 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unpairable
+        |  FROM pu GROUP BY 1)
+        |SELECT unp.g AS event_type,
+        |  COALESCE(dd.n_units, 0) AS n_units,
+        |  COALESCE(dd.n_ratings, 0) AS n_ratings, unp.n_unpairable,
+        |  CASE WHEN dd.n_ratings > 1 AND
+        |      CAST(CAST(dd.n_ratings AS HUGEINT) * dd.n_ratings - nc2
+        |        AS DOUBLE) > 0 THEN
+        |    ROUND(1.0 - do_ * CAST(dd.n_ratings - 1 AS DOUBLE) /
+        |      CAST(CAST(dd.n_ratings AS HUGEINT) * dd.n_ratings - nc2
+        |        AS DOUBLE), 6) END AS alpha
+        |FROM unp LEFT JOIN dd ON unp.g = dd.g
+        |  LEFT JOIN m2 ON unp.g = m2.g
+        |ORDER BY 1""".stripMargin,
+
+    "q310_cochran_q" ->
+      """WITH e AS (SELECT event_type, event_id, user_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type AS g, event_id AS t, 'm0' AS mo,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000 AS ok
+        |  FROM e WHERE (event_id + 0) % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_type, event_id, 'm1',
+        |    CAST(floor(value * 900 + 0.5) AS BIGINT) +
+        |      (user_id % 10) * 500 > 34000
+        |  FROM e WHERE (event_id + 1) % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_type, event_id, 'm2',
+        |    CAST(floor(value * 1100 + 0.5) AS BIGINT) -
+        |      (user_id % 5) * 300 > 34000
+        |  FROM e WHERE (event_id + 2) % 7 <> 0),
+        |kp AS (SELECT g, CAST(COUNT(DISTINCT mo) AS BIGINT) AS k
+        |  FROM b GROUP BY 1),
+        |pt AS (SELECT g, t, CAST(COUNT(1) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS li
+        |  FROM b GROUP BY 1, 2),
+        |comp AS (SELECT pt.g, pt.t, pt.li FROM pt JOIN kp
+        |  ON pt.g = kp.g WHERE pt.nm = kp.k),
+        |ta AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n_tasks,
+        |    SUM(CAST(li AS HUGEINT)) AS sl,
+        |    SUM(CAST(li AS HUGEINT) * li) AS sl2
+        |  FROM comp GROUP BY 1),
+        |dr AS (SELECT pt.g, CAST(SUM(CASE WHEN pt.nm <> kp.k THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_incomplete
+        |  FROM pt JOIN kp ON pt.g = kp.g GROUP BY 1),
+        |ma AS (SELECT b.g, b.mo, CAST(SUM(CASE WHEN b.ok THEN 1
+        |      ELSE 0 END) AS BIGINT) AS gj
+        |  FROM b JOIN comp ON b.g = comp.g AND b.t = comp.t
+        |  GROUP BY 1, 2),
+        |ms AS (SELECT g, SUM(CAST(gj AS HUGEINT)) AS s,
+        |    SUM(CAST(gj AS HUGEINT) * gj) AS sg2
+        |  FROM ma GROUP BY 1)
+        |SELECT kp.g AS event_type, kp.k,
+        |  COALESCE(ta.n_tasks, 0) AS n_tasks, dr.n_incomplete,
+        |  CASE WHEN kp.k * ta.sl - ta.sl2 > 0 THEN
+        |    ROUND(CAST((kp.k - 1) * (kp.k * ms.sg2 - ms.s * ms.s)
+        |        AS DOUBLE) /
+        |      CAST(kp.k * ta.sl - ta.sl2 AS DOUBLE), 6) END AS q,
+        |  CASE WHEN kp.k * ta.sl - ta.sl2 > 0 AND kp.k - 1 = 2 THEN
+        |    (kp.k - 1) * (kp.k * ms.sg2 - ms.s * ms.s) * 1000000 >=
+        |      5991000 * (kp.k * ta.sl - ta.sl2) END AS significant
+        |FROM kp JOIN dr ON kp.g = dr.g
+        |  LEFT JOIN ta ON kp.g = ta.g LEFT JOIN ms ON kp.g = ms.g
+        |ORDER BY 1""".stripMargin,
 
     "q287_kruskal" ->
       """WITH b AS (SELECT event_type AS g,

@@ -1235,6 +1235,67 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("one") == ((10L, 0, None, None, None)))
   }
 
+  test("krippendorffAlpha: textbook hand case, degenerate label, " +
+      "unpairable units") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: {a,a} agree; u2: {a,b} disagree; u3: {b,b,b} agree
+      // Do = 2/1, De = (49-25)/6 = 4 -> alpha = 1 - 2/4 = 0.5
+      ("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"), ("g", 2L, "b"),
+      ("g", 3L, "b"), ("g", 3L, "b"), ("g", 3L, "b"),
+      // lone rating: unpairable, excluded from n_units/n_ratings
+      ("g", 4L, "c"),
+      // perfect agreement across 2 units
+      ("p", 1L, "x"), ("p", 1L, "x"), ("p", 2L, "y"), ("p", 2L, "y"),
+      // every pooled rating identical: De = 0, alpha undefined
+      ("z", 1L, "s"), ("z", 1L, "s"), ("z", 2L, "s"), ("z", 2L, "s"))
+      .toDF("grp", "unit", "label")
+    val got = graft.ops.Profiling.krippendorffAlpha(df, "grp", "unit",
+        "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_ratings"),
+          r.getAs[Long]("n_unpairable"),
+          Option(r.getAs[java.lang.Double]("alpha"))))).toMap
+    assert(got("g") == ((3L, 7L, 1L, Some(0.5))))
+    assert(got("p") == ((2L, 4L, 0L, Some(1.0))))
+    assert(got("z") == ((2L, 4L, 0L, None)))
+  }
+
+  test("cochranQ: hand Q, incomplete-task drop, unanimous null") {
+    import spark.implicits._
+    // tasks x models: t1:(1,1,0) t2:(1,0,0) t3:(1,1,1) t4:(0,0,0)
+    // G=(3,2,1) S=6 SG2=14; L=(2,1,3,0) SL=6 SL2=14
+    // Q = 2*(3*14-36)/(3*6-14) = 12/4 = 3.0 < 5.991 (df 2)
+    val g = for {
+      (t, oks) <- Seq(1L -> Seq(true, true, false),
+        2L -> Seq(true, false, false), 3L -> Seq(true, true, true),
+        4L -> Seq(false, false, false))
+      (ok, m) <- oks.zipWithIndex
+    } yield ("g", t, s"m$m", ok)
+    // perfect separation: m0 always right, m1/m2 never:
+    // Q = 2*(3*16-16)/(3*4-4) = 64/8 = 8.0 > 5.991 -> significant
+    val s = for {
+      t <- 1L to 4L
+      m <- 0 to 2
+    } yield ("s", t, s"m$m", m == 0)
+    // task 5 scored by only 2 of 3 models: dropped, reported
+    val inc = Seq(("s", 5L, "m0", true), ("s", 5L, "m1", false))
+    // unanimous on every task: denominator 0, Q undefined
+    val z = for { t <- 1L to 3L; m <- 0 to 1 }
+      yield ("z", t, s"m$m", t % 2 == 0)
+    val got = graft.ops.Profiling.cochranQ(
+        (g ++ s ++ inc ++ z).toDF("grp", "task", "model", "ok"),
+        "grp", "task", "model", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("n_tasks"),
+          r.getAs[Long]("n_incomplete"),
+          Option(r.getAs[java.lang.Double]("q")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((3L, 4L, 0L, Some(3.0), Some(false))))
+    assert(got("s") == ((3L, 4L, 1L, Some(8.0), Some(true))))
+    assert(got("z") == ((2L, 3L, 0L, None, None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
