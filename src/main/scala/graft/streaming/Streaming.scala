@@ -876,4 +876,111 @@ object Streaming {
           }
       }
   }
+
+  /** Streaming twin of [[graft.ops.Profiling.mcnemar]]: a live paired
+    * A-vs-B eval monitor. O(1) state per group — (n, only_a, only_b) —
+    * and each micro-batch emits the batch-identical verdict over
+    * everything arrived: the same single division for χ² (HALF_UP to 6
+    * like the batch `round`) and the same EXACT integer
+    * cross-multiplication for significance, so stream ≡ batch at every
+    * prefix, not just in the limit. Rows are (group, okA, okB). */
+  def mcnemarStream(rows: Dataset[(String, Boolean, Boolean)],
+      chiCrit: Double = 3.841): Dataset[(String, Long, Long, Long,
+      Option[Double], Option[Boolean])] = {
+    import rows.sparkSession.implicits._
+    val critMicro = math.round(chiCrit * 1e6)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (String, Long, Long, Long, Option[Double], Option[Boolean])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[(Long, Long, Long)]) =>
+          var (n, b, c) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, a, bb) =>
+            n += 1
+            if (a && !bb) b += 1
+            if (!a && bb) c += 1
+          }
+          state.update((n, b, c))
+          val disc = b + c
+          val chi2 = if (disc > 0) {
+            val d = b - c
+            Some(java.math.BigDecimal
+              .valueOf(d.toDouble * d.toDouble / disc.toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          } else None
+          val sig = if (disc > 0) {
+            val d = BigInt(b) - BigInt(c)
+            Some(d * d * 1000000 >= BigInt(critMicro) * disc)
+          } else None
+          Iterator.single((g, n, b, c, chi2, sig))
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.Profiling.chiSquared]]: a live
+    * contingency-drift monitor ("is the outcome mix still independent
+    * of the segment?"). State per group is the label-bounded (a, b)
+    * count map — never row-sized; each micro-batch replays the batch
+    * op's arithmetic over everything arrived: expected counts from
+    * exact integer marginals, per-cell float terms folded in
+    * (a,b)-sorted order, df from labels seen so far, verdict from the
+    * same critical-value table. Stream ≡ batch at every prefix. Rows
+    * are (group, a, b); output is (group, n, r, c, dof, chi2,
+    * cramers_v, significant). */
+  def chiSquaredStream(rows: Dataset[(String, String, String)],
+      critByDf: Map[Int, Double] = graft.ops.Profiling.chi2Crit95)
+      : Dataset[(String, Long, Long, Long, Int, Option[Double],
+      Option[Double], Option[Boolean])] = {
+    import rows.sparkSession.implicits._
+    val critMicro: Map[Int, Long] =
+      critByDf.map { case (k, v) => k -> math.round(v * 1e6) }
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+        (String, Long, Long, Long, Int, Option[Double], Option[Double],
+          Option[Boolean])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[Map[String, Long]]) =>
+          var cells = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { case (_, a, b) =>
+            if (a != null && b != null) {
+              val k = a + "\u0000" + b
+              cells = cells.updated(k, cells.getOrElse(k, 0L) + 1L)
+            }
+          }
+          state.update(cells)
+          val split = cells.toSeq.map { case (k, o) =>
+            val Array(a, b) = k.split("\u0000", 2)
+            (a, b, o)
+          }
+          val n = split.map(_._3).sum
+          val ra = split.groupBy(_._1).map { case (a, v) =>
+            a -> v.map(_._3).sum }
+          val cb = split.groupBy(_._2).map { case (b, v) =>
+            b -> v.map(_._3).sum }
+          val r = ra.size.toLong
+          val c = cb.size.toLong
+          val dof = ((r - 1) * (c - 1)).toInt
+          // full r×c grid in (a,b)-sorted order, zero cells included —
+          // the batch fold's exact term sequence
+          val byCell = split.map(t => (t._1, t._2) -> t._3).toMap
+          val chi2 = if (dof > 0 && n > 0) {
+            val s = for {
+              a <- ra.keys.toSeq.sorted
+              b <- cb.keys.toSeq.sorted
+            } yield {
+              val o = byCell.getOrElse((a, b), 0L).toDouble
+              val e = (BigInt(ra(a)) * BigInt(cb(b))).toDouble /
+                n.toDouble
+              (o - e) * (o - e) / e
+            }
+            Some(s.foldLeft(0.0)(_ + _))
+          } else None
+          def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val v = chi2.map(x =>
+            r6(math.sqrt(x / (n.toDouble * math.min(r - 1, c - 1)))))
+          val sig = chi2.flatMap(x => critMicro.get(dof)
+            .map(cm => x * 1000000.0 >= cm.toDouble))
+          Iterator.single((g, n, r, c, dof, chi2.map(r6), v, sig))
+      }
+  }
 }

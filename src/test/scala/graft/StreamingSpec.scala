@@ -1007,4 +1007,83 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalState == batch)
     } finally q.stop()
   }
+
+  test("mcnemarStream equals the batch test on everything arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Boolean, Boolean)]
+    val q = Streaming.mcnemarStream(ms.toDS())
+      .toDF("g", "n", "b", "c", "chi2", "sig")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("mcn_stream").start()
+    val batch1 = Seq(("g", true, false), ("g", true, true),
+      ("z", true, true))
+    val batch2 = (1 to 8).map(_ => ("g", true, false)) ++
+      Seq(("g", false, true), ("g", false, true), ("z", false, false))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM mcn_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Boolean]("sig")))))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      import spark.implicits._
+      val batch = graft.ops.Profiling.mcnemar(
+        (batch1 ++ batch2).toDF("g", "a", "b"), "g", "a", "b")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_pairs"), r.getAs[Long]("only_a"),
+            r.getAs[Long]("only_b"),
+            Option(r.getAs[java.lang.Double]("chi2")),
+            Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+      assert(last == batch)
+      // cross-batch accumulation: 9 A-only vs 2 B-only over 12 pairs
+      assert(last("g")._4 == Some(java.math.BigDecimal
+        .valueOf(49.0 / 11.0).setScale(6,
+          java.math.RoundingMode.HALF_UP).doubleValue()))
+      // mid-stream emission after batch1 was already a valid prefix
+      assert(rows.exists(r => r._1 == "g" && r._2._1 == 2L))
+    } finally q.stop()
+  }
+
+  test("chiSquaredStream equals the batch test on everything arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String, String)]
+    val q = Streaming.chiSquaredStream(ms.toDS())
+      .toDF("g", "n", "r", "c", "dof", "chi2", "v", "sig")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("chi_stream").start()
+    // batch 2 introduces a NEW column label and fills a zero cell,
+    // exercising the grid rebuild across batches
+    val batch1 = (1 to 20).flatMap(_ => Seq(("g", "x", "0"))) ++
+      (1 to 5).flatMap(_ => Seq(("g", "x", "1"), ("g", "y", "0")))
+    val batch2 = (1 to 20).map(_ => ("g", "y", "1")) ++
+      Seq(("g", "y", "2"), ("g", "x", "2"), ("o", "a", "0"))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM chi_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getInt(4),
+          Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Double]("v")),
+          Option(r.getAs[java.lang.Boolean]("sig")))))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      import spark.implicits._
+      val batch = graft.ops.Profiling.chiSquared(
+        (batch1 ++ batch2).toDF("g", "fa", "fb"), "g", "fa", "fb")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("r"), r.getAs[Long]("c"),
+            r.getAs[Int]("dof"),
+            Option(r.getAs[java.lang.Double]("chi2")),
+            Option(r.getAs[java.lang.Double]("cramers_v")),
+            Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+      assert(last == batch)
+      assert(last("g")._4 == 2) // (2-1)*(3-1) after the new label
+      assert(last("o")._5.isEmpty) // single cell: dof 0, no test
+    } finally q.stop()
+  }
 }
