@@ -2582,6 +2582,12 @@ object Profiling {
     val base = df.filter(col(labelCol).isNotNull)
       .select(col(groupCol), col(unitCol).as("__u__"),
         col(labelCol).cast("string").as("__l__"))
+    // cells/perUnit each feed two consumers but are NOT persisted: the
+    // whole op is ONE action, so Catalyst's ReusedExchange already
+    // dedupes the identical shuffle subtrees inside the single plan —
+    // only cheap pruned re-scans repeat. Persisting was measured
+    // SLOWER at 1×/10× (InMemoryRelation splits the plan into
+    // materialization barriers and defeats exchange reuse)
     val cells = base.groupBy(col(groupCol), col("__u__"), col("__l__"))
       .agg(count(lit(1)).as("__o__"))
     val perUnit = cells.groupBy(col(groupCol), col("__u__"))
@@ -2651,6 +2657,10 @@ object Profiling {
     val critMicro: Map[Int, Long] =
       critByDf.map { case (k, v) => k -> math.round(v * 1e6) }
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // base and perTask each feed multiple consumers but are NOT
+    // persisted: the op is ONE action, so ReusedExchange dedupes the
+    // identical shuffle subtrees inside the single plan (persisting
+    // measured slower — materialization barriers defeat the reuse)
     val base = df.filter(col(okCol).isNotNull)
       .select(col(groupCol), col(taskCol).as("__t__"),
         col(modelCol).as("__mo__"), col(okCol).cast("boolean")
