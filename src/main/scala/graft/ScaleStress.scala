@@ -1709,6 +1709,32 @@ object ScaleStress {
           "event_id", "model", "ok")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q311 shape: Cochran–Armitage — one dose-bounded moment collapse
+      timed(scale, "cochran_armitage") {
+        val e2 = ev.select(col("event_type"),
+          least(floor(col("value") / 50).cast("long"), lit(9L))
+            .as("dose"),
+          (floor(col("value") * 10 + 0.5).cast("long") +
+            col("user_id") % 350 > 500L).as("ok"))
+        val out = graft.ops.Profiling.cochranArmitage(e2, "event_type",
+          "dose", "ok")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q312 shape: Mantel–Haenszel — one (g, stratum) 2×2 collapse,
+      // stratum-bounded fold
+      timed(scale, "mantel_haenszel") {
+        val e2 = ev.select(col("event_type"),
+          concat(lit("s"), (col("user_id") % 4).cast("string"))
+            .as("stratum"),
+          (col("event_id") % 2 === 0).as("treated"),
+          (floor(col("value") * 10 + 0.5).cast("long") +
+            (col("user_id") % 4) * 100L +
+            when(col("event_id") % 2 === 0, 50L).otherwise(0L) > 400L)
+            .as("ok"))
+        val out = graft.ops.Profiling.mantelHaenszel(e2, "event_type",
+          "stratum", "treated", "ok")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

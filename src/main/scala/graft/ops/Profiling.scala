@@ -2706,6 +2706,136 @@ object Profiling {
           .as("significant"))
   }
 
+  /** Cochran–Armitage trend test per group — "does the pass rate TREND
+    * with the ordered dose?" (score deciles, difficulty tiers, context
+    * lengths). A plain χ² independence test ([[chiSquared]]) burns its
+    * power on unordered alternatives; this one puts every degree of
+    * freedom on the monotone trend. Doses must be integral (quantize
+    * upstream — the [[prCurve]] contract). From the dose-bounded
+    * (n_i, r_i) table: `Z² = N·(N·Σx_i r_i − R·Σx_i n_i)² /
+    * (R·(N−R)·(N·Σn_i x_i² − (Σx_i n_i)²))` — every moment is an exact
+    * integer in decimal; Z² itself is assembled in doubles FROM those
+    * moments (the rank_sum/welch posture: all-decimal assembly
+    * overflows 38 digits at production N), and both engines replay the
+    * identical expression tree. `rising` is the SIGN of the exact
+    * integer numerator root — never a float. Null when the trend
+    * variance is 0 (single dose, or R = 0/N: no successes or no
+    * failures anywhere).
+    *
+    * Shape: one (group, dose) partial-aggregable collapse, dose-bounded
+    * moment sums — rows shuffle once. Returns
+    * (group, n, k_doses, z2, rising, significant). */
+  def cochranArmitage(df: DataFrame, groupCol: String, doseCol: String,
+      okCol: String, chiCrit: Double = 3.841): DataFrame = {
+    requireIntegral(df, doseCol, "cochranArmitage")
+    val critMicro = math.round(chiCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(doseCol).isNotNull && col(okCol).isNotNull)
+      .select(col(groupCol), col(doseCol).cast("long").as("__x__"),
+        col(okCol).cast("boolean").as("__ok__"))
+    val perDose = base.groupBy(col(groupCol), col("__x__"))
+      .agg(count(lit(1)).as("__ni__"),
+        sum(when(col("__ok__"), 1L).otherwise(0L)).as("__ri__"))
+    val per = perDose.groupBy(col(groupCol))
+      .agg(sum(col("__ni__")).as("n"),
+        count(lit(1)).as("k_doses"),
+        sum(dec(col("__ri__"))).as("__r__"),
+        sum(dec(col("__x__")) * dec(col("__ri__"))).as("__xr__"),
+        sum(dec(col("__x__")) * dec(col("__ni__"))).as("__xn__"),
+        sum(dec(col("__x__")) * dec(col("__x__")) * dec(col("__ni__")))
+          .as("__x2n__"))
+    val nD = dec(col("n"))
+    val num = nD * col("__xr__") - col("__r__") * col("__xn__")
+    val varTerm = (col("__r__") * (nD - col("__r__"))).cast("double") *
+      (nD * col("__x2n__") - col("__xn__") * col("__xn__"))
+        .cast("double")
+    val z2 = try_divide(col("n").cast("double") * num.cast("double") *
+      num.cast("double"), varTerm)
+    per.select(col(groupCol), col("n"), col("k_doses"),
+      when(varTerm > 0, round(z2, 6)).as("z2"),
+      when(varTerm > 0 && num =!= 0, num > 0).as("rising"),
+      when(varTerm > 0, z2 * lit(1000000.0) >=
+        lit(critMicro.toDouble)).as("significant"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + CMH test per group — the
+    * stratified treatment readout: "controlling for the confounder,
+    * does treatment move the outcome, and by how much?" The pooled
+    * estimate [[q271 simpsonsCheck]] flags the need for — a flipped
+    * aggregate is the SYMPTOM, MH is the correct pooled effect. Per
+    * stratum the 2×2 cells (a=treated-pass, b=treated-fail,
+    * c=control-pass, d=control-fail) are exact integer counts;
+    * `OR_MH = Σ(a_i d_i/n_i) / Σ(b_i c_i/n_i)` and the CMH
+    * `χ² = (Σa_i − ΣE_i)² / ΣV_i` (`E_i = (a+b)(a+c)/n_i`,
+    * `V_i = (a+b)(c+d)(a+c)(b+d)/(n_i²(n_i−1))`, no continuity
+    * correction) fold their per-stratum single-division terms in
+    * stratum-sorted order on BOTH engines. Strata with n_i < 2 carry
+    * no variance and are excluded (reported). OR is null when no
+    * discordant mass exists (Σb_i c_i/n_i = 0); χ² null when ΣV = 0.
+    *
+    * Shape: one (group, stratum) partial-aggregable collapse, one
+    * stratum-bounded fold — rows shuffle once. Returns (group,
+    * n_strata, n_thin, n, or_mh, chi2, significant). */
+  def mantelHaenszel(df: DataFrame, groupCol: String,
+      stratumCol: String, treatedCol: String, okCol: String,
+      chiCrit: Double = 3.841): DataFrame = {
+    val critMicro = math.round(chiCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(stratumCol).isNotNull && col(treatedCol).isNotNull &&
+        col(okCol).isNotNull)
+      .select(col(groupCol), col(stratumCol).cast("string").as("__s__"),
+        col(treatedCol).cast("boolean").as("__t__"),
+        col(okCol).cast("boolean").as("__ok__"))
+    val cells = base.groupBy(col(groupCol), col("__s__")).agg(
+      sum(when(col("__t__") && col("__ok__"), 1L).otherwise(0L))
+        .as("__a__"),
+      sum(when(col("__t__") && !col("__ok__"), 1L).otherwise(0L))
+        .as("__b__"),
+      sum(when(!col("__t__") && col("__ok__"), 1L).otherwise(0L))
+        .as("__c__"),
+      sum(when(!col("__t__") && !col("__ok__"), 1L).otherwise(0L))
+        .as("__d__"))
+      .withColumn("__ni__",
+        col("__a__") + col("__b__") + col("__c__") + col("__d__"))
+    val fat = cells.filter(col("__ni__") >= 2)
+    val niD = col("__ni__").cast("double")
+    val term = struct(col("__s__").as("s"),
+      (dec(col("__a__")) * dec(col("__d__"))).cast("double")
+        .divide(niD).as("ad"),
+      (dec(col("__b__")) * dec(col("__c__"))).cast("double")
+        .divide(niD).as("bc"),
+      ((dec(col("__a__")) + dec(col("__b__"))) *
+        (dec(col("__a__")) + dec(col("__c__")))).cast("double")
+        .divide(niD).as("e"),
+      try_divide(((dec(col("__a__")) + dec(col("__b__"))) *
+        (dec(col("__c__")) + dec(col("__d__"))) *
+        (dec(col("__a__")) + dec(col("__c__"))) *
+        (dec(col("__b__")) + dec(col("__d__")))).cast("double"),
+        niD * niD * (niD - 1.0)).as("v"))
+    val per = fat.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("__ni__")).as("__nfat__"),
+        sum(col("__a__")).as("__asum__"),
+        sort_array(collect_list(term)).as("__terms__"))
+    def fsum(f: String) = aggregate(col("__terms__"), lit(0.0),
+      (acc, s) => acc + s.getField(f))
+    val thin = cells.groupBy(col(groupCol))
+      .agg(sum(when(col("__ni__") < 2, 1L).otherwise(0L)).as("n_thin"))
+    val diff = col("__asum__").cast("double") - fsum("e")
+    val chi2 = try_divide(diff * diff, fsum("v"))
+    thin.join(per, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("n_strata"), lit(0L)).as("n_strata"),
+        col("n_thin"),
+        coalesce(col("__nfat__"), lit(0L)).as("n"),
+        when(fsum("bc") > 0, round(try_divide(fsum("ad"), fsum("bc")),
+          6)).as("or_mh"),
+        when(fsum("v") > 0, round(chi2, 6)).as("chi2"),
+        when(fsum("v") > 0, chi2 * lit(1000000.0) >=
+          lit(critMicro.toDouble)).as("significant"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

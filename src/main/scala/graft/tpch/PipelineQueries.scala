@@ -810,6 +810,41 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Cochran–Armitage trend per event type: does the pass rate trend
+    // with the value decile? single-df monotone test over the
+    // dose-bounded moment table
+    "q311_cochran_armitage" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          least(floor(col("value") / 50).cast("long"), lit(9L))
+            .as("dose"),
+          (floor(col("value") * 10 + 0.5).cast("long") +
+            col("user_id") % 350 > 500L).as("ok"))
+      graft.ops.Profiling.cochranArmitage(ev, "event_type", "dose",
+          "ok")
+        .orderBy(col("event_type"))
+    }),
+
+    // Mantel–Haenszel pooled OR + CMH per event type: treatment effect
+    // controlling for the user-segment confounder the outcome is
+    // deliberately loaded with
+    "q312_mantel_haenszel" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          concat(lit("s"), (col("user_id") % 4).cast("string"))
+            .as("stratum"),
+          (col("event_id") % 2 === 0).as("treated"),
+          (floor(col("value") * 10 + 0.5).cast("long") +
+            (col("user_id") % 4) * 100L +
+            when(col("event_id") % 2 === 0, 50L).otherwise(0L) > 400L)
+            .as("ok"))
+      graft.ops.Profiling.mantelHaenszel(ev, "event_type", "stratum",
+          "treated", "ok")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4467,6 +4502,101 @@ object PipelineQueries {
         |FROM unp LEFT JOIN dd ON unp.g = dd.g
         |  LEFT JOIN m2 ON unp.g = m2.g
         |ORDER BY 1""".stripMargin,
+
+    "q311_cochran_armitage" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS x,
+        |    CAST(floor(value * 10 + 0.5) AS BIGINT) +
+        |      user_id % 350 > 500 AS ok
+        |  FROM events WHERE value IS NOT NULL),
+        |pd AS (SELECT g, x, CAST(COUNT(1) AS BIGINT) AS ni,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS ri
+        |  FROM b GROUP BY 1, 2),
+        |per AS (SELECT g, CAST(SUM(ni) AS BIGINT) AS n,
+        |    CAST(COUNT(1) AS BIGINT) AS k_doses,
+        |    SUM(CAST(ri AS HUGEINT)) AS r,
+        |    SUM(CAST(x AS HUGEINT) * ri) AS xr,
+        |    SUM(CAST(x AS HUGEINT) * ni) AS xn,
+        |    SUM(CAST(x AS HUGEINT) * x * ni) AS x2n
+        |  FROM pd GROUP BY 1),
+        |t AS (SELECT g, n, k_doses,
+        |    CAST(n AS HUGEINT) * xr - r * xn AS num,
+        |    CAST(r * (CAST(n AS HUGEINT) - r) AS DOUBLE) *
+        |      CAST(CAST(n AS HUGEINT) * x2n - xn * xn AS DOUBLE) AS vt
+        |  FROM per),
+        |z AS (SELECT g, n, k_doses, num, vt,
+        |    CAST(n AS DOUBLE) * CAST(num AS DOUBLE) *
+        |      CAST(num AS DOUBLE) / vt AS z2
+        |  FROM t)
+        |SELECT g AS event_type, n, k_doses,
+        |  CASE WHEN vt > 0 THEN ROUND(z2, 6) END AS z2,
+        |  CASE WHEN vt > 0 AND num <> 0 THEN num > 0 END AS rising,
+        |  CASE WHEN vt > 0 THEN z2 * 1000000.0 >= 3841000.0 END
+        |    AS significant
+        |FROM z ORDER BY 1""".stripMargin,
+
+    "q312_mantel_haenszel" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    's' || CAST(user_id % 4 AS VARCHAR) AS s,
+        |    event_id % 2 = 0 AS t,
+        |    CAST(floor(value * 10 + 0.5) AS BIGINT) +
+        |      (user_id % 4) * 100 +
+        |      CASE WHEN event_id % 2 = 0 THEN 50 ELSE 0 END > 400 AS ok
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT g, s,
+        |    CAST(SUM(CASE WHEN t AND ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN t AND NOT ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bb,
+        |    CAST(SUM(CASE WHEN NOT t AND ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM b GROUP BY 1, 2),
+        |fat AS (SELECT *, a + bb + c + d AS ni FROM cells
+        |  WHERE a + bb + c + d >= 2),
+        |terms AS (SELECT g, s,
+        |    CAST(CAST(a AS HUGEINT) * d AS DOUBLE) /
+        |      CAST(ni AS DOUBLE) AS ad,
+        |    CAST(CAST(bb AS HUGEINT) * c AS DOUBLE) /
+        |      CAST(ni AS DOUBLE) AS bc,
+        |    CAST((CAST(a AS HUGEINT) + bb) * (CAST(a AS HUGEINT) + c)
+        |      AS DOUBLE) / CAST(ni AS DOUBLE) AS e,
+        |    CAST((CAST(a AS HUGEINT) + bb) * (CAST(c AS HUGEINT) + d) *
+        |        (CAST(a AS HUGEINT) + c) * (CAST(bb AS HUGEINT) + d)
+        |      AS DOUBLE) /
+        |      (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE) *
+        |        (CAST(ni AS DOUBLE) - 1.0)) AS v
+        |  FROM fat),
+        |per AS (SELECT terms.g,
+        |    CAST(COUNT(1) AS BIGINT) AS n_strata,
+        |    CAST(SUM(fat.ni) AS BIGINT) AS n,
+        |    CAST(SUM(fat.a) AS BIGINT) AS asum,
+        |    list_reduce(list(ad ORDER BY terms.s), (x, y) -> x + y)
+        |      AS sad,
+        |    list_reduce(list(bc ORDER BY terms.s), (x, y) -> x + y)
+        |      AS sbc,
+        |    list_reduce(list(e ORDER BY terms.s), (x, y) -> x + y)
+        |      AS se,
+        |    list_reduce(list(v ORDER BY terms.s), (x, y) -> x + y)
+        |      AS sv
+        |  FROM terms JOIN fat ON terms.g = fat.g AND terms.s = fat.s
+        |  GROUP BY 1),
+        |thin AS (SELECT g, CAST(SUM(CASE WHEN a + bb + c + d < 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_thin
+        |  FROM cells GROUP BY 1),
+        |fin AS (SELECT thin.g, per.n_strata, thin.n_thin, per.n,
+        |    per.sad, per.sbc, per.sv,
+        |    (CAST(per.asum AS DOUBLE) - per.se) *
+        |      (CAST(per.asum AS DOUBLE) - per.se) / per.sv AS chi2
+        |  FROM thin LEFT JOIN per ON thin.g = per.g)
+        |SELECT g AS event_type, COALESCE(n_strata, 0) AS n_strata,
+        |  n_thin, COALESCE(n, 0) AS n,
+        |  CASE WHEN sbc > 0 THEN ROUND(sad / sbc, 6) END AS or_mh,
+        |  CASE WHEN sv > 0 THEN ROUND(chi2, 6) END AS chi2,
+        |  CASE WHEN sv > 0 THEN chi2 * 1000000.0 >= 3841000.0 END
+        |    AS significant
+        |FROM fin ORDER BY 1""".stripMargin,
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value

@@ -1296,6 +1296,65 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((2L, 3L, 0L, None, None)))
   }
 
+  test("cochranArmitage: hand trend, flat zero, degenerate nulls") {
+    import spark.implicits._
+    def rows(g: String, x: Long, nOk: Int, nFail: Int) =
+      Seq.fill(nOk)((g, x, true)) ++ Seq.fill(nFail)((g, x, false))
+    val df = (
+      // pass rate 2/10 -> 5/10 -> 8/10 over doses 0,1,2:
+      // num = 30*21 - 15*30 = 180, var = 15*15*600, z2 = 7.2
+      rows("g", 0L, 2, 8) ++ rows("g", 1L, 5, 5) ++
+        rows("g", 2L, 8, 2) ++
+      // identical rate at every dose: z2 = 0, no direction
+      rows("f", 0L, 3, 7) ++ rows("f", 1L, 3, 7) ++
+        rows("f", 2L, 3, 7) ++
+      // single dose: trend variance 0
+      rows("d", 5L, 2, 2) ++
+      // all pass: R = N, variance 0
+      rows("p", 0L, 3, 0) ++ rows("p", 1L, 3, 0))
+      .toDF("grp", "dose", "ok")
+    val got = graft.ops.Profiling.cochranArmitage(df, "grp", "dose",
+        "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k_doses"),
+          Option(r.getAs[java.lang.Double]("z2")),
+          Option(r.getAs[java.lang.Boolean]("rising")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((30L, 3L, Some(7.2), Some(true), Some(true))))
+    assert(got("f") == ((30L, 3L, Some(0.0), None, Some(false))))
+    assert(got("d") == ((4L, 1L, None, None, None)))
+    assert(got("p") == ((6L, 2L, None, None, None)))
+  }
+
+  test("mantelHaenszel: pooled OR, CMH chi2, thin strata, no-discord") {
+    import spark.implicits._
+    def cell(g: String, s: String, t: Boolean, ok: Boolean, n: Int) =
+      Seq.fill(n)((g, s, t, ok))
+    val df = (
+      // two strata, each OR 6: ad/n = 1.2+1.2, bc/n = 0.2+0.2 -> 6.0
+      // E = 3+2, a = 4+3, V = 2/3+2/3 -> chi2 = 4/(4/3) = 3.0
+      cell("g", "s1", true, true, 4) ++ cell("g", "s1", true, false, 1) ++
+      cell("g", "s1", false, true, 2) ++ cell("g", "s1", false, false, 3) ++
+      cell("g", "s2", true, true, 3) ++ cell("g", "s2", true, false, 2) ++
+      cell("g", "s2", false, true, 1) ++ cell("g", "s2", false, false, 4) ++
+      // single-row stratum: no variance, excluded and counted
+      cell("g", "s3", true, true, 1) ++
+      // perfect concordance: OR undefined, chi2 still defined
+      cell("z", "s1", true, true, 2) ++ cell("z", "s1", false, false, 2))
+      .toDF("grp", "stratum", "treated", "ok")
+    val got = graft.ops.Profiling.mantelHaenszel(df, "grp", "stratum",
+        "treated", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_strata"), r.getAs[Long]("n_thin"),
+          r.getAs[Long]("n"),
+          Option(r.getAs[java.lang.Double]("or_mh")),
+          Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((2L, 1L, 20L, Some(6.0), Some(3.0),
+      Some(false))))
+    assert(got("z") == ((1L, 0L, 4L, None, Some(3.0), Some(false))))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
