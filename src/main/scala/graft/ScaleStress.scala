@@ -971,6 +971,18 @@ object ScaleStress {
     runDimHealth("1x", emb1x)
     runDimHealth("10x", emb10x)
 
+    // q313 shape: truncation audit — |dims|+1 bounded top-k corpus
+    // passes (broadcast queries), k-row joins; wall tracks corpus scans
+    def runTrunc(scale: String, emb: DataFrame): Unit =
+      timed(scale, "truncation_audit") {
+        val out = graft.ops.Similarity.truncationAudit(
+          emb.filter(col("vec_id") % embStride < 10), emb, "vec_id",
+          "embedding", k = 5, dims = Seq(16, 32))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    runTrunc("1x", emb1x)
+    runTrunc("10x", emb10x)
+
     // q94 shape: deterministic JL projection — per-row codegen'd loop,
     // no shuffle, no broadcast (the sign matrix is recomputed from the
     // flat index); must stay exchange-free at any size

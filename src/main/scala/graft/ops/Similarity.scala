@@ -136,6 +136,56 @@ object Similarity {
     * keeps only k candidates per query per partition, so the shuffle
     * carries O(|queries|·k·partitions) structs, never the |queries|×|corpus|
     * scored product a rank-window formulation would sort-shuffle. */
+  /** Embedding-truncation audit — the Matryoshka-dimension decision:
+    * "how much retrieval quality survives if we keep only the first d
+    * dims?" (truncated embeddings cut index storage and ANN cost
+    * linearly, and MRL-trained models front-load information exactly so
+    * this works). For each candidate `d`, the exact top-k under the
+    * truncated cosine is compared against the full-dimension top-k:
+    * `mean_overlap_at_k` (|∩|/k averaged over queries — the recall@k of
+    * the truncated index against full-dim truth) and `top1_match_rate`.
+    * Both are single divisions of exact integer counts. Ties break by
+    * neighbor id in both rankers ([[bruteForceTopK]]'s contract), so
+    * the audit is deterministic.
+    *
+    * Shape: |dims|+1 bounded map-side top-k passes over the corpus
+    * (broadcast queries, no all-pairs materialization), then k-row
+    * joins per query — nothing data-sized survives. Returns one row per
+    * d: (dim, n_queries, mean_overlap_at_k, top1_match_rate). */
+  def truncationAudit(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      "truncationAudit needs at least one positive dim")
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    def top1Of(tk: DataFrame) = tk.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("__t1__"))
+    val fullT1 = top1Of(full)
+      .withColumnRenamed("__t1__", "__f1__")
+    dims.map { d =>
+      def cut(df: DataFrame) = df.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val trunc = bruteForceTopK(cut(queries), cut(corpus), idCol,
+        vecCol, k)
+      val ov = full.join(trunc.select(col("query_id"),
+          col("neighbor_id")), Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__ov__"))
+      val per = fullT1.join(top1Of(trunc), Seq("query_id"))
+        .join(ov, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("__ov__"), lit(0L))).as("__sov__"),
+          sum(when(col("__f1__") === col("__t1__"), 1L).otherwise(0L))
+            .as("__t1m__"))
+      per.select(lit(d).as("dim"), col("n_queries"),
+        round(try_divide(col("__sov__").cast("double"),
+          (col("n_queries") * k).cast("double")), 6)
+          .as("mean_overlap_at_k"),
+        round(try_divide(col("__t1m__").cast("double"),
+          col("n_queries").cast("double")), 6).as("top1_match_rate"))
+    }.reduce(_ union _)
+  }
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int

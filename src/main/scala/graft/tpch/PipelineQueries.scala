@@ -845,6 +845,16 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Matryoshka truncation audit: retrieval quality of the first
+    // 16/32 dims against the full 64-dim top-5 — the keep-how-many-dims
+    // decision, measured as overlap@k and top-1 agreement
+    "q313_truncation_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.truncationAudit(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, dims = Seq(16, 32))
+        .orderBy(col("dim"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4597,6 +4607,50 @@ object PipelineQueries {
         |  CASE WHEN sv > 0 THEN chi2 * 1000000.0 >= 3841000.0 END
         |    AS significant
         |FROM fin ORDER BY 1""".stripMargin,
+
+    "q313_truncation_audit" -> {
+      def ddotN(a: String, b: String, n: Int) = (1 to n).map(i =>
+        s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+        .mkString(" + ")
+      def dcosN(a: String, b: String, n: Int) =
+        s"(${ddotN(a, b, n)}) / (SQRT(${ddotN(a, a, n)}) * " +
+          s"SQRT(${ddotN(b, b, n)}))"
+      def rankCte(name: String, n: Int) =
+        s"""$name AS (SELECT * FROM (
+           |  SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+           |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ${dcosN("q.embedding", "c.embedding", n)} AS cos_raw
+           |    FROM qq q, embeddings c WHERE q.vec_id <> c.vec_id))
+           |  WHERE rank <= 5)""".stripMargin
+      def statCte(d: Int) =
+        s"""o$d AS (SELECT f.query_id, CAST(COUNT(1) AS BIGINT) AS ov
+           |  FROM fr f JOIN r$d t ON f.query_id = t.query_id
+           |    AND f.neighbor_id = t.neighbor_id GROUP BY 1),
+           |s$d AS (SELECT CAST($d AS INT) AS dim,
+           |    CAST(COUNT(1) AS BIGINT) AS n_queries,
+           |    CAST(SUM(COALESCE(o$d.ov, 0)) AS BIGINT) AS sov,
+           |    CAST(SUM(CASE WHEN f.neighbor_id = t.neighbor_id THEN 1
+           |      ELSE 0 END) AS BIGINT) AS t1m
+           |  FROM fr f JOIN r$d t ON f.query_id = t.query_id
+           |    AND f.rank = 1 AND t.rank = 1
+           |  LEFT JOIN o$d ON f.query_id = o$d.query_id)""".stripMargin
+      s"""WITH qq AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 10),
+         |${rankCte("fr", 64)},
+         |${rankCte("r16", 16)},
+         |${rankCte("r32", 32)},
+         |${statCte(16)},
+         |${statCte(32)}
+         |SELECT dim, n_queries,
+         |  ROUND(CAST(sov AS DOUBLE) / CAST(n_queries * 5 AS DOUBLE), 6)
+         |    AS mean_overlap_at_k,
+         |  ROUND(CAST(t1m AS DOUBLE) / CAST(n_queries AS DOUBLE), 6)
+         |    AS top1_match_rate
+         |FROM (SELECT * FROM s16 UNION ALL SELECT * FROM s32)
+         |ORDER BY dim""".stripMargin
+    },
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value

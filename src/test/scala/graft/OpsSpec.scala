@@ -242,6 +242,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("truncationAudit: overlap and top1 flip under truncation") {
+    val qs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      // first-2-dims view [0.1, 0] ranks c1 (cos 1.0 tie, id order)
+      // over c2, but the FULL ranking puts c2 first
+      (101L, Array(0.1f, 0.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.0f, 0.8f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.truncationAudit(qs, corpus, "vec_id",
+        "embedding", k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_queries"),
+          r.getAs[Double]("mean_overlap_at_k"),
+          r.getAs[Double]("top1_match_rate")))).toMap
+    // d=2: both queries keep the same top-2 SET (overlap 1.0) but
+    // query 101's top-1 flips c2 -> c1 (rate 1/2)
+    assert(got(2) == ((2L, 1.0, 0.5)))
+    // d=4 is the full vector: identity
+    assert(got(4) == ((2L, 1.0, 1.0)))
+  }
+
   test("hardNegatives rejects an inverted band") {
     val vs = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
