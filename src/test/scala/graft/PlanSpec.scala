@@ -499,4 +499,56 @@ class PlanSpec extends AnyFunSuite {
       }
     } finally graft.ops.Caches.releaseAll()
   }
+
+  test("round-10 eval-statistics op plans: grid joins stay equi, " +
+      "windows partitioned, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 300L).map(i =>
+      (i, (i % 3).toString, i % 17, (i * 7) % 23, i % 2 == 0,
+        (i * 3) % 2 == 0))
+      .toDF("id", "g", "x", "y", "oka", "okb")
+    // Theil–Sen: the pair join must be an equi-join on the group key
+    // (range condition rides it) — never BroadcastNestedLoop — and the
+    // weighted-median windows must be partitioned by the group
+    val ts = physicalPlan(graft.ops.Profiling.theilSen(
+      ev, "g", "x", "y"))
+    assert(!ts.contains("NestedLoop") && !ts.contains("CartesianProduct"),
+      ts)
+    assert(!ts.contains("Exchange SinglePartition"), ts)
+    // RBO: both rank windows must share the group partitioning — no
+    // global window, no single-partition exchange
+    val rb = physicalPlan(graft.ops.Profiling.rbo(
+      ev.withColumn("sa", col("x")).withColumn("sb", col("y")),
+      "g", "id", "sa", "sb", depth = 5, p = 0.5))
+    assert(!rb.contains("Exchange SinglePartition"), rb)
+    assert(rb.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("g#")), rb)
+    // chi-squared / McNemar / Cochran-Armitage / Cochran's Q /
+    // Krippendorff / Mantel-Haenszel: partial aggregation everywhere,
+    // label/marginal joins stay equi (no cartesian, no nested loop)
+    val plans = Seq(
+      "chi2" -> physicalPlan(graft.ops.Profiling.chiSquared(
+        ev.withColumn("fa", col("x").cast("string"))
+          .withColumn("fb", col("y").cast("string")), "g", "fa", "fb")),
+      "mcnemar" -> physicalPlan(graft.ops.Profiling.mcnemar(
+        ev, "g", "oka", "okb")),
+      "ca" -> physicalPlan(graft.ops.Profiling.cochranArmitage(
+        ev, "g", "x", "oka")),
+      "cq" -> physicalPlan(graft.ops.Profiling.cochranQ(
+        ev.withColumn("m", (col("id") % 3).cast("string"))
+          .withColumn("t", col("id") % 40), "g", "t", "m", "oka")),
+      "kripp" -> physicalPlan(graft.ops.Profiling.krippendorffAlpha(
+        ev.withColumn("l", (col("y") % 3).cast("string")), "g", "x",
+        "l")),
+      "mh" -> physicalPlan(graft.ops.Profiling.mantelHaenszel(
+        ev.withColumn("s", (col("x") % 4).cast("string")), "g", "s",
+        "oka", "okb")))
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("NestedLoop") &&
+        !plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(plan.contains("partial_"), s"$name lost map-side " +
+        s"partial aggregation:\n$plan")
+    }
+  }
 }
