@@ -1747,6 +1747,37 @@ object ScaleStress {
           "stratum", "treated", "ok")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q315 shape: Wilson intervals — one boolean collapse, per-group
+      // closed-form bounds
+      timed(scale, "wilson") {
+        val e2 = ev.select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+        val out = graft.ops.Profiling.wilsonInterval(e2, "event_type",
+          "ok")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q316 shape: best threshold — (group, score) collapse, windows
+      // over the quantization-BOUNDED score grid, struct-max pick
+      timed(scale, "best_threshold") {
+        val e2 = ev.select(col("event_type"),
+          floor(col("value") * 10 + 0.5).cast("long").as("score"),
+          (col("user_id") % 3 === 0).as("label"))
+        val out = graft.ops.Profiling.bestThreshold(e2, "event_type",
+          "score", "label")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q314 shape: chi2 GOF — one (group, category) collapse, a
+      // |target|-term literal fold
+      timed(scale, "chi2_gof") {
+        val e2 = ev.select(col("event_type"),
+          when(col("value") < 20, "lo").when(col("value") < 60, "mid")
+            .otherwise("hi").as("cat"))
+        val out = graft.ops.Profiling.chi2GoodnessOfFit(e2,
+          "event_type", "cat",
+          Map("lo" -> 300000L, "mid" -> 400000L, "hi" -> 300000L))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -2836,6 +2836,150 @@ object Profiling {
           lit(critMicro.toDouble)).as("significant"))
   }
 
+  /** χ² goodness-of-fit against a TARGET mixture per group — the QA
+    * step after [[graft.ops.Corpus.sampleMixture]]/epochPlan: "did the
+    * sampled corpus actually land on the planned source/length/lang
+    * shares?" ([[chiSquared]] asks whether two observed factors are
+    * independent; this asks whether ONE observed factor matches a
+    * DECLARED distribution). Target shares arrive as exact micro
+    * integers and need not sum to 1e6 — expected counts normalize by
+    * the exact integer total `E_c = n·t_c/Σt`. Every target category
+    * contributes (a vanished category is evidence); categories OUTSIDE
+    * the target are excluded from the test and reported as
+    * `n_unplanned`. The |target| float terms fold in category-sorted
+    * order on both engines; df = |target|−1 is fixed by the plan, so
+    * the verdict threshold is a compile-time constant from
+    * [[chi2Crit95]] (callers with >30 categories pass `chiCrit`).
+    *
+    * Shape: one (group, category) partial-aggregable collapse, a
+    * |target|-term fold per group — rows shuffle once. Returns
+    * (group, n, n_unplanned, chi2, significant). */
+  def chi2GoodnessOfFit(df: DataFrame, groupCol: String,
+      catCol: String, targetMicro: Map[String, Long],
+      chiCrit: Double = Double.NaN): DataFrame = {
+    require(targetMicro.nonEmpty && targetMicro.values.forall(_ > 0),
+      "target shares must be positive micro integers")
+    val cats = targetMicro.keys.toSeq.sorted
+    val tTot = targetMicro.values.sum
+    val crit = if (chiCrit.isNaN) chi2Crit95.get(cats.size - 1)
+      else Some(chiCrit)
+    require(crit.isDefined, s"no 95% critical value for df " +
+      s"${cats.size - 1}; pass chiCrit explicitly")
+    val critMicro = math.round(crit.get * 1e6)
+    val inTarget = col("__c__").isin(cats: _*)
+    val base = df.filter(col(catCol).isNotNull)
+      .select(col(groupCol), col(catCol).cast("string").as("__c__"))
+    val counts = base.groupBy(col(groupCol)).agg(
+      sum(when(inTarget, 1L).otherwise(0L)).as("n"),
+      sum(when(inTarget, 0L).otherwise(1L)).as("n_unplanned"))
+    // per-category observed counts as a map (only target categories)
+    val om = base.filter(inTarget)
+      .groupBy(col(groupCol), col("__c__"))
+      .agg(count(lit(1)).as("__o__"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("__c__"),
+        col("__o__")))).as("__om__"))
+    counts.join(om, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("n_unplanned"),
+        when(col("n") > 0, round(chi2GofFold(cats, targetMicro, tTot),
+          6)).as("chi2"),
+        when(col("n") > 0, chi2GofFold(cats, targetMicro, tTot) *
+          lit(1000000.0) >= lit(critMicro.toDouble)).as("significant"))
+  }
+
+  /** The (category-sorted) χ² fold shared by [[chi2GoodnessOfFit]]'s
+    * rounded readout and its verdict: `Σ (o_c − E_c)²/E_c` with
+    * `E_c = n·t_c/Σt` — the `n·t_c` product exact in decimal before
+    * the one double division. */
+  private def chi2GofFold(cats: Seq[String],
+      targetMicro: Map[String, Long], tTot: Long): Column =
+    aggregate(typedLit(cats), lit(0.0), (acc, c) => {
+      val o = coalesce(element_at(col("__om__"), c), lit(0L))
+        .cast("double")
+      val e = (col("n").cast("decimal(38,0)") *
+        element_at(typedLit(targetMicro), c).cast("decimal(38,0)"))
+        .cast("double") / lit(tTot.toDouble)
+      acc + (o - e) * (o - e) / e
+    })
+
+  /** Wilson score interval per group — the error bars every eval pass
+    * rate needs before "model B is better" means anything (the naive
+    * ±z√(p(1−p)/n) Wald bars collapse to zero width at p = 0 or 1,
+    * exactly where eval suites live). Both bounds come from the exact
+    * integer (n, k) through one fixed expression tree — identical
+    * doubles on both engines. Returns (group, n, k, rate, lo, hi);
+    * groups come from the data, so n ≥ 1 always. */
+  def wilsonInterval(df: DataFrame, groupCol: String, okCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val z2 = z * z
+    val per = df.filter(col(okCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(okCol).cast("boolean"), 1L).otherwise(0L))
+          .as("k"))
+    val nD = col("n").cast("double")
+    val p = try_divide(col("k").cast("double"), nD)
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val hw = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z2) / (lit(4.0) * nD * nD)) / denom
+    per.select(col(groupCol), col("n"), col("k"),
+      round(p, 6).as("rate"),
+      round(center - hw, 6).as("lo"),
+      round(center + hw, 6).as("hi"))
+  }
+
+  /** Best filter threshold per group — the decision [[prCurve]] feeds:
+    * the score `s` maximizing F1 of "keep iff score ≥ s", with ties
+    * broken toward the LOWEST threshold (equal F1, keep more data).
+    * F1 compares as `2·tp/(tp+fp+P)` — one double division per distinct
+    * score from exact integer cumulative counts, identical on both
+    * engines, and the argmax is a struct max (never a global sort).
+    * Scores must be integral (quantize upstream — the prCurve
+    * contract). All-negative groups have F1 = 0 everywhere and return
+    * the lowest score with recall null.
+    *
+    * Shape: one (group, score) partial-aggregable collapse, cumulative
+    * windows over the quantization-BOUNDED score grid, one struct-max
+    * per group — rows shuffle once. Returns (group, threshold, tp, fp,
+    * fn, precision, recall, f1). */
+  def bestThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    requireIntegral(df, scoreCol, "bestThreshold")
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("__s__"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        .as("__pos__"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__neg__"))
+    val wDesc = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s__").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    val cum = perScore
+      .withColumn("__tp__", sum(col("__pos__")).over(wDesc))
+      .withColumn("__fp__", sum(col("__neg__")).over(wDesc))
+      .withColumn("__P__", sum(col("__pos__")).over(tot))
+    val f1 = try_divide((col("__tp__") * 2).cast("double"),
+      (col("__tp__") + col("__fp__") + col("__P__")).cast("double"))
+    cum.withColumn("__f1__", f1)
+      .groupBy(col(groupCol))
+      .agg(max(struct(col("__f1__").as("f"), (-col("__s__")).as("ns"),
+        col("__tp__").as("tp"), col("__fp__").as("fp"),
+        col("__P__").as("p"))).as("__b__"))
+      .select(col(groupCol),
+        (-col("__b__.ns")).as("threshold"),
+        col("__b__.tp").as("tp"), col("__b__.fp").as("fp"),
+        (col("__b__.p") - col("__b__.tp")).as("fn"),
+        round(try_divide(col("__b__.tp").cast("double"),
+          (col("__b__.tp") + col("__b__.fp")).cast("double")), 6)
+          .as("precision"),
+        round(try_divide(col("__b__.tp").cast("double"),
+          col("__b__.p").cast("double")), 6).as("recall"),
+        round(col("__b__.f"), 6).as("f1"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -855,6 +855,43 @@ object PipelineQueries {
         .orderBy(col("dim"))
     }),
 
+    // chi2 goodness-of-fit per language: is the length-bucket mix on
+    // the declared 25/50/25 plan? the post-sampleMixture QA gate
+    "q314_chi2_gof" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 350, "mid").otherwise("long")
+          .as("len_bucket"))
+      graft.ops.Profiling.chi2GoodnessOfFit(d, "lang", "len_bucket",
+          Map("short" -> 250000L, "mid" -> 500000L, "long" -> 250000L))
+        .orderBy(col("lang"))
+    }),
+
+    // Wilson score intervals per event type: the error bars on the
+    // pass rate eval dashboards must carry
+    "q315_wilson" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+      graft.ops.Profiling.wilsonInterval(ev, "event_type", "ok")
+        .orderBy(col("event_type"))
+    }),
+
+    // best filter threshold per source: the n_chars cut that best
+    // separates English — max-F1 over the exact PR grid, ties to the
+    // data-keeping side
+    "q316_best_threshold" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+        .select(col("source"), col("n_chars"),
+          (col("lang") === "en").as("is_en"))
+      graft.ops.Profiling.bestThreshold(d, "source", "n_chars",
+          "is_en")
+        .orderBy(col("source"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4651,6 +4688,95 @@ object PipelineQueries {
          |FROM (SELECT * FROM s16 UNION ALL SELECT * FROM s32)
          |ORDER BY dim""".stripMargin
     },
+
+    "q314_chi2_gof" -> {
+      // term per target category in sorted order (long, mid, short) —
+      // the category-sorted fold the op replays
+      def term(cat: String, micro: Long) =
+        s"""((CAST(o_$cat AS DOUBLE) -
+           |      CAST(CAST(n AS HUGEINT) * $micro AS DOUBLE) /
+           |        1000000.0) *
+           |    (CAST(o_$cat AS DOUBLE) -
+           |      CAST(CAST(n AS HUGEINT) * $micro AS DOUBLE) /
+           |        1000000.0) /
+           |    (CAST(CAST(n AS HUGEINT) * $micro AS DOUBLE) /
+           |      1000000.0))""".stripMargin
+      s"""WITH b AS (SELECT lang AS g,
+         |    CASE WHEN n_chars < 200 THEN 'short'
+         |      WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS c
+         |  FROM documents WHERE lang IS NOT NULL),
+         |per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN c = 'long' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS o_long,
+         |    CAST(SUM(CASE WHEN c = 'mid' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS o_mid,
+         |    CAST(SUM(CASE WHEN c = 'short' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS o_short
+         |  FROM b GROUP BY 1),
+         |f AS (SELECT g, n,
+         |    ${term("long", 250000L)} +
+         |    ${term("mid", 500000L)} +
+         |    ${term("short", 250000L)} AS chi2
+         |  FROM per)
+         |SELECT g AS lang, n, CAST(0 AS BIGINT) AS n_unplanned,
+         |  CASE WHEN n > 0 THEN ROUND(chi2, 6) END AS chi2,
+         |  CASE WHEN n > 0 THEN chi2 * 1000000.0 >= 5991000.0 END
+         |    AS significant
+         |FROM f ORDER BY 1""".stripMargin
+    },
+
+    "q315_wilson" -> {
+      val z = 1.959964
+      val z2 = z * z
+      s"""WITH per AS (SELECT event_type AS g,
+         |    CAST(COUNT(1) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN CAST(floor(value * 1000 + 0.5)
+         |      AS BIGINT) > 34000 THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |m AS (SELECT g, n, k,
+         |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    1.0 + $z2 / CAST(n AS DOUBLE) AS denom
+         |  FROM per),
+         |w AS (SELECT g, n, k, p,
+         |    (p + $z2 / (2.0 * CAST(n AS DOUBLE))) / denom AS center,
+         |    $z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) +
+         |      $z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+         |      denom AS hw
+         |  FROM m)
+         |SELECT g AS event_type, n, k, ROUND(p, 6) AS rate,
+         |  ROUND(center - hw, 6) AS lo, ROUND(center + hw, 6) AS hi
+         |FROM w ORDER BY 1""".stripMargin
+    },
+
+    "q316_best_threshold" ->
+      """WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS s,
+        |    lang = 'en' AS l
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |ps AS (SELECT g, s,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT g, s,
+        |    SUM(pos) OVER (PARTITION BY g ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(neg) OVER (PARTITION BY g ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |    SUM(pos) OVER (PARTITION BY g) AS p
+        |  FROM ps),
+        |f AS (SELECT g, s, tp, fp, p,
+        |    CAST(tp * 2 AS DOUBLE) / CAST(tp + fp + p AS DOUBLE) AS f1
+        |  FROM cum),
+        |pick AS (SELECT * FROM f
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY f1 DESC, s ASC) = 1)
+        |SELECT g AS source, s AS threshold, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(p - tp AS BIGINT) AS fn,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+        |    AS "precision",
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS recall,
+        |  ROUND(f1, 6) AS f1
+        |FROM pick ORDER BY 1""".stripMargin,
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value

@@ -1355,6 +1355,86 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((1L, 0L, 4L, None, Some(3.0), Some(false))))
   }
 
+  test("chi2GoodnessOfFit: on-plan zero, off-plan verdict, " +
+      "vanished category, unplanned excluded") {
+    import spark.implicits._
+    val target = Map("a" -> 500000L, "b" -> 250000L, "c" -> 250000L)
+    def rows(g: String, c: String, n: Int) = Seq.fill(n)((g, c))
+    val df = (
+      rows("g", "a", 50) ++ rows("g", "b", 25) ++ rows("g", "c", 25) ++
+        rows("g", "x", 3) ++ // unplanned: excluded, reported
+      rows("s", "a", 20) ++ rows("s", "b", 40) ++ rows("s", "c", 40) ++
+      rows("m", "a", 10) ++ rows("m", "b", 10)) // c vanished
+      .toDF("grp", "cat")
+    val got = graft.ops.Profiling.chi2GoodnessOfFit(df, "grp", "cat",
+        target)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_unplanned"),
+          Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((100L, 3L, Some(0.0), Some(false))))
+    // E=(50,25,25): 900/50 + 225/25 + 225/25 = 36 > 5.991
+    assert(got("s") == ((100L, 0L, Some(36.0), Some(true))))
+    // E=(10,5,5): 0 + 5 + 5 = 10 — a missing category is evidence
+    assert(got("m") == ((20L, 0L, Some(10.0), Some(true))))
+  }
+
+  test("wilsonInterval: exact-moment bounds, k=0 pins lo at 0") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(("g", true)) ++ Seq.fill(50)(("g", false)) ++
+      Seq.fill(4)(("z", false))).toDF("grp", "ok")
+    val got = graft.ops.Profiling.wilsonInterval(df, "grp", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+          r.getAs[Double]("rate"), r.getAs[Double]("lo"),
+          r.getAs[Double]("hi")))).toMap
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def wilson(n: Long, k: Long) = {
+      val z = 1.959964; val z2 = z * z
+      val nD = n.toDouble; val p = k.toDouble / nD
+      val denom = 1.0 + z2 / nD
+      val center = (p + z2 / (2.0 * nD)) / denom
+      val hw = z * math.sqrt(p * (1.0 - p) / nD +
+        z2 / (4.0 * nD * nD)) / denom
+      (r6(p), r6(center - hw), r6(center + hw))
+    }
+    val (rg, lg, hg) = wilson(100, 50)
+    assert(got("g") == ((100L, 50L, rg, lg, hg)))
+    // symmetric bounds around 0.5, sane width
+    assert(lg > 0.40 && lg < 0.42 && math.abs(lg + hg - 1.0) < 1e-9)
+    val (rz, lz, hz) = wilson(4, 0)
+    assert(got("z") == ((4L, 0L, rz, lz, hz)))
+    assert(rz == 0.0 && math.abs(lz) < 1e-6 && hz > 0.4)
+  }
+
+  test("bestThreshold: max-F1 pick, tie to lowest, all-negative") {
+    import spark.implicits._
+    val df = (
+      // F1 by threshold: s>=3 -> 0.8, s>=2 -> 6/7 (best), s>=1 -> 2/3
+      Seq(("g", 3L, true), ("g", 3L, true), ("g", 2L, true),
+        ("g", 2L, false), ("g", 1L, false), ("g", 1L, false)) ++
+      // F1 ties at s>=3 and s>=1 (both 2/3): lowest threshold wins
+      Seq(("t", 3L, true), ("t", 2L, false), ("t", 1L, true),
+        ("t", 1L, false)) ++
+      // no positives anywhere: F1 = 0 at every cut, recall undefined
+      Seq(("z", 1L, false), ("z", 1L, false), ("z", 0L, false)))
+      .toDF("grp", "score", "label")
+    val got = graft.ops.Profiling.bestThreshold(df, "grp", "score",
+        "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+          r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          Option(r.getAs[java.lang.Double]("precision")),
+          Option(r.getAs[java.lang.Double]("recall")),
+          r.getAs[Double]("f1")))).toMap
+    assert(got("g") == ((2L, 3L, 1L, 0L, Some(0.75), Some(1.0),
+      0.857143)))
+    assert(got("t") == ((1L, 2L, 2L, 0L, Some(0.5), Some(1.0),
+      0.666667)))
+    assert(got("z") == ((0L, 0L, 3L, 0L, Some(0.0), None, 0.0)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
