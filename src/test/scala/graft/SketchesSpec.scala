@@ -1435,6 +1435,88 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((0L, 0L, 3L, 0L, Some(0.0), None, 0.0)))
   }
 
+  test("theilSen/kendallTau/rbo: grid collapses equal brute force " +
+      "on seeded fuzz") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // heavy duplication on purpose: the cell-grid weights must
+    // reproduce row-pair semantics exactly
+    val rows = (1 to 120).map { i =>
+      (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(6).toLong,
+        rnd.nextInt(7).toLong)
+    }
+    val df = rows.toDF("grp", "id", "x", "y")
+
+    // Theil–Sen brute force: every ROW pair with x2 > x1, weight 1
+    val tsGot = graft.ops.Profiling.theilSen(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pairs"),
+          Option(r.getAs[java.lang.Double]("slope"))))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val slopes = for {
+        a <- rs; b <- rs
+        if b._3 > a._3
+      } yield (b._4 - a._4).toDouble / (b._3 - a._3).toDouble
+      val np = slopes.size.toLong
+      val med = if (slopes.isEmpty) None else {
+        val sorted = slopes.sorted
+        var cum = 0L
+        Some(sorted.find { s => cum += 1; 2 * cum >= np }.get)
+      }
+      assert(tsGot(g)._1 == np, s"$g pairs")
+      (tsGot(g)._2, med) match {
+        case (Some(got), Some(want)) =>
+          assert(math.abs(got - want) < 1e-6, s"$g slope $got $want")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"$g")
+      }
+    }
+
+    // Kendall tau-b brute force over row pairs
+    val ktGot = graft.ops.Profiling.kendallTau(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("tau"))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+      for (i <- rs.indices; j <- (i + 1) until rs.size) {
+        val (a, b) = (rs(i), rs(j))
+        val sx = java.lang.Long.signum(b._3 - a._3)
+        val sy = java.lang.Long.signum(b._4 - a._4)
+        if (sx == 0 && sy == 0) { tx += 1; ty += 1 }
+        else if (sx == 0) tx += 1
+        else if (sy == 0) ty += 1
+        else if (sx == sy) c += 1 else d += 1
+      }
+      val n0 = rs.size.toLong * (rs.size - 1) / 2
+      val want =
+        if (n0 - tx == 0 || n0 - ty == 0) None
+        else Some((c - d).toDouble /
+          math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble))
+      (ktGot(g), want) match {
+        case (Some(got), Some(w)) =>
+          assert(math.abs(got - w) < 1e-6, s"$g tau $got $w")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"$g tau")
+      }
+    }
+
+    // RBO brute force: per-depth prefix intersections
+    val depth = 7; val p = 0.5
+    val scored = rows.map { case (g, id, x, y) => (g, id, x, y) }
+    val rboGot = graft.ops.Profiling.rbo(df, "grp", "id", "x", "y",
+        depth = depth, p = p)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("rbo")).toMap
+    scored.groupBy(_._1).foreach { case (g, rs) =>
+      val byA = rs.sortBy(r => (-r._3, r._2)).map(_._2)
+      val byB = rs.sortBy(r => (-r._4, r._2)).map(_._2)
+      val want = (1 to depth).map { k =>
+        val inter = byA.take(k).toSet
+          .intersect(byB.take(k).toSet).size
+        math.pow(p, k - 1) * inter / k
+      }.sum * (1 - p)
+      assert(math.abs(rboGot(g) - want) < 1e-6, s"$g rbo")
+    }
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
