@@ -1778,6 +1778,19 @@ object ScaleStress {
           Map("lo" -> 300000L, "mid" -> 400000L, "hi" -> 300000L))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q317 shape: group-sequential — one (group, interim) collapse,
+      // windows over the K-bounded interim grid
+      timed(scale, "group_sequential") {
+        val e2 = ev.select(col("event_type"),
+          least(expr("(tus div 86400000000 - 19723) div 6") + 1,
+            lit(5L)).as("interim"),
+          (col("user_id") % 2 === 0).as("treated"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+        val out = graft.ops.Profiling.groupSequential(e2, "event_type",
+          "interim", "treated", "ok", totalInterims = 5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -2980,6 +2980,75 @@ object Profiling {
         round(col("__b__.f"), 6).as("f1"))
   }
 
+  /** Group-sequential A/B monitor per group — the peeking-safe readout:
+    * eval dashboards look at every interim, and a fixed-z test peeked K
+    * times inflates false positives several-fold. Each interim `k` of
+    * `totalInterims` compares the CUMULATIVE two-proportion z² against
+    * the O'Brien–Fleming-style boundary `z_α·√(K/k)` (the textbook OBF
+    * approximation — early looks need overwhelming evidence, the final
+    * look pays almost no penalty). Interims must be integral 1..K
+    * (quantize upstream). Cumulative counts are exact integer window
+    * sums; z² is assembled in doubles from them ([[anovaF]]'s posture):
+    * `z² = (p_A−p_B)² / (p̄(1−p̄)(1/N_A+1/N_B))`, null while either arm
+    * is empty or p̄ is degenerate. `decided` latches: once any interim
+    * ≤ k crossed, the experiment is stopped — later rows report the
+    * decision, not a fresh test.
+    *
+    * Shape: one (group, interim) partial-aggregable collapse, windows
+    * over the K-bounded interim grid — rows shuffle once. Returns
+    * (group, interim, n_a, n_b, z2, z_bound, crossed, decided). */
+  def groupSequential(df: DataFrame, groupCol: String,
+      interimCol: String, treatedCol: String, okCol: String,
+      totalInterims: Int, zAlpha: Double = 1.959964): DataFrame = {
+    requireIntegral(df, interimCol, "groupSequential")
+    require(totalInterims >= 1, "need totalInterims >= 1")
+    val base = df.filter(col(interimCol).isNotNull &&
+        col(treatedCol).isNotNull && col(okCol).isNotNull &&
+        col(interimCol) >= 1 && col(interimCol) <= totalInterims)
+      .select(col(groupCol), col(interimCol).cast("long").as("__k__"),
+        col(treatedCol).cast("boolean").as("__t__"),
+        col(okCol).cast("boolean").as("__ok__"))
+    val per = base.groupBy(col(groupCol), col("__k__")).agg(
+      sum(when(col("__t__"), 1L).otherwise(0L)).as("__na__"),
+      sum(when(col("__t__") && col("__ok__"), 1L).otherwise(0L))
+        .as("__ka__"),
+      sum(when(!col("__t__"), 1L).otherwise(0L)).as("__nb__"),
+      sum(when(!col("__t__") && col("__ok__"), 1L).otherwise(0L))
+        .as("__kb__"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__k__"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per
+      .withColumn("__NA__", sum(col("__na__")).over(w))
+      .withColumn("__KA__", sum(col("__ka__")).over(w))
+      .withColumn("__NB__", sum(col("__nb__")).over(w))
+      .withColumn("__KB__", sum(col("__kb__")).over(w))
+    val naD = col("__NA__").cast("double")
+    val nbD = col("__NB__").cast("double")
+    val pA = try_divide(col("__KA__").cast("double"), naD)
+    val pB = try_divide(col("__KB__").cast("double"), nbD)
+    val pBar = try_divide((col("__KA__") + col("__KB__")).cast("double"),
+      (col("__NA__") + col("__NB__")).cast("double"))
+    val den = pBar * (lit(1.0) - pBar) *
+      (lit(1.0) / naD + lit(1.0) / nbD)
+    val z2 = try_divide((pA - pB) * (pA - pB), den)
+    val bound = lit(zAlpha) *
+      sqrt(lit(totalInterims.toDouble) / col("__k__").cast("double"))
+    val crossed = when(col("__NA__") > 0 && col("__NB__") > 0 &&
+      den > 0, z2 >= bound * bound)
+    val wAll = Window.partitionBy(col(groupCol)).orderBy(col("__k__"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cum.withColumn("__cr__", crossed)
+      .withColumn("decided",
+        max(when(col("__cr__"), 1).otherwise(0)).over(wAll) === 1)
+      .select(col(groupCol), col("__k__").as("interim"),
+        col("__NA__").as("n_a"), col("__NB__").as("n_b"),
+        when(col("__NA__") > 0 && col("__NB__") > 0 && den > 0,
+          round(z2, 6)).as("z2"),
+        round(bound, 6).as("z_bound"),
+        col("__cr__").as("crossed"),
+        col("decided"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -892,6 +892,22 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Group-sequential A/B monitor per event type: 5 chronological
+    // interims, OBF-style boundaries — the peeking-safe eval dashboard
+    "q317_group_sequential" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          least(expr("(unix_micros(ts) div 86400000000 - 19723) " +
+            "div 6") + 1, lit(5L)).as("interim"),
+          (col("user_id") % 2 === 0).as("treated"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+      graft.ops.Profiling.groupSequential(ev, "event_type", "interim",
+          "treated", "ok", totalInterims = 5)
+        .orderBy(col("event_type"), col("interim"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4777,6 +4793,56 @@ object PipelineQueries {
         |  ROUND(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS recall,
         |  ROUND(f1, 6) AS f1
         |FROM pick ORDER BY 1""".stripMargin,
+
+    "q317_group_sequential" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    LEAST((epoch_us(ts) // 86400000000 - 19723) // 6 + 1, 5)
+        |      AS k,
+        |    user_id % 2 = 0 AS t,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000 AS ok
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT g, k,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN t AND ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ka,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(SUM(CASE WHEN NOT t AND ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS kb
+        |  FROM b WHERE k BETWEEN 1 AND 5 GROUP BY 1, 2),
+        |cum AS (SELECT g, k,
+        |    CAST(SUM(na) OVER w AS BIGINT) AS cna,
+        |    CAST(SUM(ka) OVER w AS BIGINT) AS cka,
+        |    CAST(SUM(nb) OVER w AS BIGINT) AS cnb,
+        |    CAST(SUM(kb) OVER w AS BIGINT) AS ckb
+        |  FROM per WINDOW w AS (PARTITION BY g ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT g, k, cna, cnb,
+        |    CAST(cka AS DOUBLE) / CAST(cna AS DOUBLE) AS pa,
+        |    CAST(ckb AS DOUBLE) / CAST(cnb AS DOUBLE) AS pb,
+        |    CAST(cka + ckb AS DOUBLE) / CAST(cna + cnb AS DOUBLE)
+        |      AS pbar
+        |  FROM cum),
+        |z AS (SELECT g, k, cna, cnb,
+        |    pbar * (1.0 - pbar) *
+        |      (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE))
+        |      AS den,
+        |    (pa - pb) * (pa - pb) AS num,
+        |    1.959964 * sqrt(5.0 / CAST(k AS DOUBLE)) AS bound
+        |  FROM m),
+        |c AS (SELECT g, k, cna, cnb, den, num, bound,
+        |    CASE WHEN cna > 0 AND cnb > 0 AND den > 0
+        |      THEN num / den >= bound * bound END AS crossed
+        |  FROM z)
+        |SELECT g AS event_type, k AS interim, cna AS n_a, cnb AS n_b,
+        |  CASE WHEN cna > 0 AND cnb > 0 AND den > 0
+        |    THEN ROUND(num / den, 6) END AS z2,
+        |  ROUND(bound, 6) AS z_bound, crossed,
+        |  MAX(CASE WHEN crossed THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY g ORDER BY k
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS decided
+        |FROM c ORDER BY 1, 2""".stripMargin,
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value

@@ -1517,6 +1517,45 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("groupSequential: OBF boundary, crossing latches, empty-arm " +
+      "null") {
+    import spark.implicits._
+    def rows(g: String, k: Long, t: Boolean, ok: Boolean, n: Int) =
+      Seq.fill(n)((g, k, t, ok))
+    val df = (
+      // interim 1: both arms 5/10 -> z2 = 0, boundary sqrt(2) * z
+      rows("g", 1L, true, true, 5) ++ rows("g", 1L, true, false, 5) ++
+      rows("g", 1L, false, true, 5) ++ rows("g", 1L, false, false, 5) ++
+      // interim 2: treated adds 10/10, control 0/10:
+      // cum pA = 0.75, pB = 0.25, pbar = 0.5 -> z2 = 10, crossed
+      rows("g", 2L, true, true, 10) ++ rows("g", 2L, false, false, 10) ++
+      // control arm empty at interim 1: no test yet
+      rows("e", 1L, true, true, 4) ++
+      rows("e", 2L, false, true, 2) ++ rows("e", 2L, false, false, 2))
+      .toDF("grp", "interim", "treated", "ok")
+    val got = graft.ops.Profiling.groupSequential(df, "grp", "interim",
+        "treated", "ok", totalInterims = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("interim")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          Option(r.getAs[java.lang.Double]("z2")),
+          r.getAs[Double]("z_bound"),
+          Option(r.getAs[java.lang.Boolean]("crossed")),
+          r.getAs[Boolean]("decided")))).toMap
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val b1 = r6(1.959964 * math.sqrt(2.0 / 1.0))
+    val b2 = r6(1.959964 * math.sqrt(2.0 / 2.0))
+    assert(got(("g", 1L)) ==
+      ((10L, 10L, Some(0.0), b1, Some(false), false)))
+    // z2 = 0.25 / (0.25 * (0.05 + 0.05)) = 10 >= 1.959964^2
+    assert(got(("g", 2L)) ==
+      ((20L, 20L, Some(10.0), b2, Some(true), true)))
+    assert(got(("e", 1L)) == ((4L, 0L, None, b1, None, false)))
+    // interim 2 has both arms but pbar degenerate? pA=1, pB=0.5,
+    // pbar=(4+2)/8=0.75 -> testable
+    assert(got(("e", 2L))._3.isDefined)
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
