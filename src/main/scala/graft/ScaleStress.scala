@@ -1791,6 +1791,15 @@ object ScaleStress {
           "interim", "treated", "ok", totalInterims = 5)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q318 shape: power plan — one boolean collapse + literal explode
+      timed(scale, "power_plan") {
+        val e2 = ev.select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+        val out = graft.ops.Profiling.powerPlan(e2, "event_type", "ok",
+          Seq(10000L, 20000L, 50000L))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

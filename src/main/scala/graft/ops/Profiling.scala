@@ -3049,6 +3049,47 @@ object Profiling {
         col("decided"))
   }
 
+  /** Experiment power plan per group — "how many units per arm before
+    * the test can SEE the effect we care about?", answered from the
+    * observed baseline rate (the design-time companion to
+    * [[groupSequential]]: run this BEFORE launch, that one after).
+    * For each minimum detectable effect δ (absolute, micro units):
+    * `n = ⌈(z_α√(2p̄(1−p̄)) + z_β√(p₁(1−p₁)+p₂(1−p₂)))² / δ²⌉` with
+    * `p₁` the observed baseline, `p₂ = p₁+δ`, `p̄` their mean — the
+    * standard two-proportion formula, every input an exact integer or
+    * a literal, one fixed expression tree. Defaults are 95% two-sided
+    * (z_α = 1.959964) at 80% power (z_β = 0.841621). `n_per_arm` is
+    * null when the target rate leaves [0, 1].
+    *
+    * Shape: one boolean collapse, a |mdes|-row literal explode per
+    * group — rows shuffle once. Returns (group, mde_micro, n_baseline,
+    * baseline_rate, target_rate, n_per_arm). */
+  def powerPlan(df: DataFrame, groupCol: String, okCol: String,
+      mdesMicro: Seq[Long], zAlpha: Double = 1.959964,
+      zBeta: Double = 0.841621): DataFrame = {
+    require(mdesMicro.nonEmpty && mdesMicro.forall(_ > 0),
+      "mdesMicro must be positive")
+    val per = df.filter(col(okCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_baseline"),
+        sum(when(col(okCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__k__"))
+    val p1 = try_divide(col("__k__").cast("double"),
+      col("n_baseline").cast("double"))
+    val delta = col("mde_micro").cast("double") / lit(1000000.0)
+    val p2 = p1 + delta
+    val pBar = (p1 + p2) / lit(2.0)
+    val s = lit(zAlpha) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    per.withColumn("mde_micro",
+        explode(typedLit(mdesMicro.sorted.toArray)))
+      .select(col(groupCol), col("mde_micro"), col("n_baseline"),
+        round(p1, 6).as("baseline_rate"),
+        when(p2 <= 1.0, round(p2, 6)).as("target_rate"),
+        when(p2 <= 1.0, ceil(s * s / (delta * delta)))
+          .as("n_per_arm"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

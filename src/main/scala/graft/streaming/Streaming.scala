@@ -916,6 +916,69 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.groupSequential]] — the
+    * op's natural home: a LIVE experiment monitor that is peeking-safe
+    * BY DESIGN (every micro-batch re-emits the full interim table, and
+    * each interim's verdict compares against its OBF-style boundary, so
+    * refreshing the dashboard costs nothing statistically). State per
+    * group is the K-bounded per-interim count map; each emission
+    * replays the batch arithmetic over everything arrived — cumulative
+    * exact integer sums in interim order, the same z² expression, the
+    * same latched `decided` — so stream ≡ batch at every prefix. Rows
+    * are (group, interim, treated, ok); interims outside 1..K are
+    * dropped like the batch op. */
+  def groupSequentialStream(
+      rows: Dataset[(String, Long, Boolean, Boolean)],
+      totalInterims: Int, zAlpha: Double = 1.959964)
+      : Dataset[(String, Long, Long, Long, Option[Double], Double,
+      Option[Boolean], Boolean)] = {
+    import rows.sparkSession.implicits._
+    require(totalInterims >= 1, "need totalInterims >= 1")
+    rows.filter(r => r._2 >= 1 && r._2 <= totalInterims)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, (Long, Long, Long, Long)],
+        (String, Long, Long, Long, Option[Double], Double,
+          Option[Boolean], Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          var m = state.getOption
+            .getOrElse(Map.empty[Long, (Long, Long, Long, Long)])
+          it.foreach { case (_, k, t, ok) =>
+            val (na, ka, nb, kb) = m.getOrElse(k, (0L, 0L, 0L, 0L))
+            m = m.updated(k,
+              (na + (if (t) 1 else 0),
+                ka + (if (t && ok) 1 else 0),
+                nb + (if (!t) 1 else 0),
+                kb + (if (!t && ok) 1 else 0)))
+          }
+          state.update(m)
+          var (cna, cka, cnb, ckb) = (0L, 0L, 0L, 0L)
+          var decided = false
+          def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          m.keys.toSeq.sorted.iterator.map { k =>
+            val (na, ka, nb, kb) = m(k)
+            cna += na; cka += ka; cnb += nb; ckb += kb
+            val bound = zAlpha *
+              math.sqrt(totalInterims.toDouble / k.toDouble)
+            val testable = cna > 0 && cnb > 0
+            val (z2, crossed) = if (!testable) (None, None) else {
+              val pA = cka.toDouble / cna.toDouble
+              val pB = ckb.toDouble / cnb.toDouble
+              val pBar = (cka + ckb).toDouble / (cna + cnb).toDouble
+              val den = pBar * (1.0 - pBar) *
+                (1.0 / cna.toDouble + 1.0 / cnb.toDouble)
+              if (den > 0) {
+                val z = (pA - pB) * (pA - pB) / den
+                (Some(r6(z)), Some(z >= bound * bound))
+              } else (None, None)
+            }
+            if (crossed.contains(true)) decided = true
+            (g, k, cna, cnb, z2, r6(bound), crossed, decided)
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Profiling.chiSquared]]: a live
     * contingency-drift monitor ("is the outcome mix still independent
     * of the segment?"). State per group is the label-bounded (a, b)

@@ -908,6 +908,20 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("interim"))
     }),
 
+    // Power plan per event type: units per arm needed to detect
+    // +1pp/+2pp/+5pp off the observed pass rate — the design-time
+    // readout before q317's monitor runs
+    "q318_power_plan" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+      graft.ops.Profiling.powerPlan(ev, "event_type", "ok",
+          Seq(10000L, 20000L, 50000L))
+        .orderBy(col("event_type"), col("mde_micro"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4843,6 +4857,31 @@ object PipelineQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
         |    AS decided
         |FROM c ORDER BY 1, 2""".stripMargin,
+
+    "q318_power_plan" ->
+      """WITH per AS (SELECT event_type AS g,
+        |    CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN CAST(floor(value * 1000 + 0.5)
+        |      AS BIGINT) > 34000 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT g, n, mde,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+        |    CAST(mde AS DOUBLE) / 1000000.0 AS d
+        |  FROM per CROSS JOIN
+        |    (SELECT unnest([10000, 20000, 50000]) AS mde)),
+        |e AS (SELECT g, n, mde, p1, d, p1 + d AS p2,
+        |    (p1 + (p1 + d)) / 2.0 AS pb
+        |  FROM c),
+        |f AS (SELECT g, n, mde, p1, p2, d,
+        |    1.959964 * sqrt(2.0 * pb * (1.0 - pb)) +
+        |      0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS s
+        |  FROM e)
+        |SELECT g AS event_type, CAST(mde AS BIGINT) AS mde_micro,
+        |  n AS n_baseline, ROUND(p1, 6) AS baseline_rate,
+        |  CASE WHEN p2 <= 1.0 THEN ROUND(p2, 6) END AS target_rate,
+        |  CASE WHEN p2 <= 1.0 THEN CAST(ceil(s * s / (d * d))
+        |    AS BIGINT) END AS n_per_arm
+        |FROM f ORDER BY 1, 2""".stripMargin,
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value

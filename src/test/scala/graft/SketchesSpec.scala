@@ -1556,6 +1556,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("e", 2L))._3.isDefined)
   }
 
+  test("powerPlan: textbook two-proportion n, out-of-range target null") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("g", true)) ++ Seq.fill(90)(("g", false)) ++
+      Seq.fill(99)(("h", true)) ++ Seq.fill(1)(("h", false)))
+      .toDF("grp", "ok")
+    val got = graft.ops.Profiling.powerPlan(df, "grp", "ok",
+        Seq(50000L, 20000L))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("mde_micro")) ->
+        ((r.getAs[Long]("n_baseline"), r.getAs[Double]("baseline_rate"),
+          Option(r.getAs[java.lang.Double]("target_rate")),
+          Option(r.getAs[java.lang.Long]("n_per_arm")).map(_.toLong))))
+      .toMap
+    def want(p1: Double, d: Double): Long = {
+      val p2 = p1 + d; val pb = (p1 + p2) / 2.0
+      val s = 1.959964 * math.sqrt(2.0 * pb * (1.0 - pb)) +
+        0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+      math.ceil(s * s / (d * d)).toLong
+    }
+    // baseline 10%: detecting +5pp needs ~1600/arm, +2pp ~9000/arm —
+    // the classic "small effects are brutally expensive" curve
+    assert(got(("g", 50000L)) ==
+      ((100L, 0.1, Some(0.15), Some(want(0.1, 0.05)))))
+    assert(got(("g", 20000L)) ==
+      ((100L, 0.1, Some(0.12), Some(want(0.1, 0.02)))))
+    assert(want(0.1, 0.02) > 3 * want(0.1, 0.05))
+    // baseline 99%: +2pp overshoots 1.0 -> untestable
+    assert(got(("h", 20000L)) == ((100L, 0.99, None, None)))
+    assert(got(("h", 50000L))._3.isEmpty)
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =

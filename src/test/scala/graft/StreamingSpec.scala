@@ -1047,6 +1047,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("groupSequentialStream equals the batch monitor on everything " +
+      "arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Boolean, Boolean)]
+    val q = Streaming.groupSequentialStream(ms.toDS(), totalInterims = 3)
+      .toDF("g", "k", "na", "nb", "z2", "zb", "crossed", "decided")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gs_stream").start()
+    def arm(g: String, k: Long, t: Boolean, ok: Boolean, n: Int) =
+      Seq.fill(n)((g, k, t, ok))
+    // batch 2 extends interim 1 retroactively (late data) AND opens
+    // interim 2 — the cumulative table must rebuild exactly
+    val batch1 = arm("g", 1L, true, true, 5) ++
+      arm("g", 1L, true, false, 5) ++ arm("g", 1L, false, true, 5) ++
+      arm("g", 1L, false, false, 5) ++ Seq(("g", 9L, true, true))
+    val batch2 = arm("g", 1L, true, true, 2) ++
+      arm("g", 2L, true, true, 10) ++ arm("g", 2L, false, false, 10)
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM gs_stream").collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3),
+            Option(r.getAs[java.lang.Double]("z2")),
+            r.getDouble(5),
+            Option(r.getAs[java.lang.Boolean]("crossed")),
+            r.getBoolean(7))))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      import spark.implicits._
+      val batch = graft.ops.Profiling.groupSequential(
+        (batch1 ++ batch2).toDF("g", "k", "t", "ok"), "g", "k", "t",
+        "ok", totalInterims = 3)
+        .collect().map(r => ((r.getString(0), r.getAs[Long]("interim")),
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            Option(r.getAs[java.lang.Double]("z2")),
+            r.getAs[Double]("z_bound"),
+            Option(r.getAs[java.lang.Boolean]("crossed")),
+            r.getAs[Boolean]("decided")))).toMap
+      assert(last == batch)
+      // the out-of-range interim 9 row was dropped on both sides
+      assert(!batch.keySet.exists(_._2 == 9L))
+      assert(last(("g", 2L))._6) // decided latched at interim 2
+    } finally q.stop()
+  }
+
   test("chiSquaredStream equals the batch test on everything arrived") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
