@@ -1800,6 +1800,16 @@ object ScaleStress {
           Seq(10000L, 20000L, 50000L))
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q319 shape: quantile treatment effects — per-arm value-grid
+      // windows + |probs| literal explode
+      timed(scale, "quantile_effect") {
+        val e2 = ev.select(col("event_type"),
+          (col("user_id") % 2 === 0).as("treated"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"))
+        val out = graft.ops.Profiling.quantileTreatmentEffect(e2,
+          "event_type", "treated", "vmil")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -3090,6 +3090,64 @@ object Profiling {
           .as("n_per_arm"))
   }
 
+  /** Quantile treatment effects per group — "did the treatment move
+    * the TAIL, not just the mean?" ([[welchTTest]] answers means; a
+    * latency fix that only helps p90 or a filter that only truncates
+    * the worst 10% is invisible there). For each probability p the
+    * EXACT lower nearest-rank quantile of each arm comes from the
+    * quantization-bounded value histogram by integer
+    * cross-multiplication (`cum·1e6 ≥ p_micro·n` — the
+    * [[quantileBuckets]] discipline, never a percentile approximation),
+    * and the effect is the exact integer difference. Values must be
+    * integral (quantize upstream).
+    *
+    * Shape: one (group, arm, value) partial-aggregable collapse,
+    * cumulative windows over the per-arm value grid, a |probs| literal
+    * explode — rows shuffle once, nothing data-sized survives. Returns
+    * (group, prob_micro, n_treated, n_control, q_treated, q_control,
+    * diff); arms absent from a group leave nulls. */
+  def quantileTreatmentEffect(df: DataFrame, groupCol: String,
+      treatedCol: String, valueCol: String,
+      probsMicro: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L))
+      : DataFrame = {
+    requireIntegral(df, valueCol, "quantileTreatmentEffect")
+    require(probsMicro.nonEmpty &&
+      probsMicro.forall(p => p > 0 && p <= 1000000L),
+      "probsMicro must lie in (0, 1e6]")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(treatedCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(treatedCol).cast("boolean").as("__t__"),
+        col(valueCol).cast("long").as("__v__"))
+    val hist = base.groupBy(col(groupCol), col("__t__"), col("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = Window.partitionBy(col(groupCol), col("__t__"))
+      .orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol), col("__t__"))
+    val cum = hist
+      .withColumn("__cum__", sum(col("__c__")).over(w))
+      .withColumn("__n__", sum(col("__c__")).over(tot))
+    val qs = cum
+      .withColumn("prob_micro", explode(typedLit(probsMicro.sorted
+        .toArray)))
+      .filter(dec(col("__cum__")) * dec(lit(1000000L)) >=
+        dec(col("prob_micro")) * dec(col("__n__")))
+      .groupBy(col(groupCol), col("__t__"), col("prob_micro"))
+      .agg(min(col("__v__")).as("__q__"), max(col("__n__")).as("__nn__"))
+    val t = qs.filter(col("__t__"))
+      .select(col(groupCol), col("prob_micro"),
+        col("__nn__").as("n_treated"), col("__q__").as("q_treated"))
+    val c = qs.filter(!col("__t__"))
+      .select(col(groupCol), col("prob_micro"),
+        col("__nn__").as("n_control"), col("__q__").as("q_control"))
+    t.join(c, Seq(groupCol, "prob_micro"), "full")
+      .select(col(groupCol), col("prob_micro"),
+        col("n_treated"), col("n_control"),
+        col("q_treated"), col("q_control"),
+        (col("q_treated") - col("q_control")).as("diff"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

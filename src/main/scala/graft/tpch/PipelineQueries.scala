@@ -922,6 +922,20 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("mde_micro"))
     }),
 
+    // Quantile treatment effects per event type: did the user-parity
+    // "treatment" move p25/p50/p75/p90 of the milli value? exact
+    // nearest-rank quantiles per arm, integer differences
+    "q319_quantile_effect" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0).as("treated"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"))
+      graft.ops.Profiling.quantileTreatmentEffect(ev, "event_type",
+          "treated", "vmil")
+        .orderBy(col("event_type"), col("prob_micro"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4882,6 +4896,35 @@ object PipelineQueries {
         |  CASE WHEN p2 <= 1.0 THEN CAST(ceil(s * s / (d * d))
         |    AS BIGINT) END AS n_per_arm
         |FROM f ORDER BY 1, 2""".stripMargin,
+
+    "q319_quantile_effect" ->
+      """WITH b AS (SELECT event_type AS g, user_id % 2 = 0 AS t,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT g, t, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |cum AS (SELECT g, t, v,
+        |    CAST(SUM(c) OVER (PARTITION BY g, t ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cm,
+        |    CAST(SUM(c) OVER (PARTITION BY g, t) AS BIGINT) AS n
+        |  FROM hist),
+        |qs AS (SELECT g, t, prob_micro, MIN(v) AS q, MAX(n) AS nn
+        |  FROM cum CROSS JOIN (SELECT unnest([250000, 500000, 750000,
+        |    900000]) AS prob_micro)
+        |  WHERE CAST(cm AS HUGEINT) * 1000000 >=
+        |    CAST(prob_micro AS HUGEINT) * n
+        |  GROUP BY 1, 2, 3),
+        |tr AS (SELECT g, prob_micro, nn AS n_treated, q AS q_treated
+        |  FROM qs WHERE t),
+        |co AS (SELECT g, prob_micro, nn AS n_control, q AS q_control
+        |  FROM qs WHERE NOT t)
+        |SELECT g AS event_type, CAST(prob_micro AS BIGINT)
+        |    AS prob_micro,
+        |  n_treated, n_control, q_treated, q_control,
+        |  q_treated - q_control AS diff
+        |FROM tr FULL JOIN co USING (g, prob_micro)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value

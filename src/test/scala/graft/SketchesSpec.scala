@@ -1586,6 +1586,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("h", 50000L))._3.isEmpty)
   }
 
+  test("quantileTreatmentEffect: exact nearest-rank diffs, missing arm") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(v => ("g", true, v)) ++
+      (11L to 20L).map(v => ("g", false, v)) ++
+      // duplicates shift the rank boundary exactly
+      Seq(("d", true, 1L), ("d", true, 1L), ("d", true, 1L),
+        ("d", true, 9L), ("d", false, 5L)) ++
+      // control-only group: treated side null
+      Seq(("c", false, 7L)))
+      .toDF("grp", "treated", "v")
+    val got = graft.ops.Profiling.quantileTreatmentEffect(df, "grp",
+        "treated", "v", Seq(500000L, 900000L))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("prob_micro"))
+        -> ((Option(r.getAs[java.lang.Long]("q_treated")),
+          Option(r.getAs[java.lang.Long]("q_control")),
+          Option(r.getAs[java.lang.Long]("diff"))))).toMap
+    // uniform 1..10 vs 11..20: p50 = 5 vs 15, p90 = 9 vs 19
+    assert(got(("g", 500000L)) == ((Some(5L), Some(15L), Some(-10L))))
+    assert(got(("g", 900000L)) == ((Some(9L), Some(19L), Some(-10L))))
+    // 3 copies of 1 + one 9: p50 needs cum >= 2 -> 1; p90 cum >= 3.6
+    // -> the 9 enters only at the top rank
+    assert(got(("d", 500000L)) == ((Some(1L), Some(5L), Some(-4L))))
+    assert(got(("d", 900000L)) == ((Some(9L), Some(5L), Some(4L))))
+    assert(got(("c", 500000L)) == ((None, Some(7L), None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
