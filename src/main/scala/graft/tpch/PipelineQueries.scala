@@ -936,6 +936,37 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("prob_micro"))
     }),
 
+    // End-to-end experiment chain: ONE plan composing the sequential
+    // decision (q317), the power plan for the next test (q318) and the
+    // median treatment effect (q319) per event type — the family's
+    // composability demonstration, the q301 pattern
+    "q320_experiment_chain" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          least(expr("(unix_micros(ts) div 86400000000 - 19723) " +
+            "div 6") + 1, lit(5L)).as("interim"),
+          (col("user_id") % 2 === 0).as("treated"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vmil"))
+      val gs = graft.ops.Profiling.groupSequential(ev, "event_type",
+          "interim", "treated", "ok", totalInterims = 5)
+        .groupBy(col("event_type"))
+        .agg((max(when(col("crossed"), 1).otherwise(0)) === 1)
+          .as("decided"),
+          min(when(col("crossed"), col("interim"))).as("decided_at"))
+      val pp = graft.ops.Profiling.powerPlan(ev, "event_type", "ok",
+          Seq(20000L))
+        .select(col("event_type"), col("n_baseline"),
+          col("baseline_rate"), col("n_per_arm").as("n_per_arm_2pp"))
+      val qe = graft.ops.Profiling.quantileTreatmentEffect(ev,
+          "event_type", "treated", "vmil", Seq(500000L))
+        .select(col("event_type"), col("diff").as("p50_diff"))
+      pp.join(gs, Seq("event_type")).join(qe, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4925,6 +4956,89 @@ object PipelineQueries {
         |  q_treated - q_control AS diff
         |FROM tr FULL JOIN co USING (g, prob_micro)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q320_experiment_chain" ->
+      """WITH ev AS (SELECT event_type AS g,
+        |    LEAST((epoch_us(ts) // 86400000000 - 19723) // 6 + 1, 5)
+        |      AS k,
+        |    user_id % 2 = 0 AS t,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000 AS ok,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |gs_per AS (SELECT g, k,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN t AND ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ka,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(SUM(CASE WHEN NOT t AND ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS kb
+        |  FROM ev WHERE k BETWEEN 1 AND 5 GROUP BY 1, 2),
+        |gs_cum AS (SELECT g, k,
+        |    CAST(SUM(na) OVER w AS BIGINT) AS cna,
+        |    CAST(SUM(ka) OVER w AS BIGINT) AS cka,
+        |    CAST(SUM(nb) OVER w AS BIGINT) AS cnb,
+        |    CAST(SUM(kb) OVER w AS BIGINT) AS ckb
+        |  FROM gs_per WINDOW w AS (PARTITION BY g ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |gs_m AS (SELECT g, k, cna, cnb,
+        |    CAST(cka AS DOUBLE) / CAST(cna AS DOUBLE) AS pa,
+        |    CAST(ckb AS DOUBLE) / CAST(cnb AS DOUBLE) AS pb,
+        |    CAST(cka + ckb AS DOUBLE) / CAST(cna + cnb AS DOUBLE)
+        |      AS pbar
+        |  FROM gs_cum),
+        |gs_c AS (SELECT g, k,
+        |    CASE WHEN cna > 0 AND cnb > 0 AND pbar * (1.0 - pbar) *
+        |        (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE))
+        |        > 0
+        |      THEN (pa - pb) * (pa - pb) / (pbar * (1.0 - pbar) *
+        |        (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE)))
+        |        >= (1.959964 * sqrt(5.0 / CAST(k AS DOUBLE))) *
+        |           (1.959964 * sqrt(5.0 / CAST(k AS DOUBLE)))
+        |      END AS crossed
+        |  FROM gs_m),
+        |gs AS (SELECT g,
+        |    MAX(CASE WHEN crossed THEN 1 ELSE 0 END) = 1 AS decided,
+        |    MIN(CASE WHEN crossed THEN k END) AS decided_at
+        |  FROM gs_c GROUP BY 1),
+        |pp_per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS kk
+        |  FROM ev GROUP BY 1),
+        |pp_c AS (SELECT g, n,
+        |    CAST(kk AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+        |    0.02 AS d
+        |  FROM pp_per),
+        |pp_e AS (SELECT g, n, p1, d, p1 + d AS p2,
+        |    (p1 + (p1 + d)) / 2.0 AS pb FROM pp_c),
+        |pp AS (SELECT g, n AS n_baseline,
+        |    ROUND(p1, 6) AS baseline_rate,
+        |    CASE WHEN p2 <= 1.0 THEN CAST(ceil(
+        |      (1.959964 * sqrt(2.0 * pb * (1.0 - pb)) +
+        |       0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) *
+        |      (1.959964 * sqrt(2.0 * pb * (1.0 - pb)) +
+        |       0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) /
+        |      (d * d)) AS BIGINT) END AS n_per_arm_2pp
+        |  FROM pp_e),
+        |qe_hist AS (SELECT g, t, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |qe_cum AS (SELECT g, t, v,
+        |    CAST(SUM(c) OVER (PARTITION BY g, t ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cm,
+        |    CAST(SUM(c) OVER (PARTITION BY g, t) AS BIGINT) AS n
+        |  FROM qe_hist),
+        |qe_q AS (SELECT g, t, MIN(v) AS q FROM qe_cum
+        |  WHERE CAST(cm AS HUGEINT) * 1000000 >=
+        |    CAST(500000 AS HUGEINT) * n
+        |  GROUP BY 1, 2),
+        |qe AS (SELECT g, qt - qc AS p50_diff
+        |  FROM (SELECT g, q AS qt FROM qe_q WHERE t) tr
+        |  FULL JOIN (SELECT g, q AS qc FROM qe_q WHERE NOT t) co
+        |  USING (g))
+        |SELECT pp.g AS event_type, pp.n_baseline, pp.baseline_rate,
+        |  pp.n_per_arm_2pp, gs.decided, gs.decided_at, qe.p50_diff
+        |FROM pp JOIN gs ON pp.g = gs.g JOIN qe ON pp.g = qe.g
+        |ORDER BY 1""".stripMargin,
 
     "q310_cochran_q" ->
       """WITH e AS (SELECT event_type, event_id, user_id, value
