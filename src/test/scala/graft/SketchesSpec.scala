@@ -1612,6 +1612,108 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("c", 500000L)) == ((None, Some(7L), None)))
   }
 
+  test("krippendorff/mantelHaenszel/chiSquared equal direct formulas " +
+      "on seeded fuzz") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42_2026L)
+    val rows = (1 to 160).map { _ =>
+      (s"g${rnd.nextInt(2)}", rnd.nextInt(12).toLong,
+        s"l${rnd.nextInt(3)}", s"s${rnd.nextInt(4)}",
+        rnd.nextBoolean(), rnd.nextBoolean())
+    }
+    val df = rows.toDF("grp", "unit", "label", "stratum", "t", "ok")
+
+    // Krippendorff vs the direct coincidence formulation
+    val ka = graft.ops.Profiling.krippendorffAlpha(df, "grp", "unit",
+        "label")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("alpha"))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val units = rs.groupBy(_._2).values.map(_.map(_._3))
+        .filter(_.size >= 2).toSeq
+      val n = units.map(_.size).sum.toLong
+      val doSum = units.map { ls =>
+        val o2 = ls.groupBy(identity).values
+          .map(v => v.size.toLong * v.size).sum
+        (ls.size.toLong * ls.size - o2).toDouble / (ls.size - 1)
+      }.sum
+      val nc2 = units.flatten.groupBy(identity).values
+        .map(v => v.size.toLong * v.size).sum
+      val deDen = (n * n - nc2).toDouble
+      val want = if (n > 1 && deDen > 0)
+        Some(1.0 - doSum * (n - 1) / deDen) else None
+      (ka(g), want) match {
+        case (Some(got), Some(w)) =>
+          assert(math.abs(got - w) < 1e-6, s"$g alpha $got $w")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"$g alpha")
+      }
+    }
+
+    // Mantel-Haenszel vs the direct per-stratum sums
+    val mh = graft.ops.Profiling.mantelHaenszel(df, "grp", "stratum",
+        "t", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[java.lang.Double]("or_mh")),
+          Option(r.getAs[java.lang.Double]("chi2"))))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val strata = rs.groupBy(_._4).values.map { v =>
+        val a = v.count(r => r._5 && r._6).toLong
+        val b = v.count(r => r._5 && !r._6).toLong
+        val c = v.count(r => !r._5 && r._6).toLong
+        val d = v.count(r => !r._5 && !r._6).toLong
+        (a, b, c, d, a + b + c + d)
+      }.filter(_._5 >= 2).toSeq
+      val sad = strata.map(s => s._1.toDouble * s._4 / s._5).sum
+      val sbc = strata.map(s => s._2.toDouble * s._3 / s._5).sum
+      val se = strata.map(s =>
+        (s._1 + s._2).toDouble * (s._1 + s._3) / s._5).sum
+      val sv = strata.map { s =>
+        val ni = s._5.toDouble
+        (s._1 + s._2).toDouble * (s._3 + s._4) * (s._1 + s._3) *
+          (s._2 + s._4) / (ni * ni * (ni - 1.0))
+      }.sum
+      val asum = strata.map(_._1).sum.toDouble
+      val wantOr = if (sbc > 0) Some(sad / sbc) else None
+      val wantChi = if (sv > 0)
+        Some((asum - se) * (asum - se) / sv) else None
+      (mh(g)._1, wantOr) match {
+        case (Some(got), Some(w)) =>
+          assert(math.abs(got - w) < 1e-6, s"$g or $got $w")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"$g or")
+      }
+      (mh(g)._2, wantChi) match {
+        case (Some(got), Some(w)) =>
+          assert(math.abs(got - w) < 1e-6, s"$g chi $got $w")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"$g chi")
+      }
+    }
+
+    // chi-squared independence vs the direct contingency sum
+    val cs = graft.ops.Profiling.chiSquared(df, "grp", "label",
+        "stratum")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Double]("cramers_v"))))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.size.toDouble
+      val as = rs.map(_._3).distinct.sorted
+      val bs = rs.map(_._4).distinct.sorted
+      val chi = (for { a <- as; b <- bs } yield {
+        val o = rs.count(r => r._3 == a && r._4 == b).toDouble
+        val e = rs.count(_._3 == a).toDouble *
+          rs.count(_._4 == b).toDouble / n
+        (o - e) * (o - e) / e
+      }).sum
+      val dof = (as.size - 1) * (bs.size - 1)
+      if (dof > 0) {
+        assert(math.abs(cs(g)._1.get - chi) < 1e-6, s"$g chi2")
+        val v = math.sqrt(chi /
+          (n * math.min(as.size - 1, bs.size - 1)))
+        assert(math.abs(cs(g)._2.get - v) < 1e-6, s"$g v")
+      }
+    }
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
