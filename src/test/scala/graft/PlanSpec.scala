@@ -551,4 +551,61 @@ class PlanSpec extends AnyFunSuite {
         s"partial aggregation:\n$plan")
     }
   }
+
+  test("round-10 experiment/audit op plans: partitioned windows, " +
+      "broadcast queries, no single-partition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 300L).map(i =>
+      (i, (i % 3).toString, i % 5 + 1, i % 2 == 0, (i * 3) % 7 < 3,
+        (i * 11) % 100))
+      .toDF("id", "g", "k", "t", "ok", "v")
+    // group-sequential + QTE + bestThreshold: every window partitioned
+    // by the group (never global), partial aggs preserved
+    val winPlans = Seq(
+      "gs" -> physicalPlan(graft.ops.Profiling.groupSequential(
+        ev, "g", "k", "t", "ok", totalInterims = 5)),
+      "qte" -> physicalPlan(graft.ops.Profiling.quantileTreatmentEffect(
+        ev, "g", "t", "v")),
+      "bt" -> physicalPlan(graft.ops.Profiling.bestThreshold(
+        ev, "g", "v", "ok")))
+    winPlans.foreach { case (name, plan) =>
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name window collapsed to a single partition:\n$plan")
+      assert(plan.linesIterator
+        .filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("g#")), s"$name has an unpartitioned " +
+        s"window:\n$plan")
+      assert(plan.contains("partial_"), s"$name:\n$plan")
+    }
+    // powerPlan / wilson / chi2 GOF: pure collapse + literal explode —
+    // no joins at all beyond the one aggregation exchange
+    Seq(
+      "pp" -> physicalPlan(graft.ops.Profiling.powerPlan(
+        ev, "g", "ok", Seq(10000L, 50000L))),
+      "wi" -> physicalPlan(graft.ops.Profiling.wilsonInterval(
+        ev, "g", "ok")),
+      "gof" -> physicalPlan(graft.ops.Profiling.chi2GoodnessOfFit(
+        ev.withColumn("c", (col("v") % 3).cast("string")), "g", "c",
+        Map("0" -> 300000L, "1" -> 400000L, "2" -> 300000L))))
+      .foreach { case (name, plan) =>
+        assert(!plan.contains("NestedLoop") &&
+          !plan.contains("CartesianProduct"), s"$name:\n$plan")
+        assert(plan.contains("partial_"), s"$name:\n$plan")
+      }
+    // truncation audit: queries broadcast into every top-k pass — the
+    // corpus side must never shuffle into a join
+    val qs = Seq((100L, Array(1.0f, 0.0f, 0.5f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val corpus = (1L to 50L).map(i =>
+      (i, Array(i.toFloat, 1.0f, 0.5f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val ta = physicalPlan(graft.ops.Similarity.truncationAudit(
+      qs, corpus, "vec_id", "embedding", k = 3, dims = Seq(2)))
+    // the corpus-scan side: queries BROADCAST into the scoring join
+    // (the non-equi self-exclusion makes it a broadcast nested loop);
+    // the k-row overlap joins downstream are free to pick any strategy
+    assert(ta.contains("BroadcastNestedLoop") ||
+      ta.contains("BroadcastHashJoin"), ta)
+  }
 }
