@@ -1810,6 +1810,18 @@ object ScaleStress {
           "event_type", "treated", "vmil")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q321 shape: Brown–Forsythe — per-variant median grid + one
+      // broadcast join-back + anovaF's moment collapse
+      timed(scale, "levene") {
+        val e2 = ev.select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.leveneTest(e2, "event_type",
+          "variant", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -3148,6 +3148,50 @@ object Profiling {
         (col("q_treated") - col("q_control")).as("diff"))
   }
 
+  /** Brown–Forsythe (median-based Levene) test per group — "do the
+    * variants even have comparable SPREAD?", the assumption check that
+    * belongs BEFORE [[anovaF]] (its mean comparison assumes variance
+    * homogeneity; heteroscedastic arms silently inflate its false
+    * positives) and a finding in its own right (a treatment that
+    * widens the distribution without moving the mean is invisible to
+    * every mean test). The deviation base is the per-variant exact
+    * LOWER MEDIAN (integer cross-multiplication over the value grid —
+    * the median form is the robust Brown–Forsythe variant), the
+    * absolute deviations are exact integers, and the F statistic on
+    * them is literally [[anovaF]] — one op composed of two, sharing
+    * its verdict discipline. `fCrit` as there (F(k−1, ∞) at 95% by
+    * default).
+    *
+    * Shape: one (group, variant, value) collapse, windows over the
+    * per-variant value grid, one broadcast median join-back, then
+    * anovaF's single moment collapse. Returns anovaF's schema:
+    * (group, n, k, f_stat, significant). */
+  def leveneTest(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String, fCrit: Double = 2.996): DataFrame = {
+    requireIntegral(df, valueCol, "leveneTest")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(variantCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(variantCol).cast("string")
+        .as("__var__"), col(valueCol).cast("long").as("__v__"))
+    val hist = base.groupBy(col(groupCol), col("__var__"), col("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = Window.partitionBy(col(groupCol), col("__var__"))
+      .orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol), col("__var__"))
+    val med = hist
+      .withColumn("__cum__", sum(col("__c__")).over(w))
+      .withColumn("__n__", sum(col("__c__")).over(tot))
+      .filter(dec(col("__cum__")) * 2 >= dec(col("__n__")))
+      .groupBy(col(groupCol), col("__var__"))
+      .agg(min(col("__v__")).as("__med__"))
+    val z = base.join(broadcast(med), Seq(groupCol, "__var__"))
+      .select(col(groupCol), col("__var__"),
+        abs(col("__v__") - col("__med__")).as("__z__"))
+    anovaF(z, groupCol, "__var__", "__z__", fCrit)
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -967,6 +967,25 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Brown–Forsythe spread test per event type: arm a is injected
+    // with extra dispersion in 'error' events — the variance-
+    // homogeneity check run before q288's ANOVA
+    "q321_levene" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          (floor(col("value") * 100 + 0.5).cast("long") +
+            when(col("user_id") % 3 === 0 &&
+              col("event_type") === "error",
+              (col("event_id") % 21) * 2000L - 20000L).otherwise(0L))
+            .as("v"))
+      graft.ops.Profiling.leveneTest(ev, "event_type", "variant", "v")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -4956,6 +4975,57 @@ object PipelineQueries {
         |  q_treated - q_control AS diff
         |FROM tr FULL JOIN co USING (g, prob_micro)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q321_levene" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CASE user_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+        |      ELSE 'c' END AS var,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) +
+        |      (CASE WHEN user_id % 3 = 0 AND event_type = 'error'
+        |        THEN (event_id % 21) * 2000 - 20000 ELSE 0 END) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT g, var, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |cum AS (SELECT g, var, v,
+        |    CAST(SUM(c) OVER (PARTITION BY g, var ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cm,
+        |    CAST(SUM(c) OVER (PARTITION BY g, var) AS BIGINT) AS n
+        |  FROM hist),
+        |med AS (SELECT g, var, MIN(v) AS med FROM cum
+        |  WHERE CAST(cm AS HUGEINT) * 2 >= n GROUP BY 1, 2),
+        |zz AS (SELECT b.g, b.var, abs(b.v - med.med) AS v
+        |  FROM b JOIN med ON b.g = med.g AND b.var = med.var),
+        |pv AS (SELECT g, var, CAST(COUNT(1) AS HUGEINT) AS nv,
+        |    SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q
+        |  FROM zz GROUP BY 1, 2),
+        |t AS (SELECT g, var, nv, s, nv * q - s * s AS sswn,
+        |    CAST(s * s AS DOUBLE) / CAST(nv AS DOUBLE) AS tb,
+        |    CAST(nv * q - s * s AS DOUBLE) / CAST(nv AS DOUBLE) AS tw
+        |  FROM pv),
+        |p AS (SELECT g, SUM(nv) AS n, CAST(COUNT(1) AS BIGINT) AS k,
+        |    SUM(s) AS stot, SUM(sswn) AS sswx,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(v := var, tb := tb, tw := tw))),
+        |      x -> x.tb), (a, b) -> a + b) AS tbsum,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(v := var, tb := tb, tw := tw))),
+        |      x -> x.tw), (a, b) -> a + b) AS ssw
+        |  FROM t GROUP BY 1),
+        |z AS (SELECT g, n, k, sswx, ssw,
+        |    tbsum - CAST(stot * stot AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS ssb,
+        |    CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+        |  FROM p)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, k,
+        |  CASE WHEN k >= 2 AND n > k AND sswx > 0 THEN
+        |    ROUND(ssb * (nd - kd) / (ssw * (kd - 1.0)), 6) END
+        |    AS f_stat,
+        |  CASE WHEN k >= 2 AND n > k AND sswx > 0 THEN
+        |    ssb * (nd - kd) * 1000000.0 >= 2996000.0 * ssw * (kd - 1.0)
+        |  END AS significant
+        |FROM z ORDER BY 1""".stripMargin,
 
     "q320_experiment_chain" ->
       """WITH ev AS (SELECT event_type AS g,

@@ -1714,6 +1714,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("leveneTest: spread difference detected, equal spread F=0") {
+    import spark.implicits._
+    def rows(g: String, v: String, x: Long, n: Int) =
+      Seq.fill(n)((g, v, x))
+    val df = (
+      // arm a spreads {0,10} around median 0, arm b {4,6} around 4:
+      // |dev| means 5 vs 1 -> F = (80/1)/(260/18) = 5.538462
+      rows("g", "a", 0L, 5) ++ rows("g", "a", 10L, 5) ++
+      rows("g", "b", 4L, 5) ++ rows("g", "b", 6L, 5) ++
+      // same spread at different locations: deviations identical
+      rows("e", "a", 0L, 5) ++ rows("e", "a", 10L, 5) ++
+      rows("e", "b", 100L, 5) ++ rows("e", "b", 110L, 5))
+      .toDF("grp", "variant", "v")
+    val got = graft.ops.Profiling.leveneTest(df, "grp", "variant", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+          Option(r.getAs[java.lang.Double]("f_stat")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((20L, 2L, Some(5.538462), Some(true))))
+    assert(got("e") == ((20L, 2L, Some(0.0), Some(false))))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
