@@ -1822,6 +1822,18 @@ object ScaleStress {
           "variant", "v")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q322 shape: Dunn post-hoc — one pooled midrank pass + a
+      // label-bounded pair join
+      timed(scale, "dunn") {
+        val e2 = ev.select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.dunnTest(e2, "event_type",
+          "variant", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -3192,6 +3192,67 @@ object Profiling {
     anovaF(z, groupCol, "__var__", "__z__", fCrit)
   }
 
+  /** Dunn's post-hoc test per group — the step AFTER [[kruskalWallis]]
+    * flags an omnibus difference: WHICH variant pairs differ? Pairwise
+    * z on the POOLED midranks (not per-pair re-ranking — that breaks
+    * the family guarantee), tie-corrected
+    * `σ² = (N(N+1) − Σ(t³−t)/(N−1))/12 · (1/n_i + 1/n_j)`, with the
+    * caller-supplied Bonferroni critical value `zCrit` (α/(k(k−1))
+    * two-sided — e.g. 2.394 for k = 3 at α = 0.05; the [[anovaF]]
+    * fCrit contract). Doubled midranks keep every moment an exact
+    * decimal; z is assembled in doubles from them (the doubling
+    * cancels: mean differences double, variance quadruples). z is
+    * SIGNED — positive means variant_a ranks higher. Null when the
+    * tie-corrected variance is 0 (all pooled values equal).
+    *
+    * Shape: one pooled midrank pass ([[kruskalWallis]]'s), one
+    * (group, variant) moment collapse, one label-bounded pair join —
+    * rows shuffle once. Returns (group, variant_a, variant_b, n_a,
+    * n_b, z, significant). */
+  def dunnTest(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String, zCrit: Double = 2.394): DataFrame = {
+    requireIntegral(df, valueCol, "dunnTest")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(variantCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(variantCol).cast("string")
+        .as("__var__"), col(valueCol).cast("long").as("__v__"))
+    val ranks = midranks2(base, groupCol, "__v__")
+    val perVar = base.join(ranks, Seq(groupCol, "__v__"))
+      .groupBy(col(groupCol), col("__var__"))
+      .agg(count(lit(1)).as("__nv__"),
+        sum(dec(col("__rank2__"))).as("__r2__"))
+    val stats = ranks.groupBy(col(groupCol))
+      .agg(sum(col("__t__")).as("__N__"),
+        sum(dec(col("__t__")) * dec(col("__t__")) * dec(col("__t__")) -
+          dec(col("__t__"))).as("__ts__"))
+    val a = perVar.alias("a")
+    val b = perVar.alias("b")
+    val pairs = a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col("a.__var__") < col("b.__var__"))
+      .select(col(s"a.$groupCol").as(groupCol),
+        col("a.__var__").as("variant_a"),
+        col("b.__var__").as("variant_b"),
+        col("a.__nv__").as("n_a"), col("b.__nv__").as("n_b"),
+        col("a.__r2__").as("__ra__"), col("b.__r2__").as("__rb__"))
+      .join(stats, Seq(groupCol))
+    val nD = col("__N__").cast("double")
+    val vb = (dec(col("__N__")) * dec(col("__N__") + 1)).cast("double") /
+      lit(12.0) -
+      col("__ts__").cast("double") / (lit(12.0) * (nD - lit(1.0)))
+    val mA = try_divide(col("__ra__").cast("double"),
+      col("n_a").cast("double"))
+    val mB = try_divide(col("__rb__").cast("double"),
+      col("n_b").cast("double"))
+    val z = try_divide(mA - mB,
+      sqrt(lit(4.0) * vb * (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double"))))
+    pairs.select(col(groupCol), col("variant_a"), col("variant_b"),
+      col("n_a"), col("n_b"),
+      when(vb > 0, round(z, 6)).as("z"),
+      when(vb > 0, z * z >= lit(zCrit) * lit(zCrit)).as("significant"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

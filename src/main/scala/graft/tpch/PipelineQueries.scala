@@ -986,6 +986,25 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Dunn's post-hoc per event type: which arm pairs differ on the
+    // pooled midranks, Bonferroni-guarded — arm b is injected with a
+    // click-only shift so exactly its pairs flag there
+    "q322_dunn" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          (floor(col("value") * 100 + 0.5).cast("long") +
+            when(col("user_id") % 3 === 1 &&
+              col("event_type") === "click", 2000L).otherwise(0L))
+            .as("v"))
+      graft.ops.Profiling.dunnTest(ev, "event_type", "variant", "v")
+        .orderBy(col("event_type"), col("variant_a"),
+          col("variant_b"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5026,6 +5045,47 @@ object PipelineQueries {
         |    ssb * (nd - kd) * 1000000.0 >= 2996000.0 * ssw * (kd - 1.0)
         |  END AS significant
         |FROM z ORDER BY 1""".stripMargin,
+
+    "q322_dunn" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CASE user_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+        |      ELSE 'c' END AS var,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) +
+        |      (CASE WHEN user_id % 3 = 1 AND event_type = 'click'
+        |        THEN 2000 ELSE 0 END) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, COUNT(1) AS t FROM b GROUP BY 1, 2),
+        |r AS (SELECT g, v, t,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM h),
+        |pv AS (SELECT b.g, b.var, CAST(COUNT(1) AS BIGINT) AS nv,
+        |    SUM(CAST(r.r2 AS HUGEINT)) AS r2s
+        |  FROM b JOIN r ON b.g = r.g AND b.v = r.v GROUP BY 1, 2),
+        |st AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ts
+        |  FROM r GROUP BY 1),
+        |pr AS (SELECT a.g, a.var AS variant_a, bb.var AS variant_b,
+        |    a.nv AS n_a, bb.nv AS n_b, a.r2s AS ra, bb.r2s AS rb
+        |  FROM pv a JOIN pv bb ON a.g = bb.g AND a.var < bb.var),
+        |c AS (SELECT pr.g, pr.variant_a, pr.variant_b, pr.n_a,
+        |    pr.n_b, pr.ra, pr.rb,
+        |    CAST(CAST(st.n AS HUGEINT) * (st.n + 1) AS DOUBLE) / 12.0 -
+        |      CAST(st.ts AS DOUBLE) /
+        |      (12.0 * (CAST(st.n AS DOUBLE) - 1.0)) AS vb
+        |  FROM pr JOIN st ON pr.g = st.g),
+        |zz AS (SELECT g, variant_a, variant_b, n_a, n_b, vb,
+        |    (CAST(ra AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |     CAST(rb AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |      sqrt(4.0 * vb * (1.0 / CAST(n_a AS DOUBLE) +
+        |        1.0 / CAST(n_b AS DOUBLE))) AS z
+        |  FROM c)
+        |SELECT g AS event_type, variant_a, variant_b, n_a, n_b,
+        |  CASE WHEN vb > 0 THEN ROUND(z, 6) END AS z,
+        |  CASE WHEN vb > 0 THEN z * z >= 2.394 * 2.394 END
+        |    AS significant
+        |FROM zz ORDER BY 1, 2, 3""".stripMargin,
 
     "q320_experiment_chain" ->
       """WITH ev AS (SELECT event_type AS g,

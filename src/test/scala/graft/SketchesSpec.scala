@@ -1736,6 +1736,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("e") == ((20L, 2L, Some(0.0), Some(false))))
   }
 
+  test("dunnTest: pooled-midrank pairwise z, all-tied null") {
+    import spark.implicits._
+    val df = (Seq("a", "b").flatMap(v => (1L to 3L).map(x =>
+        ("g", v, x))) ++
+      (101L to 103L).map(x => ("g", "c", x)) ++
+      // every value identical: tie-corrected variance is 0
+      Seq(("z", "a", 5L), ("z", "a", 5L), ("z", "b", 5L)))
+      .toDF("grp", "variant", "v")
+    val got = graft.ops.Profiling.dunnTest(df, "grp", "variant", "v")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)) -> ((Option(r.getAs[java.lang.Double]("z")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    // doubled midranks: {1,1}=3 {2,2}=7 {3,3}=11, 101/102/103=14/16/18
+    // means: a = b = 7, c = 16; vb = (9*10 - 18/8)/12 = 7.3125
+    // z_ac = (7-16)/sqrt(4*7.3125*(2/3)) = -2.038099
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val zac = r6(-9.0 / math.sqrt(4.0 * 7.3125 * (2.0 / 3.0)))
+    assert(got(("g", "a", "b")) == ((Some(0.0), Some(false))))
+    assert(got(("g", "a", "c")) == ((Some(zac), Some(false))))
+    assert(got(("g", "b", "c")) == ((Some(zac), Some(false))))
+    assert(got(("z", "a", "b")) == ((None, None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
