@@ -979,6 +979,39 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.wilsonInterval]]: live
+    * pass rates WITH their error bars — the number every streaming
+    * eval dashboard shows next to the rate, because a 3-sample 100% and
+    * a 3000-sample 100% are different claims. O(1) (n, k) state per
+    * group; each micro-batch emits the batch-identical bounds (same
+    * expression order, same HALF_UP rounding), so stream ≡ batch at
+    * every prefix. Rows are (group, ok). */
+  def wilsonStream(rows: Dataset[(String, Boolean)],
+      z: Double = 1.959964)
+      : Dataset[(String, Long, Long, Double, Double, Double)] = {
+    import rows.sparkSession.implicits._
+    val z2 = z * z
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long),
+        (String, Long, Long, Double, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[(Long, Long)]) =>
+          var (n, k) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, ok) => n += 1; if (ok) k += 1 }
+          state.update((n, k))
+          def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val nD = n.toDouble
+          val p = k.toDouble / nD
+          val denom = 1.0 + z2 / nD
+          val center = (p + z2 / (2.0 * nD)) / denom
+          val hw = z * math.sqrt(p * (1.0 - p) / nD +
+            z2 / (4.0 * nD * nD)) / denom
+          Iterator.single((g, n, k, r6(p), r6(center - hw),
+            r6(center + hw)))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Profiling.chiSquared]]: a live
     * contingency-drift monitor ("is the outcome mix still independent
     * of the segment?"). State per group is the label-bounded (a, b)

@@ -1094,6 +1094,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("wilsonStream equals the batch interval on everything arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Boolean)]
+    val q = Streaming.wilsonStream(ms.toDS())
+      .toDF("g", "n", "k", "rate", "lo", "hi")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wilson_stream").start()
+    val batch1 = Seq.fill(3)(("g", true))
+    val batch2 = Seq.fill(47)(("g", true)) ++ Seq.fill(50)(("g", false))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM wilson_stream").collect()
+        .map(r => (r.getLong(1), (r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))))
+      val last = rows.maxBy(_._1)
+      import spark.implicits._
+      val batch = graft.ops.Profiling.wilsonInterval(
+        (batch1 ++ batch2).toDF("g", "ok"), "g", "ok")
+        .collect().map(r => (r.getAs[Long]("n"),
+          (r.getAs[Long]("k"), r.getAs[Double]("rate"),
+            r.getAs[Double]("lo"), r.getAs[Double]("hi")))).head
+      assert((last._1, last._2) == batch)
+      // the 3-sample 100% prefix carried WIDE bars (lo ~0.44), not
+      // false certainty
+      val early = rows.find(_._1 == 3L).get._2
+      assert(early._2 == 1.0 && early._3 < 0.45 && early._4 == 1.0)
+    } finally q.stop()
+  }
+
   test("chiSquaredStream equals the batch test on everything arrived") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
