@@ -1834,6 +1834,21 @@ object ScaleStress {
           "variant", "v")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q323 shape: Friedman — per-block (k-row) midrank windows +
+      // k-bounded treatment moments, all-decimal statistic
+      timed(scale, "friedman") {
+        val scored = Seq(0, 1, 2).map { m =>
+          ev.filter((col("event_id") + m) % 7 =!= 0)
+            .select(col("event_type"), col("event_id"),
+              lit(s"m$m").as("model"),
+              (floor(col("value") * (1000 - m * 100) + 0.5)
+                .cast("long") + (col("user_id") % 10) * (m * 500L))
+                .as("score"))
+        }.reduce(_ union _)
+        val out = graft.ops.Profiling.friedmanTest(scored,
+          "event_type", "event_id", "model", "score")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -3253,6 +3253,93 @@ object Profiling {
       when(vb > 0, z * z >= lit(zCrit) * lit(zCrit)).as("significant"))
   }
 
+  /** Friedman test per group — the k-model omnibus for CONTINUOUS
+    * metrics on a shared task set ([[cochranQ]] handles pass/fail; this
+    * handles scores): values rank WITHIN each block (task), so one
+    * wildly-scaled task cannot dominate, and the question is "does ANY
+    * model consistently rank better?". Doubled midranks within each
+    * block keep every moment exact; the tie-safe Conover form
+    * `χ² = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C)` is assembled ENTIRELY
+    * in decimal (the doubling cancels between numerator and
+    * denominator), so both the statistic's one division and the
+    * χ²(k−1) verdict cross-multiplication are exact — no float can
+    * flip a borderline call. Blocks not scored by all k models are
+    * dropped and reported ([[cochranQ]]'s contract); χ² is null when
+    * every block is internally tied (A = C).
+    *
+    * Shape: one (group, block, value) collapse, midrank windows over
+    * tiny per-block partitions (k rows each — one shuffle on the block
+    * key), k-bounded treatment moments — rows shuffle once. Returns
+    * (group, k, n_blocks, n_incomplete, chi2, significant). */
+  def friedmanTest(df: DataFrame, groupCol: String, blockCol: String,
+      treatmentCol: String, valueCol: String,
+      critByDf: Map[Int, Double] = chi2Crit95): DataFrame = {
+    requireIntegral(df, valueCol, "friedmanTest")
+    val critMicro: Map[Int, Long] =
+      critByDf.map { case (k, v) => k -> math.round(v * 1e6) }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(blockCol).as("__blk__"),
+        col(treatmentCol).cast("string").as("__trt__"),
+        col(valueCol).cast("long").as("__v__"))
+    val kPer = base.groupBy(col(groupCol))
+      .agg(countDistinct(col("__trt__")).as("__k__"))
+    // ONE block-keyed exchange carries everything: the block size (the
+    // completeness gate), and the doubled midrank as
+    // rank_asc + (bs − rank_desc + 1) = 2·#less + #tied + 1 — min-tie
+    // ranks from two sorts over the SAME partitioning, no per-value
+    // histogram and no join-back
+    val wBlk = Window.partitionBy(col(groupCol), col("__blk__"))
+    val ranked = base
+      .withColumn("__bs__", count(lit(1)).over(wBlk))
+      .withColumn("__r2__",
+        rank().over(wBlk.orderBy(col("__v__").asc)) +
+          (col("__bs__") - rank().over(wBlk.orderBy(col("__v__").desc))
+            + 1))
+      .join(broadcast(kPer), Seq(groupCol))
+    val dropped = ranked
+      .groupBy(col(groupCol), col("__blk__"))
+      .agg(max(when(col("__bs__") =!= col("__k__"), 1L).otherwise(0L))
+        .as("__inc__"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__inc__")).as("n_incomplete"))
+    val rr = ranked.filter(col("__bs__") === col("__k__"))
+    val perTrt = rr.groupBy(col(groupCol), col("__trt__"))
+      .agg(sum(dec(col("__r2__"))).as("__rj__"),
+        count(lit(1)).as("__nb__"))
+    val perG = rr.groupBy(col(groupCol))
+      .agg(sum(dec(col("__r2__")) * dec(col("__r2__"))).as("__a2__"),
+        countDistinct(col("__blk__")).as("n_blocks"))
+    // S2 = Σ_j (R2_j − n(k+1))²: exact decimal, order-free
+    val s2 = perTrt
+      .join(perG.select(col(groupCol), col("n_blocks").as("__n__")),
+        Seq(groupCol))
+      .join(kPer.select(col(groupCol), col("__k__").as("__kk__")),
+        Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum((col("__rj__") - dec(col("__n__")) *
+        dec(col("__kk__") + 1)) * (col("__rj__") - dec(col("__n__")) *
+        dec(col("__kk__") + 1))).as("__s2__"))
+    val c2 = dec(col("n_blocks")) * dec(col("__k__")) *
+      dec(col("__k__") + 1) * dec(col("__k__") + 1)
+    val den = col("__a2__") - c2
+    val num = (dec(col("__k__")) - 1) * col("__s2__")
+    val crit = element_at(typedLit(critMicro),
+      (col("__k__") - 1).cast("int"))
+    dropped.join(kPer, Seq(groupCol))
+      .join(perG, Seq(groupCol), "left")
+      .join(s2, Seq(groupCol), "left")
+      .select(col(groupCol), col("__k__").as("k"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("n_incomplete"),
+        when(den > 0, round(try_divide(num.cast("double"),
+          den.cast("double")), 6)).as("chi2"),
+        when(den > 0 && crit.isNotNull,
+          num * dec(lit(1000000L)) >= dec(crit) * den)
+          .as("significant"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -1005,6 +1005,33 @@ object PipelineQueries {
           col("variant_b"))
     }),
 
+    // Friedman test per event type: three scorers' CONTINUOUS scores
+    // ranked within each event — the score-valued twin of q310's
+    // Cochran Q, same deterministic gaps
+    "q323_friedman" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+      val scored = Seq(
+        ev.filter((col("event_id") + 0) % 7 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            lit("m0").as("model"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("score")),
+        ev.filter((col("event_id") + 1) % 7 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            lit("m1").as("model"),
+            (floor(col("value") * 900 + 0.5).cast("long") +
+              (col("user_id") % 10) * 500L).as("score")),
+        ev.filter((col("event_id") + 2) % 7 =!= 0)
+          .select(col("event_type"), col("event_id"),
+            lit("m2").as("model"),
+            (floor(col("value") * 1100 + 0.5).cast("long") -
+              (col("user_id") % 5) * 300L).as("score")))
+        .reduce(_ union _)
+      graft.ops.Profiling.friedmanTest(scored, "event_type",
+          "event_id", "model", "score")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5086,6 +5113,68 @@ object PipelineQueries {
         |  CASE WHEN vb > 0 THEN z * z >= 2.394 * 2.394 END
         |    AS significant
         |FROM zz ORDER BY 1, 2, 3""".stripMargin,
+
+    "q323_friedman" ->
+      """WITH e AS (SELECT event_type, event_id, user_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type AS g, event_id AS blk, 'm0' AS mo,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM e WHERE (event_id + 0) % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_type, event_id, 'm1',
+        |    CAST(floor(value * 900 + 0.5) AS BIGINT) +
+        |      (user_id % 10) * 500
+        |  FROM e WHERE (event_id + 1) % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_type, event_id, 'm2',
+        |    CAST(floor(value * 1100 + 0.5) AS BIGINT) -
+        |      (user_id % 5) * 300
+        |  FROM e WHERE (event_id + 2) % 7 <> 0),
+        |kp AS (SELECT g, CAST(COUNT(DISTINCT mo) AS BIGINT) AS k
+        |  FROM b GROUP BY 1),
+        |bs AS (SELECT g, blk, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |dr AS (SELECT bs.g, CAST(SUM(CASE WHEN bs.c <> kp.k THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_incomplete
+        |  FROM bs JOIN kp ON bs.g = kp.g GROUP BY 1),
+        |comp AS (SELECT bs.g, bs.blk FROM bs JOIN kp ON bs.g = kp.g
+        |  WHERE bs.c = kp.k),
+        |rws AS (SELECT b.g, b.blk, b.mo, b.v FROM b
+        |  JOIN comp ON b.g = comp.g AND b.blk = comp.blk),
+        |h AS (SELECT g, blk, v, COUNT(1) AS t FROM rws GROUP BY 1, 2, 3),
+        |r AS (SELECT g, blk, v,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g, blk ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM h),
+        |rr AS (SELECT rws.g, rws.blk, rws.mo, r.r2 FROM rws
+        |  JOIN r ON rws.g = r.g AND rws.blk = r.blk AND rws.v = r.v),
+        |pt AS (SELECT g, mo, SUM(CAST(r2 AS HUGEINT)) AS rj
+        |  FROM rr GROUP BY 1, 2),
+        |pg AS (SELECT g, SUM(CAST(r2 AS HUGEINT) * r2) AS a2,
+        |    CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks
+        |  FROM rr GROUP BY 1),
+        |s2 AS (SELECT pt.g,
+        |    SUM((pt.rj - CAST(pg.n_blocks AS HUGEINT) * (kp.k + 1)) *
+        |        (pt.rj - CAST(pg.n_blocks AS HUGEINT) * (kp.k + 1)))
+        |      AS s2
+        |  FROM pt JOIN pg ON pt.g = pg.g JOIN kp ON pt.g = kp.g
+        |  GROUP BY 1),
+        |fin AS (SELECT dr.g, kp.k, pg.n_blocks, dr.n_incomplete,
+        |    (CAST(kp.k AS HUGEINT) - 1) * s2.s2 AS num,
+        |    pg.a2 - CAST(pg.n_blocks AS HUGEINT) * kp.k * (kp.k + 1) *
+        |      (kp.k + 1) AS den
+        |  FROM dr JOIN kp ON dr.g = kp.g
+        |  LEFT JOIN pg ON dr.g = pg.g LEFT JOIN s2 ON dr.g = s2.g)
+        |SELECT g AS event_type, k, COALESCE(n_blocks, 0) AS n_blocks,
+        |  n_incomplete,
+        |  CASE WHEN den > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END
+        |    AS chi2,
+        |  CASE WHEN den > 0 AND k - 1 = 2 THEN
+        |    num * 1000000 >= 5991000 * den END AS significant
+        |FROM fin ORDER BY 1""".stripMargin,
 
     "q320_experiment_chain" ->
       """WITH ev AS (SELECT event_type AS g,

@@ -1760,6 +1760,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("z", "a", "b")) == ((None, None)))
   }
 
+  test("friedmanTest: textbook chi2, within-block ties, all-tied null, " +
+      "incomplete drop") {
+    import spark.implicits._
+    // 4 blocks, c always best, b always middle: ranks (1,2,3) per
+    // block -> chi2 = (k-1)*S/(A-C) = 2*32/(56-48) = 8.0 > 5.991
+    val g = for { blk <- 1L to 4L; (t, v) <- Seq(("a", 1L), ("b", 2L),
+      ("c", 3L)) } yield ("g", blk, t, v)
+    // a and b tied in every block: midranks (1.5,1.5,3) -> chi2 = 8.0
+    val t = for { blk <- 1L to 4L; (m, v) <- Seq(("a", 5L), ("b", 5L),
+      ("c", 9L)) } yield ("t", blk, m, v)
+    // every block fully tied: A = C, untestable
+    val z = for { blk <- 1L to 3L; m <- Seq("a", "b") }
+      yield ("z", blk, m, 7L)
+    // one incomplete block in g: dropped and counted
+    val inc = Seq(("g", 9L, "a", 1L), ("g", 9L, "b", 2L))
+    val got = graft.ops.Profiling.friedmanTest(
+        (g ++ t ++ z ++ inc).toDF("grp", "blk", "trt", "v"),
+        "grp", "blk", "trt", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("n_incomplete"),
+          Option(r.getAs[java.lang.Double]("chi2")),
+          Option(r.getAs[java.lang.Boolean]("significant"))))).toMap
+    assert(got("g") == ((3L, 4L, 1L, Some(8.0), Some(true))))
+    assert(got("t") == ((3L, 4L, 0L, Some(8.0), Some(true))))
+    assert(got("z") == ((2L, 3L, 0L, None, None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
