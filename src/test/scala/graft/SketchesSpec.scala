@@ -1788,6 +1788,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("z") == ((2L, 3L, 0L, None, None)))
   }
 
+  test("friedmanTest equals the direct ranked formula on seeded fuzz") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3232L)
+    // complete blocks, heavy within-block ties from the tiny value range
+    val rows = for {
+      g <- Seq("g0", "g1"); blk <- 1L to 25L; m <- 0 until 4
+    } yield (g, blk, s"m$m", rnd.nextInt(4).toLong)
+    val got = graft.ops.Profiling.friedmanTest(
+        rows.toDF("grp", "blk", "trt", "v"), "grp", "blk", "trt", "v")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("chi2"))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val k = 4
+      // midranks within block
+      val ranked = rs.groupBy(_._2).values.flatMap { blk =>
+        blk.map { r =>
+          val less = blk.count(_._4 < r._4)
+          val tied = blk.count(_._4 == r._4)
+          (r._3, less + (tied + 1) / 2.0)
+        }
+      }.toSeq
+      val n = rs.size / k
+      val rj = ranked.groupBy(_._1).map { case (_, v) =>
+        v.map(_._2).sum }
+      val s = rj.map(x => (x - n * (k + 1) / 2.0) *
+        (x - n * (k + 1) / 2.0)).sum
+      val a = ranked.map(r => r._2 * r._2).sum
+      val c = n.toDouble * k * (k + 1) * (k + 1) / 4.0
+      val want = (k - 1) * s / (a - c)
+      assert(math.abs(got(g).get - want) < 1e-6, s"$g $want")
+    }
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
