@@ -1849,6 +1849,18 @@ object ScaleStress {
           "event_type", "event_id", "model", "score")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q324 shape: rank effect sizes — grid² cell cross join on the
+      // group key, never rows²
+      timed(scale, "rank_effect") {
+        val e2 = ev.select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.rankEffectSize(e2, "event_type",
+          "variant", "v", control = "a")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

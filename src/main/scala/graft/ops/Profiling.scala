@@ -3340,6 +3340,90 @@ object Profiling {
           .as("significant"))
   }
 
+  /** Rank effect sizes per group — Cliff's δ and Vargha–Delaney A for
+    * each variant against the control: [[rankSumTest]] says WHETHER the
+    * distributions differ, these say HOW MUCH, scale-free ("probability
+    * a random treated beats a random control") — significance without
+    * magnitude is the huge-N trap, where p < 0.05 can mean nothing.
+    * Pair counts come from a RUNNING control CDF over the merged value
+    * grid (one union + one group-keyed window — LINEAR in the grid,
+    * never grid² and never rows²: a variant cell at v beats exactly
+    * `cdf(<v)` control values, loses to `N_c − cdf(≤v)`, ties the
+    * rest): `gt/lt/ties` are exact decimal products,
+    * `δ = (gt−lt)/(n_v·n_c)` and `A = (gt + ties/2)/(n_v·n_c)` are
+    * single divisions, and the Romano magnitude label
+    * (negligible/small/medium/large at 0.147/0.33/0.474) is decided by
+    * exact integer cross-multiplication — no float picks the bucket.
+    * Values must be integral (quantize upstream).
+    *
+    * Shape: one (group, variant, value) collapse, one union + one
+    * window over the merged grid, |variants| output rows — rows
+    * shuffle once. Returns (group, variant, n_variant, n_control,
+    * delta, vda, magnitude). */
+  def rankEffectSize(df: DataFrame, groupCol: String,
+      variantCol: String, valueCol: String,
+      control: String): DataFrame = {
+    requireIntegral(df, valueCol, "rankEffectSize")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(variantCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(variantCol).cast("string")
+        .as("__var__"), col(valueCol).cast("long").as("__v__"))
+    val cells = base.groupBy(col(groupCol), col("__var__"), col("__v__"))
+      .agg(count(lit(1)).as("__n__"))
+    // merged grid: control cells sort BEFORE variant cells at equal v,
+    // so the running control mass at a variant cell is cdf(≤ v)
+    val merged = cells.withColumn("__side__",
+        when(col("__var__") === control, 0).otherwise(1))
+      .withColumn("__cw__",
+        when(col("__side__") === 0, col("__n__")).otherwise(0L))
+    val wRun = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v__").asc, col("__side__").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(groupCol))
+    val withCdf = merged
+      .withColumn("__le__", sum(col("__cw__")).over(wRun))
+      .withColumn("__nc__", sum(col("__cw__")).over(wAll))
+    // ties need the control count AT v: equi join back to the control
+    // cells (grid-sized, group+value keyed)
+    val ctlAt = cells.filter(col("__var__") === control)
+      .select(col(groupCol), col("__v__"), col("__n__").as("__eq__"))
+    val per = withCdf.filter(col("__side__") === 1)
+      .join(ctlAt, Seq(groupCol, "__v__"), "left")
+      .withColumn("__eq__", coalesce(col("__eq__"), lit(0L)))
+      .groupBy(col(groupCol), col("__var__").as("variant"))
+      .agg(sum(dec(col("__n__")) * dec(col("__le__") - col("__eq__")))
+          .as("__gt__"),
+        sum(dec(col("__n__")) * dec(col("__nc__") - col("__le__")))
+          .as("__lt__"),
+        sum(dec(col("__n__")) * dec(col("__eq__"))).as("__ti__"))
+    val nPairs = col("__gt__") + col("__lt__") + col("__ti__")
+    val diff = col("__gt__") - col("__lt__")
+    val absDiff = when(diff < 0, -diff).otherwise(diff)
+    def atLeast(milli: Long) =
+      absDiff * dec(lit(1000L)) >= dec(lit(milli)) * nPairs
+    val nV = base.filter(col("__var__") =!= control)
+      .groupBy(col(groupCol), col("__var__").as("variant"))
+      .agg(count(lit(1)).as("n_variant"))
+    val nC = base.filter(col("__var__") === control)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_control"))
+    nV.join(nC, Seq(groupCol))
+      .join(per, Seq(groupCol, "variant"), "left")
+      .select(col(groupCol), col("variant"), col("n_variant"),
+        col("n_control"),
+        round(try_divide(diff.cast("double"), nPairs.cast("double")),
+          6).as("delta"),
+        // doubled form keeps the half-tie weight exact:
+        // A = (2·gt + ties) / (2·pairs)
+        round(try_divide((col("__gt__") * 2 + col("__ti__"))
+          .cast("double"), (nPairs * 2).cast("double")), 6).as("vda"),
+        when(nPairs > 0,
+          when(atLeast(474L), "large")
+            .when(atLeast(330L), "medium")
+            .when(atLeast(147L), "small")
+            .otherwise("negligible")).as("magnitude"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -1032,6 +1032,25 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Rank effect sizes per event type: Cliff's delta + Vargha-Delaney
+    // A for arms b/c vs control a — HOW MUCH the q322-style click
+    // shift moves arm b, not just whether
+    "q324_rank_effect" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          when(col("user_id") % 3 === 0, "a")
+            .when(col("user_id") % 3 === 1, "b").otherwise("c")
+            .as("variant"),
+          (floor(col("value") * 100 + 0.5).cast("long") +
+            when(col("user_id") % 3 === 1 &&
+              col("event_type") === "click", 2000L).otherwise(0L))
+            .as("v"))
+      graft.ops.Profiling.rankEffectSize(ev, "event_type", "variant",
+          "v", control = "a")
+        .orderBy(col("event_type"), col("variant"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5175,6 +5194,50 @@ object PipelineQueries {
         |  CASE WHEN den > 0 AND k - 1 = 2 THEN
         |    num * 1000000 >= 5991000 * den END AS significant
         |FROM fin ORDER BY 1""".stripMargin,
+
+    "q324_rank_effect" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CASE user_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+        |      ELSE 'c' END AS var,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) +
+        |      (CASE WHEN user_id % 3 = 1 AND event_type = 'click'
+        |        THEN 2000 ELSE 0 END) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT g, var, v, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |vc AS (SELECT g, var, v, n FROM cells WHERE var <> 'a'),
+        |cc AS (SELECT g, v AS vcv, n AS nc FROM cells
+        |  WHERE var = 'a'),
+        |per AS (SELECT vc.g, vc.var AS variant,
+        |    SUM(CASE WHEN vc.v > cc.vcv
+        |      THEN CAST(vc.n AS HUGEINT) * cc.nc ELSE 0 END) AS gt,
+        |    SUM(CASE WHEN vc.v < cc.vcv
+        |      THEN CAST(vc.n AS HUGEINT) * cc.nc ELSE 0 END) AS lt,
+        |    SUM(CASE WHEN vc.v = cc.vcv
+        |      THEN CAST(vc.n AS HUGEINT) * cc.nc ELSE 0 END) AS ti
+        |  FROM vc JOIN cc ON vc.g = cc.g GROUP BY 1, 2),
+        |nv AS (SELECT g, var AS variant,
+        |    CAST(COUNT(1) AS BIGINT) AS n_variant
+        |  FROM b WHERE var <> 'a' GROUP BY 1, 2),
+        |nc2 AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n_control
+        |  FROM b WHERE var = 'a' GROUP BY 1)
+        |SELECT nv.g AS event_type, nv.variant, nv.n_variant,
+        |  nc2.n_control,
+        |  ROUND(CAST(gt - lt AS DOUBLE) /
+        |    CAST(gt + lt + ti AS DOUBLE), 6) AS delta,
+        |  ROUND(CAST(gt * 2 + ti AS DOUBLE) /
+        |    CAST((gt + lt + ti) * 2 AS DOUBLE), 6) AS vda,
+        |  CASE WHEN gt + lt + ti > 0 THEN
+        |    CASE WHEN abs(gt - lt) * 1000 >= 474 * (gt + lt + ti)
+        |      THEN 'large'
+        |    WHEN abs(gt - lt) * 1000 >= 330 * (gt + lt + ti)
+        |      THEN 'medium'
+        |    WHEN abs(gt - lt) * 1000 >= 147 * (gt + lt + ti)
+        |      THEN 'small'
+        |    ELSE 'negligible' END END AS magnitude
+        |FROM nv JOIN nc2 ON nv.g = nc2.g
+        |  LEFT JOIN per ON nv.g = per.g AND nv.variant = per.variant
+        |ORDER BY 1, 2""".stripMargin,
 
     "q320_experiment_chain" ->
       """WITH ev AS (SELECT event_type AS g,

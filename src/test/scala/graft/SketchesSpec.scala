@@ -1821,6 +1821,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("rankEffectSize: exact delta/VDA, tie weight, magnitude buckets") {
+    import spark.implicits._
+    val df = (
+      // variant a {1,2} vs control {1}: gt=1, lt=0, ties=1 ->
+      // delta = 0.5 (large), A = (2+1)/4 = 0.75
+      Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "ctl", 1L)) ++
+      // variant b identical to control: delta 0, A 0.5, negligible
+      Seq(("g", "b", 1L), ("g", "b", 2L),
+        ("g", "ctl", 2L)) ++ // ctl now {1,2}
+      // boundary: delta exactly 0.147 must read "small"
+      // gt - lt = 147, pairs = 1000: 500 values above, 353 below, 147
+      // tied at control's single value
+      (1 to 500).map(i => ("m", "a", 10L)) ++
+      (1 to 353).map(i => ("m", "a", 1L)) ++
+      (1 to 147).map(i => ("m", "a", 5L)) ++
+      Seq(("m", "ctl", 5L)))
+      .toDF("grp", "variant", "v")
+    val got = graft.ops.Profiling.rankEffectSize(df, "grp", "variant",
+        "v", control = "ctl")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("delta"), r.getAs[Double]("vda"),
+          r.getAs[String]("magnitude")))).toMap
+    // g/ctl is {1,2}: a {1,2} vs ctl {1,2}: gt=1, lt=1, ties=2 ->
+    // delta 0, A = (2+2)/8 = 0.5
+    assert(got(("g", "a")) == ((0.0, 0.5, "negligible")))
+    assert(got(("g", "b")) == ((0.0, 0.5, "negligible")))
+    assert(got(("m", "a")) ==
+      ((0.147, 0.5735, "small"))) // boundary hits the bucket exactly
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
