@@ -1861,6 +1861,16 @@ object ScaleStress {
           "variant", "v", control = "a")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q325 shape: TOST equivalence — one boolean collapse
+      timed(scale, "equivalence") {
+        val e2 = ev.select(col("event_type"),
+          (col("user_id") % 2 === 0).as("cand"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+        val out = graft.ops.Profiling.equivalenceTest(e2, "event_type",
+          "cand", "ok", marginMicro = 10000L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q286 shape: Spearman — two histogram windows over DISTINCT
       // values + two rank join-backs; cost tracks |distinct|, not rows
       timed(scale, "spearman") {

@@ -3424,6 +3424,60 @@ object Profiling {
             .otherwise("negligible")).as("magnitude"))
   }
 
+  /** Equivalence / non-inferiority test per group (two-proportion
+    * TOST) — the INVERSE question of every other test here: "is the
+    * candidate the SAME as the baseline within ±δ?" Failing to reject
+    * "different" is NOT evidence of sameness (underpowered tests fail
+    * at everything); TOST demands positive evidence that the
+    * difference lies inside the margin — the correct gate for "the
+    * cheaper/faster model is not worse". Two one-sided z tests on the
+    * unpooled standard error, from exact integer moments through one
+    * fixed expression tree: `non_inferior` iff `(diff+δ)/se ≥ z_α`
+    * (candidate not worse by more than δ), `equivalent` iff
+    * additionally `(δ−diff)/se ≥ z_α`. Defaults: one-sided 95%
+    * (z_α = 1.644854), margin in micro units. Verdicts are null while
+    * either arm is empty or the standard error is 0.
+    *
+    * Shape: one boolean collapse — rows shuffle once, |groups| output
+    * rows. Returns (group, n_baseline, n_candidate, rate_baseline,
+    * rate_candidate, diff, non_inferior, equivalent). */
+  def equivalenceTest(df: DataFrame, groupCol: String,
+      candidateCol: String, okCol: String, marginMicro: Long,
+      zAlpha: Double = 1.644854): DataFrame = {
+    require(marginMicro > 0, "margin must be positive micro units")
+    val delta = marginMicro.toDouble / 1e6
+    val per = df.filter(col(candidateCol).isNotNull &&
+        col(okCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        sum(when(!col(candidateCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_baseline"),
+        sum(when(!col(candidateCol).cast("boolean") &&
+          col(okCol).cast("boolean"), 1L).otherwise(0L)).as("__kb__"),
+        sum(when(col(candidateCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_candidate"),
+        sum(when(col(candidateCol).cast("boolean") &&
+          col(okCol).cast("boolean"), 1L).otherwise(0L)).as("__kc__"))
+    val nb = col("n_baseline").cast("double")
+    val nc = col("n_candidate").cast("double")
+    val pb = try_divide(col("__kb__").cast("double"), nb)
+    val pc = try_divide(col("__kc__").cast("double"), nc)
+    val diff = pc - pb
+    val se = sqrt(pb * (lit(1.0) - pb) / nb +
+      pc * (lit(1.0) - pc) / nc)
+    val testable = col("n_baseline") > 0 && col("n_candidate") > 0 &&
+      se > 0
+    val zLo = (diff + lit(delta)) / se
+    val zHi = (lit(delta) - diff) / se
+    per.select(col(groupCol), col("n_baseline"), col("n_candidate"),
+      round(pb, 6).as("rate_baseline"),
+      round(pc, 6).as("rate_candidate"),
+      when(col("n_baseline") > 0 && col("n_candidate") > 0,
+        round(diff, 6)).as("diff"),
+      when(testable, zLo >= lit(zAlpha)).as("non_inferior"),
+      when(testable, zLo >= lit(zAlpha) && zHi >= lit(zAlpha))
+        .as("equivalent"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -1051,6 +1051,21 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("variant"))
     }),
 
+    // TOST equivalence per event type: is the user-parity "candidate"
+    // the SAME as baseline within +/-1pp? positive evidence of
+    // sameness, the non-inferiority gate for model swaps
+    "q325_equivalence" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0).as("cand"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+      graft.ops.Profiling.equivalenceTest(ev, "event_type", "cand",
+          "ok", marginMicro = 10000L)
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5238,6 +5253,37 @@ object PipelineQueries {
         |FROM nv JOIN nc2 ON nv.g = nc2.g
         |  LEFT JOIN per ON nv.g = per.g AND nv.variant = per.variant
         |ORDER BY 1, 2""".stripMargin,
+
+    "q325_equivalence" ->
+      """WITH per AS (SELECT event_type AS g,
+        |    CAST(SUM(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN NOT (user_id % 2 = 0) AND
+        |      CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND
+        |      CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS kc
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |m AS (SELECT g, nb, nc,
+        |    CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    CAST(kc AS DOUBLE) / CAST(nc AS DOUBLE) AS pc
+        |  FROM per),
+        |t AS (SELECT g, nb, nc, pb, pc, pc - pb AS diff,
+        |    sqrt(pb * (1.0 - pb) / CAST(nb AS DOUBLE) +
+        |      pc * (1.0 - pc) / CAST(nc AS DOUBLE)) AS se
+        |  FROM m)
+        |SELECT g AS event_type, nb AS n_baseline, nc AS n_candidate,
+        |  ROUND(pb, 6) AS rate_baseline, ROUND(pc, 6) AS rate_candidate,
+        |  CASE WHEN nb > 0 AND nc > 0 THEN ROUND(diff, 6) END AS diff,
+        |  CASE WHEN nb > 0 AND nc > 0 AND se > 0 THEN
+        |    (diff + 0.01) / se >= 1.644854 END AS non_inferior,
+        |  CASE WHEN nb > 0 AND nc > 0 AND se > 0 THEN
+        |    (diff + 0.01) / se >= 1.644854 AND
+        |    (0.01 - diff) / se >= 1.644854 END AS equivalent
+        |FROM t ORDER BY 1""".stripMargin,
 
     "q320_experiment_chain" ->
       """WITH ev AS (SELECT event_type AS g,

@@ -1851,6 +1851,34 @@ class SketchesSpec extends AnyFunSuite {
       ((0.147, 0.5735, "small"))) // boundary hits the bucket exactly
   }
 
+  test("equivalenceTest: TOST verdicts, inferior candidate, empty arm") {
+    import spark.implicits._
+    def arm(g: String, cand: Boolean, ok: Int, fail: Int) =
+      Seq.fill(ok)((g, cand, true)) ++ Seq.fill(fail)((g, cand, false))
+    val df = (
+      // candidate 49% vs baseline 50%, margin 5pp: both one-sided
+      // tests pass -> equivalent AND non-inferior
+      arm("g", false, 500, 500) ++ arm("g", true, 490, 510) ++
+      // candidate 40%: far outside the margin
+      arm("w", false, 500, 500) ++ arm("w", true, 400, 600) ++
+      // candidate BETTER by 8pp: non-inferior but NOT equivalent
+      // (equivalence is two-sided: much-better is still "different")
+      arm("s", false, 500, 500) ++ arm("s", true, 580, 420) ++
+      // no candidate data: untestable
+      arm("e", false, 3, 1))
+      .toDF("grp", "cand", "ok")
+    val got = graft.ops.Profiling.equivalenceTest(df, "grp", "cand",
+        "ok", marginMicro = 50000L)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[java.lang.Double]("diff")),
+          Option(r.getAs[java.lang.Boolean]("non_inferior")),
+          Option(r.getAs[java.lang.Boolean]("equivalent"))))).toMap
+    assert(got("g") == ((Some(-0.01), Some(true), Some(true))))
+    assert(got("w") == ((Some(-0.1), Some(false), Some(false))))
+    assert(got("s") == ((Some(0.08), Some(true), Some(false))))
+    assert(got("e") == ((None, None, None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
