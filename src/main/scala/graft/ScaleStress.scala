@@ -659,6 +659,15 @@ object ScaleStress {
           "text", topK = 20, minCount = 3L)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q326 shape: log-odds fightin' words — two word collapses, one
+      // vocabulary-sized full-outer join, two TakeOrdered passes
+      timed(scale, "log_odds") {
+        val out = Corpus.logOddsWords(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+          "text", topK = 20)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q201 shape: distinct-n diversity — three explodes, each into two
       // partial-aggregable levels; only gram strings ride the shuffle
       timed(scale, "ngram_diversity") {

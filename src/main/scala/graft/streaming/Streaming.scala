@@ -1012,6 +1012,51 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.equivalenceTest]] — the
+    * live model-rollout gate: as candidate traffic ramps, every
+    * micro-batch re-answers "is it still non-inferior / equivalent
+    * within ±δ?" with the batch-identical TOST arithmetic. O(1)
+    * (n_b, k_b, n_c, k_c) state per group; verdicts are null until both
+    * arms have data, then batch ≡ stream at every prefix. Rows are
+    * (group, isCandidate, ok). */
+  def equivalenceStream(rows: Dataset[(String, Boolean, Boolean)],
+      marginMicro: Long, zAlpha: Double = 1.644854)
+      : Dataset[(String, Long, Long, Option[Double], Option[Boolean],
+      Option[Boolean])] = {
+    import rows.sparkSession.implicits._
+    require(marginMicro > 0, "margin must be positive micro units")
+    val delta = marginMicro.toDouble / 1e6
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+        (String, Long, Long, Option[Double], Option[Boolean],
+          Option[Boolean])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          var (nb, kb, nc, kc) = state.getOption
+            .getOrElse((0L, 0L, 0L, 0L))
+          it.foreach { case (_, cand, ok) =>
+            if (cand) { nc += 1; if (ok) kc += 1 }
+            else { nb += 1; if (ok) kb += 1 }
+          }
+          state.update((nb, kb, nc, kc))
+          def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val out = if (nb > 0 && nc > 0) {
+            val pb = kb.toDouble / nb.toDouble
+            val pc = kc.toDouble / nc.toDouble
+            val diff = pc - pb
+            val se = math.sqrt(pb * (1.0 - pb) / nb.toDouble +
+              pc * (1.0 - pc) / nc.toDouble)
+            if (se > 0) {
+              val ni = (diff + delta) / se >= zAlpha
+              val eq = ni && (delta - diff) / se >= zAlpha
+              (Some(r6(diff)), Some(ni), Some(eq))
+            } else (Some(r6(diff)), None, None)
+          } else (None, None, None)
+          Iterator.single((g, nb, nc, out._1, out._2, out._3))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Profiling.chiSquared]]: a live
     * contingency-drift monitor ("is the outcome mix still independent
     * of the segment?"). State per group is the label-bounded (a, b)

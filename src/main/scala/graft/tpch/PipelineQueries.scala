@@ -1066,6 +1066,16 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Fightin' words: which words distinguish English docs from the
+    // rest, evidence-ranked by prior-shrunk log-odds z — the corpus
+    // comparison that neither raw ratios nor chi2 keywords get right
+    "q326_log_odds" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.logOddsWords(d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "text", topK = 15)
+        .orderBy(col("side"), col("word"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5284,6 +5294,49 @@ object PipelineQueries {
         |    (diff + 0.01) / se >= 1.644854 AND
         |    (0.01 - diff) / se >= 1.644854 END AS equivalent
         |FROM t ORDER BY 1""".stripMargin,
+
+    "q326_log_odds" ->
+      """WITH wa AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS n_a
+        |  FROM (SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> length(t) > 0)) AS word
+        |    FROM documents WHERE lang = 'en') GROUP BY 1),
+        |wb AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS n_b
+        |  FROM (SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> length(t) > 0)) AS word
+        |    FROM documents WHERE lang <> 'en') GROUP BY 1),
+        |j AS (SELECT word, COALESCE(n_a, 0) AS n_a,
+        |    COALESCE(n_b, 0) AS n_b
+        |  FROM wa FULL JOIN wb USING (word)
+        |  WHERE COALESCE(n_a, 0) + COALESCE(n_b, 0) >= 5),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM j),
+        |sc AS (SELECT word, n_a, n_b,
+        |    1.0 * CAST(n_a + n_b AS DOUBLE) /
+        |      CAST(ta + tb AS DOUBLE) AS aw,
+        |    ta, tb
+        |  FROM j CROSS JOIN tot),
+        |zt AS (SELECT word, n_a, n_b,
+        |    ln((CAST(n_a AS DOUBLE) + aw) /
+        |       (CAST(ta AS DOUBLE) + 1.0 - CAST(n_a AS DOUBLE) - aw))
+        |    - ln((CAST(n_b AS DOUBLE) + aw) /
+        |       (CAST(tb AS DOUBLE) + 1.0 - CAST(n_b AS DOUBLE) - aw))
+        |      AS delta,
+        |    aw
+        |  FROM sc),
+        |zz AS (SELECT word, n_a, n_b, delta,
+        |    delta / sqrt(1.0 / (CAST(n_a AS DOUBLE) + aw) +
+        |      1.0 / (CAST(n_b AS DOUBLE) + aw)) AS zr
+        |  FROM zt),
+        |ta2 AS (SELECT 'a' AS side, word, n_a, n_b,
+        |    ROUND(delta, 6) AS delta, ROUND(zr, 6) AS z
+        |  FROM zz ORDER BY zr DESC, word ASC LIMIT 15),
+        |tb2 AS (SELECT 'b' AS side, word, n_a, n_b,
+        |    ROUND(delta, 6) AS delta, ROUND(zr, 6) AS z
+        |  FROM zz ORDER BY zr ASC, word ASC LIMIT 15)
+        |SELECT * FROM (SELECT * FROM ta2 UNION ALL SELECT * FROM tb2)
+        |ORDER BY side, word""".stripMargin,
 
     "q320_experiment_chain" ->
       """WITH ev AS (SELECT event_type AS g,

@@ -116,6 +116,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("u") == ((3L, 1L, 0L, 0L, 1.0, 0.0)))
   }
 
+  test("logOddsWords: shrinkage ranks evidence over ratio, sides split") {
+    // corpus A says 'cat' a lot and 'dog' once; B reverses; both share
+    // filler. 'rarew' appears once in A only - the raw ratio would
+    // crown it, the prior shrinks it below the well-attested 'cat'.
+    val a = Seq((1L, ("cat " * 30) + "dog rarew " + ("the and " * 20)))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, ("dog " * 30) + "cat " + ("the and " * 20)))
+      .toDF("doc_id", "text")
+    val got = Corpus.logOddsWords(a, b, "text", minCount = 1,
+        topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Double]("z")))
+    val aSide = got.filter(_._1 == "a").map(_._2)
+    val bSide = got.filter(_._1 == "b").map(_._2)
+    assert(aSide.head == "cat", got.mkString(", "))
+    assert(bSide.head == "dog", got.mkString(", "))
+    assert(!aSide.contains("rarew") || aSide.indexOf("rarew") > 0)
+    // z is antisymmetric in expectation: cat's z positive, dog's
+    // negative
+    assert(got.find(r => r._2 == "cat").get._3 > 0)
+    assert(got.find(r => r._2 == "dog").get._3 < 0)
+  }
+
   test("redactPii counts nested matches once, in category order") {
     val df = Seq(
       // the email-looking substring lives INSIDE a URL → counted as URL only

@@ -1125,6 +1125,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("equivalenceStream equals the batch TOST on everything arrived") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Boolean, Boolean)]
+    val q = Streaming.equivalenceStream(ms.toDS(),
+        marginMicro = 50000L)
+      .toDF("g", "nb", "nc", "diff", "ni", "eq")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("eqv_stream").start()
+    def arm(c: Boolean, ok: Int, fail: Int) =
+      Seq.fill(ok)(("g", c, true)) ++ Seq.fill(fail)(("g", c, false))
+    // candidate-only ramp first: untestable until baseline arrives
+    val batch1 = arm(true, 40, 60)
+    val batch2 = arm(false, 500, 500) ++ arm(true, 450, 450)
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM eqv_stream").collect()
+        .map(r => (r.getLong(1) + r.getLong(2),
+          (r.getLong(1), r.getLong(2),
+            Option(r.getAs[java.lang.Double]("diff")),
+            Option(r.getAs[java.lang.Boolean]("ni")),
+            Option(r.getAs[java.lang.Boolean]("eq")))))
+      assert(rows.find(_._1 == 100L).get._2 ==
+        ((0L, 100L, None, None, None)))
+      val last = rows.maxBy(_._1)._2
+      import spark.implicits._
+      val batch = graft.ops.Profiling.equivalenceTest(
+        (batch1 ++ batch2).toDF("g", "cand", "ok"), "g", "cand", "ok",
+        marginMicro = 50000L)
+        .collect().map(r =>
+          (r.getAs[Long]("n_baseline"), r.getAs[Long]("n_candidate"),
+            Option(r.getAs[java.lang.Double]("diff")),
+            Option(r.getAs[java.lang.Boolean]("non_inferior")),
+            Option(r.getAs[java.lang.Boolean]("equivalent")))).head
+      assert(last == batch)
+      // cumulative: baseline 500/1000, candidate 490/1000 -> within
+      // the 5pp margin on both sides
+      assert(last._5 == Some(true))
+    } finally q.stop()
+  }
+
   test("chiSquaredStream equals the batch test on everything arrived") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
