@@ -1870,6 +1870,18 @@ object ScaleStress {
           "variant", "v", control = "a")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q327 shape: off-policy IPS/SNIPS — one collapse, exact
+      // integer-quantized weights
+      timed(scale, "off_policy") {
+        val e2 = ev.select(col("event_type"),
+          (col("event_id") % 3 === 0).as("matched"),
+          (lit(200000L) + (col("user_id") % 5) * 150000L)
+            .as("p_micro"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("r_milli"))
+        val out = graft.ops.Profiling.offPolicyValue(e2, "event_type",
+          "matched", "p_micro", "r_milli")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q325 shape: TOST equivalence — one boolean collapse
       timed(scale, "equivalence") {
         val e2 = ev.select(col("event_type"),

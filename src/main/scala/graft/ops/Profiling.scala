@@ -3478,6 +3478,60 @@ object Profiling {
         .as("equivalent"))
   }
 
+  /** Off-policy value estimate per group (IPS + SNIPS) — "how good
+    * would the NEW routing policy have been on last month's logged
+    * traffic?", answered without serving it: inverse-propensity
+    * scoring over the logged (action, propensity, reward) triples,
+    * counting only rows where the target policy agrees with the logged
+    * action. IPS is unbiased but high-variance; SNIPS (self-normalized)
+    * trades a little bias for stability — report both, plus the
+    * effective sample size of the matched weights ((Σw)²/Σw²): an ESS
+    * of 30 on a million matched rows means the estimate rests on ~30
+    * rows, whatever n says. Per-row ratios quantize to exact integer
+    * floor divisions (`r_milli·1e6 div p_micro`, ≤ 1 milli-unit error
+    * per row), so every aggregate is an order-free exact decimal sum —
+    * no float accumulation across rows. Rewards in milli, propensities
+    * in micro (both integral; quantize upstream), propensities must be
+    * positive.
+    *
+    * Shape: one partial-aggregable collapse — rows shuffle once,
+    * |groups| output rows. Rows with null fields or non-positive
+    * propensities (unusable logging artifacts) are excluded. Returns
+    * (group, n, n_match, ips, snips, ess_matched). */
+  def offPolicyValue(df: DataFrame, groupCol: String, matchCol: String,
+      propensityMicroCol: String, rewardMilliCol: String): DataFrame = {
+    requireIntegral(df, propensityMicroCol, "offPolicyValue")
+    requireIntegral(df, rewardMilliCol, "offPolicyValue")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(matchCol).isNotNull &&
+        col(propensityMicroCol) > 0 &&
+        col(rewardMilliCol).isNotNull)
+      .select(col(groupCol), col(matchCol).cast("boolean").as("__m__"),
+        col(propensityMicroCol).cast("long").as("__p__"),
+        col(rewardMilliCol).cast("long").as("__r__"))
+    val term = expr("(__r__ * 1000000) div __p__")
+    val w = expr("1000000000000 div __p__")
+    val per = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__m__"), 1L).otherwise(0L)).as("n_match"),
+      sum(when(col("__m__"), dec(term)).otherwise(lit(0)
+        .cast("decimal(38,0)"))).as("__st__"),
+      sum(when(col("__m__"), dec(w)).otherwise(lit(0)
+        .cast("decimal(38,0)"))).as("__sw__"),
+      sum(when(col("__m__"), dec(w) * dec(w)).otherwise(lit(0)
+        .cast("decimal(38,0)"))).as("__sw2__"))
+    per.select(col(groupCol), col("n"), col("n_match"),
+      round(try_divide(col("__st__").cast("double"),
+        (col("n") * 1000L).cast("double")), 6).as("ips"),
+      when(col("__sw__") > 0,
+        round(try_divide((col("__st__") * 1000).cast("double"),
+          col("__sw__").cast("double")), 6)).as("snips"),
+      when(col("__sw2__") > 0,
+        round(try_divide((col("__sw__") * col("__sw__"))
+          .cast("double"), col("__sw2__").cast("double")), 6))
+        .as("ess_matched"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -1076,6 +1076,22 @@ object PipelineQueries {
         .orderBy(col("side"), col("word"))
     }),
 
+    // Off-policy replay per event type: IPS/SNIPS value of a candidate
+    // routing policy over logged propensities, with the matched-weight
+    // ESS diagnostic
+    "q327_off_policy" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("event_id") % 3 === 0).as("matched"),
+          (lit(200000L) + (col("user_id") % 5) * 150000L)
+            .as("p_micro"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("r_milli"))
+      graft.ops.Profiling.offPolicyValue(ev, "event_type", "matched",
+          "p_micro", "r_milli")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5294,6 +5310,30 @@ object PipelineQueries {
         |    (diff + 0.01) / se >= 1.644854 AND
         |    (0.01 - diff) / se >= 1.644854 END AS equivalent
         |FROM t ORDER BY 1""".stripMargin,
+
+    "q327_off_policy" ->
+      """WITH b AS (SELECT event_type AS g, event_id % 3 = 0 AS m,
+        |    200000 + (user_id % 5) * 150000 AS p,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    SUM(CASE WHEN m THEN CAST((r * 1000000) // p AS HUGEINT)
+        |      ELSE 0 END) AS st,
+        |    SUM(CASE WHEN m THEN CAST(1000000000000 // p AS HUGEINT)
+        |      ELSE 0 END) AS sw,
+        |    SUM(CASE WHEN m THEN CAST(1000000000000 // p AS HUGEINT) *
+        |      (1000000000000 // p) ELSE 0 END) AS sw2
+        |  FROM b WHERE p > 0 GROUP BY 1)
+        |SELECT g AS event_type, n, n_match,
+        |  ROUND(CAST(st AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+        |    AS ips,
+        |  CASE WHEN sw > 0 THEN ROUND(CAST(st * 1000 AS DOUBLE) /
+        |    CAST(sw AS DOUBLE), 6) END AS snips,
+        |  CASE WHEN sw2 > 0 THEN ROUND(CAST(sw * sw AS DOUBLE) /
+        |    CAST(sw2 AS DOUBLE), 6) END AS ess_matched
+        |FROM per ORDER BY 1""".stripMargin,
 
     "q326_log_odds" ->
       """WITH wa AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS n_a

@@ -1879,6 +1879,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("e") == ((None, None, None)))
   }
 
+  test("offPolicyValue: IPS/SNIPS hand case, skewed weights shrink ESS") {
+    import spark.implicits._
+    val df = (
+      // uniform p=0.5, reward 1.0 on the 2 matched of 4 rows:
+      // IPS = (2 * 1/0.5)/4 = 1.0, SNIPS = 1.0, ESS = 2
+      Seq(("g", true, 500000L, 1000L), ("g", true, 500000L, 1000L),
+        ("g", false, 500000L, 1000L), ("g", false, 500000L, 1000L)) ++
+      // one rare-action match (p=0.01) dominates: ESS collapses
+      // toward 1 even with 3 matched rows
+      Seq(("s", true, 10000L, 1000L), ("s", true, 900000L, 1000L),
+        ("s", true, 900000L, 1000L), ("s", false, 500000L, 0L)) ++
+      // zero/negative propensity rows are unusable and excluded
+      Seq(("g", true, 0L, 5000L)))
+      .toDF("grp", "m", "p", "r")
+    val got = graft.ops.Profiling.offPolicyValue(df, "grp", "m", "p",
+        "r")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_match"),
+          r.getAs[Double]("ips"), r.getAs[Double]("snips"),
+          r.getAs[Double]("ess_matched")))).toMap
+    assert(got("g") == ((4L, 2L, 1.0, 1.0, 2.0)))
+    // s: integer-div weights 1e12/p: 1e8, 1111111, 1111111
+    val ws = Seq(100000000L, 1111111L, 1111111L).map(_.toDouble)
+    val ess = math.pow(ws.sum, 2) / ws.map(x => x * x).sum
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got("s")._5 == r6(ess))
+    assert(got("s")._5 < 1.05) // one row dominates
+    // SNIPS self-normalizes: all matched rewards are 1.0 -> exactly
+    // the weighted mean 1.0 despite the skew (up to quantization)
+    assert(math.abs(got("s")._4 - 1.0) < 1e-4)
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
