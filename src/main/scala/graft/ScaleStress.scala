@@ -1882,6 +1882,19 @@ object ScaleStress {
           "matched", "p_micro", "r_milli")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q328 shape: doubly-robust — one collapse, residual corrections
+      timed(scale, "doubly_robust") {
+        val e2 = ev.select(col("event_type"),
+          (col("event_id") % 3 === 0).as("matched"),
+          (lit(200000L) + (col("user_id") % 5) * 150000L)
+            .as("p_micro"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("r_milli"),
+          (floor(col("value") * 800 + 0.5).cast("long") +
+            (col("user_id") % 7) * 100L).as("q_milli"))
+        val out = graft.ops.Profiling.doublyRobustValue(e2,
+          "event_type", "matched", "p_micro", "r_milli", "q_milli")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q325 shape: TOST equivalence — one boolean collapse
       timed(scale, "equivalence") {
         val e2 = ev.select(col("event_type"),

@@ -3532,6 +3532,59 @@ object Profiling {
         .as("ess_matched"))
   }
 
+  /** Doubly-robust off-policy estimate per group — [[offPolicyValue]]
+    * hardened with a reward model: `V_DR = (1/n)·Σ [q̂_i +
+    * match_i·(r_i − q̂_i)/p_i]` where q̂ is the caller's predicted
+    * reward UNDER THE TARGET POLICY's action. Unbiased if EITHER the
+    * propensities or the reward model is right (hence doubly robust),
+    * and the IPS correction now rides the residual `r − q̂`, so a
+    * decent model collapses the variance that makes plain IPS
+    * unusable at small match rates. Same exact-integer quantization
+    * discipline as IPS: the residual correction floors to
+    * `(r−q̂)·1e6 div p` (sign-symmetric floor via negation — Spark's
+    * `div` truncates toward zero, so the NEGATED magnitude is floored
+    * and restored), every sum order-free exact decimal. Also returns
+    * the plain direct-method estimate (model only) so the correction's
+    * size is visible. Rewards/predictions in milli, propensities in
+    * micro; non-positive propensities excluded.
+    *
+    * Shape: one partial-aggregable collapse — rows shuffle once.
+    * Returns (group, n, n_match, dm, dr, correction). */
+  def doublyRobustValue(df: DataFrame, groupCol: String,
+      matchCol: String, propensityMicroCol: String,
+      rewardMilliCol: String, predictedMilliCol: String): DataFrame = {
+    requireIntegral(df, propensityMicroCol, "doublyRobustValue")
+    requireIntegral(df, rewardMilliCol, "doublyRobustValue")
+    requireIntegral(df, predictedMilliCol, "doublyRobustValue")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(matchCol).isNotNull &&
+        col(propensityMicroCol) > 0 &&
+        col(rewardMilliCol).isNotNull &&
+        col(predictedMilliCol).isNotNull)
+      .select(col(groupCol), col(matchCol).cast("boolean").as("__m__"),
+        col(propensityMicroCol).cast("long").as("__p__"),
+        col(rewardMilliCol).cast("long").as("__r__"),
+        col(predictedMilliCol).cast("long").as("__q__"))
+    // sign-symmetric floor: quantize |resid|·1e6 div p, restore sign —
+    // identical on both engines for either sign of the residual
+    val corr = expr("""CASE WHEN __r__ >= __q__
+      THEN ((__r__ - __q__) * 1000000) div __p__
+      ELSE -(((__q__ - __r__) * 1000000) div __p__) END""")
+    val per = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__m__"), 1L).otherwise(0L)).as("n_match"),
+      sum(dec(col("__q__"))).as("__sq__"),
+      sum(when(col("__m__"), dec(corr)).otherwise(lit(0)
+        .cast("decimal(38,0)"))).as("__sc__"))
+    val nD = (col("n") * 1000L).cast("double")
+    per.select(col(groupCol), col("n"), col("n_match"),
+      round(try_divide(col("__sq__").cast("double"), nD), 6).as("dm"),
+      round(try_divide((col("__sq__") + col("__sc__")).cast("double"),
+        nD), 6).as("dr"),
+      round(try_divide(col("__sc__").cast("double"), nD), 6)
+        .as("correction"))
+  }
+
   /** Theil–Sen robust slope per group — the weighted median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i. The robust
     * sibling of the per-key OLS trend: a single wild segment can drag

@@ -1092,6 +1092,24 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Doubly-robust off-policy per event type: q327's replay hardened
+    // with a (deliberately biased) reward model — the correction
+    // column shows exactly what the model gets wrong
+    "q328_doubly_robust" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("event_id") % 3 === 0).as("matched"),
+          (lit(200000L) + (col("user_id") % 5) * 150000L)
+            .as("p_micro"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("r_milli"),
+          (floor(col("value") * 800 + 0.5).cast("long") +
+            (col("user_id") % 7) * 100L).as("q_milli"))
+      graft.ops.Profiling.doublyRobustValue(ev, "event_type",
+          "matched", "p_micro", "r_milli", "q_milli")
+        .orderBy(col("event_type"))
+    }),
+
     // Kruskal–Wallis omnibus per event type: did ANY of three user-id
     // arms move the value distribution (chi2(2) at 95% = 5.991)
     "q287_kruskal" -> ((s, dir) => {
@@ -5310,6 +5328,32 @@ object PipelineQueries {
         |    (diff + 0.01) / se >= 1.644854 AND
         |    (0.01 - diff) / se >= 1.644854 END AS equivalent
         |FROM t ORDER BY 1""".stripMargin,
+
+    "q328_doubly_robust" ->
+      """WITH b AS (SELECT event_type AS g, event_id % 3 = 0 AS m,
+        |    200000 + (user_id % 5) * 150000 AS p,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS r,
+        |    CAST(floor(value * 800 + 0.5) AS BIGINT) +
+        |      (user_id % 7) * 100 AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    SUM(CAST(q AS HUGEINT)) AS sq,
+        |    SUM(CASE WHEN m THEN
+        |      CASE WHEN r >= q
+        |        THEN CAST(((r - q) * 1000000) // p AS HUGEINT)
+        |        ELSE -CAST(((q - r) * 1000000) // p AS HUGEINT) END
+        |      ELSE 0 END) AS sc
+        |  FROM b WHERE p > 0 GROUP BY 1)
+        |SELECT g AS event_type, n, n_match,
+        |  ROUND(CAST(sq AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+        |    AS dm,
+        |  ROUND(CAST(sq + sc AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+        |    AS dr,
+        |  ROUND(CAST(sc AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+        |    AS correction
+        |FROM per ORDER BY 1""".stripMargin,
 
     "q327_off_policy" ->
       """WITH b AS (SELECT event_type AS g, event_id % 3 = 0 AS m,

@@ -1912,6 +1912,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(got("s")._4 - 1.0) < 1e-4)
   }
 
+  test("doublyRobustValue: perfect model needs no correction, " +
+      "biased model corrected via matches, sign-symmetric floor") {
+    import spark.implicits._
+    val df = (
+      // perfect predictions: residuals 0, DR = DM exactly
+      Seq(("g", true, 500000L, 1000L, 1000L),
+        ("g", false, 500000L, 2000L, 2000L)) ++
+      // model predicts 0 everywhere; p=0.5, matched rewards 1.0:
+      // DM = 0, correction = (2 * 1/0.5 * 1.0)/4 = 1.0 -> DR = 1.0
+      Seq(("b", true, 500000L, 1000L, 0L), ("b", true, 500000L, 1000L, 0L),
+        ("b", false, 500000L, 1000L, 0L),
+        ("b", false, 500000L, 1000L, 0L)) ++
+      // negative residual: model over-predicts on the matched row
+      // (q=2000, r=1000, p=0.5): corr = -2.0; DM = 2.0 -> DR = 1.0
+      Seq(("neg", true, 500000L, 1000L, 2000L)))
+      .toDF("grp", "m", "p", "r", "q")
+    val got = graft.ops.Profiling.doublyRobustValue(df, "grp", "m",
+        "p", "r", "q")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("dm"), r.getAs[Double]("dr"),
+          r.getAs[Double]("correction")))).toMap
+    assert(got("g") == ((1.5, 1.5, 0.0)))
+    assert(got("b") == ((0.0, 1.0, 1.0)))
+    assert(got("neg") == ((2.0, 0.0, -2.0)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
