@@ -1302,4 +1302,61 @@ object EventAnalytics {
           lit(zc2Micro.toDouble))
         .as("significant"))
   }
+
+  /** Item-item co-occurrence similarity — the classic "users who touched
+    * A also touched B" recommender (Sarwar et al., WWW'01 item-based CF)
+    * from an interaction log. Per ordered item pair:
+    * `n_co` (distinct users touching both) and the squared-cosine score
+    * `cos2_micro = n_co²·1e6 div (d_a·d_b)` — squaring keeps the score
+    * an EXACT integer (cosine itself needs √(d_a·d_b); ranking by cos²
+    * is order-identical since all terms are positive). Each item keeps
+    * its `topK` neighbors by (cos2, n_co, neighbor id) — a total order.
+    *
+    * Scale shape: the pair explode is Σ_u k_u² over each user's
+    * distinct-item count k_u — one bot user with 10⁶ items would emit
+    * 10¹² pairs, so users with more than `maxItemsPerUser` distinct
+    * items are dropped BEFORE the self-join (surfaced in the contract;
+    * such accounts are catalog crawlers, not preference signal). The
+    * top-k filter windows over the aggregated item-pair table (bounded
+    * by co-occurring pairs, never raw events). */
+  def itemCooccurrence(df: DataFrame, userCol: String, itemCol: String,
+      topK: Int = 10, maxItemsPerUser: Long = 1000L): DataFrame = {
+    require(topK > 0 && maxItemsPerUser > 0,
+      s"topK and maxItemsPerUser must be > 0; got $topK, $maxItemsPerUser")
+    val ui = df.select(col(userCol).cast("long").as("__u__"),
+      col(itemCol).cast("long").as("__i__")).distinct()
+    val kept = Caches.registerDf(
+      ui.join(ui.groupBy("__u__").agg(count(lit(1)).as("__k__"))
+          .filter(col("__k__") <= maxItemsPerUser)
+          .select("__u__"),
+        Seq("__u__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = kept.groupBy(col("__i__")).agg(count(lit(1)).as("__d__"))
+    val pairs = kept.select(col("__u__"), col("__i__").as("__a__"))
+      .join(kept.select(col("__u__"), col("__i__").as("__b__")), "__u__")
+      .filter(col("__a__") < col("__b__"))
+      .groupBy(col("__a__"), col("__b__"))
+      .agg(count(lit(1)).as("n_co"))
+    val sym = pairs.union(
+      pairs.select(col("__b__").as("__a__"), col("__a__").as("__b__"),
+        col("n_co")))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val scored = sym
+      .join(deg.select(col("__i__").as("__a__"), col("__d__").as("__da__")),
+        "__a__")
+      .join(deg.select(col("__i__").as("__b__"), col("__d__").as("__db__")),
+        "__b__")
+      .select(col("__a__").as("item"), col("__b__").as("neighbor"),
+        col("n_co"),
+        (dec(col("n_co")) * dec(col("n_co")) * lit(1000000L))
+          .as("__num__"),
+        (dec(col("__da__")) * dec(col("__db__"))).as("__den__"))
+      // IntegralDivide on the exact decimals truncates like DuckDB's //
+      .select(col("item"), col("neighbor"), col("n_co"),
+        expr("__num__ div __den__").as("cos2_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      .orderBy(col("cos2_micro").desc, col("n_co").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

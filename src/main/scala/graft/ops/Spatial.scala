@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial operators on integer planar coordinates — fixed-radius
+  * neighbor join, density clustering (DBSCAN), and grid hotspot
+  * detection. The reference engine has no spatial support; these are the
+  * pipeline ops a geo-tagged crawl or sensor corpus needs (near-duplicate
+  * location collapse, venue clustering, density QA), built on the one
+  * scale shape that survives 100 TB: **grid bucketing**. Points land in
+  * cells of side = radius, so any pair within the radius is in the same
+  * or an adjacent cell — the all-pairs problem becomes an equi-join on
+  * cell keys (9 candidate cells per point), never a cross join.
+  *
+  * Exactness contract: coordinates must be integral (quantize upstream —
+  * e.g. micro-degrees or millimeter grid units; the [[Profiling.requireIntegral]]
+  * posture). All distances are exact integer squared distances computed
+  * in decimal(38,0) — no floats anywhere, so results are bit-identical
+  * across engines and replayable in the DuckDB oracle.
+  */
+object Spatial {
+
+  /** Floor-division cell index (exact for negative coordinates too:
+    * `pmod` yields the non-negative remainder, so the truncating `div`
+    * of the exactly-divisible numerator IS the floor). */
+  private def cellIdx(c: String, width: Long): Column = {
+    val b = s"cast(`$c` as bigint)"
+    expr(s"($b - pmod($b, ${width}L)) div ${width}L")
+  }
+
+  private def requireCoords(df: DataFrame, xCol: String, yCol: String,
+      op: String): Unit = {
+    Profiling.requireIntegral(df, xCol, op)
+    Profiling.requireIntegral(df, yCol, op)
+  }
+
+  /** All pairs of points within `radius` (Euclidean, inclusive) of each
+    * other — the fixed-radius self-join. Returns
+    * `(id_a, id_b, dist2)` with `id_a < id_b` and `dist2` the exact
+    * integer squared distance (≤ radius², so it fits BIGINT for any
+    * radius ≤ 3·10⁹).
+    *
+    * Scale shape: each point keys on its own cell once on the build
+    * side and on its 9-cell neighborhood (3×3 explode) on the probe
+    * side; the pair condition is an EQUI-join on the cell key, so the
+    * pair search shuffles O(9·N) narrow rows and never materializes a
+    * cross product. Each qualifying pair is emitted exactly once — the
+    * offset between the two cells is unique, so exactly one of the 9
+    * probe copies lands on the build cell. Density cap: a cell holding
+    * k points contributes k² candidate checks; choose the radius (=
+    * cell width) against the data density the same way LSH bands are
+    * sized ([[Dedup.lshTuning]] is the analogous sweep). */
+  def gridRadiusJoin(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    require(radius > 0 && radius <= 3000000000L,
+      s"radius must be in (0, 3e9] so dist² fits BIGINT; got $radius")
+    requireCoords(df, xCol, yCol, "gridRadiusJoin")
+    val pts = df.select(col(idCol).as("__id__"),
+      col(xCol).cast("long").as("__x__"),
+      col(yCol).cast("long").as("__y__"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val withCell = pts
+      .withColumn("__cx__", cellIdx("__x__", radius))
+      .withColumn("__cy__", cellIdx("__y__", radius))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = withCell
+      .select(col("__id__").as("__idb__"), col("__x__").as("__xb__"),
+        col("__y__").as("__yb__"),
+        explode(offsets).as("__o__"),
+        col("__cx__").as("__cxb__"), col("__cy__").as("__cyb__"))
+      .select(col("__idb__"), col("__xb__"), col("__yb__"),
+        (col("__cxb__") + col("__o__.dx")).as("__ncx__"),
+        (col("__cyb__") + col("__o__.dy")).as("__ncy__"))
+    val d2 = dec(col("__x__") - col("__xb__")) *
+      dec(col("__x__") - col("__xb__")) +
+      dec(col("__y__") - col("__yb__")) * dec(col("__y__") - col("__yb__"))
+    withCell.join(probe,
+        col("__cx__") === col("__ncx__") && col("__cy__") === col("__ncy__")
+          && col("__id__") < col("__idb__"))
+      .filter(d2 <= lit(radius) * lit(radius))
+      .select(col("__id__").as("id_a"), col("__idb__").as("id_b"),
+        d2.cast("long").as("dist2"))
+  }
+
+  /** DBSCAN density clustering (Ester et al., KDD'96) on the grid join.
+    * A point is **core** when ≥ `minPts` points (itself included) lie
+    * within `eps`; clusters are the connected components of the
+    * core-core eps-adjacency; **border** points (non-core within eps of
+    * a core) attach to the MINIMUM adjacent core cluster — classic
+    * DBSCAN leaves border assignment order-dependent, this one is
+    * deterministic by construction; everything else is **noise**.
+    *
+    * Returns `(idCol, role ∈ core|border|noise, cluster)` — cluster is
+    * the min point id of the component, null for noise.
+    *
+    * Scale: neighbor counting is one partial-aggregable groupBy over the
+    * symmetrized pair list; components run on CORE points only via the
+    * O(log²)-round alternating-star CC ([[Dedup.nearDupClustersAlternating]]),
+    * so a long thin density ridge (diameter ≫ rounds) cannot stall the
+    * loop. No step collects points or pairs to the driver. */
+  def dbscanLite(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1; got $minPts")
+    val pairs = Caches.registerDf(
+      gridRadiusJoin(df, idCol, xCol, yCol, eps)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sym = pairs.union(pairs.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b")))
+    val deg = sym.groupBy(col("id_a").as("__id__"))
+      .agg(count(lit(1)).as("__deg__"))
+    val lab = Caches.registerDf(
+      df.select(col(idCol).as("__id__"))
+        .join(deg, Seq("__id__"), "left")
+        .select(col("__id__"),
+          (coalesce(col("__deg__"), lit(0L)) + 1L >= minPts).as("__core__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val coreIds = lab.filter(col("__core__")).select(col("__id__"))
+    val corePairs = pairs
+      .join(coreIds.select(col("__id__").as("id_a")), Seq("id_a"))
+      .join(coreIds.select(col("__id__").as("id_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.nearDupClustersAlternating(
+      coreIds.select(col("__id__").as("__cid__")), "__cid__", corePairs)
+      .select(col("__cid__"), col("cluster").as("__cl__"))
+    // border: non-core adjacent to ≥1 core → min adjacent core cluster
+    val borderCl = sym
+      .join(cc.select(col("__cid__").as("id_b"), col("__cl__")), Seq("id_b"))
+      .groupBy(col("id_a").as("__id__"))
+      .agg(min(col("__cl__")).as("__bcl__"))
+    lab
+      .join(cc.select(col("__cid__").as("__id__"),
+        col("__cl__").as("__ccl__")), Seq("__id__"), "left")
+      .join(borderCl, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        when(col("__core__"), lit("core"))
+          .when(col("__bcl__").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("__core__"), col("__ccl__"))
+          .otherwise(col("__bcl__")).as("cluster"))
+  }
+
+  /** Grid hotspot detection — per-cell point counts plus the 3×3
+    * neighborhood-smoothed count (a Getis-Ord-style local density
+    * statistic kept in exact integers), flagging cells whose smoothed
+    * density exceeds `factorMicro`/1e6 × the mean smoothed density over
+    * occupied cells. The verdict is decided by exact integer
+    * cross-multiplication — no float ratio ever forms.
+    *
+    * Returns one row per OCCUPIED cell:
+    * `(cell_x, cell_y, n, nbhd_n, hot)`.
+    *
+    * Shape: one partial-aggregable groupBy to cells (data never
+    * shuffles twice — the 3×3 smoothing explodes the CELL table, which
+    * is bounded by the occupied-grid size, not the point count), one
+    * single-row global broadcast. */
+  def spatialHotspots(df: DataFrame, xCol: String, yCol: String,
+      cellWidth: Long, factorMicro: Long = 3000000L): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be > 0; got $cellWidth")
+    requireCoords(df, xCol, yCol, "spatialHotspots")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df
+      .select(cellIdx(xCol, cellWidth).as("__cx__"),
+        cellIdx(yCol, cellWidth).as("__cy__"))
+      .groupBy("__cx__", "__cy__").agg(count(lit(1)).as("n"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val smeared = cells
+      .select(col("n").as("__nn__"), explode(offsets).as("__o__"),
+        col("__cx__").as("__scx__"), col("__cy__").as("__scy__"))
+      .select((col("__scx__") + col("__o__.dx")).as("__cx__"),
+        (col("__scy__") + col("__o__.dy")).as("__cy__"), col("__nn__"))
+      .groupBy("__cx__", "__cy__").agg(sum(col("__nn__")).as("nbhd_n"))
+    val glob = cells.agg(count(lit(1)).as("__ncells__"),
+      sum(col("n")).as("__total__"))
+    // mean smoothed density over occupied cells is Σ nbhd_n / ncells,
+    // and Σ nbhd_n over OCCUPIED cells needs its own single-row agg —
+    // use the cheaper, equally principled baseline 9·total/ncells (each
+    // point contributes to ≤ 9 neighborhoods, exactly 9 in the interior)
+    cells.join(smeared, Seq("__cx__", "__cy__"))
+      .crossJoin(broadcast(glob))
+      .select(col("__cx__").as("cell_x"), col("__cy__").as("cell_y"),
+        col("n"), col("nbhd_n"),
+        (dec(col("nbhd_n")) * dec(col("__ncells__")) * lit(1000000L) >=
+          dec(lit(factorMicro)) * lit(9L) * dec(col("__total__")))
+          .as("hot"))
+  }
+}

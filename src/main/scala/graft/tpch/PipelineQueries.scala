@@ -21,6 +21,32 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Deterministic planar layout for the spatial gates (q329–q331):
+    * 12 blobs (4×3 macro-grid, 300 apart) of 89×89-jittered points —
+    * dense enough inside a blob for radius-8/eps-12 structure, far
+    * enough apart that blobs never bridge. Integer-exact on both
+    * engines (`div`/`%` on non-negative ids). */
+  private def spatialDocs(s: SparkSession, dir: String) =
+    docs(s, dir).select(col("doc_id"),
+      ((col("doc_id") % 4) * 300 +
+        (col("doc_id") * col("doc_id") * 13 +
+          col("doc_id") * 7919) % 89).as("x"),
+      ((expr("doc_id div 4") % 3) * 300 +
+        (col("doc_id") * col("doc_id") * 29 +
+          col("doc_id") * 104729) % 89).as("y"))
+
+  /** DuckDB twin of [[spatialDocs]]. The id²-mixed jitter matters: a
+    * LINEAR id·c % 89 jitter puts same-blob points (ids ≡ mod 12) on a
+    * sparse lattice with no close pairs at all — the quadratic term
+    * breaks the lattice so radius-8/eps-12 structure actually exists. */
+  private val spatialDocsSql: String =
+    """p AS (SELECT doc_id,
+      |    (doc_id % 4) * 300 +
+      |      (doc_id * doc_id * 13 + doc_id * 7919) % 89 AS x,
+      |    ((doc_id // 4) % 3) * 300 +
+      |      (doc_id * doc_id * 29 + doc_id * 104729) % 89 AS y
+      |  FROM documents)""".stripMargin
+
   /** Deterministic JSON chat transcript per doc (q295/q296): an
     * optional leading assistant turn (doc_id % 5 = 1 — the
     * wrong-opening case), the user/assistant pair whose contents are
@@ -3534,6 +3560,60 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // fixed-radius spatial self-join on a deterministic 12-blob planar
+    // layout (grid-bucketed equi-join; the oracle brute-forces all
+    // pairs, so the gate also PROVES grid completeness — no pair within
+    // the radius can hide in a missed neighbor cell)
+    "q329_grid_radius_join" -> ((s, dir) =>
+      graft.ops.Spatial.gridRadiusJoin(spatialDocs(s, dir),
+          "doc_id", "x", "y", radius = 8L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // DBSCAN over the same layout: core/border/noise roles + min-id
+    // clusters; CC on core points only, border points attach to the
+    // MINIMUM adjacent core cluster (deterministic, unlike classic
+    // DBSCAN's arrival-order assignment)
+    "q330_dbscan" -> ((s, dir) =>
+      graft.ops.Spatial.dbscanLite(spatialDocs(s, dir),
+          "doc_id", "x", "y", eps = 12L, minPts = 3)
+        .orderBy(col("doc_id"))),
+
+    // grid hotspot detection over the event stream: 10% of events are
+    // funneled into one 50×50 box; 3×3-smoothed density vs 3× the
+    // uniform baseline, verdict by exact integer cross-multiplication
+    "q331_hotspots" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir).select(
+        when(col("event_id") % 10 === 0,
+          lit(100L) + expr("event_id div 10") % 50)
+          .otherwise((col("user_id") * 7919) % 1000).as("x"),
+        when(col("event_id") % 10 === 0,
+          lit(200L) + expr("event_id div 7") % 50)
+          .otherwise((col("event_id") * 104729) % 1000).as("y"))
+      graft.ops.Spatial.spatialHotspots(ev, "x", "y", cellWidth = 50L)
+        .orderBy(col("cell_x"), col("cell_y"))
+    }),
+
+    // link prediction on the user↔item bipartite interaction graph
+    // (distinct id spaces: users 0..198, items 199..595): top-100
+    // non-adjacent pairs by common neighbors + exact integer-division
+    // resource allocation, Jaccard as the exact pair
+    "q332_link_prediction" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select((col("user_id") % 199).as("a"),
+          (lit(199L) + col("event_id") % 397).as("b"))
+      graft.ops.Graph.linkPrediction(ev, "a", "b", topK = 100)
+    }),
+
+    // item-item co-occurrence recommender over the interaction log:
+    // top-5 neighbors per item by exact squared-cosine micro-score
+    "q333_item_cooccurrence" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select((col("user_id") % 400).as("u"),
+          (col("event_id") % 97).as("i"))
+      EventAnalytics.itemCooccurrence(ev, "u", "i", topK = 5)
+        .orderBy(col("item"), col("rank"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -3781,6 +3861,121 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // brute-force all-pairs twin of the grid join: any pair the grid
+    // missed (or double-counted) fails the diff
+    "q329_grid_radius_join" ->
+      s"""WITH $spatialDocsSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+         |    AS dist2
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 64
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force DBSCAN: O(n²) neighbor counts, recursive-CTE CC over
+    // core-core adjacency, min-cluster border attachment
+    "q330_dbscan" ->
+      s"""WITH RECURSIVE $spatialDocsSql,
+         |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e
+         |  UNION ALL SELECT id_b, id_a FROM e),
+         |deg AS (SELECT s AS id, COUNT(1) AS nb FROM sym GROUP BY 1),
+         |lab AS (SELECT p.doc_id AS id, COALESCE(nb, 0) + 1 >= 3 AS core
+         |  FROM p LEFT JOIN deg ON p.doc_id = deg.id),
+         |ce AS (SELECT s, d FROM sym
+         |  JOIN lab la ON la.id = sym.s AND la.core
+         |  JOIN lab lb ON lb.id = sym.d AND lb.core),
+         |cc(id, label) AS (
+         |  SELECT id, id FROM lab WHERE core
+         |  UNION
+         |  SELECT ce.s, cc.label FROM ce JOIN cc ON cc.id = ce.d),
+         |ccl AS (SELECT id, MIN(label) AS cl FROM cc GROUP BY 1),
+         |bord AS (SELECT sym.s AS id, MIN(ccl.cl) AS bcl
+         |  FROM sym JOIN ccl ON ccl.id = sym.d GROUP BY 1)
+         |SELECT lab.id AS doc_id,
+         |  CASE WHEN lab.core THEN 'core'
+         |    WHEN bord.bcl IS NOT NULL THEN 'border'
+         |    ELSE 'noise' END AS role,
+         |  CASE WHEN lab.core THEN ccl.cl ELSE bord.bcl END AS cluster
+         |FROM lab LEFT JOIN ccl ON ccl.id = lab.id
+         |LEFT JOIN bord ON bord.id = lab.id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q333_item_cooccurrence" ->
+      """WITH ui AS (SELECT DISTINCT user_id % 400 AS u,
+        |    event_id % 97 AS i FROM events),
+        |ku AS (SELECT u FROM ui GROUP BY u HAVING COUNT(1) <= 1000),
+        |kept AS (SELECT ui.u, ui.i FROM ui JOIN ku USING (u)),
+        |deg AS (SELECT i, CAST(COUNT(1) AS BIGINT) AS d
+        |  FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.i AS ia, b.i AS ib,
+        |    CAST(COUNT(1) AS BIGINT) AS n_co
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, n_co FROM pairs
+        |  UNION ALL SELECT ib, ia, n_co FROM pairs),
+        |sc AS (SELECT ia AS item, ib AS neighbor, n_co,
+        |    CAST((CAST(n_co AS HUGEINT) * n_co * 1000000) //
+        |      (CAST(da.d AS HUGEINT) * db.d) AS BIGINT) AS cos2_micro
+        |  FROM sym JOIN deg da ON da.i = sym.ia
+        |  JOIN deg db ON db.i = sym.ib)
+        |SELECT item, neighbor, n_co, cos2_micro, rank FROM (
+        |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |    ORDER BY cos2_micro DESC, n_co DESC, neighbor)
+        |    AS INTEGER) AS rank FROM sc) t
+        |WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    "q332_link_prediction" ->
+      """WITH e0 AS (SELECT DISTINCT user_id % 199 AS a,
+        |    199 + event_id % 397 AS b FROM events),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM e0 WHERE a <> b),
+        |sym AS (SELECT u AS n, v AS m FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT n, CAST(COUNT(1) AS BIGINT) AS d
+        |  FROM sym GROUP BY 1),
+        |zd AS (SELECT n AS z, d FROM deg WHERE d <= 10000),
+        |cand AS (SELECT w1.n AS ia, w2.n AS ib,
+        |    CAST(COUNT(1) AS BIGINT) AS common,
+        |    CAST(SUM(1000000 // zd.d) AS BIGINT) AS ra_micro
+        |  FROM sym w1 JOIN sym w2 ON w1.m = w2.m AND w1.n < w2.n
+        |  JOIN zd ON zd.z = w1.m
+        |  GROUP BY 1, 2),
+        |nonadj AS (SELECT * FROM cand WHERE NOT EXISTS
+        |  (SELECT 1 FROM und
+        |   WHERE und.u = cand.ia AND und.v = cand.ib))
+        |SELECT ia AS id_a, ib AS id_b, common, ra_micro,
+        |  common AS jac_num, da.d + db.d - common AS jac_den
+        |FROM nonadj JOIN deg da ON da.n = ia JOIN deg db ON db.n = ib
+        |ORDER BY common DESC, ra_micro DESC, id_a, id_b
+        |LIMIT 100""".stripMargin,
+
+    "q331_hotspots" ->
+      """WITH pt AS (SELECT
+        |  CASE WHEN event_id % 10 = 0 THEN 100 + (event_id // 10) % 50
+        |    ELSE (user_id * 7919) % 1000 END AS x,
+        |  CASE WHEN event_id % 10 = 0 THEN 200 + (event_id // 7) % 50
+        |    ELSE (event_id * 104729) % 1000 END AS y
+        |  FROM events),
+        |cells AS (SELECT x // 50 AS cx, y // 50 AS cy,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM pt GROUP BY 1, 2),
+        |sm AS (SELECT c.cx + dx.o AS cx, c.cy + dy.o AS cy,
+        |    CAST(SUM(n) AS BIGINT) AS nbhd_n
+        |  FROM cells c, (VALUES (-1), (0), (1)) dx(o),
+        |    (VALUES (-1), (0), (1)) dy(o)
+        |  GROUP BY 1, 2),
+        |g AS (SELECT CAST(COUNT(1) AS BIGINT) AS ncells,
+        |    CAST(SUM(n) AS BIGINT) AS total FROM cells)
+        |SELECT cells.cx AS cell_x, cells.cy AS cell_y, n, nbhd_n,
+        |  CAST(nbhd_n AS HUGEINT) * ncells * 1000000 >=
+        |    CAST(3000000 AS HUGEINT) * 9 * total AS hot
+        |FROM cells JOIN sm ON sm.cx = cells.cx AND sm.cy = cells.cy
+        |CROSS JOIN g
+        |ORDER BY cell_x, cell_y""".stripMargin,
+
     "q227_hits" -> {
       // 3 unrolled integer-exact HITS iterations; each half-step sums
       // the opposite score (HUGEINT) and max-normalizes with `//`,

@@ -957,4 +957,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rf.isNullAt(rf.fieldIndex("significant")))
     assert(rf.getAs[Double]("did") == 0.0)
   }
+
+  test("itemCooccurrence: exact cos² micro-scores, duplicate " +
+      "interactions collapse, bot cap drops the user, topK per item") {
+    import spark.implicits._
+    // u1{1,2,3} u2{1,2} u3{1,2} u4{3}; u2's (1) repeated -> counts once
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L),
+      (2L, 2L), (3L, 1L), (3L, 2L), (4L, 3L)).toDF("u", "i")
+    val got = EventAnalytics.itemCooccurrence(df, "u", "i", topK = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // deg 1:3 2:3 3:2; (1,2) co=3 -> 9e6 div 9 = 1e6
+    assert(got(1L) == ((2L, 3L, 1000000L, 1)))
+    assert(got(2L) == ((1L, 3L, 1000000L, 1)))
+    // item 3 ties (1 and 2 both 1e6 div 6) -> neighbor id asc wins
+    assert(got(3L) == ((1L, 1L, 166666L, 1)))
+    // cap at 2 items/user drops u1: item 3 loses all co-occurrence
+    val capped = EventAnalytics.itemCooccurrence(df, "u", "i",
+        topK = 5, maxItemsPerUser = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(capped == Set((1L, 2L, 2L, 1000000L), (2L, 1L, 2L, 1000000L)))
+    graft.ops.Caches.releaseAll()
+  }
 }

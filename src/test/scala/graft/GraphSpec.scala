@@ -312,4 +312,25 @@ class GraphSpec extends AnyFunSuite {
     assert(deep == sparse)
     graft.ops.Caches.releaseAll()
   }
+
+  test("linkPrediction: common/RA/Jaccard exact, adjacency excluded, " +
+      "deterministic order, hub cap prunes") {
+    // 1-2, 1-3, 2-3, 2-4, 3-4, 4-5: degrees 1:2 2:3 3:3 4:3 5:1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("s", "d")
+    val got = Graph.linkPrediction(e, "s", "d", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      // (1,4): common {2,3}, ra 2·(1e6 div 3), jac 2/(2+3-2)
+      (1L, 4L, 2L, 666666L, 2L, 3L),
+      // (2,5) then (3,5): common {4}, tie broken by id_a
+      (2L, 5L, 1L, 333333L, 1L, 3L),
+      (3L, 5L, 1L, 333333L, 1L, 3L)))
+    // cap at deg<=2: only z∈{1,5} survive; the lone wedge 2-1-3 is
+    // adjacent, so nothing is predicted
+    assert(Graph.linkPrediction(e, "s", "d", topK = 10,
+      maxWedgeDeg = 2L).count() == 0L)
+    graft.ops.Caches.releaseAll()
+  }
 }
