@@ -1152,6 +1152,81 @@ object EventAnalytics {
           lit(1.0), (a, s) => a * s.getField("f")), 6).as("survival"))
   }
 
+  /** Two-group log-rank test over right-censored durations — "did the
+    * treatment arm survive LONGER?" as a whole-curve hypothesis test,
+    * the significance companion to [[kaplanMeier]]'s estimate (eyeballing
+    * two KM curves is exactly the peeking trap [[graft.ops.Profiling.groupSequential]]
+    * exists for). At every distinct event time the observed treated
+    * events are compared to their hypergeometric expectation under
+    * "arms identical": `O−E = Σ_t (d₁t − d_t·n₁t/n_t)` with variance
+    * `V = Σ_t d_t·(n₁t/n_t)·(1−n₁t/n_t)·(n_t−d_t)/(n_t−1)` and
+    * `χ² = (O−E)²/V` against χ²(1). Arms other than `control` pool as
+    * the treatment arm.
+    *
+    * Exactness: risk sets and event counts are exact integers off the
+    * distinct-time grid (windows over the GRID, never the rows — the
+    * [[kaplanMeier]] shape); the per-time float terms are single
+    * divisions of exact integers folded in time order on both engines
+    * ([[graft.ops.Profiling.kruskalWallis]] discipline), and the
+    * verdict compares `χ²·1e6` in the same doubles. Returns one row:
+    * `(n_treated, n_control, n_events, o_minus_e, variance, chi2,
+    * significant)` — χ² null when V = 0 (no comparison time has both
+    * arms at risk). */
+  def logRank(durations: DataFrame, durationCol: String,
+      eventCol: String, armCol: String, control: String,
+      chiCrit: Double = 3.841): DataFrame = {
+    graft.ops.Profiling.requireIntegral(durations, durationCol, "logRank")
+    val critMicro = math.round(chiCrit * 1e6)
+    val base = durations.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("__e__"),
+      (col(armCol).cast("string") =!= control).as("__trt__"))
+    val perT = base.groupBy(col("t")).agg(
+      sum(when(col("__trt__") && col("__e__"), 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(!col("__trt__") && col("__e__"), 1L).otherwise(0L))
+        .as("d0"),
+      sum(when(col("__trt__"), 1L).otherwise(0L)).as("a1"),
+      sum(when(!col("__trt__"), 1L).otherwise(0L)).as("a0"))
+    val tot = base.agg(
+      sum(when(col("__trt__"), 1L).otherwise(0L)).as("__n1__"),
+      sum(when(!col("__trt__"), 1L).otherwise(0L)).as("__n0__"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = perT.crossJoin(broadcast(tot))
+      .withColumn("__r1__",
+        col("__n1__") - coalesce(sum(col("a1")).over(w), lit(0L)))
+      .withColumn("__r0__",
+        col("__n0__") - coalesce(sum(col("a0")).over(w), lit(0L)))
+      .filter(col("d1") + col("d0") > 0) // only event times contribute
+    val d = (col("d1") + col("d0")).cast("double")
+    val n1 = col("__r1__").cast("double")
+    val n = (col("__r1__") + col("__r0__")).cast("double")
+    val oe = col("d1").cast("double") - d * try_divide(n1, n)
+    val v = when(col("__r1__") + col("__r0__") > 1,
+      d * try_divide(n1, n) * (lit(1.0) - try_divide(n1, n)) *
+        try_divide(n - d, n - 1.0)).otherwise(lit(0.0))
+    val folded = risk.agg(
+      sum(col("d1") + col("d0")).as("n_events"),
+      aggregate(
+        sort_array(collect_list(struct(col("t").as("ft"),
+          oe.as("oe"), v.as("v")))),
+        struct(lit(0.0).as("o"), lit(0.0).as("vv")),
+        (acc, x) => struct((acc("o") + x("oe")).as("o"),
+          (acc("vv") + x("v")).as("vv"))).as("__f__"))
+    folded.crossJoin(broadcast(tot))
+      .select(col("__n1__").as("n_treated"), col("__n0__").as("n_control"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(col("__f__.o"), 6).as("o_minus_e"),
+        round(col("__f__.vv"), 6).as("variance"),
+        when(col("__f__.vv") > 0,
+          round(col("__f__.o") * col("__f__.o") / col("__f__.vv"), 6))
+          .as("chi2"),
+        when(col("__f__.vv") > 0,
+          col("__f__.o") * col("__f__.o") / col("__f__.vv") *
+            lit(1000000.0) >= lit(critMicro.toDouble))
+          .as("significant"))
+  }
+
   /** Mann–Kendall trend test per key — the nonparametric companion to
     * [[trend]]'s OLS slope (OLS asks "what is the line"; MK asks "is
     * there a MONOTONIC drift at all", immune to outlier magnitude and
@@ -1301,6 +1376,147 @@ object EventAnalytics {
         try_divide(did * did, varD) * lit(1000000.0) >=
           lit(zc2Micro.toDouble))
         .as("significant"))
+  }
+
+  /** Forecast-accuracy scorecard per key — MAE, sMAPE and MASE of a
+    * forecast column against actuals. MASE (Hyndman–Koehler 2006)
+    * scales the model's MAE by the in-sample seasonal-naïve MAE
+    * (|a_t − a_{t−season}|), so "MASE < 1 beats the naïve forecast"
+    * reads identically across series of any magnitude — the
+    * scale-free number a forecast-QA gate should alarm on (raw MAE
+    * can't compare a views series to a revenue series).
+    *
+    * Exactness: absolute errors are exact integers; each row's sMAPE
+    * term quantizes to the exact integer division
+    * `2·10⁶·|a−f| div (|a|+|f|)` BEFORE summing (the
+    * [[graft.ops.Profiling.offPolicyValue]] posture — order-free exact
+    * sums), and the final ratios are single divisions rounded to 6.
+    *
+    * Input contract: ONE row per (key, t) on an integral time grid
+    * (pre-aggregate upstream — the [[acf]]/[[mannKendall]] posture).
+    * Shape: one per-key (t → t−season) equi self-join for the naïve
+    * error + one partial-aggregable collapse; no windows, no explode.
+    * Returns `(key, n, mae, smape, n_naive, mase)` — mase null when
+    * the naïve MAE is 0 (constant/short series). */
+  def forecastAccuracy(df: DataFrame, keyCol: String, tCol: String,
+      actualCol: String, forecastCol: String, season: Int = 1)
+      : DataFrame = {
+    require(season >= 1, s"season must be >= 1; got $season")
+    Seq(tCol, actualCol, forecastCol).foreach(
+      graft.ops.Profiling.requireIntegral(df, _, "forecastAccuracy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(keyCol).as("__k__"),
+      col(tCol).cast("long").as("__t__"),
+      col(actualCol).cast("long").as("__a__"),
+      col(forecastCol).cast("long").as("__f__"))
+    val err = abs(col("__a__") - col("__f__"))
+    val denom = abs(col("__a__")) + abs(col("__f__"))
+    val smapeTerm = when(denom > 0,
+      expr("(2000000L * abs(__a__ - __f__)) div " +
+        "(abs(__a__) + abs(__f__))")).otherwise(lit(0L))
+    val per = base.groupBy(col("__k__"))
+      .agg(count(lit(1)).as("n"), sum(dec(err)).as("__se__"),
+        sum(smapeTerm).as("__ss__"))
+    val naive = base.select(col("__k__"),
+        (col("__t__") + season).as("__t__"), col("__a__").as("__prev__"))
+      .join(base.select(col("__k__"), col("__t__"), col("__a__")),
+        Seq("__k__", "__t__"))
+      .groupBy(col("__k__"))
+      .agg(count(lit(1)).as("n_naive"),
+        sum(dec(abs(col("__a__") - col("__prev__")))).as("__sn__"))
+    val mae = col("__se__").cast("double") / col("n").cast("double")
+    per.join(naive, Seq("__k__"), "left")
+      .select(col("__k__").as(keyCol), col("n"),
+        round(mae, 6).as("mae"),
+        round(col("__ss__").cast("double") /
+          (col("n").cast("double") * 1000000.0), 6).as("smape"),
+        coalesce(col("n_naive"), lit(0L)).as("n_naive"),
+        when(col("n_naive") > 0 && col("__sn__") > 0,
+          round(mae / (col("__sn__").cast("double") /
+            col("n_naive").cast("double")), 6)).as("mase"))
+  }
+
+  /** Ljung–Box portmanteau test per key — "are these residuals white
+    * noise?": `Q = n(n+2)·Σ_{k=1..L} ρ̂_k²/(n−k)` against χ²(L), the
+    * standard residual-diagnostics gate after a fit ([[trend]],
+    * [[ewma]]) and a seasonality detector in its own right
+    * ([[acf]] shows the correlogram; this is its single-number test).
+    *
+    * Exactness: with S = Σx, Q₀ = Σx², the mean-centered
+    * autocovariances scale to exact decimals —
+    * `n²·c_k = n²·Σx_i x_{i+k} − n·S·(Σ_head + Σ_tail) + m_k·S²` and
+    * `n²·c₀ = n²·Q₀ − n·S²` — so ρ̂_k = (n²c_k)/(n²c₀) is one double
+    * division of exact integers per lag, and the Q fold runs in lag
+    * order on both engines ([[graft.ops.Profiling.kruskalWallis]]
+    * discipline). Verdict: `Q·1e6 ≥ crit(L)·1e6`, crit from
+    * [[graft.ops.Profiling.chi2Crit95]] by default.
+    *
+    * Input contract: ONE row per (key, t) on a DENSE integral grid
+    * (zero-fill with [[densify]] first — a gap would silently shorten
+    * m_k and bias ρ̂ toward 0). Shape: one lag-exploded equi self-join
+    * on (key, t+k) — O(L·n) rows, L ≤ 30 — plus one moment collapse;
+    * windows never touch row-scale data. Returns
+    * `(key, n, q_stat, significant)`, null verdict when n ≤ L or the
+    * series is constant (c₀ = 0). */
+  def ljungBox(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, maxLag: Int,
+      critByDf: Map[Int, Double] = graft.ops.Profiling.chi2Crit95)
+      : DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30,
+      s"maxLag must be in [1, 30]; got $maxLag")
+    val crit = critByDf.get(maxLag)
+    Seq(tCol, valueCol).foreach(
+      graft.ops.Profiling.requireIntegral(df, _, "ljungBox"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(keyCol).as("__k__"),
+      col(tCol).cast("long").as("__t__"),
+      col(valueCol).cast("long").as("__x__"))
+    val mom = base.groupBy(col("__k__"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x__"))).as("__s__"),
+        sum(dec(col("__x__")) * dec(col("__x__"))).as("__q0__"))
+    val lags = explode(array((1 to maxLag).map(k => lit(k.toLong)): _*))
+    val head = base.select(col("__k__"), col("__t__"),
+      col("__x__").as("__xa__"), lags.as("__lag__"))
+      .withColumn("__t__", col("__t__") + col("__lag__"))
+    val joined = head.join(
+      base.select(col("__k__"), col("__t__"), col("__x__").as("__xb__")),
+      Seq("__k__", "__t__"))
+    val perLag = joined.groupBy(col("__k__"), col("__lag__"))
+      .agg(count(lit(1)).as("__m__"),
+        sum(dec(col("__xa__")) * dec(col("__xb__"))).as("__sxy__"),
+        sum(dec(col("__xa__"))).as("__sa__"),
+        sum(dec(col("__xb__"))).as("__sb__"))
+    val withMom = perLag.join(mom, Seq("__k__"))
+    val nn = dec(col("n"))
+    val ck = nn * nn * col("__sxy__") -
+      nn * col("__s__") * (col("__sa__") + col("__sb__")) +
+      dec(col("__m__")) * col("__s__") * col("__s__")
+    val c0 = nn * nn * col("__q0__") - nn * col("__s__") * col("__s__")
+    val rho = try_divide(ck.cast("double"), c0.cast("double"))
+    val term = when(col("n") - col("__lag__") > 0,
+      try_divide(rho * rho, (col("n") - col("__lag__")).cast("double")))
+      .otherwise(lit(null).cast("double"))
+    val folded = withMom
+      .select(col("__k__"), col("n"), col("__lag__"), (c0 > 0).as("__v__"),
+        term.as("__term__"))
+      .groupBy(col("__k__"), col("n"))
+      .agg(min(col("__v__")).as("__var__"),
+        count(col("__term__")).as("__nlags__"),
+        aggregate(
+          sort_array(collect_list(struct(col("__lag__").as("k"),
+            col("__term__").as("tm")))),
+          lit(0.0), (a, x) => a + coalesce(x("tm"), lit(0.0)))
+          .as("__sum__"))
+    val q = col("n").cast("double") * (col("n") + 2).cast("double") *
+      col("__sum__")
+    val ok = col("__var__") && col("n") > maxLag &&
+      col("__nlags__") === maxLag
+    folded.select(col("__k__").as(keyCol), col("n"),
+      when(ok, round(q, 6)).as("q_stat"),
+      crit.map(c => when(ok, q * lit(1000000.0) >=
+          lit(math.round(c * 1e6).toDouble))
+        .as("significant"))
+        .getOrElse(lit(null).cast("boolean").as("significant")))
   }
 
   /** Item-item co-occurrence similarity — the classic "users who touched

@@ -1862,6 +1862,144 @@ object Profiling {
           .as("significant"))
   }
 
+  /** Cohen's d / Hedges' g standardized effect size per variant vs the
+    * named control — the HOW-BIG companion to [[welchTTest]]'s
+    * whether (a p-value at experiment scale says almost nothing about
+    * magnitude; d is what power planning and meta-analysis consume).
+    * `d = (m₁ − m₂) / s_pooled` with the pooled variance
+    * `s² = ((n₁−1)s₁² + (n₂−1)s₂²) / (n₁+n₂−2)`, and Hedges' small-
+    * sample correction `g = d·(1 − 3/(4(n₁+n₂) − 9))`. Both assemble
+    * in doubles FROM exact decimal moments (the [[welchTTest]]
+    * determinism discipline) and leave rounded to 6; the magnitude
+    * bucket (negligible/small/medium/large at the standard 0.2/0.5/0.8
+    * cuts) is decided on the same doubles via |d| — identical
+    * expression tree on identical integers on both engines.
+    *
+    * Shape: one partial-aggregable collapse to |variants| moment rows
+    * + a broadcast single-row control join. Returns
+    * `(variant, n, mean, d, hedges_g, magnitude)`; control row and
+    * zero-pooled-variance comparisons carry nulls. */
+  def cohensD(df: DataFrame, variantCol: String, valueCol: String,
+      control: String): DataFrame = {
+    requireIntegral(df, valueCol, "cohensD")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.filter(col(valueCol).isNotNull)
+      .select(col(variantCol).cast("string").as("variant"),
+        col(valueCol).cast("long").as("__v__"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__v__"))).as("__s__"),
+        sum(dec(col("__v__")) * dec(col("__v__"))).as("__q__"))
+    val ctl = per.filter(col("variant") === control)
+      .select(col("n").as("__cn__"), col("__s__").as("__cs__"),
+        col("__q__").as("__cq__"))
+    val n1 = dec(col("n")); val s1 = col("__s__"); val q1 = col("__q__")
+    val n2 = dec(col("__cn__")); val s2 = col("__cs__")
+    val q2 = col("__cq__")
+    // n(n−1)s² = nQ − S², exact; pooled s² multiplies through by n₁n₂
+    val ss1 = n1 * q1 - s1 * s1 // = n₁(n₁−1)s₁² ≥ 0
+    val ss2 = n2 * q2 - s2 * s2
+    val md = s1.cast("double") / n1.cast("double") -
+      s2.cast("double") / n2.cast("double")
+    // s_pooled² = (ss₁/n₁ + ss₂/n₂) / (n₁+n₂−2), each term exact/1-div
+    val sp2 = try_divide(
+      try_divide(ss1.cast("double"), n1.cast("double")) +
+        try_divide(ss2.cast("double"), n2.cast("double")),
+      (n1 + n2 - 2).cast("double"))
+    val d = try_divide(md, sqrt(sp2))
+    val g = d * (lit(1.0) -
+      lit(3.0) / (lit(4.0) * (n1 + n2).cast("double") - lit(9.0)))
+    val isCtl = col("variant") === control
+    val ok = !isCtl && col("n") > 1 && col("__cn__") > 1 &&
+      (ss1 > 0 || ss2 > 0)
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("n"),
+        round(s1.cast("double") / n1.cast("double"), 6).as("mean"),
+        when(ok, round(d, 6)).as("d"),
+        when(ok, round(g, 6)).as("hedges_g"),
+        when(ok,
+          when(abs(d) < 0.2, lit("negligible"))
+            .when(abs(d) < 0.5, lit("small"))
+            .when(abs(d) < 0.8, lit("medium"))
+            .otherwise(lit("large"))).as("magnitude"))
+  }
+
+  /** Post-stratified / inverse-propensity ATE from an OBSERVATIONAL
+    * log — treatment effect when assignment was not randomized but is
+    * plausibly ignorable within strata (the propensity bucket:
+    * user tier, device class, score decile). Within each bucket the
+    * propensity is the exact empirical rate n_t/n, and the stratified
+    * estimator `ATE = Σ_b (n_b/N_used)·(mean_t(b) − mean_c(b))` is
+    * algebraically the IPW estimator with within-bucket propensities —
+    * kept as per-bucket exact rationals folded bucket-sorted in
+    * doubles (the [[kruskalWallis]] float-fold discipline). Buckets
+    * missing an arm identify nothing; they are EXCLUDED and counted —
+    * silent inclusion would bias toward the observed arm
+    * ([[mantelHaenszel]] is the odds-ratio sibling; this is the
+    * continuous-outcome one).
+    *
+    * Returns one row:
+    * `(n, n_treated, n_buckets, n_buckets_dropped, n_dropped_rows,
+    *   ate, treated_mean, control_mean)` — means over USED buckets,
+    * rounded to 6. */
+  def ipwAte(df: DataFrame, bucketCol: String, treatedCol: String,
+      outcomeCol: String): DataFrame = {
+    requireIntegral(df, outcomeCol, "ipwAte")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.filter(col(outcomeCol).isNotNull)
+      .select(col(bucketCol).cast("string").as("__b__"),
+        col(treatedCol).cast("boolean").as("__t__"),
+        col(outcomeCol).cast("long").as("__v__"))
+      .groupBy(col("__b__"))
+      .agg(count(lit(1)).as("__n__"),
+        sum(when(col("__t__"), 1L).otherwise(0L)).as("__nt__"),
+        sum(when(col("__t__"), dec(col("__v__")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__st__"),
+        sum(when(!col("__t__"), dec(col("__v__")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__sc__"))
+    val used = col("__nt__") > 0 && col("__n__") - col("__nt__") > 0
+    val mt = col("__st__").cast("double") / col("__nt__").cast("double")
+    val mc = col("__sc__").cast("double") /
+      (col("__n__") - col("__nt__")).cast("double")
+    // bucket-sorted array fold: identical summation order on both
+    // engines for the weighted float terms
+    val terms = per.select(col("__b__"), col("__n__"), col("__nt__"),
+      when(used, mt - mc).as("__diff__"),
+      when(used, mt).as("__mt__"), when(used, mc).as("__mc__"),
+      used.as("__used__"))
+    val agg = terms.agg(
+      sum(when(col("__used__"), col("__n__")).otherwise(0L)).as("__nu__"),
+      sum(when(col("__used__"), col("__nt__")).otherwise(0L))
+        .as("n_treated"),
+      sum(when(col("__used__"), 1L).otherwise(0L)).as("n_buckets"),
+      sum(when(!col("__used__"), 1L).otherwise(0L))
+        .as("n_buckets_dropped"),
+      sum(when(!col("__used__"), col("__n__")).otherwise(0L))
+        .as("n_dropped_rows"),
+      aggregate(
+        array_sort(collect_list(when(col("__used__"),
+          struct(col("__b__").as("b"), col("__n__").as("n"),
+            col("__diff__").as("diff"), col("__mt__").as("mt"),
+            col("__mc__").as("mc"))))),
+        struct(lit(0.0).as("a"), lit(0.0).as("t"), lit(0.0).as("c")),
+        (acc, x) => struct(
+          (acc("a") + x("n").cast("double") * x("diff")).as("a"),
+          (acc("t") + x("n").cast("double") * x("mt")).as("t"),
+          (acc("c") + x("n").cast("double") * x("mc")).as("c")))
+        .as("__fold__"))
+    agg.select(col("__nu__").as("n"), col("n_treated"),
+      col("n_buckets"), col("n_buckets_dropped"), col("n_dropped_rows"),
+      when(col("__nu__") > 0,
+        round(col("__fold__.a") / col("__nu__").cast("double"), 6))
+        .as("ate"),
+      when(col("__nu__") > 0,
+        round(col("__fold__.t") / col("__nu__").cast("double"), 6))
+        .as("treated_mean"),
+      when(col("__nu__") > 0,
+        round(col("__fold__.c") / col("__nu__").cast("double"), 6))
+        .as("control_mean"))
+  }
+
   /** Integral-type guard shared by the rank/variance tests (and the
     * exact-arithmetic Corpus ops): these ops promise bit-identical
     * results across engines, which only holds when the inputs are

@@ -556,6 +556,91 @@ object TextAnalysis {
         .as("f1"))
   }
 
+  /** Corpus BLEU (Papineni et al., ACL'02) per group — the n-gram
+    * precision evaluation for generation against references, the
+    * precision-side twin of [[rougeN]]'s recall. Per (group):
+    * clipped n-gram matches and candidate totals for n = 1..`maxN`
+    * (clipping is per PAIR: a candidate gram scores at most its count
+    * in that pair's reference), candidate/reference word lengths, the
+    * brevity penalty `BP = min(1, e^(1−r/c))`, and
+    * `BLEU = BP·exp(Σₙ ln(matchₙ/totalₙ)/maxN)` — corpus-level, so
+    * one good pair lifts a group that another zeroes. Unsmoothed by
+    * the book: any n with zero corpus matches ⇒ BLEU = 0.0 (reported,
+    * not null); null only when some n has zero TOTAL (every candidate
+    * shorter than maxN words — nothing to score).
+    *
+    * Exactness: every count is an exact integer; ln/exp assemble in a
+    * fixed left-folded expression tree over those integers on both
+    * engines (the [[graft.ops.Corpus.logOddsWords]] float posture).
+    *
+    * Shape: per-side explode to (group, pair, n, gram) partial counts,
+    * one full-outer equi-join, two partial-aggregable collapses —
+    * the [[rougeN]] plan with an n dimension riding along. Returns
+    * `(group, n_pairs, cand_len, ref_len, match_1..N, total_1..N,
+    * bp, bleu)`. */
+  def bleu(df: DataFrame, groupCol: String, idCol: String,
+      candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]; got $maxN")
+    def words(c: Column) =
+      regexp_extract_all(lower(c), lit("[^\\s]+"), lit(0))
+    def gramsFor(ws: Column, n: Int): Column =
+      if (n == 1) ws
+      else when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def tagged(c: Column) = concat((1 to maxN).map(n =>
+      transform(gramsFor(words(c), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    def cnt(c: String, out: String) =
+      df.select(col(groupCol).as("__grp__"), col(idCol).as("__id__"),
+          explode(tagged(col(c))).as("__x__"))
+        .groupBy(col("__grp__"), col("__id__"),
+          col("__x__.n").as("__n__"), col("__x__.g").as("__g__"))
+        .agg(count(lit(1)).as(out))
+    val joined = cnt(candCol, "__c__")
+      .join(cnt(refCol, "__r__"),
+        Seq("__grp__", "__id__", "__n__", "__g__"), "full_outer")
+    val perN = joined.groupBy(col("__grp__"), col("__n__"))
+      .agg(sum(least(coalesce(col("__c__"), lit(0L)),
+        coalesce(col("__r__"), lit(0L)))).as("__m__"),
+        sum(coalesce(col("__c__"), lit(0L))).as("__tc__"),
+        sum(coalesce(col("__r__"), lit(0L))).as("__tr__"))
+    val wideCols: Seq[Column] =
+      Seq(sum(when(col("__n__") === 1, col("__tr__"))).as("ref_len")) ++
+        (1 to maxN).flatMap(n => Seq(
+          sum(when(col("__n__") === n, col("__m__")))
+            .as(s"match_$n"),
+          sum(when(col("__n__") === n, col("__tc__")))
+            .as(s"total_$n")))
+    val wide = perN.groupBy(col("__grp__")).agg(
+      sum(when(col("__n__") === 1, col("__tc__"))).as("cand_len"),
+      wideCols: _*)
+    val pairs = df.groupBy(col(groupCol).as("__grp__"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val allPos = (1 to maxN).map(i =>
+      coalesce(col(s"total_$i"), lit(0L)) > 0).reduce(_ && _)
+    val anyZero = (1 to maxN).map(i =>
+      coalesce(col(s"match_$i"), lit(0L)) === 0).reduce(_ || _)
+    val logSum = (1 to maxN).map(i =>
+      log(col(s"match_$i").cast("double") /
+        col(s"total_$i").cast("double"))).reduce(_ + _) /
+      lit(maxN.toDouble)
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("cand_len").cast("double")))
+    pairs.join(wide, Seq("__grp__"), "left")
+      .select(Seq(col("__grp__").as(groupCol), col("n_pairs"),
+        coalesce(col("cand_len"), lit(0L)).as("cand_len"),
+        coalesce(col("ref_len"), lit(0L)).as("ref_len")) ++
+        (1 to maxN).flatMap(n => Seq(
+          coalesce(col(s"match_$n"), lit(0L)).as(s"match_$n"),
+          coalesce(col(s"total_$n"), lit(0L)).as(s"total_$n"))) ++ Seq(
+        when(col("cand_len") > 0, round(bp, 6)).as("bp"),
+        when(allPos && !anyZero, round(bp * exp(logSum), 6))
+          .when(allPos, lit(0.0)).as("bleu")): _*)
+  }
+
   /** Deflate compression-ratio quality signal — the classic
     * repetitiveness filter (Gopher/RefinedWeb prune documents whose
     * compressed size is a small fraction of the raw size: mostly

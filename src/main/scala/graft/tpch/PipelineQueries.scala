@@ -3614,6 +3614,93 @@ object PipelineQueries {
         .orderBy(col("item"), col("rank"))
     }),
 
+    // corpus BLEU per language: even docs submit their 30-word prefix
+    // (high n-gram precision, BP < 1), odd docs the REVERSED prefix
+    // (unigrams survive, higher orders collapse) — exercises clipping,
+    // corpus pooling and the brevity penalty in one readout
+    "q334_bleu" -> ((s, dir) => {
+      val ws = regexp_extract_all(lower(col("text")),
+        lit("[^\\s]+"), lit(0))
+      val d = docs(s, dir).select(col("lang"), col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws(" ", slice(ws, 1, 30)))
+          .otherwise(concat_ws(" ", reverse(slice(ws, 1, 30))))
+          .as("cand"),
+        col("text").as("ref"))
+      TextAnalysis.bleu(d, "lang", "doc_id", "cand", "ref")
+        .orderBy(col("lang"))
+    }),
+
+    // Cohen's d / Hedges' g per event type vs the 'view' control —
+    // type-length shifts inject known standardized effects
+    "q335_cohens_d" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") +
+            length(col("event_type")) * 100L).as("y"))
+      graft.ops.Profiling.cohensD(ev, "event_type", "y", "view")
+        .orderBy(col("variant"))
+    }),
+
+    // two-arm log-rank over day-granularity durations: treatment arm
+    // (odd users) gets an event-id-spread duration shift; 1/3 of rows
+    // censored — the whole-curve survival verdict
+    "q336_log_rank" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(
+          (expr("unix_micros(ts) div 86400000000") - 19700L +
+            when(col("user_id") % 2 === 1, col("event_id") % 5)
+              .otherwise(lit(0L))).as("dur"),
+          (col("event_id") % 3 =!= 0).as("ev"),
+          when(col("user_id") % 2 === 0, lit("ctl"))
+            .otherwise(lit("trt")).as("arm"))
+      EventAnalytics.logRank(ev, "dur", "ev", "arm", "ctl")
+    }),
+
+    // post-stratified IPW ATE on a CONFOUNDED log: the bucket drives
+    // both the treatment rate ((b%4+2)/10) and the outcome (+100·b),
+    // the treatment adds +500 — stratification must recover ~500
+    "q337_ipw_ate" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select((col("user_id") % 10).as("b"),
+          (col("event_id") % 10 < (col("user_id") % 10) % 4 + 2)
+            .as("treated"),
+          col("value"))
+      val out = ev.select(col("b"), col("treated"),
+        (floor(col("value") * 1000 + 0.5).cast("long") +
+          col("b") * 100L +
+          when(col("treated"), 500L).otherwise(0L)).as("y"))
+      graft.ops.Profiling.ipwAte(out, "b", "treated", "y")
+    }),
+
+    // forecast scorecard over the per-type daily count series with a
+    // deterministic ±2 perturbation as the "forecast" and the weekly
+    // seasonal-naive baseline
+    "q338_forecast_accuracy" -> ((s, dir) => {
+      val daily = graft.tpch.EventsModel.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          (expr("unix_micros(ts) div 86400000000") - 19700L).as("t"))
+        .agg(count(lit(1)).as("a"))
+      val d = daily.select(col("event_type"), col("t"), col("a"),
+        (col("a") + col("t") % 5 - 2).as("f"))
+      EventAnalytics.forecastAccuracy(d, "event_type", "t", "a", "f",
+          season = 7)
+        .orderBy(col("event_type"))
+    }),
+
+    // Ljung-Box whiteness test over the same daily series (lags 1..5):
+    // is there ANY autocorrelation structure in per-type volume?
+    "q339_ljung_box" -> ((s, dir) => {
+      val daily = graft.tpch.EventsModel.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          (expr("unix_micros(ts) div 86400000000") - 19700L).as("t"))
+        .agg(count(lit(1)).as("x"))
+      EventAnalytics.ljungBox(daily, "event_type", "t", "x", maxLag = 5)
+        .orderBy(col("event_type"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -3902,6 +3989,295 @@ object PipelineQueries {
          |FROM lab LEFT JOIN ccl ON ccl.id = lab.id
          |LEFT JOIN bord ON bord.id = lab.id
          |ORDER BY doc_id""".stripMargin,
+
+    // clipped n-gram counts per (pair, n), corpus pooling, ln/exp
+    // assembled on the identical exact integers
+    "q334_bleu" -> {
+      def side(tok: String, pre: String) =
+        s"""${pre}g AS (SELECT lang, doc_id, n.n AS n,
+           |    unnest(list_transform(
+           |      range(1, greatest(len(w) - n.n + 2, 1)),
+           |      i -> array_to_string(list_slice(w, i, i + n.n - 1),
+           |        ' '))) AS g
+           |  FROM $tok, (VALUES (1), (2), (3), (4)) n(n)),
+           |${pre}c AS (SELECT lang, doc_id, n, g,
+           |    CAST(COUNT(1) AS BIGINT) AS ${pre}n
+           |  FROM ${pre}g GROUP BY ALL)""".stripMargin
+      val logsum = (1 to 4).map(i =>
+        s"ln(CAST(match_$i AS DOUBLE) / CAST(total_$i AS DOUBLE))")
+        .mkString("(", " + ", ") / 4.0")
+      val bpExpr = "CASE WHEN cand_len >= ref_len THEN 1.0 ELSE " +
+        "exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)) END"
+      val allPos = (1 to 4).map(i => s"total_$i > 0").mkString(" AND ")
+      val anyZero = (1 to 4).map(i => s"match_$i = 0").mkString(" OR ")
+      s"""WITH dtok AS (SELECT lang, doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> length(t) > 0) AS w
+         |  FROM documents),
+         |ctok AS (SELECT lang, doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN list_slice(w, 1, 30)
+         |      ELSE list_reverse(list_slice(w, 1, 30)) END AS w
+         |  FROM dtok),
+         |${side("ctok", "c")},
+         |${side("dtok", "r")},
+         |j AS (SELECT lang, doc_id, n,
+         |    LEAST(COALESCE(cn, 0), COALESCE(rn, 0)) AS m,
+         |    COALESCE(cn, 0) AS c, COALESCE(rn, 0) AS r
+         |  FROM cc FULL JOIN rc USING (lang, doc_id, n, g)),
+         |pern AS (SELECT lang, n, CAST(SUM(m) AS BIGINT) AS mt,
+         |    CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(r) AS BIGINT) AS tr
+         |  FROM j GROUP BY 1, 2),
+         |wide AS (SELECT lang,
+         |    ${"COALESCE(SUM(CASE WHEN n = 1 THEN tc END), 0) AS cand_len,"}
+         |    COALESCE(SUM(CASE WHEN n = 1 THEN tr END), 0) AS ref_len,
+         |    ${(1 to 4).map(i =>
+                s"COALESCE(SUM(CASE WHEN n = $i THEN mt END), 0) AS match_$i, " +
+                s"COALESCE(SUM(CASE WHEN n = $i THEN tc END), 0) AS total_$i")
+                .mkString(",\n")}
+         |  FROM pern GROUP BY 1),
+         |wb AS (SELECT lang, CAST(cand_len AS BIGINT) AS cand_len,
+         |    CAST(ref_len AS BIGINT) AS ref_len,
+         |    ${(1 to 4).map(i =>
+                s"CAST(match_$i AS BIGINT) AS match_$i, " +
+                s"CAST(total_$i AS BIGINT) AS total_$i").mkString(",\n")}
+         |  FROM wide),
+         |np AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_pairs
+         |  FROM documents GROUP BY 1)
+         |SELECT np.lang, n_pairs, cand_len, ref_len,
+         |  ${(1 to 4).map(i => s"match_$i, total_$i").mkString(", ")},
+         |  CASE WHEN cand_len > 0 THEN ROUND($bpExpr, 6) END AS bp,
+         |  CASE WHEN $allPos THEN
+         |    CASE WHEN $anyZero THEN 0.0
+         |      ELSE ROUND(($bpExpr) * exp($logsum), 6) END
+         |  END AS bleu
+         |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    "q335_cohens_d" ->
+      """WITH b AS (SELECT event_type AS v,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) +
+        |      length(event_type) * 100 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT v, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(y AS HUGEINT)) AS s,
+        |    SUM(CAST(y AS HUGEINT) * y) AS q
+        |  FROM b GROUP BY 1),
+        |ctl AS (SELECT n AS cn, s AS cs, q AS cq
+        |  FROM per WHERE v = 'view'),
+        |t AS (SELECT v, n, s, q, cn, cs, cq,
+        |    n * q - s * s AS ss1, cn * cq - cs * cs AS ss2,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS md,
+        |    (CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE) +
+        |     CAST(cn * cq - cs * cs AS DOUBLE) / CAST(cn AS DOUBLE)) /
+        |      CAST(n + cn - 2 AS DOUBLE) AS sp2
+        |  FROM per CROSS JOIN ctl),
+        |d0 AS (SELECT v, n, s, ss1, ss2, cn, md / sqrt(sp2) AS d
+        |  FROM t),
+        |d1 AS (SELECT v, n, s, d,
+        |    d * (1.0 - 3.0 / (4.0 * CAST(n + cn AS DOUBLE) - 9.0)) AS g,
+        |    v <> 'view' AND n > 1 AND cn > 1 AND
+        |      (ss1 > 0 OR ss2 > 0) AS ok
+        |  FROM d0)
+        |SELECT v AS variant, n,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN ok THEN ROUND(d, 6) END AS d,
+        |  CASE WHEN ok THEN ROUND(g, 6) END AS hedges_g,
+        |  CASE WHEN ok THEN
+        |    CASE WHEN abs(d) < 0.2 THEN 'negligible'
+        |      WHEN abs(d) < 0.5 THEN 'small'
+        |      WHEN abs(d) < 0.8 THEN 'medium'
+        |      ELSE 'large' END END AS magnitude
+        |FROM d1 ORDER BY 1""".stripMargin,
+
+    "q336_log_rank" ->
+      """WITH b AS (SELECT
+        |    (epoch_us(ts) // 86400000000) - 19700 +
+        |      (CASE WHEN user_id % 2 = 1 THEN event_id % 5
+        |        ELSE 0 END) AS t,
+        |    event_id % 3 <> 0 AS e, user_id % 2 = 1 AS trt
+        |  FROM events),
+        |pert AS (SELECT t,
+        |    CAST(SUM(CASE WHEN trt AND e THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN NOT trt AND e THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN trt THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN NOT trt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a0
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN trt THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT trt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0
+        |  FROM b),
+        |risk AS (SELECT t, d1, d0,
+        |    n1 - COALESCE(SUM(a1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS r1,
+        |    n0 - COALESCE(SUM(a0) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS r0
+        |  FROM pert CROSS JOIN tot),
+        |ev AS (SELECT * FROM risk WHERE d1 + d0 > 0),
+        |terms AS (SELECT t,
+        |    CAST(d1 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE) *
+        |      (CAST(r1 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) AS oe,
+        |    CASE WHEN r1 + r0 > 1 THEN
+        |      CAST(d1 + d0 AS DOUBLE) *
+        |        (CAST(r1 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) *
+        |        (1.0 - CAST(r1 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) *
+        |        ((CAST(r1 + r0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE)) /
+        |          (CAST(r1 + r0 AS DOUBLE) - 1.0))
+        |      ELSE 0.0 END AS v,
+        |    d1 + d0 AS d
+        |  FROM ev),
+        |f AS (SELECT CAST(SUM(d) AS BIGINT) AS n_events,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(ft := t, oe := oe, v := v))),
+        |      s -> s.oe), (a, b) -> a + b) AS osum,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(ft := t, oe := oe, v := v))),
+        |      s -> s.v), (a, b) -> a + b) AS vsum
+        |  FROM terms)
+        |SELECT n1 AS n_treated, n0 AS n_control,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  ROUND(osum, 6) AS o_minus_e, ROUND(vsum, 6) AS variance,
+        |  CASE WHEN vsum > 0
+        |    THEN ROUND(osum * osum / vsum, 6) END AS chi2,
+        |  CASE WHEN vsum > 0 THEN
+        |    osum * osum / vsum * 1000000.0 >= 3841000.0
+        |  END AS significant
+        |FROM f CROSS JOIN tot""".stripMargin,
+
+    "q337_ipw_ate" ->
+      """WITH b0 AS (SELECT user_id % 10 AS b,
+        |    (event_id % 10) < (user_id % 10) % 4 + 2 AS tr, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b1 AS (SELECT b, tr,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) + b * 100 +
+        |      CASE WHEN tr THEN 500 ELSE 0 END AS y
+        |  FROM b0),
+        |per AS (SELECT b, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    SUM(CASE WHEN tr THEN CAST(y AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS st,
+        |    SUM(CASE WHEN NOT tr THEN CAST(y AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS sc
+        |  FROM b1 GROUP BY 1),
+        |t AS (SELECT b, n, nt, nt > 0 AND n - nt > 0 AS used,
+        |    CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+        |    CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE) AS mc
+        |  FROM per),
+        |f AS (SELECT
+        |    CAST(SUM(CASE WHEN used THEN n ELSE 0 END) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN used THEN nt ELSE 0 END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(SUM(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_buckets,
+        |    CAST(SUM(CASE WHEN NOT used THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_buckets_dropped,
+        |    CAST(SUM(CASE WHEN NOT used THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_dropped_rows,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(bb := CAST(b AS VARCHAR), n := n,
+        |        d := mt - mc, mt := mt, mc := mc))
+        |        FILTER (WHERE used)),
+        |      x -> CAST(x.n AS DOUBLE) * x.d), (a, c) -> a + c) AS fa,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(bb := CAST(b AS VARCHAR), n := n,
+        |        d := mt - mc, mt := mt, mc := mc))
+        |        FILTER (WHERE used)),
+        |      x -> CAST(x.n AS DOUBLE) * x.mt), (a, c) -> a + c) AS ft,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(bb := CAST(b AS VARCHAR), n := n,
+        |        d := mt - mc, mt := mt, mc := mc))
+        |        FILTER (WHERE used)),
+        |      x -> CAST(x.n AS DOUBLE) * x.mc), (a, c) -> a + c) AS fc
+        |  FROM t)
+        |SELECT n, n_treated, n_buckets, n_buckets_dropped,
+        |  n_dropped_rows,
+        |  CASE WHEN n > 0
+        |    THEN ROUND(fa / CAST(n AS DOUBLE), 6) END AS ate,
+        |  CASE WHEN n > 0
+        |    THEN ROUND(ft / CAST(n AS DOUBLE), 6) END AS treated_mean,
+        |  CASE WHEN n > 0
+        |    THEN ROUND(fc / CAST(n AS DOUBLE), 6) END AS control_mean
+        |FROM f""".stripMargin,
+
+    "q338_forecast_accuracy" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 86400000000) - 19700 AS t,
+        |    CAST(COUNT(1) AS BIGINT) AS a
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT k, t, a, a + t % 5 - 2 AS f FROM daily),
+        |per AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(abs(a - f) AS HUGEINT)) AS se,
+        |    CAST(SUM(CASE WHEN abs(a) + abs(f) > 0 THEN
+        |      (2000000 * abs(a - f)) // (abs(a) + abs(f))
+        |      ELSE 0 END) AS BIGINT) AS ss
+        |  FROM d GROUP BY 1),
+        |nv AS (SELECT cur.k, CAST(COUNT(1) AS BIGINT) AS n_naive,
+        |    SUM(CAST(abs(cur.a - prev.a) AS HUGEINT)) AS sn
+        |  FROM d cur JOIN d prev
+        |    ON cur.k = prev.k AND cur.t = prev.t + 7
+        |  GROUP BY 1)
+        |SELECT per.k AS event_type, n,
+        |  ROUND(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+        |  ROUND(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0),
+        |    6) AS smape,
+        |  COALESCE(n_naive, 0) AS n_naive,
+        |  CASE WHEN n_naive > 0 AND sn > 0 THEN
+        |    ROUND((CAST(se AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(sn AS DOUBLE) / CAST(n_naive AS DOUBLE)), 6)
+        |  END AS mase
+        |FROM per LEFT JOIN nv ON per.k = nv.k ORDER BY 1""".stripMargin,
+
+    "q339_ljung_box" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 86400000000) - 19700 AS t,
+        |    CAST(COUNT(1) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS q0
+        |  FROM daily GROUP BY 1),
+        |pl AS (SELECT a.k, l.l AS lag, CAST(COUNT(1) AS BIGINT) AS m,
+        |    SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+        |    SUM(CAST(a.x AS HUGEINT)) AS sa,
+        |    SUM(CAST(b.x AS HUGEINT)) AS sb
+        |  FROM daily a
+        |  JOIN (VALUES (1), (2), (3), (4), (5)) l(l) ON true
+        |  JOIN daily b ON b.k = a.k AND b.t = a.t + l.l
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT pl.k, lag, m, n, s,
+        |    CAST(n AS HUGEINT) * n * sxy -
+        |      CAST(n AS HUGEINT) * s * (sa + sb) +
+        |      CAST(m AS HUGEINT) * s * s AS ck,
+        |    CAST(n AS HUGEINT) * n * q0 -
+        |      CAST(n AS HUGEINT) * s * s AS c0
+        |  FROM pl JOIN mom ON mom.k = pl.k),
+        |tm AS (SELECT k, n, lag, c0 > 0 AS hasvar,
+        |    CASE WHEN n - lag > 0 THEN
+        |      (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE)) *
+        |        (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE)) /
+        |        CAST(n - lag AS DOUBLE) END AS term
+        |  FROM t2),
+        |f AS (SELECT k, n, bool_and(hasvar) AS hv,
+        |    CAST(COUNT(term) AS BIGINT) AS nl,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(l := lag, t := term))),
+        |      s -> COALESCE(s.t, 0.0)), (a, b) -> a + b) AS sm
+        |  FROM tm GROUP BY 1, 2)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN hv AND n > 5 AND nl = 5 THEN
+        |    ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * sm, 6)
+        |  END AS q_stat,
+        |  CASE WHEN hv AND n > 5 AND nl = 5 THEN
+        |    CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * sm *
+        |      1000000.0 >= 11070000.0
+        |  END AS significant
+        |FROM f ORDER BY 1""".stripMargin,
 
     "q333_item_cooccurrence" ->
       """WITH ui AS (SELECT DISTINCT user_id % 400 AS u,

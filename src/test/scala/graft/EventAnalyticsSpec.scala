@@ -958,6 +958,72 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rf.getAs[Double]("did") == 0.0)
   }
 
+  test("logRank: textbook risk-set walk, censoring removes silently, " +
+      "single-survivor time contributes zero variance") {
+    import spark.implicits._
+    // c: events at 1, 3, censored 5; t: events at 2, 6, censored 4
+    val df = Seq((1L, true, "c"), (3L, true, "c"), (5L, false, "c"),
+      (2L, true, "t"), (4L, false, "t"), (6L, true, "t"))
+      .toDF("dur", "ev", "arm")
+    val r = EventAnalytics.logRank(df, "dur", "ev", "arm", "c")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 4L)
+    // O−E = −0.5 + 0.4 − 0.5 + 0 = −0.6; V = 0.25+0.24+0.25 = 0.74
+    assert(r.getAs[Double]("o_minus_e") == -0.6)
+    assert(r.getAs[Double]("variance") == 0.74)
+    assert(r.getAs[Double]("chi2") == 0.486486)
+    assert(!r.getAs[Boolean]("significant"))
+    // no events at all -> null chi2, zero events
+    val none = Seq((1L, false, "c"), (2L, false, "t"))
+      .toDF("dur", "ev", "arm")
+    val rn = EventAnalytics.logRank(none, "dur", "ev", "arm", "c")
+      .collect().head
+    assert(rn.getLong(2) == 0L && rn.isNullAt(rn.fieldIndex("chi2")))
+  }
+
+  test("forecastAccuracy: exact MAE, quantized sMAPE, naive-scaled MASE") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 11L), (2L, 12L, 11L), (3L, 11L, 11L),
+      (4L, 13L, 12L), (5L, 12L, 14L))
+      .map { case (t, a, f) => ("k", t, a, f) }
+      .toDF("key", "t", "a", "f")
+    val r = EventAnalytics.forecastAccuracy(df, "key", "t", "a", "f")
+      .collect().head
+    assert(r.getLong(1) == 5L)
+    assert(r.getAs[Double]("mae") == 1.0)
+    // terms: 2e6/21 + 2e6/23 + 0 + 2e6/25 + 4e6/26 (each floored)
+    assert(r.getAs[Double]("smape") == 0.083208)
+    assert(r.getAs[Long]("n_naive") == 4L)
+    assert(r.getAs[Double]("mase") == 0.666667)
+    // constant actuals -> naive MAE 0 -> mase null
+    val const = (1L to 4L).map(t => ("k", t, 5L, 6L))
+      .toDF("key", "t", "a", "f")
+    val rc = EventAnalytics.forecastAccuracy(const, "key", "t", "a", "f")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("mase")))
+    assert(rc.getAs[Double]("mae") == 1.0)
+  }
+
+  test("ljungBox: alternating series Q exact, constant and short " +
+      "series refuse a verdict") {
+    import spark.implicits._
+    val alt = (1L to 6L).map(t =>
+      ("k", t, if (t % 2 == 1) 1L else -1L)).toDF("key", "t", "x")
+    val r = EventAnalytics.ljungBox(alt, "key", "t", "x", maxLag = 2)
+      .collect().head
+    // rho1 = -5/6, rho2 = 2/3: Q = 6*8*(25/36/5 + 4/9/4) = 12 exactly
+    assert(r.getAs[Double]("q_stat") == 12.0)
+    assert(r.getAs[Boolean]("significant")) // chi2(2) crit 5.991
+    val const = (1L to 6L).map(t => ("k", t, 7L)).toDF("key", "t", "x")
+    val rc = EventAnalytics.ljungBox(const, "key", "t", "x", 2)
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("q_stat")))
+    val short = (1L to 2L).map(t => ("k", t, t)).toDF("key", "t", "x")
+    val rs = EventAnalytics.ljungBox(short, "key", "t", "x", 2)
+      .collect().head
+    assert(rs.isNullAt(rs.fieldIndex("q_stat")))
+  }
+
   test("itemCooccurrence: exact cos² micro-scores, duplicate " +
       "interactions collapse, bot cap drops the user, topK per item") {
     import spark.implicits._

@@ -2210,4 +2210,46 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Double]("loading")).toMap
     assert(g2 == Map(0 -> 0.6, 1 -> 0.8), g2)
   }
+
+  test("bleu: corpus-level clipped precisions, brevity penalty, " +
+      "zero-match floor, short-candidate null") {
+    import spark.implicits._
+    // pair 1 perfect, pair 2 disjoint: corpus p1 = 3/5, p2 = 2/3
+    val df = Seq(("g", 1L, "the cat sat", "the cat sat"),
+      ("g", 2L, "a b", "c d")).toDF("grp", "id", "cand", "ref")
+    val r = graft.ops.TextAnalysis.bleu(df, "grp", "id", "cand", "ref",
+      maxN = 2).collect().head
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("cand_len") == 5L &&
+      r.getAs[Long]("ref_len") == 5L)
+    assert(r.getAs[Long]("match_1") == 3L &&
+      r.getAs[Long]("total_1") == 5L)
+    assert(r.getAs[Long]("match_2") == 2L &&
+      r.getAs[Long]("total_2") == 3L)
+    assert(r.getAs[Double]("bp") == 1.0)
+    // exp((ln 0.6 + ln(2/3))/2) = sqrt(0.4)
+    assert(r.getAs[Double]("bleu") == 0.632456)
+    // clipping: candidate repeats a reference word 3x, ref has it once
+    val clip = Seq(("g", 1L, "x x x", "x y")).toDF("grp", "id", "cand", "ref")
+    val rc = graft.ops.TextAnalysis.bleu(clip, "grp", "id", "cand", "ref",
+      maxN = 1).collect().head
+    assert(rc.getAs[Long]("match_1") == 1L &&
+      rc.getAs[Long]("total_1") == 3L)
+    // brevity penalty: perfect short candidate, BP = e^(1-4/2)
+    val short = Seq(("g", 1L, "the cat", "the cat sat on"))
+      .toDF("grp", "id", "cand", "ref")
+    val rs = graft.ops.TextAnalysis.bleu(short, "grp", "id", "cand", "ref",
+      maxN = 1).collect().head
+    assert(rs.getAs[Double]("bp") == 0.367879)
+    assert(rs.getAs[Double]("bleu") == 0.367879)
+    // zero corpus matches at some n -> 0.0; zero TOTAL at some n -> null
+    val zero = Seq(("g", 1L, "a b", "c d")).toDF("grp", "id", "cand", "ref")
+    val rz = graft.ops.TextAnalysis.bleu(zero, "grp", "id", "cand", "ref",
+      maxN = 2).collect().head
+    assert(rz.getAs[Double]("bleu") == 0.0)
+    val tiny = Seq(("g", 1L, "a", "a")).toDF("grp", "id", "cand", "ref")
+    val rt = graft.ops.TextAnalysis.bleu(tiny, "grp", "id", "cand", "ref",
+      maxN = 2).collect().head
+    assert(rt.isNullAt(rt.fieldIndex("bleu"))) // no bigrams to score
+  }
 }

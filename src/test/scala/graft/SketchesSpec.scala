@@ -1938,6 +1938,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("neg") == ((2.0, 0.0, -2.0)))
   }
 
+  test("cohensD: pooled-variance d, Hedges correction, magnitude " +
+      "buckets, control and degenerate rows null") {
+    import spark.implicits._
+    val df = (Seq(12L, 14L, 16L).map(("t", _)) ++
+      Seq(10L, 10L, 12L, 12L).map(("c", _)) ++
+      Seq(9L).map(("solo", _))).toDF("variant", "v")
+    val got = graft.ops.Profiling.cohensD(df, "variant", "v", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("mean"),
+          Option(r.getAs[java.lang.Double]("d")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("hedges_g"))
+            .map(_.doubleValue),
+          Option(r.getAs[String]("magnitude"))))).toMap
+    // pooled s² = (2·4 + 3·4/3)/5 = 2.4; d = 3/√2.4; g = d·16/19
+    assert(got("t") == ((14.0, Some(1.936492), Some(1.63073),
+      Some("large"))))
+    assert(got("c") == ((11.0, None, None, None)))
+    assert(got("solo") == ((9.0, None, None, None))) // n = 1
+  }
+
+  test("ipwAte: post-stratified ATE, single-arm buckets dropped " +
+      "and counted") {
+    import spark.implicits._
+    val df = Seq(
+      ("b1", true, 10L), ("b1", true, 12L),
+      ("b1", false, 5L), ("b1", false, 7L),
+      ("b2", true, 20L), ("b2", false, 10L), ("b2", false, 10L),
+      ("b3", true, 99L)) // no control -> dropped
+      .toDF("bucket", "treated", "y")
+    val r = graft.ops.Profiling.ipwAte(df, "bucket", "treated", "y")
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L && r.getLong(4) == 1L)
+    // ATE = (4·5 + 3·10)/7
+    assert(r.getAs[Double]("ate") == 7.142857)
+    assert(r.getAs[Double]("treated_mean") == 14.857143)
+    assert(r.getAs[Double]("control_mean") == 7.714286)
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =
