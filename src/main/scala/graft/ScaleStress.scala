@@ -924,6 +924,40 @@ object ScaleStress {
     Dedup.minhashNearDups(docs1x.limit(200), "doc_id", "text", 8, 4).count()
     Caches.releaseAll()
 
+    // q329/q330 shapes: fixed-radius grid join + DBSCAN at CONSTANT
+    // density — the field side scales with √N so true pair count (and
+    // therefore the honest cost) grows linearly; a fixed field would
+    // measure the quadratic density blowup, not the operator. The
+    // q334 BLEU corpus join rides the same doc tables.
+    def runSpatial(scale: String, docs: DataFrame): Unit = {
+      val n = docs.count()
+      val side = math.max(1L, math.round(math.sqrt(n.toDouble) * 30.0))
+      val pts = docs.select(col("doc_id"),
+        ((col("doc_id") * 2654435761L) % side).as("x"),
+        ((col("doc_id") * 40503L + 7L) % side).as("y"))
+      timed(scale, "grid_radius_join") {
+        val out = graft.ops.Spatial.gridRadiusJoin(
+          pts, "doc_id", "x", "y", radius = 40L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "dbscan") {
+        val out = graft.ops.Spatial.dbscanLite(
+          pts, "doc_id", "x", "y", eps = 40L, minPts = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "bleu") {
+        val ws = regexp_extract_all(lower(col("text")),
+          lit("[^\\s]+"), lit(0))
+        val d = docs.select(lit("all").as("g"), col("doc_id"),
+          concat_ws(" ", slice(ws, 1, 30)).as("cand"),
+          col("text").as("ref"))
+        val out = TextAnalysis.bleu(d, "g", "doc_id", "cand", "ref")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    }
+    runSpatial("1x", docs1x)
+    runSpatial("10x", docs10x)
+
     run("1x", docs1x)
     run("10x", docs10x)
 
@@ -1980,6 +2014,54 @@ object ScaleStress {
           .withColumn("one", lit(1L))
         val out = graft.ops.Profiling.ratioMetric(e2, "user_id",
           "variant", "click", "one", control = "control")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q331 shape: hotspots — one partial collapse to cells; the 3×3
+      // smear explodes the CELL table only (grid-bounded, not rows)
+      timed(scale, "hotspots") {
+        val p = ev.select((col("user_id") * 7919L % 100000L).as("x"),
+          (col("event_id") * 104729L % 100000L).as("y"))
+        val out = graft.ops.Spatial.spatialHotspots(p, "x", "y", 500L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q332 shape: link prediction — wedge equi-join; the id spaces
+      // grow with the log (10× offsets), so edges and wedges scale
+      // instead of saturating a fixed fold space
+      timed(scale, "link_prediction") {
+        val e2 = ev.select((col("user_id") % 19997L).as("a"),
+          (lit(19997L) + col("event_id") % 39989L).as("b"))
+        val out = graft.ops.Graph.linkPrediction(e2, "a", "b", topK = 100)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q333 shape: item co-occurrence — per-user pair explode bounded
+      // by the bot cap, pair table bounded by items²
+      timed(scale, "item_cooccurrence") {
+        val e2 = ev.select(col("user_id").as("u"),
+          (col("event_id") % 97L).as("i"))
+        val out = graft.ops.EventAnalytics.itemCooccurrence(
+          e2, "u", "i", topK = 5)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q336/q338/q339 shapes: survival + series scorecards — windows
+      // and lag joins over the distinct-DAY grid only
+      timed(scale, "log_rank") {
+        val d = ev.select((col("tus") / 86400000000L).cast("long")
+            .as("dur"),
+          (col("event_id") % 3 =!= 0).as("e"),
+          when(col("user_id") % 2 === 0, lit("ctl")).otherwise(lit("trt"))
+            .as("arm"))
+        val out = graft.ops.EventAnalytics.logRank(
+          d, "dur", "e", "arm", "ctl")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "forecast_accuracy") {
+        val daily = ev.groupBy(col("event_type"),
+            (col("tus") / 86400000000L).cast("long").as("t"))
+          .agg(count(lit(1)).as("a"))
+          .select(col("event_type"), col("t"), col("a"),
+            (col("a") + col("t") % 5 - 2).as("f"))
+        val out = graft.ops.EventAnalytics.forecastAccuracy(
+          daily, "event_type", "t", "a", "f", season = 7)
         (out.queryExecution.toRdd.count(), sig(out))
       }
     }

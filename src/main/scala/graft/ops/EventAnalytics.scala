@@ -1152,6 +1152,44 @@ object EventAnalytics {
           lit(1.0), (a, s) => a * s.getField("f")), 6).as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard over right-censored durations —
+    * the additive companion to [[kaplanMeier]]'s product-limit
+    * survival: `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ`. The hazard view is what
+    * reliability/churn models consume directly (its slope IS the
+    * instantaneous risk; plateaus read as "the danger has passed"),
+    * and at small risk sets it is numerically steadier than −ln(KM).
+    *
+    * Same exact-integer risk-set grid as KM (windows over DISTINCT
+    * times, never rows); the float fold runs time-sorted on both
+    * engines. Returns `(t, n_risk, n_event, n_censored, cum_hazard)`
+    * rounded to 6. */
+  def nelsonAalen(durations: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    graft.ops.Profiling.requireIntegral(durations, durationCol,
+      "nelsonAalen")
+    val base = durations.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("__e__"))
+    val perT = base.groupBy(col("t")).agg(
+      sum(when(col("__e__"), 1L).otherwise(0L)).as("n_event"),
+      sum(when(col("__e__"), 0L).otherwise(1L)).as("n_censored"))
+    val total = base.agg(count(lit(1)).as("__n__"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = perT.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__n__") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(w), lit(0L)))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"))
+    val steps = atRisk
+      .agg(sort_array(collect_list(struct(col("t").as("ft"),
+        (col("n_event").cast("double") / col("n_risk").cast("double"))
+          .as("h")))).as("__hs__"))
+    atRisk.crossJoin(broadcast(steps))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(aggregate(
+          filter(col("__hs__"), s => s.getField("ft") <= col("t")),
+          lit(0.0), (a, s) => a + s.getField("h")), 6).as("cum_hazard"))
+  }
+
   /** Two-group log-rank test over right-censored durations — "did the
     * treatment arm survive LONGER?" as a whole-curve hypothesis test,
     * the significance companion to [[kaplanMeier]]'s estimate (eyeballing
@@ -1517,6 +1555,58 @@ object EventAnalytics {
           lit(math.round(c * 1e6).toDouble))
         .as("significant"))
         .getOrElse(lit(null).cast("boolean").as("significant")))
+  }
+
+  /** RFM segmentation — the classic customer-value grid (Hughes 1994):
+    * per entity, Recency (time units since last event, vs the corpus
+    * max timestamp), Frequency (event count) and Monetary (exact value
+    * sum), each scored into `nTiles` quantile tiles with the exact
+    * integer rule `tile = 1 + (usersBelow·nTiles) div totalUsers` —
+    * ties share a tile, no float percentile, no RNG. The recency score
+    * is INVERTED (recent = high) so `555` reads "best customer" per
+    * the standard convention; `rfm_code = 100·r + 10·f + m`.
+    *
+    * Shape: one partial-aggregable per-user collapse, then three
+    * histogram windows over the DISTINCT-value grids (recency is
+    * span-bounded, frequency/monetary grids are value-quantization
+    * bounded — never a global sort of the user table) joined back by
+    * value. Returns `(user, recency, frequency, monetary, r_score,
+    * f_score, m_score, rfm_code)`. */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 9,
+      s"nTiles must be in [2, 9]; got $nTiles")
+    Seq(tsCol, valueCol).foreach(
+      graft.ops.Profiling.requireIntegral(df, _, "rfm"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.groupBy(col(userCol).as("__u__"))
+      .agg(max(col(tsCol).cast("long")).as("__last__"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col(valueCol))).as("__mv__"))
+    val tot = per.agg(count(lit(1)).as("__tot__"),
+      max(col("__last__")).as("__gmax__"))
+    val u = per.crossJoin(broadcast(tot))
+      .select(col("__u__"), col("__tot__"),
+        (col("__gmax__") - col("__last__")).as("recency"),
+        col("frequency"), col("__mv__").cast("long").as("monetary"))
+    def tiles(c: String, out: String): DataFrame = {
+      val h = u.groupBy(col(c)).agg(count(lit(1)).as("__c__"),
+        first(col("__tot__")).as("__t__"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("__cb__", coalesce(sum(col("__c__")).over(w), lit(0L)))
+        .select(col(c),
+          (lit(1L) + expr(s"(__cb__ * ${nTiles}L) div __t__")).as(out))
+    }
+    u.join(tiles("recency", "__rt__"), Seq("recency"))
+      .join(tiles("frequency", "__ft__"), Seq("frequency"))
+      .join(tiles("monetary", "__mt__"), Seq("monetary"))
+      .select(col("__u__").as(userCol), col("recency"), col("frequency"),
+        col("monetary"),
+        (lit((nTiles + 1).toLong) - col("__rt__")).as("r_score"),
+        col("__ft__").as("f_score"), col("__mt__").as("m_score"),
+        ((lit((nTiles + 1).toLong) - col("__rt__")) * 100L +
+          col("__ft__") * 10L + col("__mt__")).as("rfm_code"))
   }
 
   /** Item-item co-occurrence similarity — the classic "users who touched

@@ -1862,6 +1862,67 @@ object Profiling {
           .as("significant"))
   }
 
+  /** Partial correlation per group — the association between x and y
+    * with a confounder z "held fixed":
+    * `r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))`. The
+    * first-order answer to [[simpsonsCheck]]'s alarm and the numeric
+    * sibling of [[mantelHaenszel]] (that one controls a categorical
+    * stratum; this controls a numeric covariate) — doc quality vs
+    * length "controlling for" source size, metric vs treatment
+    * controlling for pre-period.
+    *
+    * One partial-aggregable pass collects all nine exact decimal
+    * moments (listwise deletion: rows with ANY null dropped); each
+    * pairwise r is one double division of exact integers
+    * (`(nΣab − ΣaΣb)/（√da·√db)`, the [[corrMatrix]] tree), and the
+    * partial assembles from those doubles identically on both
+    * engines. Returns `(group, n, r_xy, r_xz, r_yz, r_xy_given_z)` —
+    * nulls when a variance is zero or a control correlation is ±1. */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, zCol: String): DataFrame = {
+    Seq(xCol, yCol, zCol).foreach(requireIntegral(df, _, "partialCorr"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(groupCol).as("__g__"),
+        col(xCol).cast("long").as("__x__"),
+        col(yCol).cast("long").as("__y__"),
+        col(zCol).cast("long").as("__z__"))
+    val m = base.groupBy(col("__g__")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__x__"))).as("__sx__"),
+      sum(dec(col("__y__"))).as("__sy__"),
+      sum(dec(col("__z__"))).as("__sz__"),
+      sum(dec(col("__x__")) * dec(col("__x__"))).as("__qx__"),
+      sum(dec(col("__y__")) * dec(col("__y__"))).as("__qy__"),
+      sum(dec(col("__z__")) * dec(col("__z__"))).as("__qz__"),
+      sum(dec(col("__x__")) * dec(col("__y__"))).as("__sxy__"),
+      sum(dec(col("__x__")) * dec(col("__z__"))).as("__sxz__"),
+      sum(dec(col("__y__")) * dec(col("__z__"))).as("__syz__"))
+    val nn = dec(col("n"))
+    def va(s: String, q: String) = nn * col(q) - col(s) * col(s)
+    def r(ab: String, a: String, b: String, qa: String, qb: String) =
+      try_divide((nn * col(ab) - col(a) * col(b)).cast("double"),
+        sqrt(va(a, qa).cast("double")) * sqrt(va(b, qb).cast("double")))
+    val rxy = r("__sxy__", "__sx__", "__sy__", "__qx__", "__qy__")
+    val rxz = r("__sxz__", "__sx__", "__sz__", "__qx__", "__qz__")
+    val ryz = r("__syz__", "__sy__", "__sz__", "__qy__", "__qz__")
+    val den = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    val anyVar = va("__sx__", "__qx__") > 0 && va("__sy__", "__qy__") > 0 &&
+      va("__sz__", "__qz__") > 0
+    m.select(col("__g__").as(groupCol), col("n"),
+      when(anyVar, round(rxy, 6)).as("r_xy"),
+      when(anyVar, round(rxz, 6)).as("r_xz"),
+      when(anyVar, round(ryz, 6)).as("r_yz"),
+      // den > 1e-6, not > 0: a control that is an exact affine image
+      // of x rounds to |r| = 1 ± one ulp, leaving den ~1e-16 and the
+      // ratio pure float noise — the guard declares collinear controls
+      // unanswerable (both engines compute the identical doubles, so
+      // the epsilon compare is deterministic)
+      when(anyVar && den > 1e-6,
+        round(try_divide(rxy - rxz * ryz, den), 6)).as("r_xy_given_z"))
+  }
+
   /** Cohen's d / Hedges' g standardized effect size per variant vs the
     * named control — the HOW-BIG companion to [[welchTTest]]'s
     * whether (a p-value at experiment scale says almost nothing about

@@ -1124,4 +1124,52 @@ object Streaming {
           Iterator.single((g, n, r, c, dof, chi2.map(r6), v, sig))
       }
   }
+
+  /** Streaming twin of [[graft.ops.EventAnalytics.forecastAccuracy]] —
+    * the live forecast-QA dashboard: as (key, t, actual, forecast)
+    * points land, every micro-batch re-emits the batch-identical
+    * MAE/sMAPE/MASE scorecard over everything arrived. State is the
+    * per-key (t → (a, f)) series map — O(grid span), the same
+    * span-not-rows bound the batch op's naive join carries; a
+    * re-delivered (key, t) UPSERTS (last write wins), and a
+    * late-arriving t forms its seasonal-naive pairs retroactively —
+    * exactly what the batch replay over the full table would produce.
+    * All sums are exact integers (order-free), divisions and HALF_UP
+    * rounding match the batch op term for term. Rows are
+    * (key, t, actual, forecast). */
+  def forecastAccuracyStream(rows: Dataset[(String, Long, Long, Long)],
+      season: Int = 1)
+      : Dataset[(String, Long, Double, Double, Long, Option[Double])] = {
+    import rows.sparkSession.implicits._
+    require(season >= 1, s"season must be >= 1; got $season")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)],
+        (String, Long, Double, Double, Long, Option[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, it, state) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          it.foreach { case (_, t, a, f) => m += t -> ((a, f)) }
+          state.update(m)
+          val n = m.size.toLong
+          var se = BigInt(0); var ss = 0L
+          m.foreach { case (_, (a, f)) =>
+            val err = math.abs(a - f); se += err
+            val den = math.abs(a) + math.abs(f)
+            if (den > 0) ss += 2000000L * err / den
+          }
+          var nn = 0L; var sn = BigInt(0)
+          m.foreach { case (t, (a, _)) =>
+            m.get(t - season).foreach { case (pa, _) =>
+              nn += 1; sn += BigInt(a - pa).abs
+            }
+          }
+          def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val mae = se.toDouble / n.toDouble
+          val mase = if (nn > 0 && sn > 0)
+            Some(r6(mae / (sn.toDouble / nn.toDouble))) else None
+          Iterator.single((k, n, r6(mae),
+            r6(ss.toDouble / (n.toDouble * 1000000.0)), nn, mase))
+      }
+  }
 }

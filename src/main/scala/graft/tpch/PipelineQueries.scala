@@ -3626,7 +3626,9 @@ object PipelineQueries {
           concat_ws(" ", slice(ws, 1, 30)))
           .otherwise(concat_ws(" ", reverse(slice(ws, 1, 30))))
           .as("cand"),
-        col("text").as("ref"))
+        // 60-word reference prefix: everything the 30-word candidates
+        // can match, at an eighth of the full-text gram volume
+        concat_ws(" ", slice(ws, 1, 60)).as("ref"))
       TextAnalysis.bleu(d, "lang", "doc_id", "cand", "ref")
         .orderBy(col("lang"))
     }),
@@ -3699,6 +3701,42 @@ object PipelineQueries {
         .agg(count(lit(1)).as("x"))
       EventAnalytics.ljungBox(daily, "event_type", "t", "x", maxLag = 5)
         .orderBy(col("event_type"))
+    }),
+
+    // Nelson-Aalen cumulative hazard over the q336 duration layout —
+    // the additive twin of the q229 Kaplan-Meier curve
+    "q340_nelson_aalen" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(
+          (expr("unix_micros(ts) div 86400000000") - 19700L +
+            when(col("user_id") % 2 === 1, col("event_id") % 5)
+              .otherwise(lit(0L))).as("dur"),
+          (col("event_id") % 3 =!= 0).as("ev"))
+      EventAnalytics.nelsonAalen(ev, "dur", "ev").orderBy(col("t"))
+    }),
+
+    // partial correlation per event type: x and y both ride the
+    // user-tier confounder z — r_xy reads strong, r_xy·z collapses
+    "q341_partial_corr" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") +
+            (col("user_id") % 50) * 20L).as("x"),
+          ((col("user_id") % 50) * 30L + col("event_id") % 13).as("y"),
+          (col("user_id") % 50).as("z"))
+      graft.ops.Profiling.partialCorr(ev, "event_type", "x", "y", "z")
+        .orderBy(col("event_type"))
+    }),
+
+    // RFM segmentation of the user base: exact integer quintile tiles
+    // over recency/frequency/monetary, inverted recency score
+    "q342_rfm" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      EventAnalytics.rfm(ev, "user_id", "tus", "v", nTiles = 5)
+        .orderBy(col("user_id"))
     }),
 
     // top-50 vocabulary with a deterministic total order
@@ -4018,8 +4056,10 @@ object PipelineQueries {
          |    CASE WHEN doc_id % 2 = 0 THEN list_slice(w, 1, 30)
          |      ELSE list_reverse(list_slice(w, 1, 30)) END AS w
          |  FROM dtok),
+         |rtok AS (SELECT lang, doc_id, list_slice(w, 1, 60) AS w
+         |  FROM dtok),
          |${side("ctok", "c")},
-         |${side("dtok", "r")},
+         |${side("rtok", "r")},
          |j AS (SELECT lang, doc_id, n,
          |    LEAST(COALESCE(cn, 0), COALESCE(rn, 0)) AS m,
          |    COALESCE(cn, 0) AS c, COALESCE(rn, 0) AS r
@@ -4052,6 +4092,114 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    "q340_nelson_aalen" ->
+      """WITH b AS (SELECT
+        |    (epoch_us(ts) // 86400000000) - 19700 +
+        |      (CASE WHEN user_id % 2 = 1 THEN event_id % 5
+        |        ELSE 0 END) AS t,
+        |    event_id % 3 <> 0 AS e
+        |  FROM events),
+        |p AS (SELECT t,
+        |    CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_event,
+        |    CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(1) AS BIGINT) AS total FROM b),
+        |ar AS (SELECT t, n_event, n_censored,
+        |    tt.total - COALESCE(SUM(n_event + n_censored) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM p CROSS JOIN tt),
+        |hs AS (SELECT list(struct_pack(ft := t,
+        |    h := CAST(n_event AS DOUBLE) / n_risk)
+        |    ORDER BY t) AS l FROM ar)
+        |SELECT ar.t, CAST(ar.n_risk AS BIGINT) AS n_risk, ar.n_event,
+        |  ar.n_censored,
+        |  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_filter(hs.l, x -> x.ft <= ar.t),
+        |      x -> x.h)), (a, b) -> a + b), 6) AS cum_hazard
+        |FROM ar CROSS JOIN hs ORDER BY ar.t""".stripMargin,
+
+    "q341_partial_corr" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) +
+        |      (user_id % 50) * 20 AS x,
+        |    (user_id % 50) * 30 + event_id % 13 AS y,
+        |    user_id % 50 AS z
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(z AS HUGEINT)) AS sz,
+        |    SUM(CAST(x AS HUGEINT) * x) AS qx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS qy,
+        |    SUM(CAST(z AS HUGEINT) * z) AS qz,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * z) AS sxz,
+        |    SUM(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT g, n,
+        |    n * qx - sx * sx AS vx, n * qy - sy * sy AS vy,
+        |    n * qz - sz * sz AS vz,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * qx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * qy - sy * sy AS DOUBLE))) AS rxy,
+        |    CAST(n * sxz - sx * sz AS DOUBLE) /
+        |      (sqrt(CAST(n * qx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * qz - sz * sz AS DOUBLE))) AS rxz,
+        |    CAST(n * syz - sy * sz AS DOUBLE) /
+        |      (sqrt(CAST(n * qy - sy * sy AS DOUBLE)) *
+        |       sqrt(CAST(n * qz - sz * sz AS DOUBLE))) AS ryz
+        |  FROM m),
+        |d AS (SELECT g, n, vx > 0 AND vy > 0 AND vz > 0 AS ok,
+        |    rxy, rxz, ryz,
+        |    sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS den
+        |  FROM r)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN ok THEN ROUND(rxy, 6) END AS r_xy,
+        |  CASE WHEN ok THEN ROUND(rxz, 6) END AS r_xz,
+        |  CASE WHEN ok THEN ROUND(ryz, 6) END AS r_yz,
+        |  CASE WHEN ok AND den > 0.000001 THEN
+        |    ROUND((rxy - rxz * ryz) / den, 6) END AS r_xy_given_z
+        |FROM d ORDER BY 1""".stripMargin,
+
+    "q342_rfm" ->
+      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS last,
+        |    CAST(COUNT(1) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS monetary
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(1) AS BIGINT) AS tot,
+        |    MAX(last) AS gmax FROM per),
+        |u AS (SELECT user_id, gmax - last AS recency, frequency,
+        |    monetary, tot
+        |  FROM per CROSS JOIN g),
+        |rt AS (SELECT v AS recency, 1 + (COALESCE(SUM(c) OVER (
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) * 5) // t AS rtile
+        |  FROM (SELECT recency AS v, CAST(COUNT(1) AS BIGINT) AS c,
+        |    MAX(tot) AS t FROM u GROUP BY 1)),
+        |ft AS (SELECT v AS frequency, 1 + (COALESCE(SUM(c) OVER (
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) * 5) // t AS ftile
+        |  FROM (SELECT frequency AS v, CAST(COUNT(1) AS BIGINT) AS c,
+        |    MAX(tot) AS t FROM u GROUP BY 1)),
+        |mt AS (SELECT v AS monetary, 1 + (COALESCE(SUM(c) OVER (
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) * 5) // t AS mtile
+        |  FROM (SELECT monetary AS v, CAST(COUNT(1) AS BIGINT) AS c,
+        |    MAX(tot) AS t FROM u GROUP BY 1))
+        |SELECT u.user_id, u.recency, u.frequency, u.monetary,
+        |  CAST(6 - rtile AS BIGINT) AS r_score,
+        |  CAST(ftile AS BIGINT) AS f_score,
+        |  CAST(mtile AS BIGINT) AS m_score,
+        |  CAST((6 - rtile) * 100 + ftile * 10 + mtile AS BIGINT)
+        |    AS rfm_code
+        |FROM u JOIN rt USING (recency) JOIN ft USING (frequency)
+        |JOIN mt USING (monetary)
+        |ORDER BY user_id""".stripMargin,
 
     "q335_cohens_d" ->
       """WITH b AS (SELECT event_type AS v,

@@ -1024,6 +1024,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rs.isNullAt(rs.fieldIndex("q_stat")))
   }
 
+  test("nelsonAalen: additive hazard over the risk grid, censoring " +
+      "rows carry the running value") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true), (2L, true), (3L, false),
+      (4L, true), (5L, false)).toDF("dur", "ev")
+    val got = EventAnalytics.nelsonAalen(df, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("cum_hazard"))))
+      .toMap
+    assert(got(1L) == ((6L, 1L, 0.166667)))
+    assert(got(2L) == ((5L, 2L, 0.566667))) // 1/6 + 2/5
+    assert(got(3L) == ((3L, 0L, 0.566667))) // censor-only: flat
+    assert(got(4L) == ((2L, 1L, 1.066667)))
+    assert(got(5L) == ((1L, 0L, 1.066667)))
+  }
+
+  test("rfm: exact integer quantile tiles, inverted recency score, " +
+      "ties share a tile") {
+    import spark.implicits._
+    val df = Seq(("u1", 100L, 10L), ("u1", 90L, 5L),
+      ("u2", 80L, 100L),
+      ("u3", 100L, 1L), ("u3", 99L, 1L), ("u3", 98L, 1L),
+      ("u4", 50L, 50L)).toDF("u", "ts", "v")
+    val got = EventAnalytics.rfm(df, "u", "ts", "v", nTiles = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7))))
+      .toMap
+    assert(got("u1") == ((0L, 2L, 15L, 432L)))
+    assert(got("u2") == ((20L, 1L, 100L, 214L)))
+    assert(got("u3") == ((0L, 3L, 3L, 441L)))
+    assert(got("u4") == ((50L, 1L, 50L, 113L)))
+  }
+
   test("itemCooccurrence: exact cos² micro-scores, duplicate " +
       "interactions collapse, bot cap drops the user, topK per item") {
     import spark.implicits._

@@ -608,4 +608,93 @@ class PlanSpec extends AnyFunSuite {
     assert(ta.contains("BroadcastNestedLoop") ||
       ta.contains("BroadcastHashJoin"), ta)
   }
+
+  test("round-10 spatial/graph/recsys op plans: cell-key equi joins, " +
+      "no cartesian, partial aggs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = (1L to 300L).map(i =>
+      (i, (i * 37) % 500, (i * 73) % 500)).toDF("id", "x", "y")
+    // the fixed-radius join MUST be an equi-join on the cell key —
+    // a naive dist² plan is a BroadcastNestedLoopJoin that dies at
+    // corpus scale
+    val gr = physicalPlan(graft.ops.Spatial.gridRadiusJoin(
+      pts, "id", "x", "y", 20L))
+    assert(!gr.contains("NestedLoop") && !gr.contains("CartesianProduct"),
+      gr)
+    assert(gr.contains("HashJoin") || gr.contains("SortMergeJoin"), gr)
+    // hotspots: the 3×3 smoothing explodes the CELL table only, both
+    // aggregations partial; the single-row global is a broadcast
+    val hs = physicalPlan(graft.ops.Spatial.spatialHotspots(
+      pts, "x", "y", 50L))
+    assert(!hs.contains("NestedLoop") && !hs.contains("CartesianProduct")
+      || hs.contains("BroadcastNestedLoop"), hs) // global single-row
+    assert(hs.contains("partial_"), hs)
+    // link prediction: wedge + degree joins all equi; the top-k is a
+    // global sort of the candidate table (bounded), never of raw rows
+    val edges = (1L to 200L).map(i => (i % 40, 40 + (i * 7) % 60))
+      .toDF("s", "d")
+    val lp = physicalPlan(graft.ops.Graph.linkPrediction(
+      edges, "s", "d", topK = 10))
+    assert(!lp.contains("NestedLoop") && !lp.contains("CartesianProduct"),
+      lp)
+    assert(lp.contains("TakeOrderedAndProject"), lp) // limit fuses sort
+    // item co-occurrence: pair self-join equi on the user key, the
+    // top-k window partitioned by item (never a global window)
+    val ui = (1L to 300L).map(i => (i % 50, i % 23)).toDF("u", "i")
+    val ic = physicalPlan(graft.ops.EventAnalytics.itemCooccurrence(
+      ui, "u", "i", topK = 3))
+    assert(!ic.contains("NestedLoop") && !ic.contains("CartesianProduct"),
+      ic)
+    assert(ic.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("item#")), ic)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("round-10 eval-stats batch-2 op plans: partial aggs, equi " +
+      "lag joins, no data-sized windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 300L).map(i =>
+      (i, (i % 3).toString, i % 30, i % 100, (i % 100) + (i % 7) - 3,
+        i % 2 == 0)).toDF("id", "g", "t", "a", "f", "tr")
+    // BLEU: two explode+count passes, full-outer equi join, partials
+    val docs = (1L to 40L).map(i =>
+      ((i % 3).toString, i, s"w${i % 7} w${(i * 3) % 7} w${(i * 5) % 7}",
+        s"w${i % 7} w${(i * 3) % 7} x"))
+      .toDF("g", "id", "cand", "ref")
+    val bl = physicalPlan(graft.ops.TextAnalysis.bleu(
+      docs, "g", "id", "cand", "ref", maxN = 2))
+    assert(!bl.contains("CartesianProduct") && !bl.contains("NestedLoop"),
+      bl)
+    assert(bl.contains("partial_"), bl)
+    // forecastAccuracy: the naive-lag join is an equi join on
+    // (key, t) — never a window over raw rows
+    val fa = physicalPlan(graft.ops.EventAnalytics.forecastAccuracy(
+      ev, "g", "t", "a", "f"))
+    assert(!fa.contains("windowspecdefinition") &&
+      !fa.contains("NestedLoop"), fa)
+    assert(fa.contains("partial_"), fa)
+    // ljungBox: lag-exploded equi self-join, moment partials
+    val lb = physicalPlan(graft.ops.EventAnalytics.ljungBox(
+      ev.groupBy(col("g"), col("t"))
+        .agg(org.apache.spark.sql.functions.sum(col("a")).as("x")),
+      "g", "t", "x", maxLag = 3))
+    assert(!lb.contains("NestedLoop") && !lb.contains("CartesianProduct"),
+      lb)
+    // logRank: windows only over the distinct-time grid (ordered by t,
+    // unpartitioned by design — the grid is spans, not rows); the
+    // moment collapse is partial
+    val lr = physicalPlan(graft.ops.EventAnalytics.logRank(
+      ev.withColumn("e", col("tr")), "t", "e", "g", "0"))
+    assert(lr.contains("partial_"), lr)
+    // cohensD / ipwAte: single partial collapse + broadcast control
+    val cd = physicalPlan(graft.ops.Profiling.cohensD(
+      ev.withColumn("v", col("a")), "g", "v", "0"))
+    assert(cd.contains("partial_") && cd.contains("Broadcast"), cd)
+    val ia = physicalPlan(graft.ops.Profiling.ipwAte(
+      ev.withColumn("v", col("a")), "g", "tr", "v"))
+    assert(ia.contains("partial_") && !ia.contains("CartesianProduct"),
+      ia)
+  }
 }

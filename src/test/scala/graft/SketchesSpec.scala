@@ -1977,6 +1977,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("partialCorr: orthogonal control passes r_xy through, perfect " +
+      "confounder yields null partial, zero variance refuses") {
+    import spark.implicits._
+    // z orthogonal to both, x vs y perfectly anti-correlated
+    val a = Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 2L, 2L), (2L, 1L, 2L))
+      .map { case (x, y, z) => ("a", x, y, z) }
+    // x = y = z: r_xy = 1 via the confounder, |r_xz| = 1 -> den 0
+    val b = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L))
+      .map { case (x, y, z) => ("b", x, y, z) }
+    // constant x: no variance, every r null
+    val c = Seq((5L, 1L, 1L), (5L, 2L, 3L), (5L, 3L, 2L))
+      .map { case (x, y, z) => ("c", x, y, z) }
+    val got = graft.ops.Profiling.partialCorr(
+      (a ++ b ++ c).toDF("g", "x", "y", "z"), "g", "x", "y", "z")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[java.lang.Double]("r_xy")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("r_xy_given_z"))
+            .map(_.doubleValue)))).toMap
+    assert(got("a") == ((Some(-1.0), Some(-1.0))))
+    assert(got("b") == ((Some(1.0), None)))
+    assert(got("c") == ((None, None)))
+  }
+
   test("lengthBias: gap buckets, tie exclusion, sign-test verdicts") {
     import spark.implicits._
     val duels =

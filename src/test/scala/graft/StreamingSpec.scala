@@ -1206,4 +1206,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(last("o")._5.isEmpty) // single cell: dof 0, no test
     } finally q.stop()
   }
+
+  test("forecastAccuracyStream equals the batch scorecard, late point " +
+      "forms its seasonal pair retroactively") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = Streaming.forecastAccuracyStream(ms.toDS(), season = 7)
+      .toDF("k", "n", "mae", "smape", "n_naive", "mase")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("fa_stream").start()
+    // batch 1: t=1..7 — no seasonal pair exists yet
+    val b1 = (1L to 7L).map(t => ("g", t, 10L + t, 11L + t))
+    // batch 2: t=9..10 first, then the LATE t=8 closes the (1, 8) pair
+    val b2 = Seq(("g", 9L, 25L, 24L), ("g", 10L, 30L, 31L),
+      ("g", 8L, 20L, 18L))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      val early = spark.sql(
+        "SELECT * FROM fa_stream WHERE n = 7").collect().head
+      assert(early.getAs[Long]("n_naive") == 0L &&
+        early.isNullAt(early.fieldIndex("mase")))
+      ms.addData(b2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM fa_stream").collect()
+        .map(r => (r.getLong(1), (r.getDouble(2), r.getDouble(3),
+          r.getLong(4),
+          Option(r.getAs[java.lang.Double]("mase"))
+            .map(_.doubleValue))))
+      val last = rows.maxBy(_._1)
+      import spark.implicits._
+      val batch = graft.ops.EventAnalytics.forecastAccuracy(
+        (b1 ++ b2).toDF("k", "t", "a", "f"), "k", "t", "a", "f",
+        season = 7)
+        .collect().map(r => (r.getAs[Long]("n"),
+          (r.getAs[Double]("mae"), r.getAs[Double]("smape"),
+            r.getAs[Long]("n_naive"),
+            Option(r.getAs[java.lang.Double]("mase"))
+              .map(_.doubleValue)))).head
+      assert(last == batch)
+      assert(last._2._3 == 3L) // pairs (1,8) (2,9) (3,10) all found
+    } finally q.stop()
+  }
 }
