@@ -1923,6 +1923,110 @@ object Profiling {
         round(try_divide(rxy - rxz * ryz, den), 6)).as("r_xy_given_z"))
   }
 
+  /** Trimmed mean per group — the robust location estimate that
+    * ignores the `trimPctMicro`/1e6 fraction at EACH tail (10% default:
+    * the middle 80% decides). The metric to reach for when
+    * [[madOutliers]] shows heavy tails and a mean-based readout
+    * ([[welchTTest]]) would let one whale or one instrumented-client
+    * zero move the number.
+    *
+    * Exactness: k = (n·pct) div 1e6 rows trimmed per side as an exact
+    * integer; each distinct value's surviving multiplicity is the exact
+    * interval overlap `min(cumLe, n−k) − max(cumBefore, k)` off the
+    * value histogram, so the trimmed sum is an exact decimal and the
+    * mean is one division rounded to 6. Windows run over the
+    * DISTINCT-value grid only ([[percentileRank]] shape). Returns
+    * `(group, n, n_used, trimmed_mean, mean)` — trimmed_mean null when
+    * the trim consumes everything. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimPctMicro: Long = 100000L): DataFrame = {
+    require(trimPctMicro >= 0 && trimPctMicro < 500000L,
+      s"trim fraction must be in [0, 0.5) micro; got $trimPctMicro")
+    requireIntegral(df, valueCol, "trimmedMean")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g__"),
+        col(valueCol).cast("long").as("__v__"))
+    val h = base.groupBy(col("__g__"), col("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = base.groupBy(col("__g__"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__v__"))).as("__s__"))
+    val withCum = h
+      .withColumn("__cb__", coalesce(sum(col("__c__")).over(w), lit(0L)))
+      .join(tot, Seq("__g__"))
+      .withColumn("__k__",
+        expr(s"(n * ${trimPctMicro}L) div 1000000L"))
+    val lo = greatest(col("__cb__"), col("__k__"))
+    val hi = least(col("__cb__") + col("__c__"), col("n") - col("__k__"))
+    val kept = when(hi > lo, hi - lo).otherwise(lit(0L))
+    withCum.groupBy(col("__g__"), col("n"), col("__s__"), col("__k__"))
+      .agg(sum(dec(kept) * dec(col("__v__"))).as("__ts__"),
+        sum(kept).as("n_used"))
+      .select(col("__g__").as(groupCol), col("n"), col("n_used"),
+        when(col("n_used") > 0,
+          round(col("__ts__").cast("double") /
+            col("n_used").cast("double"), 6)).as("trimmed_mean"),
+        round(col("__s__").cast("double") / col("n").cast("double"), 6)
+          .as("mean"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) rate shrinkage per item — the
+    * smoothed-CTR / smoothed-pass-rate estimator: an item with 2/2
+    * should NOT outrank one with 480/500, and Laplace's fixed +1 is
+    * the wrong prior strength for every corpus. The prior is fitted to
+    * the corpus itself by method of moments over the item rates, then
+    * each item reads `(k + α)/(n + α + β)` — items with little data
+    * shrink to the corpus mean, items with much data keep their rate.
+    *
+    * Exactness: per-item rates quantize to `r = (k·1e6) div n` (exact
+    * integers), the prior moments are exact decimal sums of those —
+    * order-free — and α/β assemble in doubles from them identically on
+    * both engines. Degenerate priors (zero/overdispersed variance,
+    * fewer than 2 items) yield null shrunken rates, never a silent
+    * fallback. Returns per item:
+    * `(group, item, k, n, rate, shrunk_rate)` rounded to 6.
+    *
+    * Shape: one partial-aggregable (group, item) collapse, one
+    * group-level moment collapse broadcast back. */
+  def ebShrinkRates(df: DataFrame, groupCol: String, itemCol: String,
+      okCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.filter(col(okCol).isNotNull)
+      .select(col(groupCol).as("__g__"), col(itemCol).as("__i__"),
+        col(okCol).cast("boolean").as("__ok__"))
+      .groupBy(col("__g__"), col("__i__"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ok__"), 1L).otherwise(0L)).as("k"))
+      .withColumn("__r__", expr("(k * 1000000L) div n"))
+    val prior = per.groupBy(col("__g__"))
+      .agg(count(lit(1)).as("__cnt__"),
+        sum(dec(col("__r__"))).as("__sr__"),
+        sum(dec(col("__r__")) * dec(col("__r__"))).as("__qr__"))
+    val ii = dec(col("__cnt__"))
+    val m = col("__sr__").cast("double") /
+      (col("__cnt__").cast("double") * 1000000.0)
+    // sample variance of the micro rates, rescaled to rate units
+    val v = try_divide((ii * col("__qr__") -
+      col("__sr__") * col("__sr__")).cast("double"),
+      (ii * ii * (ii - 1)).cast("double")) / 1e12
+    val ab = m * (lit(1.0) - m) / v - lit(1.0)
+    val alpha = m * ab
+    val beta = (lit(1.0) - m) * ab
+    val ok = col("__cnt__") > 1 &&
+      (ii * col("__qr__") - col("__sr__") * col("__sr__")) > 0 &&
+      v < m * (lit(1.0) - m) && m > 0 && m < 1
+    per.join(broadcast(prior), Seq("__g__"))
+      .select(col("__g__").as(groupCol), col("__i__").as(itemCol),
+        col("k"), col("n"),
+        round(col("k").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        when(ok, round((col("k").cast("double") + alpha) /
+          (col("n").cast("double") + alpha + beta), 6))
+          .as("shrunk_rate"))
+  }
+
   /** Cohen's d / Hedges' g standardized effect size per variant vs the
     * named control — the HOW-BIG companion to [[welchTTest]]'s
     * whether (a p-value at experiment scale says almost nothing about

@@ -641,6 +641,81 @@ object TextAnalysis {
           .when(allPos, lit(0.0)).as("bleu")): _*)
   }
 
+  /** chrF (Popović, WMT'15) per group — character n-gram F-β, the
+    * tokenization-free evaluation that survives morphology-rich
+    * languages and tokenizer drift where word-level [[bleu]]/[[rougeN]]
+    * fragment. Whitespace is stripped (the standard), then for
+    * n = 1..`maxN` the per-pair clipped char-n-gram counts pool to
+    * corpus level; `chrF = avg_n Fβ(P_n, R_n)` with β = `beta`
+    * (default 2 — recall-weighted, the published setting), orders with
+    * an empty candidate AND reference side are skipped, zero-match
+    * orders contribute F = 0. All counts exact integers; the F fold
+    * runs in n-order on both engines.
+    *
+    * Shape: the [[bleu]] plan on char grams. Returns
+    * `(group, n_pairs, match_n/totc_n/totr_n for each n, chrf)`. */
+  def chrF(df: DataFrame, groupCol: String, idCol: String,
+      candCol: String, refCol: String, maxN: Int = 6,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]; got $maxN")
+    def stripped(c: Column) =
+      regexp_replace(lower(c), lit("\\s+"), lit(""))
+    def grams(s: Column, n: Int): Column =
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    def tagged(c: String) = concat((1 to maxN).map(n =>
+      transform(grams(stripped(col(c)), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    def cnt(c: String, out: String) =
+      df.select(col(groupCol).as("__grp__"), col(idCol).as("__id__"),
+          explode(tagged(c)).as("__x__"))
+        .groupBy(col("__grp__"), col("__id__"),
+          col("__x__.n").as("__n__"), col("__x__.g").as("__g__"))
+        .agg(count(lit(1)).as(out))
+    val joined = cnt(candCol, "__c__")
+      .join(cnt(refCol, "__r__"),
+        Seq("__grp__", "__id__", "__n__", "__g__"), "full_outer")
+    val perN = joined.groupBy(col("__grp__"), col("__n__"))
+      .agg(sum(least(coalesce(col("__c__"), lit(0L)),
+        coalesce(col("__r__"), lit(0L)))).as("__m__"),
+        sum(coalesce(col("__c__"), lit(0L))).as("__tc__"),
+        sum(coalesce(col("__r__"), lit(0L))).as("__tr__"))
+    val wideCols: Seq[Column] = (1 to maxN).flatMap(n => Seq(
+      sum(when(col("__n__") === n, col("__m__"))).as(s"match_$n"),
+      sum(when(col("__n__") === n, col("__tc__"))).as(s"totc_$n"),
+      sum(when(col("__n__") === n, col("__tr__"))).as(s"totr_$n")))
+    val wide = perN.groupBy(col("__grp__"))
+      .agg(wideCols.head, wideCols.tail: _*)
+    val pairs = df.groupBy(col(groupCol).as("__grp__"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val b2 = beta * beta
+    // n-ordered fold: Σ F_n over usable orders / their count
+    val fTerms = (1 to maxN).map { n =>
+      val m = coalesce(col(s"match_$n"), lit(0L)).cast("double")
+      val tc = coalesce(col(s"totc_$n"), lit(0L))
+      val tr = coalesce(col(s"totr_$n"), lit(0L))
+      val p = m / tc.cast("double")
+      val r = m / tr.cast("double")
+      val usable = tc > 0 && tr > 0
+      val f = when(m > 0,
+        lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+      (usable, f)
+    }
+    val nUsable = fTerms.map { case (u, _) =>
+      when(u, lit(1.0)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val fSum = fTerms.map { case (u, f) =>
+      when(u, f).otherwise(lit(0.0)) }.reduce(_ + _)
+    pairs.join(wide, Seq("__grp__"), "left")
+      .select(Seq(col("__grp__").as(groupCol), col("n_pairs")) ++
+        (1 to maxN).flatMap(n => Seq(
+          coalesce(col(s"match_$n"), lit(0L)).as(s"match_$n"),
+          coalesce(col(s"totc_$n"), lit(0L)).as(s"totc_$n"),
+          coalesce(col(s"totr_$n"), lit(0L)).as(s"totr_$n"))) ++ Seq(
+        when(nUsable > 0, round(fSum / nUsable, 6)).as("chrf")): _*)
+  }
+
   /** Deflate compression-ratio quality signal — the classic
     * repetitiveness filter (Gopher/RefinedWeb prune documents whose
     * compressed size is a small fraction of the raw size: mostly

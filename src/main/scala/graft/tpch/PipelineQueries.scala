@@ -3739,6 +3739,44 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // chrF over the q334 layout — char n-grams survive the reversed
+    // word order far better than word BLEU (the metric's point)
+    "q343_chrf" -> ((s, dir) => {
+      val ws = regexp_extract_all(lower(col("text")),
+        lit("[^\\s]+"), lit(0))
+      val d = docs(s, dir).select(col("lang"), col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws(" ", slice(ws, 1, 30)))
+          .otherwise(concat_ws(" ", reverse(slice(ws, 1, 30))))
+          .as("cand"),
+        concat_ws(" ", slice(ws, 1, 60)).as("ref"))
+      TextAnalysis.chrF(d, "lang", "doc_id", "cand", "ref")
+        .orderBy(col("lang"))
+    }),
+
+    // 10%-trimmed mean of event value per type — the whale-proof
+    // location readout, exact interval-overlap trim off the histogram
+    "q344_trimmed_mean" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      graft.ops.Profiling.trimmedMean(ev, "event_type", "v")
+        .orderBy(col("event_type"))
+    }),
+
+    // empirical-Bayes smoothed pass rates per (type, user-bucket):
+    // corpus-fitted beta prior, small buckets shrink to the mean
+    "q345_eb_shrink" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), (col("user_id") % 100).as("item"),
+          (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+            .as("ok"))
+      graft.ops.Profiling.ebShrinkRates(ev, "event_type", "item", "ok")
+        .orderBy(col("event_type"), col("item"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4092,6 +4130,130 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // char-gram twin of the q334 oracle: substr windows over the
+    // whitespace-stripped strings, order-skipping F2 fold
+    "q343_chrf" -> {
+      def side(tok: String, pre: String) =
+        s"""${pre}g AS (SELECT lang, doc_id, n.n AS n,
+           |    unnest(list_transform(
+           |      range(1, greatest(length(s) - n.n + 2, 1)),
+           |      i -> substr(s, i, n.n))) AS g
+           |  FROM $tok, (VALUES (1), (2), (3), (4), (5), (6)) n(n)),
+           |${pre}c AS (SELECT lang, doc_id, n, g,
+           |    CAST(COUNT(1) AS BIGINT) AS ${pre}n
+           |  FROM ${pre}g GROUP BY ALL)""".stripMargin
+      val fCases = (1 to 6).map { i =>
+        val p = s"CAST(match_$i AS DOUBLE) / CAST(totc_$i AS DOUBLE)"
+        val r = s"CAST(match_$i AS DOUBLE) / CAST(totr_$i AS DOUBLE)"
+        val usable = s"totc_$i > 0 AND totr_$i > 0"
+        val f = s"CASE WHEN match_$i > 0 THEN " +
+          s"5.0 * ($p) * ($r) / (4.0 * ($p) + ($r)) ELSE 0.0 END"
+        (usable, f)
+      }
+      val nUsable = fCases.map { case (u, _) =>
+        s"(CASE WHEN $u THEN 1.0 ELSE 0.0 END)" }.mkString(" + ")
+      val fSum = fCases.map { case (u, f) =>
+        s"(CASE WHEN $u THEN $f ELSE 0.0 END)" }.mkString(" + ")
+      s"""WITH dtok AS (SELECT lang, doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> length(t) > 0) AS w
+         |  FROM documents),
+         |ctok AS (SELECT lang, doc_id, regexp_replace(lower(
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN array_to_string(list_slice(w, 1, 30), ' ')
+         |      ELSE array_to_string(
+         |        list_reverse(list_slice(w, 1, 30)), ' ') END),
+         |    '\\s+', '', 'g') AS s
+         |  FROM dtok),
+         |rtok AS (SELECT lang, doc_id, regexp_replace(lower(
+         |    array_to_string(list_slice(w, 1, 60), ' ')),
+         |    '\\s+', '', 'g') AS s
+         |  FROM dtok),
+         |${side("ctok", "c")},
+         |${side("rtok", "r")},
+         |j AS (SELECT lang, doc_id, n,
+         |    LEAST(COALESCE(cn, 0), COALESCE(rn, 0)) AS m,
+         |    COALESCE(cn, 0) AS c, COALESCE(rn, 0) AS r
+         |  FROM cc FULL JOIN rc USING (lang, doc_id, n, g)),
+         |pern AS (SELECT lang, n, CAST(SUM(m) AS BIGINT) AS mt,
+         |    CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(r) AS BIGINT) AS tr
+         |  FROM j GROUP BY 1, 2),
+         |wide AS (SELECT lang,
+         |    ${(1 to 6).map(i =>
+              s"CAST(COALESCE(SUM(CASE WHEN n = $i THEN mt END), 0) AS BIGINT) AS match_$i, " +
+              s"CAST(COALESCE(SUM(CASE WHEN n = $i THEN tc END), 0) AS BIGINT) AS totc_$i, " +
+              s"CAST(COALESCE(SUM(CASE WHEN n = $i THEN tr END), 0) AS BIGINT) AS totr_$i")
+              .mkString(",\n")}
+         |  FROM pern GROUP BY 1),
+         |np AS (SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_pairs
+         |  FROM documents GROUP BY 1)
+         |SELECT np.lang, n_pairs,
+         |  ${(1 to 6).map(i => s"match_$i, totc_$i, totr_$i")
+              .mkString(", ")},
+         |  CASE WHEN ($nUsable) > 0 THEN
+         |    ROUND(($fSum) / ($nUsable), 6) END AS chrf
+         |FROM np LEFT JOIN wide USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    "q344_trimmed_mean" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(v AS HUGEINT)) AS s
+        |  FROM b GROUP BY 1),
+        |wc AS (SELECT h.g, v, c, n, s,
+        |    COALESCE(SUM(c) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb,
+        |    (n * 100000) // 1000000 AS k
+        |  FROM h JOIN tot ON tot.g = h.g),
+        |kept AS (SELECT g, n, s, k, v,
+        |    CASE WHEN LEAST(cb + c, n - k) > GREATEST(cb, k)
+        |      THEN LEAST(cb + c, n - k) - GREATEST(cb, k)
+        |      ELSE 0 END AS kc
+        |  FROM wc)
+        |SELECT g AS event_type, n, CAST(SUM(kc) AS BIGINT) AS n_used,
+        |  CASE WHEN SUM(kc) > 0 THEN
+        |    ROUND(CAST(SUM(CAST(kc AS HUGEINT) * v) AS DOUBLE) /
+        |      CAST(SUM(kc) AS DOUBLE), 6) END AS trimmed_mean,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean
+        |FROM kept GROUP BY g, n, s, k ORDER BY 1""".stripMargin,
+
+    "q345_eb_shrink" ->
+      """WITH b AS (SELECT event_type AS g, user_id % 100 AS item,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) > 34000 AS ok
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT g, item, CAST(COUNT(1) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM b GROUP BY 1, 2),
+        |pr AS (SELECT per.*, (k * 1000000) // n AS r FROM per),
+        |prior AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS cnt,
+        |    SUM(CAST(r AS HUGEINT)) AS sr,
+        |    SUM(CAST(r AS HUGEINT) * r) AS qr
+        |  FROM pr GROUP BY 1),
+        |pj AS (SELECT pr.g, pr.item, pr.k, pr.n, cnt, sr, qr,
+        |    CAST(sr AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+        |      AS m,
+        |    CAST(cnt * qr - sr * sr AS DOUBLE) /
+        |      CAST(cnt * cnt * (cnt - 1) AS DOUBLE) / 1e12 AS v,
+        |    cnt * qr - sr * sr AS vnum
+        |  FROM pr JOIN prior ON prior.g = pr.g),
+        |ab AS (SELECT g, item, k, n, m, v,
+        |    m * (1.0 - m) / v - 1.0 AS apb,
+        |    cnt > 1 AND vnum > 0 AND v < m * (1.0 - m) AND
+        |      m > 0 AND m < 1 AS okc
+        |  FROM pj)
+        |SELECT g AS event_type, item, k, n,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  CASE WHEN okc THEN
+        |    ROUND((CAST(k AS DOUBLE) + m * apb) /
+        |      (CAST(n AS DOUBLE) + m * apb + (1.0 - m) * apb), 6)
+        |  END AS shrunk_rate
+        |FROM ab ORDER BY event_type, item""".stripMargin,
 
     "q340_nelson_aalen" ->
       """WITH b AS (SELECT

@@ -2211,6 +2211,29 @@ class OpsSpec extends AnyFunSuite {
     assert(g2 == Map(0 -> 0.6, 1 -> 0.8), g2)
   }
 
+  test("chrF: whitespace-free char grams, clipping, order skipping, " +
+      "recall-weighted F2") {
+    import spark.implicits._
+    // identical after space strip -> perfect at every order
+    val same = Seq(("g", 1L, "a b", "ab")).toDF("grp", "id", "cand", "ref")
+    val rs = graft.ops.TextAnalysis.chrF(same, "grp", "id", "cand",
+      "ref", maxN = 2).collect().head
+    assert(rs.getAs[Double]("chrf") == 1.0)
+    assert(rs.getAs[Long]("match_2") == 1L) // "ab" bigram matched
+    // clipped: "aaa" vs "a" -> P=1/3, R=1, F2 = 5PR/(4P+R) = 5/7;
+    // order 2 skipped (no reference bigrams)
+    val clip = Seq(("g", 1L, "aaa", "a")).toDF("grp", "id", "cand", "ref")
+    val rc = graft.ops.TextAnalysis.chrF(clip, "grp", "id", "cand",
+      "ref", maxN = 2).collect().head
+    assert(rc.getAs[Long]("match_1") == 1L &&
+      rc.getAs[Long]("totc_1") == 3L)
+    assert(rc.getAs[Double]("chrf") == 0.714286)
+    // disjoint -> zero-match orders contribute F = 0
+    val zero = Seq(("g", 1L, "ab", "cd")).toDF("grp", "id", "cand", "ref")
+    assert(graft.ops.TextAnalysis.chrF(zero, "grp", "id", "cand", "ref",
+      maxN = 2).collect().head.getAs[Double]("chrf") == 0.0)
+  }
+
   test("bleu: corpus-level clipped precisions, brevity penalty, " +
       "zero-match floor, short-candidate null") {
     import spark.implicits._

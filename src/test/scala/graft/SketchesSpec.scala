@@ -1977,6 +1977,57 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("trimmedMean: exact interval-overlap trim, boundary ties split " +
+      "correctly, zero trim equals the mean") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)) ++
+      Seq(1L, 1L, 1L, 10L).map(("t", _))).toDF("grp", "v")
+    val got = graft.ops.Profiling.trimmedMean(df, "grp", "v",
+        trimPctMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("trimmed_mean"),
+          r.getAs[Double]("mean")))).toMap
+    // g: k=1 per side -> keep {2,3,4}; the whale no longer moves it
+    assert(got("g") == ((5L, 3L, 3.0, 22.0)))
+    // t: k=0 at 20% of 4... (4*0.2=0.8 -> div -> 0): nothing trimmed
+    assert(got("t") == ((4L, 4L, 3.25, 3.25)))
+    // 25% on the tie block: one of the three 1s is trimmed by rank
+    val t2 = graft.ops.Profiling.trimmedMean(
+      Seq(1L, 1L, 1L, 10L).map(("t", _)).toDF("grp", "v"), "grp", "v",
+      trimPctMicro = 250000L).collect().head
+    assert(t2.getLong(2) == 2L && t2.getAs[Double]("trimmed_mean") == 1.0)
+    // zero trim reduces to the plain mean
+    val t0 = graft.ops.Profiling.trimmedMean(
+      Seq(1L, 2L, 3L).map(("z", _)).toDF("grp", "v"), "grp", "v",
+      trimPctMicro = 0L).collect().head
+    assert(t0.getAs[Double]("trimmed_mean") == 2.0)
+  }
+
+  test("ebShrinkRates: MoM beta prior, small-n shrinks hard, " +
+      "degenerate prior refuses") {
+    import spark.implicits._
+    // item a: 2/2, item b: 480/500 -> micro rates 1e6 and 960000
+    val df = (Seq.fill(2)(("g", "a", true)) ++
+      Seq.fill(480)(("g", "b", true)) ++ Seq.fill(20)(("g", "b", false)) ++
+      // lone-item group: no prior can be fit
+      Seq(("solo", "x", true))).toDF("grp", "item", "ok")
+    val got = graft.ops.Profiling.ebShrinkRates(df, "grp", "item", "ok")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[Double]("rate"),
+          Option(r.getAs[java.lang.Double]("shrunk_rate"))
+            .map(_.doubleValue)))).toMap
+    // alpha+beta = m(1-m)/v - 1 = 49 - 1 = 48; alpha = 47.04
+    assert(got(("g", "a")) == ((2L, 2L, 1.0, Some(0.9808))))
+    assert(got(("g", "b")) == ((480L, 500L, 0.96, Some(0.961752))))
+    assert(got(("solo", "x")) == ((1L, 1L, 1.0, None)))
+    // identical rates -> zero variance -> refuse
+    val flat = (Seq.fill(4)(("f", "a", true)) ++ Seq.fill(4)(("f", "b", true)))
+      .toDF("grp", "item", "ok")
+    val gf = graft.ops.Profiling.ebShrinkRates(flat, "grp", "item", "ok")
+      .collect()
+    assert(gf.forall(_.isNullAt(5)))
+  }
+
   test("partialCorr: orthogonal control passes r_xy through, perfect " +
       "confounder yields null partial, zero variance refuses") {
     import spark.implicits._
