@@ -315,6 +315,183 @@ object TextImpls {
     new GenericArrayData(out)
   }
 
+  /** All word n-grams for n = 1..maxN as (n, gram) structs in ONE pass,
+    * DUPLICATES KEPT — BLEU/chrF clipping needs multiset counts, unlike
+    * [[wordNgrams]]' distinct set. Tokenization is the same \s+ class
+    * as the regexp-lambda spec in [[graft.ops.TextAnalysis.bleu]]. */
+  def taggedWordNgrams(s: String, maxN: Int): GenericArrayData = {
+    val len = s.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var tok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val st = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > st) {
+        if (tok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, tok * 2)
+          ends = java.util.Arrays.copyOf(ends, tok * 2)
+        }
+        starts(tok) = st
+        ends(tok) = i
+        tok += 1
+      }
+    }
+    var total = 0
+    var n = 1
+    while (n <= maxN) { total += math.max(0, tok - n + 1); n += 1 }
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    n = 1
+    while (n <= maxN) {
+      var g = 0
+      while (g <= tok - n) {
+        sb.setLength(0)
+        var j = g
+        while (j < g + n) {
+          if (j > g) sb.append(' ')
+          sb.append(s, starts(j), ends(j))
+          j += 1
+        }
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, UTF8String.fromString(sb.toString)))
+        k += 1
+        g += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All char n-grams for n = 1..maxN over the WHITESPACE-STRIPPED
+    * string, code-point windows (matching Spark substr / DuckDB substr
+    * semantics on non-BMP text), duplicates kept — the chrF gram pass
+    * as one JIT loop instead of O(len·maxN) interpreted substr
+    * lambdas. */
+  def taggedCharNgrams(s: String, maxN: Int): GenericArrayData = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!isWs(c)) sb.append(c)
+      i += 1
+    }
+    val t = sb.toString
+    // code-point boundaries
+    val bounds = new Array[Int](t.length + 1)
+    var cp = 0
+    i = 0
+    while (i < t.length) {
+      bounds(cp) = i
+      i += Character.charCount(t.codePointAt(i))
+      cp += 1
+    }
+    bounds(cp) = t.length
+    var total = 0
+    var n = 1
+    while (n <= maxN) { total += math.max(0, cp - n + 1); n += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    n = 1
+    while (n <= maxN) {
+      var g = 0
+      while (g <= cp - n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, UTF8String.fromString(t.substring(bounds(g),
+            bounds(g + n)))))
+        k += 1
+        g += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-PAIR clipped n-gram overlap for n = 1..maxN in one pass —
+    * the row-local heart of BLEU/chrF: candidate and reference live in
+    * the same row, so clipping `Σ_g min(cnt_cand, cnt_ref)` needs no
+    * distributed join at all. Returns (n, m, tc, tr) structs: clipped
+    * matches, candidate total, reference total. `char` selects char
+    * grams over the whitespace-stripped string (code-point windows)
+    * vs space-joined word grams. */
+  def ngramOverlapStats(cand: String, ref: String, maxN: Int,
+      char: Boolean): GenericArrayData = {
+    def wordGramsAt(s: String, n: Int): java.util.ArrayList[String] = {
+      val toks = new java.util.ArrayList[String]()
+      foreachToken(s)(t => toks.add(t))
+      val out = new java.util.ArrayList[String](
+        math.max(0, toks.size - n + 1))
+      val sb = new java.lang.StringBuilder(64)
+      var g = 0
+      while (g <= toks.size - n) {
+        sb.setLength(0)
+        var j = g
+        while (j < g + n) {
+          if (j > g) sb.append(' ')
+          sb.append(toks.get(j))
+          j += 1
+        }
+        out.add(sb.toString)
+        g += 1
+      }
+      out
+    }
+    def charGramsAt(s: String, n: Int): java.util.ArrayList[String] = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i); if (!isWs(c)) sb.append(c); i += 1
+      }
+      val t = sb.toString
+      val bounds = new Array[Int](t.length + 1)
+      var cp = 0
+      i = 0
+      while (i < t.length) {
+        bounds(cp) = i
+        i += Character.charCount(t.codePointAt(i))
+        cp += 1
+      }
+      bounds(cp) = t.length
+      val out = new java.util.ArrayList[String](math.max(0, cp - n + 1))
+      var g = 0
+      while (g <= cp - n) {
+        out.add(t.substring(bounds(g), bounds(g + n)))
+        g += 1
+      }
+      out
+    }
+    val out = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val cg = if (char) charGramsAt(cand, n) else wordGramsAt(cand, n)
+      val rg = if (char) charGramsAt(ref, n) else wordGramsAt(ref, n)
+      val refCnt = new java.util.HashMap[String, Integer](rg.size * 2)
+      var i = 0
+      while (i < rg.size) {
+        refCnt.merge(rg.get(i), Integer.valueOf(1), (a, b) =>
+          Integer.valueOf(a.intValue + b.intValue))
+        i += 1
+      }
+      var m = 0L
+      i = 0
+      while (i < cg.size) {
+        val left = refCnt.get(cg.get(i))
+        if (left != null && left.intValue > 0) {
+          m += 1
+          refCnt.put(cg.get(i), Integer.valueOf(left.intValue - 1))
+        }
+        i += 1
+      }
+      out(n - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, m, cg.size.toLong, rg.size.toLong))
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rebuild `s` from the \s+ tokens NOT covered by any flagged
     * k-shingle: flag i covers tokens i..i+k-1 (0-based, the
     * [[graft.functions.HashImpls.shingleHashes]] position space —
@@ -823,6 +1000,72 @@ case class BpeEncodeStatsExpr(child: Expression,
     copy(child = c)
 }
 
+/** tagged_word_ngrams(text, maxN): every word n-gram for n = 1..maxN as
+  * (n, gram) structs, duplicates kept — the BLEU gram pass in one JIT
+  * loop (the transform/sequence/slice lambda formulation is interpreted
+  * per GRAM and measured 10×+ slower at corpus scale). */
+case class TaggedWordNGramsExpr(child: Expression, maxN: Int)
+    extends UnaryExpression {
+  require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.taggedWordNgrams(v.asInstanceOf[UTF8String].toString, maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextImpls.taggedWordNgrams($c.toString(), $maxN)")
+  override protected def withNewChildInternal(c: Expression): TaggedWordNGramsExpr =
+    copy(child = c)
+}
+
+/** tagged_char_ngrams(text, maxN): every char n-gram over the
+  * whitespace-stripped text for n = 1..maxN as (n, gram) structs —
+  * the chrF gram pass, one JIT loop per row. */
+case class TaggedCharNGramsExpr(child: Expression, maxN: Int)
+    extends UnaryExpression {
+  require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.taggedCharNgrams(v.asInstanceOf[UTF8String].toString, maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextImpls.taggedCharNgrams($c.toString(), $maxN)")
+  override protected def withNewChildInternal(c: Expression): TaggedCharNGramsExpr =
+    copy(child = c)
+}
+
+/** ngram_overlap_stats(cand, ref, maxN, char): per-pair clipped n-gram
+  * overlap (n, m, tc, tr) for n = 1..maxN — the BLEU/chrF inner loop as
+  * ONE row-local JIT pass: the explode+full-outer-join lambda
+  * formulation shuffles every gram of the corpus to clip counts that
+  * never leave the row. */
+case class NgramOverlapStatsExpr(left: Expression, right: Expression,
+    maxN: Int, char: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("m", LongType, nullable = false),
+    StructField("tc", LongType, nullable = false),
+    StructField("tr", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    TextImpls.ngramOverlapStats(c.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString, maxN, char)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"graft.functions.TextImpls.ngramOverlapStats($c.toString(), " +
+        s"$r.toString(), $maxN, $char)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NgramOverlapStatsExpr =
+    copy(left = l, right = r)
+}
+
 object NativeText {
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
   def lang_id(lowered: Column): Column = toCol(LangIdExpr(toExpr(lowered)))
@@ -851,4 +1094,11 @@ object NativeText {
     toCol(BpeEncodeStatsExpr(toExpr(text), merges))
   def gopher_repetition(text: Column): Column =
     toCol(GopherRepetitionExpr(toExpr(text)))
+  def tagged_word_ngrams(text: Column, maxN: Int): Column =
+    toCol(TaggedWordNGramsExpr(toExpr(text), maxN))
+  def tagged_char_ngrams(text: Column, maxN: Int): Column =
+    toCol(TaggedCharNGramsExpr(toExpr(text), maxN))
+  def ngram_overlap_stats(cand: Column, ref: Column, maxN: Int,
+      char: Boolean): Column =
+    toCol(NgramOverlapStatsExpr(toExpr(cand), toExpr(ref), maxN, char))
 }

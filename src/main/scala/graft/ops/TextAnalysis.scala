@@ -581,20 +581,36 @@ object TextAnalysis {
   def bleu(df: DataFrame, groupCol: String, idCol: String,
       candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]; got $maxN")
-    def words(c: Column) =
-      regexp_extract_all(lower(c), lit("[^\\s]+"), lit(0))
-    def gramsFor(ws: Column, n: Int): Column =
-      if (n == 1) ws
-      else when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    def tagged(c: Column) = concat((1 to maxN).map(n =>
-      transform(gramsFor(words(c), n),
-        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    bleuTail(df, groupCol, maxN,
+      perNStats(df, groupCol, candCol, refCol, maxN, char = false))
+  }
+
+  /** Per-(group, n) clipped overlap moments via the row-local native
+    * expression — clipping never leaves the row, so only |groups|·maxN
+    * moment rows ever shuffle (the explode+full-outer-join lambda
+    * formulation — kept below as the cross-validated spec — shuffles
+    * every gram of the corpus). */
+  private def perNStats(df: DataFrame, groupCol: String, candCol: String,
+      refCol: String, maxN: Int, char: Boolean): DataFrame =
+    df.select(col(groupCol).as("__grp__"),
+        explode(graft.functions.NativeText.ngram_overlap_stats(
+          lower(col(candCol)), lower(col(refCol)), maxN, char))
+          .as("__s__"))
+      .groupBy(col("__grp__"), col("__s__.n").as("__n__"))
+      .agg(sum(col("__s__.m")).as("__m__"),
+        sum(col("__s__.tc")).as("__tc__"),
+        sum(col("__s__.tr")).as("__tr__"))
+
+  /** Spec twin of [[bleu]] on the distributed gram-join formulation
+    * (regexp + HOF lambdas + full-outer equi join) — value-identical
+    * output, exercised differentially in OpsSpec; [[bleu]] itself runs
+    * the row-local native path. */
+  private[graft] def bleuViaGramJoin(df: DataFrame, groupCol: String,
+      idCol: String, candCol: String, refCol: String,
+      maxN: Int = 4): DataFrame = {
     def cnt(c: String, out: String) =
       df.select(col(groupCol).as("__grp__"), col(idCol).as("__id__"),
-          explode(tagged(col(c))).as("__x__"))
+          explode(taggedWordGramsLambda(col(c), maxN)).as("__x__"))
         .groupBy(col("__grp__"), col("__id__"),
           col("__x__.n").as("__n__"), col("__x__.g").as("__g__"))
         .agg(count(lit(1)).as(out))
@@ -606,6 +622,11 @@ object TextAnalysis {
         coalesce(col("__r__"), lit(0L)))).as("__m__"),
         sum(coalesce(col("__c__"), lit(0L))).as("__tc__"),
         sum(coalesce(col("__r__"), lit(0L))).as("__tr__"))
+    bleuTail(df, groupCol, maxN, perN)
+  }
+
+  private def bleuTail(df: DataFrame, groupCol: String, maxN: Int,
+      perN: DataFrame): DataFrame = {
     val wideCols: Seq[Column] =
       Seq(sum(when(col("__n__") === 1, col("__tr__"))).as("ref_len")) ++
         (1 to maxN).flatMap(n => Seq(
@@ -658,19 +679,18 @@ object TextAnalysis {
       candCol: String, refCol: String, maxN: Int = 6,
       beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8]; got $maxN")
-    def stripped(c: Column) =
-      regexp_replace(lower(c), lit("\\s+"), lit(""))
-    def grams(s: Column, n: Int): Column =
-      when(length(s) >= n,
-        transform(sequence(lit(1), length(s) - (n - 1)),
-          i => s.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    def tagged(c: String) = concat((1 to maxN).map(n =>
-      transform(grams(stripped(col(c)), n),
-        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    chrfTail(df, groupCol, maxN, beta,
+      perNStats(df, groupCol, candCol, refCol, maxN, char = true))
+  }
+
+  /** Spec twin of [[chrF]] on the gram-join formulation (see
+    * [[bleuViaGramJoin]]). */
+  private[graft] def chrfViaGramJoin(df: DataFrame, groupCol: String,
+      idCol: String, candCol: String, refCol: String, maxN: Int = 6,
+      beta: Double = 2.0): DataFrame = {
     def cnt(c: String, out: String) =
       df.select(col(groupCol).as("__grp__"), col(idCol).as("__id__"),
-          explode(tagged(c)).as("__x__"))
+          explode(taggedCharGramsLambda(col(c), maxN)).as("__x__"))
         .groupBy(col("__grp__"), col("__id__"),
           col("__x__.n").as("__n__"), col("__x__.g").as("__g__"))
         .agg(count(lit(1)).as(out))
@@ -682,6 +702,11 @@ object TextAnalysis {
         coalesce(col("__r__"), lit(0L)))).as("__m__"),
         sum(coalesce(col("__c__"), lit(0L))).as("__tc__"),
         sum(coalesce(col("__r__"), lit(0L))).as("__tr__"))
+    chrfTail(df, groupCol, maxN, beta, perN)
+  }
+
+  private def chrfTail(df: DataFrame, groupCol: String, maxN: Int,
+      beta: Double, perN: DataFrame): DataFrame = {
     val wideCols: Seq[Column] = (1 to maxN).flatMap(n => Seq(
       sum(when(col("__n__") === n, col("__m__"))).as(s"match_$n"),
       sum(when(col("__n__") === n, col("__tc__"))).as(s"totc_$n"),
@@ -714,6 +739,38 @@ object TextAnalysis {
           coalesce(col(s"totc_$n"), lit(0L)).as(s"totc_$n"),
           coalesce(col(s"totr_$n"), lit(0L)).as(s"totr_$n"))) ++ Seq(
         when(nUsable > 0, round(fSum / nUsable, 6)).as("chrf")): _*)
+  }
+
+  /** Interpreted-lambda twin of
+    * [[graft.functions.NativeText.tagged_word_ngrams]] — the executable
+    * spec (builtin regexp + HOF shapes, DuckDB-replayable),
+    * cross-validated element-for-element in OpsSpec. The native
+    * expression is what [[bleu]] runs: HOF lambdas are interpreted per
+    * GRAM, which measured >10× slower at corpus scale. */
+  private[graft] def taggedWordGramsLambda(c: Column, maxN: Int): Column = {
+    val ws = regexp_extract_all(lower(c), lit("[^\\s]+"), lit(0))
+    def gramsFor(n: Int): Column =
+      if (n == 1) ws
+      else when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    concat((1 to maxN).map(n => transform(gramsFor(n),
+      g => struct(lit(n).as("n"), g.as("g")))): _*)
+  }
+
+  /** Interpreted-lambda twin of
+    * [[graft.functions.NativeText.tagged_char_ngrams]] (see
+    * [[taggedWordGramsLambda]]). */
+  private[graft] def taggedCharGramsLambda(c: Column, maxN: Int): Column = {
+    val s = regexp_replace(lower(c), lit("\\s+"), lit(""))
+    def grams(n: Int): Column =
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    concat((1 to maxN).map(n => transform(grams(n),
+      g => struct(lit(n).as("n"), g.as("g")))): _*)
   }
 
   /** Deflate compression-ratio quality signal — the classic

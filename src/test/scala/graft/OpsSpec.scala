@@ -2211,6 +2211,54 @@ class OpsSpec extends AnyFunSuite {
     assert(g2 == Map(0 -> 0.6, 1 -> 0.8), g2)
   }
 
+  test("tagged n-gram native expressions equal their lambda twins " +
+      "element-for-element (order included)") {
+    import spark.implicits._
+    val texts = Seq("the cat sat on the mat", "  tabs\tand\nnewlines  ",
+      "one", "", "a  b   c", "ünïcödé tëxt ünïcödé", "x y z w v u t",
+      "AAA aaa AaA").toDF("t")
+    for (maxN <- Seq(1, 3, 4)) {
+      val w = texts.select(
+        graft.functions.NativeText.tagged_word_ngrams(lower(col("t")),
+          maxN).cast("array<struct<n:int,g:string>>").as("a"),
+        graft.ops.TextAnalysis.taggedWordGramsLambda(col("t"), maxN)
+          .cast("array<struct<n:int,g:string>>").as("b"))
+        .collect()
+      w.foreach(r => assert(r.get(0) == r.get(1), r))
+      val c = texts.select(
+        graft.functions.NativeText.tagged_char_ngrams(lower(col("t")),
+          maxN).cast("array<struct<n:int,g:string>>").as("a"),
+        graft.ops.TextAnalysis.taggedCharGramsLambda(col("t"), maxN)
+          .cast("array<struct<n:int,g:string>>").as("b"))
+        .collect()
+      c.foreach(r => assert(r.get(0) == r.get(1), r))
+    }
+  }
+
+  test("bleu/chrF row-local native path equals the gram-join spec twin " +
+      "on a varied corpus") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      val words = (0 until (i % 9).toInt + 1)
+        .map(j => s"w${(i * 3 + j) % 11}")
+      val cand =
+        if (i % 2 == 0) words.mkString(" ") else words.reverse.mkString(" ")
+      val ref = (0 until (i % 13).toInt + 1)
+        .map(j => s"w${(i + j) % 11}").mkString(" ")
+      ((i % 3).toString, i, cand, ref)
+    }.toDF("g", "id", "cand", "ref")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect().map(_.toSeq).toSeq
+    assert(rows(graft.ops.TextAnalysis.bleu(docs, "g", "id", "cand",
+        "ref", maxN = 3)) ==
+      rows(graft.ops.TextAnalysis.bleuViaGramJoin(docs, "g", "id",
+        "cand", "ref", maxN = 3)))
+    assert(rows(graft.ops.TextAnalysis.chrF(docs, "g", "id", "cand",
+        "ref", maxN = 4)) ==
+      rows(graft.ops.TextAnalysis.chrfViaGramJoin(docs, "g", "id",
+        "cand", "ref", maxN = 4)))
+  }
+
   test("chrF: whitespace-free char grams, clipping, order skipping, " +
       "recall-weighted F2") {
     import spark.implicits._
