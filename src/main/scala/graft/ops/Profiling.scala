@@ -1972,6 +1972,67 @@ object Profiling {
           .as("mean"))
   }
 
+  /** Quantile normalization across groups — each row's value maps to
+    * the GLOBAL value at its within-group percentile (nearest-rank
+    * ⌈p·N⌉), so "grader A's 0.9" and "grader B's 0.7" land on the same
+    * scale when A and B score the same share of their pools below
+    * them. The cross-source score-calibration step before pooling
+    * judge/classifier scores ([[rankNormalize]] flattens to uniform
+    * ranks; this preserves the global distribution's SHAPE).
+    *
+    * Exactness: within-group rank `cumLe` and the target global rank
+    * `⌈cumLe·N/n_g⌉ = (cumLe·N + n_g − 1) div n_g` are exact integers
+    * off the distinct-value histograms; the rank→value lookup is a
+    * union of the two grids scanned by ONE ordered window (first
+    * following global entry with cumLe_G ≥ target) — grid-bounded,
+    * never row-bounded, the [[graft.ops.EventAnalytics.kaplanMeier]]
+    * grid-window posture. Returns every input row plus
+    * `(p_micro, norm_value)`. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol, "quantileNormalize")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g__"),
+        col(valueCol).cast("long").as("__v__"))
+    val h = base.groupBy(col("__g__"), col("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val wg = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ng = base.groupBy(col("__g__")).agg(count(lit(1)).as("__ng__"))
+    val tot = base.agg(count(lit(1)).as("__nn__"))
+    val q = h.withColumn("__cl__", sum(col("__c__")).over(wg))
+      .join(ng, Seq("__g__")).crossJoin(broadcast(tot))
+      .select(col("__g__"), col("__v__"),
+        expr("(__cl__ * 1000000L) div __ng__").as("p_micro"),
+        expr("(__cl__ * __nn__ + __ng__ - 1L) div __ng__").as("__gr__"))
+    val wgl = Window.orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gl = base.groupBy(col("__v__")).agg(count(lit(1)).as("__c__"))
+      .withColumn("__clg__", sum(col("__c__")).over(wgl))
+    // interleave: query rows (tag 0) before global entries (tag 1) at
+    // the same position; each query row's answer is the first global
+    // value at-or-after its target rank
+    val union = q.select(col("__gr__").as("__pos__"),
+        lit(0).as("__tag__"), col("__g__"), col("__v__"),
+        col("p_micro"), lit(null).cast("long").as("__vg__"))
+      .unionAll(gl.select(col("__clg__").as("__pos__"),
+        lit(1).as("__tag__"), lit(null).cast("string").as("__g__"),
+        lit(null).cast("long").as("__v__"),
+        lit(null).cast("long").as("p_micro"),
+        col("__v__").as("__vg__")))
+    val ws = Window.orderBy(col("__pos__"), col("__tag__"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mapped = union
+      .withColumn("__norm__",
+        first(col("__vg__"), ignoreNulls = true).over(ws))
+      .filter(col("__tag__") === 0)
+      .select(col("__g__"), col("__v__"), col("p_micro"),
+        col("__norm__").as("norm_value"))
+    base.join(mapped, Seq("__g__", "__v__"))
+      .select(col("__g__").as(groupCol), col("__v__").as(valueCol),
+        col("p_micro"), col("norm_value"))
+  }
+
   /** Empirical-Bayes (beta-binomial) rate shrinkage per item — the
     * smoothed-CTR / smoothed-pass-rate estimator: an item with 2/2
     * should NOT outrank one with 480/500, and Laplace's fixed +1 is

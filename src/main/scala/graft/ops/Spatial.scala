@@ -142,6 +142,32 @@ object Spatial {
           .otherwise(col("__bcl__")).as("cluster"))
   }
 
+  /** Nearest neighbor within `radius` for every point — the bounded-NN
+    * query (nearest store/sensor/venue within reach; "no neighbor" is a
+    * real answer, not an error). Exact: candidates come from
+    * [[gridRadiusJoin]] (complete within the radius), the winner per
+    * point is min(dist², neighbor id) — a total order, deterministic
+    * under ties. Points with no neighbor in range report null columns.
+    *
+    * Shape: the grid join + one partial-aggregable min(struct) per
+    * point + a left join back to the input — no windows, no global
+    * sort. Returns `(idCol, nn_id, nn_dist2)`. */
+  def fixedRadiusNN(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    val pairs = gridRadiusJoin(df, idCol, xCol, yCol, radius)
+    val sym = pairs.select(col("id_a").as("__id__"),
+        col("id_b").as("__nb__"), col("dist2"))
+      .union(pairs.select(col("id_b").as("__id__"),
+        col("id_a").as("__nb__"), col("dist2")))
+    val best = sym.groupBy(col("__id__"))
+      .agg(min(struct(col("dist2").as("d"), col("__nb__").as("i")))
+        .as("__b__"))
+    df.select(col(idCol).as("__id__"))
+      .join(best, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        col("__b__.i").as("nn_id"), col("__b__.d").as("nn_dist2"))
+  }
+
   /** Grid hotspot detection — per-cell point counts plus the 3×3
     * neighborhood-smoothed count (a Getis-Ord-style local density
     * statistic kept in exact integers), flagging cells whose smoothed

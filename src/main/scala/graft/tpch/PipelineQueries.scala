@@ -3777,6 +3777,24 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("item"))
     }),
 
+    // nearest neighbor within radius 8 on the q329 layout — brute-force
+    // oracle again proves the grid candidates were complete
+    "q346_fixed_radius_nn" -> ((s, dir) =>
+      graft.ops.Spatial.fixedRadiusNN(spatialDocs(s, dir),
+          "doc_id", "x", "y", radius = 8L)
+        .orderBy(col("doc_id"))),
+
+    // quantile normalization of event values ACROSS types: each row
+    // maps to the global value at its within-type percentile
+    "q347_quantile_normalize" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      graft.ops.Profiling.quantileNormalize(ev, "event_type", "v")
+        .orderBy(col("event_type"), col("v"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4130,6 +4148,47 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    "q346_fixed_radius_nn" ->
+      s"""WITH $spatialDocsSql,
+         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+         |  FROM p a JOIN p b ON a.doc_id <> b.doc_id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 64),
+         |sel AS (SELECT ia, ib, d2 FROM pr
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ia
+         |    ORDER BY d2, ib) = 1)
+         |SELECT p.doc_id, sel.ib AS nn_id,
+         |  CAST(sel.d2 AS BIGINT) AS nn_dist2
+         |FROM p LEFT JOIN sel ON sel.ia = p.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q347_quantile_normalize" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |hg AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+        |  FROM h),
+        |ng AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS ngn
+        |  FROM b GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM b),
+        |q AS (SELECT hg.g, hg.v,
+        |    CAST((cl * 1000000) // ngn AS BIGINT) AS p_micro,
+        |    (cl * n + ngn - 1) // ngn AS gr
+        |  FROM hg JOIN ng USING (g) CROSS JOIN nn),
+        |gh AS (SELECT v AS vg, SUM(c2) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clg
+        |  FROM (SELECT v, CAST(COUNT(1) AS BIGINT) AS c2
+        |    FROM b GROUP BY 1)),
+        |mp AS (SELECT q.g, q.v, q.p_micro,
+        |    CAST(MIN(gh.vg) AS BIGINT) AS norm_value
+        |  FROM q JOIN gh ON gh.clg >= q.gr GROUP BY 1, 2, 3)
+        |SELECT b.g AS event_type, b.v AS v, mp.p_micro, mp.norm_value
+        |FROM b JOIN mp ON mp.g = b.g AND mp.v = b.v
+        |ORDER BY event_type, b.v""".stripMargin,
 
     // char-gram twin of the q334 oracle: substr windows over the
     // whitespace-stripped strings, order-skipping F2 fold

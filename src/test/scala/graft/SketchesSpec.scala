@@ -1977,6 +1977,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("quantileNormalize: nearest-rank mapping onto the global " +
+      "distribution, duplicates map consistently") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 2L, 4L).map(("A", _)) ++
+      Seq(10L, 20L).map(("B", _))).toDF("g", "v")
+    val got = graft.ops.Profiling.quantileNormalize(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // global grid: 1(cl1) 2(cl3) 4(cl4) 10(cl5) 20(cl6), N=6
+    assert(got(("A", 1L)) == ((250000L, 2L)))   // gr=ceil(6/4)=2 -> 2
+    assert(got(("A", 2L)) == ((750000L, 10L)))  // gr=ceil(18/4)=5 -> 10
+    assert(got(("A", 4L)) == ((1000000L, 20L)))
+    assert(got(("B", 10L)) == ((500000L, 2L)))  // gr=3 -> first cl>=3 is 2
+    assert(got(("B", 20L)) == ((1000000L, 20L)))
+    // row-level: the duplicate A=2 rows both appear
+    assert(graft.ops.Profiling.quantileNormalize(df, "g", "v")
+      .count() == 6L)
+  }
+
   test("trimmedMean: exact interval-overlap trim, boundary ties split " +
       "correctly, zero trim equals the mean") {
     import spark.implicits._

@@ -110,6 +110,22 @@ class SpatialSpec extends AnyFunSuite {
       math.abs(cx - 5) <= 1 && math.abs(cy - 5) <= 1 })
   }
 
+  test("fixedRadiusNN: nearest within radius, inclusive boundary, " +
+      "id tie-break, out-of-range reports null") {
+    val df = Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 3L, 4L),
+      (4L, 100L, 100L), (10L, 50L, 50L), (11L, 52L, 50L),
+      (12L, 48L, 50L)).toDF("id", "x", "y")
+    val got = Spatial.fixedRadiusNN(df, "id", "x", "y", radius = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(1L) == ((Some(2L), Some(9L))))
+    assert(got(2L) == ((Some(1L), Some(9L)))) // 9 beats 16
+    assert(got(3L) == ((Some(2L), Some(16L)))) // 25 is in range but worse
+    assert(got(4L) == ((None, None)))
+    // 11 and 12 both at dist² 4 from 10: lower id wins
+    assert(got(10L) == ((Some(11L), Some(4L))))
+  }
+
   test("gridRadiusJoin: refuses non-integral coordinates and bad radius") {
     val df = Seq((1L, 1.5, 2.5)).toDF("id", "x", "y")
     intercept[IllegalArgumentException] {
