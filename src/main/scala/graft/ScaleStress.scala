@@ -954,6 +954,23 @@ object ScaleStress {
         val out = TextAnalysis.bleu(d, "g", "doc_id", "cand", "ref")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q343 shape: chrF — same row-local stats pass on char grams
+      // (6 orders over FULL texts, the heavier sibling)
+      timed(scale, "chrf") {
+        val ws = regexp_extract_all(lower(col("text")),
+          lit("[^\\s]+"), lit(0))
+        val d = docs.select(lit("all").as("g"), col("doc_id"),
+          concat_ws(" ", slice(ws, 1, 30)).as("cand"),
+          col("text").as("ref"))
+        val out = TextAnalysis.chrF(d, "g", "doc_id", "cand", "ref")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q346 shape: nearest-in-radius — grid join + min(struct) partial
+      timed(scale, "fixed_radius_nn") {
+        val out = graft.ops.Spatial.fixedRadiusNN(
+          pts, "doc_id", "x", "y", radius = 40L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
     runSpatial("1x", docs1x)
     runSpatial("10x", docs10x)
@@ -2031,6 +2048,51 @@ object ScaleStress {
         val e2 = ev.select((col("user_id") % 19997L).as("a"),
           (lit(19997L) + col("event_id") % 39989L).as("b"))
         val out = graft.ops.Graph.linkPrediction(e2, "a", "b", topK = 100)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q332 with the hub cap ENGAGED: the uncapped row above grows
+      // superlinearly because per-node degree rises with the log; the
+      // cap is the designed bound — this row demonstrates it holds
+      timed(scale, "link_prediction_capped") {
+        val e2 = ev.select((col("user_id") % 19997L).as("a"),
+          (lit(19997L) + col("event_id") % 39989L).as("b"))
+        val out = graft.ops.Graph.linkPrediction(e2, "a", "b",
+          topK = 100, maxWedgeDeg = 60L)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q342 shape: RFM — one per-user collapse + three histogram tiles
+      timed(scale, "rfm") {
+        val out = graft.ops.EventAnalytics.rfm(
+          ev.withColumn("vmil",
+            coalesce(floor(col("value") * 1000 + 0.5).cast("long"),
+              lit(0L))),
+          "user_id", "tus", "vmil")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q344/q347 shapes: value-grid windows only
+      timed(scale, "trimmed_mean") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.trimmedMean(e2, "event_type", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "quantile_normalize") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.quantileNormalize(
+          e2, "event_type", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q345 shape: EB shrinkage — two collapses + broadcast prior
+      timed(scale, "eb_shrink") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select(col("event_type"), (col("user_id") % 1000L).as("item"),
+            (floor(col("value") * 1000 + 0.5).cast("long") > 34000L)
+              .as("ok"))
+        val out = graft.ops.Profiling.ebShrinkRates(e2, "event_type",
+          "item", "ok")
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q333 shape: item co-occurrence — per-user pair explode bounded

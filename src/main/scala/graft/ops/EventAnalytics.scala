@@ -506,6 +506,49 @@ object EventAnalytics {
             e.getField("v") * lit(alpha)).as("ewma"))
   }
 
+  /** Holt's linear (double-exponential) smoothing per key — [[ewma]]'s
+    * trend-aware sibling: level `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`
+    * and trend `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, initialized the
+    * textbook way (`l₁ = y₁`, `b₁ = y₂−y₁`). Returns the final state
+    * and the one-step-ahead forecast `l+b` per key — the cheap
+    * trend-following baseline [[forecastAccuracy]] scores and
+    * [[trend]]'s OLS slope sanity-checks.
+    *
+    * Shape: one per-key collapse; the fold runs over the key's OWN
+    * time-sorted history (the [[ewma]] posture — per-key state is
+    * series-length-bounded, keys scale out). Float recursion is
+    * inherently ordered; both engines replay the identical
+    * (t-sorted) fold. Keys with a single point report null
+    * trend/forecast. */
+  def holt(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    val t = struct(col(tCol).as("t"),
+      col(valueCol).cast("double").as("v"))
+    val g = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(t)).as("__h__"),
+        count(lit(1)).as("n"))
+    val y1 = element_at(col("__h__"), 1).getField("v")
+    val y2 = element_at(col("__h__"), 2).getField("v")
+    val folded = aggregate(
+      slice(col("__h__"), lit(2), size(col("__h__")) - 1),
+      struct(y1.as("l"), (y2 - y1).as("b")),
+      (acc, e) => {
+        val nl = lit(alpha) * e.getField("v") +
+          lit(1.0 - alpha) * (acc("l") + acc("b"))
+        struct(nl.as("l"),
+          (lit(beta) * (nl - acc("l")) +
+            lit(1.0 - beta) * acc("b")).as("b"))
+      })
+    g.select(col(keyCol), col("n"),
+      when(col("n") >= 2, round(folded("l"), 6))
+        .otherwise(round(y1, 6)).as("level"),
+      when(col("n") >= 2, round(folded("b"), 6)).as("trend"),
+      when(col("n") >= 2, round(folded("l") + folded("b"), 6))
+        .as("forecast"))
+  }
+
   /** First-order Markov transition counts over each entity's event-type
     * sequence (next-action modeling, funnel discovery, bot detection by
     * transition signature): consecutive `(from, to)` state pairs in

@@ -3795,6 +3795,19 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("v"))
     }),
 
+    // Holt double-exponential smoothing over the per-type daily series:
+    // final level/trend state + one-step forecast (the baseline q338
+    // scores); textbook l1=y1, b1=y2-y1 init, alpha=0.3 beta=0.1
+    "q348_holt" -> ((s, dir) => {
+      val daily = graft.tpch.EventsModel.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          (expr("unix_micros(ts) div 86400000000") - 19700L).as("t"))
+        .agg(count(lit(1)).as("v"))
+      EventAnalytics.holt(daily, "event_type", "t", "v",
+          alpha = 0.3, beta = 0.1)
+        .orderBy(col("event_type"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4148,6 +4161,39 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // recursive-CTE replay of the Holt fold; (1.0 - 0.3)/(1.0 - 0.1)
+    // are written as SUBTRACTIONS so both engines round the constant
+    // identically (a literal 0.7 is a different double from 1.0-0.3)
+    "q348_holt" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 86400000000) - 19700 AS t,
+        |    CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, CAST(c AS DOUBLE) AS v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY t)
+        |      AS BIGINT) AS rn
+        |  FROM daily),
+        |nn AS (SELECT k, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM s GROUP BY 1),
+        |h(k, rn, l, b) AS (
+        |  SELECT a.k, CAST(2 AS BIGINT),
+        |    0.3 * b2.v + (1.0 - 0.3) * (a.v + (b2.v - a.v)),
+        |    0.1 * ((0.3 * b2.v + (1.0 - 0.3) * (a.v + (b2.v - a.v)))
+        |      - a.v) + (1.0 - 0.1) * (b2.v - a.v)
+        |  FROM s a JOIN s b2 ON b2.k = a.k AND b2.rn = 2
+        |  WHERE a.rn = 1
+        |  UNION ALL
+        |  SELECT h.k, h.rn + 1,
+        |    0.3 * s.v + (1.0 - 0.3) * (h.l + h.b),
+        |    0.1 * ((0.3 * s.v + (1.0 - 0.3) * (h.l + h.b)) - h.l)
+        |      + (1.0 - 0.1) * h.b
+        |  FROM h JOIN s ON s.k = h.k AND s.rn = h.rn + 1)
+        |SELECT nn.k AS event_type, nn.n,
+        |  ROUND(h.l, 6) AS level, ROUND(h.b, 6) AS trend,
+        |  ROUND(h.l + h.b, 6) AS forecast
+        |FROM nn JOIN h ON h.k = nn.k AND h.rn = nn.n
+        |ORDER BY event_type""".stripMargin,
 
     "q346_fixed_radius_nn" ->
       s"""WITH $spatialDocsSql,

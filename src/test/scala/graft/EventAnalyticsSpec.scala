@@ -1024,6 +1024,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rs.isNullAt(rs.fieldIndex("q_stat")))
   }
 
+  test("holt: tracks a perfect linear series exactly, textbook init, " +
+      "single point refuses trend") {
+    import spark.implicits._
+    val df = (Seq((1L, 10L), (2L, 12L), (3L, 14L)).map {
+      case (t, v) => ("lin", t, v) } ++
+      Seq((1L, 10L), (2L, 12L), (3L, 11L)).map {
+        case (t, v) => ("noisy", t, v) } ++
+      Seq(("one", 1L, 10L))).toDF("k", "t", "v")
+    val got = EventAnalytics.holt(df, "k", "t", "v",
+        alpha = 0.5, beta = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("level"),
+          Option(r.getAs[java.lang.Double]("trend")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("forecast"))
+            .map(_.doubleValue)))).toMap
+    assert(got("lin") == ((14.0, Some(2.0), Some(16.0))))
+    assert(got("noisy") == ((12.5, Some(1.25), Some(13.75))))
+    assert(got("one") == ((10.0, None, None)))
+  }
+
   test("nelsonAalen: additive hazard over the risk grid, censoring " +
       "rows carry the running value") {
     import spark.implicits._

@@ -697,4 +697,50 @@ class PlanSpec extends AnyFunSuite {
     assert(ia.contains("partial_") && !ia.contains("CartesianProduct"),
       ia)
   }
+
+  test("round-10 batch-3 op plans: grid windows only, row-local gram " +
+      "stats, histogram tiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 300L).map(i =>
+      (i, (i % 3).toString, i % 30, (i * 7) % 100)).toDF("id", "g", "t", "v")
+    // trimmedMean / quantileNormalize: windows over the DISTINCT-value
+    // grid keyed by group (trim) or the grid union (normalize) — the
+    // raw-row table is never window input
+    val tm = physicalPlan(graft.ops.Profiling.trimmedMean(
+      ev, "g", "v", 100000L))
+    assert(tm.contains("partial_") && !tm.contains("NestedLoop"), tm)
+    assert(tm.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g__#")), tm)
+    val qn = physicalPlan(graft.ops.Profiling.quantileNormalize(
+      ev, "g", "v"))
+    assert(qn.contains("partial_") && !qn.contains("CartesianProduct"),
+      qn)
+    // ebShrinkRates: two partial collapses + broadcast prior join
+    val eb = physicalPlan(graft.ops.Profiling.ebShrinkRates(
+      ev.withColumn("ok", col("v") % 2 === 0), "g", "id", "ok"))
+    assert(eb.contains("partial_") && eb.contains("Broadcast"), eb)
+    // bleu/chrF native path: NO join at all before the moment collapse
+    // (the clipping is row-local), single Generate + partial agg
+    val docs = (1L to 30L).map(i =>
+      ((i % 2).toString, i, s"a b c d", s"a b x")).toDF("g", "id", "c", "r")
+    val bl = physicalPlan(graft.ops.TextAnalysis.bleu(
+      docs, "g", "id", "c", "r", maxN = 2))
+    assert(!bl.contains("SortMergeJoin") || bl.contains("partial_"), bl)
+    assert(bl.contains("Generate"), bl)
+    // fixedRadiusNN: grid equi join + min(struct) partial + left join
+    val pts = (1L to 200L).map(i =>
+      (i, (i * 37) % 300, (i * 73) % 300)).toDF("id", "x", "y")
+    val nn = physicalPlan(graft.ops.Spatial.fixedRadiusNN(
+      pts, "id", "x", "y", 15L))
+    assert(!nn.contains("NestedLoop") && !nn.contains("CartesianProduct"),
+      nn)
+    assert(nn.contains("partial_"), nn)
+    // rfm: three histogram tile joins, no global user sort
+    val rf = physicalPlan(graft.ops.EventAnalytics.rfm(
+      ev.withColumn("ts", col("t") * 100), "id", "ts", "v"))
+    assert(!rf.contains("CartesianProduct") || rf.contains("Broadcast"),
+      rf)
+    assert(!rf.contains("GlobalLimit") && rf.contains("partial_"), rf)
+  }
 }
