@@ -1233,6 +1233,38 @@ object EventAnalytics {
           lit(0.0), (a, s) => a + s.getField("h")), 6).as("cum_hazard"))
   }
 
+  /** Restricted mean survival time — `RMST(τ) = ∫₀^τ S(u) du`, the
+    * area under the [[kaplanMeier]] curve up to the horizon τ: "average
+    * days retained in the first τ days", the single-number effect
+    * readout survival analysts prefer when proportional hazards is
+    * dubious (it is a plain mean of a truncated variable, so
+    * differences are directly interpretable — unlike a hazard ratio).
+    *
+    * Exactness: the survival steps are KM's (6dp, the published
+    * contract); the step integral folds time-sorted on both engines.
+    * Returns one row: `(n, n_events, tau, rmst)`. */
+  def rmst(durations: DataFrame, durationCol: String, eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0; got $tau")
+    val km = kaplanMeier(durations, durationCol, eventCol)
+    val g = km.agg(
+      sort_array(collect_list(struct(col("t"),
+        col("survival").as("s")))).as("__l__"),
+      sum(col("n_event")).as("n_events"),
+      sum(col("n_event") + col("n_censored")).as("n"))
+    val folded = aggregate(col("__l__"),
+      struct(lit(0L).as("pt"), lit(1.0).as("ps"), lit(0.0).as("acc")),
+      (a, e) => struct(e.getField("t").as("pt"),
+        e.getField("s").as("ps"),
+        (a("acc") + a("ps") *
+          (least(e.getField("t"), lit(tau)) -
+            least(a("pt"), lit(tau))).cast("double")).as("acc")))
+    g.select(col("n"), col("n_events"), lit(tau).as("tau"),
+      round(folded("acc") + folded("ps") *
+        greatest(lit(tau) - folded("pt"), lit(0L)).cast("double"), 6)
+        .as("rmst"))
+  }
+
   /** Two-group log-rank test over right-censored durations — "did the
     * treatment arm survive LONGER?" as a whole-curve hypothesis test,
     * the significance companion to [[kaplanMeier]]'s estimate (eyeballing

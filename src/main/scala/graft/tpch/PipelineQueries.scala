@@ -3808,6 +3808,18 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // restricted mean survival time over the q336 duration layout:
+    // area under the KM curve up to day 20
+    "q349_rmst" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(
+          (expr("unix_micros(ts) div 86400000000") - 19700L +
+            when(col("user_id") % 2 === 1, col("event_id") % 5)
+              .otherwise(lit(0L))).as("dur"),
+          (col("event_id") % 3 =!= 0).as("ev"))
+      EventAnalytics.rmst(ev, "dur", "ev", tau = 20L)
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4161,6 +4173,56 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // KM survival replay + recursive step integral up to the horizon
+    "q349_rmst" ->
+      """WITH RECURSIVE b AS (SELECT
+        |    (epoch_us(ts) // 86400000000) - 19700 +
+        |      (CASE WHEN user_id % 2 = 1 THEN event_id % 5
+        |        ELSE 0 END) AS t,
+        |    event_id % 3 <> 0 AS e
+        |  FROM events),
+        |p AS (SELECT t,
+        |    CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_event,
+        |    CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(1) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events
+        |  FROM b),
+        |ar AS (SELECT t, n_event, n_censored,
+        |    tt.total - COALESCE(SUM(n_event + n_censored) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM p CROSS JOIN tt),
+        |fs AS (SELECT list(struct_pack(ft := t,
+        |    f := CAST(1 AS DOUBLE) - CAST(n_event AS DOUBLE) / n_risk)
+        |    ORDER BY t) AS l FROM ar),
+        |sv AS (SELECT ar.t,
+        |    ROUND(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |      list_transform(list_filter(fs.l, x -> x.ft <= ar.t),
+        |        x -> x.f)), (a, c) -> a * c), 6) AS s
+        |  FROM ar CROSS JOIN fs),
+        |g AS (SELECT t, s,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
+        |  FROM sv),
+        |cnt AS (SELECT CAST(COUNT(1) AS BIGINT) AS m FROM g),
+        |r(rn, pt, ps, acc) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT g.rn, g.t, g.s,
+        |    r.acc + r.ps *
+        |      CAST(LEAST(g.t, 20) - LEAST(r.pt, 20) AS DOUBLE)
+        |  FROM r JOIN g ON g.rn = r.rn + 1),
+        |fin AS (SELECT r.pt, r.ps, r.acc
+        |  FROM r JOIN cnt ON r.rn = cnt.m)
+        |SELECT tt.total AS n, tt.n_events, CAST(20 AS BIGINT) AS tau,
+        |  ROUND(fin.acc + fin.ps *
+        |    CAST(GREATEST(20 - fin.pt, 0) AS DOUBLE), 6) AS rmst
+        |FROM fin CROSS JOIN tt""".stripMargin,
 
     // recursive-CTE replay of the Holt fold; (1.0 - 0.3)/(1.0 - 0.1)
     // are written as SUBTRACTIONS so both engines round the constant

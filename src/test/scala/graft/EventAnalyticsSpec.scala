@@ -1044,6 +1044,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got("one") == ((10.0, None, None)))
   }
 
+  test("rmst: step integral under the KM curve, horizon truncation, " +
+      "tail extension at S(last)") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true), (2L, true), (3L, false),
+      (4L, true), (5L, false)).toDF("dur", "ev")
+    val r4 = EventAnalytics.rmst(df, "dur", "ev", tau = 4L)
+      .collect().head
+    assert(r4.getLong(0) == 6L && r4.getLong(1) == 4L)
+    // 1 + 0.833333 + 0.5 + 0.5, then the horizon cuts at t=4
+    assert(r4.getAs[Double]("rmst") == 2.833333)
+    val r10 = EventAnalytics.rmst(df, "dur", "ev", tau = 10L)
+      .collect().head
+    // + 0.25 over [4,5) + 0.25·(10-5) beyond the last observation
+    assert(r10.getAs[Double]("rmst") == 4.333333)
+  }
+
   test("nelsonAalen: additive hazard over the risk grid, censoring " +
       "rows carry the running value") {
     import spark.implicits._
