@@ -1125,6 +1125,56 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.holt]] — the live
+    * trend-following forecast: O(1) (n, lastT, level, trend) state per
+    * key, each micro-batch advances the double-exponential recursion
+    * with the batch-identical float ops and emits the refreshed
+    * one-step forecast. Contract: per key, time must be NON-DECREASING
+    * across batches (the recursion cannot rewind); rows at or below
+    * the high-water mark are dropped and COUNTED (`n_dropped`), never
+    * silently absorbed. Within a batch rows are processed t-sorted.
+    * Rows are (key, t, value). */
+  def holtStream(rows: Dataset[(String, Long, Long)], alpha: Double,
+      beta: Double)
+      : Dataset[(String, Long, Long, Double, Option[Double],
+      Option[Double])] = {
+    import rows.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Double, Long),
+        (String, Long, Long, Double, Option[Double], Option[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, it, state) =>
+          var (n, lastT, l, b, dropped) =
+            state.getOption.getOrElse((0L, Long.MinValue, 0.0, 0.0, 0L))
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, v) =>
+            if (n > 0 && t <= lastT) dropped += 1
+            else {
+              val y = v.toDouble
+              if (n == 0) { l = y }
+              else if (n == 1) {
+                val b0 = y - l
+                val nl = alpha * y + (1.0 - alpha) * (l + b0)
+                b = beta * (nl - l) + (1.0 - beta) * b0
+                l = nl
+              } else {
+                val nl = alpha * y + (1.0 - alpha) * (l + b)
+                b = beta * (nl - l) + (1.0 - beta) * b
+                l = nl
+              }
+              n += 1; lastT = t
+            }
+          }
+          state.update((n, lastT, l, b, dropped))
+          def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          Iterator.single((k, n, dropped, r6(l),
+            if (n >= 2) Some(r6(b)) else None,
+            if (n >= 2) Some(r6(l + b)) else None))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics.forecastAccuracy]] —
     * the live forecast-QA dashboard: as (key, t, actual, forecast)
     * points land, every micro-batch re-emits the batch-identical

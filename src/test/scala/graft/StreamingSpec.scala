@@ -1207,6 +1207,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("holtStream equals the batch fold on ordered prefixes, " +
+      "rewinds are dropped and counted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = Streaming.holtStream(ms.toDS(), alpha = 0.5, beta = 0.5)
+      .toDF("k", "n", "n_dropped", "level", "trend", "forecast")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("holt_stream").start()
+    val b1 = Seq(("g", 1L, 10L), ("g", 2L, 12L))
+    val b2 = Seq(("g", 3L, 11L), ("g", 4L, 15L),
+      ("g", 2L, 99L)) // rewind: dropped
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM holt_stream").collect()
+        .map(r => (r.getLong(1), (r.getLong(2), r.getDouble(3),
+          Option(r.getAs[java.lang.Double]("trend")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("forecast"))
+            .map(_.doubleValue))))
+      val last = rows.maxBy(_._1)
+      import spark.implicits._
+      val batch = graft.ops.EventAnalytics.holt(
+        (b1 ++ b2.take(2)).toDF("k", "t", "v"), "k", "t", "v",
+        alpha = 0.5, beta = 0.5).collect().head
+      assert(last._1 == 4L && last._2._1 == 1L) // the rewind counted
+      assert(last._2._2 == batch.getAs[Double]("level"))
+      assert(last._2._3 == Some(batch.getAs[Double]("trend")))
+      assert(last._2._4 == Some(batch.getAs[Double]("forecast")))
+    } finally q.stop()
+  }
+
   test("forecastAccuracyStream equals the batch scorecard, late point " +
       "forms its seasonal pair retroactively") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
