@@ -549,6 +549,91 @@ object EventAnalytics {
         .as("forecast"))
   }
 
+  /** Additive seasonal decomposition per key — the classical
+    * `y = trend + seasonal + remainder` split (centered moving-average
+    * trend over one `period`, phase-mean seasonal normalized to sum 0):
+    * the first thing to run on any periodic series before [[cusumDrift]]
+    * or [[seasonalAnomalies]], because a level shift and a seasonal
+    * swing look identical until they are separated.
+    *
+    * Exactness: the MA numerator is the exact integer
+    * `Σ w2_j·y_{t+j}` with doubled weights (w2 = 1 at the half-sample
+    * endpoints of an even period, 2 inside — so odd periods are the
+    * plain mean), emitted as one per-target partial-aggregable
+    * collapse; detrended values ride as the exact integer
+    * `2p·y − num2`; phase means and the phase-mean centering fold in
+    * fixed order in doubles FROM those integers. Trend (and remainder)
+    * are null at the `⌊p/2⌋` edge points and anywhere the window is
+    * incomplete (gaps surface as nulls, never as a silently-shorter
+    * window).
+    *
+    * Input contract: ONE row per (key, t) on a dense integral grid
+    * ([[acf]] posture). Shape: one p-way explode + collapse on the
+    * GRID (O(p·span) rows), one (key, phase ≤ p) collapse, one p-row
+    * per-key fold; no windows over raw rows. Returns
+    * `(key, t, value, trend, seasonal, remainder)`. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String, period: Int): DataFrame = {
+    require(period >= 2 && period <= 1000,
+      s"period must be in [2, 1000]; got $period")
+    Seq(tCol, valueCol).foreach(
+      graft.ops.Profiling.requireIntegral(df, _, "seasonalDecompose"))
+    val p = period
+    val h = p / 2
+    val even = p % 2 == 0
+    val offs: Seq[(Int, Long)] =
+      if (even) (-h to h).map(j =>
+        (j, if (j == -h || j == h) 1L else 2L))
+      else (-h to h).map(j => (j, 2L))
+    val twoP = 2L * p
+    val base = df.select(col(keyCol).as("__k__"),
+      col(tCol).cast("long").as("__t__"),
+      col(valueCol).cast("long").as("__y__"))
+    val offsets = array(offs.map { case (j, w2) =>
+      struct(lit(j.toLong).as("j"), lit(w2).as("w2")) }: _*)
+    val contrib = base
+      .select(col("__k__"), explode(offsets).as("__o__"),
+        col("__t__"), col("__y__"))
+      .select(col("__k__"),
+        (col("__t__") - col("__o__.j")).as("__t__"),
+        (col("__o__.w2") * col("__y__")).as("__c__"),
+        col("__o__.w2").as("__w__"))
+    val tr = contrib.groupBy(col("__k__"), col("__t__"))
+      .agg(sum(col("__c__")).as("__num2__"),
+        sum(col("__w__")).as("__wsum__"))
+    val withTrend = base.join(tr, Seq("__k__", "__t__"), "left")
+      .withColumn("__full__", col("__wsum__") === twoP)
+      .withColumn("__detr2p__",
+        when(col("__full__"), lit(twoP) * col("__y__") - col("__num2__")))
+    val phase = withTrend.filter(col("__full__"))
+      .groupBy(col("__k__"), pmod(col("__t__"), lit(p.toLong)).as("__ph__"))
+      .agg(sum(col("__detr2p__").cast("decimal(38,0)")).as("__sd__"),
+        count(lit(1)).as("__cnt__"))
+      .withColumn("__sj__", col("__sd__").cast("double") /
+        (col("__cnt__").cast("double") * twoP.toDouble))
+    val sbar = phase.groupBy(col("__k__"))
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("__ph__").as("ph"),
+          col("__sj__").as("s")))),
+        lit(0.0), (a, x) => a + x("s")) /
+        count(lit(1)).cast("double")).as("__sbar__"))
+    val seas = phase.join(sbar, Seq("__k__"))
+      .select(col("__k__").as("__sk__"), col("__ph__").as("__sph__"),
+        (col("__sj__") - col("__sbar__")).as("__seas__"))
+    val trendD = col("__num2__").cast("double") / lit(twoP.toDouble)
+    withTrend
+      .join(seas, withTrend("__k__") === col("__sk__") &&
+        pmod(withTrend("__t__"), lit(p.toLong)) === col("__sph__"),
+        "left")
+      .select(withTrend("__k__").as(keyCol), col("__t__").as(tCol),
+        col("__y__").as(valueCol),
+        when(col("__full__"), round(trendD, 6)).as("trend"),
+        round(col("__seas__"), 6).as("seasonal"),
+        when(col("__full__") && col("__seas__").isNotNull,
+          round(col("__y__").cast("double") - trendD - col("__seas__"),
+            6)).as("remainder"))
+  }
+
   /** First-order Markov transition counts over each entity's event-type
     * sequence (next-action modeling, funnel discovery, bot detection by
     * transition signature): consecutive `(from, to)` state pairs in

@@ -3820,6 +3820,18 @@ object PipelineQueries {
       EventAnalytics.rmst(ev, "dur", "ev", tau = 20L)
     }),
 
+    // classical additive decomposition of the per-type daily series at
+    // the weekly period: y = trend + seasonal + remainder
+    "q350_seasonal_decompose" -> ((s, dir) => {
+      val daily = graft.tpch.EventsModel.eventsTable(s, dir)
+        .groupBy(col("event_type"),
+          (expr("unix_micros(ts) div 86400000000") - 19700L).as("t"))
+        .agg(count(lit(1)).as("v"))
+      EventAnalytics.seasonalDecompose(daily, "event_type", "t", "v",
+          period = 7)
+        .orderBy(col("event_type"), col("t"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4173,6 +4185,47 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    "q350_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 86400000000) - 19700 AS t,
+        |    CAST(COUNT(1) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |off AS (SELECT * FROM (VALUES (-3, 2), (-2, 2), (-1, 2),
+        |    (0, 2), (1, 2), (2, 2), (3, 2)) o(j, w2)),
+        |contrib AS (SELECT k, t - j AS t, w2 * y AS c, w2 AS w
+        |  FROM daily CROSS JOIN off),
+        |tr AS (SELECT k, t, CAST(SUM(c) AS BIGINT) AS num2,
+        |    CAST(SUM(w) AS BIGINT) AS wsum
+        |  FROM contrib GROUP BY 1, 2),
+        |wt AS (SELECT d.k, d.t, d.y, tr.num2,
+        |    tr.wsum = 14 AS isfull,
+        |    CASE WHEN tr.wsum = 14 THEN 14 * d.y - tr.num2 END AS detr
+        |  FROM daily d LEFT JOIN tr ON tr.k = d.k AND tr.t = d.t),
+        |ph AS (SELECT k, t % 7 AS ph,
+        |    SUM(CAST(detr AS HUGEINT)) AS sd,
+        |    CAST(COUNT(1) AS BIGINT) AS cnt
+        |  FROM wt WHERE isfull GROUP BY 1, 2),
+        |pj AS (SELECT k, ph,
+        |    CAST(sd AS DOUBLE) / (CAST(cnt AS DOUBLE) * 14.0) AS sj
+        |  FROM ph),
+        |sb AS (SELECT k,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(ph := ph, s := sj))), x -> x.s),
+        |      (a, b) -> a + b) / CAST(COUNT(1) AS DOUBLE) AS sbar
+        |  FROM pj GROUP BY 1),
+        |se AS (SELECT pj.k, pj.ph, pj.sj - sb.sbar AS seas
+        |  FROM pj JOIN sb ON sb.k = pj.k)
+        |SELECT wt.k AS event_type, wt.t, wt.y AS v,
+        |  CASE WHEN wt.isfull
+        |    THEN ROUND(CAST(num2 AS DOUBLE) / 14.0, 6) END AS trend,
+        |  ROUND(se.seas, 6) AS seasonal,
+        |  CASE WHEN wt.isfull AND se.seas IS NOT NULL THEN
+        |    ROUND(CAST(wt.y AS DOUBLE) -
+        |      CAST(num2 AS DOUBLE) / 14.0 - se.seas, 6)
+        |  END AS remainder
+        |FROM wt LEFT JOIN se ON se.k = wt.k AND se.ph = wt.t % 7
+        |ORDER BY event_type, t""".stripMargin,
 
     // KM survival replay + recursive step integral up to the horizon
     "q349_rmst" ->

@@ -1044,6 +1044,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got("one") == ((10.0, None, None)))
   }
 
+  test("seasonalDecompose: recovers an exact linear trend + zero-sum " +
+      "seasonal, edges and gaps refuse a trend") {
+    import spark.implicits._
+    // y = 10t + s[t mod 3], s = (0, 3, -3)
+    val seas = Seq(0L, 3L, -3L)
+    val df = (0L to 8L).map(t => ("k", t, 10 * t + seas((t % 3).toInt)))
+      .toDF("k", "t", "y")
+    val got = EventAnalytics.seasonalDecompose(df, "k", "t", "y", 3)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.getAs[java.lang.Double]("trend")).map(_.doubleValue),
+          r.getAs[Double]("seasonal"),
+          Option(r.getAs[java.lang.Double]("remainder"))
+            .map(_.doubleValue)))).toMap
+    assert(got(1L) == ((Some(10.0), 3.0, Some(0.0))))
+    assert(got(4L) == ((Some(40.0), 3.0, Some(0.0))))
+    assert(got(5L) == ((Some(50.0), -3.0, Some(0.0))))
+    assert(got(6L) == ((Some(60.0), 0.0, Some(0.0))))
+    // edges: no full window -> no trend, seasonal still phase-defined
+    assert(got(0L) == ((None, 0.0, None)))
+    assert(got(8L) == ((None, -3.0, None)))
+    // a gap poisons every window that needed the missing point
+    val gap = EventAnalytics.seasonalDecompose(
+      df.filter(col("t") =!= 4L), "k", "t", "y", 3)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3))).toMap
+    assert(gap(3L).isEmpty && gap(5L).isEmpty)
+    assert(gap(2L).nonEmpty && gap(6L).nonEmpty)
+  }
+
   test("rmst: step integral under the KM curve, horizon truncation, " +
       "tail extension at S(last)") {
     import spark.implicits._
