@@ -2033,6 +2033,48 @@ object Profiling {
         col("p_micro"), col("norm_value"))
   }
 
+  /** Isotonic (PAV) calibration per group — the least-squares MONOTONE
+    * score→rate curve: the model-agnostic calibrator that fixes a
+    * ranker whose scores order well but whose magnitudes lie
+    * ([[calibration]] diagnoses the lying; this repairs it without
+    * inventing a parametric shape). Pool-Adjacent-Violators runs as a
+    * JIT expression over the per-group (score, k, n) grid with exact
+    * BigInteger rate comparisons; fitted rates leave as the exact
+    * block-mean rational rendered at 6dp (IEEE division is correctly
+    * rounded, so any representation of the same rational prints the
+    * same double — which is how the DuckDB oracle can replay the fit
+    * through the ENTIRELY DIFFERENT minimax formula
+    * `ŷᵢ = max_{j≤i} min_{l≥i} mean(j..l)` and still hash-match).
+    *
+    * Shape: one partial-aggregable (group, score) collapse, one
+    * grid-bounded per-group collect + native fit, one grid equi
+    * join-back. Returns `(group, score, k, n, fit)` — fit
+    * non-decreasing in score by construction. */
+  def isotonicCalibration(df: DataFrame, groupCol: String,
+      scoreCol: String, okCol: String): DataFrame = {
+    requireIntegral(df, scoreCol, "isotonicCalibration")
+    val grid = df.filter(col(okCol).isNotNull)
+      .select(col(groupCol).as("__g__"),
+        col(scoreCol).cast("long").as("__s__"),
+        col(okCol).cast("boolean").as("__ok__"))
+      .groupBy(col("__g__"), col("__s__"))
+      .agg(sum(when(col("__ok__"), 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"))
+    val per = grid.groupBy(col("__g__"))
+      .agg(sort_array(collect_list(struct(col("__s__").as("s"),
+        col("k").as("k"), col("n").as("n")))).as("__grid__"))
+    val fit = per.select(col("__g__"),
+        explode(graft.functions.NativeStats.pav_fit(col("__grid__")))
+          .as("__f__"))
+      .select(col("__g__"), col("__f__.s").as("__s__"),
+        col("__f__.num").as("__num__"), col("__f__.den").as("__den__"))
+    grid.join(fit, Seq("__g__", "__s__"))
+      .select(col("__g__").as(groupCol), col("__s__").as(scoreCol),
+        col("k"), col("n"),
+        round(col("__num__").cast("double") /
+          col("__den__").cast("double"), 6).as("fit"))
+  }
+
   /** Empirical-Bayes (beta-binomial) rate shrinkage per item — the
     * smoothed-CTR / smoothed-pass-rate estimator: an item with 2/2
     * should NOT outrank one with 480/500, and Laplace's fixed +1 is

@@ -3832,6 +3832,24 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("t"))
     }),
 
+    // isotonic (PAV) calibration of the score→pass-rate curve per
+    // event type: ~29 score levels, user-noise makes the empirical
+    // rates wiggle so real violators get pooled; the oracle replays
+    // the fit through the MINIMAX formula — two entirely different
+    // algorithms must agree to 6dp on every level
+    "q351_isotonic" -> ((s, dir) => {
+      val milli = floor(col("value") * 1000 + 0.5).cast("long")
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(floor(value * 1000 + 0.5) as bigint) div 20000")
+            .as("score"),
+          (milli + (col("user_id") % 7) * 3000L > 35000L).as("ok"))
+      graft.ops.Profiling.isotonicCalibration(ev, "event_type",
+          "score", "ok")
+        .orderBy(col("event_type"), col("score"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4185,6 +4203,42 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    // the minimax characterization of the isotonic fit,
+    // fit_i = max_{j<=i} min_{l>=i} mean(j..l) — an O(L³) brute force
+    // over the score grid that must equal the Spark side's O(L) PAV
+    // stack exactly (both are single divisions of the same exact
+    // integers; IEEE division is correctly rounded, so equal rationals
+    // print equal doubles)
+    "q351_isotonic" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) // 20000 AS s,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) +
+        |      (user_id % 7) * 3000 > 35000 AS ok
+        |  FROM events WHERE value IS NOT NULL),
+        |grid AS (SELECT g, s,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |rg AS (SELECT g, s, k, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY s)
+        |      AS BIGINT) AS rn,
+        |    SUM(k) OVER (PARTITION BY g ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS pk,
+        |    SUM(n) OVER (PARTITION BY g ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS pn
+        |  FROM grid),
+        |mn AS (SELECT i.g, i.rn AS i, j.rn AS j,
+        |    MIN(CAST(l.pk - j.pk + j.k AS DOUBLE) /
+        |        CAST(l.pn - j.pn + j.n AS DOUBLE)) AS mi
+        |  FROM rg i JOIN rg j ON j.g = i.g AND j.rn <= i.rn
+        |  JOIN rg l ON l.g = i.g AND l.rn >= i.rn
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT g, i, MAX(mi) AS f FROM mn GROUP BY 1, 2)
+        |SELECT rg.g AS event_type, rg.s AS score, rg.k, rg.n,
+        |  ROUND(fit.f, 6) AS fit
+        |FROM rg JOIN fit ON fit.g = rg.g AND fit.i = rg.rn
+        |ORDER BY event_type, score""".stripMargin,
 
     "q350_seasonal_decompose" ->
       """WITH daily AS (SELECT event_type AS k,

@@ -1977,6 +1977,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("isotonicCalibration: PAV pools violators to exact block means, " +
+      "monotone input passes through, full reversal pools to the mean") {
+    import spark.implicits._
+    def mk(g: String, triples: Seq[(Long, Int, Int)]) =
+      triples.flatMap { case (s, k, n) =>
+        Seq.fill(k)((g, s, true)) ++ Seq.fill(n - k)((g, s, false)) }
+    // violator: 0.5, 0.0, 1.0 -> (0.25, 0.25, 1.0)
+    val df = (mk("v", Seq((1L, 1, 2), (2L, 0, 2), (3L, 2, 2))) ++
+      mk("mono", Seq((1L, 1, 5), (2L, 2, 4), (3L, 4, 5))) ++
+      mk("rev", Seq((1L, 2, 2), (2L, 1, 2), (3L, 0, 2))))
+      .toDF("g", "s", "ok")
+    val got = graft.ops.Profiling.isotonicCalibration(df, "g", "s", "ok")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("fit")).toMap
+    assert(got(("v", 1L)) == 0.25 && got(("v", 2L)) == 0.25 &&
+      got(("v", 3L)) == 1.0)
+    assert(got(("mono", 1L)) == 0.2 && got(("mono", 2L)) == 0.5 &&
+      got(("mono", 3L)) == 0.8)
+    assert(Seq(1L, 2L, 3L).map(s => got(("rev", s))).toSet == Set(0.5))
+  }
+
   test("quantileNormalize: nearest-rank mapping onto the global " +
       "distribution, duplicates map consistently") {
     import spark.implicits._
