@@ -2020,11 +2020,18 @@ object Profiling {
         lit(null).cast("long").as("__v__"),
         lit(null).cast("long").as("p_micro"),
         col("__v__").as("__vg__")))
-    val ws = Window.orderBy(col("__pos__"), col("__tag__"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // DESCENDING running frame, not an UNBOUNDED FOLLOWING lookahead:
+    // Spark evaluates (unboundedPreceding, currentRow) incrementally in
+    // O(1) per row, while a following-frame first(ignoreNulls) rescans
+    // forward per row — measured 119 s vs 1.5 s on the sf0.1 gate. At
+    // the same (pos) the global entry sorts ahead of the query rows
+    // (tag desc), so "last global seen" IS the first global at-or-after
+    // the target rank.
+    val ws = Window.orderBy(col("__pos__").desc, col("__tag__").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mapped = union
       .withColumn("__norm__",
-        first(col("__vg__"), ignoreNulls = true).over(ws))
+        last(col("__vg__"), ignoreNulls = true).over(ws))
       .filter(col("__tag__") === 0)
       .select(col("__g__"), col("__v__"), col("p_micro"),
         col("__norm__").as("norm_value"))
@@ -2073,6 +2080,65 @@ object Profiling {
         col("k"), col("n"),
         round(col("__num__").cast("double") /
           col("__den__").cast("double"), 6).as("fit"))
+  }
+
+  /** Winsorized mean per group — [[trimmedMean]]'s clamping sibling:
+    * instead of DROPPING the `pct` tails it pins them to the tail
+    * boundary values, so n stays n (the variance-friendly choice when
+    * the tail rows are real but their magnitudes aren't trusted —
+    * bot-inflated watch times, capped-sensor readings).
+    *
+    * Exactness: the boundary values are the exact order statistics at
+    * ranks k+1 and n−k (k = (n·pct) div 1e6) read off the distinct-value
+    * histogram; each value's surviving/clamped multiplicities are exact
+    * interval overlaps, the winsorized sum is an exact decimal.
+    * Windows over the grid only. Returns
+    * `(group, n, lo, hi, winsorized_mean, mean)`. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimPctMicro: Long = 100000L): DataFrame = {
+    require(trimPctMicro >= 0 && trimPctMicro < 500000L,
+      s"trim fraction must be in [0, 0.5) micro; got $trimPctMicro")
+    requireIntegral(df, valueCol, "winsorizedMean")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g__"),
+        col(valueCol).cast("long").as("__v__"))
+    val h = base.groupBy(col("__g__"), col("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.groupBy(col("__g__"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__v__"))).as("__s__"))
+    val cum = h.withColumn("__cl__", sum(col("__c__")).over(w))
+      .join(tot, Seq("__g__"))
+      .withColumn("__k__",
+        expr(s"(n * ${trimPctMicro}L) div 1000000L"))
+    // boundary order statistics: ranks k+1 and n−k
+    val bounds = cum.groupBy(col("__g__"), col("n"), col("__s__"),
+        col("__k__"))
+      .agg(min(when(col("__cl__") >= col("__k__") + 1, col("__v__")))
+        .as("lo"),
+        min(when(col("__cl__") >= col("n") - col("__k__"), col("__v__")))
+          .as("hi"))
+    // winsorized sum: mass below rank k+1 pins to lo, above n−k to hi
+    val cb = col("__cl__") - col("__c__")
+    val massBelow = least(col("__cl__"), col("__k__")) -
+      least(cb, col("__k__"))
+    val massAbove = greatest(col("__cl__"), col("n") - col("__k__")) -
+      greatest(cb, col("n") - col("__k__"))
+    val massMid = col("__c__") - massBelow - massAbove
+    val joined = cum.join(bounds.select(col("__g__"), col("lo"),
+      col("hi")), Seq("__g__"))
+    joined.groupBy(col("__g__"), col("n"), col("__s__"), col("lo"),
+        col("hi"))
+      .agg(sum(dec(massBelow) * dec(col("lo")) +
+        dec(massMid) * dec(col("__v__")) +
+        dec(massAbove) * dec(col("hi"))).as("__ws__"))
+      .select(col("__g__").as(groupCol), col("n"), col("lo"), col("hi"),
+        round(col("__ws__").cast("double") / col("n").cast("double"), 6)
+          .as("winsorized_mean"),
+        round(col("__s__").cast("double") / col("n").cast("double"), 6)
+          .as("mean"))
   }
 
   /** Empirical-Bayes (beta-binomial) rate shrinkage per item — the
