@@ -3850,6 +3850,17 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("score"))
     }),
 
+    // 10%-winsorized mean per type — q344's clamping sibling (tails
+    // pin to the boundary order statistics, n stays n)
+    "q352_winsorized_mean" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      graft.ops.Profiling.winsorizedMean(ev, "event_type", "v")
+        .orderBy(col("event_type"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4203,6 +4214,39 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    "q352_winsorized_mean" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n,
+        |    SUM(CAST(v AS HUGEINT)) AS s
+        |  FROM b GROUP BY 1),
+        |cum AS (SELECT h.g, v, c, n, s,
+        |    SUM(c) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+        |    (n * 100000) // 1000000 AS k
+        |  FROM h JOIN tot ON tot.g = h.g),
+        |bd AS (SELECT g, n, s, k,
+        |    MIN(CASE WHEN cl >= k + 1 THEN v END) AS lo,
+        |    MIN(CASE WHEN cl >= n - k THEN v END) AS hi
+        |  FROM cum GROUP BY 1, 2, 3, 4),
+        |mass AS (SELECT cum.g, cum.n, cum.s, bd.lo, bd.hi, cum.v,
+        |    LEAST(cl, cum.k) - LEAST(cl - c, cum.k) AS mb,
+        |    GREATEST(cl, cum.n - cum.k) -
+        |      GREATEST(cl - c, cum.n - cum.k) AS ma,
+        |    c AS cc
+        |  FROM cum JOIN bd ON bd.g = cum.g)
+        |SELECT g AS event_type, n, lo, hi,
+        |  ROUND(CAST(SUM(CAST(mb AS HUGEINT) * lo +
+        |    CAST(cc - mb - ma AS HUGEINT) * v +
+        |    CAST(ma AS HUGEINT) * hi) AS DOUBLE) /
+        |    CAST(n AS DOUBLE), 6) AS winsorized_mean,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean
+        |FROM mass GROUP BY g, n, s, lo, hi
+        |ORDER BY event_type""".stripMargin,
 
     // the minimax characterization of the isotonic fit,
     // fit_i = max_{j<=i} min_{l>=i} mean(j..l) — an O(L³) brute force

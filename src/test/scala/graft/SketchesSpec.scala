@@ -1977,6 +1977,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("winsorizedMean: order-statistic bounds, tail mass pins to " +
+      "the boundary values, tie blocks split by rank") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)) ++
+      Seq(1L, 1L, 1L, 10L).map(("t", _))).toDF("grp", "v")
+    val got = graft.ops.Profiling.winsorizedMean(df, "grp", "v",
+        trimPctMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("winsorized_mean"), r.getAs[Double]("mean"))))
+      .toMap
+    // g: k=1 -> bounds (2, 4); [2,2,3,4,4] -> 3.0 (vs raw mean 22)
+    assert(got("g") == ((5L, 2L, 4L, 3.0, 22.0)))
+    // t at 20%: k=0 -> untouched
+    assert(got("t") == ((4L, 1L, 10L, 3.25, 3.25)))
+    // 25% on the tie block: the 10 pins DOWN to hi=1
+    val t2 = graft.ops.Profiling.winsorizedMean(
+      Seq(1L, 1L, 1L, 10L).map(("t", _)).toDF("grp", "v"), "grp", "v",
+      trimPctMicro = 250000L).collect().head
+    assert(t2.getLong(2) == 1L && t2.getLong(3) == 1L &&
+      t2.getAs[Double]("winsorized_mean") == 1.0)
+  }
+
   test("isotonicCalibration: PAV pools violators to exact block means, " +
       "monotone input passes through, full reversal pools to the mean") {
     import spark.implicits._
