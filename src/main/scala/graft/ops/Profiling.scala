@@ -2082,6 +2082,58 @@ object Profiling {
           col("__den__").cast("double"), 6).as("fit"))
   }
 
+  /** Two-sample Cramér–von Mises test per group — the INTEGRATED
+    * distribution-difference test beside [[ksTest]]'s supremum: KS sees
+    * the single worst gap (sharp local shifts), CvM accumulates every
+    * gap (diffuse shifts a sup-statistic dilutes). Statistic (Anderson
+    * 1962, tie-extended):
+    * `T = Σ_v cnt_v·(cumA_v·m − cumB_v·n)² / (n·m·(n+m)²)` over the
+    * pooled distinct-value grid — the numerator is an exact decimal
+    * (every term an integer cross-multiplication), T is one double
+    * division, and the verdict compares `T·1e6` against the asymptotic
+    * 5% critical value 0.461 by the same micro-scaled rule as
+    * [[rankSumTest]].
+    *
+    * Shape: one (group, value) collapse, windows over the pooled grid
+    * only, one moment collapse. Returns
+    * `(group, n_a, n_b, t_stat, significant)` — null verdict when
+    * either side is empty. */
+  def cvmTest(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, critMicro: Long = 461000L): DataFrame = {
+    requireIntegral(a, valueCol, "cvmTest")
+    requireIntegral(b, valueCol, "cvmTest")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g__"),
+          col(valueCol).cast("long").as("__v__"), lit(tag).as("__t__"))
+    val pooled = side(a, 0).unionAll(side(b, 1))
+    val h = pooled.groupBy(col("__g__"), col("__v__"))
+      .agg(sum(when(col("__t__") === 0, 1L).otherwise(0L)).as("__ca__"),
+        sum(when(col("__t__") === 1, 1L).otherwise(0L)).as("__cb__"))
+    val w = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pooled.groupBy(col("__g__"))
+      .agg(sum(when(col("__t__") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__t__") === 1, 1L).otherwise(0L)).as("n_b"))
+    val cum = h
+      .withColumn("__cla__", sum(col("__ca__")).over(w))
+      .withColumn("__clb__", sum(col("__cb__")).over(w))
+      .join(tot, Seq("__g__"))
+    val d = dec(col("__cla__")) * dec(col("n_b")) -
+      dec(col("__clb__")) * dec(col("n_a"))
+    val term = dec(col("__ca__") + col("__cb__")) * d * d
+    val m = cum.groupBy(col("__g__"), col("n_a"), col("n_b"))
+      .agg(sum(term).as("__num__"))
+    val nn = dec(col("n_a")); val mm = dec(col("n_b"))
+    val den = nn * mm * (nn + mm) * (nn + mm)
+    val t = try_divide(col("__num__").cast("double"), den.cast("double"))
+    m.select(col("__g__").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(t, 6)).as("t_stat"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        t * lit(1000000.0) >= lit(critMicro.toDouble)).as("significant"))
+  }
+
   /** Winsorized mean per group — [[trimmedMean]]'s clamping sibling:
     * instead of DROPPING the `pct` tails it pins them to the tail
     * boundary values, so n stays n (the variance-friendly choice when

@@ -142,6 +142,49 @@ object Spatial {
           .otherwise(col("__bcl__")).as("cluster"))
   }
 
+  /** Two-table fixed-radius join — every (a, b) pair within `radius`
+    * across DIFFERENT point sets (events near POIs, sensors near
+    * assets): the [[gridRadiusJoin]] shape with the probe explode on
+    * the `b` side and no id ordering (cross-set pairs have no
+    * canonical direction to dedup — each qualifying pair appears
+    * exactly once via the unique cell offset). Returns
+    * `(id_a, id_b, dist2)`. */
+  def gridRadiusJoinAB(a: DataFrame, aIdCol: String, b: DataFrame,
+      bIdCol: String, xCol: String, yCol: String,
+      radius: Long): DataFrame = {
+    require(radius > 0 && radius <= 3000000000L,
+      s"radius must be in (0, 3e9] so dist² fits BIGINT; got $radius")
+    requireCoords(a, xCol, yCol, "gridRadiusJoinAB")
+    requireCoords(b, xCol, yCol, "gridRadiusJoinAB")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val build = a.select(col(aIdCol).as("__id__"),
+        col(xCol).cast("long").as("__x__"),
+        col(yCol).cast("long").as("__y__"))
+      .withColumn("__cx__", cellIdx("__x__", radius))
+      .withColumn("__cy__", cellIdx("__y__", radius))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = b.select(col(bIdCol).as("__idb__"),
+        col(xCol).cast("long").as("__xb__"),
+        col(yCol).cast("long").as("__yb__"))
+      .withColumn("__cxb__", cellIdx("__xb__", radius))
+      .withColumn("__cyb__", cellIdx("__yb__", radius))
+      .select(col("__idb__"), col("__xb__"), col("__yb__"),
+        explode(offsets).as("__o__"),
+        col("__cxb__"), col("__cyb__"))
+      .select(col("__idb__"), col("__xb__"), col("__yb__"),
+        (col("__cxb__") + col("__o__.dx")).as("__ncx__"),
+        (col("__cyb__") + col("__o__.dy")).as("__ncy__"))
+    val d2 = dec(col("__x__") - col("__xb__")) *
+      dec(col("__x__") - col("__xb__")) +
+      dec(col("__y__") - col("__yb__")) * dec(col("__y__") - col("__yb__"))
+    build.join(probe,
+        col("__cx__") === col("__ncx__") && col("__cy__") === col("__ncy__"))
+      .filter(d2 <= lit(radius) * lit(radius))
+      .select(col("__id__").as("id_a"), col("__idb__").as("id_b"),
+        d2.cast("long").as("dist2"))
+  }
+
   /** Nearest neighbor within `radius` for every point — the bounded-NN
     * query (nearest store/sensor/venue within reach; "no neighbor" is a
     * real answer, not an error). Exact: candidates come from

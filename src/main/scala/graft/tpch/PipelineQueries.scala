@@ -3861,6 +3861,33 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // two-sample Cramér-von Mises: click-value vs purchase-value
+    // distributions per user tier — the integrated companion to q96's
+    // KS supremum
+    "q353_cvm" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select((col("user_id") % 5).as("tier"), col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      graft.ops.Profiling.cvmTest(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "tier", "v")
+        .orderBy(col("tier"))
+    }),
+
+    // cross-set radius join: the q329 layout vs a (5,3)-shifted copy
+    // — every A point finds its displaced twin (dist² = 34) plus
+    // whatever else drifted into range; brute-force oracle
+    "q354_radius_join_ab" -> ((s, dir) => {
+      val a = spatialDocs(s, dir)
+      val b = a.select((col("doc_id") + 10000L).as("doc_id"),
+        (col("x") + 5L).as("x"), (col("y") + 3L).as("y"))
+      graft.ops.Spatial.gridRadiusJoinAB(a, "doc_id", b, "doc_id",
+          "x", "y", radius = 8L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4214,6 +4241,63 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    "q353_cvm" ->
+      """WITH e AS (SELECT user_id % 5 AS g, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pooled AS (SELECT g, v, 0 AS t FROM e
+        |    WHERE event_type = 'click'
+        |  UNION ALL SELECT g, v, 1 FROM e
+        |    WHERE event_type = 'purchase'),
+        |h AS (SELECT g, v,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM pooled GROUP BY 1, 2),
+        |tot AS (SELECT g,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM pooled GROUP BY 1),
+        |cum AS (SELECT h.g, ca, cb, n_a, n_b,
+        |    SUM(ca) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cla,
+        |    SUM(cb) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS clb
+        |  FROM h JOIN tot ON tot.g = h.g),
+        |m AS (SELECT g, n_a, n_b,
+        |    SUM(CAST(ca + cb AS HUGEINT) *
+        |      (CAST(cla AS HUGEINT) * n_b - CAST(clb AS HUGEINT) * n_a) *
+        |      (CAST(cla AS HUGEINT) * n_b - CAST(clb AS HUGEINT) * n_a))
+        |      AS num
+        |  FROM cum GROUP BY 1, 2, 3)
+        |SELECT g AS tier, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+        |    CAST(num AS DOUBLE) /
+        |    CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) *
+        |      (n_a + n_b) AS DOUBLE), 6) END AS t_stat,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(num AS DOUBLE) /
+        |    CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) *
+        |      (n_a + n_b) AS DOUBLE) * 1000000.0 >= 461000.0
+        |  END AS significant
+        |FROM m ORDER BY tier""".stripMargin,
+
+    "q354_radius_join_ab" ->
+      s"""WITH $spatialDocsSql,
+         |pb AS (SELECT doc_id + 10000 AS doc_id, x + 5 AS x,
+         |    y + 3 AS y FROM p)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT)
+         |    AS dist2
+         |FROM p a JOIN pb b
+         |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 64
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q352_winsorized_mean" ->
       """WITH b AS (SELECT event_type AS g,

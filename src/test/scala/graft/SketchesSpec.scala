@@ -1977,6 +1977,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("cvmTest: exact integrated ECDF gap, identical samples score 0, " +
+      "full separation flags") {
+    import spark.implicits._
+    val a = (Seq(1L, 2L).map(("g", _)) ++ Seq(1L, 2L).map(("same", _)) ++
+      Seq.fill(10)(("sep", 1L))).toDF("grp", "v")
+    val b = (Seq(3L, 4L).map(("g", _)) ++ Seq(1L, 2L).map(("same", _)) ++
+      Seq.fill(10)(("sep", 2L))).toDF("grp", "v")
+    val got = graft.ops.Profiling.cvmTest(a, b, "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("t_stat"), r.getAs[Boolean]("significant"))))
+      .toMap
+    // g: terms 4+16+4+0 over nm(n+m)² = 64 -> 0.375
+    assert(got("g") == ((0.375, false)))
+    assert(got("same") == ((0.0, false)))
+    // sep: 10·(10·10)² / (10·10·400) = 2.5
+    assert(got("sep") == ((2.5, true)))
+  }
+
   test("winsorizedMean: order-statistic bounds, tail mass pins to " +
       "the boundary values, tie blocks split by rank") {
     import spark.implicits._

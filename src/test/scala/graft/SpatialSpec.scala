@@ -126,6 +126,23 @@ class SpatialSpec extends AnyFunSuite {
     assert(got(10L) == ((Some(11L), Some(4L))))
   }
 
+  test("gridRadiusJoinAB: equals brute force across two sets, " +
+      "no self-pairing semantics, negative coords") {
+    val as = scatter(150).map { case (i, x, y) => (i, x, y) }
+    val bs = scatter(150).map { case (i, x, y) => (i + 1000, y, x) }
+    val got = Spatial.gridRadiusJoinAB(
+        as.toDF("id", "x", "y"), "id",
+        bs.toDF("id", "x", "y"), "id", "x", "y", radius = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = (for {
+      (ia, xa, ya) <- as; (ib, xb, yb) <- bs
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 900L
+    } yield (ia, ib, d2)).sorted
+    assert(got == want && got.nonEmpty)
+  }
+
   test("gridRadiusJoin: refuses non-integral coordinates and bad radius") {
     val df = Seq((1L, 1.5, 2.5)).toDF("id", "x", "y")
     intercept[IllegalArgumentException] {
