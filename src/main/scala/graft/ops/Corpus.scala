@@ -255,6 +255,72 @@ object Corpus {
     * corpus to |sources| rows; the Σn^α normalizer is a single-row
     * aggregate of THAT table joined back by cross join — nothing after
     * the first aggregation touches corpus-sized data. */
+  /** Raking / iterative proportional fitting over TWO margins — corpus
+    * rebalancing when the target is a joint constraint
+    * ([[mixtureWeights]] handles one margin; "40% code AND 30%
+    * non-English" needs both at once). Cell masses start at the
+    * observed shares and alternate row/column scaling until both
+    * margins match the `*TargetsMicro` shares; per-unit sampling
+    * weights are `p_cell·N / n_cell`.
+    *
+    * Scale shape: IPF runs DRIVER-SIDE over the collected cell table —
+    * the (rows × cols) REGISTRY, never the data (the k-means-centroid
+    * posture; a million-cell contingency would be a modeling bug). The
+    * float recursion is deterministic: cells iterate in (row, col)
+    * sorted order, margin sums fold left in that order, and the oracle
+    * replays the identical unrolled half-steps. Every observed key
+    * must appear in its target map (refused loudly otherwise);
+    * target-only keys get no cells and are ignored. Returns
+    * `(rowCol, colCol, n, p, weight)` — p the fitted joint share (6dp),
+    * weight the per-unit multiplier (6dp). */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+      rowTargetsMicro: Map[String, Long],
+      colTargetsMicro: Map[String, Long], iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]; got $iters")
+    val spark = df.sparkSession
+    val cells = df.select(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        x.getLong(2)))
+      .sortBy(_._1)
+    require(cells.length <= 100000,
+      s"rake contingency has ${cells.length} cells — this op fits " +
+        "REGISTRY-sized margins (source × language), not data")
+    val obsRows = cells.map(_._1._1).distinct.sorted
+    val obsCols = cells.map(_._1._2).distinct.sorted
+    obsRows.foreach(r => require(rowTargetsMicro.contains(r),
+      s"row key '$r' observed but missing from rowTargetsMicro"))
+    obsCols.foreach(c => require(colTargetsMicro.contains(c),
+      s"col key '$c' observed but missing from colTargetsMicro"))
+    val bigN = cells.map(_._2).sum
+    var m: Map[(String, String), Double] =
+      cells.map { case (k, n) => k -> n.toDouble / bigN.toDouble }.toMap
+    def halfStep(byKey: ((String, String)) => String,
+        targets: Map[String, Long], keys: Seq[String]): Unit = {
+      val sums = keys.map { k =>
+        // left fold in (row, col)-sorted cell order — the oracle's
+        // list_sort order
+        k -> cells.filter(c => byKey(c._1) == k)
+          .foldLeft(0.0)((a, c) => a + m(c._1))
+      }.toMap
+      m = m.map { case (k, v) =>
+        k -> v * (targets(byKey(k)).toDouble / 1e6) / sums(byKey(k))
+      }
+    }
+    for (_ <- 1 to iters) {
+      halfStep(_._1, rowTargetsMicro, obsRows)
+      halfStep(_._2, colTargetsMicro, obsCols)
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    cells.map { case ((r, c), n) =>
+      (r, c, n, r6(m((r, c))),
+        r6(m((r, c)) * bigN.toDouble / n.toDouble))
+    }.toSeq.toDF(rowCol, colCol, "n", "p", "weight")
+  }
+
   def mixtureWeights(df: DataFrame, sourceCol: String, tokCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")

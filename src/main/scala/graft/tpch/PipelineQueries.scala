@@ -3888,6 +3888,21 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // raking (IPF) to a joint target: uniform event-type margin AND a
+    // 50/30/20 user-tier margin at once — the 2-margin corpus
+    // rebalancer over the q80 single-margin mixture
+    "q355_rake" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("event_type"), (col("user_id") % 3).as("tier"))
+      Corpus.rakeWeights(ev, "event_type", "tier",
+          Map("click" -> 200000L, "error" -> 200000L,
+            "purchase" -> 200000L, "signup" -> 200000L,
+            "view" -> 200000L),
+          Map("0" -> 500000L, "1" -> 300000L, "2" -> 200000L),
+          iters = 5)
+        .orderBy(col("event_type"), col("tier"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4240,6 +4255,50 @@ object PipelineQueries {
          |      ELSE ROUND(($bpExpr) * exp($logsum), 6) END
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    // 5 unrolled IPF iterations (10 half-steps); margin sums fold in
+    // the same (row, col)-sorted order as the driver-side loop
+    "q355_rake" -> {
+      val rowT = Seq("click", "error", "purchase", "signup", "view")
+        .map(r => s"WHEN '$r' THEN CAST(200000 AS DOUBLE) / 1000000.0")
+        .mkString(" ")
+      val colT = Seq(("0", 500000), ("1", 300000), ("2", 200000))
+        .map { case (c, t) =>
+          s"WHEN '$c' THEN CAST($t AS DOUBLE) / 1000000.0" }
+        .mkString(" ")
+      val steps = (1 to 5).flatMap { i =>
+        val a = 2 * i - 1; val b = 2 * i
+        Seq(
+          s"""rs$a AS (SELECT r, list_reduce(list_transform(
+             |    list(struct_pack(cc := c, m := m) ORDER BY c),
+             |    x -> x.m), (x, y) -> x + y) AS s
+             |  FROM m${a - 1} GROUP BY r)""".stripMargin,
+          s"""m$a AS (SELECT p.r, p.c,
+             |    p.m * (CASE p.r $rowT END) / rs.s AS m
+             |  FROM m${a - 1} p JOIN rs$a rs ON rs.r = p.r)""".stripMargin,
+          s"""cs$b AS (SELECT c, list_reduce(list_transform(
+             |    list(struct_pack(rr := r, m := m) ORDER BY r),
+             |    x -> x.m), (x, y) -> x + y) AS s
+             |  FROM m${b - 1} GROUP BY c)""".stripMargin,
+          s"""m$b AS (SELECT p.r, p.c,
+             |    p.m * (CASE p.c $colT END) / cs.s AS m
+             |  FROM m${b - 1} p JOIN cs$b cs ON cs.c = p.c)""".stripMargin)
+      }.mkString(",\n")
+      s"""WITH cells AS (SELECT event_type AS r,
+         |    CAST(user_id % 3 AS VARCHAR) AS c,
+         |    CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS bign FROM cells),
+         |m0 AS (SELECT r, c, CAST(n AS DOUBLE) /
+         |    (SELECT CAST(bign AS DOUBLE) FROM tot) AS m FROM cells),
+         |$steps
+         |SELECT cells.r AS event_type, cells.c AS tier, cells.n,
+         |  ROUND(m10.m, 6) AS p,
+         |  ROUND(m10.m * (SELECT CAST(bign AS DOUBLE) FROM tot) /
+         |    CAST(cells.n AS DOUBLE), 6) AS weight
+         |FROM cells JOIN m10 ON m10.r = cells.r AND m10.c = cells.c
+         |ORDER BY event_type, tier""".stripMargin
     },
 
     "q353_cvm" ->

@@ -116,6 +116,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("u") == ((3L, 1L, 0L, 0L, 1.0, 0.0)))
   }
 
+  test("rakeWeights: both margins converge to targets, weights " +
+      "reproduce the fitted joint, missing target key refuses") {
+    import spark.implicits._
+    val df = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y")))
+      .toDF("r", "c")
+    val got = Corpus.rakeWeights(df, "r", "c",
+      Map("a" -> 500000L, "b" -> 500000L),
+      Map("x" -> 500000L, "y" -> 500000L), iters = 8)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getAs[Double]("p"), x.getAs[Double]("weight"))))
+      .toMap
+    def margin(f: ((String, String)) => String, k: String) =
+      got.filter(kv => f(kv._1) == k).values.map(_._2).sum
+    // after 8 alternations both margins sit at 50% (col step ran last,
+    // so columns are exact; rows converged)
+    assert(math.abs(margin(_._2, "x") - 0.5) < 1e-9)
+    assert(math.abs(margin(_._1, "a") - 0.5) < 1e-3)
+    // the dominant diagonal got up-weighted, the big (b,y) cell damped
+    assert(got(("a", "x"))._3 > 1.0 && got(("b", "y"))._3 < 1.0)
+    // weight ≡ p·N/n at 6dp
+    got.foreach { case ((_, _), (n, p, w)) =>
+      assert(math.abs(w - p * 100.0 / n) < 1e-5) }
+    intercept[IllegalArgumentException] {
+      Corpus.rakeWeights(df, "r", "c", Map("a" -> 1000000L),
+        Map("x" -> 500000L, "y" -> 500000L))
+    }
+  }
+
   test("logOddsWords: shrinkage ranks evidence over ratio, sides split") {
     // corpus A says 'cat' a lot and 'dog' once; B reverses; both share
     // filler. 'rarew' appears once in A only - the raw ratio would
