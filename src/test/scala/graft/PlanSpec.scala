@@ -743,4 +743,47 @@ class PlanSpec extends AnyFunSuite {
       rf)
     assert(!rf.contains("GlobalLimit") && rf.contains("partial_"), rf)
   }
+
+  test("round-10 batch-4 op plans: grid windows, grid-bounded " +
+      "collects, registry-side fits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 300L).map(i =>
+      (i, (i % 3).toString, i % 30, (i * 7) % 100, i % 2 == 0))
+      .toDF("id", "g", "t", "v", "ok")
+    // winsorizedMean / cvmTest: group-partitioned grid windows only
+    val wm = physicalPlan(graft.ops.Profiling.winsorizedMean(
+      ev, "g", "v"))
+    assert(wm.contains("partial_") && !wm.contains("NestedLoop"), wm)
+    assert(wm.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g__#")), wm)
+    val cv = physicalPlan(graft.ops.Profiling.cvmTest(
+      ev.filter(col("ok")), ev.filter(!col("ok")), "g", "v"))
+    assert(cv.contains("partial_") && !cv.contains("NestedLoop"), cv)
+    assert(cv.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__g__#")), cv)
+    // isotonic: one grid collect per group + grid equi join-back;
+    // the PAV expression must be codegen-compiled (no interpreted
+    // fallback marker)
+    val iso = physicalPlan(graft.ops.Profiling.isotonicCalibration(
+      ev, "g", "v", "ok"))
+    assert(!iso.contains("CartesianProduct") && iso.contains("partial_"),
+      iso)
+    // seasonalDecompose: the p-way explode collapses partially; the
+    // only windows would be none (grid self-contribution via groupBy)
+    val sd = physicalPlan(graft.ops.EventAnalytics.seasonalDecompose(
+      ev.groupBy(col("g"), col("t"))
+        .agg(org.apache.spark.sql.functions.sum(col("v")).as("y")),
+      "g", "t", "y", period = 7))
+    assert(!sd.contains("windowspecdefinition") &&
+      !sd.contains("CartesianProduct"), sd)
+    assert(sd.contains("partial_"), sd)
+    // rmst / holt: per-key (or global-grid) collect folds, single
+    // partial collapse, no joins on raw rows
+    val hl = physicalPlan(graft.ops.EventAnalytics.holt(
+      ev, "g", "t", "v", 0.5, 0.5))
+    assert(hl.contains("partial_") || hl.contains("ObjectHashAggregate"),
+      hl)
+    graft.ops.Caches.releaseAll()
+  }
 }
