@@ -2126,6 +2126,51 @@ object ScaleStress {
           daily, "event_type", "t", "a", "f", season = 7)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q344/q352/q353 shapes: value-grid windows; q350/q351 shapes:
+      // grid folds — all row-scan + grid-bounded state
+      timed(scale, "winsorized_mean") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.winsorizedMean(e2, "event_type", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "cvm") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select((col("user_id") % 5).as("tier"), col("event_type"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        val out = graft.ops.Profiling.cvmTest(
+          e2.filter(col("event_type") === "click"),
+          e2.filter(col("event_type") === "purchase"), "tier", "v")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "isotonic") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("cast(floor(value * 1000 + 0.5) as bigint) div 20000")
+              .as("score"),
+            (floor(col("value") * 1000 + 0.5).cast("long") +
+              (col("user_id") % 7) * 3000L > 35000L).as("ok"))
+        val out = graft.ops.Profiling.isotonicCalibration(
+          e2, "event_type", "score", "ok")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "seasonal_decompose") {
+        val daily = ev.groupBy(col("event_type"),
+            (col("tus") / 86400000000L).cast("long").as("t"))
+          .agg(count(lit(1)).as("v"))
+        val out = graft.ops.EventAnalytics.seasonalDecompose(
+          daily, "event_type", "t", "v", period = 7)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "holt") {
+        val daily = ev.groupBy(col("event_type"),
+            (col("tus") / 86400000000L).cast("long").as("t"))
+          .agg(count(lit(1)).as("v"))
+        val out = graft.ops.EventAnalytics.holt(
+          daily, "event_type", "t", "v", 0.3, 0.1)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
     runEvents("1x", ev1x)
     runEvents("10x", ev10x)
