@@ -2082,6 +2082,74 @@ object Profiling {
           col("__den__").cast("double"), 6).as("fit"))
   }
 
+  /** Qini uplift curve per group — [[liftTable]]'s treatment-aware
+    * sibling: rank by the model score DESCENDING, and at each decile
+    * report the cumulative INCREMENTAL conversions
+    * `uplift(φ) = k_t − k_c·n_t/n_c` (treated successes minus the
+    * control rate scaled to the treated volume). This is the curve
+    * that evaluates an uplift/targeting model — raw response curves
+    * reward targeting sure things; Qini rewards targeting persuadables.
+    *
+    * Exactness: deciles come from the exact integer rule
+    * `1 + (massAbove·10) div N` over the DESCENDING distinct-score
+    * histogram (ties share a decile; the [[rfm]] tile discipline);
+    * all counts are exact integers, the uplift is one double
+    * assembly per decile row. Returns per (group, decile):
+    * `(n_t, k_t, n_c, k_c, uplift, frac_targeted)` — all cumulative
+    * from the best-scored decile down; deciles with no control mass
+    * yet report null uplift. */
+  def qiniCurve(df: DataFrame, groupCol: String, scoreCol: String,
+      treatedCol: String, okCol: String, tiles: Int = 10): DataFrame = {
+    require(tiles >= 2 && tiles <= 100,
+      s"tiles must be in [2,100]; got $tiles")
+    requireIntegral(df, scoreCol, "qiniCurve")
+    val base = df.filter(col(okCol).isNotNull)
+      .select(col(groupCol).as("__g__"),
+        col(scoreCol).cast("long").as("__s__"),
+        col(treatedCol).cast("boolean").as("__t__"),
+        col(okCol).cast("boolean").as("__ok__"))
+    val h = base.groupBy(col("__g__"), col("__s__"))
+      .agg(count(lit(1)).as("__c__"),
+        sum(when(col("__t__"), 1L).otherwise(0L)).as("__nt__"),
+        sum(when(col("__t__") && col("__ok__"), 1L).otherwise(0L))
+          .as("__kt__"),
+        sum(when(!col("__t__"), 1L).otherwise(0L)).as("__nc__"),
+        sum(when(!col("__t__") && col("__ok__"), 1L).otherwise(0L))
+          .as("__kc__"))
+    val wDesc = Window.partitionBy(col("__g__"))
+      .orderBy(col("__s__").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = base.groupBy(col("__g__")).agg(count(lit(1)).as("__n__"))
+    val tiled = h.join(tot, Seq("__g__"))
+      .withColumn("__above__",
+        coalesce(sum(col("__c__")).over(wDesc), lit(0L)))
+      .withColumn("__tile__",
+        expr(s"1L + (__above__ * ${tiles}L) div __n__"))
+    val per = tiled.groupBy(col("__g__"), col("__tile__"))
+      .agg(sum(col("__nt__")).as("__dnt__"),
+        sum(col("__kt__")).as("__dkt__"),
+        sum(col("__nc__")).as("__dnc__"),
+        sum(col("__kc__")).as("__dkc__"),
+        sum(col("__c__")).as("__dc__"))
+    val wCum = Window.partitionBy(col("__g__")).orderBy(col("__tile__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("n_t", sum(col("__dnt__")).over(wCum))
+      .withColumn("k_t", sum(col("__dkt__")).over(wCum))
+      .withColumn("n_c", sum(col("__dnc__")).over(wCum))
+      .withColumn("k_c", sum(col("__dkc__")).over(wCum))
+      .withColumn("__cn__", sum(col("__dc__")).over(wCum))
+      .join(tot, Seq("__g__"))
+    cum.select(col("__g__").as(groupCol), col("__tile__").as("decile"),
+      col("n_t"), col("k_t"), col("n_c"), col("k_c"),
+      when(col("n_c") > 0,
+        round(col("k_t").cast("double") -
+          col("k_c").cast("double") * col("n_t").cast("double") /
+            col("n_c").cast("double"), 6)).as("uplift"),
+      round(col("__cn__").cast("double") / col("__n__").cast("double"),
+        6).as("frac_targeted"))
+  }
+
   /** Two-sample Cramér–von Mises test per group — the INTEGRATED
     * distribution-difference test beside [[ksTest]]'s supremum: KS sees
     * the single worst gap (sharp local shifts), CvM accumulates every

@@ -3903,6 +3903,25 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("tier"))
     }),
 
+    // Qini uplift curve per event type: treatment (+8000 milli boost)
+    // converts more, score tracks the base value — the incremental-
+    // conversion readout an uplift targeting model is judged on
+    "q356_qini" -> ((s, dir) => {
+      val milli = floor(col("value") * 1000 + 0.5).cast("long")
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(floor(value * 1000 + 0.5) as bigint) div 10000")
+            .as("score"),
+          (col("user_id") % 2 === 0).as("treated"),
+          (milli +
+            when(col("user_id") % 2 === 0, 8000L).otherwise(0L) +
+            (col("user_id") % 11) * 500L > 40000L).as("ok"))
+      graft.ops.Profiling.qiniCurve(ev, "event_type", "score",
+          "treated", "ok")
+        .orderBy(col("event_type"), col("decile"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4256,6 +4275,52 @@ object PipelineQueries {
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
     },
+
+    "q356_qini" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) // 10000 AS s,
+        |    user_id % 2 = 0 AS t,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) +
+        |      (CASE WHEN user_id % 2 = 0 THEN 8000 ELSE 0 END) +
+        |      (user_id % 11) * 500 > 40000 AS ok
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, s, CAST(COUNT(1) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN t AND ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS kt,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(SUM(CASE WHEN NOT t AND ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS kc
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |tiled AS (SELECT h.g, s, c, nt, kt, nc, kc, n,
+        |    1 + (COALESCE(SUM(c) OVER (PARTITION BY h.g ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      * 10) // n AS tile
+        |  FROM h JOIN tot ON tot.g = h.g),
+        |per AS (SELECT g, tile, CAST(SUM(nt) AS BIGINT) AS dnt,
+        |    CAST(SUM(kt) AS BIGINT) AS dkt,
+        |    CAST(SUM(nc) AS BIGINT) AS dnc,
+        |    CAST(SUM(kc) AS BIGINT) AS dkc,
+        |    CAST(SUM(c) AS BIGINT) AS dc, MAX(n) AS n
+        |  FROM tiled GROUP BY 1, 2),
+        |cum AS (SELECT g, tile, n,
+        |    SUM(dnt) OVER w AS n_t, SUM(dkt) OVER w AS k_t,
+        |    SUM(dnc) OVER w AS n_c, SUM(dkc) OVER w AS k_c,
+        |    SUM(dc) OVER w AS cn
+        |  FROM per WINDOW w AS (PARTITION BY g ORDER BY tile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT g AS event_type, tile AS decile,
+        |  CAST(n_t AS BIGINT) AS n_t, CAST(k_t AS BIGINT) AS k_t,
+        |  CAST(n_c AS BIGINT) AS n_c, CAST(k_c AS BIGINT) AS k_c,
+        |  CASE WHEN n_c > 0 THEN ROUND(CAST(k_t AS DOUBLE) -
+        |    CAST(k_c AS DOUBLE) * CAST(n_t AS DOUBLE) /
+        |    CAST(n_c AS DOUBLE), 6) END AS uplift,
+        |  ROUND(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS frac_targeted
+        |FROM cum ORDER BY event_type, decile""".stripMargin,
 
     // 5 unrolled IPF iterations (10 half-steps); margin sums fold in
     // the same (row, col)-sorted order as the driver-side loop

@@ -1977,6 +1977,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("qiniCurve: cumulative incremental conversions by descending " +
+      "score tile, control-free prefix refuses") {
+    import spark.implicits._
+    def rows(g: String, s: Long, t: Boolean, ok: Int, no: Int) =
+      Seq.fill(ok)((g, s, t, true)) ++ Seq.fill(no)((g, s, t, false))
+    val df = (rows("g", 2L, true, 2, 1) ++ rows("g", 2L, false, 1, 2) ++
+      rows("g", 1L, true, 1, 2) ++ rows("g", 1L, false, 1, 2) ++
+      rows("h", 2L, true, 1, 1) ++ rows("h", 1L, false, 0, 2))
+      .toDF("g", "s", "t", "ok")
+    val got = graft.ops.Profiling.qiniCurve(df, "g", "s", "t", "ok",
+        tiles = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.getAs[java.lang.Double]("uplift")).map(_.doubleValue),
+          r.getAs[Double]("frac_targeted")))).toMap
+    assert(got(("g", 1L)) == ((3L, 2L, 3L, 1L, Some(1.0), 0.5)))
+    assert(got(("g", 2L)) == ((6L, 3L, 6L, 2L, Some(1.0), 1.0)))
+    // group h: the whole top tile is treated-only -> no baseline yet
+    assert(got(("h", 1L)) == ((2L, 1L, 0L, 0L, None, 0.5)))
+    assert(got(("h", 2L)) == ((2L, 1L, 2L, 0L, Some(1.0), 1.0)))
+  }
+
   test("cvmTest: exact integrated ECDF gap, identical samples score 0, " +
       "full separation flags") {
     import spark.implicits._
