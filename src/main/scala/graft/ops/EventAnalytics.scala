@@ -741,6 +741,114 @@ object EventAnalytics {
           col("ec_micro").cast("double")))
   }
 
+  /** Markov removal-effect attribution — the data-driven alternative to
+    * [[attribution]]'s last-touch rule: build the first-order journey
+    * chain (START → touches → CONV/NULL), compute the conversion
+    * probability by `iters` absorption power steps, then re-compute it
+    * with each channel REMOVED (its inbound traffic absorbed by NULL);
+    * a channel's credit is its removal effect
+    * `1 − P_removed/P_full`, normalized to shares. Last-touch over-
+    * credits closers; removal effects pay the assist chain.
+    *
+    * Journey contract: per entity, touches in (ts, id) order strictly
+    * BEFORE the first `convType` event (all touches when none);
+    * converting entities with no touches contribute START→CONV (their
+    * conversions owe no channel). Transition counts are exact
+    * integers; probabilities and the fixed-`iters` value iteration run
+    * driver-side over the REGISTRY-bounded chain ([[graft.ops.Corpus.rakeWeights]]
+    * posture) with state-sorted left folds — the oracle replays the
+    * identical unrolled steps. Returns one row per touch type:
+    * `(channel, n_in, p_full, p_removed, removal_effect, share)` —
+    * share null when no channel has positive effect. */
+  def markovAttribution(events: DataFrame, entityCol: String,
+      tsCol: String, idCol: String, typeCol: String, convType: String,
+      touchTypes: Seq[String], iters: Int = 20): DataFrame = {
+    require(touchTypes.nonEmpty && touchTypes.size <= 1000,
+      s"touchTypes must be a bounded registry; got ${touchTypes.size}")
+    require(iters >= 1 && iters <= 200, s"iters in [1,200]; got $iters")
+    require(!touchTypes.contains(convType),
+      "convType cannot also be a touch type")
+    val spark = events.sparkSession
+    val ev = events.select(col(entityCol).as("__e__"),
+      col(tsCol).cast("long").as("__ts__"),
+      col(idCol).cast("long").as("__id__"),
+      col(typeCol).cast("string").as("__t__"))
+    val conv = ev.filter(col("__t__") === convType)
+      .groupBy(col("__e__"))
+      .agg(min(struct(col("__ts__"), col("__id__"))).as("__c__"))
+      .select(col("__e__"), col("__c__.__ts__").as("__cts__"),
+        col("__c__.__id__").as("__cid__"))
+    val touches = ev.filter(col("__t__").isin(touchTypes: _*))
+      .join(conv, Seq("__e__"), "left")
+      .filter(col("__cts__").isNull ||
+        col("__ts__") < col("__cts__") ||
+        (col("__ts__") === col("__cts__") && col("__id__") < col("__cid__")))
+    val w = Window.partitionBy(col("__e__"))
+      .orderBy(col("__ts__").asc, col("__id__").asc)
+    val seq0 = touches
+      .withColumn("__prev__", lag(col("__t__"), 1).over(w))
+      .withColumn("__next__", lead(col("__t__"), 1).over(w))
+    val mid = seq0.select(
+      coalesce(col("__prev__"), lit("START")).as("from_state"),
+      col("__t__").as("to_state"))
+    val last = seq0.filter(col("__next__").isNull)
+      .select(col("__t__").as("from_state"),
+        when(col("__cts__").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("to_state"))
+    // converters with no prior touch: START → CONV
+    val bare = conv.join(
+        touches.select(col("__e__")).distinct(), Seq("__e__"),
+        "left_anti")
+      .select(lit("START").as("from_state"), lit("CONV").as("to_state"))
+    val trans = mid.unionAll(last).unionAll(bare)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).sortBy(_._1)
+    val fromTotals = trans.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    // p in (from, to)-sorted order; value iteration with sorted folds
+    val probs = trans.map { case ((f, t), n) =>
+      (f, t, n.toDouble / fromTotals(f).toDouble) }
+    val states = (probs.map(_._1) ++ probs.map(_._2)).distinct.sorted
+    def absorb(removed: Option[String]): Double = {
+      var v: Map[String, Double] =
+        states.map(s => s -> (if (s == "CONV") 1.0 else 0.0)).toMap
+      for (_ <- 1 to iters) {
+        val nv = states.map { s =>
+          if (s == "CONV") s -> 1.0
+          else if (s == "NULL" || removed.contains(s)) s -> 0.0
+          else {
+            val terms = probs.filter(_._1 == s)
+            if (terms.isEmpty) s -> 0.0
+            else s -> terms.foldLeft(0.0) { (a, e) =>
+              a + e._3 * (if (removed.contains(e._2)) 0.0 else v(e._2))
+            }
+          }
+        }.toMap
+        v = nv
+      }
+      v.getOrElse("START", 0.0)
+    }
+    val pFull = absorb(None)
+    val effects = touchTypes.sorted.map { c =>
+      val pc = absorb(Some(c))
+      val eff = if (pFull > 0) 1.0 - pc / pFull else 0.0
+      (c, pc, math.max(eff, 0.0))
+    }
+    val effSum = effects.foldLeft(0.0)((a, e) => a + e._3)
+    val inbound = trans.groupBy(_._1._2)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    effects.map { case (c, pc, eff) =>
+      (c, inbound.getOrElse(c, 0L), r6(pFull), r6(pc), r6(eff),
+        if (effSum > 0) Some(r6(eff / effSum)) else None)
+    }.toDF("channel", "n_in", "p_full", "p_removed", "removal_effect",
+      "share")
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * most recent PRECEDING touch event (view/click/…) of the same
     * entity — the as-of join is exactly the right primitive, so this

@@ -3922,6 +3922,19 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("decile"))
     }),
 
+    // Markov removal-effect attribution over view/click/signup
+    // journeys ending in purchase — the data-driven credit split the
+    // q128 last-touch rule can't see assists in
+    "q357_markov_attribution" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+      EventAnalytics.markovAttribution(ev, "user_id", "tus",
+          "event_id", "event_type", convType = "purchase",
+          touchTypes = Seq("click", "signup", "view"))
+        .orderBy(col("channel"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4274,6 +4287,87 @@ object PipelineQueries {
          |      ELSE ROUND(($bpExpr) * exp($logsum), 6) END
          |  END AS bleu
          |FROM np LEFT JOIN wb USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    // journey chain + 20 unrolled absorption power steps, one per
+    // removal variant folded into an `rm` dimension; every float sum
+    // runs in the driver loop's state-sorted order
+    "q357_markov_attribution" -> {
+      val steps = (1 to 20).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT r.rm, st.s,
+           |    CASE WHEN st.s = 'CONV' THEN CAST(1.0 AS DOUBLE)
+           |      WHEN st.s = 'NULL' OR st.s = r.rm
+           |        THEN CAST(0.0 AS DOUBLE)
+           |      ELSE COALESCE(f.fv, CAST(0.0 AS DOUBLE)) END AS v
+           |  FROM rms r CROSS JOIN sts st
+           |  LEFT JOIN (
+           |    SELECT pv.rm, pr.f AS s,
+           |      list_reduce(list_transform(list(struct_pack(
+           |        tt := pr.tt, x := pr.p *
+           |          (CASE WHEN pr.tt = pv.rm THEN CAST(0.0 AS DOUBLE)
+           |            ELSE pv.v END)) ORDER BY pr.tt),
+           |        e -> e.x), (a, b) -> a + b) AS fv
+           |    FROM pr JOIN v${k - 1} pv ON pv.s = pr.tt
+           |    GROUP BY pv.rm, pr.f
+           |  ) f ON f.rm = r.rm AND f.s = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+         |    event_id AS id, event_type AS t FROM events),
+         |cv AS (SELECT u, ts AS cts, id AS cid FROM e
+         |  WHERE t = 'purchase'
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY u
+         |    ORDER BY ts, id) = 1),
+         |tch AS MATERIALIZED (SELECT e.u, e.ts, e.id, e.t, cv.cts, cv.cid
+         |  FROM e LEFT JOIN cv USING (u)
+         |  WHERE e.t IN ('click', 'signup', 'view') AND
+         |    (cv.cts IS NULL OR e.ts < cv.cts OR
+         |      (e.ts = cv.cts AND e.id < cv.cid))),
+         |sq AS (SELECT u, t, cts,
+         |    LAG(t) OVER (PARTITION BY u ORDER BY ts, id) AS prev,
+         |    LEAD(t) OVER (PARTITION BY u ORDER BY ts, id) AS next
+         |  FROM tch),
+         |mid AS (SELECT COALESCE(prev, 'START') AS f, t AS tt FROM sq),
+         |lst AS (SELECT t AS f,
+         |    CASE WHEN cts IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS tt
+         |  FROM sq WHERE next IS NULL),
+         |bare AS (SELECT 'START' AS f, 'CONV' AS tt FROM cv
+         |  WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
+         |tr AS (SELECT f, tt, CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM (SELECT * FROM mid UNION ALL SELECT * FROM lst
+         |    UNION ALL SELECT * FROM bare) GROUP BY 1, 2),
+         |ft AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf
+         |  FROM tr GROUP BY 1),
+         |pr AS MATERIALIZED (SELECT tr.f, tr.tt,
+         |    CAST(tr.n AS DOUBLE) / CAST(ft.nf AS DOUBLE) AS p
+         |  FROM tr JOIN ft ON ft.f = tr.f),
+         |sts AS MATERIALIZED (SELECT f AS s FROM pr UNION SELECT tt FROM pr),
+         |rms AS (SELECT * FROM (VALUES ('__none__'), ('click'),
+         |    ('signup'), ('view')) r(rm)),
+         |v0 AS (SELECT rm, s,
+         |    CASE WHEN s = 'CONV' THEN CAST(1.0 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS v
+         |  FROM rms CROSS JOIN sts),
+         |$steps,
+         |fin AS (SELECT rm, v FROM v20 WHERE s = 'START'),
+         |pf AS (SELECT v AS pfull FROM fin WHERE rm = '__none__'),
+         |inb AS (SELECT tt AS ch, CAST(SUM(n) AS BIGINT) AS n_in
+         |  FROM tr GROUP BY 1),
+         |eff AS (SELECT fin.rm AS channel, fin.v AS pc,
+         |    CASE WHEN pf.pfull > 0 THEN
+         |      GREATEST(1.0 - fin.v / pf.pfull, CAST(0.0 AS DOUBLE))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS ef
+         |  FROM fin CROSS JOIN pf WHERE fin.rm <> '__none__'),
+         |es AS (SELECT list_reduce(list_transform(
+         |    list(struct_pack(c := channel, e := ef) ORDER BY channel),
+         |    x -> x.e), (a, b) -> a + b) AS s FROM eff)
+         |SELECT eff.channel, COALESCE(inb.n_in, 0) AS n_in,
+         |  ROUND(pf.pfull, 6) AS p_full, ROUND(eff.pc, 6) AS p_removed,
+         |  ROUND(eff.ef, 6) AS removal_effect,
+         |  CASE WHEN es.s > 0
+         |    THEN ROUND(eff.ef / es.s, 6) END AS share
+         |FROM eff CROSS JOIN pf CROSS JOIN es
+         |LEFT JOIN inb ON inb.ch = eff.channel
+         |ORDER BY channel""".stripMargin
     },
 
     "q356_qini" ->

@@ -1024,6 +1024,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rs.isNullAt(rs.fieldIndex("q_stat")))
   }
 
+  test("markovAttribution: removal effects match the hand-solved " +
+      "chain, assist channel credited, bare converters owe nobody") {
+    import spark.implicits._
+    // u1: A->conv; u2: A->B->conv; u3: B->(null)
+    val ev = Seq(
+      ("u1", 1L, 1L, "A"), ("u1", 2L, 2L, "conv"),
+      ("u2", 1L, 3L, "A"), ("u2", 2L, 4L, "B"), ("u2", 3L, 5L, "conv"),
+      ("u3", 1L, 6L, "B"))
+      .toDF("e", "ts", "id", "t")
+    val got = EventAnalytics.markovAttribution(ev, "e", "ts", "id", "t",
+        "conv", Seq("A", "B"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("p_full"),
+          r.getAs[Double]("removal_effect"),
+          Option(r.getAs[java.lang.Double]("share")).map(_.doubleValue))))
+      .toMap
+    // P_full = 2/3; removing A leaves 1/6 -> effect 3/4; removing B
+    // kills the assist path -> 1/2; shares 0.6 / 0.4
+    assert(got("A") == ((2L, 0.666667, 0.75, Some(0.6))))
+    assert(got("B") == ((2L, 0.666667, 0.5, Some(0.4))))
+    // bare converter: conversions with no touches stay with START;
+    // a channel that never leads anywhere earns zero and share is null
+    val ev2 = Seq(("v1", 1L, 1L, "conv"), ("v2", 1L, 2L, "A"))
+      .toDF("e", "ts", "id", "t")
+    val g2 = EventAnalytics.markovAttribution(ev2, "e", "ts", "id", "t",
+        "conv", Seq("A")).collect().head
+    assert(g2.getAs[Double]("p_full") == 0.5)
+    assert(g2.getAs[Double]("removal_effect") == 0.0)
+    assert(g2.isNullAt(g2.fieldIndex("share")))
+  }
+
   test("holt: tracks a perfect linear series exactly, textbook init, " +
       "single point refuses trend") {
     import spark.implicits._
