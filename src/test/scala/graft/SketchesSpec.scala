@@ -1977,6 +1977,62 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("control_mean") == 7.714286)
   }
 
+  test("differential fuzz: trimmed/winsorized means and quantile " +
+      "normalization equal sort-based brute force on skewed multisets") {
+    import spark.implicits._
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // deterministic skewed multisets with heavy ties per group
+    val data: Seq[(String, Long)] = (0 until 400).map { i =>
+      val g = "g" + (i % 3)
+      val v = ((i * 2654435761L) % 23) match {
+        case m if m < 8 => m % 3           // tie block at 0..2
+        case m if m < 20 => m * 7 % 50     // mid values
+        case m => 1000L + m                // whales
+      }
+      (g, v)
+    }
+    val df = data.toDF("g", "v")
+    for (pct <- Seq(0L, 100000L, 250000L, 400000L)) {
+      val tm = graft.ops.Profiling.trimmedMean(df, "g", "v", pct)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), Option(r.getAs[java.lang.Double]("trimmed_mean"))
+            .map(_.doubleValue)))).toMap
+      val wm = graft.ops.Profiling.winsorizedMean(df, "g", "v", pct)
+        .collect().map(r => r.getString(0) ->
+          r.getAs[Double]("winsorized_mean")).toMap
+      data.groupBy(_._1).foreach { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val n = sorted.size
+        val k = (n * pct / 1000000L).toInt
+        val trimmed = sorted.slice(k, n - k)
+        assert(tm(g)._1 == trimmed.size.toLong, s"$g $pct")
+        if (trimmed.nonEmpty)
+          assert(tm(g)._2 ==
+            Some(r6(trimmed.sum.toDouble / trimmed.size)), s"$g $pct")
+        val lo = sorted(k); val hi = sorted(n - k - 1)
+        val wins = sorted.map(v => math.max(lo, math.min(hi, v)))
+        assert(wm(g) == r6(wins.sum.toDouble / n), s"win $g $pct")
+      }
+    }
+    // quantile normalization vs per-row brute force
+    val qn = graft.ops.Profiling.quantileNormalize(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(3)).toMap
+    val globalSorted = data.map(_._2).sorted
+    val bigN = globalSorted.size
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val gs = rows.map(_._2).sorted
+      val ng = gs.size
+      gs.distinct.foreach { v =>
+        val cumLe = gs.count(_ <= v).toLong
+        val gr = ((cumLe * bigN + ng - 1) / ng).toInt
+        val expect = globalSorted(gr - 1) // value at rank gr
+        assert(qn((g, v)) == expect, s"qn $g $v")
+      }
+    }
+  }
+
   test("qiniCurve: cumulative incremental conversions by descending " +
       "score tile, control-free prefix refuses") {
     import spark.implicits._

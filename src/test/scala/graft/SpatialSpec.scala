@@ -45,6 +45,19 @@ class SpatialSpec extends AnyFunSuite {
     val eb = Spatial.gridRadiusJoin(b, "id", "x", "y", 25L).collect()
     assert(eb.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       == Seq((1L, 2L, 625L)))
+    // fuzz across radii: cell-boundary behavior at tiny, odd and large
+    // widths must all match brute force
+    for (r <- Seq(1L, 7L, 64L)) {
+      val g = Spatial.gridRadiusJoin(df, "id", "x", "y", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sorted.toSeq
+      val w = (for {
+        (ia, xa, ya) <- pts; (ib, xb, yb) <- pts if ia < ib
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        if d2 <= r * r
+      } yield (ia, ib, d2)).sorted
+      assert(g == w, s"radius $r")
+    }
   }
 
   test("dbscanLite: core/border/noise roles, min-id clusters, " +
