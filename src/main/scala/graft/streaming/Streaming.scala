@@ -1125,6 +1125,66 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Profiling.qiniCurve]] — the live
+    * uplift-campaign dashboard: as scored (score, treated, converted)
+    * outcomes stream in, each micro-batch re-emits the cumulative
+    * incremental-conversion curve over FROZEN score boundaries (the
+    * [[liftStream]] posture — tiles are design-time constants online,
+    * the batch op's data-driven tiles need the full population).
+    * State is O(bins) exact counters. Rows are (score, treated, ok);
+    * output per populated tile (descending score = tile 1 first):
+    * (tile, n_t, k_t, n_c, k_c, uplift — null until the cumulative
+    * prefix has control mass). */
+  def qiniStream(rows: Dataset[(Long, Boolean, Boolean)],
+      boundaries: Seq[Long])
+      : Dataset[(Int, Long, Long, Long, Long, Option[Double])] = {
+    import rows.sparkSession.implicits._
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be non-empty and ascending")
+    val bs = boundaries.toArray
+    val nBins = bs.length + 1
+    rows.map { case (s, t, ok) =>
+      // tile 1 = HIGHEST scores (above the last boundary)
+      var b = nBins
+      var i = 0
+      while (i < bs.length) { if (s > bs(i)) b -= 1; i += 1 }
+      (b, t, ok)
+    }.groupByKey(_ => "qini")
+      .flatMapGroupsWithState[Seq[(Long, Long, Long, Long)],
+        (Int, Long, Long, Long, Long, Option[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val bins = state.getOption
+            .getOrElse(Seq.fill(nBins)((0L, 0L, 0L, 0L))).toArray
+          it.foreach { case (b, t, ok) =>
+            val (nt, kt, nc, kc) = bins(b - 1)
+            bins(b - 1) =
+              if (t) (nt + 1, kt + (if (ok) 1L else 0L), nc, kc)
+              else (nt, kt, nc + 1, kc + (if (ok) 1L else 0L))
+          }
+          state.update(bins.toSeq)
+          def rnd(x: Double) = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          var (cnt, ckt, cnc, ckc) = (0L, 0L, 0L, 0L)
+          val out = Vector.newBuilder[
+            (Int, Long, Long, Long, Long, Option[Double])]
+          var b = 0
+          while (b < nBins) {
+            val (nt, kt, nc, kc) = bins(b)
+            if (nt + nc > 0) {
+              cnt += nt; ckt += kt; cnc += nc; ckc += kc
+              val uplift = if (cnc > 0)
+                Some(rnd(ckt.toDouble -
+                  ckc.toDouble * cnt.toDouble / cnc.toDouble))
+              else None
+              out += ((b + 1, cnt, ckt, cnc, ckc, uplift))
+            }
+            b += 1
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.EventAnalytics.holt]] — the live
     * trend-following forecast: O(1) (n, lastT, level, trend) state per
     * key, each micro-batch advances the double-exponential recursion

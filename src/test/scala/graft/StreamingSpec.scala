@@ -1207,6 +1207,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qiniStream: cumulative uplift over frozen tiles, control-free " +
+      "prefix refuses, cross-batch accumulation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Boolean, Boolean)]
+    val q = Streaming.qiniStream(ms.toDS(), boundaries = Seq(10L))
+      .toDF("tile", "n_t", "k_t", "n_c", "k_c", "uplift")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("qini_stream").start()
+    // batch 1: only treated high-scorers -> no baseline yet
+    val b1 = Seq((20L, true, true), (25L, true, false))
+    // batch 2: control arrives in both tiles + low-score treated
+    val b2 = Seq((22L, false, false), (5L, true, true),
+      (4L, false, false), (3L, false, true))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      val early = spark.sql(
+        "SELECT * FROM qini_stream WHERE tile = 1 AND n_t = 2")
+        .collect().head
+      assert(early.isNullAt(early.fieldIndex("uplift")))
+      ms.addData(b2); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM qini_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            Option(r.getAs[java.lang.Double]("uplift"))
+              .map(_.doubleValue))))
+        .toMap
+      // final tile 1: 2 treated (1 ok), 1 control (0 ok) -> uplift 1.0
+      assert(rows((1, 2L)) == ((1L, 1L, 0L, Some(1.0))))
+      // final tile 2 cumulative: n_t=3 k_t=2 n_c=3 k_c=1 -> 2 - 1*1 = 1
+      assert(rows((2, 3L)) == ((2L, 3L, 1L, Some(1.0))))
+    } finally q.stop()
+  }
+
   test("holtStream equals the batch fold on ordered prefixes, " +
       "rewinds are dropped and counted") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
