@@ -2171,6 +2171,38 @@ object ScaleStress {
           daily, "event_type", "t", "v", 0.3, 0.1)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q356/q355/q357 shapes: tile windows over the score grid;
+      // driver-side fits over REGISTRY-sized tables
+      timed(scale, "qini") {
+        val e2 = ev.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("cast(floor(value * 1000 + 0.5) as bigint) div 10000")
+              .as("score"),
+            (col("user_id") % 2 === 0).as("tr"),
+            (floor(col("value") * 1000 + 0.5).cast("long") +
+              (col("user_id") % 11) * 500L > 40000L).as("ok"))
+        val out = graft.ops.Profiling.qiniCurve(e2, "event_type",
+          "score", "tr", "ok")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "rake") {
+        val e2 = ev.select(col("event_type"),
+          (col("user_id") % 3).as("tier"))
+        val out = graft.ops.Corpus.rakeWeights(e2, "event_type", "tier",
+          Map("click" -> 200000L, "error" -> 200000L,
+            "purchase" -> 200000L, "signup" -> 200000L,
+            "view" -> 200000L),
+          Map("0" -> 500000L, "1" -> 300000L, "2" -> 200000L))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      timed(scale, "markov_attribution") {
+        val out = graft.ops.EventAnalytics.markovAttribution(
+          ev.select(col("user_id"), col("tus"), col("event_id"),
+            col("event_type")),
+          "user_id", "tus", "event_id", "event_type", "purchase",
+          Seq("click", "signup", "view"))
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
     runEvents("1x", ev1x)
     runEvents("10x", ev10x)
