@@ -1533,6 +1533,75 @@ object EventAnalytics {
           .as("significant"))
   }
 
+  /** Pike hazard-ratio estimate with CI over right-censored durations —
+    * the EFFECT SIZE beside [[logRank]]'s verdict (a significant χ²
+    * with HR 1.02 and one with HR 3 are different findings):
+    * `HR = (O₁/E₁)/(O₀/E₀)` from the same hypergeometric risk-set
+    * expectations, with the standard log-rank-based interval
+    * `exp((O₁−E₁)/V ± z/√V)`. Same exact-integer grid, same
+    * time-sorted float folds; returns one row
+    * `(n_treated, n_control, o1, e1, o0, e0, hazard_ratio, hr_lo,
+    * hr_hi)` — nulls when either arm saw no expected events. */
+  def hazardRatio(durations: DataFrame, durationCol: String,
+      eventCol: String, armCol: String, control: String,
+      zCrit: Double = 1.959964): DataFrame = {
+    graft.ops.Profiling.requireIntegral(durations, durationCol,
+      "hazardRatio")
+    val base = durations.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("__e__"),
+      (col(armCol).cast("string") =!= control).as("__trt__"))
+    val perT = base.groupBy(col("t")).agg(
+      sum(when(col("__trt__") && col("__e__"), 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(!col("__trt__") && col("__e__"), 1L).otherwise(0L))
+        .as("d0"),
+      sum(when(col("__trt__"), 1L).otherwise(0L)).as("a1"),
+      sum(when(!col("__trt__"), 1L).otherwise(0L)).as("a0"))
+    val tot = base.agg(
+      sum(when(col("__trt__"), 1L).otherwise(0L)).as("__n1__"),
+      sum(when(!col("__trt__"), 1L).otherwise(0L)).as("__n0__"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = perT.crossJoin(broadcast(tot))
+      .withColumn("__r1__",
+        col("__n1__") - coalesce(sum(col("a1")).over(w), lit(0L)))
+      .withColumn("__r0__",
+        col("__n0__") - coalesce(sum(col("a0")).over(w), lit(0L)))
+      .filter(col("d1") + col("d0") > 0)
+    val d = (col("d1") + col("d0")).cast("double")
+    val n1 = col("__r1__").cast("double")
+    val n = (col("__r1__") + col("__r0__")).cast("double")
+    val e1 = d * try_divide(n1, n)
+    val e0 = d * try_divide(col("__r0__").cast("double"), n)
+    val v = when(col("__r1__") + col("__r0__") > 1,
+      d * try_divide(n1, n) * (lit(1.0) - try_divide(n1, n)) *
+        try_divide(n - d, n - 1.0)).otherwise(lit(0.0))
+    val folded = risk.agg(
+      sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
+      aggregate(
+        sort_array(collect_list(struct(col("t").as("ft"),
+          e1.as("e1"), e0.as("e0"), v.as("v")))),
+        struct(lit(0.0).as("e1"), lit(0.0).as("e0"), lit(0.0).as("vv")),
+        (acc, x) => struct((acc("e1") + x("e1")).as("e1"),
+          (acc("e0") + x("e0")).as("e0"),
+          (acc("vv") + x("v")).as("vv"))).as("__f__"))
+    val fe1 = col("__f__.e1"); val fe0 = col("__f__.e0")
+    val fv = col("__f__.vv")
+    val ok = fe1 > 0 && fe0 > 0 && col("o0") > 0
+    val hr = try_divide(col("o1").cast("double") / fe1,
+      col("o0").cast("double") / fe0)
+    val lnCenter = try_divide(col("o1").cast("double") - fe1, fv)
+    val hw = lit(zCrit) / sqrt(fv)
+    folded.crossJoin(broadcast(tot))
+      .select(col("__n1__").as("n_treated"),
+        col("__n0__").as("n_control"),
+        coalesce(col("o1"), lit(0L)).as("o1"), round(fe1, 6).as("e1"),
+        coalesce(col("o0"), lit(0L)).as("o0"), round(fe0, 6).as("e0"),
+        when(ok, round(hr, 6)).as("hazard_ratio"),
+        when(ok && fv > 0, round(exp(lnCenter - hw), 6)).as("hr_lo"),
+        when(ok && fv > 0, round(exp(lnCenter + hw), 6)).as("hr_hi"))
+  }
+
   /** Mann–Kendall trend test per key — the nonparametric companion to
     * [[trend]]'s OLS slope (OLS asks "what is the line"; MK asks "is
     * there a MONOTONIC drift at all", immune to outlier magnitude and

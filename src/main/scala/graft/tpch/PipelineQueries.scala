@@ -3935,6 +3935,20 @@ object PipelineQueries {
         .orderBy(col("channel"))
     }),
 
+    // Pike hazard ratio + CI over the q336 duration layout — the
+    // effect size beside the log-rank verdict
+    "q358_hazard_ratio" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(
+          (expr("unix_micros(ts) div 86400000000") - 19700L +
+            when(col("user_id") % 2 === 1, col("event_id") % 5)
+              .otherwise(lit(0L))).as("dur"),
+          (col("event_id") % 3 =!= 0).as("ev"),
+          when(col("user_id") % 2 === 0, lit("ctl"))
+            .otherwise(lit("trt")).as("arm"))
+      EventAnalytics.hazardRatio(ev, "dur", "ev", "arm", "ctl")
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4874,6 +4888,75 @@ object PipelineQueries {
         |      (CAST(n AS DOUBLE) + m * apb + (1.0 - m) * apb), 6)
         |  END AS shrunk_rate
         |FROM ab ORDER BY event_type, item""".stripMargin,
+
+    "q358_hazard_ratio" ->
+      """WITH b AS (SELECT
+        |    (epoch_us(ts) // 86400000000) - 19700 +
+        |      (CASE WHEN user_id % 2 = 1 THEN event_id % 5
+        |        ELSE 0 END) AS t,
+        |    event_id % 3 <> 0 AS e, user_id % 2 = 1 AS trt
+        |  FROM events),
+        |pert AS (SELECT t,
+        |    CAST(SUM(CASE WHEN trt AND e THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN NOT trt AND e THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN trt THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN NOT trt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a0
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN trt THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT trt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0
+        |  FROM b),
+        |risk AS (SELECT t, d1, d0,
+        |    n1 - COALESCE(SUM(a1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS r1,
+        |    n0 - COALESCE(SUM(a0) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS r0
+        |  FROM pert CROSS JOIN tot),
+        |ev AS (SELECT * FROM risk WHERE d1 + d0 > 0),
+        |terms AS (SELECT t, d1, d0,
+        |    CAST(d1 + d0 AS DOUBLE) *
+        |      (CAST(r1 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) AS e1,
+        |    CAST(d1 + d0 AS DOUBLE) *
+        |      (CAST(r0 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) AS e0,
+        |    CASE WHEN r1 + r0 > 1 THEN
+        |      CAST(d1 + d0 AS DOUBLE) *
+        |        (CAST(r1 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) *
+        |        (1.0 - CAST(r1 AS DOUBLE) / CAST(r1 + r0 AS DOUBLE)) *
+        |        ((CAST(r1 + r0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE)) /
+        |          (CAST(r1 + r0 AS DOUBLE) - 1.0))
+        |      ELSE 0.0 END AS v
+        |  FROM ev),
+        |f AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(d0) AS BIGINT) AS o0,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(ft := t, e1 := e1, e0 := e0, v := v))),
+        |      s -> s.e1), (a, b) -> a + b) AS fe1,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(ft := t, e1 := e1, e0 := e0, v := v))),
+        |      s -> s.e0), (a, b) -> a + b) AS fe0,
+        |    list_reduce(list_transform(list_sort(
+        |      list(struct_pack(ft := t, e1 := e1, e0 := e0, v := v))),
+        |      s -> s.v), (a, b) -> a + b) AS fv
+        |  FROM terms)
+        |SELECT n1 AS n_treated, n0 AS n_control,
+        |  COALESCE(o1, 0) AS o1, ROUND(fe1, 6) AS e1,
+        |  COALESCE(o0, 0) AS o0, ROUND(fe0, 6) AS e0,
+        |  CASE WHEN fe1 > 0 AND fe0 > 0 AND o0 > 0 THEN
+        |    ROUND((CAST(o1 AS DOUBLE) / fe1) /
+        |      (CAST(o0 AS DOUBLE) / fe0), 6) END AS hazard_ratio,
+        |  CASE WHEN fe1 > 0 AND fe0 > 0 AND o0 > 0 AND fv > 0 THEN
+        |    ROUND(exp((CAST(o1 AS DOUBLE) - fe1) / fv -
+        |      1.959964 / sqrt(fv)), 6) END AS hr_lo,
+        |  CASE WHEN fe1 > 0 AND fe0 > 0 AND o0 > 0 AND fv > 0 THEN
+        |    ROUND(exp((CAST(o1 AS DOUBLE) - fe1) / fv +
+        |      1.959964 / sqrt(fv)), 6) END AS hr_hi
+        |FROM f CROSS JOIN tot""".stripMargin,
 
     "q340_nelson_aalen" ->
       """WITH b AS (SELECT

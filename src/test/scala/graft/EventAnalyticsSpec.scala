@@ -981,6 +981,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rn.getLong(2) == 0L && rn.isNullAt(rn.fieldIndex("chi2")))
   }
 
+  test("hazardRatio: Pike estimate from the hand-walked risk grid, " +
+      "CI brackets the point, degenerate arms refuse") {
+    import spark.implicits._
+    val df = Seq((1L, true, "c"), (3L, true, "c"), (5L, false, "c"),
+      (2L, true, "t"), (4L, false, "t"), (6L, true, "t"))
+      .toDF("dur", "ev", "arm")
+    val r = EventAnalytics.hazardRatio(df, "dur", "ev", "arm", "c")
+      .collect().head
+    assert(r.getLong(2) == 2L && r.getAs[Double]("e1") == 2.6)
+    assert(r.getLong(4) == 2L && r.getAs[Double]("e0") == 1.4)
+    // HR = (2/2.6)/(2/1.4)
+    assert(r.getAs[Double]("hazard_ratio") == 0.538462)
+    val lo = r.getAs[Double]("hr_lo"); val hi = r.getAs[Double]("hr_hi")
+    assert(lo < 0.538462 && 0.538462 < hi)
+    assert(lo > 0.01 && hi < 10.0)
+    // all events in one arm -> O0 = 0 -> refuse the ratio
+    val one = Seq((1L, true, "t"), (2L, false, "c"))
+      .toDF("dur", "ev", "arm")
+    val rn = EventAnalytics.hazardRatio(one, "dur", "ev", "arm", "c")
+      .collect().head
+    assert(rn.isNullAt(rn.fieldIndex("hazard_ratio")))
+  }
+
   test("forecastAccuracy: exact MAE, quantized sMAPE, naive-scaled MASE") {
     import spark.implicits._
     val df = Seq((1L, 10L, 11L), (2L, 12L, 11L), (3L, 11L, 11L),
