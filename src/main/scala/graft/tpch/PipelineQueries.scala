@@ -3949,6 +3949,41 @@ object PipelineQueries {
       EventAnalytics.hazardRatio(ev, "dur", "ev", "arm", "ctl")
     }),
 
+    // the spatial-family chain: hotspot cells → points inside them →
+    // DBSCAN → per-cluster core/border profile, ONE composed plan
+    // (the q301/q320 composability pattern for the geo family)
+    "q359_geo_chain" -> ((s, dir) => {
+      // every 5th doc is funneled into one 20×20 box — the hotspot the
+      // chain must find, isolate and cluster (the diffuse 12-blob
+      // background never clears the 1.2× density bar)
+      val pts = spatialDocs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(600L) +
+          (col("doc_id") * col("doc_id") * 13 +
+            col("doc_id") * 7919) % 20).otherwise(col("x")).as("x"),
+        when(col("doc_id") % 5 === 0, lit(600L) +
+          (col("doc_id") * col("doc_id") * 29 +
+            col("doc_id") * 104729) % 20).otherwise(col("y")).as("y"))
+      val withCell = pts
+        .withColumn("cx", expr("x div 50"))
+        .withColumn("cy", expr("y div 50"))
+      val hot = graft.ops.Spatial.spatialHotspots(pts, "x", "y",
+          cellWidth = 50L, factorMicro = 1200000L)
+        .filter(col("hot"))
+        .select(col("cell_x").as("cx"), col("cell_y").as("cy"))
+      val inHot = withCell.join(hot, Seq("cx", "cy"))
+        .select(col("doc_id"), col("x"), col("y"))
+      graft.ops.Spatial.dbscanLite(inHot, "doc_id", "x", "y",
+          eps = 12L, minPts = 3)
+        .filter(col("cluster").isNotNull)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("role") === "core", 1L).otherwise(0L))
+            .as("n_core"),
+          sum(when(col("role") === "border", 1L).otherwise(0L))
+            .as("n_border"))
+        .orderBy(col("cluster"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4888,6 +4923,69 @@ object PipelineQueries {
         |      (CAST(n AS DOUBLE) + m * apb + (1.0 - m) * apb), 6)
         |  END AS shrunk_rate
         |FROM ab ORDER BY event_type, item""".stripMargin,
+
+    // hotspot CTE + brute-force DBSCAN over the hot-cell points +
+    // per-cluster rollup — the whole chain replayed stage by stage
+    "q359_geo_chain" ->
+      s"""WITH RECURSIVE $spatialDocsSql,
+         |p2 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN 600 +
+         |      (doc_id * doc_id * 13 + doc_id * 7919) % 20
+         |      ELSE x END AS x,
+         |    CASE WHEN doc_id % 5 = 0 THEN 600 +
+         |      (doc_id * doc_id * 29 + doc_id * 104729) % 20
+         |      ELSE y END AS y
+         |  FROM p),
+         |cells AS (SELECT x // 50 AS cx, y // 50 AS cy,
+         |    CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM p2 GROUP BY 1, 2),
+         |sm AS (SELECT c.cx + dx.o AS cx, c.cy + dy.o AS cy,
+         |    CAST(SUM(n) AS BIGINT) AS nbhd_n
+         |  FROM cells c, (VALUES (-1), (0), (1)) dx(o),
+         |    (VALUES (-1), (0), (1)) dy(o)
+         |  GROUP BY 1, 2),
+         |g AS (SELECT CAST(COUNT(1) AS BIGINT) AS ncells,
+         |    CAST(SUM(n) AS BIGINT) AS total FROM cells),
+         |hot AS (SELECT cells.cx, cells.cy
+         |  FROM cells JOIN sm ON sm.cx = cells.cx AND sm.cy = cells.cy
+         |  CROSS JOIN g
+         |  WHERE CAST(nbhd_n AS HUGEINT) * ncells * 1000000 >=
+         |    CAST(1200000 AS HUGEINT) * 9 * total),
+         |ih AS (SELECT p2.doc_id, p2.x, p2.y FROM p2
+         |  JOIN hot ON hot.cx = p2.x // 50 AND hot.cy = p2.y // 50),
+         |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e
+         |  UNION ALL SELECT id_b, id_a FROM e),
+         |deg AS (SELECT s AS id, COUNT(1) AS nb FROM sym GROUP BY 1),
+         |lab AS (SELECT ih.doc_id AS id, COALESCE(nb, 0) + 1 >= 3
+         |    AS core
+         |  FROM ih LEFT JOIN deg ON ih.doc_id = deg.id),
+         |ce AS (SELECT s, d FROM sym
+         |  JOIN lab la ON la.id = sym.s AND la.core
+         |  JOIN lab lb ON lb.id = sym.d AND lb.core),
+         |cc(id, label) AS (
+         |  SELECT id, id FROM lab WHERE core
+         |  UNION
+         |  SELECT ce.s, cc.label FROM ce JOIN cc ON cc.id = ce.d),
+         |ccl AS (SELECT id, MIN(label) AS cl FROM cc GROUP BY 1),
+         |bord AS (SELECT sym.s AS id, MIN(ccl.cl) AS bcl
+         |  FROM sym JOIN ccl ON ccl.id = sym.d GROUP BY 1),
+         |roles AS (SELECT lab.id,
+         |    CASE WHEN lab.core THEN 'core'
+         |      WHEN bord.bcl IS NOT NULL THEN 'border'
+         |      ELSE 'noise' END AS role,
+         |    CASE WHEN lab.core THEN ccl.cl ELSE bord.bcl END AS cluster
+         |  FROM lab LEFT JOIN ccl ON ccl.id = lab.id
+         |  LEFT JOIN bord ON bord.id = lab.id)
+         |SELECT cluster, CAST(COUNT(1) AS BIGINT) AS n_points,
+         |  CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_core,
+         |  CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_border
+         |FROM roles WHERE cluster IS NOT NULL
+         |GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "q358_hazard_ratio" ->
       """WITH b AS (SELECT
