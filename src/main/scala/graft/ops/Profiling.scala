@@ -2150,6 +2150,95 @@ object Profiling {
         6).as("frac_targeted"))
   }
 
+  /** Yuen's trimmed-mean test per variant vs control — the robust
+    * [[welchTTest]]: compares `pct`-trimmed means with winsorized
+    * variances, so a fat tail or a few instrumented-client whales
+    * cannot manufacture or bury a difference (Yuen 1974; the test to
+    * reach for when [[madOutliers]] lights up on an experiment
+    * metric). `t = (x̄t₁ − x̄t₂)/√(d₁+d₂)` with
+    * `d = SSw/(h(h−1))`, h = n−2k the effective count and SSw the
+    * winsorized sum of squares — both EXACT decimals off the
+    * value histogram (clamped masses are interval overlaps, squares
+    * of exact integers), with the verdict cross-multiplied in the
+    * same doubles ([[welchTTest]] discipline). Returns
+    * `(variant, n, h, trimmed_mean, diff_vs_control, significant)`. */
+  def yuenTest(df: DataFrame, variantCol: String, valueCol: String,
+      control: String, trimPctMicro: Long = 200000L,
+      zCrit: Double = 1.96): DataFrame = {
+    require(trimPctMicro >= 0 && trimPctMicro < 500000L,
+      s"trim fraction must be in [0, 0.5) micro; got $trimPctMicro")
+    requireIntegral(df, valueCol, "yuenTest")
+    val zc2Micro = math.round(zCrit * zCrit * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(variantCol).cast("string").as("__g__"),
+        col(valueCol).cast("long").as("__v__"))
+    val h = base.groupBy(col("__g__"), col("__v__"))
+      .agg(count(lit(1)).as("__c__"))
+    val w = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.groupBy(col("__g__")).agg(count(lit(1)).as("n"))
+    val cum = h.withColumn("__cl__", sum(col("__c__")).over(w))
+      .join(tot, Seq("__g__"))
+      .withColumn("__k__", expr(s"(n * ${trimPctMicro}L) div 1000000L"))
+    val bounds = cum.groupBy(col("__g__"), col("n"), col("__k__"))
+      .agg(min(when(col("__cl__") >= col("__k__") + 1, col("__v__")))
+        .as("__lo__"),
+        min(when(col("__cl__") >= col("n") - col("__k__"), col("__v__")))
+          .as("__hi__"))
+    val cb = col("__cl__") - col("__c__")
+    val massBelow = least(col("__cl__"), col("__k__")) -
+      least(cb, col("__k__"))
+    val massAbove = greatest(col("__cl__"), col("n") - col("__k__")) -
+      greatest(cb, col("n") - col("__k__"))
+    val massMid = col("__c__") - massBelow - massAbove
+    val trimMass = when(col("__cl__") > col("__k__"),
+      least(col("__cl__"), col("n") - col("__k__")) -
+        greatest(cb, col("__k__"))).otherwise(lit(0L))
+    val trimKept = when(trimMass > 0, trimMass).otherwise(lit(0L))
+    val joined = cum.join(bounds.select(col("__g__"), col("__lo__"),
+      col("__hi__")), Seq("__g__"))
+    val per = joined.groupBy(col("__g__"), col("n"), col("__k__"),
+        col("__lo__"), col("__hi__"))
+      .agg(
+        sum(dec(trimKept) * dec(col("__v__"))).as("__ts__"),
+        sum(trimKept).as("__h__"),
+        sum(dec(massBelow) * dec(col("__lo__")) * dec(col("__lo__")) +
+          dec(massMid) * dec(col("__v__")) * dec(col("__v__")) +
+          dec(massAbove) * dec(col("__hi__")) * dec(col("__hi__")))
+          .as("__wq__"),
+        sum(dec(massBelow) * dec(col("__lo__")) +
+          dec(massMid) * dec(col("__v__")) +
+          dec(massAbove) * dec(col("__hi__"))).as("__ws__"))
+    val ctl = per.filter(col("__g__") === control)
+      .select(col("n").as("__cn__"), col("__h__").as("__ch__"),
+        col("__ts__").as("__cts__"), col("__wq__").as("__cwq__"),
+        col("__ws__").as("__cws__"))
+    // SSw·n = n·Σw² − (Σw)², exact; d = SSw/(h(h−1))
+    def dTerm(n: Column, q: Column, s: Column, hh: Column) =
+      try_divide(
+        try_divide((dec(n) * q - s * s).cast("double"), n.cast("double")),
+        hh.cast("double") * (hh - 1).cast("double"))
+    val tm1 = try_divide(col("__ts__").cast("double"),
+      col("__h__").cast("double"))
+    val tm2 = try_divide(col("__cts__").cast("double"),
+      col("__ch__").cast("double"))
+    val d1 = dTerm(col("n"), col("__wq__"), col("__ws__"), col("__h__"))
+    val d2 = dTerm(col("__cn__"), col("__cwq__"), col("__cws__"),
+      col("__ch__"))
+    val t2 = try_divide((tm1 - tm2) * (tm1 - tm2), d1 + d2)
+    val isCtl = col("__g__") === control
+    val ok = !isCtl && col("__h__") > 1 && col("__ch__") > 1
+    per.crossJoin(broadcast(ctl))
+      .select(col("__g__").as(variantCol), col("n"),
+        col("__h__").as("h"),
+        round(tm1, 6).as("trimmed_mean"),
+        when(ok, round(tm1 - tm2, 6)).as("diff_vs_control"),
+        when(ok && (d1 + d2) > 0,
+          t2 * lit(1000000.0) >= lit(zc2Micro.toDouble))
+          .as("significant"))
+  }
+
   /** Two-sample Cramér–von Mises test per group — the INTEGRATED
     * distribution-difference test beside [[ksTest]]'s supremum: KS sees
     * the single worst gap (sharp local shifts), CvM accumulates every

@@ -3984,6 +3984,18 @@ object PipelineQueries {
         .orderBy(col("cluster"))
     }),
 
+    // Yuen robust test per event type vs 'view': q335's effect shifts
+    // judged on 20%-trimmed means with winsorized variances
+    "q360_yuen" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (floor(col("value") * 1000 + 0.5).cast("long") +
+            length(col("event_type")) * 100L).as("y"))
+      graft.ops.Profiling.yuenTest(ev, "event_type", "y", "view")
+        .orderBy(col("event_type"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4926,6 +4938,64 @@ object PipelineQueries {
 
     // hotspot CTE + brute-force DBSCAN over the hot-cell points +
     // per-cluster rollup — the whole chain replayed stage by stage
+    "q360_yuen" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) +
+        |      length(event_type) * 100 AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, CAST(COUNT(1) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |cum AS (SELECT h.g, v, c, n,
+        |    SUM(c) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+        |    (n * 200000) // 1000000 AS k
+        |  FROM h JOIN tot ON tot.g = h.g),
+        |bd AS (SELECT g, n, k,
+        |    MIN(CASE WHEN cl >= k + 1 THEN v END) AS lo,
+        |    MIN(CASE WHEN cl >= n - k THEN v END) AS hi
+        |  FROM cum GROUP BY 1, 2, 3),
+        |mass AS (SELECT cum.g, cum.n, cum.k, bd.lo, bd.hi, cum.v,
+        |    LEAST(cl, cum.k) - LEAST(cl - c, cum.k) AS mb,
+        |    GREATEST(cl, cum.n - cum.k) -
+        |      GREATEST(cl - c, cum.n - cum.k) AS ma,
+        |    c AS cc,
+        |    CASE WHEN cl > cum.k AND
+        |        LEAST(cl, cum.n - cum.k) - GREATEST(cl - c, cum.k) > 0
+        |      THEN LEAST(cl, cum.n - cum.k) - GREATEST(cl - c, cum.k)
+        |      ELSE 0 END AS tk
+        |  FROM cum JOIN bd ON bd.g = cum.g),
+        |per AS (SELECT g, n,
+        |    SUM(CAST(tk AS HUGEINT) * v) AS ts,
+        |    CAST(SUM(tk) AS BIGINT) AS hh,
+        |    SUM(CAST(mb AS HUGEINT) * lo * lo +
+        |      CAST(cc - mb - ma AS HUGEINT) * v * v +
+        |      CAST(ma AS HUGEINT) * hi * hi) AS wq,
+        |    SUM(CAST(mb AS HUGEINT) * lo +
+        |      CAST(cc - mb - ma AS HUGEINT) * v +
+        |      CAST(ma AS HUGEINT) * hi) AS ws
+        |  FROM mass GROUP BY 1, 2),
+        |ctl AS (SELECT n AS cn, hh AS ch, ts AS cts, wq AS cwq,
+        |    ws AS cws FROM per WHERE g = 'view'),
+        |t AS (SELECT g, n, hh,
+        |    CAST(ts AS DOUBLE) / CAST(hh AS DOUBLE) AS tm1,
+        |    CAST(cts AS DOUBLE) / CAST(ch AS DOUBLE) AS tm2,
+        |    (CAST(n * wq - ws * ws AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(hh AS DOUBLE) * CAST(hh - 1 AS DOUBLE)) AS d1,
+        |    (CAST(cn * cwq - cws * cws AS DOUBLE) / CAST(cn AS DOUBLE)) /
+        |      (CAST(ch AS DOUBLE) * CAST(ch - 1 AS DOUBLE)) AS d2,
+        |    g = 'view' AS isctl, ch
+        |  FROM per CROSS JOIN ctl)
+        |SELECT g AS event_type, n, hh AS h,
+        |  ROUND(tm1, 6) AS trimmed_mean,
+        |  CASE WHEN NOT isctl AND hh > 1 AND ch > 1
+        |    THEN ROUND(tm1 - tm2, 6) END AS diff_vs_control,
+        |  CASE WHEN NOT isctl AND hh > 1 AND ch > 1 AND d1 + d2 > 0
+        |    THEN (tm1 - tm2) * (tm1 - tm2) / (d1 + d2) * 1000000.0 >=
+        |      3841600.0 END AS significant
+        |FROM t ORDER BY 1""".stripMargin,
+
     "q359_geo_chain" ->
       s"""WITH RECURSIVE $spatialDocsSql,
          |p2 AS (SELECT doc_id,

@@ -2033,6 +2033,25 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("yuenTest: trimmed means with winsorized variances, whales " +
+      "cannot bury the shift, equal variants stay quiet") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("c", _)) ++
+      Seq(11L, 12L, 13L, 14L, 110L).map(("t", _)) ++
+      Seq(1L, 2L, 3L, 4L, 100L).map(("u", _))).toDF("g", "v")
+    val got = graft.ops.Profiling.yuenTest(df, "g", "v", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("trimmed_mean"),
+          Option(r.getAs[java.lang.Double]("diff_vs_control"))
+            .map(_.doubleValue),
+          Option(r.getAs[java.lang.Boolean]("significant"))
+            .map(_.booleanValue)))).toMap
+    // t: trimmed mean 13 vs control 3; d1 = d2 = 4/6 -> t² = 75
+    assert(got("t") == ((5L, 3L, 13.0, Some(10.0), Some(true))))
+    assert(got("u") == ((5L, 3L, 3.0, Some(0.0), Some(false))))
+    assert(got("c") == ((5L, 3L, 3.0, None, None)))
+  }
+
   test("qiniCurve: cumulative incremental conversions by descending " +
       "score tile, control-free prefix refuses") {
     import spark.implicits._
