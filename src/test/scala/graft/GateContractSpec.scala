@@ -22,6 +22,14 @@ class GateContractSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("every gate query has oracle SQL — a keyless entry would score " +
+      "a silent no-oracle row instead of a hash check") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
   test("containerColumns flags array/map/struct, passes scalars") {
     val df = Seq((1L, "x")).toDF("id", "s")
       .withColumn("arr", array(lit(1), lit(2)))
