@@ -2866,6 +2866,60 @@ object Profiling {
     * upstream if "every registered test got a verdict" matters.
     * Returns (group, id, p_micro, rank, m, reject) for the non-null
     * rows. */
+  /** Storey q-values per family — [[bhProcedure]]'s estimate-the-truth
+    * sibling: BH controls FDR at a DECLARED α, the q-value reports
+    * each test's own minimal FDR, with the null fraction π̂₀ estimated
+    * from the p > λ tail (`π̂₀ = #{p > λ}/((1−λ)m)`, capped at 1) so a
+    * family where most tests are real discoveries isn't taxed as if
+    * everything were null. `q_i = min_{p_j ≥ p_i} π̂₀·m·p_j/rank_j` —
+    * a running min from the largest p down, O(1)/row.
+    *
+    * Exactness: ranks/counts exact integers off the (p, id)-sorted
+    * family; the raw terms are one double assembly each and the
+    * monotone pass is a DESCENDING running-frame min (the
+    * [[quantileNormalize]] frame lesson — never a following-frame
+    * rescan). Returns `(group, id, p_micro, rank, pi0, q_value,
+    * discovery)` with discovery = q ≤ α. */
+  def qValues(df: DataFrame, groupCol: String, idCol: String,
+      pMicroCol: String, lambdaMicro: Long = 500000L,
+      alphaMicro: Long = 50000L): DataFrame = {
+    requireIntegral(df, pMicroCol, "qValues")
+    require(lambdaMicro > 0 && lambdaMicro < 1000000L,
+      s"lambdaMicro must be in (0, 1e6); got $lambdaMicro")
+    val wRank = Window.partitionBy(col("__g__"))
+      .orderBy(col("p_micro").asc, col("__id__").asc)
+    val wAll = Window.partitionBy(col("__g__"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.partitionBy(col("__g__"))
+      .orderBy(col("p_micro").desc, col("__id__").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.filter(col(pMicroCol).isNotNull)
+      .select(col(groupCol).as("__g__"), col(idCol).as("__id__"),
+        col(pMicroCol).cast("long").as("p_micro"))
+      .withColumn("__rank__", row_number().over(wRank))
+      .withColumn("__m__", count(lit(1)).over(wAll))
+      .withColumn("__gt__",
+        sum(when(col("p_micro") > lambdaMicro, 1L).otherwise(0L))
+          .over(wAll))
+    val pi0 = least(lit(1.0),
+      try_divide(col("__gt__").cast("double") * 1000000.0,
+        col("__m__").cast("double") *
+          (1000000.0 - lambdaMicro.toDouble)))
+    val raw = pi0 * col("__m__").cast("double") *
+      col("p_micro").cast("double") /
+      (col("__rank__").cast("double") * 1000000.0)
+    val q = least(lit(1.0), min(raw).over(wDesc))
+    ranked
+      .withColumn("__q__", q)
+      .withColumn("__pi0__", pi0)
+      .select(col("__g__").as(groupCol), col("__id__").as(idCol),
+        col("p_micro"), col("__rank__").cast("long").as("rank"),
+        round(col("__pi0__"), 6).as("pi0"),
+        round(col("__q__"), 6).as("q_value"),
+        (col("__q__") * lit(1000000.0) <= lit(alphaMicro.toDouble))
+          .as("discovery"))
+  }
+
   def bhProcedure(df: DataFrame, groupCol: String, idCol: String,
       pMicroCol: String, alphaMicro: Long = 50000L): DataFrame = {
     requireIntegral(df, pMicroCol, "bhProcedure")

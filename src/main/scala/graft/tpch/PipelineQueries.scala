@@ -3996,6 +3996,22 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Storey q-values over the q291 spiked family: the estimated-pi0
+    // FDR readout beside BH's declared-alpha decision
+    "q361_q_values" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      val tests = ev
+        .groupBy(col("event_type"), (col("user_id") % 25).as("tid"))
+        .agg((abs(sum(floor(col("value") * 100 + 0.5).cast("long"))) %
+          1000001L).as("__pseudo__"))
+        .select(col("event_type"), col("tid"),
+          when(col("tid") < 5, col("tid") * 1000L)
+            .otherwise(col("__pseudo__")).as("p_micro"))
+      graft.ops.Profiling.qValues(tests, "event_type", "tid",
+          "p_micro", alphaMicro = 200000L)
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4938,6 +4954,40 @@ object PipelineQueries {
 
     // hotspot CTE + brute-force DBSCAN over the hot-cell points +
     // per-cluster rollup — the whole chain replayed stage by stage
+    "q361_q_values" ->
+      """WITH t AS (SELECT event_type AS g, user_id % 25 AS tid,
+        |    abs(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT)) % 1000001 AS pseudo
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT g, tid,
+        |    CASE WHEN tid < 5 THEN tid * 1000 ELSE pseudo END
+        |      AS p_micro
+        |  FROM t),
+        |r AS (SELECT g, tid, p_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY p_micro, tid) AS BIGINT) AS rank,
+        |    CAST(COUNT(1) OVER (PARTITION BY g) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g) AS BIGINT) AS gt
+        |  FROM p),
+        |s AS (SELECT g, tid, p_micro, rank,
+        |    LEAST(CAST(1.0 AS DOUBLE), CAST(gt AS DOUBLE) * 1000000.0 /
+        |      (CAST(m AS DOUBLE) * (1000000.0 - 500000.0))) AS pi0,
+        |    LEAST(CAST(1.0 AS DOUBLE), CAST(gt AS DOUBLE) * 1000000.0 /
+        |      (CAST(m AS DOUBLE) * (1000000.0 - 500000.0))) *
+        |      CAST(m AS DOUBLE) * CAST(p_micro AS DOUBLE) /
+        |      (CAST(rank AS DOUBLE) * 1000000.0) AS raw
+        |  FROM r),
+        |q AS (SELECT g, tid, p_micro, rank, pi0,
+        |    LEAST(CAST(1.0 AS DOUBLE), MIN(raw) OVER (PARTITION BY g
+        |      ORDER BY p_micro DESC, tid DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qv
+        |  FROM s)
+        |SELECT g AS event_type, tid, p_micro, rank,
+        |  ROUND(pi0, 6) AS pi0, ROUND(qv, 6) AS q_value,
+        |  qv * 1000000.0 <= 200000.0 AS discovery
+        |FROM q ORDER BY event_type, rank""".stripMargin,
+
     "q360_yuen" ->
       """WITH b AS (SELECT event_type AS g,
         |    CAST(floor(value * 1000 + 0.5) AS BIGINT) +

@@ -2033,6 +2033,27 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("qValues: Storey pi0 from the high-p tail, monotone q from " +
+      "the largest p down, dense-signal family pays less") {
+    import spark.implicits._
+    val df = (Seq((1L, 10000L), (2L, 20000L), (3L, 600000L),
+      (4L, 800000L)).map { case (i, p) => ("f", i, p) } ++
+      Seq((1L, 10000L), (2L, 20000L), (3L, 30000L), (4L, 900000L))
+        .map { case (i, p) => ("g", i, p) }).toDF("fam", "tid", "p")
+    val got = graft.ops.Profiling.qValues(df, "fam", "tid", "p")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Double]("pi0"), r.getAs[Double]("q_value"),
+          r.getAs[Boolean]("discovery")))).toMap
+    // f: pi0 capped at 1 -> plain BH-style q
+    assert(got(("f", 1L)) == ((1.0, 0.04, true)))
+    assert(got(("f", 2L)) == ((1.0, 0.04, true)))
+    assert(got(("f", 3L)) == ((1.0, 0.8, false)))
+    // g: only 1 of 4 above lambda -> pi0 = 0.5 halves every q
+    assert(got(("g", 1L)) == ((0.5, 0.02, true)))
+    assert(got(("g", 3L)) == ((0.5, 0.02, true)))
+    assert(got(("g", 4L)) == ((0.5, 0.45, false)))
+  }
+
   test("yuenTest: trimmed means with winsorized variances, whales " +
       "cannot bury the shift, equal variants stay quiet") {
     import spark.implicits._
