@@ -211,6 +211,48 @@ object Spatial {
         col("__b__.i").as("nn_id"), col("__b__.d").as("nn_dist2"))
   }
 
+  /** Ripley's K function — the clustering-vs-dispersion summary of a
+    * point pattern at a LADDER of radii: `K̂(r) = A·P(r)/(N(N−1))`
+    * with P(r) the ordered pair count within r, compared against the
+    * complete-spatial-randomness expectation `πr²` (K̂ above = the
+    * points clump at that scale, below = they repel; [[spatialHotspots]]
+    * finds WHERE, this says AT WHAT SCALE). The variance-stabilized
+    * `L̂(r) = √(K̂/π)` rides along (CSR ⇒ L̂(r) ≈ r). Naive estimator,
+    * no edge correction — stated in the contract; at corpus extents the
+    * boundary sliver is negligible and every engine agrees exactly.
+    *
+    * Exactness: one grid join at max(radii), each pair's dist² exact,
+    * per-radius ORDERED pair counts are exact integers; K̂/L̂ are one
+    * double assembly per radius row. Returns per radius:
+    * `(r, n_pairs, k_hat, l_hat, csr_k)`. */
+  def ripleyK(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      radii: Seq[Long], area: Long): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.head > 0,
+      "radii must be non-empty, positive, ascending")
+    require(area > 0, s"area must be > 0; got $area")
+    val spark = df.sparkSession
+    val rmax = radii.last
+    val pairs = gridRadiusJoin(df, idCol, xCol, yCol, rmax)
+    val n = df.select(col(idCol)).count()
+    val counts = pairs.agg(
+      radii.map(r => sum(when(col("dist2") <= r * r, 1L).otherwise(0L))
+        .as(s"__c_$r")).head,
+      radii.map(r => sum(when(col("dist2") <= r * r, 1L).otherwise(0L))
+        .as(s"__c_$r")).tail: _*)
+      .collect().head
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    radii.zipWithIndex.map { case (r, i) =>
+      val p = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      val ordered = 2L * p
+      val k = area.toDouble * ordered.toDouble /
+        (n.toDouble * (n - 1).toDouble)
+      (r, ordered, r6(k), r6(math.sqrt(k / math.Pi)),
+        r6(math.Pi * r.toDouble * r.toDouble))
+    }.toDF("r", "n_pairs", "k_hat", "l_hat", "csr_k")
+  }
+
   /** Grid hotspot detection — per-cell point counts plus the 3×3
     * neighborhood-smoothed count (a Getis-Ord-style local density
     * statistic kept in exact integers), flagging cells whose smoothed

@@ -4012,6 +4012,12 @@ object PipelineQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // Ripley's K over the 12-blob layout: K >> pi*r^2 at blob scales —
+    // the at-what-scale clustering summary beside q331's where
+    "q362_ripley_k" -> ((s, dir) =>
+      graft.ops.Spatial.ripleyK(spatialDocs(s, dir), "doc_id",
+        "x", "y", radii = Seq(5L, 10L, 20L, 50L), area = 1080000L)),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4954,6 +4960,27 @@ object PipelineQueries {
 
     // hotspot CTE + brute-force DBSCAN over the hot-cell points +
     // per-cluster rollup — the whole chain replayed stage by stage
+    "q362_ripley_k" ->
+      s"""WITH $spatialDocsSql,
+         |pr AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+         |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500),
+         |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM p),
+         |c AS (SELECT r.r,
+         |    CAST(2 * COALESCE(SUM(CASE WHEN d2 <= r.r * r.r
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS np
+         |  FROM (VALUES (5), (10), (20), (50)) r(r)
+         |  LEFT JOIN pr ON true GROUP BY 1)
+         |SELECT CAST(c.r AS BIGINT) AS r, np AS n_pairs,
+         |  ROUND(1080000.0 * CAST(np AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS k_hat,
+         |  ROUND(sqrt(1080000.0 * CAST(np AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / pi()), 6)
+         |    AS l_hat,
+         |  ROUND(pi() * CAST(c.r AS DOUBLE) * CAST(c.r AS DOUBLE), 6)
+         |    AS csr_k
+         |FROM c CROSS JOIN nn ORDER BY r""".stripMargin,
+
     "q361_q_values" ->
       """WITH t AS (SELECT event_type AS g, user_id % 25 AS tid,
         |    abs(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -156,6 +156,21 @@ class SpatialSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ripleyK: exact pair ladder, K above/at the CSR line where " +
+      "the pattern clumps") {
+    val df = Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 3L, 0L),
+      (4L, 3L, 3L)).toDF("id", "x", "y")
+    val got = Spatial.ripleyK(df, "id", "x", "y", Seq(3L, 5L),
+        area = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[Double]("k_hat"),
+          r.getAs[Double]("l_hat"), r.getAs[Double]("csr_k")))).toMap
+    // r=3: the 4 square sides -> 8 ordered pairs
+    assert(got(3L) == ((8L, 66.666667, 4.606589, 28.274334)))
+    // r=5: diagonals too -> all 12
+    assert(got(5L) == ((12L, 100.0, 5.641896, 78.539816)))
+  }
+
   test("gridRadiusJoin: refuses non-integral coordinates and bad radius") {
     val df = Seq((1L, 1.5, 2.5)).toDF("id", "x", "y")
     intercept[IllegalArgumentException] {
