@@ -2150,6 +2150,65 @@ object Profiling {
         6).as("frac_targeted"))
   }
 
+  /** Two-sample Anderson–Darling test per group — the TAIL-weighted
+    * member of the ECDF-test family: [[ksTest]] sees the worst gap,
+    * [[cvmTest]] integrates all gaps evenly, AD divides each gap by
+    * `B(N−B)` so divergence out in the tails — exactly where latency
+    * SLOs and risk metrics live — counts hardest. Discrete rank form
+    * (Pettitt 1976; tie blocks contribute once at their right boundary
+    * with their multiplicity):
+    * `A² = (1/(nm)) Σ_j l_j·(M_j·N − n·B_j)²/(B_j·(N−B_j))` over the
+    * pooled grid minus its largest value. Numerator terms are exact
+    * integer cross-multiplications; the fold runs value-sorted; the
+    * verdict compares against `critValue` (default 2.492, the
+    * asymptotic 5% point for k = 2). Returns
+    * `(group, n_a, n_b, a2, significant)`. */
+  def adTest(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, critValue: Double = 2.492): DataFrame = {
+    requireIntegral(a, valueCol, "adTest")
+    requireIntegral(b, valueCol, "adTest")
+    val critMicro = math.round(critValue * 1e6)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g__"),
+          col(valueCol).cast("long").as("__v__"), lit(tag).as("__t__"))
+    val pooled = side(a, 0).unionAll(side(b, 1))
+    val h = pooled.groupBy(col("__g__"), col("__v__"))
+      .agg(sum(when(col("__t__") === 0, 1L).otherwise(0L)).as("__ca__"),
+        sum(when(col("__t__") === 1, 1L).otherwise(0L)).as("__cb__"))
+    val w = Window.partitionBy(col("__g__")).orderBy(col("__v__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pooled.groupBy(col("__g__"))
+      .agg(sum(when(col("__t__") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__t__") === 1, 1L).otherwise(0L)).as("n_b"))
+    val cum = h
+      .withColumn("__cla__", sum(col("__ca__")).over(w))
+      .withColumn("__clb__", sum(col("__cb__")).over(w))
+      .join(tot, Seq("__g__"))
+    val bigN = col("n_a") + col("n_b")
+    val bj = col("__cla__") + col("__clb__")
+    val num = dec(col("__cla__")) * dec(bigN) -
+      dec(col("n_a")) * dec(bj)
+    // value-sorted double fold of l_j·num²/(B_j(N−B_j)), last value out
+    val term = when(bj < bigN,
+      (dec(col("__ca__") + col("__cb__")) * num * num).cast("double") /
+        (dec(bj) * dec(bigN - bj)).cast("double"))
+      .otherwise(lit(0.0))
+    val folded = cum.groupBy(col("__g__"), col("n_a"), col("n_b"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__v__").as("v"),
+          term.as("t")))),
+        lit(0.0), (acc, x) => acc + x("t")).as("__s__"))
+    val a2 = try_divide(col("__s__"),
+      col("n_a").cast("double") * col("n_b").cast("double"))
+    folded.select(col("__g__").as(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(a2, 6)).as("a2"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        a2 * lit(1000000.0) >= lit(critMicro.toDouble))
+        .as("significant"))
+  }
+
   /** Yuen's trimmed-mean test per variant vs control — the robust
     * [[welchTTest]]: compares `pct`-trimmed means with winsorized
     * variances, so a fat tail or a few instrumented-client whales

@@ -4018,6 +4018,20 @@ object PipelineQueries {
       graft.ops.Spatial.ripleyK(spatialDocs(s, dir), "doc_id",
         "x", "y", radii = Seq(5L, 10L, 20L, 50L), area = 1080000L)),
 
+    // Anderson-Darling on the q353 layout: the tail-weighted member
+    // of the ECDF-test family (KS sup / CvM integral / AD tails)
+    "q363_ad_test" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .filter(col("value").isNotNull)
+        .select((col("user_id") % 5).as("tier"), col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      graft.ops.Profiling.adTest(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "tier", "v")
+        .orderBy(col("tier"))
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4960,6 +4974,60 @@ object PipelineQueries {
 
     // hotspot CTE + brute-force DBSCAN over the hot-cell points +
     // per-cluster rollup — the whole chain replayed stage by stage
+    "q363_ad_test" ->
+      """WITH e AS (SELECT user_id % 5 AS g, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |pooled AS (SELECT g, v, 0 AS t FROM e
+        |    WHERE event_type = 'click'
+        |  UNION ALL SELECT g, v, 1 FROM e
+        |    WHERE event_type = 'purchase'),
+        |h AS (SELECT g, v,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM pooled GROUP BY 1, 2),
+        |tot AS (SELECT g,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM pooled GROUP BY 1),
+        |cum AS (SELECT h.g, v, ca, cb, n_a, n_b,
+        |    SUM(ca) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cla,
+        |    SUM(cb) OVER (PARTITION BY h.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS clb
+        |  FROM h JOIN tot ON tot.g = h.g),
+        |terms AS (SELECT g, n_a, n_b, v,
+        |    CASE WHEN cla + clb < n_a + n_b THEN
+        |      CAST(CAST(ca + cb AS HUGEINT) *
+        |        (CAST(cla AS HUGEINT) * (n_a + n_b) -
+        |          CAST(n_a AS HUGEINT) * (cla + clb)) *
+        |        (CAST(cla AS HUGEINT) * (n_a + n_b) -
+        |          CAST(n_a AS HUGEINT) * (cla + clb)) AS DOUBLE) /
+        |      CAST(CAST(cla + clb AS HUGEINT) *
+        |        (n_a + n_b - cla - clb) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS tm
+        |  FROM cum),
+        |f AS (SELECT g, n_a, n_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list(struct_pack(v := v, t := tm)
+        |        ORDER BY v), x -> x.t)), (a, b) -> a + b) AS s
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT g AS tier, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    ROUND(s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |  END AS a2,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) *
+        |      1000000.0 >= 2492000.0
+        |  END AS significant
+        |FROM f ORDER BY tier""".stripMargin,
+
     "q362_ripley_k" ->
       s"""WITH $spatialDocsSql,
          |pr AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2

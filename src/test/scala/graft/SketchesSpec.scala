@@ -2095,6 +2095,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(("h", 2L)) == ((2L, 1L, 2L, 0L, Some(1.0), 1.0)))
   }
 
+  test("adTest: tail-weighted rank form, identical samples score 0, " +
+      "separation flags") {
+    import spark.implicits._
+    val a = (Seq(1L, 2L).map(("g", _)) ++ Seq(1L, 2L).map(("same", _)) ++
+      Seq.fill(10)(("sep", 1L))).toDF("grp", "v")
+    val b = (Seq(3L, 4L).map(("g", _)) ++ Seq(1L, 2L).map(("same", _)) ++
+      Seq.fill(10)(("sep", 2L))).toDF("grp", "v")
+    val got = graft.ops.Profiling.adTest(a, b, "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("a2"), r.getAs[Boolean]("significant"))))
+      .toMap
+    // g: (4/3 + 4 + 4/3)/4
+    assert(got("g") == ((1.666667, false)))
+    assert(got("same") == ((0.0, false)))
+    assert(got("sep") == ((10.0, true)))
+  }
+
   test("cvmTest: exact integrated ECDF gap, identical samples score 0, " +
       "full separation flags") {
     import spark.implicits._
