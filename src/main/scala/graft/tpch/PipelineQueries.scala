@@ -4032,6 +4032,19 @@ object PipelineQueries {
         .orderBy(col("tier"))
     }),
 
+    // modularity of a block carve-up of the q131 co-trade graph: is
+    // "nodes 0-9, 10-19, ..." real structure? (the dense fold says no
+    // — Q near 0 — and the exact rational proves it identically on
+    // both engines)
+    "q364_modularity" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(pmod(col("l_partkey"), lit(50L)).as("a"),
+          pmod(col("l_suppkey"), lit(50L)).as("b"))
+      val asg = s.range(0, 50)
+        .select(col("id").as("n"), expr("id div 10").as("c"))
+      graft.ops.Graph.modularity(e, "a", "b", asg, "n", "c")
+    }),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4974,6 +4987,35 @@ object PipelineQueries {
 
     // hotspot CTE + brute-force DBSCAN over the hot-cell points +
     // per-cluster rollup — the whole chain replayed stage by stage
+    "q364_modularity" ->
+      """WITH e0 AS (SELECT l_partkey % 50 AS a, l_suppkey % 50 AS b
+        |  FROM lineitem),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |  FROM e0 WHERE a <> b),
+        |nodes AS (SELECT u AS n FROM und UNION SELECT v FROM und),
+        |lab AS (SELECT n, CAST(n // 10 AS VARCHAR) AS c FROM nodes),
+        |e2 AS (SELECT la.c AS cu, lb.c AS cv FROM und
+        |  JOIN lab la ON la.n = und.u JOIN lab lb ON lb.n = und.v),
+        |tags AS (SELECT cu AS c, cu = cv AS intra FROM e2
+        |  UNION ALL SELECT cv, cu = cv FROM e2),
+        |perc AS (SELECT c, CAST(COUNT(1) AS BIGINT) AS deg,
+        |    CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) // 2
+        |      AS BIGINT) AS ec
+        |  FROM tags GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(1) AS BIGINT) AS m FROM und),
+        |nc AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_nodes FROM nodes),
+        |qn AS (SELECT CAST(SUM(CAST(4 * mm.m AS HUGEINT) * ec -
+        |    CAST(deg AS HUGEINT) * deg) AS BIGINT) AS q_num,
+        |    CAST(COUNT(1) AS BIGINT) AS n_communities
+        |  FROM perc CROSS JOIN mm)
+        |SELECT nc.n_nodes, mm.m AS n_edges, qn.n_communities,
+        |  CAST(0 AS BIGINT) AS n_unassigned, qn.q_num,
+        |  4 * mm.m * mm.m AS q_den,
+        |  CASE WHEN mm.m > 0 THEN ROUND(CAST(qn.q_num AS DOUBLE) /
+        |    (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)), 6)
+        |  END AS modularity
+        |FROM qn CROSS JOIN mm CROSS JOIN nc""".stripMargin,
+
     "q363_ad_test" ->
       """WITH e AS (SELECT user_id % 5 AS g, event_type,
         |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v

@@ -313,6 +313,28 @@ class GraphSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("modularity: exact rational Q for two bridged triangles, " +
+      "unassigned nodes become counted singletons") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "d")
+    val asg = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("n", "c")
+    val r = Graph.modularity(e, "s", "d", asg, "n", "c").collect().head
+    // Q·4m² = 2·(4·7·3 − 49) = 70 over 196
+    assert(r.getAs[Long]("q_num") == 70L &&
+      r.getAs[Long]("q_den") == 196L)
+    assert(r.getAs[Double]("modularity") == 0.357143)
+    assert(r.getAs[Long]("n_communities") == 2L &&
+      r.getAs[Long]("n_unassigned") == 0L)
+    // node 6 unassigned -> singleton community, Q drops
+    val r2 = Graph.modularity(e, "s", "d",
+      asg.filter(col("n") =!= 6L), "n", "c").collect().head
+    assert(r2.getAs[Long]("q_num") == 34L)
+    assert(r2.getAs[Long]("n_communities") == 3L &&
+      r2.getAs[Long]("n_unassigned") == 1L)
+  }
+
   test("linkPrediction: common/RA/Jaccard exact, adjacency excluded, " +
       "deterministic order, hub cap prunes") {
     // 1-2, 1-3, 2-3, 2-4, 3-4, 4-5: degrees 1:2 2:3 3:3 4:3 5:1
