@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Headline benchmark over the query catalog.
   *
@@ -26,6 +26,33 @@ object Bench {
     spark.range(0, 100000000L, 1, 8)
       .selectExpr("sum((id * 2654435761) % 1000000007) as s").collect()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Stable fingerprint of the FINAL (post-AQE) physical plan. Enables
+    * instant regression triage from the artifacts alone: identical
+    * fingerprint + slower wall = environment; changed fingerprint = plan
+    * regression. Expression IDs, plan ids, object addresses and codegen
+    * stage ids are session-assigned noise — normalized out so the same
+    * logical plan fingerprints identically across JVMs and rounds. */
+  private[graft] def planFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val s = finalPlan(df.queryExecution.executedPlan).toString
+    val norm = s
+      .replaceAll("#\\d+L?", "#")         // exprId (incl. Long-suffixed)
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\[id=\\d+\\]", "[id=]")   // codegen stage ids
+      .replaceAll("@[0-9a-fA-F]{4,}", "@")    // object addresses
+      .replaceAll("subquery\\d+", "subquery")
+      .replaceAll("cte\\d+", "cte")
+      .replaceAll(", \\d+ replicas\\)", ")")  // InMemoryRelation replica n
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+    md.take(6).map(b => f"$b%02x").mkString
   }
 
   private def loadavg(): String =
@@ -69,12 +96,25 @@ object Bench {
     // Separating the iterations by a full catalog pass makes the two
     // samples independent of any one neighbor.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names, or @<file>
+    // with one name per line — restricts the catalog for drift isolation
+    // experiments (e.g. rerunning exactly the round-N-common subset in a
+    // fresh JVM to separate catalog-size JVM pressure from plan change).
+    val onlyFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map { v =>
+        if (v.startsWith("@"))
+          scala.io.Source.fromFile(v.drop(1)).getLines()
+            .map(_.trim).filter(_.nonEmpty).toSet
+        else v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
     val names = (SparkEntry.queries -- sinkWriters).keys.toSeq.sorted
+      .filter(n => onlyFilter.forall(_.contains(n)))
     // every pass recorded, not just the min: a min that moves between
     // rounds is unclassifiable (noise vs drift) from a single number,
     // which is exactly what made r5's q38 delta undiagnosable from the
     // artifact alone
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
+    val planFp = scala.collection.mutable.Map.empty[String, String]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val calib = scala.collection.mutable.ListBuffer.empty[Double]
     val loads = scala.collection.mutable.ListBuffer.empty[String]
@@ -89,9 +129,14 @@ object Bench {
           // hashing, signatures) would time an empty-schema scan instead of
           // the workload. toRdd runs the query's own physical plan with all
           // output columns materialized.
-          SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
           perPass(name) = perPass.getOrElse(name, Nil) :+ dt
+          // post-AQE fingerprint, once per query (untimed: dt is final)
+          if (!planFp.contains(name))
+            planFp(name) =
+              try planFingerprint(df) catch { case _: Throwable => "" }
         } catch { case e: Throwable =>
           // a failure must NOT be recorded as a fast run: log it and mark
           // the query so the artifact shows -1, excluded from the total
@@ -171,17 +216,47 @@ object Bench {
       s"\"" + n + "\":" + perPass.getOrElse(n, Nil).size
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // plan-fingerprint diff vs the previous round's committed
+    // BENCH_local.json (or BENCH_rNN_local.json fallback): "identical
+    // fingerprint + slower wall" = environment, "changed fingerprint" =
+    // plan regression — the r9→r10 uniform-drift triage, automated.
+    val fpJson = names.map(n =>
+      s"\"" + n + "\":\"" + planFp.getOrElse(n, "") + "\"")
+      .mkString("{", ",", "}")
+    val prevFps: Map[String, String] = {
+      val candidates = "BENCH_local.json" +: new java.io.File(".")
+        .list().toSeq.filter(_.matches("BENCH_r\\d+_local\\.json")).sorted.reverse
+      candidates.flatMap { f =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8")
+          val obj = "\"plan_fp\":\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          obj.map { body =>
+            "\"([^\"]+)\":\"([0-9a-f]*)\"".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2)).toMap
+          }
+        } catch { case _: Throwable => None }
+      }.headOption.getOrElse(Map.empty)
+    }
+    val fpChanged = names.filter(n => prevFps.get(n)
+      .exists(p => p.nonEmpty && planFp.getOrElse(n, "").nonEmpty
+        && p != planFp(n)))
+    val fpSame = names.count(n => prevFps.get(n).contains(planFp.getOrElse(n, "-")))
+    val fpNew = names.count(n => !prevFps.contains(n))
+    val fpDiffJson = s"""{"prev_found":${prevFps.nonEmpty},"same":$fpSame,"new_queries":$fpNew,"changed":${
+      fpChanged.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson = calib.map(fmt4).mkString("[", ",", "]")
     val loadJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contamJson = contaminated.mkString("[", ",", "]")
-    val summary = s""""sf":"$sfDir","passes":${calib.size},"pass_counts":$countJson,"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"BENCH_local.json","failed":$failedJson,"contaminated_passes":$contamJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
+    val summary = s""""sf":"$sfDir","passes":${calib.size},"pass_counts":$countJson,"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"BENCH_local.json","plan_fp_diff":$fpDiffJson,"failed":$failedJson,"contaminated_passes":$contamJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_local.json"),
-      s"""{"queries":$fullQs,"per_pass":$passJson,$summary}""".getBytes("UTF-8"))
+      s"""{"queries":$fullQs,"per_pass":$passJson,"plan_fp":$fpJson,$summary}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
     println(s"""{"queries":$qs,$summary}""")

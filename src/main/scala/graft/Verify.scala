@@ -23,9 +23,17 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter for fast local
     // iteration on one gate query (the driver always passes exactly two)
     val Array(sfDir, outDir) = args.take(2)
+    // "--sql-only": dump oracle_sql.json for ALL queries without running
+    // any Spark query — feeds tools/oracle_lint.py, which DESCRIBEs every
+    // oracle in DuckDB and fails on dtypes pandas renders differently
+    // from the Spark parquet export (the recurring HUGEINT hash-mismatch
+    // class from rounds 9 and 10).
+    val sqlOnly = args.length > 2 && args(2) == "--sql-only"
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
-    def keep(name: String) = only.forall(_.contains(name))
+      if (args.length > 2 && !sqlOnly) Some(args(2).split(",").toSet)
+      else None
+    def keepOracle(name: String) = only.forall(_.contains(name))
+    def keep(name: String) = !sqlOnly && keepOracle(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,7 +85,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => keepOracle(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -4516,7 +4516,7 @@ object PipelineQueries {
         |    SUM(dc) OVER w AS cn
         |  FROM per WINDOW w AS (PARTITION BY g ORDER BY tile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT g AS event_type, tile AS decile,
+        |SELECT g AS event_type, CAST(tile AS BIGINT) AS decile,
         |  CAST(n_t AS BIGINT) AS n_t, CAST(k_t AS BIGINT) AS k_t,
         |  CAST(n_c AS BIGINT) AS n_c, CAST(k_c AS BIGINT) AS k_c,
         |  CASE WHEN n_c > 0 THEN ROUND(CAST(k_t AS DOUBLE) -
@@ -7900,8 +7900,8 @@ object PipelineQueries {
 
     "q291_bh_fdr" ->
       """WITH t0 AS (SELECT event_type, user_id % 25 AS tid,
-        |    abs(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))) % 1000001
-        |      AS pseudo
+        |    CAST(abs(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)))
+        |      % 1000001 AS BIGINT) AS pseudo
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, tid,
         |    CASE WHEN tid < 5 THEN tid * 1000 ELSE pseudo END AS p_micro

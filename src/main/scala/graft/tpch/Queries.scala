@@ -979,7 +979,8 @@ object Queries {
         |    quantile_cont(CAST(l_quantity AS DOUBLE),
         |      [0.25, 0.5, 0.75]) AS ex
         |  FROM lineitem GROUP BY 1)
-        |SELECT returnflag, [0.25, 0.5, 0.75][i] AS q, ex[i] AS exact_q,
+        |SELECT returnflag,
+        |  CAST([0.25, 0.5, 0.75][i] AS DOUBLE) AS q, ex[i] AS exact_q,
         |  TRUE AS rank_ok
         |FROM e CROSS JOIN (SELECT unnest(range(1, 4)) AS i)
         |ORDER BY returnflag, q""".stripMargin,

@@ -51,6 +51,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     n_pass = n_fail = n_skip = 0
+    # oracle-side dtype lint (HUGEINT/containers/decimal — the round-9/10
+    # recurring hash-mismatch class): DESCRIBE-only, so it costs nothing
+    import oracle_lint
+    for name in sorted(oracles):
+        try:
+            bad = oracle_lint.lint_one(con, name, oracles[name])
+        except Exception:
+            bad = []  # SQL errors surface in the replay below
+        if bad:
+            cols = ", ".join(f"{c}:{t}" for c, t in bad)
+            print(f"FAIL {name}: oracle dtype lint [{cols}]")
+            n_fail += 1
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
