@@ -394,6 +394,13 @@ object ScaleStress {
         val out = Corpus.filterByQuantile(skewed, "key", "len", 0.8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q366 shape: the same broadcast-threshold plan with GK sketches —
+      // per-key agg state is bounded, so the hot key costs its scan, not
+      // a value buffer
+      timed(scale, "quantile_filter_approx") {
+        val out = Corpus.filterByQuantileApprox(skewed, "key", "len", 0.8)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       timed(scale, "token_budget_hot") {
         val out = Corpus.selectByTokenBudget(
           skewed, "key", "len", "len", 500000L, "doc_id")
@@ -451,6 +458,11 @@ object ScaleStress {
       // percentile table broadcast back; two scans, no data-sized shuffle
       timed(scale, "winsorize_hot") {
         val out = Corpus.winsorize(skewed, "key", "len", 0.1, 0.9)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q367 shape: GK-band winsorization under the same skew
+      timed(scale, "winsorize_approx_hot") {
+        val out = Corpus.winsorizeApprox(skewed, "key", "len", 0.1, 0.9)
         (out.queryExecution.toRdd.count(), sig(out))
       }
       // q133 shape: snapshot diff — digests-only full-outer join, one
@@ -945,6 +957,14 @@ object ScaleStress {
           pts, "doc_id", "x", "y", eps = 40L, minPts = 3)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q368 shape: border-corrected Ripley K — the naive ladder's one
+      // grid join plus two |points|-row boundary-distance equi-joins;
+      // the result is a |radii|-row driver assembly
+      timed(scale, "ripley_border") {
+        val out = graft.ops.Spatial.ripleyKBorder(pts, "doc_id", "x", "y",
+          Seq(10L, 40L), 0L, 0L, side, side)
+        (out.count(), "driver-assembled")
+      }
       timed(scale, "bleu") {
         val ws = regexp_extract_all(lower(col("text")),
           lit("[^\\s]+"), lit(0))
@@ -1413,6 +1433,14 @@ object ScaleStress {
       // W window-days; fan-out = 7 × |user-day presences|, never events
       timed(scale, "rolling_active") {
         val out = graft.ops.EventAnalytics.rollingActiveUsers(
+          ev.withColumn("ts", timestamp_micros(col("tus"))),
+          "user_id", "ts", 7)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q365 shape: the HLL swap — the W-day explode fans out |days|×W
+      // KB-sized sketch blobs instead of |user-day|×W id rows
+      timed(scale, "rolling_active_hll") {
+        val out = graft.ops.EventAnalytics.rollingActiveUsersApprox(
           ev.withColumn("ts", timestamp_micros(col("tus"))),
           "user_id", "ts", 7)
         (out.queryExecution.toRdd.count(), sig(out))

@@ -156,6 +156,27 @@ object Corpus {
       .drop("__th__")
   }
 
+  /** Approximate-threshold variant of [[filterByQuantile]] — the
+    * extreme-key-cardinality swap. Exact `percentile` buffers every
+    * value per key on the agg side; at billions of rows per key that
+    * buffer IS the job. `approx_percentile` (Greenwald–Khanna) keeps a
+    * bounded mergeable summary (error ≤ 1/accuracy in RANK terms), so
+    * the threshold pass is a true constant-memory partial aggregate.
+    * Same two-scan broadcast shape; the kept set can differ from the
+    * exact filter only for rows within ±n/accuracy ranks of the cutoff
+    * — the tolerance the q366 gate checks. */
+  def filterByQuantileApprox(df: DataFrame, keyCol: String,
+      valueCol: String, q: Double, accuracy: Int = 10000): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val th = df.groupBy(col(keyCol)).agg(
+      expr(s"approx_percentile(CAST($valueCol AS DOUBLE), $q, $accuracy)")
+        .as("__th__"))
+    df.join(broadcast(th), Seq(keyCol))
+      .filter(col(valueCol).cast("double") >= col("__th__"))
+      .drop("__th__")
+  }
+
   /** Per-key winsorization: clamp `valueCol` into its key's
     * `[loQ, hiQ]` exact interpolated percentile band — the outlier
     * treatment that preserves row count where [[filterByQuantile]]
@@ -163,8 +184,8 @@ object Corpus {
     * Same scale shape as the filter: per-key thresholds are |keys| rows
     * computed in one partial-aggregable pass and BROADCAST back; two
     * scans, no data-sized shuffle. Adds `<valueCol>_w` (clamped double)
-    * plus the band columns; swap `approx_percentile` at extreme key
-    * cardinality, same shape. */
+    * plus the band columns; [[winsorizeApprox]] is the
+    * `approx_percentile` swap at extreme key cardinality, same shape. */
   def winsorize(df: DataFrame, keyCol: String, valueCol: String,
       loQ: Double, hiQ: Double): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
@@ -172,6 +193,32 @@ object Corpus {
     val th = df.groupBy(col(keyCol)).agg(
       expr(s"percentile(CAST($valueCol AS DOUBLE), $loQ)").as("__lo__"),
       expr(s"percentile(CAST($valueCol AS DOUBLE), $hiQ)").as("__hi__"))
+    df.join(broadcast(th), Seq(keyCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo__")),
+          col("__hi__")))
+      .withColumnRenamed("__lo__", "band_lo")
+      .withColumnRenamed("__hi__", "band_hi")
+  }
+
+  /** Approximate-band variant of [[winsorize]] — the documented
+    * `approx_percentile` swap, now a first-class op instead of a
+    * comment. Identical broadcast-clamp shape; only the |keys|-row
+    * threshold pass changes from exact (per-key value buffer) to
+    * Greenwald–Khanna bounded summaries, making the band computation a
+    * constant-memory partial aggregate at any per-key cardinality.
+    * Bands sit within ±n/accuracy RANKS of the exact bands; the q367
+    * gate bounds the induced winsorized-sum drift. */
+  def winsorizeApprox(df: DataFrame, keyCol: String, valueCol: String,
+      loQ: Double, hiQ: Double, accuracy: Int = 10000): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val th = df.groupBy(col(keyCol)).agg(
+      expr(s"approx_percentile(CAST($valueCol AS DOUBLE), $loQ, $accuracy)")
+        .as("__lo__"),
+      expr(s"approx_percentile(CAST($valueCol AS DOUBLE), $hiQ, $accuracy)")
+        .as("__hi__"))
     df.join(broadcast(th), Seq(keyCol))
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol).cast("double"), col("__lo__")),

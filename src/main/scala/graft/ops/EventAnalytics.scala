@@ -938,6 +938,48 @@ object EventAnalytics {
       .select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Sketch-backed rolling actives — the extreme-scale swap for
+    * [[rollingActiveUsers]]. The exact form explodes |entity-days| × W
+    * presence rows through the shuffle; at 100 TB event logs that
+    * explode dominates the job. Here each day is first collapsed to ONE
+    * mergeable Datasketches HLL sketch of its entities (`hll_sketch_agg`
+    * — bounded 2^lgK registers regardless of cardinality), the W-day
+    * fan-out then explodes only the |days| × W *sketch* table, and per
+    * window-end day the sketches merge with `hll_union_agg`. Shuffle
+    * volume drops from entity-days × W id rows to days × W ≈ KB-sized
+    * sketch blobs; relative error is ~1.04/√(2^lgK) (≈0.8% at the
+    * lgK=14 default).
+    *
+    * `dau` stays EXACT (one partial-aggregable distinct-per-day pass —
+    * that one is not the bottleneck); only the rolling distinct, which
+    * does not decompose over frames, is sketched. Output
+    * `(day, dau, wau_approx)` over the same observed-day set as the
+    * exact twin, so the two line up row-for-row for the q30-style
+    * tolerance gate. */
+  def rollingActiveUsersApprox(events: DataFrame, entityCol: String,
+      tsCol: String, windowDays: Int, lgK: Int = 14): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val dayUs = 86400000000L
+    val byDay = events.select(col(entityCol).as("__e__"),
+      floor(unix_micros(col(tsCol)) / dayUs).cast("long").as("__day__"))
+    // one pass: exact per-day distinct + the day's HLL sketch (duplicate
+    // entities within a day are absorbed by the sketch, no distinct
+    // needed on the sketch path)
+    val daySk = byDay.groupBy(col("__day__"))
+      .agg(countDistinct(col("__e__")).as("dau"),
+        hll_sketch_agg(col("__e__"), lit(lgK)).as("__sk__"))
+    val wau = daySk
+      .select(col("__sk__"), explode(sequence(col("__day__"),
+        col("__day__") + (windowDays - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("__sk__"), lit(false))).as("wau_approx"))
+    daySk.select(col("__day__").as("day"), col("dau"))
+      .join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau_approx"))
+  }
+
   /** Inter-arrival profile + bot flag: per entity, exact summary
     * statistics of the gaps between consecutive events (count, min,
     * max, sum — all mergeable integers; mean = sum/n is the caller's

@@ -227,6 +227,61 @@ object Graph {
     degrees(e).select(col("__n__").as("node"), col("__dg__").as("degree"))
   }
 
+  /** [[kCorePeel]] with the fixpoint SURFACED: fixed-round peeling is
+    * the right call for replayability, but the caller could not see
+    * whether `rounds` actually reached the k-core or stopped mid-peel.
+    * Peeling only ever REMOVES edges, so "edge count unchanged between
+    * consecutive rounds" is exactly "edge set unchanged" is exactly
+    * "fixpoint" — no label fingerprint needed. Every row carries
+    *   `converged`        — true iff some round removed nothing,
+    *   `rounds_effective` — the FIRST such round (null if never inside
+    *                        the budget);
+    * the `(node, degree)` values are bit-identical to [[kCorePeel]]'s.
+    *
+    * Cost of the telemetry: one single-row count per round (unioned,
+    * rounds+1 rows total, lag over that micro-table) broadcast back
+    * onto the result; each round's edge table is lazily
+    * `localCheckpoint`ed because two consumers (next round + its count)
+    * would otherwise double the lineage per round. */
+  def kCorePeelConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
+    val und = edges.select(col(srcCol).cast("long").as("__a__"),
+        col(dstCol).cast("long").as("__b__"))
+      .filter(col("__a__") =!= col("__b__"))
+    var e = und.select(least(col("__a__"), col("__b__")).as("__a__"),
+      greatest(col("__a__"), col("__b__")).as("__b__")).distinct()
+      .localCheckpoint(false)
+    def degrees(ed: DataFrame) =
+      ed.select(col("__a__").as("__n__"))
+        .unionAll(ed.select(col("__b__").as("__n__")))
+        .groupBy(col("__n__")).agg(count(lit(1)).as("__dg__"))
+    def edgeCount(ed: DataFrame, round: Int) =
+      ed.agg(count(lit(1)).as("__m__"))
+        .select(lit(round).as("__round__"), col("__m__"))
+    var counts = Seq(edgeCount(e, 0))
+    for (i <- 1 to rounds) {
+      val keep = degrees(e).filter(col("__dg__") >= k).select(col("__n__"))
+      e = e.join(keep.select(col("__n__").as("__a__")), Seq("__a__"),
+          "left_semi")
+        .join(keep.select(col("__n__").as("__b__")), Seq("__b__"),
+          "left_semi")
+        .localCheckpoint(false)
+      counts = counts :+ edgeCount(e, i)
+    }
+    // rounds+1 single-row tables: the un-partitioned window is over a
+    // micro-table, never data-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__round__"))
+    val conv = counts.reduce(_ unionAll _)
+      .withColumn("__prev__", lag(col("__m__"), 1).over(w))
+      .filter(col("__prev__").isNotNull && col("__m__") === col("__prev__"))
+      .agg(min(col("__round__")).cast("int").as("rounds_effective"))
+      .withColumn("converged", col("rounds_effective").isNotNull)
+    degrees(e).select(col("__n__").as("node"), col("__dg__").as("degree"))
+      .crossJoin(broadcast(conv.select(col("converged"),
+        col("rounds_effective"))))
+  }
+
   /** Degree assortativity of the undirected simple graph — "do hubs
     * link to hubs" (positive: social/collaboration structure; negative:
     * hub-and-spoke link farms, star spam). Newman's Pearson coefficient
@@ -322,6 +377,68 @@ object Graph {
         labels = labels.localCheckpoint()
     }
     labels
+  }
+
+  /** [[labelPropagation]] with the fixpoint SURFACED. Fixed-iteration
+    * LPA is deterministic and replayable, but synchronous LPA can
+    * 2-cycle forever (the classic bipartite oscillation) and the caller
+    * could not tell "stable communities" from "still flipping". A round
+    * whose update changes NO label is a verified fixpoint (the update is
+    * a deterministic function of the labels, so an unchanged input
+    * reproduces itself every round after). Every output row carries
+    *   `converged`        — true iff some round changed nothing,
+    *   `rounds_effective` — the first such round (null when the budget
+    *                        ran out mid-flip — e.g. the 2-cycle);
+    * label values are bit-identical to [[labelPropagation]]'s.
+    *
+    * Telemetry cost: per round one |nodes|-row equi-join of the new
+    * labels against the previous round's (same hash partitioning as the
+    * update join) collapsed to a single changed-count row; the per-round
+    * label tables are lazily `localCheckpoint`ed since each now has two
+    * consumers (next round + the diff). */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val und = edges.select(col(srcCol).cast("long").as("__a__"),
+        col(dstCol).cast("long").as("__b__"))
+      .filter(col("__a__") =!= col("__b__"))
+    val pairs = und.select(least(col("__a__"), col("__b__")).as("__a__"),
+      greatest(col("__a__"), col("__b__")).as("__b__")).distinct()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adj = Caches.registerDf(
+      pairs.select(col("__a__").as("__n__"), col("__b__").as("__m__"))
+        .unionAll(pairs.select(col("__b__").as("__n__"),
+          col("__a__").as("__m__"))).persist(lvl))
+    var labels = adj.select(col("__n__").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    var diffs = Seq.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val next = adj
+        .join(labels.select(col("node").as("__m__"), col("label")),
+          Seq("__m__"))
+        .groupBy(col("__n__"), col("label"))
+        .agg(count(lit(1)).as("__c__"))
+        .groupBy(col("__n__"))
+        .agg(min_by(col("label"),
+          struct((-col("__c__")).as("nc"), col("label").as("lb")))
+          .as("label"))
+        .select(col("__n__").as("node"), col("label"))
+        .localCheckpoint(false)
+      diffs = diffs :+ next
+        .join(labels.select(col("node"), col("label").as("__pl__")),
+          Seq("node"))
+        .filter(col("label") =!= col("__pl__"))
+        .agg(count(lit(1)).as("__chg__"))
+        .select(lit(i).as("__round__"), col("__chg__"))
+      labels = next
+    }
+    val conv = diffs.reduce(_ unionAll _)
+      .agg(min(when(col("__chg__") === 0, col("__round__"))).cast("int")
+        .as("rounds_effective"))
+      .withColumn("converged", col("rounds_effective").isNotNull)
+    labels.crossJoin(broadcast(conv.select(col("converged"),
+      col("rounds_effective"))))
   }
 
   /** HITS hubs-and-authorities over `(srcCol, dstCol)` edges,

@@ -220,6 +220,8 @@ object Spatial {
     * `L̂(r) = √(K̂/π)` rides along (CSR ⇒ L̂(r) ≈ r). Naive estimator,
     * no edge correction — stated in the contract; at corpus extents the
     * boundary sliver is negligible and every engine agrees exactly.
+    * [[ripleyKBorder]] is the border-corrected sibling when the
+    * boundary does matter.
     *
     * Exactness: one grid join at max(radii), each pair's dist² exact,
     * per-radius ORDERED pair counts are exact integers; K̂/L̂ are one
@@ -251,6 +253,79 @@ object Spatial {
       (r, ordered, r6(k), r6(math.sqrt(k / math.Pi)),
         r6(math.Pi * r.toDouble * r.toDouble))
     }.toDF("r", "n_pairs", "k_hat", "l_hat", "csr_k")
+  }
+
+  /** Border-corrected (reduced-sample) Ripley's K — closes [[ripleyK]]'s
+    * stated bias: near the domain boundary part of the radius-r disc
+    * falls outside the window, so the naive estimator undercounts
+    * neighbors and biases K̂ low at the largest radii. The border method
+    * keeps every point as a potential NEIGHBOR but only lets points at
+    * least `r` from the rectangle boundary act as CENTERS — each
+    * surviving center's disc is fully observed, so its neighbor count
+    * is unbiased:
+    *
+    *   K̂_b(r) = (A / n) · Σ_{i: bd(i) ≥ r} #{j ≠ i: d_ij ≤ r} / n_r
+    *
+    * with `bd(i) = min(x−x0, x1−x, y−y0, y1−y)` and `n_r` the eligible
+    * center count. Exactness discipline unchanged: pair distances and
+    * boundary distances are exact integers, all per-radius counts are
+    * exact integer aggregates, K̂/L̂ are one double assembly per radius
+    * row — fully oracle-replayable, no tolerance needed.
+    *
+    * Shape: the SAME single grid join at max(radii) as the naive form,
+    * plus two |points|-row hash equi-joins attaching each endpoint's
+    * boundary distance (ids and two longs ride the shuffle, nothing
+    * data-sized beyond the pair list itself), then one single-row
+    * aggregate per table. NULL K̂ at radii where no center survives
+    * (window smaller than 2r) — surfaced, not silently zero.
+    *
+    * Returns per radius: `(r, n_pairs_border, n_centers, k_border,
+    * l_border, csr_k)` — `n_pairs_border` the ordered eligible-centered
+    * count Σ_i #{j}. */
+  def ripleyKBorder(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, radii: Seq[Long], x0: Long, y0: Long, x1: Long,
+      y1: Long): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.head > 0,
+      "radii must be non-empty, positive, ascending")
+    require(x1 > x0 && y1 > y0, s"empty window [$x0,$x1]x[$y0,$y1]")
+    val spark = df.sparkSession
+    val area = (BigDecimal(x1) - BigDecimal(x0)) *
+      (BigDecimal(y1) - BigDecimal(y0))
+    val rmax = radii.last
+    val bd = df.select(col(idCol).as("__id__"),
+      least(col(xCol).cast("long") - x0, lit(x1) - col(xCol).cast("long"),
+        col(yCol).cast("long") - y0, lit(y1) - col(yCol).cast("long"))
+        .as("__bd__"))
+    val pairs = gridRadiusJoin(df, idCol, xCol, yCol, rmax)
+      .join(bd.select(col("__id__").as("id_a"), col("__bd__").as("__bda__")),
+        Seq("id_a"))
+      .join(bd.select(col("__id__").as("id_b"), col("__bd__").as("__bdb__")),
+        Seq("id_b"))
+    // per radius: ordered pair count from ELIGIBLE centers (each
+    // unordered pair contributes once per eligible endpoint)...
+    val pairCols = radii.map(r =>
+      sum(when(col("dist2") <= r * r,
+        when(col("__bda__") >= r, 1L).otherwise(0L) +
+          when(col("__bdb__") >= r, 1L).otherwise(0L)).otherwise(0L))
+        .as(s"__p_$r"))
+    val pairRow = pairs.agg(pairCols.head, pairCols.tail: _*).collect().head
+    // ...and the eligible center count itself
+    val centCols = radii.map(r =>
+      sum(when(col("__bd__") >= r, 1L).otherwise(0L)).as(s"__n_$r"))
+    val centRow = bd.agg(centCols.head, centCols.tail: _*).collect().head
+    val n = df.select(col(idCol)).count()
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    radii.zipWithIndex.map { case (r, i) =>
+      val p = if (pairRow.isNullAt(i)) 0L else pairRow.getLong(i)
+      val nr = if (centRow.isNullAt(i)) 0L else centRow.getLong(i)
+      val k = if (nr == 0 || n == 0) None
+      else Some(area.toDouble * p.toDouble / (n.toDouble * nr.toDouble))
+      (r, p, nr, k.map(r6), k.map(v => r6(math.sqrt(v / math.Pi))),
+        r6(math.Pi * r.toDouble * r.toDouble))
+    }.toDF("r", "n_pairs_border", "n_centers", "k_border", "l_border",
+      "csr_k")
   }
 
   /** Grid hotspot detection — per-cell point counts plus the 3×3

@@ -391,6 +391,45 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of
+    * [[graft.ops.EventAnalytics.rollingActiveUsersApprox]]: the DAU/WAU
+    * health monitor maintained CONTINUOUSLY — the canonical "is the
+    * product alive" readout a batch job only refreshes daily. Input rows
+    * are `(entity, day)` presences (day bucketing upstream, exactly the
+    * batch op's `floor(unix_micros/86400e6)`); each presence fans out to
+    * its W window-end days (the batch op's bounded explode, applied
+    * per-row), and per window-end day the state is ONE updatable
+    * Datasketches HLL sketch — O(2^lgK) bytes per day forever, entities
+    * never retained. Every micro-batch emits each touched day's
+    * refreshed `(day, wau_approx)` estimate (update semantics,
+    * downstream upserts by day).
+    *
+    * Stream ≡ batch because HLL update/union is an order-insensitive
+    * commutative monoid: folding entities batch-by-batch into the day's
+    * sketch reaches the same sketch as the batch op's day-sketch union
+    * (bit-identical in the exact coupon regime, same ±1.04/√2^lgK
+    * estimate beyond it) — asserted cross-batch in StreamingSpec against
+    * the batch op's output. */
+  def rollingActiveHllStream(rows: Dataset[(Long, Long)],
+      windowDays: Int, lgK: Int = 14): Dataset[(Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    rows.flatMap { case (e, day) =>
+      (0 until windowDays).map(i => (day + i, e))
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (day, it, state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption
+            .map(b => org.apache.datasketches.hll.HllSketch.heapify(b))
+            .getOrElse(new org.apache.datasketches.hll.HllSketch(lgK))
+          it.foreach { case (_, e) => sk.update(e) }
+          state.update(sk.toUpdatableByteArray)
+          Iterator.single((day, Math.round(sk.getEstimate)))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Incremental]]: the pre-aggregated
     * sink maintained CONTINUOUSLY from a signed CDC stream of
     * `(key, sign, value)` rows (+1 insert, -1 delete). Per-key state is

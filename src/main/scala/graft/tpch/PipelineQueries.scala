@@ -4045,6 +4045,74 @@ object PipelineQueries {
       graft.ops.Graph.modularity(e, "a", "b", asg, "n", "c")
     }),
 
+    // sketch-backed rolling actives: HLL-per-day + windowed union — the
+    // 100 TB swap for q164's |entity-days|×W presence explode. dau/wau
+    // stay exact; the union estimate must land within 5% (q30 posture)
+    "q365_rolling_hll" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+        .select(col("user_id"), col("ts"))
+      val exact = EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 7)
+      val approx = EventAnalytics.rollingActiveUsersApprox(
+        ev, "user_id", "ts", 7, lgK = 14)
+      exact.join(approx.select(col("day"), col("wau_approx")), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          (abs(col("wau_approx") - col("wau")).cast("double") <=
+            greatest(col("wau").cast("double") * 0.05, lit(2.0)))
+            .as("approx_ok"))
+        .orderBy(col("day"))
+    }),
+
+    // GK-sketch quantile filtering beside q111's exact twin: per-source
+    // kept counts must agree within rank-error tolerance
+    "q366_quantile_filter_approx" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val base = d.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+      val ke = Corpus.filterByQuantile(d, "source", "n_chars", 0.8)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val ka = Corpus.filterByQuantileApprox(d, "source", "n_chars", 0.8,
+          accuracy = 10000)
+        .groupBy(col("source")).agg(count(lit(1)).as("__ka__"))
+      base.join(ke, Seq("source")).join(ka, Seq("source"))
+        .select(col("source"), col("n_rows"), col("n_kept"),
+          (abs(col("__ka__") - col("n_kept")).cast("double") <=
+            greatest(col("n_rows").cast("double") * 0.02, lit(5.0)))
+            .as("approx_ok"))
+        .orderBy(col("source"))
+    }),
+
+    // GK-sketch winsorization beside q130's exact twin: per-source
+    // winsorized micro-sums must agree within 1%
+    "q367_winsorize_approx" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      def wsum(df: org.apache.spark.sql.DataFrame) =
+        sum(floor(df.col("n_chars_w") * 1000000 + 0.5).cast("long"))
+      val e = Corpus.winsorize(d, "source", "n_chars", 0.05, 0.95)
+      val a = Corpus.winsorizeApprox(d, "source", "n_chars", 0.05, 0.95,
+        accuracy = 10000)
+      val ew = e.groupBy(col("source")).agg(count(lit(1)).as("n"),
+        min(col("band_lo")).as("band_lo"),
+        min(col("band_hi")).as("band_hi"),
+        wsum(e).as("wsum_micro"))
+      val aw = a.groupBy(col("source")).agg(wsum(a).as("__aw__"))
+      ew.join(aw, Seq("source"))
+        .select(col("source"), col("n"), col("band_lo"), col("band_hi"),
+          col("wsum_micro"),
+          (abs(col("__aw__") - col("wsum_micro")).cast("double") <=
+            greatest(abs(col("wsum_micro")).cast("double") * 0.01,
+              lit(1000000.0))).as("approx_ok"))
+        .orderBy(col("source"))
+    }),
+
+    // border-corrected Ripley K beside q362's naive twin: only points
+    // >= r from the window edge act as centers, killing the boundary
+    // undercount — exact integers end to end, no tolerance needed
+    "q368_ripley_border" -> ((s, dir) =>
+      graft.ops.Spatial.ripleyKBorder(spatialDocs(s, dir), "doc_id",
+        "x", "y", radii = Seq(5L, 10L, 20L, 50L),
+        x0 = 0L, y0 = 0L, x1 = 989L, y1 = 689L)),
+
     // top-50 vocabulary with a deterministic total order
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
@@ -4987,6 +5055,77 @@ object PipelineQueries {
 
     // hotspot CTE + brute-force DBSCAN over the hot-cell points +
     // per-cluster rollup — the whole chain replayed stage by stage
+    "q365_rolling_hll" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |  FROM p GROUP BY 1),
+        |w AS (SELECT user_id, day + i AS day
+        |  FROM p CROSS JOIN range(0, 7) t(i)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        |  FROM w GROUP BY 1)
+        |SELECT dau.day, dau, wau, TRUE AS approx_ok
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q366_quantile_filter_approx" ->
+      """WITH th AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.8) AS t,
+        |    CAST(COUNT(1) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, MIN(th.n_rows) AS n_rows,
+        |  CAST(SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) >= th.t
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  TRUE AS approx_ok
+        |FROM documents d JOIN th USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q367_winsorize_approx" ->
+      """WITH th AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS band_lo,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS band_hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, CAST(COUNT(1) AS BIGINT) AS n,
+        |  MIN(th.band_lo) AS band_lo, MIN(th.band_hi) AS band_hi,
+        |  CAST(SUM(CAST(floor(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE),
+        |      th.band_lo), th.band_hi) * 1000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS wsum_micro,
+        |  TRUE AS approx_ok
+        |FROM documents d JOIN th USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q368_ripley_border" ->
+      s"""WITH $spatialDocsSql,
+         |bd AS (SELECT doc_id, x, y,
+         |    LEAST(x - 0, 989 - x, y - 0, 689 - y) AS bd FROM p),
+         |pr AS (SELECT a.bd AS bda, b.bd AS bdb,
+         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+         |  FROM bd a JOIN bd b ON a.doc_id < b.doc_id
+         |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500),
+         |nn AS (SELECT CAST(COUNT(1) AS BIGINT) AS n FROM p),
+         |c AS (SELECT r.r,
+         |    CAST(COALESCE(SUM(CASE WHEN d2 <= r.r * r.r THEN
+         |      (CASE WHEN bda >= r.r THEN 1 ELSE 0 END) +
+         |      (CASE WHEN bdb >= r.r THEN 1 ELSE 0 END)
+         |      ELSE 0 END), 0) AS BIGINT) AS np
+         |  FROM (VALUES (5), (10), (20), (50)) r(r)
+         |  LEFT JOIN pr ON true GROUP BY 1),
+         |ct AS (SELECT r.r,
+         |    CAST(COALESCE(SUM(CASE WHEN bd >= r.r THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS nc
+         |  FROM (VALUES (5), (10), (20), (50)) r(r)
+         |  LEFT JOIN bd ON true GROUP BY 1)
+         |SELECT CAST(c.r AS BIGINT) AS r, np AS n_pairs_border,
+         |  nc AS n_centers,
+         |  CASE WHEN nc > 0 THEN ROUND(681421.0 * CAST(np AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * CAST(nc AS DOUBLE)), 6) END AS k_border,
+         |  CASE WHEN nc > 0 THEN ROUND(sqrt(681421.0 * CAST(np AS DOUBLE) /
+         |    (CAST(n AS DOUBLE) * CAST(nc AS DOUBLE)) / pi()), 6)
+         |  END AS l_border,
+         |  ROUND(pi() * CAST(c.r AS DOUBLE) * CAST(c.r AS DOUBLE), 6)
+         |    AS csr_k
+         |FROM c JOIN ct USING (r) CROSS JOIN nn ORDER BY r""".stripMargin,
+
     "q364_modularity" ->
       """WITH e0 AS (SELECT l_partkey % 50 AS a, l_suppkey % 50 AS b
         |  FROM lineitem),

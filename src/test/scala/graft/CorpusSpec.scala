@@ -1160,4 +1160,36 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.tCloseness(df, Seq("v"), "v", 3, 10)
     }
   }
+
+  test("filterByQuantileApprox: kept set matches exact filter when the " +
+      "quantile lands on a data point; broadcast shape preserved") {
+    // key a: 0..100 -> q=0.8 is exactly rank 80 (no interpolation), so
+    // GK (which returns a real data value) and exact percentile agree
+    val df = ((0 to 100).map(i => ("a", i.toLong)) ++
+      Seq(("b", 5L), ("b", 5L))).toDF("k", "v")
+    val exact = Corpus.filterByQuantile(df, "k", "v", 0.8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val approx = Corpus.filterByQuantileApprox(df, "k", "v", 0.8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(approx == exact)
+    val plan = Corpus.filterByQuantileApprox(df, "k", "v", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("winsorizeApprox: bands match exact winsorize on " +
+      "interpolation-free quantiles, rows preserved") {
+    val df = (0 to 100).map(i => ("a", i.toLong)).toDF("k", "v")
+    // 0.05/0.95 on 101 points -> ranks 5 and 95 exactly
+    val exact = Corpus.winsorize(df, "k", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Double]("band_lo"), r.getAs[Double]("band_hi"),
+          r.getAs[Double]("v_w")))).toMap
+    val approx = Corpus.winsorizeApprox(df, "k", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Double]("band_lo"), r.getAs[Double]("band_hi"),
+          r.getAs[Double]("v_w")))).toMap
+    assert(approx.size == 101, "row count preserved")
+    assert(approx == exact)
+  }
 }

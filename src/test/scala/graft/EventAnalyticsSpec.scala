@@ -1198,4 +1198,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L, 2L, 1000000L), (2L, 1L, 2L, 1000000L)))
     graft.ops.Caches.releaseAll()
   }
+
+  test("rollingActiveUsersApprox: same day set as the exact twin, " +
+      "sketch estimate exact at small cardinality") {
+    val day = 86400000000L
+    val ev = (0 until 200).map(i =>
+      ((i % 37).toLong, (i % 5).toLong * day + i))
+      .toDF("u", "tus")
+      .select(col("u"), org.apache.spark.sql.functions
+        .timestamp_micros(col("tus")).as("ts"))
+    val exact = EventAnalytics.rollingActiveUsers(ev, "u", "ts", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val approx = EventAnalytics.rollingActiveUsersApprox(ev, "u", "ts", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(approx.keySet == exact.keySet, "observed-day sets must match")
+    for ((d, (dau, wau)) <- exact) {
+      assert(approx(d)._1 == dau, s"dau is exact by construction (day $d)")
+      // Datasketches HLL is in exact (coupon-list) mode far below 2^14
+      // registers, so at 37 entities the estimate is the true count
+      assert(approx(d)._2 == wau, s"day $d: ${approx(d)._2} vs $wau")
+    }
+  }
 }

@@ -355,4 +355,60 @@ class GraphSpec extends AnyFunSuite {
       maxWedgeDeg = 2L).count() == 0L)
     graft.ops.Caches.releaseAll()
   }
+
+  test("labelPropagationConverged: fixpoint surfaced, labels unchanged; " +
+      "bipartite 2-cycle never converges") {
+    // triangle: round 1 {2,1,1}, round 2 {1,1,1}, round 3 verifies the
+    // fixpoint (no change) -> converged at rounds_effective = 3
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val c3 = Graph.labelPropagationConverged(tri.toDF("s", "d"), "s", "d",
+      iters = 3).collect()
+    assert(c3.forall(_.getAs[Boolean]("converged")))
+    assert(c3.forall(_.getAs[Int]("rounds_effective") == 3))
+    // label values bit-identical to the plain variant at the same depth
+    assert(c3.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Graph.labelPropagation(tri.toDF("s", "d"), "s", "d", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    graft.ops.Caches.releaseAll()
+    // depth short of the fixpoint: every round still changed something
+    val c2 = Graph.labelPropagationConverged(tri.toDF("s", "d"), "s", "d",
+      iters = 2).collect()
+    assert(c2.forall(!_.getAs[Boolean]("converged")))
+    assert(c2.forall(r => r.isNullAt(r.fieldIndex("rounds_effective"))))
+    graft.ops.Caches.releaseAll()
+    // the classic sync-LPA pathology: a single edge 2-cycles forever,
+    // and the flag says so instead of presenting flipping labels as done
+    val bip = Seq((1L, 2L))
+    val cb = Graph.labelPropagationConverged(bip.toDF("s", "d"), "s", "d",
+      iters = 6).collect()
+    assert(cb.forall(!_.getAs[Boolean]("converged")))
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("kCorePeelConverged: first no-removal round surfaced; " +
+      "degrees identical to kCorePeel") {
+    // triangle + tail 3-4-5: counts 5 -> 4 -> 3 -> 3; round 3 removes
+    // nothing -> converged at rounds_effective = 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val c3 = Graph.kCorePeelConverged(e.toDF("s", "d"), "s", "d",
+      k = 2, rounds = 3).collect()
+    assert(c3.forall(_.getAs[Boolean]("converged")))
+    assert(c3.forall(_.getAs[Int]("rounds_effective") == 3))
+    assert(c3.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Graph.kCorePeel(e.toDF("s", "d"), "s", "d", 2, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    graft.ops.Caches.releaseAll()
+    // budget exhausted mid-peel: rounds 1 and 2 both removed edges
+    val c2 = Graph.kCorePeelConverged(e.toDF("s", "d"), "s", "d",
+      k = 2, rounds = 2).collect()
+    assert(c2.forall(!_.getAs[Boolean]("converged")))
+    graft.ops.Caches.releaseAll()
+    // an input that IS already the k-core converges in round 1
+    val core = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val c1 = Graph.kCorePeelConverged(core.toDF("s", "d"), "s", "d",
+      k = 2, rounds = 2).collect()
+    assert(c1.forall(_.getAs[Boolean]("converged")))
+    assert(c1.forall(_.getAs[Int]("rounds_effective") == 1))
+    graft.ops.Caches.releaseAll()
+  }
 }

@@ -184,4 +184,35 @@ class SpatialSpec extends AnyFunSuite {
       Spatial.dbscanLite(ok, "id", "x", "y", 5L, minPts = 0)
     }
   }
+
+  test("ripleyKBorder: brute-force differential on a jittered grid; " +
+      "interior-only radii match the all-centers formula") {
+    // 7x5 jittered lattice in [0,60]x[0,40]
+    val pts = (for (i <- 0 until 7; j <- 0 until 5) yield {
+      val id = (i * 5 + j).toLong
+      (id, (i * 10 + (id * 7) % 3).toLong, (j * 10 + (id * 11) % 3).toLong)
+    }).toSeq
+    val radii = Seq(6L, 15L)
+    val (x0, y0, x1, y1) = (0L, 0L, 62L, 42L)
+    val got = Spatial.ripleyKBorder(pts.toDF("id", "x", "y"), "id",
+        "x", "y", radii, x0, y0, x1, y1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val area = (x1 - x0).toDouble * (y1 - y0).toDouble
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    for (r <- radii) {
+      def bd(p: (Long, Long, Long)) =
+        Seq(p._2 - x0, x1 - p._2, p._3 - y0, y1 - p._3).min
+      val centers = pts.filter(bd(_) >= r)
+      val np = (for (a <- centers; b <- pts if b._1 != a._1) yield {
+        val dx = a._2 - b._2; val dy = a._3 - b._3
+        if (dx * dx + dy * dy <= r * r) 1 else 0
+      }).sum.toLong
+      val k = r6(area * np / (pts.size.toDouble * centers.size))
+      assert(got(r) == ((np, centers.size.toLong, k)),
+        s"r=$r: got ${got(r)} want ($np, ${centers.size}, $k)")
+    }
+  }
 }

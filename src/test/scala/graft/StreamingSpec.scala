@@ -1313,4 +1313,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(last._2._3 == 3L) // pairs (1,8) (2,9) (3,10) all found
     } finally q.stop()
   }
+
+  test("rollingActiveHllStream final estimates equal the batch HLL twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = Streaming.rollingActiveHllStream(ms.toDS(), windowDays = 3)
+      .toDF("day", "wau_approx")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rolling_hll_stream").start()
+    // (entity, day) presences across two micro-batches: repeats within
+    // and ACROSS batches must collapse (HLL absorbs them), day 3 only
+    // appears in batch 2
+    val batch1 = Seq((1L, 0L), (2L, 0L), (1L, 1L), (3L, 2L))
+    val batch2 = Seq((4L, 1L), (2L, 3L), (1L, 0L), (5L, 4L))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT day, wau_approx FROM rolling_hll_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // last emitted row per day = the maintained estimate
+      val finalState = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (d, v) => d -> v.maxBy(_._2)._1._2 }
+      // batch twin over the union of both batches; it emits only
+      // OBSERVED days (all of 0..4 here), the stream every touched
+      // window-end day — compare on the batch's day set
+      val day = 86400000000L
+      val ev = (batch1 ++ batch2).toDF("u", "d")
+        .select(col("u"), org.apache.spark.sql.functions
+          .timestamp_micros(col("d") * day).as("ts"))
+      val batch = graft.ops.EventAnalytics.rollingActiveUsersApprox(
+          ev, "u", "ts", 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(batch.keySet == Set(0L, 1L, 2L, 3L, 4L))
+      for ((d, wau) <- batch)
+        assert(finalState(d) == wau, s"day $d: ${finalState(d)} vs $wau")
+    } finally q.stop()
+  }
 }
