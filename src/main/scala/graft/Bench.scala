@@ -31,9 +31,17 @@ object Bench {
   /** Stable fingerprint of the FINAL (post-AQE) physical plan. Enables
     * instant regression triage from the artifacts alone: identical
     * fingerprint + slower wall = environment; changed fingerprint = plan
-    * regression. Expression IDs, plan ids, object addresses and codegen
-    * stage ids are session-assigned noise — normalized out so the same
-    * logical plan fingerprints identically across JVMs and rounds. */
+    * regression. Expression IDs, plan ids, object addresses, JVM
+    * hidden-class lambda names, higher-order-function variable counters,
+    * AQE query-stage numbers and codegen stage ids are session-assigned
+    * noise — normalized out so the same logical plan fingerprints
+    * identically across JVMs and rounds. NOT normalized: join BUILD
+    * SIDE. AQE occasionally flips BuildLeft/BuildRight on a tiny
+    * symmetric join (both sides single-digit rows; the pick follows
+    * stage-completion order) — q30's two 3-row aggregate sides are the
+    * known case. That flip is a genuine property of the executed plan,
+    * so it is reported rather than hidden; a fp change with unchanged
+    * wall time and a BuildLeft/BuildRight-only diff reads as benign. */
   private[graft] def planFingerprint(df: DataFrame): String = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
@@ -43,8 +51,21 @@ object Bench {
     }
     val s = finalPlan(df.queryExecution.executedPlan).toString
     val norm = s
+      // JVM hidden-class lambda names: Foo$$$Lambda$9529/0x00007f...@1a2b
+      // — the index and address depend on class-LOAD ORDER, so the same
+      // plan fingerprints differently between a subset run and a
+      // full-catalog run without this
+      .replaceAll("\\$+Lambda\\$?\\d*(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
+      // higher-order-function variables (lambda x_594#...) draw from a
+      // session-global counter — same catalog position, different number
+      .replaceAll("_\\d+#", "_#")
       .replaceAll("#\\d+L?", "#")         // exprId (incl. Long-suffixed)
       .replaceAll("plan_id=\\d+", "plan_id=")
+      // AQE numbers query stages in MATERIALIZATION order and
+      // whole-stage-codegen ids follow — both timing-dependent, the
+      // operator tree is what matters
+      .replaceAll("QueryStage \\d+", "QueryStage")
+      .replaceAll("\\*\\(\\d+\\)", "*")
       .replaceAll("\\[id=\\d+\\]", "[id=]")   // codegen stage ids
       .replaceAll("@[0-9a-fA-F]{4,}", "@")    // object addresses
       .replaceAll("subquery\\d+", "subquery")
@@ -134,9 +155,25 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           perPass(name) = perPass.getOrElse(name, Nil) :+ dt
           // post-AQE fingerprint, once per query (untimed: dt is final)
-          if (!planFp.contains(name))
+          if (!planFp.contains(name)) {
             planFp(name) =
               try planFingerprint(df) catch { case _: Throwable => "" }
+            // SPARK_GRAFT_BENCH_DUMP_PLANS=<dir>: write the raw final
+            // plan per query — regression triage for a changed plan_fp
+            sys.env.get("SPARK_GRAFT_BENCH_DUMP_PLANS").foreach { dir =>
+              try {
+                new java.io.File(dir).mkdirs()
+                val p = df.queryExecution.executedPlan match {
+                  case a: org.apache.spark.sql.execution.adaptive
+                      .AdaptiveSparkPlanExec => a.executedPlan
+                  case other => other
+                }
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(s"$dir/$name.txt"),
+                  p.toString.getBytes("UTF-8"))
+              } catch { case _: Throwable => () }
+            }
+          }
         } catch { case e: Throwable =>
           // a failure must NOT be recorded as a fast run: log it and mark
           // the query so the artifact shows -1, excluded from the total

@@ -430,6 +430,54 @@ object Streaming {
       }
   }
 
+  /** Streaming per-group quantile monitor — the p50/p95/p99 latency
+    * readout maintained continuously, the streaming sibling of the
+    * [[graft.ops.Corpus.filterByQuantileApprox]]/`winsorizeApprox`
+    * Greenwald–Khanna swap (and built on the SAME summary structure
+    * Spark's `approx_percentile` uses, `QuantileSummaries`, so the
+    * error contract is identical: rank error ≤ relativeError · count,
+    * state O(1/relativeError · log(εn)) per group forever — values are
+    * never retained).
+    *
+    * Each micro-batch folds its values into the group's summary
+    * (inserted in sorted order, so the summary — and therefore every
+    * emitted estimate — is a deterministic function of the batch
+    * CONTENTS, not of partition visit order) and emits the group's
+    * refreshed `(group, count, estimates)` row (update semantics).
+    * StreamingSpec asserts the cross-batch estimates hit the GK rank
+    * bound against the exact sorted data. */
+  def quantileMonitorStream(rows: Dataset[(String, Long)],
+      qs: Seq[Double], relativeError: Double = 0.001)
+      : Dataset[(String, Long, Seq[Double])] = {
+    import rows.sparkSession.implicits._
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0, 1], got $qs")
+    require(relativeError > 0 && relativeError < 1,
+      s"relativeError must be in (0, 1), got $relativeError")
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    def ser(s: QuantileSummaries): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.io.ObjectOutputStream(b)
+      o.writeObject(s); o.close(); b.toByteArray
+    }
+    def deser(b: Array[Byte]): QuantileSummaries =
+      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+        .readObject().asInstanceOf[QuantileSummaries]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (String, Long, Seq[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Array[Byte]]) =>
+          var s = state.getOption.map(deser).getOrElse(
+            new QuantileSummaries(QuantileSummaries.defaultCompressThreshold,
+              relativeError))
+          it.map(_._2).toSeq.sorted.foreach(v => s = s.insert(v.toDouble))
+          s = s.compress()
+          state.update(ser(s))
+          Iterator.single((key, s.count,
+            qs.map(q => s.query(q).getOrElse(Double.NaN))))
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Incremental]]: the pre-aggregated
     * sink maintained CONTINUOUSLY from a signed CDC stream of
     * `(key, sign, value)` rows (+1 insert, -1 delete). Per-key state is

@@ -1350,4 +1350,44 @@ class StreamingSpec extends AnyFunSuite {
         assert(finalState(d) == wau, s"day $d: ${finalState(d)} vs $wau")
     } finally q.stop()
   }
+
+  test("quantileMonitorStream estimates hit the GK rank bound cross-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val qs = Seq(0.5, 0.95, 0.99)
+    val q = Streaming.quantileMonitorStream(ms.toDS(), qs,
+        relativeError = 0.01)
+      .toDF("g", "n", "est")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("quantile_stream").start()
+    // two groups, values deliberately arriving out of order and split
+    // across batches (a: 1..400 then 401..1000; b: evens then odds)
+    val aVals = (1 to 1000).map(_.toLong)
+    val bVals = (1 to 500).map(i => (i * 7 % 501).toLong)
+    val batch1 = aVals.take(400).reverse.map(("a", _)) ++
+      bVals.filter(_ % 2 == 0).map(("b", _))
+    val batch2 = aVals.drop(400).map(("a", _)) ++
+      bVals.filter(_ % 2 == 1).map(("b", _))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      val rows = spark.sql("SELECT g, n, est FROM quantile_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Double](2)))
+      val finalState = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, v) => g -> v.maxBy(_._2)._1 }
+      for ((g, vals) <- Seq("a" -> aVals, "b" -> bVals)) {
+        val (_, n, est) = finalState(g)
+        assert(n == vals.size.toLong, s"group $g count")
+        val sorted = vals.sorted
+        for ((tq, e) <- qs.zip(est)) {
+          // GK contract: the estimate's rank is within eps*n of tq*n
+          val rank = sorted.count(_ <= e.toLong)
+          assert(math.abs(rank - tq * n) <= 0.01 * n + 1,
+            s"group $g q=$tq est=$e rank=$rank n=$n")
+        }
+      }
+    } finally q.stop()
+  }
 }
