@@ -429,6 +429,12 @@ object ScaleStress {
         val out = Dedup.clusterRepresentatives(scored, "doc_id", pairs, "score")
         (out.count(), "iterative")
       }
+      // q369 shape: greedy max-coverage — persisted 8-byte pair table,
+      // k single-row argmax rounds (the trainBpe loop posture)
+      timed(scale, "max_coverage") {
+        val out = Corpus.maxCoverageSelect(docs, "doc_id", "text", k = 5)
+        (out.count(), "iterative")
+      }
       // q86 shape: TF-IDF keywords — two partial-aggregable word
       // aggregations; the vocabulary-sized doc-frequency table broadcasts
       // back and the per-doc top-k window is rank-limited
@@ -1040,6 +1046,23 @@ object ScaleStress {
     }
     runPq("1x", emb1x)
     runPq("10x", emb10x)
+
+    // q370 shape: MMR rerank — k single-row argmax rounds, cosine
+    // against <=k-1 literal selected vectors; no candidate self-join
+    def runMmr(scale: String, emb: DataFrame): Unit =
+      timed(scale, "mmr_rerank") {
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__q__"))
+        val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            graft.ops.Similarity.cosine(col("embedding"), col("__q__"))
+              .as("rel"))
+        val out = graft.ops.Similarity.mmrSelect(
+          cands, "vec_id", "embedding", "rel", k = 5)
+        (out.count(), "iterative")
+      }
+    runMmr("1x", emb1x)
+    runMmr("10x", emb10x)
 
     // q206 shape: dim health — one posexplode into a |dims|-keyed
     // partial-aggregable pass; output fixed at 64 rows

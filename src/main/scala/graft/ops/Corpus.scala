@@ -518,6 +518,66 @@ object Corpus {
       .drop("__cum__")
   }
 
+  /** Greedy max-coverage subset selection — pick `k` documents that
+    * together cover the most DISTINCT `shingleK`-shingles (the classic
+    * (1−1/e)-approximate greedy for the NP-hard max-coverage objective):
+    * diversity-first data selection, the content-based complement to
+    * [[selectByTokenBudget]]'s score ranking (which happily picks k
+    * near-copies of the same excellent document; this never pays for a
+    * shingle twice). Each round selects the document with the largest
+    * MARGINAL coverage — its count of still-uncovered shingles — ties
+    * broken by smallest id, so the selection is deterministic and
+    * engine-replayable (the DuckDB oracle unrolls the rounds).
+    *
+    * Scale shape: the distinct `(doc, shingle-hash)` pair table is built
+    * once and persisted (8-byte hashes, never text); each round is one
+    * hash anti-join against the covered-shingle set + a partial-
+    * aggregable count + a SINGLE-ROW argmax collect — k driver round
+    * trips of one row each, the [[trainBpe]] loop posture. The covered
+    * set (≤ k · max-shingles-per-doc rows) is localCheckpointed per
+    * round so lineage stays flat. At extreme corpus sizes bound the
+    * explode upstream (cap shingles per doc); the greedy guarantee
+    * degrades gracefully under sampling.
+    *
+    * Returns one row per selected document, in selection order:
+    * `(rank, <idCol>, marginal_coverage)`. Stops early (fewer than k
+    * rows) when every shingle is covered. */
+  def maxCoverageSelect(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleK: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shingleK >= 1, s"shingle size must be >= 1, got $shingleK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = Caches.registerDf(df
+      .select(col(idCol).cast("long").as("__id__"),
+        explode(graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(textCol), lit("")), shingleK)).as("__h__"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var covered = Seq.empty[Long].toDF("__h__")
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val best = pairs.join(covered, Seq("__h__"), "left_anti")
+        .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
+        .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
+          .as("__b__"))
+        .select(col("__b__.c").as("c"), col("__b__.nid").as("nid"))
+        .collect().head
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        val id = -best.getLong(1)
+        picks += ((r, id, best.getLong(0)))
+        covered = covered
+          .unionAll(pairs.filter(col("__id__") === id).select(col("__h__")))
+          .localCheckpoint()
+      }
+    }
+    picks.toSeq.toDF("rank", "__pick__", "marginal_coverage")
+      .select(col("rank").cast("int").as("rank"),
+        col("__pick__").as(idCol), col("marginal_coverage"))
+  }
+
   /** Per-document top-k keywords by TF-IDF. The idf is the LINEARIZED
     * ratio n_docs/df rather than ln(n_docs/df): tf, df and n_docs are
     * exact integers well under 2^53, so `score = (tf·n_docs)/df` is a

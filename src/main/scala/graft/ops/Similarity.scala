@@ -112,6 +112,90 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     try_divide(dot(a, b), norm(a) * norm(b))
 
+  /** Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    * selection — diversity-aware reranking of a scored candidate set:
+    * round r picks the candidate maximizing
+    *
+    *   mmr = (lamNum·rel − (lamDen−lamNum)·maxSimToSelected) / lamDen
+    *
+    * (λ as the exact integer rational lamNum/lamDen — a float `1−λ`
+    * would differ between engines at the last bit and flip argmax
+    * ties), ties by smallest id. The embedding sibling of
+    * [[graft.ops.Corpus.maxCoverageSelect]]: where that op never pays
+    * for a SHINGLE twice, this never pays for a semantic NEIGHBORHOOD
+    * twice — the standard rerank between ANN retrieval and a training
+    * batch / RAG context.
+    *
+    * Scale shape: candidates persisted once (the scored output of
+    * [[bruteForceTopK]]/[[ivfTopK]] is the natural input); each round is
+    * ONE pass computing cosine against ≤ k−1 LITERAL selected vectors
+    * (k·dim doubles on the driver — the kmeans centroid posture) folded
+    * into a single-row argmax; k driver round trips of one row each.
+    * No candidate-candidate self-join ever forms: greedy MMR reads
+    * |C|·k sims, not |C|².
+    *
+    * Returns selection-ordered `(rank, <idCol>, relevance,
+    * max_sim_prev, mmr)` — max_sim_prev is NULL for rank 1, doubles
+    * rounded to 6 (the float export posture). Stops early when
+    * candidates run out. */
+  def mmrSelect(vecs: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lamNum: Long = 7, lamDen: Long = 10)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"need 0 <= lamNum <= lamDen, got $lamNum/$lamDen")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = Caches.registerDf(vecs.select(
+        col(idCol).cast("long").as("__id__"), col(vecCol).as("__v__"),
+        col(relCol).cast("double").as("__r__"))
+      .filter(col("__r__").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (id, vector, rel, maxSimPrev, mmr) in selection order
+    var selected = Vector.empty[(Long, Seq[Float], Double,
+      Option[Double], Double)]
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val cands = selected.map(_._1) match {
+        case ids if ids.isEmpty => base
+        case ids => base.filter(!col("__id__").isInCollection(ids))
+      }
+      val maxSim: Column = selected.map { case (_, v, _, _, _) =>
+        cosine(col("__v__"), array(v.map(x => lit(x)): _*))
+      } match {
+        case s if s.isEmpty => lit(null).cast("double")
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      val score = (lit(lamNum) * col("__r__") -
+        lit(lamDen - lamNum) * coalesce(col("__ms__"), lit(0.0))) /
+        lit(lamDen)
+      val best = cands.withColumn("__ms__", maxSim)
+        .withColumn("__mmr__", score)
+        .agg(max(struct(col("__mmr__").as("m"), (-col("__id__")).as("nid")))
+          .as("__b__"))
+        .select(col("__b__.m"), col("__b__.nid")).collect().head
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        val id = -best.getLong(1)
+        val row = cands.filter(col("__id__") === id)
+          .withColumn("__ms__", maxSim)
+          .select(col("__v__"), col("__r__"), col("__ms__"))
+          .collect().head
+        selected = selected :+ ((id, row.getSeq[Float](0), row.getDouble(1),
+          if (row.isNullAt(2)) None else Some(row.getDouble(2)),
+          best.getDouble(0)))
+      }
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    selected.zipWithIndex.map { case ((id, _, rel, ms, mmr), i) =>
+      (i + 1, id, r6(rel), ms.map(r6), r6(mmr))
+    }.toDF("rank", "__pick__", "relevance", "max_sim_prev", "mmr")
+      .select(col("rank"), col("__pick__").as(idCol), col("relevance"),
+        col("max_sim_prev"), col("mmr"))
+  }
+
   /** Sign-bit signature: bit i = (v_i > 0) over the first `bits` dims —
     * a deterministic random-hyperplane LSH (planes = axis planes).
     * Codegen'd ([[graft.functions.NativeHashes.sign_bits]]); the

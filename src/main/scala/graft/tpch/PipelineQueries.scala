@@ -4117,6 +4117,29 @@ object PipelineQueries {
     "q67_vocabulary" -> ((s, dir) =>
       Corpus.vocabulary(docs(s, dir), "text", 50)),
 
+    // greedy max-coverage selection: 5 rounds of argmax marginal
+    // distinct-3-shingle coverage, min-id ties — diversity-first data
+    // selection (never pays for a shingle twice); the oracle unrolls
+    // the greedy rounds with ANTI JOINs
+    "q369_max_coverage" -> ((s, dir) =>
+      Corpus.maxCoverageSelect(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("rank"))),
+
+    // MMR diversity rerank of dense-retrieval candidates: relevance =
+    // cosine to query vec 0, lambda as the exact rational 7/10; the
+    // oracle unrolls the greedy rounds (max-sim against the growing
+    // selected set, NOT-IN exclusion)
+    "q370_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__q__"))
+      val cands = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosine(col("embedding"), col("__q__")).as("rel"))
+      Similarity.mmrSelect(cands, "vec_id", "embedding", "rel", k = 5)
+        .orderBy(col("rank"))
+    }),
+
     // PII redaction: inject known PII per doc, count+mask it category by
     // category (URL → EMAIL → IP → PHONE, sequentially, so nested matches
     // count once)
@@ -11772,6 +11795,70 @@ object PipelineQueries {
         |    - ((cum - n_tokens) // 256) + 1 AS n_windows,
         |  shard * 1099511627776 + ((cum - n_tokens) // 256) AS pack_uid
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q370_mmr_rerank" -> {
+      val k = 5
+      val rounds = (2 to k).map { i =>
+        val m = s"m$i AS (SELECT c.vec_id, c.embedding, c.rel, " +
+          s"MAX(${dcosine("c.embedding", "s.embedding")}) AS ms " +
+          s"FROM rel c CROSS JOIN sel${i - 1} s " +
+          s"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}) " +
+          "GROUP BY c.vec_id, c.embedding, c.rel)"
+        val sSel = s"s$i AS (SELECT vec_id, embedding, rel, ms, " +
+          s"(7 * rel - 3 * ms) / 10 AS mmr FROM m$i " +
+          "ORDER BY mmr DESC, vec_id LIMIT 1)"
+        val selN = if (i < k)
+          s",\nsel$i AS (SELECT vec_id, embedding FROM sel${i - 1} " +
+            s"UNION ALL SELECT vec_id, embedding FROM s$i)"
+        else ""
+        s"$m,\n$sSel$selN"
+      }.mkString(",\n")
+      val out = (s"SELECT 1 AS rank, vec_id, rel, " +
+        "CAST(NULL AS DOUBLE) AS ms, mmr FROM s1") +:
+        (2 to k).map(i => s"SELECT $i, vec_id, rel, ms, mmr FROM s$i")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id <> 0),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |rel0 AS (SELECT vec_id, embedding,
+         |    ${dcosine("embedding", "q")} AS rel
+         |  FROM e CROSS JOIN qv),
+         |rel AS (SELECT * FROM rel0 WHERE rel IS NOT NULL),
+         |s1 AS (SELECT vec_id, embedding, rel,
+         |    (7 * rel - 3 * 0) / 10 AS mmr
+         |  FROM rel ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id, embedding FROM s1),
+         |$rounds
+         |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+         |  ROUND(rel, 6) AS relevance, ROUND(ms, 6) AS max_sim_prev,
+         |  ROUND(mmr, 6) AS mmr
+         |FROM (${out.mkString("\nUNION ALL ")}) ORDER BY rank""".stripMargin
+    },
+
+    "q369_max_coverage" -> {
+      val k = 5
+      val sh = dshingleHashesK("coalesce(text, '')", 3)
+      val rounds = (1 to k).map { i =>
+        val src = if (i == 1) "p"
+          else s"p ANTI JOIN c${i - 1} USING (h)"
+        val r = s"r$i AS (SELECT p.doc_id, CAST(COUNT(1) AS BIGINT) AS c" +
+          s" FROM $src GROUP BY 1)"
+        val sSel = s"s$i AS (SELECT doc_id, c FROM r$i" +
+          " ORDER BY c DESC, doc_id LIMIT 1)"
+        val cSel = if (i == 1)
+          "c1 AS (SELECT DISTINCT h FROM p JOIN s1 USING (doc_id))"
+        else
+          s"c$i AS (SELECT h FROM c${i - 1} UNION " +
+            s"SELECT h FROM p JOIN s$i USING (doc_id))"
+        if (i < k) s"$r,\n$sSel,\n$cSel" else s"$r,\n$sSel"
+      }.mkString(",\n")
+      val out = (1 to k).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS rank, doc_id, c" +
+          s" AS marginal_coverage FROM s$i").mkString("\nUNION ALL ")
+      s"""WITH tp AS (SELECT doc_id, unnest($sh) AS h FROM documents),
+         |p AS (SELECT DISTINCT doc_id, h FROM tp),
+         |$rounds
+         |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+    },
 
     "q67_vocabulary" ->
       """WITH w AS (SELECT unnest(list_filter(

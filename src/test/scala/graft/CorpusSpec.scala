@@ -1192,4 +1192,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(approx.size == 101, "row count preserved")
     assert(approx == exact)
   }
+
+  test("maxCoverageSelect: greedy marginal argmax, min-id ties, " +
+      "early exhaustion when everything is covered") {
+    val df = Seq(
+      (1L, "a b c d"),    // 3-shingles {abc, bcd} -> 2
+      (2L, "a b c"),      // {abc} -> 1 (subset of doc 1)
+      (3L, "x y z w v"),  // {xyz, yzw, zwv} -> 3
+      (4L, "x y z w v")   // duplicate of doc 3: ties at 3, loses on id
+    ).toDF("doc_id", "text")
+    val got = Corpus.maxCoverageSelect(df, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // round 1: doc 3 wins the 3-coverage tie against doc 4 by id;
+    // round 2: doc 1 adds 2; every remaining doc then has marginal 0,
+    // so the selection stops early despite k = 10
+    assert(got == Seq((1, 3L, 3L), (2, 1L, 2L)))
+    graft.ops.Caches.releaseAll()
+  }
 }

@@ -2323,4 +2323,27 @@ class OpsSpec extends AnyFunSuite {
       maxN = 2).collect().head
     assert(rt.isNullAt(rt.fieldIndex("bleu"))) // no bigrams to score
   }
+
+  test("mmrSelect: diversity beats raw relevance, exact rational lambda, " +
+      "early exhaustion") {
+    // 1:(1,0) rel 1.0 | 2:(1,0) rel 0.9 (clone of 1) | 3:(0,1) rel 0.5
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 1.0),
+      (2L, Seq(1.0f, 0.0f), 0.9),
+      (3L, Seq(0.0f, 1.0f), 0.5)
+    ).toDF("vec_id", "embedding", "rel")
+    val got = graft.ops.Similarity.mmrSelect(
+        df, "vec_id", "embedding", "rel", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4))).toSeq
+    // round 1: argmax 0.7*rel -> 1; round 2: the orthogonal 3
+    // ((7*0.5-0)/10 = 0.35) beats the clone 2 ((7*0.9-3*1)/10 = 0.33);
+    // round 3: only 2 left (max_sim to selected = 1.0); then exhausted
+    assert(got == Seq(
+      (1, 1L, 1.0, None, 0.7),
+      (2, 3L, 0.5, Some(0.0), 0.35),
+      (3, 2L, 0.9, Some(1.0), 0.33)))
+    graft.ops.Caches.releaseAll()
+  }
 }
