@@ -4125,6 +4125,29 @@ object PipelineQueries {
       Corpus.maxCoverageSelect(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("rank"))),
 
+    // k-core peel with the fixpoint SURFACED: same q185 residue graph,
+    // deeper budget; converged + rounds_effective ride every row and
+    // the oracle replays the whole edge-count telemetry
+    "q371_kcore_converged" -> ((s, dir) =>
+      graft.ops.Graph.kCorePeelConverged(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .select((col("user_id") % 97).as("src"),
+            ((col("user_id") * col("user_id") + col("user_id") * 3) % 97)
+              .as("dst")).distinct(),
+        "src", "dst", k = 2, rounds = 4)
+        .orderBy(col("node"))),
+
+    // sync LPA with the fixpoint surfaced on the q179 graph: the
+    // per-round changed-label counts decide converged/rounds_effective,
+    // labels stay bit-identical to q179's variant at the same depth
+    "q372_lpa_converged" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagationConverged(
+        graft.tpch.EventsModel.eventsTable(s, dir)
+          .select((col("user_id") % 200).as("src"),
+            ((col("user_id") * 7 + col("event_id")) % 200).as("dst")),
+        "src", "dst", iters = 4)
+        .orderBy(col("node"))),
+
     // MMR diversity rerank of dense-retrieval candidates: relevance =
     // cosine to query vec 0, lambda as the exact rational 7/10; the
     // oracle unrolls the greedy rounds (max-sim against the growing
@@ -11795,6 +11818,69 @@ object PipelineQueries {
         |    - ((cum - n_tokens) // 256) + 1 AS n_windows,
         |  shard * 1099511627776 + ((cum - n_tokens) // 256) AS pack_uid
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q371_kcore_converged" -> {
+      val peels = (1 to 4).map { i =>
+        s"""d$i AS (SELECT n, COUNT(1) AS dg FROM (SELECT a AS n FROM e${i - 1}
+           |    UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+           |k$i AS (SELECT n FROM d$i WHERE dg >= 2),
+           |e$i AS (SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT n FROM k$i)
+           |    AND b IN (SELECT n FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      val ms = (0 to 4).map(i =>
+        s"(SELECT COUNT(1) FROM e$i) AS m$i").mkString(", ")
+      s"""WITH e0 AS (SELECT DISTINCT
+         |    LEAST(user_id % 97, (user_id * user_id + user_id * 3) % 97)
+         |      AS a,
+         |    GREATEST(user_id % 97, (user_id * user_id + user_id * 3) % 97)
+         |      AS b
+         |  FROM events
+         |  WHERE user_id % 97 <> (user_id * user_id + user_id * 3) % 97),
+         |$peels,
+         |m AS (SELECT $ms),
+         |conv AS (SELECT CAST(CASE WHEN m1 = m0 THEN 1
+         |    WHEN m2 = m1 THEN 2 WHEN m3 = m2 THEN 3
+         |    WHEN m4 = m3 THEN 4 END AS INTEGER) AS rounds_effective
+         |  FROM m)
+         |SELECT n AS node, CAST(COUNT(1) AS BIGINT) AS degree,
+         |  rounds_effective IS NOT NULL AS converged, rounds_effective
+         |FROM (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4)
+         |CROSS JOIN conv GROUP BY 1, 3, 4 ORDER BY node""".stripMargin
+    },
+
+    "q372_lpa_converged" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT adj.n AS n, l${i - 1}.label AS label,
+           |    COUNT(1) AS c
+           |  FROM adj JOIN l${i - 1} ON adj.m = l${i - 1}.node
+           |  GROUP BY 1, 2),
+           |l$i AS (SELECT n AS node, label FROM c$i
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n
+           |    ORDER BY c DESC, label ASC) = 1)""".stripMargin
+      }.mkString(",\n")
+      val gs = (1 to 4).map(i =>
+        s"(SELECT COUNT(1) FROM l$i x JOIN l${i - 1} y" +
+          s" ON x.node = y.node WHERE x.label <> y.label) AS g$i")
+        .mkString(", ")
+      s"""WITH e0 AS (SELECT DISTINCT
+         |    LEAST(user_id % 200, (user_id * 7 + event_id) % 200) AS a,
+         |    GREATEST(user_id % 200, (user_id * 7 + event_id) % 200) AS b
+         |  FROM events
+         |  WHERE user_id % 200 <> (user_id * 7 + event_id) % 200),
+         |adj AS (SELECT a AS n, b AS m FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj),
+         |$rounds,
+         |chg AS (SELECT $gs),
+         |conv AS (SELECT CAST(CASE WHEN g1 = 0 THEN 1
+         |    WHEN g2 = 0 THEN 2 WHEN g3 = 0 THEN 3
+         |    WHEN g4 = 0 THEN 4 END AS INTEGER) AS rounds_effective
+         |  FROM chg)
+         |SELECT node, label, rounds_effective IS NOT NULL AS converged,
+         |  rounds_effective
+         |FROM l4 CROSS JOIN conv ORDER BY node""".stripMargin
+    },
 
     "q370_mmr_rerank" -> {
       val k = 5
