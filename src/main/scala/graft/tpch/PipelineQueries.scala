@@ -4125,6 +4125,30 @@ object PipelineQueries {
       Corpus.maxCoverageSelect(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("rank"))),
 
+    // near-dup leakage audit across the content-addressed splits: a
+    // near-dup pair straddling train/val/test is eval contamination —
+    // count pair mass per split pair (diagonal = benign intra-split
+    // dup mass), composing q52's LSH pairs with q65's split assignment
+    "q373_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+        hashedBandKeys = false) // string band keys: DuckDB-replayable
+      val sp = Corpus.withSplit(d, "text")
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"),
+          col("split").as("__sa__")), Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"),
+          col("split").as("__sb__")), Seq("id_b"))
+        .select(least(col("__sa__"), col("__sb__")).as("split_lo"),
+          greatest(col("__sa__"), col("__sb__")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+        .orderBy(col("split_lo"), col("split_hi"))
+    }),
+
     // k-core peel with the fixpoint SURFACED: same q185 residue graph,
     // deeper budget; converged + rounds_effective ride every row and
     // the oracle replays the whole edge-count telemetry
@@ -11818,6 +11842,21 @@ object PipelineQueries {
         |    - ((cum - n_tokens) // 256) + 1 AS n_windows,
         |  shard * 1099511627776 + ((cum - n_tokens) // 256) AS pack_uid
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q373_split_leakage" ->
+      s"""WITH $minhashPairsCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${dpolyhash("text")} % 100 AS b
+         |    FROM documents)),
+         |x AS (SELECT LEAST(a.split, b.split) AS split_lo,
+         |    GREATEST(a.split, b.split) AS split_hi
+         |  FROM pairsq p JOIN sp a ON a.doc_id = p.id_a
+         |  JOIN sp b ON b.doc_id = p.id_b)
+         |SELECT split_lo, split_hi, CAST(COUNT(1) AS BIGINT) AS n_pairs,
+         |  split_lo <> split_hi AS leaky
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q371_kcore_converged" -> {
       val peels = (1 to 4).map { i =>
