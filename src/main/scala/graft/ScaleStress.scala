@@ -1047,10 +1047,13 @@ object ScaleStress {
     runPq("1x", emb1x)
     runPq("10x", emb10x)
 
-    // q370 shape: MMR rerank — k single-row argmax rounds, cosine
-    // against <=k-1 literal selected vectors; no candidate self-join
-    def runMmr(scale: String, emb: DataFrame): Unit =
-      timed(scale, "mmr_rerank") {
+    // q370 shape: MMR rerank — k single-row argmax rounds; the running
+    // max-sim is a MATERIALIZED column folded with ONE new cosine per
+    // round (r12 incremental), so wall grows ~k, not k². The k=5 vs
+    // k=20 rows ground that: incremental reads |C|·k sims total where
+    // the recompute spec reads |C|·k²/2.
+    def runMmr(scale: String, emb: DataFrame, k: Int, op: String): Unit =
+      timed(scale, op) {
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("__q__"))
         val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
@@ -1058,11 +1061,13 @@ object ScaleStress {
             graft.ops.Similarity.cosine(col("embedding"), col("__q__"))
               .as("rel"))
         val out = graft.ops.Similarity.mmrSelect(
-          cands, "vec_id", "embedding", "rel", k = 5)
+          cands, "vec_id", "embedding", "rel", k = k)
         (out.count(), "iterative")
       }
-    runMmr("1x", emb1x)
-    runMmr("10x", emb10x)
+    runMmr("1x", emb1x, 5, "mmr_rerank")
+    runMmr("10x", emb10x, 5, "mmr_rerank")
+    runMmr("1x", emb1x, 20, "mmr_rerank_k20")
+    runMmr("10x", emb10x, 20, "mmr_rerank_k20")
 
     // q206 shape: dim health — one posexplode into a |dims|-keyed
     // partial-aggregable pass; output fixed at 64 rows

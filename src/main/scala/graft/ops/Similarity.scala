@@ -126,19 +126,92 @@ object Similarity {
     * twice — the standard rerank between ANN retrieval and a training
     * batch / RAG context.
     *
-    * Scale shape: candidates persisted once (the scored output of
-    * [[bruteForceTopK]]/[[ivfTopK]] is the natural input); each round is
-    * ONE pass computing cosine against ≤ k−1 LITERAL selected vectors
-    * (k·dim doubles on the driver — the kmeans centroid posture) folded
-    * into a single-row argmax; k driver round trips of one row each.
-    * No candidate-candidate self-join ever forms: greedy MMR reads
-    * |C|·k sims, not |C|².
+    * Scale shape (INCREMENTAL max-sim): the running max-similarity to
+    * the selected set is a MATERIALIZED `__ms__` column, not a
+    * recomputed expression — round r folds exactly ONE new cosine
+    * (against the vector picked at r−1, a literal) via
+    * `greatest(prev_ms, new_sim)`, which is value-identical to the
+    * full `greatest(sim_1..sim_{r-1})` recompute because `greatest`
+    * (max over non-null values, null iff all null) is associative.
+    * So the whole selection reads |C|·k sims TOTAL where the naive
+    * recompute reads |C|·k²/2; each round is ONE single-row argmax
+    * collect — `max(struct(mmr, -id, rel, ms, v))` carries every field
+    * the driver needs, so there is no second per-round lookup pass.
+    * Lineage is cut by `localCheckpoint` every `checkpointEvery`
+    * rounds. No candidate-candidate self-join ever forms.
+    * [[mmrSelectRecompute]] keeps the direct formulation as the
+    * executable spec (OpsSpec asserts incremental ≡ recompute).
     *
     * Returns selection-ordered `(rank, <idCol>, relevance,
     * max_sim_prev, mmr)` — max_sim_prev is NULL for rank 1, doubles
     * rounded to 6 (the float export posture). Stops early when
-    * candidates run out. */
+    * candidates run out. The vector column is pinned to `array<float>`
+    * up front, so an `array<double>` input works instead of
+    * class-casting mid-loop. */
   def mmrSelect(vecs: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lamNum: Long = 7, lamDen: Long = 10,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"need 0 <= lamNum <= lamDen, got $lamNum/$lamDen")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // materialize once; each round's greatest-fold layers on top
+    var cur = vecs.select(
+        col(idCol).cast("long").as("__id__"),
+        col(vecCol).cast("array<float>").as("__v__"),
+        col(relCol).cast("double").as("__r__"))
+      .filter(col("__r__").isNotNull)
+      .withColumn("__ms__", lit(null).cast("double"))
+      .localCheckpoint()
+    // (id, rel, maxSimPrev, mmr) in selection order
+    var selected = Vector.empty[(Long, Double, Option[Double], Double)]
+    var lastVec: Seq[Float] = null
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      if (lastVec != null) {
+        cur = cur
+          .filter(col("__id__") =!= selected.last._1)
+          .withColumn("__ms__", greatest(col("__ms__"),
+            cosine(col("__v__"), array(lastVec.map(x => lit(x)): _*))))
+        if (r % checkpointEvery == 0) cur = cur.localCheckpoint()
+      }
+      val score = (lit(lamNum) * col("__r__") -
+        lit(lamDen - lamNum) * coalesce(col("__ms__"), lit(0.0))) /
+        lit(lamDen)
+      // one argmax struct carries (mmr, id, rel, ms, vec): ONE collect
+      // per round; (m, nid) alone decide the order (ids are unique)
+      val best = cur.withColumn("__mmr__", score)
+        .agg(max(struct(col("__mmr__").as("m"), (-col("__id__")).as("nid"),
+          col("__r__").as("rel"), col("__ms__").as("ms"),
+          col("__v__").as("v"))).as("__b__"))
+        .select(col("__b__.m"), col("__b__.nid"), col("__b__.rel"),
+          col("__b__.ms"), col("__b__.v")).collect().head
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        selected = selected :+ ((-best.getLong(1), best.getDouble(2),
+          if (best.isNullAt(3)) None else Some(best.getDouble(3)),
+          best.getDouble(0)))
+        lastVec = best.getSeq[Float](4)
+      }
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    selected.zipWithIndex.map { case ((id, rel, ms, mmr), i) =>
+      (i + 1, id, r6(rel), ms.map(r6), r6(mmr))
+    }.toDF("rank", "__pick__", "relevance", "max_sim_prev", "mmr")
+      .select(col("rank"), col("__pick__").as(idCol), col("relevance"),
+        col("max_sim_prev"), col("mmr"))
+  }
+
+  /** Direct (recompute) formulation of [[mmrSelect]] — each round
+    * recomputes max-sim against ALL selected vectors (|C|·k²/2 sims
+    * total). Value-identical to the incremental fold by the
+    * max-composition identity; kept as the executable spec the
+    * incremental path is differential-tested against. Not for hot
+    * paths. */
+  def mmrSelectRecompute(vecs: DataFrame, idCol: String, vecCol: String,
       relCol: String, k: Int, lamNum: Long = 7, lamDen: Long = 10)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -147,7 +220,8 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = Caches.registerDf(vecs.select(
-        col(idCol).cast("long").as("__id__"), col(vecCol).as("__v__"),
+        col(idCol).cast("long").as("__id__"),
+        col(vecCol).cast("array<float>").as("__v__"),
         col(relCol).cast("double").as("__r__"))
       .filter(col("__r__").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

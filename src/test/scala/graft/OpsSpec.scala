@@ -2346,4 +2346,34 @@ class OpsSpec extends AnyFunSuite {
       (3, 2L, 0.9, Some(1.0), 0.33)))
     graft.ops.Caches.releaseAll()
   }
+
+  test("mmrSelect: incremental max-sim fold ≡ recompute (differential), " +
+      "array<double> input accepted") {
+    // deterministic pseudo-random corpus: 40 vectors, 4 dims, with
+    // duplicate directions so the diversity term actually bites
+    val rows = (1L to 40L).map { i =>
+      val v = Seq.tabulate(4)(d =>
+        (((i * 37 + d * 17 + 5) % 13).toFloat - 6.0f) / 6.0f)
+      (i, v, ((i * 31 + 7) % 19).toDouble / 19.0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "rel")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4))).toSeq
+    // checkpointEvery=3 exercises the mid-loop lineage cut
+    val inc = canon(graft.ops.Similarity.mmrSelect(
+      df, "vec_id", "embedding", "rel", k = 9, checkpointEvery = 3))
+    val rec = canon(graft.ops.Similarity.mmrSelectRecompute(
+      df, "vec_id", "embedding", "rel", k = 9))
+    assert(inc == rec)
+    assert(inc.size == 9)
+    // array<double> vectors must not CCE mid-loop (pinned cast up front)
+    val dbl = rows.map { case (i, v, r) => (i, v.map(_.toDouble), r) }
+      .toDF("vec_id", "embedding", "rel")
+    val incD = canon(graft.ops.Similarity.mmrSelect(
+      dbl, "vec_id", "embedding", "rel", k = 4))
+    assert(incD == inc.take(4))
+    graft.ops.Caches.releaseAll()
+  }
 }
