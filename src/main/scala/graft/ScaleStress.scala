@@ -435,6 +435,14 @@ object ScaleStress {
         val out = Corpus.maxCoverageSelect(docs, "doc_id", "text", k = 5)
         (out.count(), "iterative")
       }
+      // q374 shape: stochastic-greedy max-coverage — each round scores
+      // only a content-hash pool of expected (n/k)·ln(1/ε) docs
+      // (ε=1/2, k=8 → ~8.7% of the corpus per round vs 8 full rescans)
+      timed(scale, "max_coverage_sampled") {
+        val out = Corpus.maxCoverageSelectSampled(docs, "doc_id", "text",
+          k = 8, epsNum = 1, epsDen = 2)
+        (out.count(), "iterative")
+      }
       // q86 shape: TF-IDF keywords — two partial-aggregable word
       // aggregations; the vocabulary-sized doc-frequency table broadcasts
       // back and the per-doc top-k window is rank-limited

@@ -534,10 +534,13 @@ object Corpus {
     * hash anti-join against the covered-shingle set + a partial-
     * aggregable count + a SINGLE-ROW argmax collect — k driver round
     * trips of one row each, the [[trainBpe]] loop posture. The covered
-    * set (≤ k · max-shingles-per-doc rows) is localCheckpointed per
-    * round so lineage stays flat. At extreme corpus sizes bound the
-    * explode upstream (cap shingles per doc); the greedy guarantee
-    * degrades gracefully under sampling.
+    * set is never materialized separately: it is DERIVED from the
+    * persisted pair table filtered to the ≤k selected ids (a digest
+    * view — no per-round unionAll chain, no per-round checkpoint
+    * rewrite of the growing set). At extreme corpus sizes bound the
+    * explode upstream (cap shingles per doc) or use
+    * [[maxCoverageSelectSampled]] — one bounded-pool scan per round
+    * instead of a full rescan.
     *
     * Returns one row per selected document, in selection order:
     * `(rank, <idCol>, marginal_coverage)`. Stops early (fewer than k
@@ -548,30 +551,91 @@ object Corpus {
     require(shingleK >= 1, s"shingle size must be >= 1, got $shingleK")
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = Caches.registerDf(df
-      .select(col(idCol).cast("long").as("__id__"),
-        explode(graft.functions.NativeHashes.shingle_hashes(
-          coalesce(col(textCol), lit("")), shingleK)).as("__h__"))
-      .distinct()
+    val pairs = Caches.registerDf(coveragePairs(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var covered = Seq.empty[Long].toDF("__h__")
     val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
     var exhausted = false
     for (r <- 1 to k if !exhausted) {
-      val best = pairs.join(covered, Seq("__h__"), "left_anti")
+      val best = pairs
+        .join(coveredDigest(pairs, picks.map(_._2).toSeq),
+          Seq("__h__"), "left_anti")
         .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
         .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
           .as("__b__"))
         .select(col("__b__.c").as("c"), col("__b__.nid").as("nid"))
         .collect().head
       if (best.isNullAt(0)) exhausted = true
-      else {
-        val id = -best.getLong(1)
-        picks += ((r, id, best.getLong(0)))
-        covered = covered
-          .unionAll(pairs.filter(col("__id__") === id).select(col("__h__")))
-          .localCheckpoint()
-      }
+      else picks += ((r, -best.getLong(1), best.getLong(0)))
+    }
+    picks.toSeq.toDF("rank", "__pick__", "marginal_coverage")
+      .select(col("rank").cast("int").as("rank"),
+        col("__pick__").as(idCol), col("marginal_coverage"))
+  }
+
+  /** Distinct (doc, shingle-hash) pair table — the 8-byte digest view
+    * both coverage selectors run on; text never rides past this point. */
+  private def coveragePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = df
+    .select(col(idCol).cast("long").as("__id__"),
+      explode(graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), shingleK)).as("__h__"))
+    .distinct()
+
+  /** Covered-shingle digest: the persisted pair table filtered to the
+    * selected ids (≤k literals). Dupes are harmless under left_anti. */
+  private def coveredDigest(pairs: DataFrame, ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty) pairs.filter(lit(false)).select(col("__h__"))
+    else pairs.filter(col("__id__").isInCollection(ids)).select(col("__h__"))
+
+  /** Stochastic-greedy max-coverage (Mirzasoleiman et al. 2015, "Lazier
+    * Than Lazy Greedy"): round r scores only a CONTENT-HASH-SAMPLED
+    * candidate pool — each unselected doc joins round r's pool when
+    * `xxhash64(id, r) mod 2²⁰ < p·2²⁰` with pool fraction
+    * `p = min(1, ln(epsDen/epsNum)/k)`, i.e. expected pool size
+    * (n/k)·ln(1/ε) — and picks the pool's argmax marginal coverage
+    * (ties by smallest id). Expected coverage is ≥ (1−1/e−ε)·OPT, at
+    * ONE bounded pool scan per round instead of [[maxCoverageSelect]]'s
+    * k full rescans. Sampling is content-addressed and seedless
+    * (xxhash64 of the id and the round), so the selection is
+    * deterministic run-to-run; a round whose pool offers zero marginal
+    * gain selects nothing and moves on (later rounds draw fresh pools),
+    * so ranks stay contiguous but may total fewer than k.
+    *
+    * Same digest discipline as the exact twin: the persisted 8-byte
+    * pair table is built once; the covered set is derived from it by
+    * id filter. ε=1 (epsNum=epsDen) forces p=…ln(1)=0 → guarded to a
+    * minimum 1-in-2²⁰ pool; ε→0 forces p=1 and the selection DEGRADES
+    * to exact greedy (CorpusSpec asserts that identity).
+    *
+    * Returns `(rank, <idCol>, marginal_coverage)` in selection order. */
+  def maxCoverageSelectSampled(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleK: Int = 3,
+      epsNum: Long = 1, epsDen: Long = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shingleK >= 1, s"shingle size must be >= 1, got $shingleK")
+    require(epsNum >= 1 && epsDen >= epsNum,
+      s"need 0 < eps = epsNum/epsDen <= 1, got $epsNum/$epsDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frac = math.min(1.0, math.log(epsDen.toDouble / epsNum) / k)
+    val thr = math.max(1L, math.round(frac * (1L << 20)))
+    val pairs = Caches.registerDf(coveragePairs(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    for (r <- 1 to k) {
+      val ids = picks.map(_._2).toSeq
+      val inPool = pmod(xxhash64(col("__id__"), lit(r)), lit(1L << 20)) < thr
+      val unselected = if (ids.isEmpty) lit(true)
+        else !col("__id__").isInCollection(ids)
+      val best = pairs.filter(inPool && unselected)
+        .join(coveredDigest(pairs, ids), Seq("__h__"), "left_anti")
+        .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
+        .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
+          .as("__b__"))
+        .select(col("__b__.c").as("c"), col("__b__.nid").as("nid"))
+        .collect().head
+      if (!best.isNullAt(0))
+        picks += ((picks.size + 1, -best.getLong(1), best.getLong(0)))
     }
     picks.toSeq.toDF("rank", "__pick__", "marginal_coverage")
       .select(col("rank").cast("int").as("rank"),

@@ -112,6 +112,36 @@ object PipelineQueries {
 
   // DuckDB-side building blocks ------------------------------------------
 
+  /** Unrolled DuckDB replay of [[graft.ops.Corpus.maxCoverageSelect]]:
+    * k greedy rounds of ANTI-JOIN marginal counts, argmax with min-id
+    * ties, incremental covered-set CTEs. Shared by q369 (k=5) and q374
+    * (k=8 + the TRUE approx_ok the sampled twin's ratio gate maps to). */
+  private def maxCoverageOracleSql(k: Int, extraSelect: String): String = {
+    val sh = dshingleHashesK("coalesce(text, '')", 3)
+    val rounds = (1 to k).map { i =>
+      val src = if (i == 1) "p"
+        else s"p ANTI JOIN c${i - 1} USING (h)"
+      val r = s"r$i AS (SELECT p.doc_id, CAST(COUNT(1) AS BIGINT) AS c" +
+        s" FROM $src GROUP BY 1)"
+      val sSel = s"s$i AS (SELECT doc_id, c FROM r$i" +
+        " ORDER BY c DESC, doc_id LIMIT 1)"
+      val cSel = if (i == 1)
+        "c1 AS (SELECT DISTINCT h FROM p JOIN s1 USING (doc_id))"
+      else
+        s"c$i AS (SELECT h FROM c${i - 1} UNION " +
+          s"SELECT h FROM p JOIN s$i USING (doc_id))"
+      if (i < k) s"$r,\n$sSel,\n$cSel" else s"$r,\n$sSel"
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, doc_id, c" +
+        s" AS marginal_coverage$extraSelect FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tp AS (SELECT doc_id, unnest($sh) AS h FROM documents),
+       |p AS (SELECT DISTINCT doc_id, h FROM tp),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB replay of TextAnalysis.polyHash over a string expression. */
   private def dpolyhash(sexpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -4124,6 +4154,25 @@ object PipelineQueries {
     "q369_max_coverage" -> ((s, dir) =>
       Corpus.maxCoverageSelect(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("rank"))),
+
+    // stochastic-greedy max-coverage (Mirzasoleiman et al.) beside the
+    // exact twin: content-hash pools of expected (n/k)·ln(1/ε) docs per
+    // round instead of full rescans. q30 posture: the EXACT greedy rows
+    // are exported (full oracle replay) and the sampled run enters only
+    // through the oracle-replayed coverage-ratio boolean
+    // (achieved ≥ (1−1/e−ε)·exact — ε=1/2 here)
+    "q374_max_coverage_sampled" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Corpus.maxCoverageSelect(d, "doc_id", "text", k = 8)
+      val sampled = Corpus.maxCoverageSelectSampled(d, "doc_id", "text",
+        k = 8, epsNum = 1, epsDen = 2)
+      val bound = 1.0 - 1.0 / math.E - 0.5
+      val ok = exact.agg(sum(col("marginal_coverage")).as("__e__"))
+        .crossJoin(sampled.agg(sum(col("marginal_coverage")).as("__s__")))
+        .select((col("__s__").cast("double") >=
+          col("__e__").cast("double") * bound).as("approx_ok"))
+      exact.crossJoin(broadcast(ok)).orderBy(col("rank"))
+    }),
 
     // near-dup leakage audit across the content-addressed splits: a
     // near-dup pair straddling train/val/test is eval contamination —
@@ -11959,31 +12008,13 @@ object PipelineQueries {
          |FROM (${out.mkString("\nUNION ALL ")}) ORDER BY rank""".stripMargin
     },
 
-    "q369_max_coverage" -> {
-      val k = 5
-      val sh = dshingleHashesK("coalesce(text, '')", 3)
-      val rounds = (1 to k).map { i =>
-        val src = if (i == 1) "p"
-          else s"p ANTI JOIN c${i - 1} USING (h)"
-        val r = s"r$i AS (SELECT p.doc_id, CAST(COUNT(1) AS BIGINT) AS c" +
-          s" FROM $src GROUP BY 1)"
-        val sSel = s"s$i AS (SELECT doc_id, c FROM r$i" +
-          " ORDER BY c DESC, doc_id LIMIT 1)"
-        val cSel = if (i == 1)
-          "c1 AS (SELECT DISTINCT h FROM p JOIN s1 USING (doc_id))"
-        else
-          s"c$i AS (SELECT h FROM c${i - 1} UNION " +
-            s"SELECT h FROM p JOIN s$i USING (doc_id))"
-        if (i < k) s"$r,\n$sSel,\n$cSel" else s"$r,\n$sSel"
-      }.mkString(",\n")
-      val out = (1 to k).map(i =>
-        s"SELECT CAST($i AS INTEGER) AS rank, doc_id, c" +
-          s" AS marginal_coverage FROM s$i").mkString("\nUNION ALL ")
-      s"""WITH tp AS (SELECT doc_id, unnest($sh) AS h FROM documents),
-         |p AS (SELECT DISTINCT doc_id, h FROM tp),
-         |$rounds
-         |SELECT * FROM ($out) ORDER BY rank""".stripMargin
-    },
+    "q369_max_coverage" -> maxCoverageOracleSql(5, extraSelect = ""),
+
+    // sampled twin: the exported rows ARE the exact greedy unroll (same
+    // replay, k=8); the stochastic-greedy run is gated by the
+    // coverage-ratio boolean, which the oracle asserts as TRUE
+    "q374_max_coverage_sampled" ->
+      maxCoverageOracleSql(8, extraSelect = ", TRUE AS approx_ok"),
 
     "q67_vocabulary" ->
       """WITH w AS (SELECT unnest(list_filter(

@@ -1209,4 +1209,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Seq((1, 3L, 3L), (2, 1L, 2L)))
     graft.ops.Caches.releaseAll()
   }
+
+  test("maxCoverageSelectSampled: eps→0 degrades to exact greedy; " +
+      "eps=0.5 is deterministic and meets the (1−1/e−ε) coverage bound") {
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val tiny = Seq(
+      (1L, "a b c d"), (2L, "a b c"),
+      (3L, "x y z w v"), (4L, "x y z w v")
+    ).toDF("doc_id", "text")
+    // ln(10^6)/10 > 1 → pool fraction clamps to 1 → exact greedy,
+    // including the stops-early-when-covered behavior
+    assert(canon(Corpus.maxCoverageSelectSampled(tiny, "doc_id", "text",
+        k = 10, epsNum = 1, epsDen = 1000000)) ==
+      canon(Corpus.maxCoverageSelect(tiny, "doc_id", "text", k = 10)))
+    // 80 docs over a 26-token vocabulary: heavy shingle overlap, so
+    // greedy choices genuinely differ from arbitrary picks
+    val docs = (1L to 80L).map { i =>
+      val toks = Seq.tabulate(8)(j => ('a' + ((i * 7 + j * j + 3) % 26))
+        .toChar.toString)
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = canon(Corpus.maxCoverageSelect(docs, "doc_id", "text", k = 8))
+    val s1 = canon(Corpus.maxCoverageSelectSampled(docs, "doc_id", "text",
+      k = 8, epsNum = 1, epsDen = 2))
+    val s2 = canon(Corpus.maxCoverageSelectSampled(docs, "doc_id", "text",
+      k = 8, epsNum = 1, epsDen = 2))
+    assert(s1 == s2) // content-addressed sampling: seedless determinism
+    assert(s1.map(_._1) == (1 to s1.size)) // contiguous ranks
+    assert(s1.map(_._2).distinct.size == s1.size) // no repicks
+    val bound = 1.0 - 1.0 / math.E - 0.5
+    assert(s1.map(_._3).sum >= bound * exact.map(_._3).sum)
+    graft.ops.Caches.releaseAll()
+  }
 }
