@@ -1055,6 +1055,29 @@ object ScaleStress {
     runPq("1x", emb1x)
     runPq("10x", emb10x)
 
+    // q375 shape: persisted IVF — build+snapshot-write once (the
+    // corpus-sized cost), then probes load the index and scan only the
+    // routed inverted lists; the probe row is the per-batch serving cost
+    // the persistence amortizes
+    def runIvfPersist(scale: String, emb: DataFrame): Unit = {
+      val base = s"/tmp/graft_scale_ivf_$scale"
+      timed(scale, "ivf_build_write") {
+        val v = graft.ops.Similarity.ivfWrite(
+          graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding",
+            nCentroids = 16), base)
+        (v.toLong, "iterative")
+      }
+      timed(scale, "ivf_probe_loaded") {
+        val loaded = graft.ops.Similarity.ivfLoad(spark, base)
+        val out = graft.ops.Similarity.ivfTopKWith(loaded,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3,
+          nProbe = 4)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+    }
+    runIvfPersist("1x", emb1x)
+    runIvfPersist("10x", emb10x)
+
     // q370 shape: MMR rerank — k single-row argmax rounds; the running
     // max-sim is a MATERIALIZED column folded with ONE new cosine per
     // round (r12 incremental), so wall grows ~k, not k². The k=5 vs

@@ -2727,6 +2727,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // persisted-IVF serving path: build once, snapshot-write the
+    // centroids + inverted lists, reload, probe the LOADED index — the
+    // repeated-curation amortization. Deterministic build + exact float
+    // round-trip through parquet make this bit-identical to q53's
+    // build-per-call path, so the same exact-ANN oracle checks it;
+    // PlanSpec asserts the probe plan never rescans the corpus
+    "q375_ann_ivf_persist" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = "/tmp/graft_ivf_q375/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val v = Similarity.ivfWrite(
+        Similarity.ivfBuild(e, "vec_id", "embedding", nCentroids = 8), base)
+      val loaded = Similarity.ivfLoad(s, base, Some(v))
+      Similarity.ivfTopKWith(loaded, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding near-dup pairs via sign-bit LSH buckets + exact cosine
     "q46_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.2)
@@ -10839,6 +10857,10 @@ object PipelineQueries {
 
     "q43_simhash" -> simhashSql,
     "q53_ann_ivf" -> annSqlFor(5, 3),
+
+    // the persisted-index path probes at full depth too, so the same
+    // exact-ANN replay is the oracle
+    "q375_ann_ivf_persist" -> annSqlFor(5, 3),
     "q44_minhash_sig" -> minhashSql,
     "q45_ann_topk" -> annSqlFor(10, 3),
     "q74_ann_lsh" -> lshAnnSql,

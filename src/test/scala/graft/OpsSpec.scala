@@ -2376,4 +2376,36 @@ class OpsSpec extends AnyFunSuite {
     assert(incD == inc.take(4))
     graft.ops.Caches.releaseAll()
   }
+
+  test("IVF index: build→write→load→probe ≡ build-per-call at a " +
+      "genuinely approximate probe depth") {
+    val corpus = (0L until 96L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 5 + d * 3 + 1) % 11).toFloat - 5.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // nProbe=2 of 4 centroids: approximate routing, so equality proves
+    // the loaded index routes identically, not just that top-k agrees
+    val direct = canon(graft.ops.Similarity.ivfTopK(queries, corpus,
+      "vec_id", "embedding", 3, nCentroids = 4, nProbe = 2))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rt").toString
+    val v = graft.ops.Similarity.ivfWrite(
+      graft.ops.Similarity.ivfBuild(corpus, "vec_id", "embedding",
+        nCentroids = 4), s"$tmp/ivf")
+    val loaded = graft.ops.Similarity.ivfLoad(spark, s"$tmp/ivf", Some(v))
+    assert(canon(graft.ops.Similarity.ivfTopKWith(loaded, queries,
+      "vec_id", "embedding", 3, nProbe = 2)) == direct)
+    // versioning: a second build commits v+1; the pinned v=1 still loads
+    val v2 = graft.ops.Similarity.ivfWrite(
+      graft.ops.Similarity.ivfBuild(corpus, "vec_id", "embedding",
+        nCentroids = 4), s"$tmp/ivf")
+    assert(v2 == v + 1)
+    assert(graft.ops.Similarity.ivfLoad(spark, s"$tmp/ivf")
+      .centroids == loaded.centroids)
+    graft.ops.Caches.releaseAll()
+  }
 }

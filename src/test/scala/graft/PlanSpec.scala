@@ -786,4 +786,31 @@ class PlanSpec extends AnyFunSuite {
       hl)
     graft.ops.Caches.releaseAll()
   }
+
+  test("persisted-IVF probe plan scans only the index snapshot — the " +
+      "corpus is never rescanned to rebuild the index (q375 shape)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_ivf").toString
+    val corpusPath = s"$tmp/corpus.parquet"
+    (0L until 64L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 3 + d * d) % 7).toFloat - 3.0f)))
+      .toDF("vec_id", "embedding").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val v = graft.ops.Similarity.ivfWrite(
+      graft.ops.Similarity.ivfBuild(corpus, "vec_id", "embedding",
+        nCentroids = 4), s"$tmp/ivf")
+    val loaded = graft.ops.Similarity.ivfLoad(spark, s"$tmp/ivf", Some(v))
+    // literal (LocalTableScan) queries: any FileScan in the probe plan
+    // is attributable to exactly one side
+    val queries = Seq((1000L, Seq.tabulate(8)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.ivfTopKWith(loaded, queries,
+      "vec_id", "embedding", 3, nProbe = 2)
+    assert(out.count() == 3)
+    val plan = physicalPlan(out)
+    assert(plan.contains("ivf/v="), s"probe plan must scan the index:\n$plan")
+    assert(!plan.contains("corpus.parquet"),
+      s"probe plan rescans the corpus:\n$plan")
+  }
 }
