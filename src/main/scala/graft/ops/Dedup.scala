@@ -799,9 +799,31 @@ object Dedup {
       idCol: String, textCol: String,
       bands: Int = 8, rows: Int = 4, shingleK: Int = 3,
       threshold: Double = 0.7, maxBucketSize: Int = Int.MaxValue,
-      hashedBandKeys: Boolean = true): DataFrame = {
-    val bb = bandTable(batch, idCol, textCol, bands, rows, shingleK,
-      hashedBandKeys)
+      hashedBandKeys: Boolean = true): DataFrame =
+    minhashProbeWith(
+      minhashIndexCorpus(corpus, idCol, textCol, bands, rows, shingleK,
+        maxBucketSize, hashedBandKeys, persist = false),
+      batch, idCol, textCol, threshold)
+
+  /** A frozen corpus-side MinHash index: the (capped) LSH band table
+    * plus the per-doc shingle-hash sets the exact-Jaccard verify reads.
+    * Build once with [[minhashIndexCorpus]], probe any number of
+    * batches with [[minhashProbeWith]] — the maintained-artifact shape
+    * the Scaladoc above describes, and what
+    * [[graft.streaming.Streaming.minhashProbeStream]] broadcasts a
+    * micro-batch stream against. */
+  final case class MinhashCorpusIndex(bandTable: DataFrame,
+      sets: DataFrame, bands: Int, rows: Int, shingleK: Int,
+      hashedBandKeys: Boolean)
+
+  /** Corpus-side half of [[minhashNearDupsAgainst]], built ONCE:
+    * `persist = true` pins both index tables (the steady-state serving
+    * posture — release via [[Caches.releaseAll]]); `persist = false`
+    * keeps them lazy for one-shot batch use. */
+  def minhashIndexCorpus(corpus: DataFrame, idCol: String,
+      textCol: String, bands: Int = 8, rows: Int = 4, shingleK: Int = 3,
+      maxBucketSize: Int = Int.MaxValue, hashedBandKeys: Boolean = true,
+      persist: Boolean = true): MinhashCorpusIndex = {
     val cb0 = bandTable(corpus, idCol, textCol, bands, rows, shingleK,
       hashedBandKeys)
     val cb =
@@ -815,19 +837,38 @@ object Dedup {
           .select(col("band"), col("key"))
         capped.join(ok, Seq("band", "key"), "left_semi")
       }
+    val sets = corpus.select(col(idCol).as("corpus_id"),
+      array_distinct(graft.functions.NativeHashes.shingle_hashes(
+        col(textCol), shingleK)).as("sb"))
+    def pin(df: DataFrame) =
+      if (persist) Caches.registerDf(df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else df
+    MinhashCorpusIndex(pin(cb), pin(sets), bands, rows, shingleK,
+      hashedBandKeys)
+  }
+
+  /** Probe-side half of [[minhashNearDupsAgainst]]: band the batch,
+    * equi-join the index's (band, key) buckets, verify candidates with
+    * exact hash-set Jaccard against the index's set table. Per-batch
+    * cost is batch-sized, never corpus-sized. */
+  def minhashProbeWith(index: MinhashCorpusIndex, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val bb = bandTable(batch, idCol, textCol, index.bands, index.rows,
+      index.shingleK, index.hashedBandKeys)
     val cands = bb.alias("nb")
-      .join(cb.alias("cc"),
+      .join(index.bandTable.alias("cc"),
         col("nb.band") === col("cc.band") && col("nb.key") === col("cc.key"))
       .select(col("nb.__id__").as("batch_id"),
         col("cc.__id__").as("corpus_id"))
       .distinct()
-    def sets(df: DataFrame, out: String, idOut: String) =
-      df.select(col(idCol).as(idOut),
-        array_distinct(graft.functions.NativeHashes.shingle_hashes(
-          col(textCol), shingleK)).as(out))
+    val sa = batch.select(col(idCol).as("batch_id"),
+      array_distinct(graft.functions.NativeHashes.shingle_hashes(
+        col(textCol), index.shingleK)).as("sa"))
     cands
-      .join(sets(batch, "sa", "batch_id"), "batch_id")
-      .join(sets(corpus, "sb", "corpus_id"), "corpus_id")
+      .join(sa, "batch_id")
+      .join(index.sets, "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))

@@ -171,6 +171,31 @@ object Streaming {
     (batch, _) => sink(graft.ops.Dedup.decontaminate(
       batch.toDF(), idCol, textCol, bench, benchTextCol, n))
 
+  /** Streaming MinHash near-dup probe: crawl ingest vs a FROZEN corpus
+    * band index. The index ([[graft.ops.Dedup.minhashIndexCorpus]] —
+    * capped band table + shingle-hash sets, both persisted) is built
+    * ONCE when the closure is created; every micro-batch bands its own
+    * documents and probes the index
+    * ([[graft.ops.Dedup.minhashProbeWith]]) — no cross-batch state, the
+    * [[decontaminateForEachBatch]] posture. Value-identical to the
+    * batch [[graft.ops.Dedup.minhashNearDupsAgainst]] on the union of
+    * micro-batches because each batch doc's pairs depend only on that
+    * doc and the frozen index (asserted cross-batch in StreamingSpec).
+    * Per-batch cost is batch-sized: the corpus is never re-banded.
+    * Caller releases the pinned index via `Caches.releaseAll()` after
+    * stopping the stream. */
+  def minhashProbeStream(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, shingleK: Int = 3,
+      threshold: Double = 0.7, maxBucketSize: Int = Int.MaxValue)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    val index = graft.ops.Dedup.minhashIndexCorpus(corpus, idCol, textCol,
+      bands, rows, shingleK, maxBucketSize, hashedBandKeys = true,
+      persist = true)
+    (batch, _) => sink(graft.ops.Dedup.minhashProbeWith(
+      index, batch.toDF(), idCol, textCol, threshold))
+  }
+
   /** Streaming LM quality scoring: the add-one unigram model trains
     * ONCE from the static `train` corpus (persisted vocabulary + two
     * scalars) and every micro-batch scores against it — value-identical

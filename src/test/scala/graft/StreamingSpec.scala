@@ -230,6 +230,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash probe vs a FROZEN corpus index equals its " +
+      "batch twin on the union of micro-batches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    // two crawl batches; copies of corpus docs under fresh ids guarantee
+    // pairs above threshold in BOTH micro-batches
+    val b1 = docs.filter(col("doc_id") % 3 === 1).limit(40)
+      .unionAll(corpus.limit(3)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") % 3 === 2).limit(40)
+      .unionAll(corpus.limit(5).filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mh_probe_stream").toFile
+    val in = dir.getAbsolutePath + "/in"
+    b1.write.parquet(in)
+    val stream = spark.readStream.schema(docs.schema).parquet(in)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var batches = 0
+    val fb0 = Streaming.minhashProbeStream(corpus, "doc_id", "text",
+      threshold = 0.2) { out => got ++= out.collect().map(_.toSeq) }
+    val fb = (d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long) => { batches += 1; fb0(d, id) }
+    val q = stream.writeStream.outputMode("append").foreachBatch(fb).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(in)
+      q.processAllAvailable()
+      assert(batches >= 2, "fixture must exercise more than one micro-batch")
+      // batch twin over exactly the rows the stream saw
+      val union = spark.read.parquet(in)
+      val batch = graft.ops.Dedup.minhashNearDupsAgainst(
+        union, corpus, "doc_id", "text", threshold = 0.2)
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet == batch)
+      assert(batch.nonEmpty)
+      // the injected copies surface in both batches' probes
+      assert(got.exists(r => r.head.asInstanceOf[Long] >= 100000L &&
+        r.head.asInstanceOf[Long] < 200000L))
+      assert(got.exists(r => r.head.asInstanceOf[Long] >= 200000L))
+    } finally { q.stop(); graft.ops.Caches.releaseAll() }
+  }
+
   test("foreachBatch LM scoring equals its batch twin row-for-row") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(120)
