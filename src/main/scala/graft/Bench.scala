@@ -11,9 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - a fixed CPU-bound calibration time (same work every pass; any
   *     spread is the host, not the queries), and
   *   - /proc/loadavg at pass start.
-  * Passes whose calibration exceeds 2x the best pass are flagged in
-  * `contaminated_passes` — flagged, not silently absorbed, so a noisy
-  * run is visibly noisy rather than quietly wrong.
+  * Passes whose calibration exceeds 2x the best pass are contaminated.
+  * Since r12 they are REPLACED, not merely flagged: extra full passes run
+  * until `passes` clean ones exist, then the contaminated passes' samples
+  * are dropped from the evidence and recorded (pass number + calibration)
+  * under `dropped_contaminated_passes` — the artifact stays certifiable
+  * AND visibly honest about the noise. Only when the retry budget runs
+  * out do contaminated passes remain in the data, flagged in
+  * `contaminated_passes` as before.
   */
 object Bench {
   /** Fixed CPU-bound probe: ~100M multiply-adds through the same
@@ -35,22 +40,49 @@ object Bench {
     * hidden-class lambda names, higher-order-function variable counters,
     * AQE query-stage numbers and codegen stage ids are session-assigned
     * noise — normalized out so the same logical plan fingerprints
-    * identically across JVMs and rounds. NOT normalized: join BUILD
-    * SIDE. AQE occasionally flips BuildLeft/BuildRight on a tiny
-    * symmetric join (both sides single-digit rows; the pick follows
-    * stage-completion order) — q30's two 3-row aggregate sides are the
-    * known case. That flip is a genuine property of the executed plan,
-    * so it is reported rather than hidden; a fp change with unchanged
-    * wall time and a BuildLeft/BuildRight-only diff reads as benign. */
+    * identically across JVMs and rounds.
+    *
+    * Canonicalized since r12 (the r11 artifact showed 7 fingerprints
+    * flipping run-to-run): the text is built by a tree WALK rather than
+    * `toString`, which lets structural noise be removed —
+    *   - QueryStage wrappers are unwrapped to their materialized plans
+    *     (stage NUMBERING follows materialization order),
+    *   - ReusedExchange resolves to the exchange it reuses (reuse is a
+    *     timing-dependent pick between equivalent plans), and
+    *   - a BroadcastHashJoin's build-side token AND the position of its
+    *     BroadcastExchange wrapper are neutralized: AQE flips
+    *     BuildLeft/BuildRight on tiny symmetric joins by
+    *     stage-completion order (q30's two 3-row aggregate sides),
+    *     moving the exchange from one child to the other — equivalent
+    *     executions, one fingerprint. A REAL strategy change (SMJ↔BHJ,
+    *     different subtrees, a new shuffle) still changes the print. */
   private[graft] def planFingerprint(df: DataFrame): String = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
-        : org.apache.spark.sql.execution.SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def nodeText(p: SparkPlan): String = p.simpleString(25)
+      .replaceAll("BuildLeft|BuildRight", "BuildSide")
+    def unwrapBroadcast(p: SparkPlan): SparkPlan = p match {
+      case q: QueryStageExec => unwrapBroadcast(q.plan)
+      case r: ReusedExchangeExec => unwrapBroadcast(r.child)
+      case e: BroadcastExchangeExec => e.child
       case other => other
     }
-    val s = finalPlan(df.queryExecution.executedPlan).toString
-    val norm = s
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+      case q: QueryStageExec => walk(q.plan, depth)
+      case r: ReusedExchangeExec => walk(r.child, depth)
+      case b: BroadcastHashJoinExec =>
+        sb.append("  " * depth).append(nodeText(b)).append('\n')
+        b.children.foreach(c => walk(unwrapBroadcast(c), depth + 1))
+      case other =>
+        sb.append("  " * depth).append(nodeText(other)).append('\n')
+        other.children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    val norm = sb.toString
       // JVM hidden-class lambda names: Foo$$$Lambda$9529/0x00007f...@1a2b
       // — the index and address depend on class-LOAD ORDER, so the same
       // plan fingerprints differently between a subset run and a
@@ -134,14 +166,21 @@ object Bench {
     // rounds is unclassifiable (noise vs drift) from a single number,
     // which is exactly what made r5's q38 delta undiagnosable from the
     // artifact alone
-    val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
+    // keyed by PASS NUMBER (not appended lists): contaminated-pass
+    // replacement below must be able to drop one pass's samples even
+    // when failures made some queries skip some passes
+    val passData = scala.collection.mutable
+      .Map.empty[Int, scala.collection.mutable.Map[String, Double]]
+    val pinnedExtra = scala.collection.mutable.Map.empty[String, List[Double]]
     val planFp = scala.collection.mutable.Map.empty[String, String]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val calib = scala.collection.mutable.ListBuffer.empty[Double]
-    val loads = scala.collection.mutable.ListBuffer.empty[String]
+    val calib = scala.collection.mutable.Map.empty[Int, Double]
+    val loads = scala.collection.mutable.Map.empty[Int, String]
     def runPass(pass: Int): Unit = {
-      loads += loadavg()
-      calib += calibrate(spark)
+      loads(pass) = loadavg()
+      calib(pass) = calibrate(spark)
+      val data = scala.collection.mutable.Map.empty[String, Double]
+      passData(pass) = data
       for (name <- names) {
         val t0 = System.nanoTime()
         try {
@@ -153,7 +192,7 @@ object Bench {
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
-          perPass(name) = perPass.getOrElse(name, Nil) :+ dt
+          data(name) = dt
           // post-AQE fingerprint, once per query (untimed: dt is final)
           if (!planFp.contains(name)) {
             planFp(name) =
@@ -190,15 +229,19 @@ object Bench {
     val pinned = Seq("q68_pii_redact", "q62_content_flags",
       "q47_langid", "q76_langid_full").filter(names.contains)
     val minPinnedPasses = 5
+    def samplesOf(n: String, passSet: Seq[Int]): List[Double] =
+      passSet.flatMap(p => passData(p).get(n)).toList ++
+        pinnedExtra.getOrElse(n, Nil)
     for (n <- pinned) {
       // re-check failure each round: a query that fails mid-pinning must
       // stop (its artifact row is -1; more samples would be wasted work
       // AND internally inconsistent with the failed marker)
-      while (!failed(n) && perPass.getOrElse(n, Nil).size < minPinnedPasses) {
+      while (!failed(n) &&
+          samplesOf(n, calib.keys.toSeq).size < minPinnedPasses) {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-          perPass(n) = perPass.getOrElse(n, Nil) :+
+          pinnedExtra(n) = pinnedExtra.getOrElse(n, Nil) :+
             ((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           failed += n
@@ -208,28 +251,37 @@ object Bench {
     }
     // retry-on-contamination: a transiently busy host should not leave the
     // artifact uncertifiable when patience can buy clean passes — run up to
-    // `maxExtra` additional full passes until `passes` of them calibrated
-    // within 2x of the best. Contaminated passes stay recorded (flagged
-    // below); per-query min across ALL passes naturally prefers clean ones.
+    // `maxExtra` additional full REPLACEMENT passes until `passes` of them
+    // calibrated within 2x of the best.
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
     var extra = 0
     while (extra < maxExtra &&
-      calib.count(_ <= 2 * calib.min) < passes) {
+      calib.values.count(_ <= 2 * calib.values.min) < passes) {
       extra += 1
       System.err.println(
-        s"[bench] calibration spread >2x on ${calib.size - calib.count(_ <= 2 * calib.min)} " +
-          s"pass(es) — running extra pass $extra/$maxExtra")
+        s"[bench] calibration spread >2x on ${
+          calib.size - calib.values.count(_ <= 2 * calib.values.min)} " +
+          s"pass(es) — running replacement pass $extra/$maxExtra")
       runPass(passes + extra)
     }
-    val bestCal = if (calib.nonEmpty) calib.min else 0.0
-    // 1-based pass indices whose calibration ran >2x the best pass: the
-    // same fixed workload taking twice as long means the host was busy
-    // during that pass, so its query times are suspect
-    val contaminated = calib.zipWithIndex.collect {
-      case (c, i) if bestCal > 0 && c > 2 * bestCal => i + 1
-    }
+    // contaminated-pass replacement: once >= `passes` clean passes exist,
+    // the contaminated ones are DROPPED from the evidence (their pass
+    // numbers + calibration times stay in the artifact under
+    // dropped_contaminated_passes — visible, but no longer poisoning
+    // mins) and contaminated_passes is empty by construction. Only when
+    // patience ran out do contaminated passes remain, still flagged.
+    val allPasses = calib.keys.toSeq.sorted
+    val bestCal = if (calib.nonEmpty) calib.values.min else 0.0
+    val cleanPasses = allPasses.filter(p => calib(p) <= 2 * bestCal)
+    val (retained, dropped) =
+      if (cleanPasses.size >= passes)
+        (cleanPasses, allPasses.filterNot(cleanPasses.contains))
+      else (allPasses, Seq.empty[Int])
+    val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (n <- names) perPass(n) = samplesOf(n, retained)
+    val contaminated = retained.filter(p => bestCal > 0 && calib(p) > 2 * bestCal)
     val results = names.map(n =>
-      n -> (if (failed(n)) -1.0 else perPass(n).min))
+      n -> (if (failed(n) || perPass(n).isEmpty) -1.0 else perPass(n).min))
     // The driver keeps only the LAST 2000 chars of stdout (every round's
     // `parsed` has been null because the full line never fit), so the
     // stdout line puts the per-query map FIRST and the headline scalars
@@ -261,8 +313,11 @@ object Bench {
       s"\"" + n + "\":\"" + planFp.getOrElse(n, "") + "\"")
       .mkString("{", ",", "}")
     val prevFps: Map[String, String] = {
+      // numeric round sort: lexicographic collation would diff r100
+      // against the wrong baseline once rounds outgrow two digits
       val candidates = "BENCH_local.json" +: new java.io.File(".")
-        .list().toSeq.filter(_.matches("BENCH_r\\d+_local\\.json")).sorted.reverse
+        .list().toSeq.filter(_.matches("BENCH_r\\d+_local\\.json"))
+        .sortBy(f => "\\d+".r.findFirstIn(f).get.toInt).reverse
       candidates.flatMap { f =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
@@ -285,17 +340,30 @@ object Bench {
       fpChanged.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calJson = calib.map(fmt4).mkString("[", ",", "]")
-    val loadJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calJson = retained.map(p => fmt4(calib(p))).mkString("[", ",", "]")
+    val loadJson = retained.map(p => "\"" + loads(p) + "\"")
+      .mkString("[", ",", "]")
     val contamJson = contaminated.mkString("[", ",", "]")
-    val summary = s""""sf":"$sfDir","passes":${calib.size},"pass_counts":$countJson,"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"BENCH_local.json","plan_fp_diff":$fpDiffJson,"failed":$failedJson,"contaminated_passes":$contamJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
+    val droppedJson = dropped.map(p =>
+      s"""{"pass":$p,"calibration_sec":${fmt4(calib(p))}}""")
+      .mkString("[", ",", "]")
+    // a SPARK_GRAFT_BENCH_ONLY subset run writes its detail to a
+    // DISTINCT file: the full-catalog BENCH_local.json is the
+    // plan-fingerprint baseline, and a drift-isolation subset run must
+    // not clobber it (this footgun fired in round 11)
+    val detailFile =
+      if (onlyFilter.isDefined) "BENCH_local_subset.json"
+      else "BENCH_local.json"
+    val subsetJson = onlyFilter
+      .map(f => s""","subset_filter_size":${f.size}""").getOrElse("")
+    val summary = s""""sf":"$sfDir","passes":${retained.size},"pass_counts":$countJson,"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"$detailFile"$subsetJson,"plan_fp_diff":$fpDiffJson,"failed":$failedJson,"contaminated_passes":$contamJson,"dropped_contaminated_passes":$droppedJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_local.json"),
+      java.nio.file.Paths.get(detailFile),
       s"""{"queries":$fullQs,"per_pass":$passJson,"plan_fp":$fpJson,$summary}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] $detailFile write failed: ${e.getMessage}") }
     println(s"""{"queries":$qs,$summary}""")
     spark.stop()
   }
