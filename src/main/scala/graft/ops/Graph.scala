@@ -242,7 +242,16 @@ object Graph {
     * rounds+1 rows total, lag over that micro-table) broadcast back
     * onto the result; each round's edge table is lazily
     * `localCheckpoint`ed because two consumers (next round + its count)
-    * would otherwise double the lineage per round. */
+    * would otherwise double the lineage per round.
+    *
+    * Empty-core caveat: the telemetry rides RESULT rows, so when
+    * peeling empties the graph (no k-core exists) the output is zero
+    * rows and converged/rounds_effective are not observable from it —
+    * by design (the gate contract exports one relation). A caller that
+    * needs "converged onto the empty core" distinguished from "budget
+    * ran out" should count rows and fall back to [[kCorePeel]] at
+    * rounds+1 depth: an empty result there too means the empty core is
+    * the fixpoint. */
   def kCorePeelConverged(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1")
@@ -395,7 +404,14 @@ object Graph {
     * labels against the previous round's (same hash partitioning as the
     * update join) collapsed to a single changed-count row; the per-round
     * label tables are lazily `localCheckpoint`ed since each now has two
-    * consumers (next round + the diff). */
+    * consumers (next round + the diff).
+    *
+    * Edgeless-input caveat: with no edges there are no nodes, so the
+    * output is zero rows and the telemetry is not observable from it
+    * ([[kCorePeelConverged]]'s empty-core caveat, same design: the gate
+    * contract exports one relation). An edgeless graph is trivially
+    * converged at round 1 — callers needing that distinction can test
+    * `edges.isEmpty` directly. */
   def labelPropagationConverged(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1, "need iters >= 1")

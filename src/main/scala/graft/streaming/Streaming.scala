@@ -480,14 +480,30 @@ object Streaming {
     require(relativeError > 0 && relativeError < 1,
       s"relativeError must be in (0, 1), got $relativeError")
     import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    // state persists as an EXPLICIT stable encoding — (compressThreshold,
+    // relativeError, count, compressed, then the (value, g, delta)
+    // triples), NOT Java serialization of the catalyst-internal class: a
+    // Spark upgrade that touches that private class must not make
+    // existing streaming checkpoints unrecoverable (the summary is
+    // rebuilt through its public constructor on load)
     def ser(s: QuantileSummaries): Array[Byte] = {
-      val b = new java.io.ByteArrayOutputStream()
-      val o = new java.io.ObjectOutputStream(b)
-      o.writeObject(s); o.close(); b.toByteArray
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 1 + 4 +
+        s.sampled.length * 24)
+      bb.putInt(s.compressThreshold).putDouble(s.relativeError)
+        .putLong(s.count).put(if (s.compressed) 1.toByte else 0.toByte)
+        .putInt(s.sampled.length)
+      s.sampled.foreach(st =>
+        bb.putDouble(st.value).putLong(st.g).putLong(st.delta))
+      bb.array()
     }
-    def deser(b: Array[Byte]): QuantileSummaries =
-      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-        .readObject().asInstanceOf[QuantileSummaries]
+    def deser(b: Array[Byte]): QuantileSummaries = {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      val ct = bb.getInt; val re = bb.getDouble
+      val n = bb.getLong; val comp = bb.get() == 1.toByte
+      val sampled = Array.fill(bb.getInt)(
+        QuantileSummaries.Stats(bb.getDouble, bb.getLong, bb.getLong))
+      new QuantileSummaries(ct, re, sampled, n, comp)
+    }
     rows.groupByKey(_._1)
       .flatMapGroupsWithState[Array[Byte], (String, Long, Seq[Double])](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
