@@ -751,6 +751,13 @@ object ScaleStress {
         val out = Corpus.trainBpe(docs, "text", numMerges = 4)
         (out.queryExecution.toRdd.count(), "driver-loop")
       }
+      // q376 shape: unigram-LM tokenizer training — corpus collapses
+      // once into the word table; each EM round is one per-word JIT
+      // Viterbi pass + a vocab-sized collapse/collect
+      timed(scale, "unigram_lm_train") {
+        val out = Corpus.trainUnigramLm(docs, "text")
+        (out.queryExecution.toRdd.count(), "driver-loop")
+      }
       // q210 shape: BPE encode — per-row JIT pass with a literal merge
       // table, no shuffle
       timed(scale, "bpe_encode") {

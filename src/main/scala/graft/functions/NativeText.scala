@@ -720,6 +720,61 @@ object TextImpls {
     new GenericArrayData(out.toArray)
   }
 
+  /** Viterbi segmentation of one word under a unigram LM (the
+    * SentencePiece E-step): dp over CODE-POINT positions maximizing the
+    * product of piece probabilities `c/total`, each a single IEEE
+    * division and the dp transition a single IEEE multiply in a FIXED
+    * order — deterministic across engines (the DuckDB oracle replays the
+    * same dp column chain). Ties keep the SMALLEST split point i
+    * (ascending scan, strict >). A word not coverable by the piece set
+    * falls back to its raw code points (the oracle's string_split twin).
+    * Reference semantics: `reference/cubes` has no tokenizer — this is
+    * the beyond-reference LLM-pipeline surface (Kudo, ACL'18). */
+  def unigramViterbi(word: String,
+      pieces: java.util.HashMap[String, java.lang.Long], total: Long,
+      maxPieceLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = word.codePoints.toArray
+    val L = cps.length
+    val dpS = new Array[Double](L + 1)
+    val dpB = new Array[Int](L + 1)
+    dpS(0) = 1.0
+    var pos = 1
+    while (pos <= L) {
+      var bs = 0.0
+      var bb = -1
+      var i = math.max(0, pos - maxPieceLen)
+      while (i < pos) {
+        val c = pieces.get(new String(cps, i, pos - i))
+        if (c != null) {
+          val s = dpS(i) * (c.toDouble / total.toDouble)
+          if (s > bs) { bs = s; bb = i }
+        }
+        i += 1
+      }
+      dpS(pos) = bs
+      dpB(pos) = bb
+      pos += 1
+    }
+    val out = new java.util.ArrayList[UTF8String]()
+    if (L > 0 && dpB(L) < 0) {
+      var k = 0
+      while (k < L) {
+        out.add(UTF8String.fromString(new String(cps, k, 1))); k += 1
+      }
+    } else {
+      val segs = new java.util.ArrayList[String]()
+      var p = L
+      while (p > 0) {
+        val b = dpB(p); segs.add(new String(cps, b, p - b)); p = b
+      }
+      var k = segs.size - 1
+      while (k >= 0) {
+        out.add(UTF8String.fromString(segs.get(k))); k -= 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** BPE-encode every \s+-word of `text` with the trained merge list
     * and return [n_words, n_tokens] in one JIT pass. Encoding applies
     * merges IN RANK ORDER, one [[bpeMergeOnce]]-style scan each — for
@@ -1000,6 +1055,34 @@ case class BpeEncodeStatsExpr(child: Expression,
     copy(child = c)
 }
 
+/** unigram_viterbi(word): Viterbi-best segmentation of one word under
+  * the CURRENT unigram piece table (baked in as a literal — tokenizer
+  * vocabularies are driver-scale, the kmeans-centroid posture). One JIT
+  * dp per word over the VOCABULARY table, never the corpus. */
+case class UnigramViterbiExpr(child: Expression,
+    pieces: Seq[(String, Long)], total: Long, maxPieceLen: Int)
+    extends UnaryExpression {
+  require(total > 0, s"total must be > 0, got $total")
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextImpls.unigramViterbi(v.asInstanceOf[UTF8String].toString, table,
+      total, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pieces", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextImpls.unigramViterbi($c.toString(), $tRef, " +
+        s"${total}L, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramViterbiExpr =
+    copy(child = c)
+}
+
 /** tagged_word_ngrams(text, maxN): every word n-gram for n = 1..maxN as
   * (n, gram) structs, duplicates kept — the BLEU gram pass in one JIT
   * loop (the transform/sequence/slice lambda formulation is interpreted
@@ -1092,6 +1175,9 @@ object NativeText {
     toCol(BpeMergeOnceExpr(toExpr(syms), a, b))
   def bpe_encode_stats(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncodeStatsExpr(toExpr(text), merges))
+  def unigram_viterbi(word: Column, pieces: Seq[(String, Long)],
+      total: Long, maxPieceLen: Int): Column =
+    toCol(UnigramViterbiExpr(toExpr(word), pieces, total, maxPieceLen))
   def gopher_repetition(text: Column): Column =
     toCol(GopherRepetitionExpr(toExpr(text)))
   def tagged_word_ngrams(text: Column, maxN: Int): Column =

@@ -1579,6 +1579,94 @@ object Corpus {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Unigram-LM (SentencePiece-style, Kudo ACL'18) tokenizer training —
+    * the subword alternative to [[trainBpe]]: seed the piece vocabulary
+    * from the corpus' most frequent substrings, then run fixed EM
+    * rounds where the E-step Viterbi-segments every word under the
+    * current piece probabilities
+    * ([[graft.functions.NativeText.unigram_viterbi]] — one JIT dp per
+    * word, pieces baked in as literals) and the M-step collapses the
+    * segment usage back into counts (partial-aggregable sum). Pruning
+    * is the FIXED rule "keep every single character (coverage floor:
+    * an unused char keeps count 1) plus the top `vocabSize` multi-char
+    * pieces by (count desc, piece asc)" — deterministic,
+    * engine-replayable, no loss-ranked candidate removal.
+    *
+    * Determinism: piece probabilities are single IEEE divisions `c/T`
+    * and the dp transition a single multiply in fixed order — both
+    * correctly rounded, so the DuckDB oracle (an unrolled dp COLUMN
+    * chain per position, no transcendental logs anywhere) reproduces
+    * every segmentation bit-for-bit; ties keep the smallest split
+    * point. Only words of code-point length ≤ `maxWordLen` train (the
+    * SentencePiece candidate-length discipline, and what bounds the
+    * oracle's unroll).
+    *
+    * Scale shape ([[trainBpe]]'s driver-loop posture): the corpus
+    * collapses ONCE into the word-frequency table; every round after
+    * that is vocabulary-sized work — one Viterbi pass + one
+    * partial-aggregable count + a vocab-sized driver collect (the
+    * kmeans-centroid discipline; tokenizer vocabularies are
+    * driver-scale by construction).
+    *
+    * Returns the trained piece table `(rank, piece, piece_count)`,
+    * rank by (count desc, piece asc). */
+  def trainUnigramLm(df: DataFrame, textCol: String, seedSize: Int = 30,
+      vocabSize: Int = 20, emRounds: Int = 2, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(seedSize >= 1 && vocabSize >= 1 && emRounds >= 1 &&
+      maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+      "bad trainUnigramLm params")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Caches.registerDf(df
+      .select(explode(split(lower(coalesce(col(textCol), lit(""))),
+        "\\s+")).as("__w__"))
+      .filter(length(col("__w__")).between(1, maxWordLen))
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__wn__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // seed: every substring of length 1..maxPieceLen, with multiplicity,
+    // weighted by word frequency
+    val seedCounts = words.select(col("__wn__"), explode(flatten(transform(
+        sequence(lit(1), length(col("__w__"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen),
+            length(col("__w__")) - i + 1)),
+          l => col("__w__").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("__wn__")).as("c"))
+    def topMulti(counts: DataFrame, k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("piece").asc)
+      counts.filter(length(col("piece")) > 1)
+        .withColumn("__rk__", row_number().over(w))
+        .filter(col("__rk__") <= k).select(col("piece"), col("c"))
+    }
+    def collectPieces(d: DataFrame): Seq[(String, Long)] =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+    val charCounts = seedCounts.filter(length(col("piece")) === 1)
+    var pieces = collectPieces(
+      charCounts.unionByName(topMulti(seedCounts, seedSize)))
+    val charSet = pieces.collect { case (p, c) if p.codePointCount(0,
+      p.length) == 1 => p }.toSet
+    for (_ <- 1 to emRounds) {
+      val total = pieces.map(_._2).sum
+      val m = words.select(col("__wn__"),
+          explode(graft.functions.NativeText.unigram_viterbi(
+            col("__w__"), pieces, total, maxPieceLen)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("__wn__")).as("c"))
+      val mMap = collectPieces(m).toMap
+      // char coverage floor + fixed multi-char prune
+      val chars = charSet.toSeq.map(ch => ch -> math.max(
+        mMap.getOrElse(ch, 0L), 1L))
+      val multis = mMap.toSeq
+        .filter { case (p, _) => !charSet.contains(p) }
+        .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      pieces = (chars ++ multis).sortBy { case (p, c) => (-c, p) }
+    }
+    pieces.zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+      .toDF("rank", "piece", "piece_count")
+  }
+
   /** Tokenize every document with a TRAINED merge list ([[trainBpe]]'s
     * artifact) and report per doc: word count, BPE token count, and
     * tokens-per-word (the fertility metric that prices a corpus in

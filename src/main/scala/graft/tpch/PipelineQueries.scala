@@ -112,6 +112,88 @@ object PipelineQueries {
 
   // DuckDB-side building blocks ------------------------------------------
 
+  /** DuckDB replay of [[graft.ops.Corpus.trainUnigramLm]] (defaults:
+    * maxWordLen 12, maxPieceLen 4, seed 30, vocab 20, 2 EM rounds).
+    * The Viterbi dp is unrolled as one COLUMN per word position and the
+    * backtrace as one boundary column per step — plain column
+    * expressions throughout because DuckDB 1.0 mis-evaluates
+    * `list_reduce` lambdas whose accumulators carry lists/structs
+    * (observed: the same reduce returning different segmentations in
+    * different query contexts). `list_max` over {'s', 'nb'=-i} structs
+    * reproduces the Spark side's "max score, then smallest split" tie
+    * rule; probabilities are single IEEE divisions, so dp values are
+    * bit-identical across engines. */
+  private def unigramLmOracleSql: String = {
+    val maxW = 12; val maxP = 4; val seedK = 30; val vocK = 20; val em = 2
+    def dpCol(pos: Int): String = {
+      val cands = (1 to math.min(maxP, pos)).map { k =>
+        val prev = if (pos - k == 0) "{'s': 1.0, 'nb': CAST(0 AS INT)}"
+          else s"d${pos - k}"
+        s"{'s': coalesce(struct_extract($prev,'s') * " +
+          s"(CAST(list_extract(map_extract(pm, substr(w, ${pos - k + 1}, " +
+          s"$k)), 1) AS DOUBLE) / CAST(T AS DOUBLE)), 0.0), " +
+          s"'nb': CAST(${-(pos - k)} AS INT)}"
+      } :+ "{'s': 0.0, 'nb': CAST(1 AS INT)}"
+      s"CASE WHEN length(w) >= $pos THEN list_max([${cands.mkString(", ")}]) END"
+    }
+    def emRound(r: Int): String = {
+      val prev = s"pieces_${r - 1}"
+      val dpChain = (1 to maxW).map(p =>
+        s",\nv${r}_$p AS (SELECT *, ${dpCol(p)} AS d$p FROM v${r}_${p - 1})")
+        .mkString
+      val dpArr = "[" + (("{'s': 1.0, 'nb': CAST(0 AS INT)}" +:
+        (1 to maxW).map(p => s"d$p")).mkString(", ")) + "]"
+      val btChain = (1 to maxW).map(j =>
+        s",\nu${r}_$j AS (SELECT *, CASE WHEN e${j - 1} > 0 THEN " +
+          s"-struct_extract(list_extract(dparr, e${j - 1}+1), 'nb') " +
+          s"ELSE e${j - 1} END AS e$j FROM u${r}_${j - 1})").mkString
+      val es = (0 to maxW).map(j => s"e$j").mkString(", ")
+      s"""pm_$r AS (SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS pm,
+         |    CAST(SUM(c) AS BIGINT) AS T FROM $prev),
+         |v${r}_0 AS (SELECT w, wn, pm, T FROM words CROSS JOIN pm_$r)$dpChain,
+         |u${r}_0 AS (SELECT w, wn, $dpArr AS dparr,
+         |    CAST(length(w) AS INT) AS e0 FROM v${r}_$maxW)$btChain,
+         |bt_$r AS (SELECT w, wn,
+         |    list_sort(list_distinct([$es])) AS bounds FROM u${r}_$maxW),
+         |seg_$r AS (
+         |  SELECT wn, CASE WHEN bounds[1] < 0 THEN string_split(w, '')
+         |      ELSE list_transform(range(1, len(bounds)), k ->
+         |        substr(w, bounds[k]+1, bounds[k+1]-bounds[k])) END AS segs
+         |  FROM bt_$r),
+         |m_$r AS (SELECT unnest(segs) AS piece, wn FROM seg_$r),
+         |mc_$r AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM m_$r GROUP BY 1),
+         |pieces_$r AS (
+         |  SELECT ch.piece, greatest(coalesce(mc.c, 0), 1) AS c
+         |  FROM chars ch LEFT JOIN mc_$r mc USING (piece)
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+         |    FROM mc_$r WHERE length(piece) > 1) WHERE rk <= $vocK)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT unnest(string_split_regex(lower(coalesce(text,'')), '\\s+')) AS w
+       |  FROM documents),
+       |words AS (SELECT w, CAST(COUNT(1) AS BIGINT) AS wn FROM w0
+       |  WHERE length(w) BETWEEN 1 AND $maxW GROUP BY 1),
+       |subs AS (
+       |  SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM (
+       |    SELECT wn, unnest(flatten(list_transform(range(1, length(w)+1),
+       |      i -> list_transform(range(1, least($maxP, length(w)-i+1)+1),
+       |        l -> substr(w, CAST(i AS BIGINT), CAST(l AS BIGINT)))))) AS piece
+       |    FROM words) GROUP BY 1),
+       |chars AS (SELECT piece, c FROM subs WHERE length(piece) = 1),
+       |pieces_0 AS (
+       |  SELECT piece, c FROM chars
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+       |    FROM subs WHERE length(piece) > 1) WHERE rk <= $seedK),
+       |${(1 to em).map(emRound).mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS INT) AS rank,
+       |  piece, c AS piece_count
+       |FROM pieces_$em ORDER BY rank""".stripMargin
+  }
+
   /** Unrolled DuckDB replay of [[graft.ops.Corpus.maxCoverageSelect]]:
     * k greedy rounds of ANTI-JOIN marginal counts, argmax with min-id
     * ties, incremental covered-set CTEs. Shared by q369 (k=5) and q374
@@ -2423,6 +2505,16 @@ object PipelineQueries {
 
     // full BPE tokenizer training: 6 merge rounds over the corpus
     // word-frequency table
+    // unigram-LM (SentencePiece-style) tokenizer training: substring
+    // seed -> 2 EM rounds (per-word Viterbi E-step, count-collapse
+    // M-step) -> fixed char-floor + top-k prune; the oracle replays the
+    // dp as an unrolled per-position column chain — every probability a
+    // single IEEE division, no transcendental logs, so segmentations
+    // match bit-for-bit
+    "q376_unigram_lm_train" -> ((s, dir) =>
+      graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
+        .orderBy(col("rank"))),
+
     "q209_bpe_train" -> ((s, dir) =>
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
         .orderBy(col("rank"))),
@@ -9996,6 +10088,8 @@ object PipelineQueries {
          |FROM dw JOIN tc ON dw.w = tc.w0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q376_unigram_lm_train" -> unigramLmOracleSql,
 
     "q209_bpe_train" ->
       s"""WITH $bpeTrainCtes

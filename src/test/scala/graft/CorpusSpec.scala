@@ -1242,4 +1242,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(s1.map(_._3).sum >= bound * exact.map(_._3).sum)
     graft.ops.Caches.releaseAll()
   }
+
+  test("trainUnigramLm: hand-traced EM fixture — whole-word pieces win " +
+      "the Viterbi, chars keep the coverage floor, long words excluded") {
+    // words: ab×4, cd×3. Seed: chars a,b(4) c,d(3) + multis ab(4), cd(3),
+    // T=21. E-step: p(ab)=4/21 beats p(a)·p(b)=(4/21)² — every word
+    // segments as itself; M-step: ab=4, cd=3, chars unused -> floor 1.
+    // Round 2 (T=11) reproduces the same table. The 20-char word trains
+    // nothing (maxWordLen=12).
+    val df = Seq((1L, "ab ab ab cd"), (2L, "ab cd cd"),
+      (3L, "supercalifragilistic")).toDF("doc_id", "text")
+    val got = Corpus.trainUnigramLm(df, "text")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "ab", 4L), (2, "cd", 3L), (3, "a", 1L),
+      (4, "b", 1L), (5, "c", 1L), (6, "d", 1L)))
+    graft.ops.Caches.releaseAll()
+  }
 }
