@@ -322,6 +322,12 @@ object ScaleStress {
         val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 8)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q377 shape: maximal exact-substring spans — 8-byte 4-gram
+      // explode, partial-aggregable dup collapse, per-DOC island window
+      timed(scale, "exact_substr_spans") {
+        val out = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 4)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // ADVERSARIAL hot-shingle corpus: one fixed 8-word boilerplate
       // sentence prefixes 50% of documents, so a single shingle hash
       // holds half the corpus — the web-boilerplate skew that killed the

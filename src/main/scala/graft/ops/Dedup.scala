@@ -293,6 +293,51 @@ object Dedup {
         .as("dup_fraction"))
   }
 
+  /** Maximal duplicated-span profile — the arbitrary-length
+    * EXACT-SUBSTRING report (Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better" removes any span duplicated ≥ L
+    * tokens via suffix arrays; this is the Spark-shaped equivalent):
+    * every corpus-duplicated L-gram occurrence is found, and RUNS of
+    * consecutive duplicated L-grams per document merge into MAXIMAL
+    * spans — a duplicated span of s ≥ L tokens is exactly a run of
+    * s−L+1 duplicated L-grams, so spans of ANY length ≥ L surface with
+    * their true extent. This is what the fixed-k [[removeDupSpans]]
+    * cannot see: with its k = 8, a 5-token span shared across documents
+    * contains no duplicated 8-shingle at all and is provably invisible
+    * (the q377 gate injects exactly that shape).
+    *
+    * Scale shape: (id, pos, 8-byte L-gram hash) explode — text never
+    * shuffles; corpus-wide occurrence is the [[dupSpanProfile]]
+    * partial-aggregable `groupBy(hash)` collapse; duplicated hashes
+    * semi-join back (AQE skew-splittable); the run merge is the classic
+    * gap-and-islands pair — `pos − row_number()` under a PER-DOCUMENT
+    * window (bounded by document length, never corpus-global) and one
+    * partial-aggregable min/max per island. Returns one row per maximal
+    * span: (<idCol>, span_start, span_end, span_tokens) in token
+    * positions, span_end inclusive. */
+  def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 4): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val grams = df.select(col(idCol).as("__id__"),
+      posexplode(graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), minLen)).as(Seq("__pos__", "__h__")))
+    val dup = grams.groupBy(col("__h__"))
+      .agg(count(lit(1)).as("__occ__"))
+      .filter(col("__occ__") >= 2)
+      .select(col("__h__"))
+    val w = Window.partitionBy(col("__id__")).orderBy(col("__pos__").asc)
+    grams.join(dup, Seq("__h__"), "left_semi")
+      .withColumn("__grp__", col("__pos__") - row_number().over(w))
+      .groupBy(col("__id__"), col("__grp__"))
+      .agg(min(col("__pos__")).as("span_start"),
+        (max(col("__pos__")) + minLen - 1).as("span_end"))
+      .select(col("__id__").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"))
+  }
+
   /** Duplicated-span REMOVAL (the published exact-substring-dedup step
     * itself, at word-shingle granularity): every later occurrence of a
     * corpus-repeated word k-shingle is excised — the FIRST occurrence

@@ -2993,6 +2993,22 @@ object PipelineQueries {
 
     // duplicated-span profile: per-doc count/fraction of word 8-shingles
     // occurring >= 2 times corpus-wide (the span-level dedup signal)
+    // arbitrary-length exact-substring spans (Lee et al. shape): a
+    // 5-token tail shared across the doc_id%5==0 docs is INVISIBLE to
+    // q83's k=8 shingles (no duplicated 8-shingle exists in it) but
+    // surfaces here as a maximal run of duplicated 4-grams — spans
+    // straddle the unique-prefix/shared-tail boundary, so only the
+    // pure-shared grams flag and the span extent is exact
+    "q377_exact_substr_spans" -> ((s, dir) => {
+      val synth = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" zq0 zq1 zq2 zq3 zq4")))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      Dedup.maximalDupSpans(synth, "doc_id", "text", minLen = 4)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "q81_dup_spans" -> ((s, dir) =>
       graft.ops.Dedup.dupSpanProfile(docs(s, dir), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))),
@@ -11179,6 +11195,26 @@ object PipelineQueries {
          |        THEN NULL ELSE toks[j] END), x -> x IS NOT NULL), ' '), '')
          |    AS text
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q377_exact_substr_spans" -> {
+      val l = 4
+      val synth = "CASE WHEN doc_id % 5 = 0 THEN coalesce(text,'') || " +
+        "' zq0 zq1 zq2 zq3 zq4' ELSE coalesce(text,'') END"
+      s"""WITH s AS (SELECT doc_id, $synth AS text FROM documents),
+         |t AS (SELECT doc_id, ${dshingleHashesK("text", l)} AS sh FROM s),
+         |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(sh)),
+         |    i -> {'pos': CAST(i-1 AS BIGINT), 'h': sh[i]})) AS u FROM t),
+         |e AS (SELECT doc_id, struct_extract(u,'pos') AS pos,
+         |    struct_extract(u,'h') AS h FROM e0),
+         |dup AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) >= 2),
+         |f AS (SELECT doc_id, pos FROM e SEMI JOIN dup USING (h)),
+         |r AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) - MIN(pos) + $l AS BIGINT) AS span_tokens
+         |FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    },
 
     "q81_dup_spans" ->
       s"""WITH t AS (SELECT doc_id,

@@ -2377,6 +2377,27 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("maximalDupSpans: a 5-token shared span is invisible to " +
+      "removeDupSpans at k=8 but surfaces with exact extent at minLen=4") {
+    val df = Seq(
+      (1L, "u1 u2 u3 s1 s2 s3 s4 s5 t1"),
+      (2L, "v1 s1 s2 s3 s4 s5 w1 w2 w3")
+    ).toDF("doc_id", "text")
+    // k=8: no duplicated 8-shingle exists anywhere -> excision is a no-op
+    val removed = graft.ops.Dedup.removeDupSpans(df, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")).collect().map(_.getString(1)).toSeq
+    assert(removed == Seq("u1 u2 u3 s1 s2 s3 s4 s5 t1",
+      "v1 s1 s2 s3 s4 s5 w1 w2 w3"))
+    // minLen=4: runs of duplicated 4-grams merge to the true 5-token span
+    val spans = graft.ops.Dedup.maximalDupSpans(df, "doc_id", "text",
+        minLen = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(spans == Seq((1L, 3L, 7L, 5L), (2L, 1L, 5L, 5L)))
+    graft.ops.Caches.releaseAll()
+  }
+
   test("IVF index: build→write→load→probe ≡ build-per-call at a " +
       "genuinely approximate probe depth") {
     val corpus = (0L until 96L).map(i =>
