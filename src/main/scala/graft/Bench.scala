@@ -57,7 +57,17 @@ object Bench {
     *     executions, one fingerprint. A REAL strategy change (SMJ↔BHJ,
     *     different subtrees, a new shuffle) still changes the print. */
   private[graft] def planFingerprint(df: DataFrame): String = {
-    import org.apache.spark.sql.execution.SparkPlan
+    val norm = planFingerprintText(df)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+    md.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** The normalized text [[planFingerprint]] hashes — exposed so a
+    * changed fingerprint can be diffed directly
+    * (SPARK_GRAFT_BENCH_DUMP_PLANS writes it beside the raw plan). */
+  private[graft] def planFingerprintText(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -66,7 +76,9 @@ object Bench {
     def unwrapBroadcast(p: SparkPlan): SparkPlan = p match {
       case q: QueryStageExec => unwrapBroadcast(q.plan)
       case r: ReusedExchangeExec => unwrapBroadcast(r.child)
-      case e: BroadcastExchangeExec => e.child
+      case w: WholeStageCodegenExec => unwrapBroadcast(w.child)
+      case i: InputAdapter => unwrapBroadcast(i.child)
+      case e: BroadcastExchangeExec => unwrapBroadcast(e.child)
       case other => other
     }
     val sb = new StringBuilder
@@ -74,6 +86,10 @@ object Bench {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
       case q: QueryStageExec => walk(q.plan, depth)
       case r: ReusedExchangeExec => walk(r.child, depth)
+      // codegen-region wrappers carry a timing-order id ("WholeStage-
+      // Codegen (7)") and no semantics of their own — unwrap both
+      case w: WholeStageCodegenExec => walk(w.child, depth)
+      case i: InputAdapter => walk(i.child, depth)
       case b: BroadcastHashJoinExec =>
         sb.append("  " * depth).append(nodeText(b)).append('\n')
         b.children.foreach(c => walk(unwrapBroadcast(c), depth + 1))
@@ -103,9 +119,10 @@ object Bench {
       .replaceAll("subquery\\d+", "subquery")
       .replaceAll("cte\\d+", "cte")
       .replaceAll(", \\d+ replicas\\)", ")")  // InMemoryRelation replica n
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes("UTF-8"))
-    md.take(6).map(b => f"$b%02x").mkString
+      // snapshot-versioned paths (Layout.snapshotWrite appends v=N per
+      // run; the plan shape is identical across versions)
+      .replaceAll("v=\\d+", "v=")
+    norm
   }
 
   private def loadavg(): String =
@@ -210,6 +227,10 @@ object Bench {
                 java.nio.file.Files.write(
                   java.nio.file.Paths.get(s"$dir/$name.txt"),
                   p.toString.getBytes("UTF-8"))
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(s"$dir/$name.fp.txt"),
+                  (try planFingerprintText(df)
+                   catch { case _: Throwable => "" }).getBytes("UTF-8"))
               } catch { case _: Throwable => () }
             }
           }
