@@ -67,18 +67,27 @@ object Bench {
     * changed fingerprint can be diffed directly
     * (SPARK_GRAFT_BENCH_DUMP_PLANS writes it beside the raw plan). */
   private[graft] def planFingerprintText(df: DataFrame): String = {
-    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.{InputAdapter, SortExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     def nodeText(p: SparkPlan): String = p.simpleString(25)
       .replaceAll("BuildLeft|BuildRight", "BuildSide")
-    def unwrapBroadcast(p: SparkPlan): SparkPlan = p match {
-      case q: QueryStageExec => unwrapBroadcast(q.plan)
-      case r: ReusedExchangeExec => unwrapBroadcast(r.child)
-      case w: WholeStageCodegenExec => unwrapBroadcast(w.child)
-      case i: InputAdapter => unwrapBroadcast(i.child)
-      case e: BroadcastExchangeExec => unwrapBroadcast(e.child)
+    // under an EQUI-JOIN, the child-side machinery (broadcast vs
+    // shuffle+sort, stage wrappers, AQE reads) is the runtime STRATEGY,
+    // not the logical shape — strip it all so SMJ/BHJ/SHJ variants of
+    // the same join print identically (AQE flips between them when a
+    // build-side estimate straddles the broadcast threshold; q293's
+    // vocab-sized duel table is the observed case)
+    def unwrapJoinChild(p: SparkPlan): SparkPlan = p match {
+      case q: QueryStageExec => unwrapJoinChild(q.plan)
+      case r: ReusedExchangeExec => unwrapJoinChild(r.child)
+      case w: WholeStageCodegenExec => unwrapJoinChild(w.child)
+      case i: InputAdapter => unwrapJoinChild(i.child)
+      case e: BroadcastExchangeExec => unwrapJoinChild(e.child)
+      case e: ShuffleExchangeExec => unwrapJoinChild(e.child)
+      case s: SortExec => unwrapJoinChild(s.child)
+      case a: AQEShuffleReadExec => unwrapJoinChild(a.child)
       case other => other
     }
     val sb = new StringBuilder
@@ -90,9 +99,27 @@ object Bench {
       // Codegen (7)") and no semantics of their own — unwrap both
       case w: WholeStageCodegenExec => walk(w.child, depth)
       case i: InputAdapter => walk(i.child, depth)
-      case b: BroadcastHashJoinExec =>
-        sb.append("  " * depth).append(nodeText(b)).append('\n')
-        b.children.foreach(c => walk(unwrapBroadcast(c), depth + 1))
+      // exchanges are TRANSPARENT: their placement is a consequence of
+      // the physical strategy picks AQE legitimately varies at runtime
+      // (a bistable broadcast-threshold join adds/removes required
+      // hash exchanges ABOVE itself too — q293). The optimized logical
+      // plan has no exchanges either; shuffle-cost regressions are
+      // wall-time's and ScaleStress's job to catch.
+      case e: ShuffleExchangeExec => walk(e.child, depth)
+      case e: BroadcastExchangeExec => walk(e.child, depth)
+      case a: AQEShuffleReadExec => walk(a.child, depth)
+      // equi-joins print a STRATEGY-NEUTRAL head (keys, type,
+      // condition): which physical join AQE picked is wall-time's job
+      // to report, not the fingerprint's — a bistable threshold pick
+      // must not read as a plan regression
+      case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec |
+          _: BroadcastHashJoinExec) =>
+        val b = j.asInstanceOf[BaseJoinExec]
+        sb.append("  " * depth).append(
+          s"EquiJoin ${b.leftKeys.mkString("[", ", ", "]")}, " +
+            s"${b.rightKeys.mkString("[", ", ", "]")}, ${b.joinType}, " +
+            s"${b.condition}").append('\n')
+        b.children.foreach(c => walk(unwrapJoinChild(c), depth + 1))
       case other =>
         sb.append("  " * depth).append(nodeText(other)).append('\n')
         other.children.foreach(walk(_, depth + 1))
@@ -122,7 +149,113 @@ object Bench {
       // snapshot-versioned paths (Layout.snapshotWrite appends v=N per
       // run; the plan shape is identical across versions)
       .replaceAll("v=\\d+", "v=")
-    norm
+      // output alias NAMES: AQE exchange-reuse picks one of two
+      // structurally-twin subtrees (a symmetric self-join's u-side vs
+      // v-side) as the original run-to-run; the resolved subtree keeps
+      // the ORIGINAL's aliases, so the same plan prints "AS u#" in one
+      // run and "AS v#" in the next. Alias names are not plan shape
+      // (renames are the correctness gate's job) — drop them.
+      .replaceAll("AS [A-Za-z0-9_]+#", "AS #")
+    // order-insensitive key/function segments: Catalyst's multi-
+    // count_distinct rewrite (RewriteDistinctAggregates) enumerates the
+    // distinct groups from expression-set iteration order, permuting
+    // Expand projections, grouping keys and gid assignments run-to-run
+    // (q307's __fa__/__fb__ pair is the observed case) — same plan,
+    // shuffled lists. Sorting within those segments makes the print
+    // permutation-proof without hiding content changes.
+    norm.split("\n", -1).map(canonSegments).mkString("\n")
+  }
+
+  /** Sort top-level comma-separated tokens inside the order-arbitrary
+    * segments of one plan line: `keys=[...]`, `functions=[...]`,
+    * `hashpartitioning(...)`, and every top-level `[...]` group of an
+    * `Expand` line (its gid assignments permute with the Catalyst
+    * distinct-rewrite enumeration order). */
+  private def canonSegments(line: String): String = {
+    val opens = "([{"; val closes = ")]}"
+    def sortSpan(str: String, start: Int): String = {
+      var depth = 0; var i = start
+      while (i < str.length) {
+        val c = str(i)
+        if (opens.indexOf(c) >= 0) depth += 1
+        else if (closes.indexOf(c) >= 0) {
+          depth -= 1
+          if (depth == 0) {
+            val inner = str.substring(start + 1, i)
+            val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+            var d2 = 0; var last = 0
+            var k = 0
+            while (k < inner.length) {
+              val ch = inner(k)
+              if (opens.indexOf(ch) >= 0) d2 += 1
+              else if (closes.indexOf(ch) >= 0) d2 -= 1
+              else if (ch == ',' && d2 == 0) {
+                parts += inner.substring(last, k); last = k + 1
+              }
+              k += 1
+            }
+            parts += inner.substring(last)
+            return str.substring(0, start + 1) +
+              parts.map(_.trim).sorted.mkString(", ") + str.substring(i)
+          }
+        }
+        i += 1
+      }
+      str
+    }
+    var out = line
+    for (marker <- Seq("keys=[", "functions=[", "hashpartitioning(")) {
+      var idx = out.indexOf(marker)
+      while (idx >= 0) {
+        out = sortSpan(out, idx + marker.length - 1)
+        idx = out.indexOf(marker, idx + marker.length)
+      }
+    }
+    // the gid a distinct-group gets — and WHICH projection slot each
+    // distinct column occupies — are enumeration-order artifacts
+    // (RewriteDistinctAggregates): neutralize gid literals everywhere
+    // and, on Expand lines, neutralize bare integer slots (Expand's
+    // literals ARE the gids) and sort tokens inside EVERY bracket group
+    // recursively, so both the row order and the column↔slot pairing
+    // become order-proof (which columns appear, with what structure,
+    // still distinguishes real changes)
+    out = out.replaceAll("\\(gid# = \\d+\\)", "(gid# = N)")
+    if (out.trim.startsWith("Expand")) {
+      out = out.replaceAll("(?<=[\\[, ])\\d+(?=[,\\]])", "N")
+      def sortRec(str: String): String = {
+        // innermost-first: sort sub-brackets, then each [..] group's
+        // top-level comma tokens
+        val sb = new StringBuilder
+        var i = 0
+        while (i < str.length) {
+          if (str(i) == '[') {
+            var depth = 0; var j = i
+            while (j < str.length && { val c = str(j)
+              if (c == '[') depth += 1
+              else if (c == ']') depth -= 1
+              depth != 0 || c != ']' }) j += 1
+            val inner = sortRec(str.substring(i + 1, j))
+            val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+            var d2 = 0; var last = 0
+            for (k <- 0 until inner.length) {
+              val ch = inner(k)
+              if (opens.indexOf(ch) >= 0) d2 += 1
+              else if (closes.indexOf(ch) >= 0) d2 -= 1
+              else if (ch == ',' && d2 == 0) {
+                parts += inner.substring(last, k); last = k + 1
+              }
+            }
+            parts += inner.substring(last)
+            sb.append('[').append(parts.map(_.trim).sorted.mkString(", "))
+              .append(']')
+            i = j + 1
+          } else { sb.append(str(i)); i += 1 }
+        }
+        sb.toString
+      }
+      out = sortRec(out)
+    }
+    out
   }
 
   private def loadavg(): String =
