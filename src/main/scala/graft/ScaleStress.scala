@@ -764,6 +764,14 @@ object ScaleStress {
         val out = Corpus.trainUnigramLm(docs, "text")
         (out.queryExecution.toRdd.count(), "driver-loop")
       }
+      // q378 shape: unigram encode — per-row JIT Viterbi per word with
+      // a literal piece table, no shuffle (bpe_encode's sibling)
+      timed(scale, "unigram_encode") {
+        val trained = Corpus.trainUnigramLm(docs, "text")
+          .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+        val out = Corpus.unigramEncodeStats(docs, "doc_id", "text", trained)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q210 shape: BPE encode — per-row JIT pass with a literal merge
       // table, no shuffle
       timed(scale, "bpe_encode") {

@@ -775,6 +775,31 @@ object TextImpls {
     new GenericArrayData(out.toArray)
   }
 
+  /** Unigram-LM-encode every \s+-word of `text` with a TRAINED piece
+    * table ([[unigramViterbi]] per word) and return [n_words, n_tokens]
+    * in one JIT pass — the fertility readout under the q376 tokenizer.
+    * Words longer than `maxWordLen` code points fall back to their
+    * code-point count (they were outside the training cap, so the
+    * piece table carries no evidence for them — the documented char
+    * fallback the DuckDB oracle replays). */
+  def unigramEncodeStats(text: String,
+      pieces: java.util.HashMap[String, java.lang.Long], total: Long,
+      maxPieceLen: Int, maxWordLen: Int): Array[Long] = {
+    var nWords = 0L
+    var nTokens = 0L
+    val it = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").iterator.filter(_.nonEmpty)
+    while (it.hasNext) {
+      val w = it.next()
+      nWords += 1
+      val cps = w.codePointCount(0, w.length)
+      if (cps > maxWordLen) nTokens += cps
+      else nTokens +=
+        unigramViterbi(w, pieces, total, maxPieceLen).numElements()
+    }
+    Array(nWords, nTokens)
+  }
+
   /** BPE-encode every \s+-word of `text` with the trained merge list
     * and return [n_words, n_tokens] in one JIT pass. Encoding applies
     * merges IN RANK ORDER, one [[bpeMergeOnce]]-style scan each — for
@@ -1083,6 +1108,37 @@ case class UnigramViterbiExpr(child: Expression,
     copy(child = c)
 }
 
+/** unigram_encode_stats(text): [n_words, n_tokens] after segmenting
+  * every word with the trained unigram piece table (one JIT Viterbi per
+  * word) — the application side of [[UnigramViterbiExpr]]'s training
+  * loop, [[BpeEncodeStatsExpr]]'s sibling. */
+case class UnigramEncodeStatsExpr(child: Expression,
+    pieces: Seq[(String, Long)], total: Long, maxPieceLen: Int,
+    maxWordLen: Int) extends UnaryExpression {
+  require(total > 0, s"total must be > 0, got $total")
+  require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+    "need maxWordLen >= maxPieceLen >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextImpls.unigramEncodeStats(
+      v.asInstanceOf[UTF8String].toString, table, total, maxPieceLen,
+      maxWordLen))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pieces", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextImpls.unigramEncodeStats($c.toString(), " +
+        s"$tRef, ${total}L, $maxPieceLen, $maxWordLen))")
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramEncodeStatsExpr =
+    copy(child = c)
+}
+
 /** tagged_word_ngrams(text, maxN): every word n-gram for n = 1..maxN as
   * (n, gram) structs, duplicates kept — the BLEU gram pass in one JIT
   * loop (the transform/sequence/slice lambda formulation is interpreted
@@ -1178,6 +1234,10 @@ object NativeText {
   def unigram_viterbi(word: Column, pieces: Seq[(String, Long)],
       total: Long, maxPieceLen: Int): Column =
     toCol(UnigramViterbiExpr(toExpr(word), pieces, total, maxPieceLen))
+  def unigram_encode_stats(text: Column, pieces: Seq[(String, Long)],
+      total: Long, maxPieceLen: Int, maxWordLen: Int): Column =
+    toCol(UnigramEncodeStatsExpr(toExpr(text), pieces, total,
+      maxPieceLen, maxWordLen))
   def gopher_repetition(text: Column): Column =
     toCol(GopherRepetitionExpr(toExpr(text)))
   def tagged_word_ngrams(text: Column, maxN: Int): Column =

@@ -1667,6 +1667,34 @@ object Corpus {
       .toDF("rank", "piece", "piece_count")
   }
 
+  /** Tokenize every document with a TRAINED unigram piece table
+    * ([[trainUnigramLm]]'s artifact) and report per doc: word count,
+    * token count, tokens-per-word — the fertility metric under the
+    * unigram tokenizer ([[bpeEncodeStats]]'s sibling). One JIT Viterbi
+    * per word ([[graft.functions.NativeText.unigram_encode_stats]]);
+    * the piece table rides as a literal, no shuffle, no explode. Words
+    * longer than `maxWordLen` code points fall back to their code-point
+    * count (outside the training cap — the oracle replays the same
+    * rule). `pieces` is (piece, count) as trained; probabilities are
+    * c/Σc exactly as in training, so encode ≡ the E-step on the final
+    * table. */
+  def unigramEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(pieces.nonEmpty, "unigramEncodeStats needs a trained table")
+    val total = pieces.map(_._2).sum
+    val e = graft.functions.NativeText.unigram_encode_stats(
+      coalesce(col(textCol), lit("")), pieces, total, maxPieceLen,
+      maxWordLen)
+    df.select(col(idCol), e.as("__e__"))
+      .select(col(idCol),
+        col("__e__").getItem(0).as("n_words"),
+        col("__e__").getItem(1).as("n_tokens"))
+      .withColumn("tokens_per_word", when(col("n_words") > 0,
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6)))
+  }
+
   /** Tokenize every document with a TRAINED merge list ([[trainBpe]]'s
     * artifact) and report per doc: word count, BPE token count, and
     * tokens-per-word (the fertility metric that prices a corpus in

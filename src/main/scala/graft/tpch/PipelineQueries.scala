@@ -123,19 +123,77 @@ object PipelineQueries {
     * reproduces the Spark side's "max score, then smallest split" tie
     * rule; probabilities are single IEEE divisions, so dp values are
     * bit-identical across engines. */
-  private def unigramLmOracleSql: String = {
+  private def unigramLmOracleSql: String =
+    s"""WITH $unigramLmCtes
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS INT) AS rank,
+       |  piece, c AS piece_count
+       |FROM pieces_2 ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Corpus.unigramEncodeStats]] on the
+    * q376-trained table: the same dp/backtrace COLUMN chains run once
+    * per DISTINCT word (ev_N/eu_N CTEs), per-word token count =
+    * boundary count − 1 (code-point count for unreachable or
+    * longer-than-cap words), then one per-doc roll-up. */
+  private def unigramEncodeOracleSql: String = {
+    val maxW = 12
+    val dpChain = (1 to maxW).map(p =>
+      s",\nev_$p AS (SELECT *, ${unigramDpCol(p)} AS d$p FROM ev_${p - 1})")
+      .mkString
+    val dpArr = "[" + (("{'s': 1.0, 'nb': CAST(0 AS INT)}" +:
+      (1 to maxW).map(p => s"d$p")).mkString(", ")) + "]"
+    val btChain = (1 to maxW).map(j =>
+      s",\neu_$j AS (SELECT *, CASE WHEN e${j - 1} > 0 THEN " +
+        s"-struct_extract(list_extract(dparr, e${j - 1}+1), 'nb') " +
+        s"ELSE e${j - 1} END AS e$j FROM eu_${j - 1})").mkString
+    val es = (0 to maxW).map(j => s"e$j").mkString(", ")
+    s"""WITH $unigramLmCtes,
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+       |      x -> length(x) >= 1)) AS w
+       |  FROM documents),
+       |uw AS (SELECT DISTINCT w FROM dw WHERE length(w) <= $maxW),
+       |epm AS (SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS pm,
+       |    CAST(SUM(c) AS BIGINT) AS T FROM pieces_2),
+       |ev_0 AS (SELECT w, pm, T FROM uw CROSS JOIN epm)$dpChain,
+       |eu_0 AS (SELECT w, $dpArr AS dparr,
+       |    CAST(length(w) AS INT) AS e0 FROM ev_$maxW)$btChain,
+       |wtok AS (SELECT w,
+       |    CASE WHEN list_sort(list_distinct([$es]))[1] < 0 THEN CAST(length(w) AS BIGINT)
+       |         ELSE CAST(len(list_sort(list_distinct([$es]))) - 1 AS BIGINT) END AS n_tok
+       |  FROM eu_$maxW),
+       |dwt AS (SELECT doc_id,
+       |    CASE WHEN length(dw.w) > $maxW THEN CAST(length(dw.w) AS BIGINT)
+       |         ELSE wtok.n_tok END AS n_tok
+       |  FROM dw LEFT JOIN wtok USING (w)),
+       |agg AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM dwt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(agg.n_words, 0) AS n_words,
+       |  coalesce(agg.n_tokens, 0) AS n_tokens,
+       |  CASE WHEN coalesce(agg.n_words, 0) > 0 THEN
+       |    ROUND(CAST(agg.n_tokens AS DOUBLE) / agg.n_words, 6) END AS tokens_per_word
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** One dp-column of the unigram Viterbi unroll (shared by the train
+    * EM rounds and the encode chain). */
+  private def unigramDpCol(pos: Int): String = {
+    val maxP = 4
+    val cands = (1 to math.min(maxP, pos)).map { k =>
+      val prev = if (pos - k == 0) "{'s': 1.0, 'nb': CAST(0 AS INT)}"
+        else s"d${pos - k}"
+      s"{'s': coalesce(struct_extract($prev,'s') * " +
+        s"(CAST(list_extract(map_extract(pm, substr(w, ${pos - k + 1}, " +
+        s"$k)), 1) AS DOUBLE) / CAST(T AS DOUBLE)), 0.0), " +
+        s"'nb': CAST(${-(pos - k)} AS INT)}"
+    } :+ "{'s': 0.0, 'nb': CAST(1 AS INT)}"
+    s"CASE WHEN length(w) >= $pos THEN list_max([${cands.mkString(", ")}]) END"
+  }
+
+  private lazy val unigramLmCtes: String = {
     val maxW = 12; val maxP = 4; val seedK = 30; val vocK = 20; val em = 2
-    def dpCol(pos: Int): String = {
-      val cands = (1 to math.min(maxP, pos)).map { k =>
-        val prev = if (pos - k == 0) "{'s': 1.0, 'nb': CAST(0 AS INT)}"
-          else s"d${pos - k}"
-        s"{'s': coalesce(struct_extract($prev,'s') * " +
-          s"(CAST(list_extract(map_extract(pm, substr(w, ${pos - k + 1}, " +
-          s"$k)), 1) AS DOUBLE) / CAST(T AS DOUBLE)), 0.0), " +
-          s"'nb': CAST(${-(pos - k)} AS INT)}"
-      } :+ "{'s': 0.0, 'nb': CAST(1 AS INT)}"
-      s"CASE WHEN length(w) >= $pos THEN list_max([${cands.mkString(", ")}]) END"
-    }
+    def dpCol(pos: Int): String = unigramDpCol(pos)
     def emRound(r: Int): String = {
       val prev = s"pieces_${r - 1}"
       val dpChain = (1 to maxW).map(p =>
@@ -170,7 +228,7 @@ object PipelineQueries {
          |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
          |    FROM mc_$r WHERE length(piece) > 1) WHERE rk <= $vocK)""".stripMargin
     }
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT unnest(string_split_regex(lower(coalesce(text,'')), '\\s+')) AS w
        |  FROM documents),
        |words AS (SELECT w, CAST(COUNT(1) AS BIGINT) AS wn FROM w0
@@ -188,10 +246,7 @@ object PipelineQueries {
        |  SELECT piece, c FROM (
        |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
        |    FROM subs WHERE length(piece) > 1) WHERE rk <= $seedK),
-       |${(1 to em).map(emRound).mkString(",\n")}
-       |SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS INT) AS rank,
-       |  piece, c AS piece_count
-       |FROM pieces_$em ORDER BY rank""".stripMargin
+       |${(1 to em).map(emRound).mkString(",\n")}""".stripMargin
   }
 
   /** Unrolled DuckDB replay of [[graft.ops.Corpus.maxCoverageSelect]]:
@@ -2514,6 +2569,18 @@ object PipelineQueries {
     "q376_unigram_lm_train" -> ((s, dir) =>
       graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
         .orderBy(col("rank"))),
+
+    // encode side of q376: per-doc fertility under the trained unigram
+    // table (one JIT Viterbi per word); the oracle reruns the train
+    // chain then segments every distinct word through the same dp
+    // column unroll
+    "q378_unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val trained = graft.ops.Corpus.trainUnigramLm(d, "text")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      graft.ops.Corpus.unigramEncodeStats(d, "doc_id", "text", trained)
+        .orderBy(col("doc_id"))
+    }),
 
     "q209_bpe_train" -> ((s, dir) =>
       graft.ops.Corpus.trainBpe(docs(s, dir), "text", numMerges = 6)
@@ -10106,6 +10173,8 @@ object PipelineQueries {
     },
 
     "q376_unigram_lm_train" -> unigramLmOracleSql,
+
+    "q378_unigram_encode" -> unigramEncodeOracleSql,
 
     "q209_bpe_train" ->
       s"""WITH $bpeTrainCtes

@@ -1258,4 +1258,20 @@ class CorpusSpec extends AnyFunSuite {
       (4, "b", 1L), (5, "c", 1L), (6, "d", 1L)))
     graft.ops.Caches.releaseAll()
   }
+
+  test("unigramEncodeStats: trained pieces win, unknown words fall back " +
+      "to chars, over-cap words count code points") {
+    val trained = Seq(("ab", 4L), ("cd", 3L), ("a", 1L), ("b", 1L),
+      ("c", 1L), ("d", 1L)) // the trainUnigramLm fixture table, T=11
+    // 'ab'→1 token, 'cd'→1, 'ef'→unreachable→2 chars,
+    // 20-cp word > maxWordLen→20 code points; empty text→(0,0,null)
+    val df = Seq((1L, "ab cd ef supercalifragilistic"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.unigramEncodeStats(df, "doc_id", "text", trained)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq((1L, 4L, 24L, Some(6.0)), (2L, 0L, 0L, None)))
+    graft.ops.Caches.releaseAll()
+  }
 }
