@@ -431,9 +431,8 @@ object Similarity {
       }
       cents = next
     }
-    IvfIndex(cents.map(_.toSeq).toSeq,
-      corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cv"), bestCid(col(vecCol)).as("cid")))
+    val frozen = cents.map(_.toSeq).toSeq
+    IvfIndex(frozen, assignWith(frozen, corpus, idCol, vecCol))
   }
 
   /** score_i = dot(v, c_i)/||c_i|| — argmax over cosine without the
@@ -446,6 +445,31 @@ object Similarity {
         math.sqrt(c.map(x => x.toDouble * x.toDouble).sum), 1e-30)
       struct((dot(vec, typedlit(c)) / lit(cn)).as("s"), lit(-i).as("nc"))
     }
+
+  /** Assign rows to the FROZEN centroids of an existing index — the
+    * shared narrow scan of [[ivfBuild]]'s tail and [[ivfAppend]]'s
+    * delta path (centroid literals in a codegen'd argmax; ties to the
+    * smallest cid). */
+  private def assignWith(cents: Seq[Seq[Float]], rows: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    rows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      (greatest(centroidScores(cents, col(vecCol)): _*)
+        .getField("nc") * -1).as("cid"))
+
+  /** Incremental index maintenance: route a DELTA batch to the
+    * existing index's FROZEN centroids and append its inverted-list
+    * rows — the crawl-ingest shape (a TB delta joins a standing index
+    * without rescanning the indexed corpus; persist the result as the
+    * next snapshot version via [[ivfWrite]]). Because assignment is a
+    * pure function of the frozen centroids, append-then-probe is
+    * EXACTLY probe over the union assigned with those centroids
+    * (OpsSpec asserts it; q379 gates the full-depth exact case).
+    * Centroids are NOT refined here — periodic rebuilds ([[ivfBuild]])
+    * remain the quality knob, exactly as in production IVF serving. */
+  def ivfAppend(index: IvfIndex, delta: DataFrame, idCol: String,
+      vecCol: String): IvfIndex =
+    IvfIndex(index.centroids, index.assignments.unionByName(
+      assignWith(index.centroids, delta, idCol, vecCol)))
 
   /** Persist an IVF index as ONE versioned snapshot
     * ([[Layout.snapshotWrite]] — immutable `v=N` commits, time-travel

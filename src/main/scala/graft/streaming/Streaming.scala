@@ -213,6 +213,25 @@ object Streaming {
       model, batch.toDF(), idCol, textCol))
   }
 
+  /** Streaming unigram-tokenizer fertility scoring: the piece table
+    * trains ONCE from the static `train` corpus
+    * ([[graft.ops.Corpus.trainUnigramLm]] — a driver-scale literal) and
+    * every micro-batch encodes against it
+    * ([[graft.ops.Corpus.unigramEncodeStats]]) — value-identical to the
+    * batch op because encoding is per-document against fixed state (the
+    * [[lmScoreForEachBatch]] posture; re-training per batch is the trap
+    * this closure shape avoids). The live tokens-per-word monitor a
+    * crawl ingest runs to catch tokenizer/corpus drift as data lands. */
+  def unigramEncodeForEachBatch(
+      train: DataFrame, trainTextCol: String,
+      idCol: String, textCol: String)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    val trained = graft.ops.Corpus.trainUnigramLm(train, trainTextCol)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    (batch, _) => sink(graft.ops.Corpus.unigramEncodeStats(
+      batch.toDF(), idCol, textCol, trained))
+  }
+
   /** Streaming per-key quota cap: admit at most `maxPerKey` rows per key
     * over the stream's lifetime — the streaming twin of
     * [[graft.ops.Corpus.capPerKey]], with the ONE semantic difference

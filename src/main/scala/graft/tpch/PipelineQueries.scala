@@ -4429,6 +4429,22 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }),
 
+    // incremental IVF: centroids frozen from the even-id half, the odd
+    // half APPENDED via the delta path (no rescan of the indexed half);
+    // probed at full depth so the result is provably the exact top-k
+    // over the union — the same exact-ANN oracle checks the whole
+    // build→append→probe lifecycle
+    "q379_ann_ivf_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = Similarity.ivfBuild(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCentroids = 8)
+      val full = Similarity.ivfAppend(base,
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      Similarity.ivfTopKWith(full, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PII redaction: inject known PII per doc, count+mask it category by
     // category (URL → EMAIL → IP → PHONE, sequentially, so nested matches
     // count once)
@@ -11040,6 +11056,9 @@ object PipelineQueries {
     // the persisted-index path probes at full depth too, so the same
     // exact-ANN replay is the oracle
     "q375_ann_ivf_persist" -> annSqlFor(5, 3),
+
+    // build→append→probe at full depth = exact top-k over the union
+    "q379_ann_ivf_append" -> annSqlFor(5, 3),
     "q44_minhash_sig" -> minhashSql,
     "q45_ann_topk" -> annSqlFor(10, 3),
     "q74_ann_lsh" -> lshAnnSql,

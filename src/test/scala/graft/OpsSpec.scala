@@ -2427,6 +2427,25 @@ class OpsSpec extends AnyFunSuite {
     assert(v2 == v + 1)
     assert(graft.ops.Similarity.ivfLoad(spark, s"$tmp/ivf")
       .centroids == loaded.centroids)
+    // incremental append: frozen-centroid routing is batch-split
+    // invariant — one delta batch ≡ the same rows in two batches,
+    // probed at a genuinely approximate depth; centroids untouched
+    val base = graft.ops.Similarity.ivfBuild(
+      corpus.filter(col("vec_id") < 48), "vec_id", "embedding",
+      nCentroids = 4)
+    val oneShot = graft.ops.Similarity.ivfAppend(base,
+      corpus.filter(col("vec_id") >= 48), "vec_id", "embedding")
+    val twoStep = graft.ops.Similarity.ivfAppend(
+      graft.ops.Similarity.ivfAppend(base,
+        corpus.filter(col("vec_id") >= 48 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding"),
+      corpus.filter(col("vec_id") >= 48 && col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    assert(oneShot.centroids == base.centroids)
+    assert(canon(graft.ops.Similarity.ivfTopKWith(oneShot, queries,
+      "vec_id", "embedding", 3, nProbe = 2)) ==
+      canon(graft.ops.Similarity.ivfTopKWith(twoStep, queries,
+        "vec_id", "embedding", 3, nProbe = 2)))
     graft.ops.Caches.releaseAll()
   }
 }

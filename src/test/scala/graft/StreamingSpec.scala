@@ -274,6 +274,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.ops.Caches.releaseAll() }
   }
 
+  test("foreachBatch unigram-tokenizer fertility equals its batch twin " +
+      "row-for-row (piece table trained once from the static corpus)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val train = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_uenc_stream").toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val fb = Streaming.unigramEncodeForEachBatch(train, "text",
+      "doc_id", "text") { out => got ++= out.collect().map(_.toSeq) }
+    val q = stream.writeStream.outputMode("append").foreachBatch(fb).start()
+    try {
+      q.processAllAvailable()
+      val trained = graft.ops.Corpus.trainUnigramLm(train, "text")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      val batch = graft.ops.Corpus.unigramEncodeStats(
+        docs, "doc_id", "text", trained)
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet == batch && batch.nonEmpty)
+    } finally { q.stop(); graft.ops.Caches.releaseAll() }
+  }
+
   test("foreachBatch LM scoring equals its batch twin row-for-row") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(120)
