@@ -1525,6 +1525,16 @@ object ScaleStress {
           "user_id", "ts", 7)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q167 shape (r13): concentration profile — events collapse to
+      // per-entity counts map-side; the exact global rank runs as a
+      // range-repartitioned per-partition row_number + |partitions|-row
+      // offset collect, NEVER a single-partition ntile window (the r12
+      // verdict's scale-killer, fixed)
+      timed(scale, "concentration") {
+        val out = graft.ops.EventAnalytics.concentrationProfile(
+          ev, "user_id", 10)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q171 shape: audience overlap — distinct presence collapses the
       // log map-side; per-entity self-join fan-out bounded by |types|²
       timed(scale, "audience_overlap") {

@@ -1633,13 +1633,15 @@ object Corpus {
             length(col("__w__")) - i + 1)),
           l => col("__w__").substr(i, l))))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("__wn__")).as("c"))
-    def topMulti(counts: DataFrame, k: Int) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("piece").asc)
+    // orderBy().limit(k), NOT a global rank window: the rank column is
+    // droppable here, and TakeOrderedAndProject keeps a k-row heap per
+    // partition by construction — no reliance on InferWindowGroupLimit
+    // firing (the seed-substring table is distinct-words × ≤ maxPieceLen
+    // substrings, the one table in this trainer that gets big)
+    def topMulti(counts: DataFrame, k: Int) =
       counts.filter(length(col("piece")) > 1)
-        .withColumn("__rk__", row_number().over(w))
-        .filter(col("__rk__") <= k).select(col("piece"), col("c"))
-    }
+        .orderBy(col("c").desc, col("piece").asc).limit(k)
+        .select(col("piece"), col("c"))
     def collectPieces(d: DataFrame): Seq[(String, Long)] =
       d.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         .sortBy { case (p, c) => (-c, p) }

@@ -888,17 +888,62 @@ object EventAnalytics {
     * ([[graft.ops.Corpus.capPerKey]]'s cap is chosen FROM this view).
     *
     * Shape: one partial-aggregable count collapses the log to
-    * |entities| rows; the global `ntile` window then runs over that
-    * BOUNDED table only (entities, not events — the same
-    * driver-scale-not-data-scale posture as vocabulary's TakeOrdered).
+    * |entities| rows — but at event scale |entities| is itself a
+    * data-scale table (10⁹ users at 100× is not driver-scale), so a
+    * global `ntile` window (which sorts the WHOLE table in one task —
+    * ntile gets no WindowGroupLimit pruning) is banned here. Instead
+    * the exact global rank is computed distributed: range-repartition
+    * by (count desc, entity asc), per-partition `row_number`, plus a
+    * |partitions|-row offset prefix sum collected on the driver (the
+    * [[graft.ops.Corpus.vocabCoverage]] shape). ANSI `NTILE(k)` is then
+    * pure arithmetic on that rank — over n rows the first `n mod k`
+    * buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — so the output is
+    * bit-identical to the window form while every partition sorts only
+    * its own range slice. PlanSpec asserts no single-partition exchange
+    * and no Window survive in the physical plan.
     * Returns (decile, n_entities, n_events). */
   def concentrationProfile(events: DataFrame, entityCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = events.sparkSession
     val per = events.groupBy(col(entityCol))
       .agg(count(lit(1)).as("__n__"))
-    val w = Window.orderBy(col("__n__").desc, col(entityCol).asc)
-    per.withColumn("decile", ntile(nBuckets).over(w))
+    val sorted = Caches.registerDf(per
+      .repartitionByRange(col("__n__").desc, col(entityCol).asc)
+      .sortWithinPartitions(col("__n__").desc, col(entityCol).asc)
+      .withColumn("__pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partCounts = sorted.groupBy(col("__pid__"))
+      .agg(count(lit(1)).as("__c__"))
+      .collect().map(r => (r.getAs[Int]("__pid__"), r.getAs[Long]("__c__")))
+      .sortBy(_._1)
+    val total = partCounts.map(_._2).sum
+    var acc = 0L
+    val offsets = partCounts.map { case (pid, c) =>
+      val row = (pid, acc); acc += c; row
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid__", "__off__"))
+    val w = Window.partitionBy(col("__pid__"))
+      .orderBy(col("__n__").desc, col(entityCol).asc)
+    val ranked = sorted.join(offDf, Seq("__pid__"))
+      .select(col("__n__"),
+        (col("__off__") + row_number().over(w)).as("__rank__"))
+    // ANSI ntile arithmetic on the exact rank: with n rows and k
+    // buckets, base = n/k and the first rem = n%k buckets hold base+1
+    // rows (all of Spark, DuckDB, and the standard agree)
+    val base = total / nBuckets
+    val rem = total % nBuckets
+    val cut = rem * (base + 1)
+    // `div`, not `/`: Spark's Divide returns DOUBLE, whose rounding can
+    // cross an integer boundary at large ranks; div is exact on longs
+    val decile =
+      if (base == 0L) col("__rank__") // fewer rows than buckets
+      else when(col("__rank__") <= cut,
+          expr(s"(__rank__ - 1) div ${base + 1L}") + 1L)
+        .otherwise(lit(rem) +
+          expr(s"(__rank__ - ${cut + 1L}) div $base") + 1L)
+    ranked.select(decile.cast("int").as("decile"), col("__n__"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_entities"), sum(col("__n__")).as("n_events"))
   }

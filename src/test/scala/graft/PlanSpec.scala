@@ -813,4 +813,77 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("corpus.parquet"),
       s"probe plan rescans the corpus:\n$plan")
   }
+
+  test("concentrationProfile (q167 shape, r13): exact ntile is " +
+      "distributed — no Window, no single-partition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 500L).map(i => (i, i % 37)).toDF("event_id", "user_id")
+    try {
+      val out = graft.ops.EventAnalytics.concentrationProfile(
+        ev, "user_id", 10)
+      val plan = physicalPlan(out)
+      // the per-partition row_number window must be keyed by __pid__ —
+      // the one window in the op — and nothing may collapse to one task
+      val specs = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty && specs.forall(_.matches(
+        ".*windowspecdefinition\\(__pid__#\\d+.*")),
+        s"expected only __pid__-partitioned windows:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"exact ntile collapsed to a single partition:\n$plan")
+      assert(!plan.contains("ntile"), s"ntile window survived:\n$plan")
+      // bit-identical to the ANSI ntile the oracle computes
+      val expect = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__n__").desc, col("user_id").asc)
+        ev.groupBy(col("user_id"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n__"))
+          .withColumn("decile",
+            org.apache.spark.sql.functions.ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_entities"),
+            org.apache.spark.sql.functions.sum(col("__n__"))
+              .as("n_events"))
+      }
+      assert(out.collect().map(_.toSeq).toSet ==
+        expect.collect().map(_.toSeq).toSet)
+    } finally graft.ops.Caches.releaseAll()
+  }
+
+  test("global rank<=k windows prune map-side: WindowGroupLimit in " +
+      "skipgramPairs / negativeSamplingTable / rrfFuse plans; " +
+      "trainUnigramLm's seed top-k is a TakeOrdered, not a window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 60L).map(i =>
+        (i, s"alpha beta gamma delta w$i alpha beta t${i % 7}"))
+      .toDF("doc_id", "text")
+    try {
+      // for an empty partition spec InferWindowGroupLimit plans the
+      // pruned child as either a WindowGroupLimit node or a global
+      // TakeOrderedAndProject(limit=k) — both are the k-row-heap-per-
+      // partition contract; what must NOT appear is the bare
+      // Sort-then-Window with no limit below it
+      def pruned(plan: String): Boolean =
+        plan.contains("WindowGroupLimit") ||
+          plan.contains("TakeOrderedAndProject(limit=5")
+      val sg = physicalPlan(graft.ops.Corpus.skipgramPairs(
+        docs, "doc_id", "text", window = 2, tMil = 1000000L, topK = 5))
+      assert(pruned(sg),
+        s"skipgramPairs global top-k lost map-side pruning:\n$sg")
+      val ns = physicalPlan(graft.ops.Corpus.negativeSamplingTable(
+        docs, "text", topK = 5))
+      assert(pruned(ns),
+        s"negativeSamplingTable top-k lost map-side pruning:\n$ns")
+      val ranks = Seq(1, 2).map(s => (1L to 20L).map(i =>
+          (i, (i * s) % 20 + 1)).toDF("item", "rank"))
+      val rf = physicalPlan(graft.ops.Similarity.rrfFuse(
+        ranks, "item", "rank", topM = 5))
+      assert(pruned(rf),
+        s"rrfFuse rank<=topM lost map-side pruning:\n$rf")
+    } finally graft.ops.Caches.releaseAll()
+  }
 }
