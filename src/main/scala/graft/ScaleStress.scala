@@ -1095,6 +1095,14 @@ object ScaleStress {
           nProbe = 4)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q380 shape (r13): index health telemetry off the persisted
+      // snapshot — ONE partial-aggregable count over the assignment
+      // table + a k-row broadcast join; the corpus is never touched
+      timed(scale, "ivf_stats") {
+        val loaded = graft.ops.Similarity.ivfLoad(spark, base)
+        val out = graft.ops.Similarity.ivfStats(loaded, 2, 1)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
     }
     runIvfPersist("1x", emb1x)
     runIvfPersist("10x", emb10x)

@@ -465,11 +465,75 @@ object Similarity {
     * EXACTLY probe over the union assigned with those centroids
     * (OpsSpec asserts it; q379 gates the full-depth exact case).
     * Centroids are NOT refined here — periodic rebuilds ([[ivfBuild]])
-    * remain the quality knob, exactly as in production IVF serving. */
+    * remain the quality knob, exactly as in production IVF serving;
+    * [[ivfStats]] is the rebuild-cadence signal to watch after appends.
+    *
+    * ID contract: delta ids must be DISJOINT from the indexed ids — a
+    * re-ingested id would duplicate inverted-list rows, and duplicate
+    * (query_id, neighbor_id) candidates can occupy multiple top-k slots
+    * in [[ivfTopKWith]]. Pass `dedupeIds = true` to enforce it with a
+    * left-anti join of the delta against the standing assignments; that
+    * guard pays one pass over the index per append (exactly the cost
+    * this op otherwise avoids), so ingest pipelines whose id discipline
+    * is upstream-guaranteed (monotonic crawl ids, snapshot versioning)
+    * keep the default.
+    *
+    * Plan-shape contract: the result's assignment table is a LAZY
+    * `unionByName` over the standing index — N appends without an
+    * [[ivfWrite]] build an N-deep union whose probe re-plans all N
+    * legs. The intended cycle (append → ivfWrite next version →
+    * ivfLoad) collapses the chain to one snapshot scan per probe
+    * (OpsSpec asserts append-after-load stays one union deep and that
+    * a write/load round-trip flattens it). */
   def ivfAppend(index: IvfIndex, delta: DataFrame, idCol: String,
-      vecCol: String): IvfIndex =
+      vecCol: String, dedupeIds: Boolean = false): IvfIndex = {
+    val fresh =
+      if (dedupeIds)
+        delta.join(index.assignments
+            .select(col("neighbor_id").as(idCol)),
+          Seq(idCol), "left_anti")
+      else delta
     IvfIndex(index.centroids, index.assignments.unionByName(
-      assignWith(index.centroids, delta, idCol, vecCol)))
+      assignWith(index.centroids, fresh, idCol, vecCol)))
+  }
+
+  /** IVF index health telemetry — per-centroid inverted-list sizes with
+    * a hot-list verdict: the rebuild-cadence signal production IVF
+    * serving watches after [[ivfAppend]]s (frozen centroids mean a
+    * drifting delta distribution silently piles rows onto few lists,
+    * and a hot list degrades every probe routed to it; a DEAD list —
+    * size 0, also reported — wastes a route). `hot` is exact integer
+    * cross-multiplication (the keySkew discipline):
+    * `list_size · nCentroids · hotDen > total · hotNum`, i.e. the list
+    * exceeds hotNum/hotDen × the mean list size. When any list is hot,
+    * rebuild ([[ivfBuild]]) instead of appending further.
+    *
+    * Shape: ONE partial-aggregable count over the assignment table
+    * (works identically on a loaded snapshot — the corpus is never
+    * touched), left-joined to the driver-scale centroid id range so
+    * empty lists surface. Returns (cid, list_size, hot) ordered by cid. */
+  def ivfStats(index: IvfIndex, hotNum: Int = 2,
+      hotDen: Int = 1): DataFrame = {
+    require(hotNum >= 1 && hotDen >= 1, "bad ivfStats hot factor")
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    val k = index.centroids.size
+    val sizes = index.assignments.groupBy(col("cid"))
+      .agg(count(lit(1)).as("__n__"))
+    val total = index.assignments
+      .agg(count(lit(1)).as("__total__"))
+    // broadcast the ≤k-row aggregated sizes (a left-outer join builds
+    // right; broadcasting the outer cid range would be unsupported)
+    index.centroids.indices.toDF("cid")
+      .join(broadcast(sizes), Seq("cid"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cid"),
+        coalesce(col("__n__"), lit(0L)).as("list_size"),
+        (coalesce(col("__n__"), lit(0L)) * lit(k.toLong) *
+          lit(hotDen.toLong) >
+          col("__total__") * lit(hotNum.toLong)).as("hot"))
+      .orderBy(col("cid"))
+  }
 
   /** Persist an IVF index as ONE versioned snapshot
     * ([[Layout.snapshotWrite]] — immutable `v=N` commits, time-travel

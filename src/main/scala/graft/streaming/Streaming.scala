@@ -196,6 +196,34 @@ object Streaming {
       index, batch.toDF(), idCol, textCol, threshold))
   }
 
+  /** Streaming ANN probe against a FROZEN IVF index — the
+    * [[minhashProbeStream]] pattern applied to retrieval: the index is
+    * built ([[graft.ops.Similarity.ivfBuild]]) or loaded
+    * ([[graft.ops.Similarity.ivfLoad]]) ONCE by the caller; every
+    * micro-batch of query vectors probes it via
+    * [[graft.ops.Similarity.ivfTopKWith]] (queries broadcast, only the
+    * routed inverted lists scanned). No cross-batch state: each query
+    * row's top-k is a pure function of that row and the frozen index,
+    * so stream output over any batch split EQUALS the batch probe over
+    * the union (asserted cross-batch in StreamingSpec). Per-batch cost
+    * is batch-sized routed-list scans — the corpus is never rescanned,
+    * never re-clustered. The assignment table is pinned
+    * (persist + [[graft.ops.Caches]]) so a built-not-loaded index does
+    * not replay its corpus scan per batch; caller releases via
+    * `Caches.releaseAll()` after stopping the stream. Index freshness
+    * across batches is the caller's loop:
+    * [[graft.ops.Similarity.ivfAppend]] + `ivfWrite` between stream
+    * restarts, watched by [[graft.ops.Similarity.ivfStats]]. */
+  def ivfProbeStream(index: graft.ops.Similarity.IvfIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    val pinned = graft.ops.Similarity.IvfIndex(index.centroids,
+      graft.ops.Caches.registerDf(index.assignments
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    (batch, _) => sink(graft.ops.Similarity.ivfTopKWith(
+      pinned, batch.toDF(), idCol, vecCol, k, nProbe))
+  }
+
   /** Streaming LM quality scoring: the add-one unigram model trains
     * ONCE from the static `train` corpus (persisted vocabulary + two
     * scalars) and every micro-batch scores against it — value-identical

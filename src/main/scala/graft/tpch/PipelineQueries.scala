@@ -4445,6 +4445,21 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF index health telemetry over an APPENDED index (the q379
+    // ingest shape): per-centroid inverted-list sizes + exact
+    // cross-multiplied hot verdict — the rebuild-cadence signal. Seed
+    // centroids only (kmeansIters=0) so the oracle replays assignment
+    // bit-for-bit (ddot/seed norms are fixed-order IEEE on both
+    // engines, argmax ties to the smallest cid).
+    "q380_ivf_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = Similarity.ivfBuild(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCentroids = 8, kmeansIters = 0)
+      val full = Similarity.ivfAppend(base,
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      Similarity.ivfStats(full, hotNum = 2, hotDen = 1)
+    }),
+
     // PII redaction: inject known PII per doc, count+mask it category by
     // category (URL → EMAIL → IP → PHONE, sequentially, so nested matches
     // count once)
@@ -11059,6 +11074,33 @@ object PipelineQueries {
 
     // build→append→probe at full depth = exact top-k over the union
     "q379_ann_ivf_append" -> annSqlFor(5, 3),
+    // full IVF assignment replay: seed centroids are the first 8 even
+    // vec_ids; scores are fixed-order ddot / seed-norm (bit-identical
+    // IEEE on both engines), argmax ties to the smallest cid; counts
+    // and the hot verdict are exact integers
+    "q380_ivf_stats" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |      AS INTEGER) AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8)),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    (${ddot("e.embedding", "c.cv")}) /
+         |      SQRT(${ddot("c.cv", "c.cv")}) AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cid ASC) = 1),
+         |sizes AS (SELECT cid, COUNT(1) AS n FROM assigned GROUP BY 1),
+         |tot AS (SELECT COUNT(1) AS total FROM embeddings)
+         |SELECT CAST(r.range AS INTEGER) AS cid,
+         |  CAST(COALESCE(s2.n, 0) AS BIGINT) AS list_size,
+         |  (COALESCE(s2.n, 0) * 8 * 1 > t.total * 2) AS hot
+         |FROM range(0, 8) r LEFT JOIN sizes s2 ON r.range = s2.cid
+         |  CROSS JOIN tot t
+         |ORDER BY cid""".stripMargin,
     "q44_minhash_sig" -> minhashSql,
     "q45_ann_topk" -> annSqlFor(10, 3),
     "q74_ann_lsh" -> lshAnnSql,

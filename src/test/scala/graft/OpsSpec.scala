@@ -2448,4 +2448,92 @@ class OpsSpec extends AnyFunSuite {
         "vec_id", "embedding", 3, nProbe = 2)))
     graft.ops.Caches.releaseAll()
   }
+
+  test("ivfAppend id guard: dedupeIds drops an overlapping re-ingest; " +
+      "default documents the disjoint contract (duplicates surface)") {
+    val corpus = (0L until 64L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 5 + d * 3 + 1) % 11).toFloat - 5.0f)))
+      .toDF("vec_id", "embedding")
+    val base = graft.ops.Similarity.ivfBuild(
+      corpus.filter(col("vec_id") < 40), "vec_id", "embedding",
+      nCentroids = 4)
+    // the delta re-ingests ids 32..39 (already indexed) plus 40..63
+    val delta = corpus.filter(col("vec_id") >= 32)
+    val guarded = graft.ops.Similarity.ivfAppend(base, delta,
+      "vec_id", "embedding", dedupeIds = true)
+    assert(guarded.assignments.count() == 64)
+    assert(guarded.assignments.groupBy(col("neighbor_id"))
+      .count().filter(col("count") > 1).count() == 0)
+    // unguarded default: the overlap duplicates inverted-list rows —
+    // the documented hazard the flag exists for
+    val unguarded = graft.ops.Similarity.ivfAppend(base, delta,
+      "vec_id", "embedding")
+    assert(unguarded.assignments.count() == 72)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("ivfAppend chain: N appends stack N lazy unions; the intended " +
+      "write→load cycle collapses the probe to one snapshot scan") {
+    val corpus = (0L until 64L).map(i =>
+        (i, Seq.tabulate(8)(d => ((i * 7 + d) % 13).toFloat - 6.0f)))
+      .toDF("vec_id", "embedding")
+    val base = graft.ops.Similarity.ivfBuild(
+      corpus.filter(col("vec_id") < 32), "vec_id", "embedding",
+      nCentroids = 4)
+    def unions(i: graft.ops.Similarity.IvfIndex): Int =
+      i.assignments.queryExecution.optimizedPlan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+    assert(unions(base) == 0)
+    val a1 = graft.ops.Similarity.ivfAppend(base,
+      corpus.filter(col("vec_id") >= 32 && col("vec_id") < 48),
+      "vec_id", "embedding")
+    val a2 = graft.ops.Similarity.ivfAppend(a1,
+      corpus.filter(col("vec_id") >= 48), "vec_id", "embedding")
+    assert(unions(a1) >= 1 && unions(a2) >= unions(a1),
+      "appends are lazy unions by design — the doc'd chain hazard")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_chain").toString
+    val v = graft.ops.Similarity.ivfWrite(a2, s"$tmp/ivf")
+    val loaded = graft.ops.Similarity.ivfLoad(spark, s"$tmp/ivf", Some(v))
+    // the round-trip flattens: no Union survives, and one more append
+    // on the LOADED index stays exactly one union deep
+    assert(unions(loaded) == 0)
+    assert(unions(graft.ops.Similarity.ivfAppend(loaded,
+      corpus.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")) == 1)
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("ivfStats: exact list sizes over a skewed append — hot verdict " +
+      "by integer cross-multiplication, dead centroid surfaces as 0") {
+    // one-hot geometry: seed centroids (kmeansIters=0) are vectors
+    // 0..3 = one-hot dims 0..3, so every one-hot-dim-d vector routes
+    // EXACTLY to centroid d. Base spreads 16 rows evenly; the delta
+    // piles 40 rows onto dim 0 — centroid 0 must flag hot (> 2× mean)
+    def oneHot(ids: Range, dim: Int => Int) = ids.map(i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        if (d == dim(i)) 1.0f else 0.0f)))
+    val base = oneHot(0 until 16, _ % 4).toDF("vec_id", "embedding")
+    val idx = graft.ops.Similarity.ivfBuild(base, "vec_id", "embedding",
+      nCentroids = 4, kmeansIters = 0)
+    val delta = oneHot(100 until 140, _ => 0).toDF("vec_id", "embedding")
+    val appended = graft.ops.Similarity.ivfAppend(idx, delta,
+      "vec_id", "embedding")
+    val stats = graft.ops.Similarity.ivfStats(appended, hotNum = 2,
+      hotDen = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(stats == Seq((0, 44L, true), (1, 4L, false),
+      (2, 4L, false), (3, 4L, false)), stats.toString)
+    // a list nothing routes to reports 0 + not-hot, never a missing
+    // row (the post-compaction / guarded-ingest state)
+    val pruned = graft.ops.Similarity.IvfIndex(appended.centroids,
+      appended.assignments.filter(col("cid") =!= 2))
+    val prunedStats = graft.ops.Similarity.ivfStats(pruned, 2, 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(prunedStats.map(_._1) == Seq(0, 1, 2, 3))
+    assert(prunedStats.find(_._1 == 2).get._2 == 0L)
+    graft.ops.Caches.releaseAll()
+  }
 }

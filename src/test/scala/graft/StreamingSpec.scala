@@ -274,6 +274,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.ops.Caches.releaseAll() }
   }
 
+  test("streaming IVF probe vs a FROZEN index equals its batch twin on " +
+      "the union of micro-batches, at a genuinely approximate depth") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val b1 = emb.filter(col("vec_id") < 10)
+    val b2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val index = graft.ops.Similarity.ivfBuild(corpus, "vec_id",
+      "embedding", nCentroids = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_probe_stream").toFile
+    val in = dir.getAbsolutePath + "/in"
+    b1.write.parquet(in)
+    val stream = spark.readStream.schema(emb.schema).parquet(in)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var batches = 0
+    // nProbe=2 of 4 centroids: approximate routing, so stream ≡ batch
+    // proves identical ROUTING per batch, not just agreeing top-k
+    val fb0 = Streaming.ivfProbeStream(index, "vec_id", "embedding",
+      k = 3, nProbe = 2) { out => got ++= out.collect().map(_.toSeq) }
+    val fb = (d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long) => { batches += 1; fb0(d, id) }
+    val q = stream.writeStream.outputMode("append").foreachBatch(fb).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(in)
+      q.processAllAvailable()
+      assert(batches >= 2, "fixture must exercise more than one micro-batch")
+      val batch = graft.ops.Similarity.ivfTopKWith(index,
+        spark.read.parquet(in), "vec_id", "embedding", 3, nProbe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet == batch && batch.nonEmpty)
+      assert(got.size == 20 * 3, "every query row yields k neighbors")
+    } finally { q.stop(); graft.ops.Caches.releaseAll() }
+  }
+
   test("foreachBatch unigram-tokenizer fertility equals its batch twin " +
       "row-for-row (piece table trained once from the static corpus)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
