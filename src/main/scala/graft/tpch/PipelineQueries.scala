@@ -4460,6 +4460,60 @@ object PipelineQueries {
       Similarity.ivfStats(full, hotNum = 2, hotDen = 1)
     }),
 
+    // retrieval-chain capstone (r13): the r12 serving family CHAINS —
+    // stage A: a 12-doc candidate batch (every 3rd a near-dup of corpus
+    // doc id+30, the rest alien-token novelties) probes the q198-style
+    // frozen band index and near-dups are DROPPED; stage B: survivors
+    // map to their embeddings and retrieve top-8 from the IVF index at
+    // FULL depth (exact, the q379 posture); stage C: each survivor's
+    // hit list is MMR-reranked to 3 diverse results (q370 semantics,
+    // driver loop bounded by the FIXED batch size, candidates pinned so
+    // the upstream runs once). Column contracts and determinism hold
+    // through all three stages — the oracle replays the entire chain.
+    "q381_retrieval_chain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val dup = d.filter(col("doc_id") >= 30 && col("doc_id") < 42 &&
+          col("doc_id") % 3 === 0)
+        .select((col("doc_id") - 30 + 500000L).as("doc_id"),
+          concat(col("text"), lit(" probedup")).as("text"))
+      val novel = d.filter(col("doc_id") < 12 && col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat_ws(" ", (0 until 6).map(j =>
+            concat(lit(s"qzx${j}w"), col("doc_id").cast("string"))): _*)
+            .as("text"))
+      val batch = dup.unionByName(novel)
+      val flagged = Dedup.minhashNearDupsAgainst(batch, d, "doc_id",
+          "text", bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
+          hashedBandKeys = false)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val queries = batch.join(flagged, Seq("doc_id"), "left_anti")
+        .select((col("doc_id") - 500000L).as("vec_id"))
+        .join(e, Seq("vec_id"))
+      val idx = Similarity.ivfBuild(e, "vec_id", "embedding",
+        nCentroids = 8)
+      // full-depth probe = exact top-8 per surviving query (self hit
+      // excluded by ivfTopKWith's query<>neighbor filter)
+      val cands = graft.ops.Caches.registerDf(
+        Similarity.ivfTopKWith(idx, queries, "vec_id", "embedding",
+            k = 8, nProbe = 8)
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("embedding")), Seq("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // the survivor id list is |batch|-bounded (12), a driver-scale
+      // loop by construction — the mmrSelect round-trip posture
+      val qids = cands.select(col("query_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      qids.map { q =>
+        Similarity.mmrSelect(cands.filter(col("query_id") === q),
+            "neighbor_id", "embedding", "cosine", k = 3)
+          .withColumn("query_id", lit(q))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("relevance"), col("max_sim_prev"), col("mmr"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PII redaction: inject known PII per doc, count+mask it category by
     // category (URL → EMAIL → IP → PHONE, sequentially, so nested matches
     // count once)
@@ -11431,6 +11485,7 @@ object PipelineQueries {
 
     "q52_minhash_neardup" -> minhashNearDupSql,
     "q198_minhash_incremental" -> minhashIncrementalSql,
+    "q381_retrieval_chain" -> retrievalChainSql,
 
     // connected components replayed with a recursive CTE: enumerate all
     // reachable labels per node over the (symmetrized) near-dup edges,
@@ -12377,6 +12432,90 @@ object PipelineQueries {
   /** q198 oracle: the q52 signature replay on BOTH sides — corpus as-is,
     * batch = every 5th doc with ' novelterm' appended and id +100000 —
     * banded equi-match between the sides, exact Jaccard verify. */
+  /** q381: the whole retrieval chain replayed stage by stage — the q198
+    * minhash probe (shingle/signature/band replay) decides the survivor
+    * set, survivors brute-force exact top-8 (full-depth IVF ≡ exact),
+    * and a per-query 3-round MMR unroll (q370's technique, window-
+    * partitioned by query) reranks. One SQL statement, three verified
+    * stages. */
+  private lazy val retrievalChainSql: String = {
+    val shc = dshingleHashes
+    val shDup = dshingleHashesK("text || ' probedup'", 3)
+    val novelExpr = (0 until 6).map(j =>
+      s"'qzx${j}w' || CAST(doc_id AS VARCHAR)").mkString(" || ' ' || ")
+    val shNovel = dshingleHashesK(s"($novelExpr)", 3)
+    val mhCols = Dedup.minhashParams(32).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandMatch = (0 until 8).map { bnd =>
+      "(" + (bnd * 4 until bnd * 4 + 4)
+        .map(i => s"b.mh_$i = c.mh_$i").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    def mmrRound(i: Int): String = {
+      val prev = s"sel${i - 1}"
+      s"""m$i AS (SELECT c.query_id, c.neighbor_id, c.v, c.rel,
+         |    MAX(${dcosine("c.v", "s.v")}) AS ms
+         |  FROM cands c JOIN $prev s ON c.query_id = s.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = c.query_id
+         |    AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.v, c.rel),
+         |s$i AS (SELECT query_id, neighbor_id, v, rel, ms,
+         |    (7 * rel - 3 * ms) / 10 AS mmr FROM m$i
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY (7 * rel - 3 * ms) / 10 DESC, neighbor_id) = 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, neighbor_id, v FROM s$i)""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, $shc AS sh FROM documents),
+       |bt AS (
+       |  SELECT doc_id - 30 + 500000 AS doc_id, $shDup AS sh
+       |  FROM documents WHERE doc_id >= 30 AND doc_id < 42
+       |    AND doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 500000, $shNovel
+       |  FROM documents WHERE doc_id < 12 AND doc_id % 3 <> 0),
+       |sigc AS (SELECT doc_id, sh, $mhCols FROM t),
+       |sigb AS (SELECT doc_id, sh, $mhCols FROM bt),
+       |cand AS (
+       |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |    list_distinct(b.sh) AS sa, list_distinct(c.sh) AS sb
+       |  FROM sigb b JOIN sigc c ON ($bandMatch)),
+       |flagged AS (SELECT DISTINCT batch_id FROM cand
+       |  WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sa, sb))) >= 0.2),
+       |surv AS (SELECT doc_id - 500000 AS vec_id FROM bt
+       |  WHERE doc_id NOT IN (SELECT batch_id FROM flagged)),
+       |q AS (SELECT s.vec_id AS query_id, e.embedding AS qv
+       |  FROM surv s JOIN embeddings e ON e.vec_id = s.vec_id),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${dcosine("q.qv", "c.embedding")} AS cos_raw
+       |  FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+       |top8 AS (SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS rel
+       |  FROM scored
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_raw DESC, neighbor_id) <= 8),
+       |cands AS (SELECT t8.query_id, t8.neighbor_id, t8.rel,
+       |    e.embedding AS v
+       |  FROM top8 t8 JOIN embeddings e ON e.vec_id = t8.neighbor_id),
+       |s1 AS (SELECT query_id, neighbor_id, v, rel,
+       |    (7 * rel - 3 * 0) / 10 AS mmr FROM cands
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY (7 * rel - 3 * 0) / 10 DESC, neighbor_id) = 1),
+       |sel1 AS (SELECT query_id, neighbor_id, v FROM s1),
+       |${mmrRound(2)},
+       |${mmrRound(3)}
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  ROUND(rel, 6) AS relevance, ROUND(ms, 6) AS max_sim_prev,
+       |  ROUND(mmr, 6) AS mmr
+       |FROM (
+       |  SELECT query_id, 1 AS rank, neighbor_id, rel,
+       |    CAST(NULL AS DOUBLE) AS ms, mmr FROM s1
+       |  UNION ALL SELECT query_id, 2, neighbor_id, rel, ms, mmr FROM s2
+       |  UNION ALL SELECT query_id, 3, neighbor_id, rel, ms, mmr FROM s3)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private lazy val minhashIncrementalSql: String = {
     val shc = dshingleHashes
     val shb = dshingleHashesK("text || ' novelterm'", 3)
