@@ -764,6 +764,15 @@ object ScaleStress {
         val out = Corpus.trainUnigramLm(docs, "text")
         (out.queryExecution.toRdd.count(), "driver-loop")
       }
+      // q382 shape (r13): loss-ranked prune — the EM cost plus, per
+      // prune round, ONE words-table JIT pass scoring ALL candidates'
+      // whole-bit loss deltas + a |candidates|-row collect, and a final
+      // recount pass
+      timed(scale, "unigram_lm_loss_prune") {
+        val out = Corpus.trainUnigramLmLossPrune(docs, "text",
+          seedSize = 30, vocabSize = 16, emRounds = 2, pruneRounds = 2)
+        (out.queryExecution.toRdd.count(), "driver-loop")
+      }
       // q378 shape: unigram encode — per-row JIT Viterbi per word with
       // a literal piece table, no shuffle (bpe_encode's sibling)
       timed(scale, "unigram_encode") {

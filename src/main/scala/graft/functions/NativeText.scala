@@ -775,6 +775,89 @@ object TextImpls {
     new GenericArrayData(out.toArray)
   }
 
+  /** Integer-exact surrogate Viterbi loss of one word: the piece
+    * SEQUENCE is the probability-optimal segmentation ([[unigramViterbi]]'s
+    * dp, bit-identical across engines), and the segmentation is VALUED
+    * in whole bits — each token costs `bitlen(total) − bitlen(count)`
+    * (floor(log₂)+1 via leading-zero count; DuckDB replays it as
+    * `length(bin(x))`), a ≤1-bit-per-token approximation of
+    * −log₂(count/total). Whole-bit valuation is what makes loss sums
+    * across words EXACT INTEGERS — order-independent, engine-identical —
+    * where a float log-loss would drift by summation order AND
+    * transcendental rounding. Char-fallback (unreachable) words cost
+    * per char with absent chars floored at count 1. */
+  def unigramILoss(word: String,
+      pieces: java.util.HashMap[String, java.lang.Long], total: Long,
+      maxPieceLen: Int): Long = {
+    val cps = word.codePoints.toArray
+    val L = cps.length
+    if (L == 0) return 0L
+    val dpS = new Array[Double](L + 1)
+    val dpB = new Array[Int](L + 1)
+    dpS(0) = 1.0
+    var pos = 1
+    while (pos <= L) {
+      var bs = 0.0
+      var bb = -1
+      var i = math.max(0, pos - maxPieceLen)
+      while (i < pos) {
+        val c = pieces.get(new String(cps, i, pos - i))
+        if (c != null) {
+          val s = dpS(i) * (c.toDouble / total.toDouble)
+          if (s > bs) { bs = s; bb = i }
+        }
+        i += 1
+      }
+      dpS(pos) = bs
+      dpB(pos) = bb
+      pos += 1
+    }
+    val blT = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    def cost(piece: String): Long = {
+      val c = pieces.get(piece)
+      val cv = if (c == null) 1L else math.max(c.longValue, 1L)
+      blT - (64 - java.lang.Long.numberOfLeadingZeros(cv))
+    }
+    var loss = 0L
+    if (dpB(L) < 0) {
+      var k = 0
+      while (k < L) { loss += cost(new String(cps, k, 1)); k += 1 }
+    } else {
+      var p = L
+      while (p > 0) {
+        val b = dpB(p); loss += cost(new String(cps, b, p - b)); p = b
+      }
+    }
+    loss
+  }
+
+  /** Per-word loss deltas for EVERY prune candidate in ONE pass — the
+    * SentencePiece prune criterion's distributed inner loop: slot i is
+    * `ILoss(w | pieces∖candᵢ) − ILoss(w | pieces)` ([[unigramILoss]])
+    * when the word contains candᵢ, else 0 (a word not containing the
+    * piece segments identically with or without it, so its delta is
+    * exactly zero — the contains prefilter is lossless). The base loss
+    * is computed lazily once per word that matches any candidate. */
+  def unigramLossDeltas(word: String,
+      base: java.util.HashMap[String, java.lang.Long], total: Long,
+      cands: Array[String],
+      candTables: Array[java.util.HashMap[String, java.lang.Long]],
+      candTotals: Array[Long], maxPieceLen: Int): Array[Long] = {
+    val out = new Array[Long](cands.length)
+    var baseLoss = java.lang.Long.MIN_VALUE
+    var i = 0
+    while (i < cands.length) {
+      if (word.contains(cands(i))) {
+        if (baseLoss == java.lang.Long.MIN_VALUE)
+          baseLoss = unigramILoss(word, base, total, maxPieceLen)
+        out(i) = unigramILoss(word, candTables(i), candTotals(i),
+          maxPieceLen) - baseLoss
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Unigram-LM-encode every \s+-word of `text` with a TRAINED piece
     * table ([[unigramViterbi]] per word) and return [n_words, n_tokens]
     * in one JIT pass — the fertility readout under the q376 tokenizer.
@@ -1139,6 +1222,53 @@ case class UnigramEncodeStatsExpr(child: Expression,
     copy(child = c)
 }
 
+/** unigram_loss_deltas(word): per-candidate integer loss deltas for the
+  * SentencePiece-style prune ([[graft.ops.Corpus.trainUnigramLmLossPrune]]'s
+  * inner loop) — one JIT pass per word scores ALL candidates
+  * ([[TextImpls.unigramLossDeltas]]); the base table, the per-candidate
+  * tables∖candᵢ and their totals are all built ONCE at plan
+  * construction (vocabularies are driver-scale) and ride as literals. */
+case class UnigramLossDeltasExpr(child: Expression,
+    pieces: Seq[(String, Long)], cands: Seq[String], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(cands.nonEmpty, "unigram_loss_deltas needs >= 1 candidate")
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  private val total: Long = pieces.map(_._2).sum
+  require(total > 0, s"total piece count must be > 0, got $total")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def tableOf(ps: Seq[(String, Long)]) = {
+    val m = new java.util.HashMap[String, java.lang.Long](ps.size * 2)
+    ps.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+  private lazy val table = tableOf(pieces)
+  private lazy val candArr: Array[String] = cands.toArray
+  private lazy val candTables
+      : Array[java.util.HashMap[String, java.lang.Long]] =
+    cands.map(c => tableOf(pieces.filterNot(_._1 == c))).toArray
+  private lazy val candTotals: Array[Long] = {
+    val cm = pieces.toMap
+    cands.map(c => total - cm(c)).toArray
+  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextImpls.unigramLossDeltas(
+      v.asInstanceOf[UTF8String].toString, table, total, candArr,
+      candTables, candTotals, maxPieceLen))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pieces", table, "java.util.HashMap")
+    val cRef = ctx.addReferenceObj("cands", candArr, "java.lang.String[]")
+    val ctRef = ctx.addReferenceObj("candTables", candTables,
+      "java.util.HashMap[]")
+    val ttRef = ctx.addReferenceObj("candTotals", candTotals, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextImpls.unigramLossDeltas($c.toString(), " +
+        s"$tRef, ${total}L, $cRef, $ctRef, $ttRef, $maxPieceLen))")
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramLossDeltasExpr =
+    copy(child = c)
+}
+
 /** tagged_word_ngrams(text, maxN): every word n-gram for n = 1..maxN as
   * (n, gram) structs, duplicates kept — the BLEU gram pass in one JIT
   * loop (the transform/sequence/slice lambda formulation is interpreted
@@ -1234,6 +1364,9 @@ object NativeText {
   def unigram_viterbi(word: Column, pieces: Seq[(String, Long)],
       total: Long, maxPieceLen: Int): Column =
     toCol(UnigramViterbiExpr(toExpr(word), pieces, total, maxPieceLen))
+  def unigram_loss_deltas(word: Column, pieces: Seq[(String, Long)],
+      cands: Seq[String], maxPieceLen: Int): Column =
+    toCol(UnigramLossDeltasExpr(toExpr(word), pieces, cands, maxPieceLen))
   def unigram_encode_stats(text: Column, pieces: Seq[(String, Long)],
       total: Long, maxPieceLen: Int, maxWordLen: Int): Column =
     toCol(UnigramEncodeStatsExpr(toExpr(text), pieces, total,

@@ -1618,12 +1618,32 @@ object Corpus {
       "bad trainUnigramLm params")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = Caches.registerDf(df
+    val words = unigramWordTable(df, textCol, maxWordLen)
+    val (pieces, _) = unigramEmTrain(words, seedSize, vocabSize,
+      emRounds, maxPieceLen)
+    pieces.zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+      .toDF("rank", "piece", "piece_count")
+  }
+
+  /** The trainer's corpus collapse: one pinned (word, frequency) table —
+    * everything after this is vocabulary-sized. Shared by
+    * [[trainUnigramLm]] and [[trainUnigramLmLossPrune]]. */
+  private def unigramWordTable(df: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    Caches.registerDf(df
       .select(explode(split(lower(coalesce(col(textCol), lit(""))),
         "\\s+")).as("__w__"))
       .filter(length(col("__w__")).between(1, maxWordLen))
       .groupBy(col("__w__")).agg(count(lit(1)).as("__wn__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Substring seed + EM rounds of [[trainUnigramLm]], factored so the
+    * loss-prune variant can keep a LARGER multi-char pool (`multiKeep`)
+    * through EM. Returns the trained pieces sorted (count desc, piece
+    * asc) and the char set (the coverage floor, never pruned). */
+  private def unigramEmTrain(words: DataFrame, seedSize: Int,
+      multiKeep: Int, emRounds: Int, maxPieceLen: Int)
+      : (Seq[(String, Long)], Set[String]) = {
     // seed: every substring of length 1..maxPieceLen, with multiplicity,
     // weighted by word frequency
     val seedCounts = words.select(col("__wn__"), explode(flatten(transform(
@@ -1662,10 +1682,85 @@ object Corpus {
         mMap.getOrElse(ch, 0L), 1L))
       val multis = mMap.toSeq
         .filter { case (p, _) => !charSet.contains(p) }
-        .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+        .sortBy { case (p, c) => (-c, p) }.take(multiKeep)
       pieces = (chars ++ multis).sortBy { case (p, c) => (-c, p) }
     }
-    pieces.zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+    (pieces, charSet)
+  }
+
+  /** Unigram-LM training with the ACTUAL SentencePiece prune criterion
+    * (Kudo ACL'18 §3.2) in place of [[trainUnigramLm]]'s fixed count
+    * rule: after the same seed + EM (keeping a `vocabSize + pruneRounds`
+    * multi-char pool), each of `pruneRounds` rounds drops the piece
+    * whose removal LEAST increases total corpus Viterbi loss — the
+    * redundancy test count ranking cannot express (a frequent piece
+    * whose words re-segment cheaply through an alternative piece prunes
+    * BEFORE a rarer piece whose words would collapse to characters;
+    * CorpusSpec's fixture exhibits exactly that disagreement). A final
+    * E/M recount refreshes the survivors' counts (every survivor
+    * floored at 1). Chars are never pruned (the coverage floor).
+    *
+    * Loss is the documented ENGINE-EXACT surrogate of
+    * [[graft.functions.TextImpls.unigramILoss]]: the segmentation is
+    * the probability-optimal Viterbi parse (bit-identical dp on both
+    * engines) valued in WHOLE BITS — token cost
+    * `bitlen(total) − bitlen(count)`, a ≤1-bit-per-token floor(log₂)
+    * approximation of the true −log₂ p. Whole bits make the per-word
+    * losses and their corpus sums exact integers (order-independent,
+    * replayable), where SentencePiece's float log-loss would drift
+    * cross-engine by transcendental rounding and summation order.
+    * Piece counts stay FIXED while scoring a round (probabilities
+    * re-normalize over the shrunken total only between rounds) —
+    * SentencePiece likewise prunes on the current EM estimates.
+    *
+    * Scale shape: each prune round is ONE vocabulary-sized JIT pass
+    * ([[graft.functions.NativeText.unigram_loss_deltas]] — every
+    * candidate's delta per word in one call, zero for words not
+    * containing the piece) + a |candidates|-row collect; the corpus
+    * collapsed once into the word table, exactly [[trainUnigramLm]]'s
+    * loop posture. Returns (rank, piece, piece_count) like the fixed-
+    * rule trainer; if EM starves the pool below `vocabSize +
+    * pruneRounds` multis, pruning still removes exactly `pruneRounds`
+    * pieces (the final multi count then undershoots `vocabSize`). */
+  def trainUnigramLmLossPrune(df: DataFrame, textCol: String,
+      seedSize: Int = 30, vocabSize: Int = 20, emRounds: Int = 2,
+      pruneRounds: Int = 2, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(seedSize >= 1 && vocabSize >= 1 && emRounds >= 1 &&
+      pruneRounds >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+      "bad trainUnigramLmLossPrune params")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = unigramWordTable(df, textCol, maxWordLen)
+    var (pieces, charSet) = unigramEmTrain(words, seedSize,
+      vocabSize + pruneRounds, emRounds, maxPieceLen)
+    for (_ <- 1 to pruneRounds) {
+      val cands = pieces.collect {
+        case (p, _) if !charSet.contains(p) => p }.sorted
+      if (cands.nonEmpty) {
+        val deltas = words.select(col("__wn__"),
+            posexplode(graft.functions.NativeText.unigram_loss_deltas(
+              col("__w__"), pieces, cands, maxPieceLen))
+              .as(Seq("pos", "d")))
+          .groupBy(col("pos"))
+          .agg(sum(col("__wn__") * col("d")).as("delta"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val pick = cands.zipWithIndex
+          .map { case (c, i) => (deltas.getOrElse(i, 0L), c) }.min._2
+        pieces = pieces.filterNot(_._1 == pick)
+      }
+    }
+    // final recount: one E/M pass under the pruned set, every survivor
+    // floored at 1 (a zero-usage survivor keeps a live probability)
+    val total = pieces.map(_._2).sum
+    val mMap = words.select(col("__wn__"),
+        explode(graft.functions.NativeText.unigram_viterbi(
+          col("__w__"), pieces, total, maxPieceLen)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("__wn__")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    pieces.map { case (p, _) => (p, math.max(mMap.getOrElse(p, 0L), 1L)) }
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
       .toDF("rank", "piece", "piece_count")
   }
 

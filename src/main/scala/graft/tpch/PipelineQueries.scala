@@ -249,6 +249,118 @@ object PipelineQueries {
        |${(1 to em).map(emRound).mkString(",\n")}""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Corpus.trainUnigramLmLossPrune]]
+    * (q382: seed 30, vocab 16, 2 EM rounds, 2 prune rounds): the q376
+    * dp-column machinery re-used three ways — the EM replay (pool =
+    * vocab + pruneRounds multis), then per prune round ONE baseline
+    * segmentation chain plus ONE words×candidates chain whose rows
+    * carry each candidate's pieces∖cand map and shrunken total (the
+    * same 12 dp columns score EVERY candidate at once), losses valued
+    * in whole bits via `length(bin(x))` (exact integers both engines),
+    * argmin pick by (delta asc, cand asc), and a final recount with
+    * every survivor floored at 1. Validated against an independent
+    * Python reference at sf0.001/0.01 before porting. */
+  private lazy val unigramLossPruneOracleSql: String = {
+    val maxW = 12; val maxP = 4; val seedK = 30; val vocK = 16
+    val em = 2; val pruneR = 2
+    val pool = vocK + pruneR
+    // dp + backtrace chain from CTE `src` (must expose w, pm, T plus
+    // keepCols); ends with `<prefix>_segs (keepCols..., pm, T, segs)`
+    def segChain(prefix: String, src: String, keepCols: Seq[String]): String = {
+      val dp = (1 to maxW).map { p =>
+        val from = if (p == 1) src else s"${prefix}v${p - 1}"
+        s",\n${prefix}v$p AS (SELECT *, ${unigramDpCol(p)} AS d$p FROM $from)"
+      }.mkString
+      val dpArr = "[" + (("{'s': 1.0, 'nb': CAST(0 AS INT)}" +:
+        (1 to maxW).map(p => s"d$p")).mkString(", ")) + "]"
+      val bt = (1 to maxW).map(j =>
+        s",\n${prefix}u$j AS (SELECT *, CASE WHEN e${j - 1} > 0 THEN " +
+          s"-struct_extract(list_extract(dparr, e${j - 1}+1), 'nb') " +
+          s"ELSE e${j - 1} END AS e$j FROM ${prefix}u${j - 1})").mkString
+      val es = (0 to maxW).map(j => s"e$j").mkString(", ")
+      val bounds = s"list_sort(list_distinct([$es]))"
+      val kc = keepCols.mkString(", ")
+      dp +
+        s",\n${prefix}u0 AS (SELECT *, $dpArr AS dparr, " +
+        s"CAST(length(w) AS INT) AS e0 FROM ${prefix}v$maxW)" + bt +
+        s",\n${prefix}_segs AS (SELECT $kc, pm, T, " +
+        s"CASE WHEN $bounds[1] < 0 THEN string_split(w, '') " +
+        s"ELSE list_transform(range(1, len($bounds)), k -> " +
+        s"substr(w, $bounds[k]+1, $bounds[k+1]-$bounds[k])) END AS segs " +
+        s"FROM ${prefix}u$maxW)"
+    }
+    // whole-bit loss of a segmentation: Σ bitlen(T) − bitlen(count|1)
+    val loss = "CAST(list_sum(list_transform(segs, s -> " +
+      "length(bin(T)) - length(bin(greatest(coalesce(" +
+      "CAST(list_extract(map_extract(pm, s), 1) AS BIGINT), 1), 1)))))" +
+      " AS BIGINT)"
+    val pmOf = "map(list(piece ORDER BY piece), list(c ORDER BY piece))"
+    def emRound(r: Int): String = {
+      val prev = s"lpp_${r - 1}"
+      s"""lpm_$r AS (SELECT $pmOf AS pm, CAST(SUM(c) AS BIGINT) AS T FROM $prev),
+         |t${r}_0 AS (SELECT w, wn, pm, T FROM words CROSS JOIN lpm_$r)${segChain(s"t$r", s"t${r}_0", Seq("w", "wn"))},
+         |tm_$r AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM
+         |  (SELECT unnest(segs) AS piece, wn FROM t${r}_segs) GROUP BY 1),
+         |lpp_$r AS (
+         |  SELECT ch.piece, greatest(coalesce(tm.c, 0), 1) AS c
+         |  FROM chars ch LEFT JOIN tm_$r tm USING (piece)
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+         |    FROM tm_$r WHERE length(piece) > 1) WHERE rk <= $pool)""".stripMargin
+    }
+    def pruneRound(r: Int): String = {
+      val prev = if (r == 1) s"lpp_$em" else s"ppp_${r - 1}"
+      s"""cands_$r AS (SELECT piece AS cand FROM $prev WHERE length(piece) > 1),
+         |pmb_$r AS (SELECT $pmOf AS pm, CAST(SUM(c) AS BIGINT) AS T FROM $prev),
+         |b${r}_0 AS (SELECT w, wn, pm, T FROM words CROSS JOIN pmb_$r)${segChain(s"b$r", s"b${r}_0", Seq("w", "wn"))},
+         |bloss_$r AS (SELECT w, wn, $loss AS loss FROM b${r}_segs),
+         |pmx_$r AS (SELECT cand, $pmOf AS pm, CAST(SUM(c) AS BIGINT) AS T
+         |  FROM cands_$r JOIN $prev p ON p.piece <> cand GROUP BY cand),
+         |x${r}_0 AS (SELECT w0.w, w0.wn, px.cand, px.pm, px.T
+         |  FROM words w0 JOIN cands_$r cd ON contains(w0.w, cd.cand)
+         |  JOIN pmx_$r px ON px.cand = cd.cand)${segChain(s"x$r", s"x${r}_0", Seq("w", "wn", "cand"))},
+         |xloss_$r AS (SELECT w, wn, cand, $loss AS loss FROM x${r}_segs),
+         |dsum_$r AS (SELECT x.cand,
+         |    CAST(SUM(x.wn * (x.loss - b.loss)) AS BIGINT) AS delta
+         |  FROM xloss_$r x JOIN bloss_$r b USING (w) GROUP BY 1),
+         |pick_$r AS (SELECT c.cand FROM cands_$r c
+         |  LEFT JOIN dsum_$r d USING (cand)
+         |  ORDER BY coalesce(d.delta, 0) ASC, c.cand ASC LIMIT 1),
+         |ppp_$r AS (SELECT piece, c FROM $prev
+         |  WHERE piece NOT IN (SELECT cand FROM pick_$r))""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT unnest(string_split_regex(lower(coalesce(text,'')), '\\s+')) AS w
+       |  FROM documents),
+       |words AS (SELECT w, CAST(COUNT(1) AS BIGINT) AS wn FROM w0
+       |  WHERE length(w) BETWEEN 1 AND $maxW GROUP BY 1),
+       |subs AS (
+       |  SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM (
+       |    SELECT wn, unnest(flatten(list_transform(range(1, length(w)+1),
+       |      i -> list_transform(range(1, least($maxP, length(w)-i+1)+1),
+       |        l -> substr(w, CAST(i AS BIGINT), CAST(l AS BIGINT)))))) AS piece
+       |    FROM words) GROUP BY 1),
+       |chars AS (SELECT piece, c FROM subs WHERE length(piece) = 1),
+       |lpp_0 AS (
+       |  SELECT piece, c FROM chars
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+       |    FROM subs WHERE length(piece) > 1) WHERE rk <= $seedK),
+       |${(1 to em).map(emRound).mkString(",\n")},
+       |${(1 to pruneR).map(pruneRound).mkString(",\n")},
+       |pmf AS (SELECT $pmOf AS pm, CAST(SUM(c) AS BIGINT) AS T FROM ppp_$pruneR),
+       |f_0 AS (SELECT w, wn, pm, T FROM words CROSS JOIN pmf)${segChain("f", "f_0", Seq("w", "wn"))},
+       |mcf AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM
+       |  (SELECT unnest(segs) AS piece, wn FROM f_segs) GROUP BY 1),
+       |finalp AS (SELECT p.piece, greatest(coalesce(mcf.c, 0), 1) AS c
+       |  FROM ppp_$pruneR p LEFT JOIN mcf USING (piece))
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, piece ASC) AS INT) AS rank,
+       |  piece, c AS piece_count
+       |FROM finalp ORDER BY rank""".stripMargin
+  }
+
   /** Unrolled DuckDB replay of [[graft.ops.Corpus.maxCoverageSelect]]:
     * k greedy rounds of ANTI-JOIN marginal counts, argmax with min-id
     * ties, incremental covered-set CTEs. Shared by q369 (k=5) and q374
@@ -2566,6 +2678,17 @@ object PipelineQueries {
     // dp as an unrolled per-position column chain — every probability a
     // single IEEE division, no transcendental logs, so segmentations
     // match bit-for-bit
+    // unigram-LM trained with the ACTUAL SentencePiece prune criterion:
+    // EM keeps a vocab+2 multi pool, then 2 rounds each drop the piece
+    // whose removal least increases total corpus Viterbi loss (whole-
+    // bit surrogate — exact integers cross-engine), final recount. The
+    // companion of q376's fixed count rule; CorpusSpec holds the
+    // fixture where the two rules disagree.
+    "q382_unigram_lm_loss_prune" -> ((s, dir) =>
+      Corpus.trainUnigramLmLossPrune(docs(s, dir), "text",
+        seedSize = 30, vocabSize = 16, emRounds = 2, pruneRounds = 2)
+        .orderBy(col("rank"))),
+
     "q376_unigram_lm_train" -> ((s, dir) =>
       graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
         .orderBy(col("rank"))),
@@ -10258,6 +10381,7 @@ object PipelineQueries {
     },
 
     "q376_unigram_lm_train" -> unigramLmOracleSql,
+    "q382_unigram_lm_loss_prune" -> unigramLossPruneOracleSql,
 
     "q378_unigram_encode" -> unigramEncodeOracleSql,
 

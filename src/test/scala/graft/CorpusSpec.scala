@@ -1259,6 +1259,35 @@ class CorpusSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("trainUnigramLmLossPrune: loss-ranked prune disagrees with the " +
+      "count rule — a redundant frequent piece drops before a rarer " +
+      "irreplaceable one") {
+    // 'aab'×100 segments via 'ab' OR 'aa' (two routes — either piece
+    // alone suffices), plus 'aa'×50 and 'ab'×50 standalone; 'qz'×40 is
+    // rarer but IRREPLACEABLE (q,z occur nowhere else, so dropping it
+    // costs two near-max-bit char tokens per occurrence). Pool after EM
+    // (maxPieceLen=2): ab=150, aa=50, qz=40. Count rule at vocab=2
+    // keeps {ab, aa} (drops lowest count qz). Loss rule (one prune
+    // round): delta(aa)=50 ≪ delta(qz)=520 — 'aab' re-routes through
+    // 'ab' for bits, only the standalone 'aa' pays — so 'aa' drops and
+    // {ab, qz} survive. (Deltas traced with the offline reference that
+    // also validated the q382 oracle.)
+    val texts = Seq.fill(100)("aab") ++ Seq.fill(50)("aa") ++
+      Seq.fill(50)("ab") ++ Seq.fill(40)("qz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def multis(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.getString(1)).filter(_.length > 1).toSet
+    val byCount = multis(Corpus.trainUnigramLm(df, "text",
+      seedSize = 10, vocabSize = 2, emRounds = 2, maxPieceLen = 2))
+    val byLoss = multis(Corpus.trainUnigramLmLossPrune(df, "text",
+      seedSize = 10, vocabSize = 2, emRounds = 2, pruneRounds = 1,
+      maxPieceLen = 2))
+    assert(byCount == Set("ab", "aa"), byCount.toString)
+    assert(byLoss == Set("ab", "qz"), byLoss.toString)
+    graft.ops.Caches.releaseAll()
+  }
+
   test("unigramEncodeStats: trained pieces win, unknown words fall back " +
       "to chars, over-cap words count code points") {
     val trained = Seq(("ab", 4L), ("cd", 3L), ("a", 1L), ("b", 1L),
