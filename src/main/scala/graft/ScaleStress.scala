@@ -781,6 +781,17 @@ object ScaleStress {
         val out = Corpus.unigramEncodeStats(docs, "doc_id", "text", trained)
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q383 shape (r13): byte-fallback encode — same shuffle-free
+      // one-JIT-pass shape as unigram_encode, plus the per-char UTF-8
+      // byte valuation on fallback words
+      timed(scale, "unigram_encode_bf") {
+        val trained = Corpus.trainUnigramLm(docs, "text")
+          .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+        val out = Corpus.unigramEncodeStatsByteFallback(
+          docs.withColumn("text", concat(col("text"), lit(" héllo中"))),
+          "doc_id", "text", trained)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q210 shape: BPE encode — per-row JIT pass with a literal merge
       // table, no shuffle
       timed(scale, "bpe_encode") {

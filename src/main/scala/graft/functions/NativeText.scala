@@ -865,12 +865,21 @@ object TextImpls {
     * code-point count (they were outside the training cap, so the
     * piece table carries no evidence for them — the documented char
     * fallback the DuckDB oracle replays). */
+  /** Lowercase EXACTLY as Spark's `lower()` does (UTF8String.toLowerCase
+    * — ASCII fast path, String.toLowerCase beyond): the trainers
+    * lowercase with `lower(col)`, so the encode side must take the
+    * identical form of every word or train≡encode breaks on non-ASCII
+    * text (Locale.ROOT and UTF8String disagree under some JVM
+    * locales). */
+  private def sparkLower(text: String): String =
+    UTF8String.fromString(text).toLowerCase.toString
+
   def unigramEncodeStats(text: String,
       pieces: java.util.HashMap[String, java.lang.Long], total: Long,
       maxPieceLen: Int, maxWordLen: Int): Array[Long] = {
     var nWords = 0L
     var nTokens = 0L
-    val it = text.toLowerCase(java.util.Locale.ROOT)
+    val it = sparkLower(text)
       .split("\\s+").iterator.filter(_.nonEmpty)
     while (it.hasNext) {
       val w = it.next()
@@ -881,6 +890,74 @@ object TextImpls {
         unigramViterbi(w, pieces, total, maxPieceLen).numElements()
     }
     Array(nWords, nTokens)
+  }
+
+  /** UNK-free unigram encode with BYTE FALLBACK (the SentencePiece
+    * `byte_fallback` contract): known text costs exactly what
+    * [[unigramEncodeStats]] charges, but any char the piece table
+    * cannot represent decomposes into its UTF-8 BYTES, one token each
+    * (1–4 by code point) — so fertility is defined over ANY input, no
+    * UNK. Per word: within the training cap and dp-reachable → Viterbi
+    * token count (all pieces known, zero byte tokens); unreachable or
+    * over-cap → per char: 1 token if the char is a table piece, else
+    * its UTF-8 byte count (those are the byte tokens). Returns
+    * [n_words, n_tokens, n_byte_tokens] — the third the "how much of
+    * this batch fell to bytes" ingest-drift telemetry. */
+  def unigramEncodeStatsBf(text: String,
+      pieces: java.util.HashMap[String, java.lang.Long], total: Long,
+      maxPieceLen: Int, maxWordLen: Int): Array[Long] = {
+    var nWords = 0L
+    var nTokens = 0L
+    var nByte = 0L
+    def utf8Len(cp: Int): Long =
+      if (cp < 0x80) 1L else if (cp < 0x800) 2L
+      else if (cp < 0x10000) 3L else 4L
+    def perChar(cps: Array[Int]): Unit = {
+      var k = 0
+      while (k < cps.length) {
+        if (pieces.containsKey(new String(cps, k, 1))) nTokens += 1L
+        else { val b = utf8Len(cps(k)); nTokens += b; nByte += b }
+        k += 1
+      }
+    }
+    val it = sparkLower(text).split("\\s+").iterator.filter(_.nonEmpty)
+    while (it.hasNext) {
+      val w = it.next()
+      nWords += 1
+      val cps = w.codePoints.toArray
+      if (cps.length > maxWordLen) perChar(cps)
+      else {
+        // inline dp (unigramViterbi's) so reachability is observable —
+        // the array fallback is indistinguishable from a legit char parse
+        val L = cps.length
+        val dpS = new Array[Double](L + 1)
+        val dpB = new Array[Int](L + 1)
+        dpS(0) = 1.0
+        var pos = 1
+        while (pos <= L) {
+          var bs = 0.0
+          var bb = -1
+          var i = math.max(0, pos - maxPieceLen)
+          while (i < pos) {
+            val c = pieces.get(new String(cps, i, pos - i))
+            if (c != null) {
+              val s = dpS(i) * (c.toDouble / total.toDouble)
+              if (s > bs) { bs = s; bb = i }
+            }
+            i += 1
+          }
+          dpS(pos) = bs
+          dpB(pos) = bb
+          pos += 1
+        }
+        if (dpB(L) < 0) perChar(cps)
+        else {
+          var p = L
+          while (p > 0) { nTokens += 1L; p = dpB(p) }
+        }
+      }
+    }
+    Array(nWords, nTokens, nByte)
   }
 
   /** BPE-encode every \s+-word of `text` with the trained merge list
@@ -894,7 +971,7 @@ object TextImpls {
       merges: Array[Array[String]]): Array[Long] = {
     var nWords = 0L
     var nTokens = 0L
-    val it = text.toLowerCase(java.util.Locale.ROOT)
+    val it = sparkLower(text)
       .split("\\s+").iterator.filter(_.nonEmpty)
     while (it.hasNext) {
       val w = it.next()
@@ -1222,6 +1299,36 @@ case class UnigramEncodeStatsExpr(child: Expression,
     copy(child = c)
 }
 
+/** unigram_encode_stats_bf(text): [n_words, n_tokens, n_byte_tokens]
+  * under the byte-fallback encode ([[TextImpls.unigramEncodeStatsBf]])
+  * — [[UnigramEncodeStatsExpr]]'s UNK-free sibling. */
+case class UnigramEncodeStatsBfExpr(child: Expression,
+    pieces: Seq[(String, Long)], total: Long, maxPieceLen: Int,
+    maxWordLen: Int) extends UnaryExpression {
+  require(total > 0, s"total must be > 0, got $total")
+  require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+    "need maxWordLen >= maxPieceLen >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextImpls.unigramEncodeStatsBf(
+      v.asInstanceOf[UTF8String].toString, table, total, maxPieceLen,
+      maxWordLen))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pieces", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextImpls.unigramEncodeStatsBf($c.toString(), " +
+        s"$tRef, ${total}L, $maxPieceLen, $maxWordLen))")
+  }
+  override protected def withNewChildInternal(c: Expression): UnigramEncodeStatsBfExpr =
+    copy(child = c)
+}
+
 /** unigram_loss_deltas(word): per-candidate integer loss deltas for the
   * SentencePiece-style prune ([[graft.ops.Corpus.trainUnigramLmLossPrune]]'s
   * inner loop) — one JIT pass per word scores ALL candidates
@@ -1367,6 +1474,10 @@ object NativeText {
   def unigram_loss_deltas(word: Column, pieces: Seq[(String, Long)],
       cands: Seq[String], maxPieceLen: Int): Column =
     toCol(UnigramLossDeltasExpr(toExpr(word), pieces, cands, maxPieceLen))
+  def unigram_encode_stats_bf(text: Column, pieces: Seq[(String, Long)],
+      total: Long, maxPieceLen: Int, maxWordLen: Int): Column =
+    toCol(UnigramEncodeStatsBfExpr(toExpr(text), pieces, total,
+      maxPieceLen, maxWordLen))
   def unigram_encode_stats(text: Column, pieces: Seq[(String, Long)],
       total: Long, maxPieceLen: Int, maxWordLen: Int): Column =
     toCol(UnigramEncodeStatsExpr(toExpr(text), pieces, total,

@@ -1792,6 +1792,37 @@ object Corpus {
           col("n_words").cast("double"), 6)))
   }
 
+  /** [[unigramEncodeStats]] with BYTE FALLBACK (SentencePiece
+    * `byte_fallback`): an UNK-free encode — any char the trained table
+    * cannot represent decomposes into its UTF-8 bytes, one token each,
+    * so fertility is defined over ANY input (emoji, CJK, control
+    * chars), where the plain encode's char fallback under-counts
+    * unknown chars as 1. Per word: dp-reachable within the cap →
+    * Viterbi token count (zero byte tokens); unreachable or over-cap →
+    * per char, 1 if the char is a table piece else its 1–4 UTF-8 bytes.
+    * Adds `n_byte_tokens` — the "how much of this batch fell to bytes"
+    * drift telemetry an ingest monitors next to tokens_per_word. Same
+    * shuffle-free one-JIT-pass shape as the plain encode; the DuckDB
+    * oracle replays the byte-count rule exactly (strlen per char). */
+  def unigramEncodeStatsByteFallback(df: DataFrame, idCol: String,
+      textCol: String, pieces: Seq[(String, Long)], maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(pieces.nonEmpty, "unigramEncodeStatsByteFallback needs a " +
+      "trained table")
+    val total = pieces.map(_._2).sum
+    val e = graft.functions.NativeText.unigram_encode_stats_bf(
+      coalesce(col(textCol), lit("")), pieces, total, maxPieceLen,
+      maxWordLen)
+    df.select(col(idCol), e.as("__e__"))
+      .select(col(idCol),
+        col("__e__").getItem(0).as("n_words"),
+        col("__e__").getItem(1).as("n_tokens"),
+        col("__e__").getItem(2).as("n_byte_tokens"))
+      .withColumn("tokens_per_word", when(col("n_words") > 0,
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6)))
+  }
+
   /** Tokenize every document with a TRAINED merge list ([[trainBpe]]'s
     * artifact) and report per doc: word count, BPE token count, and
     * tokens-per-word (the fertility metric that prices a corpus in

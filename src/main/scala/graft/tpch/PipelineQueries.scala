@@ -176,6 +176,72 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Corpus.unigramEncodeStatsByteFallback]]
+    * on the q376-trained table over the q383 injected corpus: the q378
+    * encode chains unchanged for reachable words; fallback (unreachable
+    * or over-cap) words are valued PER CHAR — 1 token for a table piece,
+    * `strlen(char)` (UTF-8 bytes) otherwise — with the byte share
+    * surfaced as n_byte_tokens. */
+  private def unigramByteFallbackOracleSql: String = {
+    val maxW = 12
+    val dpChain = (1 to maxW).map(p =>
+      s",\nev_$p AS (SELECT *, ${unigramDpCol(p)} AS d$p FROM ev_${p - 1})")
+      .mkString
+    val dpArr = "[" + (("{'s': 1.0, 'nb': CAST(0 AS INT)}" +:
+      (1 to maxW).map(p => s"d$p")).mkString(", ")) + "]"
+    val btChain = (1 to maxW).map(j =>
+      s",\neu_$j AS (SELECT *, CASE WHEN e${j - 1} > 0 THEN " +
+        s"-struct_extract(list_extract(dparr, e${j - 1}+1), 'nb') " +
+        s"ELSE e${j - 1} END AS e$j FROM eu_${j - 1})").mkString
+    val es = (0 to maxW).map(j => s"e$j").mkString(", ")
+    def perChar(wexpr: String, bytesOnly: Boolean): String = {
+      val known = if (bytesOnly) "0" else "1"
+      s"CAST(list_sum(list_transform(string_split($wexpr, ''), ch -> " +
+        s"CASE WHEN len(map_extract(pm, ch)) > 0 THEN $known " +
+        s"ELSE strlen(ch) END)) AS BIGINT)"
+    }
+    s"""WITH $unigramLmCtes,
+       |d AS (SELECT doc_id, CASE
+       |    WHEN doc_id % 3 = 0 THEN text || ' héllo中'
+       |    WHEN doc_id % 3 = 1 THEN text || ' data🦜'
+       |    ELSE text END AS text FROM documents),
+       |dw AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+       |      x -> length(x) >= 1)) AS w
+       |  FROM d),
+       |uw AS (SELECT DISTINCT w FROM dw WHERE length(w) <= $maxW),
+       |epm AS (SELECT map(list(piece ORDER BY piece), list(c ORDER BY piece)) AS pm,
+       |    CAST(SUM(c) AS BIGINT) AS T FROM pieces_2),
+       |ev_0 AS (SELECT w, pm, T FROM uw CROSS JOIN epm)$dpChain,
+       |eu_0 AS (SELECT w, pm, $dpArr AS dparr,
+       |    CAST(length(w) AS INT) AS e0 FROM ev_$maxW)$btChain,
+       |wtok AS (SELECT w,
+       |    CASE WHEN list_sort(list_distinct([$es]))[1] < 0
+       |         THEN ${perChar("w", bytesOnly = false)}
+       |         ELSE CAST(len(list_sort(list_distinct([$es]))) - 1 AS BIGINT) END AS n_tok,
+       |    CASE WHEN list_sort(list_distinct([$es]))[1] < 0
+       |         THEN ${perChar("w", bytesOnly = true)}
+       |         ELSE CAST(0 AS BIGINT) END AS n_byte
+       |  FROM eu_$maxW),
+       |dwt AS (SELECT doc_id,
+       |    CASE WHEN length(dw.w) > $maxW THEN ${perChar("dw.w", bytesOnly = false)}
+       |         ELSE wtok.n_tok END AS n_tok,
+       |    CASE WHEN length(dw.w) > $maxW THEN ${perChar("dw.w", bytesOnly = true)}
+       |         ELSE wtok.n_byte END AS n_byte
+       |  FROM dw LEFT JOIN wtok USING (w) CROSS JOIN epm),
+       |agg AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_byte) AS BIGINT) AS n_byte_tokens FROM dwt GROUP BY 1)
+       |SELECT d2.doc_id,
+       |  coalesce(agg.n_words, 0) AS n_words,
+       |  coalesce(agg.n_tokens, 0) AS n_tokens,
+       |  coalesce(agg.n_byte_tokens, 0) AS n_byte_tokens,
+       |  CASE WHEN coalesce(agg.n_words, 0) > 0 THEN
+       |    ROUND(CAST(agg.n_tokens AS DOUBLE) / agg.n_words, 6) END AS tokens_per_word
+       |FROM documents d2 LEFT JOIN agg USING (doc_id)
+       |ORDER BY d2.doc_id""".stripMargin
+  }
+
   /** One dp-column of the unigram Viterbi unroll (shared by the train
     * EM rounds and the encode chain). */
   private def unigramDpCol(pos: Int): String = {
@@ -2688,6 +2754,26 @@ object PipelineQueries {
       Corpus.trainUnigramLmLossPrune(docs(s, dir), "text",
         seedSize = 30, vocabSize = 16, emRounds = 2, pruneRounds = 2)
         .orderBy(col("rank"))),
+
+    // UNK-free byte-fallback encode (SentencePiece byte_fallback): docs
+    // get injected emoji/CJK/accents the trained table cannot represent;
+    // unknown chars cost their UTF-8 byte count (1-4 tokens), known
+    // chars in fallback words cost 1, reachable words cost their
+    // Viterbi parse — fertility defined over ANY input, plus the
+    // n_byte_tokens drift telemetry
+    "q383_unigram_byte_fallback" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val trained = Corpus.trainUnigramLm(d0, "text")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      val d = d0.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" héllo中")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" data🦜")))
+        .otherwise(col("text")))
+      Corpus.unigramEncodeStatsByteFallback(d, "doc_id", "text", trained)
+        .orderBy(col("doc_id"))
+    }),
 
     "q376_unigram_lm_train" -> ((s, dir) =>
       graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
@@ -10382,6 +10468,7 @@ object PipelineQueries {
 
     "q376_unigram_lm_train" -> unigramLmOracleSql,
     "q382_unigram_lm_loss_prune" -> unigramLossPruneOracleSql,
+    "q383_unigram_byte_fallback" -> unigramByteFallbackOracleSql,
 
     "q378_unigram_encode" -> unigramEncodeOracleSql,
 

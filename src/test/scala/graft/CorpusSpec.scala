@@ -1288,6 +1288,28 @@ class CorpusSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("unigramEncodeStatsByteFallback: UNK-free encode — emoji/CJK/" +
+      "control chars cost their UTF-8 bytes, known text costs its parse") {
+    val trained = Seq(("ab", 4L), ("cd", 3L), ("a", 1L), ("b", 1L),
+      ("c", 1L), ("d", 1L)) // the trainUnigramLm fixture table, T=11
+    // doc 1: 'ab'→1 token (reachable, 0 bytes); 'a🦜b'→fallback:
+    //   a=1, 🦜(U+1F99C)=4 bytes, b=1 → 6 tokens, 4 byte tokens;
+    // doc 2: '中文'→fallback: 3+3 bytes → 6 tokens, 6 bytes;
+    //   'é'→fallback: é=2 bytes, BEL=1 byte → 3 tokens, 3 bytes;
+    // doc 3: 14-cp word over the cap → per-char: 12 known chars (a/b) +
+    //   two 中 (3 bytes each) → 18 tokens, 6 bytes; empty doc → zeros
+    val df = Seq((1L, "ab a🦜b"), (2L, "中文 é\u0007"),
+      (3L, "ababababab中ab中"), (4L, "")).toDF("doc_id", "text")
+    val got = Corpus.unigramEncodeStatsByteFallback(
+      df, "doc_id", "text", trained)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 7L, 4L), (2L, 2L, 9L, 9L),
+      (3L, 1L, 18L, 6L), (4L, 0L, 0L, 0L)), got.toString)
+    graft.ops.Caches.releaseAll()
+  }
+
   test("unigramEncodeStats: trained pieces win, unknown words fall back " +
       "to chars, over-cap words count code points") {
     val trained = Seq(("ab", 4L), ("cd", 3L), ("a", 1L), ("b", 1L),
