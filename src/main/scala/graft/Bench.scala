@@ -125,7 +125,14 @@ object Bench {
         other.children.foreach(walk(_, depth + 1))
     }
     walk(df.queryExecution.executedPlan, 0)
-    val norm = sb.toString
+    normalizeFpText(sb.toString)
+  }
+
+  /** The session-noise regex chain shared by the primary (canonicalized)
+    * and strict fingerprints: exprIds, lambda class names, stage/codegen
+    * numbering, object addresses, snapshot versions, alias names. */
+  private def normalizeFpText(raw: String): String = {
+    val norm = raw
       // JVM hidden-class lambda names: Foo$$$Lambda$9529/0x00007f...@1a2b
       // — the index and address depend on class-LOAD ORDER, so the same
       // plan fingerprints differently between a subset run and a
@@ -265,6 +272,70 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => "" }
 
+  /** Strict (pre-canonicalization) fingerprint of the final physical
+    * plan: session-assigned noise (exprIds, lambda addresses, stage
+    * numbers, codegen ids) is still normalized, but exchanges stay in
+    * place and equi-joins keep their concrete strategy (SMJ/BHJ/SHJ) and
+    * build side. The PRIMARY fingerprint intentionally neutralizes those
+    * (AQE legitimately flips them run-to-run on bistable thresholds), so
+    * a genuine strategy regression — an SMJ↔BHJ flip from a cardinality
+    * bug, an added shuffle — no longer moves it; this secondary print
+    * keeps that class diffable from the artifacts alone. Expect a few
+    * strict flips per round on the known bistable queries (q30, q293):
+    * strict CHANGED + primary SAME + flat wall = AQE doing its job;
+    * strict CHANGED + slower wall = investigate. */
+  private[graft] def planFingerprintTextStrict(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      // AQE wrappers and codegen regions carry timing-order ids only;
+      // ReusedExchange is a timing-dependent pick between equivalent
+      // subtrees — resolve it so strict flips mean strategy, not reuse
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+      case q: QueryStageExec => walk(q.plan, depth)
+      case r: ReusedExchangeExec => walk(r.child, depth)
+      case w: WholeStageCodegenExec => walk(w.child, depth)
+      case i: InputAdapter => walk(i.child, depth)
+      case other =>
+        sb.append("  " * depth).append(other.simpleString(25)).append('\n')
+        other.children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    normalizeFpText(sb.toString)
+  }
+
+  private[graft] def planFingerprintStrict(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(planFingerprintTextStrict(df).getBytes("UTF-8"))
+    md.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Per-pass JVM telemetry: total GC wall (ms, delta across the pass)
+    * and the heap high-water (MB, peak-usage max over heap pools, reset
+    * at pass start). An environment-band claim ("same plans, slower
+    * wall") is evidence-backed when the artifact shows flat GC + flat
+    * heap next to the drifted wall — and refuted when GC time exploded. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def resetHeapPeaks(): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+  }
+  private def heapPeakMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    val peaks = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .flatMap(p => Option(p.getPeakUsage).map(_.getUsed))
+    if (peaks.isEmpty) 0L else peaks.sum / (1024L * 1024L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -322,12 +393,17 @@ object Bench {
     val passData = scala.collection.mutable
       .Map.empty[Int, scala.collection.mutable.Map[String, Double]]
     val pinnedExtra = scala.collection.mutable.Map.empty[String, List[Double]]
+    val pinnedProbes = scala.collection.mutable.Map.empty[String, List[Double]]
     val planFp = scala.collection.mutable.Map.empty[String, String]
+    val planFpStrict = scala.collection.mutable.Map.empty[String, String]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val calib = scala.collection.mutable.Map.empty[Int, Double]
     val loads = scala.collection.mutable.Map.empty[Int, String]
+    val gcMs = scala.collection.mutable.Map.empty[Int, Long]
+    val heapPeak = scala.collection.mutable.Map.empty[Int, Long]
     def runPass(pass: Int): Unit = {
       loads(pass) = loadavg()
+      val gc0 = gcMillis(); resetHeapPeaks()
       calib(pass) = calibrate(spark)
       val data = scala.collection.mutable.Map.empty[String, Double]
       passData(pass) = data
@@ -347,6 +423,8 @@ object Bench {
           if (!planFp.contains(name)) {
             planFp(name) =
               try planFingerprint(df) catch { case _: Throwable => "" }
+            planFpStrict(name) =
+              try planFingerprintStrict(df) catch { case _: Throwable => "" }
             // SPARK_GRAFT_BENCH_DUMP_PLANS=<dir>: write the raw final
             // plan per query — regression triage for a changed plan_fp
             sys.env.get("SPARK_GRAFT_BENCH_DUMP_PLANS").foreach { dir =>
@@ -374,6 +452,8 @@ object Bench {
           System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
         } finally graft.ops.Caches.releaseAll()
       }
+      gcMs(pass) = gcMillis() - gc0
+      heapPeak(pass) = heapPeakMb()
     }
     for (pass <- 1 to passes) runPass(pass)
     // regex-heavy per-row queries wobble ±10% between rounds at 3 passes
@@ -386,23 +466,11 @@ object Bench {
     def samplesOf(n: String, passSet: Seq[Int]): List[Double] =
       passSet.flatMap(p => passData(p).get(n)).toList ++
         pinnedExtra.getOrElse(n, Nil)
-    for (n <- pinned) {
-      // re-check failure each round: a query that fails mid-pinning must
-      // stop (its artifact row is -1; more samples would be wasted work
-      // AND internally inconsistent with the failed marker)
-      while (!failed(n) &&
-          samplesOf(n, calib.keys.toSeq).size < minPinnedPasses) {
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-          pinnedExtra(n) = pinnedExtra.getOrElse(n, Nil) :+
-            ((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          failed += n
-          System.err.println(s"[bench] $n FAILED (pinned): ${e.getMessage}")
-        } finally graft.ops.Caches.releaseAll()
-      }
-    }
+    // NOTE: the pinned top-up itself runs AFTER the contaminated-pass
+    // replacement loop below — topping up here would count samples from
+    // passes that later get dropped (leaving a pinned query under-
+    // sampled), and the extras would dodge calibration screening (r12
+    // ADVICE). See the screened loop past the replacement block.
     // retry-on-contamination: a transiently busy host should not leave the
     // artifact uncertifiable when patience can buy clean passes — run up to
     // `maxExtra` additional full REPLACEMENT passes until `passes` of them
@@ -431,6 +499,40 @@ object Bench {
       if (cleanPasses.size >= passes)
         (cleanPasses, allPasses.filterNot(cleanPasses.contains))
       else (allPasses, Seq.empty[Int])
+    // Pinned top-up AFTER replacement (r12 ADVICE): only samples from
+    // RETAINED passes count toward the minimum, so a pinned query never
+    // ends under-sampled because its early samples sat in a dropped
+    // pass. Each extra is bracketed by a calibration probe recorded in
+    // the artifact; an extra whose probe exceeds the retained-pass
+    // contamination bar (2x best) is discarded — a host burst during
+    // pinning can no longer poison a min unflagged. Attempt budget 3x
+    // the deficit so a persistently busy host terminates.
+    for (n <- pinned) {
+      var attempts = 0
+      val budget = 3 * minPinnedPasses
+      while (!failed(n) && attempts < budget &&
+          samplesOf(n, retained).size < minPinnedPasses) {
+        attempts += 1
+        val probe = calibrate(spark)
+        pinnedProbes(n) = pinnedProbes.getOrElse(n, Nil) :+ probe
+        if (probe <= 2 * bestCal) {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+            pinnedExtra(n) = pinnedExtra.getOrElse(n, Nil) :+
+              ((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            // a query that fails mid-pinning must stop: its artifact row
+            // is -1; more samples would be wasted work AND internally
+            // inconsistent with the failed marker
+            failed += n
+            System.err.println(s"[bench] $n FAILED (pinned): ${e.getMessage}")
+          } finally graft.ops.Caches.releaseAll()
+        } else System.err.println(
+          f"[bench] $n pinned probe contaminated ($probe%.3fs > 2x " +
+            f"best $bestCal%.3fs) — sample skipped")
+      }
+    }
     val perPass = scala.collection.mutable.Map.empty[String, List[Double]]
     for (n <- names) perPass(n) = samplesOf(n, retained)
     val contaminated = retained.filter(p => bestCal > 0 && calib(p) > 2 * bestCal)
@@ -459,6 +561,23 @@ object Bench {
       s"\"" + n + "\":" + perPass.getOrElse(n, Nil).size
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // per-run (= per full-catalog pass) totals: the r12 verdict found a
+    // committed artifact carrying the slowest of four same-code runs,
+    // making cross-round totals misleading. Every pass's own total (and
+    // how many queries it covered — failures skip) now rides the
+    // artifact, for ALL passes including dropped ones, so the round's
+    // full wall-time band is visible evidence rather than builder notes.
+    val runTotalsJson = allPasses.map { p =>
+      val d = passData.getOrElse(p,
+        scala.collection.mutable.Map.empty[String, Double])
+      s"""{"pass":$p,"total_sec":${fmt4(d.values.sum)},"n_queries":${d.size},"retained":${retained.contains(p)}}"""
+    }.mkString("[", ",", "]")
+    // JVM telemetry per pass: GC wall + heap high-water make an
+    // environment-band claim checkable from the artifact (flat GC+heap
+    // beside a drifted wall = host; exploded GC = JVM pressure).
+    val jvmJson = allPasses.map(p =>
+      s"""{"pass":$p,"gc_ms":${gcMs.getOrElse(p, -1L)},"heap_peak_mb":${heapPeak.getOrElse(p, -1L)}}""")
+      .mkString("[", ",", "]")
     // plan-fingerprint diff vs the previous round's committed
     // BENCH_local.json (or BENCH_rNN_local.json fallback): "identical
     // fingerprint + slower wall" = environment, "changed fingerprint" =
@@ -466,7 +585,16 @@ object Bench {
     val fpJson = names.map(n =>
       s"\"" + n + "\":\"" + planFp.getOrElse(n, "") + "\"")
       .mkString("{", ",", "}")
-    val prevFps: Map[String, String] = {
+    val fpStrictJson = names.map(n =>
+      s"\"" + n + "\":\"" + planFpStrict.getOrElse(n, "") + "\"")
+      .mkString("{", ",", "}")
+    def fpMapFrom(txt: String, key: String): Option[Map[String, String]] =
+      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+        .map(_.group(1)).map { body =>
+          "\"([^\"]+)\":\"([0-9a-f]*)\"".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2)).toMap
+        }
+    val (prevFps, prevFpsStrict): (Map[String, String], Map[String, String]) = {
       // numeric round sort: lexicographic collation would diff r100
       // against the wrong baseline once rounds outgrow two digits
       val candidates = "BENCH_local.json" +: new java.io.File(".")
@@ -476,14 +604,11 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(f)), "UTF-8")
-          val obj = "\"plan_fp\":\\{([^}]*)\\}".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          obj.map { body =>
-            "\"([^\"]+)\":\"([0-9a-f]*)\"".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2)).toMap
-          }
+          fpMapFrom(txt, "plan_fp").map(primary =>
+            (primary, fpMapFrom(txt, "plan_fp_strict").getOrElse(
+              Map.empty[String, String])))
         } catch { case _: Throwable => None }
-      }.headOption.getOrElse(Map.empty)
+      }.headOption.getOrElse((Map.empty, Map.empty))
     }
     val fpChanged = names.filter(n => prevFps.get(n)
       .exists(p => p.nonEmpty && planFp.getOrElse(n, "").nonEmpty
@@ -492,6 +617,19 @@ object Bench {
     val fpNew = names.count(n => !prevFps.contains(n))
     val fpDiffJson = s"""{"prev_found":${prevFps.nonEmpty},"same":$fpSame,"new_queries":$fpNew,"changed":${
       fpChanged.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // strict diff is advisory (the bistable queries legitimately flip):
+    // read it as "strict changed + primary same + flat wall = AQE",
+    // "strict changed + slower wall = strategy regression to triage"
+    val fpStrictChanged = names.filter(n => prevFpsStrict.get(n)
+      .exists(p => p.nonEmpty && planFpStrict.getOrElse(n, "").nonEmpty
+        && p != planFpStrict(n)))
+    val fpStrictSame = names.count(n =>
+      prevFpsStrict.get(n).contains(planFpStrict.getOrElse(n, "-")))
+    val fpStrictDiffJson = s"""{"prev_found":${prevFpsStrict.nonEmpty},"same":$fpStrictSame,"changed":${
+      fpStrictChanged.take(40).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val pinnedProbeJson = pinnedProbes.toSeq.sortBy(_._1).map { case (n, ps) =>
+      s"\"" + n + "\":" + ps.map(fmt4).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val skipped = sinkWriters.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calJson = retained.map(p => fmt4(calib(p))).mkString("[", ",", "]")
@@ -510,12 +648,12 @@ object Bench {
       else "BENCH_local.json"
     val subsetJson = onlyFilter
       .map(f => s""","subset_filter_size":${f.size}""").getOrElse("")
-    val summary = s""""sf":"$sfDir","passes":${retained.size},"pass_counts":$countJson,"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"skipped_sink_writers":$skipped,"detail_file":"$detailFile"$subsetJson,"plan_fp_diff":$fpDiffJson,"failed":$failedJson,"contaminated_passes":$contamJson,"dropped_contaminated_passes":$droppedJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
+    val summary = s""""sf":"$sfDir","passes":${retained.size},"pass_counts":$countJson,"exec":"full-plan","calibration_sec":$calJson,"loadavg":$loadJson,"run_totals":$runTotalsJson,"jvm_per_pass":$jvmJson,"pinned_calibration":$pinnedProbeJson,"skipped_sink_writers":$skipped,"detail_file":"$detailFile"$subsetJson,"plan_fp_diff":$fpDiffJson,"plan_fp_strict_diff":$fpStrictDiffJson,"failed":$failedJson,"contaminated_passes":$contamJson,"dropped_contaminated_passes":$droppedJson,"metric":"total","unit":"sec","value":${fmt4(total)}"""
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
-      s"""{"queries":$fullQs,"per_pass":$passJson,"plan_fp":$fpJson,$summary}""".getBytes("UTF-8"))
+      s"""{"queries":$fullQs,"per_pass":$passJson,"plan_fp":$fpJson,"plan_fp_strict":$fpStrictJson,$summary}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] $detailFile write failed: ${e.getMessage}") }
     println(s"""{"queries":$qs,$summary}""")

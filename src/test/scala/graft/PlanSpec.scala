@@ -886,4 +886,32 @@ class PlanSpec extends AnyFunSuite {
         s"rrfFuse rank<=topM lost map-side pruning:\n$rf")
     } finally graft.ops.Caches.releaseAll()
   }
+
+  test("strict fingerprint separates join STRATEGY; primary neutralizes it (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    // same logical join, two physical strategies: the primary (canonical)
+    // fingerprint must print them identically (AQE legitimately flips a
+    // bistable threshold join run-to-run — q30/q293), while the strict
+    // secondary keeps them apart so a genuine SMJ<->BHJ regression stays
+    // diffable from the artifacts (r12 ADVICE)
+    val a = spark.range(0, 1000).toDF("k")
+    val d = spark.range(0, 100).toDF("k")
+    val bhj = a.join(broadcast(d), "k")
+    val smj = a.hint("merge").join(d.hint("merge"), "k")
+    bhj.queryExecution.toRdd.count() // finalize AQE before fingerprinting
+    smj.queryExecution.toRdd.count()
+    val pB = physicalPlan(bhj); val pS = physicalPlan(smj)
+    assert(pB.contains("BroadcastHashJoin"), s"fixture lost BHJ:\n$pB")
+    assert(pS.contains("SortMergeJoin"), s"fixture lost SMJ:\n$pS")
+    assert(Bench.planFingerprint(bhj) === Bench.planFingerprint(smj),
+      s"primary fp must be strategy-neutral:\n${Bench.planFingerprintText(bhj)}\n--\n${Bench.planFingerprintText(smj)}")
+    assert(Bench.planFingerprintStrict(bhj) !== Bench.planFingerprintStrict(smj),
+      s"strict fp must separate strategies:\n${Bench.planFingerprintTextStrict(bhj)}")
+    // and strict is still session-noise-stable: same plan, same print
+    val bhj2 = a.join(broadcast(d), "k")
+    bhj2.queryExecution.toRdd.count()
+    assert(Bench.planFingerprintStrict(bhj) === Bench.planFingerprintStrict(bhj2),
+      s"strict fp unstable across identical plans:\n${Bench.planFingerprintTextStrict(bhj)}\n--\n${Bench.planFingerprintTextStrict(bhj2)}")
+  }
 }
