@@ -2148,6 +2148,105 @@ object Corpus {
           / col("n_tokens"), 6).as("avg_neg_logprob"))
   }
 
+  /** Per-document bigram stream with a BOS context: for tokens
+    * `t1..tn` the pairs are `("", t1), (t1, t2), …, (t(n−1), tn)` —
+    * exactly one pair per token, so pair counts ARE token counts. The
+    * BOS marker is the empty string, which [[tokensOf]] can never emit
+    * (empties are filtered), so it cannot collide with a real token. */
+  private def bigramsOf(textCol: String): Column = {
+    val toks = tokensOf(textCol)
+    val prev = concat(array(lit("")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    filter(
+      zip_with(prev, toks, (a, b) =>
+        struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+  }
+
+  /** Trained interpolated Kneser–Ney bigram model (see [[knScore]]):
+    * the persisted bigram count table plus the two scalars of the
+    * continuation smoothing denominator — `b` distinct bigram types,
+    * `v` distinct continuation tokens. */
+  case class KnModel(big: DataFrame, b: Long, v: Long)
+
+  /** Aggregate `train` into a [[KnModel]]; the bigram table stays
+    * persisted (thread-registered) until released via [[Caches]]. */
+  def knTrain(train: DataFrame, trainTextCol: String): KnModel = {
+    val big = Caches.registerDf(
+      train.select(explode(bigramsOf(trainTextCol)).as("__p__"))
+        .select(col("__p__.w1").as("__w1__"), col("__p__.w2").as("__w2__"))
+        .groupBy(col("__w1__"), col("__w2__"))
+        .agg(count(lit(1)).as("__c12__")).persist())
+    val row = big.agg(count(lit(1)), countDistinct(col("__w2__")))
+      .collect().head
+    KnModel(big, row.getLong(0), row.getLong(1))
+  }
+
+  /** Interpolated Kneser–Ney BIGRAM LM quality scoring — the actual
+    * KenLM/CCNet model class ([[lmScore]] is its add-one unigram
+    * simplification; Kneser & Ney ICASSP'95, Chen & Goodman TR-10-98):
+    * per-document average negative log-probability under
+    * `p(w|h) = max(c(h,w) − D, 0)/c(h) + D·N1+(h,·)/c(h) · p_cont(w)`
+    * with absolute discount `D = 0.75` (exactly representable — dyadic
+    * 3/4, so the discounted counts are exact doubles on both engines)
+    * and the continuation distribution add-one smoothed over bigram
+    * types: `p_cont(w) = (N1+(·,w) + 1) / (B + V + 1)` (`B` distinct
+    * bigram types, `V` distinct continuation tokens) — UNK-free, so
+    * any input scores. An unseen context `h` (including OOV) backs off
+    * fully to `p_cont(w)`. Each document's first token is scored
+    * against a BOS context (the empty string — unreachable as a real
+    * token), so every token is scored exactly once. `n_oov` counts
+    * tokens outside the train continuation vocabulary.
+    *
+    * Scale shape: the train corpus collapses map-side to its
+    * (w1, w2, count) bigram table; context totals `c(h), N1+(h,·)` and
+    * continuation counts `N1+(·,w)` are two further partial-aggregable
+    * collapses of that table. The scored corpus explodes once to its
+    * own bigram stream and equi-joins the three vocabulary-sized
+    * tables (Spark picks broadcast vs shuffle per side; AQE can
+    * skew-split a hot function word), per-doc sums partial-aggregate,
+    * and only `(B, V)` — two scalars — reach the driver. Output floats
+    * round to 6 digits (the [[lmScore]] posture). Returns
+    * (id, n_tokens, n_oov, avg_neg_logprob); empty documents have no
+    * token pairs and do not appear (the [[lmScore]] contract). */
+  def knScore(df: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String): DataFrame =
+    knScoreWith(knTrain(train, trainTextCol), df, idCol, textCol)
+
+  /** Score against an already-trained [[KnModel]] (see [[knScore]]). */
+  def knScoreWith(model: KnModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val big = model.big
+    val ctx = big.groupBy(col("__w1__"))
+      .agg(sum(col("__c12__")).as("__c1__"), count(lit(1)).as("__n1f__"))
+    val cont = big.groupBy(col("__w2__"))
+      .agg(count(lit(1)).as("__n1b__"))
+    val pairs = df.select(col(idCol).as("__id__"),
+        explode(bigramsOf(textCol)).as("__p__"))
+      .select(col("__id__"), col("__p__.w1").as("__w1__"),
+        col("__p__.w2").as("__w2__"))
+    val joined = pairs
+      .join(big, Seq("__w1__", "__w2__"), "left")
+      .join(ctx, Seq("__w1__"), "left")
+      .join(cont, Seq("__w2__"), "left")
+    val den = lit((model.b + model.v + 1).toDouble)
+    val pCont = (coalesce(col("__n1b__"), lit(0L)) + 1).cast("double") / den
+    val d = lit(0.75)
+    val p = when(col("__c1__").isNotNull,
+      greatest(coalesce(col("__c12__"), lit(0L)).cast("double") - d,
+        lit(0.0)) / col("__c1__").cast("double")
+        + d * col("__n1f__").cast("double") / col("__c1__").cast("double")
+          * pCont)
+      .otherwise(pCont)
+    joined
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__n1b__").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(-log(p)).as("__nll__"))
+      .select(col("__id__").as(idCol), col("n_tokens"), col("n_oov"),
+        round(col("__nll__") / col("n_tokens"), 6).as("avg_neg_logprob"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * log-importance `Σ_tokens ln(p_target(b_w)/p_raw(b_w))` over HASHED

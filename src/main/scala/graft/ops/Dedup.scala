@@ -338,6 +338,56 @@ object Dedup {
           .as("span_tokens"))
   }
 
+  /** Cross-corpus maximal contamination spans — [[maximalDupSpans]]'s
+    * gap-and-islands machinery pointed at BENCHMARK LEAKAGE instead of
+    * within-corpus duplication: every maximal run of corpus L-grams
+    * that verbatim-appear anywhere in the benchmark set surfaces with
+    * its true extent. This is the span-level complement of
+    * [[decontaminate]]'s fixed-n overlap count: the 13-gram rule says
+    * "this document shares SOME 13-gram with the eval set"; this op
+    * says exactly WHERE and HOW LONG the leaked passages are (a
+    * 200-token verbatim eval answer reports as one 200-token span, not
+    * as an opaque count of 188 overlapping grams), which is what a
+    * surgical excision pass — or a leakage audit that distinguishes a
+    * quoted sentence from a wholesale copy — needs.
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than
+    * the corpus, so its DISTINCT L-gram hash set is the broadcast
+    * build side of a semi-join against the corpus's positional gram
+    * explode ((id, pos, 8-byte hash) — corpus text never shuffles; the
+    * [[decontaminate]] posture; for a benchmark too large to broadcast
+    * drop the hint and AQE picks a shuffle join). The run merge is the
+    * [[maximalDupSpans]] gap-and-islands pair: `pos − row_number()`
+    * under a PER-DOCUMENT window — bounded by document length, never
+    * corpus-global — and one partial-aggregable min/max per island.
+    * Returns one row per maximal leaked span:
+    * (<idCol>, span_start, span_end, span_tokens), positions in token
+    * units, span_end inclusive. Documents with no leaked gram emit
+    * nothing. */
+  def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      minLen: Int = 4): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val grams = df.select(col(idCol).as("__id__"),
+      posexplode(graft.functions.NativeHashes.shingle_hashes(
+        coalesce(col(textCol), lit("")), minLen)).as(Seq("__pos__", "__h__")))
+    val benchSet = bench.select(explode(
+        graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(benchTextCol), lit("")), minLen)).as("__h__"))
+      .distinct()
+    val w = Window.partitionBy(col("__id__")).orderBy(col("__pos__").asc)
+    grams.join(broadcast(benchSet), Seq("__h__"), "left_semi")
+      .withColumn("__grp__", col("__pos__") - row_number().over(w))
+      .groupBy(col("__id__"), col("__grp__"))
+      .agg(min(col("__pos__")).as("span_start"),
+        (max(col("__pos__")) + minLen - 1).as("span_end"))
+      .select(col("__id__").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"))
+  }
+
   /** Duplicated-span REMOVAL (the published exact-substring-dedup step
     * itself, at word-shingle granularity): every later occurrence of a
     * corpus-repeated word k-shingle is excised — the FIRST occurrence

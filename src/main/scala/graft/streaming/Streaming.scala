@@ -241,6 +241,26 @@ object Streaming {
       model, batch.toDF(), idCol, textCol))
   }
 
+  /** Streaming Kneser–Ney bigram LM scoring: the interpolated-KN model
+    * trains ONCE from the static `train` corpus
+    * ([[graft.ops.Corpus.knTrain]] — persisted bigram table + two
+    * scalars) and every micro-batch scores against it
+    * ([[graft.ops.Corpus.knScoreWith]]) — value-identical to the batch
+    * [[graft.ops.Corpus.knScore]] because scoring is per-document
+    * against fixed state (the [[lmScoreForEachBatch]] posture;
+    * re-counting the train bigrams per batch is the trap this closure
+    * shape avoids). The perplexity-bucket ingest filter (CCNet's
+    * head/middle/tail) run live as data lands; caller releases the
+    * model's persisted counts via `Caches` after stopping the stream. */
+  def knScoreForEachBatch(
+      train: DataFrame, trainTextCol: String,
+      idCol: String, textCol: String)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    val model = graft.ops.Corpus.knTrain(train, trainTextCol)
+    (batch, _) => sink(graft.ops.Corpus.knScoreWith(
+      model, batch.toDF(), idCol, textCol))
+  }
+
   /** Streaming unigram-tokenizer fertility scoring: the piece table
     * trains ONCE from the static `train` corpus
     * ([[graft.ops.Corpus.trainUnigramLm]] — a driver-scale literal) and

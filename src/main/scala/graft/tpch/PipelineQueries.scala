@@ -2775,6 +2775,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated Kneser–Ney BIGRAM LM (the actual KenLM/CCNet model
+    // class; q180's add-one unigram is its simplification): train on
+    // the English docs, score every doc — avg negative log-prob + exact
+    // OOV counts under the D=0.75 absolutely-discounted, continuation-
+    // smoothed bigram model with a per-document BOS context
+    "q384_kn_bigram_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.knScore(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-corpus maximal contamination spans (the q377 exact-substring
+    // machinery pointed at benchmark LEAKAGE): bench = the doc_id%7==0
+    // docs with a marker tail appended, corpus = the rest with the SAME
+    // tail injected on doc_id%5==0 — so known-extent leaked spans
+    // surface beside the natural 4-gram overlaps, and only corpus docs
+    // sharing verbatim benchmark text emit rows
+    "q385_contamination_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 7 === 0)
+        .select(concat(coalesce(col("text"), lit("")),
+          lit(" zq0 zq1 zq2 zq3 zq4")).as("text"))
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")),
+              lit(" zq0 zq1 zq2 zq3 zq4")))
+            .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      Dedup.contaminationSpans(corpus, "doc_id", "text",
+          bench, "text", minLen = 4)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "q376_unigram_lm_train" -> ((s, dir) =>
       graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
         .orderBy(col("rank"))),
@@ -4562,7 +4596,19 @@ object PipelineQueries {
     // round instead of full rescans. q30 posture: the EXACT greedy rows
     // are exported (full oracle replay) and the sampled run enters only
     // through the oracle-replayed coverage-ratio boolean
-    // (achieved ≥ (1−1/e−ε)·exact — ε=1/2 here)
+    // (achieved ≥ (1−1/e−ε)·exact — ε=1/2 here).
+    //
+    // DATA DEPENDENCE of the approx_ok gate (r12 ADVICE): the
+    // (1−1/e−ε) guarantee holds IN EXPECTATION over the sampler's
+    // randomness — a single content-hash-derandomized run has no
+    // per-instance certainty, so the oracle's `TRUE` is an empirical
+    // assertion about THIS data, not a theorem. The margin makes it
+    // robust in practice: ε=1/2 puts the gate at ≈0.132·exact while
+    // stochastic-greedy empirically lands within a few percent of exact
+    // (~7× slack, holds at sf0.001/0.01/0.1). If regenerated or new-SF
+    // data ever trips it, the failure is SAFE (gate rejects, nothing
+    // silently wrong) and the fix is data-side: re-measure the achieved
+    // ratio, not the bound.
     "q374_max_coverage_sampled" -> ((s, dir) => {
       val d = docs(s, dir)
       val exact = Corpus.maxCoverageSelect(d, "doc_id", "text", k = 8)
@@ -10470,6 +10516,83 @@ object PipelineQueries {
     "q382_unigram_lm_loss_prune" -> unigramLossPruneOracleSql,
     "q383_unigram_byte_fallback" -> unigramByteFallbackOracleSql,
 
+    // interpolated Kneser–Ney bigram replay: same bigram/context/
+    // continuation count tables, same D=0.75 formula with identical
+    // association order (ulp drift absorbed by the round-6 export);
+    // BOS context = '' (unreachable as a token — empties filtered)
+    "q384_kn_bigram_lm" -> {
+      val toks = "list_filter(regexp_split_to_array(lower(coalesce(" +
+        "text, '')), '\\s+'), t -> length(t) > 0)"
+      val pairsOf =
+        s"""unnest(list_transform(generate_series(1, len(toks)),
+           |    i -> {'w1': CASE WHEN i = 1 THEN '' ELSE toks[i-1] END,
+           |          'w2': toks[i]}))""".stripMargin
+      s"""WITH trt AS (SELECT $toks AS toks FROM documents
+         |    WHERE lang = 'en'),
+         |trp0 AS (SELECT $pairsOf AS u FROM trt),
+         |trp AS (SELECT struct_extract(u, 'w1') AS w1,
+         |    struct_extract(u, 'w2') AS w2 FROM trp0),
+         |big AS (SELECT w1, w2, COUNT(1) AS c12 FROM trp GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |    COUNT(1) AS n1f FROM big GROUP BY 1),
+         |cont AS (SELECT w2, COUNT(1) AS n1b FROM big GROUP BY 1),
+         |sc AS (SELECT (SELECT COUNT(1) FROM big) AS b,
+         |    (SELECT COUNT(DISTINCT w2) FROM big) AS v),
+         |dt AS (SELECT doc_id, $toks AS toks FROM documents),
+         |dp0 AS (SELECT doc_id, $pairsOf AS u FROM dt),
+         |dp AS (SELECT doc_id, struct_extract(u, 'w1') AS w1,
+         |    struct_extract(u, 'w2') AS w2 FROM dp0),
+         |j AS (SELECT doc_id, big.c12 AS c12, ctx.c1 AS c1,
+         |    ctx.n1f AS n1f, cont.n1b AS n1b FROM dp
+         |  LEFT JOIN big USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2)),
+         |p AS (SELECT doc_id, n1b,
+         |    CASE WHEN c1 IS NOT NULL THEN
+         |      GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75, 0.0)
+         |          / CAST(c1 AS DOUBLE)
+         |        + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |          * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+         |            / CAST(b + v + 1 AS DOUBLE))
+         |    ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+         |      / CAST(b + v + 1 AS DOUBLE) END AS p
+         |  FROM j, sc),
+         |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
+         |    CAST(SUM(CASE WHEN n1b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oov,
+         |    SUM(-ln(p)) AS nll FROM p GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  ROUND(nll / n_tokens, 6) AS avg_neg_logprob
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // cross-corpus span replay: q377's islands machinery with the dup
+    // set swapped for the benchmark's distinct 4-gram hash set
+    "q385_contamination_spans" -> {
+      val l = 4
+      val tail = "' zq0 zq1 zq2 zq3 zq4'"
+      s"""WITH bsrc AS (SELECT coalesce(text, '') || $tail AS text
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |bh AS (SELECT DISTINCT unnest(${dshingleHashesK("text", l)}) AS h
+         |    FROM bsrc),
+         |c AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |      THEN coalesce(text, '') || $tail
+         |      ELSE coalesce(text, '') END AS text
+         |    FROM documents WHERE doc_id % 7 <> 0),
+         |t AS (SELECT doc_id, ${dshingleHashesK("text", l)} AS sh FROM c),
+         |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(sh)),
+         |    i -> {'pos': CAST(i-1 AS BIGINT), 'h': sh[i]})) AS u FROM t),
+         |e AS (SELECT doc_id, struct_extract(u, 'pos') AS pos,
+         |    struct_extract(u, 'h') AS h FROM e0),
+         |f AS (SELECT doc_id, pos FROM e SEMI JOIN bh USING (h)),
+         |r AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) - MIN(pos) + $l AS BIGINT) AS span_tokens
+         |FROM r GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    },
+
     "q378_unigram_encode" -> unigramEncodeOracleSql,
 
     "q209_bpe_train" ->
@@ -12560,7 +12683,10 @@ object PipelineQueries {
 
     // sampled twin: the exported rows ARE the exact greedy unroll (same
     // replay, k=8); the stochastic-greedy run is gated by the
-    // coverage-ratio boolean, which the oracle asserts as TRUE
+    // coverage-ratio boolean, which the oracle asserts as TRUE. That
+    // TRUE is EMPIRICAL, not a theorem — the (1−1/e−ε) bound holds in
+    // expectation only (see the gate comment): measured slack is ~7× at
+    // every shipped SF, and a trip on future data fails safe.
     "q374_max_coverage_sampled" ->
       maxCoverageOracleSql(8, extraSelect = ", TRUE AS approx_ok"),
 

@@ -744,6 +744,37 @@ class CorpusSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("knScore: interpolated KN bigram — discount, backoff, BOS, exact OOV") {
+    val train = Seq("a b a", "b a").toDF("text")
+    // pairs: ("",a):1 (a,b):1 (b,a):2 ("",b):1 — B=4 types, V=2 (w2∈{a,b})
+    // ctx: "" -> (c1=2, n1f=2), a -> (1,1), b -> (2,1)
+    // cont: a -> 2, b -> 2; smoothing den = B+V+1 = 7
+    val score = Seq((1L, "a b c"), (2L, ""), (3L, "z a"))
+      .toDF("id", "text")
+    val got = Corpus.knScore(score, "id", "text", train, "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("avg_neg_logprob")))).toMap
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    val pcA = 3.0 / 7; val pcB = 3.0 / 7; val pcUnk = 1.0 / 7
+    // ("",a): discounted 0.25/2 + interpolation (0.75·2/2)·pc(a)
+    val p1 = 0.25 / 2 + 0.75 * 2 / 2 * pcA
+    val p2 = 0.25 / 1 + 0.75 * 1 / 1 * pcB        // (a,b)
+    val p3 = 0.0 + 0.75 * 1 / 2 * pcUnk           // (b,c): unseen bigram
+    assert(got(1L)._1 == 3L && got(1L)._2 == 1L)
+    assert(got(1L)._3 ==
+      rnd((-math.log(p1) - math.log(p2) - math.log(p3)) / 3))
+    // empty doc: no token pairs, no row (the lmScore contract)
+    assert(!got.contains(2L))
+    // ("",z): OOV continuation under a seen BOS context;
+    // (z,a): UNSEEN context -> full backoff to p_cont(a)
+    val q1 = 0.0 + 0.75 * 2 / 2 * pcUnk
+    val q2 = pcA
+    assert(got(3L) == ((2L, 1L,
+      rnd((-math.log(q1) - math.log(q2)) / 2))))
+    graft.ops.Caches.releaseAll()
+  }
+
   test("dsirWeights ≡ reference hashed-unigram importance; signs sensible") {
     import graft.functions.HashImpls
     val B = 16

@@ -2398,6 +2398,31 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("contaminationSpans: maximal cross-corpus leaked spans, exact " +
+      "extent; clean docs emit nothing") {
+    val corpus = Seq(
+      (1L, "x1 x2 a b c d e x3"),   // leaks "a b c d e" at positions 2-6
+      (2L, "u1 u2 u3 u4 u5")        // shares nothing with the benchmark
+    ).toDF("doc_id", "text")
+    val bench = Seq("q a b c d e r").toDF("text")
+    // doc 1's duplicated 4-grams vs bench: positions 2 ("a b c d") and
+    // 3 ("b c d e") — one island -> span [2, 6], 5 tokens, the true
+    // extent of the leaked passage (not a gram count)
+    val got = graft.ops.Dedup.contaminationSpans(
+        corpus, "doc_id", "text", bench, "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 6L, 5L)))
+    // a whole-doc copy reports one doc-length span
+    val full = graft.ops.Dedup.contaminationSpans(
+        Seq((9L, "q a b c d e r")).toDF("doc_id", "text"),
+        "doc_id", "text", bench, "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(full == Set((9L, 0L, 6L, 7L)))
+    graft.ops.Caches.releaseAll()
+  }
+
   test("IVF index: build→write→load→probe ≡ build-per-call at a " +
       "genuinely approximate probe depth") {
     val corpus = (0L until 96L).map(i =>

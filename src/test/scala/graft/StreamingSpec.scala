@@ -356,6 +356,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.ops.Caches.releaseAll() }
   }
 
+  test("foreachBatch KN bigram scoring equals its batch twin row-for-row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val train = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn_stream").toFile
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.getAbsolutePath + "/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val fb = Streaming.knScoreForEachBatch(train, "text",
+      "doc_id", "text") { out => got ++= out.collect().map(_.toSeq) }
+    val q = stream.writeStream.outputMode("append").foreachBatch(fb).start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.ops.Corpus.knScore(
+        docs, "doc_id", "text", train, "text")
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet == batch && batch.nonEmpty)
+    } finally { q.stop(); graft.ops.Caches.releaseAll() }
+  }
+
   test("streaming per-key cap admits at most maxPerKey across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cap_stream").toFile
     val in = dir.getAbsolutePath + "/in"
