@@ -625,6 +625,34 @@ object ScaleStress {
           docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text")
         (out.queryExecution.toRdd.count(), sig(out))
       }
+      // q384 shape (r13): KN bigram scoring — train collapses map-side
+      // to the bigram table (plus two vocab-sized derived collapses),
+      // scoring is one explode + three vocab-sized equi-joins + per-doc
+      // partial aggregation; only (B, V) scalars reach the driver
+      timed(scale, "kn_bigram_lm") {
+        val out = Corpus.knScore(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text")
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q385 shape (r13): contamination spans — the benchmark's distinct
+      // L-gram hash set broadcast-semi-joins the corpus's positional gram
+      // explode (corpus text never shuffles); islands window per-document
+      timed(scale, "contamination_spans") {
+        val out = Dedup.contaminationSpans(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(17L)) === 0), "text",
+          minLen = 4)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
+      // q386 shape (r13): perplexity bucketing — the kn_bigram_lm cost
+      // plus a distributed exact-rank pass (range repartition of the
+      // doc-scale score table, per-partition row_number, |partitions|-row
+      // offset collect) and a nBuckets-row collapse; NO global window
+      timed(scale, "perplexity_buckets") {
+        val out = Corpus.perplexityBuckets(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text",
+          nBuckets = 3)
+        (out.queryExecution.toRdd.count(), sig(out))
+      }
       // q181 shape: DSIR — the model is |buckets| doubles broadcast;
       // cost is the two bucket-count collapses + the scoring pass
       timed(scale, "dsir") {

@@ -2247,6 +2247,74 @@ object Corpus {
         round(col("__nll__") / col("n_tokens"), 6).as("avg_neg_logprob"))
   }
 
+  /** CCNet perplexity bucketing — the published head/middle/tail
+    * quality split (Wenzek et al. LREC'20): every document scores under
+    * the trained [[knScore]] bigram model, the corpus is EXACT-rank
+    * split into `nBuckets` equal tiles by ascending score (lowest
+    * perplexity = head, the "looks most like the reference corpus"
+    * tier; rounded score ties broken by id so the order is total on
+    * both engines), and each bucket reports its exact membership and
+    * the score band it spans. The output is the bucket table a
+    * filtering pipeline thresholds on ("keep head+middle, drop tail").
+    *
+    * Scale shape: the score table is DOC-scale, so a global `ntile`
+    * window (whole-corpus sort in ONE task) is banned here — the exact
+    * global rank is computed distributed (range-repartition by
+    * (score asc, id asc), per-partition `row_number`, |partitions|-row
+    * offset prefix sum on the driver — the
+    * [[graft.ops.EventAnalytics.concentrationProfile]] r13 shape), and
+    * ANSI `NTILE(k)` is pure arithmetic on that rank (first `n mod k`
+    * buckets take ⌈n/k⌉ rows) — bit-identical to the window form while
+    * every partition sorts only its own range slice. Returns
+    * (bucket, n_docs, n_tokens, min_score, max_score) with scores the
+    * round-6 [[knScore]] exports. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    val scored = knScore(df, idCol, textCol, train, trainTextCol)
+    val sorted = Caches.registerDf(scored
+      .repartitionByRange(col("avg_neg_logprob").asc, col(idCol).asc)
+      .sortWithinPartitions(col("avg_neg_logprob").asc, col(idCol).asc)
+      .withColumn("__pid__", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partCounts = sorted.groupBy(col("__pid__"))
+      .agg(count(lit(1)).as("__c__"))
+      .collect().map(r => (r.getAs[Int]("__pid__"), r.getAs[Long]("__c__")))
+      .sortBy(_._1)
+    val total = partCounts.map(_._2).sum
+    var acc = 0L
+    val offsets = partCounts.map { case (pid, c) =>
+      val row = (pid, acc); acc += c; row
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid__", "__off__"))
+    val w = Window.partitionBy(col("__pid__"))
+      .orderBy(col("avg_neg_logprob").asc, col(idCol).asc)
+    val ranked = sorted.join(offDf, Seq("__pid__"))
+      .select(col("avg_neg_logprob"), col("n_tokens"),
+        (col("__off__") + row_number().over(w)).as("__rank__"))
+    // ANSI ntile arithmetic on the exact rank (`div`, not `/` — Divide
+    // is DOUBLE and can round across an integer boundary at large n)
+    val base = total / nBuckets
+    val rem = total % nBuckets
+    val cut = rem * (base + 1)
+    val bucket =
+      if (base == 0L) col("__rank__")
+      else when(col("__rank__") <= cut,
+          expr(s"(__rank__ - 1) div ${base + 1L}") + 1L)
+        .otherwise(lit(rem) +
+          expr(s"(__rank__ - ${cut + 1L}) div $base") + 1L)
+    ranked.select(bucket.cast("int").as("bucket"),
+        col("n_tokens"), col("avg_neg_logprob"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_neg_logprob")).as("min_score"),
+        max(col("avg_neg_logprob")).as("max_score"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * log-importance `Σ_tokens ln(p_target(b_w)/p_raw(b_w))` over HASHED

@@ -366,15 +366,31 @@ object Dedup {
     * nothing. */
   def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
-      minLen: Int = 4): DataFrame = {
+      minLen: Int = 4): DataFrame =
+    contaminationSpansWith(
+      benchGramSet(bench, benchTextCol, minLen), df, idCol, textCol, minLen)
+
+  /** The benchmark's distinct L-gram hash set — the frozen probe side
+    * of [[contaminationSpansWith]]. Build it ONCE (and `persist()` it,
+    * registering with [[graft.ops.Caches]]) when many batches probe the
+    * same benchmark — the
+    * [[graft.streaming.Streaming.contaminationSpansStream]] shape. */
+  def benchGramSet(bench: DataFrame, benchTextCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    bench.select(explode(
+        graft.functions.NativeHashes.shingle_hashes(
+          coalesce(col(benchTextCol), lit("")), minLen)).as("__h__"))
+      .distinct()
+  }
+
+  /** [[contaminationSpans]] against a prebuilt [[benchGramSet]]. */
+  def contaminationSpansWith(benchSet: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val grams = df.select(col(idCol).as("__id__"),
       posexplode(graft.functions.NativeHashes.shingle_hashes(
         coalesce(col(textCol), lit("")), minLen)).as(Seq("__pos__", "__h__")))
-    val benchSet = bench.select(explode(
-        graft.functions.NativeHashes.shingle_hashes(
-          coalesce(col(benchTextCol), lit("")), minLen)).as("__h__"))
-      .distinct()
     val w = Window.partitionBy(col("__id__")).orderBy(col("__pos__").asc)
     grams.join(broadcast(benchSet), Seq("__h__"), "left_semi")
       .withColumn("__grp__", col("__pos__") - row_number().over(w))

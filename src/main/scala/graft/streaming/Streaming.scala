@@ -241,6 +241,28 @@ object Streaming {
       model, batch.toDF(), idCol, textCol))
   }
 
+  /** Streaming contamination-span audit: the benchmark's distinct
+    * L-gram hash set ([[graft.ops.Dedup.benchGramSet]]) builds ONCE,
+    * persisted; every micro-batch of ingest documents reports its
+    * maximal leaked spans against it
+    * ([[graft.ops.Dedup.contaminationSpansWith]]). Value-identical to
+    * the batch [[graft.ops.Dedup.contaminationSpans]] because spans are
+    * per-DOCUMENT against a static benchmark — the islands window is
+    * per-doc, so no cross-batch state exists
+    * (the [[decontaminateForEachBatch]] posture, at span grain).
+    * Caller releases the pinned gram set via `Caches.releaseAll()`
+    * after stopping the stream. */
+  def contaminationSpansStream(
+      bench: DataFrame, benchTextCol: String, minLen: Int,
+      idCol: String, textCol: String)(
+      sink: DataFrame => Unit): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    val benchSet = graft.ops.Caches.registerDf(
+      graft.ops.Dedup.benchGramSet(bench, benchTextCol, minLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (batch, _) => sink(graft.ops.Dedup.contaminationSpansWith(
+      benchSet, batch.toDF(), idCol, textCol, minLen))
+  }
+
   /** Streaming Kneser–Ney bigram LM scoring: the interpolated-KN model
     * trains ONCE from the static `train` corpus
     * ([[graft.ops.Corpus.knTrain]] — persisted bigram table + two

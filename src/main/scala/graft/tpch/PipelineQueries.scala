@@ -2809,6 +2809,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // CCNet head/middle/tail: q384's KN scores feed an exact
+    // DISTRIBUTED-rank 3-tile split (range-repartition + per-partition
+    // row_number + offset prefix sum — no whole-corpus single-task
+    // window), then per-bucket membership and score bands
+    "q386_perplexity_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.perplexityBuckets(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text", nBuckets = 3)
+        .orderBy(col("bucket"))
+    }),
+
     "q376_unigram_lm_train" -> ((s, dir) =>
       graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
         .orderBy(col("rank"))),
@@ -4888,6 +4899,54 @@ object PipelineQueries {
       |      AS n_oov,
       |    SUM(ln(COALESCE(c, 0) + 1)) AS sum_ln
       |  FROM j GROUP BY 1)""".stripMargin
+
+  /** Shared CTE chain replaying [[graft.ops.Corpus.knScore]] (train on
+    * lang='en', score every doc) up to the per-doc `agg` table —
+    * bigram/context/continuation counts + the D=0.75 interpolated-KN
+    * formula with Spark's exact association order; q384 exports the
+    * per-doc scores, q386 buckets them. */
+  private val knLmCtes: String = {
+    val toks = "list_filter(regexp_split_to_array(lower(coalesce(" +
+      "text, '')), '\\s+'), t -> length(t) > 0)"
+    val pairsOf =
+      s"""unnest(list_transform(generate_series(1, len(toks)),
+         |    i -> {'w1': CASE WHEN i = 1 THEN '' ELSE toks[i-1] END,
+         |          'w2': toks[i]}))""".stripMargin
+    s"""WITH trt AS (SELECT $toks AS toks FROM documents
+       |    WHERE lang = 'en'),
+       |trp0 AS (SELECT $pairsOf AS u FROM trt),
+       |trp AS (SELECT struct_extract(u, 'w1') AS w1,
+       |    struct_extract(u, 'w2') AS w2 FROM trp0),
+       |big AS (SELECT w1, w2, COUNT(1) AS c12 FROM trp GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    COUNT(1) AS n1f FROM big GROUP BY 1),
+       |cont AS (SELECT w2, COUNT(1) AS n1b FROM big GROUP BY 1),
+       |sc AS (SELECT (SELECT COUNT(1) FROM big) AS b,
+       |    (SELECT COUNT(DISTINCT w2) FROM big) AS v),
+       |dt AS (SELECT doc_id, $toks AS toks FROM documents),
+       |dp0 AS (SELECT doc_id, $pairsOf AS u FROM dt),
+       |dp AS (SELECT doc_id, struct_extract(u, 'w1') AS w1,
+       |    struct_extract(u, 'w2') AS w2 FROM dp0),
+       |j AS (SELECT doc_id, big.c12 AS c12, ctx.c1 AS c1,
+       |    ctx.n1f AS n1f, cont.n1b AS n1b FROM dp
+       |  LEFT JOIN big USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN cont USING (w2)),
+       |p AS (SELECT doc_id, n1b,
+       |    CASE WHEN c1 IS NOT NULL THEN
+       |      GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75, 0.0)
+       |          / CAST(c1 AS DOUBLE)
+       |        + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+       |          * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+       |            / CAST(b + v + 1 AS DOUBLE))
+       |    ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+       |      / CAST(b + v + 1 AS DOUBLE) END AS p
+       |  FROM j, sc),
+       |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
+       |    CAST(SUM(CASE WHEN n1b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    SUM(-ln(p)) AS nll FROM p GROUP BY 1)""".stripMargin
+  }
 
   private val simhashSql: String = {
     val th = s"list_transform(regexp_split_to_array(lower(text), '\\s+'), " +
@@ -10520,51 +10579,27 @@ object PipelineQueries {
     // continuation count tables, same D=0.75 formula with identical
     // association order (ulp drift absorbed by the round-6 export);
     // BOS context = '' (unreachable as a token — empties filtered)
-    "q384_kn_bigram_lm" -> {
-      val toks = "list_filter(regexp_split_to_array(lower(coalesce(" +
-        "text, '')), '\\s+'), t -> length(t) > 0)"
-      val pairsOf =
-        s"""unnest(list_transform(generate_series(1, len(toks)),
-           |    i -> {'w1': CASE WHEN i = 1 THEN '' ELSE toks[i-1] END,
-           |          'w2': toks[i]}))""".stripMargin
-      s"""WITH trt AS (SELECT $toks AS toks FROM documents
-         |    WHERE lang = 'en'),
-         |trp0 AS (SELECT $pairsOf AS u FROM trt),
-         |trp AS (SELECT struct_extract(u, 'w1') AS w1,
-         |    struct_extract(u, 'w2') AS w2 FROM trp0),
-         |big AS (SELECT w1, w2, COUNT(1) AS c12 FROM trp GROUP BY 1, 2),
-         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
-         |    COUNT(1) AS n1f FROM big GROUP BY 1),
-         |cont AS (SELECT w2, COUNT(1) AS n1b FROM big GROUP BY 1),
-         |sc AS (SELECT (SELECT COUNT(1) FROM big) AS b,
-         |    (SELECT COUNT(DISTINCT w2) FROM big) AS v),
-         |dt AS (SELECT doc_id, $toks AS toks FROM documents),
-         |dp0 AS (SELECT doc_id, $pairsOf AS u FROM dt),
-         |dp AS (SELECT doc_id, struct_extract(u, 'w1') AS w1,
-         |    struct_extract(u, 'w2') AS w2 FROM dp0),
-         |j AS (SELECT doc_id, big.c12 AS c12, ctx.c1 AS c1,
-         |    ctx.n1f AS n1f, cont.n1b AS n1b FROM dp
-         |  LEFT JOIN big USING (w1, w2)
-         |  LEFT JOIN ctx USING (w1)
-         |  LEFT JOIN cont USING (w2)),
-         |p AS (SELECT doc_id, n1b,
-         |    CASE WHEN c1 IS NOT NULL THEN
-         |      GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75, 0.0)
-         |          / CAST(c1 AS DOUBLE)
-         |        + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
-         |          * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
-         |            / CAST(b + v + 1 AS DOUBLE))
-         |    ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
-         |      / CAST(b + v + 1 AS DOUBLE) END AS p
-         |  FROM j, sc),
-         |agg AS (SELECT doc_id, COUNT(1) AS n_tokens,
-         |    CAST(SUM(CASE WHEN n1b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_oov,
-         |    SUM(-ln(p)) AS nll FROM p GROUP BY 1)
+    "q384_kn_bigram_lm" ->
+      s"""$knLmCtes
          |SELECT doc_id, n_tokens, n_oov,
          |  ROUND(nll / n_tokens, 6) AS avg_neg_logprob
-         |FROM agg ORDER BY doc_id""".stripMargin
-    },
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucketing replay: the q384 chain feeds NTILE(3) over the
+    // rounded score (doc_id tie-break — total order on both engines);
+    // the Spark side's distributed-rank arithmetic is NTILE by
+    // definition, so the window form IS the oracle
+    "q386_perplexity_buckets" ->
+      s"""$knLmCtes,
+         |sel AS (SELECT doc_id, n_tokens,
+         |    ROUND(nll / n_tokens, 6) AS score FROM agg),
+         |r AS (SELECT n_tokens, score,
+         |    NTILE(3) OVER (ORDER BY score, doc_id) AS bucket FROM sel)
+         |SELECT CAST(bucket AS INTEGER) AS bucket,
+         |  CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // cross-corpus span replay: q377's islands machinery with the dup
     // set swapped for the benchmark's distinct 4-gram hash set

@@ -853,6 +853,49 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ops.Caches.releaseAll()
   }
 
+  test("perplexityBuckets (q386 shape, r13): exact tile split is " +
+      "distributed — no Window beyond __pid__, output ≡ ntile form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 50L).map(i =>
+        (i, s"w${i % 11} w${i % 7} w${i % 5} w${i % 3} w${i % 2}"))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 4 === 0)
+    try {
+      val out = graft.ops.Corpus.perplexityBuckets(
+        docs, "doc_id", "text", train, "text", nBuckets = 3)
+      val plan = physicalPlan(out)
+      val specs = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty && specs.forall(_.matches(
+        ".*windowspecdefinition\\(__pid__#\\d+.*")),
+        s"expected only __pid__-partitioned windows:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"exact tile split collapsed to a single partition:\n$plan")
+      assert(!plan.contains("ntile"), s"ntile window survived:\n$plan")
+      // bit-identical to the window-NTILE formulation (the oracle form)
+      val expect = {
+        val scored = graft.ops.Corpus.knScore(
+          docs, "doc_id", "text", train, "text")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("avg_neg_logprob").asc, col("doc_id").asc)
+        scored.withColumn("bucket",
+            org.apache.spark.sql.functions.ntile(3).over(w))
+          .groupBy(col("bucket"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+            org.apache.spark.sql.functions.sum(col("n_tokens"))
+              .as("n_tokens"),
+            org.apache.spark.sql.functions.min(col("avg_neg_logprob"))
+              .as("min_score"),
+            org.apache.spark.sql.functions.max(col("avg_neg_logprob"))
+              .as("max_score"))
+      }
+      assert(out.collect().map(_.toSeq).toSet ==
+        expect.collect().map(_.toSeq).toSet)
+    } finally graft.ops.Caches.releaseAll()
+  }
+
   test("global rank<=k windows prune map-side: WindowGroupLimit in " +
       "skipgramPairs / negativeSamplingTable / rrfFuse plans; " +
       "trainUnigramLm's seed top-k is a TakeOrdered, not a window") {

@@ -356,6 +356,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.ops.Caches.releaseAll() }
   }
 
+  test("streaming contamination spans vs a FROZEN benchmark gram set " +
+      "equal the batch twin on the union of micro-batches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("text"))
+    val rest = docs.filter(col("doc_id") % 7 =!= 0)
+    val b1 = rest.filter(col("doc_id") % 2 === 0)
+    val b2 = rest.filter(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_contam_stream").toFile
+    val in = dir.getAbsolutePath + "/in"
+    b1.write.parquet(in)
+    val stream = spark.readStream.schema(docs.schema).parquet(in)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var batches = 0
+    val fb0 = Streaming.contaminationSpansStream(bench, "text", 4,
+      "doc_id", "text") { out => got ++= out.collect().map(_.toSeq) }
+    val fb = (d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long) => { batches += 1; fb0(d, id) }
+    val q = stream.writeStream.outputMode("append").foreachBatch(fb).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(in)
+      q.processAllAvailable()
+      assert(batches >= 2, "fixture must exercise more than one micro-batch")
+      val union = spark.read.parquet(in)
+      val batch = graft.ops.Dedup.contaminationSpans(
+        union, "doc_id", "text", bench, "text", minLen = 4)
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet == batch && batch.nonEmpty)
+    } finally { q.stop(); graft.ops.Caches.releaseAll() }
+  }
+
   test("foreachBatch KN bigram scoring equals its batch twin row-for-row") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").limit(120)
