@@ -4441,4 +4441,75 @@ object Profiling {
           .cast("long").as("n_pairs"),
         round(col("__slope__"), 6).as("slope"))
   }
+
+  /** Bradley–Terry strength estimation from pairwise outcomes — the
+    * aggregation behind arena-style model leaderboards (Bradley & Terry
+    * '52; the MM fixed point is Zermelo '29 / Hunter AoS'04): given
+    * (winner, loser) rows, estimate each item's strength `p_i` under
+    * `P(i beats j) = p_i/(p_i+p_j)` by `rounds` minorization steps
+    * `p_i ← W_i / Σ_{j≠i} n_ij/(p_i+p_j)` (W_i total wins, n_ij
+    * matches between i and j), each followed by sum-normalization so
+    * strengths read as shares. A fixed round count with deterministic
+    * per-item iteration order (items sorted) replaces convergence
+    * checks — the [[graft.ops.Clustering]] posture: reproducible
+    * cross-engine, no data-dependent stopping.
+    *
+    * Scale shape: the outcome stream — billions of comparisons —
+    * collapses map-side to the (winner, loser, count) pair table in
+    * ONE partial-aggregable exchange; everything after runs on the
+    * driver over at most `items²` rows (a leaderboard's item count is
+    * model-scale, not data-scale — the k-means-centroid discipline;
+    * guarded at 4096 items). Zero-win items converge to exactly 0.
+    * Returns (item, wins, matches, p rounded 6, rank by descending
+    * rounded p, item tie-break). */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = pairs.sparkSession
+    val pc = pairs
+      .groupBy(col(winnerCol).cast("string").as("__w__"),
+        col(loserCol).cast("string").as("__l__"))
+      .agg(count(lit(1)).as("__n__"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = (pc.map(_._1) ++ pc.map(_._2)).distinct.sorted
+    require(items.length <= 4096,
+      s"bradleyTerry is for model-scale item sets, got ${items.length}")
+    val idx = items.zipWithIndex.toMap
+    val m = items.length
+    val wins = Array.fill(m)(0L)
+    val matches = Array.fill(m)(0L)
+    // symmetric match counts, accumulated per ordered (i, j)
+    val nij = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for ((w, l, n) <- pc) {
+      val (i, j) = (idx(w), idx(l))
+      wins(i) += n; matches(i) += n; matches(j) += n
+      nij((i, j)) = nij.getOrElse((i, j), 0L) + n
+      nij((j, i)) = nij.getOrElse((j, i), 0L) + n
+    }
+    val opponents = Array.tabulate(m)(i =>
+      (0 until m).filter(j => j != i && nij.contains((i, j))).toArray)
+    var p = Array.fill(m)(1.0 / m)
+    for (_ <- 1 to rounds) {
+      val raw = Array.tabulate(m) { i =>
+        if (wins(i) == 0L) 0.0
+        else {
+          var den = 0.0
+          for (j <- opponents(i)) den += nij((i, j)).toDouble / (p(i) + p(j))
+          if (den == 0.0) 0.0 else wins(i).toDouble / den
+        }
+      }
+      var s = 0.0
+      for (i <- 0 until m) s += raw(i)
+      p = if (s == 0.0) raw else raw.map(_ / s)
+    }
+    import spark.implicits._
+    val rows = items.indices.map(i =>
+      (items(i), wins(i), matches(i), math.round(p(i) * 1e6) / 1e6))
+    val ranked = rows.sortBy { case (it, _, _, pr) => (-pr, it) }
+      .zipWithIndex
+      .map { case ((it, w, n, pr), r) => (it, w, n, pr, r + 1) }
+    ranked.toDF("item", "wins", "matches", "p", "rank")
+      .select(col("item"), col("wins"), col("matches"), col("p"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -2820,6 +2820,35 @@ object PipelineQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Bradley–Terry leaderboard from pairwise preferences (the
+    // arena-style ranking aggregation): consecutive same-user events
+    // of different types are matches, the higher-valued event wins
+    // (value tie → lexicographically smaller type — deterministic);
+    // 8 MM rounds with sum-normalization; output is the strength table
+    "q387_bradley_terry" -> ((s, dir) => {
+      val ev = graft.tpch.EventsModel.eventsTable(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val lagged = ev.select(
+        col("event_type").as("__t2__"), col("value").as("__v2__"),
+        lag(col("event_type"), 1).over(w).as("__t1__"),
+        lag(col("value"), 1).over(w).as("__v1__"))
+      val m = lagged
+        .filter(col("__t1__").isNotNull && col("__t1__") =!= col("__t2__"))
+        .select(
+          when(col("__v1__") > col("__v2__"), col("__t1__"))
+            .when(col("__v2__") > col("__v1__"), col("__t2__"))
+            .when(col("__t1__") < col("__t2__"), col("__t1__"))
+            .otherwise(col("__t2__")).as("winner"),
+          when(col("__v1__") > col("__v2__"), col("__t2__"))
+            .when(col("__v2__") > col("__v1__"), col("__t1__"))
+            .when(col("__t1__") < col("__t2__"), col("__t2__"))
+            .otherwise(col("__t1__")).as("loser"))
+      graft.ops.Profiling.bradleyTerry(m, "winner", "loser", rounds = 8)
+        .orderBy(col("rank"))
+    }),
+
     "q376_unigram_lm_train" -> ((s, dir) =>
       graft.ops.Corpus.trainUnigramLm(docs(s, dir), "text")
         .orderBy(col("rank"))),
@@ -10569,6 +10598,63 @@ object PipelineQueries {
          |    AS tokens_per_word
          |FROM dw JOIN tc ON dw.w = tc.w0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Bradley–Terry replay: LAG-derived matches, symmetric pair-count
+    // table, then 8 MM rounds unrolled as CTE pairs (den join + win
+    // division + sum-normalization); float-sum order differs between
+    // engines but the round-6 export absorbs the ulp drift (the
+    // sum(ln) posture); rank over the ROUNDED p on both sides
+    "q387_bradley_terry" -> {
+      val roundCte = (k: Int) =>
+        s"""d$k AS MATERIALIZED (SELECT nm.i AS i,
+           |    SUM(CAST(nm.n AS DOUBLE) / (pi.p + pj.p)) AS den
+           |  FROM nm JOIN r${k - 1} pi ON nm.i = pi.i
+           |    JOIN r${k - 1} pj ON nm.j = pj.i GROUP BY 1),
+           |u$k AS MATERIALIZED (SELECT wn.i,
+           |    CASE WHEN wn.wins = 0 OR d.den IS NULL OR d.den = 0
+           |      THEN CAST(0 AS DOUBLE)
+           |      ELSE CAST(wn.wins AS DOUBLE) / d.den END AS praw
+           |  FROM wn LEFT JOIN d$k d ON wn.i = d.i),
+           |s$k AS MATERIALIZED (SELECT SUM(praw) AS s FROM u$k),
+           |r$k AS MATERIALIZED (SELECT i, CASE WHEN s.s = 0 THEN praw
+           |    ELSE praw / s.s END AS p
+           |  FROM u$k, s$k s)""".stripMargin
+      s"""WITH l AS (SELECT event_type AS t2, value AS v2,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS t1,
+         |    LAG(value) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS v1
+         |  FROM events),
+         |m AS (SELECT
+         |    CASE WHEN v1 > v2 THEN t1 WHEN v2 > v1 THEN t2
+         |         WHEN t1 < t2 THEN t1 ELSE t2 END AS w,
+         |    CASE WHEN v1 > v2 THEN t2 WHEN v2 > v1 THEN t1
+         |         WHEN t1 < t2 THEN t2 ELSE t1 END AS lo
+         |  FROM l WHERE t1 IS NOT NULL AND t1 <> t2),
+         |pc AS MATERIALIZED (SELECT w, lo, CAST(COUNT(1) AS BIGINT) AS n
+         |  FROM m GROUP BY 1, 2),
+         |it AS (SELECT DISTINCT i FROM
+         |  (SELECT w AS i FROM pc UNION SELECT lo AS i FROM pc)),
+         |wl AS (SELECT w AS i, SUM(n) AS wins FROM pc GROUP BY 1),
+         |ll AS (SELECT lo AS i, SUM(n) AS losses FROM pc GROUP BY 1),
+         |wn AS MATERIALIZED (SELECT it.i,
+         |    CAST(COALESCE(wl.wins, 0) AS BIGINT) AS wins,
+         |    CAST(COALESCE(wl.wins, 0) + COALESCE(ll.losses, 0)
+         |      AS BIGINT) AS matches
+         |  FROM it LEFT JOIN wl ON it.i = wl.i
+         |    LEFT JOIN ll ON it.i = ll.i),
+         |nm AS MATERIALIZED (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+         |    SELECT w AS i, lo AS j, n FROM pc
+         |    UNION ALL SELECT lo AS i, w AS j, n FROM pc) GROUP BY 1, 2),
+         |r0 AS MATERIALIZED (SELECT i,
+         |    CAST(1 AS DOUBLE) / (SELECT COUNT(1) FROM it) AS p FROM it),
+         |${(1 to 8).map(roundCte).mkString(",\n")}
+         |SELECT wn.i AS item, wn.wins, wn.matches,
+         |  ROUND(r8.p, 6) AS p,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY ROUND(r8.p, 6) DESC, wn.i)
+         |    AS INTEGER) AS rank
+         |FROM wn JOIN r8 ON wn.i = r8.i ORDER BY rank""".stripMargin
     },
 
     "q376_unigram_lm_train" -> unigramLmOracleSql,

@@ -896,6 +896,29 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.ops.Caches.releaseAll()
   }
 
+  test("fp canonicalization: SortAggregate key=[...] and gid-bearing " +
+      "Sort lines are permutation-proof; user sorts keep their order") {
+    // the q103 run-to-run flip: RewriteDistinctAggregates enumerates
+    // distinct groups in JVM-dependent order, permuting the grouping
+    // key list — HashAggregate's keys=[...] was sorted since r12, but
+    // SortAggregate prints key=[ (singular) and its internal Sort line
+    // carries the same permutation
+    val a = Seq(
+      "SortAggregate(key=[source#12, n_chars#13L, doc_id#14L, gid#15], functions=[count(1)])",
+      "  Sort [source#12 ASC NULLS FIRST, n_chars#13L ASC NULLS FIRST, gid#15 ASC NULLS FIRST], false, 0"
+    ).mkString("\n")
+    val b = Seq(
+      "SortAggregate(key=[doc_id#24L, source#22, n_chars#23L, gid#25], functions=[count(1)])",
+      "  Sort [n_chars#23L ASC NULLS FIRST, source#22 ASC NULLS FIRST, gid#25 ASC NULLS FIRST], false, 0"
+    ).mkString("\n")
+    assert(Bench.normalizeFpText(a) === Bench.normalizeFpText(b),
+      s"permuted distinct-rewrite lists must canonicalize:\n${Bench.normalizeFpText(a)}\n--\n${Bench.normalizeFpText(b)}")
+    // a USER orderBy permutation is real plan shape — no gid, no sort
+    val u1 = "Sort [a#1 ASC NULLS FIRST, b#2 ASC NULLS FIRST], true, 0"
+    val u2 = "Sort [b#2 ASC NULLS FIRST, a#1 ASC NULLS FIRST], true, 0"
+    assert(Bench.normalizeFpText(u1) !== Bench.normalizeFpText(u2))
+  }
+
   test("global rank<=k windows prune map-side: WindowGroupLimit in " +
       "skipgramPairs / negativeSamplingTable / rrfFuse plans; " +
       "trainUnigramLm's seed top-k is a TakeOrdered, not a window") {

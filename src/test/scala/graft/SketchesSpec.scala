@@ -2359,4 +2359,27 @@ class SketchesSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("bradleyTerry: two-item closed form, zero-win collapse, " +
+      "transitive ordering") {
+    import spark.implicits._
+    // A beats B 3-1: the MM map hits its fixed point (0.75, 0.25)
+    // after round 1 — p_A/(p_A+p_B) = W_A/n = 3/4 exactly
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val got = graft.ops.Profiling.bradleyTerry(ab, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got("A") == ((3L, 4L, 0.75, 1)))
+    assert(got("B") == ((1L, 4L, 0.25, 2)))
+    // zero-win item collapses to exactly 0 and ranks last
+    val chain = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("A", "C")).toDF("winner", "loser")
+    val tri = graft.ops.Profiling.bradleyTerry(chain, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(tri("C")._1 == 0.0 && tri("C")._2 == 3)
+    assert(tri("A")._1 > tri("B")._1 && tri("B")._1 > 0.0)
+    assert(tri("A")._2 == 1 && tri("B")._2 == 2)
+  }
 }
