@@ -227,6 +227,28 @@ object HashImpls {
     acc
   }
 
+  /** Squared L2 distance Σ (a_i − b_i)² between two BIGINT arrays —
+    * value-identical to the `aggregate(zip_with(a, b, (x,m)=>(x−m)²),
+    * 0, +)` lambda fold (exact integer arithmetic, association
+    * irrelevant): null exactly when the lambda fold is null (length
+    * mismatch pads a null element; any null element nulls the fold).
+    * Returns boxed null in that case so the expression stays
+    * nullable-correct. */
+  def l2sqLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** One-pass int8-quantization statistics of a float vector, value-
     * identical to the lambda formulation in
     * [[graft.ops.Similarity.quantizeInt8]]: scale = max|x|/127, q_i =
@@ -592,6 +614,35 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** l2sq_long(a, b): exact squared L2 distance between two BIGINT arrays
+  * in one JIT loop — the codegen'd twin of the centroid-assignment fold
+  * `aggregate(zip_with(a, b, (x,m)=>(x−m)·(x−m)), 0, +)` that the
+  * k-means / PQ / silhouette / k-center family evaluates k times per row
+  * (higher-order functions are CodegenFallback: interpreted, one array
+  * materialized per zip_with per centroid — guide §4 "eliminate
+  * non-codegen expressions in the hot path"). Null exactly when the
+  * lambda fold is null (length mismatch / null element); the lambda
+  * formulation stays in the tests as the executable spec. */
+case class L2SqLongExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.l2sqLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Long ${ev.value}Box = graft.functions.HashImpls.l2sqLong($a, $b);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Box.longValue(); }
+         |""".stripMargin)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): L2SqLongExpr =
+    copy(left = l, right = r)
+}
+
 /** char_ngram_jaccard(a, b): Jaccard of the two texts' char n-gram sets in
   * one JIT-compiled call (n ≤ 3 — three 21-bit code points pack into one
   * long). Same value as the SQL-lambda substring formulation. */
@@ -695,6 +746,8 @@ object NativeHashes {
     toCol(ShingleHashesExpr(toExpr(c), k))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductExpr(toExpr(a), toExpr(b)))
+  def l2sq_long(a: Column, b: Column): Column =
+    toCol(L2SqLongExpr(toExpr(a), toExpr(b)))
   def quantize_stats(a: Column): Column = toCol(QuantizeStatsExpr(toExpr(a)))
   def sign_bits(a: Column, bits: Int): Column =
     toCol(SignBitsExpr(toExpr(a), bits))

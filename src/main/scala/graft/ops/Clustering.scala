@@ -37,11 +37,15 @@ object Clustering {
     transform(vec, v => floor(v.cast("double") * scale + lit(0.5)).cast("long"))
 
   /** Squared L2 distance between a quantized vector column and a literal
-    * centroid, as an exact BIGINT ordered fold. */
+    * centroid, as an exact BIGINT sum — the codegen'd
+    * [[graft.functions.NativeHashes.l2sq_long]] (r13: the zip_with +
+    * aggregate lambda fold is CodegenFallback — interpreted and
+    * allocating one array per row PER CENTROID; the JIT loop is
+    * value-identical, and the lambda twin stays in OpsSpec as the
+    * executable spec). */
   private def dist2(q: Column, centroid: Array[Long]): Column =
-    aggregate(
-      zip_with(q, array(centroid.map(lit(_)): _*), (x, m) => (x - m) * (x - m)),
-      lit(0L), (a, d) => a + d)
+    graft.functions.NativeHashes.l2sq_long(q,
+      array(centroid.map(lit(_)): _*))
 
   /** Assign each row to its nearest centroid: `array_min` over
     * `struct(dist, index)` structs compares distance first, then index —
@@ -153,10 +157,8 @@ object Clustering {
     val withBest = subs.select(col("__id__") +: (0 until m).map { j =>
       array_min(array(books(j).zipWithIndex.map { case (mu, c) =>
         struct(
-          aggregate(
-            zip_with(col(s"__s$j"), array(mu.map(lit(_)): _*),
-              (x, cm) => (x - cm) * (x - cm)),
-            lit(0L), (a, d) => a + d).as("d"),
+          graft.functions.NativeHashes.l2sq_long(col(s"__s$j"),
+            array(mu.map(lit(_)): _*)).as("d"),
           lit(c).as("j"))
       }: _*)).as(s"__b$j")
     }: _*)
@@ -197,10 +199,8 @@ object Clustering {
     // per-query LUT: lut_j = [d²(querySub_j, book_j[0]), …, book_j[k−1]]
     val withLuts = qsubs.select(col("query_id") +: (0 until m).map { j =>
       array(books(j).map { mu =>
-        aggregate(
-          zip_with(col(s"__s$j"), array(mu.map(lit(_)): _*),
-            (x, cm) => (x - cm) * (x - cm)),
-          lit(0L), (a, d) => a + d)
+        graft.functions.NativeHashes.l2sq_long(col(s"__s$j"),
+          array(mu.map(lit(_)): _*))
       }: _*).as(s"__lut$j")
     }: _*)
     val scored = coded

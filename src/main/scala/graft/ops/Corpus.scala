@@ -557,7 +557,13 @@ object Corpus {
     var exhausted = false
     for (r <- 1 to k if !exhausted) {
       val best = pairs
-        .join(coveredDigest(pairs, picks.map(_._2).toSeq),
+        // broadcast hint (r13): the digest is ≤ (picks so far)·(shingles
+        // per doc) rows by construction — bounded and small at ANY
+        // corpus size (k is a selection budget, docs bounded-length) —
+        // so the anti join must never be allowed to fall to sort-merge
+        // on a bad size estimate of the filtered cached pair table
+        // (estimates ride the cache's sizeInBytes, not the id filter).
+        .join(broadcast(coveredDigest(pairs, picks.map(_._2).toSeq)),
           Seq("__h__"), "left_anti")
         .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
         .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
@@ -628,7 +634,8 @@ object Corpus {
       val unselected = if (ids.isEmpty) lit(true)
         else !col("__id__").isInCollection(ids)
       val best = pairs.filter(inPool && unselected)
-        .join(coveredDigest(pairs, ids), Seq("__h__"), "left_anti")
+        // broadcast for the same reason as [[maxCoverageSelect]]'s round
+        .join(broadcast(coveredDigest(pairs, ids)), Seq("__h__"), "left_anti")
         .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
         .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
           .as("__b__"))

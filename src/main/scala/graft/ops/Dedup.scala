@@ -1187,10 +1187,15 @@ object Dedup {
       val mins = symm.groupBy(col("u"))
         .agg(min(col("v")).as("__mn__"))
         .select(col("u"), least(col("__mn__"), col("u")).as("m"))
+      // NOT distinct'd (r13): both consumers are duplicate-insensitive —
+      // smins takes a MIN per key and afterSmall ends in its own
+      // distinct — and multiplicity is bounded by |symm| = 2|E|, so the
+      // intermediate exchange+agg bought nothing (guide §2.4: a distinct
+      // on data whose consumers dedup anyway is a removable shuffle)
       val afterLarge = symm.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
 
       // SMALL-STAR over big→small edges: m(u) = min of smaller neighbors;
       // emit (w, m) for w ∈ N(u) ∪ {u}, w ≠ m

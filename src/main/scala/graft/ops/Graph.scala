@@ -507,7 +507,15 @@ object Graph {
     // one half-step: raw(n) = Σ opposite-score over the edge side,
     // renormalized to (raw · scale) div max — IntegralDivide on the
     // decimal sums truncates toward zero (positive here, so = floor),
-    // matching integer `//` replay on the oracle side
+    // matching integer `//` replay on the oracle side.
+    // r13: intermediate score tables stay SPARSE — a node absent from
+    // the sum (no edges on that side, or fed only by 0-score nodes) is
+    // exactly a 0-score node: it contributes 0 to every downstream sum
+    // and cannot own max(raw) while any score is positive (and one
+    // always is: the max-auth node has an in-edge, so some hub sums it).
+    // The dense zero-fill (|nodes|-row left join per half-step, 2·iters
+    // joins) happens ONCE on the final output — bit-identical scores,
+    // guide §2.4.
     def halfStep(scores: DataFrame, joinKey: String,
         outKey: String, outCol: String): DataFrame = {
       val raw = Caches.registerDf(
@@ -516,11 +524,9 @@ object Graph {
           .agg(sum(col("__s__").cast("decimal(38,0)")).as("__raw__"))
           .persist(lvl))
       val mx = raw.agg(max(col("__raw__")).as("__mx__"))
-      val norm = raw.crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("node"),
-          expr(s"(__raw__ * $scale) div __mx__").as("__s__"))
-      nodes.join(norm, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__s__"), lit(0L)).as(outCol))
+          expr(s"(__raw__ * $scale) div __mx__").as(outCol))
     }
     var hub = nodes.withColumn("hub_micros", lit(scale))
     var auth = nodes.withColumn("auth_micros", lit(scale))
@@ -535,8 +541,10 @@ object Graph {
         auth = auth.localCheckpoint(); hub = hub.localCheckpoint()
       }
     }
-    hub.join(auth, "node")
-      .select(col("node"), col("hub_micros"), col("auth_micros"))
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_micros"), lit(0L)).as("hub_micros"),
+        coalesce(col("auth_micros"), lit(0L)).as("auth_micros"))
   }
 
   /** Newman modularity of a community assignment over the undirected

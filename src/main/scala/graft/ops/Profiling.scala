@@ -3035,9 +3035,16 @@ object Profiling {
       col(loserCol).cast("string").as("__l__"))
       .filter(col("__w__").isNotNull && col("__l__").isNotNull &&
         col("__w__") =!= col("__l__"))
-    val pairs = d.select(col("__w__").as("i"), col("__l__").as("j"))
-      .unionAll(d.select(col("__l__").as("i"), col("__w__").as("j")))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+    // pairs is consumed once per iteration (and seeds s) and is
+    // players²-bounded — persisting it keeps the duel table from being
+    // re-scanned/re-aggregated per iteration and shrinks every
+    // iteration's plan to a cached-table read (guide §5: reuse ×
+    // recompute cost). Released by the consumer via Caches.
+    val pairs = Caches.registerDf(
+      d.select(col("__w__").as("i"), col("__l__").as("j"))
+        .unionAll(d.select(col("__l__").as("i"), col("__w__").as("j")))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wins = d.groupBy(col("__w__").as("i")).agg(count(lit(1)).as("w"))
     var s = pairs.groupBy(col("i"))
       .agg(sum(col("n")).as("n_duels"))
@@ -3063,6 +3070,11 @@ object Profiling {
         .select(col("i"), col("wins"), col("n_duels"),
           coalesce(try_divide(col("wins").cast("double"), col("__d__")),
             lit(0.0)).as("s"))
+        // s feeds the next iteration TWICE (as si and sj), so an
+        // uncheckpointed recurrence doubles the plan per iteration
+        // (2^iters subtrees — the hits-documented planner blowup);
+        // the |players|-row barrier is cheap and value-neutral
+        .localCheckpoint()
     }
     val tot = s
       .agg(sort_array(collect_list(struct(col("i"), col("s").as("t"))))
@@ -4085,6 +4097,12 @@ object Profiling {
     // ranks from two sorts over the SAME partitioning, no per-value
     // histogram and no join-back
     val wBlk = Window.partitionBy(col(groupCol), col("__blk__"))
+    // NOT persisted despite three consumers: measured (r13) — persisting
+    // the windowed table costs +24% wall / 3× task time at sf0.1, the
+    // same InMemoryRelation-defeats-exchange-reuse effect documented on
+    // [[krippendorffAlpha]]/[[cochranQ]]; ReusedExchange already shares
+    // the one block-keyed shuffle and the re-run window sorts are
+    // cheaper than the materialization barrier.
     val ranked = base
       .withColumn("__bs__", count(lit(1)).over(wBlk))
       .withColumn("__r2__",

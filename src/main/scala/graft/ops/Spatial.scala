@@ -51,6 +51,25 @@ object Spatial {
     * k points contributes k² candidate checks; choose the radius (=
     * cell width) against the data density the same way LSH bands are
     * sized ([[Dedup.lshTuning]] is the analogous sweep). */
+  /** Exact squared distance between two candidate endpoints of the grid
+    * join. Candidates share a cell or sit in adjacent cells, so
+    * |Δ| < 2·width by construction — for width ≤ 1e9 the whole
+    * computation (Δ² + Δ² < 8·width² < 2⁶³) stays in codegen'd BIGINTs;
+    * the decimal(38,0) path only remains for the extreme-radius tail
+    * (r13, guide §4: the decimal multiply allocates BigDecimals per
+    * candidate row — measured ~5× the task time of the long path on the
+    * q359 hot-box join). Same exact integers either way. */
+  private def candDist2(width: Long, xa: Column, ya: Column, xb: Column,
+      yb: Column): Column =
+    if (width <= 1000000000L) {
+      val dx = xa - xb
+      val dy = ya - yb
+      dx * dx + dy * dy
+    } else {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      dec(xa - xb) * dec(xa - xb) + dec(ya - yb) * dec(ya - yb)
+    }
+
   def gridRadiusJoin(df: DataFrame, idCol: String, xCol: String,
       yCol: String, radius: Long): DataFrame = {
     require(radius > 0 && radius <= 3000000000L,
@@ -59,7 +78,6 @@ object Spatial {
     val pts = df.select(col(idCol).as("__id__"),
       col(xCol).cast("long").as("__x__"),
       col(yCol).cast("long").as("__y__"))
-    def dec(c: Column) = c.cast("decimal(38,0)")
     val withCell = pts
       .withColumn("__cx__", cellIdx("__x__", radius))
       .withColumn("__cy__", cellIdx("__y__", radius))
@@ -73,9 +91,8 @@ object Spatial {
       .select(col("__idb__"), col("__xb__"), col("__yb__"),
         (col("__cxb__") + col("__o__.dx")).as("__ncx__"),
         (col("__cyb__") + col("__o__.dy")).as("__ncy__"))
-    val d2 = dec(col("__x__") - col("__xb__")) *
-      dec(col("__x__") - col("__xb__")) +
-      dec(col("__y__") - col("__yb__")) * dec(col("__y__") - col("__yb__"))
+    val d2 = candDist2(radius, col("__x__"), col("__y__"),
+      col("__xb__"), col("__yb__"))
     withCell.join(probe,
         col("__cx__") === col("__ncx__") && col("__cy__") === col("__ncy__")
           && col("__id__") < col("__idb__"))
@@ -156,7 +173,6 @@ object Spatial {
       s"radius must be in (0, 3e9] so dist² fits BIGINT; got $radius")
     requireCoords(a, xCol, yCol, "gridRadiusJoinAB")
     requireCoords(b, xCol, yCol, "gridRadiusJoinAB")
-    def dec(c: Column) = c.cast("decimal(38,0)")
     val build = a.select(col(aIdCol).as("__id__"),
         col(xCol).cast("long").as("__x__"),
         col(yCol).cast("long").as("__y__"))
@@ -175,9 +191,8 @@ object Spatial {
       .select(col("__idb__"), col("__xb__"), col("__yb__"),
         (col("__cxb__") + col("__o__.dx")).as("__ncx__"),
         (col("__cyb__") + col("__o__.dy")).as("__ncy__"))
-    val d2 = dec(col("__x__") - col("__xb__")) *
-      dec(col("__x__") - col("__xb__")) +
-      dec(col("__y__") - col("__yb__")) * dec(col("__y__") - col("__yb__"))
+    val d2 = candDist2(radius, col("__x__"), col("__y__"),
+      col("__xb__"), col("__yb__"))
     build.join(probe,
         col("__cx__") === col("__ncx__") && col("__cy__") === col("__ncy__"))
       .filter(d2 <= lit(radius) * lit(radius))

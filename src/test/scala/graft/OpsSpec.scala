@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Clustering, Dedup, Similarity, TextAnalysis, Multimodal}
 import graft.functions.{NativeHashes, HashImpls}
 
 class OpsSpec extends AnyFunSuite {
@@ -417,6 +417,40 @@ class OpsSpec extends AnyFunSuite {
       if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1) ||
         (r.getDouble(0).isNaN && r.getDouble(1).isNaN), r)
     }
+  }
+
+  test("native l2sq_long == zip_with/aggregate lambda fold (incl. null edges)") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit, expr}
+    def lambda(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, m) => (x - m) * (x - m)),
+        lit(0L), (acc, d) => acc + d)
+    // quantized real embeddings against a shifted copy of themselves
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+      .select($"vec_id",
+        Clustering.quantizeFixed($"embedding", 1000).as("a"))
+      .withColumn("b", expr("transform(a, x -> x + 7L)"))
+    val both = emb.select(
+      graft.functions.NativeHashes.l2sq_long($"a", $"b").as("x"),
+      lambda($"a", $"b").as("y"))
+    assert(both.filter($"x" =!= $"y").count() == 0)
+    assert(both.filter($"x".isNull).count() == 0)
+    // null semantics: length mismatch and a null element both null the
+    // fold in the lambda spec — the native must agree
+    val edges = Seq(1).toDF("i").select(
+      expr("array(1L, 2L, 3L)").as("a3"),
+      expr("array(1L, 2L)").as("a2"),
+      expr("array(1L, cast(null as long), 3L)").as("an"))
+    val e = edges.select(
+      graft.functions.NativeHashes.l2sq_long($"a3", $"a2").as("n1"),
+      lambda($"a3", $"a2").as("l1"),
+      graft.functions.NativeHashes.l2sq_long($"a3", $"an").as("n2"),
+      lambda($"a3", $"an").as("l2"),
+      graft.functions.NativeHashes.l2sq_long($"a3", $"a3").as("n3"),
+      lambda($"a3", $"a3").as("l3")).collect().head
+    assert(e.isNullAt(0) && e.isNullAt(1), "length mismatch must be null")
+    assert(e.isNullAt(2) && e.isNullAt(3), "null element must be null")
+    assert(!e.isNullAt(4) && e.getLong(4) == 0L && e.getLong(5) == 0L)
   }
 
   test("native dot product == SQL-lambda fold on real embeddings") {
