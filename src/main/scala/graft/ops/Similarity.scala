@@ -205,6 +205,95 @@ object Similarity {
         col("max_sim_prev"), col("mmr"))
   }
 
+  /** [[mmrSelect]] run independently over every GROUP of a keyed
+    * candidate table in LOCKSTEP — the serving-batch shape (one MMR
+    * rerank per retrieval query): round r computes EVERY group's argmax
+    * in one partial-aggregable `groupBy(group).max(struct)` and ONE
+    * |groups|-row collect, then folds each group's new cosine into its
+    * `__ms__` column via a broadcast join against the collected picks
+    * (a LocalRelation — no self-join against the aggregate, so plans
+    * stay linear in rounds). Value-identical per group to
+    * `mmrSelect(vecs.filter(group === g), ...)` — same argmax struct
+    * order (mmr, then smaller id), same greatest-fold, same float
+    * bits (the pick's vector rides the collect/broadcast unchanged) —
+    * OpsSpec differential-asserts the identity. Driver round trips:
+    * k TOTAL instead of |groups|·k (r13: the q381 chain spent ~70% of
+    * its wall in per-query mmrSelect round trips).
+    *
+    * Group and id columns are cast to long (the [[mmrSelect]] idCol
+    * contract). Returns `(groupCol, rank, <idCol>, relevance,
+    * max_sim_prev, mmr)`; a group stops early when its candidates run
+    * out. */
+  def mmrSelectGrouped(vecs: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int, lamNum: Long = 7,
+      lamDen: Long = 10, checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"need 0 <= lamNum <= lamDen, got $lamNum/$lamDen")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cur = vecs.select(
+        col(groupCol).cast("long").as("__g__"),
+        col(idCol).cast("long").as("__id__"),
+        col(vecCol).cast("array<float>").as("__v__"),
+        col(relCol).cast("double").as("__r__"))
+      .filter(col("__r__").isNotNull)
+      .withColumn("__ms__", lit(null).cast("double"))
+      .localCheckpoint()
+    // (group, rank, id, rel, maxSimPrev, mmr) in selection order
+    var selected = Vector.empty[(Long, Int, Long, Double,
+      Option[Double], Double)]
+    val rankWithin = scala.collection.mutable.Map.empty[Long, Int]
+    var done = false
+    for (r <- 1 to k if !done) {
+      val score = (lit(lamNum) * col("__r__") -
+        lit(lamDen - lamNum) * coalesce(col("__ms__"), lit(0.0))) /
+        lit(lamDen)
+      val bests = cur.withColumn("__mmr__", score)
+        .groupBy(col("__g__"))
+        .agg(max(struct(col("__mmr__").as("m"), (-col("__id__")).as("nid"),
+          col("__r__").as("rel"), col("__ms__").as("ms"),
+          col("__v__").as("v"))).as("__b__"))
+        .select(col("__g__"), col("__b__.m"), col("__b__.nid"),
+          col("__b__.rel"), col("__b__.ms"), col("__b__.v"))
+        .collect()
+      if (bests.isEmpty) done = true
+      else {
+        val picks = bests.map { row =>
+          val g = row.getLong(0)
+          val rk = rankWithin.getOrElse(g, 0) + 1
+          rankWithin(g) = rk
+          selected = selected :+ ((g, rk, -row.getLong(2),
+            row.getDouble(3),
+            if (row.isNullAt(4)) None else Some(row.getDouble(4)),
+            row.getDouble(1)))
+          (g, -row.getLong(2), row.getSeq[Float](5))
+        }.toSeq
+        if (r < k) {
+          val pk = picks.toDF("__g__", "__pid__", "__pv__")
+            .select(col("__g__"), col("__pid__"),
+              col("__pv__").cast("array<float>").as("__pv__"))
+          cur = cur.join(broadcast(pk), Seq("__g__"))
+            .filter(col("__id__") =!= col("__pid__"))
+            .withColumn("__ms__", greatest(col("__ms__"),
+              cosine(col("__v__"), col("__pv__"))))
+            .drop("__pid__", "__pv__")
+          if (r % checkpointEvery == 0) cur = cur.localCheckpoint()
+        }
+      }
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    selected.map { case (g, rk, id, rel, ms, mmr) =>
+      (g, rk, id, r6(rel), ms.map(r6), r6(mmr))
+    }.toDF("__g__", "rank", "__pick__", "relevance", "max_sim_prev",
+      "mmr")
+      .select(col("__g__").as(groupCol), col("rank"),
+        col("__pick__").as(idCol), col("relevance"),
+        col("max_sim_prev"), col("mmr"))
+  }
+
   /** Direct (recompute) formulation of [[mmrSelect]] — each round
     * recomputes max-sim against ALL selected vectors (|C|·k²/2 sims
     * total). Value-identical to the incremental fold by the

@@ -4795,15 +4795,12 @@ object PipelineQueries {
           .join(e.select(col("vec_id").as("neighbor_id"),
             col("embedding")), Seq("neighbor_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // the survivor id list is |batch|-bounded (12), a driver-scale
-      // loop by construction — the mmrSelect round-trip posture
-      val qids = cands.select(col("query_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      qids.map { q =>
-        Similarity.mmrSelect(cands.filter(col("query_id") === q),
-            "neighbor_id", "embedding", "cosine", k = 3)
-          .withColumn("query_id", lit(q))
-      }.reduce(_ unionByName _)
+      // r13: all per-query reranks advance in LOCKSTEP — one argmax
+      // collect per MMR round instead of |queries|·k round trips
+      // (value-identical per group; OpsSpec differential-asserts
+      // grouped ≡ per-query mmrSelect)
+      Similarity.mmrSelectGrouped(cands, "query_id", "neighbor_id",
+          "embedding", "cosine", k = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("relevance"), col("max_sim_prev"), col("mmr"))
         .orderBy(col("query_id"), col("rank"))

@@ -453,6 +453,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!e.isNullAt(4) && e.getLong(4) == 0L && e.getLong(5) == 0L)
   }
 
+  test("mmrSelectGrouped == per-group mmrSelect (lockstep rerank identity)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding",
+        ($"vec_id" % 3).as("grp"),
+        // deterministic relevance with ties inside a group
+        (($"vec_id" % 7).cast("double") / 10.0).as("rel"))
+      .limit(60)
+    val grouped = Similarity.mmrSelectGrouped(emb, "grp", "vec_id",
+        "embedding", "rel", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getDouble(5))).toSet
+    val perGroup = (0L to 2L).flatMap { g =>
+      Similarity.mmrSelect(emb.filter($"grp" === g), "vec_id",
+          "embedding", "rel", k = 4)
+        .collect().map(r => (g, r.getInt(0), r.getLong(1),
+          r.getDouble(2), if (r.isNullAt(3)) null else r.getDouble(3),
+          r.getDouble(4)))
+    }.toSet
+    assert(grouped == perGroup)
+    assert(grouped.nonEmpty)
+  }
+
   test("native dot product == SQL-lambda fold on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.limit(50).select($"vec_id", $"embedding".as("a"))
