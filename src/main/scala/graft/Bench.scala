@@ -693,7 +693,28 @@ object Bench {
       s"""{"queries":$fullQs,"per_pass":$passJson,"plan_fp":$fpJson,"plan_fp_strict":$fpStrictJson,$summary}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] $detailFile write failed: ${e.getMessage}") }
-    println(s"""{"queries":$qs,$summary}""")
+    // r14 (VERDICT_r13 #2): the stdout consumer captures only the LAST
+    // 2000 chars of output, and the 378-entry "queries" map made the
+    // final line tens of KB — it has been truncated mid-JSON (and thus
+    // unparseable) in EVERY round so far. The final line is now a
+    // COMPACT summary guaranteed to fit the capture window: headline
+    // scalars, per-query-evidence pointer ("queries" detail lives in
+    // `detail_file`, written above with full precision and every pass),
+    // failure/contamination state, and fp-diff COUNTS. Set
+    // SPARK_GRAFT_BENCH_STDOUT_FULL=1 to restore the historical full
+    // line (kept for byte-level comparison against old rounds).
+    if (sys.env.get("SPARK_GRAFT_BENCH_STDOUT_FULL").contains("1"))
+      println(s"""{"queries":$qs,$summary}""")
+    else {
+      val failedCompact = failed.take(10).map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val runTotalsCompact = allPasses.map(p => fmt4(
+        passData.getOrElse(p, scala.collection.mutable
+          .Map.empty[String, Double]).values.sum))
+        .mkString("[", ",", "]")
+      val fpCompact = s"""{"prev_found":${prevFps.nonEmpty},"same":$fpSame,"new_queries":$fpNew,"changed_n":${fpChanged.size},"strict_changed_n":${fpStrictChanged.size}}"""
+      println(s"""{"metric":"total","unit":"sec","value":${fmt4(total)},"sf":"$sfDir","n_queries":${names.size},"passes":${retained.size},"exec":"full-plan","queries_detail_file":"$detailFile","detail_file":"$detailFile"$subsetJson,"calibration_sec":$calJson,"run_totals_sec":$runTotalsCompact,"n_failed":${failed.size},"failed_head":$failedCompact,"contaminated_passes":$contamJson,"n_skipped_sink_writers":${sinkWriters.size},"plan_fp_diff":$fpCompact}""")
+    }
     spark.stop()
   }
 }

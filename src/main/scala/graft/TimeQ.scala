@@ -72,6 +72,10 @@ object TimeQ {
       // metadata cost is ~100-250 MB, fine for any long-lived executor.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // dev A/B knob only (TimeQ is not the bench): TIMEQ_AQE=false
+      // isolates AQE stage-materialization latency from DAG scheduling
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("TIMEQ_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,11 +91,22 @@ object TimeQ {
         q(spark, sfDir).queryExecution.toRdd.count()
         val s = (System.nanoTime() - t0) / 1e9
         graft.ops.Caches.releaseAll()
-        // listener bus is async; give the final events a beat to land
-        Thread.sleep(80)
-        last = (meter.jobs.get, meter.stages.get, meter.tasks.get,
+        // listener bus is async: poll until two consecutive reads agree
+        // (r13 ADVICE — a fixed 80ms undercounted on slow runs), with a
+        // 2s cap so a wedged bus cannot hang the harness
+        def snap() = (meter.jobs.get, meter.stages.get, meter.tasks.get,
           meter.taskMs.get, meter.gcMs.get, meter.shufRead.get,
           meter.shufWrite.get)
+        var prev = snap()
+        var stable = false
+        val deadline = System.nanoTime() + 2000000000L
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(40)
+          val now = snap()
+          stable = now == prev
+          prev = now
+        }
+        last = prev
         s
       }
       println(f"[timeq] $n%-28s min=${secs.min}%.3f  all=" +

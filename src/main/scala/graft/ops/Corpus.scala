@@ -551,27 +551,59 @@ object Corpus {
     require(shingleK >= 1, s"shingle size must be >= 1, got $shingleK")
     val spark = df.sparkSession
     import spark.implicits._
+    // r14 note (guide §2.4, measured and REJECTED): persisting this
+    // pre-partitioned on __id__ removes the per-round groupBy exchange
+    // but PINS the cache at shuffle.partitions-way layout (cached plans
+    // keep their output partitioning), defeating the AQE coalescing
+    // that otherwise collapses each round's scan to ~2 tasks — measured
+    // q369 1.37→3.64 s, q374 4.12→4.99 s (task count, not bytes). The
+    // exchange is cheaper than the tasks; layout stays AQE's call.
     val pairs = Caches.registerDf(coveragePairs(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    // r14 (guide §2.3 — shuffle/scan the digest, not the corpus, and
+    // don't scan twice): the covered-shingle digest is now HELD ON THE
+    // DRIVER and shipped as a broadcast LocalRelation, instead of being
+    // re-derived from a full pair-table scan every round. Each round
+    // collects only the NEW pick's hash set (a one-id filter the cache's
+    // batch stats prune). Driver footprint is UNCHANGED: the old
+    // broadcast already collected the same ≤ picks·shingles-per-doc
+    // digest to the driver to build the broadcast relation — this skips
+    // the per-round rebuild scan, not a memory bound. (The digest-size
+    // assumption is the same too: pathological shingle-per-doc counts ×
+    // large k would stress any broadcast — r13 ADVICE — so the size is
+    // logged when it grows past 10M entries.)
+    val covered = scala.collection.mutable.LinkedHashSet.empty[Long]
+    def coveredDf() = {
+      if (covered.size > 10000000)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"maxCoverageSelect covered digest at ${covered.size} hashes — " +
+            "broadcast/driver pressure; cap shingles per doc upstream")
+      covered.toSeq.toDF("__h__")
+    }
     var exhausted = false
     for (r <- 1 to k if !exhausted) {
-      val best = pairs
+      val base =
+        if (covered.isEmpty) pairs
         // broadcast hint (r13): the digest is ≤ (picks so far)·(shingles
         // per doc) rows by construction — bounded and small at ANY
         // corpus size (k is a selection budget, docs bounded-length) —
-        // so the anti join must never be allowed to fall to sort-merge
-        // on a bad size estimate of the filtered cached pair table
-        // (estimates ride the cache's sizeInBytes, not the id filter).
-        .join(broadcast(coveredDigest(pairs, picks.map(_._2).toSeq)),
-          Seq("__h__"), "left_anti")
+        // so the anti join must never be allowed to fall to sort-merge.
+        else pairs.join(broadcast(coveredDf()), Seq("__h__"), "left_anti")
+      val best = base
         .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
         .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
           .as("__b__"))
         .select(col("__b__.c").as("c"), col("__b__.nid").as("nid"))
         .collect().head
       if (best.isNullAt(0)) exhausted = true
-      else picks += ((r, -best.getLong(1), best.getLong(0)))
+      else {
+        val id = -best.getLong(1)
+        picks += ((r, id, best.getLong(0)))
+        if (r < k)
+          covered ++= pairs.filter(col("__id__") === id)
+            .select(col("__h__")).collect().map(_.getLong(0))
+      }
     }
     picks.toSeq.toDF("rank", "__pick__", "marginal_coverage")
       .select(col("rank").cast("int").as("rank"),
@@ -586,12 +618,6 @@ object Corpus {
       explode(graft.functions.NativeHashes.shingle_hashes(
         coalesce(col(textCol), lit("")), shingleK)).as("__h__"))
     .distinct()
-
-  /** Covered-shingle digest: the persisted pair table filtered to the
-    * selected ids (≤k literals). Dupes are harmless under left_anti. */
-  private def coveredDigest(pairs: DataFrame, ids: Seq[Long]): DataFrame =
-    if (ids.isEmpty) pairs.filter(lit(false)).select(col("__h__"))
-    else pairs.filter(col("__id__").isInCollection(ids)).select(col("__h__"))
 
   /** Stochastic-greedy max-coverage (Mirzasoleiman et al. 2015, "Lazier
     * Than Lazy Greedy"): round r scores only a CONTENT-HASH-SAMPLED
@@ -628,21 +654,34 @@ object Corpus {
     val pairs = Caches.registerDf(coveragePairs(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    // driver-held covered digest, same rationale and bound as the exact
+    // twin ([[maxCoverageSelect]] r14 note): the per-round broadcast no
+    // longer re-scans the pair table
+    val covered = scala.collection.mutable.LinkedHashSet.empty[Long]
     for (r <- 1 to k) {
       val ids = picks.map(_._2).toSeq
       val inPool = pmod(xxhash64(col("__id__"), lit(r)), lit(1L << 20)) < thr
       val unselected = if (ids.isEmpty) lit(true)
         else !col("__id__").isInCollection(ids)
-      val best = pairs.filter(inPool && unselected)
+      val pool = pairs.filter(inPool && unselected)
+      val base =
+        if (covered.isEmpty) pool
         // broadcast for the same reason as [[maxCoverageSelect]]'s round
-        .join(broadcast(coveredDigest(pairs, ids)), Seq("__h__"), "left_anti")
+        else pool.join(broadcast(covered.toSeq.toDF("__h__")),
+          Seq("__h__"), "left_anti")
+      val best = base
         .groupBy(col("__id__")).agg(count(lit(1)).as("__c__"))
         .agg(max(struct(col("__c__").as("c"), (-col("__id__")).as("nid")))
           .as("__b__"))
         .select(col("__b__.c").as("c"), col("__b__.nid").as("nid"))
         .collect().head
-      if (!best.isNullAt(0))
-        picks += ((picks.size + 1, -best.getLong(1), best.getLong(0)))
+      if (!best.isNullAt(0)) {
+        val id = -best.getLong(1)
+        picks += ((picks.size + 1, id, best.getLong(0)))
+        if (r < k)
+          covered ++= pairs.filter(col("__id__") === id)
+            .select(col("__h__")).collect().map(_.getLong(0))
+      }
     }
     picks.toSeq.toDF("rank", "__pick__", "marginal_coverage")
       .select(col("rank").cast("int").as("rank"),

@@ -1180,30 +1180,40 @@ object Dedup {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // r14 (guide §2.4): both star phases are per-group MINs emitted
+      // back onto every group row — a WINDOW shape, not a groupBy+join
+      // one. Each phase now pays ONE exchange (hash on u, window min
+      // over the unordered frame) instead of two (agg exchange + join
+      // exchange) plus a sort-merge join; per-round exchanges drop
+      // 5 → 3 and the per-round AQE stage count follows (the loop was
+      // measured stage-latency-bound, not compute-bound: q330 2.3
+      // task-sec in 4.4 s wall).
       // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ {u});
       // emit (v, m(u)) for v ∈ Γ(u), v > u
       val symm = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = symm.groupBy(col("u"))
-        .agg(min(col("v")).as("__mn__"))
-        .select(col("u"), least(col("__mn__"), col("u")).as("m"))
-      // NOT distinct'd (r13): both consumers are duplicate-insensitive —
-      // smins takes a MIN per key and afterSmall ends in its own
-      // distinct — and multiplicity is bounded by |symm| = 2|E|, so the
-      // intermediate exchange+agg bought nothing (guide §2.4: a distinct
-      // on data whose consumers dedup anyway is a removable shuffle)
-      val afterLarge = symm.filter(col("v") > col("u"))
-        .join(mins, "u")
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      val afterLarge = symm
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
 
-      // SMALL-STAR over big→small edges: m(u) = min of smaller neighbors;
-      // emit (w, m) for w ∈ N(u) ∪ {u}, w ≠ m
-      val smins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val afterSmall = afterLarge.join(smins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+      // SMALL-STAR over big→small edges: m(u) = min of smaller neighbors
+      // (all afterLarge rows have v < u); emit (w, m) for w ∈ N(u) ∪ {u},
+      // w ≠ m. The group row (u, m) is emitted from the rows where
+      // v = m — afterLarge is not deduped, so that may fire several
+      // times per group, which the terminal distinct collapses exactly
+      // like the old union(smins) leg did (set-identical output).
+      val afterSmall = afterLarge
+        .withColumn("m", min(col("v")).over(wU))
+        .select(explode(when(col("v") === col("m"),
+            array(struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u").as("u"), col("m").as("v"))))
+          .otherwise(array(
+            struct(col("v").as("u"), col("m").as("v"))))).as("__e__"))
+        .select(col("__e__.u").as("u"), col("__e__.v").as("v"))
         .filter(col("u") =!= col("v"))
-        .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
 
       val (nextEdges, nextRdd) = wrap(afterSmall)

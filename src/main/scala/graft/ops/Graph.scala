@@ -60,24 +60,38 @@ object Graph {
     val deg = e.groupBy(col("__src__")).agg(count(lit(1)).as("__od__"))
     val ew = Caches.registerDf(e.join(deg, "__src__").persist(lvl))
     val base = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.withColumn("rank_micros", lit(scale))
+    // r14 (guide §2.4, the r13 HITS sparse-intermediate discipline):
+    // ranks stay SPARSE over the in-edge node set. A node with no
+    // in-edges holds rank = base from iteration 1 on (= scale·(1−d)
+    // exactly), so the per-iteration dense zero-fill join against the
+    // full |nodes| table bought nothing: iteration 1 needs NO rank join
+    // at all (every rank is the constant `scale`), and later iterations
+    // read absent nodes as the constant `base` via a left-join coalesce
+    // on the contribution side. Bit-identical ranks (exact integer
+    // algebra on which rows are materialized, not on values); the dense
+    // fill happens ONCE on the final output.
+    var ranks: DataFrame = null
     for (i <- 1 to iters) {
-      val contribs = ew
-        .join(ranks, ew("__src__") === ranks("node"))
-        .select(col("__dst__"),
-          expr("rank_micros div __od__").as("__c__"))
+      val contribs =
+        if (i == 1) ew.select(col("__dst__"),
+          expr(s"${scale}L div __od__").as("__c__"))
+        else ew
+          .join(ranks, ew("__src__") === ranks("node"), "left")
+          .select(col("__dst__"),
+            expr(s"coalesce(rank_micros, ${base}L) div __od__").as("__c__"))
+      ranks = contribs
         .groupBy(col("__dst__")).agg(sum(col("__c__")).as("__s__"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("__dst__"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(__s__, 0L)) div $dampDen"))
+        .select(col("__dst__").as("node"),
+          (lit(base) + expr(s"($dampNum * __s__) div $dampDen"))
             .as("rank_micros"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        // eager local checkpoint: materializes this round's |nodes|-row
-        // rank table on the executors and restarts lineage from it
+        // eager local checkpoint: materializes this round's rank table
+        // on the executors and restarts lineage from it
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    nodes.join(ranks, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("rank_micros"), lit(base)).as("rank_micros"))
   }
 
   /** Per-node triangle participation counts over an UNDIRECTED graph
@@ -538,7 +552,12 @@ object Graph {
           col("auth_micros").as("__s__")),
         "__dst__", "__src__", "hub_micros")
       if (i % checkpointEvery == 0 && i < iters) {
-        auth = auth.localCheckpoint(); hub = hub.localCheckpoint()
+        // r14: checkpoint only HUB — auth's next-iteration lineage roots
+        // at the hub checkpoint (auth_{i+1} = f(hub_i^ckpt)), so the
+        // tree still cannot compound, and one of the two per-iteration
+        // barrier actions (plus its stages) disappears. The raw-sum
+        // persists keep each half-step's aggregate single-computed.
+        hub = hub.localCheckpoint()
       }
     }
     nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
