@@ -1594,6 +1594,13 @@ object Corpus {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // r14: one action per round instead of two. The merge-applied child
+    // is persisted LAZILY; the NEXT round's argmax job fills its cache
+    // (the parent cache stays alive until then — `toRelease` defers the
+    // unpersist by one round, so nothing ever recomputes from source).
+    // The final round's child is never computed at all (nothing reads
+    // it), where the old explicit materialization paid a wasted job.
+    var toRelease: Option[DataFrame] = None
     while (rank <= numMerges && !exhausted) {
       val top = vocab.filter(size(col("__syms__")) >= 2)
         .select(col("__wn__"), explode(transform(
@@ -1604,6 +1611,10 @@ object Corpus {
         .agg(sum(col("__wn__")).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      // the argmax above materialized `vocab`'s cache — the previous
+      // round's table has no remaining consumer now
+      toRelease.foreach(_.unpersist(blocking = false))
+      toRelease = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top.head.getAs[String]("a"),
@@ -1612,15 +1623,21 @@ object Corpus {
         val next = vocab.select(
           graft.functions.NativeText.bpe_merge_once(col("__syms__"), a, b)
             .as("__syms__"), col("__wn__"))
-        // materialize the child BEFORE dropping the parent cache, or the
-        // next action would recompute the whole merge chain from source
-        val mat = if (rank % checkpointEvery == 0) next.localCheckpoint()
-          else { next.persist(); next.queryExecution.toRdd.count(); next }
-        vocab.unpersist(blocking = false)
-        vocab = mat
+        if (rank % checkpointEvery == 0) {
+          // eager lineage cut (production merge counts): materializes
+          // from the parent cache, which can then be dropped at once
+          val mat = next.localCheckpoint()
+          vocab.unpersist(blocking = false)
+          vocab = mat
+        } else {
+          next.persist()
+          toRelease = Some(vocab)
+          vocab = next
+        }
         rank += 1
       }
     }
+    toRelease.foreach(_.unpersist(blocking = false))
     vocab.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }

@@ -914,7 +914,15 @@ object Dedup {
     minhashProbeWith(
       minhashIndexCorpus(corpus, idCol, textCol, bands, rows, shingleK,
         maxBucketSize, hashedBandKeys, persist = false),
-      batch, idCol, textCol, threshold)
+      batch, idCol, textCol, threshold,
+      // r14 (guide §2.3 — compute on survivors, not the corpus): the
+      // ONE-SHOT path has no materialized set table to reuse, so the
+      // exact-Jaccard verify re-derives shingle sets lazily — without
+      // this, every corpus row paid shingle_hashes + array_distinct
+      // just to be thrown away by the candidate join. The raw text
+      // rides the join instead; sets are computed per CANDIDATE row.
+      corpusText = Some(corpus.select(col(idCol).as("corpus_id"),
+        col(textCol).as("__ctext__"))))
 
   /** A frozen corpus-side MinHash index: the (capped) LSH band table
     * plus the per-doc shingle-hash sets the exact-Jaccard verify reads.
@@ -965,7 +973,17 @@ object Dedup {
     * cost is batch-sized, never corpus-sized. */
   def minhashProbeWith(index: MinhashCorpusIndex, batch: DataFrame,
       idCol: String, textCol: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      /** One-shot mode (r14): when the index's set table is NOT a
+        * persisted artifact, joining `index.sets` forces shingle sets to
+        * be computed for EVERY corpus row before the candidate filter.
+        * Passing the raw `(corpus_id, __ctext__)` frame instead moves
+        * the candidate join BELOW the set computation: text rides the
+        * (broadcast-candidate) join and only surviving rows pay
+        * shingling. Identical jaccard values — same expression, fewer
+        * evaluations. Maintained/persisted indexes (streaming) keep the
+        * default: their set table is already materialized. */
+      corpusText: Option[DataFrame] = None): DataFrame = {
     val bb = bandTable(batch, idCol, textCol, index.bands, index.rows,
       index.shingleK, index.hashedBandKeys)
     val cands = bb.alias("nb")
@@ -977,9 +995,19 @@ object Dedup {
     val sa = batch.select(col(idCol).as("batch_id"),
       array_distinct(graft.functions.NativeHashes.shingle_hashes(
         col(textCol), index.shingleK)).as("sa"))
-    cands
-      .join(sa, "batch_id")
-      .join(index.sets, "corpus_id")
+    val withSets = corpusText match {
+      case Some(raw) => cands
+        .join(sa, "batch_id")
+        .join(raw, "corpus_id")
+        .withColumn("sb", array_distinct(
+          graft.functions.NativeHashes.shingle_hashes(
+            col("__ctext__"), index.shingleK)))
+        .drop("__ctext__")
+      case None => cands
+        .join(sa, "batch_id")
+        .join(index.sets, "corpus_id")
+    }
+    withSets
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))

@@ -176,6 +176,24 @@ object Multimodal {
     bb.array()
   }
 
+  /** Ids-only spread ahead of per-row codec work (r14, guide §8: move
+    * keys, not payloads). The generated-media sources read their ids
+    * from ONE parquet row group, so every downstream encode+decode ran
+    * in a single task; a deterministic hash repartition of the BARE
+    * 8-byte ids (payloads are synthesized after the exchange, so the
+    * shuffle moves ~nothing) spreads the codec CPU across the cluster.
+    * Partition count follows `defaultParallelism` — session-derived,
+    * not a constant — and is pinned explicitly because AQE would
+    * otherwise coalesce a sub-MB ids shuffle back to one partition,
+    * which is exactly the single-task layout being fixed. Applied only
+    * to the REAL-payload generators; the header-only synthesizers are
+    * too cheap to be worth a plan change. */
+  private def idsSpread(docs: DataFrame, idCol: String): DataFrame = {
+    val n = math.max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    docs.select(col(idCol).cast("long").as("__mid__"))
+      .repartition(n, col("__mid__"))
+  }
+
   /** Synthetic PNG blob per row, dimensions a deterministic function of
     * the id — the construct half of the construct↔parse oracle check. */
   def withSyntheticPng(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
@@ -489,7 +507,7 @@ object Multimodal {
   def withSyntheticWavPcm(docs: DataFrame, idCol: String,
       nSamples: Int = 64): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    idsSpread(docs, idCol).as[Long].mapPartitions(_.map { id =>
       val channels = 1 + (id % 2).toInt
       val samples = Array.tabulate(channels, nSamples)(
         (c, i) => synthSample(id, i, c).toShort)
@@ -723,7 +741,7 @@ object Multimodal {
       frameBytes: Int = 32, repeat: Int = 3): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     require(repeat >= 1, "repeat must be >= 1")
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    idsSpread(docs, idCol).as[Long].mapPartitions(_.map { id =>
       val w = (id % 100 + 1).toInt
       val h = (id * 3 % 100 + 1).toInt
       val n = (id % 7 + 1).toInt
@@ -743,7 +761,7 @@ object Multimodal {
   def withSyntheticAvi(docs: DataFrame, idCol: String,
       frameBytes: Int = 32): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    idsSpread(docs, idCol).as[Long].mapPartitions(_.map { id =>
       val w = (id % 100 + 1).toInt
       val h = (id * 3 % 100 + 1).toInt
       val n = (id % 7 + 1).toInt
@@ -1052,7 +1070,7 @@ object Multimodal {
     * construct half of the construct↔decode round-trip. */
   def withSyntheticImage(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    idsSpread(docs, idCol).as[Long].mapPartitions(_.map { id =>
       val w = (id % 16 + 1).toInt
       val h = (id * 7 % 16 + 1).toInt
       val img = new java.awt.image.BufferedImage(

@@ -4778,23 +4778,26 @@ object PipelineQueries {
             concat(lit(s"qzx${j}w"), col("doc_id").cast("string"))): _*)
             .as("text"))
       val batch = dup.unionByName(novel)
+      // r14: no distinct on the flag list — left_anti is duplicate-
+      // insensitive, so the exchange bought nothing (guide §2.4)
       val flagged = Dedup.minhashNearDupsAgainst(batch, d, "doc_id",
           "text", bands = 8, rows = 4, shingleK = 3, threshold = 0.2,
           hashedBandKeys = false)
-        .select(col("batch_id").as("doc_id")).distinct()
+        .select(col("batch_id").as("doc_id"))
       val queries = batch.join(flagged, Seq("doc_id"), "left_anti")
         .select((col("doc_id") - 500000L).as("vec_id"))
         .join(e, Seq("vec_id"))
       val idx = Similarity.ivfBuild(e, "vec_id", "embedding",
         nCentroids = 8)
       // full-depth probe = exact top-8 per surviving query (self hit
-      // excluded by ivfTopKWith's query<>neighbor filter)
-      val cands = graft.ops.Caches.registerDf(
-        Similarity.ivfTopKWith(idx, queries, "vec_id", "embedding",
-            k = 8, nProbe = 8)
-          .join(e.select(col("vec_id").as("neighbor_id"),
-            col("embedding")), Seq("neighbor_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // excluded by ivfTopKWith's query<>neighbor filter). r14: no
+      // persist — since the grouped rerank (r13), the candidate table
+      // has exactly ONE consumer (mmrSelectGrouped's initial
+      // localCheckpoint), so the cache write/read was pure overhead.
+      val cands = Similarity.ivfTopKWith(idx, queries, "vec_id",
+          "embedding", k = 8, nProbe = 8)
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), Seq("neighbor_id"))
       // r13: all per-query reranks advance in LOCKSTEP — one argmax
       // collect per MMR round instead of |queries|·k round trips
       // (value-identical per group; OpsSpec differential-asserts
